@@ -1,0 +1,291 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational query suite over the TPC-H-ish testdata.
+  *
+  * The reference (`kartverket/dask-felleskomponenter`) delegates every
+  * relational operation to Spark (SURVEY.md §2.2): scans, select /
+  * withColumn / filter-isin projections, one 4-key left equi-join
+  * (`governance/main.py:51-62`), and count() actions. This suite
+  * exercises that surface — plus the join / aggregate / window / set-op
+  * machinery any engine user needs — as declarative DataFrame plans so
+  * Catalyst handles pushdown, pruning and join strategy selection.
+  *
+  * Determinism contract with the DuckDB oracle: every float aggregation
+  * goes through `floor(x * 10^k)` → BIGINT "fixed-point" before SUM.
+  * IEEE-754 multiplication and floor are bit-deterministic across
+  * engines, and BIGINT sums are associative, so the hash compare is
+  * exact regardless of partitioning / evaluation order. Plain SUM over
+  * doubles would differ in the last ulp between Spark and DuckDB.
+  */
+object Relational {
+
+  /** floor(col * 10^scale) as BIGINT — engine-portable fixed-point. */
+  private def cents(c: Column, scale: Int = 2): Column =
+    floor(c * math.pow(10, scale)).cast("bigint")
+
+  private def ts(lit0: String): Column = to_timestamp(lit(lit0))
+
+  // ---- q1: pricing summary (scan → filter → groupBy agg → sort) ----
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).cast("bigint").as("sum_base_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+          .cast("bigint").as("sum_disc_fp"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  // ---- q2: top-10 revenue orders (shuffle agg → join → topk) ----
+  def q2TopOrders(s: SparkSession, dir: String): DataFrame = {
+    val rev = graft.Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+        .cast("bigint").as("revenue_fp"))
+    graft.Tables.orders(s, dir)
+      .join(rev, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("revenue_fp"))
+      .orderBy(col("revenue_fp").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  // ---- q3: revenue per nation/region (broadcast dim joins) ----
+  def q3NationRevenue(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.orders(s, dir)
+      .join(graft.Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(graft.Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(graft.Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"), col("r_name"))
+      .agg(
+        sum(cents(col("o_totalprice"))).cast("bigint").as("total_cents"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("n_name"))
+
+  // ---- q4: order priority with EXISTS (left-semi join) ----
+  def q4PrioritySemi(s: SparkSession, dir: String): DataFrame = {
+    val big = graft.Tables.lineitem(s, dir)
+      .filter(col("l_quantity") > 45).select(col("l_orderkey"))
+    graft.Tables.orders(s, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  // ---- q5: top-3 orders per customer (window row_number) ----
+  def q5WindowTopk(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    graft.Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  // ---- q6: selective filtered aggregate (predicate pushdown path) ----
+  def q6FilteredRevenue(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+        col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(cents(col("l_extendedprice") * col("l_discount"), 4))
+        .cast("bigint").as("revenue_fp"),
+        count(lit(1)).as("n_rows"))
+
+  // ---- q7: exact distinct counts per group ----
+  def q7DistinctCounts(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  // ---- q8: set difference — customers with no orders in 2001 ----
+  def q8CustomersNoOrders(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.customer(s, dir).select(col("c_custkey"))
+      .except(graft.Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= ts("2001-01-01 00:00:00"))
+        .select(col("o_custkey").as("c_custkey")))
+      .orderBy(col("c_custkey"))
+
+  // ---- q9: events per type per hour (time bucketing) ----
+  def q9EventsHourly(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(cents(col("value"), 4)).cast("bigint").as("sum_value_fp"))
+      .orderBy(col("event_type"), col("hour_ts"))
+
+  // ---- q10: per-brand part stats (min/max/avg) ----
+  def q10BrandStats(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.part(s, dir)
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        min(col("p_retailprice")).as("min_price"),
+        max(col("p_retailprice")).as("max_price"),
+        (sum(cents(col("p_retailprice"))).cast("double") / lit(100.0) /
+          count(lit(1)).cast("double")).as("avg_price"))
+      .orderBy(col("p_brand"))
+
+  // ---- q11: sessionization (lag window + conditional aggregation) ----
+  def q11Sessions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    graft.Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60 * 1000000,
+          lit(1L)).otherwise(lit(0L)))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  // ---- q12: rollup over year × priority (grouping sets) ----
+  def q12YearPriorityRollup(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.orders(s, dir)
+      .withColumn("o_year", year(col("o_orderdate")).cast("bigint"))
+      .rollup(col("o_year"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).cast("bigint").as("total_cents"))
+      .orderBy(col("o_year").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  // ---- q13: fact⋈dim join with broadcast (part lookup) ----
+  def q13PartTypeRevenue(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.lineitem(s, dir)
+      .join(broadcast(graft.Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(cents(col("l_extendedprice"))).cast("bigint").as("total_cents"))
+      .orderBy(col("p_type"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary"    -> q1PricingSummary _,
+    "q2_top_orders"         -> q2TopOrders _,
+    "q3_nation_revenue"     -> q3NationRevenue _,
+    "q4_priority_semi"      -> q4PrioritySemi _,
+    "q5_window_topk"        -> q5WindowTopk _,
+    "q6_filtered_revenue"   -> q6FilteredRevenue _,
+    "q7_distinct_counts"    -> q7DistinctCounts _,
+    "q8_customers_no_orders" -> q8CustomersNoOrders _,
+    "q9_events_hourly"      -> q9EventsHourly _,
+    "q10_brand_stats"       -> q10BrandStats _,
+    "q11_sessions"          -> q11Sessions _,
+    "q12_year_priority_rollup" -> q12YearPriorityRollup _,
+    "q13_part_type_revenue" -> q13PartTypeRevenue _,
+  )
+
+  /** DuckDB-dialect oracles. Expression structure mirrors the Spark
+    * plans exactly (same literals, same fixed-point floors) so results
+    * are bit-identical, not merely close. */
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(l_quantity) AS sum_qty,
+        | CAST(sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        | CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)) AS BIGINT) AS sum_disc_fp,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_top_orders" ->
+      """SELECT o_orderkey, o_orderpriority, revenue_fp
+        |FROM orders JOIN (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)) AS BIGINT) AS revenue_fp
+        |  FROM lineitem GROUP BY l_orderkey) r ON o_orderkey = r.l_orderkey
+        |ORDER BY revenue_fp DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q3_nation_revenue" ->
+      """SELECT n_name, r_name,
+        | CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_cents,
+        | count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name, r_name ORDER BY n_name""".stripMargin,
+    "q4_priority_semi" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q5_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q6_filtered_revenue" ->
+      """SELECT
+        | CAST(sum(CAST(floor(l_extendedprice * l_discount * 10000.0) AS BIGINT)) AS BIGINT) AS revenue_fp,
+        | count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.03 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q7_distinct_counts" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q8_customers_no_orders" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey FROM customer
+        |  EXCEPT
+        |  SELECT o_custkey AS c_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00') t
+        |ORDER BY c_custkey""".stripMargin,
+    "q9_events_hourly" ->
+      """SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+        | count(*) AS n_events,
+        | CAST(sum(CAST(floor(value * 10000.0) AS BIGINT)) AS BIGINT) AS sum_value_fp
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, hour_ts""".stripMargin,
+    "q10_brand_stats" ->
+      """SELECT p_brand, count(*) AS n_parts,
+        | min(p_retailprice) AS min_price,
+        | max(p_retailprice) AS max_price,
+        | CAST(sum(CAST(floor(p_retailprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0
+        |   / CAST(count(*) AS DOUBLE) AS avg_price
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q11_sessions" ->
+      """SELECT user_id,
+        | CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+        | count(*) AS n_events
+        |FROM (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR (epoch_ns(ts) // 1000) - (epoch_ns(lag(ts) OVER w) // 1000)
+        |         > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q12_year_priority_rollup" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        | o_orderpriority, count(*) AS n_orders,
+        | CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders
+        |GROUP BY ROLLUP(o_year, o_orderpriority)
+        |ORDER BY o_year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q13_part_type_revenue" ->
+      """SELECT p_type, count(*) AS n_items,
+        | CAST(sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_type ORDER BY p_type""".stripMargin,
+  )
+}
