@@ -22,15 +22,17 @@ object Tables {
   def region(s: SparkSession, d: String): DataFrame   = apply(s, d, "region")
   /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark's
     * timestamp type (µs) cannot hold; read it as raw nanos and floor
-    * to micros (`ts div 1000` — integral, so bit-deterministic and
-    * mirrored by `epoch_ns(ts)//1000` on the DuckDB oracle side).
+    * to micros. True floored division (`(ts - pmod(ts,1000)) div 1000`,
+    * not truncation) mirrors the oracle's `epoch_ns(ts)//1000` even for
+    * pre-1970 timestamps. Requires
+    * `spark.sql.legacy.parquet.nanosAsLong=true` at session build (set
+    * by `Sessions.builder`; mutating it here per-read would be a hidden
+    * session-global side effect).
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, d: String): DataFrame =
     apply(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-  }
+        org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

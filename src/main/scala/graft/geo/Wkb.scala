@@ -160,6 +160,21 @@ object Wkb {
     private def u32(): Long = { val v = bb.getInt(pos).toLong & 0xffffffffL; pos += 4; v }
     private def f64(): Double = { val v = bb.getDouble(pos); pos += 8; v }
 
+    /** Element count, bounds-checked against the bytes remaining: a
+      * corrupt/hostile u32 near 2^32 would otherwise drive a multi-GB
+      * `Array.fill` whose OutOfMemoryError (an Error, not Exception)
+      * escapes `Wkb.read`'s catch and kills the executor. Each element
+      * occupies at least `minElementBytes`, so any valid count is
+      * bounded by remaining/minElementBytes. */
+    private def count(minElementBytes: Int): Int = {
+      val n = u32()
+      val remaining = bytes.length - pos
+      if (n < 0 || n * minElementBytes > remaining)
+        throw new IllegalArgumentException(
+          s"WKB element count $n exceeds remaining $remaining bytes")
+      n.toInt
+    }
+
     def readGeom(): Geom = {
       val h = parseHeader(bytes, pos).getOrElse(throw new IllegalArgumentException("truncated WKB header"))
       setOrder(h.littleEndian)
@@ -168,11 +183,11 @@ object Wkb {
       val dims = h.dims
       def point(): Array[Double] = Array.fill(dims)(f64())
       def pointSeq(): Array[Array[Double]] = {
-        val n = u32().toInt
+        val n = count(dims * 8)
         Array.fill(n)(point())
       }
       def rings(): Array[Array[Array[Double]]] = {
-        val n = u32().toInt
+        val n = count(4) // a ring is at minimum its own u32 point count
         Array.fill(n)(pointSeq())
       }
       h.baseType match {
@@ -180,29 +195,29 @@ object Wkb {
         case 2 => GLineString(pointSeq(), h.hasZ, h.hasM)
         case 3 => GPolygon(rings(), h.hasZ, h.hasM)
         case 4 =>
-          val n = u32().toInt
+          val n = count(5) // nested geom: >=5-byte header each
           GMultiPoint(Array.fill(n)(readGeom().asInstanceOf[GPoint]), h.hasZ, h.hasM)
         case 5 =>
-          val n = u32().toInt
+          val n = count(5) // nested geom: >=5-byte header each
           GMultiLineString(Array.fill(n)(readGeom().asInstanceOf[GLineString]), h.hasZ, h.hasM)
         case 6 =>
-          val n = u32().toInt
+          val n = count(5) // nested geom: >=5-byte header each
           GMultiPolygon(Array.fill(n)(readGeom().asInstanceOf[GPolygon]), h.hasZ, h.hasM)
         case 7 =>
-          val n = u32().toInt
+          val n = count(5) // nested geom: >=5-byte header each
           GCollection(Array.fill(n)(readGeom()), h.hasZ, h.hasM)
         case 8 => GCircularString(pointSeq(), h.hasZ, h.hasM)
         case 9 =>
-          val n = u32().toInt
+          val n = count(5) // nested geom: >=5-byte header each
           GCompoundCurve(Array.fill(n)(readGeom()), h.hasZ, h.hasM)
         case 10 =>
-          val n = u32().toInt
+          val n = count(5) // nested geom: >=5-byte header each
           GCurvePolygon(Array.fill(n)(readGeom()), h.hasZ, h.hasM)
         case 11 =>
-          val n = u32().toInt
+          val n = count(5) // nested geom: >=5-byte header each
           GMultiCurve(Array.fill(n)(readGeom()), h.hasZ, h.hasM)
         case 12 =>
-          val n = u32().toInt
+          val n = count(5) // nested geom: >=5-byte header each
           GMultiSurface(Array.fill(n)(readGeom()), h.hasZ, h.hasM)
         case t => throw new IllegalArgumentException(s"unsupported WKB type $t")
       }

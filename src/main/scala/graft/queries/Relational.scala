@@ -27,6 +27,13 @@ object Relational {
   private def cents(c: Column, scale: Int = 2): Column =
     floor(c * math.pow(10, scale)).cast("bigint")
 
+  /** Overflow-safe fixed-point sum: accumulate in DECIMAL(38,0) —
+    * BIGINT sums wrap silently in non-ANSI mode at ~9.2e18, which 100 TB
+    * row counts can reach, while DuckDB promotes to HUGEINT. Final cast
+    * back to BIGINT matches the oracle's `CAST(sum(...) AS BIGINT)`. */
+  private def sumFp(c: Column): Column =
+    sum(c.cast("decimal(38,0)")).cast("bigint")
+
   private def ts(lit0: String): Column = to_timestamp(lit(lit0))
 
   // ---- q1: pricing summary (scan → filter → groupBy agg → sort) ----
@@ -36,9 +43,8 @@ object Relational {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
-        sum(cents(col("l_extendedprice"))).cast("bigint").as("sum_base_cents"),
-        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
-          .cast("bigint").as("sum_disc_fp"),
+        sumFp(cents(col("l_extendedprice"))).as("sum_base_cents"),
+        sumFp(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)).as("sum_disc_fp"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -46,8 +52,7 @@ object Relational {
   def q2TopOrders(s: SparkSession, dir: String): DataFrame = {
     val rev = graft.Tables.lineitem(s, dir)
       .groupBy(col("l_orderkey"))
-      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
-        .cast("bigint").as("revenue_fp"))
+      .agg(sumFp(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)).as("revenue_fp"))
     graft.Tables.orders(s, dir)
       .join(rev, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_orderkey"), col("o_orderpriority"), col("revenue_fp"))
@@ -63,7 +68,7 @@ object Relational {
       .join(broadcast(graft.Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"), col("r_name"))
       .agg(
-        sum(cents(col("o_totalprice"))).cast("bigint").as("total_cents"),
+        sumFp(cents(col("o_totalprice"))).as("total_cents"),
         count(lit(1)).as("n_orders"))
       .orderBy(col("n_name"))
 
@@ -96,8 +101,7 @@ object Relational {
         col("l_shipdate") < ts("1997-01-01 00:00:00") &&
         col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
         col("l_quantity") < 24)
-      .agg(sum(cents(col("l_extendedprice") * col("l_discount"), 4))
-        .cast("bigint").as("revenue_fp"),
+      .agg(sumFp(cents(col("l_extendedprice") * col("l_discount"), 4)).as("revenue_fp"),
         count(lit(1)).as("n_rows"))
 
   // ---- q7: exact distinct counts per group ----
@@ -124,7 +128,7 @@ object Relational {
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(cents(col("value"), 4)).cast("bigint").as("sum_value_fp"))
+        sumFp(cents(col("value"), 4)).as("sum_value_fp"))
       .orderBy(col("event_type"), col("hour_ts"))
 
   // ---- q10: per-brand part stats (min/max/avg) ----
@@ -135,7 +139,7 @@ object Relational {
         count(lit(1)).as("n_parts"),
         min(col("p_retailprice")).as("min_price"),
         max(col("p_retailprice")).as("max_price"),
-        (sum(cents(col("p_retailprice"))).cast("double") / lit(100.0) /
+        (sum(cents(col("p_retailprice")).cast("decimal(38,0)")).cast("double") / lit(100.0) /
           count(lit(1)).cast("double")).as("avg_price"))
       .orderBy(col("p_brand"))
 
@@ -159,16 +163,19 @@ object Relational {
       .withColumn("o_year", year(col("o_orderdate")).cast("bigint"))
       .rollup(col("o_year"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(cents(col("o_totalprice"))).cast("bigint").as("total_cents"))
+        sumFp(cents(col("o_totalprice"))).as("total_cents"))
       .orderBy(col("o_year").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
-  // ---- q13: fact⋈dim join with broadcast (part lookup) ----
+  // ---- q13: fact⋈dim join (part lookup) ----
+  // No broadcast hint: `part` scales with SF, so a forced broadcast
+  // OOMs executors at 100×. AQE picks broadcast-hash when the measured
+  // size is under the threshold and falls back to shuffle join above it.
   def q13PartTypeRevenue(s: SparkSession, dir: String): DataFrame =
     graft.Tables.lineitem(s, dir)
-      .join(broadcast(graft.Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .join(graft.Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_type"))
       .agg(count(lit(1)).as("n_items"),
-        sum(cents(col("l_extendedprice"))).cast("bigint").as("total_cents"))
+        sumFp(cents(col("l_extendedprice"))).as("total_cents"))
       .orderBy(col("p_type"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
