@@ -48,20 +48,21 @@ case class WkbGeomTypeExpr(child: Expression) extends UnaryExpression {
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
     val childGen = child.genCode(ctx)
     val fn = child.dataType match {
       case BinaryType => s"graft.geo.GeomType.ofBytes(${childGen.value})"
       case _          => s"graft.geo.GeomType.ofHex(${childGen.value}.toString())"
     }
-    ev.copy(
-      code = childGen.code + org.apache.spark.sql.catalyst.expressions.codegen.Block
-        .BlockHelper(new StringContext(
-          s"""
-             |UTF8String ${ev.value} = ${childGen.isNull}
-             |  ? UTF8String.fromString("Invalid (null input)")
-             |  : UTF8String.fromString($fn);
-             |""".stripMargin)).code(),
-      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+    val resultCode =
+      code"""
+         |${childGen.code}
+         |UTF8String ${ev.value} = ${childGen.isNull}
+         |  ? UTF8String.fromString("Invalid (null input)")
+         |  : UTF8String.fromString($fn);
+         |""".stripMargin
+    ev.copy(code = resultCode, isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): WkbGeomTypeExpr =

@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.geo.{GeoFunctions, WkbCorpus}
+
+/** Geo-function queries over the embedded WKB corpus, mirroring the
+  * reference's notebook assertions
+  * (`udfs/tests/wkb_registration_and_sql_tests.py:120-188`): register →
+  * invoke from SQL → compare the exact type strings. The oracle side is
+  * a literal VALUES table of the corpus's expected outputs, so the
+  * DuckDB compare checks our engine's computed strings against the
+  * reference contract, row by row.
+  */
+object GeoQueries {
+
+  /** q14: get_wkb_geom_type over the corpus — both the BINARY (WKB
+    * bytes) and STRING (hex) input paths of the polymorphic function. */
+  def q14GeomType(s: SparkSession, dir: String): DataFrame = {
+    GeoFunctions.registerAll(s)
+    import s.implicits._
+    WkbCorpus.cases.map { case (n, h, _) => (n, h) }.toDF("name", "wkb_hex")
+      .withColumn("wkb", unhex(col("wkb_hex")))
+      .select(col("name"),
+        expr("get_wkb_geom_type(wkb)").as("geom_type"),
+        expr("get_wkb_geom_type(wkb_hex)").as("geom_type_hex"))
+      .orderBy("name")
+  }
+
+  /** Expected type after linearization (reference contract,
+    * `wkb_registration_and_sql_tests.py:173-188`). */
+  private[graft] def linearizedName(t: String): String = t match {
+    case "CircularString" => "LineString"
+    case "CompoundCurve"  => "LineString"
+    case "CurvePolygon"   => "Polygon"
+    case "MultiCurve"     => "MultiLineString"
+    case "MultiSurface"   => "MultiPolygon"
+    case other            => other
+  }
+
+  /** Rows fed to q15: the corpus plus an unparsable input exercising
+    * the null contract (`udf_conversions.py:58-59`). */
+  private def q15Rows: Seq[(String, String, String, Boolean)] =
+    WkbCorpus.cases.map { case (n, h, e) => (n, h, linearizedName(e), false) } :+
+      (("invalid_short", "0101", "Invalid (null input)", true))
+
+  /** q15: curved_to_linear_wkb at maxAngleStep 5.0 then re-typed via
+    * get_wkb_geom_type — CurvePolygon→Polygon etc. */
+  def q15Linearize(s: SparkSession, dir: String): DataFrame = {
+    GeoFunctions.registerAll(s)
+    import s.implicits._
+    q15Rows.map { case (n, h, _, _) => (n, h) }.toDF("name", "wkb_hex")
+      .withColumn("lin", expr("curved_to_linear_wkb(unhex(wkb_hex), 5.0D)"))
+      .select(col("name"),
+        expr("get_wkb_geom_type(lin)").as("lin_type"),
+        col("lin").isNull.as("lin_null"))
+      .orderBy("name")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q14_geom_type" -> q14GeomType _,
+    "q15_linearize" -> q15Linearize _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q14_geom_type" ->
+      ("SELECT * FROM (VALUES " +
+        WkbCorpus.cases.map { case (n, _, e) => s"('$n','$e','$e')" }.mkString(", ") +
+        ") AS t(name, geom_type, geom_type_hex) ORDER BY name"),
+    "q15_linearize" ->
+      ("SELECT * FROM (VALUES " +
+        q15Rows.map { case (n, _, lin, isNull) => s"('$n','$lin',$isNull)" }.mkString(", ") +
+        ") AS t(name, lin_type, lin_null) ORDER BY name"),
+  )
+}
