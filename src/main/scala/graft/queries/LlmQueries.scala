@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, TextAnalysis}
+
+/** LLM-training-data pipeline queries over the `documents` table:
+  * dedup, text statistics, language ID, quality scoring. Each has an
+  * exact DuckDB oracle (fixed-point ratios, deterministic tie-breaks).
+  */
+object LlmQueries {
+
+  import TextAnalysis._
+
+  // ---- q16: exact dedup — survivor per text, full rows kept ----
+  def q16DedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(graft.Tables.documents(s, dir), Seq("text"), "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  // ---- q17: normalized-fingerprint dedup (md5 of collapsed text) ----
+  def q17DedupNorm(s: SparkSession, dir: String): DataFrame =
+    Dedup.byFingerprint(graft.Tables.documents(s, dir), "text", "doc_id")
+      .select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  // ---- q18: per-language corpus statistics ----
+  def q18TextStats(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.documents(s, dir)
+    val nTok = tokenCount(col("text")).cast("bigint")
+    d.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(nTok).as("sum_tokens"),
+        sum(length(col("text")).cast("bigint")).as("sum_chars"),
+        max(nTok).as("max_tokens"),
+        min(nTok).as("min_tokens"),
+        sum(vocabHits(col("text"), DefaultStopwords).cast("bigint")).as("sum_stop_hits"))
+      .orderBy(col("lang"))
+  }
+
+  // ---- q19: language-ID heuristic → confusion matrix vs labels ----
+  def q19LangId(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.documents(s, dir)
+      .withColumn("predicted", langId(col("text")))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+
+  // ---- q20: per-document quality scoring (fixed-point) ----
+  def q20Quality(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        qualityScoreFp(col("text")).as("quality_fp"),
+        stopwordRatioFp(col("text"), DefaultStopwords).as("stop_fp"),
+        meanTokenLenFp(col("text")).as("mean_tok_len_fp"),
+        tokenCount(col("text")).cast("bigint").as("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_dedup_exact" -> q16DedupExact _,
+    "q17_dedup_norm"  -> q17DedupNorm _,
+    "q18_text_stats"  -> q18TextStats _,
+    "q19_lang_id"     -> q19LangId _,
+    "q20_quality"     -> q20Quality _,
+  )
+
+  /** DuckDB token expression mirroring TextAnalysis.tokens. */
+  private val toksSql =
+    "CASE WHEN length(trim(text)) = 0 THEN [] " +
+      "ELSE string_split_regex(trim(text), '\\s+') END"
+
+  private def hitsSql(vocab: Seq[String]): String = {
+    val lst = vocab.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(toks, x -> list_contains($lst, x)))"
+  }
+
+  private val stopHitsSql = hitsSql(DefaultStopwords)
+
+  /** floor(1e6 * hits/tokens) mirroring stopwordRatioFp. */
+  private val stopFpSql =
+    s"CASE WHEN len(toks) = 0 THEN 0 ELSE CAST(floor(CAST($stopHitsSql AS DOUBLE) " +
+      "* 1000000.0 / CAST(len(toks) AS DOUBLE)) AS BIGINT) END"
+
+  private val meanTokLenFpSql =
+    "CASE WHEN len(toks) = 0 THEN 0 ELSE CAST(floor(CAST(" +
+      "list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) * 100.0 " +
+      "/ CAST(len(toks) AS DOUBLE)) AS BIGINT) END"
+
+  private val qualityFpSql =
+    "(CASE WHEN len(toks) BETWEEN 20 AND 1000 THEN 400000 " +
+      "WHEN len(toks) >= 5 THEN 200000 ELSE 0 END " +
+      s"+ CASE WHEN ($stopFpSql) BETWEEN 20000 AND 400000 THEN 400000 ELSE 100000 END " +
+      "+ CASE WHEN length(text) >= 100 THEN 200000 ELSE 50000 END)"
+
+  private val langCaseSql = {
+    val hits = TextAnalysis.LangProfiles.map { case (l, ws) => l -> hitsSql(ws) }
+    // cascade: profile k fires iff its hits >= every later profile's
+    // and > 0 — equivalent to first-profile-with-max (see q19 spec)
+    val branches = hits.zipWithIndex.map { case ((l, h), i) =>
+      val laterGe = hits.drop(i + 1).map { case (_, h2) => s"$h >= $h2" }
+      val conds = laterGe :+ s"$h > 0"
+      s"WHEN ${conds.mkString(" AND ")} THEN '$l'"
+    }
+    s"CASE ${branches.mkString(" ")} ELSE 'und' END"
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q16_dedup_exact" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q17_dedup_norm" ->
+      """SELECT doc_id, fp FROM (
+        |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |    row_number() OVER (
+        |      PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |      ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q18_text_stats" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         | CAST(sum(len(toks)) AS BIGINT) AS sum_tokens,
+         | CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+         | CAST(max(len(toks)) AS BIGINT) AS max_tokens,
+         | CAST(min(len(toks)) AS BIGINT) AS min_tokens,
+         | CAST(sum($stopHitsSql) AS BIGINT) AS sum_stop_hits
+         |FROM (SELECT lang, text, $toksSql AS toks FROM documents) t
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q19_lang_id" ->
+      s"""SELECT lang, predicted, count(*) AS n FROM (
+         |  SELECT lang, $langCaseSql AS predicted
+         |  FROM (SELECT lang, $toksSql AS toks FROM documents) x) t
+         |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+    "q20_quality" ->
+      s"""SELECT doc_id,
+         | CAST($qualityFpSql AS BIGINT) AS quality_fp,
+         | $stopFpSql AS stop_fp,
+         | $meanTokLenFpSql AS mean_tok_len_fp,
+         | CAST(len(toks) AS BIGINT) AS n_tokens
+         |FROM (SELECT doc_id, text, $toksSql AS toks FROM documents) t
+         |ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,65 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Behavior tests for dedup + text analysis on data with actual
+  * duplicates and edge cases (the driver testdata has none). */
+class LlmSpec extends AnyFunSuite with SparkTestSession {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),          // exact dup of 1
+      (3L, "  The   cat sat  on the MAT "),    // normalized dup of 1
+      (4L, "completely different text here"),
+      (5L, ""),                                 // empty doc
+      (6L, "der hund und die katze ist da"),    // German-ish
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps the smallest doc_id per identical text") {
+    val out = Dedup.exact(docs, Seq("text"), "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(1L, 3L, 4L, 5L, 6L))
+  }
+
+  test("fingerprint dedup also collapses reformatted copies") {
+    val out = Dedup.byFingerprint(docs, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(1L, 4L, 5L, 6L))
+  }
+
+  test("token count handles empty and padded strings") {
+    val got = docs.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(1L) == 6)
+    assert(got(3L) == 6) // padded whitespace does not create tokens
+    assert(got(5L) == 0)
+  }
+
+  test("language ID picks the profile with most stopword hits") {
+    val got = docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en")
+    assert(got(6L) == "de")
+    assert(got(5L) == "und") // empty doc: no profile hit
+  }
+
+  test("quality score is deterministic and bounded") {
+    val scores = docs.select(TextAnalysis.qualityScoreFp(col("text")))
+      .collect().map(_.getLong(0))
+    assert(scores.forall(s => s >= 0 && s <= 1000000))
+  }
+
+  test("stopword ratio fixed-point: exact value on a known doc") {
+    // "the cat sat on the mat": hits = the,the = 2 of 6 → floor(1e6*2/6)
+    val v = docs.filter(col("doc_id") === 1)
+      .select(TextAnalysis.stopwordRatioFp(col("text"), TextAnalysis.DefaultStopwords))
+      .collect()(0).getLong(0)
+    assert(v == 333333L)
+  }
+}
