@@ -23,7 +23,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.GeoQueries.queries ++
-      graft.queries.LlmQueries.queries
+      graft.queries.LlmQueries.queries ++
+      graft.queries.SimilarityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -31,5 +32,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++
       graft.queries.GeoQueries.oracleSql ++
-      graft.queries.LlmQueries.oracleSql
+      graft.queries.LlmQueries.oracleSql ++
+      graft.queries.SimilarityQueries.oracleSql
 }

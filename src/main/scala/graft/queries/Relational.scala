@@ -178,6 +178,23 @@ object Relational {
         sumFp(cents(col("l_extendedprice"))).as("total_cents"))
       .orderBy(col("p_type"))
 
+  // ---- q25: 4-key LEFT OUTER join (the reference's only join shape,
+  // `governance/main.py:51-62` — composite-key left join where
+  // unmatched rows survive with nulls) ----
+  def q25LeftJoinTags(s: SparkSession, dir: String): DataFrame = {
+    val li = graft.Tables.lineitem(s, dir)
+    val keys = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+    val tags = li.filter(col("l_quantity") > 48)
+      .select(keys.map(col) :+ cents(col("l_extendedprice")).as("tag_fp"): _*)
+    li.join(tags, keys, "left")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("tag_fp")).as("n_tagged"), // count() skips the nulls
+        sumFp(coalesce(col("tag_fp"), lit(0L))).as("sum_tag"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary"    -> q1PricingSummary _,
     "q2_top_orders"         -> q2TopOrders _,
@@ -192,6 +209,7 @@ object Relational {
     "q11_sessions"          -> q11Sessions _,
     "q12_year_priority_rollup" -> q12YearPriorityRollup _,
     "q13_part_type_revenue" -> q13PartTypeRevenue _,
+    "q25_left_join_tags"    -> q25LeftJoinTags _,
   )
 
   /** DuckDB-dialect oracles. Expression structure mirrors the Spark
@@ -294,5 +312,17 @@ object Relational {
         | CAST(sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_type ORDER BY p_type""".stripMargin,
+    "q25_left_join_tags" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        | count(tag_fp) AS n_tagged,
+        | CAST(sum(coalesce(tag_fp, 0)) AS BIGINT) AS sum_tag
+        |FROM lineitem L LEFT JOIN (
+        |  SELECT l_orderkey AS k1, l_partkey AS k2, l_suppkey AS k3,
+        |    l_linenumber AS k4,
+        |    CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS tag_fp
+        |  FROM lineitem WHERE l_quantity > 48) T
+        | ON L.l_orderkey = T.k1 AND L.l_partkey = T.k2
+        |  AND L.l_suppkey = T.k3 AND L.l_linenumber = T.k4
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.{MinHashLSH, Similarity, TextAnalysis}
+
+/** Near-dup detection and vector-similarity queries (q21–q24), each
+  * with an exact DuckDB oracle. The oracles replicate the full
+  * algorithm (same md5 signatures, same fixed-point score arithmetic),
+  * so the hash compare certifies the algorithm end-to-end, not just
+  * row counts.
+  */
+object SimilarityQueries {
+
+  private val ShingleN = 3
+  private val NumHashes = 8
+  private val Dim = 64
+  private val TopK = 5
+  private val AnnK = 3
+  private val NumQueryVecs = 8
+
+  // ---- q21: MinHash LSH candidate pairs + exact Jaccard verify ----
+  def q21MinhashPairs(s: SparkSession, dir: String): DataFrame =
+    MinHashLSH.nearDupPairs(graft.Tables.documents(s, dir), "doc_id", "text",
+      shingleN = ShingleN, numHashes = NumHashes, rowsPerBand = 1, minJaccardFp = 0L)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  // ---- q22: relational SimHash (16-bit, explode + bit sums) ----
+  def q22Simhash16(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .select(col("doc_id"), expr("md5(cast(w as binary))").as("h"))
+    val sums = (0 until 16).map { j =>
+      val i = j / 4 + 1       // hex char (1-based)
+      val k = 3 - (j % 4)     // bit within nibble, high→low
+      expr(s"sum(2 * ((cast(floor((instr('0123456789abcdef', substr(h, $i, 1)) - 1) " +
+        s"/ ${1 << k}) as bigint)) % 2) - 1)").as(s"s$j")
+    }
+    val value = (0 until 16)
+      .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    toks.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), expr(s"cast($value as bigint)").as("simhash16"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- q23: exact brute-force top-k over embeddings ----
+  def q23EmbedTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+    Similarity.bruteForceTopK(emb.filter(col("vec_id") < NumQueryVecs), emb, TopK)
+      .select(col("query_id"), col("vec_id"), col("dot_fp"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  // ---- q24: LSH-bucketed approximate top-k (the scale path) ----
+  def q24EmbedAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+    Similarity.annTopK(emb.filter(col("vec_id") < NumQueryVecs), emb, AnnK, Dim)
+      .select(col("query_id"), col("vec_id"), col("dot_fp"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_minhash_pairs" -> q21MinhashPairs _,
+    "q22_simhash16"     -> q22Simhash16 _,
+    "q23_embed_topk"    -> q23EmbedTopk _,
+    "q24_embed_ann"     -> q24EmbedAnn _,
+  )
+
+  // ---------------- DuckDB oracles ----------------
+
+  private val toksSql =
+    "CASE WHEN length(trim(text)) = 0 THEN [] " +
+      "ELSE string_split_regex(trim(text), '\\s+') END"
+
+  private val q21Sql = {
+    val shSql =
+      s"""CASE WHEN len(toks) >= $ShingleN
+         | THEN list_transform(range(1, len(toks) - ${ShingleN - 2}),
+         |   i -> array_to_string(toks[i:i+${ShingleN - 1}], ' '))
+         | ELSE [array_to_string(toks, ' ')] END""".stripMargin
+    s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id, $shSql AS sh FROM base),
+       |mh AS (SELECT doc_id, list_transform(range(0, $NumHashes),
+       |  k -> list_min(list_transform(sh, s -> md5(CAST(k AS VARCHAR) || '|' || s)))) AS mh
+       |  FROM sh),
+       |bands AS (SELECT doc_id, b AS band_id,
+       |  md5(array_to_string(mh[(b + 1):(b + 1)], '|')) AS band_key
+       |  FROM mh, unnest(range(0, $NumHashes)) AS u(b)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, list_distinct(sh) AS s FROM sh)
+       |SELECT doc_a, doc_b,
+       |  CAST(floor(1000000.0 * CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+       |    / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE)) AS BIGINT) AS jaccard_fp
+       |FROM pairs JOIN sets sa ON doc_a = sa.doc_id JOIN sets sb ON doc_b = sb.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private val q22Sql = {
+    val sums = (0 until 16).map { j =>
+      val i = j / 4 + 1
+      val k = 3 - (j % 4)
+      s"sum(2 * ((CAST(floor((instr('0123456789abcdef', substr(h, $i, 1)) - 1) " +
+        s"/ ${1 << k}) AS BIGINT)) % 2) - 1) AS s$j"
+    }.mkString(", ")
+    val value = (0 until 16)
+      .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+       |h AS (SELECT doc_id, md5(w) AS h FROM toks),
+       |agg AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($value AS BIGINT) AS simhash16 FROM agg ORDER BY doc_id""".stripMargin
+  }
+
+  private val dotSql =
+    """CAST(list_sum(list_transform(range(1, len(qe) + 1),
+      |  i -> CAST(floor(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) * 1000000.0) AS BIGINT)))
+      |  AS BIGINT)""".stripMargin
+
+  private val q23Sql =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       |  WHERE vec_id < $NumQueryVecs),
+       |scored AS (SELECT query_id, e.vec_id, $dotSql AS dot_fp
+       |  FROM q CROSS JOIN (SELECT vec_id, embedding AS ce FROM embeddings) e),
+       |ranked AS (SELECT query_id, vec_id, dot_fp,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY dot_fp DESC, vec_id) AS rn
+       |  FROM scored)
+       |SELECT query_id, vec_id, dot_fp, CAST(rn AS INTEGER) AS rn
+       |FROM ranked WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin
+
+  private val q24Sql = {
+    val planes = Similarity.planeWeights(Dim)
+    val bucket = planes.zipWithIndex.map { case (w, p) =>
+      val lst = w.mkString("[", ", ", "]")
+      s"""(CASE WHEN CAST(list_sum(list_transform(range(1, len(efp) + 1),
+         |  i -> efp[i] * ($lst)[i])) AS BIGINT) > 0 THEN ${1L << p} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+    s"""WITH fp AS (SELECT vec_id, embedding,
+       |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS efp
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS bucket FROM fp),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM b
+       |  WHERE vec_id < $NumQueryVecs),
+       |scored AS (SELECT query_id, c.vec_id, $dotSql AS dot_fp
+       |  FROM q JOIN (SELECT vec_id, embedding AS ce, bucket FROM b) c USING (bucket)),
+       |ranked AS (SELECT query_id, vec_id, dot_fp,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY dot_fp DESC, vec_id) AS rn
+       |  FROM scored)
+       |SELECT query_id, vec_id, dot_fp, CAST(rn AS INTEGER) AS rn
+       |FROM ranked WHERE rn <= $AnnK ORDER BY query_id, rn""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q21_minhash_pairs" -> q21Sql,
+    "q22_simhash16"     -> q22Sql,
+    "q23_embed_topk"    -> q23Sql,
+    "q24_embed_ann"     -> q24Sql,
+  )
+}

@@ -1,0 +1,84 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** MinHash / SimHash / vector-similarity behavior on synthetic data
+  * with known near-duplicates. */
+class SimilaritySpec extends AnyFunSuite with SparkTestSession {
+
+  private def docsDF = {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    Seq(
+      (1L, base),
+      (2L, base + "lambda"),                        // near-dup of 1
+      (3L, base.replace("gamma", "mu")),            // near-dup of 1
+      (4L, "totally different words entirely unique content here now " * 5),
+      (5L, "short doc"),
+    ).toDF("doc_id", "text")
+  }
+
+  test("minhash LSH finds the planted near-dup pairs, verified by Jaccard") {
+    val pairs = MinHashLSH.nearDupPairs(docsDF, "doc_id", "text",
+      shingleN = 3, numHashes = 8, rowsPerBand = 1, minJaccardFp = 500000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("candidate generation never pairs a doc with itself") {
+    val pairs = MinHashLSH.candidatePairs(docsDF, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall { case (a, b) => a < b })
+  }
+
+  test("simhash: near-dups are close in Hamming distance, unrelated far") {
+    def toks(s: String) = s.trim.split("\\s+").toSeq
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val h1 = SimHash.simhash64(toks(base))
+    val h2 = SimHash.simhash64(toks(base + "lambda"))
+    val h4 = SimHash.simhash64(toks("totally different words entirely unique content here now " * 5))
+    assert(SimHash.hamming64(h1, h2) <= 8)
+    assert(SimHash.hamming64(h1, h4) > 12)
+    assert(SimHash.hamming64(h1, h1) == 0)
+    // band decomposition reassembles the hash
+    val reassembled = (0 until 4).map(b => SimHash.band16(h1, b).toLong << (16 * b)).reduce(_ | _)
+    assert(reassembled == h1)
+  }
+
+  test("simhash64 SQL registration round-trips") {
+    SimHash.register(spark)
+    import spark.implicits._
+    val r = Seq(Seq("a", "b", "c")).toDF("toks")
+      .selectExpr("simhash64(toks) AS h").collect()(0).getLong(0)
+    assert(r == SimHash.simhash64(Seq("a", "b", "c")))
+  }
+
+  test("brute-force top-k: self is always rank 1 on unit vectors") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 1.0f)),
+      (3L, Array(0.8f, 0.6f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs.filter(col("vec_id") === 0), vecs, 2)
+      .orderBy("rn").collect()
+    assert(top(0).getAs[Long]("vec_id") == 0L) // self: dot = 1.0
+    assert(top(1).getAs[Long]("vec_id") == 3L) // next closest: 0.8
+  }
+
+  test("ann bucket: identical vectors land in the same bucket") {
+    import spark.implicits._
+    val v = Array.tabulate(64)(i => (math.sin(i + 1) / 8).toFloat)
+    val vecs = Seq((0L, v), (1L, v), (2L, v.map(x => -x))).toDF("vec_id", "embedding")
+    val buckets = vecs.select(col("vec_id"), Similarity.bucketExpr("embedding", 64).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(buckets(0L) == buckets(1L))
+    assert(buckets(0L) != buckets(2L)) // negated vector flips every sign
+  }
+}
