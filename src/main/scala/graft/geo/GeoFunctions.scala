@@ -23,10 +23,12 @@ object GeoFunctions {
 
   val GetWkbGeomType  = "get_wkb_geom_type"
   val CurvedToLinear  = "curved_to_linear_wkb"
+  val GenerateContours = "generate_contours_udf"
 
   def registerAll(spark: SparkSession): Unit = {
     registerGetWkbGeomType(spark)
     registerCurvedToLinearWkb(spark)
+    registerGenerateContours(spark)
   }
 
   def registerGetWkbGeomType(spark: SparkSession): Unit = {
@@ -50,4 +52,41 @@ object GeoFunctions {
       CurvedToLinear,
       (wkb: Array[Byte], maxAngleStepDegrees: Double) =>
         Linearize.curvedToLinearWkb(wkb, maxAngleStepDegrees))
+
+  /** GeoTIFF raster → contour MultiLineString WKB (reference
+    * `udf_tools.py:127-244`). The reference's pandas-UDF wrapper (U4)
+    * exists to amortize the Python/Arrow boundary; in the JVM a plain
+    * Scala UDF is already executor-native, so `generate_contours_udf`
+    * and the core share one registration. `interval`/`base` arrive as
+    * `lit()` columns, same call shape as the reference. */
+  def registerGenerateContours(spark: SparkSession): Unit = {
+    spark.udf.register(
+      GenerateContours,
+      (raster: Array[Byte], interval: Double, base: Double) =>
+        Contours.generateContoursWkb(raster, interval, base))
+    spark.udf.register(
+      "generate_contours_wkb",
+      (raster: Array[Byte], interval: Double, base: Double) =>
+        Contours.generateContoursWkb(raster, interval, base))
+    // companion introspection: component count of a (Multi*) geometry
+    spark.udf.register(
+      "get_wkb_num_geoms",
+      (b: Array[Byte]) => numGeoms(b))
+  }
+
+  private def numGeoms(b: Array[Byte]): java.lang.Long = {
+    if (b == null) return null
+    Wkb.read(Wkb.stripSrid(b)) match {
+      case None => null
+      case Some(g) => g match {
+        case m: Wkb.GMultiPoint      => m.geoms.length.toLong
+        case m: Wkb.GMultiLineString => m.geoms.length.toLong
+        case m: Wkb.GMultiPolygon    => m.geoms.length.toLong
+        case m: Wkb.GCollection      => m.geoms.length.toLong
+        case m: Wkb.GMultiCurve      => m.geoms.length.toLong
+        case m: Wkb.GMultiSurface    => m.geoms.length.toLong
+        case _                       => 1L
+      }
+    }
+  }
 }

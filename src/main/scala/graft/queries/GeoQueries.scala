@@ -58,9 +58,41 @@ object GeoQueries {
       .orderBy("name")
   }
 
+  /** Synthesized rasters with analytically known contour counts at
+    * interval 5.0 / base 0.5 (FIXTURES.md §2 — the reference's raster
+    * table is Databricks-only, so fixtures are generated in-code). */
+  private def rasters: Seq[(String, Array[Byte])] = {
+    import graft.geo.GeoTiff
+    val ramp = GeoTiff.writeFloat32(16, 16,
+      Array.tabulate(16 * 16)(i => (i / 16).toFloat)) // range (0,15) → levels 0.5, 5.5, 10.5
+    val cone = GeoTiff.writeFloat32(17, 17, Array.tabulate(17 * 17) { i =>
+      val r = i / 17; val c = i % 17
+      (20 - 2 * math.max(math.abs(r - 8), math.abs(c - 8))).toFloat
+    }) // range (4,20) → 3 levels
+    val flat = GeoTiff.writeFloat32(8, 8, Array.fill(64)(5.0f)) // no contours → null
+    Seq(("ramp", ramp), ("cone", cone), ("flat", flat))
+  }
+
+  /** q26: contour generation over raster binaries — the reference's
+    * canonical call shape (`generate_contours_udf(tile_geotiff, i, b)`,
+    * `hoydekurver_registration_and_sql_tests.py:85-108`) with the
+    * output contract checked numerically. */
+  def q26Contours(s: SparkSession, dir: String): DataFrame = {
+    GeoFunctions.registerAll(s)
+    import s.implicits._
+    rasters.toDF("raster_id", "raster")
+      .withColumn("contours", expr("generate_contours_udf(raster, 5.0D, 0.5D)"))
+      .select(col("raster_id"),
+        expr("get_wkb_geom_type(contours)").as("geom_type"),
+        expr("get_wkb_num_geoms(contours)").as("n_lines"),
+        col("contours").isNull.as("is_null"))
+      .orderBy("raster_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_geom_type" -> q14GeomType _,
     "q15_linearize" -> q15Linearize _,
+    "q26_contours"  -> q26Contours _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -72,5 +104,11 @@ object GeoQueries {
       ("SELECT * FROM (VALUES " +
         q15Rows.map { case (n, _, lin, isNull) => s"('$n','$lin',$isNull)" }.mkString(", ") +
         ") AS t(name, lin_type, lin_null) ORDER BY name"),
+    "q26_contours" ->
+      ("""SELECT * FROM (VALUES
+         | ('cone', 'MultiLineString', CAST(3 AS BIGINT), false),
+         | ('flat', 'Invalid (null input)', CAST(NULL AS BIGINT), true),
+         | ('ramp', 'MultiLineString', CAST(3 AS BIGINT), false)
+         |) AS t(raster_id, geom_type, n_lines, is_null) ORDER BY raster_id""".stripMargin),
   )
 }
