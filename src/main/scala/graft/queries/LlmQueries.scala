@@ -59,12 +59,25 @@ object LlmQueries {
         tokenCount(col("text")).cast("bigint").as("n_tokens"))
       .orderBy(col("doc_id"))
 
+  // ---- q27: multimodal decode pipeline (mapPartitions, typed) ----
+  def q27Multimodal(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Multimodal
+    Multimodal.decode(Multimodal.documentsAsMedia(s, dir))
+      .toDF()
+      .select(col("id"), col("mediaType").as("media_type"),
+        col("width").cast("int").as("width"), col("height").cast("int").as("height"),
+        col("nFrames").cast("int").as("n_frames"), col("nBytes").as("n_bytes"),
+        col("fingerprint"))
+      .orderBy(col("id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_dedup_exact" -> q16DedupExact _,
     "q17_dedup_norm"  -> q17DedupNorm _,
     "q18_text_stats"  -> q18TextStats _,
     "q19_lang_id"     -> q19LangId _,
     "q20_quality"     -> q20Quality _,
+    "q27_multimodal"  -> q27Multimodal _,
   )
 
   /** DuckDB token expression mirroring TextAnalysis.tokens. */
@@ -144,5 +157,15 @@ object LlmQueries {
          | CAST(len(toks) AS BIGINT) AS n_tokens
          |FROM (SELECT doc_id, text, $toksSql AS toks FROM documents) t
          |ORDER BY doc_id""".stripMargin,
+    // mirrors the decode STUB exactly (Multimodal.decodeDims/frameCount
+    // are deterministic functions of the payload byte length)
+    "q27_multimodal" ->
+      """SELECT doc_id AS id, 'image/fake' AS media_type,
+        | CAST((octet_length(encode(text)) % 640) + 1 AS INTEGER) AS width,
+        | CAST(((octet_length(encode(text)) * 7) % 480) + 1 AS INTEGER) AS height,
+        | CAST(octet_length(encode(text)) // 1000 + 1 AS INTEGER) AS n_frames,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | md5(text) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }
