@@ -12,7 +12,10 @@ trait SparkTestSession {
 
 object SparkTestSession {
   lazy val session: SparkSession = {
-    val s = Sessions.builder("local[4]", 4).getOrCreate()
+    val s = Sessions.builder("local[4]", 4)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }
