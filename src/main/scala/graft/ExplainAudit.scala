@@ -1,0 +1,14 @@
+package graft
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.builder("local[4]", 4).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    for (q <- Seq("q6_filtered_revenue", "q13_part_type_revenue", "q1_pricing_summary", "q21_minhash_pairs")) {
+      println(s"===== $q =====")
+      val df = SparkEntry.queries(q)(spark, dir)
+      println(df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode).take(3000))
+    }
+    spark.stop()
+  }
+}

@@ -32,12 +32,35 @@ object MinHashLSH {
          |   i -> concat_ws(' ', slice($toksCol, i + 1, $n)))
          | ELSE array(concat_ws(' ', $toksCol)) END""".stripMargin)
 
-  /** k minhash signatures of a shingle array column. */
-  def minhashExpr(shCol: String, k: Int): Column =
+  /** Mersenne prime 2^31−1: signature arithmetic stays far below
+    * BIGINT overflow (base < P, a < 2^20 → product < 2^51). */
+  val P = 2147483647L
+
+  /** Per-seed LCG constants (a_k, b_k) — deterministic, embedded
+    * identically in the DuckDB oracle. */
+  def seedParams(k: Int): (Long, Long) = {
+    val a = ((1103515245L * (k + 1) + 12345L) % ((1L << 20) - 1)) | 1L // odd, < 2^20
+    val b = (2654435769L * (k + 1)) % P
+    (a, b)
+  }
+
+  /** Base hash per shingle: md5 once, first 15 hex chars → 60-bit int,
+    * reduced mod P. Each of the k signatures is then a cheap integer
+    * LCG over the base values — one md5 per shingle total, not k
+    * (the md5-per-(seed,shingle) variant dominated the benchmark). */
+  def baseHashExpr(shCol: String): Column =
     expr(
-      s"""transform(sequence(0, ${k - 1}),
-         |  k -> array_min(transform($shCol,
-         |    s -> md5(cast(concat(cast(k as string), '|', s) as binary)))))""".stripMargin)
+      s"""transform($shCol,
+         |  s -> cast(conv(substr(md5(cast(s as binary)), 1, 15), 16, 10) as bigint) % $P)""".stripMargin)
+
+  /** k minhash signatures from a base-hash array column. */
+  def minhashExpr(basesCol: String, k: Int): Column = {
+    val mins = (0 until k).map { i =>
+      val (a, b) = seedParams(i)
+      s"array_min(transform($basesCol, v -> (v * ${a}L + ${b}L) % $P))"
+    }
+    expr(s"array(${mins.mkString(", ")})")
+  }
 
   /** (doc_id, sh) — tokenized + shingled projection of the corpus. */
   private def shingled(docs: DataFrame, idCol: String, textCol: String,
@@ -52,10 +75,12 @@ object MinHashLSH {
     require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
     val numBands = numHashes / rowsPerBand
     val mh = shingled(docs, idCol, textCol, shingleN)
-      .select(col("doc_id"), minhashExpr("sh", numHashes).as("mh"))
+      .withColumn("bases", baseHashExpr("sh"))
+      .select(col("doc_id"), minhashExpr("bases", numHashes).as("mh"))
     val bandKey = expr(
       s"""transform(sequence(0, ${numBands - 1}),
-         |  b -> md5(cast(concat_ws('|', slice(mh, b * $rowsPerBand + 1, $rowsPerBand)) as binary)))""".stripMargin)
+         |  b -> concat_ws('|', transform(slice(mh, b * $rowsPerBand + 1, $rowsPerBand),
+         |    x -> cast(x as string))))""".stripMargin)
     val bands = mh.select(col("doc_id"),
       posexplode(bandKey).as(Seq("band_id", "band_key")))
     val left = bands.select(col("doc_id").as("doc_a"), col("band_id"), col("band_key"))

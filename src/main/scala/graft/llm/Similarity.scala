@@ -43,21 +43,32 @@ object Similarity {
       }
     }
 
-  /** Signed projection of the fixed-point embedding onto plane `p` —
-    * integer math end to end. */
-  private def planeDot(embCol: String, weights: Seq[Int]): Column =
+  /** Per-element fixed-point projection of a float embedding. */
+  def fixedPointExpr(embCol: String): Column =
+    expr(s"transform($embCol, x -> cast(floor(cast(x as double) * 1000000.0) as bigint))")
+
+  /** Signed projection of an already-fixed-point embedding column onto
+    * plane `p` — integer math end to end. */
+  private def planeDot(efpCol: String, weights: Seq[Int]): Column =
     expr(
-      s"""cast(aggregate(zip_with(
-         |  transform($embCol, x -> cast(floor(cast(x as double) * 1000000.0) as bigint)),
+      s"""cast(aggregate(zip_with($efpCol,
          |  array(${weights.mkString(", ")}),
          |  (v, w) -> v * cast(w as bigint)),
          |  0L, (acc, v) -> acc + v) as bigint)""".stripMargin)
 
-  /** 8-bit LSH bucket id of an embedding column. */
-  def bucketExpr(embCol: String, dim: Int): Column =
+  /** 8-bit LSH bucket id from a fixed-point embedding column
+    * (materialize [[fixedPointExpr]] once — the 8 plane projections
+    * reuse it instead of re-deriving it per plane). */
+  def bucketFromFpExpr(efpCol: String, dim: Int): Column =
     planeWeights(dim).zipWithIndex
-      .map { case (w, p) => when(planeDot(embCol, w) > 0, lit(1L << p)).otherwise(lit(0L)) }
+      .map { case (w, p) => when(planeDot(efpCol, w) > 0, lit(1L << p)).otherwise(lit(0L)) }
       .reduce(_ + _)
+
+  /** Convenience: bucket id straight from the float embedding. */
+  def bucketExpr(embCol: String, dim: Int): Column = {
+    val efp = s"transform($embCol, x -> cast(floor(cast(x as double) * 1000000.0) as bigint))"
+    bucketFromFpExpr(efp, dim)
+  }
 
   /** Exact top-k: every query row scored against every candidate row.
     * `queries` must be small — it is broadcast. */
@@ -72,11 +83,14 @@ object Similarity {
   /** Approximate top-k: candidates restricted to the query's LSH
     * bucket, then scored exactly. */
   def annTopK(queries: DataFrame, candidates: DataFrame, k: Int, dim: Int): DataFrame = {
-    val bucket = bucketExpr("embedding", dim)
-    val q = broadcast(queries
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), bucket.as("bucket")))
-    val c = candidates
-      .select(col("vec_id"), col("embedding").as("ce"), bucket.as("bucket"))
+    def withBucket(df: DataFrame): DataFrame = df
+      .withColumn("efp", fixedPointExpr("embedding"))
+      .withColumn("bucket", bucketFromFpExpr("efp", dim))
+      .drop("efp")
+    val q = broadcast(withBucket(queries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket")))
+    val c = withBucket(candidates)
+      .select(col("vec_id"), col("embedding").as("ce"), col("bucket"))
     val scored = q.join(c, "bucket")
       .select(col("query_id"), col("vec_id"), dotFpExpr("qe", "ce").as("dot_fp"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("dot_fp").desc, col("vec_id"))

@@ -73,15 +73,33 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "de", "et", "est", "un", "que"),
   )
 
-  /** Predicted language: argmax of profile hit counts, 'und'
-    * (undetermined) when no profile matches at all. */
-  def langId(text: Column): Column = {
-    val hits = LangProfiles.map { case (lang, words) => lang -> vocabHits(text, words) }
-    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
-    // fold reversed so the first profile's WHEN ends up outermost —
-    // ties resolve to the earliest profile in LangProfiles order
-    hits.reverse.foldLeft(lit("und"): Column) { case (els, (lang, h)) =>
-      when(h === best && h > 0, lit(lang)).otherwise(els)
-    }
+  /** Predicted language of column `textCol`: argmax of profile hit
+    * counts, 'und' (undetermined) when no profile matches at all. Ties
+    * resolve to the earliest profile.
+    *
+    * Single traversal: one `aggregate` fold accumulates every
+    * profile's counter at once, and a `transform` lambda binds the
+    * counter array so the argmax cascade reads it without
+    * re-evaluating — one token-array scan total, versus one scan per
+    * profile per use. The cascade (profile k wins iff its count ≥ all
+    * later profiles' and > 0) is equivalent to first-profile-with-max
+    * and is mirrored verbatim by the DuckDB oracle. */
+  def langId(textCol: String): Column = {
+    val toksSql =
+      s"case when length(trim($textCol)) = 0 then array() " +
+        s"else split(trim($textCol), '\\\\s+') end"
+    val zero = s"array(${LangProfiles.map(_ => "0L").mkString(", ")})"
+    val accUpdates = LangProfiles.zipWithIndex.map { case ((_, words), i) =>
+      val lst = words.map(w => s"'$w'").mkString(", ")
+      s"acc[$i] + (case when w in ($lst) then 1L else 0L end)"
+    }.mkString(", ")
+    val hitsExpr = s"aggregate($toksSql, $zero, (acc, w) -> array($accUpdates))"
+    val n = LangProfiles.size
+    val branches = LangProfiles.zipWithIndex.map { case ((lang, _), i) =>
+      val laterGe = ((i + 1) until n).map(j => s"h[$i] >= h[$j]")
+      val conds = laterGe :+ s"h[$i] > 0"
+      s"when ${conds.mkString(" and ")} then '$lang'"
+    }.mkString(" ")
+    expr(s"element_at(transform(array($hitsExpr), h -> case $branches else 'und' end), 1)")
   }
 }

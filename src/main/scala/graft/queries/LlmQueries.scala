@@ -43,7 +43,7 @@ object LlmQueries {
   // ---- q19: language-ID heuristic → confusion matrix vs labels ----
   def q19LangId(s: SparkSession, dir: String): DataFrame =
     graft.Tables.documents(s, dir)
-      .withColumn("predicted", langId(col("text")))
+      .withColumn("predicted", langId("text"))
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("predicted"))

@@ -79,13 +79,19 @@ object SimilarityQueries {
          | THEN list_transform(range(1, len(toks) - ${ShingleN - 2}),
          |   i -> array_to_string(toks[i:i+${ShingleN - 1}], ' '))
          | ELSE [array_to_string(toks, ' ')] END""".stripMargin
+    val p = graft.llm.MinHashLSH.P
+    val minExprs = (0 until NumHashes).map { k =>
+      val (a, b) = graft.llm.MinHashLSH.seedParams(k)
+      s"list_min(list_transform(bases, v -> (v * $a + $b) % $p))"
+    }.mkString(", ")
     s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |sh AS (SELECT doc_id, $shSql AS sh FROM base),
-       |mh AS (SELECT doc_id, list_transform(range(0, $NumHashes),
-       |  k -> list_min(list_transform(sh, s -> md5(CAST(k AS VARCHAR) || '|' || s)))) AS mh
-       |  FROM sh),
+       |bs AS (SELECT doc_id, sh, list_transform(sh,
+       |  s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % $p) AS bases FROM sh),
+       |mh AS (SELECT doc_id, [$minExprs] AS mh FROM bs),
        |bands AS (SELECT doc_id, b AS band_id,
-       |  md5(array_to_string(mh[(b + 1):(b + 1)], '|')) AS band_key
+       |  array_to_string(list_transform(mh[(b + 1):(b + 1)],
+       |    x -> CAST(x AS VARCHAR)), '|') AS band_key
        |  FROM mh, unnest(range(0, $NumHashes)) AS u(b)),
        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b

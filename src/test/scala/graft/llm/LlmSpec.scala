@@ -42,7 +42,7 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("language ID picks the profile with most stopword hits") {
-    val got = docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+    val got = docs.select(col("doc_id"), TextAnalysis.langId("text").as("l"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got(1L) == "en")
     assert(got(6L) == "de")
