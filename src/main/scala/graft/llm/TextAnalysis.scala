@@ -64,6 +64,16 @@ object TextAnalysis {
     lenScore + stopScore + charScore
   }
 
+  /** BPE-ish subword proxy: runs of letters, runs of digits, and
+    * single other non-space characters — the shape a byte-pair
+    * tokenizer's pre-tokenization pass produces. Portable regex (same
+    * semantics in Java regex and RE2). */
+  val BpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** Count of BPE-ish tokens (over lowercased text). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(BpeishPattern), lit(0)))
+
   /** Stopword profiles for the language-ID heuristic. Order matters:
     * ties resolve to the earliest profile. */
   val LangProfiles: Seq[(String, Seq[String])] = Seq(

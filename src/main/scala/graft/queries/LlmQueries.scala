@@ -36,7 +36,8 @@ object LlmQueries {
         sum(length(col("text")).cast("bigint")).as("sum_chars"),
         max(nTok).as("max_tokens"),
         min(nTok).as("min_tokens"),
-        sum(vocabHits(col("text"), DefaultStopwords).cast("bigint")).as("sum_stop_hits"))
+        sum(vocabHits(col("text"), DefaultStopwords).cast("bigint")).as("sum_stop_hits"),
+        sum(bpeTokenCount(col("text")).cast("bigint")).as("sum_bpe_tokens"))
       .orderBy(col("lang"))
   }
 
@@ -71,13 +72,28 @@ object LlmQueries {
       .orderBy(col("id"))
   }
 
+  // ---- q28: winnowed rolling-hash document fingerprints ----
+  // No DuckDB oracle (iterative Rabin–Karp isn't SQL-expressible);
+  // the driver records the weaker rows-only check, and
+  // FingerprintSpec pins the algorithm's properties.
+  def q28Fingerprints(s: SparkSession, dir: String): DataFrame = {
+    graft.llm.Fingerprint.register(s)
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("size(doc_fingerprints(text))").cast("bigint").as("n_fps"),
+        expr("fingerprint_containment_fp(doc_fingerprints(text), doc_fingerprints(text))")
+          .as("self_containment_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q16_dedup_exact" -> q16DedupExact _,
-    "q17_dedup_norm"  -> q17DedupNorm _,
-    "q18_text_stats"  -> q18TextStats _,
-    "q19_lang_id"     -> q19LangId _,
-    "q20_quality"     -> q20Quality _,
-    "q27_multimodal"  -> q27Multimodal _,
+    "q16_dedup_exact"  -> q16DedupExact _,
+    "q17_dedup_norm"   -> q17DedupNorm _,
+    "q18_text_stats"   -> q18TextStats _,
+    "q19_lang_id"      -> q19LangId _,
+    "q20_quality"      -> q20Quality _,
+    "q27_multimodal"   -> q27Multimodal _,
+    "q28_fingerprints" -> q28Fingerprints _,
   )
 
   /** DuckDB token expression mirroring TextAnalysis.tokens. */
@@ -141,7 +157,8 @@ object LlmQueries {
          | CAST(sum(length(text)) AS BIGINT) AS sum_chars,
          | CAST(max(len(toks)) AS BIGINT) AS max_tokens,
          | CAST(min(len(toks)) AS BIGINT) AS min_tokens,
-         | CAST(sum($stopHitsSql) AS BIGINT) AS sum_stop_hits
+         | CAST(sum($stopHitsSql) AS BIGINT) AS sum_stop_hits,
+         | CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS sum_bpe_tokens
          |FROM (SELECT lang, text, $toksSql AS toks FROM documents) t
          |GROUP BY lang ORDER BY lang""".stripMargin,
     "q19_lang_id" ->

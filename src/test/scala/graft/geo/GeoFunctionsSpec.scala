@@ -80,6 +80,19 @@ class GeoFunctionsSpec extends AnyFunSuite with SparkTestSession {
     spark.catalog.dropTempView("wkb_lin_data")
   }
 
+  test("Column API geomType routes through the registered function") {
+    GeoFunctions.registerAll(spark)
+    corpusView("wkb_colapi_data")
+    val got = spark.table("wkb_colapi_data")
+      .select(org.apache.spark.sql.functions.col("name"),
+        graft.geo.expressions.WkbGeomTypeExpr.geomTypeOf("wkb_bytes").as("t"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    WkbCorpus.cases.foreach { case (n, _, expected) =>
+      assert(got(n) == expected, s"case $n")
+    }
+    spark.catalog.dropTempView("wkb_colapi_data")
+  }
+
   test("wrong arity is an analysis error") {
     GeoFunctions.registerAll(spark)
     intercept[Exception] {
