@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming operators over the `events` stream shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference has no streaming surface (SURVEY.md §2.2), but the
+  * engine's event analytics (q9 hourly buckets, q11 sessionization)
+  * must also run continuously at scale, so the same aggregations are
+  * provided as watermarked streaming transforms: `readStream` →
+  * these → `writeStream`. Each works identically on a batch
+  * DataFrame — the batch path doubles as the correctness oracle (see
+  * StreamingSpec, which checks streaming output == q11's lag-based
+  * batch sessionization).
+  *
+  * Scale notes: state size is bounded by the watermark (late data
+  * beyond it is dropped and its state evicted); aggregations shuffle
+  * on (window, key) exactly like their batch twins; session windows
+  * use Spark's native session_window state merging rather than a
+  * custom flatMapGroupsWithState, so state checkpointing and AQE-less
+  * streaming planning stay on the built-in, well-tested path.
+  */
+object Streams {
+
+  private def cents4(c: Column): Column =
+    floor(c * lit(10000.0)).cast("bigint")
+
+  /** Tumbling hourly counts per event type — streaming twin of q9. */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(cents4(col("value")).cast("decimal(38,0)")).cast("bigint").as("sum_value_fp"))
+      .select(col("w.start").as("hour_ts"), col("event_type"),
+        col("n_events"), col("sum_value_fp"))
+
+  /** Per-user session aggregation on an inactivity gap — streaming
+    * twin of q11 (which derives sessions with a lag window in batch).
+    * Runs on batch DataFrames too, enabling exact equivalence tests. */
+  def sessionStats(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
+  /** Parse a stream of JSON strings into typed rows with a schema
+    * compiled by [[graft.schema.JsonSchemaToStruct]] — JSON Schema in,
+    * streaming Dataset out. Malformed records survive (PERMISSIVE +
+    * corrupt-record column) and are surfaced via the `_valid` flag
+    * instead of killing the stream. */
+  def parseJsonStream(raw: DataFrame, schema: StructType,
+      jsonCol: String = "value"): DataFrame = {
+    val withCorrupt = schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    raw.select(from_json(col(jsonCol).cast("string"), withCorrupt,
+        Map("columnNameOfCorruptRecord" -> "_corrupt_record")).as("rec"))
+      .select(col("rec.*"))
+      .withColumn("_valid", col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+  }
+}

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Top-level so Spark can derive an Encoder (inner classes cannot). */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Structured Streaming behavior: micro-batch aggregation through a
+  * MemoryStream source, watermark configuration, and exact batch ↔
+  * stream equivalence (the batch path is the oracle). */
+class StreamingSpec extends AnyFunSuite with SparkTestSession {
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60000L)
+
+  test("hourlyCounts over a MemoryStream produces the batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val rows = Seq(
+      Ev(1, ts(10), 1, "view", 1.5), Ev(2, ts(20), 1, "view", 2.0),
+      Ev(3, ts(70), 2, "click", 0.5), Ev(4, ts(80), 2, "view", 1.0),
+    )
+    val query = Streams.hourlyCounts(input.toDF())
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      val got = spark.table("hourly_out")
+        .orderBy("hour_ts", "event_type")
+        .collect().map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1),
+          r.getLong(2), r.getLong(3))).toSeq
+      assert(got == Seq(
+        (0L, "view", 2L, 35000L),   // 1.5+2.0 → 3.5 in 1e4 fixed point
+        (60L, "click", 1L, 5000L),
+        (60L, "view", 1L, 10000L)))
+      // streaming result equals running the same transform in batch
+      val batch = Streams.hourlyCounts(rows.toDF())
+        .orderBy("hour_ts", "event_type")
+        .collect().map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1),
+          r.getLong(2), r.getLong(3))).toSeq
+      assert(got == batch)
+    } finally query.stop()
+  }
+
+  test("sessionStats streaming == q11's lag-based batch sessionization") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: two sessions (gap > 30 min); user 2: one session
+    val rows = Seq(
+      Ev(1, ts(0), 1, "a", 0), Ev(2, ts(10), 1, "a", 0), // session 1
+      Ev(3, ts(90), 1, "a", 0),                          // session 2
+      Ev(4, ts(5), 2, "a", 0), Ev(5, ts(25), 2, "a", 0), // one session
+    )
+    val input = MemoryStream[Ev]
+    val query = Streams.sessionStats(input.toDF())
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      val streaming = spark.table("sessions_out")
+        .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streaming == Map(1L -> 2L, 2L -> 1L))
+      // q11's lag-window formulation over the same rows agrees
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val batch = rows.toDF()
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess", when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60 * 1000000,
+          lit(1L)).otherwise(lit(0L)))
+        .groupBy("user_id").agg(sum("new_sess").as("n_sessions"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streaming == batch)
+    } finally query.stop()
+  }
+
+  test("parseJsonStream: Json2Spark schema drives from_json; malformed rows flagged") {
+    import spark.implicits._
+    val schema = graft.schema.JsonSchemaToStruct.convert(
+      """{"properties": {
+        |  "id": {"type": "integer"}, "kind": {"type": "string"}}}""".stripMargin)
+    val raw = Seq("""{"id": 1, "kind": "x"}""", "not json at all").toDF("value")
+    val parsed = Streams.parseJsonStream(raw, schema).collect()
+    assert(parsed.length == 2)
+    val ok = parsed.find(_.getBoolean(2)).get
+    assert(ok.getLong(0) == 1L && ok.getString(1) == "x")
+    assert(parsed.count(!_.getBoolean(2)) == 1)
+  }
+}
