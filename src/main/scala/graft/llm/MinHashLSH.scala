@@ -92,13 +92,18 @@ object MinHashLSH {
   }
 
   /** Candidate pairs with their exact shingle-set Jaccard similarity
-    * (fixed-point millionths), filtered at `minJaccardFp`. */
+    * (fixed-point millionths), filtered at `minJaccardFp`. The sets
+    * compared are the 60-bit base hashes, not the shingle strings —
+    * same Jaccard up to ~1e-5 collision mass, and integer
+    * intersect/union is several times cheaper than string sets at
+    * corpus scale. */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 1,
       minJaccardFp: Long = 0L): DataFrame = {
     val pairs = candidatePairs(docs, idCol, textCol, shingleN, numHashes, rowsPerBand)
     val sets = shingled(docs, idCol, textCol, shingleN)
-      .select(col("doc_id"), array_distinct(col("sh")).as("s"))
+      .withColumn("bases", baseHashExpr("sh"))
+      .select(col("doc_id"), array_distinct(col("bases")).as("s"))
     val jaccard = expr(
       """cast(floor(1000000.0 * cast(size(array_intersect(sa, sb)) as double)
         |  / cast(size(array_union(sa, sb)) as double)) as bigint)""".stripMargin)

@@ -25,12 +25,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Associative fixed-point dot product of two array<float> columns. */
+  /** Associative fixed-point dot product of two array<float> columns —
+    * engine-portable higher-order-function form (used where the
+    * session may not have graft functions registered; the DuckDB
+    * oracle mirrors this arithmetic exactly). */
   def dotFpExpr(a: String, b: String): Column =
     expr(
       s"""cast(aggregate(zip_with($a, $b,
          |  (x, y) -> cast(floor(cast(x as double) * cast(y as double) * 1000000.0) as bigint)),
          |  0L, (acc, v) -> acc + v) as bigint)""".stripMargin)
+
+  /** Same arithmetic as a native codegen expression ([[expressions.DotFpExpr]])
+    * — the hot-path form used by the top-k operators. Requires
+    * [[LlmFunctions.registerAll]] (done by the operators themselves). */
+  def dotFpNative(a: String, b: String): Column = expr(s"dot_fp($a, $b)")
 
   /** Deterministic integer hyperplanes for the sign-LSH bucketing —
     * weights in [-3, 3] from an LCG over (plane, dim). Exposed so the
@@ -43,39 +51,26 @@ object Similarity {
       }
     }
 
-  /** Per-element fixed-point projection of a float embedding. */
-  def fixedPointExpr(embCol: String): Column =
-    expr(s"transform($embCol, x -> cast(floor(cast(x as double) * 1000000.0) as bigint))")
-
-  /** Signed projection of an already-fixed-point embedding column onto
-    * plane `p` — integer math end to end. */
-  private def planeDot(efpCol: String, weights: Seq[Int]): Column =
-    expr(
-      s"""cast(aggregate(zip_with($efpCol,
-         |  array(${weights.mkString(", ")}),
-         |  (v, w) -> v * cast(w as bigint)),
-         |  0L, (acc, v) -> acc + v) as bigint)""".stripMargin)
-
-  /** 8-bit LSH bucket id from a fixed-point embedding column
-    * (materialize [[fixedPointExpr]] once — the 8 plane projections
-    * reuse it instead of re-deriving it per plane). */
-  def bucketFromFpExpr(efpCol: String, dim: Int): Column =
+  /** 8-bit LSH bucket id of an embedding column: the sign pattern of
+    * the fixed-point projections onto the 8 hyperplanes, each computed
+    * by the native codegen `dot_fp` against a double-literal plane
+    * (requires [[LlmFunctions.registerDotFp]] on the session — the
+    * top-k operators register it themselves). */
+  def bucketExpr(embCol: String, dim: Int): Column =
     planeWeights(dim).zipWithIndex
-      .map { case (w, p) => when(planeDot(efpCol, w) > 0, lit(1L << p)).otherwise(lit(0L)) }
+      .map { case (w, p) =>
+        val plane = w.map(v => s"${v.toDouble}D").mkString("array(", ", ", ")")
+        when(expr(s"dot_fp($embCol, $plane)") > 0, lit(1L << p)).otherwise(lit(0L))
+      }
       .reduce(_ + _)
-
-  /** Convenience: bucket id straight from the float embedding. */
-  def bucketExpr(embCol: String, dim: Int): Column = {
-    val efp = s"transform($embCol, x -> cast(floor(cast(x as double) * 1000000.0) as bigint))"
-    bucketFromFpExpr(efp, dim)
-  }
 
   /** Exact top-k: every query row scored against every candidate row.
     * `queries` must be small — it is broadcast. */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    LlmFunctions.registerDotFp(queries.sparkSession)
     val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")))
     val scored = q.crossJoin(candidates.select(col("vec_id"), col("embedding").as("ce")))
-      .select(col("query_id"), col("vec_id"), dotFpExpr("qe", "ce").as("dot_fp"))
+      .select(col("query_id"), col("vec_id"), dotFpNative("qe", "ce").as("dot_fp"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("dot_fp").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
@@ -83,16 +78,15 @@ object Similarity {
   /** Approximate top-k: candidates restricted to the query's LSH
     * bucket, then scored exactly. */
   def annTopK(queries: DataFrame, candidates: DataFrame, k: Int, dim: Int): DataFrame = {
-    def withBucket(df: DataFrame): DataFrame = df
-      .withColumn("efp", fixedPointExpr("embedding"))
-      .withColumn("bucket", bucketFromFpExpr("efp", dim))
-      .drop("efp")
+    LlmFunctions.registerDotFp(queries.sparkSession)
+    def withBucket(df: DataFrame): DataFrame =
+      df.withColumn("bucket", bucketExpr("embedding", dim))
     val q = broadcast(withBucket(queries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket")))
     val c = withBucket(candidates)
       .select(col("vec_id"), col("embedding").as("ce"), col("bucket"))
     val scored = q.join(c, "bucket")
-      .select(col("query_id"), col("vec_id"), dotFpExpr("qe", "ce").as("dot_fp"))
+      .select(col("query_id"), col("vec_id"), dotFpNative("qe", "ce").as("dot_fp"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("dot_fp").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }

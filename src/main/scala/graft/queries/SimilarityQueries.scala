@@ -96,7 +96,7 @@ object SimilarityQueries {
        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-       |sets AS (SELECT doc_id, list_distinct(sh) AS s FROM sh)
+       |sets AS (SELECT doc_id, list_distinct(bases) AS s FROM bs)
        |SELECT doc_a, doc_b,
        |  CAST(floor(1000000.0 * CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
        |    / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE)) AS BIGINT) AS jaccard_fp
@@ -137,15 +137,15 @@ object SimilarityQueries {
 
   private val q24Sql = {
     val planes = Similarity.planeWeights(Dim)
+    // mirrors Similarity.bucketExpr: per-plane sign of Σ floor(x·w·1e6)
     val bucket = planes.zipWithIndex.map { case (w, p) =>
-      val lst = w.mkString("[", ", ", "]")
-      s"""(CASE WHEN CAST(list_sum(list_transform(range(1, len(efp) + 1),
-         |  i -> efp[i] * ($lst)[i])) AS BIGINT) > 0 THEN ${1L << p} ELSE 0 END)""".stripMargin
+      val lst = w.map(v => s"${v.toDouble}").mkString("[", ", ", "]")
+      s"""(CASE WHEN CAST(list_sum(list_transform(range(1, len(embedding) + 1),
+         |  i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * ($lst)[i] * 1000000.0) AS BIGINT)))
+         |  AS BIGINT) > 0 THEN ${1L << p} ELSE 0 END)""".stripMargin
     }.mkString(" + ")
-    s"""WITH fp AS (SELECT vec_id, embedding,
-       |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS efp
+    s"""WITH b AS (SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS bucket
        |  FROM embeddings),
-       |b AS (SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS bucket FROM fp),
        |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM b
        |  WHERE vec_id < $NumQueryVecs),
        |scored AS (SELECT query_id, c.vec_id, $dotSql AS dot_fp

@@ -74,6 +74,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
 
   test("ann bucket: identical vectors land in the same bucket") {
     import spark.implicits._
+    LlmFunctions.registerDotFp(spark)
     val v = Array.tabulate(64)(i => (math.sin(i + 1) / 8).toFloat)
     val vecs = Seq((0L, v), (1L, v), (2L, v.map(x => -x))).toDF("vec_id", "embedding")
     val buckets = vecs.select(col("vec_id"), Similarity.bucketExpr("embedding", 64).as("b"))
