@@ -77,6 +77,34 @@ object Similarity {
 
   /** Approximate top-k: candidates restricted to the query's LSH
     * bucket, then scored exactly. */
+  /** Embedding-cosine near-duplicate pairs (unit vectors → dot =
+    * cosine): multi-probe sign-LSH — each vector probes its own bucket
+    * plus the 8 buckets at Hamming distance 1, candidates sharing a
+    * probe are scored exactly with `dot_fp`, and pairs at or above
+    * `minDotFp` survive. All-pairs work is confined to buckets
+    * (corpus shuffles once on the bucket key; probes only multiply
+    * the small exploded key stream by 9, never the payload). */
+  def embeddingNearDupPairs(vectors: DataFrame, minDotFp: Long, dim: Int): DataFrame = {
+    LlmFunctions.registerDotFp(vectors.sparkSession)
+    val b = vectors.select(col("vec_id"), col("embedding"),
+      bucketExpr("embedding", dim).as("bucket"))
+    val probes = b.select(col("vec_id").as("vec_a"),
+      explode(expr(
+        s"""transform(sequence(0, $NumPlanes),
+           |  j -> CASE WHEN j = 0 THEN bucket
+           |       ELSE bucket ^ shiftleft(cast(1 as bigint), j - 1) END)""".stripMargin))
+        .as("probe"))
+    val pairs = probes
+      .join(b.select(col("vec_id").as("vec_b"), col("bucket")),
+        col("probe") === col("bucket") && col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    pairs
+      .join(vectors.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+      .join(vectors.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"), dotFpNative("ea", "eb").as("dot_fp"))
+      .filter(col("dot_fp") >= minDotFp)
+  }
+
   def annTopK(queries: DataFrame, candidates: DataFrame, k: Int, dim: Int): DataFrame = {
     LlmFunctions.registerDotFp(queries.sparkSession)
     def withBucket(df: DataFrame): DataFrame =

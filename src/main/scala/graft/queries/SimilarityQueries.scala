@@ -60,11 +60,20 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  private val NearDupMinDotFp = 350000L
+
+  // ---- q29: embedding-cosine near-dup pairs (multi-probe LSH) ----
+  def q29EmbedDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDupPairs(graft.Tables.embeddings(s, dir),
+      NearDupMinDotFp, Dim)
+      .orderBy(col("vec_a"), col("vec_b"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_minhash_pairs" -> q21MinhashPairs _,
     "q22_simhash16"     -> q22Simhash16 _,
     "q23_embed_topk"    -> q23EmbedTopk _,
     "q24_embed_ann"     -> q24EmbedAnn _,
+    "q29_embed_dedup"   -> q29EmbedDedup _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -135,16 +144,17 @@ object SimilarityQueries {
        |SELECT query_id, vec_id, dot_fp, CAST(rn AS INTEGER) AS rn
        |FROM ranked WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin
 
-  private val q24Sql = {
-    val planes = Similarity.planeWeights(Dim)
-    // mirrors Similarity.bucketExpr: per-plane sign of Σ floor(x·w·1e6)
-    val bucket = planes.zipWithIndex.map { case (w, p) =>
+  // mirrors Similarity.bucketExpr: per-plane sign of Σ floor(x·w·1e6)
+  private def bucketSql: String =
+    Similarity.planeWeights(Dim).zipWithIndex.map { case (w, p) =>
       val lst = w.map(v => s"${v.toDouble}").mkString("[", ", ", "]")
       s"""(CASE WHEN CAST(list_sum(list_transform(range(1, len(embedding) + 1),
          |  i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * ($lst)[i] * 1000000.0) AS BIGINT)))
          |  AS BIGINT) > 0 THEN ${1L << p} ELSE 0 END)""".stripMargin
     }.mkString(" + ")
-    s"""WITH b AS (SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS bucket
+
+  private val q24Sql = {
+    s"""WITH b AS (SELECT vec_id, embedding, CAST($bucketSql AS BIGINT) AS bucket
        |  FROM embeddings),
        |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM b
        |  WHERE vec_id < $NumQueryVecs),
@@ -157,10 +167,31 @@ object SimilarityQueries {
        |FROM ranked WHERE rn <= $AnnK ORDER BY query_id, rn""".stripMargin
   }
 
+  private val q29Sql =
+    s"""WITH b AS (SELECT vec_id, embedding, CAST($bucketSql AS BIGINT) AS bucket
+       |  FROM embeddings),
+       |probes AS (SELECT vec_id, bucket,
+       |  unnest(list_transform(range(0, ${Similarity.NumPlanes + 1}),
+       |    j -> CASE WHEN j = 0 THEN bucket
+       |         ELSE xor(bucket, CAST(2**(j - 1) AS BIGINT)) END)) AS probe
+       |  FROM b),
+       |pairs AS (SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+       |  FROM probes a JOIN b c ON a.probe = c.bucket AND a.vec_id < c.vec_id),
+       |scored AS (SELECT vec_a, vec_b,
+       |  CAST(list_sum(list_transform(range(1, len(ea.embedding) + 1),
+       |    i -> CAST(floor(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)
+       |      * 1000000.0) AS BIGINT))) AS BIGINT) AS dot_fp
+       |  FROM pairs
+       |  JOIN embeddings ea ON vec_a = ea.vec_id
+       |  JOIN embeddings eb ON vec_b = eb.vec_id)
+       |SELECT vec_a, vec_b, dot_fp FROM scored
+       |WHERE dot_fp >= $NearDupMinDotFp ORDER BY vec_a, vec_b""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q21_minhash_pairs" -> q21Sql,
     "q22_simhash16"     -> q22Sql,
     "q23_embed_topk"    -> q23Sql,
     "q24_embed_ann"     -> q24Sql,
+    "q29_embed_dedup"   -> q29Sql,
   )
 }

@@ -72,6 +72,17 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(top(1).getAs[Long]("vec_id") == 3L) // next closest: 0.8
   }
 
+  test("embedding near-dup: planted duplicate pair found, noise excluded") {
+    import spark.implicits._
+    val v = Array.tabulate(64)(i => (math.cos(i * 0.7) / 8).toFloat)
+    val nearDup = v.clone(); nearDup(0) = v(0) + 0.001f
+    val noise = Array.tabulate(64)(i => (math.sin(i * 1.3 + 2) / 8).toFloat)
+    val vecs = Seq((1L, v), (2L, nearDup), (3L, noise)).toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDupPairs(vecs, minDotFp = 500000L, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("ann bucket: identical vectors land in the same bucket") {
     import spark.implicits._
     LlmFunctions.registerDotFp(spark)
