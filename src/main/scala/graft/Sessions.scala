@@ -22,6 +22,10 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // static conf: installs the native Catalyst expressions
+      // (get_wkb_geom_type, dot_fp) in every session of the app —
+      // the same line a cluster deploy puts in spark-defaults.conf
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
 
   /** local[$cpus] session sized from SPARK_GRAFT_CPUS (driver contract). */

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Skew
+
+/** Scale techniques: salted skew joins and bucketed co-located joins —
+  * correctness plus the plan-shape property each exists for. */
+class ScaleTechniquesSpec extends AnyFunSuite with SparkTestSession {
+
+  test("saltedEquiJoin: same result as the plain join, any salt factor") {
+    import spark.implicits._
+    // heavy hitter: 90% of big rows share key 1
+    val big = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, i)).toDF("k", "v")
+    val small = Seq((1L, "hot"), (950L, "cold"), (2000L, "miss")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).agg(count(lit(1)), sum("v")).collect()(0)
+    Seq(1, 4, 16).foreach { factor =>
+      val salted = Skew.saltedEquiJoin(big, small, Seq("k"), factor)
+        .agg(count(lit(1)), sum("v")).collect()(0)
+      assert(salted == plain, s"saltFactor $factor")
+    }
+  }
+
+  test("saltedEquiJoin distributes a hot key across partitions") {
+    import spark.implicits._
+    val big = (1 to 1000).map(i => (1L, i)).toDF("k", "v") // one key only
+    val small = Seq((1L, "hot")).toDF("k", "name")
+    val salted = Skew.saltedEquiJoin(big, small, Seq("k"), saltFactor = 8)
+    // the join key now includes the salt: rows of key 1 hash to
+    // multiple shuffle partitions instead of one
+    val parts = big.withColumn("__salt",
+        pmod(xxhash64(big.columns.map(big(_)): _*), lit(8)))
+      .select(countDistinct("__salt")).collect()(0).getLong(0)
+    assert(parts > 1)
+    assert(salted.count() == 1000)
+  }
+
+  test("bucketed tables join without an exchange (co-located join)") {
+    import spark.implicits._
+    spark.sql("CREATE SCHEMA IF NOT EXISTS graft_buckets")
+    val left = (1 to 500).map(i => (i.toLong, s"l$i")).toDF("id", "lv")
+    val right = (1 to 500).map(i => (i.toLong, s"r$i")).toDF("id", "rv")
+    left.write.mode("overwrite").bucketBy(4, "id").sortBy("id")
+      .saveAsTable("graft_buckets.left_b")
+    right.write.mode("overwrite").bucketBy(4, "id").sortBy("id")
+      .saveAsTable("graft_buckets.right_b")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false") // stable plan text
+      try {
+        val joined = spark.table("graft_buckets.left_b")
+          .join(spark.table("graft_buckets.right_b"), "id")
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"))
+        assert(!plan.contains("Exchange hashpartitioning"),
+          s"bucketed join must not shuffle:\n$plan")
+        assert(joined.count() == 500)
+      } finally {
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.enabled")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_buckets.left_b")
+      spark.sql("DROP TABLE IF EXISTS graft_buckets.right_b")
+      spark.sql("DROP SCHEMA IF EXISTS graft_buckets")
+    }
+  }
+
+  test("GraftExtensions installs native functions via spark.sql.extensions") {
+    // newSession(): empty per-session function registry (no UDFs
+    // registered by other specs) but the app-level extensions apply —
+    // so resolving these names proves the extensions path works
+    val fresh = spark.newSession()
+    val r = fresh.sql(
+      "SELECT dot_fp(array(CAST(1.0 AS FLOAT)), array(CAST(2.0 AS FLOAT)))")
+    assert(r.collect()(0).getLong(0) == 2000000L)
+    val t = fresh.sql(
+      "SELECT get_wkb_geom_type(unhex('010100000000000000000024400000000000003440'))")
+    assert(t.collect()(0).getString(0) == "Point")
+    // while a UDF-backed function is absent until registerAll is called
+    intercept[Exception] {
+      fresh.sql("SELECT curved_to_linear_wkb(unhex('01'), 5.0D)").collect()
+    }
+  }
+}
