@@ -3,19 +3,39 @@ package graft.llm
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.types.IntegerType
 
-import graft.llm.expressions.DotFpExpr
+import graft.llm.expressions.{DotFpExpr, MinHashSigsExpr}
 
 /** SQL registration surface for the LLM-pipeline functions (same
   * pattern as `graft.geo.GeoFunctions`). */
 object LlmFunctions {
 
   val DotFp = "dot_fp"
+  val MinHashSigs = "minhash_sigs"
 
   def registerAll(spark: SparkSession): Unit = {
     registerDotFp(spark)
+    registerMinHashSigs(spark)
     SimHash.register(spark)
     Fingerprint.register(spark)
+  }
+
+  /** `minhash_sigs(bases, k)` — k must be an integer literal. */
+  def registerMinHashSigs(spark: SparkSession): Unit = {
+    val info = new ExpressionInfo(classOf[MinHashSigsExpr].getName, MinHashSigs)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(MinHashSigs),
+      info,
+      (children: Seq[Expression]) => {
+        require(children.size == 2, s"$MinHashSigs takes exactly 2 arguments")
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"$MinHashSigs: numHashes must be an INT literal, got $other")
+        }
+        MinHashSigsExpr(children.head, k)
+      })
   }
 
   /** `dot_fp(a, b)` as a native codegen expression. */

@@ -73,10 +73,12 @@ object MinHashLSH {
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 1): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
+    LlmFunctions.registerMinHashSigs(docs.sparkSession)
     val numBands = numHashes / rowsPerBand
     val mh = shingled(docs, idCol, textCol, shingleN)
       .withColumn("bases", baseHashExpr("sh"))
-      .select(col("doc_id"), minhashExpr("bases", numHashes).as("mh"))
+      // native single-traversal form of [[minhashExpr]]
+      .select(col("doc_id"), expr(s"minhash_sigs(bases, $numHashes)").as("mh"))
     val bandKey = expr(
       s"""transform(sequence(0, ${numBands - 1}),
          |  b -> concat_ws('|', transform(slice(mh, b * $rowsPerBand + 1, $rowsPerBand),

@@ -20,9 +20,14 @@ object LlmQueries {
       .orderBy(col("doc_id"))
 
   // ---- q17: normalized-fingerprint dedup (md5 of collapsed text) ----
+  // fingerprint computed once, reused by both the dedup window and
+  // the output projection
   def q17DedupNorm(s: SparkSession, dir: String): DataFrame =
-    Dedup.byFingerprint(graft.Tables.documents(s, dir), "text", "doc_id")
-      .select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp"))
+    Dedup.exact(
+      graft.Tables.documents(s, dir)
+        .select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp")),
+      Seq("fp"), "doc_id")
+      .select(col("doc_id"), col("fp"))
       .orderBy(col("doc_id"))
 
   // ---- q18: per-language corpus statistics ----
