@@ -235,14 +235,33 @@ object Wkb {
     * 1000/2000/3000 offsets, matching OGR's ExportToWkb output shape). */
   def write(g: Geom): Array[Byte] = {
     val out = new ArrayBuffer[Byte](64)
-    writeInto(out, g)
+    writeInto(out, g, ewkb = false, srid = None)
     out.toArray
   }
 
-  private def writeInto(out: ArrayBuffer[Byte], g: Geom): Unit = {
+  /** Serialize to little-endian EWKB, PostGIS dialect: Z/M as flag
+    * bits on every header, the SRID flag + embedded SRID on the
+    * outermost geometry only — the byte shape `ST_GeomFromWKB` and the
+    * sync path's PostGIS target expect. */
+  def writeEwkb(g: Geom, srid: Int): Array[Byte] = {
+    val out = new ArrayBuffer[Byte](64)
+    writeInto(out, g, ewkb = true, srid = Some(srid))
+    out.toArray
+  }
+
+  private def writeInto(out: ArrayBuffer[Byte], g: Geom,
+      ewkb: Boolean, srid: Option[Int]): Unit = {
     out += 1 // little endian
-    val iso = typeId(g) + (if (g.hasZ && g.hasM) 3000 else if (g.hasM) 2000 else if (g.hasZ) 1000 else 0)
-    putU32(out, iso)
+    val header: Long =
+      if (ewkb)
+        typeId(g).toLong |
+          (if (g.hasZ) EwkbZ else 0L) | (if (g.hasM) EwkbM else 0L) |
+          (if (srid.isDefined) EwkbSrid else 0L)
+      else
+        typeId(g).toLong +
+          (if (g.hasZ && g.hasM) 3000 else if (g.hasM) 2000 else if (g.hasZ) 1000 else 0)
+    putU32(out, header)
+    srid.foreach(s => putU32(out, s.toLong & 0xffffffffL))
     def putPoint(c: Array[Double]): Unit = c.foreach(putF64(out, _))
     def putSeq(pts: Array[Array[Double]]): Unit = { putU32(out, pts.length); pts.foreach(putPoint) }
     g match {
@@ -254,14 +273,14 @@ object Wkb {
       case GLineString(pts, _, _)  => putSeq(pts)
       case GCircularString(pts, _, _) => putSeq(pts)
       case GPolygon(rings, _, _)   => putU32(out, rings.length); rings.foreach(putSeq)
-      case GMultiPoint(gs, _, _)   => putU32(out, gs.length); gs.foreach(writeInto(out, _))
-      case GMultiLineString(gs, _, _) => putU32(out, gs.length); gs.foreach(writeInto(out, _))
-      case GMultiPolygon(gs, _, _) => putU32(out, gs.length); gs.foreach(writeInto(out, _))
-      case GCollection(gs, _, _)   => putU32(out, gs.length); gs.foreach(writeInto(out, _))
-      case GCompoundCurve(segs, _, _) => putU32(out, segs.length); segs.foreach(writeInto(out, _))
-      case GCurvePolygon(rings, _, _) => putU32(out, rings.length); rings.foreach(writeInto(out, _))
-      case GMultiCurve(gs, _, _)   => putU32(out, gs.length); gs.foreach(writeInto(out, _))
-      case GMultiSurface(gs, _, _) => putU32(out, gs.length); gs.foreach(writeInto(out, _))
+      case GMultiPoint(gs, _, _)   => putU32(out, gs.length); gs.foreach(writeInto(out, _, ewkb, None))
+      case GMultiLineString(gs, _, _) => putU32(out, gs.length); gs.foreach(writeInto(out, _, ewkb, None))
+      case GMultiPolygon(gs, _, _) => putU32(out, gs.length); gs.foreach(writeInto(out, _, ewkb, None))
+      case GCollection(gs, _, _)   => putU32(out, gs.length); gs.foreach(writeInto(out, _, ewkb, None))
+      case GCompoundCurve(segs, _, _) => putU32(out, segs.length); segs.foreach(writeInto(out, _, ewkb, None))
+      case GCurvePolygon(rings, _, _) => putU32(out, rings.length); rings.foreach(writeInto(out, _, ewkb, None))
+      case GMultiCurve(gs, _, _)   => putU32(out, gs.length); gs.foreach(writeInto(out, _, ewkb, None))
+      case GMultiSurface(gs, _, _) => putU32(out, gs.length); gs.foreach(writeInto(out, _, ewkb, None))
     }
   }
 

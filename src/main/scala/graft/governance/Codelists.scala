@@ -48,6 +48,20 @@ object Codelists {
     * scope exactly like the reference (`checks/column.py:5-7`). */
   val geometriEncodingCodevalues: Seq[String] =
     Seq("WKT", "WKB", "geojson", "s2").map(_.toLowerCase)
+
+  /** Codelist lookup by key — reference `get_codelist`
+    * (`common.py:173-185`): remote lists resolve through the provider,
+    * local lists from the embedded data, unknown keys → None. The
+    * medallion list is plain strings; everything else is entries. */
+  def get(key: String, provider: CodelistProvider): Option[Seq[CodelistEntry]] =
+    key match {
+      case "hovedkategori"   => Some(provider.fetch(Urls.hovedkategori))
+      case "begrep"          => Some(provider.fetch(Urls.begrep))
+      case "tilgangsnivaa"   => Some(tilgangsnivaa)
+      case "medaljongnivaa"  => Some(medaljongnivaa.map(v => CodelistEntry(v, v)))
+      case "sikkerhetsnivaa" => Some(sikkerhetsnivaa)
+      case _                 => None
+    }
 }
 
 /** Remote-codelist access — injectable so validation runs offline. */

@@ -155,6 +155,36 @@ final class PostgresSyncManager(
 }
 
 object PostgresSyncManager {
+
+  /** Secrets-backed factory — the reference's
+    * `from_databricks_secrets` (`sync_df_to_pgdb.py:97-154`) with the
+    * secret store injected as a function (Databricks `dbutils.secrets
+    * .get`, a vault client, …) instead of a hard runtime dependency. */
+  def fromSecrets(
+      secret: (String, String) => String,
+      scope: String,
+      hostKey: String,
+      passwordKey: String,
+      dbname: String,
+      user: String,
+      stagingTable: String,
+      targetTable: String,
+      updateTypeCol: String = "update_type",
+      srid: Int = 0,
+      spark: SparkSession,
+      certs: Map[String, String]): PostgresSyncManager = {
+    val config = PostgresTargetConfig(
+      host = secret(scope, hostKey),
+      dbname = dbname,
+      user = user,
+      password = secret(scope, passwordKey),
+      stagingTable = stagingTable,
+      targetTable = targetTable,
+      updateTypeCol = updateTypeCol,
+      srid = srid)
+    new PostgresSyncManager(config, spark, certs, jdbcRunner(config, certs))
+  }
+
   /** Driver-side SQL execution over the PostgreSQL JDBC driver with
     * verify-ca SSL — the java.sql equivalent of the reference's
     * psycopg connection (`:156-170`). Untested offline (no live PG). */

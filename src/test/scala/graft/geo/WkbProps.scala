@@ -59,6 +59,17 @@ object WkbProps extends Properties("Wkb") {
       (parsed.isDefined || parsed.isEmpty) && shortDiag
     }
 
+  property("EWKB write → read → ISO write matches ISO write directly") =
+    forAll(genGeom, Gen.chooseNum(1, 999999)) { (g, srid) =>
+      val ewkb = Wkb.writeEwkb(g, srid)
+      val h = Wkb.parseHeader(ewkb).get
+      val back = Wkb.read(ewkb)
+      h.hasSrid && h.hasZ == g.hasZ && h.hasM == g.hasM &&
+        back.isDefined &&
+        java.util.Arrays.equals(Wkb.write(back.get), Wkb.write(g)) &&
+        java.util.Arrays.equals(Wkb.stripSrid(ewkb).drop(5), ewkb.drop(9))
+    }
+
   property("hex roundtrip") =
     forAll(Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte))) { l =>
       val b = l.toArray

@@ -70,6 +70,15 @@ class WkbSpec extends AnyFunSuite {
     }
   }
 
+  test("writeEwkb reproduces the independently-assembled EWKB fixtures byte for byte") {
+    WkbCorpus.cases.filter(_._1.endsWith("_ewkb")).foreach { case (name, hex, _) =>
+      val plainName = name.stripSuffix("_ewkb")
+      val plainHex = WkbCorpus.cases.find(_._1 == plainName).get._2
+      val g = Wkb.read(Wkb.fromHex(plainHex).get).get
+      assert(Wkb.toHex(Wkb.writeEwkb(g, 4326)) == hex, s"case $name")
+    }
+  }
+
   test("big-endian headers parse (byte 0 = 0)") {
     // big-endian POINT(0 0): 00 00000001 + 16 zero bytes
     val be = Array[Byte](0, 0, 0, 0, 1) ++ Array.fill[Byte](16)(0)

@@ -128,6 +128,16 @@ class GovernanceSpec extends AnyFunSuite {
     assert(bronze.keySet == Set("tittel", "beskrivelse", "sikkerhetsnivaa"))
   }
 
+  test("Codelists.get resolves every reference key (common.py:173-185)") {
+    assert(Codelists.get("tilgangsnivaa", provider).get.size == 3)
+    assert(Codelists.get("sikkerhetsnivaa", provider).get.size == 2)
+    assert(Codelists.get("medaljongnivaa", provider).get.map(_.id) ==
+      Seq("bronze", "silver", "gold"))
+    assert(Codelists.get("hovedkategori", provider).get.exists(_.id.endsWith("/farming")))
+    assert(Codelists.get("begrep", provider).get.size == 2)
+    assert(Codelists.get("nonsense", provider).isEmpty)
+  }
+
   test("Metadata facade: tags + comment through an injected source (main.py:13-45)") {
     val src = new TableInfoSource {
       def tableTags(c: String, s: String, t: String): Seq[(String, String)] =

@@ -90,6 +90,19 @@ class PostgresSyncSpec extends AnyFunSuite {
     assert(o("truncate") == "true")
   }
 
+  test("fromSecrets factory resolves host/password through the injected store (:97-154)") {
+    val secrets = Map(("scope1", "db-host") -> "10.1.2.3", ("scope1", "db-pass") -> "s3cret")
+    val mgr = PostgresSyncManager.fromSecrets(
+      secret = (s, k) => secrets((s, k)),
+      scope = "scope1", hostKey = "db-host", passwordKey = "db-pass",
+      dbname = "geodata", user = "etl",
+      stagingTable = "public.s", targetTable = "public.t",
+      srid = 4326, spark = null,
+      certs = Map("ca" -> "/ca", "cert" -> "/cert", "key" -> "/key"))
+    assert(mgr.jdbcUrl == "jdbc:postgresql://10.1.2.3/geodata")
+    assert(mgr.stagingJdbcOptions("password") == "s3cret")
+  }
+
   test("merge without keys is rejected (:277-278); unknown mode rejected (:288-289)") {
     val mgr = new PostgresSyncManager(cfg, null,
       Map("ca" -> "/ca", "cert" -> "/cert", "key" -> "/key"), _ => 0)
