@@ -195,6 +195,23 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  // ---- q30: semi-structured props parsing (JSON Schema → from_json) ----
+  // the schema compiler (§1.4) drives the runtime parse: JSON Schema →
+  // StructType → from_json over the events.props string column
+  def q30PropsJson(s: SparkSession, dir: String): DataFrame = {
+    val schema = graft.schema.JsonSchemaToStruct.convert(
+      """{"properties": {"k": {"type": "integer"}}}""")
+    graft.Tables.events(s, dir)
+      .withColumn("rec", from_json(col("props"), schema))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("rec.k")).as("sum_k"),
+        min(col("rec.k")).as("min_k"),
+        max(col("rec.k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary"    -> q1PricingSummary _,
     "q2_top_orders"         -> q2TopOrders _,
@@ -210,6 +227,7 @@ object Relational {
     "q12_year_priority_rollup" -> q12YearPriorityRollup _,
     "q13_part_type_revenue" -> q13PartTypeRevenue _,
     "q25_left_join_tags"    -> q25LeftJoinTags _,
+    "q30_props_json"        -> q30PropsJson _,
   )
 
   /** DuckDB-dialect oracles. Expression structure mirrors the Spark
@@ -324,5 +342,11 @@ object Relational {
         | ON L.l_orderkey = T.k1 AND L.l_partkey = T.k2
         |  AND L.l_suppkey = T.k3 AND L.l_linenumber = T.k4
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q30_props_json" ->
+      """SELECT event_type, count(*) AS n_events,
+        | CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        | CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
