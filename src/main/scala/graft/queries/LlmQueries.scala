@@ -91,6 +91,49 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---- q31: SimHash 64-bit banded near-dup pairs (rows-only) ----
+  // The production simhash path end-to-end: FNV-based fingerprint UDF
+  // → 4×16-bit band explode → bucket equi-join → hamming verify. FNV
+  // isn't available in DuckDB, so no oracle; the 16-bit relational
+  // formulation (q22) carries the oracle-checked proof and
+  // SimilaritySpec pins behavior on planted near-dups.
+  def q31SimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    graft.llm.SimHash.register(s)
+    val docs = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), expr(
+        "simhash64(CASE WHEN length(trim(text)) = 0 THEN array() " +
+          "ELSE split(trim(text), '\\\\s+') END)").as("sh"))
+    val bands = docs.select(col("doc_id"), col("sh"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> shiftright(sh, 16 * b) & 65535L)"))
+        .as(Seq("band_id", "band_val")))
+    val left = bands.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+      col("band_id"), col("band_val"))
+    val right = bands.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+      col("band_id"), col("band_val"))
+    left.join(right, Seq("band_id", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("hamming64(sh_a, sh_b)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 12)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---- q32: composed curation pipeline (quality → dedup → stats) ----
+  // the realistic corpus-curation shape: threshold on quality, keep
+  // one doc per normalized fingerprint, then per-language counts —
+  // every stage individually oracle-checked above, composed here
+  def q32CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val scored = graft.Tables.documents(s, dir)
+      .filter(qualityScoreFp(col("text")) >= 600000L)
+      .select(col("doc_id"), col("lang"), Dedup.fingerprint(col("text")).as("fp"))
+    Dedup.exact(scored, Seq("fp"), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_dedup_exact"  -> q16DedupExact _,
     "q17_dedup_norm"   -> q17DedupNorm _,
@@ -99,6 +142,8 @@ object LlmQueries {
     "q20_quality"      -> q20Quality _,
     "q27_multimodal"   -> q27Multimodal _,
     "q28_fingerprints" -> q28Fingerprints _,
+    "q31_simhash_pairs" -> q31SimhashPairs _,
+    "q32_curation"     -> q32CurationPipeline _,
   )
 
   /** DuckDB token expression mirroring TextAnalysis.tokens. */
@@ -189,5 +234,15 @@ object LlmQueries {
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | md5(text) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q32_curation" ->
+      s"""SELECT lang, count(*) AS n_docs, min(doc_id) AS first_doc FROM (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |  FROM (
+         |    SELECT doc_id, lang,
+         |      md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         |    FROM (SELECT doc_id, lang, text, $toksSql AS toks FROM documents) x
+         |    WHERE ($qualityFpSql) >= 600000) scored) survivors
+         |WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }
