@@ -80,6 +80,30 @@ class LinearizeSpec extends AnyFunSuite {
     assert(line.pts.last(0) == 3.0 && line.pts.last(1) == 5.0)
   }
 
+  test("Z values interpolate linearly along the arc") {
+    val circZ = Wkb.GCircularString(
+      Array(Array(1.0, 0.0, 10.0), Array(0.0, 1.0, 20.0), Array(-1.0, 0.0, 30.0)),
+      hasZ = true, hasM = false)
+    val out = Linearize.linearize(circZ, 5.0).asInstanceOf[Wkb.GLineString]
+    assert(out.hasZ && !out.hasM)
+    assert(out.pts.head(2) == 10.0 && out.pts.last(2) == 30.0)
+    // monotone between endpoints, and every vertex stays on the unit circle
+    out.pts.sliding(2).foreach { case Array(a, b) => assert(a(2) <= b(2)) }
+    out.pts.foreach(p => assert(math.abs(math.hypot(p(0), p(1)) - 1.0) < 1e-9))
+  }
+
+  test("geometry collections linearize their children") {
+    val coll = Wkb.GCollection(Array(
+      Wkb.GPoint(Array(1.0, 2.0), hasZ = false, hasM = false),
+      Wkb.GCircularString(Array(Array(0.0, 0.0), Array(1.0, 1.0), Array(2.0, 0.0)),
+        hasZ = false, hasM = false)), hasZ = false, hasM = false)
+    val out = Linearize.linearize(coll, 5.0).asInstanceOf[Wkb.GCollection]
+    assert(out.geoms(0).isInstanceOf[Wkb.GPoint])
+    assert(out.geoms(1).isInstanceOf[Wkb.GLineString])
+    // and the WKB round trip keeps the collection type
+    assert(GeomType.ofBytes(Wkb.write(out)) == "GeometryCollection")
+  }
+
   test("collinear arc degrades to a straight segment") {
     val collinear = Wkb.GCircularString(
       Array(Array(0.0, 0.0), Array(1.0, 1.0), Array(2.0, 2.0)), hasZ = false, hasM = false)

@@ -51,6 +51,17 @@ class WkbSpec extends AnyFunSuite {
     assert(GeomType.ofBytes(le(1025)) == "Unknown(25) Z")
   }
 
+  test("the full type table resolves (reference udf_tools.py:12-40)") {
+    def le(t: Int) = Array[Byte](1, (t & 0xff).toByte, ((t >> 8) & 0xff).toByte,
+      ((t >> 16) & 0xff).toByte, ((t >> 24) & 0xff).toByte)
+    // every id below 1000 is reachable and must match the table
+    GeomType.names.filter(_._1 < 1000).foreach { case (id, name) =>
+      assert(GeomType.ofBytes(le(id)) == name, s"id $id")
+    }
+    // ids 0–24 plus AffinePlacement(102) and BrepSolid(1025): 27 rows
+    assert(GeomType.names.size == 27)
+  }
+
   test("corpus: every fixture parses to a geometry AST") {
     WkbCorpus.cases.foreach { case (name, hex, _) =>
       assert(Wkb.read(Wkb.fromHex(hex).get).isDefined, s"case $name")
