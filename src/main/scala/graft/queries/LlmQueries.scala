@@ -17,7 +17,6 @@ object LlmQueries {
   def q16DedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(graft.Tables.documents(s, dir), Seq("text"), "doc_id")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-      .orderBy(col("doc_id"))
 
   // ---- q17: normalized-fingerprint dedup (md5 of collapsed text) ----
   // fingerprint computed once, reused by both the dedup window and
@@ -28,7 +27,6 @@ object LlmQueries {
         .select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp")),
       Seq("fp"), "doc_id")
       .select(col("doc_id"), col("fp"))
-      .orderBy(col("doc_id"))
 
   // ---- q18: per-language corpus statistics ----
   def q18TextStats(s: SparkSession, dir: String): DataFrame = {
@@ -63,7 +61,6 @@ object LlmQueries {
         stopwordRatioFp(col("text"), DefaultStopwords).as("stop_fp"),
         meanTokenLenFp(col("text")).as("mean_tok_len_fp"),
         tokenCount(col("text")).cast("bigint").as("n_tokens"))
-      .orderBy(col("doc_id"))
 
   // ---- q27: multimodal decode pipeline (mapPartitions, typed) ----
   def q27Multimodal(s: SparkSession, dir: String): DataFrame = {
@@ -74,7 +71,6 @@ object LlmQueries {
         col("width").cast("int").as("width"), col("height").cast("int").as("height"),
         col("nFrames").cast("int").as("n_frames"), col("nBytes").as("n_bytes"),
         col("fingerprint"))
-      .orderBy(col("id"))
   }
 
   // ---- q28: winnowed rolling-hash document fingerprints ----
@@ -88,7 +84,6 @@ object LlmQueries {
         expr("size(doc_fingerprints(text))").cast("bigint").as("n_fps"),
         expr("fingerprint_containment_fp(doc_fingerprints(text), doc_fingerprints(text))")
           .as("self_containment_fp"))
-      .orderBy(col("doc_id"))
   }
 
   // ---- q31: SimHash 64-bit banded near-dup pairs (rows-only) ----
@@ -117,7 +112,6 @@ object LlmQueries {
         expr("hamming64(sh_a, sh_b)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 12)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   // ---- q32: composed curation pipeline (quality → dedup → stats) ----
@@ -192,7 +186,7 @@ object LlmQueries {
         |  SELECT doc_id, lang, source, n_chars,
         |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
         |  FROM documents) t
-        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+        |WHERE rn = 1""".stripMargin,
     "q17_dedup_norm" ->
       """SELECT doc_id, fp FROM (
         |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
@@ -200,7 +194,7 @@ object LlmQueries {
         |      PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
         |      ORDER BY doc_id) AS rn
         |  FROM documents) t
-        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+        |WHERE rn = 1""".stripMargin,
     "q18_text_stats" ->
       s"""SELECT lang, count(*) AS n_docs,
          | CAST(sum(len(toks)) AS BIGINT) AS sum_tokens,
@@ -222,8 +216,7 @@ object LlmQueries {
          | $stopFpSql AS stop_fp,
          | $meanTokLenFpSql AS mean_tok_len_fp,
          | CAST(len(toks) AS BIGINT) AS n_tokens
-         |FROM (SELECT doc_id, text, $toksSql AS toks FROM documents) t
-         |ORDER BY doc_id""".stripMargin,
+         |FROM (SELECT doc_id, text, $toksSql AS toks FROM documents) t""".stripMargin,
     // mirrors the decode STUB exactly (Multimodal.decodeDims/frameCount
     // are deterministic functions of the payload byte length)
     "q27_multimodal" ->
@@ -233,7 +226,7 @@ object LlmQueries {
         | CAST(octet_length(encode(text)) // 1000 + 1 AS INTEGER) AS n_frames,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | md5(text) AS fingerprint
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM documents""".stripMargin,
     "q32_curation" ->
       s"""SELECT lang, count(*) AS n_docs, min(doc_id) AS first_doc FROM (
          |  SELECT doc_id, lang,

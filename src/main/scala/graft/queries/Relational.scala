@@ -91,7 +91,9 @@ object Relational {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
-      .orderBy(col("o_custkey"), col("rn"))
+      // no trailing global sort: output order is presentational only and
+      // the driver's comparator sorts rows — the range-partition
+      // exchange would be pure waste at scale
   }
 
   // ---- q6: selective filtered aggregate (predicate pushdown path) ----
@@ -120,7 +122,6 @@ object Relational {
       .except(graft.Tables.orders(s, dir)
         .filter(col("o_orderdate") >= ts("2001-01-01 00:00:00"))
         .select(col("o_custkey").as("c_custkey")))
-      .orderBy(col("c_custkey"))
 
   // ---- q9: events per type per hour (time bucketing) ----
   def q9EventsHourly(s: SparkSession, dir: String): DataFrame =
@@ -129,7 +130,6 @@ object Relational {
       .agg(
         count(lit(1)).as("n_events"),
         sumFp(cents(col("value"), 4)).as("sum_value_fp"))
-      .orderBy(col("event_type"), col("hour_ts"))
 
   // ---- q10: per-brand part stats (min/max/avg) ----
   def q10BrandStats(s: SparkSession, dir: String): DataFrame =
@@ -154,7 +154,6 @@ object Relational {
           lit(1L)).otherwise(lit(0L)))
       .groupBy(col("user_id"))
       .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
-      .orderBy(col("user_id"))
   }
 
   // ---- q12: rollup over year × priority (grouping sets) ----
@@ -272,7 +271,7 @@ object Relational {
         |    row_number() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders) t
-        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+        |WHERE rn <= 3""".stripMargin,
     "q6_filtered_revenue" ->
       """SELECT
         | CAST(sum(CAST(floor(l_extendedprice * l_discount * 10000.0) AS BIGINT)) AS BIGINT) AS revenue_fp,
@@ -293,13 +292,12 @@ object Relational {
         |  SELECT c_custkey FROM customer
         |  EXCEPT
         |  SELECT o_custkey AS c_custkey FROM orders
-        |  WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00') t
-        |ORDER BY c_custkey""".stripMargin,
+        |  WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00') t""".stripMargin,
     "q9_events_hourly" ->
       """SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
         | count(*) AS n_events,
         | CAST(sum(CAST(floor(value * 10000.0) AS BIGINT)) AS BIGINT) AS sum_value_fp
-        |FROM events GROUP BY 1, 2 ORDER BY event_type, hour_ts""".stripMargin,
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q10_brand_stats" ->
       """SELECT p_brand, count(*) AS n_parts,
         | min(p_retailprice) AS min_price,
@@ -317,7 +315,7 @@ object Relational {
         |      OR (epoch_ns(ts) // 1000) - (epoch_ns(lag(ts) OVER w) // 1000)
         |         > 1800000000 THEN 1 ELSE 0 END AS new_sess
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
-        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+        |GROUP BY user_id""".stripMargin,
     "q12_year_priority_rollup" ->
       """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
         | o_orderpriority, count(*) AS n_orders,

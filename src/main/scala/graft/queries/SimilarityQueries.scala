@@ -24,7 +24,6 @@ object SimilarityQueries {
   def q21MinhashPairs(s: SparkSession, dir: String): DataFrame =
     MinHashLSH.nearDupPairs(graft.Tables.documents(s, dir), "doc_id", "text",
       shingleN = ShingleN, numHashes = NumHashes, rowsPerBand = 1, minJaccardFp = 0L)
-      .orderBy(col("doc_a"), col("doc_b"))
 
   // ---- q22: relational SimHash (16-bit, explode + bit sums) ----
   def q22Simhash16(s: SparkSession, dir: String): DataFrame = {
@@ -41,7 +40,6 @@ object SimilarityQueries {
       .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
     toks.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
       .select(col("doc_id"), expr(s"cast($value as bigint)").as("simhash16"))
-      .orderBy(col("doc_id"))
   }
 
   // ---- q23: exact brute-force top-k over embeddings ----
@@ -49,7 +47,6 @@ object SimilarityQueries {
     val emb = graft.Tables.embeddings(s, dir)
     Similarity.bruteForceTopK(emb.filter(col("vec_id") < NumQueryVecs), emb, TopK)
       .select(col("query_id"), col("vec_id"), col("dot_fp"), col("rn"))
-      .orderBy(col("query_id"), col("rn"))
   }
 
   // ---- q24: LSH-bucketed approximate top-k (the scale path) ----
@@ -57,7 +54,6 @@ object SimilarityQueries {
     val emb = graft.Tables.embeddings(s, dir)
     Similarity.annTopK(emb.filter(col("vec_id") < NumQueryVecs), emb, AnnK, Dim)
       .select(col("query_id"), col("vec_id"), col("dot_fp"), col("rn"))
-      .orderBy(col("query_id"), col("rn"))
   }
 
   private val NearDupMinDotFp = 350000L
@@ -66,7 +62,6 @@ object SimilarityQueries {
   def q29EmbedDedup(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDupPairs(graft.Tables.embeddings(s, dir),
       NearDupMinDotFp, Dim)
-      .orderBy(col("vec_a"), col("vec_b"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_minhash_pairs" -> q21MinhashPairs _,
@@ -109,8 +104,7 @@ object SimilarityQueries {
        |SELECT doc_a, doc_b,
        |  CAST(floor(1000000.0 * CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
        |    / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE)) AS BIGINT) AS jaccard_fp
-       |FROM pairs JOIN sets sa ON doc_a = sa.doc_id JOIN sets sb ON doc_b = sb.doc_id
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |FROM pairs JOIN sets sa ON doc_a = sa.doc_id JOIN sets sb ON doc_b = sb.doc_id""".stripMargin
   }
 
   private val q22Sql = {
@@ -125,7 +119,7 @@ object SimilarityQueries {
     s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
        |h AS (SELECT doc_id, md5(w) AS h FROM toks),
        |agg AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
-       |SELECT doc_id, CAST($value AS BIGINT) AS simhash16 FROM agg ORDER BY doc_id""".stripMargin
+       |SELECT doc_id, CAST($value AS BIGINT) AS simhash16 FROM agg""".stripMargin
   }
 
   private val dotSql =
@@ -142,7 +136,7 @@ object SimilarityQueries {
        |  row_number() OVER (PARTITION BY query_id ORDER BY dot_fp DESC, vec_id) AS rn
        |  FROM scored)
        |SELECT query_id, vec_id, dot_fp, CAST(rn AS INTEGER) AS rn
-       |FROM ranked WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin
+       |FROM ranked WHERE rn <= $TopK""".stripMargin
 
   // mirrors Similarity.bucketExpr: per-plane sign of Σ floor(x·w·1e6)
   private def bucketSql: String =
@@ -164,7 +158,7 @@ object SimilarityQueries {
        |  row_number() OVER (PARTITION BY query_id ORDER BY dot_fp DESC, vec_id) AS rn
        |  FROM scored)
        |SELECT query_id, vec_id, dot_fp, CAST(rn AS INTEGER) AS rn
-       |FROM ranked WHERE rn <= $AnnK ORDER BY query_id, rn""".stripMargin
+       |FROM ranked WHERE rn <= $AnnK""".stripMargin
   }
 
   private val q29Sql =
@@ -185,7 +179,7 @@ object SimilarityQueries {
        |  JOIN embeddings ea ON vec_a = ea.vec_id
        |  JOIN embeddings eb ON vec_b = eb.vec_id)
        |SELECT vec_a, vec_b, dot_fp FROM scored
-       |WHERE dot_fp >= $NearDupMinDotFp ORDER BY vec_a, vec_b""".stripMargin
+       |WHERE dot_fp >= $NearDupMinDotFp""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q21_minhash_pairs" -> q21Sql,
