@@ -51,17 +51,29 @@ object TextAnalysis {
   /** Composite quality score in fixed-point millionths: rewards docs in
     * a sane length band with a plausible stopword ratio. The exact
     * formula matters less than being deterministic, monotonic in its
-    * inputs, and cheap; callers threshold it to filter corpora. */
-  def qualityScoreFp(text: Column): Column = {
-    val n = tokenCount(text)
-    val lenScore = when(n >= 20 && n <= 1000, lit(400000L))
-      .otherwise(when(n >= 5, lit(200000L)).otherwise(lit(0L)))
-    val stopFp = stopwordRatioFp(text, DefaultStopwords)
-    // stopword ratio in [2%, 40%] looks like prose; outside → penalty
-    val stopScore = when(stopFp >= 20000L && stopFp <= 400000L, lit(400000L))
-      .otherwise(lit(100000L))
-    val charScore = when(length(text) >= 100, lit(200000L)).otherwise(lit(50000L))
-    lenScore + stopScore + charScore
+    * inputs, and cheap; callers threshold it to filter corpora.
+    *
+    * Single traversal like [[langId]]: one aggregate fold produces
+    * `[tokenCount, stopwordHits]` and a transform lambda binds it —
+    * vital specifically under Filter, where Spark does not apply
+    * subexpression elimination and a naive composite would re-derive
+    * the token array once per sub-score. */
+  def qualityScoreFp(textCol: String): Column = {
+    val toksSql =
+      s"case when length(trim($textCol)) = 0 then array() " +
+        s"else split(trim($textCol), '\\\\s+') end"
+    val stopList = DefaultStopwords.map(w => s"'$w'").mkString(", ")
+    val foldExpr =
+      s"aggregate($toksSql, array(0L, 0L), (acc, w) -> " +
+        s"array(acc[0] + 1L, acc[1] + (case when w in ($stopList) then 1L else 0L end)))"
+    val stopFp = "(case when h[0] = 0 then 0L else " +
+      "cast(floor(cast(h[1] as double) * 1000000.0 / cast(h[0] as double)) as bigint) end)"
+    val score =
+      s"""(case when h[0] between 20 and 1000 then 400000L
+         |  when h[0] >= 5 then 200000L else 0L end)
+         |+ (case when $stopFp between 20000L and 400000L then 400000L else 100000L end)
+         |+ (case when length($textCol) >= 100 then 200000L else 50000L end)""".stripMargin
+    expr(s"element_at(transform(array($foldExpr), h -> $score), 1)")
   }
 
   /** BPE-ish subword proxy: runs of letters, runs of digits, and

@@ -57,7 +57,7 @@ object LlmQueries {
     graft.Tables.documents(s, dir)
       .select(
         col("doc_id"),
-        qualityScoreFp(col("text")).as("quality_fp"),
+        qualityScoreFp("text").as("quality_fp"),
         stopwordRatioFp(col("text"), DefaultStopwords).as("stop_fp"),
         meanTokenLenFp(col("text")).as("mean_tok_len_fp"),
         tokenCount(col("text")).cast("bigint").as("n_tokens"))
@@ -120,7 +120,7 @@ object LlmQueries {
   // every stage individually oracle-checked above, composed here
   def q32CurationPipeline(s: SparkSession, dir: String): DataFrame = {
     val scored = graft.Tables.documents(s, dir)
-      .filter(qualityScoreFp(col("text")) >= 600000L)
+      .filter(qualityScoreFp("text") >= 600000L)
       .select(col("doc_id"), col("lang"), Dedup.fingerprint(col("text")).as("fp"))
     Dedup.exact(scored, Seq("fp"), "doc_id")
       .groupBy(col("lang"))

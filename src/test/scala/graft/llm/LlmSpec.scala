@@ -50,7 +50,7 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("quality score is deterministic and bounded") {
-    val scores = docs.select(TextAnalysis.qualityScoreFp(col("text")))
+    val scores = docs.select(TextAnalysis.qualityScoreFp("text"))
       .collect().map(_.getLong(0))
     assert(scores.forall(s => s >= 0 && s <= 1000000))
   }
