@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.llm.{Dedup, TextAnalysis}
 
 /** LLM-training-data pipeline queries over the `documents` table:
-  * dedup, text statistics, language ID, quality scoring. Each has an
-  * exact DuckDB oracle (fixed-point ratios, deterministic tie-breaks).
+  * dedup, text statistics, language ID, quality scoring, multimodal
+  * decode, fingerprinting, simhash pairing, and the composed curation
+  * pipeline. Oracle-backed except where the algorithm is not
+  * SQL-expressible (q28, q31 — rows-only, spec-pinned).
   */
 object LlmQueries {
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.llm.{MinHashLSH, Similarity, TextAnalysis}
 
-/** Near-dup detection and vector-similarity queries (q21–q24), each
+/** Near-dup detection and vector-similarity queries (q21–q24, q29), each
   * with an exact DuckDB oracle. The oracles replicate the full
   * algorithm (same md5 signatures, same fixed-point score arithmetic),
   * so the hash compare certifies the algorithm end-to-end, not just
