@@ -1,18 +1,25 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     val spark = Sessions.local()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup: run one cheap query so JVM/codegen/session startup cost
     // isn't attributed to whichever query happens to execute first.
     try SparkEntry.queries("q6_filtered_revenue")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // min over iterations: the first execution of each query pays its
+    // whole-stage-codegen compilation (~1s for the larger plans),
+    // which at real scale amortizes to nothing — the steady-state
+    // number is the meaningful one.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to iterations).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

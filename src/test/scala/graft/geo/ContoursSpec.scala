@@ -85,6 +85,28 @@ class ContoursSpec extends AnyFunSuite {
     assert(Contours.generateContoursWkb(flat, 10, 0) == null)
   }
 
+  test("property: ramp contour count equals levels strictly inside the range") {
+    // deterministic sweep over slopes/intervals/bases
+    for {
+      rows <- Seq(8, 16)
+      slope <- Seq(0.5, 1.0, 3.0)
+      interval <- Seq(0.7, 2.0, 5.0)
+      base <- Seq(0.0, 0.3)
+    } {
+      val vals = Array.tabulate(rows * 8)(i => ((i / 8) * slope).toFloat)
+      val r = GeoTiff.read(GeoTiff.writeFloat32(8, rows, vals)).get
+      val minV = 0.0
+      val maxV = (rows - 1) * slope
+      val kMin = math.ceil((minV - base) / interval).toLong
+      val kMax = math.floor((maxV - base) / interval).toLong
+      val expected = (kMin to kMax).map(k => base + k * interval)
+        .count(l => l > minV && l < maxV)
+      val got = Contours.contourLines(r, interval, base).size
+      assert(got == expected,
+        s"rows=$rows slope=$slope interval=$interval base=$base")
+    }
+  }
+
   test("geotransform carries into contour coordinates") {
     val gt = GeoTransform(originX = 100.0, originY = 500.0, pixelW = 2.0, pixelH = 2.0)
     val vals = Array.tabulate(8 * 8)(i => (i / 8).toFloat)
