@@ -40,6 +40,26 @@ final class SparkInfoSchemaSource(spark: SparkSession) extends TableInfoSource {
 final class Metadata(catalog: String, schema: String, table: String,
     source: TableInfoSource, provider: CodelistProvider) {
 
+  /** Column metadata joined with column tags — the reference's only
+    * dataflow join (`main.py:47-63`): a 4-key LEFT OUTER equi-join of
+    * information_schema.columns with column_tags, unmatched columns
+    * surviving with null tags. `infoSchema` is overridable so offline
+    * tests (and non-Unity catalogs) can point it at view-backed
+    * stand-ins; the default is the reference's catalog path. */
+  def getTableColumnMetadata(spark: SparkSession,
+      infoSchema: String = "system.information_schema"): org.apache.spark.sql.DataFrame =
+    spark.sql(
+      s"""SELECT C.*, CT.*
+         |FROM $infoSchema.columns AS C
+         |LEFT JOIN $infoSchema.column_tags AS CT
+         |ON C.table_catalog = CT.catalog_name
+         |  AND C.table_schema = CT.schema_name
+         |  AND C.table_name = CT.table_name
+         |  AND C.column_name = CT.column_name
+         |WHERE C.table_catalog = '$catalog'
+         |  AND C.table_schema = '$schema'
+         |  AND C.table_name = '$table'""".stripMargin)
+
   def getTableMetadata: TableMetadata = {
     val keys = source.tableTags(catalog, schema, table)
       .filterNot { case (name, _) => name.contains("delta.") } // delta.* dropped, main.py:27-28

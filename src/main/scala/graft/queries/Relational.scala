@@ -211,6 +211,19 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  // ---- q33: supplier-side revenue rollup (3-way join, last unused table) ----
+  def q33SupplierRevenue(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.lineitem(s, dir)
+      .join(graft.Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(graft.Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        countDistinct(col("s_suppkey")).as("n_suppliers"),
+        count(lit(1)).as("n_items"),
+        sumFp(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+          .as("revenue_fp"))
+      .orderBy(col("n_name"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary"    -> q1PricingSummary _,
     "q2_top_orders"         -> q2TopOrders _,
@@ -227,6 +240,7 @@ object Relational {
     "q13_part_type_revenue" -> q13PartTypeRevenue _,
     "q25_left_join_tags"    -> q25LeftJoinTags _,
     "q30_props_json"        -> q30PropsJson _,
+    "q33_supplier_revenue"  -> q33SupplierRevenue _,
   )
 
   /** DuckDB-dialect oracles. Expression structure mirrors the Spark
@@ -346,5 +360,14 @@ object Relational {
         | CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
         | CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q33_supplier_revenue" ->
+      """SELECT n_name,
+        | count(DISTINCT s_suppkey) AS n_suppliers,
+        | count(*) AS n_items,
+        | CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)) AS BIGINT) AS revenue_fp
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
   )
 }
