@@ -6,11 +6,14 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication operators for corpus curation.
   *
-  * Scale design: every variant is a single hash-shuffle on the dedup
-  * key (the key is always a short fingerprint, never the full text, so
-  * the shuffle payload stays small even when documents are megabytes),
-  * followed by map-side-combinable aggregation or a window over the
-  * key's partition. No driver state, no all-pairs comparison.
+  * Scale design: one hash-shuffle on the dedup key, then a window over
+  * each key's partition — no driver state, no all-pairs comparison.
+  * The shuffle necessarily moves whichever columns the caller wants to
+  * survive; when only ids are needed, project to (id, fingerprint)
+  * BEFORE deduplicating (as `q17_dedup_norm` does) so megabyte
+  * payloads never cross the wire. The join key itself is always a
+  * short value (text equality dedups hash the text for partitioning;
+  * fingerprint dedups ship 32-byte digests).
   */
 object Dedup {
 
