@@ -35,6 +35,14 @@ object Skew {
       saltFactor: Int, joinType: String = "inner",
       spreadCols: Seq[String] = Nil): DataFrame = {
     require(saltFactor >= 1, "saltFactor must be >= 1")
+    // right/full joins would emit each unmatched SMALL row saltFactor
+    // times (it exists once per salt); only big-side-preserving joins
+    // are salt-correct
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti", "cross").contains(
+      joinType.toLowerCase.replace(" ", "_")),
+      s"saltedEquiJoin does not support join type '$joinType': " +
+        "unmatched small-side rows would be duplicated per salt")
     val spread: Seq[Column] =
       if (spreadCols.nonEmpty) spreadCols.map(big(_))
       else big.columns.map(big(_)).toSeq // whole row → uniform spread

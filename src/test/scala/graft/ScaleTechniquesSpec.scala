@@ -20,6 +20,13 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkTestSession {
         .agg(count(lit(1)), sum("v")).collect()(0)
       assert(salted == plain, s"saltFactor $factor")
     }
+    // left join: unmatched big rows survive exactly once
+    val left = Skew.saltedEquiJoin(big, small, Seq("k"), 8, joinType = "left")
+    assert(left.count() == 1000)
+    // small-side-preserving joins are rejected (rows would duplicate)
+    intercept[IllegalArgumentException] {
+      Skew.saltedEquiJoin(big, small, Seq("k"), 8, joinType = "right")
+    }
   }
 
   test("saltedEquiJoin distributes a hot key across partitions") {
