@@ -1,0 +1,98 @@
+package graft.llm
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest-neighbor search: a k-means
+  * coarse quantizer partitions the corpus into `nLists` cells; a query
+  * scores only the vectors in its `nProbe` closest cells.
+  *
+  * This is the codebook-based counterpart of the sign-LSH path in
+  * [[Similarity]]: LSH needs no training and its buckets are pure
+  * functions of the vector (hence DuckDB-oracle-checkable); IVF learns
+  * a codebook that adapts to the data distribution, giving better
+  * recall per probe on clustered corpora — at the cost of a training
+  * pass and of centroids that depend on float summation order, i.e.
+  * results are deterministic for a fixed fitted model but NOT
+  * reproducible bit-for-bit across partitionings. That is why IVF has
+  * no `SparkEntry` oracle query: its contract is pinned by
+  * [[graft.llm.IvfSpec]]-style recall/behavior tests instead.
+  *
+  * Scale shape: training samples the corpus (MLlib k-means);
+  * assignment is one broadcast of `nLists`·dim floats + a map; search
+  * shuffles only (cell, query) candidates — the corpus is never
+  * cross-joined.
+  */
+object IvfIndex {
+
+  final case class Model(centroids: Array[Array[Float]]) {
+    def nLists: Int = centroids.length
+
+    /** ids of the `nProbe` centroids closest to `v` (exact, tiny). */
+    def probeCells(v: Array[Float], nProbe: Int): Seq[Int] =
+      centroids.zipWithIndex
+        .map { case (c, i) => (i, sqDist(c, v)) }
+        .sortBy { case (i, d) => (d, i) }
+        .take(nProbe).map(_._1).toSeq
+  }
+
+  private def sqDist(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+    s
+  }
+
+  /** Train the coarse quantizer (seeded k-means over the embeddings). */
+  def fit(vectors: DataFrame, nLists: Int, seed: Long = 42L): Model = {
+    val features = vectors.select(col("vec_id"), col("embedding"))
+      .withColumn("features", udfToVec(col("embedding")))
+    val km = new KMeans().setK(nLists).setSeed(seed).setMaxIter(20)
+      .setFeaturesCol("features")
+    val model = km.fit(features)
+    Model(model.clusterCenters.map(_.toArray.map(_.toFloat)))
+  }
+
+  private val udfToVec =
+    udf((emb: Seq[Float]) => Vectors.dense(emb.map(_.toDouble).toArray))
+
+  /** Assign every vector to its inverted list (cell id). */
+  def assign(vectors: DataFrame, model: Model): DataFrame = {
+    val centroids = model.centroids
+    val cellOf = udf { (emb: Seq[Float]) =>
+      val v = emb.toArray
+      var best = 0; var bestD = Double.MaxValue
+      var i = 0
+      while (i < centroids.length) {
+        val d = sqDist(centroids(i), v)
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      best
+    }
+    vectors.withColumn("cell", cellOf(col("embedding")))
+  }
+
+  /** Top-k per query, scored only against the query's nProbe cells.
+    * Scores use the same fixed-point `dot_fp` as the exact path. */
+  def search(queries: DataFrame, indexed: DataFrame, model: Model,
+      k: Int, nProbe: Int): DataFrame = {
+    LlmFunctions.registerDotFp(queries.sparkSession)
+    val centroids = model.centroids
+    val probes = udf { (emb: Seq[Float]) =>
+      Model(centroids).probeCells(emb.toArray, nProbe)
+    }
+    val q = broadcast(queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(probes(col("embedding"))).as("cell")))
+    val scored = q.join(indexed.select(col("vec_id"), col("embedding").as("ce"),
+        col("cell")), Seq("cell"))
+      .select(col("query_id"), col("vec_id"),
+        Similarity.dotFpNative("qe", "ce").as("dot_fp"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dot_fp").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** IVF coarse-quantizer ANN: cell assignment, probe behavior, and
+  * recall against the exact brute-force path on clustered data. */
+class IvfSpec extends AnyFunSuite with SparkTestSession {
+
+  /** 4 well-separated unit-ish clusters of 25 vectors each. */
+  private lazy val clustered = {
+    import spark.implicits._
+    val centers = Seq(
+      Array.tabulate(16)(i => if (i < 4) 1.0f else 0.0f),
+      Array.tabulate(16)(i => if (i >= 4 && i < 8) 1.0f else 0.0f),
+      Array.tabulate(16)(i => if (i >= 8 && i < 12) 1.0f else 0.0f),
+      Array.tabulate(16)(i => if (i >= 12) 1.0f else 0.0f))
+    (0 until 100).map { id =>
+      val c = centers(id % 4)
+      // deterministic small perturbation
+      val v = c.zipWithIndex.map { case (x, j) =>
+        x + 0.01f * (((id * 31 + j * 7) % 11) - 5)
+      }
+      (id.toLong, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("vectors of one cluster land in one cell; probes find it") {
+    val model = IvfIndex.fit(clustered, nLists = 4)
+    assert(model.nLists == 4)
+    val assigned = IvfIndex.assign(clustered, model)
+    // each true cluster maps to exactly one learned cell
+    val cellsPerCluster = assigned
+      .withColumn("cluster", col("vec_id") % 4)
+      .groupBy("cluster").agg(countDistinct("cell").as("n"))
+      .collect().map(_.getLong(1))
+    assert(cellsPerCluster.forall(_ == 1L))
+  }
+
+  test("nProbe=1 search recalls brute-force top-k on clustered data") {
+    val model = IvfIndex.fit(clustered, nLists = 4)
+    val indexed = IvfIndex.assign(clustered, model)
+    val queries = clustered.filter(col("vec_id") < 4)
+    val ivf = IvfIndex.search(queries, indexed, model, k = 5, nProbe = 1)
+      .select("query_id", "vec_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val exact = Similarity.bruteForceTopK(queries, clustered, 5)
+      .select("query_id", "vec_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    // same-cluster neighbors dominate the exact top-5, so probing the
+    // single home cell reproduces it
+    assert(ivf == exact)
+  }
+
+  test("more probes never shrink the candidate set") {
+    val model = IvfIndex.fit(clustered, nLists = 4)
+    val indexed = IvfIndex.assign(clustered, model)
+    val queries = clustered.filter(col("vec_id") === 0)
+    val n1 = IvfIndex.search(queries, indexed, model, k = 100, nProbe = 1).count()
+    val n2 = IvfIndex.search(queries, indexed, model, k = 100, nProbe = 2).count()
+    val n4 = IvfIndex.search(queries, indexed, model, k = 100, nProbe = 4).count()
+    assert(n1 <= n2 && n2 <= n4)
+    assert(n4 == 100) // probing all cells = full corpus
+  }
+}
