@@ -2,25 +2,32 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** MinHash + banded LSH near-duplicate detection.
   *
   * Pipeline (all set-oriented, no driver state, no all-pairs scan):
   *   1. shingle: word n-grams of the tokenized text;
-  *   2. minhash: k independent signatures — `min(md5(seed || shingle))`
-  *      per seed, the min taken lexicographically over hex strings so
-  *      the same operator is expressible in any engine with md5();
-  *   3. band: signatures grouped into bands; each (band_id, band_key)
-  *      is a bucket key;
-  *   4. bucket join: docs sharing a bucket become candidate pairs —
-  *      the only join is an equi-join on the bucket key, so candidate
-  *      generation is a shuffle on short hash strings, never on text;
-  *   5. verify: exact shingle-set Jaccard on the candidates only.
+  *   2. base-hash: one md5 per shingle → 60-bit integer (expressible in
+  *      any engine with md5(), which is what makes the DuckDB oracle
+  *      exact);
+  *   3. minhash: k signatures as integer LCGs over the base hashes —
+  *      computed from the *distinct* base set (minimum is invariant
+  *      under duplicates), so signatures and the Jaccard-verify sets
+  *      share one corpus traversal;
+  *   4. band → bucket: each (band_id, band_key) groups its doc ids;
+  *      pairs are generated inside the bucket (sorted ids, upper
+  *      triangle) — a single shuffle keyed on short hash strings,
+  *      never on text, and no self-join that would recompute the
+  *      tokenize/md5 stage for each side;
+  *   5. verify: exact Jaccard over the distinct base-hash sets, joined
+  *      back by doc id.
   *
-  * Scale notes: the shuffle payload is doc_id + 32-byte keys. Popular
-  * buckets (boilerplate shingles) are the skew risk — AQE skew-join
-  * handles moderate cases; for pathological corpora cap bucket size
-  * upstream with a count filter before the self-join.
+  * Scale notes: the shuffle payload is doc_id + 32-byte band keys.
+  * Popular buckets (boilerplate shingles) are the skew risk — the
+  * bucket rows are materialized by a groupBy, so a size cap
+  * (`maxBucketSize`) bounds the quadratic in-bucket pair expansion;
+  * uncapped here because the oracle replicates the uncapped semantics.
   */
 object MinHashLSH {
 
@@ -62,50 +69,74 @@ object MinHashLSH {
     expr(s"array(${mins.mkString(", ")})")
   }
 
-  /** (doc_id, sh) — tokenized + shingled projection of the corpus. */
-  private def shingled(docs: DataFrame, idCol: String, textCol: String,
+  /** (doc_id, s) — the distinct 60-bit shingle base-hash set per doc:
+    * the single expensive corpus traversal (tokenize → shingle → md5)
+    * that every later stage (signatures, bands, Jaccard verify)
+    * derives from. */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), shingleExpr("toks", shingleN).as("sh"))
+      .select(col("doc_id"), array_distinct(baseHashExpr("sh")).as("s"))
 
-  /** Distinct candidate pairs (doc_a < doc_b) sharing ≥1 LSH bucket.
-    * `numHashes` signatures, banded `rowsPerBand` each. */
-  def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 1): DataFrame = {
+  /** Candidate pairs from a precomputed [[shingleSets]] projection:
+    * signatures → band keys → bucket groupBy → in-bucket upper-triangle
+    * expansion. `maxBucketSize > 0` drops pathological buckets (a
+    * bucket of m docs expands to m·(m−1)/2 pairs — at corpus scale cap
+    * this; boilerplate-heavy buckets carry no near-dup signal worth
+    * quadratic work). */
+  def candidatePairsFromSets(sets: DataFrame, numHashes: Int, rowsPerBand: Int,
+      maxBucketSize: Int = 0): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
-    LlmFunctions.registerMinHashSigs(docs.sparkSession)
+    LlmFunctions.registerMinHashSigs(sets.sparkSession)
     val numBands = numHashes / rowsPerBand
-    val mh = shingled(docs, idCol, textCol, shingleN)
-      .withColumn("bases", baseHashExpr("sh"))
-      // native single-traversal form of [[minhashExpr]]
-      .select(col("doc_id"), expr(s"minhash_sigs(bases, $numHashes)").as("mh"))
+    val mh = sets.select(col("doc_id"), expr(s"minhash_sigs(s, $numHashes)").as("mh"))
     val bandKey = expr(
       s"""transform(sequence(0, ${numBands - 1}),
          |  b -> concat_ws('|', transform(slice(mh, b * $rowsPerBand + 1, $rowsPerBand),
          |    x -> cast(x as string))))""".stripMargin)
     val bands = mh.select(col("doc_id"),
       posexplode(bandKey).as(Seq("band_id", "band_key")))
-    val left = bands.select(col("doc_id").as("doc_a"), col("band_id"), col("band_key"))
-    val right = bands.select(col("doc_id").as("doc_b"), col("band_id"), col("band_key"))
-    left.join(right, Seq("band_id", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
+    val buckets = bands.groupBy(col("band_id"), col("band_key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val capped =
+      if (maxBucketSize > 0) buckets.filter(size(col("ids")) <= maxBucketSize)
+      else buckets
+    capped
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1),
+          |    b -> struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
   }
+
+  /** Distinct candidate pairs (doc_a < doc_b) sharing ≥1 LSH bucket.
+    * `numHashes` signatures, banded `rowsPerBand` each. */
+  def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 1): DataFrame =
+    candidatePairsFromSets(shingleSets(docs, idCol, textCol, shingleN),
+      numHashes, rowsPerBand)
 
   /** Candidate pairs with their exact shingle-set Jaccard similarity
     * (fixed-point millionths), filtered at `minJaccardFp`. The sets
     * compared are the 60-bit base hashes, not the shingle strings —
     * same Jaccard up to ~1e-5 collision mass, and integer
     * intersect/union is several times cheaper than string sets at
-    * corpus scale. */
+    * corpus scale.
+    *
+    * The shingle-set projection is persisted (memory-and-disk) because
+    * three plan branches consume it: the signature path and both sides
+    * of the verify join. Long-lived sessions should
+    * `spark.catalog.clearCache()` between corpora; at cluster scale
+    * this is the natural checkpoint/materialization boundary. */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 1,
       minJaccardFp: Long = 0L): DataFrame = {
-    val pairs = candidatePairs(docs, idCol, textCol, shingleN, numHashes, rowsPerBand)
-    val sets = shingled(docs, idCol, textCol, shingleN)
-      .withColumn("bases", baseHashExpr("sh"))
-      .select(col("doc_id"), array_distinct(col("bases")).as("s"))
+    val sets = shingleSets(docs, idCol, textCol, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = candidatePairsFromSets(sets, numHashes, rowsPerBand)
     val jaccard = expr(
       """cast(floor(1000000.0 * cast(size(array_intersect(sa, sb)) as double)
         |  / cast(size(array_union(sa, sb)) as double)) as bigint)""".stripMargin)

@@ -86,8 +86,15 @@ object Similarity {
     * the small exploded key stream by 9, never the payload). */
   def embeddingNearDupPairs(vectors: DataFrame, minDotFp: Long, dim: Int): DataFrame = {
     LlmFunctions.registerDotFp(vectors.sparkSession)
-    val b = vectors.select(col("vec_id"), col("embedding"),
+    // The narrow (vec_id, bucket) projection is consumed twice (probe
+    // stream + bucket side of the candidate join) — persist it so the
+    // 8-plane projection runs once per vector. Only the 16-byte rows
+    // are cached, never the embedding payload; the payload joins below
+    // re-read the source, where parquet pruning makes the second scan
+    // cheap and the join stays inside one codegen stage.
+    val b = vectors.select(col("vec_id"),
       bucketExpr("embedding", dim).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probes = b.select(col("vec_id").as("vec_a"),
       explode(expr(
         s"""transform(sequence(0, $NumPlanes),
