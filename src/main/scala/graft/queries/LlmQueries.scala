@@ -76,16 +76,18 @@ object LlmQueries {
   }
 
   // ---- q28: winnowed rolling-hash document fingerprints ----
-  // No DuckDB oracle (iterative Rabin–Karp isn't SQL-expressible);
-  // the driver records the weaker rows-only check, and
-  // FingerprintSpec pins the algorithm's properties.
+  // Oracle-checked end-to-end: the rolling hash is a fixed 16-term
+  // polynomial, so the DuckDB side embeds the Base^k mod M constants
+  // and replays the winnowing window scan with list functions. The
+  // xor-fold certifies the fingerprint *values*, not just counts.
   def q28Fingerprints(s: SparkSession, dir: String): DataFrame = {
     graft.llm.Fingerprint.register(s)
     graft.Tables.documents(s, dir)
+      .select(col("doc_id"), expr("doc_fingerprints(text)").as("fps"))
       .select(col("doc_id"),
-        expr("size(doc_fingerprints(text))").cast("bigint").as("n_fps"),
-        expr("fingerprint_containment_fp(doc_fingerprints(text), doc_fingerprints(text))")
-          .as("self_containment_fp"))
+        size(col("fps")).cast("bigint").as("n_fps"),
+        expr("aggregate(fps, 0L, (a, x) -> a ^ x)").as("fp_xor"),
+        expr("fingerprint_containment_fp(fps, fps)").as("self_containment_fp"))
   }
 
   // ---- q31: SimHash 64-bit banded near-dup pairs (rows-only) ----
@@ -170,6 +172,52 @@ object LlmQueries {
       s"+ CASE WHEN ($stopFpSql) BETWEEN 20000 AND 400000 THEN 400000 ELSE 100000 END " +
       "+ CASE WHEN length(text) >= 100 THEN 200000 ELSE 50000 END)"
 
+  /** DuckDB replay of Fingerprint.{rollingHashes,winnow}: the 16-term
+    * polynomial hash with embedded Base^k mod M literals (HUGEINT
+    * intermediate — terms reach 2^69), then the rightmost-min
+    * winnowing scan. Winnowing's selected positions are monotonically
+    * non-decreasing, so deduping consecutive equal positions is
+    * exactly the reference's lastPos check. */
+  private val q28Sql: String = {
+    val W = graft.llm.Fingerprint.DefaultWindow
+    val G = graft.llm.Fingerprint.DefaultGuarantee
+    val M = (1L << 61) - 1
+    val Base = 1000003L
+    def powMod(e: Int): Long = {
+      var r = 1L; var i = 0
+      while (i < e) { r = (BigInt(r) * Base % M).toLong; i += 1 }
+      r
+    }
+    val terms = (0 until W)
+      .map(j => s"CAST(${powMod(W - 1 - j)} AS HUGEINT) * b[i + ${j + 1}]")
+      .mkString(" + ")
+    val psExpr =
+      s"""list_transform(range(0, n - ${G - 1}),
+         |  i -> i::BIGINT + $G - list_position(list_reverse(hs[i+1:i+$G]),
+         |    list_min(hs[i+1:i+$G])) + 1)""".stripMargin
+    s"""WITH by AS (SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+       |  octet_length(encode(coalesce(text, ''))) AS nb FROM documents),
+       |bl AS (SELECT doc_id, nb,
+       |  list_transform(range(0, nb), i -> ('0x' || substr(hx, 2*i::INT + 1, 2))::BIGINT) AS b
+       |  FROM by),
+       |hsx AS (SELECT doc_id, CASE WHEN nb < $W THEN CAST([] AS BIGINT[])
+       |  ELSE list_transform(range(0, nb - ${W - 1}),
+       |    i -> CAST(($terms) % $M AS BIGINT)) END AS hs FROM bl),
+       |nn AS (SELECT doc_id, hs, len(hs) AS n FROM hsx),
+       |p AS (SELECT doc_id, hs, n,
+       |  CASE WHEN n <= $G THEN CAST([] AS BIGINT[]) ELSE $psExpr END AS ps FROM nn),
+       |f AS (SELECT doc_id,
+       |  CASE WHEN n = 0 THEN CAST([] AS BIGINT[])
+       |       WHEN n <= $G THEN [list_min(hs)]
+       |       ELSE list_transform(
+       |         list_filter(range(1, len(ps)::BIGINT + 1), k -> k = 1 OR ps[k::INT] != ps[k::INT - 1]),
+       |         k -> hs[ps[k::INT]::INT]) END AS fps FROM p)
+       |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+       |  CAST(coalesce(list_aggregate(fps, 'bit_xor'), 0) AS BIGINT) AS fp_xor,
+       |  CAST(CASE WHEN len(fps) = 0 THEN 0 ELSE 1000000 END AS BIGINT) AS self_containment_fp
+       |FROM f""".stripMargin
+  }
+
   private val langCaseSql = {
     val hits = TextAnalysis.LangProfiles.map { case (l, ws) => l -> hitsSql(ws) }
     // cascade: profile k fires iff its hits >= every later profile's
@@ -219,6 +267,7 @@ object LlmQueries {
          | $meanTokLenFpSql AS mean_tok_len_fp,
          | CAST(len(toks) AS BIGINT) AS n_tokens
          |FROM (SELECT doc_id, text, $toksSql AS toks FROM documents) t""".stripMargin,
+    "q28_fingerprints" -> q28Sql,
     // mirrors the decode STUB exactly (Multimodal.decodeDims/frameCount
     // are deterministic functions of the payload byte length)
     "q27_multimodal" ->
