@@ -1,6 +1,7 @@
 package graft.llm
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** SimHash near-duplicate fingerprinting.
   *
@@ -58,5 +59,35 @@ object SimHash {
   def register(spark: SparkSession): Unit = {
     spark.udf.register("simhash64", (toks: Seq[String]) => simhash64(toks))
     spark.udf.register("hamming64", (a: Long, b: Long) => hamming64(a, b))
+  }
+
+  /** Near-duplicate pairs at Hamming distance ≤ `maxHamming`: one
+    * simhash per doc, 4×16-bit band explode, bucket groupBy with
+    * in-bucket upper-triangle expansion (the fingerprint rides along —
+    * 8 bytes — so the verify needs no join back), then the popcount
+    * filter. Single corpus traversal, one shuffle keyed on (band_id,
+    * band_val); same shape as [[MinHashLSH.candidatePairsFromSets]]. */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 12): DataFrame = {
+    register(docs.sparkSession)
+    val sh = docs.select(col(idCol).as("doc_id"), expr(
+      s"""simhash64(CASE WHEN length(trim($textCol)) = 0 THEN array()
+         | ELSE split(trim($textCol), '\\\\s+') END)""".stripMargin).as("sh"))
+    val bands = sh.select(col("doc_id"), col("sh"), posexplode(expr(
+      "transform(sequence(0, 3), b -> shiftright(sh, 16 * b) & 65535L)"))
+      .as(Seq("band_id", "band_val")))
+    val buckets = bands.groupBy(col("band_id"), col("band_val"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sh")))).as("xs"))
+      .filter(size(col("xs")) >= 2)
+    buckets
+      .select(explode(expr(
+        """flatten(transform(xs, (a, i) ->
+          |  transform(slice(xs, i + 2, size(xs) - i - 1),
+          |    b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |                a.sh AS sh_a, b.sh AS sh_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        expr("hamming64(p.sh_a, p.sh_b)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 }

@@ -90,33 +90,15 @@ object LlmQueries {
         expr("fingerprint_containment_fp(fps, fps)").as("self_containment_fp"))
   }
 
-  // ---- q31: SimHash 64-bit banded near-dup pairs (rows-only) ----
-  // The production simhash path end-to-end: FNV-based fingerprint UDF
-  // → 4×16-bit band explode → bucket equi-join → hamming verify. FNV
-  // isn't available in DuckDB, so no oracle; the 16-bit relational
-  // formulation (q22) carries the oracle-checked proof and
-  // SimilaritySpec pins behavior on planted near-dups.
-  def q31SimhashPairs(s: SparkSession, dir: String): DataFrame = {
-    graft.llm.SimHash.register(s)
-    val docs = graft.Tables.documents(s, dir)
-      .select(col("doc_id"), expr(
-        "simhash64(CASE WHEN length(trim(text)) = 0 THEN array() " +
-          "ELSE split(trim(text), '\\\\s+') END)").as("sh"))
-    val bands = docs.select(col("doc_id"), col("sh"),
-      posexplode(expr(
-        "transform(sequence(0, 3), b -> shiftright(sh, 16 * b) & 65535L)"))
-        .as(Seq("band_id", "band_val")))
-    val left = bands.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
-      col("band_id"), col("band_val"))
-    val right = bands.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
-      col("band_id"), col("band_val"))
-    left.join(right, Seq("band_id", "band_val"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        expr("hamming64(sh_a, sh_b)").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= 12)
-  }
+  // ---- q31: SimHash 64-bit banded near-dup pairs ----
+  // The production simhash path end-to-end: FNV-1a fingerprint UDF →
+  // 4×16-bit band explode → bucket groupBy → hamming verify.
+  // Oracle-checked: FNV-1a's per-byte fold is replayed in DuckDB with
+  // list_reduce over HUGEINT (the 40-bit prime keeps products inside
+  // int128), see q31Sql.
+  def q31SimhashPairs(s: SparkSession, dir: String): DataFrame =
+    graft.llm.SimHash.nearDupPairs(graft.Tables.documents(s, dir),
+      "doc_id", "text", maxHamming = 12)
 
   // ---- q32: composed curation pipeline (quality → dedup → stats) ----
   // the realistic corpus-curation shape: threshold on quality, keep
@@ -218,6 +200,49 @@ object LlmQueries {
        |FROM f""".stripMargin
   }
 
+  /** DuckDB replay of SimHash.{fnv1a64,simhash64} + the band/bucket
+    * pair generation. FNV-1a is a per-byte fold — expressed with
+    * list_reduce over HUGEINT state (h < 2^64, prime 0x100000001b3 is
+    * 40 bits, so h·prime < 2^104 fits int128); the xor touches only
+    * the low 32 bits (bytes < 256), so it runs on a BIGINT-cast slice
+    * of the state. Bit 63 of the final simhash maps to the sign bit of
+    * the BIGINT Spark produces. */
+  private val q31Sql: String = {
+    val fnvSql =
+      """list_reduce(
+        |  list_concat([CAST('14695981039346656037' AS HUGEINT)],
+        |    list_transform(range(0, octet_length(encode(w))),
+        |      i -> ('0x' || substr(hex(encode(w)), 2*i::INT + 1, 2))::BIGINT::HUGEINT)),
+        |  (h, b) -> ((h // 4294967296) * 4294967296
+        |    + CAST(xor(CAST(h % 4294967296 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+        |    * 1099511628211 % CAST('18446744073709551616' AS HUGEINT))""".stripMargin
+    // BigInt: bit 63's divisor is 2^63, which overflows a Long literal
+    val sums = (0 until 64).map { j =>
+      s"sum(CASE WHEN (h // CAST('${BigInt(1) << j}' AS HUGEINT) % 2) = 1 THEN 1 ELSE -1 END) AS s$j"
+    }.mkString(", ")
+    val valLo = (0 until 63)
+      .map(j => s"(CASE WHEN s$j > 0 THEN CAST('${1L << j}' AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    val value =
+      s"($valLo) + (CASE WHEN s63 > 0 THEN CAST('-9223372036854775808' AS BIGINT) ELSE 0 END)"
+    // unsigned view of the signed fingerprint, for band extraction
+    val uh = "CASE WHEN sh < 0 THEN sh::HUGEINT + CAST('18446744073709551616' AS HUGEINT) " +
+      "ELSE sh::HUGEINT END"
+    s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+       |h AS (SELECT doc_id, $fnvSql AS h FROM tk),
+       |agg AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+       |sh AS (SELECT d.doc_id, coalesce($value, 0) AS sh
+       |  FROM documents d LEFT JOIN agg USING (doc_id)),
+       |bands AS (SELECT doc_id, sh, b AS band_id,
+       |  CAST(($uh // CAST(2**(16*b) AS HUGEINT)) % 65536 AS BIGINT) AS band_val
+       |  FROM sh, unnest(range(0, 4)) AS u(b))
+       |SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.sh, c.sh)) AS INTEGER) AS hamming
+       |FROM bands a JOIN bands c
+       |  ON a.band_id = c.band_id AND a.band_val = c.band_val AND a.doc_id < c.doc_id
+       |WHERE bit_count(xor(a.sh, c.sh)) <= 12""".stripMargin
+  }
+
   private val langCaseSql = {
     val hits = TextAnalysis.LangProfiles.map { case (l, ws) => l -> hitsSql(ws) }
     // cascade: profile k fires iff its hits >= every later profile's
@@ -268,6 +293,7 @@ object LlmQueries {
          | CAST(len(toks) AS BIGINT) AS n_tokens
          |FROM (SELECT doc_id, text, $toksSql AS toks FROM documents) t""".stripMargin,
     "q28_fingerprints" -> q28Sql,
+    "q31_simhash_pairs" -> q31Sql,
     // mirrors the decode STUB exactly (Multimodal.decodeDims/frameCount
     // are deterministic functions of the payload byte length)
     "q27_multimodal" ->

@@ -28,9 +28,9 @@ class SparkEntrySpec extends AnyFunSuite {
     }
   }
 
-  test("rows-only queries (no oracle) are the documented set") {
+  test("every query has a DuckDB oracle (no weaker rows-only checks)") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("q28_fingerprints", "q31_simhash_pairs"),
+    assert(rowsOnly.isEmpty,
       s"unexpected rows-only queries: $rowsOnly — add an oracle or document why not")
   }
 }
