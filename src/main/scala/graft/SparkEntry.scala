@@ -24,7 +24,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.GeoQueries.queries ++
       graft.queries.LlmQueries.queries ++
-      graft.queries.SimilarityQueries.queries
+      graft.queries.SimilarityQueries.queries ++
+      graft.queries.TemporalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -33,5 +34,6 @@ object SparkEntry {
     graft.queries.Relational.oracleSql ++
       graft.queries.GeoQueries.oracleSql ++
       graft.queries.LlmQueries.oracleSql ++
-      graft.queries.SimilarityQueries.oracleSql
+      graft.queries.SimilarityQueries.oracleSql ++
+      graft.queries.TemporalQueries.oracleSql
 }

@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.temporal.{AsofJoin, RangeJoin}
+
+/** Temporal join queries over the `events` table: backward as-of join
+  * and bucketed range join — the two interval-predicate shapes a
+  * training-data/eventstream pipeline needs that Spark has no native
+  * operator for. Both oracle-checked (DuckDB expresses them as plain
+  * inequality joins + windows; the Spark side uses the scale
+  * formulations from [[graft.temporal]]).
+  */
+object TemporalQueries {
+
+  private val WindowUs = 300000000L // 5 minutes
+
+  /** Events projected to integer microseconds (deterministic across
+    * engines: the oracle mirrors with epoch_ns(ts)//1000). */
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+
+  // ---- q34: backward as-of join — purchase ← latest prior click ----
+  def q34AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("us"))
+    AsofJoin.asofBackward(purchases, clicks, Seq("user_id"), "us", "event_id")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("asof.event_id").as("click_id"),
+        (col("us") - col("asof.us")).as("gap_us"))
+  }
+
+  // ---- q35: bucketed range join — events preceding each error ----
+  def q35RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("us"))
+    RangeJoin.countPreceding(errors, e.select(col("user_id"), col("us")),
+      Seq("user_id"), "us", WindowUs)
+      .select(col("event_id"), col("user_id"), col("n_in_window"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_asof_join"  -> q34AsofJoin _,
+    "q35_range_join" -> q35RangeJoin _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // plain inequality join + window with the identical tie rule
+    // (max ts, then max event_id) — exact semantics, small-scale form
+    "q34_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_ns(ts) // 1000 AS us FROM events),
+        |p AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'click'),
+        |j AS (SELECT p.event_id AS purchase_id, p.user_id,
+        |    c.event_id AS click_id, p.us - c.us AS gap_us,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY c.us DESC, c.event_id DESC) AS rn
+        |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.us <= p.us)
+        |SELECT purchase_id, user_id, click_id, gap_us FROM j WHERE rn = 1""".stripMargin,
+    "q35_range_join" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type,
+         |    epoch_ns(ts) // 1000 AS us FROM events),
+         |l AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'error')
+         |SELECT l.event_id, l.user_id, count(r.us) AS n_in_window
+         |FROM l LEFT JOIN e r ON r.user_id = l.user_id
+         |  AND r.us >= l.us - $WindowUs AND r.us < l.us
+         |GROUP BY l.event_id, l.user_id""".stripMargin,
+  )
+}

@@ -1,0 +1,63 @@
+package graft.temporal
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+/** Planted-fixture semantics tests for the temporal join operators:
+  * inclusive backward match, max-(ts, tie) tie-break, null on no
+  * match, half-open range window, and bucket-boundary correctness.
+  */
+class TemporalSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  test("asofBackward picks the latest right row at or before each left ts") {
+    val left = Seq((1L, 10L, 100L), (1L, 11L, 205L), (2L, 12L, 50L))
+      .toDF("user", "id", "ts")
+    val right = Seq((1L, 20L, 100L), (1L, 21L, 150L), (1L, 22L, 300L), (3L, 23L, 10L))
+      .toDF("user", "id", "ts")
+    val out = AsofJoin.asofBackward(left, right, Seq("user"), "ts", "id")
+      .select(col("id"), col("asof.id").as("match_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(10L) === Some(20L)) // inclusive: right at exactly ts=100
+    assert(out(11L) === Some(21L)) // 150 <= 205, 300 excluded
+    assert(out(12L) === None)      // user 2 has no right rows
+  }
+
+  test("asofBackward tie-break: equal right timestamps resolve to max tie id") {
+    val left = Seq((1L, 10L, 100L)).toDF("user", "id", "ts")
+    val right = Seq((1L, 20L, 100L), (1L, 25L, 100L), (1L, 22L, 100L))
+      .toDF("user", "id", "ts")
+    val out = AsofJoin.asofBackward(left, right, Seq("user"), "ts", "id")
+      .select(col("asof.id")).as[Long].collect()
+    assert(out.toSeq === Seq(25L))
+  }
+
+  test("countPreceding: half-open window, zero-count rows kept, boundary exact") {
+    val w = 100L
+    val left = Seq((1L, 10L, 1000L), (1L, 11L, 1100L), (2L, 12L, 500L))
+      .toDF("user", "id", "ts")
+    // for left ts=1000, window is [900, 1000): 900 in, 999 in, 1000 out
+    val right = Seq((1L, 900L), (1L, 999L), (1L, 1000L), (1L, 1050L), (3L, 950L))
+      .toDF("user", "ts")
+    val out = RangeJoin.countPreceding(left, right, Seq("user"), "ts", w)
+      .select(col("id"), col("n_in_window")).as[(Long, Long)].collect().toMap
+    assert(out(10L) === 2L) // 900 and 999
+    assert(out(11L) === 2L) // [1000, 1100): 1000 and 1050
+    assert(out(12L) === 0L) // user 2: nothing
+  }
+
+  test("countPreceding matches a brute-force inequality join on random data") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 400).map(i => (rnd.nextInt(5).toLong, i.toLong, rnd.nextInt(2000).toLong))
+    val df = rows.toDF("user", "id", "ts")
+    val got = RangeJoin.countPreceding(df, df.select(col("user"), col("ts")),
+      Seq("user"), "ts", 150L)
+      .select(col("id"), col("n_in_window")).as[(Long, Long)].collect().toMap
+    val want = rows.map { case (u, id, ts) =>
+      id -> rows.count { case (u2, _, ts2) => u2 == u && ts2 >= ts - 150L && ts2 < ts }.toLong
+    }.toMap
+    assert(got === want)
+  }
+}
