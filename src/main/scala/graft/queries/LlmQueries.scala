@@ -100,6 +100,28 @@ object LlmQueries {
     graft.llm.SimHash.nearDupPairs(graft.Tables.documents(s, dir),
       "doc_id", "text", maxHamming = 12)
 
+  // ---- q36: distinctive terms per language (TF-IDF-shaped) ----
+  // Integer arithmetic throughout so the score is engine-exact:
+  // score = floor(1e6 * tf_lang / tf_total). Token counts shuffle on
+  // (lang, token) with map-side partial aggregation; the corpus text
+  // never shuffles. Top-k per language by (score, tf, token) — ties
+  // broken lexically so the result is deterministic.
+  def q36DistinctiveTerms(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = graft.Tables.documents(s, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("tf"))
+    val scored = tf.withColumn("tf_total",
+      sum(col("tf")).over(Window.partitionBy(col("w"))))
+      .withColumn("score",
+        expr("cast(floor(1000000.0 * cast(tf as double) / cast(tf_total as double)) as bigint)"))
+    val rank = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("tf").desc, col("w").asc)
+    scored.withColumn("rn", row_number().over(rank))
+      .filter(col("rn") <= 10)
+      .select(col("lang"), col("w"), col("tf"), col("score"), col("rn"))
+  }
+
   // ---- q32: composed curation pipeline (quality → dedup → stats) ----
   // the realistic corpus-curation shape: threshold on quality, keep
   // one doc per normalized fingerprint, then per-language counts —
@@ -124,6 +146,7 @@ object LlmQueries {
     "q28_fingerprints" -> q28Fingerprints _,
     "q31_simhash_pairs" -> q31SimhashPairs _,
     "q32_curation"     -> q32CurationPipeline _,
+    "q36_distinctive_terms" -> q36DistinctiveTerms _,
   )
 
   /** DuckDB token expression mirroring TextAnalysis.tokens. */
@@ -294,6 +317,20 @@ object LlmQueries {
          |FROM (SELECT doc_id, text, $toksSql AS toks FROM documents) t""".stripMargin,
     "q28_fingerprints" -> q28Sql,
     "q31_simhash_pairs" -> q31Sql,
+    "q36_distinctive_terms" ->
+      s"""WITH tf AS (SELECT lang, w, count(*) AS tf FROM (
+         |    SELECT lang, unnest($toksSql) AS w FROM documents) t
+         |  GROUP BY lang, w),
+         |scored AS (SELECT lang, w, tf,
+         |    CAST(floor(1000000.0 * CAST(tf AS DOUBLE)
+         |      / CAST(sum(tf) OVER (PARTITION BY w) AS DOUBLE)) AS BIGINT) AS score
+         |  FROM tf),
+         |ranked AS (SELECT lang, w, tf, score,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY score DESC, tf DESC, w ASC) AS rn
+         |  FROM scored)
+         |SELECT lang, w, tf, score, CAST(rn AS INTEGER) AS rn
+         |FROM ranked WHERE rn <= 10""".stripMargin,
     // mirrors the decode STUB exactly (Multimodal.decodeDims/frameCount
     // are deterministic functions of the payload byte length)
     "q27_multimodal" ->
