@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.llm.expressions.{DotFpExpr, MinHashSigsExpr}
+import graft.llm.expressions.{DotFpExpr, InterCountExpr, MinHashSigsExpr, ShingleBasesExpr}
 
 /** SQL registration surface for the LLM-pipeline functions (same
   * pattern as `graft.geo.GeoFunctions`). */
@@ -13,12 +13,46 @@ object LlmFunctions {
 
   val DotFp = "dot_fp"
   val MinHashSigs = "minhash_sigs"
+  val ShingleBases = "shingle_bases"
+
+  val InterCount = "inter_count"
 
   def registerAll(spark: SparkSession): Unit = {
     registerDotFp(spark)
     registerMinHashSigs(spark)
+    registerShingleBases(spark)
+    registerInterCount(spark)
     SimHash.register(spark)
     Fingerprint.register(spark)
+  }
+
+  /** `inter_count(a, b)` — sorted-array intersection cardinality. */
+  def registerInterCount(spark: SparkSession): Unit = {
+    val info = new ExpressionInfo(classOf[InterCountExpr].getName, InterCount)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(InterCount),
+      info,
+      (children: Seq[Expression]) => {
+        require(children.size == 2, s"$InterCount takes exactly 2 arguments")
+        InterCountExpr(children.head, children(1))
+      })
+  }
+
+  /** `shingle_bases(text, n)` — n must be an integer literal. */
+  def registerShingleBases(spark: SparkSession): Unit = {
+    val info = new ExpressionInfo(classOf[ShingleBasesExpr].getName, ShingleBases)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(ShingleBases),
+      info,
+      (children: Seq[Expression]) => {
+        require(children.size == 2, s"$ShingleBases takes exactly 2 arguments")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"$ShingleBases: shingleN must be an INT literal, got $other")
+        }
+        ShingleBasesExpr(children.head, n)
+      })
   }
 
   /** `minhash_sigs(bases, k)` — k must be an integer literal. */

@@ -72,12 +72,18 @@ object MinHashLSH {
   /** (doc_id, s) — the distinct 60-bit shingle base-hash set per doc:
     * the single expensive corpus traversal (tokenize → shingle → md5)
     * that every later stage (signatures, bands, Jaccard verify)
-    * derives from. */
+    * derives from. Uses the native `shingle_bases` expression
+    * ([[graft.llm.expressions.ShingleBasesExpr]]) — bit-identical to
+    * `array_distinct(baseHashExpr(shingleExpr(tokens(text))))` but one
+    * codegen'd loop instead of four interpreted HOF passes. */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"), shingleExpr("toks", shingleN).as("sh"))
-      .select(col("doc_id"), array_distinct(baseHashExpr("sh")).as("s"))
+      shingleN: Int): DataFrame = {
+    LlmFunctions.registerShingleBases(docs.sparkSession)
+    // sorted: the Jaccard verify's `inter_count` is a merge walk over
+    // sorted inputs; minhash is order-invariant so nothing else cares
+    docs.select(col(idCol).as("doc_id"),
+      sort_array(array_distinct(expr(s"shingle_bases($textCol, $shingleN)"))).as("s"))
+  }
 
   /** Candidate pairs from a precomputed [[shingleSets]] projection:
     * signatures → band keys → bucket groupBy → in-bucket upper-triangle
@@ -134,15 +140,21 @@ object MinHashLSH {
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 1,
       minJaccardFp: Long = 0L): DataFrame = {
+    LlmFunctions.registerInterCount(docs.sparkSession)
     val sets = shingleSets(docs, idCol, textCol, shingleN)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val pairs = candidatePairsFromSets(sets, numHashes, rowsPerBand)
+    // |a ∪ b| = |a| + |b| − |a ∩ b| for distinct sets, so one merge
+    // walk (`inter_count`, sorted inputs) replaces the hash-building
+    // array_intersect + array_union pair per candidate
     val jaccard = expr(
-      """cast(floor(1000000.0 * cast(size(array_intersect(sa, sb)) as double)
-        |  / cast(size(array_union(sa, sb)) as double)) as bigint)""".stripMargin)
+      """cast(floor(1000000.0 * cast(i as double)
+        |  / cast(size(sa) + size(sb) - i as double)) as bigint)""".stripMargin)
     pairs
       .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"),
+        expr("inter_count(sa, sb)").as("i"))
       .select(col("doc_a"), col("doc_b"), jaccard.as("jaccard_fp"))
       .filter(col("jaccard_fp") >= minJaccardFp)
   }

@@ -103,7 +103,7 @@ object SimilarityQueries {
        |sets AS (SELECT doc_id, list_distinct(bases) AS s FROM bs)
        |SELECT doc_a, doc_b,
        |  CAST(floor(1000000.0 * CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-       |    / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE)) AS BIGINT) AS jaccard_fp
+       |    / CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE)) AS BIGINT) AS jaccard_fp
        |FROM pairs JOIN sets sa ON doc_a = sa.doc_id JOIN sets sb ON doc_b = sb.doc_id""".stripMargin
   }
 
