@@ -124,4 +124,24 @@ object TextAnalysis {
     }.mkString(" ")
     expr(s"element_at(transform(array($hitsExpr), h -> case $branches else 'und' end), 1)")
   }
+
+  /** Word 3-grams of a token array — strict (no collapse below 3
+    * tokens, unlike the LSH shingles): repetition statistics want
+    * "no 3-grams" for short docs, not a degenerate one. */
+  def word3grams(toksCol: String): Column =
+    expr(
+      s"""CASE WHEN size($toksCol) >= 3
+         | THEN transform(sequence(0, size($toksCol) - 3),
+         |   i -> concat_ws(' ', slice($toksCol, i + 1, 3)))
+         | ELSE array() END""".stripMargin)
+
+  /** Fraction (millionths) of word 3-grams that are repeats of an
+    * earlier 3-gram in the same doc — the Gopher-style repetition
+    * signal. Row-local list arithmetic, no shuffle. */
+  def dup3gramFp(gramsCol: String): Column =
+    expr(
+      s"""CASE WHEN size($gramsCol) = 0 THEN 0L
+         | ELSE cast(floor(1000000.0 *
+         |   cast(size($gramsCol) - size(array_distinct($gramsCol)) as double)
+         |   / cast(size($gramsCol) as double)) as bigint) END""".stripMargin)
 }

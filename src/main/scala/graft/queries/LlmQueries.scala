@@ -122,6 +122,31 @@ object LlmQueries {
       .select(col("lang"), col("w"), col("tf"), col("score"), col("rn"))
   }
 
+  // ---- q37: repetition statistics (Gopher-style filters) ----
+  // Two repetition signals per doc, both integer fixed-point:
+  // duplicate word-3-gram fraction (row-local list arithmetic, zero
+  // shuffle) and top-token frequency (explode → two-level partial
+  // aggregation on (doc_id, token) then (doc_id) — the only shuffle,
+  // keyed on ids+tokens, never text). Docs with no tokens keep 0s via
+  // the left join back to the corpus.
+  def q37Repetition(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.documents(s, dir)
+    val grams = d
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), word3grams("toks").as("g3"))
+      .select(col("doc_id"), size(col("g3")).cast("bigint").as("n_3grams"),
+        dup3gramFp("g3").as("dup_3gram_fp"))
+    val topTok = d
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(expr("cast(floor(1000000.0 * cast(max(c) as double) / cast(sum(c) as double)) as bigint)")
+        .as("top_tok_fp"))
+    grams.join(topTok, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_3grams"), col("dup_3gram_fp"),
+        coalesce(col("top_tok_fp"), lit(0L)).as("top_tok_fp"))
+  }
+
   // ---- q32: composed curation pipeline (quality → dedup → stats) ----
   // the realistic corpus-curation shape: threshold on quality, keep
   // one doc per normalized fingerprint, then per-language counts —
@@ -147,6 +172,7 @@ object LlmQueries {
     "q31_simhash_pairs" -> q31SimhashPairs _,
     "q32_curation"     -> q32CurationPipeline _,
     "q36_distinctive_terms" -> q36DistinctiveTerms _,
+    "q37_repetition"   -> q37Repetition _,
   )
 
   /** DuckDB token expression mirroring TextAnalysis.tokens. */
@@ -317,6 +343,27 @@ object LlmQueries {
          |FROM (SELECT doc_id, text, $toksSql AS toks FROM documents) t""".stripMargin,
     "q28_fingerprints" -> q28Sql,
     "q31_simhash_pairs" -> q31Sql,
+    "q37_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id,
+         |    CASE WHEN len(toks) >= 3
+         |      THEN list_transform(range(1, len(toks) - 1),
+         |        i -> array_to_string(toks[i:i+2], ' '))
+         |      ELSE [] END AS g3 FROM t),
+         |gs AS (SELECT doc_id, CAST(len(g3) AS BIGINT) AS n_3grams,
+         |    CASE WHEN len(g3) = 0 THEN 0
+         |      ELSE CAST(floor(1000000.0 *
+         |        CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+         |        / CAST(len(g3) AS DOUBLE)) AS BIGINT) END AS dup_3gram_fp FROM g),
+         |tk AS (SELECT doc_id, unnest(toks) AS w FROM t),
+         |c AS (SELECT doc_id, w, count(*) AS c FROM tk GROUP BY doc_id, w),
+         |m AS (SELECT doc_id,
+         |    CAST(floor(1000000.0 * CAST(max(c) AS DOUBLE)
+         |      / CAST(sum(c) AS DOUBLE)) AS BIGINT) AS top_tok_fp
+         |  FROM c GROUP BY doc_id)
+         |SELECT gs.doc_id, gs.n_3grams, gs.dup_3gram_fp,
+         |  coalesce(m.top_tok_fp, 0) AS top_tok_fp
+         |FROM gs LEFT JOIN m ON gs.doc_id = m.doc_id""".stripMargin,
     "q36_distinctive_terms" ->
       s"""WITH tf AS (SELECT lang, w, count(*) AS tf FROM (
          |    SELECT lang, unnest($toksSql) AS w FROM documents) t

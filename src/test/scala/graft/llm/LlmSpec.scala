@@ -62,4 +62,20 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
       .collect()(0).getLong(0)
     assert(v == 333333L)
   }
+
+  test("repetition stats: duplicate 3-gram fraction on planted docs") {
+    import spark.implicits._
+    val d = Seq(
+      "a b c a b c a b c",  // 7 3-grams: abc bca cab abc bca cab abc → 3 distinct → 4 dup
+      "x y z w",            // 2 distinct 3-grams, 0 dup
+      "one two",            // < 3 tokens → 0 3-grams
+      "").toDF("text")
+    val rows = d
+      .select(TextAnalysis.tokens(col("text")).as("toks"))
+      .select(TextAnalysis.word3grams("toks").as("g3"))
+      .select(org.apache.spark.sql.functions.size(col("g3")).as("n"),
+        TextAnalysis.dup3gramFp("g3").as("fp"))
+      .as[(Int, Long)].collect().toSeq
+    assert(rows == Seq((7, 571428L), (2, 0L), (0, 0L), (0, 0L)))
+  }
 }
