@@ -5,7 +5,9 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.geo.expressions.WkbGeomTypeExpr
-import graft.llm.expressions.DotFpExpr
+import graft.llm.expressions.{DotFpExpr, InterCountExpr, MinHashSigsExpr, ShingleBasesExpr}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.IntegerType
 
 /** Spark extensions entry point: installs the engine's native Catalyst
   * expressions into every session of the application via
@@ -40,5 +42,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "dot_fp takes exactly 2 arguments")
         DotFpExpr(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier(graft.llm.LlmFunctions.MinHashSigs),
+      new ExpressionInfo(classOf[MinHashSigsExpr].getName,
+        graft.llm.LlmFunctions.MinHashSigs),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "minhash_sigs takes exactly 2 arguments")
+        MinHashSigsExpr(children.head, intLiteral(children(1), "minhash_sigs"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier(graft.llm.LlmFunctions.ShingleBases),
+      new ExpressionInfo(classOf[ShingleBasesExpr].getName,
+        graft.llm.LlmFunctions.ShingleBases),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "shingle_bases takes exactly 2 arguments")
+        ShingleBasesExpr(children.head, intLiteral(children(1), "shingle_bases"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier(graft.llm.LlmFunctions.InterCount),
+      new ExpressionInfo(classOf[InterCountExpr].getName,
+        graft.llm.LlmFunctions.InterCount),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "inter_count takes exactly 2 arguments")
+        InterCountExpr(children.head, children(1))
+      }))
+  }
+
+  private def intLiteral(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected an INT literal argument, got $other")
   }
 }

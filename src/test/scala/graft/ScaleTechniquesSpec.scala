@@ -85,6 +85,12 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkTestSession {
     val t = fresh.sql(
       "SELECT get_wkb_geom_type(unhex('010100000000000000000024400000000000003440'))")
     assert(t.collect()(0).getString(0) == "Point")
+    assert(fresh.sql("SELECT size(minhash_sigs(array(1L), 4))")
+      .collect()(0).getInt(0) == 4)
+    assert(fresh.sql("SELECT inter_count(array(1L, 2L), array(2L, 3L))")
+      .collect()(0).getInt(0) == 1)
+    assert(fresh.sql("SELECT size(shingle_bases('a b c d', 3))")
+      .collect()(0).getInt(0) == 2)
     // while a UDF-backed function is absent until registerAll is called
     intercept[Exception] {
       fresh.sql("SELECT curved_to_linear_wkb(unhex('01'), 5.0D)").collect()
