@@ -42,4 +42,53 @@ object Dedup {
   def byFingerprint(df: DataFrame, textCol: String, tieBreak: String): DataFrame =
     exact(df.withColumn("__fp", fingerprint(col(textCol))), Seq("__fp"), tieBreak)
       .drop("__fp")
+
+  /** Connected components of a near-duplicate graph: every vertex is
+    * labeled with the smallest id reachable through the edge set —
+    * the cluster key for transitive dedup ("A≈B, B≈C ⇒ keep one of
+    * A,B,C", which pairwise dedup alone cannot express).
+    *
+    * Algorithm: min-label propagation to fixpoint. Each round joins
+    * the current labels across the (symmetrized) edges, takes the
+    * neighborhood minimum, and stops when no label changed. Rounds
+    * needed = graph diameter (near-dup clusters are shallow — a
+    * handful). Everything is hash-joins and aggregations keyed on
+    * ids; each round ends in an eager `localCheckpoint` so the plan
+    * does not grow with the iteration count (the standard Spark
+    * iterative-algorithm guard; on a cluster use
+    * `spark.cleaner.referenceTracking` defaults and checkpoint dirs
+    * for fault tolerance instead).
+    *
+    * The converged fixpoint is unique, so results are deterministic
+    * under any partitioning — the DuckDB oracle computes the same
+    * labels via a recursive transitive-closure CTE.
+    *
+    * `vertices`: one `doc_id` per row. `edges`: (doc_a, doc_b) pairs.
+    * Returns (doc_id, cluster_id). */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = vertices.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nbr")), "dst")
+        .groupBy(col("src").as("doc_id")).agg(min(col("nbr")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("doc_id"), col("cluster_id").as("prev")), "doc_id")
+        .filter(col("cluster_id") =!= col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
 }

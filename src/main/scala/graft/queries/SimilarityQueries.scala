@@ -63,12 +63,30 @@ object SimilarityQueries {
     Similarity.embeddingNearDupPairs(graft.Tables.embeddings(s, dir),
       NearDupMinDotFp, Dim)
 
+  private val ClusterMinJaccardFp = 300000L
+
+  // ---- q38: transitive dedup clusters (connected components) ----
+  // Near-dup pairs alone cannot answer "keep one of {A,B,C}" when
+  // A≈B and B≈C but A̸≈C; the cluster label (smallest reachable id
+  // over the near-dup graph) can. Spark side: min-label propagation
+  // to fixpoint; oracle: recursive transitive-closure CTE — both
+  // converge to the same unique labels.
+  def q38DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    val edges = MinHashLSH.nearDupPairs(docs, "doc_id", "text",
+      shingleN = ShingleN, numHashes = NumHashes, rowsPerBand = 1,
+      minJaccardFp = ClusterMinJaccardFp)
+      .select(col("doc_a"), col("doc_b"))
+    graft.llm.Dedup.connectedComponents(docs.select(col("doc_id")), edges)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_minhash_pairs" -> q21MinhashPairs _,
     "q22_simhash16"     -> q22Simhash16 _,
     "q23_embed_topk"    -> q23EmbedTopk _,
     "q24_embed_ann"     -> q24EmbedAnn _,
     "q29_embed_dedup"   -> q29EmbedDedup _,
+    "q38_dedup_clusters" -> q38DedupClusters _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -181,11 +199,30 @@ object SimilarityQueries {
        |SELECT vec_a, vec_b, dot_fp FROM scored
        |WHERE dot_fp >= $NearDupMinDotFp""".stripMargin
 
+  // recursive transitive closure over the thresholded q21 pairs; the
+  // UNION (distinct) recursion terminates on cycles, and the final
+  // label is min(reachable ∪ self) — identical to the Spark fixpoint
+  private val q38Sql =
+    s"""WITH RECURSIVE
+       |pj AS (SELECT doc_a, doc_b FROM ($q21Sql) q
+       |  WHERE jaccard_fp >= $ClusterMinJaccardFp),
+       |e AS (SELECT doc_a AS s, doc_b AS d FROM pj
+       |  UNION SELECT doc_b, doc_a FROM pj),
+       |reach(v, r) AS (
+       |  SELECT s, d FROM e
+       |  UNION
+       |  SELECT reach.v, e.d FROM reach JOIN e ON reach.r = e.s)
+       |SELECT dd.doc_id,
+       |  least(dd.doc_id, coalesce(m.mn, dd.doc_id)) AS cluster_id
+       |FROM documents dd LEFT JOIN
+       |  (SELECT v, min(r) AS mn FROM reach GROUP BY v) m ON dd.doc_id = m.v""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q21_minhash_pairs" -> q21Sql,
     "q22_simhash16"     -> q22Sql,
     "q23_embed_topk"    -> q23Sql,
     "q24_embed_ann"     -> q24Sql,
     "q29_embed_dedup"   -> q29Sql,
+    "q38_dedup_clusters" -> q38Sql,
   )
 }

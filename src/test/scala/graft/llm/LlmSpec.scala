@@ -63,6 +63,38 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
     assert(v == 333333L)
   }
 
+  test("connected components: multi-hop chains collapse to the min id") {
+    import spark.implicits._
+    val vertices = (1L to 10L).toDF("doc_id")
+    // chain 1-2-3-4 (via pairwise links), pair 7-9, singletons 5,6,8,10
+    val edges = Seq((2L, 3L), (1L, 2L), (3L, 4L), (9L, 7L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 6L, 7L -> 7L, 8L -> 8L, 9L -> 7L, 10L -> 10L))
+  }
+
+  test("connected components match brute-force union-find on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val n = 60
+    val edges = (0 until 50).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    // driver-side union-find reference
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    val got = Dedup.connectedComponents(
+      (0L until n.toLong).toDF("doc_id"), edges.toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
   test("repetition stats: duplicate 3-gram fraction on planted docs") {
     import spark.implicits._
     val d = Seq(
