@@ -147,6 +147,50 @@ object LlmQueries {
         coalesce(col("top_tok_fp"), lit(0L)).as("top_tok_fp"))
   }
 
+  // ---- q39: deterministic stratified sampling (corpus mixing) ----
+  // Training-data mixing needs per-stratum rates that are reproducible
+  // across engines, retries and partitionings — so the sampling
+  // decision is a pure hash of the row key (first 8 md5 hex chars mod
+  // 100 < rate), not rand()/sampleBy. Fully scan-local: no shuffle at
+  // all until the count summary.
+  private val SampleRates = Map("en" -> 50, "de" -> 30, "es" -> 20, "fr" -> 20)
+  def q39StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val rate = SampleRates.foldLeft(lit(10)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    graft.Tables.documents(s, dir)
+      .withColumn("bucket",
+        expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100"))
+      .filter(col("bucket") < rate)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"))
+  }
+
+  // ---- q40: exact per-language token-count quantiles ----
+  // approx_percentile is engine- and merge-order-dependent; exact
+  // quantiles from rank positions are not. One shuffle on lang, one
+  // sort per partition; p50/p90 are the values at ceil(q·n) rank.
+  def q40TokenQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = graft.Tables.documents(s, dir)
+      .select(col("lang"), tokenCount(col("text")).cast("bigint").as("n_tok"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_tok"))
+    val ranked = d.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+    ranked.groupBy(col("lang"))
+      .agg(
+        max(col("n")).as("n_docs"),
+        min(col("n_tok")).as("min_tok"),
+        max(when(col("rn") === expr("cast(ceil(0.5 * n) as bigint)"), col("n_tok")))
+          .as("p50_tok"),
+        max(when(col("rn") === expr("cast(ceil(0.9 * n) as bigint)"), col("n_tok")))
+          .as("p90_tok"),
+        max(col("n_tok")).as("max_tok"))
+      .orderBy(col("lang"))
+  }
+
   // ---- q32: composed curation pipeline (quality → dedup → stats) ----
   // the realistic corpus-curation shape: threshold on quality, keep
   // one doc per normalized fingerprint, then per-language counts —
@@ -173,6 +217,8 @@ object LlmQueries {
     "q32_curation"     -> q32CurationPipeline _,
     "q36_distinctive_terms" -> q36DistinctiveTerms _,
     "q37_repetition"   -> q37Repetition _,
+    "q39_stratified_sample" -> q39StratifiedSample _,
+    "q40_token_quantiles"   -> q40TokenQuantiles _,
   )
 
   /** DuckDB token expression mirroring TextAnalysis.tokens. */
@@ -343,6 +389,28 @@ object LlmQueries {
          |FROM (SELECT doc_id, text, $toksSql AS toks FROM documents) t""".stripMargin,
     "q28_fingerprints" -> q28Sql,
     "q31_simhash_pairs" -> q31Sql,
+    "q39_stratified_sample" -> {
+      val rateCase = SampleRates
+        .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+      s"""SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_doc,
+         |  max(doc_id) AS last_doc
+         |FROM (SELECT lang, doc_id,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+         |  FROM documents) t
+         |WHERE bucket < CASE lang $rateCase ELSE 10 END
+         |GROUP BY lang ORDER BY lang""".stripMargin
+    },
+    "q40_token_quantiles" ->
+      s"""WITH d AS (SELECT lang, CAST(len(toks) AS BIGINT) AS n_tok
+         |  FROM (SELECT lang, $toksSql AS toks FROM documents) x),
+         |r AS (SELECT lang, n_tok,
+         |    row_number() OVER (PARTITION BY lang ORDER BY n_tok) AS rn,
+         |    count(*) OVER (PARTITION BY lang) AS n FROM d)
+         |SELECT lang, max(n) AS n_docs, min(n_tok) AS min_tok,
+         |  max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN n_tok END) AS p50_tok,
+         |  max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN n_tok END) AS p90_tok,
+         |  max(n_tok) AS max_tok
+         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
     "q37_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |g AS (SELECT doc_id,
