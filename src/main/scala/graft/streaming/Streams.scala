@@ -50,6 +50,19 @@ object Streams {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
 
+  /** Streaming exact dedup — the continuous twin of `Dedup.exact`:
+    * keeps the first event per `keys`, with state evicted once the
+    * watermark passes (`dropDuplicatesWithinWatermark`), so the
+    * dedup-state store is bounded by event-time skew instead of
+    * growing with the stream. A batch corpus dedup and this streaming
+    * dedup agree whenever duplicates arrive within the watermark —
+    * StreamingSpec pins that equivalence. */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Parse a stream of JSON strings into typed rows with a schema
     * compiled by [[graft.schema.JsonSchemaToStruct]] — JSON Schema in,
     * streaming Dataset out. Malformed records survive (PERMISSIVE +

@@ -50,6 +50,32 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally query.stop()
   }
 
+  test("dedupWithinWatermark keeps the first event per key; batch dedup agrees") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val rows = Seq(
+      Ev(1, ts(10), 1, "view", 1.0), Ev(2, ts(12), 1, "view", 2.0), // dup (1,view)
+      Ev(3, ts(15), 2, "view", 3.0),
+      Ev(4, ts(20), 1, "click", 4.0),
+      Ev(5, ts(25), 2, "view", 5.0),                                 // dup (2,view)
+    )
+    val query = Streams.dedupWithinWatermark(input.toDF(), Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      val got = spark.table("dedup_out").select("event_id")
+        .as[Long].collect().toSet
+      assert(got == Set(1L, 3L, 4L)) // first arrival per key survives
+      // batch twin: first-by-ts dedup over the same rows
+      val batch = graft.llm.Dedup.exact(rows.toDF(), Seq("user_id", "event_type"), "ts")
+        .select("event_id").as[Long].collect().toSet
+      assert(got == batch)
+    } finally query.stop()
+  }
+
   test("sessionStats streaming == q11's lag-based batch sessionization") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
