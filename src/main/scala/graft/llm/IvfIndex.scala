@@ -76,6 +76,39 @@ object IvfIndex {
     vectors.withColumn("cell", cellOf(col("embedding")))
   }
 
+  /** Deterministic-codebook IVF: the codebook is the first `nLists`
+    * vectors by id (no refinement), assignment is argmax fixed-point
+    * inner product (ties → smallest seed id), queries probe their
+    * `nProbe` best cells, and candidates re-rank exactly. Worse
+    * recall than the trained quantizer on clustered data, but every
+    * step is a pure integer function of the input — reproducible
+    * across engines and partitionings, hence the DuckDB-oracle-checked
+    * IVF path (`q41_ivf_ann`); [[fit]]/[[search]] remain the quality
+    * path. Same scale shape: the codebook broadcasts, the corpus is
+    * scored against nLists seeds scan-locally, and search shuffles
+    * only (cell, candidate) rows. */
+  def seededSearch(vectors: DataFrame, queries: DataFrame, nLists: Int,
+      k: Int, nProbe: Int): DataFrame = {
+    LlmFunctions.registerDotFp(vectors.sparkSession)
+    val seeds = broadcast(vectors.filter(col("vec_id") < nLists)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("se")))
+    def topCells(df: DataFrame, n: Int): DataFrame = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("d").desc, col("seed_id"))
+      df.crossJoin(seeds)
+        .withColumn("d", Similarity.dotFpNative("embedding", "se"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+        .select(col("vec_id"), col("embedding"), col("seed_id").as("cell"))
+    }
+    val cells = topCells(vectors, 1)
+      .select(col("vec_id"), col("embedding").as("ce"), col("cell"))
+    val probes = topCells(queries, nProbe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("cell"))
+    val scored = broadcast(probes).join(cells, "cell")
+      .select(col("query_id"), col("vec_id"), Similarity.dotFpNative("qe", "ce").as("dot_fp"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dot_fp").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   /** Top-k per query, scored only against the query's nProbe cells.
     * Scores use the same fixed-point `dot_fp` as the exact path. */
   def search(queries: DataFrame, indexed: DataFrame, model: Model,

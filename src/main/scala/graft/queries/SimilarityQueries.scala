@@ -80,6 +80,22 @@ object SimilarityQueries {
     graft.llm.Dedup.connectedComponents(docs.select(col("doc_id")), edges)
   }
 
+  private val IvfLists = 16
+  private val IvfProbe = 2
+
+  // ---- q41: deterministic-codebook IVF ANN ----
+  // The codebook path's oracle-checkable form: seeds = first nLists
+  // vectors, argmax-dot assignment, nProbe probes, exact rerank (see
+  // IvfIndex.seededSearch; the trained k-means quantizer stays
+  // spec-pinned because float centroid sums aren't partition-
+  // reproducible).
+  def q41IvfAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+    graft.llm.IvfIndex.seededSearch(emb,
+      emb.filter(col("vec_id") < NumQueryVecs), IvfLists, AnnK, IvfProbe)
+      .select(col("query_id"), col("vec_id"), col("dot_fp"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_minhash_pairs" -> q21MinhashPairs _,
     "q22_simhash16"     -> q22Simhash16 _,
@@ -87,6 +103,7 @@ object SimilarityQueries {
     "q24_embed_ann"     -> q24EmbedAnn _,
     "q29_embed_dedup"   -> q29EmbedDedup _,
     "q38_dedup_clusters" -> q38DedupClusters _,
+    "q41_ivf_ann"       -> q41IvfAnn _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -217,6 +234,34 @@ object SimilarityQueries {
        |FROM documents dd LEFT JOIN
        |  (SELECT v, min(r) AS mn FROM reach GROUP BY v) m ON dd.doc_id = m.v""".stripMargin
 
+  private def dotS(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(range(1, len($a) + 1),
+       |  i -> CAST(floor(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) * 1000000.0) AS BIGINT)))
+       |  AS BIGINT)""".stripMargin
+
+  private val q41Sql =
+    s"""WITH seeds AS (SELECT vec_id AS seed_id, embedding AS se
+       |  FROM embeddings WHERE vec_id < $IvfLists),
+       |ac AS (SELECT e.vec_id, e.embedding, s.seed_id,
+       |    ${dotS("e.embedding", "s.se")} AS d
+       |  FROM embeddings e CROSS JOIN seeds s),
+       |ar AS (SELECT vec_id, embedding, seed_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, seed_id) AS rn
+       |  FROM ac),
+       |cells AS (SELECT vec_id, embedding AS ce, seed_id AS cell FROM ar WHERE rn = 1),
+       |qr AS (SELECT vec_id, embedding, seed_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, seed_id) AS rn
+       |  FROM ac WHERE vec_id < $NumQueryVecs),
+       |probes AS (SELECT vec_id AS query_id, embedding AS qe, seed_id AS cell
+       |  FROM qr WHERE rn <= $IvfProbe),
+       |scored AS (SELECT p.query_id, c.vec_id, ${dotS("p.qe", "c.ce")} AS dot_fp
+       |  FROM probes p JOIN cells c USING (cell)),
+       |r AS (SELECT query_id, vec_id, dot_fp,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY dot_fp DESC, vec_id) AS rn
+       |  FROM scored)
+       |SELECT query_id, vec_id, dot_fp, CAST(rn AS INTEGER) AS rn
+       |FROM r WHERE rn <= $AnnK""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q21_minhash_pairs" -> q21Sql,
     "q22_simhash16"     -> q22Sql,
@@ -224,5 +269,6 @@ object SimilarityQueries {
     "q24_embed_ann"     -> q24Sql,
     "q29_embed_dedup"   -> q29Sql,
     "q38_dedup_clusters" -> q38Sql,
+    "q41_ivf_ann"       -> q41Sql,
   )
 }
