@@ -84,31 +84,35 @@ object Similarity {
     * `minDotFp` survive. All-pairs work is confined to buckets
     * (corpus shuffles once on the bucket key; probes only multiply
     * the small exploded key stream by 9, never the payload). */
+  /** Canonical probe orientation makes every qualifying pair appear
+    * EXACTLY once, which removes three exchanges a naive multi-probe
+    * formulation needs (a distinct over the candidate pairs plus two
+    * payload join-backs): a pair's buckets are either equal — found
+    * only via the identity probe, deduped by id order — or differ in
+    * exactly one bit — generated only from the LOWER bucket's side
+    * (probes keep a flipped value only when it exceeds the own
+    * bucket). Scoring then runs inside the join's output stage; the
+    * only shuffle is the bucket equi-join of skinny probe rows, and
+    * dense buckets (the skew risk) cost dot products, never extra
+    * exchanges. */
   def embeddingNearDupPairs(vectors: DataFrame, minDotFp: Long, dim: Int): DataFrame = {
     LlmFunctions.registerDotFp(vectors.sparkSession)
-    // The narrow (vec_id, bucket) projection is consumed twice (probe
-    // stream + bucket side of the candidate join) — persist it so the
-    // 8-plane projection runs once per vector. Only the 16-byte rows
-    // are cached, never the embedding payload; the payload joins below
-    // re-read the source, where parquet pruning makes the second scan
-    // cheap and the join stays inside one codegen stage.
-    val b = vectors.select(col("vec_id"),
+    def b = vectors.select(col("vec_id"), col("embedding"),
       bucketExpr("embedding", dim).as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val probes = b.select(col("vec_id").as("vec_a"),
+    val probes = b.select(col("vec_id").as("ia"), col("embedding").as("ea"),
+      col("bucket").as("ba"),
       explode(expr(
-        s"""transform(sequence(0, $NumPlanes),
+        s"""filter(transform(sequence(0, $NumPlanes),
            |  j -> CASE WHEN j = 0 THEN bucket
-           |       ELSE bucket ^ shiftleft(cast(1 as bigint), j - 1) END)""".stripMargin))
-        .as("probe"))
-    val pairs = probes
-      .join(b.select(col("vec_id").as("vec_b"), col("bucket")),
-        col("probe") === col("bucket") && col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b")).distinct()
-    pairs
-      .join(vectors.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
-      .join(vectors.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
-      .select(col("vec_a"), col("vec_b"), dotFpNative("ea", "eb").as("dot_fp"))
+           |       ELSE bucket ^ shiftleft(cast(1 as bigint), j - 1) END),
+           |  p -> p >= bucket)""".stripMargin)).as("probe"))
+    probes
+      .join(b.select(col("vec_id").as("ib"), col("embedding").as("eb"), col("bucket")),
+        col("probe") === col("bucket") &&
+          (col("ba") =!= col("bucket") || col("ia") < col("ib")))
+      .select(least(col("ia"), col("ib")).as("vec_a"),
+        greatest(col("ia"), col("ib")).as("vec_b"),
+        dotFpNative("ea", "eb").as("dot_fp"))
       .filter(col("dot_fp") >= minDotFp)
   }
 
