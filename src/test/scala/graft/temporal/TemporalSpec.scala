@@ -48,6 +48,23 @@ class TemporalSpec extends AnyFunSuite with SparkTestSession {
     assert(out(12L) === 0L) // user 2: nothing
   }
 
+  test("asofBackward matches a brute-force scan on random data") {
+    val rnd = new scala.util.Random(41)
+    val lrows = (0 until 200).map(i => (rnd.nextInt(6).toLong, i.toLong, rnd.nextInt(500).toLong))
+    val rrows = (0 until 200).map(i => (rnd.nextInt(6).toLong, (1000 + i).toLong, rnd.nextInt(500).toLong))
+    val got = AsofJoin.asofBackward(
+      lrows.toDF("user", "id", "ts"), rrows.toDF("user", "id", "ts"),
+      Seq("user"), "ts", "id")
+      .select(col("id"), col("asof.id").as("mid"))
+      .as[(Long, Option[Long])].collect().toMap
+    val want = lrows.map { case (u, id, ts) =>
+      val cands = rrows.filter { case (u2, _, ts2) => u2 == u && ts2 <= ts }
+      id -> (if (cands.isEmpty) None
+             else Some(cands.maxBy { case (_, rid, rts) => (rts, rid) }._2))
+    }.toMap
+    assert(got == want)
+  }
+
   test("countPreceding matches a brute-force inequality join on random data") {
     val rnd = new scala.util.Random(7)
     val rows = (0 until 400).map(i => (rnd.nextInt(5).toLong, i.toLong, rnd.nextInt(2000).toLong))
