@@ -191,6 +191,15 @@ object LlmQueries {
       .orderBy(col("lang"))
   }
 
+  // ---- q42: positional inverted index + phrase query ----
+  private val PhraseW1 = "table"
+  private val PhraseW2 = "hash"
+  def q42PhraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val postings = graft.llm.Postings.build(
+      graft.Tables.documents(s, dir), "doc_id", "text")
+    graft.llm.Postings.phraseCounts(postings, PhraseW1, PhraseW2)
+  }
+
   // ---- q32: composed curation pipeline (quality → dedup → stats) ----
   // the realistic corpus-curation shape: threshold on quality, keep
   // one doc per normalized fingerprint, then per-language counts —
@@ -219,6 +228,7 @@ object LlmQueries {
     "q37_repetition"   -> q37Repetition _,
     "q39_stratified_sample" -> q39StratifiedSample _,
     "q40_token_quantiles"   -> q40TokenQuantiles _,
+    "q42_phrase_search"     -> q42PhraseSearch _,
   )
 
   /** DuckDB token expression mirroring TextAnalysis.tokens. */
@@ -389,6 +399,17 @@ object LlmQueries {
          |FROM (SELECT doc_id, text, $toksSql AS toks FROM documents) t""".stripMargin,
     "q28_fingerprints" -> q28Sql,
     "q31_simhash_pairs" -> q31Sql,
+    "q42_phrase_search" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |e AS (SELECT doc_id, toks[i] AS w, i - 1 AS pos
+         |  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+         |p AS (SELECT w, doc_id, list_sort(list(pos)) AS ps FROM e GROUP BY w, doc_id),
+         |j AS (SELECT a.doc_id,
+         |    CAST(len(list_intersect(list_transform(a.ps, x -> x + 1), b.ps)) AS BIGINT)
+         |      AS n_phrase
+         |  FROM p a JOIN p b ON a.doc_id = b.doc_id
+         |  WHERE a.w = '$PhraseW1' AND b.w = '$PhraseW2')
+         |SELECT doc_id, n_phrase FROM j WHERE n_phrase > 0""".stripMargin,
     "q39_stratified_sample" -> {
       val rateCase = SampleRates
         .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
