@@ -65,6 +65,21 @@ class TemporalSpec extends AnyFunSuite with SparkTestSession {
     assert(got == want)
   }
 
+  test("physical plans: range join is an equi-join, as-of join shuffles once") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L)).toDF("user", "id", "ts")
+    val right = Seq((1L, 900L)).toDF("user", "ts")
+    val rangePlan = RangeJoin.countPreceding(left, right, Seq("user"), "ts", 100L)
+      .queryExecution.executedPlan.toString
+    assert(!rangePlan.contains("NestedLoop"),
+      s"range join fell back to a nested loop:\n$rangePlan")
+    val asofPlan = AsofJoin.asofBackward(
+      left, Seq((1L, 20L, 50L)).toDF("user", "id", "ts"), Seq("user"), "ts", "id")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(asofPlan).size
+    assert(exchanges == 1, s"as-of join should shuffle exactly once, saw $exchanges")
+  }
+
   test("countPreceding matches a brute-force inequality join on random data") {
     val rnd = new scala.util.Random(7)
     val rows = (0 until 400).map(i => (rnd.nextInt(5).toLong, i.toLong, rnd.nextInt(2000).toLong))
