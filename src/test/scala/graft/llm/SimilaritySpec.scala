@@ -93,4 +93,18 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(buckets(0L) == buckets(1L))
     assert(buckets(0L) != buckets(2L)) // negated vector flips every sign
   }
+
+  test("maxBucketSize drops pathological buckets from candidate generation") {
+    import spark.implicits._
+    // 6 identical docs share every bucket (bucket size 6); 2 other
+    // identical docs form a size-2 bucket
+    val docs = ((1L to 6L).map(i => (i, "the same boilerplate text repeated here")) ++
+      Seq((10L, "another pair of documents"), (11L, "another pair of documents")))
+      .toDF("doc_id", "text")
+    val sets = MinHashLSH.shingleSets(docs, "doc_id", "text", 3)
+    val uncapped = MinHashLSH.candidatePairsFromSets(sets, 8, 1).count()
+    val capped = MinHashLSH.candidatePairsFromSets(sets, 8, 1, maxBucketSize = 4).count()
+    assert(uncapped == 15L + 1L) // C(6,2) + the pair
+    assert(capped == 1L)         // only the size-2 bucket survives
+  }
 }
