@@ -200,6 +200,51 @@ object LlmQueries {
     graft.llm.Postings.phraseCounts(postings, PhraseW1, PhraseW2)
   }
 
+  // ---- q43: document chunking (sliding token windows) ----
+  // Training prep splits long docs into fixed-size token windows with
+  // overlap. Chunk boundaries are pure functions of the token count
+  // (start = i·stride while start < n), so the op is one row-local
+  // explode — no shuffle, linear in corpus size — and reproducible
+  // anywhere. Emits per-chunk token counts and the first token as the
+  // content witness.
+  private val ChunkSize = 64
+  private val ChunkStride = 48
+  def q43Chunks(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      .filter(col("n") > 0)
+    d.select(col("doc_id"),
+      posexplode(expr(
+        s"""transform(sequence(0, cast(ceil((greatest(n - $ChunkSize, 0)) / $ChunkStride.0) as int)),
+           |  i -> slice(toks, i * $ChunkStride + 1, $ChunkSize))""".stripMargin))
+        .as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"), col("chunk_id").cast("bigint").as("chunk_id"),
+        size(col("chunk")).cast("bigint").as("n_tokens"),
+        element_at(col("chunk"), 1).as("first_token"))
+  }
+
+  // ---- q44: contiguous sequence packing (prefix-sum binning) ----
+  // Sequence packing assigns docs (in doc_id order) to fixed token
+  // budgets: bin = floor(exclusive-prefix-sum(n_tokens) / budget).
+  // One global ordering window — at corpus scale this would be a
+  // per-shard window (pack within partition); the prefix-sum shape is
+  // identical. Integer arithmetic only.
+  private val PackBudget = 4096L
+  def q44SequencePacking(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), tokenCount(col("text")).cast("bigint").as("n_tok"))
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = d
+      .withColumn("cum", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("bin", expr(s"cum div ${PackBudget}L"))
+    packed.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+  }
+
   // ---- q32: composed curation pipeline (quality → dedup → stats) ----
   // the realistic corpus-curation shape: threshold on quality, keep
   // one doc per normalized fingerprint, then per-language counts —
@@ -229,6 +274,8 @@ object LlmQueries {
     "q39_stratified_sample" -> q39StratifiedSample _,
     "q40_token_quantiles"   -> q40TokenQuantiles _,
     "q42_phrase_search"     -> q42PhraseSearch _,
+    "q43_chunks"            -> q43Chunks _,
+    "q44_sequence_packing"  -> q44SequencePacking _,
   )
 
   /** DuckDB token expression mirroring TextAnalysis.tokens. */
@@ -399,6 +446,27 @@ object LlmQueries {
          |FROM (SELECT doc_id, text, $toksSql AS toks FROM documents) t""".stripMargin,
     "q28_fingerprints" -> q28Sql,
     "q31_simhash_pairs" -> q31Sql,
+    "q43_chunks" ->
+      s"""WITH t AS (SELECT doc_id, toks, len(toks) AS n FROM
+         |  (SELECT doc_id, $toksSql AS toks FROM documents) x WHERE len(toks) > 0),
+         |c AS (SELECT doc_id, i AS chunk_id,
+         |    toks[i * $ChunkStride + 1 : i * $ChunkStride + $ChunkSize] AS chunk
+         |  FROM t, unnest(range(0,
+         |    CAST(ceil(greatest(n - $ChunkSize, 0) / $ChunkStride.0) AS BIGINT) + 1)) AS u(i))
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  CAST(len(chunk) AS BIGINT) AS n_tokens, chunk[1] AS first_token
+         |FROM c""".stripMargin,
+    "q44_sequence_packing" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents) x),
+         |p AS (SELECT doc_id, n_tok,
+         |    CAST((sum(n_tok) OVER (ORDER BY doc_id
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+         |      // $PackBudget AS BIGINT) AS bin
+         |  FROM d)
+         |SELECT bin, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM p GROUP BY bin""".stripMargin,
     "q42_phrase_search" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |e AS (SELECT doc_id, toks[i] AS w, i - 1 AS pos
