@@ -29,10 +29,8 @@ object ProfileQ21 {
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
     time("+buckets") { buckets.count() }
-    val exploded = buckets.select(explode(expr(
-      """flatten(transform(ids, (a, i) ->
-        |  transform(slice(ids, i + 2, size(ids) - i - 1),
-        |    b -> struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
+    val exploded = buckets.select(explode(expr(MinHashLSH.upperTriangleSql("ids",
+        (a, b) => s"struct($a AS doc_a, $b AS doc_b)"))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
     time("+explodePairs") { exploded.count() }
     time("+distinct") { exploded.distinct().count() }

@@ -89,6 +89,11 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // returning mid-propagation labels would silently violate the
+    // "smallest reachable id" contract — fail loudly instead
+    require(changed == 0,
+      s"connectedComponents did not converge within $maxIter rounds " +
+        s"($changed labels still changing) — raise maxIter (graph diameter exceeds it)")
     labels
   }
 }

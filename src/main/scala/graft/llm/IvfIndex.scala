@@ -90,7 +90,10 @@ object IvfIndex {
   def seededSearch(vectors: DataFrame, queries: DataFrame, nLists: Int,
       k: Int, nProbe: Int): DataFrame = {
     LlmFunctions.registerDotFp(vectors.sparkSession)
-    val seeds = broadcast(vectors.filter(col("vec_id") < nLists)
+    // first nLists vectors BY RANK of vec_id (TakeOrdered — no global
+    // sort), not `vec_id < nLists`: sparse or offset id spaces would
+    // silently produce an empty codebook and empty results
+    val seeds = broadcast(vectors.orderBy(col("vec_id")).limit(nLists)
       .select(col("vec_id").as("seed_id"), col("embedding").as("se")))
     def topCells(df: DataFrame, n: Int): DataFrame = {
       val w = Window.partitionBy(col("vec_id")).orderBy(col("d").desc, col("seed_id"))

@@ -85,12 +85,37 @@ object MinHashLSH {
       sort_array(array_distinct(expr(s"shingle_bases($textCol, $shingleN)"))).as("s"))
   }
 
+  /** In-bucket upper-triangle pair expansion over a sorted array
+    * column: every (earlier, later) element pair, built by `mkPair`
+    * from the two lambda variables. Shared by the MinHash and SimHash
+    * candidate generators (the index arithmetic is easy to fork and
+    * hard to spot-check — keep one copy). */
+  private[graft] def upperTriangleSql(xsCol: String,
+      mkPair: (String, String) => String): String =
+    s"""flatten(transform($xsCol, (a, i) ->
+       |  transform(slice($xsCol, i + 2, size($xsCol) - i - 1),
+       |    b -> ${mkPair("a", "b")})))""".stripMargin
+
+  /** Drop rows of buckets larger than `cap` BEFORE any bucket is
+    * materialized as an array (a windowed count is sort-based and
+    * memory-safe; `collect_list` of a pathological bucket is a single
+    * task-killing row). No-op when cap <= 0. */
+  private def capBuckets(bands: DataFrame, keyCols: Seq[String], cap: Int): DataFrame =
+    if (cap <= 0) bands
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*)
+      bands.withColumn("__bc", count(lit(1)).over(w))
+        .filter(col("__bc") <= cap).drop("__bc")
+    }
+
   /** Candidate pairs from a precomputed [[shingleSets]] projection:
     * signatures → band keys → bucket groupBy → in-bucket upper-triangle
-    * expansion. `maxBucketSize > 0` drops pathological buckets (a
-    * bucket of m docs expands to m·(m−1)/2 pairs — at corpus scale cap
-    * this; boilerplate-heavy buckets carry no near-dup signal worth
-    * quadratic work). */
+    * expansion. `maxBucketSize > 0` drops pathological buckets before
+    * they are materialized (a bucket of m docs expands to m·(m−1)/2
+    * pairs and its collect_list is one m-element row — at corpus scale
+    * cap this; boilerplate-heavy buckets carry no near-dup signal
+    * worth quadratic work). */
   def candidatePairsFromSets(sets: DataFrame, numHashes: Int, rowsPerBand: Int,
       maxBucketSize: Int = 0): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
@@ -103,17 +128,13 @@ object MinHashLSH {
          |    x -> cast(x as string))))""".stripMargin)
     val bands = mh.select(col("doc_id"),
       posexplode(bandKey).as(Seq("band_id", "band_key")))
-    val buckets = bands.groupBy(col("band_id"), col("band_key"))
+    val buckets = capBuckets(bands, Seq("band_id", "band_key"), maxBucketSize)
+      .groupBy(col("band_id"), col("band_key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
-    val capped =
-      if (maxBucketSize > 0) buckets.filter(size(col("ids")) <= maxBucketSize)
-      else buckets
-    capped
-      .select(explode(expr(
-        """flatten(transform(ids, (a, i) ->
-          |  transform(slice(ids, i + 2, size(ids) - i - 1),
-          |    b -> struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
+    buckets
+      .select(explode(expr(upperTriangleSql("ids",
+        (a, b) => s"struct($a AS doc_a, $b AS doc_b)"))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
   }

@@ -65,10 +65,14 @@ object SimHash {
     * simhash per doc, 4×16-bit band explode, bucket groupBy with
     * in-bucket upper-triangle expansion (the fingerprint rides along —
     * 8 bytes — so the verify needs no join back), then the popcount
-    * filter. Single corpus traversal, one shuffle keyed on (band_id,
-    * band_val); same shape as [[MinHashLSH.candidatePairsFromSets]]. */
+    * filter (applied BEFORE the distinct, so the dedup exchange sees
+    * only surviving pairs). Single corpus traversal, one shuffle keyed
+    * on (band_id, band_val); same shape as
+    * [[MinHashLSH.candidatePairsFromSets]], including the
+    * pre-materialization `maxBucketSize` cap (blank docs all hash to
+    * sh=0 and would otherwise build one giant bucket). */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 12): DataFrame = {
+      maxHamming: Int = 12, maxBucketSize: Int = 0): DataFrame = {
     register(docs.sparkSession)
     val sh = docs.select(col(idCol).as("doc_id"), expr(
       s"""simhash64(CASE WHEN length(trim($textCol)) = 0 THEN array()
@@ -76,18 +80,24 @@ object SimHash {
     val bands = sh.select(col("doc_id"), col("sh"), posexplode(expr(
       "transform(sequence(0, 3), b -> shiftright(sh, 16 * b) & 65535L)"))
       .as(Seq("band_id", "band_val")))
-    val buckets = bands.groupBy(col("band_id"), col("band_val"))
+    val capped =
+      if (maxBucketSize <= 0) bands
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_id"), col("band_val"))
+        bands.withColumn("__bc", count(lit(1)).over(w))
+          .filter(col("__bc") <= maxBucketSize).drop("__bc")
+      }
+    val buckets = capped.groupBy(col("band_id"), col("band_val"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sh")))).as("xs"))
       .filter(size(col("xs")) >= 2)
     buckets
-      .select(explode(expr(
-        """flatten(transform(xs, (a, i) ->
-          |  transform(slice(xs, i + 2, size(xs) - i - 1),
-          |    b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
-          |                a.sh AS sh_a, b.sh AS sh_b))))""".stripMargin)).as("p"))
+      .select(explode(expr(MinHashLSH.upperTriangleSql("xs",
+        (a, b) => s"struct($a.doc_id AS doc_a, $b.doc_id AS doc_b, " +
+          s"$a.sh AS sh_a, $b.sh AS sh_b)"))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         expr("hamming64(p.sh_a, p.sh_b)").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -241,7 +241,7 @@ object SimilarityQueries {
 
   private val q41Sql =
     s"""WITH seeds AS (SELECT vec_id AS seed_id, embedding AS se
-       |  FROM embeddings WHERE vec_id < $IvfLists),
+       |  FROM embeddings ORDER BY vec_id LIMIT $IvfLists),
        |ac AS (SELECT e.vec_id, e.embedding, s.seed_id,
        |    ${dotS("e.embedding", "s.se")} AS d
        |  FROM embeddings e CROSS JOIN seeds s),

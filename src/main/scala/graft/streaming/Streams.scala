@@ -50,13 +50,17 @@ object Streams {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
 
-  /** Streaming exact dedup — the continuous twin of `Dedup.exact`:
-    * keeps the first event per `keys`, with state evicted once the
-    * watermark passes (`dropDuplicatesWithinWatermark`), so the
-    * dedup-state store is bounded by event-time skew instead of
-    * growing with the stream. A batch corpus dedup and this streaming
-    * dedup agree whenever duplicates arrive within the watermark —
-    * StreamingSpec pins that equivalence. */
+  /** Streaming exact dedup: keeps the first-ARRIVED event per `keys`,
+    * with state evicted once the watermark passes
+    * (`dropDuplicatesWithinWatermark`), so the dedup-state store is
+    * bounded by event-time skew instead of growing with the stream.
+    * Note the semantics difference from the batch `Dedup.exact(_,
+    * keys, "ts")`: streaming keeps the first row to ARRIVE, batch
+    * keeps the minimum-`ts` row — they agree exactly when duplicates
+    * arrive in event-time order (the common at-least-once-replay
+    * case), and may keep a different-but-equivalent-key row when
+    * late events arrive out of order. StreamingSpec pins the in-order
+    * equivalence. */
   def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
       watermark: String = "2 hours"): DataFrame =
     events

@@ -25,7 +25,11 @@ object RangeJoin {
   /** Per left row: the count of right rows with the same key whose
     * `tsCol` lies in `[left.ts − windowUs, left.ts)` (strictly before
     * the left row). Left rows with no in-window right rows are kept
-    * with count 0. Timestamps are non-negative integer microseconds. */
+    * with count 0. Timestamps are non-negative integer microseconds.
+    *
+    * PRECONDITION: left rows must be distinct (carry a unique id) —
+    * the final regroup keys on all left columns, so exact-duplicate
+    * left rows would collapse into one row with a summed count. */
   def countPreceding(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String, windowUs: Long): DataFrame = {
     val probes = left.withColumn("_b",
