@@ -245,6 +245,17 @@ object LlmQueries {
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
   }
 
+  // ---- q45: train/eval decontamination via shared fingerprints ----
+  // Every 50th doc plays the eval set; training docs sharing any
+  // winnowed fingerprint with it are reported with their containment.
+  def q45Decontamination(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.documents(s, dir)
+    graft.llm.Decontaminate.contaminated(
+      d.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+      d.filter(pmod(col("doc_id"), lit(50)) === 0),
+      "doc_id", "text")
+  }
+
   // ---- q32: composed curation pipeline (quality → dedup → stats) ----
   // the realistic corpus-curation shape: threshold on quality, keep
   // one doc per normalized fingerprint, then per-language counts —
@@ -276,6 +287,7 @@ object LlmQueries {
     "q42_phrase_search"     -> q42PhraseSearch _,
     "q43_chunks"            -> q43Chunks _,
     "q44_sequence_packing"  -> q44SequencePacking _,
+    "q45_decontamination"   -> q45Decontamination _,
   )
 
   /** DuckDB token expression mirroring TextAnalysis.tokens. */
@@ -312,7 +324,9 @@ object LlmQueries {
     * winnowing scan. Winnowing's selected positions are monotonically
     * non-decreasing, so deduping consecutive equal positions is
     * exactly the reference's lastPos check. */
-  private val q28Sql: String = {
+  /** The winnowing CTE chain ending in `f(doc_id, fps)` — shared by
+    * the fingerprint dump (q28) and decontamination (q45) oracles. */
+  private val fpsCtes: String = {
     val W = graft.llm.Fingerprint.DefaultWindow
     val G = graft.llm.Fingerprint.DefaultGuarantee
     val M = (1L << 61) - 1
@@ -329,7 +343,7 @@ object LlmQueries {
       s"""list_transform(range(0, n - ${G - 1}),
          |  i -> i::BIGINT + $G - list_position(list_reverse(hs[i+1:i+$G]),
          |    list_min(hs[i+1:i+$G])) + 1)""".stripMargin
-    s"""WITH by AS (SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+    s"""by AS (SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
        |  octet_length(encode(coalesce(text, ''))) AS nb FROM documents),
        |bl AS (SELECT doc_id, nb,
        |  list_transform(range(0, nb), i -> ('0x' || substr(hx, 2*i::INT + 1, 2))::BIGINT) AS b
@@ -345,12 +359,15 @@ object LlmQueries {
        |       WHEN n <= $G THEN [list_min(hs)]
        |       ELSE list_transform(
        |         list_filter(range(1, len(ps)::BIGINT + 1), k -> k = 1 OR ps[k::INT] != ps[k::INT - 1]),
-       |         k -> hs[ps[k::INT]::INT]) END AS fps FROM p)
+       |         k -> hs[ps[k::INT]::INT]) END AS fps FROM p)""".stripMargin
+  }
+
+  private val q28Sql: String =
+    s"""WITH $fpsCtes
        |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
        |  CAST(coalesce(list_aggregate(fps, 'bit_xor'), 0) AS BIGINT) AS fp_xor,
        |  CAST(CASE WHEN len(fps) = 0 THEN 0 ELSE 1000000 END AS BIGINT) AS self_containment_fp
        |FROM f""".stripMargin
-  }
 
   /** DuckDB replay of SimHash.{fnv1a64,simhash64} + the band/bucket
     * pair generation. FNV-1a is a per-byte fold — expressed with
@@ -446,6 +463,18 @@ object LlmQueries {
          |FROM (SELECT doc_id, text, $toksSql AS toks FROM documents) t""".stripMargin,
     "q28_fingerprints" -> q28Sql,
     "q31_simhash_pairs" -> q31Sql,
+    "q45_decontamination" ->
+      s"""WITH $fpsCtes,
+         |fd AS (SELECT doc_id, list_distinct(fps) AS fps FROM f),
+         |ev AS (SELECT DISTINCT unnest(fps) AS fp FROM fd WHERE doc_id % 50 = 0),
+         |tr AS (SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps, unnest(fps) AS fp
+         |  FROM fd WHERE doc_id % 50 != 0),
+         |sh AS (SELECT tr.doc_id, max(tr.n_fps) AS n_fps, count(*) AS n_shared
+         |  FROM tr JOIN ev ON tr.fp = ev.fp GROUP BY tr.doc_id)
+         |SELECT doc_id, n_fps, CAST(n_shared AS BIGINT) AS n_shared,
+         |  CAST(floor(1000000.0 * CAST(n_shared AS DOUBLE) / CAST(n_fps AS DOUBLE)) AS BIGINT)
+         |    AS contamination_fp
+         |FROM sh""".stripMargin,
     "q43_chunks" ->
       s"""WITH t AS (SELECT doc_id, toks, len(toks) AS n FROM
          |  (SELECT doc_id, $toksSql AS toks FROM documents) x WHERE len(toks) > 0),
