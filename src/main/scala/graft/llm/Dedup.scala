@@ -51,8 +51,8 @@ object Dedup {
     * Algorithm: min-label propagation to fixpoint. Each round joins
     * the current labels across the (symmetrized) edges, takes the
     * neighborhood minimum, and stops when no label changed. Rounds
-    * needed = graph diameter (near-dup clusters are shallow — a
-    * handful). Everything is hash-joins and aggregations keyed on
+    * needed = graph diameter + 1 (the final round observes the
+    * fixpoint; near-dup clusters are shallow — a handful). Everything is hash-joins and aggregations keyed on
     * ids; each round ends in an eager `localCheckpoint` so the plan
     * does not grow with the iteration count (the standard Spark
     * iterative-algorithm guard; on a cluster use
@@ -66,7 +66,9 @@ object Dedup {
     * `vertices`: one `doc_id` per row. `edges`: (doc_a, doc_b) pairs.
     * Returns (doc_id, cluster_id). */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 40): DataFrame = {
+    // maxIter must exceed the graph diameter by one: the round after
+    // the last label change is the one that observes changed == 0.
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()

@@ -100,7 +100,7 @@ object MinHashLSH {
     * materialized as an array (a windowed count is sort-based and
     * memory-safe; `collect_list` of a pathological bucket is a single
     * task-killing row). No-op when cap <= 0. */
-  private def capBuckets(bands: DataFrame, keyCols: Seq[String], cap: Int): DataFrame =
+  private[graft] def capBuckets(bands: DataFrame, keyCols: Seq[String], cap: Int): DataFrame =
     if (cap <= 0) bands
     else {
       val w = org.apache.spark.sql.expressions.Window

@@ -80,14 +80,7 @@ object SimHash {
     val bands = sh.select(col("doc_id"), col("sh"), posexplode(expr(
       "transform(sequence(0, 3), b -> shiftright(sh, 16 * b) & 65535L)"))
       .as(Seq("band_id", "band_val")))
-    val capped =
-      if (maxBucketSize <= 0) bands
-      else {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band_id"), col("band_val"))
-        bands.withColumn("__bc", count(lit(1)).over(w))
-          .filter(col("__bc") <= maxBucketSize).drop("__bc")
-      }
+    val capped = MinHashLSH.capBuckets(bands, Seq("band_id", "band_val"), maxBucketSize)
     val buckets = capped.groupBy(col("band_id"), col("band_val"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sh")))).as("xs"))
       .filter(size(col("xs")) >= 2)
