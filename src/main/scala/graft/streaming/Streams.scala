@@ -67,6 +67,21 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-stream interval join — the continuous twin of
+    * [[graft.temporal.RangeJoin]]: each left event joins right events
+    * of the same key whose time lies in `[leftTs − bound, leftTs]`.
+    * Spark requires watermarks on both sides plus the time-range
+    * condition, and then bounds join state to watermark + range —
+    * neither side's state grows with the stream. Column names must be
+    * disjoint between the two sides (rename before calling). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      bound: String = "5 minutes", watermark: String = "2 hours"): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        expr(s"$leftKey = $rightKey AND " +
+          s"$rightTs >= $leftTs - INTERVAL $bound AND $rightTs <= $leftTs"))
+
   /** Parse a stream of JSON strings into typed rows with a schema
     * compiled by [[graft.schema.JsonSchemaToStruct]] — JSON Schema in,
     * streaming Dataset out. Malformed records survive (PERMISSIVE +

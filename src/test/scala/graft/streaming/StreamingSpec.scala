@@ -76,6 +76,38 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally query.stop()
   }
 
+  test("intervalJoin: stream-stream time-range join equals the batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lin = MemoryStream[Ev]
+    val rin = MemoryStream[Ev]
+    val lrows = Seq(Ev(1, ts(10), 1, "error", 0), Ev(2, ts(30), 1, "error", 0),
+      Ev(3, ts(20), 2, "error", 0))
+    val rrows = Seq(Ev(10, ts(6), 1, "view", 0), Ev(11, ts(9), 1, "view", 0),
+      Ev(12, ts(29), 1, "view", 0), Ev(13, ts(19), 3, "view", 0))
+    def prep(df: org.apache.spark.sql.DataFrame, p: String) =
+      df.select(col("event_id").as(s"${p}_id"), col("user_id").as(s"${p}_user"),
+        col("ts").as(s"${p}_ts"))
+    val query = Streams.intervalJoin(
+      prep(lin.toDF(), "l"), prep(rin.toDF(), "r"),
+      "l_user", "r_user", "l_ts", "r_ts")
+      .select(col("l_id"), col("r_id"))
+      .writeStream.format("memory").queryName("ij_out").outputMode("append").start()
+    try {
+      lin.addData(lrows: _*); rin.addData(rrows: _*)
+      query.processAllAvailable()
+      val got = spark.table("ij_out").as[(Long, Long)].collect().toSet
+      val batch = Streams.intervalJoin(
+        prep(lrows.toDF(), "l"), prep(rrows.toDF(), "r"),
+        "l_user", "r_user", "l_ts", "r_ts")
+        .select(col("l_id"), col("r_id")).as[(Long, Long)].collect().toSet
+      // 5-minute window: error@10 pairs with views@6,9; error@30 with
+      // view@29; user 2's error has no same-user views
+      assert(got == Set((1L, 10L), (1L, 11L), (2L, 12L)))
+      assert(got == batch)
+    } finally query.stop()
+  }
+
   test("sessionStats streaming == q11's lag-based batch sessionization") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
