@@ -80,15 +80,15 @@ object Dedup {
       val nbrMin = sym
         .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nbr")), "dst")
         .groupBy(col("src").as("doc_id")).agg(min(col("nbr")).as("nbr_min"))
+      // carry the previous label through the checkpoint so convergence
+      // is a filter over the materialized frame, not another join
       val next = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("cluster_id").as("prev"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
         .localCheckpoint()
-      changed = next
-        .join(labels.select(col("doc_id"), col("cluster_id").as("prev")), "doc_id")
-        .filter(col("cluster_id") =!= col("prev")).count()
-      labels = next
+      changed = next.filter(col("cluster_id") =!= col("prev")).count()
+      labels = next.select(col("doc_id"), col("cluster_id"))
       iter += 1
     }
     // returning mid-propagation labels would silently violate the
