@@ -95,5 +95,13 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkTestSession {
     intercept[Exception] {
       fresh.sql("SELECT curved_to_linear_wkb(unhex('01'), 5.0D)").collect()
     }
+    // ...and the one-call facade brings the full surface in
+    Graft.registerAll(fresh)
+    val fns = fresh.catalog.listFunctions().collect().map(_.name).toSet
+    Seq("get_wkb_geom_type", "curved_to_linear_wkb", "generate_contours_udf",
+      "simhash64", "hamming64", "doc_fingerprints", "dot_fp", "minhash_sigs",
+      "shingle_bases", "inter_count").foreach { f =>
+      assert(fns.contains(f), s"$f missing after Graft.registerAll")
+    }
   }
 }
