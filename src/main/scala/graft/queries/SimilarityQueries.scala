@@ -96,6 +96,23 @@ object SimilarityQueries {
       .select(col("query_id"), col("vec_id"), col("dot_fp"), col("rn"))
   }
 
+  private val CentroidDims = 8
+
+  // ---- q46: per-label embedding centroid components (fixed-point) ----
+  // Element-wise array aggregation: posexplode to (label, dim, value),
+  // per-element fixed-point before the sum (associative — any
+  // partitioning yields identical bytes), two-level partial
+  // aggregation on (label, dim). The centroid-building shape every
+  // k-means/IVF trainer needs, here in its deterministic form.
+  def q46EmbedStats(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .filter(col("dim") < CentroidDims)
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(floor(cast(v as double) * 1000000.0) as bigint)")
+          .cast("decimal(38,0)")).cast("bigint").as("sum_fp"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_minhash_pairs" -> q21MinhashPairs _,
     "q22_simhash16"     -> q22Simhash16 _,
@@ -104,6 +121,7 @@ object SimilarityQueries {
     "q29_embed_dedup"   -> q29EmbedDedup _,
     "q38_dedup_clusters" -> q38DedupClusters _,
     "q41_ivf_ann"       -> q41IvfAnn _,
+    "q46_embed_stats"   -> q46EmbedStats _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -270,5 +288,11 @@ object SimilarityQueries {
     "q29_embed_dedup"   -> q29Sql,
     "q38_dedup_clusters" -> q38Sql,
     "q41_ivf_ann"       -> q41Sql,
+    "q46_embed_stats" ->
+      s"""SELECT label, CAST(i - 1 AS INTEGER) AS dim, count(*) AS n,
+         |  CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT))
+         |    AS BIGINT) AS sum_fp
+         |FROM embeddings, unnest(range(1, $CentroidDims + 1)) AS u(i)
+         |GROUP BY label, i""".stripMargin,
   )
 }
