@@ -171,12 +171,14 @@ object MinHashLSH {
     val jaccard = expr(
       """cast(floor(1000000.0 * cast(i as double)
         |  / cast(size(sa) + size(sb) - i as double)) as bigint)""".stripMargin)
-    pairs
+    val scored = pairs
       .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"),
         expr("inter_count(sa, sb)").as("i"))
       .select(col("doc_a"), col("doc_b"), jaccard.as("jaccard_fp"))
-      .filter(col("jaccard_fp") >= minJaccardFp)
+    // jaccard is never negative: a 0 threshold filter would only push
+    // a redundant inter_count evaluation into the join condition
+    if (minJaccardFp > 0L) scored.filter(col("jaccard_fp") >= minJaccardFp) else scored
   }
 }
