@@ -80,6 +80,30 @@ object Multimodal {
     }
   }
 
+  /** Resized payload with its new declared dimensions. */
+  final case class ResizedMedia(id: Long, mediaType: String,
+      width: Int, height: Int, content: Array[Byte])
+
+  /** STUB resize — scales the payload byte budget by the area ratio
+    * (a real implementation decodes, interpolates, re-encodes). The
+    * Spark-side shape is the real one: mapPartitions over typed rows,
+    * bounded output size per row, target dims recorded in metadata. */
+  def resize(payloads: Dataset[MediaPayload], targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    require(targetW > 0 && targetH > 0, "target dimensions must be positive")
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.mapPartitions { it =>
+      it.map { p =>
+        val (w, h) = decodeDims(p.content)
+        val scale = (targetW.toLong * targetH).toDouble / (w.toLong * h).toDouble
+        val newLen = math.max(1, math.min(p.content.length,
+          math.round(p.content.length * scale).toInt))
+        ResizedMedia(p.id, p.mediaType, targetW, targetH,
+          java.util.Arrays.copyOf(p.content, newLen))
+      }
+    }
+  }
+
   /** STUB feature extraction: FNV-1a-seeded pseudo-embedding in
     * [-1, 1] — a real implementation runs an encoder model over the
     * decoded media. Deterministic per payload. */

@@ -45,4 +45,19 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(a.length == 16)
     assert(a.forall(v => v >= -1.0f && v <= 1.0f))
   }
+
+  test("resize: typed pipeline records target dims, bounds output size") {
+    import spark.implicits._
+    val payloads = Seq(
+      Multimodal.MediaPayload(1L, "image/fake", Array.fill[Byte](5000)(7)),
+      Multimodal.MediaPayload(2L, "image/fake", Array.fill[Byte](10)(1)))
+      .toDS()
+    val out = Multimodal.resize(payloads, 64, 64).collect().sortBy(_.id)
+    assert(out.map(_.id).toSeq == Seq(1L, 2L))
+    assert(out.forall(r => r.width == 64 && r.height == 64))
+    // shrink never grows the payload, and never empties it
+    assert(out.forall(r => r.content.length >= 1))
+    assert(out(0).content.length <= 5000)
+    assert(out(1).content.length <= 10)
+  }
 }
