@@ -146,6 +146,42 @@ object MinHashLSH {
     candidatePairsFromSets(shingleSets(docs, idCol, textCol, shingleN),
       numHashes, rowsPerBand)
 
+  /** Cross-corpus near-duplicate linkage (entity resolution shape):
+    * pairs (left doc, right doc) from two different corpora sharing
+    * ≥1 LSH bucket, verified with exact Jaccard — the record-linkage
+    * twin of [[nearDupPairs]] (which dedups within one corpus). The
+    * join is banded left-bands ⋈ right-bands on the bucket key, so
+    * neither corpus is ever crossed against the other wholesale. */
+  def crossCorpusPairs(left: DataFrame, right: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3, numHashes: Int = 8,
+      minJaccardFp: Long = 0L): DataFrame = {
+    LlmFunctions.registerInterCount(left.sparkSession)
+    def prep(df: DataFrame, side: String): (DataFrame, DataFrame) = {
+      val sets = shingleSets(df, idCol, textCol, shingleN)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val mh = sets.select(col("doc_id"), expr(s"minhash_sigs(s, $numHashes)").as("mh"))
+      val bands = mh.select(col("doc_id").as(s"${side}_id"),
+        posexplode(expr(
+          s"transform(sequence(0, ${numHashes - 1}), b -> cast(element_at(mh, b + 1) as string))"))
+          .as(Seq("band_id", "band_key")))
+      (sets, bands)
+    }
+    val (lsets, lbands) = prep(left, "left")
+    val (rsets, rbands) = prep(right, "right")
+    val pairs = lbands.join(rbands, Seq("band_id", "band_key"))
+      .select(col("left_id"), col("right_id")).distinct()
+    val jaccard = expr(
+      """cast(floor(1000000.0 * cast(i as double)
+        |  / cast(size(sa) + size(sb) - i as double)) as bigint)""".stripMargin)
+    val scored = pairs
+      .join(lsets.select(col("doc_id").as("left_id"), col("s").as("sa")), "left_id")
+      .join(rsets.select(col("doc_id").as("right_id"), col("s").as("sb")), "right_id")
+      .select(col("left_id"), col("right_id"), col("sa"), col("sb"),
+        expr("inter_count(sa, sb)").as("i"))
+      .select(col("left_id"), col("right_id"), jaccard.as("jaccard_fp"))
+    if (minJaccardFp > 0L) scored.filter(col("jaccard_fp") >= minJaccardFp) else scored
+  }
+
   /** Candidate pairs with their exact shingle-set Jaccard similarity
     * (fixed-point millionths), filtered at `minJaccardFp`. The sets
     * compared are the 60-bit base hashes, not the shingle strings —

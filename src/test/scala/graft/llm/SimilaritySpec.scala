@@ -94,6 +94,21 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(buckets(0L) != buckets(2L)) // negated vector flips every sign
   }
 
+  test("crossCorpusPairs links near-dups across corpora, not within them") {
+    import spark.implicits._
+    val leftDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated text about spark physical planning"),
+      (3L, "another left doc sharing nothing with the right side")).toDF("doc_id", "text")
+    val rightDocs = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog today"),
+      (102L, "spark planning text that is not quite the same words")).toDF("doc_id", "text")
+    val pairs = MinHashLSH.crossCorpusPairs(leftDocs, rightDocs, "doc_id", "text",
+      minJaccardFp = 300000L)
+      .select(col("left_id"), col("right_id")).as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 101L))) // the planted cross-corpus near-dup only
+  }
+
   test("maxBucketSize drops pathological buckets from candidate generation") {
     import spark.implicits._
     // 6 identical docs share every bucket (bucket size 6); 2 other
