@@ -74,6 +74,18 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("filters and projection pushdown reach the parquet scan") {
+    val plan = SparkEntry.queries("q6_filtered_revenue")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"),
+      s"no pushed filters in q6 scan:\n${plan.take(2000)}")
+    // column pruning: the lineitem scan must not read all 11 columns
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(readSchema.nonEmpty && readSchema.split(",").length <= 5,
+      s"scan reads more columns than the query needs: $readSchema")
+  }
+
   test("GraftExtensions installs native functions via spark.sql.extensions") {
     // newSession(): empty per-session function registry (no UDFs
     // registered by other specs) but the app-level extensions apply —
