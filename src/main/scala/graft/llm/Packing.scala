@@ -1,0 +1,66 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed exclusive prefix sum — the primitive behind sequence
+  * packing (assign documents to fixed token budgets in id order).
+  *
+  * The naive formulation is a single global ordering window, which
+  * forces the whole corpus through ONE task's sort — correct at test
+  * scale, the definitive scale-killer at 100 TB. This is the standard
+  * two-level form instead:
+  *
+  *   1. shard each row by `id div shardSize` (deterministic, order-
+  *      preserving: every id in shard k sorts before every id in
+  *      shard k+1);
+  *   2. per-shard exclusive cumulative sum — a window PARTITIONED by
+  *      shard, so each task sorts only its shard;
+  *   3. per-shard totals → running offsets. The offsets window is
+  *      global but runs over the AGGREGATED shard totals (one row per
+  *      shard — bounded by id-range/shardSize, never by corpus size);
+  *   4. broadcast-join the offsets back: global prefix = offset +
+  *      local prefix.
+  *
+  * The result is bit-identical to the global window (integer sums are
+  * associative) with the corpus-sized sort split across shards. The
+  * per-shard totals branch reuses the same scan subtree; Spark's
+  * exchange reuse keeps it to one read in the common case.
+  */
+object Packing {
+
+  /** Adds `outCol` = exclusive prefix sum of `weightCol` in `idCol`
+    * order. `idCol` must be non-negative integral and unique; weights
+    * are integral (sums stay exact). `shardSize` is the id span per
+    * shard — size it so a shard's rows fit one task comfortably. */
+  def exclusivePrefixSum(df: DataFrame, idCol: String, weightCol: String,
+      shardSize: Long, outCol: String = "cum"): DataFrame = {
+    require(shardSize > 0, "shardSize must be positive")
+    val taken = df.columns.toSeq :+ outCol
+    val shardC = graft.Names.fresh("_shard", taken)
+    val lcumC = graft.Names.fresh("_lcum", taken)
+    val stotC = graft.Names.fresh("_stot", taken)
+    val offC = graft.Names.fresh("_off", taken)
+
+    val sharded = df.withColumn(shardC,
+      expr(s"cast(`$idCol` as bigint) div ${shardSize}L"))
+    val wLocal = Window.partitionBy(col(shardC)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = sharded.withColumn(lcumC,
+      sum(col(weightCol)).over(wLocal) - col(weightCol))
+
+    // one row per shard; the global running sum here touches only the
+    // aggregated totals (bounded by shard count, not corpus size)
+    val wOff = Window.orderBy(col(shardC))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = sharded.groupBy(col(shardC))
+      .agg(sum(col(weightCol)).as(stotC))
+      .withColumn(offC, sum(col(stotC)).over(wOff) - col(stotC))
+      .select(col(shardC), col(offC))
+
+    local.join(broadcast(offsets), shardC)
+      .withColumn(outCol, col(lcumC) + col(offC))
+      .drop(shardC, lcumC, offC)
+  }
+}

@@ -170,22 +170,31 @@ object LlmQueries {
 
   // ---- q40: exact per-language token-count quantiles ----
   // approx_percentile is engine- and merge-order-dependent; exact
-  // quantiles from rank positions are not. One shuffle on lang, one
-  // sort per partition; p50/p90 are the values at ceil(q·n) rank.
+  // quantiles from rank positions are not. The naive form (row_number
+  // over a per-language window) sorts each language's ENTIRE corpus in
+  // one task; this is the two-pass rank-selection form instead: count
+  // per (lang, value) — a scale-safe aggregation — then a cumulative
+  // window over the aggregated rows only (bounded by the number of
+  // distinct token counts per language, never by corpus size). The
+  // value at quantile q is the smallest v whose cumulative count
+  // reaches ceil(q·n) — identical to the rank definition.
   def q40TokenQuantiles(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = graft.Tables.documents(s, dir)
+    val counts = graft.Tables.documents(s, dir)
       .select(col("lang"), tokenCount(col("text")).cast("bigint").as("n_tok"))
-    val w = Window.partitionBy(col("lang")).orderBy(col("n_tok"))
-    val ranked = d.withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
-    ranked.groupBy(col("lang"))
+      .groupBy(col("lang"), col("n_tok")).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("n_tok"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("lang"))))
+    cum.groupBy(col("lang"))
       .agg(
         max(col("n")).as("n_docs"),
         min(col("n_tok")).as("min_tok"),
-        max(when(col("rn") === expr("cast(ceil(0.5 * n) as bigint)"), col("n_tok")))
+        min(when(col("cum") >= expr("cast(ceil(0.5 * n) as bigint)"), col("n_tok")))
           .as("p50_tok"),
-        max(when(col("rn") === expr("cast(ceil(0.9 * n) as bigint)"), col("n_tok")))
+        min(when(col("cum") >= expr("cast(ceil(0.9 * n) as bigint)"), col("n_tok")))
           .as("p90_tok"),
         max(col("n_tok")).as("max_tok"))
       .orderBy(col("lang"))
@@ -227,20 +236,18 @@ object LlmQueries {
   // ---- q44: contiguous sequence packing (prefix-sum binning) ----
   // Sequence packing assigns docs (in doc_id order) to fixed token
   // budgets: bin = floor(exclusive-prefix-sum(n_tokens) / budget).
-  // One global ordering window — at corpus scale this would be a
-  // per-shard window (pack within partition); the prefix-sum shape is
-  // identical. Integer arithmetic only.
+  // The prefix sum is the two-level distributed form (per-shard window
+  // + broadcast shard offsets, see Packing.exclusivePrefixSum) — no
+  // corpus-sized data ever passes through a single-partition sort.
+  // Integer arithmetic only; bit-identical to a global window.
   private val PackBudget = 4096L
+  private val PackShardSize = 512L
   def q44SequencePacking(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d = graft.Tables.documents(s, dir)
       .select(col("doc_id"), tokenCount(col("text")).cast("bigint").as("n_tok"))
-    val w = Window.orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val packed = d
-      .withColumn("cum", sum(col("n_tok")).over(w) - col("n_tok"))
+    graft.llm.Packing.exclusivePrefixSum(d, "doc_id", "n_tok", PackShardSize)
       .withColumn("bin", expr(s"cum div ${PackBudget}L"))
-    packed.groupBy(col("bin"))
+      .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
   }

@@ -1,0 +1,88 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestSession}
+
+/** Plan-shape guards for the two queries that previously funneled the
+  * corpus through a single task: q44 (global prefix-sum window) and
+  * q40 (per-language rank window). The scale property under test: a
+  * window with an EMPTY partition spec (single-partition sort) may
+  * only run over aggregated data — bounded by group count — never over
+  * raw corpus rows.
+  */
+class WindowScaleSpec extends AnyFunSuite with SparkTestSession {
+
+  private val Dir = "/root/testdata/sf0.001"
+
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] =
+    p.collect { case n => n }.flatMap {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case n => Seq(n)
+    }
+
+  private def assertGlobalWindowsAggregated(df: DataFrame, name: String): Seq[WindowExec] = {
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    val windows = nodes.collect { case w: WindowExec => w }
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val aggBelow = allNodes(w.child).exists(_.isInstanceOf[BaseAggregateExec])
+      assert(aggBelow,
+        s"$name: global (single-partition) window runs over un-aggregated corpus rows:\n" +
+          w.treeString)
+    }
+    windows
+  }
+
+  test("q44 sequence packing: no single-partition window over corpus rows") {
+    val df = SparkEntry.queries("q44_sequence_packing")(spark, Dir)
+    val windows = assertGlobalWindowsAggregated(df, "q44")
+    // the corpus-sized cumulative sum must be the sharded (partitioned)
+    // window — its sort is split across shards
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      "q44 lost its per-shard prefix-sum window")
+  }
+
+  test("q44 two-level prefix sum matches the global-window formulation") {
+    // bit-exactness of the rewrite: compare against the naive global
+    // window on the same input (fine at spec scale)
+    import org.apache.spark.sql.expressions.Window
+    val d = graft.Tables.documents(spark, Dir)
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).cast("bigint").as("n_tok"))
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = d.withColumn("cum", sum(col("n_tok")).over(w) - col("n_tok"))
+      .select("doc_id", "n_tok", "cum").collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val got = Packing.exclusivePrefixSum(d, "doc_id", "n_tok", shardSize = 37L)
+      .select("doc_id", "cum").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expected)
+  }
+
+  test("exclusivePrefixSum survives caller columns named like its internals") {
+    import spark.implicits._
+    val df = Seq((0L, 10L, "x"), (1L, 5L, "y"), (2L, 7L, "z"))
+      .toDF("id", "w", "_shard")
+    val out = Packing.exclusivePrefixSum(df, "id", "w", shardSize = 2L)
+    assert(out.columns.contains("_shard")) // caller's column preserved
+    val cums = out.select("id", "cum").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cums == Map(0L -> 0L, 1L -> 10L, 2L -> 15L))
+  }
+
+  test("q40 token quantiles: every window runs over aggregated rows") {
+    val df = SparkEntry.queries("q40_token_quantiles")(spark, Dir)
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    val windows = nodes.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "q40 should still use cumulative windows")
+    windows.foreach { w =>
+      val aggBelow = allNodes(w.child).exists(_.isInstanceOf[BaseAggregateExec])
+      assert(aggBelow,
+        s"q40: window over un-aggregated corpus rows (per-language sort is back):\n" +
+          w.treeString)
+    }
+  }
+}
