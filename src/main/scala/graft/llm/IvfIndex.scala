@@ -76,6 +76,21 @@ object IvfIndex {
     vectors.withColumn("cell", cellOf(col("embedding")))
   }
 
+  /** Fixed-point dot product identical to the native `dot_fp`
+    * expression ([[expressions.DotFpExpr]]): per-element
+    * floor(a·b·10⁶) with float→double widening, integer sum. The cell
+    * assignment below must score with EXACTLY this arithmetic or the
+    * q41 oracle (which replays dot_fp in DuckDB) diverges. */
+  private def dotFpLocal(a: Array[Float], b: Array[Float]): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < a.length) {
+      acc += math.floor(a(i).toDouble * b(i).toDouble * 1000000.0).toLong
+      i += 1
+    }
+    acc
+  }
+
   /** Deterministic-codebook IVF: the codebook is the first `nLists`
     * vectors by id (no refinement), assignment is argmax fixed-point
     * inner product (ties → smallest seed id), queries probe their
@@ -84,29 +99,55 @@ object IvfIndex {
     * step is a pure integer function of the input — reproducible
     * across engines and partitionings, hence the DuckDB-oracle-checked
     * IVF path (`q41_ivf_ann`); [[fit]]/[[search]] remain the quality
-    * path. Same scale shape: the codebook broadcasts, the corpus is
-    * scored against nLists seeds scan-locally, and search shuffles
-    * only (cell, candidate) rows. */
+    * path.
+    *
+    * Scale shape: the codebook is a TakeOrdered of `nLists` skinny
+    * rows collected once and broadcast; cell assignment is then
+    * SCAN-LOCAL (a closure over the broadcast codebook — no per-seed
+    * row ever reaches an exchange, unlike a crossJoin+window
+    * formulation which would shuffle corpus×nLists embedding
+    * payloads). Search shuffles only the bucket equi-join of skinny
+    * probe rows; the small side's broadcast is left to AQE so a large
+    * query set degrades to a shuffle join instead of OOMing the
+    * driver. */
   def seededSearch(vectors: DataFrame, queries: DataFrame, nLists: Int,
       k: Int, nProbe: Int): DataFrame = {
     LlmFunctions.registerDotFp(vectors.sparkSession)
     // first nLists vectors BY RANK of vec_id (TakeOrdered — no global
     // sort), not `vec_id < nLists`: sparse or offset id spaces would
     // silently produce an empty codebook and empty results
-    val seeds = broadcast(vectors.orderBy(col("vec_id")).limit(nLists)
-      .select(col("vec_id").as("seed_id"), col("embedding").as("se")))
-    def topCells(df: DataFrame, n: Int): DataFrame = {
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("d").desc, col("seed_id"))
-      df.crossJoin(seeds)
-        .withColumn("d", Similarity.dotFpNative("embedding", "se"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
-        .select(col("vec_id"), col("embedding"), col("seed_id").as("cell"))
+    val seeds: Array[(Long, Array[Float])] =
+      vectors.orderBy(col("vec_id")).limit(nLists)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val bSeeds = vectors.sparkSession.sparkContext.broadcast(seeds)
+    // top-n cells by (dot desc, seed_id asc) — the (-dot, id) tuple
+    // sort reproduces q41's row_number tie-breaking exactly
+    val probeCells = udf { (emb: Seq[Float]) =>
+      val v = emb.toArray
+      bSeeds.value.map { case (sid, se) => (-dotFpLocal(se, v), sid) }
+        .sorted.take(nProbe).map(_._2)
     }
-    val cells = topCells(vectors, 1)
-      .select(col("vec_id"), col("embedding").as("ce"), col("cell"))
-    val probes = topCells(queries, nProbe)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("cell"))
-    val scored = broadcast(probes).join(cells, "cell")
+    val bestCell = udf { (emb: Seq[Float]) =>
+      val v = emb.toArray
+      val s = bSeeds.value
+      if (s.isEmpty) null.asInstanceOf[java.lang.Long]
+      else {
+        var best = s(0)._1; var bestD = Long.MinValue
+        var i = 0
+        while (i < s.length) {
+          val d = dotFpLocal(s(i)._2, v)
+          if (d > bestD) { bestD = d; best = s(i)._1 }
+          i += 1
+        }
+        java.lang.Long.valueOf(best)
+      }
+    }
+    val cells = vectors.select(col("vec_id"), col("embedding").as("ce"),
+      bestCell(col("embedding")).as("cell"))
+    val probes = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"), explode(probeCells(col("embedding"))).as("cell"))
+    val scored = probes.join(cells, "cell")
       .select(col("query_id"), col("vec_id"), Similarity.dotFpNative("qe", "ce").as("dot_fp"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("dot_fp").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)

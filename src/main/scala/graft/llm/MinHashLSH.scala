@@ -31,6 +31,33 @@ import org.apache.spark.storage.StorageLevel
   */
 object MinHashLSH {
 
+  /** Shingle-set projections persisted by [[nearDupPairs]] /
+    * [[crossCorpusPairs]], tracked so long-lived sessions can release
+    * them precisely. */
+  private val trackedPersists = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def persistTracked(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    trackedPersists.add(p)
+    p
+  }
+
+  /** Unpersist every cached projection created by this object's
+    * operators in this JVM, returning how many were released. Scoped
+    * to graft's own caches — unlike `spark.catalog.clearCache()` it
+    * cannot evict unrelated user data. Call between corpora in a
+    * long-lived session. */
+  def unpersistAll(blocking: Boolean = false): Int = {
+    var n = 0
+    var df = trackedPersists.poll()
+    while (df != null) {
+      df.unpersist(blocking)
+      n += 1
+      df = trackedPersists.poll()
+    }
+    n
+  }
+
   /** Word n-gram shingles; docs shorter than n collapse to one shingle. */
   def shingleExpr(toksCol: String, n: Int): Column =
     expr(
@@ -157,8 +184,7 @@ object MinHashLSH {
       minJaccardFp: Long = 0L): DataFrame = {
     LlmFunctions.registerInterCount(left.sparkSession)
     def prep(df: DataFrame, side: String): (DataFrame, DataFrame) = {
-      val sets = shingleSets(df, idCol, textCol, shingleN)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val sets = persistTracked(shingleSets(df, idCol, textCol, shingleN))
       val mh = sets.select(col("doc_id"), expr(s"minhash_sigs(s, $numHashes)").as("mh"))
       val bands = mh.select(col("doc_id").as(s"${side}_id"),
         posexplode(expr(
@@ -191,16 +217,20 @@ object MinHashLSH {
     *
     * The shingle-set projection is persisted (memory-and-disk) because
     * three plan branches consume it: the signature path and both sides
-    * of the verify join. Long-lived sessions should
-    * `spark.catalog.clearCache()` between corpora; at cluster scale
-    * this is the natural checkpoint/materialization boundary. */
+    * of the verify join. The cache is tracked — release it between
+    * corpora with [[unpersistAll]] (precise, unlike a global
+    * `clearCache`); at cluster scale this is the natural
+    * checkpoint/materialization boundary.
+    *
+    * `maxBucketSize > 0` drops pathological LSH buckets before their
+    * quadratic pair expansion — the 100 TB skew guard (boilerplate
+    * buckets carry no near-dup signal worth m² work). */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 1,
-      minJaccardFp: Long = 0L): DataFrame = {
+      minJaccardFp: Long = 0L, maxBucketSize: Int = 0): DataFrame = {
     LlmFunctions.registerInterCount(docs.sparkSession)
-    val sets = shingleSets(docs, idCol, textCol, shingleN)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val pairs = candidatePairsFromSets(sets, numHashes, rowsPerBand)
+    val sets = persistTracked(shingleSets(docs, idCol, textCol, shingleN))
+    val pairs = candidatePairsFromSets(sets, numHashes, rowsPerBand, maxBucketSize)
     // |a ∪ b| = |a| + |b| − |a ∩ b| for distinct sets, so one merge
     // walk (`inter_count`, sorted inputs) replaces the hash-building
     // array_intersect + array_union pair per candidate

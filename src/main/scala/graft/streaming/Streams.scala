@@ -28,6 +28,15 @@ object Streams {
   private def cents4(c: Column): Column =
     floor(c * lit(10000.0)).cast("bigint")
 
+  /** `col` and `withWatermark` PARSE their argument as a (possibly
+    * dotted) identifier, so a caller-supplied name like `l-ts` throws
+    * unless quoted. Operator parameters are literal column names —
+    * quote them. */
+  private def qname(name: String): String =
+    s"`${name.replace("`", "``")}`"
+
+  private def qcol(name: String): Column = col(qname(name))
+
   /** Tumbling hourly counts per event type — streaming twin of q9. */
   def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events
@@ -62,9 +71,9 @@ object Streams {
     * late events arrive out of order. StreamingSpec pins the in-order
     * equivalence. */
   def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
-      watermark: String = "2 hours"): DataFrame =
+      watermark: String = "2 hours", tsCol: String = "ts"): DataFrame =
     events
-      .withWatermark("ts", watermark)
+      .withWatermark(qname(tsCol), watermark)
       .dropDuplicatesWithinWatermark(keys)
 
   /** Stream-stream interval join — the continuous twin of
@@ -73,14 +82,17 @@ object Streams {
     * Spark requires watermarks on both sides plus the time-range
     * condition, and then bounds join state to watermark + range —
     * neither side's state grows with the stream. Column names must be
-    * disjoint between the two sides (rename before calling). */
+    * disjoint between the two sides (rename before calling); the
+    * condition is built from Column expressions, so names needing
+    * backticks resolve correctly. */
   def intervalJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, leftTs: String, rightTs: String,
       bound: String = "5 minutes", watermark: String = "2 hours"): DataFrame =
-    left.withWatermark(leftTs, watermark)
-      .join(right.withWatermark(rightTs, watermark),
-        expr(s"$leftKey = $rightKey AND " +
-          s"$rightTs >= $leftTs - INTERVAL $bound AND $rightTs <= $leftTs"))
+    left.withWatermark(qname(leftTs), watermark)
+      .join(right.withWatermark(qname(rightTs), watermark),
+        qcol(leftKey) === qcol(rightKey) &&
+          qcol(rightTs) >= qcol(leftTs) - expr(s"INTERVAL $bound") &&
+          qcol(rightTs) <= qcol(leftTs))
 
   /** Parse a stream of JSON strings into typed rows with a schema
     * compiled by [[graft.schema.JsonSchemaToStruct]] — JSON Schema in,

@@ -35,12 +35,20 @@ object AsofJoin {
     val rPayloadCols = right.columns.filterNot(keys.contains).toSeq
     val lpType = left.select(struct(lPayloadCols.map(col): _*).as("p")).schema("p").dataType
     val rpType = right.select(struct(rPayloadCols.map(col): _*).as("p")).schema("p").dataType
+    // internal working columns must not shadow caller names (a key
+    // literally named "_ts" would misbind) — pick collision-free ones
+    val taken = (left.columns ++ right.columns).toSeq
+    val tsC = graft.Names.fresh("_ts", taken)
+    val tieC = graft.Names.fresh("_tie", taken)
+    val sideC = graft.Names.fresh("_side", taken)
+    val lpC = graft.Names.fresh("_lp", taken)
+    val rpC = graft.Names.fresh("_rp", taken)
     def side(df: DataFrame, payloadCols: Seq[String], tag: Int,
         lp: Seq[String] => Column, rp: Seq[String] => Column): DataFrame =
       df.select(
         keys.map(col) ++ Seq(
-          col(tsCol).as("_ts"), col(tieCol).as("_tie"), lit(tag).as("_side"),
-          lp(payloadCols).as("_lp"), rp(payloadCols).as("_rp")): _*)
+          col(tsCol).as(tsC), col(tieCol).as(tieC), lit(tag).as(sideC),
+          lp(payloadCols).as(lpC), rp(payloadCols).as(rpC)): _*)
     val l = side(left, lPayloadCols, 1,
       cs => struct(cs.map(col): _*), _ => lit(null).cast(rpType))
     val r = side(right, rPayloadCols, 0,
@@ -48,11 +56,11 @@ object AsofJoin {
     // rights sort before lefts at equal ts (inclusive match); equal-ts
     // rights resolve by tie asc, so the running last() keeps the max
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_ts").asc, col("_side").asc, col("_tie").asc)
+      .orderBy(col(tsC).asc, col(sideC).asc, col(tieC).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
-      .withColumn("asof", last(col("_rp"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 1)
-      .select(keys.map(col) ++ lPayloadCols.map(c => col(s"_lp.$c").as(c)) :+ col("asof"): _*)
+      .withColumn("asof", last(col(rpC), ignoreNulls = true).over(w))
+      .filter(col(sideC) === 1)
+      .select(keys.map(col) ++ lPayloadCols.map(c => col(s"$lpC.$c").as(c)) :+ col("asof"): _*)
   }
 }

@@ -32,20 +32,25 @@ object RangeJoin {
     * left rows would collapse into one row with a summed count. */
   def countPreceding(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String, windowUs: Long): DataFrame = {
-    val probes = left.withColumn("_b",
-      explode(array(expr(s"($tsCol div ${windowUs}L) - 1L"),
-        expr(s"$tsCol div ${windowUs}L"))))
+    // bucket/right-ts working columns must not shadow caller names
+    val taken = (left.columns ++ right.columns).toSeq
+    val bC = graft.Names.fresh("_b", taken)
+    val rtsC = graft.Names.fresh("_rts", taken)
+    val probes = left.withColumn(bC,
+      explode(array(expr(s"(`$tsCol` div ${windowUs}L) - 1L"),
+        expr(s"`$tsCol` div ${windowUs}L"))))
     val r = right.select(
-      keys.map(col) :+ expr(s"$tsCol div ${windowUs}L").as("_b")
-        :+ col(tsCol).as("_rts"): _*)
+      keys.map(col) :+ expr(s"`$tsCol` div ${windowUs}L").as(bC)
+        :+ col(tsCol).as(rtsC): _*)
     val joinCond = keys.map(k => probes(k) === r(k)).reduce(_ && _) &&
-      probes("_b") === r("_b") &&
-      r("_rts") >= probes(tsCol) - windowUs && r("_rts") < probes(tsCol)
+      probes(bC) === r(bC) &&
+      r(rtsC) >= probes(tsCol) - windowUs && r(rtsC) < probes(tsCol)
     val lCols = left.columns.toSeq
     probes.join(r, joinCond, "left")
-      // the two probe rows per left row regroup here; count(_rts)
-      // ignores the null row of a match-less probe, so no dedup needed
+      // the two probe rows per left row regroup here; count of the
+      // right-ts column ignores the null row of a match-less probe,
+      // so no dedup needed
       .groupBy(lCols.map(probes(_)): _*)
-      .agg(count(r("_rts")).as("n_in_window"))
+      .agg(count(r(rtsC)).as("n_in_window"))
   }
 }

@@ -64,4 +64,57 @@ class IvfSpec extends AnyFunSuite with SparkTestSession {
     assert(n1 <= n2 && n2 <= n4)
     assert(n4 == 100) // probing all cells = full corpus
   }
+
+  test("seededSearch: scan-local cell assignment — no cross join, one window") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val out = IvfIndex.seededSearch(clustered,
+      clustered.filter(col("vec_id") < 4), nLists = 4, k = 5, nProbe = 2)
+    def nodes(p: SparkPlan): Seq[SparkPlan] =
+      p.collect { case n => n }.flatMap {
+        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case n => Seq(n)
+      }
+    val all = nodes(out.queryExecution.executedPlan)
+    // the old formulation cross-joined the corpus with the seed set
+    // and ranked corpus×nLists embedding rows through a window
+    assert(!all.exists(_.isInstanceOf[CartesianProductExec]),
+      "seededSearch reintroduced a corpus×seeds cross join")
+    assert(all.count(_.isInstanceOf[WindowExec]) == 1,
+      "only the final per-query top-k should be a window")
+  }
+
+  test("seededSearch with nProbe = nLists equals brute force") {
+    // probing every cell removes the approximation entirely, so the
+    // collected-codebook assignment path must reproduce the exact
+    // fixed-point scores and tie-breaks of bruteForceTopK
+    val queries = clustered.filter(col("vec_id") < 4)
+    val ivf = IvfIndex.seededSearch(clustered, queries, nLists = 4, k = 5, nProbe = 4)
+      .select("query_id", "vec_id", "dot_fp", "rn").collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Similarity.bruteForceTopK(queries, clustered, 5)
+      .select("query_id", "vec_id", "dot_fp", "rn").collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(ivf == exact)
+  }
+
+  test("trained IVF recall@5 vs brute force on the test embeddings") {
+    // quantitative contract for the non-oracle (trained k-means) path:
+    // fixed seed, fixed data → deterministic recall; pin a floor
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < 8)
+    val model = IvfIndex.fit(emb, nLists = 16, seed = 42L)
+    val indexed = IvfIndex.assign(emb, model)
+    val ivf = IvfIndex.search(queries, indexed, model, k = 5, nProbe = 4)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.bruteForceTopK(queries, emb, 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, f"trained-IVF recall@5 degraded to $recall%.2f")
+  }
 }

@@ -122,4 +122,16 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(uncapped == 15L + 1L) // C(6,2) + the pair
     assert(capped == 1L)         // only the size-2 bucket survives
   }
+
+  test("nearDupPairs caches are tracked and released by unpersistAll") {
+    import spark.implicits._
+    MinHashLSH.unpersistAll() // drain anything earlier specs cached
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e g")).toDF("doc_id", "text")
+    MinHashLSH.nearDupPairs(docs, "doc_id", "text").count()
+    val released = MinHashLSH.unpersistAll(blocking = true)
+    assert(released == 1, s"expected the shingle-set cache tracked, got $released")
+    assert(MinHashLSH.unpersistAll() == 0) // idempotent, nothing left behind
+    MinHashLSH.crossCorpusPairs(docs, docs, "doc_id", "text").count()
+    assert(MinHashLSH.unpersistAll(blocking = true) == 2) // one per corpus side
+  }
 }

@@ -142,6 +142,94 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally query.stop()
   }
 
+  // ---- file-source equivalence: the stream path over the SAME
+  // parquet the DuckDB oracle checks in batch (q9 / q16 shapes) ----
+
+  /** events.parquet carries INT64 TIMESTAMP(NANOS); replicate
+    * Tables.events' nanos→micros floor for the streaming reader. */
+  private def nanosToTs(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+
+  /** The file stream source wants a DIRECTORY; expose the single
+    * events.parquet file through a temp dir symlink. */
+  private lazy val eventsStreamDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-events-stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"))
+    dir.toString
+  }
+
+  test("hourlyCounts: AvailableNow file stream over events.parquet == batch") {
+    val dir = "/root/testdata/sf0.001"
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(rawSchema).parquet(eventsStreamDir)
+    val query = Streams.hourlyCounts(nanosToTs(stream))
+      .writeStream.format("memory").queryName("hc_parquet")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      assert(query.awaitTermination(120000), "AvailableNow stream did not finish")
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getLong(3))
+      val got = spark.table("hc_parquet").collect().map(key).sorted.toSeq
+      val batch = Streams.hourlyCounts(graft.Tables.events(spark, dir))
+        .collect().map(key).sorted.toSeq
+      assert(got.nonEmpty && got == batch)
+    } finally query.stop()
+  }
+
+  test("dedupWithinWatermark: AvailableNow file stream == batch dedup keys") {
+    val dir = "/root/testdata/sf0.001"
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(rawSchema).parquet(eventsStreamDir)
+    val keys = Seq("user_id", "event_type")
+    val query = Streams.dedupWithinWatermark(nanosToTs(stream), keys)
+      .writeStream.format("memory").queryName("dedup_parquet")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      assert(query.awaitTermination(120000), "AvailableNow stream did not finish")
+      def keyset(df: org.apache.spark.sql.DataFrame) =
+        df.select(keys.map(col): _*).collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet
+      val got = spark.table("dedup_parquet")
+      val batch = graft.Tables.events(spark, dir).dropDuplicates(keys)
+      // one survivor per key (which row survives is arrival-order-
+      // dependent in a single micro-batch; the KEY SET is the contract)
+      assert(got.count() == batch.count())
+      assert(keyset(got) == keyset(batch))
+    } finally query.stop()
+  }
+
+  test("dedupWithinWatermark honors a non-default timestamp column name") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val renamed = input.toDF().withColumnRenamed("ts", "event_time")
+    val query = Streams.dedupWithinWatermark(renamed,
+      Seq("user_id", "event_type"), tsCol = "event_time")
+      .writeStream.format("memory").queryName("dedup_ts_out")
+      .outputMode("append").start()
+    try {
+      input.addData(Ev(1, ts(10), 1, "view", 1.0), Ev(2, ts(12), 1, "view", 2.0))
+      query.processAllAvailable()
+      assert(spark.table("dedup_ts_out").count() == 1)
+    } finally query.stop()
+  }
+
+  test("intervalJoin resolves column names that need backticks") {
+    import spark.implicits._
+    // hyphenated names break string-spliced conditions; the Column-
+    // based condition must handle them (batch DFs exercise the same
+    // condition builder as the stream path)
+    val l = Seq((1L, 1L, ts(10))).toDF("l-id", "l-user", "l-ts")
+    val r = Seq((10L, 1L, ts(9)), (11L, 1L, ts(1))).toDF("r-id", "r-user", "r-ts")
+    val out = Streams.intervalJoin(l, r, "l-user", "r-user", "l-ts", "r-ts")
+      .select(col("`l-id`"), col("`r-id`")).as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L))) // r@1 is outside the 5-minute bound
+  }
+
   test("parseJsonStream: Json2Spark schema drives from_json; malformed rows flagged") {
     import spark.implicits._
     val schema = graft.schema.JsonSchemaToStruct.convert(

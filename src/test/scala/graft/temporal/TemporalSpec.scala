@@ -80,6 +80,31 @@ class TemporalSpec extends AnyFunSuite with SparkTestSession {
     assert(exchanges == 1, s"as-of join should shuffle exactly once, saw $exchanges")
   }
 
+  test("internal working names never collide with caller columns") {
+    // callers legitimately own "_ts"/"_side"/"_b" etc.; the operators
+    // must neither misbind nor drop them
+    val left = Seq((1L, 10L, 100L, "keep-l"), (1L, 11L, 205L, "keep-l2"))
+      .toDF("user", "id", "ts", "_ts")
+    val right = Seq((1L, 20L, 100L, 7L), (1L, 21L, 150L, 8L))
+      .toDF("user", "id", "ts", "_side")
+    val out = AsofJoin.asofBackward(left, right, Seq("user"), "ts", "id")
+    assert(out.columns.contains("_ts")) // caller payload survives
+    val rows = out.select(col("id"), col("_ts"), col("asof.id").as("mid"),
+        col("asof._side").as("mside"))
+      .as[(Long, String, Option[Long], Option[Long])].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(rows(10L) == ("keep-l", Some(20L), Some(7L)))
+    assert(rows(11L) == ("keep-l2", Some(21L), Some(8L)))
+
+    val rleft = Seq((1L, 10L, 1000L, "x")).toDF("user", "id", "ts", "_b")
+    val rright = Seq((1L, 950L, "y"), (1L, 1000L, "z")).toDF("user", "ts", "_rts")
+    val counts = RangeJoin.countPreceding(rleft, rright, Seq("user"), "ts", 100L)
+    assert(counts.columns.contains("_b"))
+    val got = counts.select(col("id"), col("_b"), col("n_in_window"))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((10L, "x", 1L))) // 950 in [900,1000), 1000 excluded
+  }
+
   test("countPreceding matches a brute-force inequality join on random data") {
     val rnd = new scala.util.Random(7)
     val rows = (0 until 400).map(i => (rnd.nextInt(5).toLong, i.toLong, rnd.nextInt(2000).toLong))
