@@ -1,5 +1,6 @@
 package graft.llm
 
+import java.nio.{ByteBuffer, ByteOrder}
 import java.security.MessageDigest
 
 import org.apache.spark.sql.{Dataset, SparkSession}
@@ -17,12 +18,15 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * driver. At scale the pipeline is embarrassingly parallel — no
   * shuffle until a caller aggregates.
   *
-  * ⚠️ STUB BOUNDARY: no image/audio codecs exist in this environment,
-  * so [[decodeDims]] and [[featureVector]] are deterministic fakes
-  * standing in for a real decoder/encoder (e.g. javax.imageio /
-  * an ONNX runtime). The Spark-side contract — schemas, encoders,
-  * partition amortization, null behavior — is real and tested; swap
-  * the two stub functions for real codecs to productionize.
+  * Two REAL container parsers exist — BMP ([[decodeBmp]]: magic +
+  * BITMAPINFOHEADER dims at bytes 18–25) and WAV ([[decodeWav]]: RIFF
+  * chunk walk for fmt/data) — dispatched by media type in [[decode]],
+  * with matching spec-compliant writers for fixture synthesis. For
+  * every OTHER format (JPEG/PNG/MP4/... need codec libraries this
+  * environment lacks), [[decodeDims]]/[[featureVector]] remain
+  * clearly-marked deterministic stubs; the Spark-side contract —
+  * schemas, encoders, partition amortization, null behavior — is the
+  * same either way.
   */
 object Multimodal {
 
@@ -39,29 +43,179 @@ object Multimodal {
       nBytes: Long,
       fingerprint: String)
 
-  /** STUB decode — derives plausible dimensions deterministically from
-    * the payload size (a real implementation parses the container
-    * header). Mirrorable in any engine, which lets the oracle check
-    * the full pipeline. */
+  /** STUB decode for formats without an in-repo parser — derives
+    * plausible dimensions deterministically from the payload size.
+    * Mirrorable in any engine, which lets the oracle check the
+    * surrounding pipeline; real parsing exists for BMP/WAV below. */
   def decodeDims(content: Array[Byte]): (Int, Int) =
     ((content.length % 640) + 1, ((content.length * 7) % 480) + 1)
 
   /** STUB frame count: one frame per 1000 payload bytes. */
   def frameCount(content: Array[Byte]): Int = content.length / 1000 + 1
 
+  // ---------------- real container codecs ----------------
+
+  /** BMP row stride: 24bpp rows padded to 4-byte boundaries (the spec's
+    * `((w*3 + 3) / 4) * 4`). */
+  def bmpRowSize(width: Int): Int = ((width * 3 + 3) / 4) * 4
+
+  /** Spec-compliant minimal BMP writer: BITMAPFILEHEADER (14 bytes) +
+    * BITMAPINFOHEADER (40 bytes), 24bpp bottom-up BI_RGB, rows padded
+    * to 4 bytes, deterministic pixel bytes. Used to synthesize REAL
+    * image payloads in fixtures and queries. */
+  def encodeBmp(width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0, "BMP dims must be positive")
+    val rowSize = bmpRowSize(width)
+    val dataSize = rowSize * height
+    val fileSize = 54 + dataSize
+    val buf = ByteBuffer.allocate(fileSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(fileSize)
+    buf.putInt(0)                    // reserved
+    buf.putInt(54)                   // pixel array offset
+    buf.putInt(40)                   // BITMAPINFOHEADER size
+    buf.putInt(width)
+    buf.putInt(height)               // positive: bottom-up
+    buf.putShort(1)                  // planes
+    buf.putShort(24)                 // bits per pixel
+    buf.putInt(0)                    // BI_RGB (uncompressed)
+    buf.putInt(dataSize)
+    buf.putInt(2835)                 // 72 dpi in px/metre
+    buf.putInt(2835)
+    buf.putInt(0)                    // palette colors
+    buf.putInt(0)                    // important colors
+    var i = 0
+    while (i < dataSize) { buf.put((i % 251).toByte); i += 1 }
+    buf.array()
+  }
+
+  /** REAL BMP header parse: "BM" magic, declared file size must match
+    * the payload, BITMAPINFOHEADER (or longer V4/V5) at offset 14,
+    * int32-LE width at 18 and height at 22 (negative height = top-down
+    * row order; dimensions are reported positive). Returns None for
+    * anything structurally invalid — null-on-failure, the engine's
+    * standard malformed-input contract (SURVEY §1.3). */
+  def decodeBmp(content: Array[Byte]): Option[(Int, Int)] = {
+    if (content == null || content.length < 54) return None
+    if (content(0) != 'B'.toByte || content(1) != 'M'.toByte) return None
+    val buf = ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN)
+    if (buf.getInt(2) != content.length) return None
+    val headerSize = buf.getInt(14)
+    if (headerSize < 40) return None // BITMAPCOREHEADER not supported
+    val w = buf.getInt(18)
+    val h = buf.getInt(22)
+    if (w <= 0 || h == 0 || h == Int.MinValue) return None
+    Some((w, math.abs(h)))
+  }
+
+  /** Typed metadata of a parsed WAV payload; `nFrames` = samples per
+    * channel. */
+  final case class WavInfo(sampleRate: Int, nChannels: Int,
+      bitsPerSample: Int, nFrames: Int)
+
+  /** Spec-compliant minimal WAV writer: RIFF/WAVE with a 16-byte PCM
+    * fmt chunk and a data chunk of 16-bit LE samples (deterministic
+    * sawtooth). `nFrames` = samples per channel. */
+  def encodeWav(sampleRate: Int, nChannels: Int, nFrames: Int): Array[Byte] = {
+    require(sampleRate > 0 && nChannels > 0 && nFrames >= 0, "invalid WAV params")
+    val dataSize = nFrames * nChannels * 2
+    val fileSize = 44 + dataSize
+    val buf = ByteBuffer.allocate(fileSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII"))
+    buf.putInt(fileSize - 8)               // RIFF chunk size
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII"))
+    buf.putInt(16)                         // PCM fmt chunk size
+    buf.putShort(1)                        // audio format: PCM
+    buf.putShort(nChannels.toShort)
+    buf.putInt(sampleRate)
+    buf.putInt(sampleRate * nChannels * 2) // byte rate
+    buf.putShort((nChannels * 2).toShort)  // block align
+    buf.putShort(16)                       // bits per sample
+    buf.put("data".getBytes("US-ASCII"))
+    buf.putInt(dataSize)
+    var i = 0
+    while (i < nFrames * nChannels) {
+      buf.putShort(((i * 257) % 65536 - 32768).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** REAL WAV parse: RIFF/WAVE magic, then a chunk WALK (id + size,
+    * data padded to even offsets) collecting the PCM `fmt ` fields and
+    * the `data` size — so files carrying extra chunks (LIST metadata
+    * etc.) parse correctly, not just the minimal 44-byte layout.
+    * Returns None for structurally invalid payloads. */
+  def decodeWav(content: Array[Byte]): Option[WavInfo] = {
+    if (content == null || content.length < 44) return None
+    val buf = ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN)
+    def fourCC(off: Int): String =
+      new String(content, off, 4, "US-ASCII")
+    if (fourCC(0) != "RIFF" || fourCC(8) != "WAVE") return None
+    if (buf.getInt(4) != content.length - 8) return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    var dataSize = -1
+    while (off + 8 <= content.length && (fmt.isEmpty || dataSize < 0)) {
+      val id = fourCC(off)
+      val size = buf.getInt(off + 4)
+      if (size < 0 || off + 8 + size > content.length) return None
+      if (id == "fmt ") {
+        if (size < 16) return None
+        val audioFormat = buf.getShort(off + 8)
+        if (audioFormat != 1) return None // PCM only
+        fmt = Some((buf.getShort(off + 10).toInt, buf.getInt(off + 12),
+          buf.getShort(off + 22).toInt))
+      } else if (id == "data") {
+        dataSize = size
+      }
+      off += 8 + size + (size % 2) // chunks are word-aligned
+    }
+    fmt match {
+      case Some((ch, rate, bits)) if dataSize >= 0 && ch > 0 && bits > 0 =>
+        val bytesPerFrame = ch * (bits / 8)
+        if (bytesPerFrame <= 0) None
+        else Some(WavInfo(rate, ch, bits, dataSize / bytesPerFrame))
+      case _ => None
+    }
+  }
+
   /** Decode a payload dataset to typed metadata. Per-partition digest
-    * allocation is the batch-amortization point. */
+    * allocation is the batch-amortization point.
+    *
+    * Dispatch is by declared media type: `image/bmp` and `audio/wav`
+    * run the REAL header parsers; anything else falls back to the
+    * deterministic stub. Field convention: images report
+    * (width, height, nFrames=1); audio reports (width=sampleRate,
+    * height=nChannels, nFrames=samples per channel). A declared
+    * bmp/wav payload that fails structural validation yields zeroed
+    * dimensions (the row survives — malformed inputs must not kill a
+    * 100 TB scan; filter on `width > 0` downstream). */
   def decode(payloads: Dataset[MediaPayload]): Dataset[MediaMeta] = {
     val spark = payloads.sparkSession
     import spark.implicits._
     payloads.mapPartitions { it =>
       val md = MessageDigest.getInstance("MD5") // per-partition init
       it.map { p =>
-        val (w, h) = decodeDims(p.content)
+        val (w, h, nf) = p.mediaType match {
+          case "image/bmp" =>
+            decodeBmp(p.content) match {
+              case Some((bw, bh)) => (bw, bh, 1)
+              case None => (0, 0, 0)
+            }
+          case "audio/wav" =>
+            decodeWav(p.content) match {
+              case Some(wi) => (wi.sampleRate, wi.nChannels, wi.nFrames)
+              case None => (0, 0, 0)
+            }
+          case _ =>
+            val (sw, sh) = decodeDims(p.content)
+            (sw, sh, frameCount(p.content))
+        }
         md.reset()
         val fp = md.digest(p.content).map(b => f"${b & 0xff}%02x").mkString
-        MediaMeta(p.id, p.mediaType, w, h, frameCount(p.content),
-          p.content.length.toLong, fp)
+        MediaMeta(p.id, p.mediaType, w, h, nf, p.content.length.toLong, fp)
       }
     }
   }
@@ -122,6 +276,30 @@ object Multimodal {
       j += 1
     }
     out
+  }
+
+  /** REAL media payloads synthesized from the documents table: even
+    * doc_ids carry an actual BMP file, odd doc_ids an actual WAV file,
+    * with container parameters that are pure functions of doc_id.
+    * The Spark side encodes spec-compliant bytes and [[decode]] then
+    * genuinely parses the headers back; the oracle computes the
+    * expected metadata (including exact file sizes from the BMP row-
+    * padding and WAV chunk layout rules) from first principles — a
+    * wrong byte offset on either side breaks the match. */
+  def documentsAsRealMedia(spark: SparkSession, dir: String): Dataset[MediaPayload] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir).select("doc_id").as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          if (id % 2 == 0)
+            MediaPayload(id, "image/bmp",
+              encodeBmp(((id % 64) + 1).toInt, (((id * 7) % 48) + 1).toInt))
+          else
+            MediaPayload(id, "audio/wav",
+              encodeWav((8000 + (id % 8) * 500).toInt,
+                (1 + ((id / 2) % 2)).toInt, ((id % 200) + 1).toInt))
+        }
+      }
   }
 
   /** Wrap a text corpus as fake media payloads (fixture path used by

@@ -75,6 +75,24 @@ object LlmQueries {
         col("fingerprint"))
   }
 
+  // ---- q47: REAL container decode (BMP + WAV header parsing) ----
+  // Payloads are actual spec-compliant BMP/WAV files synthesized from
+  // doc_id; decode() parses the real headers back (dims at BMP bytes
+  // 18-25, WAV fmt/data chunk walk). The oracle recomputes metadata
+  // AND exact file sizes (BMP 4-byte row padding, WAV 44-byte chunk
+  // layout) from first principles — certifying encoder and parser
+  // against the format spec, not against each other's length. The
+  // fingerprint column is omitted: DuckDB cannot md5 bytes it never
+  // builds.
+  def q47MediaDecode(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Multimodal
+    Multimodal.decode(Multimodal.documentsAsRealMedia(s, dir))
+      .toDF()
+      .select(col("id"), col("mediaType").as("media_type"),
+        col("width"), col("height"),
+        col("nFrames").as("n_frames"), col("nBytes").as("n_bytes"))
+  }
+
   // ---- q28: winnowed rolling-hash document fingerprints ----
   // Oracle-checked end-to-end: the rolling hash is a fixed 16-term
   // polynomial, so the DuckDB side embeds the Base^k mod M constants
@@ -284,6 +302,7 @@ object LlmQueries {
     "q19_lang_id"      -> q19LangId _,
     "q20_quality"      -> q20Quality _,
     "q27_multimodal"   -> q27Multimodal _,
+    "q47_media_decode" -> q47MediaDecode _,
     "q28_fingerprints" -> q28Fingerprints _,
     "q31_simhash_pairs" -> q31SimhashPairs _,
     "q32_curation"     -> q32CurationPipeline _,
@@ -571,6 +590,23 @@ object LlmQueries {
          |  FROM scored)
          |SELECT lang, w, tf, score, CAST(rn AS INTEGER) AS rn
          |FROM ranked WHERE rn <= 10""".stripMargin,
+    // real-format decode: expected metadata and exact file sizes are
+    // derived from the BMP/WAV specs (row padding, chunk layout), not
+    // from the encoder — see q47MediaDecode
+    "q47_media_decode" ->
+      """SELECT doc_id AS id,
+        | CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS media_type,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id % 64) + 1
+        |      ELSE 8000 + (doc_id % 8) * 500 END AS INTEGER) AS width,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN ((doc_id * 7) % 48) + 1
+        |      ELSE 1 + ((doc_id // 2) % 2) END AS INTEGER) AS height,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN 1
+        |      ELSE (doc_id % 200) + 1 END AS INTEGER) AS n_frames,
+        | CAST(CASE WHEN doc_id % 2 = 0
+        |      THEN 54 + ((((doc_id % 64) + 1) * 3 + 3) // 4) * 4 * (((doc_id * 7) % 48) + 1)
+        |      ELSE 44 + ((doc_id % 200) + 1) * (1 + ((doc_id // 2) % 2)) * 2 END AS BIGINT)
+        |   AS n_bytes
+        |FROM documents""".stripMargin,
     // mirrors the decode STUB exactly (Multimodal.decodeDims/frameCount
     // are deterministic functions of the payload byte length)
     "q27_multimodal" ->

@@ -46,6 +46,91 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(a.forall(v => v >= -1.0f && v <= 1.0f))
   }
 
+  // ---- real codec goldens: byte layouts hand-written from the BMP /
+  // RIFF specs, NOT produced by the encoders — so an encoder/decoder
+  // pair sharing a wrong offset cannot pass ----
+
+  private def hex(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  /** 2×2 24bpp bottom-up BMP: 54-byte headers + 16 pixel bytes
+    * (rows of 6 data bytes padded to 8). */
+  private val goldenBmp = hex(
+    "42 4D 46000000 00000000 36000000" +        // BM, size 70, res, offset 54
+      "28000000 02000000 02000000 0100 1800" +  // hdr 40, w 2, h 2, planes, 24bpp
+      "00000000 10000000 130B0000 130B0000 00000000 00000000" + // 72 dpi
+      "AA" * 16)
+
+  /** 8 kHz mono 16-bit PCM WAV with two frames (44 + 4 bytes). */
+  private val goldenWav = hex(
+    "52494646 28000000 57415645" +              // RIFF, size 40, WAVE
+      "666D7420 10000000 0100 0100 401F0000 803E0000 0200 1000" +
+      "64617461 04000000 11223344")             // data, size 4, samples
+
+  test("decodeBmp reads dims from real header bytes; rejects malformed") {
+    assert(decodeBmp(goldenBmp) == Some((2, 2)))
+    // top-down variant: height −2 at offset 22 still reports (2, 2)
+    val topDown = goldenBmp.clone()
+    topDown(22) = 0xFE.toByte; topDown(23) = 0xFF.toByte
+    topDown(24) = 0xFF.toByte; topDown(25) = 0xFF.toByte
+    assert(decodeBmp(topDown) == Some((2, 2)))
+    assert(decodeBmp(goldenBmp.take(40)).isEmpty)          // truncated
+    assert(decodeBmp("BMnot a bitmap at all".getBytes).isEmpty)
+    val wrongSize = goldenBmp.clone(); wrongSize(2) = 0x45 // declared ≠ actual
+    assert(decodeBmp(wrongSize).isEmpty)
+    val badMagic = goldenBmp.clone(); badMagic(0) = 'X'.toByte
+    assert(decodeBmp(badMagic).isEmpty)
+  }
+
+  test("decodeWav walks RIFF chunks; rejects malformed") {
+    assert(decodeWav(goldenWav) == Some(WavInfo(8000, 1, 16, 2)))
+    // an extra LIST chunk between fmt and data must not break parsing
+    val withList = hex(
+      "52494646 34000000 57415645" +
+        "666D7420 10000000 0100 0200 401F0000 007D0000 0400 1000" + // stereo
+        "4C495354 04000000 494E464F" +                             // LIST INFO
+        "64617461 04000000 11223344")                              // 1 stereo frame
+    assert(decodeWav(withList) == Some(WavInfo(8000, 2, 16, 1)))
+    assert(decodeWav(goldenWav.take(20)).isEmpty)
+    val badRiff = goldenWav.clone(); badRiff(0) = 'X'.toByte
+    assert(decodeWav(badRiff).isEmpty)
+    val wrongSize = goldenWav.clone(); wrongSize(4) = 0x10
+    assert(decodeWav(wrongSize).isEmpty)
+  }
+
+  test("encoders round-trip through the parsers at spec-exact sizes") {
+    for ((w, h) <- Seq((1, 1), (2, 2), (3, 7), (64, 48), (640, 1))) {
+      val bytes = encodeBmp(w, h)
+      assert(decodeBmp(bytes) == Some((w, h)), s"bmp $w x $h")
+      assert(bytes.length == 54 + bmpRowSize(w) * h)
+    }
+    for ((rate, ch, frames) <- Seq((8000, 1, 0), (8000, 1, 2), (44100, 2, 777))) {
+      val bytes = encodeWav(rate, ch, frames)
+      assert(decodeWav(bytes) == Some(WavInfo(rate, ch, 16, frames)))
+      assert(bytes.length == 44 + frames * ch * 2)
+    }
+    // the golden byte strings match the encoders byte-for-byte except
+    // payload bytes (headers identical = offsets agree with the spec)
+    assert(encodeBmp(2, 2).take(54).toSeq == goldenBmp.take(54).toSeq)
+    assert(encodeWav(8000, 1, 2).take(44).toSeq == goldenWav.take(44).toSeq)
+  }
+
+  test("decode dispatches real parsers by media type; malformed rows survive") {
+    import spark.implicits._
+    val payloads = Seq(
+      MediaPayload(1L, "image/bmp", encodeBmp(5, 3)),
+      MediaPayload(2L, "audio/wav", encodeWav(16000, 2, 10)),
+      MediaPayload(3L, "image/bmp", Array.fill[Byte](60)(1)), // corrupt
+      MediaPayload(4L, "image/fake", Array.fill[Byte](100)(2)), // stub path
+    ).toDS()
+    val metas = decode(payloads).collect().sortBy(_.id)
+    assert(metas(0).width == 5 && metas(0).height == 3 && metas(0).nFrames == 1)
+    assert(metas(1).width == 16000 && metas(1).height == 2 && metas(1).nFrames == 10)
+    assert(metas(2).width == 0 && metas(2).height == 0 && metas(2).nFrames == 0)
+    assert(metas(3).width == (100 % 640) + 1) // stub fallback intact
+    assert(metas.forall(_.fingerprint.length == 32))
+  }
+
   test("resize: typed pipeline records target dims, bounds output size") {
     import spark.implicits._
     val payloads = Seq(
