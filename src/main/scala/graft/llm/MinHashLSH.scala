@@ -26,8 +26,10 @@ import org.apache.spark.storage.StorageLevel
   * Scale notes: the shuffle payload is doc_id + 32-byte band keys.
   * Popular buckets (boilerplate shingles) are the skew risk — the
   * bucket rows are materialized by a groupBy, so a size cap
-  * (`maxBucketSize`) bounds the quadratic in-bucket pair expansion;
-  * uncapped here because the oracle replicates the uncapped semantics.
+  * (`maxBucketSize`) bounds the quadratic in-bucket pair expansion.
+  * Both modes are oracle-checked end-to-end: q21 runs uncapped, q49
+  * runs with the cap enforced (its DuckDB oracle replays the windowed
+  * bucket-count filter exactly).
   */
 object MinHashLSH {
 

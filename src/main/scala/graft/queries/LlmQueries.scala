@@ -8,8 +8,11 @@ import graft.llm.{Dedup, TextAnalysis}
 /** LLM-training-data pipeline queries over the `documents` table:
   * dedup, text statistics, language ID, quality scoring, multimodal
   * decode, fingerprinting, simhash pairing, and the composed curation
-  * pipeline. Oracle-backed except where the algorithm is not
-  * SQL-expressible (q28, q31 — rows-only, spec-pinned).
+  * pipeline. EVERY query here carries an exact DuckDB oracle —
+  * including the algorithm-heavy ones (q28 replays the winnowed
+  * rolling hash, q31 replays 64-bit FNV-1a over HUGEINT);
+  * SparkEntrySpec asserts queries/oracle key parity so this can't
+  * silently drift.
   */
 object LlmQueries {
 

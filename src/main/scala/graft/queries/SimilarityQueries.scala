@@ -96,6 +96,32 @@ object SimilarityQueries {
       .select(col("query_id"), col("vec_id"), col("dot_fp"), col("rn"))
   }
 
+  private val CapBucketSize = 4
+
+  // ---- q48: cross-corpus near-dup linkage (record resolution) ----
+  // The record-linkage twin of q21: two corpora (doc_id parity split),
+  // banded left-bands ⋈ right-bands on the bucket key — neither corpus
+  // crosses the other wholesale. Verified by exact Jaccard.
+  def q48CrossCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.documents(s, dir)
+    MinHashLSH.crossCorpusPairs(
+      d.filter(pmod(col("doc_id"), lit(2)) === 0),
+      d.filter(pmod(col("doc_id"), lit(2)) === 1),
+      "doc_id", "text", shingleN = ShingleN, numHashes = NumHashes)
+  }
+
+  // ---- q49: bucket-capped near-dup pairs (the 100 TB skew guard) ----
+  // Same pipeline as q21 with maxBucketSize enforced end-to-end: LSH
+  // buckets larger than the cap are dropped BEFORE their quadratic
+  // pair expansion (boilerplate buckets carry no near-dup signal worth
+  // m² work). The oracle replicates the cap with a windowed bucket
+  // count, proving the skew guard's exact semantics — not just that
+  // "fewer rows came back".
+  def q49MinhashCapped(s: SparkSession, dir: String): DataFrame =
+    MinHashLSH.nearDupPairs(graft.Tables.documents(s, dir), "doc_id", "text",
+      shingleN = ShingleN, numHashes = NumHashes, rowsPerBand = 1,
+      minJaccardFp = 0L, maxBucketSize = CapBucketSize)
+
   private val CentroidDims = 8
 
   // ---- q46: per-label embedding centroid components (fixed-point) ----
@@ -122,6 +148,8 @@ object SimilarityQueries {
     "q38_dedup_clusters" -> q38DedupClusters _,
     "q41_ivf_ann"       -> q41IvfAnn _,
     "q46_embed_stats"   -> q46EmbedStats _,
+    "q48_cross_corpus"  -> q48CrossCorpus _,
+    "q49_minhash_capped" -> q49MinhashCapped _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -130,7 +158,10 @@ object SimilarityQueries {
     "CASE WHEN length(trim(text)) = 0 THEN [] " +
       "ELSE string_split_regex(trim(text), '\\s+') END"
 
-  private val q21Sql = {
+  /** Shared minhash CTE chain ending in `bands(doc_id, band_id,
+    * band_key)` + `sets(doc_id, s)` — the q21/q48/q49 oracles differ
+    * only in how bands become candidate pairs. */
+  private val minhashCtes = {
     val shSql =
       s"""CASE WHEN len(toks) >= $ShingleN
          | THEN list_transform(range(1, len(toks) - ${ShingleN - 2}),
@@ -141,7 +172,7 @@ object SimilarityQueries {
       val (a, b) = graft.llm.MinHashLSH.seedParams(k)
       s"list_min(list_transform(bases, v -> (v * $a + $b) % $p))"
     }.mkString(", ")
-    s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    s"""base AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |sh AS (SELECT doc_id, $shSql AS sh FROM base),
        |bs AS (SELECT doc_id, sh, list_transform(sh,
        |  s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % $p) AS bases FROM sh),
@@ -150,15 +181,43 @@ object SimilarityQueries {
        |  array_to_string(list_transform(mh[(b + 1):(b + 1)],
        |    x -> CAST(x AS VARCHAR)), '|') AS band_key
        |  FROM mh, unnest(range(0, $NumHashes)) AS u(b)),
-       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-       |sets AS (SELECT doc_id, list_distinct(bases) AS s FROM bs)
-       |SELECT doc_a, doc_b,
+       |sets AS (SELECT doc_id, list_distinct(bases) AS s FROM bs)""".stripMargin
+  }
+
+  private def jaccardSelect(aCol: String, bCol: String): String =
+    s"""SELECT $aCol, $bCol,
        |  CAST(floor(1000000.0 * CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
        |    / CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE)) AS BIGINT) AS jaccard_fp
-       |FROM pairs JOIN sets sa ON doc_a = sa.doc_id JOIN sets sb ON doc_b = sb.doc_id""".stripMargin
-  }
+       |FROM pairs JOIN sets sa ON $aCol = sa.doc_id JOIN sets sb ON $bCol = sb.doc_id""".stripMargin
+
+  private val q21Sql =
+    s"""WITH $minhashCtes,
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+       |${jaccardSelect("doc_a", "doc_b")}""".stripMargin
+
+  // bucket-cap semantics replayed exactly: rows of buckets larger than
+  // the cap are removed BEFORE pair generation (windowed count filter
+  // = MinHashLSH.capBuckets)
+  private val q49Sql =
+    s"""WITH $minhashCtes,
+       |capped AS (SELECT doc_id, band_id, band_key FROM (
+       |    SELECT doc_id, band_id, band_key,
+       |      count(*) OVER (PARTITION BY band_id, band_key) AS bc FROM bands) t
+       |  WHERE bc <= $CapBucketSize),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM capped a JOIN capped b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+       |${jaccardSelect("doc_a", "doc_b")}""".stripMargin
+
+  private val q48Sql =
+    s"""WITH $minhashCtes,
+       |pairs AS (SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+       |  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1)
+       |${jaccardSelect("left_id", "right_id")}""".stripMargin
 
   private val q22Sql = {
     val sums = (0 until 16).map { j =>
@@ -288,6 +347,8 @@ object SimilarityQueries {
     "q29_embed_dedup"   -> q29Sql,
     "q38_dedup_clusters" -> q38Sql,
     "q41_ivf_ann"       -> q41Sql,
+    "q48_cross_corpus"  -> q48Sql,
+    "q49_minhash_capped" -> q49Sql,
     "q46_embed_stats" ->
       s"""SELECT label, CAST(i - 1 AS INTEGER) AS dim, count(*) AS n,
          |  CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT))
