@@ -32,8 +32,10 @@ object Packing {
 
   /** Adds `outCol` = exclusive prefix sum of `weightCol` in `idCol`
     * order. `idCol` must be non-negative integral and unique; weights
-    * are integral (sums stay exact). `shardSize` is the id span per
-    * shard — size it so a shard's rows fit one task comfortably. */
+    * must be NON-NEGATIVE integral (shard totals are recovered as the
+    * max inclusive local prefix — sizes and token counts qualify).
+    * `shardSize` is the id span per shard — size it so a shard's rows
+    * fit one task comfortably. */
   def exclusivePrefixSum(df: DataFrame, idCol: String, weightCol: String,
       shardSize: Long, outCol: String = "cum"): DataFrame = {
     require(shardSize > 0, "shardSize must be positive")
@@ -43,19 +45,29 @@ object Packing {
     val stotC = graft.Names.fresh("_stot", taken)
     val offC = graft.Names.fresh("_off", taken)
 
+    // the explicit not-null filter matches the one the optimizer
+    // infers on the join side, keeping both branches' shuffle subtrees
+    // canonically identical (a prerequisite for stage reuse below)
     val sharded = df.withColumn(shardC,
-      expr(s"cast(`$idCol` as bigint) div ${shardSize}L"))
+        expr(s"cast(`$idCol` as bigint) div ${shardSize}L"))
+      .filter(col(shardC).isNotNull)
     val wLocal = Window.partitionBy(col(shardC)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = sharded.withColumn(lcumC,
       sum(col(weightCol)).over(wLocal) - col(weightCol))
 
-    // one row per shard; the global running sum here touches only the
-    // aggregated totals (bounded by shard count, not corpus size)
+    // Shard totals are derived FROM the windowed frame (max inclusive
+    // local prefix per shard), not from a separate aggregation of the
+    // raw input: that keeps this branch's subtree identical to the
+    // main branch's, so Spark's exchange reuse evaluates the upstream
+    // (scan + weight computation + shard shuffle) ONCE instead of
+    // re-scanning the corpus. The groupBy runs on the exchange's own
+    // partitioning key (no extra shuffle), and the only global window
+    // touches one row per shard — bounded by id-range/shardSize.
     val wOff = Window.orderBy(col(shardC))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = sharded.groupBy(col(shardC))
-      .agg(sum(col(weightCol)).as(stotC))
+    val offsets = local.groupBy(col(shardC))
+      .agg(max(col(lcumC) + col(weightCol)).as(stotC))
       .withColumn(offC, sum(col(stotC)).over(wOff) - col(stotC))
       .select(col(shardC), col(offC))
 

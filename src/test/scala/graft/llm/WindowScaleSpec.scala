@@ -46,6 +46,12 @@ class WindowScaleSpec extends AnyFunSuite with SparkTestSession {
     // window — its sort is split across shards
     assert(windows.exists(_.partitionSpec.nonEmpty),
       "q44 lost its per-shard prefix-sum window")
+    // the offsets branch must REUSE the main branch's shard shuffle
+    // (one corpus scan + tokenize, not two) — visible only in the
+    // final adaptive plan, hence the collect first
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "q44's offsets branch re-scans the corpus instead of reusing the shard exchange")
   }
 
   test("q44 two-level prefix sum matches the global-window formulation") {
