@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.geo.expressions.WkbGeomTypeExpr
-import graft.llm.expressions.{DotFpExpr, InterCountExpr, MinHashSigsExpr, ShingleBasesExpr}
+import graft.llm.expressions.{DotFpExpr, InterCountExpr, LshBucketExpr, MinHashSigsExpr, ShingleBasesExpr}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
@@ -65,6 +65,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "inter_count takes exactly 2 arguments")
         InterCountExpr(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier(graft.llm.LlmFunctions.LshBucket),
+      new ExpressionInfo(classOf[LshBucketExpr].getName,
+        graft.llm.LlmFunctions.LshBucket),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "lsh_bucket takes exactly 2 arguments")
+        LshBucketExpr(children.head, intLiteral(children(1), "lsh_bucket"))
       }))
   }
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.llm.expressions.{DotFpExpr, InterCountExpr, MinHashSigsExpr, ShingleBasesExpr}
+import graft.llm.expressions.{DotFpExpr, InterCountExpr, LshBucketExpr, MinHashSigsExpr, ShingleBasesExpr}
 
 /** SQL registration surface for the LLM-pipeline functions (same
   * pattern as `graft.geo.GeoFunctions`). */
@@ -16,14 +16,33 @@ object LlmFunctions {
   val ShingleBases = "shingle_bases"
 
   val InterCount = "inter_count"
+  val LshBucket = "lsh_bucket"
 
   def registerAll(spark: SparkSession): Unit = {
     registerDotFp(spark)
     registerMinHashSigs(spark)
     registerShingleBases(spark)
     registerInterCount(spark)
+    registerLshBucket(spark)
     SimHash.register(spark)
     Fingerprint.register(spark)
+  }
+
+  /** `lsh_bucket(embedding, dim)` — dim must be an integer literal. */
+  def registerLshBucket(spark: SparkSession): Unit = {
+    val info = new ExpressionInfo(classOf[LshBucketExpr].getName, LshBucket)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(LshBucket),
+      info,
+      (children: Seq[Expression]) => {
+        require(children.size == 2, s"$LshBucket takes exactly 2 arguments")
+        val dim = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"$LshBucket: dim must be an INT literal, got $other")
+        }
+        LshBucketExpr(children.head, dim)
+      })
   }
 
   /** `inter_count(a, b)` — sorted-array intersection cardinality. */

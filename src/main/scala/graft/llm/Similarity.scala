@@ -41,22 +41,43 @@ object Similarity {
   def dotFpNative(a: String, b: String): Column = expr(s"dot_fp($a, $b)")
 
   /** Deterministic integer hyperplanes for the sign-LSH bucketing —
-    * weights in [-3, 3] from an LCG over (plane, dim). Exposed so the
-    * DuckDB oracle can embed the identical literals. */
+    * weights in [-3, 3] from a splitmix-style avalanche over
+    * (plane, dim). Exposed so the DuckDB oracle can embed the
+    * identical literals.
+    *
+    * The mix matters: the obvious LCG `(p·dim+i)·1103515245 + 12345`
+    * is DEGENERATE here because 1103515245 ≡ 0 (mod 7) — every weight
+    * collapses to the same value, all 8 planes become identical, and
+    * the "8-bit" bucket takes only 2 values (so the bucket join scores
+    * half the corpus per query). The multiply-xor-shift avalanche
+    * below decorrelates the planes properly; `PlaneSpreadSpec`-style
+    * assertions in SimilaritySpec guard the distribution. */
   val NumPlanes = 8
   def planeWeights(dim: Int): Seq[Seq[Int]] =
     (0 until NumPlanes).map { p =>
       (0 until dim).map { i =>
-        ((((p.toLong * dim + i) * 1103515245L + 12345L) % 7 + 7) % 7 - 3).toInt
+        var h = p.toLong * 0x9E3779B97F4A7C15L +
+          i.toLong * 0xC2B2AE3D27D4EB4FL + 0x165667B19E3779F9L
+        h ^= (h >>> 33); h *= 0xFF51AFD7ED558CCDL; h ^= (h >>> 33)
+        ((h % 7 + 7) % 7 - 3).toInt
       }
     }
 
   /** 8-bit LSH bucket id of an embedding column: the sign pattern of
-    * the fixed-point projections onto the 8 hyperplanes, each computed
-    * by the native codegen `dot_fp` against a double-literal plane
-    * (requires [[LlmFunctions.registerDotFp]] on the session — the
-    * top-k operators register it themselves). */
+    * the fixed-point projections onto the 8 hyperplanes, computed by
+    * the native `lsh_bucket` expression ([[expressions.LshBucketExpr]])
+    * — ONE codegen'd pass over the array instead of 8 `dot_fp`
+    * evaluations against plane literals (requires
+    * [[LlmFunctions.registerLshBucket]] on the session — the top-k
+    * operators register it themselves). [[bucketExprComposed]] keeps
+    * the composed formulation as the semantic cross-check. */
   def bucketExpr(embCol: String, dim: Int): Column =
+    expr(s"lsh_bucket($embCol, $dim)")
+
+  /** The 8×`dot_fp` composition `lsh_bucket` replaces — retained
+    * because SimilaritySpec asserts the two agree bit-for-bit (and the
+    * DuckDB oracles replay THIS form literally). */
+  def bucketExprComposed(embCol: String, dim: Int): Column =
     planeWeights(dim).zipWithIndex
       .map { case (w, p) =>
         val plane = w.map(v => s"${v.toDouble}D").mkString("array(", ", ", ")")
@@ -97,6 +118,7 @@ object Similarity {
     * exchanges. */
   def embeddingNearDupPairs(vectors: DataFrame, minDotFp: Long, dim: Int): DataFrame = {
     LlmFunctions.registerDotFp(vectors.sparkSession)
+    LlmFunctions.registerLshBucket(vectors.sparkSession)
     def b = vectors.select(col("vec_id"), col("embedding"),
       bucketExpr("embedding", dim).as("bucket"))
     val probes = b.select(col("vec_id").as("ia"), col("embedding").as("ea"),
@@ -118,6 +140,7 @@ object Similarity {
 
   def annTopK(queries: DataFrame, candidates: DataFrame, k: Int, dim: Int): DataFrame = {
     LlmFunctions.registerDotFp(queries.sparkSession)
+    LlmFunctions.registerLshBucket(queries.sparkSession)
     def withBucket(df: DataFrame): DataFrame =
       df.withColumn("bucket", bucketExpr("embedding", dim))
     val q = broadcast(withBucket(queries)

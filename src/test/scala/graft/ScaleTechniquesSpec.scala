@@ -103,6 +103,9 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkTestSession {
       .collect()(0).getInt(0) == 1)
     assert(fresh.sql("SELECT size(shingle_bases('a b c d', 3))")
       .collect()(0).getInt(0) == 2)
+    // zero vector projects to 0 on every plane → bucket 0; wrong dim → 0
+    assert(fresh.sql("SELECT lsh_bucket(array(CAST(0.0 AS FLOAT)), 1)")
+      .collect()(0).getLong(0) == 0L)
     // while a UDF-backed function is absent until registerAll is called
     intercept[Exception] {
       fresh.sql("SELECT curved_to_linear_wkb(unhex('01'), 5.0D)").collect()
@@ -112,7 +115,7 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkTestSession {
     val fns = fresh.catalog.listFunctions().collect().map(_.name).toSet
     Seq("get_wkb_geom_type", "curved_to_linear_wkb", "generate_contours_udf",
       "simhash64", "hamming64", "doc_fingerprints", "dot_fp", "minhash_sigs",
-      "shingle_bases", "inter_count").foreach { f =>
+      "shingle_bases", "inter_count", "lsh_bucket").foreach { f =>
       assert(fns.contains(f), s"$f missing after Graft.registerAll")
     }
   }

@@ -123,6 +123,32 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(capped == 1L)         // only the size-2 bucket survives
   }
 
+  test("native lsh_bucket == the composed 8x dot_fp formulation") {
+    import spark.implicits._
+    LlmFunctions.registerDotFp(spark)
+    LlmFunctions.registerLshBucket(spark)
+    val rnd = new scala.util.Random(13)
+    val dim = 64
+    val rows: Seq[(Long, Seq[Float])] =
+      (0 until 200).map(i => (i.toLong, Seq.fill(dim)(rnd.nextFloat() * 2 - 1))) ++
+        Seq((500L, Seq.fill(dim)(0.0f)),              // all-zero → bucket 0
+            (501L, Seq.fill(3)(1.0f)),                // wrong length → 0
+            (502L, null))                             // null array → 0
+    val df = rows.toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id"),
+        Similarity.bucketExpr("embedding", dim).as("native"),
+        Similarity.bucketExprComposed("embedding", dim).as("composed"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (id, n, c) =>
+      assert(n == c, s"vec $id: native bucket $n != composed $c")
+    }
+    assert(got.find(_._1 == 501L).get._2 == 0L)
+    assert(got.find(_._1 == 502L).get._2 == 0L)
+    // the random vectors must spread across buckets (sanity: the
+    // expression isn't degenerately returning 0)
+    assert(got.filter(_._1 < 200).map(_._2).distinct.length > 10)
+  }
+
   test("nearDupPairs caches are tracked and released by unpersistAll") {
     import spark.implicits._
     MinHashLSH.unpersistAll() // drain anything earlier specs cached
