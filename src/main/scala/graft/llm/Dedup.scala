@@ -43,6 +43,48 @@ object Dedup {
     exact(df.withColumn("__fp", fingerprint(col(textCol))), Seq("__fp"), tieBreak)
       .drop("__fp")
 
+  /** Exact-substring duplication stats (the RefinedWeb / Gopher
+    * "duplicated span" curation signal): for each document, the
+    * fraction of its DISTINCT word n-grams that also occur in at least
+    * one other document. Wholesale-copied boilerplate scores near 1;
+    * original text near 0 — thresholding on `dup_fp` is the
+    * exact-substring counterpart of MinHash near-dedup (which scores
+    * whole-document similarity, not span reuse).
+    *
+    * Scale design: n-grams are hashed to 60-bit ints by the codegen'd
+    * `shingle_bases` expression and deduplicated per document BEFORE
+    * the explode, so the only shuffles are keyed on (gram-hash) then
+    * (doc_id) — 8-byte keys, never text. Gram-frequency skew (a
+    * boilerplate gram in every doc) is a counting aggregation, not a
+    * pair expansion, so no quadratic bucket risk exists here.
+    *
+    * Returns (doc_id, n_grams, n_shared, dup_fp) with dup_fp in
+    * fixed-point millionths; docs with no grams (empty text) keep 0s.
+    */
+  def dupSpanStats(docs: DataFrame, idCol: String, textCol: String,
+      gramN: Int = 8): DataFrame = {
+    LlmFunctions.registerShingleBases(docs.sparkSession)
+    val grams = docs.select(col(idCol).as("doc_id"),
+      array_distinct(expr(s"shingle_bases($textCol, $gramN)")).as("gs"))
+    val exploded = grams.select(col("doc_id"), explode(col("gs")).as("g"))
+    // docs-per-gram: two-level partial aggregation on the gram hash
+    val gramDocs = exploded.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs_with"))
+    val perDoc = exploded.join(gramDocs, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n_docs_with") >= 2, 1L).otherwise(0L)).as("n_shared"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0L))
+          .otherwise(expr(
+            "cast(floor(1000000.0 * cast(n_shared as double) / cast(n_grams as double)) as bigint)"))
+          .as("dup_fp"))
+  }
+
   /** Connected components of a near-duplicate graph: every vertex is
     * labeled with the smallest id reachable through the edge set —
     * the cluster key for transitive dedup ("A≈B, B≈C ⇒ keep one of

@@ -284,6 +284,17 @@ object LlmQueries {
       "doc_id", "text")
   }
 
+  // ---- q50: exact-substring duplicate-span stats ----
+  // Per-doc fraction of distinct word 8-grams shared with any other
+  // document — the span-level dedup signal (RefinedWeb-style) that
+  // whole-document MinHash similarity cannot express. Grams hash
+  // through the same codegen'd shingle_bases path as q21, so the
+  // oracle replays md5-based gram hashing exactly.
+  private val DupSpanGramN = 8
+  def q50DupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupSpanStats(graft.Tables.documents(s, dir), "doc_id", "text",
+      gramN = DupSpanGramN)
+
   // ---- q32: composed curation pipeline (quality → dedup → stats) ----
   // the realistic corpus-curation shape: threshold on quality, keep
   // one doc per normalized fingerprint, then per-language counts —
@@ -317,6 +328,7 @@ object LlmQueries {
     "q43_chunks"            -> q43Chunks _,
     "q44_sequence_packing"  -> q44SequencePacking _,
     "q45_decontamination"   -> q45Decontamination _,
+    "q50_dup_spans"         -> q50DupSpans _,
   )
 
   /** DuckDB token expression mirroring TextAnalysis.tokens. */
@@ -593,6 +605,29 @@ object LlmQueries {
          |  FROM scored)
          |SELECT lang, w, tf, score, CAST(rn AS INTEGER) AS rn
          |FROM ranked WHERE rn <= 10""".stripMargin,
+    "q50_dup_spans" -> {
+      val n = DupSpanGramN
+      val p = graft.llm.MinHashLSH.P
+      s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, CASE WHEN len(toks) >= $n
+         |    THEN list_transform(range(1, len(toks) - ${n - 2}),
+         |      i -> array_to_string(toks[i:i+${n - 1}], ' '))
+         |    ELSE [array_to_string(toks, ' ')] END AS sh FROM base),
+         |bs AS (SELECT doc_id, list_distinct(list_transform(sh,
+         |    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % $p)) AS gs FROM sh),
+         |e AS (SELECT doc_id, unnest(gs) AS g FROM bs),
+         |gd AS (SELECT g, count(*) AS n_docs_with FROM e GROUP BY g),
+         |pd AS (SELECT doc_id, count(*) AS n_grams,
+         |    sum(CASE WHEN n_docs_with >= 2 THEN 1 ELSE 0 END) AS n_shared
+         |  FROM e JOIN gd USING (g) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(pd.n_shared, 0) AS BIGINT) AS n_shared,
+         |  CAST(CASE WHEN coalesce(pd.n_grams, 0) = 0 THEN 0
+         |    ELSE floor(1000000.0 * CAST(pd.n_shared AS DOUBLE)
+         |      / CAST(pd.n_grams AS DOUBLE)) END AS BIGINT) AS dup_fp
+         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin
+    },
     // real-format decode: expected metadata and exact file sizes are
     // derived from the BMP/WAV specs (row padding, chunk layout), not
     // from the encoder — see q47MediaDecode

@@ -122,6 +122,28 @@ object SimilarityQueries {
       shingleN = ShingleN, numHashes = NumHashes, rowsPerBand = 1,
       minJaccardFp = 0L, maxBucketSize = CapBucketSize)
 
+  private val MatrixMinJaccardFp = 300000L
+
+  // ---- q51: near-dup source-attribution matrix ----
+  // Which source pairs contribute duplicated content — the curation
+  // diagnostic built on the q21 pair stream: thresholded near-dup
+  // pairs joined back to their sources (id-keyed skinny join, text
+  // never moves), aggregated per unordered source pair. Drives "drop
+  // the mirror site" decisions that per-document dedup can't surface.
+  def q51SourceMatrix(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    val pairs = MinHashLSH.nearDupPairs(docs, "doc_id", "text",
+      shingleN = ShingleN, numHashes = NumHashes, rowsPerBand = 1,
+      minJaccardFp = MatrixMinJaccardFp)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("source_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("source_b")), "doc_b")
+      .groupBy(least(col("source_a"), col("source_b")).as("src_1"),
+        greatest(col("source_a"), col("source_b")).as("src_2"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("jaccard_fp")).as("sum_jaccard_fp"))
+  }
+
   private val CentroidDims = 8
 
   // ---- q46: per-label embedding centroid components (fixed-point) ----
@@ -150,6 +172,7 @@ object SimilarityQueries {
     "q46_embed_stats"   -> q46EmbedStats _,
     "q48_cross_corpus"  -> q48CrossCorpus _,
     "q49_minhash_capped" -> q49MinhashCapped _,
+    "q51_source_matrix" -> q51SourceMatrix _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -218,6 +241,22 @@ object SimilarityQueries {
        |    ON a.band_id = b.band_id AND a.band_key = b.band_key
        |  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1)
        |${jaccardSelect("left_id", "right_id")}""".stripMargin
+
+  private val q51Sql =
+    s"""WITH $minhashCtes,
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |scored AS (${jaccardSelect("doc_a", "doc_b")})
+       |SELECT least(da.source, db.source) AS src_1,
+       |  greatest(da.source, db.source) AS src_2,
+       |  count(*) AS n_pairs,
+       |  CAST(sum(jaccard_fp) AS BIGINT) AS sum_jaccard_fp
+       |FROM scored
+       |JOIN documents da ON doc_a = da.doc_id
+       |JOIN documents db ON doc_b = db.doc_id
+       |WHERE jaccard_fp >= $MatrixMinJaccardFp
+       |GROUP BY 1, 2""".stripMargin
 
   private val q22Sql = {
     val sums = (0 until 16).map { j =>
@@ -349,6 +388,7 @@ object SimilarityQueries {
     "q41_ivf_ann"       -> q41Sql,
     "q48_cross_corpus"  -> q48Sql,
     "q49_minhash_capped" -> q49Sql,
+    "q51_source_matrix" -> q51Sql,
     "q46_embed_stats" ->
       s"""SELECT label, CAST(i - 1 AS INTEGER) AS dim, count(*) AS n,
          |  CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT))

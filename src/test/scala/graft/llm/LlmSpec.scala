@@ -110,4 +110,23 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
       .as[(Int, Long)].collect().toSeq
     assert(rows == Seq((7, 571428L), (2, 0L), (0, 0L), (0, 0L)))
   }
+
+  test("dupSpanStats: shared 8-gram spans detected, unique text scores 0") {
+    import spark.implicits._
+    val span = "one two three four five six seven eight" // exactly 8 tokens
+    val docs = Seq(
+      (1L, s"alpha beta $span gamma delta"),   // shares the span with 2
+      (2L, s"epsilon zeta $span eta theta"),   // shares the span with 1
+      (3L, "iota kappa lambda mu nu xi omicron pi rho sigma"), // unique
+      (4L, "tau upsilon"),                     // < 8 tokens → 1 collapsed gram
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpanStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // docs 1/2: 12 tokens → 5 distinct 8-grams each, exactly one shared
+    assert(got(1L) == ((5L, 1L, 200000L)))
+    assert(got(2L) == ((5L, 1L, 200000L)))
+    assert(got(3L) == ((3L, 0L, 0L)))
+    assert(got(4L)._2 == 0L && got(4L)._3 == 0L) // collapsed gram unshared
+  }
 }
