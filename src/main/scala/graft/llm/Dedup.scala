@@ -59,13 +59,21 @@ object Dedup {
     * pair expansion, so no quadratic bucket risk exists here.
     *
     * Returns (doc_id, n_grams, n_shared, dup_fp) with dup_fp in
-    * fixed-point millionths; docs with no grams (empty text) keep 0s.
+    * fixed-point millionths. Blank documents (null or whitespace-only
+    * text) are excluded from the gram stream and report 0s: the
+    * collapsed whole-text shingle of a blank doc is the empty string,
+    * and letting blank docs score 1000000 against each other would
+    * make a duplication threshold silently drop every empty row.
+    * Short-but-nonblank docs DO collapse to one whole-text gram, so
+    * two identical short docs correctly score as full duplicates.
     */
   def dupSpanStats(docs: DataFrame, idCol: String, textCol: String,
       gramN: Int = 8): DataFrame = {
     LlmFunctions.registerShingleBases(docs.sparkSession)
-    val grams = docs.select(col(idCol).as("doc_id"),
-      array_distinct(expr(s"shingle_bases($textCol, $gramN)")).as("gs"))
+    val grams = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        array_distinct(expr(s"shingle_bases($textCol, $gramN)")).as("gs"))
     val exploded = grams.select(col("doc_id"), explode(col("gs")).as("g"))
     // docs-per-gram: two-level partial aggregation on the gram hash
     val gramDocs = exploded.groupBy(col("g"))

@@ -122,25 +122,34 @@ object IvfIndex {
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val bSeeds = vectors.sparkSession.sparkContext.broadcast(seeds)
     // top-n cells by (dot desc, seed_id asc) — the (-dot, id) tuple
-    // sort reproduces q41's row_number tie-breaking exactly
+    // sort reproduces q41's row_number tie-breaking exactly. Null or
+    // dimension-mismatched embeddings (dot undefined) get no cell and
+    // drop out of the index/probe streams instead of crashing the scan.
     val probeCells = udf { (emb: Seq[Float]) =>
-      val v = emb.toArray
-      bSeeds.value.map { case (sid, se) => (-dotFpLocal(se, v), sid) }
-        .sorted.take(nProbe).map(_._2)
+      if (emb == null) Seq.empty[Long]
+      else {
+        val v = emb.toArray
+        bSeeds.value.collect {
+          case (sid, se) if se.length == v.length => (-dotFpLocal(se, v), sid)
+        }.sorted.take(nProbe).map(_._2).toSeq
+      }
     }
     val bestCell = udf { (emb: Seq[Float]) =>
-      val v = emb.toArray
-      val s = bSeeds.value
-      if (s.isEmpty) null.asInstanceOf[java.lang.Long]
+      if (emb == null) null.asInstanceOf[java.lang.Long]
       else {
-        var best = s(0)._1; var bestD = Long.MinValue
+        val v = emb.toArray
+        val s = bSeeds.value
+        var best = null.asInstanceOf[java.lang.Long]
+        var bestD = Long.MinValue
         var i = 0
         while (i < s.length) {
-          val d = dotFpLocal(s(i)._2, v)
-          if (d > bestD) { bestD = d; best = s(i)._1 }
+          if (s(i)._2.length == v.length) {
+            val d = dotFpLocal(s(i)._2, v)
+            if (d > bestD || best == null) { bestD = d; best = s(i)._1 }
+          }
           i += 1
         }
-        java.lang.Long.valueOf(best)
+        best
       }
     }
     val cells = vectors.select(col("vec_id"), col("embedding").as("ce"),

@@ -35,12 +35,20 @@ object MinHashLSH {
 
   /** Shingle-set projections persisted by [[nearDupPairs]] /
     * [[crossCorpusPairs]], tracked so long-lived sessions can release
-    * them precisely. */
+    * them precisely. Bounded: beyond [[MaxTrackedPersists]] entries the
+    * oldest cache is evicted (unpersist is safe mid-query — Spark just
+    * recomputes), so a session looping over corpora without ever
+    * calling [[unpersistAll]] cannot accumulate cache blocks forever. */
+  val MaxTrackedPersists = 16
   private val trackedPersists = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
   private def persistTracked(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
     trackedPersists.add(p)
+    while (trackedPersists.size > MaxTrackedPersists) {
+      val old = trackedPersists.poll()
+      if (old != null) old.unpersist(false)
+    }
     p
   }
 

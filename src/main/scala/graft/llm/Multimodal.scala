@@ -154,23 +154,27 @@ object Multimodal {
       new String(content, off, 4, "US-ASCII")
     if (fourCC(0) != "RIFF" || fourCC(8) != "WAVE") return None
     if (buf.getInt(4) != content.length - 8) return None
-    var off = 12
+    // chunk-walk arithmetic is in Long: a hostile declared size near
+    // Int.MaxValue would wrap `off + 8 + size` in Int math, turn the
+    // bounds check into a no-op, and crash the scan — malformed inputs
+    // must return None, never throw, on a 100 TB read
+    var off = 12L
     var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
     var dataSize = -1
     while (off + 8 <= content.length && (fmt.isEmpty || dataSize < 0)) {
-      val id = fourCC(off)
-      val size = buf.getInt(off + 4)
-      if (size < 0 || off + 8 + size > content.length) return None
+      val id = fourCC(off.toInt)
+      val size = buf.getInt(off.toInt + 4)
+      if (size < 0 || off + 8L + size > content.length) return None
       if (id == "fmt ") {
         if (size < 16) return None
-        val audioFormat = buf.getShort(off + 8)
+        val audioFormat = buf.getShort(off.toInt + 8)
         if (audioFormat != 1) return None // PCM only
-        fmt = Some((buf.getShort(off + 10).toInt, buf.getInt(off + 12),
-          buf.getShort(off + 22).toInt))
+        fmt = Some((buf.getShort(off.toInt + 10).toInt, buf.getInt(off.toInt + 12),
+          buf.getShort(off.toInt + 22).toInt))
       } else if (id == "data") {
         dataSize = size
       }
-      off += 8 + size + (size % 2) // chunks are word-aligned
+      off += 8L + size + (size % 2) // chunks are word-aligned
     }
     fmt match {
       case Some((ch, rate, bits)) if dataSize >= 0 && ch > 0 && bits > 0 =>

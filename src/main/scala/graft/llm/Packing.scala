@@ -39,6 +39,11 @@ object Packing {
   def exclusivePrefixSum(df: DataFrame, idCol: String, weightCol: String,
       shardSize: Long, outCol: String = "cum"): DataFrame = {
     require(shardSize > 0, "shardSize must be positive")
+    require(!df.columns.contains(outCol),
+      s"output column '$outCol' already exists — pass a different outCol")
+    // column parameters are literal names: quote them everywhere they
+    // pass through a parser (expr AND col), so dotted/odd names behave
+    def q(name: String) = s"`${name.replace("`", "``")}`"
     val taken = df.columns.toSeq :+ outCol
     val shardC = graft.Names.fresh("_shard", taken)
     val lcumC = graft.Names.fresh("_lcum", taken)
@@ -49,12 +54,12 @@ object Packing {
     // infers on the join side, keeping both branches' shuffle subtrees
     // canonically identical (a prerequisite for stage reuse below)
     val sharded = df.withColumn(shardC,
-        expr(s"cast(`$idCol` as bigint) div ${shardSize}L"))
+        expr(s"cast(${q(idCol)} as bigint) div ${shardSize}L"))
       .filter(col(shardC).isNotNull)
-    val wLocal = Window.partitionBy(col(shardC)).orderBy(col(idCol))
+    val wLocal = Window.partitionBy(col(shardC)).orderBy(col(q(idCol)))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = sharded.withColumn(lcumC,
-      sum(col(weightCol)).over(wLocal) - col(weightCol))
+      sum(col(q(weightCol))).over(wLocal) - col(q(weightCol)))
 
     // Shard totals are derived FROM the windowed frame (max inclusive
     // local prefix per shard), not from a separate aggregation of the
@@ -67,7 +72,7 @@ object Packing {
     val wOff = Window.orderBy(col(shardC))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offsets = local.groupBy(col(shardC))
-      .agg(max(col(lcumC) + col(weightCol)).as(stotC))
+      .agg(max(col(lcumC) + col(q(weightCol))).as(stotC))
       .withColumn(offC, sum(col(stotC)).over(wOff) - col(stotC))
       .select(col(shardC), col(offC))
 

@@ -608,7 +608,8 @@ object LlmQueries {
     "q50_dup_spans" -> {
       val n = DupSpanGramN
       val p = graft.llm.MinHashLSH.P
-      s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents
+         |  WHERE length(trim(text)) > 0),
          |sh AS (SELECT doc_id, CASE WHEN len(toks) >= $n
          |    THEN list_transform(range(1, len(toks) - ${n - 2}),
          |      i -> array_to_string(toks[i:i+${n - 1}], ' '))

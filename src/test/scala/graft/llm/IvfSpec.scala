@@ -100,6 +100,20 @@ class IvfSpec extends AnyFunSuite with SparkTestSession {
     assert(ivf == exact)
   }
 
+  test("seededSearch tolerates null and wrong-dimension embeddings") {
+    import spark.implicits._
+    val base = (0 until 20).map(i =>
+      (i.toLong, Seq.tabulate(16)(j => (i * 16 + j).toFloat / 100)))
+    val dirty = base.toDF("vec_id", "embedding")
+      .unionByName(Seq((100L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding"))
+      .unionByName(Seq((101L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding"))
+    val out = IvfIndex.seededSearch(dirty, dirty.filter(col("vec_id") < 2),
+      nLists = 4, k = 3, nProbe = 2)
+    val ids = out.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(out.count() > 0)
+    assert(!ids.contains(100L) && !ids.contains(101L)) // dropped, not crashed
+  }
+
   test("trained IVF recall@5 vs brute force on the test embeddings") {
     // quantitative contract for the non-oracle (trained k-means) path:
     // fixed seed, fixed data → deterministic recall; pin a floor

@@ -119,6 +119,8 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
       (2L, s"epsilon zeta $span eta theta"),   // shares the span with 1
       (3L, "iota kappa lambda mu nu xi omicron pi rho sigma"), // unique
       (4L, "tau upsilon"),                     // < 8 tokens → 1 collapsed gram
+      (5L, ""), (6L, "   "),                   // blank: excluded, 0s — must
+                                               // NOT pair with each other
     ).toDF("doc_id", "text")
     val got = Dedup.dupSpanStats(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -128,5 +130,7 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
     assert(got(2L) == ((5L, 1L, 200000L)))
     assert(got(3L) == ((3L, 0L, 0L)))
     assert(got(4L)._2 == 0L && got(4L)._3 == 0L) // collapsed gram unshared
+    assert(got(5L) == ((0L, 0L, 0L)))
+    assert(got(6L) == ((0L, 0L, 0L)))
   }
 }

@@ -96,6 +96,13 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(decodeWav(badRiff).isEmpty)
     val wrongSize = goldenWav.clone(); wrongSize(4) = 0x10
     assert(decodeWav(wrongSize).isEmpty)
+    // hostile declared chunk size near Int.MaxValue: Int math would
+    // wrap the bounds check and index negatively — must return None
+    // total 108 bytes, declared RIFF size 100 == length-8 (valid), so
+    // the walk actually reaches the hostile chunk
+    val overflow = hex(
+      "52494646 64000000 57415645" + "4A554E4B F0FFFF7F" + "00" * 88)
+    assert(decodeWav(overflow).isEmpty)
   }
 
   test("encoders round-trip through the parsers at spec-exact sizes") {

@@ -77,6 +77,16 @@ class WindowScaleSpec extends AnyFunSuite with SparkTestSession {
     assert(out.columns.contains("_shard")) // caller's column preserved
     val cums = out.select("id", "cum").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(cums == Map(0L -> 0L, 1L -> 10L, 2L -> 15L))
+    // refuses to silently clobber an existing output column
+    intercept[IllegalArgumentException] {
+      Packing.exclusivePrefixSum(df.withColumnRenamed("_shard", "cum"), "id", "w", 2L)
+    }
+    // dotted column names survive both the expr and the window path
+    val dotted = Seq((0L, 10L), (1L, 5L)).toDF("m.id", "the w")
+    val got = Packing.exclusivePrefixSum(dotted, "m.id", "the w", 2L)
+      .select(col("`m.id`"), col("cum")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(0L -> 0L, 1L -> 10L))
   }
 
   test("q40 token quantiles: every window runs over aggregated rows") {
