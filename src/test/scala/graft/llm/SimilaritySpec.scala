@@ -123,6 +123,23 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(capped == 1L)         // only the size-2 bucket survives
   }
 
+  test("native lsh_bucket == composed form across dimensions") {
+    import spark.implicits._
+    LlmFunctions.registerDotFp(spark)
+    LlmFunctions.registerLshBucket(spark)
+    val rnd = new scala.util.Random(29)
+    for (d <- Seq(4, 16, 32)) {
+      val rows: Seq[(Long, Seq[Float])] =
+        (0 until 50).map(i => (i.toLong, Seq.fill(d)(rnd.nextFloat() * 2 - 1)))
+      val bad = rows.toDF("vec_id", "embedding")
+        .select(col("vec_id"),
+          Similarity.bucketExpr("embedding", d).as("n"),
+          Similarity.bucketExprComposed("embedding", d).as("c"))
+        .filter(col("n") =!= col("c")).count()
+      assert(bad == 0L, s"dim $d: native/composed disagree on $bad rows")
+    }
+  }
+
   test("native lsh_bucket == the composed 8x dot_fp formulation") {
     import spark.implicits._
     LlmFunctions.registerDotFp(spark)
