@@ -74,6 +74,26 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("partitioned parquet write enables partition pruning on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    // hive-style layout: one directory per language
+    val langDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("lang=")).map(_.getName).toSet
+    assert(langDirs.size >= 2, s"expected lang= partition dirs, got $langDirs")
+    val q = spark.read.parquet(dir).filter(col("lang") === "en")
+      .select(col("doc_id"))
+    val plan = q.queryExecution.executedPlan.toString
+    // the lang filter must prune DIRECTORIES (PartitionFilters), not
+    // run as a data filter over all rows
+    assert("PartitionFilters: \\[[^\\]]*lang[^\\]]*\\]".r.findFirstIn(plan).isDefined,
+      s"lang filter did not reach PartitionFilters:\n${plan.take(1500)}")
+    val full = spark.read.parquet(dir).count()
+    val en = q.count()
+    assert(en > 0 && en < full)
+  }
+
   test("filters and projection pushdown reach the parquet scan") {
     val plan = SparkEntry.queries("q6_filtered_revenue")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
