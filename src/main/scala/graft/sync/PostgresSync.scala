@@ -112,7 +112,8 @@ final class PostgresSyncManager(
     config: PostgresTargetConfig,
     spark: SparkSession,
     certs: Map[String, String],
-    runSql: String => Int) {
+    runSql: String => Int,
+    stagingWriter: Option[DataFrame => Unit] = None) {
 
   val jdbcUrl = s"jdbc:postgresql://${config.host}/${config.dbname}"
 
@@ -130,10 +131,15 @@ final class PostgresSyncManager(
     "sslkey" -> certs("key"),
     "truncate" -> "true")
 
-  /** Executor-parallel staging write (`:188-196`). */
-  def writeToStaging(df: DataFrame): Unit =
-    df.write.format("jdbc").options(stagingJdbcOptions)
-      .mode(SaveMode.Overwrite).save()
+  /** Executor-parallel staging write (`:188-196`). The JDBC write is
+    * the production path; `stagingWriter` injects a test double (same
+    * pattern as `runSql` — no live PG exists offline). */
+  def writeToStaging(df: DataFrame): Unit = stagingWriter match {
+    case Some(w) => w(df)
+    case None =>
+      df.write.format("jdbc").options(stagingJdbcOptions)
+        .mode(SaveMode.Overwrite).save()
+  }
 
   /** Full sync (`:254-291`): staging write then snapshot or merge. */
   def sync(df: DataFrame, mode: String = "snapshot",
@@ -151,6 +157,27 @@ final class PostgresSyncManager(
         runSql(PostgresSyncSql.mergeSql(config, df.columns.toSeq, mergeKeys, geometryCols))
       case other => throw new IllegalArgumentException(s"Unknown mode: $other")
     }
+  }
+
+  /** Continuous sync: every micro-batch of `stream` runs the same
+    * staging→snapshot/merge cycle as [[sync]] via `foreachBatch` — the
+    * reference's batch PG sync lifted onto Structured Streaming.
+    * Exactly-once lands through idempotence, the standard foreachBatch
+    * contract: snapshot mode rewrites the target wholesale, merge mode
+    * upserts by key, so a replayed batch after a failure converges to
+    * the same target state. Pass `checkpointLocation` in production so
+    * offsets survive restarts. Returns the configured writer — call
+    * `.start()` (and manage the query) at the call site. */
+  def syncStream(stream: DataFrame, mode: String = "snapshot",
+      mergeKeys: Seq[String] = Nil, geometryCols: Seq[String] = Nil,
+      checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val w = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sync(batch.toDF(), mode, mergeKeys, geometryCols)
+      }
+      .outputMode("append")
+    checkpointLocation.fold(w)(cp => w.option("checkpointLocation", cp))
   }
 }
 

@@ -110,4 +110,27 @@ class PostgresSyncSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](mgr.sync(null, mode = "bogus",
       mergeKeys = Seq("id")))
   }
+
+  test("syncStream runs the staging+snapshot cycle once per micro-batch") {
+    val spark = graft.SparkTestSession.session
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val staged = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sqls = scala.collection.mutable.ArrayBuffer.empty[String]
+    val mgr = new PostgresSyncManager(cfg, spark,
+      Map("ca" -> "/ca", "cert" -> "/cert", "key" -> "/key"),
+      sql => { sqls += sql; 0 },
+      stagingWriter = Some(df => staged += df.count()))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val query = mgr.syncStream(input.toDF().toDF("id", "name")).start()
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      query.processAllAvailable()
+      input.addData((3L, "c"))
+      query.processAllAvailable()
+      assert(staged.toSeq == Seq(2L, 1L)) // one staging write per batch
+      assert(sqls.size == 2 && sqls.forall(_.contains("BEGIN")))
+      assert(sqls.head == PostgresSyncSql.snapshotSql(cfg, Seq("id", "name"), Nil))
+    } finally query.stop()
+  }
 }
