@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source/sink format coverage beyond parquet: the engine's tables
+  * round-trip through ORC, JSON-lines, and CSV with identical
+  * contents, and the JSON reader composes with the Json2Spark schema
+  * compiler (schema-first ingestion, the reference's §1.4 pattern
+  * applied to a file source).
+  */
+class SourceFormatsSpec extends AnyFunSuite with SparkTestSession {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private lazy val docs =
+    Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "lang", "source", "n_chars") // text has newlines: CSV-hostile
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.orderBy("doc_id").collect().map(_.mkString("|")).toSeq
+
+  test("ORC round-trip preserves contents and pushes filters") {
+    val dir = tmp("graft-orc")
+    docs.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(sortedRows(back) == sortedRows(docs))
+    val plan = back.filter(col("n_chars") > 100).select("doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"),
+      s"ORC scan lost filter pushdown:\n${plan.take(1200)}")
+  }
+
+  test("JSON-lines ingestion with a Json2Spark-compiled schema") {
+    val dir = tmp("graft-json")
+    docs.write.mode("overwrite").json(dir)
+    // schema-first read: the JSON Schema compiler drives the source
+    // schema, so field types are contractual, not inferred
+    val schema = graft.schema.JsonSchemaToStruct.convert(
+      """{"properties": {
+        |  "doc_id": {"type": "integer"},
+        |  "lang": {"type": "string"},
+        |  "source": {"type": "string"},
+        |  "n_chars": {"type": "integer"}}}""".stripMargin)
+    val back = spark.read.schema(schema).json(dir)
+      .select("doc_id", "lang", "source", "n_chars")
+    assert(sortedRows(back) == sortedRows(docs))
+  }
+
+  test("CSV round-trip with header and explicit schema") {
+    val dir = tmp("graft-csv")
+    docs.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").schema(docs.schema).csv(dir)
+    assert(sortedRows(back) == sortedRows(docs))
+  }
+}
