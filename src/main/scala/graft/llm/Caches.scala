@@ -1,0 +1,44 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Bounded tracker for the skinny projections the LLM operators
+  * persist (shingle sets, gram streams): multiple plan branches
+  * consume them, so caching halves the expensive tokenize/hash
+  * traversal — but an operator cannot unpersist what a lazy caller
+  * has not yet consumed, so caches are tracked here and released
+  * either explicitly ([[unpersistAll]], between corpora) or by
+  * oldest-first eviction past [[MaxTracked]] (unpersist mid-query is
+  * safe — Spark recomputes).
+  */
+object Caches {
+
+  val MaxTracked = 16
+  private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private[llm] def persistTracked(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    tracked.add(p)
+    while (tracked.size > MaxTracked) {
+      val old = tracked.poll()
+      if (old != null) old.unpersist(false)
+    }
+    p
+  }
+
+  /** Release every cache the llm operators created in this JVM,
+    * returning how many were released. Scoped to graft's own caches —
+    * unlike `spark.catalog.clearCache()` it cannot evict unrelated
+    * user data. */
+  def unpersistAll(blocking: Boolean = false): Int = {
+    var n = 0
+    var df = tracked.poll()
+    while (df != null) {
+      df.unpersist(blocking)
+      n += 1
+      df = tracked.poll()
+    }
+    n
+  }
+}

@@ -74,7 +74,13 @@ object Dedup {
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("doc_id"),
         array_distinct(expr(s"shingle_bases($textCol, $gramN)")).as("gs"))
-    val exploded = grams.select(col("doc_id"), explode(col("gs")).as("g"))
+    // two plan branches consume the gram stream (the per-gram count
+    // and the join back), and the partial aggregate between them
+    // defeats exchange reuse — persist the skinny (id, hash) rows
+    // (~16 bytes each, a few % of corpus size) so tokenize+md5 runs
+    // once; tracked by Caches (bounded, releasable via unpersistAll)
+    val exploded = Caches.persistTracked(
+      grams.select(col("doc_id"), explode(col("gs")).as("g")))
     // docs-per-gram: two-level partial aggregation on the gram hash
     val gramDocs = exploded.groupBy(col("g"))
       .agg(count(lit(1)).as("n_docs_with"))

@@ -2,7 +2,6 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** MinHash + banded LSH near-duplicate detection.
   *
@@ -34,39 +33,16 @@ import org.apache.spark.storage.StorageLevel
 object MinHashLSH {
 
   /** Shingle-set projections persisted by [[nearDupPairs]] /
-    * [[crossCorpusPairs]], tracked so long-lived sessions can release
-    * them precisely. Bounded: beyond [[MaxTrackedPersists]] entries the
-    * oldest cache is evicted (unpersist is safe mid-query — Spark just
-    * recomputes), so a session looping over corpora without ever
-    * calling [[unpersistAll]] cannot accumulate cache blocks forever. */
-  val MaxTrackedPersists = 16
-  private val trackedPersists = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    * [[crossCorpusPairs]] are tracked by [[Caches]] (bounded,
+    * oldest-first eviction); release them between corpora with
+    * [[unpersistAll]]. */
+  private def persistTracked(df: DataFrame): DataFrame =
+    Caches.persistTracked(df)
 
-  private def persistTracked(df: DataFrame): DataFrame = {
-    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    trackedPersists.add(p)
-    while (trackedPersists.size > MaxTrackedPersists) {
-      val old = trackedPersists.poll()
-      if (old != null) old.unpersist(false)
-    }
-    p
-  }
-
-  /** Unpersist every cached projection created by this object's
-    * operators in this JVM, returning how many were released. Scoped
-    * to graft's own caches — unlike `spark.catalog.clearCache()` it
-    * cannot evict unrelated user data. Call between corpora in a
-    * long-lived session. */
-  def unpersistAll(blocking: Boolean = false): Int = {
-    var n = 0
-    var df = trackedPersists.poll()
-    while (df != null) {
-      df.unpersist(blocking)
-      n += 1
-      df = trackedPersists.poll()
-    }
-    n
-  }
+  /** Forwards to [[Caches.unpersistAll]] — kept here because the LSH
+    * operators are where the caches come from. */
+  def unpersistAll(blocking: Boolean = false): Int =
+    Caches.unpersistAll(blocking)
 
   /** Word n-gram shingles; docs shorter than n collapse to one shingle. */
   def shingleExpr(toksCol: String, n: Int): Column =
