@@ -25,6 +25,11 @@ object Bench {
     // number is the meaningful one.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to iterations).map { _ =>
+        // drop the LSH/gram caches BEFORE each timed run: operators
+        // persist skinny projections that a second iteration (or a
+        // later query sharing the projection) would read back warm —
+        // min-over-iterations must price the full compute every time
+        graft.llm.Caches.unpersistAll(blocking = true)
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
         catch { case _: Throwable => -1L }

@@ -19,10 +19,25 @@ object Caches {
 
   private[llm] def persistTracked(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    tracked.add(p)
-    while (tracked.size > MaxTracked) {
-      val old = tracked.poll()
-      if (old != null) old.unpersist(false)
+    // Spark's CacheManager keeps ONE entry per canonical plan — e.g.
+    // crossCorpusPairs(docs, docs) persists two plan-identical frames
+    // that share a cache. Tracking both would over-count releases and,
+    // worse, let oldest-first eviction unpersist data a newer tracked
+    // entry still represents — so dedupe by canonicalized plan.
+    val canonical = p.queryExecution.analyzed.canonicalized
+    val dup = {
+      val it = tracked.iterator()
+      var found = false
+      while (it.hasNext && !found)
+        found = it.next().queryExecution.analyzed.canonicalized == canonical
+      found
+    }
+    if (!dup) {
+      tracked.add(p)
+      while (tracked.size > MaxTracked) {
+        val old = tracked.poll()
+        if (old != null) old.unpersist(false)
+      }
     }
     p
   }

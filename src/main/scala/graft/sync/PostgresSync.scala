@@ -163,20 +163,36 @@ final class PostgresSyncManager(
     * staging→snapshot/merge cycle as [[sync]] via `foreachBatch` — the
     * reference's batch PG sync lifted onto Structured Streaming.
     * Exactly-once lands through idempotence, the standard foreachBatch
-    * contract: snapshot mode rewrites the target wholesale, merge mode
-    * upserts by key, so a replayed batch after a failure converges to
-    * the same target state. Pass `checkpointLocation` in production so
-    * offsets survive restarts. Returns the configured writer — call
-    * `.start()` (and manage the query) at the call site. */
-  def syncStream(stream: DataFrame, mode: String = "snapshot",
+    * contract: a replayed batch after a failure converges to the same
+    * target state.
+    *
+    * Mode semantics bind to the stream's output mode: `merge` upserts
+    * each batch's (new) rows by key and pairs with append-mode
+    * streams; `snapshot` TRUNCATEs the target and rewrites it from the
+    * batch, which is only correct when every batch carries the FULL
+    * result — i.e. complete-mode aggregate streams — so the output
+    * mode is derived from the sync mode rather than left to disagree
+    * (an append+snapshot combination would silently discard all
+    * previously-synced rows on every trigger). Arguments are validated
+    * HERE, not in the first micro-batch, so a bad mode fails at
+    * configure time instead of killing a checkpointed query mid-flight.
+    * Pass `checkpointLocation` in production so offsets survive
+    * restarts. Returns the configured writer — call `.start()` (and
+    * manage the query) at the call site. */
+  def syncStream(stream: DataFrame, mode: String = "merge",
       mergeKeys: Seq[String] = Nil, geometryCols: Seq[String] = Nil,
       checkpointLocation: Option[String] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    if (mode == "merge" && mergeKeys.isEmpty)
+      throw new IllegalArgumentException(
+        "Argument 'merge_keys' is required when mode='merge'.")
+    if (mode != "snapshot" && mode != "merge")
+      throw new IllegalArgumentException(s"Unknown mode: $mode")
     val w = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         sync(batch.toDF(), mode, mergeKeys, geometryCols)
       }
-      .outputMode("append")
+      .outputMode(if (mode == "snapshot") "complete" else "append")
     checkpointLocation.fold(w)(cp => w.option("checkpointLocation", cp))
   }
 }

@@ -174,7 +174,14 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     val released = MinHashLSH.unpersistAll(blocking = true)
     assert(released == 1, s"expected the shingle-set cache tracked, got $released")
     assert(MinHashLSH.unpersistAll() == 0) // idempotent, nothing left behind
+    // same corpus on both sides → plan-identical projections share one
+    // Spark cache entry, and the tracker dedupes by canonical plan
     MinHashLSH.crossCorpusPairs(docs, docs, "doc_id", "text").count()
-    assert(MinHashLSH.unpersistAll(blocking = true) == 2) // one per corpus side
+    assert(MinHashLSH.unpersistAll(blocking = true) == 1)
+    // genuinely different corpora → two tracked caches
+    import spark.implicits._
+    val other = Seq((10L, "x y z w v u")).toDF("doc_id", "text")
+    MinHashLSH.crossCorpusPairs(docs, other, "doc_id", "text").count()
+    assert(MinHashLSH.unpersistAll(blocking = true) == 2)
   }
 }

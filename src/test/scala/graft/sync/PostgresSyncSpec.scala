@@ -111,26 +111,71 @@ class PostgresSyncSpec extends AnyFunSuite {
       mergeKeys = Seq("id")))
   }
 
-  test("syncStream runs the staging+snapshot cycle once per micro-batch") {
+  private def recordingManager(staged: scala.collection.mutable.ArrayBuffer[Long],
+      sqls: scala.collection.mutable.ArrayBuffer[String]): PostgresSyncManager =
+    new PostgresSyncManager(cfg, graft.SparkTestSession.session,
+      Map("ca" -> "/ca", "cert" -> "/cert", "key" -> "/key"),
+      sql => { sqls += sql; 0 },
+      stagingWriter = Some(df => staged += df.count()))
+
+  test("syncStream merge: one staging write + one MERGE per micro-batch") {
     val spark = graft.SparkTestSession.session
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val staged = scala.collection.mutable.ArrayBuffer.empty[Long]
     val sqls = scala.collection.mutable.ArrayBuffer.empty[String]
-    val mgr = new PostgresSyncManager(cfg, spark,
-      Map("ca" -> "/ca", "cert" -> "/cert", "key" -> "/key"),
-      sql => { sqls += sql; 0 },
-      stagingWriter = Some(df => staged += df.count()))
+    val mgr = recordingManager(staged, sqls)
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
-    val query = mgr.syncStream(input.toDF().toDF("id", "name")).start()
+    val query = mgr.syncStream(input.toDF().toDF("id", "name"),
+      mode = "merge", mergeKeys = Seq("id")).start()
     try {
       input.addData((1L, "a"), (2L, "b"))
       query.processAllAvailable()
       input.addData((3L, "c"))
       query.processAllAvailable()
       assert(staged.toSeq == Seq(2L, 1L)) // one staging write per batch
-      assert(sqls.size == 2 && sqls.forall(_.contains("BEGIN")))
-      assert(sqls.head == PostgresSyncSql.snapshotSql(cfg, Seq("id", "name"), Nil))
+      // MERGE is a single atomic statement (no BEGIN wrapper)
+      assert(sqls.size == 2 &&
+        sqls.forall(_ == PostgresSyncSql.mergeSql(cfg, Seq("id", "name"), Seq("id"), Nil)))
     } finally query.stop()
+  }
+
+  test("syncStream snapshot: complete-mode aggregate, full refresh per batch") {
+    val spark = graft.SparkTestSession.session
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val staged = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sqls = scala.collection.mutable.ArrayBuffer.empty[String]
+    val mgr = recordingManager(staged, sqls)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val agg = input.toDF().toDF("id", "name")
+      .groupBy(org.apache.spark.sql.functions.col("name"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val query = mgr.syncStream(agg, mode = "snapshot").start()
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      query.processAllAvailable()
+      input.addData((3L, "a"))
+      query.processAllAvailable()
+      // complete mode: each snapshot batch carries the FULL aggregate,
+      // so TRUNCATE+INSERT is a consistent refresh (2 groups both times)
+      assert(staged.toSeq == Seq(2L, 2L))
+      assert(sqls.size == 2 &&
+        sqls.forall(_ == PostgresSyncSql.snapshotSql(cfg, Seq("name", "n"), Nil)))
+    } finally query.stop()
+  }
+
+  test("syncStream validates arguments at configure time, not mid-stream") {
+    val spark = graft.SparkTestSession.session
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mgr = recordingManager(
+      scala.collection.mutable.ArrayBuffer.empty,
+      scala.collection.mutable.ArrayBuffer.empty)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("id", "name")
+    intercept[IllegalArgumentException](mgr.syncStream(df)) // merge w/o keys
+    intercept[IllegalArgumentException](mgr.syncStream(df, mode = "bogus"))
   }
 }
