@@ -1,0 +1,68 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic exact-k-per-group sampling — eval-set selection that
+  * is reproducible across engines, retries and partitionings: each
+  * group keeps the k rows with the smallest md5(key), an order every
+  * engine computes identically (unlike rand()/sampleBy).
+  *
+  * The naive formulation — row_number over a per-group window ordered
+  * by hash — sorts each group's ENTIRE corpus slice in one task (the
+  * q40-style scale-killer). This is the threshold-prefilter form:
+  *
+  *   1. per-group row counts (aggregation, scale-safe);
+  *   2. a conservative hash threshold per group,
+  *      `T = margin · k/n · 2^32` (broadcast-joined back): only rows
+  *      whose 32-bit hash prefix falls below T survive — in
+  *      expectation `margin · k` rows per group, bounded by the margin
+  *      and k, NOT by corpus size. Groups with ≤ margin·k rows skip
+  *      the filter entirely (exactness is trivial there);
+  *   3. the rank window runs over the surviving sliver only.
+  *
+  * The threshold is probabilistic, so step 3 VERIFIES it: if a group's
+  * survivor count is below min(k, n) the k-th smallest hash might lie
+  * above T and the sample would be silently wrong — the operator
+  * fails loudly instead (raise `margin`; the default gives a
+  * comfortable tail for uniform md5 prefixes). At 100 TB the failure
+  * path is a driver-side re-run with a wider margin, the standard
+  * two-phase exact-selection trade.
+  */
+object Sampling {
+
+  /** 32-bit integer prefix of md5(key) — uniform on [0, 2^32). */
+  private def hash32(keyCol: String): org.apache.spark.sql.Column =
+    expr(s"cast(conv(substr(md5(cast(`$keyCol` as string)), 1, 8), 16, 10) as bigint)")
+
+  def deterministicGroupSample(df: DataFrame, groupCol: String, keyCol: String,
+      k: Int, margin: Int = 8): DataFrame = {
+    require(k > 0 && margin >= 2, "k must be positive, margin >= 2")
+    val h = graft.Names.fresh("_h", df.columns)
+    val n = graft.Names.fresh("_n", df.columns)
+    val t = graft.Names.fresh("_t", df.columns)
+    val rn = graft.Names.fresh("_rn", df.columns)
+    val hashed = df.withColumn(h, hash32(keyCol))
+    val counts = hashed.groupBy(col(groupCol)).agg(count(lit(1)).as(n))
+      .withColumn(t,
+        when(col(n) <= k.toLong * margin, lit(1L << 32)) // small group: keep all
+          .otherwise(expr(s"cast(${k.toLong * margin} * 4294967296.0 / `$n` as bigint)")))
+    val survivors = hashed
+      .join(broadcast(counts), groupCol)
+      .filter(col(h) < col(t))
+    // exactness guard: every group must retain at least min(k, n)
+    // survivors, else the threshold clipped the true top-k
+    val short = survivors.groupBy(col(groupCol), col(n))
+      .agg(count(lit(1)).as("__surv"))
+      .filter(col("__surv") < least(lit(k.toLong), col(n)))
+      .limit(1).collect()
+    require(short.isEmpty,
+      s"deterministicGroupSample: margin=$margin too tight for group " +
+        s"'${short.headOption.map(_.get(0)).orNull}' — raise margin")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(h), col(keyCol))
+    survivors.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= k)
+      .drop(h, n, t, rn)
+  }
+}

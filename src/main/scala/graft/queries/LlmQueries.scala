@@ -295,6 +295,18 @@ object LlmQueries {
     Dedup.dupSpanStats(graft.Tables.documents(s, dir), "doc_id", "text",
       gramN = DupSpanGramN)
 
+  // ---- q52: deterministic exact-k-per-group sample (eval sets) ----
+  // Hash-order top-k per language via the threshold-prefilter form:
+  // the rank window sees only the ~margin·k oversample, never the
+  // corpus (see Sampling.deterministicGroupSample). The oracle is the
+  // naive global-window definition — identical output, different
+  // (scale-safe) plan.
+  private val SampleK = 20
+  def q52GroupSample(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Sampling.deterministicGroupSample(
+      graft.Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+      "lang", "doc_id", SampleK)
+
   // ---- q32: composed curation pipeline (quality → dedup → stats) ----
   // the realistic corpus-curation shape: threshold on quality, keep
   // one doc per normalized fingerprint, then per-language counts —
@@ -329,6 +341,7 @@ object LlmQueries {
     "q44_sequence_packing"  -> q44SequencePacking _,
     "q45_decontamination"   -> q45Decontamination _,
     "q50_dup_spans"         -> q50DupSpans _,
+    "q52_group_sample"      -> q52GroupSample _,
   )
 
   /** DuckDB token expression mirroring TextAnalysis.tokens. */
@@ -605,6 +618,12 @@ object LlmQueries {
          |  FROM scored)
          |SELECT lang, w, tf, score, CAST(rn AS INTEGER) AS rn
          |FROM ranked WHERE rn <= 10""".stripMargin,
+    "q52_group_sample" ->
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+         |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT, doc_id) AS rn
+         |  FROM documents) t
+         |WHERE rn <= $SampleK""".stripMargin,
     "q50_dup_spans" -> {
       val n = DupSpanGramN
       val p = graft.llm.MinHashLSH.P

@@ -133,4 +133,24 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
     assert(got(5L) == ((0L, 0L, 0L)))
     assert(got(6L) == ((0L, 0L, 0L)))
   }
+
+  test("deterministicGroupSample equals the naive global-window definition") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rows = (0 until 300).map(i => (i.toLong, s"g${i % 3}")) ++
+      Seq((1000L, "tiny"), (1001L, "tiny")) // group smaller than k
+    val df = rows.toDF("doc_id", "lang")
+    val k = 10
+    val got = Sampling.deterministicGroupSample(df, "lang", "doc_id", k)
+      .select("doc_id", "lang").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val h = expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)")
+    val naive = df.withColumn("h", h)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))))
+      .filter(col("rn") <= k)
+      .select("doc_id", "lang").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == naive)
+    assert(got.count(_._2 == "tiny") == 2) // undersized group kept whole
+    assert(got.count(_._2 == "g0") == k)
+  }
 }
