@@ -48,9 +48,13 @@ object Sampling {
       .withColumn(t,
         when(col(n) <= k.toLong * margin, lit(1L << 32)) // small group: keep all
           .otherwise(expr(s"cast(${k.toLong * margin} * 4294967296.0 / `$n` as bigint)")))
-    val survivors = hashed
+    // persisted (Caches-tracked): the guard action below and the
+    // returned plan both consume the sliver; it is BOUNDED at
+    // ~margin·k rows per group, so the cache is tiny regardless of
+    // corpus size, and without it the corpus scan would run twice
+    val survivors = Caches.persistTracked(hashed
       .join(broadcast(counts), groupCol)
-      .filter(col(h) < col(t))
+      .filter(col(h) < col(t)))
     // exactness guard: every group must retain at least min(k, n)
     // survivors, else the threshold clipped the true top-k
     val short = survivors.groupBy(col(groupCol), col(n))
