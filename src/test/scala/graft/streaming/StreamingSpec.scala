@@ -202,6 +202,25 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally query.stop()
   }
 
+  test("sessionStats: AvailableNow file stream over events.parquet == batch") {
+    val dir = "/root/testdata/sf0.001"
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(rawSchema).parquet(eventsStreamDir)
+    val query = Streams.sessionStats(nanosToTs(stream))
+      .writeStream.format("memory").queryName("sess_parquet")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      assert(query.awaitTermination(120000), "AvailableNow stream did not finish")
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime, r.getLong(3))
+      val got = spark.table("sess_parquet").collect().map(key).sorted.toSeq
+      val batch = Streams.sessionStats(graft.Tables.events(spark, dir))
+        .collect().map(key).sorted.toSeq
+      assert(got.nonEmpty && got == batch)
+    } finally query.stop()
+  }
+
   test("dedupWithinWatermark honors a non-default timestamp column name") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
