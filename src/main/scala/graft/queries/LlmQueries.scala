@@ -307,6 +307,37 @@ object LlmQueries {
       graft.Tables.documents(s, dir).select(col("doc_id"), col("lang")),
       "lang", "doc_id", SampleK)
 
+  // ---- q53: out-of-vocabulary rate vs the corpus top-k vocab ----
+  // The rare-token curation signal without a float in sight: build the
+  // reference vocabulary as the corpus's top-V tokens by frequency
+  // (aggregation + TakeOrdered — scale-safe, and deterministic via the
+  // (count desc, token asc) tie-break), broadcast-join it back, and
+  // score each doc by the fixed-point share of its token OCCURRENCES
+  // outside the vocab. High OOV = gibberish/noise; the vocab is data-
+  // derived so no external wordlist ships with the engine.
+  private val VocabSize = 20
+  def q53OovRate(s: SparkSession, dir: String): DataFrame = {
+    val toksCol = tokens(col("text"))
+    val d = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), explode(toksCol).as("w"))
+    val vocab = d.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(VocabSize)
+      .select(col("w"), lit(1).as("in_vocab"))
+    val scored = d.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+    graft.Tables.documents(s, dir).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0, lit(0L))
+          .otherwise(expr(
+            "cast(floor(1000000.0 * cast(n_oov as double) / cast(n_tokens as double)) as bigint)"))
+          .as("oov_fp"))
+  }
+
   // ---- q32: composed curation pipeline (quality → dedup → stats) ----
   // the realistic corpus-curation shape: threshold on quality, keep
   // one doc per normalized fingerprint, then per-language counts —
@@ -342,6 +373,7 @@ object LlmQueries {
     "q45_decontamination"   -> q45Decontamination _,
     "q50_dup_spans"         -> q50DupSpans _,
     "q52_group_sample"      -> q52GroupSample _,
+    "q53_oov_rate"          -> q53OovRate _,
   )
 
   /** DuckDB token expression mirroring TextAnalysis.tokens. */
@@ -618,6 +650,20 @@ object LlmQueries {
          |  FROM scored)
          |SELECT lang, w, tf, score, CAST(rn AS INTEGER) AS rn
          |FROM ranked WHERE rn <= 10""".stripMargin,
+    "q53_oov_rate" ->
+      s"""WITH e AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+         |v AS (SELECT w FROM (SELECT w, count(*) AS c FROM e GROUP BY w
+         |    ORDER BY c DESC, w ASC LIMIT $VocabSize) t),
+         |sc AS (SELECT e.doc_id, count(*) AS n_tokens,
+         |    sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS n_oov
+         |  FROM e LEFT JOIN v ON e.w = v.w GROUP BY e.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(sc.n_oov, 0) AS BIGINT) AS n_oov,
+         |  CAST(CASE WHEN coalesce(sc.n_tokens, 0) = 0 THEN 0
+         |    ELSE floor(1000000.0 * CAST(sc.n_oov AS DOUBLE)
+         |      / CAST(sc.n_tokens AS DOUBLE)) END AS BIGINT) AS oov_fp
+         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
     "q52_group_sample" ->
       s"""SELECT doc_id, lang FROM (
          |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
