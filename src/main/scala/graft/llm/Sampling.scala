@@ -23,12 +23,16 @@ import org.apache.spark.sql.functions._
   *   3. the rank window runs over the surviving sliver only.
   *
   * The threshold is probabilistic, so step 3 VERIFIES it: if a group's
-  * survivor count is below min(k, n) the k-th smallest hash might lie
-  * above T and the sample would be silently wrong — the operator
-  * fails loudly instead (raise `margin`; the default gives a
+  * survivor count is below min(k, n) — including ZERO survivors, which
+  * a survivors-only aggregation would miss — the k-th smallest hash
+  * might lie above T and the sample would be silently wrong; the
+  * operator fails loudly instead (raise `margin`; the default gives a
   * comfortable tail for uniform md5 prefixes). At 100 TB the failure
   * path is a driver-side re-run with a wider margin, the standard
   * two-phase exact-selection trade.
+  *
+  * Rows with a null `keyCol` are excluded from counts and sample alike
+  * (no hash → no deterministic position).
   */
 object Sampling {
 
@@ -43,7 +47,11 @@ object Sampling {
     val n = graft.Names.fresh("_n", df.columns)
     val t = graft.Names.fresh("_t", df.columns)
     val rn = graft.Names.fresh("_rn", df.columns)
-    val hashed = df.withColumn(h, hash32(keyCol))
+    // a null key has no hash and therefore no deterministic sample
+    // position — null-key rows are excluded from BOTH the counts and
+    // the sample (otherwise they'd inflate n and make the exactness
+    // guard unsatisfiable for small groups)
+    val hashed = df.withColumn(h, hash32(keyCol)).filter(col(h).isNotNull)
     val counts = hashed.groupBy(col(groupCol)).agg(count(lit(1)).as(n))
       .withColumn(t,
         when(col(n) <= k.toLong * margin, lit(1L << 32)) // small group: keep all
@@ -56,10 +64,14 @@ object Sampling {
       .join(broadcast(counts), groupCol)
       .filter(col(h) < col(t)))
     // exactness guard: every group must retain at least min(k, n)
-    // survivors, else the threshold clipped the true top-k
-    val short = survivors.groupBy(col(groupCol), col(n))
-      .agg(count(lit(1)).as("__surv"))
-      .filter(col("__surv") < least(lit(k.toLong), col(n)))
+    // survivors, else the threshold clipped the true top-k. Counted by
+    // LEFT JOIN from the full group list — aggregating over survivors
+    // alone would make a zero-survivor group invisible to the check
+    // and silently drop it from the sample
+    val short = counts
+      .join(survivors.groupBy(col(groupCol)).agg(count(lit(1)).as("__surv")),
+        Seq(groupCol), "left")
+      .filter(coalesce(col("__surv"), lit(0L)) < least(lit(k.toLong), col(n)))
       .limit(1).collect()
     require(short.isEmpty,
       s"deterministicGroupSample: margin=$margin too tight for group " +

@@ -153,4 +153,15 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
     assert(got.count(_._2 == "tiny") == 2) // undersized group kept whole
     assert(got.count(_._2 == "g0") == k)
   }
+
+  test("deterministicGroupSample: null keys are excluded, not a margin failure") {
+    import spark.implicits._
+    val df = Seq((Some(1L), "g"), (Some(2L), "g"), (None, "g"), (None, "g"))
+      .toDF("doc_id", "lang")
+    // 2 non-null keys <= k → both kept; null-key rows neither counted
+    // nor sampled (they have no deterministic position)
+    val got = Sampling.deterministicGroupSample(df, "lang", "doc_id", k = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L))
+  }
 }

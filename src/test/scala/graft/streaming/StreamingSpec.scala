@@ -160,11 +160,14 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     dir.toString
   }
 
+  private val EventsDir = "/root/testdata/sf0.001"
+  private lazy val eventsRawSchema =
+    spark.read.parquet(s"$EventsDir/events.parquet").schema
+  private def eventsStream: org.apache.spark.sql.DataFrame =
+    nanosToTs(spark.readStream.schema(eventsRawSchema).parquet(eventsStreamDir))
+
   test("hourlyCounts: AvailableNow file stream over events.parquet == batch") {
-    val dir = "/root/testdata/sf0.001"
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(rawSchema).parquet(eventsStreamDir)
-    val query = Streams.hourlyCounts(nanosToTs(stream))
+    val query = Streams.hourlyCounts(eventsStream)
       .writeStream.format("memory").queryName("hc_parquet")
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
@@ -173,18 +176,15 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       def key(r: org.apache.spark.sql.Row) =
         (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getLong(3))
       val got = spark.table("hc_parquet").collect().map(key).sorted.toSeq
-      val batch = Streams.hourlyCounts(graft.Tables.events(spark, dir))
+      val batch = Streams.hourlyCounts(graft.Tables.events(spark, EventsDir))
         .collect().map(key).sorted.toSeq
       assert(got.nonEmpty && got == batch)
     } finally query.stop()
   }
 
   test("dedupWithinWatermark: AvailableNow file stream == batch dedup keys") {
-    val dir = "/root/testdata/sf0.001"
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(rawSchema).parquet(eventsStreamDir)
     val keys = Seq("user_id", "event_type")
-    val query = Streams.dedupWithinWatermark(nanosToTs(stream), keys)
+    val query = Streams.dedupWithinWatermark(eventsStream, keys)
       .writeStream.format("memory").queryName("dedup_parquet")
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
@@ -194,7 +194,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
         df.select(keys.map(col): _*).collect()
           .map(r => (r.getLong(0), r.getString(1))).toSet
       val got = spark.table("dedup_parquet")
-      val batch = graft.Tables.events(spark, dir).dropDuplicates(keys)
+      val batch = graft.Tables.events(spark, EventsDir).dropDuplicates(keys)
       // one survivor per key (which row survives is arrival-order-
       // dependent in a single micro-batch; the KEY SET is the contract)
       assert(got.count() == batch.count())
@@ -203,10 +203,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("sessionStats: AvailableNow file stream over events.parquet == batch") {
-    val dir = "/root/testdata/sf0.001"
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(rawSchema).parquet(eventsStreamDir)
-    val query = Streams.sessionStats(nanosToTs(stream))
+    val query = Streams.sessionStats(eventsStream)
       .writeStream.format("memory").queryName("sess_parquet")
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
@@ -215,7 +212,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       def key(r: org.apache.spark.sql.Row) =
         (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime, r.getLong(3))
       val got = spark.table("sess_parquet").collect().map(key).sorted.toSeq
-      val batch = Streams.sessionStats(graft.Tables.events(spark, dir))
+      val batch = Streams.sessionStats(graft.Tables.events(spark, EventsDir))
         .collect().map(key).sorted.toSeq
       assert(got.nonEmpty && got == batch)
     } finally query.stop()
