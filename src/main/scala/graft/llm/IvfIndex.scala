@@ -3,7 +3,6 @@ package graft.llm
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest-neighbor search: a k-means
@@ -158,8 +157,7 @@ object IvfIndex {
       col("embedding").as("qe"), explode(probeCells(col("embedding"))).as("cell"))
     val scored = probes.join(cells, "cell")
       .select(col("query_id"), col("vec_id"), Similarity.dotFpNative("qe", "ce").as("dot_fp"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("dot_fp").desc, col("vec_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    Similarity.topKPerQuery(scored, k)
   }
 
   /** Top-k per query, scored only against the query's nProbe cells.
@@ -178,7 +176,6 @@ object IvfIndex {
         col("cell")), Seq("cell"))
       .select(col("query_id"), col("vec_id"),
         Similarity.dotFpNative("qe", "ce").as("dot_fp"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("dot_fp").desc, col("vec_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    Similarity.topKPerQuery(scored, k)
   }
 }

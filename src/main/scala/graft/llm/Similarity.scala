@@ -85,15 +85,77 @@ object Similarity {
       }
       .reduce(_ + _)
 
+  /** Two-level exact top-k selection over a scored candidate stream
+    * `(query_id: long, vec_id: long, dot_fp: long)` — the shared final
+    * stage of every similarity-search operator here and in
+    * [[IvfIndex]].
+    *
+    * A single `row_number() OVER (PARTITION BY query_id ORDER BY ...)`
+    * puts ALL of a query's scored candidates into one task's sort —
+    * for the brute-force path that is the entire corpus per query, the
+    * one plan shape that cannot survive a 100 TB corpus. This is the
+    * map-side-combine form instead: a per-partition bounded selection
+    * (a k-element heap per query, run inside the scan's own partitions
+    * — no exchange sees the full candidate stream) emits at most
+    * k rows per (query, input partition); the rank window then runs
+    * over that ≤ k·P-row sliver only. Same contract as partial
+    * aggregation: global top-k rows are necessarily in their
+    * partition's top-k for ANY total order, so results are
+    * bit-identical to the naive window — `SimilaritySpec` property-
+    * tests the equivalence, ties and all.
+    *
+    * Ordering matches the oracle exactly: `dot_fp` descending with
+    * NULLS LAST (a null score — e.g. a null embedding surviving to the
+    * scorer — ranks after every real score), `vec_id` ascending as the
+    * tie-break. */
+  def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val pruned = scored.select(col("query_id"), col("vec_id"), col("dot_fp"))
+    val schema = pruned.schema
+    val qi = schema.fieldIndex("query_id")
+    val vi = schema.fieldIndex("vec_id")
+    val di = schema.fieldIndex("dot_fp")
+    // "a better than b" ⇔ compare < 0, under (dot desc NULLS LAST, id asc).
+    // A PriorityQueue dequeues the Ordering's maximum = the WORST kept row,
+    // which is exactly the eviction candidate.
+    val betterFirst: Ordering[org.apache.spark.sql.Row] =
+      new Ordering[org.apache.spark.sql.Row] {
+        def compare(a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row): Int = {
+          val an = a.isNullAt(di); val bn = b.isNullAt(di)
+          val c =
+            if (an && bn) 0
+            else if (an) 1
+            else if (bn) -1
+            else java.lang.Long.compare(b.getLong(di), a.getLong(di))
+          if (c != 0) c else java.lang.Long.compare(a.getLong(vi), b.getLong(vi))
+        }
+      }
+    val sliver = pruned.mapPartitions { it =>
+      val heaps = scala.collection.mutable.LongMap
+        .empty[scala.collection.mutable.PriorityQueue[org.apache.spark.sql.Row]]
+      while (it.hasNext) {
+        val r = it.next()
+        val heap = heaps.getOrElseUpdate(r.getLong(qi),
+          scala.collection.mutable.PriorityQueue.empty(betterFirst))
+        if (heap.size < k) heap.enqueue(r)
+        else if (betterFirst.compare(r, heap.head) < 0) { heap.dequeue(); heap.enqueue(r) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }(org.apache.spark.sql.Encoders.row(schema))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dot_fp").desc, col("vec_id"))
+    sliver.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   /** Exact top-k: every query row scored against every candidate row.
-    * `queries` must be small — it is broadcast. */
+    * `queries` must be small — it is broadcast. The per-query
+    * selection is two-level ([[topKPerQuery]]): no task ever sorts a
+    * query's full candidate list. */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     LlmFunctions.registerDotFp(queries.sparkSession)
     val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")))
     val scored = q.crossJoin(candidates.select(col("vec_id"), col("embedding").as("ce")))
       .select(col("query_id"), col("vec_id"), dotFpNative("qe", "ce").as("dot_fp"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("dot_fp").desc, col("vec_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    topKPerQuery(scored, k)
   }
 
   /** Approximate top-k: candidates restricted to the query's LSH
@@ -149,7 +211,6 @@ object Similarity {
       .select(col("vec_id"), col("embedding").as("ce"), col("bucket"))
     val scored = q.join(c, "bucket")
       .select(col("query_id"), col("vec_id"), dotFpNative("qe", "ce").as("dot_fp"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("dot_fp").desc, col("vec_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    topKPerQuery(scored, k)
   }
 }

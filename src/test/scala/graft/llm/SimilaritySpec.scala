@@ -166,6 +166,33 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(got.filter(_._1 < 200).map(_._2).distinct.length > 10)
   }
 
+  test("topKPerQuery matches the single-window formulation — ties, nulls, k > group") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    // heavy score ties (10 distinct values over 400 rows) so the
+    // vec_id tie-break is genuinely exercised, plus null scores and a
+    // query whose scores are ALL null (desc NULLS LAST must keep them)
+    val rows: Seq[(Long, Long, java.lang.Long)] =
+      (0 until 400).map { i =>
+        val dot: java.lang.Long =
+          if (rnd.nextInt(20) == 0) null else java.lang.Long.valueOf(rnd.nextInt(10).toLong)
+        (rnd.nextInt(7).toLong, i.toLong, dot)
+      } ++ Seq((9L, 1000L, null), (9L, 999L, null))
+    val scored = rows.toDF("query_id", "vec_id", "dot_fp").repartition(13)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dot_fp").desc, col("vec_id"))
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) null else java.lang.Long.valueOf(r.getLong(2)), r.getInt(3))
+      }.toSet
+    for (k <- Seq(1, 3, 50)) {
+      val naive = asSet(scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k))
+      val got = asSet(Similarity.topKPerQuery(scored, k))
+      assert(got == naive, s"k=$k: two-level top-k diverged from the global window")
+    }
+  }
+
   test("nearDupPairs caches are tracked and released by unpersistAll") {
     import spark.implicits._
     MinHashLSH.unpersistAll() // drain anything earlier specs cached

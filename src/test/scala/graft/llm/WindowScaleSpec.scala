@@ -89,6 +89,26 @@ class WindowScaleSpec extends AnyFunSuite with SparkTestSession {
     assert(got == Map(0L -> 0L, 1L -> 10L))
   }
 
+  test("top-k queries: rank window fed by the map-side partial reducer, not the raw candidate stream") {
+    // q23's scoring join emits corpus×queries rows; the per-query rank
+    // window may only see the ≤ k-per-partition sliver the
+    // mapPartitions heap emits (Similarity.topKPerQuery). Same
+    // contract for the bucketed (q24) and IVF (q41) paths.
+    for (q <- Seq("q23_embed_topk", "q24_embed_ann", "q41_ivf_ann")) {
+      val df = SparkEntry.queries(q)(spark, Dir)
+      val nodes = allNodes(df.queryExecution.executedPlan)
+      val windows = nodes.collect { case w: WindowExec => w }
+      assert(windows.nonEmpty, s"$q should still rank with a window")
+      windows.foreach { w =>
+        val partialBelow = allNodes(w.child)
+          .exists(_.getClass.getSimpleName.startsWith("MapPartitions"))
+        assert(partialBelow,
+          s"$q: rank window runs over the full scored candidate stream " +
+            s"(map-side partial top-k missing):\n" + w.treeString)
+      }
+    }
+  }
+
   test("q40 token quantiles: every window runs over aggregated rows") {
     val df = SparkEntry.queries("q40_token_quantiles")(spark, Dir)
     val nodes = allNodes(df.queryExecution.executedPlan)
