@@ -12,4 +12,9 @@ private[graft] object Names {
     if (!t.contains(base)) base
     else Iterator.from(1).map(i => s"$base$i").find(n => !t.contains(n)).get
   }
+
+  /** Backtick-quote a caller-supplied column name for use in parsed
+    * contexts (`expr`, `col`, `withWatermark`): dotted or hyphenated
+    * names otherwise parse as field access / arithmetic. */
+  def quoted(name: String): String = s"`${name.replace("`", "``")}`"
 }

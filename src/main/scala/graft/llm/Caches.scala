@@ -23,20 +23,27 @@ object Caches {
     // crossCorpusPairs(docs, docs) persists two plan-identical frames
     // that share a cache. Tracking both would over-count releases and,
     // worse, let oldest-first eviction unpersist data a newer tracked
-    // entry still represents — so dedupe by canonicalized plan.
+    // entry still represents — so dedupe by canonicalized plan. The
+    // dedup-check + add + evict must be one atomic section: two
+    // concurrent queries persisting plan-identical frames could both
+    // miss the dup and track twice (the queue alone is thread-safe,
+    // check-then-add over it is not). Canonicalization runs OUTSIDE
+    // the lock — it walks the analyzed plan and can be slow.
     val canonical = p.queryExecution.analyzed.canonicalized
-    val dup = {
-      val it = tracked.iterator()
-      var found = false
-      while (it.hasNext && !found)
-        found = it.next().queryExecution.analyzed.canonicalized == canonical
-      found
-    }
-    if (!dup) {
-      tracked.add(p)
-      while (tracked.size > MaxTracked) {
-        val old = tracked.poll()
-        if (old != null) old.unpersist(false)
+    tracked.synchronized {
+      val dup = {
+        val it = tracked.iterator()
+        var found = false
+        while (it.hasNext && !found)
+          found = it.next().queryExecution.analyzed.canonicalized == canonical
+        found
+      }
+      if (!dup) {
+        tracked.add(p)
+        while (tracked.size > MaxTracked) {
+          val old = tracked.poll()
+          if (old != null) old.unpersist(false)
+        }
       }
     }
     p

@@ -31,17 +31,21 @@ object Dedup {
     * window over the key so arbitrary payload columns survive without
     * being shuffled twice. */
   def exact(df: DataFrame, keys: Seq[String], tieBreak: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tieBreak))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val q = graft.Names.quoted _
+    val rn = graft.Names.fresh("__rn", df.columns)
+    val w = Window.partitionBy(keys.map(k => col(q(k))): _*).orderBy(col(q(tieBreak)))
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(q(rn)) === 1)
+      .drop(rn)
   }
 
   /** Near-dup removal by normalized fingerprint: groups rows whose
     * normalized text is identical. */
-  def byFingerprint(df: DataFrame, textCol: String, tieBreak: String): DataFrame =
-    exact(df.withColumn("__fp", fingerprint(col(textCol))), Seq("__fp"), tieBreak)
-      .drop("__fp")
+  def byFingerprint(df: DataFrame, textCol: String, tieBreak: String): DataFrame = {
+    val fp = graft.Names.fresh("__fp", df.columns)
+    exact(df.withColumn(fp, fingerprint(col(graft.Names.quoted(textCol)))), Seq(fp), tieBreak)
+      .drop(fp)
+  }
 
   /** Exact-substring duplication stats (the RefinedWeb / Gopher
     * "duplicated span" curation signal): for each document, the
@@ -70,10 +74,11 @@ object Dedup {
   def dupSpanStats(docs: DataFrame, idCol: String, textCol: String,
       gramN: Int = 8): DataFrame = {
     LlmFunctions.registerShingleBases(docs.sparkSession)
+    val q = graft.Names.quoted _
     val grams = docs
-      .filter(length(trim(col(textCol))) > 0)
-      .select(col(idCol).as("doc_id"),
-        array_distinct(expr(s"shingle_bases($textCol, $gramN)")).as("gs"))
+      .filter(length(trim(col(q(textCol)))) > 0)
+      .select(col(q(idCol)).as("doc_id"),
+        array_distinct(expr(s"shingle_bases(${q(textCol)}, $gramN)")).as("gs"))
     // two plan branches consume the gram stream (the per-gram count
     // and the join back), and the partial aggregate between them
     // defeats exchange reuse — persist the skinny (id, hash) rows
@@ -88,7 +93,7 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("n_docs_with") >= 2, 1L).otherwise(0L)).as("n_shared"))
-    docs.select(col(idCol).as("doc_id"))
+    docs.select(col(q(idCol)).as("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),

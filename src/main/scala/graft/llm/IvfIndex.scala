@@ -114,11 +114,30 @@ object IvfIndex {
     LlmFunctions.registerDotFp(vectors.sparkSession)
     // first nLists vectors BY RANK of vec_id (TakeOrdered — no global
     // sort), not `vec_id < nLists`: sparse or offset id spaces would
-    // silently produce an empty codebook and empty results
+    // silently produce an empty codebook and empty results.
+    // Seed reading is defensive where the scan-side UDFs are not: a
+    // null embedding among the first nLists rows would NPE the DRIVER
+    // (fail loudly with the seed id instead — the caller must supply a
+    // non-null codebook prefix), and an array<double> column — which
+    // dot_fp accepts — would ClassCastException under getSeq[Float],
+    // so elements widen through Number.
     val seeds: Array[(Long, Array[Float])] =
       vectors.orderBy(col("vec_id")).limit(nLists)
         .select(col("vec_id"), col("embedding")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .map { r =>
+          val id = r.getLong(0)
+          require(!r.isNullAt(1),
+            s"seededSearch: seed vector $id has a null embedding — the first " +
+              s"$nLists vectors by vec_id form the codebook and must be non-null")
+          val arr = r.getSeq[Any](1).map {
+            case null => throw new IllegalArgumentException(
+              s"seededSearch: seed vector $id has a null embedding element")
+            case n: Number => n.floatValue()
+            case other => throw new IllegalArgumentException(
+              s"seededSearch: embedding element of unsupported type ${other.getClass}")
+          }.toArray
+          (id, arr)
+        }
     val bSeeds = vectors.sparkSession.sparkContext.broadcast(seeds)
     // top-n cells by (dot desc, seed_id asc) — the (-dot, id) tuple
     // sort reproduces q41's row_number tie-breaking exactly. Null or

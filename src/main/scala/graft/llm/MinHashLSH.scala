@@ -94,8 +94,9 @@ object MinHashLSH {
     LlmFunctions.registerShingleBases(docs.sparkSession)
     // sorted: the Jaccard verify's `inter_count` is a merge walk over
     // sorted inputs; minhash is order-invariant so nothing else cares
-    docs.select(col(idCol).as("doc_id"),
-      sort_array(array_distinct(expr(s"shingle_bases($textCol, $shingleN)"))).as("s"))
+    docs.select(col(graft.Names.quoted(idCol)).as("doc_id"),
+      sort_array(array_distinct(
+        expr(s"shingle_bases(${graft.Names.quoted(textCol)}, $shingleN)"))).as("s"))
   }
 
   /** In-bucket upper-triangle pair expansion over a sorted array

@@ -33,6 +33,14 @@ import org.apache.spark.sql.functions._
   *
   * Rows with a null `keyCol` are excluded from counts and sample alike
   * (no hash → no deterministic position).
+  *
+  * NOTE: construction is NOT free — the exactness guard runs eager
+  * Spark jobs (the count + survivor-count compare) before the lazy
+  * result DataFrame is returned, unlike most operators here. The
+  * survivor sliver those jobs materialize is persisted and reused by
+  * the returned plan, so the work is not wasted — but callers
+  * scheduling plan construction on a latency-sensitive thread should
+  * know two jobs run inside this call.
   */
 object Sampling {
 
@@ -68,10 +76,11 @@ object Sampling {
     // LEFT JOIN from the full group list — aggregating over survivors
     // alone would make a zero-survivor group invisible to the check
     // and silently drop it from the sample
+    val surv = graft.Names.fresh("_surv", df.columns ++ Seq(h, n, t, rn))
     val short = counts
-      .join(survivors.groupBy(col(groupCol)).agg(count(lit(1)).as("__surv")),
+      .join(survivors.groupBy(col(groupCol)).agg(count(lit(1)).as(surv)),
         Seq(groupCol), "left")
-      .filter(coalesce(col("__surv"), lit(0L)) < least(lit(k.toLong), col(n)))
+      .filter(coalesce(col(surv), lit(0L)) < least(lit(k.toLong), col(n)))
       .limit(1).collect()
     require(short.isEmpty,
       s"deterministicGroupSample: margin=$margin too tight for group " +

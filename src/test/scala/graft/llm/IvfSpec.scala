@@ -114,6 +114,29 @@ class IvfSpec extends AnyFunSuite with SparkTestSession {
     assert(!ids.contains(100L) && !ids.contains(101L)) // dropped, not crashed
   }
 
+  test("seededSearch: null codebook seed fails loudly; double embeddings widen") {
+    import spark.implicits._
+    // a null embedding IN the first-nLists codebook prefix must not NPE
+    // the driver mid-collect — it fails with the offending seed id
+    val nullSeed = Seq((0L, Seq(1.0f, 0.0f)), (1L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.seededSearch(nullSeed, nullSeed, nLists = 2, k = 1, nProbe = 1)
+    }
+    assert(e.getMessage.contains("null embedding"))
+    // an array<double> embedding column (dot_fp accepts it) must not
+    // ClassCastException the seed collect
+    val dbl = (0 until 8).map(i =>
+      (i.toLong, Seq.tabulate(4)(j => (i * 4 + j).toDouble / 10)))
+      .toDF("vec_id", "embedding")
+    val out = IvfIndex.seededSearch(dbl, dbl.filter(col("vec_id") < 2),
+      nLists = 4, k = 1, nProbe = 4)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // unnormalized dot similarity: the largest-norm vector (id 7) tops
+    // every query — the point is the widened arithmetic ran, not recall
+    assert(out == Map(0L -> 7L, 1L -> 7L))
+  }
+
   test("trained IVF recall@5 vs brute force on the test embeddings") {
     // quantitative contract for the non-oracle (trained k-means) path:
     // fixed seed, fixed data → deterministic recall; pin a floor

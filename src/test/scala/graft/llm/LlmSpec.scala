@@ -33,6 +33,20 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
     assert(out.toSeq == Seq(1L, 4L, 5L, 6L))
   }
 
+  test("dedup and dup-span operators survive dotted / hostile column names") {
+    import spark.implicits._
+    val dotted = docs.withColumnRenamed("doc_id", "d.id").withColumnRenamed("text", "the text")
+    // exact + byFingerprint: parsed key/tie-break names must be quoted
+    assert(Dedup.exact(dotted, Seq("the text"), "d.id").count() == 5L)
+    assert(Dedup.byFingerprint(dotted, "the text", "d.id").count() == 4L)
+    // a caller column named like the old fixed working column
+    assert(Dedup.exact(docs.withColumn("__rn", lit(7)), Seq("text"), "doc_id")
+      .columns.contains("__rn"))
+    // dupSpanStats + shingleSets interpolate names into expr()
+    assert(Dedup.dupSpanStats(dotted, "d.id", "the text", gramN = 3).count() == 6L)
+    assert(MinHashLSH.shingleSets(dotted, "d.id", "the text", 3).count() == 6L)
+  }
+
   test("token count handles empty and padded strings") {
     val got = docs.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
