@@ -18,15 +18,17 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * driver. At scale the pipeline is embarrassingly parallel — no
   * shuffle until a caller aggregates.
   *
-  * Two REAL container parsers exist — BMP ([[decodeBmp]]: magic +
-  * BITMAPINFOHEADER dims at bytes 18–25) and WAV ([[decodeWav]]: RIFF
-  * chunk walk for fmt/data) — dispatched by media type in [[decode]],
-  * with matching spec-compliant writers for fixture synthesis. For
-  * every OTHER format (JPEG/PNG/MP4/... need codec libraries this
-  * environment lacks), [[decodeDims]]/[[featureVector]] remain
-  * clearly-marked deterministic stubs; the Spark-side contract —
-  * schemas, encoders, partition amortization, null behavior — is the
-  * same either way.
+  * Two REAL container codecs exist — BMP ([[decodeBmp]]: magic +
+  * BITMAPINFOHEADER dims at bytes 18–25; [[resizeBmp]]: genuine
+  * nearest-neighbor pixel resample; [[bmpBandSums]]: decoded-pixel
+  * features) and WAV ([[decodeWav]]: RIFF chunk walk for fmt/data;
+  * [[wavBandEnergies]]: decoded-PCM band energies) — dispatched by
+  * media type in [[decode]]/[[resize]]/[[bandEnergies]], with matching
+  * spec-compliant writers for fixture synthesis. For every OTHER
+  * format (JPEG/PNG/MP4/... need codec libraries this environment
+  * lacks), [[decodeDims]]/[[featureVector]] remain clearly-marked
+  * deterministic stubs; the Spark-side contract — schemas, encoders,
+  * partition amortization, null behavior — is the same either way.
   */
 object Multimodal {
 
@@ -63,14 +65,12 @@ object Multimodal {
     * BITMAPINFOHEADER (40 bytes), 24bpp bottom-up BI_RGB, rows padded
     * to 4 bytes, deterministic pixel bytes. Used to synthesize REAL
     * image payloads in fixtures and queries. */
-  def encodeBmp(width: Int, height: Int): Array[Byte] = {
-    require(width > 0 && height > 0, "BMP dims must be positive")
-    val rowSize = bmpRowSize(width)
-    val dataSize = rowSize * height
-    val fileSize = 54 + dataSize
-    val buf = ByteBuffer.allocate(fileSize).order(ByteOrder.LITTLE_ENDIAN)
+  /** 54-byte BMP header (BITMAPFILEHEADER + BITMAPINFOHEADER) for a
+    * 24bpp bottom-up BI_RGB file — shared by the fixture writer and
+    * the real resampler so both emit identical layouts. */
+  private def putBmpHeader(buf: ByteBuffer, width: Int, height: Int, dataSize: Int): Unit = {
     buf.put('B'.toByte).put('M'.toByte)
-    buf.putInt(fileSize)
+    buf.putInt(54 + dataSize)
     buf.putInt(0)                    // reserved
     buf.putInt(54)                   // pixel array offset
     buf.putInt(40)                   // BITMAPINFOHEADER size
@@ -84,6 +84,14 @@ object Multimodal {
     buf.putInt(2835)
     buf.putInt(0)                    // palette colors
     buf.putInt(0)                    // important colors
+  }
+
+  def encodeBmp(width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0, "BMP dims must be positive")
+    val rowSize = bmpRowSize(width)
+    val dataSize = rowSize * height
+    val buf = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    putBmpHeader(buf, width, height, dataSize)
     var i = 0
     while (i < dataSize) { buf.put((i % 251).toByte); i += 1 }
     buf.array()
@@ -106,6 +114,95 @@ object Multimodal {
     val h = buf.getInt(22)
     if (w <= 0 || h == 0 || h == Int.MinValue) return None
     Some((w, math.abs(h)))
+  }
+
+  /** Validated pixel-array layout of a 24bpp uncompressed BMP — the
+    * precondition every pixel-level operation below shares. None if
+    * the header is invalid, the format isn't 24bpp BI_RGB, or the
+    * declared pixel array overruns the payload. */
+  private final case class BmpPixels(
+      w: Int, h: Int, pixelOff: Int, stride: Int, topDown: Boolean) {
+    /** File offset of channel `c` of image-space pixel (x, y) —
+      * image space has origin top-left regardless of row order. */
+    def offset(x: Int, y: Int, c: Int): Int = {
+      val fileRow = if (topDown) y else h - 1 - y
+      pixelOff + fileRow * stride + x * 3 + c
+    }
+  }
+
+  private def bmpPixelLayout(content: Array[Byte]): Option[BmpPixels] =
+    decodeBmp(content).flatMap { case (w, h) =>
+      val buf = ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN)
+      val pixelOff = buf.getInt(10)
+      val bpp = buf.getShort(28)
+      val comp = buf.getInt(30)
+      val stride = bmpRowSize(w)
+      if (bpp != 24 || comp != 0) None
+      else if (pixelOff < 54 || pixelOff.toLong + stride.toLong * h > content.length) None
+      else Some(BmpPixels(w, h, pixelOff, stride, buf.getInt(22) < 0))
+    }
+
+  /** REAL nearest-neighbor BMP resample: decode the source pixel
+    * array, sample in image space (target pixel (tx, ty) reads source
+    * pixel (⌊tx·w/tw⌋, ⌊ty·h/th⌋) — pure integer arithmetic, so the
+    * oracle can replay it exactly), re-encode bottom-up with spec row
+    * padding. Handles top-down sources; None for anything that is not
+    * a structurally valid 24bpp uncompressed BMP. */
+  def resizeBmp(content: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] = {
+    require(targetW > 0 && targetH > 0, "target dimensions must be positive")
+    bmpPixelLayout(content).map { src =>
+      val outStride = bmpRowSize(targetW)
+      val buf = ByteBuffer.allocate(54 + outStride * targetH)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      putBmpHeader(buf, targetW, targetH, outStride * targetH)
+      val out = buf.array()
+      var ty = 0
+      while (ty < targetH) {
+        val sy = (ty.toLong * src.h / targetH).toInt
+        val outRowStart = 54 + (targetH - 1 - ty) * outStride // bottom-up
+        var tx = 0
+        while (tx < targetW) {
+          val sx = (tx.toLong * src.w / targetW).toInt
+          val so = src.offset(sx, sy, 0)
+          val to = outRowStart + tx * 3
+          out(to) = content(so); out(to + 1) = content(so + 1); out(to + 2) = content(so + 2)
+          tx += 1
+        }
+        ty += 1
+      }
+      out
+    }
+  }
+
+  /** Decoded-pixel band sums of a 24bpp BMP: the pixel-channel byte
+    * stream in image order (row-major, top-left origin, B,G,R per
+    * pixel — padding excluded) is split into `bands` contiguous slices
+    * `[b·n/bands, (b+1)·n/bands)` and each slice sums its unsigned
+    * byte values. The image counterpart of [[wavBandEnergies]] — a
+    * feature computed from genuinely DECODED samples, unlike the FNV
+    * stub ([[featureVector]]) that hashes raw container bytes. */
+  def bmpBandSums(content: Array[Byte], bands: Int): Option[Array[Long]] = {
+    require(bands > 0, "bands must be positive")
+    bmpPixelLayout(content).map { src =>
+      val n = src.w.toLong * src.h * 3
+      val out = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var idx = b * n / bands
+        val hi = (b + 1) * n / bands
+        var acc = 0L
+        while (idx < hi) {
+          val i = idx.toInt
+          val y = i / (src.w * 3)
+          val rem = i % (src.w * 3)
+          acc += (content(src.offset(rem / 3, y, rem % 3)) & 0xff).toLong
+          idx += 1
+        }
+        out(b) = acc
+        b += 1
+      }
+      out
+    }
   }
 
   /** Typed metadata of a parsed WAV payload; `nFrames` = samples per
@@ -147,7 +244,14 @@ object Multimodal {
     * the `data` size — so files carrying extra chunks (LIST metadata
     * etc.) parse correctly, not just the minimal 44-byte layout.
     * Returns None for structurally invalid payloads. */
-  def decodeWav(content: Array[Byte]): Option[WavInfo] = {
+  /** Validated WAV layout: fmt fields plus the data chunk's position —
+    * the shared chunk walk behind [[decodeWav]] and
+    * [[wavBandEnergies]]. */
+  private final case class WavLayout(
+      sampleRate: Int, nChannels: Int, bitsPerSample: Int,
+      dataOff: Int, dataSize: Int)
+
+  private def wavLayout(content: Array[Byte]): Option[WavLayout] = {
     if (content == null || content.length < 44) return None
     val buf = ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN)
     def fourCC(off: Int): String =
@@ -160,6 +264,7 @@ object Multimodal {
     // must return None, never throw, on a 100 TB read
     var off = 12L
     var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    var dataOff = -1
     var dataSize = -1
     while (off + 8 <= content.length && (fmt.isEmpty || dataSize < 0)) {
       val id = fourCC(off.toInt)
@@ -172,18 +277,65 @@ object Multimodal {
         fmt = Some((buf.getShort(off.toInt + 10).toInt, buf.getInt(off.toInt + 12),
           buf.getShort(off.toInt + 22).toInt))
       } else if (id == "data") {
+        dataOff = off.toInt + 8
         dataSize = size
       }
       off += 8L + size + (size % 2) // chunks are word-aligned
     }
     fmt match {
       case Some((ch, rate, bits)) if dataSize >= 0 && ch > 0 && bits > 0 =>
-        val bytesPerFrame = ch * (bits / 8)
-        if (bytesPerFrame <= 0) None
-        else Some(WavInfo(rate, ch, bits, dataSize / bytesPerFrame))
+        Some(WavLayout(rate, ch, bits, dataOff, dataSize))
       case _ => None
     }
   }
+
+  def decodeWav(content: Array[Byte]): Option[WavInfo] =
+    wavLayout(content).flatMap { l =>
+      val bytesPerFrame = l.nChannels * (l.bitsPerSample / 8)
+      if (bytesPerFrame <= 0) None
+      else Some(WavInfo(l.sampleRate, l.nChannels, l.bitsPerSample,
+        l.dataSize / bytesPerFrame))
+    }
+
+  /** Decoded-PCM band energies of a 16-bit WAV: the interleaved sample
+    * stream (n = dataSize/2 samples, signed 16-bit LE) is split into
+    * `bands` contiguous slices `[b·n/bands, (b+1)·n/bands)` and each
+    * slice sums |sample| — an integer energy profile computed from
+    * genuinely decoded audio, the feature the FNV stub never was.
+    * None for invalid payloads or non-16-bit PCM. */
+  def wavBandEnergies(content: Array[Byte], bands: Int): Option[Array[Long]] = {
+    require(bands > 0, "bands must be positive")
+    wavLayout(content).flatMap { l =>
+      if (l.bitsPerSample != 16) None
+      else {
+        val buf = ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN)
+        val n = (l.dataSize / 2).toLong
+        val out = new Array[Long](bands)
+        var b = 0
+        while (b < bands) {
+          var idx = b * n / bands
+          val hi = (b + 1) * n / bands
+          var acc = 0L
+          while (idx < hi) {
+            acc += math.abs(buf.getShort(l.dataOff + 2 * idx.toInt).toLong)
+            idx += 1
+          }
+          out(b) = acc
+          b += 1
+        }
+        Some(out)
+      }
+    }
+  }
+
+  /** Uniform decoded-sample feature over both real codecs: BMP pixel
+    * band sums or WAV PCM band energies by declared media type. */
+  def bandEnergies(p: MediaPayload, bands: Int): Option[Array[Long]] =
+    p.mediaType match {
+      case "image/bmp" => bmpBandSums(p.content, bands)
+      case "audio/wav" => wavBandEnergies(p.content, bands)
+      case _ => None
+    }
 
   /** Decode a payload dataset to typed metadata. Per-partition digest
     * allocation is the batch-amortization point.
@@ -242,29 +394,45 @@ object Multimodal {
   final case class ResizedMedia(id: Long, mediaType: String,
       width: Int, height: Int, content: Array[Byte])
 
-  /** STUB resize — scales the payload byte budget by the area ratio
-    * (a real implementation decodes, interpolates, re-encodes). The
-    * Spark-side shape is the real one: mapPartitions over typed rows,
-    * bounded output size per row, target dims recorded in metadata. */
+  /** Media resize. `image/bmp` payloads get the REAL nearest-neighbor
+    * resample ([[resizeBmp]]: decode pixels → sample → re-encode with
+    * spec padding); a structurally invalid BMP degrades to an empty
+    * payload with zeroed dims (the row survives — malformed inputs
+    * must not kill a 100 TB scan). Every other format falls back to
+    * the STUB byte-budget scale (no codec library in this
+    * environment), with the Spark-side shape — mapPartitions over
+    * typed rows, bounded output per row, target dims in metadata —
+    * identical either way. */
   def resize(payloads: Dataset[MediaPayload], targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
     require(targetW > 0 && targetH > 0, "target dimensions must be positive")
     val spark = payloads.sparkSession
     import spark.implicits._
     payloads.mapPartitions { it =>
       it.map { p =>
-        val (w, h) = decodeDims(p.content)
-        val scale = (targetW.toLong * targetH).toDouble / (w.toLong * h).toDouble
-        val newLen = math.max(1, math.min(p.content.length,
-          math.round(p.content.length * scale).toInt))
-        ResizedMedia(p.id, p.mediaType, targetW, targetH,
-          java.util.Arrays.copyOf(p.content, newLen))
+        p.mediaType match {
+          case "image/bmp" =>
+            resizeBmp(p.content, targetW, targetH) match {
+              case Some(out) => ResizedMedia(p.id, p.mediaType, targetW, targetH, out)
+              case None => ResizedMedia(p.id, p.mediaType, 0, 0, Array.emptyByteArray)
+            }
+          case _ =>
+            val (w, h) = decodeDims(p.content)
+            val scale = (targetW.toLong * targetH).toDouble / (w.toLong * h).toDouble
+            val newLen = math.max(1, math.min(p.content.length,
+              math.round(p.content.length * scale).toInt))
+            ResizedMedia(p.id, p.mediaType, targetW, targetH,
+              java.util.Arrays.copyOf(p.content, newLen))
+        }
       }
     }
   }
 
-  /** STUB feature extraction: FNV-1a-seeded pseudo-embedding in
-    * [-1, 1] — a real implementation runs an encoder model over the
-    * decoded media. Deterministic per payload. */
+  /** STUB feature extraction for formats WITHOUT an in-repo codec:
+    * FNV-1a-seeded pseudo-embedding in [-1, 1] over raw container
+    * bytes (a real implementation runs an encoder model over decoded
+    * media). For BMP/WAV the decoded-sample path exists —
+    * [[bandEnergies]] computes genuine pixel/PCM band profiles.
+    * Deterministic per payload. */
   def featureVector(content: Array[Byte], dim: Int = 16): Array[Float] = {
     val out = new Array[Float](dim)
     var h = 0xcbf29ce484222325L

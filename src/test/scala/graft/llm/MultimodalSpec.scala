@@ -138,6 +138,86 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(metas.forall(_.fingerprint.length == 32))
   }
 
+  test("resizeBmp: identity resample reproduces the source pixels") {
+    // nearest-neighbor at the same dims maps every target pixel to
+    // itself. Padding bytes are unspecified (the fixture encoder fills
+    // them, the resampler zeroes them), so: byte-exact when the stride
+    // needs no padding, decoded-pixel-exact otherwise.
+    for ((w, h) <- Seq((4, 3), (8, 2))) { // w*3 % 4 == 0: no padding
+      val src = encodeBmp(w, h)
+      assert(resizeBmp(src, w, h).get.toSeq == src.toSeq, s"identity $w x $h")
+    }
+    for ((w, h) <- Seq((1, 1), (3, 7), (16, 5))) {
+      val src = encodeBmp(w, h)
+      val out = resizeBmp(src, w, h).get
+      assert(decodeBmp(out) == Some((w, h)))
+      val n = w * h * 3
+      assert(bmpBandSums(out, n).get.toSeq == bmpBandSums(src, n).get.toSeq,
+        s"identity $w x $h pixel stream")
+    }
+  }
+
+  test("resizeBmp: hand-computed 2x1 -> 1x1 golden case, round-trips decode") {
+    // source 2x1: stride 8, pixels at data[0..2] (B,G,R of pixel 0) =
+    // 0,1,2; target 1x1 samples source pixel (0,0) -> bytes 0,1,2
+    val out = resizeBmp(encodeBmp(2, 1), 1, 1).get
+    assert(decodeBmp(out) == Some((1, 1)))
+    assert(out.length == 54 + bmpRowSize(1) * 1)
+    assert(out.slice(54, 57).toSeq == Seq[Byte](0, 1, 2))
+    // 1x2 -> 1x1 picks IMAGE-space row 0, which bottom-up stores LAST:
+    // source data row 1 (file) = image row 0 = bytes 4,5,6 (stride 4)
+    val tall = resizeBmp(encodeBmp(1, 2), 1, 1).get
+    assert(tall.slice(54, 57).toSeq == Seq[Byte](4, 5, 6))
+    // upscale duplicates pixels: 1x1 -> 2x2, all four pixels = source
+    val up = resizeBmp(encodeBmp(1, 1), 2, 2).get
+    assert(decodeBmp(up) == Some((2, 2)))
+    val rows = Seq(54, 54 + bmpRowSize(2))
+    for (r <- rows) assert(up.slice(r, r + 6).toSeq == Seq[Byte](0, 1, 2, 0, 1, 2))
+    // malformed input -> None, not a throw
+    assert(resizeBmp(Array.fill[Byte](60)(1), 2, 2).isEmpty)
+  }
+
+  test("bmpBandSums: bands partition the decoded pixel stream; padding excluded") {
+    val src = encodeBmp(3, 2) // stride 12, 3 padding bytes per row
+    val one = bmpBandSums(src, 1).get
+    // brute force in image order: rows bottom-up, row bytes 0..8 of each
+    val expected = (0 until 2).flatMap { y =>
+      (0 until 9).map(rem => ((2 - 1 - y) * 12 + rem) % 251)
+    }.map(_.toLong).sum
+    assert(one.toSeq == Seq(expected))
+    // band sums refine the total; empty bands (n < bands) report 0
+    val four = bmpBandSums(src, 4).get
+    assert(four.sum == expected)
+    val tiny = bmpBandSums(encodeBmp(1, 1), 5).get // n = 3 < 5 bands
+    assert(tiny.length == 5 && tiny.sum == (0 + 1 + 2))
+    assert(bmpBandSums(Array.fill[Byte](10)(0), 2).isEmpty)
+  }
+
+  test("wavBandEnergies: |PCM| sums over decoded samples") {
+    val wav = encodeWav(8000, 2, 6) // 12 interleaved samples
+    val expected = (0 until 12).map(i => math.abs((i * 257) % 65536 - 32768).toLong)
+    assert(wavBandEnergies(wav, 1).get.toSeq == Seq(expected.sum))
+    val four = wavBandEnergies(wav, 4).get
+    assert(four.toSeq == expected.grouped(3).map(_.sum).toSeq)
+    // zero-frame file: all bands 0, not a crash
+    assert(wavBandEnergies(encodeWav(8000, 1, 0), 3).get.toSeq == Seq(0L, 0L, 0L))
+    assert(wavBandEnergies(Array.fill[Byte](50)(1), 2).isEmpty)
+    // bandEnergies dispatches by media type
+    assert(bandEnergies(MediaPayload(1L, "audio/wav", wav), 1).get.head == expected.sum)
+    assert(bandEnergies(MediaPayload(2L, "image/bmp", encodeBmp(2, 2)), 1).isDefined)
+    assert(bandEnergies(MediaPayload(3L, "video/mp4", wav), 1).isEmpty)
+  }
+
+  test("resize dispatches the real BMP resampler; corrupt BMPs degrade to empty") {
+    import spark.implicits._
+    val payloads = Seq(
+      Multimodal.MediaPayload(1L, "image/bmp", encodeBmp(10, 4)),
+      Multimodal.MediaPayload(2L, "image/bmp", Array.fill[Byte](70)(3))).toDS()
+    val out = Multimodal.resize(payloads, 4, 4).collect().sortBy(_.id)
+    assert(decodeBmp(out(0).content) == Some((4, 4))) // genuinely re-encoded
+    assert(out(1).width == 0 && out(1).content.isEmpty) // survived, flagged
+  }
+
   test("resize: typed pipeline records target dims, bounds output size") {
     import spark.implicits._
     val payloads = Seq(
