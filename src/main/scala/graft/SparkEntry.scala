@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.GeoQueries.queries ++
       graft.queries.LlmQueries.queries ++
       graft.queries.SimilarityQueries.queries ++
-      graft.queries.TemporalQueries.queries
+      graft.queries.TemporalQueries.queries ++
+      graft.queries.GovernanceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.queries.GeoQueries.oracleSql ++
       graft.queries.LlmQueries.oracleSql ++
       graft.queries.SimilarityQueries.oracleSql ++
-      graft.queries.TemporalQueries.oracleSql
+      graft.queries.TemporalQueries.oracleSql ++
+      graft.queries.GovernanceQueries.oracleSql
 }

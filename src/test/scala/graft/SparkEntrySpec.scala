@@ -17,7 +17,8 @@ class SparkEntrySpec extends AnyFunSuite {
       queries.GeoQueries.queries.keySet,
       queries.LlmQueries.queries.keySet,
       queries.SimilarityQueries.queries.keySet,
-      queries.TemporalQueries.queries.keySet)
+      queries.TemporalQueries.queries.keySet,
+      queries.GovernanceQueries.queries.keySet)
     val total = all.map(_.size).sum
     assert(total == all.reduce(_ ++ _).size, "duplicate query name across suites")
     assert(SparkEntry.queries.size == total)
