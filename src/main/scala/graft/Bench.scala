@@ -31,8 +31,14 @@ object Bench {
         // min-over-iterations must price the full compute every time
         graft.llm.Caches.unpersistAll(blocking = true)
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => -1L }
+        // a failing query must fail the BENCH, not score as the run's
+        // fastest entry — swallowing into a -1 sentinel once masked
+        // breakage behind a plausible-looking number
+        try fn(spark, sfDir).queryExecution.toRdd.count()
+        catch {
+          case e: Throwable =>
+            throw new RuntimeException(s"bench query $name failed", e)
+        }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min

@@ -47,6 +47,29 @@ object Dedup {
       .drop(fp)
   }
 
+  /** How [[dupSpanStats]] materializes the exploded (doc_id, gram-hash)
+    * stream, which BOTH aggregation branches consume. The stream is
+    * NOT small: one row per distinct gram position at ~16 bytes/row
+    * against ~6 bytes/token of source text makes it roughly 2–4× the
+    * corpus text size — at 100 TB that is a several-hundred-TB
+    * footprint, so the trade must be the caller's. */
+  sealed trait GramMaterialization
+  object GramMaterialization {
+    /** Persist MEMORY_AND_DISK (Caches-tracked, releasable). Right when
+      * the cluster's aggregate storage comfortably holds ~2–4× the
+      * corpus text — and at bench scale. Default. */
+    case object Persist extends GramMaterialization
+    /** Run the tokenize+hash traversal once per consumer (twice total).
+      * Nothing is stored; right when the gram stream exceeds what the
+      * cluster can spill — CPU is re-spent instead of storage. */
+    case object Recompute extends GramMaterialization
+    /** Eager `localCheckpoint`: truncates lineage AND materializes, for
+      * iterative callers layering more rounds on top. Executor-local
+      * (not fault-tolerant on a cluster — a lost executor loses the
+      * partition; use a checkpoint dir for that). */
+    case object LocalCheckpoint extends GramMaterialization
+  }
+
   /** Exact-substring duplication stats (the RefinedWeb / Gopher
     * "duplicated span" curation signal): for each document, the
     * fraction of its DISTINCT word n-grams that also occur in at least
@@ -60,7 +83,11 @@ object Dedup {
     * the explode, so the only shuffles are keyed on (gram-hash) then
     * (doc_id) — 8-byte keys, never text. Gram-frequency skew (a
     * boilerplate gram in every doc) is a counting aggregation, not a
-    * pair expansion, so no quadratic bucket risk exists here.
+    * pair expansion, so no quadratic bucket risk exists here. The one
+    * corpus-proportional footprint is the exploded gram stream itself
+    * (~2–4× the corpus text — see [[GramMaterialization]]); `grams`
+    * picks who pays: storage (Persist/LocalCheckpoint) or a second
+    * tokenize pass (Recompute).
     *
     * Returns (doc_id, n_grams, n_shared, dup_fp) with dup_fp in
     * fixed-point millionths. Blank documents (null or whitespace-only
@@ -72,20 +99,24 @@ object Dedup {
     * two identical short docs correctly score as full duplicates.
     */
   def dupSpanStats(docs: DataFrame, idCol: String, textCol: String,
-      gramN: Int = 8): DataFrame = {
+      gramN: Int = 8,
+      grams: GramMaterialization = GramMaterialization.Persist): DataFrame = {
     LlmFunctions.registerShingleBases(docs.sparkSession)
     val q = graft.Names.quoted _
-    val grams = docs
+    val gramSets = docs
       .filter(length(trim(col(q(textCol)))) > 0)
       .select(col(q(idCol)).as("doc_id"),
         array_distinct(expr(s"shingle_bases(${q(textCol)}, $gramN)")).as("gs"))
     // two plan branches consume the gram stream (the per-gram count
     // and the join back), and the partial aggregate between them
-    // defeats exchange reuse — persist the skinny (id, hash) rows
-    // (~16 bytes each, a few % of corpus size) so tokenize+md5 runs
-    // once; tracked by Caches (bounded, releasable via unpersistAll)
-    val exploded = Caches.persistTracked(
-      grams.select(col("doc_id"), explode(col("gs")).as("g")))
+    // defeats exchange reuse — so without materialization the
+    // tokenize+hash traversal runs once per branch
+    val raw = gramSets.select(col("doc_id"), explode(col("gs")).as("g"))
+    val exploded = grams match {
+      case GramMaterialization.Persist => Caches.persistTracked(raw)
+      case GramMaterialization.Recompute => raw
+      case GramMaterialization.LocalCheckpoint => raw.localCheckpoint()
+    }
     // docs-per-gram: two-level partial aggregation on the gram hash
     val gramDocs = exploded.groupBy(col("g"))
       .agg(count(lit(1)).as("n_docs_with"))

@@ -148,6 +148,15 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
     assert(got(6L) == ((0L, 0L, 0L)))
   }
 
+  test("dupSpanStats: materialization strategy never changes results") {
+    def run(g: Dedup.GramMaterialization) =
+      Dedup.dupSpanStats(docs, "doc_id", "text", gramN = 3, grams = g)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val persisted = run(Dedup.GramMaterialization.Persist)
+    assert(run(Dedup.GramMaterialization.Recompute) == persisted)
+    assert(run(Dedup.GramMaterialization.LocalCheckpoint) == persisted)
+  }
+
   test("deterministicGroupSample equals the naive global-window definition") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
