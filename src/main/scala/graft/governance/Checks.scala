@@ -24,11 +24,16 @@ final class Checks(provider: CodelistProvider) {
     val catalog = m.catalog.getOrElse("")
     val schema = m.schema.getOrElse("")
     val table = m.table.getOrElse("")
+    // Locale.ROOT: default-locale toUpperCase turns the 'i' in tittel/
+    // tilgangsnivaa/... into a dotted İ under a Turkish JVM locale,
+    // silently changing the remediation SQL (and diverging from the
+    // reference's locale-independent Python str.upper())
+    val fieldUpper = field.toUpperCase(java.util.Locale.ROOT)
     val solution =
       if (field == "beskrivelse")
-        s"COMMENT ON TABLE $catalog.$schema.$table IS '<<SETT_${field.toUpperCase}_HER>>'"
+        s"COMMENT ON TABLE $catalog.$schema.$table IS '<<SETT_${fieldUpper}_HER>>'"
       else
-        s"ALTER TABLE $catalog.$schema.$table SET TAGS ( '$field' = '<<SETT_${field.toUpperCase}_HER>>')"
+        s"ALTER TABLE $catalog.$schema.$table SET TAGS ( '$field' = '<<SETT_${fieldUpper}_HER>>')"
     MetadataError(m.catalog, m.schema, m.table, None, description, Some(solution),
       field, validValues)
   }
@@ -111,7 +116,7 @@ final class Checks(provider: CodelistProvider) {
       val epsg = props.get("epsg")
       val enc = props.getOrElse("geometri_encoding", "")
       if (epsg.isEmpty) acc
-      else if (Codelists.geometriEncodingCodevalues.contains(enc.toLowerCase)) acc
+      else if (Codelists.geometriEncodingCodevalues.contains(enc.toLowerCase(java.util.Locale.ROOT))) acc
       else acc :+ MetadataError(
         m.catalog, m.schema, m.table, Some(colName),
         "🔴 Feil: 'geometri_encoding' mangler i column properties. Type: " +

@@ -47,7 +47,7 @@ object Codelists {
   /** `geometri_encoding_kodeliste.py` codevalues, lowercased at module
     * scope exactly like the reference (`checks/column.py:5-7`). */
   val geometriEncodingCodevalues: Seq[String] =
-    Seq("WKT", "WKB", "geojson", "s2").map(_.toLowerCase)
+    Seq("WKT", "WKB", "geojson", "s2").map(_.toLowerCase(java.util.Locale.ROOT))
 
   /** Codelist lookup by key — reference `get_codelist`
     * (`common.py:173-185`): remote lists resolve through the provider,

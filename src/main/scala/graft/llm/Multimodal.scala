@@ -136,10 +136,15 @@ object Multimodal {
       val pixelOff = buf.getInt(10)
       val bpp = buf.getShort(28)
       val comp = buf.getInt(30)
-      val stride = bmpRowSize(w)
+      // stride math in Long FIRST: a hostile width near Int.MaxValue
+      // wraps `w*3` in Int space, making bmpRowSize tiny and turning
+      // the pixel-array bounds check into a no-op — the same int-wrap
+      // class wavLayout guards against. Reject before narrowing.
+      val strideL = (w.toLong * 3 + 3) / 4 * 4
       if (bpp != 24 || comp != 0) None
-      else if (pixelOff < 54 || pixelOff.toLong + stride.toLong * h > content.length) None
-      else Some(BmpPixels(w, h, pixelOff, stride, buf.getInt(22) < 0))
+      else if (strideL > Int.MaxValue) None
+      else if (pixelOff < 54 || pixelOff.toLong + strideL * h > content.length) None
+      else Some(BmpPixels(w, h, pixelOff, strideL.toInt, buf.getInt(22) < 0))
     }
 
   /** REAL nearest-neighbor BMP resample: decode the source pixel

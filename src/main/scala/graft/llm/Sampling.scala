@@ -46,11 +46,16 @@ object Sampling {
 
   /** 32-bit integer prefix of md5(key) — uniform on [0, 2^32). */
   private def hash32(keyCol: String): org.apache.spark.sql.Column =
-    expr(s"cast(conv(substr(md5(cast(`$keyCol` as string)), 1, 8), 16, 10) as bigint)")
+    expr(s"cast(conv(substr(md5(cast(${graft.Names.quoted(keyCol)} as string)), 1, 8), 16, 10) as bigint)")
 
   def deterministicGroupSample(df: DataFrame, groupCol: String, keyCol: String,
       k: Int, margin: Int = 8): DataFrame = {
     require(k > 0 && margin >= 2, "k must be positive, margin >= 2")
+    // caller-supplied names are quoted wherever they hit a parsed
+    // context (expr/col) — dotted names must not resolve as field
+    // access; join(usingColumns) takes the RAW name
+    val qg = graft.Names.quoted(groupCol)
+    val qk = graft.Names.quoted(keyCol)
     val h = graft.Names.fresh("_h", df.columns)
     val n = graft.Names.fresh("_n", df.columns)
     val t = graft.Names.fresh("_t", df.columns)
@@ -60,7 +65,7 @@ object Sampling {
     // the sample (otherwise they'd inflate n and make the exactness
     // guard unsatisfiable for small groups)
     val hashed = df.withColumn(h, hash32(keyCol)).filter(col(h).isNotNull)
-    val counts = hashed.groupBy(col(groupCol)).agg(count(lit(1)).as(n))
+    val counts = hashed.groupBy(col(qg)).agg(count(lit(1)).as(n))
       .withColumn(t,
         when(col(n) <= k.toLong * margin, lit(1L << 32)) // small group: keep all
           .otherwise(expr(s"cast(${k.toLong * margin} * 4294967296.0 / `$n` as bigint)")))
@@ -78,14 +83,14 @@ object Sampling {
     // and silently drop it from the sample
     val surv = graft.Names.fresh("_surv", df.columns ++ Seq(h, n, t, rn))
     val short = counts
-      .join(survivors.groupBy(col(groupCol)).agg(count(lit(1)).as(surv)),
+      .join(survivors.groupBy(col(qg)).agg(count(lit(1)).as(surv)),
         Seq(groupCol), "left")
       .filter(coalesce(col(surv), lit(0L)) < least(lit(k.toLong), col(n)))
       .limit(1).collect()
     require(short.isEmpty,
       s"deterministicGroupSample: margin=$margin too tight for group " +
         s"'${short.headOption.map(_.get(0)).orNull}' — raise margin")
-    val w = Window.partitionBy(col(groupCol)).orderBy(col(h), col(keyCol))
+    val w = Window.partitionBy(col(qg)).orderBy(col(h), col(qk))
     survivors.withColumn(rn, row_number().over(w))
       .filter(col(rn) <= k)
       .drop(h, n, t, rn)

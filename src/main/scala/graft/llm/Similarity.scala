@@ -108,16 +108,20 @@ object Similarity {
     * NULLS LAST (a null score — e.g. a null embedding surviving to the
     * scorer — ranks after every real score), `vec_id` ascending as the
     * tie-break. */
-  def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+  def topKPerQuery(scored: DataFrame, k: Int,
+      maxHeldPerTask: Int = 1 << 18): DataFrame = {
     require(k > 0, "k must be positive")
+    require(maxHeldPerTask >= 1, "maxHeldPerTask must be positive")
     val pruned = scored.select(col("query_id"), col("vec_id"), col("dot_fp"))
     val schema = pruned.schema
     val qi = schema.fieldIndex("query_id")
     val vi = schema.fieldIndex("vec_id")
     val di = schema.fieldIndex("dot_fp")
-    // "a better than b" ⇔ compare < 0, under (dot desc NULLS LAST, id asc).
-    // A PriorityQueue dequeues the Ordering's maximum = the WORST kept row,
-    // which is exactly the eviction candidate.
+    // "a better than b" ⇔ compare < 0, under the window's total
+    // preorder (dot desc NULLS LAST, vec_id asc NULLS FIRST). A
+    // PriorityQueue dequeues the Ordering's maximum = the WORST kept
+    // row, which is exactly the eviction candidate. Null ids never hit
+    // getLong (NPE) — they order like the window ordered them.
     val betterFirst: Ordering[org.apache.spark.sql.Row] =
       new Ordering[org.apache.spark.sql.Row] {
         def compare(a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row): Int = {
@@ -127,20 +131,59 @@ object Similarity {
             else if (an) 1
             else if (bn) -1
             else java.lang.Long.compare(b.getLong(di), a.getLong(di))
-          if (c != 0) c else java.lang.Long.compare(a.getLong(vi), b.getLong(vi))
+          if (c != 0) c
+          else {
+            val anv = a.isNullAt(vi); val bnv = b.isNullAt(vi)
+            if (anv && bnv) 0
+            else if (anv) -1 // asc NULLS FIRST: null id sorts (ranks) first
+            else if (bnv) 1
+            else java.lang.Long.compare(a.getLong(vi), b.getLong(vi))
+          }
         }
       }
+    // Epoch-flush keeps per-task memory bounded when the query set is
+    // large (the IVF probe side deliberately supports non-broadcastable
+    // query sets): once ~maxHeldPerTask rows are retained across heaps,
+    // the epoch's rows are emitted and the heaps reset. Safe because
+    // the partial stage only needs to NEVER DROP a row that is in its
+    // partition's true top-k: a row evicted within an epoch lost to k
+    // better same-epoch rows that are themselves emitted, so it is not
+    // in the partition top-k; emitting extra rows only widens the
+    // sliver the final window prunes.
     val sliver = pruned.mapPartitions { it =>
-      val heaps = scala.collection.mutable.LongMap
-        .empty[scala.collection.mutable.PriorityQueue[org.apache.spark.sql.Row]]
-      while (it.hasNext) {
-        val r = it.next()
-        val heap = heaps.getOrElseUpdate(r.getLong(qi),
-          scala.collection.mutable.PriorityQueue.empty(betterFirst))
-        if (heap.size < k) heap.enqueue(r)
-        else if (betterFirst.compare(r, heap.head) < 0) { heap.dequeue(); heap.enqueue(r) }
+      type Heap = scala.collection.mutable.PriorityQueue[org.apache.spark.sql.Row]
+      new scala.collection.AbstractIterator[org.apache.spark.sql.Row] {
+        private var out: Iterator[org.apache.spark.sql.Row] = Iterator.empty
+        private def newHeap(): Heap =
+          scala.collection.mutable.PriorityQueue.empty(betterFirst)
+        private def refill(): Unit = {
+          val heaps = scala.collection.mutable.LongMap.empty[Heap]
+          var nullHeap: Heap = null // rows whose query_id is null
+          var held = 0L
+          while (it.hasNext && held < maxHeldPerTask) {
+            val r = it.next()
+            val heap =
+              if (r.isNullAt(qi)) {
+                if (nullHeap == null) nullHeap = newHeap()
+                nullHeap
+              } else heaps.getOrElseUpdate(r.getLong(qi), newHeap())
+            if (heap.size < k) { heap.enqueue(r); held += 1 }
+            else if (betterFirst.compare(r, heap.head) < 0) {
+              heap.dequeue(); heap.enqueue(r)
+            }
+          }
+          val main = heaps.valuesIterator.flatMap(_.iterator)
+          out = if (nullHeap == null) main else main ++ nullHeap.iterator
+        }
+        def hasNext: Boolean = {
+          while (!out.hasNext && it.hasNext) refill()
+          out.hasNext
+        }
+        def next(): org.apache.spark.sql.Row = {
+          if (!hasNext) throw new NoSuchElementException("empty iterator")
+          out.next()
+        }
       }
-      heaps.valuesIterator.flatMap(_.iterator)
     }(org.apache.spark.sql.Encoders.row(schema))
     val w = Window.partitionBy(col("query_id")).orderBy(col("dot_fp").desc, col("vec_id"))
     sliver.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)

@@ -40,7 +40,7 @@ object Skew {
     // are salt-correct
     require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
       "leftsemi", "left_anti", "leftanti", "cross").contains(
-      joinType.toLowerCase.replace(" ", "_")),
+      joinType.toLowerCase(java.util.Locale.ROOT).replace(" ", "_")),
       s"saltedEquiJoin does not support join type '$joinType': " +
         "unmatched small-side rows would be duplicated per salt")
     val spread: Seq[Column] =

@@ -101,7 +101,7 @@ final class EnvironmentValidator(
         throw new java.io.FileNotFoundException(
           s"Certificate file defined in $v not found at path: $path. Check init script execution.")
     }
-    if (securityMode().toUpperCase == "USER_ISOLATION")
+    if (securityMode().toUpperCase(java.util.Locale.ROOT) == "USER_ISOLATION")
       throw new RuntimeException(
         "CRITICAL: This code requires 'Single User' or 'No Isolation Shared' mode. " +
           "Shared clusters (User Isolation) restrict access to local file paths required for SSL certs.")

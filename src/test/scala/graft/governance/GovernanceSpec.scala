@@ -81,6 +81,20 @@ class GovernanceSpec extends AnyFunSuite {
     }
   }
 
+  test("remediation SQL is locale-independent (Turkish-I trap)") {
+    // default-locale toUpperCase under tr_TR turns 'tittel' into
+    // 'TİTTEL' (dotted capital I), silently changing the remediation
+    // placeholder; generateError must pin Locale.ROOT
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      val errs = checks.validateTable(gold(without = "tittel"))
+      assert(errs.map(_.forField) == List("tittel"))
+      assert(errs.head.solution.exists(_.contains("<<SETT_TITTEL_HER>>")),
+        s"locale-dependent uppercase leaked: ${errs.head.solution}")
+    } finally java.util.Locale.setDefault(prev)
+  }
+
   test("invalid codelist values are 'er ugyldig', not 'mangler'") {
     val errs = checks.validateTable(
       gold(extra = Map("sikkerhetsnivaa" -> "classified")))

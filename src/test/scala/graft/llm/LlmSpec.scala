@@ -177,6 +177,20 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
     assert(got.count(_._2 == "g0") == k)
   }
 
+  test("deterministicGroupSample survives dotted column names") {
+    import spark.implicits._
+    val df = (0 until 40).map(i => (s"g${i % 3}", s"key_$i")).toDF("the.group", "the key")
+    val out = Sampling.deterministicGroupSample(df, "the.group", "the key", k = 4)
+      .collect()
+    assert(out.length == 12) // 3 groups x 4
+    // same result as with plain names (quoting must not change selection)
+    val plain = Sampling.deterministicGroupSample(
+      df.withColumnRenamed("the.group", "g").withColumnRenamed("the key", "k"),
+      "g", "k", k = 4)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSet == plain)
+  }
+
   test("deterministicGroupSample: null keys are excluded, not a margin failure") {
     import spark.implicits._
     val df = Seq((Some(1L), "g"), (Some(2L), "g"), (None, "g"), (None, "g"))

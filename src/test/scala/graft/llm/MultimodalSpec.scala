@@ -177,6 +177,28 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(resizeBmp(Array.fill[Byte](60)(1), 2, 2).isEmpty)
   }
 
+  test("hostile BMP width: int-wrapped stride must not pass the bounds check") {
+    // 58-byte payload whose width makes w*3 wrap in Int space: with
+    // Int stride math bmpRowSize(1431655766) = 4, the pixel-array
+    // bounds check passes, and the pixel operators index ~2e9 offsets
+    // into a 58-byte array. Long stride math must reject it instead.
+    val buf = java.nio.ByteBuffer.allocate(58).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(58)          // declared file size == payload length
+    buf.putInt(0)
+    buf.putInt(54)          // pixel offset
+    buf.putInt(40)          // BITMAPINFOHEADER
+    buf.putInt(1431655766)  // width: w*3 wraps to 2 in Int space
+    buf.putInt(1)           // height
+    buf.putShort(1)
+    buf.putShort(24)
+    buf.putInt(0)           // BI_RGB
+    val hostile = buf.array()
+    assert(decodeBmp(hostile) == Some((1431655766, 1))) // header itself parses
+    assert(resizeBmp(hostile, 2, 2).isEmpty)            // but pixel ops reject
+    assert(bmpBandSums(hostile, 2).isEmpty)
+  }
+
   test("bmpBandSums: bands partition the decoded pixel stream; padding excluded") {
     val src = encodeBmp(3, 2) // stride 12, 3 padding bytes per row
     val one = bmpBandSums(src, 1).get

@@ -171,25 +171,33 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     import spark.implicits._
     val rnd = new scala.util.Random(41)
     // heavy score ties (10 distinct values over 400 rows) so the
-    // vec_id tie-break is genuinely exercised, plus null scores and a
-    // query whose scores are ALL null (desc NULLS LAST must keep them)
-    val rows: Seq[(Long, Long, java.lang.Long)] =
+    // vec_id tie-break is genuinely exercised; null scores; a query
+    // whose scores are ALL null (desc NULLS LAST must keep them); null
+    // query_id and vec_id rows (the window groups/orders them — the
+    // heap must not NPE on getLong)
+    val rows: Seq[(java.lang.Long, java.lang.Long, java.lang.Long)] =
       (0 until 400).map { i =>
         val dot: java.lang.Long =
           if (rnd.nextInt(20) == 0) null else java.lang.Long.valueOf(rnd.nextInt(10).toLong)
-        (rnd.nextInt(7).toLong, i.toLong, dot)
-      } ++ Seq((9L, 1000L, null), (9L, 999L, null))
+        (java.lang.Long.valueOf(rnd.nextInt(7).toLong), java.lang.Long.valueOf(i.toLong), dot)
+      } ++ Seq(
+        (java.lang.Long.valueOf(9L), java.lang.Long.valueOf(1000L), null),
+        (java.lang.Long.valueOf(9L), java.lang.Long.valueOf(999L), null),
+        (null, java.lang.Long.valueOf(7L), java.lang.Long.valueOf(5L)),
+        (null, java.lang.Long.valueOf(8L), java.lang.Long.valueOf(5L)),
+        (null, null, java.lang.Long.valueOf(5L)),
+        (java.lang.Long.valueOf(2L), null, java.lang.Long.valueOf(9L)))
     val scored = rows.toDF("query_id", "vec_id", "dot_fp").repartition(13)
     val w = Window.partitionBy(col("query_id")).orderBy(col("dot_fp").desc, col("vec_id"))
+    def box(r: org.apache.spark.sql.Row, i: Int): java.lang.Long =
+      if (r.isNullAt(i)) null else java.lang.Long.valueOf(r.getLong(i))
     def asSet(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map { r =>
-        (r.getLong(0), r.getLong(1),
-          if (r.isNullAt(2)) null else java.lang.Long.valueOf(r.getLong(2)), r.getInt(3))
-      }.toSet
-    for (k <- Seq(1, 3, 50)) {
+      df.collect().map(r => (box(r, 0), box(r, 1), box(r, 2), r.getInt(3))).toSet
+    for (k <- Seq(1, 3, 50); maxHeld <- Seq(1 << 18, 7)) {
       val naive = asSet(scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k))
-      val got = asSet(Similarity.topKPerQuery(scored, k))
-      assert(got == naive, s"k=$k: two-level top-k diverged from the global window")
+      val got = asSet(Similarity.topKPerQuery(scored, k, maxHeldPerTask = maxHeld))
+      assert(got == naive,
+        s"k=$k maxHeld=$maxHeld: two-level top-k diverged from the global window")
     }
   }
 
