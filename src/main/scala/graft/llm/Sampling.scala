@@ -95,4 +95,60 @@ object Sampling {
       .filter(col(rn) <= k)
       .drop(h, n, t, rn)
   }
+
+  /** Deterministic token-budget mixture sampling — the "data mixing"
+    * step of a training pipeline: given a per-stratum target weight
+    * (DoReMi-style static reweighting) and a total token budget
+    * expressed as a fraction of the corpus, derive each stratum's
+    * keep-rate
+    *
+    *   rate_s = min(1, (w_s/ΣW) · (budgetFraction·ΣT) / n_s)
+    *
+    * (n_s = stratum token count) and keep the rows whose 32-bit md5
+    * key prefix falls under rate_s·2³² — a pure function of the data,
+    * so the SAME rows are selected by any engine, any partitioning,
+    * any retry, and the selection composes with downstream dedup
+    * without coordination.
+    *
+    * Scale shape: one token-count aggregation per stratum (strata are
+    * few — sources/languages), a single-row total, rates
+    * broadcast-joined back; the selection itself is scan-local (no
+    * shuffle of the corpus). The float arithmetic is a fixed
+    * left-associative expression tree replayed verbatim by the DuckDB
+    * oracle — IEEE ops are bit-identical across engines.
+    *
+    * `weightExpr` must be a deterministic function of `stratumCol`
+    * (it is evaluated on the aggregated stratum rows). */
+  def tokenBudgetMixture(df: DataFrame, stratumCol: String, keyCol: String,
+      tokenCol: String, weightExpr: org.apache.spark.sql.Column,
+      budgetFraction: Double): DataFrame = {
+    require(budgetFraction > 0.0 && budgetFraction <= 1.0,
+      "budgetFraction must be in (0, 1]")
+    val qs = graft.Names.quoted(stratumCol)
+    val qt = graft.Names.quoted(tokenCol)
+    val taken = df.columns
+    val n = graft.Names.fresh("_n", taken)
+    val w = graft.Names.fresh("_w", taken)
+    val tn = graft.Names.fresh("_tn", taken)
+    val tw = graft.Names.fresh("_tw", taken)
+    val th = graft.Names.fresh("_th", taken)
+    val h = graft.Names.fresh("_hx", taken)
+    val counts = df.groupBy(col(qs)).agg(sum(col(qt)).as(n))
+      .withColumn(w, weightExpr)
+    val tot = counts.agg(sum(col(n)).as(tn), sum(col(w)).as(tw))
+    // ((w/ΣW) · (bf·ΣT)) / n — keep this exact tree: the oracle replays
+    // it literally, and IEEE doubles only match if the ops match
+    val rate = least(lit(1.0),
+      (col(w).cast("double") / col(tw).cast("double")) *
+        (lit(budgetFraction) * col(tn).cast("double")) / col(n).cast("double"))
+    // floor, not cast: Spark's double→long cast truncates while
+    // DuckDB's rounds — floor agrees everywhere for non-negative rates
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn(th, floor(rate * lit(4294967296.0)).cast("long"))
+      .select(col(qs), col(th))
+    df.join(broadcast(rates), Seq(stratumCol))
+      .withColumn(h, hash32(keyCol))
+      .filter(col(h) < col(th))
+      .drop(h, th)
+  }
 }

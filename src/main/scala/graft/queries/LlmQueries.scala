@@ -244,6 +244,25 @@ object LlmQueries {
       .orderBy(col("lang"))
   }
 
+  // ---- q57: deterministic token-budget mixture (data mixing) ----
+  // Keep-rates derived FROM the corpus toward a target source mixture
+  // under a token budget (q39's fixed-rate sampler cannot hit a target
+  // mixture; this computes the rates). Weight of src<i> is i+1, budget
+  // 30% of corpus tokens; selection is the md5-threshold rule, so the
+  // oracle replays counts → rates (verbatim float expression tree) →
+  // row-level selection and must land on the SAME rows.
+  private val MixBudgetFraction = 0.3
+
+  def q57TokenMixture(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("bigint").as("n_tok"))
+    graft.llm.Sampling.tokenBudgetMixture(d, "source", "doc_id", "n_tok",
+      weightExpr = expr("cast(substr(source, 4) as int) + 1"),
+      budgetFraction = MixBudgetFraction)
+      .select(col("doc_id"), col("source"), col("n_tok"))
+  }
+
   // ---- q40: exact per-language token-count quantiles ----
   // approx_percentile is engine- and merge-order-dependent; exact
   // quantiles from rank positions are not. The naive form (row_number
@@ -423,6 +442,7 @@ object LlmQueries {
     "q36_distinctive_terms" -> q36DistinctiveTerms _,
     "q37_repetition"   -> q37Repetition _,
     "q39_stratified_sample" -> q39StratifiedSample _,
+    "q57_token_mixture"     -> q57TokenMixture _,
     "q40_token_quantiles"   -> q40TokenQuantiles _,
     "q42_phrase_search"     -> q42PhraseSearch _,
     "q43_chunks"            -> q43Chunks _,
@@ -650,6 +670,25 @@ object LlmQueries {
          |  FROM p a JOIN p b ON a.doc_id = b.doc_id
          |  WHERE a.w = '$PhraseW1' AND b.w = '$PhraseW2')
          |SELECT doc_id, n_phrase FROM j WHERE n_phrase > 0""".stripMargin,
+    // mixture sampling: counts → rates → selection replayed end-to-end;
+    // the rate expression tree matches Sampling.tokenBudgetMixture
+    // verbatim (IEEE doubles are bit-identical when the ops are)
+    "q57_token_mixture" ->
+      s"""WITH d AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tok
+         |  FROM (SELECT doc_id, source, $toksSql AS toks FROM documents) t),
+         |counts AS (SELECT source, sum(n_tok) AS n,
+         |    CAST(substr(source, 4) AS INTEGER) + 1 AS w
+         |  FROM d GROUP BY source),
+         |tot AS (SELECT sum(n) AS tn, sum(w) AS tw FROM counts),
+         |rates AS (SELECT source,
+         |    CAST(floor(least(CAST(1.0 AS DOUBLE),
+         |      (CAST(w AS DOUBLE) / CAST(tw AS DOUBLE))
+         |        * (CAST($MixBudgetFraction AS DOUBLE) * CAST(tn AS DOUBLE))
+         |        / CAST(n AS DOUBLE)) * 4294967296.0) AS BIGINT) AS thresh
+         |  FROM counts, tot)
+         |SELECT doc_id, source, n_tok
+         |FROM d JOIN rates USING (source)
+         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < thresh""".stripMargin,
     "q39_stratified_sample" -> {
       val rateCase = SampleRates
         .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")

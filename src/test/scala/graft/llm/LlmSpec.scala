@@ -177,6 +177,29 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
     assert(got.count(_._2 == "g0") == k)
   }
 
+  test("tokenBudgetMixture: rates follow the target weights; selection deterministic") {
+    import spark.implicits._
+    // two strata, equal token mass (1000 each), weights 1 vs 3, budget
+    // 50% → rate_a = (1/4)·(0.5·2000)/1000 = 0.25, rate_b = 0.75
+    val df = (0 until 100).map(i => (i.toLong, if (i < 50) "a" else "b", 20L))
+      .toDF("id", "src", "n_tok")
+    def run() = Sampling.tokenBudgetMixture(df, "src", "id", "n_tok",
+      weightExpr = when(col("src") === "a", 1).otherwise(3),
+      budgetFraction = 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val kept = run()
+    assert(run() == kept) // pure function of the data
+    val aKept = kept.count(_ < 50)
+    val bKept = kept.size - aKept
+    // md5 prefixes are uniform: expect ~12.5 and ~37.5 of 50 each
+    assert(aKept > 2 && aKept < 25, s"rate_a=0.25 kept $aKept of 50")
+    assert(bKept > 25 && bKept < 50, s"rate_b=0.75 kept $bKept of 50")
+    // a stratum whose rate saturates keeps every row
+    val all = Sampling.tokenBudgetMixture(df, "src", "id", "n_tok",
+      weightExpr = lit(1), budgetFraction = 1.0)
+    assert(all.count() == 100L)
+  }
+
   test("deterministicGroupSample survives dotted column names") {
     import spark.implicits._
     val df = (0 until 40).map(i => (s"g${i % 3}", s"key_$i")).toDF("the.group", "the key")
