@@ -133,8 +133,13 @@ object Sampling {
     val tw = graft.Names.fresh("_tw", taken)
     val th = graft.Names.fresh("_th", taken)
     val h = graft.Names.fresh("_hx", taken)
-    val counts = df.groupBy(col(qs)).agg(sum(col(qt)).as(n))
-      .withColumn(w, weightExpr)
+    // persisted (Caches-tracked): the rates branch AND the totals
+    // branch both derive from the per-stratum counts, and without
+    // materialization Spark re-runs the corpus tokenize+aggregate for
+    // each — the frame is #strata rows, so the cache is trivial and
+    // saves a full corpus scan
+    val counts = Caches.persistTracked(
+      df.groupBy(col(qs)).agg(sum(col(qt)).as(n)).withColumn(w, weightExpr))
     val tot = counts.agg(sum(col(n)).as(tn), sum(col(w)).as(tw))
     // ((w/ΣW) · (bf·ΣT)) / n — keep this exact tree: the oracle replays
     // it literally, and IEEE doubles only match if the ops match
