@@ -155,6 +155,11 @@ object Multimodal {
     * a structurally valid 24bpp uncompressed BMP. */
   def resizeBmp(content: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] = {
     require(targetW > 0 && targetH > 0, "target dimensions must be positive")
+    // target dims are caller parameters, not data — overflow is a
+    // caller bug and fails loudly (the same Int-wrap class the source
+    // side rejects with None in bmpPixelLayout)
+    require(54L + (targetW.toLong * 3 + 3) / 4 * 4 * targetH <= Int.MaxValue,
+      s"target $targetW x $targetH overflows the BMP file size")
     bmpPixelLayout(content).map { src =>
       val outStride = bmpRowSize(targetW)
       val buf = ByteBuffer.allocate(54 + outStride * targetH)

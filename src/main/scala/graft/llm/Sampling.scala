@@ -118,13 +118,24 @@ object Sampling {
     * oracle — IEEE ops are bit-identical across engines.
     *
     * `weightExpr` must be a deterministic function of `stratumCol`
-    * (it is evaluated on the aggregated stratum rows). */
+    * (it is evaluated on the aggregated stratum rows), and every
+    * stratum's weight must be a positive number — validated with an
+    * eager job over the (tiny) stratum counts, because an all-zero
+    * weight vector would make every rate 0/0 = NaN, `least(1, NaN)`
+    * = 1, and a 30% budget would silently return 100% of the corpus.
+    *
+    * Rows with a null stratum or null key are EXCLUDED from the token
+    * mass as well as the output (same contract as
+    * [[deterministicGroupSample]]'s null keys): a null key can never
+    * be selected (its hash is null), so counting its tokens would make
+    * every realized rate silently undershoot the target. */
   def tokenBudgetMixture(df: DataFrame, stratumCol: String, keyCol: String,
       tokenCol: String, weightExpr: org.apache.spark.sql.Column,
       budgetFraction: Double): DataFrame = {
     require(budgetFraction > 0.0 && budgetFraction <= 1.0,
       "budgetFraction must be in (0, 1]")
     val qs = graft.Names.quoted(stratumCol)
+    val qk = graft.Names.quoted(keyCol)
     val qt = graft.Names.quoted(tokenCol)
     val taken = df.columns
     val n = graft.Names.fresh("_n", taken)
@@ -133,13 +144,21 @@ object Sampling {
     val tw = graft.Names.fresh("_tw", taken)
     val th = graft.Names.fresh("_th", taken)
     val h = graft.Names.fresh("_hx", taken)
-    // persisted (Caches-tracked): the rates branch AND the totals
-    // branch both derive from the per-stratum counts, and without
-    // materialization Spark re-runs the corpus tokenize+aggregate for
-    // each — the frame is #strata rows, so the cache is trivial and
-    // saves a full corpus scan
+    val eligible = df.filter(col(qs).isNotNull && col(qk).isNotNull)
+    // persisted (Caches-tracked): the weight guard, the rates branch
+    // AND the totals branch all derive from the per-stratum counts,
+    // and without materialization Spark re-runs the corpus
+    // tokenize+aggregate for each — the frame is #strata rows, so the
+    // cache is trivial and saves two full corpus scans
     val counts = Caches.persistTracked(
-      df.groupBy(col(qs)).agg(sum(col(qt)).as(n)).withColumn(w, weightExpr))
+      eligible.groupBy(col(qs)).agg(sum(col(qt)).as(n)).withColumn(w, weightExpr))
+    val badWeight = counts
+      .filter(col(w).isNull || col(w).cast("double") <= 0.0)
+      .limit(1).collect()
+    require(badWeight.isEmpty,
+      s"tokenBudgetMixture: weightExpr must be positive for every stratum — " +
+        s"stratum '${badWeight.headOption.map(_.get(0)).orNull}' got " +
+        s"'${badWeight.headOption.map(_.get(badWeight.head.length - 1)).orNull}'")
     val tot = counts.agg(sum(col(n)).as(tn), sum(col(w)).as(tw))
     // ((w/ΣW) · (bf·ΣT)) / n — keep this exact tree: the oracle replays
     // it literally, and IEEE doubles only match if the ops match
@@ -151,7 +170,7 @@ object Sampling {
     val rates = counts.crossJoin(broadcast(tot))
       .withColumn(th, floor(rate * lit(4294967296.0)).cast("long"))
       .select(col(qs), col(th))
-    df.join(broadcast(rates), Seq(stratumCol))
+    eligible.join(broadcast(rates), Seq(stratumCol))
       .withColumn(h, hash32(keyCol))
       .filter(col(h) < col(th))
       .drop(h, th)

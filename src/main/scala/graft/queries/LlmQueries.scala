@@ -675,7 +675,8 @@ object LlmQueries {
     // verbatim (IEEE doubles are bit-identical when the ops are)
     "q57_token_mixture" ->
       s"""WITH d AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tok
-         |  FROM (SELECT doc_id, source, $toksSql AS toks FROM documents) t),
+         |  FROM (SELECT doc_id, source, $toksSql AS toks FROM documents
+         |        WHERE doc_id IS NOT NULL AND source IS NOT NULL) t),
          |counts AS (SELECT source, sum(n_tok) AS n,
          |    CAST(substr(source, 4) AS INTEGER) + 1 AS w
          |  FROM d GROUP BY source),

@@ -84,7 +84,10 @@ class GovernanceSpec extends AnyFunSuite {
   test("remediation SQL is locale-independent (Turkish-I trap)") {
     // default-locale toUpperCase under tr_TR turns 'tittel' into
     // 'TİTTEL' (dotted capital I), silently changing the remediation
-    // placeholder; generateError must pin Locale.ROOT
+    // placeholder; generateError must pin Locale.ROOT.
+    // JVM-global flip is safe here because Test/fork is on and sbt
+    // runs forked suites sequentially (testForkedParallel defaults to
+    // false) — revisit if that flag is ever enabled.
     val prev = java.util.Locale.getDefault
     try {
       java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))

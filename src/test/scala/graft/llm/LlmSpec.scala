@@ -198,6 +198,28 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
     val all = Sampling.tokenBudgetMixture(df, "src", "id", "n_tok",
       weightExpr = lit(1), budgetFraction = 1.0)
     assert(all.count() == 100L)
+    // zero/null weights would make rates 0/0 = NaN → least(1, NaN) = 1
+    // → the whole corpus "sampled"; must fail loudly instead
+    val e = intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetMixture(df, "src", "id", "n_tok",
+        weightExpr = lit(0), budgetFraction = 0.5)
+    }
+    assert(e.getMessage.contains("positive"))
+    // null keys/strata are excluded from the token mass, not counted
+    // against the budget: adding rows that are un-selectable anyway
+    // (null key / null stratum) must leave every rate — and therefore
+    // the selected set — exactly as it was
+    val nullKey = Seq.fill(25)(("a", 20L)).toDF("src", "n_tok")
+      .selectExpr("CAST(NULL AS BIGINT) AS id", "src", "n_tok")
+    val nullSrc = (200 until 225).map(i => (i.toLong, 20L)).toDF("id", "n_tok")
+      .selectExpr("id", "CAST(NULL AS STRING) AS src", "n_tok")
+    val withNulls = df.unionByName(nullKey).unionByName(nullSrc)
+    val keptWithNulls = Sampling.tokenBudgetMixture(withNulls, "src", "id", "n_tok",
+      weightExpr = when(col("src") === "a", 1).otherwise(3),
+      budgetFraction = 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(keptWithNulls == kept,
+      "null-key/null-stratum rows changed the realized rates or leaked into the sample")
   }
 
   test("deterministicGroupSample survives dotted column names") {

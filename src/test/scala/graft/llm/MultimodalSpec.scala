@@ -175,6 +175,11 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     for (r <- rows) assert(up.slice(r, r + 6).toSeq == Seq[Byte](0, 1, 2, 0, 1, 2))
     // malformed input -> None, not a throw
     assert(resizeBmp(Array.fill[Byte](60)(1), 2, 2).isEmpty)
+    // overflowing TARGET dims are a caller bug -> loud require, not a
+    // wrapped allocation
+    intercept[IllegalArgumentException] {
+      resizeBmp(encodeBmp(2, 2), 1000000, 4300)
+    }
   }
 
   test("hostile BMP width: int-wrapped stride must not pass the bounds check") {
