@@ -221,11 +221,30 @@ object Similarity {
     * only shuffle is the bucket equi-join of skinny probe rows, and
     * dense buckets (the skew risk) cost dot products, never extra
     * exchanges. */
-  def embeddingNearDupPairs(vectors: DataFrame, minDotFp: Long, dim: Int): DataFrame = {
+  /** `maxBucketSize` is the 100 TB skew guard (the embedding twin of
+    * MinHashLSH's cap, q49): vectors whose OWN bucket holds more than
+    * the cap are removed from the graph entirely — both as probe
+    * sources and as join targets — BEFORE any pair expansion, so a
+    * boilerplate embedding (a default vector emitted by a broken
+    * encoder, all-zeros, …) costs one count, never m² dot products.
+    * Bucket counts are a ≤256-row aggregate joined back broadcast;
+    * the default cap disables the guard. */
+  def embeddingNearDupPairs(vectors: DataFrame, minDotFp: Long, dim: Int,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     LlmFunctions.registerDotFp(vectors.sparkSession)
     LlmFunctions.registerLshBucket(vectors.sparkSession)
-    def b = vectors.select(col("vec_id"), col("embedding"),
+    require(maxBucketSize >= 2, "maxBucketSize < 2 can never emit a pair")
+    def base = vectors.select(col("vec_id"), col("embedding"),
       bucketExpr("embedding", dim).as("bucket"))
+    def b =
+      if (maxBucketSize == Int.MaxValue) base
+      else {
+        // ≤ 2^NumPlanes rows — broadcast back; survivors only
+        val sizes = base.groupBy(col("bucket")).agg(count(lit(1)).as("__bc"))
+          .filter(col("__bc") <= maxBucketSize)
+        base.join(broadcast(sizes.select(col("bucket"))), "bucket")
+          .select(col("vec_id"), col("embedding"), col("bucket"))
+      }
     val probes = b.select(col("vec_id").as("ia"), col("embedding").as("ea"),
       col("bucket").as("ba"),
       explode(expr(

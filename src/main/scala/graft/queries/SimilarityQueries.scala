@@ -144,6 +144,17 @@ object SimilarityQueries {
       .agg(count(lit(1)).as("n_pairs"), sum(col("jaccard_fp")).as("sum_jaccard_fp"))
   }
 
+  private val EmbCapBucketSize = 4
+
+  // ---- q58: bucket-capped embedding near-dup (the q49 twin for
+  // vectors): multi-probe LSH with vectors in overfull buckets removed
+  // from the graph before any pair expansion. The oracle replays the
+  // cap with a windowed bucket count over the same bucket expression,
+  // certifying the guard's exact semantics.
+  def q58EmbedDedupCapped(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDupPairs(graft.Tables.embeddings(s, dir),
+      NearDupMinDotFp, Dim, maxBucketSize = EmbCapBucketSize)
+
   private val CentroidDims = 8
 
   // ---- q46: per-label embedding centroid components (fixed-point) ----
@@ -173,6 +184,7 @@ object SimilarityQueries {
     "q48_cross_corpus"  -> q48CrossCorpus _,
     "q49_minhash_capped" -> q49MinhashCapped _,
     "q51_source_matrix" -> q51SourceMatrix _,
+    "q58_embed_dedup_capped" -> q58EmbedDedupCapped _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -332,6 +344,33 @@ object SimilarityQueries {
        |SELECT vec_a, vec_b, dot_fp FROM scored
        |WHERE dot_fp >= $NearDupMinDotFp""".stripMargin
 
+  // q29 with the bucket cap replayed: vectors in overfull buckets are
+  // removed (windowed count = the broadcast-join filter in
+  // embeddingNearDupPairs) before probes/pairs are generated
+  private val q58Sql =
+    s"""WITH b0 AS (SELECT vec_id, embedding, CAST($bucketSql AS BIGINT) AS bucket
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, embedding, bucket FROM (
+       |    SELECT vec_id, embedding, bucket,
+       |      count(*) OVER (PARTITION BY bucket) AS bc FROM b0) t
+       |  WHERE bc <= $EmbCapBucketSize),
+       |probes AS (SELECT vec_id, bucket,
+       |  unnest(list_transform(range(0, ${Similarity.NumPlanes + 1}),
+       |    j -> CASE WHEN j = 0 THEN bucket
+       |         ELSE xor(bucket, CAST(2**(j - 1) AS BIGINT)) END)) AS probe
+       |  FROM b),
+       |pairs AS (SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+       |  FROM probes a JOIN b c ON a.probe = c.bucket AND a.vec_id < c.vec_id),
+       |scored AS (SELECT vec_a, vec_b,
+       |  CAST(list_sum(list_transform(range(1, len(ea.embedding) + 1),
+       |    i -> CAST(floor(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)
+       |      * 1000000.0) AS BIGINT))) AS BIGINT) AS dot_fp
+       |  FROM pairs
+       |  JOIN embeddings ea ON vec_a = ea.vec_id
+       |  JOIN embeddings eb ON vec_b = eb.vec_id)
+       |SELECT vec_a, vec_b, dot_fp FROM scored
+       |WHERE dot_fp >= $NearDupMinDotFp""".stripMargin
+
   // recursive transitive closure over the thresholded q21 pairs; the
   // UNION (distinct) recursion terminates on cycles, and the final
   // label is min(reachable ∪ self) — identical to the Spark fixpoint
@@ -389,6 +428,7 @@ object SimilarityQueries {
     "q48_cross_corpus"  -> q48Sql,
     "q49_minhash_capped" -> q49Sql,
     "q51_source_matrix" -> q51Sql,
+    "q58_embed_dedup_capped" -> q58Sql,
     "q46_embed_stats" ->
       s"""SELECT label, CAST(i - 1 AS INTEGER) AS dim, count(*) AS n,
          |  CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT))

@@ -83,6 +83,22 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("embedding near-dup bucket cap removes overfull buckets before pair expansion") {
+    import spark.implicits._
+    val v = Array.tabulate(64)(i => (math.cos(i * 0.7) / 8).toFloat)
+    val nearDup = v.clone(); nearDup(0) = v(0) + 0.001f
+    // 7 identical "boilerplate" vectors: one bucket of size 7, C(7,2)
+    // high-dot pairs — exactly the m² skew the cap exists to stop
+    val boiler = (10L to 16L).map(i => (i, Array.fill(64)(0.2f)))
+    val vecs = (Seq((1L, v), (2L, nearDup)) ++ boiler).toDF("vec_id", "embedding")
+    val uncapped = Similarity.embeddingNearDupPairs(vecs, 500000L, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((1L, 2L)) && uncapped.size == 1 + 21) // pair + C(7,2)
+    val capped = Similarity.embeddingNearDupPairs(vecs, 500000L, 64, maxBucketSize = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L))) // boilerplate gone, signal intact
+  }
+
   test("ann bucket: identical vectors land in the same bucket") {
     import spark.implicits._
     LlmFunctions.registerDotFp(spark)
