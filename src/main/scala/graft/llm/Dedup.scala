@@ -135,6 +135,66 @@ object Dedup {
           .as("dup_fp"))
   }
 
+  /** Segment-level (paragraph) duplication stats: split each document
+    * into NON-overlapping token segments of `segLen` tokens (the last
+    * segment may be shorter), hash each segment, and report per
+    * document how many of its segments also occur elsewhere in the
+    * corpus — the RefinedWeb-style "drop documents whose paragraphs
+    * are mostly copies" signal. The corpus here is single-line, so
+    * fixed-width token windows stand in for the paragraph delimiter;
+    * with `\n\n`-delimited text the split expression is the only line
+    * that changes.
+    *
+    * Contrast with [[dupSpanStats]]: that operator slides an
+    * OVERLAPPING n-gram window (positional span coverage), this one
+    * tiles the document (segment identity), and "duplicated" here
+    * means the segment's total occurrence count across the corpus is
+    * >= 2 — so a segment repeated within one document counts too,
+    * which is exactly what boilerplate detection wants.
+    *
+    * Scale design: the exploded segment stream is ~1/segLen the size
+    * of the gram stream (one row per segLen tokens, not per token),
+    * keyed by a 60-bit hash — one hash-shuffle for the occurrence
+    * count, one for the per-doc rollup; text itself never shuffles
+    * (segments are hashed in the map stage). Docs with no tokens are
+    * kept via the left-join spine and report zeros.
+    */
+  def segmentDupStats(docs: DataFrame, idCol: String, textCol: String,
+      segLen: Int = 16): DataFrame = {
+    require(segLen > 0, "segLen must be positive")
+    val q = graft.Names.quoted _
+    val toks = graft.llm.TextAnalysis.tokens(col(q(textCol)))
+    // sequence(0, n-1) is only safe for n >= 1: Spark's default step
+    // for start > stop is -1, so empty docs must not reach it
+    val nonEmpty = docs
+      .select(col(q(idCol)).as("doc_id"), toks.as("__toks"))
+      .filter(size(col("__toks")) > 0)
+    val segs = nonEmpty.select(col("doc_id"),
+      explode(expr(
+        s"""transform(sequence(0, cast(ceil(size(__toks) / ${segLen}.0) AS INT) - 1),
+           |          i -> concat_ws(' ', slice(__toks, i * $segLen + 1, $segLen)))"""
+          .stripMargin)).as("seg"))
+    // 60-bit md5-prefix hash: collision-negligible at corpus scale,
+    // always positive, and replayable in any SQL engine with md5()
+    val hashed = segs.select(col("doc_id"),
+      conv(substring(md5(col("seg").cast("binary")), 1, 15), 16, 10)
+        .cast("bigint").as("h"))
+    val occ = hashed.groupBy(col("h")).agg(count(lit(1)).as("n_occ"))
+    val perDoc = hashed.join(occ, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("n_occ") >= 2, 1L).otherwise(0L)).as("n_dup_segs"))
+    docs.select(col(q(idCol)).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+        coalesce(col("n_dup_segs"), lit(0L)).as("n_dup_segs"),
+        when(coalesce(col("n_segs"), lit(0L)) === 0, lit(0L))
+          .otherwise(expr(
+            "cast(floor(1000000.0 * cast(n_dup_segs as double) / cast(n_segs as double)) as bigint)"))
+          .as("seg_dup_fp"))
+  }
+
   /** Connected components of a near-duplicate graph: every vertex is
     * labeled with the smallest id reachable through the edge set —
     * the cluster key for transitive dedup ("A≈B, B≈C ⇒ keep one of

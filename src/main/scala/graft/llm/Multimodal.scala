@@ -400,6 +400,102 @@ object Multimodal {
     }
   }
 
+  // ---------------- multi-frame (video-shaped) container ----------------
+
+  /** Magic prefix of the GVID multi-frame container: `"GVID"` +
+    * int32-LE frame count + the frames themselves, each a COMPLETE
+    * spec-compliant BMP file. Frames are self-delimiting: a BMP
+    * declares its own file size at bytes 2-5, so walking the container
+    * means reading each frame's declared size and hopping — exactly
+    * how real chunked containers (RIFF/AVI, ISO-BMFF) are traversed.
+    * There is no frame index table: a wrong size field desynchronizes
+    * the walk and fails validation, which is the point — the q60
+    * oracle certifies the walk arithmetic from first principles. */
+  val VideoMagic: Array[Byte] = Array('G'.toByte, 'V'.toByte, 'I'.toByte, 'D'.toByte)
+
+  /** Encode a GVID container holding one generated BMP per (w, h). */
+  def encodeVideo(frameDims: Seq[(Int, Int)]): Array[Byte] = {
+    val frames = frameDims.map { case (w, h) => encodeBmp(w, h) }
+    val total = 8 + frames.map(_.length).sum
+    val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(VideoMagic)
+    buf.putInt(frames.size)
+    frames.foreach(buf.put)
+    buf.array()
+  }
+
+  /** REAL container walk: validate the magic, read the frame count,
+    * then hop frame-to-frame via each BMP's declared file size
+    * (bytes 2-5 of the frame, int32 LE). Returns the (offset, length)
+    * of every frame, or None if anything is structurally inconsistent
+    * — truncated header, frame overrunning the payload, trailing
+    * bytes after the last frame, or a size field too small to be a
+    * BMP. Null-on-failure, the engine's standard malformed-input
+    * contract (SURVEY §1.3). */
+  def videoFrameSpans(content: Array[Byte]): Option[IndexedSeq[(Int, Int)]] = {
+    if (content == null || content.length < 8) return None
+    var i = 0
+    while (i < 4) { if (content(i) != VideoMagic(i)) return None; i += 1 }
+    val buf = ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN)
+    val nf = buf.getInt(4)
+    if (nf <= 0) return None
+    val spans = new scala.collection.mutable.ArrayBuffer[(Int, Int)](nf)
+    var off = 8
+    var f = 0
+    while (f < nf) {
+      if (off + 6 > content.length) return None
+      if (content(off) != 'B'.toByte || content(off + 1) != 'M'.toByte) return None
+      val len = buf.getInt(off + 2)
+      if (len < 54 || off.toLong + len > content.length) return None
+      spans += ((off, len))
+      off += len
+      f += 1
+    }
+    if (off != content.length) return None // trailing garbage
+    Some(spans.toIndexedSeq)
+  }
+
+  /** Evenly-spaced frame sampling over a GVID container: select
+    * `min(maxTake, nFrames)` frames at indices `trunc(j·nf/take)`
+    * (the same arithmetic as [[sampleFrames]], replayable in SQL) and
+    * return each as `(frameIdx, totalFrames, frameBytes)`. The copy
+    * is bounded by the SELECTED frames only — unselected frames are
+    * never materialized, which is what makes this viable on payloads
+    * where decoding everything would blow the task budget. Empty for
+    * malformed containers. */
+  def sampleVideoFrames(content: Array[Byte], maxTake: Int): Seq[(Int, Int, Array[Byte])] =
+    videoFrameSpans(content) match {
+      case None => Seq.empty
+      case Some(spans) =>
+        val nf = spans.size
+        val take = math.min(maxTake, nf)
+        if (take <= 0) Seq.empty
+        else (0 until take).map { j =>
+          val f = j * nf / take
+          val (off, len) = spans(f)
+          (f, nf, java.util.Arrays.copyOfRange(content, off, off + len))
+        }
+    }
+
+  /** REAL video-shaped payloads synthesized from the documents table:
+    * every doc_id carries a GVID container of `(doc_id % 5) + 2`
+    * spec-compliant BMP frames whose dimensions are pure functions of
+    * (doc_id, frame index) — so the q60 oracle can recompute every
+    * frame's size and decoded pixel checksum from first principles. */
+  def documentsAsVideo(spark: SparkSession, dir: String): Dataset[MediaPayload] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir).select("doc_id").as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val nf = ((id % 5) + 2).toInt
+          val dims = (0 until nf).map { f =>
+            ((((id + 3L * f) % 24) + 1).toInt, (((id * 7 + 5L * f) % 20) + 1).toInt)
+          }
+          MediaPayload(id, "video/gvid", encodeVideo(dims))
+        }
+      }
+  }
+
   /** Resized payload with its new declared dimensions. */
   final case class ResizedMedia(id: Long, mediaType: String,
       width: Int, height: Int, content: Array[Byte])

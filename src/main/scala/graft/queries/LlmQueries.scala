@@ -151,6 +151,65 @@ object LlmQueries {
         col("nFrames").as("n_frames"), col("nBytes").as("n_bytes"))
   }
 
+  // ---- q59: PII scrub (emails / IPv4 / phones) ----
+  // The corpus carries no natural PII, so deterministic PII derived
+  // from doc_id is appended on BOTH sides (Spark concat, oracle ||)
+  // — every row then genuinely exercises all three regexes, and the
+  // md5 of the redacted text certifies the exact replacement bytes,
+  // not just counts. Patterns live in the Java-regex/RE2 common
+  // subset so DuckDB replays them verbatim.
+  def q59PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Pii
+    val injected = graft.Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@geo.example.org"),
+        lit(" from 10."), (col("doc_id") % 200).cast("string"),
+        lit(".0."), (col("doc_id") % 250).cast("string"),
+        lit(" tel +47 555 "), (col("doc_id") % 90000 + 10000).cast("string")
+      ).as("text"))
+    Pii.scrub(injected, "text")
+      .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+        length(col("clean_text")).cast("bigint").as("clean_len"),
+        md5(col("clean_text").cast("binary")).as("clean_md5"))
+  }
+
+  // ---- q60: REAL multi-frame container walk + per-frame decode ----
+  // Payloads are GVID containers (magic + frame count + concatenated
+  // spec-compliant BMPs); sampleVideoFrames hops frame-to-frame via
+  // each BMP's declared size field, selects evenly-spaced frames, and
+  // each selected frame is then genuinely re-decoded (header parse +
+  // pixel checksum). The oracle recomputes frame sizes AND decoded
+  // pixel sums from the BMP spec — a wrong walk offset or stride on
+  // either side breaks the match. maxTake bounds per-row output: at
+  // 100 TB the unselected frames are never copied out of the payload.
+  private val VideoFramesTake = 3
+
+  def q60VideoFrames(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Multimodal
+    import s.implicits._
+    Multimodal.documentsAsVideo(s, dir)
+      .flatMap { p =>
+        Multimodal.sampleVideoFrames(p.content, VideoFramesTake).map {
+          case (f, nf, bytes) =>
+            val (w, h) = Multimodal.decodeBmp(bytes).getOrElse((0, 0))
+            val pix = Multimodal.bmpBandSums(bytes, 1).map(_(0)).getOrElse(-1L)
+            (p.id, nf, f, w, h, bytes.length.toLong, pix)
+        }
+      }
+      .toDF("id", "n_frames", "frame_idx", "width", "height", "n_bytes", "pix_sum")
+  }
+
+  // ---- q61: segment-level (paragraph) duplication stats ----
+  // Non-overlapping 12-token segments; "duplicated" = the segment
+  // occurs >= 2 times corpus-wide (within-doc repeats count —
+  // boilerplate semantics). Complements q50's overlapping-gram span
+  // coverage. At sf0.01 ~8% of segment occurrences are duplicated,
+  // so the signal is real, not a sea of zeros.
+  private val SegmentLen = 12
+
+  def q61SegmentDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.segmentDupStats(graft.Tables.documents(s, dir), "doc_id", "text", SegmentLen)
+
   // ---- q28: winnowed rolling-hash document fingerprints ----
   // Oracle-checked end-to-end: the rolling hash is a fixed 16-term
   // polynomial, so the DuckDB side embeds the Base^k mod M constants
