@@ -438,7 +438,11 @@ object Multimodal {
     while (i < 4) { if (content(i) != VideoMagic(i)) return None; i += 1 }
     val buf = ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN)
     val nf = buf.getInt(4)
-    if (nf <= 0) return None
+    // reject an untrusted frame count the payload cannot possibly hold
+    // (each frame is >= 54 bytes) BEFORE sizing the buffer from it — a
+    // hostile header declaring nf near Int.MaxValue must return None,
+    // not allocate gigabytes
+    if (nf <= 0 || nf > (content.length - 8) / 54) return None
     val spans = new scala.collection.mutable.ArrayBuffer[(Int, Int)](nf)
     var off = 8
     var f = 0
@@ -471,7 +475,9 @@ object Multimodal {
         val take = math.min(maxTake, nf)
         if (take <= 0) Seq.empty
         else (0 until take).map { j =>
-          val f = j * nf / take
+          // Long arithmetic like sampleFrames/resizeBmp: j * nf wraps
+          // Int for ~46k-frame containers with a large maxTake
+          val f = (j.toLong * nf / take).toInt
           val (off, len) = spans(f)
           (f, nf, java.util.Arrays.copyOfRange(content, off, off + len))
         }

@@ -59,7 +59,15 @@ object Pii {
     * `n_phones`, BIGINT) and the redacted text (`clean_text`). Null
     * text yields null counts and null clean text — the row survives
     * (malformed input must not kill a 100 TB scan); filter or
-    * `coalesce` downstream. */
+    * `coalesce` downstream.
+    *
+    * Overlap caveat: counts are computed over the ORIGINAL text while
+    * redaction is sequential, so when patterns overlap they diverge —
+    * `user@1.2.3.4.com` counts n_ips=1, but the email replacement
+    * consumes the quad first and `clean_text` carries no `<IP>` token.
+    * The counts answer "what PII does this text contain", not "which
+    * tokens appear in clean_text"; do not reconcile one against the
+    * other on overlapping inputs. */
   def scrub(df: DataFrame, textCol: String): DataFrame = {
     val t = col(graft.Names.quoted(textCol))
     df.withColumn("n_emails", emailCount(t).cast("bigint"))

@@ -510,6 +510,9 @@ object LlmQueries {
     "q50_dup_spans"         -> q50DupSpans _,
     "q52_group_sample"      -> q52GroupSample _,
     "q53_oov_rate"          -> q53OovRate _,
+    "q59_pii_redact"        -> q59PiiRedact _,
+    "q60_video_frames"      -> q60VideoFrames _,
+    "q61_segment_dedup"     -> q61SegmentDedup _,
   )
 
   /** DuckDB token expression mirroring TextAnalysis.tokens. */
@@ -938,5 +941,72 @@ object LlmQueries {
          |    FROM (SELECT doc_id, lang, text, $toksSql AS toks FROM documents) x
          |    WHERE ($qualityFpSql) >= 600000) scored) survivors
          |WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin,
+    // PII scrub: the patterns live in the Java-regex/RE2 common subset,
+    // so DuckDB (RE2) replays the exact Pii.* constants with the 'g'
+    // flag; md5 over the redacted text certifies the replacement bytes
+    "q59_pii_redact" ->
+      s"""WITH inj AS (SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@geo.example.org'
+         |      || ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+         |      || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+         |      || ' tel +47 555 ' || CAST(doc_id % 90000 + 10000 AS VARCHAR) AS t
+         |  FROM documents),
+         |red AS (SELECT doc_id, t,
+         |    regexp_replace(regexp_replace(regexp_replace(t,
+         |      '${graft.llm.Pii.EmailPattern}', '${graft.llm.Pii.EmailToken}', 'g'),
+         |      '${graft.llm.Pii.Ipv4Pattern}', '${graft.llm.Pii.Ipv4Token}', 'g'),
+         |      '${graft.llm.Pii.PhonePattern}', '${graft.llm.Pii.PhoneToken}', 'g') AS clean
+         |  FROM inj)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '${graft.llm.Pii.EmailPattern}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '${graft.llm.Pii.Ipv4Pattern}')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(t, '${graft.llm.Pii.PhonePattern}')) AS BIGINT) AS n_phones,
+         |  CAST(length(clean) AS BIGINT) AS clean_len,
+         |  md5(clean) AS clean_md5
+         |FROM red""".stripMargin,
+    // video-frame sampling over GVID containers: frame dims are pure
+    // functions of (doc_id, frame), so sizes (54 + padded stride * h)
+    // AND decoded pixel sums ((dataIdx % 251) over the non-padding
+    // bytes) are recomputed from the BMP spec; the sampling index
+    // replays sampleVideoFrames' j*nf/take integer arithmetic
+    "q60_video_frames" ->
+      s"""WITH v AS (SELECT doc_id, (doc_id % 5) + 2 AS nf FROM documents),
+         |sel AS (SELECT doc_id, nf, (j.v * nf) // least($VideoFramesTake, nf) AS f
+         |  FROM v, unnest(range(0, least($VideoFramesTake, nf))) AS j(v)),
+         |fr AS (SELECT doc_id, nf, f,
+         |    ((doc_id + 3*f) % 24) + 1 AS w,
+         |    ((doc_id*7 + 5*f) % 20) + 1 AS h
+         |  FROM sel),
+         |fr2 AS (SELECT *, ((w*3 + 3) // 4) * 4 AS stride FROM fr),
+         |pix AS (SELECT doc_id, f, sum((r.v * stride + j.v) % 251) AS s
+         |  FROM fr2, unnest(range(0, h)) AS r(v), unnest(range(0, w*3)) AS j(v)
+         |  GROUP BY doc_id, f)
+         |SELECT fr2.doc_id AS id, CAST(nf AS INTEGER) AS n_frames,
+         |  CAST(f AS INTEGER) AS frame_idx,
+         |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         |  CAST(54 + stride * h AS BIGINT) AS n_bytes,
+         |  CAST(pix.s AS BIGINT) AS pix_sum
+         |FROM fr2 JOIN pix USING (doc_id, f)""".stripMargin,
+    // segment dedup: non-overlapping $SegmentLen-token windows, 60-bit
+    // md5-prefix hashes, occurrence counts — the whole pipeline replayed
+    // with list functions; list_slice's inclusive end == slice's length
+    "q61_segment_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |ne AS (SELECT doc_id, tk FROM toks WHERE len(tk) > 0),
+         |segs AS (SELECT doc_id,
+         |    array_to_string(list_slice(tk, i.v*$SegmentLen + 1, i.v*$SegmentLen + $SegmentLen), ' ') AS seg
+         |  FROM ne, unnest(range(0, CAST(ceil(len(tk) / ${SegmentLen}.0) AS BIGINT))) AS i(v)),
+         |hashed AS (SELECT doc_id,
+         |    CAST(('0x' || substr(md5(seg), 1, 15)) AS BIGINT) AS h FROM segs),
+         |occ AS (SELECT h, count(*) AS n_occ FROM hashed GROUP BY h),
+         |pd AS (SELECT doc_id, count(*) AS n_segs,
+         |    sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS n_dup_segs
+         |  FROM hashed JOIN occ USING (h) GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(n_segs, 0) AS BIGINT) AS n_segs,
+         |  CAST(coalesce(n_dup_segs, 0) AS BIGINT) AS n_dup_segs,
+         |  CAST(CASE WHEN coalesce(n_segs, 0) = 0 THEN 0
+         |    ELSE floor(1000000.0 * CAST(n_dup_segs AS DOUBLE) / CAST(n_segs AS DOUBLE))
+         |    END AS BIGINT) AS seg_dup_fp
+         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
   )
 }

@@ -148,6 +148,34 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
     assert(got(6L) == ((0L, 0L, 0L)))
   }
 
+  test("segmentDupStats: non-overlapping windows, within-doc repeats count") {
+    import spark.implicits._
+    val seg = "a b c" // one full 3-token segment
+    val docs = Seq(
+      (1L, s"$seg $seg x"),        // segments: [a b c], [a b c], [x] — the
+                                   // repeated segment is duplicated WITHIN doc 1
+      (2L, s"$seg y z q"),         // [a b c] duplicated cross-doc, [y z q] unique
+      (3L, "p q"),                 // one short segment, unique
+      (4L, ""),                    // blank: 0 segments, survives via left join
+    ).toDF("doc_id", "text")
+    val got = Dedup.segmentDupStats(docs, "doc_id", "text", segLen = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == ((3L, 2L, 666666L))) // floor(1e6 * 2/3)
+    assert(got(2L) == ((2L, 1L, 500000L)))
+    assert(got(3L) == ((1L, 0L, 0L)))
+    assert(got(4L) == ((0L, 0L, 0L)))
+  }
+
+  test("segmentDupStats: segments are non-overlapping (tail shorter than segLen kept)") {
+    import spark.implicits._
+    // 7 tokens at segLen=3 → ceil(7/3) = 3 segments: 2 full + 1 short tail;
+    // overlapping grams would have produced 5
+    val docs = Seq((1L, "t1 t2 t3 t4 t5 t6 t7")).toDF("doc_id", "text")
+    val got = Dedup.segmentDupStats(docs, "doc_id", "text", segLen = 3).head()
+    assert(got.getLong(1) == 3L && got.getLong(2) == 0L)
+  }
+
   test("dupSpanStats: materialization strategy never changes results") {
     def run(g: Dedup.GramMaterialization) =
       Dedup.dupSpanStats(docs, "doc_id", "text", gramN = 3, grams = g)

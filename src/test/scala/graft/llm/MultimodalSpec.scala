@@ -259,4 +259,61 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(out(0).content.length <= 5000)
     assert(out(1).content.length <= 10)
   }
+
+  test("videoFrameSpans: walks frame-to-frame via declared BMP sizes") {
+    val dims = Seq((3, 2), (5, 1), (1, 4))
+    val vid = encodeVideo(dims)
+    val spans = videoFrameSpans(vid).get
+    assert(spans.size == 3)
+    assert(spans.head._1 == 8) // first frame right after magic+count
+    // each span is a decodable BMP with the declared dims
+    dims.zip(spans).foreach { case ((w, h), (off, len)) =>
+      val frame = java.util.Arrays.copyOfRange(vid, off, off + len)
+      assert(decodeBmp(frame) == Some((w, h)))
+    }
+    // spans tile the payload exactly
+    assert(spans.map(_._2).sum + 8 == vid.length)
+  }
+
+  test("videoFrameSpans: malformed containers return None, never throw") {
+    val vid = encodeVideo(Seq((2, 2)))
+    assert(videoFrameSpans(null).isEmpty)
+    assert(videoFrameSpans(Array.emptyByteArray).isEmpty)
+    assert(videoFrameSpans(vid.take(7)).isEmpty) // truncated header
+    assert(videoFrameSpans("NOPE".getBytes ++ vid.drop(4)).isEmpty) // bad magic
+    assert(videoFrameSpans(vid ++ Array[Byte](0)).isEmpty) // trailing garbage
+    val truncated = vid.dropRight(1)
+    assert(videoFrameSpans(truncated).isEmpty) // last frame overruns
+  }
+
+  test("videoFrameSpans: hostile frame count must not allocate before validating") {
+    // header declares nf near Int.MaxValue over an 8-byte payload: the
+    // count is rejected against the 54-bytes-per-frame floor BEFORE the
+    // span buffer is sized from it (a multi-GB allocation otherwise)
+    val hostile = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hostile.put(VideoMagic).putInt(Int.MaxValue - 1)
+    assert(videoFrameSpans(hostile.array()).isEmpty)
+    // and a count that is plausible but one frame more than present
+    val vid = encodeVideo(Seq((2, 2), (3, 3)))
+    val overCount = vid.clone()
+    java.nio.ByteBuffer.wrap(overCount).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, 3)
+    assert(videoFrameSpans(overCount).isEmpty)
+  }
+
+  test("sampleVideoFrames: evenly spaced, Long index arithmetic at high frame counts") {
+    val vid = encodeVideo(Seq((2, 1), (2, 2), (2, 3), (2, 4), (2, 5)))
+    val picked = sampleVideoFrames(vid, 3)
+    assert(picked.map(_._1) == Seq(0, 1, 3)) // trunc(j*5/3)
+    assert(picked.forall(_._2 == 5))
+    assert(picked.map(f => decodeBmp(f._3).get._2) == Seq(1, 2, 4))
+    assert(sampleVideoFrames(vid, 0).isEmpty)
+    assert(sampleVideoFrames(Array[Byte](1, 2), 3).isEmpty)
+    // 50k minimal frames: j*nf overflows Int (~2.5e9) if the sample
+    // index is computed in Int space — the Long path must stay in bounds
+    val many = encodeVideo(Seq.fill(50000)((1, 1)))
+    val all = sampleVideoFrames(many, 50000)
+    assert(all.size == 50000 && all.last._1 == 49999)
+  }
 }
