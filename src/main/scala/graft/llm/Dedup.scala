@@ -232,14 +232,27 @@ object Dedup {
       val nbrMin = sym
         .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nbr")), "dst")
         .groupBy(col("src").as("doc_id")).agg(min(col("nbr")).as("nbr_min"))
-      // carry the previous label through the checkpoint so convergence
-      // is a filter over the materialized frame, not another join
+      // convergence detection rides the SAME action that materializes
+      // the round's checkpoint: an observed metric (CollectMetrics in
+      // the plan) counts changed labels while the eager localCheckpoint
+      // computes the frame — one Spark job per round, not a checkpoint
+      // job plus a count job
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
       val next = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("cluster_id").as("prev"),
+        .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("cluster_id"),
+          (col("cluster_id") =!=
+            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))))
+            .as("label_changed"))
+        .observe(obs, count_if(col("label_changed")).as("changed"))
         .localCheckpoint()
-      changed = next.filter(col("cluster_id") =!= col("prev")).count()
+      // sum over an empty frame is 0 for count_if; get blocks until the
+      // checkpoint action above has published the metric
+      changed = obs.get.get("changed") match {
+        case Some(n: Number) => n.longValue()
+        case _ => 0L
+      }
       labels = next.select(col("doc_id"), col("cluster_id"))
       iter += 1
     }

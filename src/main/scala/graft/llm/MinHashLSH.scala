@@ -165,10 +165,18 @@ object MinHashLSH {
     * ≥1 LSH bucket, verified with exact Jaccard — the record-linkage
     * twin of [[nearDupPairs]] (which dedups within one corpus). The
     * join is banded left-bands ⋈ right-bands on the bucket key, so
-    * neither corpus is ever crossed against the other wholesale. */
+    * neither corpus is ever crossed against the other wholesale.
+    *
+    * `maxBucketSize > 0` drops each side's rows of overfull buckets
+    * BEFORE the bucket join — the same 100 TB skew guard as
+    * [[nearDupPairs]]: a boilerplate bucket present in BOTH corpora
+    * (m left rows × n right rows) degenerates the equi-join toward
+    * quadratic, and those pairs carry no linkage signal worth m·n
+    * work. Capping per side bounds any bucket's contribution to
+    * cap². */
   def crossCorpusPairs(left: DataFrame, right: DataFrame,
       idCol: String, textCol: String, shingleN: Int = 3, numHashes: Int = 8,
-      minJaccardFp: Long = 0L): DataFrame = {
+      minJaccardFp: Long = 0L, maxBucketSize: Int = 0): DataFrame = {
     LlmFunctions.registerInterCount(left.sparkSession)
     def prep(df: DataFrame, side: String): (DataFrame, DataFrame) = {
       val sets = persistTracked(shingleSets(df, idCol, textCol, shingleN))
@@ -177,7 +185,7 @@ object MinHashLSH {
         posexplode(expr(
           s"transform(sequence(0, ${numHashes - 1}), b -> cast(element_at(mh, b + 1) as string))"))
           .as(Seq("band_id", "band_key")))
-      (sets, bands)
+      (sets, capBuckets(bands, Seq("band_id", "band_key"), maxBucketSize))
     }
     val (lsets, lbands) = prep(left, "left")
     val (rsets, rbands) = prep(right, "right")

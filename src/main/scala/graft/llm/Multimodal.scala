@@ -3,7 +3,8 @@ package graft.llm
 import java.nio.{ByteBuffer, ByteOrder}
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Multimodal (image/audio/video) column handling for a training-data
   * pipeline: payloads travel as opaque `binary` columns with typed
@@ -413,6 +414,11 @@ object Multimodal {
     * oracle certifies the walk arithmetic from first principles. */
   val VideoMagic: Array[Byte] = Array('G'.toByte, 'V'.toByte, 'I'.toByte, 'D'.toByte)
 
+  /** Smallest possible BMP frame (the 54-byte header alone) — the one
+    * constant both the hostile-frame-count bound and the per-frame
+    * size check derive from, so they cannot drift apart. */
+  val MinBmpSize = 54
+
   /** Encode a GVID container holding one generated BMP per (w, h). */
   def encodeVideo(frameDims: Seq[(Int, Int)]): Array[Byte] = {
     val frames = frameDims.map { case (w, h) => encodeBmp(w, h) }
@@ -439,10 +445,10 @@ object Multimodal {
     val buf = ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN)
     val nf = buf.getInt(4)
     // reject an untrusted frame count the payload cannot possibly hold
-    // (each frame is >= 54 bytes) BEFORE sizing the buffer from it — a
-    // hostile header declaring nf near Int.MaxValue must return None,
-    // not allocate gigabytes
-    if (nf <= 0 || nf > (content.length - 8) / 54) return None
+    // (each frame is >= MinBmpSize bytes) BEFORE sizing the buffer from
+    // it — a hostile header declaring nf near Int.MaxValue must return
+    // None, not allocate gigabytes
+    if (nf <= 0 || nf > (content.length - 8) / MinBmpSize) return None
     val spans = new scala.collection.mutable.ArrayBuffer[(Int, Int)](nf)
     var off = 8
     var f = 0
@@ -450,7 +456,7 @@ object Multimodal {
       if (off + 6 > content.length) return None
       if (content(off) != 'B'.toByte || content(off + 1) != 'M'.toByte) return None
       val len = buf.getInt(off + 2)
-      if (len < 54 || off.toLong + len > content.length) return None
+      if (len < MinBmpSize || off.toLong + len > content.length) return None
       spans += ((off, len))
       off += len
       f += 1
@@ -482,6 +488,55 @@ object Multimodal {
           (f, nf, java.util.Arrays.copyOfRange(content, off, off + len))
         }
     }
+
+  /** Frame-level duplicate statistics across multi-frame containers —
+    * the multimodal twin of segment-level text dedup
+    * ([[Dedup.segmentDupStats]]): walk every frame of every container
+    * ([[videoFrameSpans]]), hash each frame's DECODED content (dims +
+    * exact size + pixel checksum, folded through md5), and count, per
+    * container, how many of its frames also appear in at least one
+    * OTHER container. Surfaces re-encoded/mirrored video content that
+    * container-level fingerprints miss.
+    *
+    * 100 TB shape: the per-frame stream is skinny (id + 32-byte hash
+    * — frame bytes never leave the task that decoded them), the
+    * occurrence count is a counting aggregation keyed on the hash, and
+    * the join back is hash-keyed — q61's no-pair-expansion shape, so a
+    * frame duplicated a million times costs a counter, not 10^12
+    * pairs. Malformed containers degrade to zero-frame rows (the row
+    * survives, the standard contract). */
+  def videoFrameDupStats(payloads: Dataset[MediaPayload]): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    val frames = payloads.flatMap { p =>
+      videoFrameSpans(p.content).toSeq.flatten.map { case (off, len) =>
+        val bytes = java.util.Arrays.copyOfRange(p.content, off, off + len)
+        val (w, h) = decodeBmp(bytes).getOrElse((0, 0))
+        val pix = bmpBandSums(bytes, 1).map(_(0)).getOrElse(-1L)
+        (p.id, w, h, len.toLong, pix)
+      }
+    }.toDF("id", "w", "h", "n_bytes", "pix_sum")
+    // skinny (id, hash) projection persisted: BOTH the occurrence count
+    // and the join back consume it, and recomputing would re-decode
+    // every frame of every payload — on video corpora the payload scan
+    // is the dominant cost, so it must happen once (tracked cache,
+    // bounded, released via Caches.unpersistAll between corpora)
+    val keyed = Caches.persistTracked(frames.select(col("id"),
+      md5(concat_ws(":", col("w"), col("h"), col("n_bytes"), col("pix_sum"))
+        .cast("binary")).as("fhash")))
+    val occ = keyed.groupBy(col("fhash"))
+      .agg(countDistinct(col("id")).as("n_containers"))
+    val perDoc = keyed.join(occ, "fhash")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("n_containers") >= 2, 1L).otherwise(0L)).as("n_dup_frames"),
+        countDistinct(col("fhash")).as("n_distinct_frames"))
+    payloads.select(col("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_frames"), lit(0L)).as("n_frames"),
+        coalesce(col("n_dup_frames"), lit(0L)).as("n_dup_frames"),
+        coalesce(col("n_distinct_frames"), lit(0L)).as("n_distinct_frames"))
+  }
 
   /** REAL video-shaped payloads synthesized from the documents table:
     * every doc_id carries a GVID container of `(doc_id % 5) + 2`

@@ -75,4 +75,26 @@ object Pii {
       .withColumn("n_phones", phoneCount(t).cast("bigint"))
       .withColumn("clean_text", redact(t))
   }
+
+  /** [[scrub]]'s counts-as-redaction twin: each pattern is counted on
+    * the text AS THE REDACTION SEQUENCE SEES IT (emails on the
+    * original, IPv4s after email redaction, phones after both), so
+    * every count equals the number of replacements actually performed
+    * at that stage — and therefore the number of that stage's tokens
+    * in `clean_text` (tokens contain no digits or `@`, so no later
+    * pattern matches inside an earlier replacement). On overlapping
+    * input (`user@1.2.3.4.com`) this reports n_ips=0 where [[scrub]]
+    * reports 1: use scrub for "what PII does this text contain",
+    * scrubSequential when downstream must reconcile counts against
+    * clean_text. Same 100 TB shape: codegen'd regex only, zero
+    * shuffle, null rows survive. */
+  def scrubSequential(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(graft.Names.quoted(textCol))
+    val afterEmail = regexp_replace(t, EmailPattern, EmailToken)
+    val afterIp = regexp_replace(afterEmail, Ipv4Pattern, Ipv4Token)
+    df.withColumn("n_emails", regexp_count(t, lit(EmailPattern)).cast("bigint"))
+      .withColumn("n_ips", regexp_count(afterEmail, lit(Ipv4Pattern)).cast("bigint"))
+      .withColumn("n_phones", regexp_count(afterIp, lit(PhonePattern)).cast("bigint"))
+      .withColumn("clean_text", regexp_replace(afterIp, PhonePattern, PhoneToken))
+  }
 }

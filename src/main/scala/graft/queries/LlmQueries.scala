@@ -173,6 +173,33 @@ object LlmQueries {
         md5(col("clean_text").cast("binary")).as("clean_md5"))
   }
 
+  // ---- q64: sequential PII scrub (counts-as-redaction semantics) ----
+  // scrubSequential counts each pattern on the text AS THE REDACTION
+  // SEQUENCE SEES IT, so counts reconcile exactly against clean_text
+  // tokens — certified here by emitting BOTH the counts and the token
+  // occurrences and hash-comparing all of them. The injected email's
+  // domain CONTAINS a dotted quad (user{id}@10.{…}.3.4.com), the exact
+  // overlap where q59's detection counts and these redaction counts
+  // diverge — so the oracle pins the divergence, not just the happy
+  // path.
+  def q64PiiSequential(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Pii
+    val injected = graft.Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@10."),
+        (col("doc_id") % 200).cast("string"), lit(".3.4.com"),
+        lit(" from 10."), (col("doc_id") % 200).cast("string"),
+        lit(".0."), (col("doc_id") % 250).cast("string"),
+        lit(" tel +47 555 "), (col("doc_id") % 90000 + 10000).cast("string")
+      ).as("text"))
+    Pii.scrubSequential(injected, "text")
+      .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+        regexp_count(col("clean_text"), lit(Pii.EmailToken)).cast("bigint").as("tok_emails"),
+        regexp_count(col("clean_text"), lit(Pii.Ipv4Token)).cast("bigint").as("tok_ips"),
+        regexp_count(col("clean_text"), lit(Pii.PhoneToken)).cast("bigint").as("tok_phones"),
+        md5(col("clean_text").cast("binary")).as("clean_md5"))
+  }
+
   // ---- q60: REAL multi-frame container walk + per-frame decode ----
   // Payloads are GVID containers (magic + frame count + concatenated
   // spec-compliant BMPs); sampleVideoFrames hops frame-to-frame via
@@ -198,6 +225,18 @@ object LlmQueries {
       }
       .toDF("id", "n_frames", "frame_idx", "width", "height", "n_bytes", "pix_sum")
   }
+
+  // ---- q63: frame-level video near-dup (multimodal × dedup) ----
+  // The q60 container walk composed with the dedup family: every frame
+  // of every GVID container is decoded, content-hashed (dims + exact
+  // size + pixel checksum through md5), and counted per container —
+  // "how many of my frames also appear in another video". Counting agg
+  // keyed on frame hashes (q61's shape, no pair expansion). The oracle
+  // recomputes every frame hash from the deterministic (doc_id, frame)
+  // pixel rule — a wrong decode or hash input on either side breaks it.
+  def q63VideoFrameDups(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Multimodal.videoFrameDupStats(
+      graft.llm.Multimodal.documentsAsVideo(s, dir))
 
   // ---- q61: segment-level (paragraph) duplication stats ----
   // Non-overlapping 12-token segments; "duplicated" = the segment
@@ -513,6 +552,8 @@ object LlmQueries {
     "q59_pii_redact"        -> q59PiiRedact _,
     "q60_video_frames"      -> q60VideoFrames _,
     "q61_segment_dedup"     -> q61SegmentDedup _,
+    "q63_video_frame_dups"  -> q63VideoFrameDups _,
+    "q64_pii_sequential"    -> q64PiiSequential _,
   )
 
   /** DuckDB token expression mirroring TextAnalysis.tokens. */
@@ -964,6 +1005,40 @@ object LlmQueries {
          |  CAST(length(clean) AS BIGINT) AS clean_len,
          |  md5(clean) AS clean_md5
          |FROM red""".stripMargin,
+    // sequential PII scrub: each pattern counted on the text as the
+    // redaction sequence sees it — emails on the original, IPv4s after
+    // email redaction, phones after both — so counts == clean_text
+    // token occurrences even on the overlapping email-over-quad the
+    // injection plants; both are emitted and hash-compared
+    "q64_pii_sequential" ->
+      s"""WITH inj AS (SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@10.'
+         |      || CAST(doc_id % 200 AS VARCHAR) || '.3.4.com'
+         |      || ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+         |      || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+         |      || ' tel +47 555 ' || CAST(doc_id % 90000 + 10000 AS VARCHAR) AS t
+         |  FROM documents),
+         |st AS (SELECT doc_id, t,
+         |    regexp_replace(t, '${graft.llm.Pii.EmailPattern}',
+         |      '${graft.llm.Pii.EmailToken}', 'g') AS ae
+         |  FROM inj),
+         |st2 AS (SELECT doc_id, t, ae,
+         |    regexp_replace(ae, '${graft.llm.Pii.Ipv4Pattern}',
+         |      '${graft.llm.Pii.Ipv4Token}', 'g') AS ai
+         |  FROM st),
+         |st3 AS (SELECT doc_id, t, ae, ai,
+         |    regexp_replace(ai, '${graft.llm.Pii.PhonePattern}',
+         |      '${graft.llm.Pii.PhoneToken}', 'g') AS clean
+         |  FROM st2)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '${graft.llm.Pii.EmailPattern}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(ae, '${graft.llm.Pii.Ipv4Pattern}')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(ai, '${graft.llm.Pii.PhonePattern}')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(clean, '${graft.llm.Pii.EmailToken}')) AS BIGINT) AS tok_emails,
+         |  CAST(len(regexp_extract_all(clean, '${graft.llm.Pii.Ipv4Token}')) AS BIGINT) AS tok_ips,
+         |  CAST(len(regexp_extract_all(clean, '${graft.llm.Pii.PhoneToken}')) AS BIGINT) AS tok_phones,
+         |  md5(clean) AS clean_md5
+         |FROM st3""".stripMargin,
     // video-frame sampling over GVID containers: frame dims are pure
     // functions of (doc_id, frame), so sizes (54 + padded stride * h)
     // AND decoded pixel sums ((dataIdx % 251) over the non-padding
@@ -1007,6 +1082,36 @@ object LlmQueries {
          |  CAST(CASE WHEN coalesce(n_segs, 0) = 0 THEN 0
          |    ELSE floor(1000000.0 * CAST(n_dup_segs AS DOUBLE) / CAST(n_segs AS DOUBLE))
          |    END AS BIGINT) AS seg_dup_fp
+         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+    // frame-level video dedup: every frame hash recomputed from the
+    // deterministic (doc_id, frame) dims rule + the BMP spec (size =
+    // 54 + padded stride * h; pixel byte = dataIdx % 251), folded
+    // through the same concat_ws/md5 the Spark side applies to its
+    // DECODED frames — then the q61-shaped occurrence counting
+    "q63_video_frame_dups" ->
+      s"""WITH v AS (SELECT doc_id, (doc_id % 5) + 2 AS nf FROM documents),
+         |fr AS (SELECT doc_id, j.v AS f,
+         |    ((doc_id + 3*j.v) % 24) + 1 AS w,
+         |    ((doc_id*7 + 5*j.v) % 20) + 1 AS h
+         |  FROM v, unnest(range(0, nf)) AS j(v)),
+         |fr2 AS (SELECT *, ((w*3 + 3) // 4) * 4 AS stride FROM fr),
+         |dims AS (SELECT DISTINCT w, h, stride FROM fr2),
+         |pix AS (SELECT w, h, CAST(sum((r.v * stride + j.v) % 251) AS BIGINT) AS s
+         |  FROM dims, unnest(range(0, h)) AS r(v), unnest(range(0, w*3)) AS j(v)
+         |  GROUP BY w, h),
+         |keyed AS (SELECT doc_id,
+         |    md5(concat_ws(':', fr2.w, fr2.h, 54 + stride * fr2.h, s)) AS fhash
+         |  FROM fr2 JOIN pix USING (w, h)),
+         |occ AS (SELECT fhash, count(DISTINCT doc_id) AS nc FROM keyed GROUP BY fhash),
+         |pd AS (SELECT doc_id, count(*) AS n_frames,
+         |    sum(CASE WHEN nc >= 2 THEN 1 ELSE 0 END) AS n_dup,
+         |    count(DISTINCT fhash) AS n_dist
+         |  FROM keyed JOIN occ USING (fhash)
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id AS id,
+         |  CAST(coalesce(n_frames, 0) AS BIGINT) AS n_frames,
+         |  CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_frames,
+         |  CAST(coalesce(n_dist, 0) AS BIGINT) AS n_distinct_frames
          |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
   )
 }

@@ -122,6 +122,28 @@ object SimilarityQueries {
       shingleN = ShingleN, numHashes = NumHashes, rowsPerBand = 1,
       minJaccardFp = 0L, maxBucketSize = CapBucketSize)
 
+  // ---- q62: bucket-capped cross-corpus linkage (q49's twin for the
+  // record-linkage path) ----
+  // Same pipeline as q48 with maxBucketSize enforced per side: rows of
+  // overfull LSH buckets are dropped BEFORE the left⋈right bucket join,
+  // so a boilerplate bucket present in both corpora cannot degenerate
+  // the join toward m·n. The oracle replays the per-side windowed
+  // bucket-count filter, certifying the guard's exact semantics. Cap 3
+  // (not q49's 4): the parity split halves bucket sizes, and at sf0.01
+  // the largest per-side bucket is exactly 4 — 3 makes the cap
+  // genuinely drop buckets so the oracle distinguishes capped from
+  // uncapped output.
+  private val CrossCapBucketSize = 3
+
+  def q62CrossCorpusCapped(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.documents(s, dir)
+    MinHashLSH.crossCorpusPairs(
+      d.filter(pmod(col("doc_id"), lit(2)) === 0),
+      d.filter(pmod(col("doc_id"), lit(2)) === 1),
+      "doc_id", "text", shingleN = ShingleN, numHashes = NumHashes,
+      maxBucketSize = CrossCapBucketSize)
+  }
+
   private val MatrixMinJaccardFp = 300000L
 
   // ---- q51: near-dup source-attribution matrix ----
@@ -185,6 +207,7 @@ object SimilarityQueries {
     "q49_minhash_capped" -> q49MinhashCapped _,
     "q51_source_matrix" -> q51SourceMatrix _,
     "q58_embed_dedup_capped" -> q58EmbedDedupCapped _,
+    "q62_cross_corpus_capped" -> q62CrossCorpusCapped _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -253,6 +276,26 @@ object SimilarityQueries {
        |    ON a.band_id = b.band_id AND a.band_key = b.band_key
        |  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1)
        |${jaccardSelect("left_id", "right_id")}""".stripMargin
+
+  // per-side bucket-cap semantics replayed exactly: each corpus's
+  // bands are windowed-counted WITHIN that corpus (matching
+  // capBuckets running on the side-filtered band stream) and overfull
+  // buckets dropped before the cross join
+  private val q62Sql = {
+    def cappedSide(parity: Int): String =
+      s"""SELECT doc_id, band_id, band_key FROM (
+         |    SELECT doc_id, band_id, band_key,
+         |      count(*) OVER (PARTITION BY band_id, band_key) AS bc
+         |    FROM bands WHERE doc_id % 2 = $parity) t
+         |  WHERE bc <= $CrossCapBucketSize""".stripMargin
+    s"""WITH $minhashCtes,
+       |lb AS (${cappedSide(0)}),
+       |rb AS (${cappedSide(1)}),
+       |pairs AS (SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+       |  FROM lb a JOIN rb b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key)
+       |${jaccardSelect("left_id", "right_id")}""".stripMargin
+  }
 
   private val q51Sql =
     s"""WITH $minhashCtes,
@@ -429,6 +472,7 @@ object SimilarityQueries {
     "q49_minhash_capped" -> q49Sql,
     "q51_source_matrix" -> q51Sql,
     "q58_embed_dedup_capped" -> q58Sql,
+    "q62_cross_corpus_capped" -> q62Sql,
     "q46_embed_stats" ->
       s"""SELECT label, CAST(i - 1 AS INTEGER) AS dim, count(*) AS n,
          |  CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT))

@@ -109,6 +109,33 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
     assert(got == want)
   }
 
+  test("connected components: convergence rides the checkpoint action, no per-round count") {
+    import spark.implicits._
+    // the observed metric (CollectMetrics) must carry convergence
+    // detection inside the same action that materializes each round's
+    // checkpoint — a funcName=="count" execution would mean the old
+    // two-actions-per-round shape regressed
+    val counts = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        if (funcName == "count") counts.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, error: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val got = Dedup.connectedComponents(
+        (1L to 5L).toDF("doc_id"), Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L))
+      // the execution-listener bus is async; give posted events a beat
+      Thread.sleep(1000)
+      assert(counts.get() == 0,
+        s"expected zero count() actions during label propagation, saw ${counts.get()}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("repetition stats: duplicate 3-gram fraction on planted docs") {
     import spark.implicits._
     val d = Seq(

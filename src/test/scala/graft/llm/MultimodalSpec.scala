@@ -316,4 +316,27 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     val all = sampleVideoFrames(many, 50000)
     assert(all.size == 50000 && all.last._1 == 49999)
   }
+
+  test("videoFrameDupStats: cross-container duplicate frames counted, unique ones not") {
+    import spark.implicits._
+    // containers 1 and 2 share the (4,3) frame; container 2 repeats it
+    // internally (still one distinct container pairing); container 3 is
+    // malformed and must survive as a zero-frame row
+    val payloads = Seq(
+      MediaPayload(1L, "video/gvid", encodeVideo(Seq((4, 3), (5, 2)))),
+      MediaPayload(2L, "video/gvid", encodeVideo(Seq((4, 3), (6, 7), (4, 3)))),
+      MediaPayload(3L, "video/gvid", Array[Byte](1, 2, 3)),
+    ).toDS()
+    val out = videoFrameDupStats(payloads).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((2L, 1L, 2L))) // (4,3) duplicated cross-container, (5,2) unique
+    assert(out(2L) == ((3L, 2L, 2L))) // both (4,3) occurrences dup; (6,7) unique
+    assert(out(3L) == ((0L, 0L, 0L))) // malformed container degrades, row survives
+    // within-ONE-container repeats alone are not cross-container dups
+    val solo = Seq(MediaPayload(9L, "video/gvid",
+      encodeVideo(Seq((2, 2), (2, 2))))).toDS()
+    val soloOut = videoFrameDupStats(solo).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+    assert(soloOut == ((2L, 0L, 1L)))
+  }
 }

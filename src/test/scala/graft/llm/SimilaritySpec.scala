@@ -125,6 +125,25 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(pairs == Set((1L, 101L))) // the planted cross-corpus near-dup only
   }
 
+  test("crossCorpusPairs bucket cap drops cross-corpus boilerplate, keeps genuine links") {
+    import spark.implicits._
+    // boilerplate present in BOTH corpora: 5 left × 5 right identical
+    // docs share every bucket — the m·n join degeneracy the cap stops
+    val boiler = "standard footer boilerplate shared by every mirror site page"
+    val leftDocs = ((1L to 5L).map(i => (i, boiler)) :+
+      (6L, "the quick brown fox jumps over the lazy dog tonight")).toDF("doc_id", "text")
+    val rightDocs = ((101L to 105L).map(i => (i, boiler)) :+
+      (106L, "the quick brown fox jumps over the lazy dog today")).toDF("doc_id", "text")
+    val uncapped = MinHashLSH.crossCorpusPairs(leftDocs, rightDocs, "doc_id", "text",
+      minJaccardFp = 300000L)
+      .select(col("left_id"), col("right_id")).as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((6L, 106L)) && uncapped.size == 1 + 25) // link + 5×5 boilerplate
+    val capped = MinHashLSH.crossCorpusPairs(leftDocs, rightDocs, "doc_id", "text",
+      minJaccardFp = 300000L, maxBucketSize = 4)
+      .select(col("left_id"), col("right_id")).as[(Long, Long)].collect().toSet
+    assert(capped == Set((6L, 106L))) // boilerplate bucket gone, signal intact
+  }
+
   test("maxBucketSize drops pathological buckets from candidate generation") {
     import spark.implicits._
     // 6 identical docs share every bucket (bucket size 6); 2 other
