@@ -246,6 +246,38 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(out == Set((1L, 10L))) // r@1 is outside the 5-minute bound
   }
 
+  test("Pii.scrub is stateless: runs unchanged on a stream, equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // codegen'd projections need no watermark/state — the same scrub()
+    // call must plan on a streaming frame (a shuffle or an agg would
+    // throw UnsupportedOperationChecker here, pinning the zero-shuffle
+    // contract from the streaming side too)
+    val input = MemoryStream[(Long, String)]
+    val rows = Seq(
+      (1L, "mail a@b.no from 1.2.3.4"),
+      (2L, "call +47 555 12345 twice +47 555 67890"),
+      (3L, "no pii here"))
+    val query = graft.llm.Pii.scrub(input.toDF().toDF("id", "text"), "text")
+      .writeStream.format("memory").queryName("pii_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      val got = spark.table("pii_out").orderBy("id")
+        .select("id", "n_emails", "n_ips", "n_phones", "clean_text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4))).toSeq
+      val batch = graft.llm.Pii.scrub(rows.toDF("id", "text"), "text")
+        .orderBy("id")
+        .select("id", "n_emails", "n_ips", "n_phones", "clean_text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4))).toSeq
+      assert(got == batch)
+      assert(got(1) == ((2L, 0L, 0L, 2L, "call <PHONE> twice <PHONE>")))
+    } finally query.stop()
+  }
+
   test("parseJsonStream: Json2Spark schema drives from_json; malformed rows flagged") {
     import spark.implicits._
     val schema = graft.schema.JsonSchemaToStruct.convert(
