@@ -109,6 +109,45 @@ class WindowScaleSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("q62: the bucket cap filters BOTH band streams below the cross-corpus join") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val df = SparkEntry.queries("q62_cross_corpus_capped")(spark, Dir)
+    val plan = df.queryExecution.optimizedPlan
+    val bucketJoin = plan.collect {
+      case j: logical.Join if j.condition.exists(_.references.exists(_.name == "band_key")) => j
+    }
+    assert(bucketJoin.nonEmpty, "q62 lost its banded bucket join")
+    // each side must carry the windowed bucket count + cap filter —
+    // dropping overfull buckets BEFORE the join is the whole guard
+    Seq(bucketJoin.head.left, bucketJoin.head.right).zip(Seq("left", "right")).foreach {
+      case (side, name) =>
+        val capWindow = side.collect { case w: logical.Window => w }
+        val capFilter = side.collect {
+          case f: logical.Filter if f.condition.references.exists(_.name == "__bc") => f
+        }
+        assert(capWindow.nonEmpty, s"q62 $name side lost its bucket-count window")
+        assert(capFilter.nonEmpty, s"q62 $name side lost its cap filter")
+    }
+  }
+
+  test("q63: skinny hash stream cached once and read by both branches; spine scan pruned") {
+    Caches.unpersistAll(blocking = true)
+    val df = SparkEntry.queries("q63_video_frame_dups")(spark, Dir)
+    val planStr = df.queryExecution.executedPlan.toString
+    // the (id, fhash) projection must come from the tracked cache on
+    // BOTH the occurrence-count branch and the join branch — otherwise
+    // every frame of every payload is decoded twice
+    val cacheScans = "InMemoryTableScan".r.findAllIn(planStr).size
+    assert(cacheScans >= 2,
+      s"q63 decodes payloads more than once (found $cacheScans cache scans):\n" +
+        planStr.take(2000))
+    // the left-join spine only needs ids: the parquet scan under it must
+    // prune to doc_id alone
+    assert(planStr.contains("ReadSchema: struct<doc_id:bigint>"),
+      "q63 spine scan reads more than doc_id")
+    assert(Caches.unpersistAll(blocking = true) >= 1) // and it IS tracked
+  }
+
   test("q40 token quantiles: every window runs over aggregated rows") {
     val df = SparkEntry.queries("q40_token_quantiles")(spark, Dir)
     val nodes = allNodes(df.queryExecution.executedPlan)
