@@ -538,6 +538,49 @@ object Multimodal {
         coalesce(col("n_distinct_frames"), lit(0L)).as("n_distinct_frames"))
   }
 
+  /** Payload-level duplicate statistics across a mixed media corpus —
+    * [[videoFrameDupStats]]'s whole-payload sibling: every payload gets
+    * a content key derived from its DECODED representation (BMP: dims +
+    * size + pixel checksum; WAV: rate/channels + size + |PCM| energy),
+    * so re-containered copies of the same content collide where a raw
+    * byte hash would not; payloads the codecs reject fall back to the
+    * exact raw-bytes hash (the row survives and still participates in
+    * exact dedup). Returns (id, media_type, n_copies) with n_copies =
+    * payloads sharing the key, self included.
+    *
+    * 100 TB shape: one decode pass in mapPartitions, then a counting
+    * aggregation on 32-byte hashes and a hash-keyed join back — content
+    * never shuffles, no pair expansion, and the skinny key stream is
+    * cached so the decode pass runs once. */
+  def mediaDupStats(payloads: Dataset[MediaPayload]): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    val keyed0 = payloads.mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.map { p =>
+        val decodedKey = p.mediaType match {
+          case "image/bmp" =>
+            for { wh <- decodeBmp(p.content); sums <- bmpBandSums(p.content, 1) }
+              yield s"image/bmp:${wh._1}:${wh._2}:${p.content.length}:${sums(0)}"
+          case "audio/wav" =>
+            for { info <- decodeWav(p.content); e <- wavBandEnergies(p.content, 1) }
+              yield s"audio/wav:${info.sampleRate}:${info.nChannels}:${p.content.length}:${e(0)}"
+          case _ => None
+        }
+        val key = decodedKey.getOrElse {
+          md.reset()
+          "raw:" + md.digest(p.content).map(b => f"${b & 0xff}%02x").mkString
+        }
+        (p.id, p.mediaType, key)
+      }
+    }.toDF("id", "media_type", "ckey")
+    val keyed = Caches.persistTracked(keyed0.select(col("id"), col("media_type"),
+      md5(col("ckey").cast("binary")).as("fhash")))
+    val occ = keyed.groupBy(col("fhash")).agg(count(lit(1)).as("n_copies"))
+    keyed.join(occ, "fhash")
+      .select(col("id"), col("media_type"), col("n_copies"))
+  }
+
   /** REAL video-shaped payloads synthesized from the documents table:
     * every doc_id carries a GVID container of `(doc_id % 5) + 2`
     * spec-compliant BMP frames whose dimensions are pure functions of

@@ -238,6 +238,17 @@ object LlmQueries {
     graft.llm.Multimodal.videoFrameDupStats(
       graft.llm.Multimodal.documentsAsVideo(s, dir))
 
+  // ---- q65: whole-payload media dedup over the mixed BMP/WAV corpus ----
+  // q63's sibling at payload granularity: content keys from DECODED
+  // representations (BMP pixel checksum, WAV |PCM| energy), counting
+  // agg on the key hash. The generation rules make real duplicates:
+  // even ids repeat (w, h) every lcm-window, odd ids repeat
+  // (rate, ch, nf) at id vs id+400 — the oracle recomputes every key
+  // from the BMP/WAV specs and must land on the same copy counts.
+  def q65MediaDups(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Multimodal.mediaDupStats(
+      graft.llm.Multimodal.documentsAsRealMedia(s, dir))
+
   // ---- q61: segment-level (paragraph) duplication stats ----
   // Non-overlapping 12-token segments; "duplicated" = the segment
   // occurs >= 2 times corpus-wide (within-doc repeats count —
@@ -554,6 +565,7 @@ object LlmQueries {
     "q61_segment_dedup"     -> q61SegmentDedup _,
     "q63_video_frame_dups"  -> q63VideoFrameDups _,
     "q64_pii_sequential"    -> q64PiiSequential _,
+    "q65_media_dups"        -> q65MediaDups _,
   )
 
   /** DuckDB token expression mirroring TextAnalysis.tokens. */
@@ -1083,6 +1095,37 @@ object LlmQueries {
          |    ELSE floor(1000000.0 * CAST(n_dup_segs AS DOUBLE) / CAST(n_segs AS DOUBLE))
          |    END AS BIGINT) AS seg_dup_fp
          |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+    // whole-payload media dedup: every content key recomputed from the
+    // generation rules + codec specs — BMP keys via the padded-stride
+    // pixel checksum, WAV keys via the |(i*257) % 65536 - 32768| PCM
+    // energy — then the same count-per-key the Spark side performs on
+    // its DECODED payloads
+    "q65_media_dups" ->
+      s"""WITH bmp AS (SELECT doc_id, (doc_id % 64) + 1 AS w,
+         |    ((doc_id * 7) % 48) + 1 AS h
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |bmp2 AS (SELECT doc_id, w, h, ((w*3 + 3) // 4) * 4 AS stride FROM bmp),
+         |bpix AS (SELECT w, h, CAST(sum((r.v * stride + j.v) % 251) AS BIGINT) AS pix
+         |  FROM (SELECT DISTINCT w, h, stride FROM bmp2) d,
+         |       unnest(range(0, h)) AS r(v), unnest(range(0, w*3)) AS j(v)
+         |  GROUP BY w, h),
+         |bkey AS (SELECT doc_id, 'image/bmp' AS media_type,
+         |    'image/bmp:' || w || ':' || h || ':' || (54 + stride*h) || ':' || pix AS ckey
+         |  FROM bmp2 JOIN bpix USING (w, h)),
+         |wav AS (SELECT doc_id, 8000 + (doc_id % 8) * 500 AS rate,
+         |    1 + ((doc_id // 2) % 2) AS ch, (doc_id % 200) + 1 AS nf
+         |  FROM documents WHERE doc_id % 2 = 1),
+         |wen AS (SELECT ch, nf,
+         |    CAST(sum(abs((i.v * 257) % 65536 - 32768)) AS BIGINT) AS energy
+         |  FROM (SELECT DISTINCT ch, nf FROM wav) d, unnest(range(0, nf * ch)) AS i(v)
+         |  GROUP BY ch, nf),
+         |wkey AS (SELECT doc_id, 'audio/wav' AS media_type,
+         |    'audio/wav:' || rate || ':' || ch || ':' || (44 + nf*ch*2) || ':' || energy AS ckey
+         |  FROM wav JOIN wen USING (ch, nf)),
+         |keys AS (SELECT * FROM bkey UNION ALL SELECT * FROM wkey),
+         |occ AS (SELECT ckey, count(*) AS n FROM keys GROUP BY ckey)
+         |SELECT k.doc_id AS id, k.media_type, CAST(occ.n AS BIGINT) AS n_copies
+         |FROM keys k JOIN occ USING (ckey)""".stripMargin,
     // frame-level video dedup: every frame hash recomputed from the
     // deterministic (doc_id, frame) dims rule + the BMP spec (size =
     // 54 + padded stride * h; pixel byte = dataIdx % 251), folded

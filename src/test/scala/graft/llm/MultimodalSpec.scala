@@ -339,4 +339,22 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
     assert(soloOut == ((2L, 0L, 1L)))
   }
+
+  test("mediaDupStats: decoded-content dups counted per type; raw fallback for undecodable") {
+    import spark.implicits._
+    val payloads = Seq(
+      MediaPayload(1L, "audio/wav", encodeWav(8000, 1, 10)),
+      MediaPayload(2L, "audio/wav", encodeWav(8000, 1, 10)), // decoded dup of 1
+      MediaPayload(3L, "audio/wav", encodeWav(8000, 2, 10)), // channels differ → unique
+      MediaPayload(4L, "image/bmp", encodeBmp(3, 2)),
+      MediaPayload(5L, "image/bmp", encodeBmp(3, 2)),        // decoded dup of 4
+      MediaPayload(6L, "image/bmp", Array[Byte](9, 9, 9)),   // malformed → raw-bytes hash
+      MediaPayload(7L, "image/bmp", Array[Byte](9, 9, 9)),   // exact raw dup of 6
+      MediaPayload(8L, "application/x", "abc".getBytes("UTF-8")), // no codec → raw, unique
+    ).toDS()
+    val out = mediaDupStats(payloads).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 2L, 5L -> 2L,
+      6L -> 2L, 7L -> 2L, 8L -> 1L))
+  }
 }
