@@ -179,6 +179,120 @@ object IvfIndex {
     Similarity.topKPerQuery(scored, k)
   }
 
+  /** Quantized-embedding projection: `e_i = floor(x_i · 10⁶)` —
+    * the integer domain the deterministic trainer works in. */
+  private def quantized(vectors: DataFrame): DataFrame =
+    vectors.select(col("vec_id"), expr(
+      "transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0) as bigint))").as("e"))
+
+  /** Scan-local argmin-squared-distance cell assignment over a
+    * broadcast integer codebook; ties break toward the smaller cell
+    * id. Pure integer arithmetic → identical on any partitioning. */
+  private def cellOfUdf(bc: org.apache.spark.broadcast.Broadcast[Array[Array[Long]]]) =
+    udf { (e: Seq[Long]) =>
+      val v = e.toArray
+      var best = -1
+      var bestD = Long.MaxValue
+      var i = 0
+      while (i < bc.value.length) {
+        val c = bc.value(i)
+        var d = 0L
+        var j = 0
+        while (j < c.length) { val x = v(j) - c(j); d += x * x; j += 1 }
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      best
+    }
+
+  /** Deterministic TRAINED quantizer: Lloyd's k-means run entirely in
+    * fixed-point integers, which removes the one thing that kept the
+    * trained path un-oracle-able — float summation order. Embeddings
+    * are quantized to micro-units (`floor(x·10⁶)`), assignment is
+    * integer squared distance (ties → smaller cell), and the centroid
+    * update is the floor of the per-dimension mean (sums accumulate in
+    * DECIMAL(38,0) so 100 TB row counts cannot wrap; empty cells keep
+    * their previous centroid). Every step is an integer function of
+    * the input → centroids are partition-invariant and replayable in
+    * SQL, which is exactly what `q66_ivf_trained` does with unrolled
+    * iteration CTEs.
+    *
+    * Init = first `nLists` vectors by id (rank, not `vec_id < n`).
+    * Driver holds only the nLists×dim integer codebook between rounds
+    * (the classic distributed-k-means shape); each round is one
+    * distributed assignment + one (cell, dim) aggregation.
+    *
+    * Relative to [[fit]] (MLlib, float, seeded): same Lloyd dynamics,
+    * deterministic quantization in exchange for the float precision —
+    * at 10⁻⁶ granularity the recall difference is noise, and the
+    * result is auditable cross-engine. */
+  def fitFixedPoint(vectors: DataFrame, nLists: Int, nIter: Int = 3): Array[Array[Long]] = {
+    require(nLists > 0, "nLists must be positive")
+    require(nIter >= 0, "nIter must be non-negative")
+    val spark = vectors.sparkSession
+    // every Lloyd round re-reads the quantized projection (and the
+    // search's assignment pass reads it once more, via CacheManager's
+    // canonical-plan match) — cache it instead of re-scanning and
+    // re-quantizing the corpus nIter+1 times; tracked, so
+    // Caches.unpersistAll releases it between corpora
+    val q = Caches.persistTracked(quantized(vectors))
+    var centroids: Array[Array[Long]] = q.orderBy(col("vec_id")).limit(nLists)
+      .select(col("e")).collect().map(_.getSeq[Long](0).toArray)
+    require(centroids.length == nLists,
+      s"corpus has fewer than $nLists vectors — cannot seed the codebook")
+    for (_ <- 0 until nIter) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val sums = q.select(cellOfUdf(bc)(col("e")).as("cell"),
+          posexplode(col("e")).as(Seq("dim", "v")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(col("v").cast("decimal(38,0)")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.foreach { r =>
+        val s = r.getDecimal(2).toBigInteger
+        val n = java.math.BigInteger.valueOf(r.getLong(3))
+        val Array(quot, rem) = s.divideAndRemainder(n)
+        // floor division (DuckDB's floor(sum/n) replays this exactly)
+        val fl = if (rem.signum < 0) quot.subtract(java.math.BigInteger.ONE) else quot
+        next(r.getInt(0))(r.getInt(1)) = fl.longValueExact()
+      }
+      centroids = next
+      bc.unpersist()
+    }
+    centroids
+  }
+
+  /** IVF search over the [[fitFixedPoint]] codebook — the trained-path
+    * counterpart of [[seededSearch]] with the SAME oracle-checkable
+    * guarantees: train (integer k-means) → assign corpus scan-locally
+    * → probe each query's `nProbe` nearest cells (integer sqdist, ties
+    * → smaller cell) → exact fixed-point rerank of the candidates.
+    * Shuffle carries only (cell, skinny probe) rows; embeddings join
+    * back by cell/id. */
+  def fixedPointSearch(vectors: DataFrame, queries: DataFrame, nLists: Int,
+      k: Int, nProbe: Int, nIter: Int = 3): DataFrame = {
+    LlmFunctions.registerDotFp(vectors.sparkSession)
+    val centroids = fitFixedPoint(vectors, nLists, nIter)
+    val bc = vectors.sparkSession.sparkContext.broadcast(centroids)
+    val probeCellsUdf = udf { (e: Seq[Long]) =>
+      val v = e.toArray
+      bc.value.zipWithIndex.map { case (c, i) =>
+        var d = 0L
+        var j = 0
+        while (j < c.length) { val x = v(j) - c(j); d += x * x; j += 1 }
+        (d, i)
+      }.sorted.take(nProbe).map(_._2).toSeq
+    }
+    val cells = quantized(vectors).select(col("vec_id"), cellOfUdf(bc)(col("e")).as("cell"))
+      .join(vectors.select(col("vec_id"), col("embedding").as("ce")), "vec_id")
+    val probes = quantized(queries)
+      .select(col("vec_id").as("query_id"), explode(probeCellsUdf(col("e"))).as("cell"))
+      .join(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")), "query_id")
+    val scored = probes.join(cells, "cell")
+      .select(col("query_id"), col("vec_id"), Similarity.dotFpNative("qe", "ce").as("dot_fp"))
+    Similarity.topKPerQuery(scored, k)
+  }
+
   /** Top-k per query, scored only against the query's nProbe cells.
     * Scores use the same fixed-point `dot_fp` as the exact path. */
   def search(queries: DataFrame, indexed: DataFrame, model: Model,

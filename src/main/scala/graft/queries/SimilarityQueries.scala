@@ -96,6 +96,23 @@ object SimilarityQueries {
       .select(col("query_id"), col("vec_id"), col("dot_fp"), col("rn"))
   }
 
+  private val IvfIter = 3
+
+  // ---- q66: TRAINED IVF (fixed-point k-means), oracle-checked ----
+  // The trained quantizer was the one path without an oracle ("float
+  // centroids aren't partition-reproducible"). fitFixedPoint removes
+  // the float: quantize to micro-units, integer-sqdist Lloyd rounds,
+  // floor-mean centroid updates — so the WHOLE pipeline (train →
+  // assign → probe → exact rerank) is an integer function of the
+  // input, and the oracle replays all three k-means iterations as
+  // unrolled SQL CTEs.
+  def q66IvfTrained(s: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+    graft.llm.IvfIndex.fixedPointSearch(emb,
+      emb.filter(col("vec_id") < NumQueryVecs), IvfLists, AnnK, IvfProbe, IvfIter)
+      .select(col("query_id"), col("vec_id"), col("dot_fp"), col("rn"))
+  }
+
   private val CapBucketSize = 4
 
   // ---- q48: cross-corpus near-dup linkage (record resolution) ----
@@ -208,6 +225,7 @@ object SimilarityQueries {
     "q51_source_matrix" -> q51SourceMatrix _,
     "q58_embed_dedup_capped" -> q58EmbedDedupCapped _,
     "q62_cross_corpus_capped" -> q62CrossCorpusCapped _,
+    "q66_ivf_trained"   -> q66IvfTrained _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -460,6 +478,54 @@ object SimilarityQueries {
        |SELECT query_id, vec_id, dot_fp, CAST(rn AS INTEGER) AS rn
        |FROM r WHERE rn <= $AnnK""".stripMargin
 
+  // trained IVF replayed from first principles: quantize → three
+  // unrolled Lloyd iterations (integer sqdist assignment with
+  // smaller-cell tie-break; floor-mean centroid update; empty cells
+  // keep their previous centroid via the LEFT JOIN coalesce) → final
+  // assignment → nProbe probes → exact dot_fp rerank. floor(sum/n) in
+  // DOUBLE is exact here (|sum| « 2^53 at oracle scale) and matches
+  // the Spark side's BigInteger floor division.
+  private val q66Sql = {
+    def sq(v: String, c: String): String =
+      s"list_sum(list_transform(range(1, ${Dim + 1}), i -> ($v.e[i]-$c.c[i])*($v.e[i]-$c.c[i])))"
+    def assignCte(cent: String, out: String): String =
+      s"""$out AS (SELECT vec_id, e, cell FROM (
+         |  SELECT v.vec_id, v.e, c.cell,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY ${sq("v", "c")}, c.cell) AS rn
+         |  FROM e v CROSS JOIN $cent c) t WHERE rn = 1)""".stripMargin
+    def updateCte(assign: String, prev: String, out: String): String =
+      s"""${out}x AS (SELECT cell, i.v AS dim,
+         |    CAST(floor(sum(e[i.v])::DOUBLE / count(*)) AS BIGINT) AS cv
+         |  FROM $assign, unnest(range(1, ${Dim + 1})) AS i(v) GROUP BY cell, i.v),
+         |${out}l AS (SELECT cell, list(cv ORDER BY dim) AS c FROM ${out}x GROUP BY cell),
+         |$out AS (SELECT p.cell, coalesce(l.c, p.c) AS c
+         |  FROM $prev p LEFT JOIN ${out}l l USING (cell))""".stripMargin
+    val iters = (0 until IvfIter).map { t =>
+      assignCte(s"c$t", s"a$t") + ",\n" + updateCte(s"a$t", s"c$t", s"c${t + 1}")
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS e FROM embeddings),
+       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS c
+       |  FROM (SELECT vec_id, e FROM e ORDER BY vec_id LIMIT $IvfLists) s),
+       |$iters,
+       |${assignCte(s"c$IvfIter", "af")},
+       |qp AS (SELECT query_id, cell FROM (
+       |  SELECT v.vec_id AS query_id, c.cell,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY ${sq("v", "c")}, c.cell) AS rn
+       |  FROM e v CROSS JOIN c$IvfIter c WHERE v.vec_id < $NumQueryVecs) t
+       |  WHERE rn <= $IvfProbe),
+       |scored AS (SELECT qp.query_id, af.vec_id,
+       |    ${dotS("qe.embedding", "ce.embedding")} AS dot_fp
+       |  FROM qp JOIN af USING (cell)
+       |  JOIN embeddings qe ON qp.query_id = qe.vec_id
+       |  JOIN embeddings ce ON af.vec_id = ce.vec_id),
+       |r AS (SELECT query_id, vec_id, dot_fp,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY dot_fp DESC, vec_id) AS rn
+       |  FROM scored)
+       |SELECT query_id, vec_id, dot_fp, CAST(rn AS INTEGER) AS rn
+       |FROM r WHERE rn <= $AnnK""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q21_minhash_pairs" -> q21Sql,
     "q22_simhash16"     -> q22Sql,
@@ -473,6 +539,7 @@ object SimilarityQueries {
     "q51_source_matrix" -> q51Sql,
     "q58_embed_dedup_capped" -> q58Sql,
     "q62_cross_corpus_capped" -> q62Sql,
+    "q66_ivf_trained"   -> q66Sql,
     "q46_embed_stats" ->
       s"""SELECT label, CAST(i - 1 AS INTEGER) AS dim, count(*) AS n,
          |  CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT))

@@ -137,6 +137,57 @@ class IvfSpec extends AnyFunSuite with SparkTestSession {
     assert(out == Map(0L -> 7L, 1L -> 7L))
   }
 
+  test("fitFixedPoint: partition-invariant centroids that recover planted clusters") {
+    // the property that makes the trained path oracle-able: centroids
+    // are a pure integer function of the data, so any partitioning
+    // yields identical codebooks
+    val a = IvfIndex.fitFixedPoint(clustered, nLists = 4, nIter = 3)
+    val b = IvfIndex.fitFixedPoint(clustered.repartition(7), nLists = 4, nIter = 3)
+    val c = IvfIndex.fitFixedPoint(clustered.repartition(1), nLists = 4, nIter = 3)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.map(_.toSeq).toSeq == c.map(_.toSeq).toSeq)
+    // and the learned codebook separates the 4 planted clusters: after
+    // training, each cluster's vectors share one cell (Lloyd converged
+    // to the cluster structure, not the arbitrary seed prefix)
+    val bcLike = a.map(_.clone())
+    def cellOf(v: Array[Float]): Int = {
+      val e = v.map(x => math.floor(x.toDouble * 1e6).toLong)
+      bcLike.zipWithIndex.minBy { case (cc, i) =>
+        (cc.zip(e).map { case (x, y) => val d = x - y; d * d }.sum, i)
+      }._2
+    }
+    val rows = clustered.collect().map(r =>
+      (r.getLong(0) % 4, cellOf(r.getSeq[Float](1).toArray)))
+    assert(rows.groupBy(_._1).values.forall(_.map(_._2).distinct.size == 1),
+      "a planted cluster straddles cells after training")
+  }
+
+  test("fixedPointSearch: nProbe = nLists equals brute force; recall floor at nProbe=2") {
+    // probing everything removes the approximation — exact scores and
+    // tie-breaks must match bruteForceTopK (same dot_fp rerank)
+    val queries = clustered.filter(col("vec_id") < 4)
+    val all = IvfIndex.fixedPointSearch(clustered, queries, nLists = 4, k = 5, nProbe = 4)
+      .select("query_id", "vec_id", "dot_fp", "rn").collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Similarity.bruteForceTopK(queries, clustered, 5)
+      .select("query_id", "vec_id", "dot_fp", "rn").collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(all == exact)
+    // trained quantizer on the real test embeddings: recall floor at
+    // the q66 parameters (the quality contract the oracle cannot see)
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val q8 = emb.filter(col("vec_id") < 8)
+    val ivf = IvfIndex.fixedPointSearch(emb, q8, nLists = 16, k = 5, nProbe = 4)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = Similarity.bruteForceTopK(q8, emb, 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & bf).size.toDouble / bf.size
+    assert(recall >= 0.5, f"fixed-point trained IVF recall@5 degraded to $recall%.2f")
+  }
+
   test("trained IVF recall@5 vs brute force on the test embeddings") {
     // quantitative contract for the non-oracle (trained k-means) path:
     // fixed seed, fixed data → deterministic recall; pin a floor
