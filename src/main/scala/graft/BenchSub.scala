@@ -1,0 +1,19 @@
+package graft
+object BenchSub {
+  def main(args: Array[String]): Unit = {
+    val sfDir = "/root/testdata/sf0.1"
+    val spark = Sessions.local()
+    spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.queries("q6_filtered_revenue")(spark, sfDir).count()
+    for (name <- args) {
+      val times = (1 to 6).map { _ =>
+        graft.llm.Caches.unpersistAll(blocking = true)
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"BENCHSUB $name%-28s min=${times.min}%.2f times=${times.map(t => f"$t%.2f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

@@ -20,22 +20,71 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
-  /** (doc_id, n_fps, n_shared, contamination_fp) for every training
-    * doc with at least one fingerprint shared with `eval`. */
-  def contaminated(train: DataFrame, eval: DataFrame,
-      idCol: String, textCol: String): DataFrame = {
-    Fingerprint.register(train.sparkSession)
-    def fps(df: DataFrame) = df.select(col(idCol).as("doc_id"),
+  private def fps(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
       expr(s"array_distinct(doc_fingerprints($textCol))").as("fps"))
-    val evalFps = fps(eval).select(explode(col("fps")).as("fp")).distinct()
-    fps(train)
-      .select(col("doc_id"), size(col("fps")).cast("bigint").as("n_fps"),
-        explode(col("fps")).as("fp"))
+
+  /** Shared tail: exploded train fingerprints ⋈ distinct eval
+    * fingerprints → per-doc containment. */
+  private def containmentOf(trainFps: DataFrame, evalFps: DataFrame): DataFrame =
+    trainFps
       .join(evalFps, "fp")
       .groupBy(col("doc_id"))
       .agg(max(col("n_fps")).as("n_fps"), count(lit(1)).as("n_shared"))
       .select(col("doc_id"), col("n_fps"), col("n_shared"),
         expr("cast(floor(1000000.0 * cast(n_shared as double) / cast(n_fps as double)) as bigint)")
           .as("contamination_fp"))
+
+  /** (doc_id, n_fps, n_shared, contamination_fp) for every training
+    * doc with at least one fingerprint shared with `eval`. */
+  def contaminated(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    Fingerprint.register(train.sparkSession)
+    val evalFps = fps(eval, idCol, textCol).select(explode(col("fps")).as("fp")).distinct()
+    containmentOf(
+      fps(train, idCol, textCol)
+        .select(col("doc_id"), size(col("fps")).cast("bigint").as("n_fps"),
+          explode(col("fps")).as("fp")),
+      evalFps)
+  }
+
+  /** [[contaminated]] with a broadcast Bloom-filter prefilter — the
+    * 100 TB formulation. The exact path shuffles EVERY training
+    * fingerprint into the equi-join, but at corpus scale the join's
+    * selectivity is tiny (benchmark leakage is rare), so almost all
+    * of that shuffle is wasted motion. Here the (small) eval
+    * fingerprint set is folded into a Bloom filter (distributed
+    * aggregation, one compact bitset on the driver), broadcast, and
+    * applied SCAN-SIDE: only fingerprints the filter might contain
+    * reach the exchange. The exact join then re-checks the
+    * survivors, so Bloom false positives change COST, never RESULTS
+    * — output is bit-identical to [[contaminated]] (q68 shares q45's
+    * oracle), while the shuffled volume drops by ~(1 − fpp) on clean
+    * corpora.
+    *
+    * `fpp` trades filter size for prefilter precision: 1% at 1M eval
+    * fingerprints is ~1.2 MB broadcast — irrelevant next to shuffling
+    * a 100 TB corpus's fingerprint stream. */
+  def contaminatedBloom(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0, 1), got $fpp")
+    Fingerprint.register(train.sparkSession)
+    // the eval fingerprint set feeds two consumers (the Bloom build
+    // and the confirming join) — cache the skinny distinct projection
+    val evalFps = Caches.persistTracked(
+      fps(eval, idCol, textCol).select(explode(col("fps")).as("fp")).distinct())
+    val trainFps = fps(train, idCol, textCol)
+      .select(col("doc_id"), size(col("fps")).cast("bigint").as("n_fps"),
+        explode(col("fps")).as("fp"))
+    val n = evalFps.count()
+    // an empty eval set can contaminate nothing — and Spark's
+    // bloomFilter aggregate cannot be built over zero rows
+    if (n == 0) containmentOf(trainFps, evalFps)
+    else {
+      val bloom = evalFps.stat.bloomFilter("fp", n, fpp)
+      val bc = train.sparkSession.sparkContext.broadcast(bloom)
+      val mightContain = udf((fp: Long) => bc.value.mightContainLong(fp))
+      containmentOf(trainFps.filter(mightContain(col("fp"))), evalFps)
+    }
   }
 }

@@ -293,6 +293,59 @@ object IvfIndex {
     Similarity.topKPerQuery(scored, k)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with the deterministic
+    * fixed-point quantizer ([[fitFixedPoint]]), then compare vectors
+    * ONLY within their cluster — a vector is a semantic duplicate when
+    * some LOWER-id member of its cell scores `dot_fp ≥ minDotFp`
+    * against it (keep-lowest-id representative, the same deterministic
+    * survivor rule as [[Dedup]]'s exact path). Cosine-similar
+    * paraphrases land in one cell, so the quadratic comparison is
+    * confined to n/k-sized cells instead of the corpus.
+    *
+    * Returns every input id: (vec_id, cell, n_dup_of, kept) where
+    * `n_dup_of` counts the lower-id in-cell members within threshold
+    * and `kept = n_dup_of == 0`.
+    *
+    * 100 TB shape: train touches only (cell, dim) aggregates;
+    * assignment is scan-local over the broadcast codebook; the one
+    * shuffle keys embeddings by cell; in-cell pair expansion is
+    * bounded by `maxCellSize` — cells are RANK-TRUNCATED (first
+    * `maxCellSize` members by vec_id compare; later members pass
+    * through as kept) rather than dropped, so a degenerate cell
+    * costs at most cap² comparisons and every row still reaches the
+    * output. The whole pipeline is integer arithmetic end-to-end, so
+    * `q67_semantic_dedup` replays it — Lloyd rounds included — in
+    * DuckDB. */
+  def semanticDedup(vectors: DataFrame, nLists: Int, minDotFp: Long,
+      nIter: Int = 3, maxCellSize: Int = 0): DataFrame = {
+    LlmFunctions.registerDotFp(vectors.sparkSession)
+    val centroids = fitFixedPoint(vectors, nLists, nIter)
+    val bc = vectors.sparkSession.sparkContext.broadcast(centroids)
+    val members = quantized(vectors)
+      .select(col("vec_id"), cellOfUdf(bc)(col("e")).as("cell"))
+    val compared = if (maxCellSize > 0) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cell")).orderBy(col("vec_id"))
+      members.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= maxCellSize).drop("__rn")
+    } else members
+    val withEmb = compared
+      .join(vectors.select(col("vec_id"), col("embedding")), "vec_id")
+    val dupOf = withEmb.select(col("cell"), col("vec_id").as("a_id"),
+        col("embedding").as("ae"))
+      .join(withEmb.select(col("cell"), col("vec_id").as("b_id"),
+        col("embedding").as("be")), "cell")
+      .filter(col("a_id") < col("b_id"))
+      .filter(Similarity.dotFpNative("ae", "be") >= minDotFp)
+      .groupBy(col("b_id").as("vec_id"))
+      .agg(count(lit(1)).as("n_dup_of"))
+    members.join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_dup_of"), lit(0L)).as("n_dup_of"),
+        (coalesce(col("n_dup_of"), lit(0L)) === 0L).as("kept"))
+  }
+
   /** Top-k per query, scored only against the query's nProbe cells.
     * Scores use the same fixed-point `dot_fp` as the exact path. */
   def search(queries: DataFrame, indexed: DataFrame, model: Model,

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline: tokenization,
@@ -144,4 +144,71 @@ object TextAnalysis {
          | ELSE cast(floor(1000000.0 *
          |   cast(size($gramsCol) - size(array_distinct($gramsCol)) as double)
          |   / cast(size($gramsCol) as double)) as bigint) END""".stripMargin)
+
+  // ---- Gopher/C4-style rule filter ----------------------------------
+
+  /** Rule thresholds for [[ruleFilter]] — fixed-point scales match the
+    * signal each rule reads (token counts raw; mean token length ×100;
+    * ratios ×10⁶). One bit per rule in the `reasons` mask, so a
+    * downstream audit can count WHY documents were dropped, not just
+    * how many. */
+  val RuleMinTokens = 20L          // bit 0: too short
+  val RuleMaxTokens = 1000L        // bit 1: too long
+  val RuleMinMeanTokLenFp = 300L   // bit 2: mean token length < 3 chars
+  val RuleMaxMeanTokLenFp = 1000L  // bit 2: ... or > 10 chars
+  val RuleMinStopFp = 20000L       // bit 3: stopword ratio < 2%
+  val RuleMaxDup3gramFp = 180000L  // bit 4: >18% repeated 3-grams
+  val RuleMaxDigitFp = 200000L     // bit 5: >20% digit characters
+
+  /** Per-document rule-based quality filter (the Gopher/C4 shape):
+    * evaluates every rule on every document and returns
+    * `(doc_id, n_tok, reasons, kept)` where `reasons` is a bitmask of
+    * violated rules and `kept = reasons == 0`. Unlike a boolean
+    * filter, the mask preserves the drop ACCOUNTING a curation
+    * pipeline needs (how much mass each rule removes — the first
+    * question asked of any filtered corpus).
+    *
+    * Null text normalizes to empty (flagged too-short, bit 0) — a
+    * filter must never silently pass what it could not score.
+    *
+    * 100 TB shape: the token array is projected ONCE and every rule
+    * reads it — all row-local codegen'd built-ins (split / aggregate /
+    * regexp), zero shuffle, zero UDFs; the scan's cost IS the
+    * operator's cost. Thresholds are compile-time literals, so the
+    * whole mask folds into one whole-stage-codegen'd projection. */
+  def ruleFilter(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(graft.Names.quoted(textCol)), lit(""))
+    val staged = df
+      .select(col(graft.Names.quoted(idCol)).as("doc_id"), t.as("__text"))
+      .withColumn("__toks", tokens(col("__text")))
+      .withColumn("n_tok", size(col("__toks")).cast("bigint"))
+      .withColumn("__mean_fp",
+        when(col("n_tok") === 0L, lit(0L)).otherwise(
+          floor(aggregate(col("__toks"), lit(0L), (acc, w) => acc + length(w))
+            .cast("double") * 100.0 / col("n_tok").cast("double")).cast("bigint")))
+      .withColumn("__stop_fp",
+        when(col("n_tok") === 0L, lit(0L)).otherwise(
+          floor(size(filter(col("__toks"),
+            w => array_contains(lit(DefaultStopwords.toArray), w))).cast("double")
+            * 1e6 / col("n_tok").cast("double")).cast("bigint")))
+      .withColumn("__g3", word3grams("__toks"))
+      .withColumn("__dup3_fp", dup3gramFp("__g3"))
+      .withColumn("__digit_fp",
+        when(length(col("__text")) === 0, lit(0L)).otherwise(
+          floor(length(regexp_replace(col("__text"), "[^0-9]", "")).cast("double")
+            * 1e6 / length(col("__text")).cast("double")).cast("bigint")))
+    def bit(cond: Column, b: Int): Column =
+      when(cond, lit(1L << b)).otherwise(lit(0L))
+    staged
+      .withColumn("reasons",
+        (bit(col("n_tok") < RuleMinTokens, 0) +
+          bit(col("n_tok") > RuleMaxTokens, 1) +
+          bit(col("__mean_fp") < RuleMinMeanTokLenFp ||
+            col("__mean_fp") > RuleMaxMeanTokLenFp, 2) +
+          bit(col("__stop_fp") < RuleMinStopFp, 3) +
+          bit(col("__dup3_fp") > RuleMaxDup3gramFp, 4) +
+          bit(col("__digit_fp") > RuleMaxDigitFp, 5)).cast("bigint"))
+      .withColumn("kept", col("reasons") === 0L)
+      .select(col("doc_id"), col("n_tok"), col("reasons"), col("kept"))
+  }
 }

@@ -467,6 +467,27 @@ object LlmQueries {
       "doc_id", "text")
   }
 
+  // ---- q68: decontamination behind a broadcast Bloom prefilter ----
+  // Same train/eval split and SAME ORACLE as q45: the Bloom filter of
+  // eval fingerprints prunes the train-side fingerprint stream before
+  // the exchange, and the confirming equi-join erases its false
+  // positives — so hash-identical output proves the prefilter is
+  // side-effect-free, which is the whole point of the operator.
+  def q68DecontamBloom(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.documents(s, dir)
+    graft.llm.Decontaminate.contaminatedBloom(
+      d.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+      d.filter(pmod(col("doc_id"), lit(50)) === 0),
+      "doc_id", "text")
+  }
+
+  // ---- q69: Gopher/C4-style rule filter with reasons bitmask ----
+  // One bit per violated rule (length band, mean token length,
+  // stopword floor, 3-gram repetition, digit share) — the corpus-
+  // curation primitive that reports WHY each document was dropped.
+  def q69FilterRules(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ruleFilter(graft.Tables.documents(s, dir), "doc_id", "text")
+
   // ---- q50: exact-substring duplicate-span stats ----
   // Per-doc fraction of distinct word 8-grams shared with any other
   // document — the span-level dedup signal (RefinedWeb-style) that
@@ -557,6 +578,8 @@ object LlmQueries {
     "q43_chunks"            -> q43Chunks _,
     "q44_sequence_packing"  -> q44SequencePacking _,
     "q45_decontamination"   -> q45Decontamination _,
+    "q68_decontam_bloom"    -> q68DecontamBloom _,
+    "q69_filter_rules"      -> q69FilterRules _,
     "q50_dup_spans"         -> q50DupSpans _,
     "q52_group_sample"      -> q52GroupSample _,
     "q53_oov_rate"          -> q53OovRate _,
@@ -702,6 +725,21 @@ object LlmQueries {
     s"CASE ${branches.mkString(" ")} ELSE 'und' END"
   }
 
+  // q45's containment replay, shared verbatim by q68 (whose Bloom
+  // prefilter must not change a single byte of output).
+  private val q45Sql: String =
+    s"""WITH $fpsCtes,
+       |fd AS (SELECT doc_id, list_distinct(fps) AS fps FROM f),
+       |ev AS (SELECT DISTINCT unnest(fps) AS fp FROM fd WHERE doc_id % 50 = 0),
+       |tr AS (SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps, unnest(fps) AS fp
+       |  FROM fd WHERE doc_id % 50 != 0),
+       |sh AS (SELECT tr.doc_id, max(tr.n_fps) AS n_fps, count(*) AS n_shared
+       |  FROM tr JOIN ev ON tr.fp = ev.fp GROUP BY tr.doc_id)
+       |SELECT doc_id, n_fps, CAST(n_shared AS BIGINT) AS n_shared,
+       |  CAST(floor(1000000.0 * CAST(n_shared AS DOUBLE) / CAST(n_fps AS DOUBLE)) AS BIGINT)
+       |    AS contamination_fp
+       |FROM sh""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q16_dedup_exact" ->
       """SELECT doc_id, lang, source, n_chars FROM (
@@ -741,18 +779,49 @@ object LlmQueries {
          |FROM (SELECT doc_id, text, $toksSql AS toks FROM documents) t""".stripMargin,
     "q28_fingerprints" -> q28Sql,
     "q31_simhash_pairs" -> q31Sql,
-    "q45_decontamination" ->
-      s"""WITH $fpsCtes,
-         |fd AS (SELECT doc_id, list_distinct(fps) AS fps FROM f),
-         |ev AS (SELECT DISTINCT unnest(fps) AS fp FROM fd WHERE doc_id % 50 = 0),
-         |tr AS (SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps, unnest(fps) AS fp
-         |  FROM fd WHERE doc_id % 50 != 0),
-         |sh AS (SELECT tr.doc_id, max(tr.n_fps) AS n_fps, count(*) AS n_shared
-         |  FROM tr JOIN ev ON tr.fp = ev.fp GROUP BY tr.doc_id)
-         |SELECT doc_id, n_fps, CAST(n_shared AS BIGINT) AS n_shared,
-         |  CAST(floor(1000000.0 * CAST(n_shared AS DOUBLE) / CAST(n_fps AS DOUBLE)) AS BIGINT)
-         |    AS contamination_fp
-         |FROM sh""".stripMargin,
+    "q45_decontamination" -> q45Sql,
+    // Bloom prefilter is exactness-preserving ⇒ q68 shares q45's oracle
+    "q68_decontam_bloom" -> q45Sql,
+    "q69_filter_rules" -> {
+      import graft.llm.TextAnalysis._
+      s"""WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+         |t AS (SELECT doc_id, text, $toksSql AS toks FROM d),
+         |s AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tok,
+         |  $meanTokLenFpSql AS mean_fp,
+         |  $stopFpSql AS stop_fp,
+         |  CASE WHEN len(toks) >= 3
+         |    THEN list_transform(range(1, len(toks) - 1),
+         |      i -> array_to_string(toks[i:i+2], ' '))
+         |    ELSE [] END AS g3,
+         |  CASE WHEN length(text) = 0 THEN 0
+         |    ELSE CAST(floor(1000000.0 *
+         |      CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         |      / CAST(length(text) AS DOUBLE)) AS BIGINT) END AS digit_fp
+         | FROM t),
+         |r AS (SELECT doc_id, n_tok, mean_fp, stop_fp, digit_fp,
+         |  CASE WHEN len(g3) = 0 THEN 0
+         |    ELSE CAST(floor(1000000.0 *
+         |      CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+         |      / CAST(len(g3) AS DOUBLE)) AS BIGINT) END AS dup3_fp FROM s)
+         |SELECT doc_id, n_tok,
+         |  CAST((CASE WHEN n_tok < $RuleMinTokens THEN 1 ELSE 0 END)
+         |    + (CASE WHEN n_tok > $RuleMaxTokens THEN 2 ELSE 0 END)
+         |    + (CASE WHEN mean_fp < $RuleMinMeanTokLenFp
+         |         OR mean_fp > $RuleMaxMeanTokLenFp THEN 4 ELSE 0 END)
+         |    + (CASE WHEN stop_fp < $RuleMinStopFp THEN 8 ELSE 0 END)
+         |    + (CASE WHEN dup3_fp > $RuleMaxDup3gramFp THEN 16 ELSE 0 END)
+         |    + (CASE WHEN digit_fp > $RuleMaxDigitFp THEN 32 ELSE 0 END) AS BIGINT)
+         |    AS reasons,
+         |  (CASE WHEN n_tok < $RuleMinTokens THEN 1 ELSE 0 END)
+         |    + (CASE WHEN n_tok > $RuleMaxTokens THEN 2 ELSE 0 END)
+         |    + (CASE WHEN mean_fp < $RuleMinMeanTokLenFp
+         |         OR mean_fp > $RuleMaxMeanTokLenFp THEN 4 ELSE 0 END)
+         |    + (CASE WHEN stop_fp < $RuleMinStopFp THEN 8 ELSE 0 END)
+         |    + (CASE WHEN dup3_fp > $RuleMaxDup3gramFp THEN 16 ELSE 0 END)
+         |    + (CASE WHEN digit_fp > $RuleMaxDigitFp THEN 32 ELSE 0 END) = 0 AS kept
+         |FROM r""".stripMargin
+    },
     "q43_chunks" ->
       s"""WITH t AS (SELECT doc_id, toks, len(toks) AS n FROM
          |  (SELECT doc_id, $toksSql AS toks FROM documents) x WHERE len(toks) > 0),

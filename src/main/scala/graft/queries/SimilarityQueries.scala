@@ -113,6 +113,19 @@ object SimilarityQueries {
       .select(col("query_id"), col("vec_id"), col("dot_fp"), col("rn"))
   }
 
+  private val SemDedupCellCap = 64
+  private val SemDedupMinDotFp = 350000L
+
+  // ---- q67: SemDeDup-style semantic dedup over trained clusters ----
+  // The intersection of the trained quantizer (q66) and the dedup
+  // family: cluster with fixed-point k-means, compare only within
+  // cells, keep the lowest id among semantic duplicates. Cells are
+  // rank-truncated at SemDedupCellCap (the windowed guard the oracle
+  // replays), so a degenerate cell costs cap², not m².
+  def q67SemanticDedup(s: SparkSession, dir: String): DataFrame =
+    graft.llm.IvfIndex.semanticDedup(graft.Tables.embeddings(s, dir),
+      IvfLists, SemDedupMinDotFp, IvfIter, maxCellSize = SemDedupCellCap)
+
   private val CapBucketSize = 4
 
   // ---- q48: cross-corpus near-dup linkage (record resolution) ----
@@ -226,6 +239,7 @@ object SimilarityQueries {
     "q58_embed_dedup_capped" -> q58EmbedDedupCapped _,
     "q62_cross_corpus_capped" -> q62CrossCorpusCapped _,
     "q66_ivf_trained"   -> q66IvfTrained _,
+    "q67_semantic_dedup" -> q67SemanticDedup _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -485,33 +499,42 @@ object SimilarityQueries {
   // assignment → nProbe probes → exact dot_fp rerank. floor(sum/n) in
   // DOUBLE is exact here (|sum| « 2^53 at oracle scale) and matches
   // the Spark side's BigInteger floor division.
-  private val q66Sql = {
-    def sq(v: String, c: String): String =
-      s"list_sum(list_transform(range(1, ${Dim + 1}), i -> ($v.e[i]-$c.c[i])*($v.e[i]-$c.c[i])))"
-    def assignCte(cent: String, out: String): String =
-      s"""$out AS (SELECT vec_id, e, cell FROM (
-         |  SELECT v.vec_id, v.e, c.cell,
-         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY ${sq("v", "c")}, c.cell) AS rn
-         |  FROM e v CROSS JOIN $cent c) t WHERE rn = 1)""".stripMargin
-    def updateCte(assign: String, prev: String, out: String): String =
-      s"""${out}x AS (SELECT cell, i.v AS dim,
-         |    CAST(floor(sum(e[i.v])::DOUBLE / count(*)) AS BIGINT) AS cv
-         |  FROM $assign, unnest(range(1, ${Dim + 1})) AS i(v) GROUP BY cell, i.v),
-         |${out}l AS (SELECT cell, list(cv ORDER BY dim) AS c FROM ${out}x GROUP BY cell),
-         |$out AS (SELECT p.cell, coalesce(l.c, p.c) AS c
-         |  FROM $prev p LEFT JOIN ${out}l l USING (cell))""".stripMargin
+  // shared CTE builders for the fixed-point k-means replays (q66, q67):
+  // integer sqdist assignment with smaller-cell tie-break, floor-mean
+  // centroid update, empty cells keeping their previous centroid.
+  private def kmSq(v: String, c: String): String =
+    s"list_sum(list_transform(range(1, ${Dim + 1}), i -> ($v.e[i]-$c.c[i])*($v.e[i]-$c.c[i])))"
+  private def kmAssignCte(cent: String, out: String): String =
+    s"""$out AS (SELECT vec_id, e, cell FROM (
+       |  SELECT v.vec_id, v.e, c.cell,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY ${kmSq("v", "c")}, c.cell) AS rn
+       |  FROM e v CROSS JOIN $cent c) t WHERE rn = 1)""".stripMargin
+  private def kmUpdateCte(assign: String, prev: String, out: String): String =
+    s"""${out}x AS (SELECT cell, i.v AS dim,
+       |    CAST(floor(sum(e[i.v])::DOUBLE / count(*)) AS BIGINT) AS cv
+       |  FROM $assign, unnest(range(1, ${Dim + 1})) AS i(v) GROUP BY cell, i.v),
+       |${out}l AS (SELECT cell, list(cv ORDER BY dim) AS c FROM ${out}x GROUP BY cell),
+       |$out AS (SELECT p.cell, coalesce(l.c, p.c) AS c
+       |  FROM $prev p LEFT JOIN ${out}l l USING (cell))""".stripMargin
+  /** WITH-clause prefix: quantize → seed codebook → `IvfIter` unrolled
+    * Lloyd rounds → final assignment `af(vec_id, e, cell)`. */
+  private def kmPrefixSql: String = {
     val iters = (0 until IvfIter).map { t =>
-      assignCte(s"c$t", s"a$t") + ",\n" + updateCte(s"a$t", s"c$t", s"c${t + 1}")
+      kmAssignCte(s"c$t", s"a$t") + ",\n" + kmUpdateCte(s"a$t", s"c$t", s"c${t + 1}")
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding,
+    s"""e AS (SELECT vec_id, list_transform(embedding,
        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS e FROM embeddings),
        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS c
        |  FROM (SELECT vec_id, e FROM e ORDER BY vec_id LIMIT $IvfLists) s),
        |$iters,
-       |${assignCte(s"c$IvfIter", "af")},
+       |${kmAssignCte(s"c$IvfIter", "af")}""".stripMargin
+  }
+
+  private val q66Sql = {
+    s"""WITH $kmPrefixSql,
        |qp AS (SELECT query_id, cell FROM (
        |  SELECT v.vec_id AS query_id, c.cell,
-       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY ${sq("v", "c")}, c.cell) AS rn
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY ${kmSq("v", "c")}, c.cell) AS rn
        |  FROM e v CROSS JOIN c$IvfIter c WHERE v.vec_id < $NumQueryVecs) t
        |  WHERE rn <= $IvfProbe),
        |scored AS (SELECT qp.query_id, af.vec_id,
@@ -524,6 +547,28 @@ object SimilarityQueries {
        |  FROM scored)
        |SELECT query_id, vec_id, dot_fp, CAST(rn AS INTEGER) AS rn
        |FROM r WHERE rn <= $AnnK""".stripMargin
+  }
+
+  // q67: the same k-means prefix, then in-cell pairwise dot_fp among
+  // the first SemDedupCellCap members of each cell (rank-truncation,
+  // the windowed guard), lower-id survivor rule, every id in output.
+  private val q67Sql = {
+    s"""WITH $kmPrefixSql,
+       |m AS (SELECT vec_id, cell FROM af),
+       |cmp AS (SELECT vec_id, cell FROM (
+       |  SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn FROM m) t
+       |  WHERE rn <= $SemDedupCellCap),
+       |dups AS (SELECT b.vec_id AS vec_id, count(*) AS n_dup_of
+       |  FROM cmp a JOIN cmp b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN embeddings ea ON a.vec_id = ea.vec_id
+       |  JOIN embeddings eb ON b.vec_id = eb.vec_id
+       |  WHERE ${dotS("ea.embedding", "eb.embedding")} >= $SemDedupMinDotFp
+       |  GROUP BY b.vec_id)
+       |SELECT m.vec_id, CAST(m.cell AS INTEGER) AS cell,
+       |  coalesce(d.n_dup_of, 0) AS n_dup_of,
+       |  coalesce(d.n_dup_of, 0) = 0 AS kept
+       |FROM m LEFT JOIN dups d ON m.vec_id = d.vec_id""".stripMargin
   }
 
   val oracleSql: Map[String, String] = Map(
@@ -540,6 +585,7 @@ object SimilarityQueries {
     "q58_embed_dedup_capped" -> q58Sql,
     "q62_cross_corpus_capped" -> q62Sql,
     "q66_ivf_trained"   -> q66Sql,
+    "q67_semantic_dedup" -> q67Sql,
     "q46_embed_stats" ->
       s"""SELECT label, CAST(i - 1 AS INTEGER) AS dim, count(*) AS n,
          |  CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT))

@@ -188,6 +188,40 @@ class IvfSpec extends AnyFunSuite with SparkTestSession {
     assert(recall >= 0.5, f"fixed-point trained IVF recall@5 degraded to $recall%.2f")
   }
 
+  test("semanticDedup: one survivor per planted cluster, lowest id, all rows out") {
+    // within-cluster dots are ~3.6e6 (4 shared near-unit dims), cross-
+    // cluster dots are perturbation noise — 2e6 separates them cleanly
+    val out = IvfIndex.semanticDedup(clustered, nLists = 4,
+      minDotFp = 2000000L, nIter = 3)
+      .select("vec_id", "cell", "n_dup_of", "kept").collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2), r.getBoolean(3))))
+    assert(out.length == 100, "every input id must reach the output")
+    val kept = out.filter(_._2._3).map(_._1).sorted
+    // exactly one representative per cell = per planted cluster, and it
+    // is that cluster's minimum id (ids 0..3 are each cluster's min)
+    assert(kept.toSeq == Seq(0L, 1L, 2L, 3L), s"kept = ${kept.toSeq}")
+    // every duplicate counts at least its cluster-min as a lower match
+    assert(out.filterNot(_._2._3).forall(_._2._2 >= 1L))
+  }
+
+  test("semanticDedup: rank-truncation cap bounds pair work, later members pass through kept") {
+    // cap = 10 < 25-member cells: within each cell only the first 10
+    // ids compare (1 survivor + 9 dups); ranks 11..25 are outside the
+    // guard and pass through as kept with n_dup_of = 0
+    val out = IvfIndex.semanticDedup(clustered, nLists = 4,
+      minDotFp = 2000000L, nIter = 3, maxCellSize = 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.length == 100, "truncation must not drop rows from the output")
+    assert(out.count(_._4) == 4 + (100 - 4 * 10),
+      "per cell: 1 survivor among the first 10, 15 uncompared pass-throughs")
+    // an uncapped run with a cap larger than any cell is a no-op
+    val a = IvfIndex.semanticDedup(clustered, 4, 2000000L, 3, maxCellSize = 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3))).toSet
+    val b = IvfIndex.semanticDedup(clustered, 4, 2000000L, 3, maxCellSize = 1000)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(a == b)
+  }
+
   test("trained IVF recall@5 vs brute force on the test embeddings") {
     // quantitative contract for the non-oracle (trained k-means) path:
     // fixed seed, fixed data → deterministic recall; pin a floor

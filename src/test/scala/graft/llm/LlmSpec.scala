@@ -301,4 +301,27 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got == Set(1L, 2L))
   }
+
+  test("ruleFilter: each rule fires its own bit; a clean doc is kept") {
+    import spark.implicits._
+    val goodBody = ("the report is a summary of the work and it is clear " +
+      "that the results of the study are good and the methods are sound ").trim
+    val planted = Seq(
+      (1L, goodBody),                                   // clean: kept
+      (2L, "too short"),                                // bit 0
+      (3L, Seq.fill(1200)("the").mkString(" ") + " " + goodBody), // bit 1 (long, stopword-rich)
+      (4L, null.asInstanceOf[String]),                  // null → empty → bit 0 (+2)
+      (5L, goodBody + " " + Seq.fill(12)("alpha beta gamma").mkString(" ")), // bit 4: repeats
+      (6L, goodBody + " " + Seq.fill(30)("1234567890").mkString(" ")) // bit 5: digits
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ruleFilter(planted, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(1L) == (0L, true), s"clean doc flagged: ${out(1L)}")
+    assert((out(2L)._1 & 1L) != 0 && !out(2L)._2)
+    assert((out(3L)._1 & 2L) != 0 && !out(3L)._2)
+    assert((out(4L)._1 & 1L) != 0 && !out(4L)._2, "null text must be flagged, not passed")
+    assert((out(5L)._1 & 16L) != 0 && !out(5L)._2)
+    assert((out(6L)._1 & 32L) != 0 && !out(6L)._2)
+    assert(out.size == 6, "every input row reaches the output")
+  }
 }
