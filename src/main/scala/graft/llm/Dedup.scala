@@ -47,6 +47,39 @@ object Dedup {
       .drop(fp)
   }
 
+  /** Incremental-ingest dedup — the daily-batch shape: classify every
+    * document of a NEW batch against an EXISTING corpus without
+    * re-deduplicating the corpus. Returns one row per batch document:
+    * `(doc_id, fp, status)` with status `'dup_of_corpus'` (normalized
+    * fingerprint already present in the corpus), `'new'` (first
+    * occurrence of its fingerprint within the batch), or
+    * `'dup_in_batch'` (a lower-id batch row owns the fingerprint).
+    * Corpus membership wins over batch ordering, mirroring how an
+    * ingest pipeline discards against the index first.
+    *
+    * 100 TB shape: the corpus contributes ONLY its distinct 16-byte
+    * fingerprint set (the corpus index — in production precomputed,
+    * persisted, and bucketed by fp so the per-batch join bucket-prunes
+    * instead of re-shuffling the index); corpus text never moves. The
+    * batch side is one fingerprint projection + a window keyed on fp.
+    * Both exchanges carry digests, never payloads. */
+  def incremental(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val q = graft.Names.quoted _
+    val corpusFps = corpus
+      .select(fingerprint(col(q(textCol))).as("fp")).distinct()
+      .withColumn("__in_corpus", lit(true))
+    val batchFps = batch.select(col(q(idCol)).as("doc_id"),
+      fingerprint(col(q(textCol))).as("fp"))
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    batchFps.withColumn("__rn", row_number().over(w))
+      .join(corpusFps, Seq("fp"), "left")
+      .select(col("doc_id"), col("fp"),
+        when(coalesce(col("__in_corpus"), lit(false)), lit("dup_of_corpus"))
+          .when(col("__rn") === 1, lit("new"))
+          .otherwise(lit("dup_in_batch")).as("status"))
+  }
+
   /** How [[dupSpanStats]] materializes the exploded (doc_id, gram-hash)
     * stream, which BOTH aggregation branches consume. The stream is
     * NOT small: one row per distinct gram position at ~16 bytes/row

@@ -488,6 +488,26 @@ object LlmQueries {
   def q69FilterRules(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.ruleFilter(graft.Tables.documents(s, dir), "doc_id", "text")
 
+  // ---- q70: incremental-ingest dedup (new batch vs corpus index) ----
+  // The batch is SYNTHESIZED so every status arm carries rows at
+  // oracle scale (the raw tables have almost no exact dups): the
+  // doc_id%10==0 slice is genuinely new; re-keyed copies of corpus
+  // docs (+1M) must classify dup_of_corpus; re-keyed copies of batch
+  // docs (+2M) must classify dup_in_batch behind their lower-id twin.
+  def q70IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.documents(s, dir)
+    val corpus = d.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val batch = d.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(d.filter(pmod(col("doc_id"), lit(7)) === 0 &&
+          pmod(col("doc_id"), lit(10)) =!= 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionByName(d.filter(pmod(col("doc_id"), lit(13)) === 0 &&
+          pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+    Dedup.incremental(corpus, batch, "doc_id", "text")
+  }
+
   // ---- q50: exact-substring duplicate-span stats ----
   // Per-doc fraction of distinct word 8-grams shared with any other
   // document — the span-level dedup signal (RefinedWeb-style) that
@@ -580,6 +600,7 @@ object LlmQueries {
     "q45_decontamination"   -> q45Decontamination _,
     "q68_decontam_bloom"    -> q68DecontamBloom _,
     "q69_filter_rules"      -> q69FilterRules _,
+    "q70_incremental_dedup" -> q70IncrementalDedup _,
     "q50_dup_spans"         -> q50DupSpans _,
     "q52_group_sample"      -> q52GroupSample _,
     "q53_oov_rate"          -> q53OovRate _,
@@ -741,6 +762,22 @@ object LlmQueries {
        |FROM sh""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q70_incremental_dedup" ->
+      """WITH nf AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |c AS (SELECT DISTINCT fp FROM nf WHERE doc_id % 10 != 0),
+        |b0 AS (SELECT doc_id, fp FROM nf WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, fp FROM nf WHERE doc_id % 7 = 0 AND doc_id % 10 != 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, fp FROM nf WHERE doc_id % 13 = 0 AND doc_id % 10 = 0),
+        |b AS (SELECT doc_id, fp,
+        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM b0)
+        |SELECT b.doc_id, b.fp,
+        |  CASE WHEN c.fp IS NOT NULL THEN 'dup_of_corpus'
+        |       WHEN rn = 1 THEN 'new' ELSE 'dup_in_batch' END AS status
+        |FROM b LEFT JOIN c ON b.fp = c.fp""".stripMargin,
     "q16_dedup_exact" ->
       """SELECT doc_id, lang, source, n_chars FROM (
         |  SELECT doc_id, lang, source, n_chars,

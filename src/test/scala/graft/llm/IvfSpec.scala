@@ -222,6 +222,22 @@ class IvfSpec extends AnyFunSuite with SparkTestSession {
     assert(a == b)
   }
 
+  test("semanticDedup: in-cell pairing is an equi-join on cell, never a cartesian") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val out = IvfIndex.semanticDedup(clustered, nLists = 4,
+      minDotFp = 2000000L, nIter = 1, maxCellSize = 10)
+    def allNodes(p: SparkPlan): Seq[SparkPlan] =
+      p.collect { case n => n }.flatMap {
+        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+        case n => Seq(n)
+      }
+    assert(!allNodes(out.queryExecution.executedPlan)
+      .exists(_.isInstanceOf[CartesianProductExec]),
+      "semanticDedup degenerated to an all-pairs cartesian")
+  }
+
   test("trained IVF recall@5 vs brute force on the test embeddings") {
     // quantitative contract for the non-oracle (trained k-means) path:
     // fixed seed, fixed data → deterministic recall; pin a floor

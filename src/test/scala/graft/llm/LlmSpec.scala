@@ -324,4 +324,41 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
     assert((out(6L)._1 & 32L) != 0 && !out(6L)._2)
     assert(out.size == 6, "every input row reaches the output")
   }
+
+  test("incremental dedup: corpus membership wins, then batch order") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "alpha text body"),
+      (11L, "beta text body")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "ALPHA   text body"),   // normalized dup of corpus 10
+      (2L, "gamma fresh content"), // new
+      (3L, "gamma fresh content"), // dup_in_batch behind 2
+      (4L, "delta other content"), // new
+      (5L, "Beta text BODY")       // normalized dup of corpus 11
+    ).toDF("doc_id", "text")
+    val got = Dedup.incremental(corpus, batch, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(1L -> "dup_of_corpus", 2L -> "new",
+      3L -> "dup_in_batch", 4L -> "new", 5L -> "dup_of_corpus"))
+    // a batch fp that is ALSO in the corpus: every holder classifies
+    // dup_of_corpus — batch ordering never overrides the index
+    val batch2 = Seq((1L, "alpha text body"), (2L, "alpha  TEXT body"))
+      .toDF("doc_id", "text")
+    val got2 = Dedup.incremental(corpus, batch2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got2 == Map(1L -> "dup_of_corpus", 2L -> "dup_of_corpus"))
+  }
+
+  test("ruleFilter is a shuffle-free projection chain") {
+    val out = TextAnalysis.ruleFilter(
+      graft.Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text")
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), "ruleFilter must not shuffle")
+    // the scan-side and bitmask projections run inside codegen stages
+    // (printed as *(n)); the middle projection holds the higher-order
+    // functions (aggregate/filter/transform), which Spark evaluates
+    // interpreted — still row-local, still zero-shuffle
+    assert(plan.contains("*("), "the bitmask/scan projections fell out of codegen")
+  }
 }

@@ -278,6 +278,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally query.stop()
   }
 
+  test("ruleFilter is stateless: runs unchanged on a stream, equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // same contract as the Pii twin: a pure codegen'd projection must
+    // plan on a streaming frame with no watermark — ingest-time corpus
+    // filtering drops junk BEFORE it ever lands in the lake
+    val input = MemoryStream[(Long, String)]
+    val rows = Seq(
+      (1L, ("the report is a summary of the work and it is clear that " +
+        "the results of the study are good and the methods are fine").trim),
+      (2L, "too short"),
+      (3L, "1234567890 " * 25 + "the a of and in is to it " * 4))
+    val query = graft.llm.TextAnalysis.ruleFilter(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("rules_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      def shape(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+      val got = shape(spark.table("rules_out"))
+      val batch = shape(graft.llm.TextAnalysis.ruleFilter(
+        rows.toDF("doc_id", "text"), "doc_id", "text"))
+      assert(got == batch)
+      assert(got.head._4, "the clean doc must be kept")
+      assert((got(1)._3 & 1L) != 0, "short doc must flag bit 0")
+      assert((got(2)._3 & 32L) != 0, "digit-heavy doc must flag bit 5")
+    } finally query.stop()
+  }
+
   test("parseJsonStream: Json2Spark schema drives from_json; malformed rows flagged") {
     import spark.implicits._
     val schema = graft.schema.JsonSchemaToStruct.convert(
