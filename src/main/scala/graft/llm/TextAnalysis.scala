@@ -145,6 +145,51 @@ object TextAnalysis {
          |   cast(size($gramsCol) - size(array_distinct($gramsCol)) as double)
          |   / cast(size($gramsCol) as double)) as bigint) END""".stripMargin)
 
+  /** Mean unigram surprisal per document (fixed-point bits) against a
+    * corpus-derived top-`vocabSize` vocabulary — the deterministic
+    * stand-in for a CCNet-style perplexity filter: low mean surprisal
+    * = boilerplate/common text, high = rare-token or gibberish text,
+    * and either tail is a curation signal. Surprisal of a vocab word
+    * with count c in an N-token corpus is `floor(log2(N/c))`, computed
+    * INTEGER-EXACTLY as the binary digit length of `N div c` minus one
+    * (float log2 would drift in the last ulp across engines; digit
+    * length cannot). Out-of-vocab words charge the maximum
+    * `floor(log2(N))` — add-one smoothing's c=1 shape.
+    *
+    * Returns every input id: (doc_id, n_tokens, sum_bits,
+    * surprisal_fp) with surprisal_fp = floor(10⁶·sum_bits/n_tokens).
+    *
+    * 100 TB shape: q53's vocabulary machinery — the exploded token
+    * stream is cached once and feeds the corpus total, the vocab
+    * aggregation (TakeOrdered top-V, never a global sort) and the
+    * scoring join (vocab broadcast); per-doc scoring is one counting
+    * aggregation. The corpus total N reaching the driver is ONE
+    * scalar, the same bounded-collect shape as the IVF seed read. */
+  def unigramSurprisalFp(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 20): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val q = graft.Names.quoted _
+    val toks = Caches.persistTracked(
+      docs.select(col(q(idCol)).as("doc_id"), explode(tokens(col(q(textCol)))).as("w")))
+    val n = math.max(toks.count(), 1L)
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(vocabSize)
+      .select(col("w"), expr(s"cast(length(bin($n div c)) - 1 as bigint)").as("bits"))
+    val oovBits = lit(java.lang.Long.toBinaryString(n).length - 1L).cast("bigint")
+    val scored = toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("bits"), oovBits)).as("sum_bits"))
+    docs.select(col(q(idCol)).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("sum_bits"), lit(0L)).as("sum_bits"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0L, lit(0L))
+          .otherwise(expr(
+            "cast(floor(1000000.0 * cast(sum_bits as double) / cast(n_tokens as double)) as bigint)"))
+          .as("surprisal_fp"))
+  }
+
   // ---- Gopher/C4-style rule filter ----------------------------------
 
   /** Rule thresholds for [[ruleFilter]] — fixed-point scales match the

@@ -562,6 +562,14 @@ object LlmQueries {
           .as("oov_fp"))
   }
 
+  // ---- q71: mean unigram surprisal (perplexity-filter stand-in) ----
+  // Integer-exact log2 (binary digit length) against the corpus-
+  // derived top-V vocabulary, so the information-content score is
+  // replayable byte-for-byte in DuckDB. Same vocab machinery as q53.
+  def q71Surprisal(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramSurprisalFp(
+      graft.Tables.documents(s, dir), "doc_id", "text", VocabSize)
+
   // ---- q32: composed curation pipeline (quality → dedup → stats) ----
   // the realistic corpus-curation shape: threshold on quality, keep
   // one doc per normalized fingerprint, then per-language counts —
@@ -601,6 +609,7 @@ object LlmQueries {
     "q68_decontam_bloom"    -> q68DecontamBloom _,
     "q69_filter_rules"      -> q69FilterRules _,
     "q70_incremental_dedup" -> q70IncrementalDedup _,
+    "q71_surprisal"         -> q71Surprisal _,
     "q50_dup_spans"         -> q50DupSpans _,
     "q52_group_sample"      -> q52GroupSample _,
     "q53_oov_rate"          -> q53OovRate _,
@@ -981,6 +990,23 @@ object LlmQueries {
          |  CAST(CASE WHEN coalesce(sc.n_tokens, 0) = 0 THEN 0
          |    ELSE floor(1000000.0 * CAST(sc.n_oov AS DOUBLE)
          |      / CAST(sc.n_tokens AS DOUBLE)) END AS BIGINT) AS oov_fp
+         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
+    "q71_surprisal" ->
+      s"""WITH e AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+         |n AS (SELECT greatest(count(*), 1) AS n FROM e),
+         |vb AS (SELECT w, CAST(length(bin((SELECT n FROM n) // c)) - 1 AS BIGINT) AS bits
+         |  FROM (SELECT w, count(*) AS c FROM e GROUP BY w
+         |    ORDER BY c DESC, w ASC LIMIT $VocabSize) t),
+         |sc AS (SELECT e.doc_id, count(*) AS n_tokens,
+         |    sum(coalesce(vb.bits,
+         |      CAST(length(bin((SELECT n FROM n))) - 1 AS BIGINT))) AS sum_bits
+         |  FROM e LEFT JOIN vb ON e.w = vb.w GROUP BY e.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(sc.sum_bits, 0) AS BIGINT) AS sum_bits,
+         |  CAST(CASE WHEN coalesce(sc.n_tokens, 0) = 0 THEN 0
+         |    ELSE floor(1000000.0 * CAST(sc.sum_bits AS DOUBLE)
+         |      / CAST(sc.n_tokens AS DOUBLE)) END AS BIGINT) AS surprisal_fp
          |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
     "q52_group_sample" ->
       s"""SELECT doc_id, lang FROM (

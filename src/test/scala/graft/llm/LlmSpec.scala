@@ -350,6 +350,22 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
     assert(got2 == Map(1L -> "dup_of_corpus", 2L -> "dup_of_corpus"))
   }
 
+  test("unigramSurprisalFp: integer log2 arithmetic, OOV charged max bits") {
+    import spark.implicits._
+    // N = 9 tokens; vocabSize 1 → vocab = {x} with c = 8:
+    //   bits(x) = len(bin(9 div 8)) - 1 = 0; OOV bits = len(bin(9)) - 1 = 3
+    val docs = Seq(
+      (1L, "x x x x x x x"), // 7 tokens, all vocab → sum 0, fp 0
+      (2L, "x y"),           // x:0 + y:3 → fp = floor(1e6·3/2)
+      (3L, "")               // empty → all zeros, still present
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramSurprisalFp(docs, "doc_id", "text", vocabSize = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((7L, 0L, 0L)))
+    assert(got(2L) == ((2L, 3L, 1500000L)))
+    assert(got(3L) == ((0L, 0L, 0L)))
+  }
+
   test("ruleFilter is a shuffle-free projection chain") {
     val out = TextAnalysis.ruleFilter(
       graft.Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text")
