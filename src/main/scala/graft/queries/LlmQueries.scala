@@ -622,7 +622,7 @@ object LlmQueries {
   )
 
   /** DuckDB token expression mirroring TextAnalysis.tokens. */
-  private val toksSql =
+  private[queries] val toksSql =
     "CASE WHEN length(trim(text)) = 0 THEN [] " +
       "ELSE string_split_regex(trim(text), '\\s+') END"
 
@@ -643,7 +643,7 @@ object LlmQueries {
       "list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) * 100.0 " +
       "/ CAST(len(toks) AS DOUBLE)) AS BIGINT) END"
 
-  private val qualityFpSql =
+  private[queries] val qualityFpSql =
     "(CASE WHEN len(toks) BETWEEN 20 AND 1000 THEN 400000 " +
       "WHEN len(toks) >= 5 THEN 200000 ELSE 0 END " +
       s"+ CASE WHEN ($stopFpSql) BETWEEN 20000 AND 400000 THEN 400000 ELSE 100000 END " +

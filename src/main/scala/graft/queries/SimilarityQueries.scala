@@ -80,6 +80,29 @@ object SimilarityQueries {
     graft.llm.Dedup.connectedComponents(docs.select(col("doc_id")), edges)
   }
 
+  // ---- q72: cluster-aware keep-best dedup ----
+  // The decision real pipelines make on top of q38's labels: within
+  // each near-dup cluster keep the HIGHEST-QUALITY member (tie → the
+  // smallest id), not blindly the smallest id — a boilerplate-ridden
+  // early crawl must not outrank a clean later copy. Output carries
+  // every doc with its cluster, quality and the kept verdict, so the
+  // drop set is auditable. Scale: q38's label propagation + one
+  // row-local quality projection + a rank window whose partitions are
+  // cluster sizes (overwhelmingly singletons).
+  def q72ClusterBest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables.documents(s, dir)
+    val clusters = q38DedupClusters(s, dir)
+    val scored = docs.select(col("doc_id"),
+      graft.llm.TextAnalysis.qualityScoreFp("text").as("quality_fp"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality_fp").desc, col("doc_id").asc)
+    clusters.join(scored, "doc_id")
+      .withColumn("__rn", row_number().over(w))
+      .select(col("doc_id"), col("cluster_id"), col("quality_fp"),
+        (col("__rn") === 1).as("kept"))
+  }
+
   private val IvfLists = 16
   private val IvfProbe = 2
 
@@ -240,6 +263,7 @@ object SimilarityQueries {
     "q62_cross_corpus_capped" -> q62CrossCorpusCapped _,
     "q66_ivf_trained"   -> q66IvfTrained _,
     "q67_semantic_dedup" -> q67SemanticDedup _,
+    "q72_cluster_best"  -> q72ClusterBest _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -464,6 +488,19 @@ object SimilarityQueries {
        |FROM documents dd LEFT JOIN
        |  (SELECT v, min(r) AS mn FROM reach GROUP BY v) m ON dd.doc_id = m.v""".stripMargin
 
+  // q38's transitive closure + q20's quality formula (both fragments
+  // individually hash-proven), composed: best quality per cluster wins,
+  // ties to the smaller id.
+  private val q72Sql =
+    s"""WITH cl AS ($q38Sql),
+       |sc AS (SELECT doc_id, ${LlmQueries.qualityFpSql} AS quality_fp
+       |  FROM (SELECT doc_id, text, ${LlmQueries.toksSql} AS toks FROM documents) t)
+       |SELECT cl.doc_id, cl.cluster_id,
+       |  CAST(sc.quality_fp AS BIGINT) AS quality_fp,
+       |  (row_number() OVER (PARTITION BY cl.cluster_id
+       |     ORDER BY sc.quality_fp DESC, cl.doc_id) = 1) AS kept
+       |FROM cl JOIN sc ON cl.doc_id = sc.doc_id""".stripMargin
+
   private def dotS(a: String, b: String): String =
     s"""CAST(list_sum(list_transform(range(1, len($a) + 1),
        |  i -> CAST(floor(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) * 1000000.0) AS BIGINT)))
@@ -586,6 +623,7 @@ object SimilarityQueries {
     "q62_cross_corpus_capped" -> q62Sql,
     "q66_ivf_trained"   -> q66Sql,
     "q67_semantic_dedup" -> q67Sql,
+    "q72_cluster_best"  -> q72Sql,
     "q46_embed_stats" ->
       s"""SELECT label, CAST(i - 1 AS INTEGER) AS dim, count(*) AS n,
          |  CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT))

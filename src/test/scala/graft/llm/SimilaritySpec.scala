@@ -254,4 +254,20 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     MinHashLSH.crossCorpusPairs(docs, other, "doc_id", "text").count()
     assert(MinHashLSH.unpersistAll(blocking = true) == 2)
   }
+
+  test("q72 cluster-best: exactly one survivor per cluster, and it is the best") {
+    val rows = graft.queries.SimilarityQueries
+      .q72ClusterBest(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val byCluster = rows.groupBy(_._2)
+    assert(byCluster.values.forall(_.count(_._4) == 1),
+      "every cluster must keep exactly one member")
+    // the survivor dominates its cluster under (quality desc, id asc)
+    assert(byCluster.values.forall { members =>
+      val kept = members.find(_._4).get
+      members.forall(m => m._4 ||
+        m._3 < kept._3 || (m._3 == kept._3 && m._1 > kept._1))
+    })
+    assert(rows.length == 500, "every document carries a verdict")
+  }
 }
