@@ -17,7 +17,7 @@ object Caches {
   val MaxTracked = 16
   private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  private[llm] def persistTracked(df: DataFrame): DataFrame = {
+  private[graft] def persistTracked(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
     // Spark's CacheManager keeps ONE entry per canonical plan — e.g.
     // crossCorpusPairs(docs, docs) persists two plan-identical frames

@@ -57,6 +57,14 @@ object Dedup {
     * Corpus membership wins over batch ordering, mirroring how an
     * ingest pipeline discards against the index first.
     *
+    * Null text normalizes to empty BEFORE fingerprinting, so null-text
+    * rows carry a real (shared) fingerprint: they group with each
+    * other in the batch window AND match null/empty-text corpus docs
+    * in the membership join — without the guard, SQL null semantics
+    * would group them in the window (NULLs partition together) but
+    * never match them in the equi-join, yielding self-contradictory
+    * statuses.
+    *
     * 100 TB shape: the corpus contributes ONLY its distinct 16-byte
     * fingerprint set (the corpus index — in production precomputed,
     * persisted, and bucketed by fp so the per-batch join bucket-prunes
@@ -66,14 +74,25 @@ object Dedup {
   def incremental(corpus: DataFrame, batch: DataFrame,
       idCol: String, textCol: String): DataFrame = {
     val q = graft.Names.quoted _
-    val corpusFps = corpus
-      .select(fingerprint(col(q(textCol))).as("fp")).distinct()
+    def fps(df: DataFrame) =
+      fingerprint(coalesce(col(q(textCol)), lit("")))
+    incrementalByFp(
+      corpus.select(fps(corpus).as("fp")),
+      batch.select(col(q(idCol)).as("doc_id"), fps(batch).as("fp")))
+  }
+
+  /** [[incremental]]'s core on precomputed fingerprints — use this
+    * form when the corpus fingerprint index already exists (the
+    * production case: computed once at ingest, persisted, reused by
+    * every subsequent batch) or when corpus and batch derive from one
+    * scan that should not be fingerprinted per slice (q70). */
+  def incrementalByFp(corpusFps: DataFrame, batchFps: DataFrame): DataFrame = {
+    val corpusIdx = corpusFps.select(col("fp")).distinct()
       .withColumn("__in_corpus", lit(true))
-    val batchFps = batch.select(col(q(idCol)).as("doc_id"),
-      fingerprint(col(q(textCol))).as("fp"))
     val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
-    batchFps.withColumn("__rn", row_number().over(w))
-      .join(corpusFps, Seq("fp"), "left")
+    batchFps.select(col("doc_id"), col("fp"))
+      .withColumn("__rn", row_number().over(w))
+      .join(corpusIdx, Seq("fp"), "left")
       .select(col("doc_id"), col("fp"),
         when(coalesce(col("__in_corpus"), lit(false)), lit("dup_of_corpus"))
           .when(col("__rn") === 1, lit("new"))

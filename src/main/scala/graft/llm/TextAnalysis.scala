@@ -145,6 +145,23 @@ object TextAnalysis {
          |   cast(size($gramsCol) - size(array_distinct($gramsCol)) as double)
          |   / cast(size($gramsCol) as double)) as bigint) END""".stripMargin)
 
+  /** Exploded (doc_id, w) whitespace-token stream — the input shape
+    * every vocabulary-driven scorer starts from. */
+  def explodedTokens(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val q = graft.Names.quoted _
+    docs.select(col(q(idCol)).as("doc_id"),
+      explode(tokens(col(q(textCol)))).as("w"))
+  }
+
+  /** Corpus top-`vocabSize` vocabulary `(w, c)` by (count desc, token
+    * asc) — orderBy+limit plans as TakeOrdered (never a global sort),
+    * and the deterministic tie-break keeps the vocab identical across
+    * partitionings. Shared by the OOV (q53) and surprisal (q71)
+    * scorers so the tie-break cannot drift between them. */
+  def topVocab(toks: DataFrame, vocabSize: Int): DataFrame =
+    toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(vocabSize)
+
   /** Mean unigram surprisal per document (fixed-point bits) against a
     * corpus-derived top-`vocabSize` vocabulary — the deterministic
     * stand-in for a CCNet-style perplexity filter: low mean surprisal
@@ -169,11 +186,9 @@ object TextAnalysis {
       vocabSize: Int = 20): DataFrame = {
     require(vocabSize > 0, "vocabSize must be positive")
     val q = graft.Names.quoted _
-    val toks = Caches.persistTracked(
-      docs.select(col(q(idCol)).as("doc_id"), explode(tokens(col(q(textCol)))).as("w")))
+    val toks = Caches.persistTracked(explodedTokens(docs, idCol, textCol))
     val n = math.max(toks.count(), 1L)
-    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("w").asc).limit(vocabSize)
+    val vocab = topVocab(toks, vocabSize)
       .select(col("w"), expr(s"cast(length(bin($n div c)) - 1 as bigint)").as("bits"))
     val oovBits = lit(java.lang.Long.toBinaryString(n).length - 1L).cast("bigint")
     val scored = toks.join(broadcast(vocab), Seq("w"), "left")

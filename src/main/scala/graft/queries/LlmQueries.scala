@@ -495,17 +495,22 @@ object LlmQueries {
   // docs (+1M) must classify dup_of_corpus; re-keyed copies of batch
   // docs (+2M) must classify dup_in_batch behind their lower-id twin.
   def q70IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    val d = graft.Tables.documents(s, dir)
-    val corpus = d.filter(pmod(col("doc_id"), lit(10)) =!= 0)
-    val batch = d.filter(pmod(col("doc_id"), lit(10)) === 0)
-      .select(col("doc_id"), col("text"))
-      .unionByName(d.filter(pmod(col("doc_id"), lit(7)) === 0 &&
+    // fingerprint the table ONCE into a cached skinny (doc_id, fp)
+    // frame — the corpus-index shape — then slice it; fingerprinting
+    // per slice would md5 the %7 docs twice and scan the parquet four
+    // times (the oracle's one nf CTE, mirrored)
+    val nf = graft.llm.Caches.persistTracked(
+      graft.Tables.documents(s, dir).select(col("doc_id"),
+        Dedup.fingerprint(coalesce(col("text"), lit(""))).as("fp")))
+    val batch = nf.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .unionByName(nf.filter(pmod(col("doc_id"), lit(7)) === 0 &&
           pmod(col("doc_id"), lit(10)) =!= 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      .unionByName(d.filter(pmod(col("doc_id"), lit(13)) === 0 &&
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("fp")))
+      .unionByName(nf.filter(pmod(col("doc_id"), lit(13)) === 0 &&
           pmod(col("doc_id"), lit(10)) === 0)
-        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
-    Dedup.incremental(corpus, batch, "doc_id", "text")
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("fp")))
+    Dedup.incrementalByFp(
+      nf.filter(pmod(col("doc_id"), lit(10)) =!= 0), batch)
   }
 
   // ---- q50: exact-substring duplicate-span stats ----
@@ -541,11 +546,9 @@ object LlmQueries {
   // derived so no external wordlist ships with the engine.
   private val VocabSize = 20
   def q53OovRate(s: SparkSession, dir: String): DataFrame = {
-    val toksCol = tokens(col("text"))
-    val d = graft.Tables.documents(s, dir)
-      .select(col("doc_id"), explode(toksCol).as("w"))
-    val vocab = d.groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("w").asc).limit(VocabSize)
+    val d = TextAnalysis.explodedTokens(
+      graft.Tables.documents(s, dir), "doc_id", "text")
+    val vocab = TextAnalysis.topVocab(d, VocabSize)
       .select(col("w"), lit(1).as("in_vocab"))
     val scored = d.join(broadcast(vocab), Seq("w"), "left")
       .groupBy(col("doc_id"))
@@ -773,7 +776,7 @@ object LlmQueries {
   val oracleSql: Map[String, String] = Map(
     "q70_incremental_dedup" ->
       """WITH nf AS (SELECT doc_id,
-        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |    md5(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))) AS fp
         |  FROM documents),
         |c AS (SELECT DISTINCT fp FROM nf WHERE doc_id % 10 != 0),
         |b0 AS (SELECT doc_id, fp FROM nf WHERE doc_id % 10 = 0

@@ -20,3 +20,15 @@ object SparkTestSession {
     s
   }
 }
+
+/** Shared plan-shape helper: flatten an executed plan, recursing into
+  * AQE wrappers so asserts see the real operators. */
+object PlanNodes {
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+  def all(p: SparkPlan): Seq[SparkPlan] =
+    p.collect { case n => n }.flatMap {
+      case a: AdaptiveSparkPlanExec => all(a.executedPlan)
+      case n => Seq(n)
+    }
+}

@@ -47,27 +47,20 @@ class DecontaminateSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("bloom prefilter sits scan-side: below the confirming join's exchange") {
-    import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.FilterExec
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val out = Decontaminate.contaminatedBloom(
       d.filter(pmod(col("doc_id"), lit(50)) =!= 0),
       d.filter(pmod(col("doc_id"), lit(50)) === 0), "doc_id", "text")
-    def allNodes(p: SparkPlan): Seq[SparkPlan] =
-      p.collect { case n => n }.flatMap {
-        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
-        case n => Seq(n)
-      }
-    val udfFilters = allNodes(out.queryExecution.executedPlan).collect {
+    val udfFilters = graft.PlanNodes.all(out.queryExecution.executedPlan).collect {
       case f: FilterExec if f.condition.toString.contains("UDF") => f
     }
     assert(udfFilters.nonEmpty, "the Bloom mightContain prefilter vanished from the plan")
     // the point of the operator: the filter runs before the exchange,
     // so pruned fingerprints never reach the shuffle
     assert(udfFilters.forall(f =>
-      allNodes(f.child).forall(!_.isInstanceOf[ShuffleExchangeLike])),
+      graft.PlanNodes.all(f.child).forall(!_.isInstanceOf[ShuffleExchangeLike])),
       "Bloom prefilter floated above a shuffle — it must prune scan-side")
   }
 

@@ -66,18 +66,11 @@ class IvfSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("seededSearch: scan-local cell assignment — no cross join, one window") {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.joins.CartesianProductExec
     import org.apache.spark.sql.execution.window.WindowExec
     val out = IvfIndex.seededSearch(clustered,
       clustered.filter(col("vec_id") < 4), nLists = 4, k = 5, nProbe = 2)
-    def nodes(p: SparkPlan): Seq[SparkPlan] =
-      p.collect { case n => n }.flatMap {
-        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
-        case n => Seq(n)
-      }
-    val all = nodes(out.queryExecution.executedPlan)
+    val all = graft.PlanNodes.all(out.queryExecution.executedPlan)
     // the old formulation cross-joined the corpus with the seed set
     // and ranked corpus×nLists embedding rows through a window
     assert(!all.exists(_.isInstanceOf[CartesianProductExec]),
@@ -223,19 +216,16 @@ class IvfSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("semanticDedup: in-cell pairing is an equi-join on cell, never a cartesian") {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     val out = IvfIndex.semanticDedup(clustered, nLists = 4,
       minDotFp = 2000000L, nIter = 1, maxCellSize = 10)
-    def allNodes(p: SparkPlan): Seq[SparkPlan] =
-      p.collect { case n => n }.flatMap {
-        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
-        case n => Seq(n)
-      }
-    assert(!allNodes(out.queryExecution.executedPlan)
-      .exists(_.isInstanceOf[CartesianProductExec]),
+    val all = graft.PlanNodes.all(out.queryExecution.executedPlan)
+    assert(!all.exists(_.isInstanceOf[CartesianProductExec]),
       "semanticDedup degenerated to an all-pairs cartesian")
+    // a dropped equi-key would plan as BroadcastNestedLoopJoin at test
+    // scale (small side broadcast), not CartesianProduct — forbid both
+    assert(!all.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "semanticDedup degenerated to a broadcast nested-loop join")
   }
 
   test("trained IVF recall@5 vs brute force on the test embeddings") {

@@ -350,6 +350,19 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
     assert(got2 == Map(1L -> "dup_of_corpus", 2L -> "dup_of_corpus"))
   }
 
+  test("incremental dedup: null text is real (empty) content, not SQL-null limbo") {
+    import spark.implicits._
+    // without the coalesce guard, NULL fps group in the window (two
+    // null batch docs → dup_in_batch) but never match the corpus join
+    // (NULL != NULL) — contradictory statuses; with it, null ≡ empty
+    val corpus = Seq((10L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val batch = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "real text here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incremental(corpus, batch, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(1L -> "dup_of_corpus", 2L -> "dup_of_corpus", 3L -> "new"))
+  }
+
   test("unigramSurprisalFp: integer log2 arithmetic, OOV charged max bits") {
     import spark.implicits._
     // N = 9 tokens; vocabSize 1 → vocab = {x} with c = 8:

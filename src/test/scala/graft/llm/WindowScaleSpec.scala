@@ -21,11 +21,7 @@ class WindowScaleSpec extends AnyFunSuite with SparkTestSession {
 
   private val Dir = "/root/testdata/sf0.001"
 
-  private def allNodes(p: SparkPlan): Seq[SparkPlan] =
-    p.collect { case n => n }.flatMap {
-      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
-      case n => Seq(n)
-    }
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = graft.PlanNodes.all(p)
 
   private def assertGlobalWindowsAggregated(df: DataFrame, name: String): Seq[WindowExec] = {
     val nodes = allNodes(df.queryExecution.executedPlan)
