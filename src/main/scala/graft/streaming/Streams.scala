@@ -2,7 +2,13 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
+
+/** Top-level so Spark derives Encoders (inner classes cannot). */
+private[streaming] case class FpDoc(doc_id: Long, ts: java.sql.Timestamp,
+    fp: String, in_corpus: Boolean)
+private[streaming] case class SeenState(seen: Boolean)
 
 /** Structured Streaming operators over the `events` stream shape
   * (event_id, ts, user_id, event_type, value, props).
@@ -93,6 +99,74 @@ object Streams {
         qcol(leftKey) === qcol(rightKey) &&
           qcol(rightTs) >= qcol(leftTs) - expr(s"INTERVAL $bound") &&
           qcol(rightTs) <= qcol(leftTs))
+
+  /** Streaming incremental-ingest dedup — the continuous twin of
+    * [[graft.llm.Dedup.incremental]]: every arriving document (doc_id,
+    * ts, text) classifies against a STATIC corpus fingerprint index
+    * (stream-static left join — stateless) and against the stream's
+    * own history (`flatMapGroupsWithState` keyed on the fingerprint:
+    * first arrival → `new`, later arrivals → `dup_in_stream`; any
+    * fingerprint present in the index → `dup_of_corpus`). This is the
+    * one custom-state operator in the streaming surface — exact dedup
+    * VERDICTS (every row kept, labeled) need per-key memory that
+    * `dropDuplicatesWithinWatermark` (which drops rows) cannot
+    * express.
+    *
+    * Within a micro-batch a group's rows classify in (ts, doc_id)
+    * order, so replays and single-batch arrivals agree with the batch
+    * operator's window order; across batches, arrival order decides —
+    * the same first-to-ARRIVE semantics as [[dedupWithinWatermark]],
+    * exact vs batch when arrivals are in event-time order
+    * (StreamingSpec pins this).
+    *
+    * Scale: state per distinct in-flight fingerprint is ONE boolean,
+    * evicted by event-time timeout once the watermark passes its last
+    * arrival; the corpus index joins as a static side (broadcast or
+    * shuffled by size), never held in stream state. Null text
+    * normalizes to empty exactly like the batch twin. */
+  def incrementalStatus(docs: DataFrame, corpusFps: DataFrame,
+      watermark: String = "2 hours",
+      stateTtlMs: Long = 2L * 3600 * 1000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fps = docs
+      .select(col("doc_id"), col("ts"),
+        graft.llm.Dedup.fingerprint(coalesce(col("text"), lit(""))).as("fp"))
+      .withWatermark("ts", watermark)
+      .join(corpusFps.select(col("fp")).distinct()
+        .withColumn("in_corpus", lit(true)), Seq("fp"), "left")
+      .select(col("doc_id"), col("ts"), col("fp"),
+        coalesce(col("in_corpus"), lit(false)).as("in_corpus"))
+      .as[FpDoc]
+    fps.groupByKey(_.fp)
+      .flatMapGroupsWithState[SeenState, (Long, String, String)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (fp: String, rows: Iterator[FpDoc],
+            state: org.apache.spark.sql.streaming.GroupState[SeenState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+            var seen = state.exists && state.get.seen
+            val out = sorted.map { r =>
+              val status =
+                if (r.in_corpus) "dup_of_corpus"
+                else if (!seen) { seen = true; "new" }
+                else "dup_in_stream"
+              (r.doc_id, r.fp, status)
+            }
+            // corpus-dup groups never create state (nothing to forget);
+            // setTimeoutTimestamp requires existing state, so the
+            // timeout rides the same branch as the update
+            if (seen && sorted.nonEmpty) {
+              state.update(SeenState(seen))
+              state.setTimeoutTimestamp(sorted.last.ts.getTime + stateTtlMs)
+            }
+            out.iterator
+          }
+      }.toDF("doc_id", "fp", "status")
+  }
 
   /** Parse a stream of JSON strings into typed rows with a schema
     * compiled by [[graft.schema.JsonSchemaToStruct]] — JSON Schema in,

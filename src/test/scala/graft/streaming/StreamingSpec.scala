@@ -309,6 +309,50 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally query.stop()
   }
 
+  test("incrementalStatus: corpus index + cross-batch stream state classify arrivals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpusFps = Seq(Tuple1("known corpus text"))
+      .toDF("text")
+      .select(graft.llm.Dedup.fingerprint(col("text")).as("fp"))
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val query = Streams.incrementalStatus(
+        input.toDF().toDF("doc_id", "ts", "text"), corpusFps)
+      .writeStream.format("memory").queryName("incr_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: a corpus dup, a fresh doc, and its same-batch copy
+      input.addData(
+        (1L, ts(10), "known corpus text"),
+        (2L, ts(11), "fresh document body"),
+        (3L, ts(12), "fresh document body"))
+      query.processAllAvailable()
+      // batch 2: the fresh doc returns in a LATER micro-batch — only
+      // cross-batch state can know it was already seen
+      input.addData((4L, ts(20), "fresh document body"),
+        (5L, ts(21), "another new one"))
+      query.processAllAvailable()
+      val got = spark.table("incr_out")
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(got == Map(
+        1L -> "dup_of_corpus",
+        2L -> "new",
+        3L -> "dup_in_stream",
+        4L -> "dup_in_stream",
+        5L -> "new"))
+      // in-order arrivals: stream verdicts == batch operator verdicts
+      // (modulo the batch name for in-batch dups)
+      val batchGot = graft.llm.Dedup.incremental(
+        Seq(Tuple1("known corpus text")).toDF("text").withColumn("doc_id", lit(100L)),
+        Seq((1L, "known corpus text"), (2L, "fresh document body"),
+          (3L, "fresh document body"), (4L, "fresh document body"),
+          (5L, "another new one")).toDF("doc_id", "text"),
+        "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(got.view.mapValues(_.replace("dup_in_stream", "dup_in_batch")).toMap == batchGot)
+    } finally query.stop()
+  }
+
   test("parseJsonStream: Json2Spark schema drives from_json; malformed rows flagged") {
     import spark.implicits._
     val schema = graft.schema.JsonSchemaToStruct.convert(
