@@ -235,11 +235,17 @@ object TextAnalysis {
     * reads it — all row-local codegen'd built-ins (split / aggregate /
     * regexp), zero shuffle, zero UDFs; the scan's cost IS the
     * operator's cost. Thresholds are compile-time literals, so the
-    * whole mask folds into one whole-stage-codegen'd projection. */
-  def ruleFilter(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * whole mask folds into one whole-stage-codegen'd projection.
+    *
+    * `carryCols` pass through to the output unchanged, so a downstream
+    * aggregation (per-language drop accounting, the corpus data card)
+    * rides the SAME scan instead of joining a second one. */
+  def ruleFilter(df: DataFrame, idCol: String, textCol: String,
+      carryCols: Seq[String] = Nil): DataFrame = {
     val t = coalesce(col(graft.Names.quoted(textCol)), lit(""))
+    val carried = carryCols.map(c => col(graft.Names.quoted(c)))
     val staged = df
-      .select(col(graft.Names.quoted(idCol)).as("doc_id"), t.as("__text"))
+      .select(col(graft.Names.quoted(idCol)).as("doc_id") +: t.as("__text") +: carried: _*)
       .withColumn("__toks", tokens(col("__text")))
       .withColumn("n_tok", size(col("__toks")).cast("bigint"))
       .withColumn("__mean_fp",
@@ -269,6 +275,6 @@ object TextAnalysis {
           bit(col("__dup3_fp") > RuleMaxDup3gramFp, 4) +
           bit(col("__digit_fp") > RuleMaxDigitFp, 5)).cast("bigint"))
       .withColumn("kept", col("reasons") === 0L)
-      .select(col("doc_id"), col("n_tok"), col("reasons"), col("kept"))
+      .select(Seq(col("doc_id"), col("n_tok"), col("reasons"), col("kept")) ++ carried: _*)
   }
 }

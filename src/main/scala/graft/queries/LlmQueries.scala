@@ -573,6 +573,25 @@ object LlmQueries {
     TextAnalysis.unigramSurprisalFp(
       graft.Tables.documents(s, dir), "doc_id", "text", VocabSize)
 
+  // ---- q73: per-language corpus data card ----
+  // The report a curation run ends with: per language, document count,
+  // rule-filter keep count, distinct normalized fingerprints, token
+  // mass and mean quality — every signal oracle-proven individually
+  // (q69 / q17 / q18 / q20), here produced from ONE text scan by
+  // riding ruleFilter's carry columns.
+  def q73DataCard(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ruleFilter(graft.Tables.documents(s, dir), "doc_id", "text",
+        carryCols = Seq("lang", "text"))
+      .withColumn("qfp", TextAnalysis.qualityScoreFp("text"))
+      .withColumn("fp", Dedup.fingerprint(coalesce(col("text"), lit(""))))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        countDistinct(col("fp")).as("n_norm_unique"),
+        sum(col("n_tok").cast("decimal(38,0)")).cast("bigint").as("sum_tokens"),
+        expr("cast(sum(cast(qfp as decimal(38,0))) div count(1) as bigint)")
+          .as("mean_quality_fp"))
+
   // ---- q32: composed curation pipeline (quality → dedup → stats) ----
   // the realistic corpus-curation shape: threshold on quality, keep
   // one doc per normalized fingerprint, then per-language counts —
@@ -613,6 +632,7 @@ object LlmQueries {
     "q69_filter_rules"      -> q69FilterRules _,
     "q70_incremental_dedup" -> q70IncrementalDedup _,
     "q71_surprisal"         -> q71Surprisal _,
+    "q73_data_card"         -> q73DataCard _,
     "q50_dup_spans"         -> q50DupSpans _,
     "q52_group_sample"      -> q52GroupSample _,
     "q53_oov_rate"          -> q53OovRate _,
@@ -758,6 +778,63 @@ object LlmQueries {
     s"CASE ${branches.mkString(" ")} ELSE 'und' END"
   }
 
+  // Rule-filter CTE chain shared by q69 and the data card (q73): null
+  // text coalesced to empty, every per-doc signal (tokens, mean token
+  // length, stopword ratio, 3-gram repetition, digit share, quality,
+  // normalized fingerprint) computed once, ending in per-doc frame
+  // `rr` carrying lang for downstream aggregation.
+  private val rulesCtes: String =
+    s"""d AS (SELECT doc_id, lang, coalesce(text, '') AS text FROM documents),
+       |t AS (SELECT doc_id, lang, text, $toksSql AS toks FROM d),
+       |s AS (SELECT doc_id, lang,
+       |  CAST(len(toks) AS BIGINT) AS n_tok,
+       |  $meanTokLenFpSql AS mean_fp,
+       |  $stopFpSql AS stop_fp,
+       |  CASE WHEN len(toks) >= 3
+       |    THEN list_transform(range(1, len(toks) - 1),
+       |      i -> array_to_string(toks[i:i+2], ' '))
+       |    ELSE [] END AS g3,
+       |  CASE WHEN length(text) = 0 THEN 0
+       |    ELSE CAST(floor(1000000.0 *
+       |      CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+       |      / CAST(length(text) AS DOUBLE)) AS BIGINT) END AS digit_fp,
+       |  $qualityFpSql AS quality_fp,
+       |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+       | FROM t),
+       |rr AS (SELECT doc_id, lang, n_tok, mean_fp, stop_fp, digit_fp, quality_fp, fp,
+       |  CASE WHEN len(g3) = 0 THEN 0
+       |    ELSE CAST(floor(1000000.0 *
+       |      CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+       |      / CAST(len(g3) AS DOUBLE)) AS BIGINT) END AS dup3_fp FROM s)""".stripMargin
+
+  /** The reasons bitmask over `rr`'s columns — spelled once so q69's
+    * two uses (mask + kept) and q73's keep-count cannot drift. */
+  private val reasonsSql: String =
+    s"""(CASE WHEN n_tok < $RuleMinTokens THEN 1 ELSE 0 END)
+       |    + (CASE WHEN n_tok > $RuleMaxTokens THEN 2 ELSE 0 END)
+       |    + (CASE WHEN mean_fp < $RuleMinMeanTokLenFp
+       |         OR mean_fp > $RuleMaxMeanTokLenFp THEN 4 ELSE 0 END)
+       |    + (CASE WHEN stop_fp < $RuleMinStopFp THEN 8 ELSE 0 END)
+       |    + (CASE WHEN dup3_fp > $RuleMaxDup3gramFp THEN 16 ELSE 0 END)
+       |    + (CASE WHEN digit_fp > $RuleMaxDigitFp THEN 32 ELSE 0 END)""".stripMargin
+
+  private val q69Sql: String =
+    s"""WITH $rulesCtes
+       |SELECT doc_id, n_tok,
+       |  CAST($reasonsSql AS BIGINT) AS reasons,
+       |  $reasonsSql = 0 AS kept
+       |FROM rr""".stripMargin
+
+  private val q73Sql: String =
+    s"""WITH $rulesCtes
+       |SELECT lang,
+       |  count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN $reasonsSql = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(count(DISTINCT fp) AS BIGINT) AS n_norm_unique,
+       |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+       |  CAST(sum(quality_fp) // count(*) AS BIGINT) AS mean_quality_fp
+       |FROM rr GROUP BY lang""".stripMargin
+
   // q45's containment replay, shared verbatim by q68 (whose Bloom
   // prefilter must not change a single byte of output).
   private val q45Sql: String =
@@ -831,46 +908,8 @@ object LlmQueries {
     "q45_decontamination" -> q45Sql,
     // Bloom prefilter is exactness-preserving ⇒ q68 shares q45's oracle
     "q68_decontam_bloom" -> q45Sql,
-    "q69_filter_rules" -> {
-      import graft.llm.TextAnalysis._
-      s"""WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
-         |t AS (SELECT doc_id, text, $toksSql AS toks FROM d),
-         |s AS (SELECT doc_id,
-         |  CAST(len(toks) AS BIGINT) AS n_tok,
-         |  $meanTokLenFpSql AS mean_fp,
-         |  $stopFpSql AS stop_fp,
-         |  CASE WHEN len(toks) >= 3
-         |    THEN list_transform(range(1, len(toks) - 1),
-         |      i -> array_to_string(toks[i:i+2], ' '))
-         |    ELSE [] END AS g3,
-         |  CASE WHEN length(text) = 0 THEN 0
-         |    ELSE CAST(floor(1000000.0 *
-         |      CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-         |      / CAST(length(text) AS DOUBLE)) AS BIGINT) END AS digit_fp
-         | FROM t),
-         |r AS (SELECT doc_id, n_tok, mean_fp, stop_fp, digit_fp,
-         |  CASE WHEN len(g3) = 0 THEN 0
-         |    ELSE CAST(floor(1000000.0 *
-         |      CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
-         |      / CAST(len(g3) AS DOUBLE)) AS BIGINT) END AS dup3_fp FROM s)
-         |SELECT doc_id, n_tok,
-         |  CAST((CASE WHEN n_tok < $RuleMinTokens THEN 1 ELSE 0 END)
-         |    + (CASE WHEN n_tok > $RuleMaxTokens THEN 2 ELSE 0 END)
-         |    + (CASE WHEN mean_fp < $RuleMinMeanTokLenFp
-         |         OR mean_fp > $RuleMaxMeanTokLenFp THEN 4 ELSE 0 END)
-         |    + (CASE WHEN stop_fp < $RuleMinStopFp THEN 8 ELSE 0 END)
-         |    + (CASE WHEN dup3_fp > $RuleMaxDup3gramFp THEN 16 ELSE 0 END)
-         |    + (CASE WHEN digit_fp > $RuleMaxDigitFp THEN 32 ELSE 0 END) AS BIGINT)
-         |    AS reasons,
-         |  (CASE WHEN n_tok < $RuleMinTokens THEN 1 ELSE 0 END)
-         |    + (CASE WHEN n_tok > $RuleMaxTokens THEN 2 ELSE 0 END)
-         |    + (CASE WHEN mean_fp < $RuleMinMeanTokLenFp
-         |         OR mean_fp > $RuleMaxMeanTokLenFp THEN 4 ELSE 0 END)
-         |    + (CASE WHEN stop_fp < $RuleMinStopFp THEN 8 ELSE 0 END)
-         |    + (CASE WHEN dup3_fp > $RuleMaxDup3gramFp THEN 16 ELSE 0 END)
-         |    + (CASE WHEN digit_fp > $RuleMaxDigitFp THEN 32 ELSE 0 END) = 0 AS kept
-         |FROM r""".stripMargin
-    },
+    "q69_filter_rules" -> q69Sql,
+    "q73_data_card" -> q73Sql,
     "q43_chunks" ->
       s"""WITH t AS (SELECT doc_id, toks, len(toks) AS n FROM
          |  (SELECT doc_id, $toksSql AS toks FROM documents) x WHERE len(toks) > 0),

@@ -379,6 +379,22 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
     assert(got(3L) == ((0L, 0L, 0L)))
   }
 
+  test("q73 data card reads the documents table exactly once") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val out = graft.queries.LlmQueries.q73DataCard(spark, "/root/testdata/sf0.001")
+    val scans = graft.PlanNodes.all(out.queryExecution.executedPlan)
+      .collect { case s: FileSourceScanExec => s }
+    assert(scans.length == 1,
+      s"the carry-column design exists to avoid a second text scan; got ${scans.length}")
+    // cheap sanity on the aggregates themselves
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, kept, uniq) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(kept <= n && uniq <= n && uniq >= 1)
+    }
+  }
+
   test("ruleFilter is a shuffle-free projection chain") {
     val out = TextAnalysis.ruleFilter(
       graft.Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text")
