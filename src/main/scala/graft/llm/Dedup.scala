@@ -25,6 +25,15 @@ object Dedup {
   /** 128-bit content fingerprint of the normalized text. */
   def fingerprint(text: Column): Column = md5(normalizeText(text).cast("binary"))
 
+  /** [[fingerprint]] with null text treated as empty content — the ONE
+    * spelling of the null contract every incremental/dedup entry point
+    * shares (batch, streaming, q70, q73): null and empty text carry
+    * the same real fingerprint, so they group in windows AND match in
+    * equi-joins, where a SQL-null fp would do the former but never the
+    * latter. */
+  def fingerprintOrEmpty(text: Column): Column =
+    fingerprint(coalesce(text, lit("")))
+
   /** Exact dedup: one surviving row per distinct value of `keys`, the
     * survivor being the row with the smallest `tieBreak`. Returns the
     * full original row set, filtered — implemented as a row_number
@@ -74,11 +83,10 @@ object Dedup {
   def incremental(corpus: DataFrame, batch: DataFrame,
       idCol: String, textCol: String): DataFrame = {
     val q = graft.Names.quoted _
-    def fps(df: DataFrame) =
-      fingerprint(coalesce(col(q(textCol)), lit("")))
+    val fpCol = fingerprintOrEmpty(col(q(textCol)))
     incrementalByFp(
-      corpus.select(fps(corpus).as("fp")),
-      batch.select(col(q(idCol)).as("doc_id"), fps(batch).as("fp")))
+      corpus.select(fpCol.as("fp")),
+      batch.select(col(q(idCol)).as("doc_id"), fpCol.as("fp")))
   }
 
   /** [[incremental]]'s core on precomputed fingerprints — use this

@@ -239,9 +239,13 @@ object TextAnalysis {
     *
     * `carryCols` pass through to the output unchanged, so a downstream
     * aggregation (per-language drop accounting, the corpus data card)
-    * rides the SAME scan instead of joining a second one. */
+    * rides the SAME scan instead of joining a second one.
+    * `withQuality` appends `quality_fp` computed from the staged parts
+    * (token count, stopword ratio, text length) — byte-identical to
+    * [[qualityScoreFp]] without re-folding the token array, and gated
+    * by q73's oracle (which replays the q20 formula). */
   def ruleFilter(df: DataFrame, idCol: String, textCol: String,
-      carryCols: Seq[String] = Nil): DataFrame = {
+      carryCols: Seq[String] = Nil, withQuality: Boolean = false): DataFrame = {
     val t = coalesce(col(graft.Names.quoted(textCol)), lit(""))
     val carried = carryCols.map(c => col(graft.Names.quoted(c)))
     val staged = df
@@ -275,6 +279,16 @@ object TextAnalysis {
           bit(col("__dup3_fp") > RuleMaxDup3gramFp, 4) +
           bit(col("__digit_fp") > RuleMaxDigitFp, 5)).cast("bigint"))
       .withColumn("kept", col("reasons") === 0L)
-      .select(Seq(col("doc_id"), col("n_tok"), col("reasons"), col("kept")) ++ carried: _*)
+      .withColumn("quality_fp",
+        // qualityScoreFp's three terms over the parts the mask already
+        // derived — keep in lockstep with that fold (and qualityFpSql)
+        (when(col("n_tok").between(20L, 1000L), lit(400000L))
+          .when(col("n_tok") >= 5L, lit(200000L)).otherwise(lit(0L)) +
+          when(col("__stop_fp").between(20000L, 400000L), lit(400000L))
+            .otherwise(lit(100000L)) +
+          when(length(col("__text")) >= 100, lit(200000L)).otherwise(lit(50000L)))
+          .cast("bigint"))
+      .select(Seq(col("doc_id"), col("n_tok"), col("reasons"), col("kept")) ++
+        (if (withQuality) Seq(col("quality_fp")) else Nil) ++ carried: _*)
   }
 }

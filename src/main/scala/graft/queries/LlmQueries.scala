@@ -501,7 +501,7 @@ object LlmQueries {
     // times (the oracle's one nf CTE, mirrored)
     val nf = graft.llm.Caches.persistTracked(
       graft.Tables.documents(s, dir).select(col("doc_id"),
-        Dedup.fingerprint(coalesce(col("text"), lit(""))).as("fp")))
+        Dedup.fingerprintOrEmpty(col("text")).as("fp")))
     val batch = nf.filter(pmod(col("doc_id"), lit(10)) === 0)
       .unionByName(nf.filter(pmod(col("doc_id"), lit(7)) === 0 &&
           pmod(col("doc_id"), lit(10)) =!= 0)
@@ -581,15 +581,14 @@ object LlmQueries {
   // riding ruleFilter's carry columns.
   def q73DataCard(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.ruleFilter(graft.Tables.documents(s, dir), "doc_id", "text",
-        carryCols = Seq("lang", "text"))
-      .withColumn("qfp", TextAnalysis.qualityScoreFp("text"))
-      .withColumn("fp", Dedup.fingerprint(coalesce(col("text"), lit(""))))
+        carryCols = Seq("lang", "text"), withQuality = true)
+      .withColumn("fp", Dedup.fingerprintOrEmpty(col("text")))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
         countDistinct(col("fp")).as("n_norm_unique"),
         sum(col("n_tok").cast("decimal(38,0)")).cast("bigint").as("sum_tokens"),
-        expr("cast(sum(cast(qfp as decimal(38,0))) div count(1) as bigint)")
+        expr("cast(sum(cast(quality_fp as decimal(38,0))) div count(1) as bigint)")
           .as("mean_quality_fp"))
 
   // ---- q32: composed curation pipeline (quality → dedup → stats) ----

@@ -8,7 +8,10 @@ import org.apache.spark.sql.types.StructType
 /** Top-level so Spark derives Encoders (inner classes cannot). */
 private[streaming] case class FpDoc(doc_id: Long, ts: java.sql.Timestamp,
     fp: String, in_corpus: Boolean)
-private[streaming] case class SeenState(seen: Boolean)
+/** `maxTsMs` remembers the latest event time ever observed for the
+  * key, so a late (within-watermark) duplicate cannot REWIND the
+  * eviction timeout below what an earlier batch established. */
+private[streaming] case class SeenState(seen: Boolean, maxTsMs: Long)
 
 /** Structured Streaming operators over the `events` stream shape
   * (event_id, ts, user_id, event_type, value, props).
@@ -113,11 +116,12 @@ object Streams {
     * express.
     *
     * Within a micro-batch a group's rows classify in (ts, doc_id)
-    * order, so replays and single-batch arrivals agree with the batch
-    * operator's window order; across batches, arrival order decides —
-    * the same first-to-ARRIVE semantics as [[dedupWithinWatermark]],
-    * exact vs batch when arrivals are in event-time order
-    * (StreamingSpec pins this).
+    * order — EVENT-time order, where the batch operator's window
+    * orders by id alone — so stream and batch verdicts coincide
+    * exactly when ids are assigned in event-time order (the common
+    * monotonic-ingest case, which StreamingSpec pins); across batches,
+    * arrival order decides, the same first-to-ARRIVE semantics as
+    * [[dedupWithinWatermark]].
     *
     * Scale: state per distinct in-flight fingerprint is ONE boolean,
     * evicted by event-time timeout once the watermark passes its last
@@ -131,7 +135,7 @@ object Streams {
     import spark.implicits._
     val fps = docs
       .select(col("doc_id"), col("ts"),
-        graft.llm.Dedup.fingerprint(coalesce(col("text"), lit(""))).as("fp"))
+        graft.llm.Dedup.fingerprintOrEmpty(col("text")).as("fp"))
       .withWatermark("ts", watermark)
       .join(corpusFps.select(col("fp")).distinct()
         .withColumn("in_corpus", lit(true)), Seq("fp"), "left")
@@ -158,10 +162,15 @@ object Streams {
             }
             // corpus-dup groups never create state (nothing to forget);
             // setTimeoutTimestamp requires existing state, so the
-            // timeout rides the same branch as the update
+            // timeout rides the same branch as the update. The timeout
+            // derives from the MAX event time ever seen for the key —
+            // a late duplicate must extend-or-keep the eviction point,
+            // never rewind it below an earlier batch's horizon.
             if (seen && sorted.nonEmpty) {
-              state.update(SeenState(seen))
-              state.setTimeoutTimestamp(sorted.last.ts.getTime + stateTtlMs)
+              val prevMax = if (state.exists) state.get.maxTsMs else Long.MinValue
+              val maxTs = math.max(prevMax, sorted.last.ts.getTime)
+              state.update(SeenState(seen, maxTs))
+              state.setTimeoutTimestamp(maxTs + stateTtlMs)
             }
             out.iterator
           }

@@ -1,8 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.window.WindowExec
 import org.apache.spark.sql.functions._
@@ -21,7 +19,7 @@ class WindowScaleSpec extends AnyFunSuite with SparkTestSession {
 
   private val Dir = "/root/testdata/sf0.001"
 
-  private def allNodes(p: SparkPlan): Seq[SparkPlan] = graft.PlanNodes.all(p)
+  private val allNodes = graft.PlanNodes.all _
 
   private def assertGlobalWindowsAggregated(df: DataFrame, name: String): Seq[WindowExec] = {
     val nodes = allNodes(df.queryExecution.executedPlan)
