@@ -228,6 +228,24 @@ class IvfSpec extends AnyFunSuite with SparkTestSession {
       "semanticDedup degenerated to a broadcast nested-loop join")
   }
 
+  test("semanticDedup with nLists=1 equals brute-force all-pairs dedup") {
+    // one cell removes the clustering approximation entirely: every
+    // pair is compared, so the verdicts must equal a hand-rolled
+    // all-pairs sweep with the same threshold and survivor rule
+    val T = 2000000L
+    val got = IvfIndex.semanticDedup(clustered, nLists = 1, minDotFp = T, nIter = 0)
+      .collect().map(r => (r.getLong(0), (r.getLong(2), r.getBoolean(3)))).toMap
+    val vecs = clustered.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    def dotFp(a: Array[Float], b: Array[Float]): Long =
+      a.zip(b).map { case (x, y) => math.floor(x.toDouble * y.toDouble * 1e6).toLong }.sum
+    val expected = vecs.map { case (id, v) =>
+      val nDup = vecs.count { case (id2, v2) => id2 < id && dotFp(v2, v) >= T }
+      id -> ((nDup.toLong, nDup == 0))
+    }.toMap
+    assert(got == expected)
+  }
+
   test("trained IVF recall@5 vs brute force on the test embeddings") {
     // quantitative contract for the non-oracle (trained k-means) path:
     // fixed seed, fixed data → deterministic recall; pin a floor
