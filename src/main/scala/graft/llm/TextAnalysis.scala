@@ -205,6 +205,45 @@ object TextAnalysis {
           .as("surprisal_fp"))
   }
 
+  /** Corpus-relative length filter: flag documents whose token count
+    * lies outside the corpus's [loPct, hiPct] percentile band — the
+    * dynamic-threshold cousin of [[ruleFilter]]'s fixed bounds (real
+    * curation derives its cutoffs from the corpus at hand; a fixed
+    * 20-token floor is wrong for both tweets and books). Thresholds
+    * are EXACT order statistics: the smallest token count whose
+    * cumulative frequency reaches `ceil(pct·N/100)`, with the rank
+    * computed in integer arithmetic (`(pct·N + 99) div 100`) so no
+    * engine's float rounding can shift a cutoff.
+    *
+    * Returns every doc: (doc_id, n_tok, lo_tok, hi_tok, kept).
+    *
+    * 100 TB shape: one counting aggregation on n_tok, a cumulative
+    * window over the DISTINCT-count rows only (bounded by distinct
+    * lengths — the q40-audited shape, never a corpus-wide sort), a
+    * one-row threshold aggregate broadcast back over the skinny
+    * cached (doc_id, n_tok) projection. N reaching the driver is one
+    * scalar (the q71 pattern). */
+  def tokenBandFilter(docs: DataFrame, idCol: String, textCol: String,
+      loPct: Int = 5, hiPct: Int = 95): DataFrame = {
+    require(0 <= loPct && loPct <= hiPct && hiPct <= 100,
+      s"percentile band [$loPct, $hiPct] must satisfy 0 <= lo <= hi <= 100")
+    val q = graft.Names.quoted _
+    val toks = Caches.persistTracked(docs.select(col(q(idCol)).as("doc_id"),
+      tokenCount(col(q(textCol))).cast("bigint").as("n_tok")))
+    val n = toks.count()
+    def rank(pct: Int): Long = math.max((pct * n + 99L) / 100L, 1L)
+    val counts = toks.groupBy(col("n_tok")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_tok")).rowsBetween(Long.MinValue, 0)
+    val cum = counts.withColumn("cum", sum(col("c")).over(w))
+    val thresholds = cum.agg(
+      min(when(col("cum") >= rank(loPct), col("n_tok"))).as("lo_tok"),
+      min(when(col("cum") >= rank(hiPct), col("n_tok"))).as("hi_tok"))
+    toks.crossJoin(broadcast(thresholds))
+      .select(col("doc_id"), col("n_tok"), col("lo_tok"), col("hi_tok"),
+        col("n_tok").between(col("lo_tok"), col("hi_tok")).as("kept"))
+  }
+
   // ---- Gopher/C4-style rule filter ----------------------------------
 
   /** Rule thresholds for [[ruleFilter]] — fixed-point scales match the

@@ -591,6 +591,13 @@ object LlmQueries {
         expr("cast(sum(cast(quality_fp as decimal(38,0))) div count(1) as bigint)")
           .as("mean_quality_fp"))
 
+  // ---- q74: dynamic percentile length band ----
+  // Corpus-derived cutoffs instead of q69's fixed ones: keep documents
+  // inside the exact [5th, 95th] token-count percentile band, ranks in
+  // integer arithmetic so no float rounding can move a threshold.
+  def q74DynamicFilter(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenBandFilter(graft.Tables.documents(s, dir), "doc_id", "text")
+
   // ---- q32: composed curation pipeline (quality → dedup → stats) ----
   // the realistic corpus-curation shape: threshold on quality, keep
   // one doc per normalized fingerprint, then per-language counts —
@@ -632,6 +639,7 @@ object LlmQueries {
     "q70_incremental_dedup" -> q70IncrementalDedup _,
     "q71_surprisal"         -> q71Surprisal _,
     "q73_data_card"         -> q73DataCard _,
+    "q74_dynamic_filter"    -> q74DynamicFilter _,
     "q50_dup_spans"         -> q50DupSpans _,
     "q52_group_sample"      -> q52GroupSample _,
     "q53_oov_rate"          -> q53OovRate _,
@@ -1049,6 +1057,20 @@ object LlmQueries {
          |    ELSE floor(1000000.0 * CAST(sc.sum_bits AS DOUBLE)
          |      / CAST(sc.n_tokens AS DOUBLE)) END AS BIGINT) AS surprisal_fp
          |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
+    "q74_dynamic_filter" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents) x),
+         |c AS (SELECT n_tok, count(*) AS c FROM t GROUP BY n_tok),
+         |cum AS (SELECT n_tok, sum(c) OVER (ORDER BY n_tok) AS cum FROM c),
+         |n AS (SELECT count(*) AS n FROM t),
+         |th AS (SELECT
+         |  min(CASE WHEN cum >= greatest((5 * (SELECT n FROM n) + 99) // 100, 1)
+         |    THEN n_tok END) AS lo_tok,
+         |  min(CASE WHEN cum >= greatest((95 * (SELECT n FROM n) + 99) // 100, 1)
+         |    THEN n_tok END) AS hi_tok FROM cum)
+         |SELECT t.doc_id, t.n_tok, th.lo_tok, th.hi_tok,
+         |  t.n_tok BETWEEN th.lo_tok AND th.hi_tok AS kept
+         |FROM t, th""".stripMargin,
     "q52_group_sample" ->
       s"""SELECT doc_id, lang FROM (
          |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang

@@ -379,6 +379,24 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
     assert(got(3L) == ((0L, 0L, 0L)))
   }
 
+  test("tokenBandFilter: exact rank thresholds, ties land on the right side") {
+    import spark.implicits._
+    // token counts [2,2,2,5,5,9]: N=6, 30th pct rank=(180+99)/100=2 →
+    // lo=2 (cum(2)=3 ≥ 2); 70th pct rank=(420+99)/100=5 → hi=5
+    // (cum(5)=5); the 9-token doc falls outside the band
+    val docs = Seq(
+      (1L, "a b"), (2L, "c d"), (3L, "e f"),
+      (4L, "a b c d e"), (5L, "f g h i j"),
+      (6L, "a b c d e f g h i")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenBandFilter(docs, "doc_id", "text", 30, 70)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(got.values.forall { case (_, lo, hi, _) => lo == 2L && hi == 5L })
+    assert(got.filter(_._2._4).keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(!got(6L)._4)
+  }
+
   test("q73 data card reads the documents table exactly once") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val out = graft.queries.LlmQueries.q73DataCard(spark, "/root/testdata/sf0.001")
