@@ -2,7 +2,11 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    // three iterations: r7's recorded bench landed on a noisy box and
+    // the 2-sample min still carried 4-6x phantom regressions; a third
+    // sample makes the min robust to a single slow execution while the
+    // per-iteration times array keeps the noise itself visible
+    val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val spark = Sessions.local()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup: run one cheap query so JVM/codegen/session startup cost
