@@ -275,4 +275,35 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), dotFpNative("qe", "ce").as("dot_fp"))
     topKPerQuery(scored, k)
   }
+
+  /** Per-vector int8 scalar quantization with exact reconstruction-
+    * error accounting — the compression decision a 100 TB embedding
+    * store has to make (4 bytes/dim → 1) wants per-vector error
+    * evidence, not a global RMSE guess. Everything runs in the
+    * fixed-point integer domain (`floor(x·10⁶)`): per-vector min/max
+    * anchor a 255-level grid, codes and reconstructions use
+    * non-negative integer division (truncation ≡ floor), so the error
+    * stats are pure integer functions of the input — partition-
+    * invariant and replayed exactly by the q75 oracle.
+    *
+    * Returns (vec_id, lo_fp, hi_fp, max_abs_err_fp, sum_abs_err_fp);
+    * a constant vector (hi == lo) quantizes losslessly to code 0.
+    *
+    * 100 TB shape: one row-local projection — zero shuffle, zero UDFs;
+    * the scan IS the cost. */
+  def scalarQuantizeStats(vectors: DataFrame): DataFrame =
+    vectors
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0) as bigint))").as("e"))
+      .select(col("vec_id"), col("e"),
+        array_min(col("e")).as("lo_fp"), array_max(col("e")).as("hi_fp"))
+      .select(col("vec_id"), col("lo_fp"), col("hi_fp"), expr(
+        """zip_with(e,
+          |  transform(transform(e,
+          |      x -> if(hi_fp > lo_fp, (255 * (x - lo_fp)) div (hi_fp - lo_fp), 0L)),
+          |    c -> lo_fp + (c * (hi_fp - lo_fp)) div 255),
+          |  (a, b) -> abs(a - b))""".stripMargin).as("errs"))
+      .select(col("vec_id"), col("lo_fp"), col("hi_fp"),
+        array_max(col("errs")).as("max_abs_err_fp"),
+        expr("aggregate(errs, 0L, (acc, v) -> acc + v)").as("sum_abs_err_fp"))
 }

@@ -103,6 +103,13 @@ object SimilarityQueries {
         (col("__rn") === 1).as("kept"))
   }
 
+  // ---- q75: int8 scalar quantization error card ----
+  // The storage-compression decision for an embedding corpus, with
+  // per-vector exact error evidence; pure integer arithmetic, zero
+  // shuffle.
+  def q75EmbedQuantize(s: SparkSession, dir: String): DataFrame =
+    Similarity.scalarQuantizeStats(graft.Tables.embeddings(s, dir))
+
   private val IvfLists = 16
   private val IvfProbe = 2
 
@@ -264,6 +271,7 @@ object SimilarityQueries {
     "q66_ivf_trained"   -> q66IvfTrained _,
     "q67_semantic_dedup" -> q67SemanticDedup _,
     "q72_cluster_best"  -> q72ClusterBest _,
+    "q75_embed_quantize" -> q75EmbedQuantize _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -501,6 +509,22 @@ object SimilarityQueries {
        |     ORDER BY sc.quality_fp DESC, cl.doc_id) = 1) AS kept
        |FROM cl JOIN sc ON cl.doc_id = sc.doc_id""".stripMargin
 
+  // int8 quantization error card replayed in list arithmetic: same
+  // micro-unit grid, same non-negative integer divisions.
+  private val q75Sql =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS e FROM embeddings),
+       |b AS (SELECT vec_id, e, list_min(e) AS lo, list_max(e) AS hi FROM e),
+       |r AS (SELECT vec_id, lo, hi,
+       |  list_transform(range(1, len(e) + 1), i -> abs(e[i] -
+       |    (lo + ((CASE WHEN hi > lo
+       |        THEN (255 * (e[i] - lo)) // (hi - lo) ELSE 0 END) * (hi - lo)) // 255)))
+       |    AS errs FROM b)
+       |SELECT vec_id, lo AS lo_fp, hi AS hi_fp,
+       |  CAST(list_max(errs) AS BIGINT) AS max_abs_err_fp,
+       |  CAST(list_sum(errs) AS BIGINT) AS sum_abs_err_fp
+       |FROM r""".stripMargin
+
   private def dotS(a: String, b: String): String =
     s"""CAST(list_sum(list_transform(range(1, len($a) + 1),
        |  i -> CAST(floor(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) * 1000000.0) AS BIGINT)))
@@ -624,6 +648,7 @@ object SimilarityQueries {
     "q66_ivf_trained"   -> q66Sql,
     "q67_semantic_dedup" -> q67Sql,
     "q72_cluster_best"  -> q72Sql,
+    "q75_embed_quantize" -> q75Sql,
     "q46_embed_stats" ->
       s"""SELECT label, CAST(i - 1 AS INTEGER) AS dim, count(*) AS n,
          |  CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT))

@@ -255,6 +255,25 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(MinHashLSH.unpersistAll(blocking = true) == 2)
   }
 
+  test("scalarQuantizeStats: hand-computed grid errors; constant vector lossless") {
+    import spark.implicits._
+    // [0, 0.5, 1] in micro-units: endpoints land on the grid (err 0);
+    // 500000 → code (255·500000)//10⁶ = 127 → recon (127·10⁶)//255 =
+    // 498039 → err 1961
+    val vecs = Seq(
+      (1L, Seq(0.0f, 0.5f, 1.0f)),
+      (2L, Seq(0.25f, 0.25f, 0.25f))) // constant: hi == lo, lossless
+      .toDF("vec_id", "embedding")
+    val got = Similarity.scalarQuantizeStats(vecs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) == ((0L, 1000000L, 1961L, 1961L)))
+    assert(got(2L) == ((250000L, 250000L, 0L, 0L)))
+    // zero shuffle: the quantization card is one projection
+    val plan = Similarity.scalarQuantizeStats(vecs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "scalarQuantizeStats must not shuffle")
+  }
+
   test("q72 cluster-best: exactly one survivor per cluster, and it is the best") {
     val rows = graft.queries.SimilarityQueries
       .q72ClusterBest(spark, "/root/testdata/sf0.001")
