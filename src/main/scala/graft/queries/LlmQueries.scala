@@ -598,6 +598,39 @@ object LlmQueries {
   def q74DynamicFilter(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenBandFilter(graft.Tables.documents(s, dir), "doc_id", "text")
 
+  // ---- q76: the curation funnel (drop attribution end-to-end) ----
+  // One verdict per document under the pipeline's priority order —
+  // contaminated (shares fingerprints with the q45 eval split) beats
+  // duplicate (not the lowest-id holder of its normalized fingerprint)
+  // beats rule-dropped (q69 mask) beats kept — then per-language
+  // funnel counts. The accounting view a curation run actually ships:
+  // how much mass each stage removes, per language, in one query.
+  def q76CurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = graft.Tables.documents(s, dir)
+    val rules = TextAnalysis.ruleFilter(d, "doc_id", "text",
+        carryCols = Seq("lang", "text"))
+      .withColumn("fp", Dedup.fingerprintOrEmpty(col("text")))
+    val cont = graft.llm.Decontaminate.contaminated(
+        d.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(50)) === 0), "doc_id", "text")
+      .select(col("doc_id"), lit(true).as("contaminated"))
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    val verdicts = rules.withColumn("__rn", row_number().over(w))
+      .join(cont, Seq("doc_id"), "left")
+      .select(col("lang"),
+        when(coalesce(col("contaminated"), lit(false)), lit("contaminated"))
+          .when(col("__rn") > 1, lit("duplicate"))
+          .when(!col("kept"), lit("rule_dropped"))
+          .otherwise(lit("kept")).as("verdict"))
+    verdicts.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("verdict") === "contaminated", 1L).otherwise(0L)).as("n_contaminated"),
+        sum(when(col("verdict") === "duplicate", 1L).otherwise(0L)).as("n_duplicate"),
+        sum(when(col("verdict") === "rule_dropped", 1L).otherwise(0L)).as("n_rule_dropped"),
+        sum(when(col("verdict") === "kept", 1L).otherwise(0L)).as("n_kept"))
+  }
+
   // ---- q32: composed curation pipeline (quality → dedup → stats) ----
   // the realistic corpus-curation shape: threshold on quality, keep
   // one doc per normalized fingerprint, then per-language counts —
@@ -640,6 +673,7 @@ object LlmQueries {
     "q71_surprisal"         -> q71Surprisal _,
     "q73_data_card"         -> q73DataCard _,
     "q74_dynamic_filter"    -> q74DynamicFilter _,
+    "q76_curation_funnel"   -> q76CurationFunnel _,
     "q50_dup_spans"         -> q50DupSpans _,
     "q52_group_sample"      -> q52GroupSample _,
     "q53_oov_rate"          -> q53OovRate _,
@@ -842,6 +876,32 @@ object LlmQueries {
        |  CAST(sum(quality_fp) // count(*) AS BIGINT) AS mean_quality_fp
        |FROM rr GROUP BY lang""".stripMargin
 
+  // The funnel composes three proven fragments: the rule CTE chain
+  // (rr carries lang, fp, and every mask input), q45's contamination
+  // set, and the lowest-id fingerprint survivor window — with the
+  // verdict priority spelled once in a CASE.
+  private def q76Sql: String =
+    s"""WITH $rulesCtes,
+       |cont AS (SELECT doc_id FROM ($q45Sql) z),
+       |sv AS (SELECT doc_id,
+       |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM rr),
+       |v AS (SELECT rr.lang,
+       |  CASE WHEN cont.doc_id IS NOT NULL THEN 'contaminated'
+       |       WHEN sv.rn > 1 THEN 'duplicate'
+       |       WHEN ($reasonsSql) != 0 THEN 'rule_dropped'
+       |       ELSE 'kept' END AS verdict
+       |  FROM rr JOIN sv ON rr.doc_id = sv.doc_id
+       |  LEFT JOIN cont ON rr.doc_id = cont.doc_id)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN verdict = 'contaminated' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_contaminated,
+       |  CAST(sum(CASE WHEN verdict = 'duplicate' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_duplicate,
+       |  CAST(sum(CASE WHEN verdict = 'rule_dropped' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_rule_dropped,
+       |  CAST(sum(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM v GROUP BY lang""".stripMargin
+
   // q45's containment replay, shared verbatim by q68 (whose Bloom
   // prefilter must not change a single byte of output).
   private val q45Sql: String =
@@ -917,6 +977,7 @@ object LlmQueries {
     "q68_decontam_bloom" -> q45Sql,
     "q69_filter_rules" -> q69Sql,
     "q73_data_card" -> q73Sql,
+    "q76_curation_funnel" -> q76Sql,
     "q43_chunks" ->
       s"""WITH t AS (SELECT doc_id, toks, len(toks) AS n FROM
          |  (SELECT doc_id, $toksSql AS toks FROM documents) x WHERE len(toks) > 0),

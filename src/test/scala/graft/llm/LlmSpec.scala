@@ -397,6 +397,22 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
     assert(!got(6L)._4)
   }
 
+  test("q76 funnel: verdicts partition the corpus; contamination count matches q45") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.LlmQueries.q76CurationFunnel(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // the four verdicts partition every language's documents
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4) + r.getLong(5),
+        s"verdicts do not partition lang ${r.getString(0)}")
+    }
+    // 'contaminated' outranks every other verdict, so the funnel's
+    // contamination mass must equal q45's flagged-doc count exactly
+    val q45Rows = graft.queries.LlmQueries.q45Decontamination(spark, dir).count()
+    assert(rows.map(_.getLong(2)).sum == q45Rows)
+    assert(rows.map(_.getLong(5)).sum > 0, "a real corpus must keep something")
+  }
+
   test("q73 data card reads the documents table exactly once") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val out = graft.queries.LlmQueries.q73DataCard(spark, "/root/testdata/sf0.001")
