@@ -288,6 +288,10 @@ object Similarity {
     *
     * Returns (vec_id, lo_fp, hi_fp, max_abs_err_fp, sum_abs_err_fp);
     * a constant vector (hi == lo) quantizes losslessly to code 0.
+    * Unscorable embeddings — null, empty, or containing a null
+    * element — yield an all-null stats row (the explicit contract;
+    * without it Spark's null-poisoning `aggregate` and DuckDB's
+    * null-skipping `list_sum` would silently disagree).
     *
     * 100 TB shape: one row-local projection — zero shuffle, zero UDFs;
     * the scan IS the cost. */
@@ -295,15 +299,19 @@ object Similarity {
     vectors
       .select(col("vec_id"), expr(
         "transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0) as bigint))").as("e"))
-      .select(col("vec_id"), col("e"),
-        array_min(col("e")).as("lo_fp"), array_max(col("e")).as("hi_fp"))
-      .select(col("vec_id"), col("lo_fp"), col("hi_fp"), expr(
+      .withColumn("__ok",
+        size(col("e")) > 0 && !expr("exists(e, x -> x is null)"))
+      .select(col("vec_id"), col("e"), col("__ok"),
+        when(col("__ok"), array_min(col("e"))).as("lo_fp"),
+        when(col("__ok"), array_max(col("e"))).as("hi_fp"))
+      .select(col("vec_id"), col("__ok"), col("lo_fp"), col("hi_fp"), expr(
         """zip_with(e,
           |  transform(transform(e,
           |      x -> if(hi_fp > lo_fp, (255 * (x - lo_fp)) div (hi_fp - lo_fp), 0L)),
           |    c -> lo_fp + (c * (hi_fp - lo_fp)) div 255),
           |  (a, b) -> abs(a - b))""".stripMargin).as("errs"))
       .select(col("vec_id"), col("lo_fp"), col("hi_fp"),
-        array_max(col("errs")).as("max_abs_err_fp"),
-        expr("aggregate(errs, 0L, (acc, v) -> acc + v)").as("sum_abs_err_fp"))
+        when(col("__ok"), array_max(col("errs"))).as("max_abs_err_fp"),
+        when(col("__ok"), expr("aggregate(errs, 0L, (acc, v) -> acc + v)"))
+          .as("sum_abs_err_fp"))
 }

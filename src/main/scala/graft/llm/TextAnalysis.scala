@@ -228,8 +228,11 @@ object TextAnalysis {
     require(0 <= loPct && loPct <= hiPct && hiPct <= 100,
       s"percentile band [$loPct, $hiPct] must satisfy 0 <= lo <= hi <= 100")
     val q = graft.Names.quoted _
+    // null text ≡ empty (the ruleFilter/fingerprintOrEmpty contract):
+    // without it a NULL n_tok sorts FIRST in Spark's cumulative window
+    // but LAST in the oracle's, silently shifting both thresholds
     val toks = Caches.persistTracked(docs.select(col(q(idCol)).as("doc_id"),
-      tokenCount(col(q(textCol))).cast("bigint").as("n_tok")))
+      tokenCount(coalesce(col(q(textCol)), lit(""))).cast("bigint").as("n_tok")))
     val n = toks.count()
     def rank(pct: Int): Long = math.max((pct * n + 99L) / 100L, 1L)
     val counts = toks.groupBy(col("n_tok")).agg(count(lit(1)).as("c"))

@@ -611,9 +611,10 @@ object LlmQueries {
     val rules = TextAnalysis.ruleFilter(d, "doc_id", "text",
         carryCols = Seq("lang", "text"))
       .withColumn("fp", Dedup.fingerprintOrEmpty(col("text")))
-    val cont = graft.llm.Decontaminate.contaminated(
-        d.filter(pmod(col("doc_id"), lit(50)) =!= 0),
-        d.filter(pmod(col("doc_id"), lit(50)) === 0), "doc_id", "text")
+    // q45's split IS the contamination reference — call it rather than
+    // restate the split, so the two queries (and q76's oracle, which
+    // embeds q45's SQL) cannot diverge
+    val cont = q45Decontamination(s, dir)
       .select(col("doc_id"), lit(true).as("contaminated"))
     val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
     val verdicts = rules.withColumn("__rn", row_number().over(w))
@@ -1120,7 +1121,8 @@ object LlmQueries {
          |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
     "q74_dynamic_filter" ->
       s"""WITH t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok
-         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents) x),
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM
+         |    (SELECT doc_id, coalesce(text, '') AS text FROM documents) d0) x),
          |c AS (SELECT n_tok, count(*) AS c FROM t GROUP BY n_tok),
          |cum AS (SELECT n_tok, sum(c) OVER (ORDER BY n_tok) AS cum FROM c),
          |n AS (SELECT count(*) AS n FROM t),

@@ -514,15 +514,19 @@ object SimilarityQueries {
   private val q75Sql =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding,
        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS e FROM embeddings),
-       |b AS (SELECT vec_id, e, list_min(e) AS lo, list_max(e) AS hi FROM e),
-       |r AS (SELECT vec_id, lo, hi,
+       |b AS (SELECT vec_id, e,
+       |  (len(e) > 0 AND len(list_filter(e, x -> x IS NULL)) = 0) AS ok,
+       |  list_min(e) AS lo, list_max(e) AS hi FROM e),
+       |r AS (SELECT vec_id, ok, lo, hi,
        |  list_transform(range(1, len(e) + 1), i -> abs(e[i] -
        |    (lo + ((CASE WHEN hi > lo
        |        THEN (255 * (e[i] - lo)) // (hi - lo) ELSE 0 END) * (hi - lo)) // 255)))
        |    AS errs FROM b)
-       |SELECT vec_id, lo AS lo_fp, hi AS hi_fp,
-       |  CAST(list_max(errs) AS BIGINT) AS max_abs_err_fp,
-       |  CAST(list_sum(errs) AS BIGINT) AS sum_abs_err_fp
+       |SELECT vec_id,
+       |  CASE WHEN ok THEN lo END AS lo_fp,
+       |  CASE WHEN ok THEN hi END AS hi_fp,
+       |  CAST(CASE WHEN ok THEN list_max(errs) END AS BIGINT) AS max_abs_err_fp,
+       |  CAST(CASE WHEN ok THEN list_sum(errs) END AS BIGINT) AS sum_abs_err_fp
        |FROM r""".stripMargin
 
   private def dotS(a: String, b: String): String =

@@ -272,6 +272,17 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     // zero shuffle: the quantization card is one projection
     val plan = Similarity.scalarQuantizeStats(vecs).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), "scalarQuantizeStats must not shuffle")
+    // unscorable contract: null / empty / null-element embeddings yield
+    // an all-null stats row (pinning Spark and DuckDB to one behavior)
+    val dirty = Seq(
+      (10L, null.asInstanceOf[Seq[java.lang.Float]]),
+      (11L, Seq.empty[java.lang.Float]),
+      (12L, Seq[java.lang.Float](1.0f, null, 2.0f)))
+      .toDF("vec_id", "embedding")
+    Similarity.scalarQuantizeStats(dirty).collect().foreach { r =>
+      (1 to 4).foreach(i => assert(r.isNullAt(i),
+        s"vec ${r.getLong(0)}: unscorable embedding must yield null stats"))
+    }
   }
 
   test("q72 cluster-best: exactly one survivor per cluster, and it is the best") {
