@@ -93,10 +93,34 @@ object GeoQueries {
       .orderBy("raster_id")
   }
 
+  // ---- q77: spatial grid partitioning over REAL WKB bytes ----
+  // One point per document at coordinates that are pure integer
+  // functions of doc_id, ENCODED AS REAL WKB and decoded back through
+  // the in-repo reader before gridding — so the oracle (which replays
+  // only the coordinate arithmetic, never touching WKB) transitively
+  // proves the encode → parse → envelope → cell pipeline: any byte
+  // off in the codec moves a coordinate and breaks the hash. The cell
+  // key is what a 100 TB spatial join shuffles on.
+  private val GridCellSize = 10.0
+  def q77GeoGrid(s: SparkSession, dir: String): DataFrame = {
+    import graft.geo.{GeoGrid, Wkb}
+    val enc = udf { (id: Long) =>
+      val x = (id * 37 % 1000).toDouble / 10.0 - 50.0
+      val y = (id * 91 % 1000).toDouble / 10.0 - 50.0
+      Wkb.write(Wkb.GPoint(Array(x, y), hasZ = false, hasM = false))
+    }
+    val pts = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), enc(col("doc_id")).as("wkb"))
+    GeoGrid.gridCells(pts, col("wkb"), GridCellSize)
+      .groupBy(col("cell_x"), col("cell_y"))
+      .agg(count(lit(1)).as("n_geoms"), min(col("doc_id")).as("first_doc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_geom_type" -> q14GeomType _,
     "q15_linearize" -> q15Linearize _,
     "q26_contours"  -> q26Contours _,
+    "q77_geo_grid"  -> q77GeoGrid _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -114,5 +138,16 @@ object GeoQueries {
          | ('flat', 'Invalid (null input)', CAST(NULL AS BIGINT), true),
          | ('ramp', 'MultiLineString', CAST(3 AS BIGINT), false)
          |) AS t(raster_id, geom_type, n_lines, is_null) ORDER BY raster_id""".stripMargin),
+    // replays ONLY the coordinate arithmetic (identical IEEE op order)
+    // — the WKB encode/parse/envelope path is what the equality proves
+    "q77_geo_grid" ->
+      """WITH p AS (SELECT doc_id,
+        |    CAST(doc_id * 37 % 1000 AS DOUBLE) / 10.0 - 50.0 AS x,
+        |    CAST(doc_id * 91 % 1000 AS DOUBLE) / 10.0 - 50.0 AS y FROM documents),
+        |c AS (SELECT doc_id,
+        |    CAST(floor(((x + x) / 2.0) / 10.0) AS BIGINT) AS cell_x,
+        |    CAST(floor(((y + y) / 2.0) / 10.0) AS BIGINT) AS cell_y FROM p)
+        |SELECT cell_x, cell_y, count(*) AS n_geoms, min(doc_id) AS first_doc
+        |FROM c GROUP BY cell_x, cell_y""".stripMargin,
   )
 }

@@ -1,0 +1,48 @@
+package graft.geo
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Spatial grid partitioning: envelopes over every geometry shape,
+  * boundary-exact cell assignment, and the unparsable-WKB null
+  * contract. */
+class GeoGridSpec extends AnyFunSuite with SparkTestSession {
+
+  private def pt(x: Double, y: Double) =
+    Wkb.GPoint(Array(x, y), hasZ = false, hasM = false)
+
+  test("envelope covers all vertices across geometry shapes") {
+    val line = Wkb.GLineString(Array(Array(-3.0, 2.0), Array(7.0, -1.0)), false, false)
+    assert(GeoGrid.envelope(line) == ((-3.0, -1.0, 7.0, 2.0)))
+    val poly = Wkb.GPolygon(Array(Array(
+      Array(0.0, 0.0), Array(4.0, 0.0), Array(4.0, 5.0), Array(0.0, 0.0))), false, false)
+    assert(GeoGrid.envelope(poly) == ((0.0, 0.0, 4.0, 5.0)))
+    val coll = Wkb.GCollection(Array(pt(-10.0, 3.0), line), false, false)
+    assert(GeoGrid.envelope(coll) == ((-10.0, -1.0, 7.0, 3.0)))
+  }
+
+  test("cell assignment: boundary lands in the upper cell, negatives floor down") {
+    assert(GeoGrid.cellOf(pt(10.0, -0.1), 10.0) == ((1L, -1L)))
+    assert(GeoGrid.cellOf(pt(9.999, 0.0), 10.0) == ((0L, 0L)))
+    assert(GeoGrid.cellOf(pt(-20.0, -20.0), 10.0) == ((-2L, -2L)))
+    // a line's cell comes from its envelope center
+    val line = Wkb.GLineString(Array(Array(0.0, 0.0), Array(30.0, 0.0)), false, false)
+    assert(GeoGrid.cellOf(line, 10.0) == ((1L, 0L))) // center x = 15
+  }
+
+  test("gridCells: WKB round-trip, unparsable bytes → null cells, row survives") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Wkb.write(pt(25.0, -35.0))),
+      (2L, Array[Byte](1, 1)), // truncated garbage
+      (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "wkb")
+    val got = GeoGrid.gridCells(rows, col("wkb"), 10.0)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some((r.getLong(2), r.getLong(3))))).toMap
+    assert(got(1L) == Some((2L, -4L)))
+    assert(got(2L).isEmpty && got(3L).isEmpty)
+  }
+}
