@@ -73,4 +73,56 @@ object GeoGrid {
       .withColumn("cell_y", col("__cell._2"))
       .drop("__cell")
   }
+
+  /** Grid-partitioned spatial self-join: all pairs of POINT geometries
+    * within `maxDist` of each other — the join [[gridCells]] indexes
+    * for. Candidates come from an equi-join of each point's 3×3
+    * neighbor-cell explosion against home cells (with `cellSize ≥
+    * maxDist`, any qualifying pair is at most one cell apart, and the
+    * a<b orientation filter makes every pair appear EXACTLY once — no
+    * distinct pass); the verify is exact integer arithmetic on
+    * micro-unit coordinates (`floor(x·10⁶)`), squared distance against
+    * a squared fixed-point radius — replayable cross-engine with zero
+    * float slack. The LSH dedup pattern (bucket equi-join, bounded
+    * candidates, exact verify) applied to space.
+    *
+    * Returns (id_a, id_b, dist2_fp2) with dist2_fp2 in squared
+    * micro-units; unparsable/null WKB rows drop out of the pairing
+    * (no cell), the standard contract.
+    *
+    * 100 TB shape: shuffle keys are (cell_x, cell_y) pairs — the
+    * candidate explosion is ≤9× the skinny (id, x, y) projection, and
+    * geometry bytes never cross an exchange. */
+  def neighborPairs(df: DataFrame, idCol: Column, wkbCol: Column,
+      cellSize: Double, maxDist: Double): DataFrame = {
+    require(cellSize >= maxDist,
+      s"cellSize ($cellSize) must be >= maxDist ($maxDist) or one-cell probing misses pairs")
+    val xyUdf = udf { (bytes: Array[Byte]) =>
+      Option(bytes).flatMap(Wkb.read).map { g =>
+        val (minX, minY, maxX, maxY) = envelope(g)
+        (math.floor(((minX + maxX) / 2.0) * 1e6).toLong,
+          math.floor(((minY + maxY) / 2.0) * 1e6).toLong,
+          math.floor(((minX + maxX) / 2.0) / cellSize).toLong,
+          math.floor(((minY + maxY) / 2.0) / cellSize).toLong)
+      }
+    }
+    val pts = df.select(idCol.as("id"), xyUdf(wkbCol).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("id"), col("p._1").as("x"), col("p._2").as("y"),
+        col("p._3").as("cx"), col("p._4").as("cy"))
+    val maxDistFp = math.floor(maxDist * 1e6).toLong
+    val left = pts.select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"),
+        explode(expr("transform(sequence(-1, 1), i -> cx + i)")).as("pcx"),
+        col("cy").as("cy0"))
+      .select(col("id_a"), col("xa"), col("ya"), col("pcx"),
+        explode(expr("transform(sequence(-1, 1), i -> cy0 + i)")).as("pcy"))
+    val right = pts.select(col("id").as("id_b"), col("x").as("xb"), col("y").as("yb"),
+      col("cx").as("pcx"), col("cy").as("pcy"))
+    left.join(right, Seq("pcx", "pcy"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        ((col("xa") - col("xb")) * (col("xa") - col("xb")) +
+          (col("ya") - col("yb")) * (col("ya") - col("yb"))).as("dist2_fp2"))
+      .filter(col("dist2_fp2") <= maxDistFp * maxDistFp)
+  }
 }

@@ -116,11 +116,32 @@ object GeoQueries {
       .agg(count(lit(1)).as("n_geoms"), min(col("doc_id")).as("first_doc"))
   }
 
+  // ---- q78: the grid-partitioned spatial join itself ----
+  // Neighbor pairs within 5.0 units over the q77 point corpus: 3×3
+  // cell-probe equi-join + exact integer distance verify — the LSH
+  // candidate/verify pattern applied to space. The oracle replays the
+  // coordinate arithmetic and an O(n²) distance filter, proving the
+  // grid join loses no pair and invents none.
+  private val NeighborMaxDist = 5.0
+  def q78GeoNeighbors(s: SparkSession, dir: String): DataFrame = {
+    import graft.geo.{GeoGrid, Wkb}
+    val enc = udf { (id: Long) =>
+      val x = (id * 37 % 1000).toDouble / 10.0 - 50.0
+      val y = (id * 91 % 1000).toDouble / 10.0 - 50.0
+      Wkb.write(Wkb.GPoint(Array(x, y), hasZ = false, hasM = false))
+    }
+    val pts = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), enc(col("doc_id")).as("wkb"))
+    GeoGrid.neighborPairs(pts, col("doc_id"), col("wkb"),
+      cellSize = GridCellSize, maxDist = NeighborMaxDist)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_geom_type" -> q14GeomType _,
     "q15_linearize" -> q15Linearize _,
     "q26_contours"  -> q26Contours _,
     "q77_geo_grid"  -> q77GeoGrid _,
+    "q78_geo_neighbors" -> q78GeoNeighbors _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -149,5 +170,21 @@ object GeoQueries {
         |    CAST(floor(((y + y) / 2.0) / 10.0) AS BIGINT) AS cell_y FROM p)
         |SELECT cell_x, cell_y, count(*) AS n_geoms, min(doc_id) AS first_doc
         |FROM c GROUP BY cell_x, cell_y""".stripMargin,
+    // brute-force O(n²) replay at oracle scale: every pair the grid
+    // join returns, no more and no fewer, under the same micro-unit
+    // integer distance arithmetic
+    "q78_geo_neighbors" ->
+      s"""WITH p AS (SELECT doc_id,
+         |    CAST(floor((((x + x) / 2.0)) * 1000000.0) AS BIGINT) AS xf,
+         |    CAST(floor((((y + y) / 2.0)) * 1000000.0) AS BIGINT) AS yf
+         |  FROM (SELECT doc_id,
+         |    CAST(doc_id * 37 % 1000 AS DOUBLE) / 10.0 - 50.0 AS x,
+         |    CAST(doc_id * 91 % 1000 AS DOUBLE) / 10.0 - 50.0 AS y FROM documents) s)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  (a.xf - b.xf) * (a.xf - b.xf) + (a.yf - b.yf) * (a.yf - b.yf) AS dist2_fp2
+         |FROM p a JOIN p b ON a.doc_id < b.doc_id
+         |WHERE (a.xf - b.xf) * (a.xf - b.xf) + (a.yf - b.yf) * (a.yf - b.yf)
+         |  <= CAST(${math.floor(5.0 * 1e6).toLong} AS BIGINT)
+         |     * CAST(${math.floor(5.0 * 1e6).toLong} AS BIGINT)""".stripMargin,
   )
 }

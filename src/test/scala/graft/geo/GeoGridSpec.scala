@@ -32,6 +32,25 @@ class GeoGridSpec extends AnyFunSuite with SparkTestSession {
     assert(GeoGrid.cellOf(line, 10.0) == ((1L, 0L))) // center x = 15
   }
 
+  test("neighborPairs: equals brute force across cell boundaries; exactly once each") {
+    import spark.implicits._
+    // points at x = 3i: consecutive pairs are 3 apart (within 5),
+    // skip-pairs 6 apart (outside); several pairs straddle a cell edge
+    val rows = (0 until 20).map(i => (i.toLong, Wkb.write(pt(i * 3.0, 0.0))))
+      .toDF("id", "wkb")
+    val got = GeoGrid.neighborPairs(rows, col("id"), col("wkb"),
+        cellSize = 10.0, maxDist = 5.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == got.toSet.size, "a pair was emitted twice")
+    val expected = (0 until 19).map(i =>
+      (i.toLong, i + 1L, 3000000L * 3000000L)).toSet
+    assert(got.toSet == expected)
+    // cellSize < maxDist must be refused, not silently lossy
+    intercept[IllegalArgumentException] {
+      GeoGrid.neighborPairs(rows, col("id"), col("wkb"), 4.0, 5.0)
+    }
+  }
+
   test("gridCells: WKB round-trip, unparsable bytes → null cells, row survives") {
     import spark.implicits._
     val rows = Seq(
