@@ -53,25 +53,44 @@ object GeoGrid {
   /** Grid cell of the envelope CENTER: `floor(center / cellSize)` per
     * axis. Center of a point is the point itself, so point corpora
     * grid with zero float slack beyond the division both engines
-    * replay identically. */
-  def cellOf(g: Wkb.Geom, cellSize: Double): (Long, Long) = {
+    * replay identically.
+    *
+    * None for geometries with no finite envelope — empty geometries
+    * (zero-vertex linestrings, POINT EMPTY's NaN coordinates) must NOT
+    * grid: `math.floor(NaN).toLong` is 0, so without the guard every
+    * empty geometry would silently land in cell (0,0) and pair with
+    * real geometries near the origin. */
+  def cellOf(g: Wkb.Geom, cellSize: Double): Option[(Long, Long)] = {
     val (minX, minY, maxX, maxY) = envelope(g)
-    (math.floor(((minX + maxX) / 2.0) / cellSize).toLong,
-      math.floor(((minY + maxY) / 2.0) / cellSize).toLong)
+    val cx = (minX + maxX) / 2.0
+    val cy = (minY + maxY) / 2.0
+    if (java.lang.Double.isFinite(cx) && java.lang.Double.isFinite(cy))
+      Some((math.floor(cx / cellSize).toLong, math.floor(cy / cellSize).toLong))
+    else None
   }
 
+  /** Largest supported cellSize/maxDist: fixed-point squared distances
+    * on adjacent-cell candidates reach `(2·cellSize·10⁶)²`, which must
+    * stay inside Long — beyond this bound results would be silently
+    * wrong (wrapped), so the operators refuse instead. */
+  val MaxCellSize = 1500.0
+
   /** Adds nullable `cell_x`, `cell_y` columns for the WKB column —
-    * scan-local over the in-repo reader; unparsable WKB → null cells,
-    * the row survives. */
+    * scan-local over the in-repo reader; unparsable WKB and empty
+    * geometries → null cells, the row survives. Refuses to clobber
+    * existing `cell_x`/`cell_y` columns. */
   def gridCells(df: DataFrame, wkbCol: Column, cellSize: Double): DataFrame = {
     require(cellSize > 0.0, "cellSize must be positive")
+    require(!df.columns.contains("cell_x") && !df.columns.contains("cell_y"),
+      "input already has cell_x/cell_y — rename them before re-gridding")
+    val tmp = graft.Names.fresh("__cell", df.columns)
     val cellUdf = udf { (bytes: Array[Byte]) =>
-      Option(bytes).flatMap(Wkb.read).map(cellOf(_, cellSize))
+      Option(bytes).flatMap(Wkb.read).flatMap(cellOf(_, cellSize))
     }
-    df.withColumn("__cell", cellUdf(wkbCol))
-      .withColumn("cell_x", col("__cell._1"))
-      .withColumn("cell_y", col("__cell._2"))
-      .drop("__cell")
+    df.withColumn(tmp, cellUdf(wkbCol))
+      .withColumn("cell_x", col(s"`$tmp`._1"))
+      .withColumn("cell_y", col(s"`$tmp`._2"))
+      .drop(tmp)
   }
 
   /** Grid-partitioned spatial self-join: all pairs of POINT geometries
@@ -95,21 +114,38 @@ object GeoGrid {
     * geometry bytes never cross an exchange. */
   def neighborPairs(df: DataFrame, idCol: Column, wkbCol: Column,
       cellSize: Double, maxDist: Double): DataFrame = {
-    require(cellSize >= maxDist,
-      s"cellSize ($cellSize) must be >= maxDist ($maxDist) or one-cell probing misses pairs")
+    // one micro-unit of slack over maxDist: the fixed-point verify
+    // accepts Δ up to maxDist + 1e-6, and a pair at exactly that
+    // distance must still be at most one cell apart or the 3×3 probe
+    // would miss what the verify accepts
+    require(cellSize >= maxDist + 1e-6,
+      s"cellSize ($cellSize) must exceed maxDist ($maxDist) by at least 1e-6 " +
+        "or one-cell probing misses pairs the fixed-point verify accepts")
+    require(maxDist > 0.0, "maxDist must be positive")
+    require(cellSize <= MaxCellSize,
+      s"cellSize ($cellSize) beyond $MaxCellSize overflows the fixed-point " +
+        "squared-distance arithmetic — rescale coordinates first")
     val xyUdf = udf { (bytes: Array[Byte]) =>
-      Option(bytes).flatMap(Wkb.read).map { g =>
+      Option(bytes).flatMap(Wkb.read).flatMap { g =>
         val (minX, minY, maxX, maxY) = envelope(g)
-        (math.floor(((minX + maxX) / 2.0) * 1e6).toLong,
-          math.floor(((minY + maxY) / 2.0) * 1e6).toLong,
-          math.floor(((minX + maxX) / 2.0) / cellSize).toLong,
-          math.floor(((minY + maxY) / 2.0) / cellSize).toLong)
+        val cx = (minX + maxX) / 2.0
+        val cy = (minY + maxY) / 2.0
+        // empty geometries (NaN/infinite centers) must not pair — see cellOf
+        if (java.lang.Double.isFinite(cx) && java.lang.Double.isFinite(cy))
+          Some((math.floor(cx * 1e6).toLong, math.floor(cy * 1e6).toLong,
+            math.floor(cx / cellSize).toLong, math.floor(cy / cellSize).toLong))
+        else None
       }
     }
-    val pts = df.select(idCol.as("id"), xyUdf(wkbCol).as("p"))
-      .filter(col("p").isNotNull)
-      .select(col("id"), col("p._1").as("x"), col("p._2").as("y"),
-        col("p._3").as("cx"), col("p._4").as("cy"))
+    // the parse + envelope pass is the expensive scan-local step and
+    // BOTH self-join sides consume it — cache the skinny projection
+    // (tracked; released via Caches.unpersistAll) so geometry decode
+    // runs once, not once per side
+    val pts = graft.llm.Caches.persistTracked(
+      df.select(idCol.as("id"), xyUdf(wkbCol).as("p"))
+        .filter(col("p").isNotNull)
+        .select(col("id"), col("p._1").as("x"), col("p._2").as("y"),
+          col("p._3").as("cx"), col("p._4").as("cy")))
     val maxDistFp = math.floor(maxDist * 1e6).toLong
     val left = pts.select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"),
         explode(expr("transform(sequence(-1, 1), i -> cx + i)")).as("pcx"),

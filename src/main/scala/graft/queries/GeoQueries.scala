@@ -102,16 +102,24 @@ object GeoQueries {
   // off in the codec moves a coordinate and breaks the hash. The cell
   // key is what a 100 TB spatial join shuffles on.
   private val GridCellSize = 10.0
-  def q77GeoGrid(s: SparkSession, dir: String): DataFrame = {
-    import graft.geo.{GeoGrid, Wkb}
+
+  /** The shared synthesized point corpus for q77/q78: coordinates are
+    * pure integer functions of doc_id, encoded as REAL WKB — one
+    * definition so the two queries cannot drift apart. */
+  private def pointCorpus(s: SparkSession, dir: String): DataFrame = {
+    import graft.geo.Wkb
     val enc = udf { (id: Long) =>
       val x = (id * 37 % 1000).toDouble / 10.0 - 50.0
       val y = (id * 91 % 1000).toDouble / 10.0 - 50.0
       Wkb.write(Wkb.GPoint(Array(x, y), hasZ = false, hasM = false))
     }
-    val pts = graft.Tables.documents(s, dir)
+    graft.Tables.documents(s, dir)
       .select(col("doc_id"), enc(col("doc_id")).as("wkb"))
-    GeoGrid.gridCells(pts, col("wkb"), GridCellSize)
+  }
+
+  def q77GeoGrid(s: SparkSession, dir: String): DataFrame = {
+    import graft.geo.GeoGrid
+    GeoGrid.gridCells(pointCorpus(s, dir), col("wkb"), GridCellSize)
       .groupBy(col("cell_x"), col("cell_y"))
       .agg(count(lit(1)).as("n_geoms"), min(col("doc_id")).as("first_doc"))
   }
@@ -123,18 +131,9 @@ object GeoQueries {
   // coordinate arithmetic and an O(n²) distance filter, proving the
   // grid join loses no pair and invents none.
   private val NeighborMaxDist = 5.0
-  def q78GeoNeighbors(s: SparkSession, dir: String): DataFrame = {
-    import graft.geo.{GeoGrid, Wkb}
-    val enc = udf { (id: Long) =>
-      val x = (id * 37 % 1000).toDouble / 10.0 - 50.0
-      val y = (id * 91 % 1000).toDouble / 10.0 - 50.0
-      Wkb.write(Wkb.GPoint(Array(x, y), hasZ = false, hasM = false))
-    }
-    val pts = graft.Tables.documents(s, dir)
-      .select(col("doc_id"), enc(col("doc_id")).as("wkb"))
-    GeoGrid.neighborPairs(pts, col("doc_id"), col("wkb"),
-      cellSize = GridCellSize, maxDist = NeighborMaxDist)
-  }
+  def q78GeoNeighbors(s: SparkSession, dir: String): DataFrame =
+    graft.geo.GeoGrid.neighborPairs(pointCorpus(s, dir), col("doc_id"),
+      col("wkb"), cellSize = GridCellSize, maxDist = NeighborMaxDist)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_geom_type" -> q14GeomType _,
@@ -162,14 +161,14 @@ object GeoQueries {
     // replays ONLY the coordinate arithmetic (identical IEEE op order)
     // — the WKB encode/parse/envelope path is what the equality proves
     "q77_geo_grid" ->
-      """WITH p AS (SELECT doc_id,
-        |    CAST(doc_id * 37 % 1000 AS DOUBLE) / 10.0 - 50.0 AS x,
-        |    CAST(doc_id * 91 % 1000 AS DOUBLE) / 10.0 - 50.0 AS y FROM documents),
-        |c AS (SELECT doc_id,
-        |    CAST(floor(((x + x) / 2.0) / 10.0) AS BIGINT) AS cell_x,
-        |    CAST(floor(((y + y) / 2.0) / 10.0) AS BIGINT) AS cell_y FROM p)
-        |SELECT cell_x, cell_y, count(*) AS n_geoms, min(doc_id) AS first_doc
-        |FROM c GROUP BY cell_x, cell_y""".stripMargin,
+      s"""WITH p AS (SELECT doc_id,
+         |    CAST(doc_id * 37 % 1000 AS DOUBLE) / 10.0 - 50.0 AS x,
+         |    CAST(doc_id * 91 % 1000 AS DOUBLE) / 10.0 - 50.0 AS y FROM documents),
+         |c AS (SELECT doc_id,
+         |    CAST(floor(((x + x) / 2.0) / $GridCellSize) AS BIGINT) AS cell_x,
+         |    CAST(floor(((y + y) / 2.0) / $GridCellSize) AS BIGINT) AS cell_y FROM p)
+         |SELECT cell_x, cell_y, count(*) AS n_geoms, min(doc_id) AS first_doc
+         |FROM c GROUP BY cell_x, cell_y""".stripMargin,
     // brute-force O(n²) replay at oracle scale: every pair the grid
     // join returns, no more and no fewer, under the same micro-unit
     // integer distance arithmetic
@@ -184,7 +183,7 @@ object GeoQueries {
          |  (a.xf - b.xf) * (a.xf - b.xf) + (a.yf - b.yf) * (a.yf - b.yf) AS dist2_fp2
          |FROM p a JOIN p b ON a.doc_id < b.doc_id
          |WHERE (a.xf - b.xf) * (a.xf - b.xf) + (a.yf - b.yf) * (a.yf - b.yf)
-         |  <= CAST(${math.floor(5.0 * 1e6).toLong} AS BIGINT)
-         |     * CAST(${math.floor(5.0 * 1e6).toLong} AS BIGINT)""".stripMargin,
+         |  <= CAST(${math.floor(NeighborMaxDist * 1e6).toLong} AS BIGINT)
+         |     * CAST(${math.floor(NeighborMaxDist * 1e6).toLong} AS BIGINT)""".stripMargin,
   )
 }

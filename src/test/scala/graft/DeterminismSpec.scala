@@ -12,9 +12,12 @@ class DeterminismSpec extends AnyFunSuite with SparkTestSession {
 
   private val Dir = "/root/testdata/sf0.001"
 
-  private def run(q: String): Set[String] = {
+  // sorted Seq, NOT Set: a partition-dependent change in duplicate-row
+  // MULTIPLICITY (exactly the class of bug repartitioning exposes in
+  // pair generators) must fail the compare
+  private def run(q: String): Seq[String] = {
     graft.llm.Caches.unpersistAll(blocking = true)
-    SparkEntry.queries(q)(spark, Dir).collect().map(_.toString).toSet
+    SparkEntry.queries(q)(spark, Dir).collect().map(_.toString).toSeq.sorted
   }
 
   test("hash-sensitive queries are invariant to the shuffle-partition count") {

@@ -24,12 +24,17 @@ class GeoGridSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("cell assignment: boundary lands in the upper cell, negatives floor down") {
-    assert(GeoGrid.cellOf(pt(10.0, -0.1), 10.0) == ((1L, -1L)))
-    assert(GeoGrid.cellOf(pt(9.999, 0.0), 10.0) == ((0L, 0L)))
-    assert(GeoGrid.cellOf(pt(-20.0, -20.0), 10.0) == ((-2L, -2L)))
+    assert(GeoGrid.cellOf(pt(10.0, -0.1), 10.0) == Some((1L, -1L)))
+    assert(GeoGrid.cellOf(pt(9.999, 0.0), 10.0) == Some((0L, 0L)))
+    assert(GeoGrid.cellOf(pt(-20.0, -20.0), 10.0) == Some((-2L, -2L)))
     // a line's cell comes from its envelope center
     val line = Wkb.GLineString(Array(Array(0.0, 0.0), Array(30.0, 0.0)), false, false)
-    assert(GeoGrid.cellOf(line, 10.0) == ((1L, 0L))) // center x = 15
+    assert(GeoGrid.cellOf(line, 10.0) == Some((1L, 0L))) // center x = 15
+    // EMPTY geometries must not grid: a NaN/infinite center would
+    // otherwise floor to cell (0,0) and pair with origin-adjacent data
+    assert(GeoGrid.cellOf(Wkb.GLineString(Array.empty, false, false), 10.0).isEmpty)
+    assert(GeoGrid.cellOf(
+      pt(Double.NaN, 1.0), 10.0).isEmpty)
   }
 
   test("neighborPairs: equals brute force across cell boundaries; exactly once each") {
