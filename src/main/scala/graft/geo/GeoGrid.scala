@@ -111,9 +111,16 @@ object GeoGrid {
     *
     * 100 TB shape: shuffle keys are (cell_x, cell_y) pairs — the
     * candidate explosion is ≤9× the skinny (id, x, y) projection, and
-    * geometry bytes never cross an exchange. */
+    * geometry bytes never cross an exchange. `maxCellPoints > 0` is
+    * the dense-cell skew guard, the spatial twin of the LSH
+    * `maxBucketSize`: a degenerate cell (every geometry at one
+    * landmark) otherwise costs m² pair work. Cells are RANK-TRUNCATED
+    * (first `maxCellPoints` points by id participate; later points
+    * drop out of pairing) rather than dropped wholesale — spatial
+    * density is real signal, so the guard bounds work at cap² per
+    * cell without zeroing dense regions. */
   def neighborPairs(df: DataFrame, idCol: Column, wkbCol: Column,
-      cellSize: Double, maxDist: Double): DataFrame = {
+      cellSize: Double, maxDist: Double, maxCellPoints: Int = 0): DataFrame = {
     // one micro-unit of slack over maxDist: the fixed-point verify
     // accepts Δ up to maxDist + 1e-6, and a pair at exactly that
     // distance must still be at most one cell apart or the 3×3 probe
@@ -141,11 +148,17 @@ object GeoGrid {
     // BOTH self-join sides consume it — cache the skinny projection
     // (tracked; released via Caches.unpersistAll) so geometry decode
     // runs once, not once per side
-    val pts = graft.llm.Caches.persistTracked(
+    val pts0 = graft.llm.Caches.persistTracked(
       df.select(idCol.as("id"), xyUdf(wkbCol).as("p"))
         .filter(col("p").isNotNull)
         .select(col("id"), col("p._1").as("x"), col("p._2").as("y"),
           col("p._3").as("cx"), col("p._4").as("cy")))
+    val pts = if (maxCellPoints > 0) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cx"), col("cy")).orderBy(col("id"))
+      pts0.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= maxCellPoints).drop("__rn")
+    } else pts0
     val maxDistFp = math.floor(maxDist * 1e6).toLong
     val left = pts.select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"),
         explode(expr("transform(sequence(-1, 1), i -> cx + i)")).as("pcx"),

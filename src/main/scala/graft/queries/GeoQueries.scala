@@ -135,12 +135,25 @@ object GeoQueries {
     graft.geo.GeoGrid.neighborPairs(pointCorpus(s, dir), col("doc_id"),
       col("wkb"), cellSize = GridCellSize, maxDist = NeighborMaxDist)
 
+  // ---- q79: dense-cell-capped spatial join (the skew-guard twin) ----
+  // q78 with maxCellPoints enforced — the q49/q58/q62 pattern for
+  // space: the oracle replays the rank-truncation (first cap points
+  // per cell by id) before its brute-force distance filter, proving
+  // the guard's exact semantics. The cap triggers at BOTH driver SFs
+  // (cells hold 2-8 points at sf0.01 and 40-60 at sf0.1).
+  private val NeighborCellCap = 6
+  def q79GeoNeighborsCapped(s: SparkSession, dir: String): DataFrame =
+    graft.geo.GeoGrid.neighborPairs(pointCorpus(s, dir), col("doc_id"),
+      col("wkb"), cellSize = GridCellSize, maxDist = NeighborMaxDist,
+      maxCellPoints = NeighborCellCap)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_geom_type" -> q14GeomType _,
     "q15_linearize" -> q15Linearize _,
     "q26_contours"  -> q26Contours _,
     "q77_geo_grid"  -> q77GeoGrid _,
     "q78_geo_neighbors" -> q78GeoNeighbors _,
+    "q79_geo_neighbors_capped" -> q79GeoNeighborsCapped _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -179,6 +192,26 @@ object GeoQueries {
          |  FROM (SELECT doc_id,
          |    CAST(doc_id * 37 % 1000 AS DOUBLE) / 10.0 - 50.0 AS x,
          |    CAST(doc_id * 91 % 1000 AS DOUBLE) / 10.0 - 50.0 AS y FROM documents) s)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  (a.xf - b.xf) * (a.xf - b.xf) + (a.yf - b.yf) * (a.yf - b.yf) AS dist2_fp2
+         |FROM p a JOIN p b ON a.doc_id < b.doc_id
+         |WHERE (a.xf - b.xf) * (a.xf - b.xf) + (a.yf - b.yf) * (a.yf - b.yf)
+         |  <= CAST(${math.floor(NeighborMaxDist * 1e6).toLong} AS BIGINT)
+         |     * CAST(${math.floor(NeighborMaxDist * 1e6).toLong} AS BIGINT)""".stripMargin,
+    // same brute-force replay over only the rank-truncation survivors
+    // — the windowed cap IS the semantics under test
+    "q79_geo_neighbors_capped" ->
+      s"""WITH p0 AS (SELECT doc_id,
+         |    CAST(floor((((x + x) / 2.0)) * 1000000.0) AS BIGINT) AS xf,
+         |    CAST(floor((((y + y) / 2.0)) * 1000000.0) AS BIGINT) AS yf,
+         |    CAST(floor(((x + x) / 2.0) / $GridCellSize) AS BIGINT) AS cx,
+         |    CAST(floor(((y + y) / 2.0) / $GridCellSize) AS BIGINT) AS cy
+         |  FROM (SELECT doc_id,
+         |    CAST(doc_id * 37 % 1000 AS DOUBLE) / 10.0 - 50.0 AS x,
+         |    CAST(doc_id * 91 % 1000 AS DOUBLE) / 10.0 - 50.0 AS y FROM documents) s),
+         |p AS (SELECT doc_id, xf, yf FROM (SELECT doc_id, xf, yf,
+         |    row_number() OVER (PARTITION BY cx, cy ORDER BY doc_id) AS rn FROM p0) t
+         |  WHERE rn <= $NeighborCellCap)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  (a.xf - b.xf) * (a.xf - b.xf) + (a.yf - b.yf) * (a.yf - b.yf) AS dist2_fp2
          |FROM p a JOIN p b ON a.doc_id < b.doc_id

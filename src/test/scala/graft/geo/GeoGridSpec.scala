@@ -56,6 +56,21 @@ class GeoGridSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("neighborPairs cap: dense cell rank-truncates, sparse pairs untouched") {
+    import spark.implicits._
+    // 10 coincident points in one cell + a sparse pair elsewhere;
+    // cap 4 → C(4,2)=6 pairs among the dense cell's first 4 ids, and
+    // the sparse pair survives unchanged
+    val rows = ((0 until 10).map(i => (i.toLong, Wkb.write(pt(5.0, 5.0)))) ++
+      Seq((100L, Wkb.write(pt(25.0, 5.0))), (101L, Wkb.write(pt(27.0, 5.0)))))
+      .toDF("id", "wkb")
+    val got = GeoGrid.neighborPairs(rows, col("id"), col("wkb"),
+        cellSize = 10.0, maxDist = 5.0, maxCellPoints = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val densePairs = (for { a <- 0 until 4; b <- (a + 1) until 4 } yield (a.toLong, b.toLong)).toSet
+    assert(got == densePairs + ((100L, 101L)))
+  }
+
   test("gridCells: WKB round-trip, unparsable bytes → null cells, row survives") {
     import spark.implicits._
     val rows = Seq(
