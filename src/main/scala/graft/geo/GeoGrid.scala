@@ -69,6 +69,29 @@ object GeoGrid {
     else None
   }
 
+  /** Even-odd (PNPOLY) point-in-polygon test over every ring — holes
+    * flip the parity back out, which is exactly the even-odd contract.
+    * The closing vertex's zero-length edge never crosses the ray
+    * (its y-interval is empty), so closed rings need no special case.
+    * Points exactly ON an edge get an arbitrary but deterministic
+    * side — callers with boundary semantics quantize away from edges
+    * (as the q80 corpus does by construction). */
+  def containsPoint(poly: Wkb.GPolygon, px: Double, py: Double): Boolean = {
+    var inside = false
+    poly.rings.foreach { ring =>
+      var j = ring.length - 1
+      var i = 0
+      while (i < ring.length) {
+        val xi = ring(i)(0); val yi = ring(i)(1)
+        val xj = ring(j)(0); val yj = ring(j)(1)
+        if ((yi > py) != (yj > py) &&
+          px < (xj - xi) * (py - yi) / (yj - yi) + xi) inside = !inside
+        j = i; i += 1
+      }
+    }
+    inside
+  }
+
   /** Largest supported cellSize/maxDist: fixed-point squared distances
     * on adjacent-cell candidates reach `(2·cellSize·10⁶)²`, which must
     * stay inside Long — beyond this bound results would be silently
@@ -173,5 +196,79 @@ object GeoGrid {
         ((col("xa") - col("xb")) * (col("xa") - col("xb")) +
           (col("ya") - col("yb")) * (col("ya") - col("yb"))).as("dist2_fp2"))
       .filter(col("dist2_fp2") <= maxDistFp * maxDistFp)
+  }
+
+  /** Grid-partitioned containment join: (point_id, poly_id) for every
+    * POINT inside a POLYGON — st_contains, the other spatial-join
+    * workhorse, in the same candidate/verify shape as
+    * [[neighborPairs]]: polygons explode to the cell RANGE their
+    * envelope covers, points join by home cell, a fixed-point
+    * envelope prefilter prunes, and the exact even-odd ray cast
+    * ([[containsPoint]]) verifies — with the polygon bytes joining
+    * back BY ID only for the surviving candidates, so geometry never
+    * rides the candidate exchange.
+    *
+    * Unparsable/empty geometries on either side drop out of the join
+    * (no cell), the standard contract.
+    *
+    * 100 TB shape: candidate volume is points × the few cells each
+    * polygon overlaps; the verify shuffles only (point_id, poly_id,
+    * two doubles); a polygon spanning many cells costs its cell count
+    * in skinny index rows, never a copy of its ring data. */
+  def containmentJoin(points: DataFrame, pIdCol: Column, pWkbCol: Column,
+      polys: DataFrame, gIdCol: Column, gWkbCol: Column,
+      cellSize: Double): DataFrame = {
+    require(cellSize > 0.0 && cellSize <= MaxCellSize,
+      s"cellSize must be in (0, $MaxCellSize]")
+    val ptUdf = udf { (bytes: Array[Byte]) =>
+      Option(bytes).flatMap(Wkb.read).flatMap { g =>
+        val (minX, minY, maxX, maxY) = envelope(g)
+        val cx = (minX + maxX) / 2.0
+        val cy = (minY + maxY) / 2.0
+        if (java.lang.Double.isFinite(cx) && java.lang.Double.isFinite(cy))
+          Some((cx, cy, math.floor(cx * 1e6).toLong, math.floor(cy * 1e6).toLong,
+            math.floor(cx / cellSize).toLong, math.floor(cy / cellSize).toLong))
+        else None
+      }
+    }
+    val envUdf = udf { (bytes: Array[Byte]) =>
+      Option(bytes).flatMap(Wkb.read).flatMap { g =>
+        val (minX, minY, maxX, maxY) = envelope(g)
+        if (java.lang.Double.isFinite(minX) && java.lang.Double.isFinite(minY) &&
+          java.lang.Double.isFinite(maxX) && java.lang.Double.isFinite(maxY))
+          Some((math.floor(minX * 1e6).toLong, math.floor(minY * 1e6).toLong,
+            math.floor(maxX * 1e6).toLong, math.floor(maxY * 1e6).toLong,
+            math.floor(minX / cellSize).toLong, math.floor(maxX / cellSize).toLong,
+            math.floor(minY / cellSize).toLong, math.floor(maxY / cellSize).toLong))
+        else None
+      }
+    }
+    val pts = points.select(pIdCol.as("point_id"), ptUdf(pWkbCol).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("point_id"), col("p._1").as("px"), col("p._2").as("py"),
+        col("p._3").as("pxf"), col("p._4").as("pyf"),
+        col("p._5").as("pcx"), col("p._6").as("pcy"))
+    val polyIdx = polys.select(gIdCol.as("poly_id"), envUdf(gWkbCol).as("e"))
+      .filter(col("e").isNotNull)
+      .select(col("poly_id"), col("e._1").as("x0f"), col("e._2").as("y0f"),
+        col("e._3").as("x1f"), col("e._4").as("y1f"),
+        explode(expr("sequence(e._5, e._6)")).as("pcx"), col("e._7").as("cy0"),
+        col("e._8").as("cy1"))
+      .select(col("poly_id"), col("x0f"), col("y0f"), col("x1f"), col("y1f"),
+        col("pcx"), explode(expr("sequence(cy0, cy1)")).as("pcy"))
+    val cand = pts.join(polyIdx, Seq("pcx", "pcy"))
+      .filter(col("pxf") > col("x0f") && col("pxf") < col("x1f") &&
+        col("pyf") > col("y0f") && col("pyf") < col("y1f"))
+      .select(col("point_id"), col("poly_id"), col("px"), col("py"))
+    val verifyUdf = udf { (bytes: Array[Byte], px: Double, py: Double) =>
+      Wkb.read(bytes) match {
+        case Some(p: Wkb.GPolygon) => containsPoint(p, px, py)
+        case Some(Wkb.GMultiPolygon(gs, _, _)) => gs.exists(containsPoint(_, px, py))
+        case _ => false
+      }
+    }
+    cand.join(polys.select(gIdCol.as("poly_id"), gWkbCol.as("__poly_wkb")), Seq("poly_id"))
+      .filter(verifyUdf(col("__poly_wkb"), col("px"), col("py")))
+      .select(col("point_id"), col("poly_id"))
   }
 }

@@ -147,6 +147,34 @@ object GeoQueries {
       col("wkb"), cellSize = GridCellSize, maxDist = NeighborMaxDist,
       maxCellPoints = NeighborCellCap)
 
+  // ---- q80: grid-partitioned containment join (st_contains) ----
+  // Every 20th doc carries a REAL WKB rectangle (center from the point
+  // formula, half-extent 3.05..7.05 — the .05 keeps every 0.1-grid
+  // point strictly off the edges, so the even-odd ray cast and the
+  // envelope arithmetic agree unambiguously). The oracle replays the
+  // synthesis arithmetic and a brute-force strict range check; the
+  // Spark side must encode, parse, grid, prefilter AND ray-cast its
+  // way to the identical pair set.
+  def q80GeoContainment(s: SparkSession, dir: String): DataFrame = {
+    import graft.geo.{GeoGrid, Wkb}
+    val rectUdf = udf { (id: Long) =>
+      val cx = (id * 37 % 1000).toDouble / 10.0 - 50.0
+      val cy = (id * 91 % 1000).toDouble / 10.0 - 50.0
+      val wv = (id / 20 % 5).toDouble + 3.05
+      val ring = Array(
+        Array(cx - wv, cy - wv), Array(cx + wv, cy - wv),
+        Array(cx + wv, cy + wv), Array(cx - wv, cy + wv),
+        Array(cx - wv, cy - wv))
+      Wkb.write(Wkb.GPolygon(Array(ring), hasZ = false, hasM = false))
+    }
+    val polys = graft.Tables.documents(s, dir)
+      .filter(pmod(col("doc_id"), lit(20)) === 0)
+      .select(col("doc_id"), rectUdf(col("doc_id")).as("wkb"))
+    GeoGrid.containmentJoin(
+      pointCorpus(s, dir), col("doc_id"), col("wkb"),
+      polys, col("doc_id"), col("wkb"), GridCellSize)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_geom_type" -> q14GeomType _,
     "q15_linearize" -> q15Linearize _,
@@ -154,6 +182,7 @@ object GeoQueries {
     "q77_geo_grid"  -> q77GeoGrid _,
     "q78_geo_neighbors" -> q78GeoNeighbors _,
     "q79_geo_neighbors_capped" -> q79GeoNeighborsCapped _,
+    "q80_geo_containment" -> q80GeoContainment _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -218,5 +247,27 @@ object GeoQueries {
          |WHERE (a.xf - b.xf) * (a.xf - b.xf) + (a.yf - b.yf) * (a.yf - b.yf)
          |  <= CAST(${math.floor(NeighborMaxDist * 1e6).toLong} AS BIGINT)
          |     * CAST(${math.floor(NeighborMaxDist * 1e6).toLong} AS BIGINT)""".stripMargin,
+    // synthesis arithmetic + brute-force strict range check; the Spark
+    // side reaches the same pairs only if WKB encode → parse →
+    // envelope → grid → ray cast all agree with this arithmetic
+    "q80_geo_containment" ->
+      s"""WITH pt AS (SELECT doc_id AS point_id,
+         |    CAST(floor((CAST(doc_id * 37 % 1000 AS DOUBLE) / 10.0 - 50.0)
+         |      * 1000000.0) AS BIGINT) AS pxf,
+         |    CAST(floor((CAST(doc_id * 91 % 1000 AS DOUBLE) / 10.0 - 50.0)
+         |      * 1000000.0) AS BIGINT) AS pyf FROM documents),
+         |pg AS (SELECT doc_id AS poly_id,
+         |    CAST(doc_id * 37 % 1000 AS DOUBLE) / 10.0 - 50.0 AS cx,
+         |    CAST(doc_id * 91 % 1000 AS DOUBLE) / 10.0 - 50.0 AS cy,
+         |    CAST(doc_id // 20 % 5 AS DOUBLE) + 3.05 AS wv
+         |  FROM documents WHERE doc_id % 20 = 0),
+         |pb AS (SELECT poly_id,
+         |    CAST(floor((cx - wv) * 1000000.0) AS BIGINT) AS x0f,
+         |    CAST(floor((cx + wv) * 1000000.0) AS BIGINT) AS x1f,
+         |    CAST(floor((cy - wv) * 1000000.0) AS BIGINT) AS y0f,
+         |    CAST(floor((cy + wv) * 1000000.0) AS BIGINT) AS y1f FROM pg)
+         |SELECT pt.point_id, pb.poly_id FROM pt, pb
+         |WHERE pt.pxf > pb.x0f AND pt.pxf < pb.x1f
+         |  AND pt.pyf > pb.y0f AND pt.pyf < pb.y1f""".stripMargin,
   )
 }

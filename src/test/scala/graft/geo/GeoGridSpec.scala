@@ -71,6 +71,43 @@ class GeoGridSpec extends AnyFunSuite with SparkTestSession {
     assert(got == densePairs + ((100L, 101L)))
   }
 
+  test("containsPoint: non-convex shapes and holes follow even-odd semantics") {
+    // L-shape: (0,0)-(4,0)-(4,2)-(2,2)-(2,4)-(0,4)
+    val l = Wkb.GPolygon(Array(Array(
+      Array(0.0, 0.0), Array(4.0, 0.0), Array(4.0, 2.0), Array(2.0, 2.0),
+      Array(2.0, 4.0), Array(0.0, 4.0), Array(0.0, 0.0))), false, false)
+    assert(GeoGrid.containsPoint(l, 1.0, 1.0))   // in the thick part
+    assert(GeoGrid.containsPoint(l, 1.0, 3.0))   // in the vertical arm
+    assert(!GeoGrid.containsPoint(l, 3.0, 3.0))  // in the notch
+    assert(!GeoGrid.containsPoint(l, 5.0, 1.0))  // outside
+    // square with a square hole: the hole flips parity back out
+    val holed = Wkb.GPolygon(Array(
+      Array(Array(0.0, 0.0), Array(10.0, 0.0), Array(10.0, 10.0),
+        Array(0.0, 10.0), Array(0.0, 0.0)),
+      Array(Array(4.0, 4.0), Array(6.0, 4.0), Array(6.0, 6.0),
+        Array(4.0, 6.0), Array(4.0, 4.0))), false, false)
+    assert(GeoGrid.containsPoint(holed, 1.0, 1.0))
+    assert(!GeoGrid.containsPoint(holed, 5.0, 5.0)) // inside the hole
+  }
+
+  test("containmentJoin: grid candidates + ray cast equal the direct definition") {
+    import spark.implicits._
+    val poly = Wkb.GPolygon(Array(Array(
+      Array(10.0, 10.0), Array(30.0, 10.0), Array(30.0, 30.0),
+      Array(10.0, 30.0), Array(10.0, 10.0))), false, false)
+    val polys = Seq((1L, Wkb.write(poly))).toDF("gid", "gwkb")
+    val points = Seq(
+      (1L, pt(15.0, 15.0)),  // inside (spans a different cell than (25,25))
+      (2L, pt(25.0, 25.0)),  // inside, other corner cell
+      (3L, pt(35.0, 15.0)),  // outside, adjacent cell
+      (4L, pt(15.0, 35.0))). // outside
+      map { case (id, p) => (id, Wkb.write(p)) }.toDF("pid", "pwkb")
+    val got = GeoGrid.containmentJoin(points, col("pid"), col("pwkb"),
+        polys, col("gid"), col("gwkb"), cellSize = 10.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 1L), (2L, 1L)))
+  }
+
   test("gridCells: WKB round-trip, unparsable bytes → null cells, row survives") {
     import spark.implicits._
     val rows = Seq(
