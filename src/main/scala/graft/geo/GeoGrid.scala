@@ -60,14 +60,29 @@ object GeoGrid {
     * grid: `math.floor(NaN).toLong` is 0, so without the guard every
     * empty geometry would silently land in cell (0,0) and pair with
     * real geometries near the origin. */
-  def cellOf(g: Wkb.Geom, cellSize: Double): Option[(Long, Long)] = {
+  /** Largest |coordinate| the micro-unit fixed point can hold:
+    * `floor(c·10⁶)` must stay inside Long or comparisons silently
+    * wrap. Geometries beyond it are unscorable → excluded, the same
+    * contract as empty geometries. */
+  val MaxCoord = 9.0e12
+
+  /** Finite envelope center, or None for empty/NaN/out-of-range
+    * geometries — the ONE owner of the unscorable-geometry contract
+    * every grid entry point shares. */
+  private[geo] def finiteCenter(g: Wkb.Geom): Option[(Double, Double)] = {
     val (minX, minY, maxX, maxY) = envelope(g)
     val cx = (minX + maxX) / 2.0
     val cy = (minY + maxY) / 2.0
-    if (java.lang.Double.isFinite(cx) && java.lang.Double.isFinite(cy))
-      Some((math.floor(cx / cellSize).toLong, math.floor(cy / cellSize).toLong))
+    if (java.lang.Double.isFinite(cx) && java.lang.Double.isFinite(cy) &&
+      math.abs(cx) <= MaxCoord && math.abs(cy) <= MaxCoord)
+      Some((cx, cy))
     else None
   }
+
+  def cellOf(g: Wkb.Geom, cellSize: Double): Option[(Long, Long)] =
+    finiteCenter(g).map { case (cx, cy) =>
+      (math.floor(cx / cellSize).toLong, math.floor(cy / cellSize).toLong)
+    }
 
   /** Even-odd (PNPOLY) point-in-polygon test over every ring — holes
     * flip the parity back out, which is exactly the even-odd contract.
@@ -156,32 +171,28 @@ object GeoGrid {
       s"cellSize ($cellSize) beyond $MaxCellSize overflows the fixed-point " +
         "squared-distance arithmetic — rescale coordinates first")
     val xyUdf = udf { (bytes: Array[Byte]) =>
-      Option(bytes).flatMap(Wkb.read).flatMap { g =>
-        val (minX, minY, maxX, maxY) = envelope(g)
-        val cx = (minX + maxX) / 2.0
-        val cy = (minY + maxY) / 2.0
-        // empty geometries (NaN/infinite centers) must not pair — see cellOf
-        if (java.lang.Double.isFinite(cx) && java.lang.Double.isFinite(cy))
-          Some((math.floor(cx * 1e6).toLong, math.floor(cy * 1e6).toLong,
-            math.floor(cx / cellSize).toLong, math.floor(cy / cellSize).toLong))
-        else None
+      Option(bytes).flatMap(Wkb.read).flatMap(finiteCenter).map { case (cx, cy) =>
+        (math.floor(cx * 1e6).toLong, math.floor(cy * 1e6).toLong,
+          math.floor(cx / cellSize).toLong, math.floor(cy / cellSize).toLong)
       }
     }
     // the parse + envelope pass is the expensive scan-local step and
     // BOTH self-join sides consume it — cache the skinny projection
-    // (tracked; released via Caches.unpersistAll) so geometry decode
-    // runs once, not once per side
-    val pts0 = graft.llm.Caches.persistTracked(
-      df.select(idCol.as("id"), xyUdf(wkbCol).as("p"))
-        .filter(col("p").isNotNull)
-        .select(col("id"), col("p._1").as("x"), col("p._2").as("y"),
-          col("p._3").as("cx"), col("p._4").as("cy")))
-    val pts = if (maxCellPoints > 0) {
+    // AFTER the cap window (tracked; released via Caches.unpersistAll)
+    // so geometry decode AND the cap's shuffle/sort run once, not once
+    // per side. Caching post-cap also pins ONE survivor set: two
+    // independent window evaluations could truncate different subsets
+    // under duplicate ids, yielding asymmetric pairs across retries.
+    val pts0 = df.select(idCol.as("id"), xyUdf(wkbCol).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("id"), col("p._1").as("x"), col("p._2").as("y"),
+        col("p._3").as("cx"), col("p._4").as("cy"))
+    val pts = graft.llm.Caches.persistTracked(if (maxCellPoints > 0) {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("cx"), col("cy")).orderBy(col("id"))
       pts0.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") <= maxCellPoints).drop("__rn")
-    } else pts0
+    } else pts0)
     val maxDistFp = math.floor(maxDist * 1e6).toLong
     val left = pts.select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"),
         explode(expr("transform(sequence(-1, 1), i -> cx + i)")).as("pcx"),
@@ -215,32 +226,44 @@ object GeoGrid {
     * polygon overlaps; the verify shuffles only (point_id, poly_id,
     * two doubles); a polygon spanning many cells costs its cell count
     * in skinny index rows, never a copy of its ring data. */
+  /** Cap on a single polygon's grid-cell span per axis: beyond it the
+    * cell-range explosion itself becomes the scale hazard (one
+    * continent-sized or garbage-coordinate polygon would emit millions
+    * of index rows and can kill the job). Oversized geometries are
+    * excluded from the index — production pre-splits giants before
+    * spatial joining, the standard answer. */
+  val MaxPolyCellsPerAxis = 4096L
+
   def containmentJoin(points: DataFrame, pIdCol: Column, pWkbCol: Column,
       polys: DataFrame, gIdCol: Column, gWkbCol: Column,
       cellSize: Double): DataFrame = {
     require(cellSize > 0.0 && cellSize <= MaxCellSize,
       s"cellSize must be in (0, $MaxCellSize]")
     val ptUdf = udf { (bytes: Array[Byte]) =>
-      Option(bytes).flatMap(Wkb.read).flatMap { g =>
-        val (minX, minY, maxX, maxY) = envelope(g)
-        val cx = (minX + maxX) / 2.0
-        val cy = (minY + maxY) / 2.0
-        if (java.lang.Double.isFinite(cx) && java.lang.Double.isFinite(cy))
-          Some((cx, cy, math.floor(cx * 1e6).toLong, math.floor(cy * 1e6).toLong,
-            math.floor(cx / cellSize).toLong, math.floor(cy / cellSize).toLong))
-        else None
+      Option(bytes).flatMap(Wkb.read).flatMap(finiteCenter).map { case (cx, cy) =>
+        (cx, cy, math.floor(cx * 1e6).toLong, math.floor(cy * 1e6).toLong,
+          math.floor(cx / cellSize).toLong, math.floor(cy / cellSize).toLong)
       }
     }
     val envUdf = udf { (bytes: Array[Byte]) =>
       Option(bytes).flatMap(Wkb.read).flatMap { g =>
         val (minX, minY, maxX, maxY) = envelope(g)
-        if (java.lang.Double.isFinite(minX) && java.lang.Double.isFinite(minY) &&
-          java.lang.Double.isFinite(maxX) && java.lang.Double.isFinite(maxY))
-          Some((math.floor(minX * 1e6).toLong, math.floor(minY * 1e6).toLong,
+        val finite = java.lang.Double.isFinite(minX) && java.lang.Double.isFinite(minY) &&
+          java.lang.Double.isFinite(maxX) && java.lang.Double.isFinite(maxY) &&
+          math.abs(minX) <= MaxCoord && math.abs(minY) <= MaxCoord &&
+          math.abs(maxX) <= MaxCoord && math.abs(maxY) <= MaxCoord
+        if (!finite) None
+        else {
+          val cx0 = math.floor(minX / cellSize).toLong
+          val cx1 = math.floor(maxX / cellSize).toLong
+          val cy0 = math.floor(minY / cellSize).toLong
+          val cy1 = math.floor(maxY / cellSize).toLong
+          // see MaxPolyCellsPerAxis — an unbounded span must not explode
+          if (cx1 - cx0 >= MaxPolyCellsPerAxis || cy1 - cy0 >= MaxPolyCellsPerAxis) None
+          else Some((math.floor(minX * 1e6).toLong, math.floor(minY * 1e6).toLong,
             math.floor(maxX * 1e6).toLong, math.floor(maxY * 1e6).toLong,
-            math.floor(minX / cellSize).toLong, math.floor(maxX / cellSize).toLong,
-            math.floor(minY / cellSize).toLong, math.floor(maxY / cellSize).toLong))
-        else None
+            cx0, cx1, cy0, cy1))
+        }
       }
     }
     val pts = points.select(pIdCol.as("point_id"), ptUdf(pWkbCol).as("p"))
@@ -256,9 +279,13 @@ object GeoGrid {
         col("e._8").as("cy1"))
       .select(col("poly_id"), col("x0f"), col("y0f"), col("x1f"), col("y1f"),
         col("pcx"), explode(expr("sequence(cy0, cy1)")).as("pcy"))
+    // INCLUSIVE prefilter: floor is monotone, so minX <= px <= maxX
+    // implies x0f <= pxf <= x1f — a strict compare would drop inside
+    // points within one micro-unit of the envelope edge before the
+    // exact ray cast (the decider) ever saw them
     val cand = pts.join(polyIdx, Seq("pcx", "pcy"))
-      .filter(col("pxf") > col("x0f") && col("pxf") < col("x1f") &&
-        col("pyf") > col("y0f") && col("pyf") < col("y1f"))
+      .filter(col("pxf") >= col("x0f") && col("pxf") <= col("x1f") &&
+        col("pyf") >= col("y0f") && col("pyf") <= col("y1f"))
       .select(col("point_id"), col("poly_id"), col("px"), col("py"))
     val verifyUdf = udf { (bytes: Array[Byte], px: Double, py: Double) =>
       Wkb.read(bytes) match {

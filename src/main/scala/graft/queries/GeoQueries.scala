@@ -103,14 +103,20 @@ object GeoQueries {
   // key is what a 100 TB spatial join shuffles on.
   private val GridCellSize = 10.0
 
-  /** The shared synthesized point corpus for q77/q78: coordinates are
-    * pure integer functions of doc_id, encoded as REAL WKB — one
-    * definition so the two queries cannot drift apart. */
+  /** The ONE doc_id → coordinates formula behind every synthesized
+    * spatial corpus (points q77/q78/q79, polygon centers q80) — and
+    * behind their oracles, which interpolate the same arithmetic. */
+  private def xyOf(id: Long): (Double, Double) =
+    ((id * 37 % 1000).toDouble / 10.0 - 50.0,
+      (id * 91 % 1000).toDouble / 10.0 - 50.0)
+
+  /** The shared synthesized point corpus for q77/q78/q79: coordinates
+    * from [[xyOf]], encoded as REAL WKB — one definition so the
+    * queries cannot drift apart. */
   private def pointCorpus(s: SparkSession, dir: String): DataFrame = {
     import graft.geo.Wkb
     val enc = udf { (id: Long) =>
-      val x = (id * 37 % 1000).toDouble / 10.0 - 50.0
-      val y = (id * 91 % 1000).toDouble / 10.0 - 50.0
+      val (x, y) = xyOf(id)
       Wkb.write(Wkb.GPoint(Array(x, y), hasZ = false, hasM = false))
     }
     graft.Tables.documents(s, dir)
@@ -158,8 +164,7 @@ object GeoQueries {
   def q80GeoContainment(s: SparkSession, dir: String): DataFrame = {
     import graft.geo.{GeoGrid, Wkb}
     val rectUdf = udf { (id: Long) =>
-      val cx = (id * 37 % 1000).toDouble / 10.0 - 50.0
-      val cy = (id * 91 % 1000).toDouble / 10.0 - 50.0
+      val (cx, cy) = xyOf(id)
       val wv = (id / 20 % 5).toDouble + 3.05
       val ring = Array(
         Array(cx - wv, cy - wv), Array(cx + wv, cy - wv),

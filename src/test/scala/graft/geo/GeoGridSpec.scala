@@ -106,6 +106,16 @@ class GeoGridSpec extends AnyFunSuite with SparkTestSession {
         polys, col("gid"), col("gwkb"), cellSize = 10.0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 1L), (2L, 1L)))
+    // a point INSIDE but within one micro-unit of the envelope edge:
+    // the fixed-point prefilter must stay conservative (inclusive) and
+    // let the exact ray cast decide — a strict compare dropped it
+    val edgePts = Seq((9L, Wkb.write(pt(10.0000005, 20.0))))
+      .toDF("pid", "pwkb")
+    val edge = GeoGrid.containmentJoin(edgePts, col("pid"), col("pwkb"),
+        polys, col("gid"), col("gwkb"), cellSize = 10.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edge == Set((9L, 1L)),
+      "inside point a micro-unit from the envelope edge was pruned before the verify")
   }
 
   test("gridCells: WKB round-trip, unparsable bytes → null cells, row survives") {
