@@ -57,6 +57,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_.min).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"times":$iters,"sf":"$sfDir"}""")
+    // LAST line is a compact summary: the full JSON above exceeds the
+    // harness's bounded tail capture (r8 lost the total and 47 of 80
+    // query times to the 2000-char window), so the headline number
+    // must ride a line short enough to always survive truncation
+    println(s"""{"n":${results.size},"total_min_sec":$total,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

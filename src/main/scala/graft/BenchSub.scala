@@ -1,7 +1,7 @@
 package graft
 object BenchSub {
   def main(args: Array[String]): Unit = {
-    val sfDir = "/root/testdata/sf0.1"
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.queries("q6_filtered_revenue")(spark, sfDir).count()

@@ -153,14 +153,24 @@ object TextAnalysis {
       explode(tokens(col(q(textCol)))).as("w"))
   }
 
+  /** Full token-frequency table `(w, c)` of an exploded token stream —
+    * bounded by DISTINCT tokens, not corpus tokens, so it is the one
+    * corpus-derived artifact cheap enough to materialize at 100 TB. */
+  def tokenFreq(toks: DataFrame): DataFrame =
+    toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+
   /** Corpus top-`vocabSize` vocabulary `(w, c)` by (count desc, token
     * asc) — orderBy+limit plans as TakeOrdered (never a global sort),
     * and the deterministic tie-break keeps the vocab identical across
     * partitionings. Shared by the OOV (q53) and surprisal (q71)
     * scorers so the tie-break cannot drift between them. */
   def topVocab(toks: DataFrame, vocabSize: Int): DataFrame =
-    toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("w").asc).limit(vocabSize)
+    topVocabOfFreq(tokenFreq(toks), vocabSize)
+
+  /** [[topVocab]] starting from an already-computed `(w, c)` frequency
+    * table — same TakeOrdered plan shape and tie-break. */
+  def topVocabOfFreq(freq: DataFrame, vocabSize: Int): DataFrame =
+    freq.orderBy(col("c").desc, col("w").asc).limit(vocabSize)
 
   /** Mean unigram surprisal per document (fixed-point bits) against a
     * corpus-derived top-`vocabSize` vocabulary — the deterministic
@@ -176,19 +186,23 @@ object TextAnalysis {
     * Returns every input id: (doc_id, n_tokens, sum_bits,
     * surprisal_fp) with surprisal_fp = floor(10⁶·sum_bits/n_tokens).
     *
-    * 100 TB shape: q53's vocabulary machinery — the exploded token
-    * stream is cached once and feeds the corpus total, the vocab
-    * aggregation (TakeOrdered top-V, never a global sort) and the
-    * scoring join (vocab broadcast); per-doc scoring is one counting
-    * aggregation. The corpus total N reaching the driver is ONE
-    * scalar, the same bounded-collect shape as the IVF seed read. */
+    * 100 TB shape: q53's vocabulary machinery, with only the SKINNY
+    * artifact materialized — the `(w, c)` token-frequency aggregate
+    * (bounded by distinct tokens) is cached once and feeds BOTH the
+    * corpus total `N = sum(c)` and the vocab TakeOrdered; the raw
+    * exploded token stream (~1.5× the corpus text) is never persisted.
+    * The scoring join recomputes the codegen'd tokenize, which at
+    * 100 TB is strictly cheaper than a corpus-sized cache write.
+    * The corpus total N reaching the driver is ONE scalar, the same
+    * bounded-collect shape as the IVF seed read. */
   def unigramSurprisalFp(docs: DataFrame, idCol: String, textCol: String,
       vocabSize: Int = 20): DataFrame = {
     require(vocabSize > 0, "vocabSize must be positive")
     val q = graft.Names.quoted _
-    val toks = Caches.persistTracked(explodedTokens(docs, idCol, textCol))
-    val n = math.max(toks.count(), 1L)
-    val vocab = topVocab(toks, vocabSize)
+    val toks = explodedTokens(docs, idCol, textCol)
+    val freq = Caches.persistTracked(tokenFreq(toks))
+    val n = math.max(freq.agg(coalesce(sum(col("c")), lit(0L))).head.getLong(0), 1L)
+    val vocab = topVocabOfFreq(freq, vocabSize)
       .select(col("w"), expr(s"cast(length(bin($n div c)) - 1 as bigint)").as("bits"))
     val oovBits = lit(java.lang.Long.toBinaryString(n).length - 1L).cast("bigint")
     val scored = toks.join(broadcast(vocab), Seq("w"), "left")

@@ -379,6 +379,28 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
     assert(got(3L) == ((0L, 0L, 0L)))
   }
 
+  test("unigramSurprisalFp caches only the (w,c) aggregate, never the token stream") {
+    import spark.implicits._
+    Caches.unpersistAll(blocking = true)
+    val docs = Seq((1L, "x x y"), (2L, "y z")).toDF("doc_id", "text")
+    val df = TextAnalysis.unigramSurprisalFp(docs, "doc_id", "text", vocabSize = 2)
+    df.queryExecution.toRdd.count()
+    val cached = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    // the skinny frequency aggregate IS cached (feeds N and the vocab),
+    // while the raw exploded (doc_id, w) stream — ~1.5× the corpus at
+    // 100 TB — must never be: any cached relation exposing doc_id means
+    // the corpus-sized materialization came back
+    assert(cached.nonEmpty, "expected the (w,c) frequency aggregate to be cached")
+    cached.foreach { r =>
+      val names = r.output.map(_.name)
+      assert(names.toSet == Set("w", "c"),
+        s"cached relation must be the skinny (w,c) aggregate, got $names")
+    }
+    Caches.unpersistAll(blocking = true)
+  }
+
   test("tokenBandFilter: exact rank thresholds, ties land on the right side") {
     import spark.implicits._
     // token counts [2,2,2,5,5,9]: N=6, 30th pct rank=(180+99)/100=2 →
