@@ -20,12 +20,24 @@ import org.apache.spark.sql.functions._
   */
 object GeoGrid {
 
+  /** Geometry as gridded: curved segments replaced by their sampled
+    * linearization (the q15 operator at its default step), because a
+    * circular arc can bulge PAST its control points' bbox — a major
+    * arc from (1,0) via (-1,0) to (0,1) traverses y < -1 while its
+    * control bbox stops at y = 0 — so walking control points could
+    * miss the cells the true curve crosses. Linear geometries pass
+    * through untouched; a malformed curve that fails to linearize
+    * falls back to its control points (the pre-round-9 bound). */
+  private[geo] def linearized(g: Wkb.Geom): Wkb.Geom =
+    try Linearize.linearize(g, Linearize.effectiveStep(Double.NaN))
+    catch { case scala.util.control.NonFatal(_) => g }
+
   /** Envelope (minX, minY, maxX, maxY) over every vertex of the
-    * geometry, curved segments' control points included (a safe
-    * bound: the true arc may bulge past the chord but is contained by
-    * the control polygon's circle only approximately — for gridding,
-    * callers pick cells ≥ the max arc bulge, the standard slack). */
-  def envelope(g: Wkb.Geom): (Double, Double, Double, Double) = {
+    * LINEARIZED geometry (see [[linearized]]) — exact for linear
+    * types, within the arc-sampling tolerance for curved ones (the
+    * sampled chain touches the true arc at every step). */
+  def envelope(g0: Wkb.Geom): (Double, Double, Double, Double) = {
+    val g = linearized(g0)
     var minX = Double.PositiveInfinity; var minY = Double.PositiveInfinity
     var maxX = Double.NegativeInfinity; var maxY = Double.NegativeInfinity
     def pt(c: Array[Double]): Unit = {
@@ -107,11 +119,14 @@ object GeoGrid {
     inside
   }
 
-  /** Largest supported cellSize/maxDist: fixed-point squared distances
-    * on adjacent-cell candidates reach `(2·cellSize·10⁶)²`, which must
-    * stay inside Long — beyond this bound results would be silently
-    * wrong (wrapped), so the operators refuse instead. */
-  val MaxCellSize = 1500.0
+  /** Largest supported cellSize/maxDist: `dist2_fp2` sums TWO squared
+    * axis deltas of adjacent-cell candidates, each up to
+    * `(2·cellSize·10⁶)²`, so the bound is
+    * `2·(2·cellSize·10⁶)² ≤ Long.MaxValue` ⇒
+    * `cellSize ≤ √(Long.MaxValue/2)/(2·10⁶) ≈ 1073.74` — beyond it a
+    * diagonal pair's distance could wrap negative and pass the radius
+    * filter, so the operators refuse instead. */
+  val MaxCellSize = 1073.0
 
   /** Adds nullable `cell_x`, `cell_y` columns for the WKB column —
     * scan-local over the in-repo reader; unparsable WKB and empty
@@ -220,7 +235,11 @@ object GeoGrid {
     * rides the candidate exchange.
     *
     * Unparsable/empty geometries on either side drop out of the join
-    * (no cell), the standard contract.
+    * (no cell), the standard contract — and the polys side indexes
+    * ONLY what the verify can match: geometries that are not
+    * (Multi)Polygon after linearization are excluded at build time
+    * rather than silently yielding zero matches downstream (curved
+    * surfaces participate via their linearization).
     *
     * 100 TB shape: candidate volume is points × the few cells each
     * polygon overlaps; the verify shuffles only (point_id, poly_id,
@@ -234,6 +253,88 @@ object GeoGrid {
     * spatial joining, the standard answer. */
   val MaxPolyCellsPerAxis = 4096L
 
+  /** The (Multi)Polygon parts of a geometry — empty for anything else. */
+  private def polysIn(g: Wkb.Geom): Array[Wkb.GPolygon] = g match {
+    case p: Wkb.GPolygon            => Array(p)
+    case Wkb.GMultiPolygon(gs, _, _) => gs
+    case _                           => Array.empty
+  }
+
+  /** Count of actual polygon-WKB decodes performed by the memoized
+    * verify parsers — read by specs (local mode, one JVM) to prove the
+    * parse-once contract: a hot polygon containing m candidates must
+    * decode once per run, not m times. */
+  private[geo] val verifyDecodes = new java.util.concurrent.atomic.AtomicLong
+
+  /** One-slot task-local memo of the last decoded polygon WKB: the
+    * verify stage sorts candidates by the polygon side's id within
+    * each partition, so consecutive rows share bytes and m verifies
+    * of one polygon cost one decode. Keyed by byte-array equality
+    * (cheap vs a parse) because the join materializes a fresh array
+    * instance per row; state lives in ONE field so a shared instance
+    * can never pair one polygon's bytes with another's rings. */
+  private final class PolyMemo extends Serializable {
+    @transient private var last: (Array[Byte], Array[Wkb.GPolygon]) = _
+    def polysOf(bytes: Array[Byte]): Array[Wkb.GPolygon] = {
+      val l = last
+      if (l != null && java.util.Arrays.equals(l._1, bytes)) l._2
+      else {
+        verifyDecodes.incrementAndGet()
+        val ps = Option(bytes).flatMap(Wkb.read).map(linearized)
+          .map(polysIn).getOrElse(Array.empty[Wkb.GPolygon])
+        last = (bytes, ps)
+        ps
+      }
+    }
+  }
+
+  /** Cell-range index of a polygon side: one row per (id, covered
+    * cell), carrying the fixed-point envelope and the cell-range
+    * START per axis (for the overlap join's ownership dedup).
+    * Geometries that are not (Multi)Polygon after linearization are
+    * EXCLUDED at build time — the verify stage could never match
+    * them, so indexing them would only manufacture dead candidates;
+    * curved surfaces (CurvePolygon, MultiSurface) participate via
+    * their linearization, same as the envelope contract. Unscorable
+    * envelopes (empty/NaN/out-of-range) and spans beyond
+    * [[MaxPolyCellsPerAxis]] are excluded as before. */
+  private def polyCellIndex(df: DataFrame, idCol: Column, wkbCol: Column,
+      cellSize: Double): DataFrame = {
+    val envUdf = udf { (bytes: Array[Byte]) =>
+      Option(bytes).flatMap(Wkb.read).map(linearized).flatMap { g =>
+        if (polysIn(g).isEmpty) None
+        else {
+          val (minX, minY, maxX, maxY) = envelope(g)
+          val finite = java.lang.Double.isFinite(minX) && java.lang.Double.isFinite(minY) &&
+            java.lang.Double.isFinite(maxX) && java.lang.Double.isFinite(maxY) &&
+            math.abs(minX) <= MaxCoord && math.abs(minY) <= MaxCoord &&
+            math.abs(maxX) <= MaxCoord && math.abs(maxY) <= MaxCoord
+          if (!finite) None
+          else {
+            val cx0 = math.floor(minX / cellSize).toLong
+            val cx1 = math.floor(maxX / cellSize).toLong
+            val cy0 = math.floor(minY / cellSize).toLong
+            val cy1 = math.floor(maxY / cellSize).toLong
+            // see MaxPolyCellsPerAxis — an unbounded span must not explode
+            if (cx1 - cx0 >= MaxPolyCellsPerAxis || cy1 - cy0 >= MaxPolyCellsPerAxis) None
+            else Some((math.floor(minX * 1e6).toLong, math.floor(minY * 1e6).toLong,
+              math.floor(maxX * 1e6).toLong, math.floor(maxY * 1e6).toLong,
+              cx0, cx1, cy0, cy1))
+          }
+        }
+      }
+    }
+    df.select(idCol.as("id"), envUdf(wkbCol).as("e"))
+      .filter(col("e").isNotNull)
+      .select(col("id"), col("e._1").as("x0f"), col("e._2").as("y0f"),
+        col("e._3").as("x1f"), col("e._4").as("y1f"),
+        col("e._5").as("cx0"), col("e._7").as("cy0"),
+        explode(expr("sequence(e._5, e._6)")).as("pcx"), col("e._8").as("cy1"))
+      .select(col("id"), col("x0f"), col("y0f"), col("x1f"), col("y1f"),
+        col("cx0"), col("cy0"),
+        col("pcx"), explode(expr("sequence(cy0, cy1)")).as("pcy"))
+  }
+
   def containmentJoin(points: DataFrame, pIdCol: Column, pWkbCol: Column,
       polys: DataFrame, gIdCol: Column, gWkbCol: Column,
       cellSize: Double): DataFrame = {
@@ -245,40 +346,14 @@ object GeoGrid {
           math.floor(cx / cellSize).toLong, math.floor(cy / cellSize).toLong)
       }
     }
-    val envUdf = udf { (bytes: Array[Byte]) =>
-      Option(bytes).flatMap(Wkb.read).flatMap { g =>
-        val (minX, minY, maxX, maxY) = envelope(g)
-        val finite = java.lang.Double.isFinite(minX) && java.lang.Double.isFinite(minY) &&
-          java.lang.Double.isFinite(maxX) && java.lang.Double.isFinite(maxY) &&
-          math.abs(minX) <= MaxCoord && math.abs(minY) <= MaxCoord &&
-          math.abs(maxX) <= MaxCoord && math.abs(maxY) <= MaxCoord
-        if (!finite) None
-        else {
-          val cx0 = math.floor(minX / cellSize).toLong
-          val cx1 = math.floor(maxX / cellSize).toLong
-          val cy0 = math.floor(minY / cellSize).toLong
-          val cy1 = math.floor(maxY / cellSize).toLong
-          // see MaxPolyCellsPerAxis — an unbounded span must not explode
-          if (cx1 - cx0 >= MaxPolyCellsPerAxis || cy1 - cy0 >= MaxPolyCellsPerAxis) None
-          else Some((math.floor(minX * 1e6).toLong, math.floor(minY * 1e6).toLong,
-            math.floor(maxX * 1e6).toLong, math.floor(maxY * 1e6).toLong,
-            cx0, cx1, cy0, cy1))
-        }
-      }
-    }
     val pts = points.select(pIdCol.as("point_id"), ptUdf(pWkbCol).as("p"))
       .filter(col("p").isNotNull)
       .select(col("point_id"), col("p._1").as("px"), col("p._2").as("py"),
         col("p._3").as("pxf"), col("p._4").as("pyf"),
         col("p._5").as("pcx"), col("p._6").as("pcy"))
-    val polyIdx = polys.select(gIdCol.as("poly_id"), envUdf(gWkbCol).as("e"))
-      .filter(col("e").isNotNull)
-      .select(col("poly_id"), col("e._1").as("x0f"), col("e._2").as("y0f"),
-        col("e._3").as("x1f"), col("e._4").as("y1f"),
-        explode(expr("sequence(e._5, e._6)")).as("pcx"), col("e._7").as("cy0"),
-        col("e._8").as("cy1"))
-      .select(col("poly_id"), col("x0f"), col("y0f"), col("x1f"), col("y1f"),
-        col("pcx"), explode(expr("sequence(cy0, cy1)")).as("pcy"))
+    val polyIdx = polyCellIndex(polys, gIdCol, gWkbCol, cellSize)
+      .select(col("id").as("poly_id"), col("x0f"), col("y0f"),
+        col("x1f"), col("y1f"), col("pcx"), col("pcy"))
     // INCLUSIVE prefilter: floor is monotone, so minX <= px <= maxX
     // implies x0f <= pxf <= x1f — a strict compare would drop inside
     // points within one micro-unit of the envelope edge before the
@@ -287,15 +362,131 @@ object GeoGrid {
       .filter(col("pxf") >= col("x0f") && col("pxf") <= col("x1f") &&
         col("pyf") >= col("y0f") && col("pyf") <= col("y1f"))
       .select(col("point_id"), col("poly_id"), col("px"), col("py"))
+    val memo = new PolyMemo
     val verifyUdf = udf { (bytes: Array[Byte], px: Double, py: Double) =>
-      Wkb.read(bytes) match {
-        case Some(p: Wkb.GPolygon) => containsPoint(p, px, py)
-        case Some(Wkb.GMultiPolygon(gs, _, _)) => gs.exists(containsPoint(_, px, py))
-        case _ => false
-      }
+      memo.polysOf(bytes).exists(containsPoint(_, px, py))
     }
+    // sortWithinPartitions (no exchange — the id join already
+    // co-located each polygon's candidates) makes the memo hit: one
+    // decode per polygon per partition, not one per candidate
     cand.join(polys.select(gIdCol.as("poly_id"), gWkbCol.as("__poly_wkb")), Seq("poly_id"))
+      .sortWithinPartitions(col("poly_id"))
       .filter(verifyUdf(col("__poly_wkb"), col("px"), col("py")))
       .select(col("point_id"), col("poly_id"))
+  }
+
+  /** Segment–segment intersection, touching included: the standard
+    * orientation test plus collinear on-segment handling. Exact for
+    * inputs whose orientation signs are unambiguous at double
+    * precision — callers with boundary semantics keep vertices off
+    * edges, the [[containsPoint]] contract. */
+  private[geo] def segmentsIntersect(ax: Double, ay: Double, bx: Double, by: Double,
+      cx: Double, cy: Double, dx: Double, dy: Double): Boolean = {
+    def orient(px: Double, py: Double, qx: Double, qy: Double,
+        rx: Double, ry: Double): Int = {
+      val v = (qx - px) * (ry - py) - (qy - py) * (rx - px)
+      if (v > 0) 1 else if (v < 0) -1 else 0
+    }
+    def onSeg(px: Double, py: Double, qx: Double, qy: Double,
+        rx: Double, ry: Double): Boolean =
+      math.min(px, qx) <= rx && rx <= math.max(px, qx) &&
+        math.min(py, qy) <= ry && ry <= math.max(py, qy)
+    val o1 = orient(ax, ay, bx, by, cx, cy)
+    val o2 = orient(ax, ay, bx, by, dx, dy)
+    val o3 = orient(cx, cy, dx, dy, ax, ay)
+    val o4 = orient(cx, cy, dx, dy, bx, by)
+    (o1 != o2 && o3 != o4) ||
+      (o1 == 0 && onSeg(ax, ay, bx, by, cx, cy)) ||
+      (o2 == 0 && onSeg(ax, ay, bx, by, dx, dy)) ||
+      (o3 == 0 && onSeg(cx, cy, dx, dy, ax, ay)) ||
+      (o4 == 0 && onSeg(cx, cy, dx, dy, bx, by))
+  }
+
+  /** Exact st_intersects over two (multi)polygon vertex sets: any
+    * vertex of one inside the other (even-odd — a vertex in a HOLE is
+    * outside), or any edge pair crossing/touching. Covers full
+    * containment (vertices inside), partial overlap, boundary-only
+    * touching, and the plus-sign overlap where no vertex of either
+    * lies inside the other (edges cross); two polygons separated by a
+    * hole correctly do NOT intersect. */
+  private[geo] def polygonsIntersect(pa: Array[Wkb.GPolygon],
+      pb: Array[Wkb.GPolygon]): Boolean = {
+    def anyVertexIn(src: Array[Wkb.GPolygon], dst: Array[Wkb.GPolygon]): Boolean =
+      src.exists(_.rings.exists(_.exists(v =>
+        dst.exists(containsPoint(_, v(0), v(1))))))
+    def edges(ps: Array[Wkb.GPolygon]): Iterator[(Array[Double], Array[Double])] =
+      for {
+        p <- ps.iterator
+        r <- p.rings.iterator if r.length >= 2
+        i <- (0 until r.length - 1).iterator
+      } yield (r(i), r(i + 1))
+    anyVertexIn(pa, pb) || anyVertexIn(pb, pa) || {
+      val eb = edges(pb).toArray
+      edges(pa).exists { case (p1, p2) =>
+        eb.exists { case (q1, q2) =>
+          segmentsIntersect(p1(0), p1(1), p2(0), p2(1), q1(0), q1(1), q2(0), q2(1))
+        }
+      }
+    }
+  }
+
+  /** Grid-partitioned polygon ⋈ polygon overlap join (st_intersects):
+    * (id_a, id_b) for every polygon of `a` intersecting a polygon of
+    * `b` — the third spatial workhorse beside [[neighborPairs]]
+    * (distance) and [[containmentJoin]] (point-in-polygon), and the
+    * one the reference's platform actually ships: polygon layers
+    * overlaid and synced to PostGIS (`sync_df_to_pgdb.py:198-202`
+    * wraps geometry columns in ST_GeomFromWKB; the type table
+    * `udf_tools.py:12-40` is polygon-heavy).
+    *
+    * Same candidate/verify shape as the siblings: BOTH sides explode
+    * to the cell ranges their envelopes cover ([[polyCellIndex]]),
+    * candidates come from the cell equi-join, a fixed-point
+    * envelope-overlap prefilter prunes (inclusive — floor is
+    * monotone, so true overlap implies fp overlap), and each
+    * surviving pair is OWNED by exactly one cell — the first cell of
+    * the two cell-ranges' intersection, `(max(cx0ₐ, cx0ᵦ), max(cy0ₐ,
+    * cy0ᵦ))`, which both ranges contain whenever the envelopes
+    * overlap — so every pair is emitted once with no distinct pass.
+    * The exact verify ([[polygonsIntersect]]) joins geometry bytes
+    * back BY ID for survivors only.
+    *
+    * 100 TB shape: geometry bytes never ride the candidate exchange
+    * (candidate rows are ids + six longs); the verify's a-side parse
+    * is memoized under a per-partition id_a sort; one garbage
+    * continent-sized polygon is excluded by [[MaxPolyCellsPerAxis]]
+    * instead of exploding the index. The per-pair edge test is
+    * O(verts_a·verts_b) — production pre-splits giant polygons, the
+    * same contract as the cell-span cap. */
+  def overlapJoin(a: DataFrame, aIdCol: Column, aWkbCol: Column,
+      b: DataFrame, bIdCol: Column, bWkbCol: Column,
+      cellSize: Double): DataFrame = {
+    require(cellSize > 0.0 && cellSize <= MaxCellSize,
+      s"cellSize must be in (0, $MaxCellSize]")
+    val ia = polyCellIndex(a, aIdCol, aWkbCol, cellSize)
+      .select(col("id").as("id_a"), col("x0f").as("ax0"), col("y0f").as("ay0"),
+        col("x1f").as("ax1"), col("y1f").as("ay1"),
+        col("cx0").as("acx0"), col("cy0").as("acy0"), col("pcx"), col("pcy"))
+    val ib = polyCellIndex(b, bIdCol, bWkbCol, cellSize)
+      .select(col("id").as("id_b"), col("x0f").as("bx0"), col("y0f").as("by0"),
+        col("x1f").as("bx1"), col("y1f").as("by1"),
+        col("cx0").as("bcx0"), col("cy0").as("bcy0"), col("pcx"), col("pcy"))
+    val cand = ia.join(ib, Seq("pcx", "pcy"))
+      .filter(col("ax0") <= col("bx1") && col("bx0") <= col("ax1") &&
+        col("ay0") <= col("by1") && col("by0") <= col("ay1"))
+      .filter(col("pcx") === greatest(col("acx0"), col("bcx0")) &&
+        col("pcy") === greatest(col("acy0"), col("bcy0")))
+      .select(col("id_a"), col("id_b"))
+    val memo = new PolyMemo
+    val verifyUdf = udf { (bytesA: Array[Byte], bytesB: Array[Byte]) =>
+      val pb = Option(bytesB).flatMap(Wkb.read).map(linearized)
+        .map(polysIn).getOrElse(Array.empty[Wkb.GPolygon])
+      polygonsIntersect(memo.polysOf(bytesA), pb)
+    }
+    cand.join(a.select(aIdCol.as("id_a"), aWkbCol.as("__a_wkb")), Seq("id_a"))
+      .join(b.select(bIdCol.as("id_b"), bWkbCol.as("__b_wkb")), Seq("id_b"))
+      .sortWithinPartitions(col("id_a"))
+      .filter(verifyUdf(col("__a_wkb"), col("__b_wkb")))
+      .select(col("id_a"), col("id_b"))
   }
 }

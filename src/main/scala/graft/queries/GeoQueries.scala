@@ -161,24 +161,55 @@ object GeoQueries {
   // synthesis arithmetic and a brute-force strict range check; the
   // Spark side must encode, parse, grid, prefilter AND ray-cast its
   // way to the identical pair set.
-  def q80GeoContainment(s: SparkSession, dir: String): DataFrame = {
-    import graft.geo.{GeoGrid, Wkb}
+  /** Synthesized rectangle corpus: every doc with `doc_id ≡ residue
+    * (mod 20)` carries a REAL WKB rectangle centered on the point
+    * formula with half-extent `(doc_id/20 % 5) + extentBase`. The
+    * fractional part of extentBase controls edge coordinates mod 0.1:
+    * picking DIFFERENT fractions for two corpora (.05 vs .17 → edges
+    * at .x5 vs .x3/.x7) guarantees no two edges from different
+    * corpora ever coincide, so strict-vs-touching overlap is never
+    * ambiguous — the polygon analog of q80's keep-points-off-edges
+    * construction. */
+  private def rectCorpus(s: SparkSession, dir: String,
+      residue: Int, extentBase: Double): DataFrame = {
+    import graft.geo.Wkb
     val rectUdf = udf { (id: Long) =>
       val (cx, cy) = xyOf(id)
-      val wv = (id / 20 % 5).toDouble + 3.05
+      val wv = (id / 20 % 5).toDouble + extentBase
       val ring = Array(
         Array(cx - wv, cy - wv), Array(cx + wv, cy - wv),
         Array(cx + wv, cy + wv), Array(cx - wv, cy + wv),
         Array(cx - wv, cy - wv))
       Wkb.write(Wkb.GPolygon(Array(ring), hasZ = false, hasM = false))
     }
-    val polys = graft.Tables.documents(s, dir)
-      .filter(pmod(col("doc_id"), lit(20)) === 0)
+    graft.Tables.documents(s, dir)
+      .filter(pmod(col("doc_id"), lit(20)) === residue)
       .select(col("doc_id"), rectUdf(col("doc_id")).as("wkb"))
-    GeoGrid.containmentJoin(
-      pointCorpus(s, dir), col("doc_id"), col("wkb"),
-      polys, col("doc_id"), col("wkb"), GridCellSize)
   }
+
+  def q80GeoContainment(s: SparkSession, dir: String): DataFrame =
+    graft.geo.GeoGrid.containmentJoin(
+      pointCorpus(s, dir), col("doc_id"), col("wkb"),
+      rectCorpus(s, dir, residue = 0, extentBase = 3.05),
+      col("doc_id"), col("wkb"), GridCellSize)
+
+  // ---- q81: grid-partitioned polygon ⋈ polygon overlap (st_intersects) ----
+  // The third spatial workhorse over two disjoint rectangle corpora
+  // (residues 0 and 10 mod 20; extent fractions .05 vs .17 keep every
+  // edge pair strictly apart, so overlap is never edge-touching). For
+  // axis-aligned rectangles st_intersects ≡ strict interval overlap
+  // on both axes, which the oracle replays brute-force O(n²) — while
+  // the Spark side must encode → parse → cell-range-index BOTH sides
+  // → fp-prefilter → min-cell-dedup → edge/vertex-verify its way to
+  // the identical pair set. Concave/hole geometries, where envelope
+  // overlap and st_intersects genuinely differ, are covered by
+  // GeoGridSpec (an oracle can't replay a ray cast in SQL).
+  def q81GeoOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.geo.GeoGrid.overlapJoin(
+      rectCorpus(s, dir, residue = 0, extentBase = 3.05),
+      col("doc_id"), col("wkb"),
+      rectCorpus(s, dir, residue = 10, extentBase = 4.17),
+      col("doc_id"), col("wkb"), GridCellSize)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_geom_type" -> q14GeomType _,
@@ -188,6 +219,7 @@ object GeoQueries {
     "q78_geo_neighbors" -> q78GeoNeighbors _,
     "q79_geo_neighbors_capped" -> q79GeoNeighborsCapped _,
     "q80_geo_containment" -> q80GeoContainment _,
+    "q81_geo_overlap" -> q81GeoOverlap _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -274,5 +306,35 @@ object GeoQueries {
          |SELECT pt.point_id, pb.poly_id FROM pt, pb
          |WHERE pt.pxf > pb.x0f AND pt.pxf < pb.x1f
          |  AND pt.pyf > pb.y0f AND pt.pyf < pb.y1f""".stripMargin,
+    // brute-force O(n²) rectangle overlap: for axis-aligned rectangles
+    // st_intersects ≡ strict interval overlap per axis, replayed here
+    // in the same fp micro-unit arithmetic; the corpus construction
+    // (edge fractions .x5 vs .x3/.x7) keeps strict and inclusive
+    // compares equivalent, so the Spark side's inclusive prefilter +
+    // exact edge/vertex verify must land on the identical pair set
+    "q81_geo_overlap" ->
+      s"""WITH ca AS (SELECT doc_id AS id_a,
+         |    CAST(doc_id * 37 % 1000 AS DOUBLE) / 10.0 - 50.0 AS cx,
+         |    CAST(doc_id * 91 % 1000 AS DOUBLE) / 10.0 - 50.0 AS cy,
+         |    CAST(doc_id // 20 % 5 AS DOUBLE) + 3.05 AS wv
+         |  FROM documents WHERE doc_id % 20 = 0),
+         |cb AS (SELECT doc_id AS id_b,
+         |    CAST(doc_id * 37 % 1000 AS DOUBLE) / 10.0 - 50.0 AS cx,
+         |    CAST(doc_id * 91 % 1000 AS DOUBLE) / 10.0 - 50.0 AS cy,
+         |    CAST(doc_id // 20 % 5 AS DOUBLE) + 4.17 AS wv
+         |  FROM documents WHERE doc_id % 20 = 10),
+         |ba AS (SELECT id_a,
+         |    CAST(floor((cx - wv) * 1000000.0) AS BIGINT) AS x0f,
+         |    CAST(floor((cx + wv) * 1000000.0) AS BIGINT) AS x1f,
+         |    CAST(floor((cy - wv) * 1000000.0) AS BIGINT) AS y0f,
+         |    CAST(floor((cy + wv) * 1000000.0) AS BIGINT) AS y1f FROM ca),
+         |bb AS (SELECT id_b,
+         |    CAST(floor((cx - wv) * 1000000.0) AS BIGINT) AS x0f,
+         |    CAST(floor((cx + wv) * 1000000.0) AS BIGINT) AS x1f,
+         |    CAST(floor((cy - wv) * 1000000.0) AS BIGINT) AS y0f,
+         |    CAST(floor((cy + wv) * 1000000.0) AS BIGINT) AS y1f FROM cb)
+         |SELECT ba.id_a, bb.id_b FROM ba, bb
+         |WHERE ba.x0f < bb.x1f AND bb.x0f < ba.x1f
+         |  AND ba.y0f < bb.y1f AND bb.y0f < ba.y1f""".stripMargin,
   )
 }

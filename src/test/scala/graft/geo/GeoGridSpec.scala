@@ -118,6 +118,171 @@ class GeoGridSpec extends AnyFunSuite with SparkTestSession {
       "inside point a micro-unit from the envelope edge was pruned before the verify")
   }
 
+  test("envelope: a circular arc bulging past its control points is covered") {
+    // circle center (0,2) radius 2; the arc runs from (0,0) at -90°
+    // CCW through 45° to (0,4) at 90°, so it passes the max-x point
+    // (2,2) at 0° — which is NOT a control point: the control bbox
+    // stops at x = √2 ≈ 1.414 while the true curve reaches x = 2.
+    // Before linearize-before-envelope this arc would grid-index as if
+    // it never left x ≤ 1.415 and miss its apex cells.
+    val s2 = math.sqrt(2.0)
+    val arc = Wkb.GCircularString(Array(
+      Array(0.0, 0.0), Array(s2, 2.0 + s2), Array(0.0, 4.0)), false, false)
+    val (minX, minY, maxX, maxY) = GeoGrid.envelope(arc)
+    assert(maxX > 1.99 && maxX <= 2.0001, s"arc apex not covered: maxX=$maxX")
+    assert(minX >= -0.0001 && minY >= -0.0001 && maxY <= 4.0001)
+  }
+
+  test("segmentsIntersect: crossing, touching, collinear, disjoint") {
+    val f = GeoGrid.segmentsIntersect _
+    assert(f(0, 0, 4, 4, 0, 4, 4, 0))      // proper X crossing
+    assert(!f(0, 0, 1, 1, 2, 2.5, 3, 3.5)) // disjoint, parallel-ish
+    assert(f(0, 0, 4, 0, 2, 0, 2, 3))      // T-touch: endpoint on interior
+    assert(f(0, 0, 2, 0, 2, 0, 4, 2))      // shared endpoint
+    assert(f(0, 0, 3, 0, 2, 0, 5, 0))      // collinear overlap
+    assert(!f(0, 0, 1, 0, 2, 0, 3, 0))     // collinear disjoint
+  }
+
+  test("polygonsIntersect: notch, hole, containment, plus-sign") {
+    def rect(x0: Double, y0: Double, x1: Double, y1: Double) =
+      Wkb.GPolygon(Array(Array(Array(x0, y0), Array(x1, y0), Array(x1, y1),
+        Array(x0, y1), Array(x0, y0))), false, false)
+    val l = Wkb.GPolygon(Array(Array(
+      Array(0.0, 0.0), Array(40.0, 0.0), Array(40.0, 20.0), Array(20.0, 20.0),
+      Array(20.0, 40.0), Array(0.0, 40.0), Array(0.0, 0.0))), false, false)
+    val holed = Wkb.GPolygon(Array(
+      Array(Array(0.0, 0.0), Array(100.0, 0.0), Array(100.0, 100.0),
+        Array(0.0, 100.0), Array(0.0, 0.0)),
+      Array(Array(20.0, 20.0), Array(80.0, 20.0), Array(80.0, 80.0),
+        Array(20.0, 80.0), Array(20.0, 20.0))), false, false)
+    def hit(a: Wkb.GPolygon, b: Wkb.GPolygon) =
+      GeoGrid.polygonsIntersect(Array(a), Array(b))
+    // envelope overlap but geometrically disjoint: rect in the L notch
+    assert(!hit(l, rect(25, 25, 35, 35)))
+    assert(!hit(rect(25, 25, 35, 35), l)) // symmetric
+    // rect fully inside the hole: even-odd says outside
+    assert(!hit(holed, rect(30, 30, 70, 70)))
+    // rect crossing the hole boundary intersects the solid band
+    assert(hit(holed, rect(10, 40, 30, 50)))
+    // containment: all vertices of the small rect inside the L arm
+    assert(hit(l, rect(2, 2, 8, 8)))
+    // plus-sign: bars cross, no vertex of either inside the other
+    assert(hit(rect(0, 10, 30, 20), rect(10, 0, 20, 30)))
+  }
+
+  test("overlapJoin: L-shape and hole cases match geometry, each pair once") {
+    import spark.implicits._
+    def rectWkb(x0: Double, y0: Double, x1: Double, y1: Double) =
+      Wkb.write(Wkb.GPolygon(Array(Array(Array(x0, y0), Array(x1, y0),
+        Array(x1, y1), Array(x0, y1), Array(x0, y0))), false, false))
+    val lShape = Wkb.write(Wkb.GPolygon(Array(Array(
+      Array(0.0, 0.0), Array(40.0, 0.0), Array(40.0, 20.0), Array(20.0, 20.0),
+      Array(20.0, 40.0), Array(0.0, 40.0), Array(0.0, 0.0))), false, false))
+    val holed = Wkb.write(Wkb.GPolygon(Array(
+      Array(Array(60.0, 60.0), Array(160.0, 60.0), Array(160.0, 160.0),
+        Array(60.0, 160.0), Array(60.0, 60.0)),
+      Array(Array(80.0, 80.0), Array(140.0, 80.0), Array(140.0, 140.0),
+        Array(80.0, 140.0), Array(80.0, 80.0))), false, false))
+    val a = Seq((1L, lShape), (2L, holed)).toDF("aid", "awkb")
+    val b = Seq(
+      (10L, rectWkb(25, 25, 35, 35)),    // in the L notch → no
+      (11L, rectWkb(90, 90, 130, 130)),  // inside the hole → no
+      (12L, rectWkb(70, 100, 100, 110)), // crosses the hole boundary → yes
+      (13L, rectWkb(10, -10, 15, 50)),   // plus-sign through the L → yes
+      (14L, rectWkb(300, 300, 310, 310)) // far away, no shared cell
+    ).toDF("bid", "bwkb")
+    val got = GeoGrid.overlapJoin(a, col("aid"), col("awkb"),
+        b, col("bid"), col("bwkb"), cellSize = 10.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.toSet.size,
+      "a multi-cell pair was emitted more than once — ownership dedup broken")
+    assert(got.toSet == Set((2L, 12L), (1L, 13L)))
+  }
+
+  test("overlapJoin equals brute-force rectangle overlap on a synthesized corpus") {
+    import spark.implicits._
+    // .05 vs .17 extent fractions: no edge coincidence, so strict
+    // interval overlap is the unambiguous ground truth (q81's corpus
+    // construction at spec scale)
+    def corpus(n: Int, frac: Double): Seq[(Long, Double, Double, Double)] =
+      (0 until n).map { i =>
+        val id = i.toLong
+        (id, (id * 37 % 100).toDouble - 50.0, (id * 91 % 100).toDouble - 50.0,
+          (id % 4).toDouble + 3.0 + frac)
+      }
+    def toDf(rows: Seq[(Long, Double, Double, Double)]) =
+      rows.map { case (id, cx, cy, w) =>
+        (id, Wkb.write(Wkb.GPolygon(Array(Array(
+          Array(cx - w, cy - w), Array(cx + w, cy - w), Array(cx + w, cy + w),
+          Array(cx - w, cy + w), Array(cx - w, cy - w))), false, false)))
+      }.toDF("id", "wkb")
+    val ra = corpus(40, 0.05)
+    val rb = corpus(40, 0.17)
+    val brute = (for {
+      (ia, ax, ay, aw) <- ra
+      (ib, bx, by, bw) <- rb
+      if ax - aw < bx + bw && bx - bw < ax + aw &&
+        ay - aw < by + bw && by - bw < ay + aw
+    } yield (ia, ib)).toSet
+    val got = GeoGrid.overlapJoin(toDf(ra), col("id"), col("wkb"),
+        toDf(rb), col("id"), col("wkb"), cellSize = 10.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.toSet.size)
+    assert(got.toSet == brute)
+  }
+
+  test("containmentJoin: a CurvePolygon participates via its linearization") {
+    import spark.implicits._
+    // full circle of radius 10 at (10,10) as two circular-arc triplets
+    val ring = Wkb.GCircularString(Array(
+      Array(0.0, 10.0), Array(10.0, 20.0), Array(20.0, 10.0),
+      Array(10.0, 0.0), Array(0.0, 10.0)), false, false)
+    val curvePoly = Wkb.GCurvePolygon(Array(ring), false, false)
+    val polys = Seq((1L, Wkb.write(curvePoly))).toDF("gid", "gwkb")
+    val points = Seq((1L, Wkb.write(pt(10.0, 10.0))),   // center → inside
+      (2L, Wkb.write(pt(25.0, 10.0))))                   // outside
+      .toDF("pid", "pwkb")
+    val got = GeoGrid.containmentJoin(points, col("pid"), col("pwkb"),
+        polys, col("gid"), col("gwkb"), cellSize = 10.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // before round 9 the index accepted the CurvePolygon but the
+    // verify could never match it → silent zero matches
+    assert(got == Set((1L, 1L)))
+    // while a LINESTRING on the polys side is excluded at index build
+    val line = Seq((9L, Wkb.write(Wkb.GLineString(
+      Array(Array(0.0, 0.0), Array(20.0, 20.0)), false, false)))).toDF("gid", "gwkb")
+    assert(GeoGrid.containmentJoin(points, col("pid"), col("pwkb"),
+      line, col("gid"), col("gwkb"), cellSize = 10.0).count() == 0)
+  }
+
+  test("containmentJoin decodes a hot polygon once per partition, not per candidate") {
+    import spark.implicits._
+    val poly = Wkb.write(Wkb.GPolygon(Array(Array(
+      Array(0.0, 0.0), Array(100.0, 0.0), Array(100.0, 100.0),
+      Array(0.0, 100.0), Array(0.0, 0.0))), false, false))
+    val polys = Seq((1L, poly)).toDF("gid", "gwkb")
+    val points = (0 until 300).map { i =>
+      (i.toLong, Wkb.write(pt((i % 20) * 4.5 + 2.25, (i / 20) * 6.0 + 3.0)))
+    }.toDF("pid", "pwkb")
+    GeoGrid.verifyDecodes.set(0L)
+    val n = GeoGrid.containmentJoin(points, col("pid"), col("pwkb"),
+      polys, col("gid"), col("gwkb"), cellSize = 10.0).count()
+    assert(n == 300L)
+    val decodes = GeoGrid.verifyDecodes.get()
+    // one per partition that holds candidates (32 shuffle partitions),
+    // never one per candidate row
+    assert(decodes <= 64L, s"hot polygon decoded $decodes times for 300 candidates")
+  }
+
+  test("cellSize beyond the Long-safe bound is refused") {
+    import spark.implicits._
+    val rows = Seq((1L, Wkb.write(pt(0.0, 0.0)))).toDF("id", "wkb")
+    intercept[IllegalArgumentException] {
+      GeoGrid.neighborPairs(rows, col("id"), col("wkb"),
+        cellSize = 1100.0, maxDist = 1099.0)
+    }
+  }
+
   test("gridCells: WKB round-trip, unparsable bytes → null cells, row survives") {
     import spark.implicits._
     val rows = Seq(
