@@ -53,6 +53,22 @@ object Caches {
     * returning how many were released. Scoped to graft's own caches —
     * unlike `spark.catalog.clearCache()` it cannot evict unrelated
     * user data. */
+  private val trackedBc = new java.util.concurrent.ConcurrentLinkedQueue[
+    org.apache.spark.broadcast.Broadcast[_]]()
+
+  /** Track a driver-built broadcast variable so [[unpersistAll]]
+    * releases its executor copies along with the caches — operators
+    * that broadcast constructed artifacts (the decontamination Bloom
+    * filter) would otherwise accumulate broadcast memory across
+    * repeated calls until session end. Release is `unpersist`, not
+    * `destroy`, so it stays recompute-safe: a still-referenced plan
+    * re-ships the value on next use. */
+  private[graft] def broadcastTracked[T](bc: org.apache.spark.broadcast.Broadcast[T])
+      : org.apache.spark.broadcast.Broadcast[T] = {
+    trackedBc.add(bc)
+    bc
+  }
+
   def unpersistAll(blocking: Boolean = false): Int = {
     var n = 0
     var df = tracked.poll()
@@ -60,6 +76,11 @@ object Caches {
       df.unpersist(blocking)
       n += 1
       df = tracked.poll()
+    }
+    var bc = trackedBc.poll()
+    while (bc != null) {
+      bc.unpersist(blocking)
+      bc = trackedBc.poll()
     }
     n
   }

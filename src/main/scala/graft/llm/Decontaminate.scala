@@ -64,7 +64,15 @@ object Decontaminate {
     *
     * `fpp` trades filter size for prefilter precision: 1% at 1M eval
     * fingerprints is ~1.2 MB broadcast — irrelevant next to shuffling
-    * a 100 TB corpus's fingerprint stream. */
+    * a 100 TB corpus's fingerprint stream.
+    *
+    * EAGER at construction: building the Bloom filter runs two Spark
+    * jobs (the eval-fingerprint count and the bloomFilter aggregate)
+    * before the returned DataFrame is ever acted on — unavoidable,
+    * since the filter must exist to plan the scan-side prune. The
+    * broadcast and the cached eval projection are tracked in
+    * [[Caches]]; `Caches.unpersistAll()` releases both (between
+    * corpora, as Bench does per iteration). */
   def contaminatedBloom(train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, fpp: Double = 0.01): DataFrame = {
     require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0, 1), got $fpp")
@@ -82,7 +90,8 @@ object Decontaminate {
     if (n == 0) containmentOf(trainFps, evalFps)
     else {
       val bloom = evalFps.stat.bloomFilter("fp", n, fpp)
-      val bc = train.sparkSession.sparkContext.broadcast(bloom)
+      val bc = Caches.broadcastTracked(
+        train.sparkSession.sparkContext.broadcast(bloom))
       val mightContain = udf((fp: Long) => bc.value.mightContainLong(fp))
       containmentOf(trainFps.filter(mightContain(col("fp"))), evalFps)
     }

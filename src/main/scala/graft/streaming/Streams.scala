@@ -131,6 +131,17 @@ object Streams {
   def incrementalStatus(docs: DataFrame, corpusFps: DataFrame,
       watermark: String = "2 hours",
       stateTtlMs: Long = 2L * 3600 * 1000): DataFrame = {
+    // the eviction horizon must never undercut admissible lateness: a
+    // caller raising the watermark without raising the TTL would evict
+    // key state while late-but-within-watermark duplicates are still
+    // admissible — silently reclassifying them as 'new'
+    val wmIv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(watermark))
+    val wmMs = wmIv.months.toLong * 31L * 86400000L +
+      wmIv.days.toLong * 86400000L + wmIv.microseconds / 1000L
+    require(stateTtlMs >= wmMs,
+      s"stateTtlMs ($stateTtlMs) must cover the watermark delay " +
+        s"('$watermark' = ${wmMs}ms) or in-watermark duplicates evict early")
     val spark = docs.sparkSession
     import spark.implicits._
     val fps = docs
@@ -175,6 +186,47 @@ object Streams {
             out.iterator
           }
       }.toDF("doc_id", "fp", "status")
+  }
+
+  /** Streaming spatial ingest — the geodata analog of
+    * [[incrementalStatus]]: geometries arriving as a stream are
+    * cell-keyed scan-locally ([[graft.geo.GeoGrid.gridCells]] — a
+    * stateless projection, so it plans on a streaming frame) and
+    * joined against a STATIC corpus grid index aggregated to one row
+    * per cell. Each arrival comes back with its cell and the corpus
+    * density there: `(id, cell_x, cell_y, n_corpus)`, with
+    * `n_corpus = 0` both for empty cells and for unparsable/empty
+    * geometries (null cells never match — the standard contract, and
+    * a left join keeps the row).
+    *
+    * Stream-static joins are stateless — no watermark, no state
+    * store: the static side is just a batch plan re-read per
+    * micro-batch (cache `corpus`'s index upstream if re-reading
+    * matters). The same call works identically on a batch frame,
+    * which is the correctness oracle (StreamingSpec pins
+    * stream == batch over the q77 corpus shape).
+    *
+    * 100 TB shape: the shuffle key is the grid cell on the static
+    * side only (one aggregation, once per micro-batch at worst); the
+    * stream side is a scan-local UDF projection plus a broadcastable
+    * join against the skinny (cell, count) index — geometry bytes
+    * never cross an exchange. */
+  def spatialIngest(stream: DataFrame, sIdCol: String, sWkbCol: String,
+      corpus: DataFrame, cIdCol: String, cWkbCol: String,
+      cellSize: Double): DataFrame = {
+    import graft.geo.GeoGrid
+    val idx = GeoGrid.gridCells(
+        corpus.select(qcol(cIdCol).as("__cid"), qcol(cWkbCol).as("__cwkb")),
+        col("__cwkb"), cellSize)
+      .filter(col("cell_x").isNotNull)
+      .groupBy(col("cell_x"), col("cell_y"))
+      .agg(count(lit(1)).as("__n_corpus"))
+    GeoGrid.gridCells(
+        stream.select(qcol(sIdCol).as("id"), qcol(sWkbCol).as("__swkb")),
+        col("__swkb"), cellSize)
+      .join(idx, Seq("cell_x", "cell_y"), "left")
+      .select(col("id"), col("cell_x"), col("cell_y"),
+        coalesce(col("__n_corpus"), lit(0L)).as("n_corpus"))
   }
 
   /** Parse a stream of JSON strings into typed rows with a schema

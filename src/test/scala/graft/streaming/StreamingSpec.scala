@@ -353,6 +353,55 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally query.stop()
   }
 
+  test("incrementalStatus refuses a TTL below the watermark delay") {
+    import spark.implicits._
+    val docs = Seq((1L, ts(0), "x")).toDF("doc_id", "ts", "text")
+    val fps = Seq(Tuple1("y")).toDF("text")
+      .select(graft.llm.Dedup.fingerprint(col("text")).as("fp"))
+    // 2h watermark with a 1h TTL would evict state while
+    // late-but-admissible duplicates can still arrive
+    intercept[IllegalArgumentException] {
+      Streams.incrementalStatus(docs, fps,
+        watermark = "2 hours", stateTtlMs = 3600L * 1000)
+    }
+  }
+
+  test("spatialIngest: streamed geometries against the static grid equal batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.geo.Wkb
+    // the q77 corpus shape: one point per id from the same arithmetic
+    def wkbOf(id: Long): Array[Byte] = Wkb.write(Wkb.GPoint(Array(
+      (id * 37 % 1000).toDouble / 10.0 - 50.0,
+      (id * 91 % 1000).toDouble / 10.0 - 50.0), hasZ = false, hasM = false))
+    val corpus = (0L until 200L).map(i => (i, wkbOf(i))).toDF("doc_id", "wkb")
+    val arrivals: Seq[(Long, Array[Byte])] =
+      (1000L until 1030L).map(i => (i, wkbOf(i * 7))) :+
+        ((2000L, Array[Byte](1, 2))) // unparsable → null cell, n_corpus 0
+    val input = MemoryStream[(Long, Array[Byte])]
+    val query = Streams.spatialIngest(input.toDF().toDF("id", "wkb"), "id", "wkb",
+        corpus, "doc_id", "wkb", cellSize = 10.0)
+      .writeStream.format("memory").queryName("spatial_out")
+      .outputMode("append").start()
+    try {
+      input.addData(arrivals: _*)
+      query.processAllAvailable()
+      def shape(df: org.apache.spark.sql.DataFrame) = df.orderBy("id")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2))),
+          r.getLong(3))).toSeq
+      val got = shape(spark.table("spatial_out"))
+      val batch = shape(Streams.spatialIngest(arrivals.toDF("id", "wkb"), "id", "wkb",
+        corpus, "doc_id", "wkb", cellSize = 10.0))
+      assert(got == batch)
+      assert(got.length == 31)
+      assert(got.exists(_._3 > 0), "some arrival must land in a populated cell")
+      val junk = got.find(_._1 == 2000L).get
+      assert(junk._2.isEmpty && junk._3 == 0L,
+        "unparsable WKB must survive with a null cell and zero density")
+    } finally query.stop()
+  }
+
   test("parseJsonStream: Json2Spark schema drives from_json; malformed rows flagged") {
     import spark.implicits._
     val schema = graft.schema.JsonSchemaToStruct.convert(
