@@ -74,7 +74,7 @@ object GeoFunctions {
       (b: Array[Byte]) => numGeoms(b))
   }
 
-  private def numGeoms(b: Array[Byte]): java.lang.Long = {
+  private[geo] def numGeoms(b: Array[Byte]): java.lang.Long = {
     if (b == null) return null
     Wkb.read(Wkb.stripSrid(b)) match {
       case None => null

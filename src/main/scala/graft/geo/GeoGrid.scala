@@ -254,7 +254,7 @@ object GeoGrid {
   val MaxPolyCellsPerAxis = 4096L
 
   /** The (Multi)Polygon parts of a geometry — empty for anything else. */
-  private def polysIn(g: Wkb.Geom): Array[Wkb.GPolygon] = g match {
+  private[geo] def polysIn(g: Wkb.Geom): Array[Wkb.GPolygon] = g match {
     case p: Wkb.GPolygon            => Array(p)
     case Wkb.GMultiPolygon(gs, _, _) => gs
     case _                           => Array.empty

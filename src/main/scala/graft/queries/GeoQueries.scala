@@ -211,6 +211,17 @@ object GeoQueries {
       rectCorpus(s, dir, residue = 10, extentBase = 4.17),
       col("doc_id"), col("wkb"), GridCellSize)
 
+  // ---- q82: shape statistics (st_area-class layer introspection) ----
+  // Integer shoelace area over the rectangle corpus: the oracle knows
+  // a rect's doubled area is 2·(x1f−x0f)·(y1f−y0f) from the synthesis
+  // arithmetic alone, while the Spark side must encode → parse →
+  // floor every vertex → translate → shoelace its way to the identical
+  // integer. Ring/vertex counts pin the WKB structure.
+  def q82GeoShapeStats(s: SparkSession, dir: String): DataFrame =
+    graft.geo.GeoStats.shapeStats(
+      rectCorpus(s, dir, residue = 0, extentBase = 3.05),
+      col("doc_id"), col("wkb"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_geom_type" -> q14GeomType _,
     "q15_linearize" -> q15Linearize _,
@@ -220,6 +231,7 @@ object GeoQueries {
     "q79_geo_neighbors_capped" -> q79GeoNeighborsCapped _,
     "q80_geo_containment" -> q80GeoContainment _,
     "q81_geo_overlap" -> q81GeoOverlap _,
+    "q82_geo_shape_stats" -> q82GeoShapeStats _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -336,5 +348,24 @@ object GeoQueries {
          |SELECT ba.id_a, bb.id_b FROM ba, bb
          |WHERE ba.x0f < bb.x1f AND bb.x0f < ba.x1f
          |  AND ba.y0f < bb.y1f AND bb.y0f < ba.y1f""".stripMargin,
+    // a rectangle's doubled shoelace area over floored corners is
+    // exactly 2·(x1f−x0f)·(y1f−y0f) — the Spark side must reproduce
+    // that integer through WKB encode → parse → floor → translate →
+    // shoelace; counts pin the ring structure (1 ring, 5 vertices
+    // with the closing duplicate)
+    "q82_geo_shape_stats" ->
+      s"""WITH pg AS (SELECT doc_id AS poly_id,
+         |    CAST(doc_id * 37 % 1000 AS DOUBLE) / 10.0 - 50.0 AS cx,
+         |    CAST(doc_id * 91 % 1000 AS DOUBLE) / 10.0 - 50.0 AS cy,
+         |    CAST(doc_id // 20 % 5 AS DOUBLE) + 3.05 AS wv
+         |  FROM documents WHERE doc_id % 20 = 0),
+         |pb AS (SELECT poly_id,
+         |    CAST(floor((cx - wv) * 1000000.0) AS BIGINT) AS x0f,
+         |    CAST(floor((cx + wv) * 1000000.0) AS BIGINT) AS x1f,
+         |    CAST(floor((cy - wv) * 1000000.0) AS BIGINT) AS y0f,
+         |    CAST(floor((cy + wv) * 1000000.0) AS BIGINT) AS y1f FROM pg)
+         |SELECT poly_id, CAST(1 AS BIGINT) AS n_rings,
+         |  CAST(5 AS BIGINT) AS n_vertices,
+         |  2 * (x1f - x0f) * (y1f - y0f) AS area2_fp2 FROM pb""".stripMargin,
   )
 }

@@ -1,0 +1,74 @@
+package graft.geo
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Integer shoelace shape statistics: hand-computed areas, hole
+  * subtraction, orientation independence, and the null/unscorable
+  * contract. */
+class GeoStatsSpec extends AnyFunSuite with SparkTestSession {
+
+  private def rect(x0: Double, y0: Double, x1: Double, y1: Double) =
+    Wkb.GPolygon(Array(Array(Array(x0, y0), Array(x1, y0), Array(x1, y1),
+      Array(x0, y1), Array(x0, y0))), false, false)
+
+  test("polyArea2Fp: rects, holes, orientation, multipolygon, L-shape") {
+    // 4×3 rect → 2·area in fp² = 2·(4e6·3e6)
+    assert(GeoStats.polyArea2Fp(Array(rect(0, 0, 4, 3))) == Some(2L * 4000000L * 3000000L))
+    // translation invariance, far from the origin
+    assert(GeoStats.polyArea2Fp(Array(rect(70000, -30000, 70004, -29997))) ==
+      Some(2L * 4000000L * 3000000L))
+    // reversed (CW) ring: same area by the part-level abs
+    val cw = Wkb.GPolygon(Array(rect(0, 0, 4, 3).rings(0).reverse), false, false)
+    assert(GeoStats.polyArea2Fp(Array(cw)) == Some(2L * 4000000L * 3000000L))
+    // hole subtracts: 10×10 outer minus 2×2 hole (hole ring CW)
+    val holed = Wkb.GPolygon(Array(
+      rect(0, 0, 10, 10).rings(0),
+      Wkb.GPolygon(Array(rect(4, 4, 6, 6).rings(0).reverse), false, false).rings(0)),
+      false, false)
+    assert(GeoStats.polyArea2Fp(Array(holed)) == Some(2L * 96L * 1000000L * 1000000L))
+    // multipolygon: parts sum
+    assert(GeoStats.polyArea2Fp(Array(rect(0, 0, 1, 1), rect(5, 5, 7, 6))) ==
+      Some(2L * 1000000L * 1000000L + 2L * 2000000L * 1000000L))
+    // non-convex L-shape: 40×40 minus the 20×20 notch = 1200 units²
+    val l = Wkb.GPolygon(Array(Array(
+      Array(0.0, 0.0), Array(40.0, 0.0), Array(40.0, 20.0), Array(20.0, 20.0),
+      Array(20.0, 40.0), Array(0.0, 40.0), Array(0.0, 0.0))), false, false)
+    assert(GeoStats.polyArea2Fp(Array(l)) == Some(2L * 1200L * 1000000L * 1000000L))
+    // NaN coordinate → unscorable
+    assert(GeoStats.polyArea2Fp(Array(Wkb.GPolygon(Array(Array(
+      Array(Double.NaN, 0.0), Array(1.0, 0.0), Array(1.0, 1.0),
+      Array(Double.NaN, 0.0))), false, false))).isEmpty)
+  }
+
+  test("shapeStats: counts, null contract, curved surface via linearization") {
+    import spark.implicits._
+    val circleRing = Wkb.GCircularString(Array(
+      Array(0.0, 10.0), Array(10.0, 20.0), Array(20.0, 10.0),
+      Array(10.0, 0.0), Array(0.0, 10.0)), false, false)
+    val rows = Seq(
+      (1L, Wkb.write(rect(0, 0, 4, 3))),
+      (2L, Array[Byte](9, 9)),                     // unparsable
+      (3L, Wkb.write(Wkb.GLineString(                // not a polygon
+        Array(Array(0.0, 0.0), Array(1.0, 1.0)), false, false))),
+      (4L, Wkb.write(Wkb.GCurvePolygon(Array(circleRing), false, false)))
+    ).toDF("id", "wkb")
+    val got = GeoStats.shapeStats(rows, col("id"), col("wkb"))
+      .collect().map(r => r.getLong(0) -> (
+        if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))))
+      .toMap
+    assert(got(1L) == Some((1L, 5L, Some(2L * 4000000L * 3000000L))))
+    assert(got(2L).isEmpty && got(3L).isEmpty, "null stats rows must survive")
+    // the linearized circle of radius 10: area approaches π·100 from
+    // below (inscribed polygon) — must be well inside (250, 315) and
+    // the ring must carry the sampled vertex count
+    val (nr, nv, area) = got(4L).get
+    assert(nr == 1L && nv > 10L)
+    val areaUnits = area.get.toDouble / 2e12
+    assert(areaUnits > 250.0 && areaUnits < math.Pi * 100.0,
+      s"linearized circle area $areaUnits out of range")
+  }
+}

@@ -107,4 +107,72 @@ object WkbProps extends Properties("Wkb") {
       Prop(onCircle && stepOk && endpointsExact)
     }
   }
+
+  property("num_geoms: component count for multis, 1 for scalars, garbage → null") =
+    forAll(genGeom, Gen.chooseNum(1, 48)) { (g, cut) =>
+      val bytes = Wkb.write(g)
+      val expected: Long = g match {
+        case m: Wkb.GMultiLineString => m.geoms.length.toLong
+        case m: Wkb.GMultiPolygon    => m.geoms.length.toLong
+        case c: Wkb.GCollection      => c.geoms.length.toLong
+        case _                       => 1L
+      }
+      val full = GeoFunctions.numGeoms(bytes)
+      // truncated or null input must diagnose as null, never throw
+      val truncated = GeoFunctions.numGeoms(bytes.take(math.max(0, bytes.length - cut)))
+      (full != null && full.longValue == expected) &&
+        GeoFunctions.numGeoms(null) == null &&
+        (truncated == null || truncated.longValue >= 1L)
+    }
+
+  property("envelope covers every vertex of any linear geometry") = {
+    def vertices(g: Wkb.Geom): Seq[Array[Double]] = g match {
+      case Wkb.GPoint(c, _, _)            => Seq(c)
+      case Wkb.GLineString(ps, _, _)      => ps.toSeq
+      case Wkb.GPolygon(rs, _, _)         => rs.toSeq.flatten
+      case Wkb.GMultiPoint(gs, _, _)      => gs.toSeq.flatMap(vertices)
+      case Wkb.GMultiLineString(gs, _, _) => gs.toSeq.flatMap(vertices)
+      case Wkb.GMultiPolygon(gs, _, _)    => gs.toSeq.flatMap(vertices)
+      case Wkb.GCollection(gs, _, _)      => gs.toSeq.flatMap(vertices)
+      case _                              => Seq.empty
+    }
+    // linear-only: a curved geometry's envelope follows the SAMPLED
+    // arc, which may legitimately exceed the control points
+    val genLinear = genGeom.retryUntil({
+      case _: Wkb.GCircularString => false
+      case _                      => true
+    }, 100)
+    forAll(genLinear) { g =>
+      val vs = vertices(g)
+      val (x0, y0, x1, y1) = GeoGrid.envelope(g)
+      vs.isEmpty || vs.forall(v =>
+        x0 <= v(0) && v(0) <= x1 && y0 <= v(1) && v(1) <= y1)
+    }
+  }
+
+  property("shoelace area: translation-invariant and orientation-independent") = {
+    // dyadic (k/8) coordinates and integer offsets: every sum and the
+    // ·10⁶ product are EXACT doubles, so floor can never straddle a
+    // boundary differently before and after translation — continuous
+    // coordinates would make this property flaky within float ulps
+    val genRect = for {
+      x0 <- Gen.chooseNum(-4000, 4000).map(_ * 0.125)
+      y0 <- Gen.chooseNum(-4000, 4000).map(_ * 0.125)
+      w <- Gen.chooseNum(1, 1600).map(_ * 0.125)
+      h <- Gen.chooseNum(1, 1600).map(_ * 0.125)
+      dx <- Gen.chooseNum(-1000000, 1000000).map(_.toDouble)
+      dy <- Gen.chooseNum(-1000000, 1000000).map(_.toDouble)
+    } yield (x0, y0, x0 + w, y0 + h, dx, dy)
+    forAll(genRect) { case (x0, y0, x1, y1, dx, dy) =>
+      def rect(a: Double, b: Double, c: Double, d: Double, rev: Boolean) = {
+        val ring = Array(Array(a, b), Array(c, b), Array(c, d), Array(a, d), Array(a, b))
+        Wkb.GPolygon(Array(if (rev) ring.reverse else ring), false, false)
+      }
+      val base = GeoStats.polyArea2Fp(Array(rect(x0, y0, x1, y1, rev = false)))
+      val moved = GeoStats.polyArea2Fp(Array(
+        rect(x0 + dx, y0 + dy, x1 + dx, y1 + dy, rev = false)))
+      val reversed = GeoStats.polyArea2Fp(Array(rect(x0, y0, x1, y1, rev = true)))
+      base.isDefined && base == moved && base == reversed
+    }
+  }
 }
