@@ -363,9 +363,15 @@ object GeoGrid {
         col("pyf") >= col("y0f") && col("pyf") <= col("y1f"))
       .select(col("point_id"), col("poly_id"), col("px"), col("py"))
     val memo = new PolyMemo
+    // asNondeterministic pins the filter ABOVE the sort: Catalyst
+    // happily pushes a deterministic UDF predicate through the sort
+    // into the join condition, where rows arrive in join order and
+    // the memo would never hit (measured: one decode per candidate).
+    // The function is semantically deterministic — the marker only
+    // blocks the reordering.
     val verifyUdf = udf { (bytes: Array[Byte], px: Double, py: Double) =>
       memo.polysOf(bytes).exists(containsPoint(_, px, py))
-    }
+    }.asNondeterministic()
     // sortWithinPartitions (no exchange — the id join already
     // co-located each polygon's candidates) makes the memo hit: one
     // decode per polygon per partition, not one per candidate
@@ -478,11 +484,13 @@ object GeoGrid {
         col("pcy") === greatest(col("acy0"), col("bcy0")))
       .select(col("id_a"), col("id_b"))
     val memo = new PolyMemo
+    // asNondeterministic: see containmentJoin — without it the filter
+    // is pushed below the id_a sort and the memo never hits
     val verifyUdf = udf { (bytesA: Array[Byte], bytesB: Array[Byte]) =>
       val pb = Option(bytesB).flatMap(Wkb.read).map(linearized)
         .map(polysIn).getOrElse(Array.empty[Wkb.GPolygon])
       polygonsIntersect(memo.polysOf(bytesA), pb)
-    }
+    }.asNondeterministic()
     cand.join(a.select(aIdCol.as("id_a"), aWkbCol.as("__a_wkb")), Seq("id_a"))
       .join(b.select(bIdCol.as("id_b"), bWkbCol.as("__b_wkb")), Seq("id_b"))
       .sortWithinPartitions(col("id_a"))

@@ -64,18 +64,28 @@ object GeoStats {
     s
   }
 
-  /** Twice the total area over (multi)polygon parts: per part, the
-    * rings' signed shoelaces sum (holes, encoded opposite to their
-    * outer ring, subtract) and the absolute value is taken — so the
-    * result is orientation-independent per part. None on overflow or
-    * bad coordinates (the unscorable contract). */
+  /** Twice the total area over (multi)polygon parts: per part,
+    * |shoelace(exterior)| minus Σ|shoelace(hole)| using the OGC/WKB
+    * POSITIONAL contract — ring 0 is the exterior, later rings are
+    * holes — rather than winding order, which WKB producers do not
+    * reliably normalize (a hole wound the same way as its shell is
+    * legal bytes and must still subtract). Fully
+    * orientation-independent as a result. None on overflow, bad
+    * coordinates, or holes outweighing their shell (the unscorable
+    * contract — that geometry is invalid, not zero-area). */
   private[geo] def polyArea2Fp(parts: Array[Wkb.GPolygon]): Option[Long] =
     try {
       var total = 0L
       parts.foreach { p =>
         var s = 0L
-        p.rings.foreach { r => s = Math.addExact(s, ringShoelace2Fp(r)) }
-        total = Math.addExact(total, Math.absExact(s))
+        var i = 0
+        p.rings.foreach { r =>
+          val a = Math.absExact(ringShoelace2Fp(r))
+          s = if (i == 0) a else Math.subtractExact(s, a)
+          i += 1
+        }
+        if (s < 0L) throw new ArithmeticException("holes outweigh the exterior ring")
+        total = Math.addExact(total, s)
       }
       Some(total)
     } catch { case _: ArithmeticException => None }

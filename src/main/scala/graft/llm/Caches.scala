@@ -49,10 +49,6 @@ object Caches {
     p
   }
 
-  /** Release every cache the llm operators created in this JVM,
-    * returning how many were released. Scoped to graft's own caches —
-    * unlike `spark.catalog.clearCache()` it cannot evict unrelated
-    * user data. */
   private val trackedBc = new java.util.concurrent.ConcurrentLinkedQueue[
     org.apache.spark.broadcast.Broadcast[_]]()
 
@@ -69,6 +65,11 @@ object Caches {
     bc
   }
 
+  /** Release every cache AND tracked broadcast the graft operators
+    * created in this JVM, returning how many resources (caches +
+    * broadcasts) were released. Scoped to graft's own tracking —
+    * unlike `spark.catalog.clearCache()` it cannot evict unrelated
+    * user data. */
   def unpersistAll(blocking: Boolean = false): Int = {
     var n = 0
     var df = tracked.poll()
@@ -80,6 +81,7 @@ object Caches {
     var bc = trackedBc.poll()
     while (bc != null) {
       bc.unpersist(blocking)
+      n += 1
       bc = trackedBc.poll()
     }
     n

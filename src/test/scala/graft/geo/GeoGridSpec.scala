@@ -274,6 +274,36 @@ class GeoGridSpec extends AnyFunSuite with SparkTestSession {
     assert(decodes <= 64L, s"hot polygon decoded $decodes times for 300 candidates")
   }
 
+  test("containmentJoin memo engages across MANY polygons (filter stays above the sort)") {
+    import spark.implicits._
+    // 20 disjoint polygons, 50 points each → 1000 candidates. With the
+    // verify pushed below the sort into the join (what a deterministic
+    // UDF predicate invites Catalyst to do), every candidate row
+    // decodes its polygon: 1000 decodes. With the filter pinned above
+    // sortWithinPartitions, each partition decodes each distinct
+    // polygon once: ≤ 20 polys × 32 partitions = 640, in practice far
+    // fewer. The single-polygon test above cannot tell these apart —
+    // its memo hits regardless of row order.
+    val polys = (0 until 20).map { k =>
+      (k.toLong, Wkb.write(Wkb.GPolygon(Array(Array(
+        Array(k * 200.0, 0.0), Array(k * 200.0 + 100.0, 0.0),
+        Array(k * 200.0 + 100.0, 100.0), Array(k * 200.0, 100.0),
+        Array(k * 200.0, 0.0))), false, false)))
+    }.toDF("gid", "gwkb")
+    val points = (0 until 1000).map { i =>
+      val k = i / 50; val j = i % 50
+      (i.toLong, Wkb.write(pt(k * 200.0 + (j % 10) * 9.5 + 2.5, (j / 10) * 19.0 + 3.0)))
+    }.toDF("pid", "pwkb")
+    GeoGrid.verifyDecodes.set(0L)
+    val n = GeoGrid.containmentJoin(points, col("pid"), col("pwkb"),
+      polys, col("gid"), col("gwkb"), cellSize = 10.0).count()
+    assert(n == 1000L)
+    val decodes = GeoGrid.verifyDecodes.get()
+    assert(decodes <= 640L,
+      s"verify decoded $decodes times for 1000 candidates over 20 polygons — " +
+        "the memo is not engaging (filter likely pushed below the sort)")
+  }
+
   test("cellSize beyond the Long-safe bound is refused") {
     import spark.implicits._
     val rows = Seq((1L, Wkb.write(pt(0.0, 0.0)))).toDF("id", "wkb")

@@ -29,6 +29,15 @@ class GeoStatsSpec extends AnyFunSuite with SparkTestSession {
       Wkb.GPolygon(Array(rect(4, 4, 6, 6).rings(0).reverse), false, false).rings(0)),
       false, false)
     assert(GeoStats.polyArea2Fp(Array(holed)) == Some(2L * 96L * 1000000L * 1000000L))
+    // a hole wound the SAME way as its shell is legal WKB and must
+    // still subtract — ring POSITION decides, not winding
+    val sameWind = Wkb.GPolygon(Array(
+      rect(0, 0, 10, 10).rings(0), rect(4, 4, 6, 6).rings(0)), false, false)
+    assert(GeoStats.polyArea2Fp(Array(sameWind)) == Some(2L * 96L * 1000000L * 1000000L))
+    // holes outweighing their shell: invalid geometry → unscorable
+    val inverted = Wkb.GPolygon(Array(
+      rect(4, 4, 6, 6).rings(0), rect(0, 0, 10, 10).rings(0)), false, false)
+    assert(GeoStats.polyArea2Fp(Array(inverted)).isEmpty)
     // multipolygon: parts sum
     assert(GeoStats.polyArea2Fp(Array(rect(0, 0, 1, 1), rect(5, 5, 7, 6))) ==
       Some(2L * 1000000L * 1000000L + 2L * 2000000L * 1000000L))
