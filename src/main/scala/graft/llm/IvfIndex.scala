@@ -181,7 +181,7 @@ object IvfIndex {
 
   /** Quantized-embedding projection: `e_i = floor(x_i · 10⁶)` —
     * the integer domain the deterministic trainer works in. */
-  private def quantized(vectors: DataFrame): DataFrame =
+  private[llm] def quantized(vectors: DataFrame): DataFrame =
     vectors.select(col("vec_id"), expr(
       "transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0) as bigint))").as("e"))
 
@@ -229,13 +229,21 @@ object IvfIndex {
   def fitFixedPoint(vectors: DataFrame, nLists: Int, nIter: Int = 3): Array[Array[Long]] = {
     require(nLists > 0, "nLists must be positive")
     require(nIter >= 0, "nIter must be non-negative")
-    val spark = vectors.sparkSession
     // every Lloyd round re-reads the quantized projection (and the
     // search's assignment pass reads it once more, via CacheManager's
     // canonical-plan match) — cache it instead of re-scanning and
     // re-quantizing the corpus nIter+1 times; tracked, so
     // Caches.unpersistAll releases it between corpora
     val q = Caches.persistTracked(quantized(vectors))
+    fitOnQuantized(q, nLists, nIter)
+  }
+
+  /** Lloyd's rounds over an ALREADY-quantized `(vec_id, e)` frame —
+    * the reusable core of [[fitFixedPoint]], also driven per-subspace
+    * by [[PqIndex]] on sliced projections. */
+  private[llm] def fitOnQuantized(q: DataFrame, nLists: Int,
+      nIter: Int): Array[Array[Long]] = {
+    val spark = q.sparkSession
     var centroids: Array[Array[Long]] = q.orderBy(col("vec_id")).limit(nLists)
       .select(col("e")).collect().map(_.getSeq[Long](0).toArray)
     require(centroids.length == nLists,

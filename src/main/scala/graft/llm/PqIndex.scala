@@ -1,0 +1,140 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al. 2011, "Product Quantization for
+  * Nearest Neighbor Search") in the repo's deterministic fixed-point
+  * frame: the embedding space is split into `m` contiguous subspaces,
+  * each subspace gets its own small integer-k-means codebook
+  * ([[IvfIndex.fitOnQuantized]] on a sliced projection), and every
+  * corpus vector is ENCODED as `m` one-byte-class codes — the
+  * compressed representation ANN systems hold in RAM when the raw
+  * vectors no longer fit. Search is the classic two stage:
+  *
+  *   1. ADC (asymmetric distance computation): per query, one lookup
+  *      table of `m·kSub` integer partial dots (query sub-slice ·
+  *      centroid) is built scan-locally against the broadcast
+  *      codebook; every corpus vector is scored by `m` table lookups
+  *      over its CODES — the raw embedding is never touched.
+  *   2. Exact rerank: the ADC top-`rerank` candidates (two-level heap
+  *      selection, ties → smaller id) join back their true embeddings
+  *      and the final top-`k` is ranked by exact `dot_fp`.
+  *
+  * Everything is integer arithmetic end to end (quantize → train →
+  * encode → LUT → rank), so the whole pipeline — Lloyd rounds included
+  * — replays in DuckDB as unrolled CTEs (`q84_pq_ann`).
+  *
+  * 100 TB shape: codebooks are `m·kSub·subDim` longs on the driver and
+  * broadcast (kilobytes); encoding is scan-local; the scored stream
+  * carries `(query_id, vec_id, adc)` — never an embedding; the only
+  * corpus-sized exchange is the rerank's id-keyed join back, bounded
+  * by `rerank` rows per query. Codes are 4 bytes · m per vector vs
+  * 4 bytes · dim raw — the memory ratio that makes billion-vector
+  * serving possible. */
+object PqIndex {
+
+  /** Per-subspace codebooks: `codebooks(m)(c)(j)` = micro-unit value of
+    * centroid `c`'s dimension `j` in subspace `m`. */
+  def fitSubspaces(vectors: DataFrame, m: Int, kSub: Int,
+      nIter: Int): Array[Array[Array[Long]]] = {
+    require(m > 0, "m must be positive")
+    require(kSub > 0, "kSub must be positive")
+    val dim = vectors.select(size(col("embedding"))).head.getInt(0)
+    require(dim % m == 0, s"dim ($dim) must divide evenly into $m subspaces")
+    val subDim = dim / m
+    val q = Caches.persistTracked(IvfIndex.quantized(vectors))
+    Array.tabulate(m) { i =>
+      IvfIndex.fitOnQuantized(
+        q.select(col("vec_id"), slice(col("e"), i * subDim + 1, subDim).as("e")),
+        kSub, nIter)
+    }
+  }
+
+  /** `(vec_id, codes)` — nearest centroid per subspace (integer
+    * squared distance, ties → smaller code), scan-local over the
+    * broadcast codebooks. */
+  def encode(vectors: DataFrame,
+      codebooks: Array[Array[Array[Long]]]): DataFrame = {
+    val bc = vectors.sparkSession.sparkContext.broadcast(codebooks)
+    val codesUdf = udf { (e: Seq[Long]) =>
+      val v = e.toArray
+      val cbs = bc.value
+      val subDim = cbs(0)(0).length
+      Array.tabulate(cbs.length) { i =>
+        var best = -1
+        var bestD = Long.MaxValue
+        var c = 0
+        while (c < cbs(i).length) {
+          val cent = cbs(i)(c)
+          var d = 0L
+          var j = 0
+          while (j < subDim) {
+            val x = v(i * subDim + j) - cent(j)
+            d += x * x
+            j += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }.toSeq
+    }
+    IvfIndex.quantized(vectors)
+      .select(col("vec_id"), codesUdf(col("e")).as("codes"))
+  }
+
+  /** Two-stage PQ search: ADC ranking over codes, exact rerank of the
+    * survivors. Returns `(query_id, vec_id, dot_fp, rn)`, `rn ≤ k`,
+    * ranked `dot_fp` desc / `vec_id` asc. `rerank ≥ k` controls the
+    * candidate width (recall/cost knob). */
+  def adcSearch(vectors: DataFrame, queries: DataFrame, m: Int, kSub: Int,
+      k: Int, rerank: Int, nIter: Int = 2): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(rerank >= k, "rerank width must be at least k")
+    val spark = vectors.sparkSession
+    LlmFunctions.registerDotFp(spark)
+    val codebooks = fitSubspaces(vectors, m, kSub, nIter)
+    val bc = spark.sparkContext.broadcast(codebooks)
+    // one flat LUT per query: lut(i·kSub + c) = q_subslice(i) · cb(i)(c)
+    val lutUdf = udf { (e: Seq[Long]) =>
+      val v = e.toArray
+      val cbs = bc.value
+      val subDim = cbs(0)(0).length
+      val out = new Array[Long](cbs.length * kSub)
+      var i = 0
+      while (i < cbs.length) {
+        var c = 0
+        while (c < cbs(i).length) {
+          val cent = cbs(i)(c)
+          var s = 0L
+          var j = 0
+          while (j < subDim) { s += v(i * subDim + j) * cent(j); j += 1 }
+          out(i * kSub + c) = s
+          c += 1
+        }
+        i += 1
+      }
+      out.toSeq
+    }
+    val luts = IvfIndex.quantized(queries)
+      .select(col("vec_id").as("query_id"), lutUdf(col("e")).as("lut"))
+    // ADC: m element_at lookups per corpus row — built-in higher-order
+    // functions over the broadcast-joined LUT, no embedding in sight
+    val adc = encode(vectors, codebooks)
+      .crossJoin(broadcast(luts))
+      .select(col("query_id"), col("vec_id"),
+        expr(s"aggregate(transform(sequence(0, $m - 1), " +
+          s"i -> element_at(lut, i * $kSub + element_at(codes, i + 1) + 1)), " +
+          "0L, (acc, x) -> acc + x)").as("dot_fp"))
+    val candidates = Similarity.topKPerQuery(adc, rerank)
+      .select(col("query_id"), col("vec_id"))
+    val exact = candidates
+      .join(vectors.select(col("vec_id"), col("embedding").as("ce")), "vec_id")
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"))), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        Similarity.dotFpNative("qe", "ce").as("dot_fp"))
+    Similarity.topKPerQuery(exact, k)
+  }
+}

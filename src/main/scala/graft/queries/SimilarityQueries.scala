@@ -143,6 +143,25 @@ object SimilarityQueries {
       .select(col("query_id"), col("vec_id"), col("dot_fp"), col("rn"))
   }
 
+  private val PqM = 4
+  private val PqKSub = 8
+  private val PqIter = 2
+  private val PqRerank = 9
+  private val PqSubDim = Dim / PqM
+
+  // ---- q84: product-quantization ANN (ADC + exact rerank) ----
+  // The compressed-domain search path: per-subspace fixed-point
+  // codebooks, corpus held as m-byte-class CODES, ADC lookup-table
+  // scoring, exact rerank of the survivors. Integer end to end, so
+  // the oracle replays training (per-subspace Lloyd rounds), encoding,
+  // ADC ranking, and the rerank as unrolled CTEs.
+  def q84PqAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+    graft.llm.PqIndex.adcSearch(emb,
+      emb.filter(col("vec_id") < NumQueryVecs), PqM, PqKSub, AnnK, PqRerank, PqIter)
+      .select(col("query_id"), col("vec_id"), col("dot_fp"), col("rn"))
+  }
+
   private val SemDedupCellCap = 64
   private val SemDedupMinDotFp = 350000L
 
@@ -272,6 +291,7 @@ object SimilarityQueries {
     "q67_semantic_dedup" -> q67SemanticDedup _,
     "q72_cluster_best"  -> q72ClusterBest _,
     "q75_embed_quantize" -> q75EmbedQuantize _,
+    "q84_pq_ann"        -> q84PqAnn _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -614,6 +634,70 @@ object SimilarityQueries {
        |FROM r WHERE rn <= $AnnK""".stripMargin
   }
 
+  // q84: the q66 replay pattern applied per SUBSPACE — slice the
+  // quantized vectors, unroll each subspace's Lloyd rounds, encode as
+  // nearest-centroid codes, score every (query, vector) pair by the
+  // sum of per-subspace (query-slice · centroid-of-code) integer dots
+  // (ADC), keep the top-PqRerank, exact-rerank with the true
+  // embeddings.
+  private val q84Sql = {
+    def sq(v: String, c: String): String =
+      s"list_sum(list_transform(range(1, ${PqSubDim + 1}), " +
+        s"i -> ($v.e[i]-$c.c[i])*($v.e[i]-$c.c[i])))"
+    def assignCte(src: String, cent: String, out: String): String =
+      s"""$out AS (SELECT vec_id, e, cell FROM (
+         |  SELECT v.vec_id, v.e, c.cell,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY ${sq("v", "c")}, c.cell) AS rn
+         |  FROM $src v CROSS JOIN $cent c) t WHERE rn = 1)""".stripMargin
+    def updateCte(assign: String, prev: String, out: String): String =
+      s"""${out}x AS (SELECT cell, i.v AS dim,
+         |    CAST(floor(sum(e[i.v])::DOUBLE / count(*)) AS BIGINT) AS cv
+         |  FROM $assign, unnest(range(1, ${PqSubDim + 1})) AS i(v) GROUP BY cell, i.v),
+         |${out}l AS (SELECT cell, list(cv ORDER BY dim) AS c FROM ${out}x GROUP BY cell),
+         |$out AS (SELECT p.cell, coalesce(l.c, p.c) AS c
+         |  FROM $prev p LEFT JOIN ${out}l l USING (cell))""".stripMargin
+    val subspaces = (0 until PqM).map { m =>
+      val off = m * PqSubDim
+      val slices =
+        s"""e$m AS (SELECT vec_id, e[${off + 1}:${off + PqSubDim}] AS e FROM eq),
+           |c${m}_0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS c
+           |  FROM (SELECT vec_id, e FROM e$m ORDER BY vec_id LIMIT $PqKSub) x)""".stripMargin
+      val iters = (0 until PqIter).map { t =>
+        assignCte(s"e$m", s"c${m}_$t", s"a${m}_$t") + ",\n" +
+          updateCte(s"a${m}_$t", s"c${m}_$t", s"c${m}_${t + 1}")
+      }.mkString(",\n")
+      s"$slices,\n$iters,\n${assignCte(s"e$m", s"c${m}_$PqIter", s"af$m")}"
+    }.mkString(",\n")
+    val ms = 0 until PqM
+    val adcTerms = ms.map { m =>
+      s"list_sum(list_transform(range(1, ${PqSubDim + 1}), j -> q$m.e[j] * k$m.c[j]))"
+    }.mkString(" + ")
+    val adcFrom = (Seq("eq q") ++
+      ms.map(m => s"af$m a$m") ++
+      ms.map(m => s"c${m}_$PqIter k$m") ++
+      ms.map(m => s"e$m q$m")).mkString(", ")
+    val adcWhere = (Seq(s"q.vec_id < $NumQueryVecs") ++
+      ms.drop(1).map(m => s"a$m.vec_id = a0.vec_id") ++
+      ms.map(m => s"k$m.cell = a$m.cell") ++
+      ms.map(m => s"q$m.vec_id = q.vec_id")).mkString(" AND ")
+    s"""WITH eq AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS e FROM embeddings),
+       |$subspaces,
+       |adc AS (SELECT q.vec_id AS query_id, a0.vec_id, $adcTerms AS adc
+       |  FROM $adcFrom WHERE $adcWhere),
+       |adcr AS (SELECT query_id, vec_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rn FROM adc),
+       |cand AS (SELECT query_id, vec_id FROM adcr WHERE rn <= $PqRerank),
+       |ex AS (SELECT cand.query_id, cand.vec_id,
+       |    ${dotS("qe.embedding", "ce.embedding")} AS dot_fp
+       |  FROM cand JOIN embeddings qe ON cand.query_id = qe.vec_id
+       |  JOIN embeddings ce ON cand.vec_id = ce.vec_id),
+       |r AS (SELECT query_id, vec_id, dot_fp, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY dot_fp DESC, vec_id) AS rn FROM ex)
+       |SELECT query_id, vec_id, dot_fp, CAST(rn AS INTEGER) AS rn
+       |FROM r WHERE rn <= $AnnK""".stripMargin
+  }
+
   // q67: the same k-means prefix, then in-cell pairwise dot_fp among
   // the first SemDedupCellCap members of each cell (rank-truncation,
   // the windowed guard), lower-id survivor rule, every id in output.
@@ -650,6 +734,7 @@ object SimilarityQueries {
     "q58_embed_dedup_capped" -> q58Sql,
     "q62_cross_corpus_capped" -> q62Sql,
     "q66_ivf_trained"   -> q66Sql,
+    "q84_pq_ann"        -> q84Sql,
     "q67_semantic_dedup" -> q67Sql,
     "q72_cluster_best"  -> q72Sql,
     "q75_embed_quantize" -> q75Sql,
