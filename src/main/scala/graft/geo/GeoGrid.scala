@@ -497,4 +497,138 @@ object GeoGrid {
       .filter(verifyUdf(col("__a_wkb"), col("__b_wkb")))
       .select(col("id_a"), col("id_b"))
   }
+
+  /** The (Multi)LineString parts of a geometry — empty for anything
+    * else (curves participate via [[linearized]] upstream). */
+  private[geo] def linesIn(g: Wkb.Geom): Array[Wkb.GLineString] = g match {
+    case l: Wkb.GLineString              => Array(l)
+    case Wkb.GMultiLineString(gs, _, _)  => gs
+    case _                               => Array.empty
+  }
+
+  /** Exact `dist(P, segment AB) ≤ maxDistFp` in micro-unit integers:
+    * the classic clamped-projection split — before A: |PA|² ≤ r²; past
+    * B: |PB|² ≤ r²; between: cross² ≤ r²·|AB|². BigInt throughout —
+    * a long segment's deltas reach 2·MaxCoord·10⁶ and their products
+    * overflow any fixed width; exactness is the point, and the cost
+    * lands on verified CANDIDATES only, never the corpus. */
+  private[geo] def segWithinFp(px: Long, py: Long, ax: Long, ay: Long,
+      bx: Long, by: Long, maxDistFp: Long): Boolean = {
+    val apx = BigInt(px - ax); val apy = BigInt(py - ay)
+    val abx = BigInt(bx - ax); val aby = BigInt(by - ay)
+    val r2 = BigInt(maxDistFp) * BigInt(maxDistFp)
+    val td = abx * abx + aby * aby
+    val tn = apx * abx + apy * aby
+    if (td == 0 || tn <= 0) apx * apx + apy * apy <= r2
+    else if (tn >= td) {
+      val bpx = BigInt(px - bx); val bpy = BigInt(py - by)
+      bpx * bpx + bpy * bpy <= r2
+    } else {
+      val cross = abx * apy - aby * apx
+      cross * cross <= r2 * td
+    }
+  }
+
+  /** Grid-partitioned point ⋈ linestring distance join: `(point_id,
+    * line_id, n_seg_hits)` for every point within `maxDist` of a
+    * (multi)linestring, with `n_seg_hits` = how many of that line's
+    * segments are within reach — the snap-to-network workhorse
+    * (address → nearest road) beside [[neighborPairs]] (point–point),
+    * [[containmentJoin]] (point-in-polygon) and [[overlapJoin]]
+    * (polygon–polygon). Line layers are what the reference's platform
+    * ships beside polygons (the type table `udf_tools.py:12-40` lists
+    * the full LineString family).
+    *
+    * Candidate/verify, like every sibling: lines explode into
+    * SEGMENTS, each indexed under the cell range its envelope covers
+    * (bounded by [[MaxPolyCellsPerAxis]], the giant-geometry guard);
+    * points probe their own cell — `cellSize ≥ maxDist` makes the
+    * segment side's range, already inflated to the envelope, meet the
+    * point's 3×3 probe for every true pair; each (point, segment)
+    * candidate is OWNED by one cell (first cell of probe ∩ range, the
+    * overlapJoin dedup) so no distinct pass runs; the exact integer
+    * verify is [[segWithinFp]].
+    *
+    * 100 TB shape: shuffle keys are grid cells; candidate rows carry
+    * ids plus six longs — ring data never rides an exchange; a
+    * garbage world-spanning segment is excluded by the span cap
+    * rather than exploding the index; skew composes with the q79
+    * rank-truncation pattern upstream (pre-split or cap dense cells
+    * before joining). */
+  def lineDistanceJoin(points: DataFrame, pIdCol: Column, pWkbCol: Column,
+      lines: DataFrame, lIdCol: Column, lWkbCol: Column,
+      cellSize: Double, maxDist: Double): DataFrame = {
+    require(maxDist > 0.0, "maxDist must be positive")
+    require(cellSize >= maxDist + 1e-6,
+      s"cellSize ($cellSize) must exceed maxDist ($maxDist) by at least 1e-6 " +
+        "or one-cell probing misses pairs the fixed-point verify accepts")
+    require(cellSize <= MaxCellSize,
+      s"cellSize must be in (0, $MaxCellSize]")
+    val segsUdf = udf { (bytes: Array[Byte]) =>
+      Option(bytes).flatMap(Wkb.read).map(linearized).map { g =>
+        linesIn(g).iterator.flatMap { ls =>
+          ls.pts.iterator.sliding(2).withPartial(false).flatMap { w =>
+            val a = w.head; val b = w.last
+            val minX = math.min(a(0), b(0)); val maxX = math.max(a(0), b(0))
+            val minY = math.min(a(1), b(1)); val maxY = math.max(a(1), b(1))
+            val finite = java.lang.Double.isFinite(minX) &&
+              java.lang.Double.isFinite(minY) &&
+              java.lang.Double.isFinite(maxX) &&
+              java.lang.Double.isFinite(maxY) &&
+              math.abs(minX) <= MaxCoord && math.abs(minY) <= MaxCoord &&
+              math.abs(maxX) <= MaxCoord && math.abs(maxY) <= MaxCoord
+            if (!finite) None
+            else {
+              val cx0 = math.floor(minX / cellSize).toLong
+              val cx1 = math.floor(maxX / cellSize).toLong
+              val cy0 = math.floor(minY / cellSize).toLong
+              val cy1 = math.floor(maxY / cellSize).toLong
+              if (cx1 - cx0 >= MaxPolyCellsPerAxis ||
+                cy1 - cy0 >= MaxPolyCellsPerAxis) None
+              else Some((math.floor(a(0) * 1e6).toLong, math.floor(a(1) * 1e6).toLong,
+                math.floor(b(0) * 1e6).toLong, math.floor(b(1) * 1e6).toLong,
+                cx0, cx1, cy0, cy1))
+            }
+          }
+        }.toSeq
+      }.getOrElse(Seq.empty)
+    }
+    val segIdx = lines.select(lIdCol.as("line_id"), explode(segsUdf(lWkbCol)).as("s"))
+      .select(col("line_id"), col("s._1").as("axf"), col("s._2").as("ayf"),
+        col("s._3").as("bxf"), col("s._4").as("byf"),
+        col("s._5").as("scx0"), col("s._7").as("scy0"),
+        explode(expr("sequence(s._5, s._6)")).as("pcx"), col("s._8").as("scy1"))
+      .select(col("line_id"), col("axf"), col("ayf"), col("bxf"), col("byf"),
+        col("scx0"), col("scy0"),
+        col("pcx"), explode(expr("sequence(scy0, scy1)")).as("pcy"))
+    val ptUdf = udf { (bytes: Array[Byte]) =>
+      Option(bytes).flatMap(Wkb.read).flatMap(finiteCenter).map { case (cx, cy) =>
+        (math.floor(cx * 1e6).toLong, math.floor(cy * 1e6).toLong,
+          math.floor(cx / cellSize).toLong, math.floor(cy / cellSize).toLong)
+      }
+    }
+    val pts = points.select(pIdCol.as("point_id"), ptUdf(pWkbCol).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("point_id"), col("p._1").as("pxf"), col("p._2").as("pyf"),
+        col("p._3").as("hcx"), col("p._4").as("hcy"))
+    val probes = pts
+      .select(col("point_id"), col("pxf"), col("pyf"), col("hcx"), col("hcy"),
+        explode(expr("transform(sequence(-1, 1), i -> hcx + i)")).as("pcx"))
+      .select(col("point_id"), col("pxf"), col("pyf"), col("hcx"), col("hcy"),
+        col("pcx"), explode(expr("transform(sequence(-1, 1), i -> hcy + i)")).as("pcy"))
+    val maxDistFp = math.floor(maxDist * 1e6).toLong
+    val verifyUdf = udf { (px: Long, py: Long, ax: Long, ay: Long,
+        bx: Long, by: Long) =>
+      segWithinFp(px, py, ax, ay, bx, by, maxDistFp)
+    }
+    probes.join(segIdx, Seq("pcx", "pcy"))
+      // one owner cell per (point, segment): the first cell of
+      // probe ∩ segment-range — both contain it whenever they meet
+      .filter(col("pcx") === greatest(col("hcx") - 1, col("scx0")) &&
+        col("pcy") === greatest(col("hcy") - 1, col("scy0")))
+      .filter(verifyUdf(col("pxf"), col("pyf"), col("axf"), col("ayf"),
+        col("bxf"), col("byf")))
+      .groupBy(col("point_id"), col("line_id"))
+      .agg(count(lit(1)).as("n_seg_hits"))
+  }
 }

@@ -222,7 +222,38 @@ object GeoQueries {
       rectCorpus(s, dir, residue = 0, extentBase = 3.05),
       col("doc_id"), col("wkb"))
 
+  // ---- q85: grid-partitioned point ⋈ linestring distance join ----
+  // The snap-to-network workhorse (address → nearest road): every doc
+  // with doc_id ≡ 5 (mod 20) carries a REAL WKB two-segment L-shaped
+  // polyline anchored on the point formula; the q77 point corpus
+  // probes within 2.0 units. The oracle replays the synthesis
+  // arithmetic and the clamped-projection predicate brute-force in
+  // HUGEINT — the Spark side must encode → parse → segment-index →
+  // cell-probe → ownership-dedup → BigInt-verify its way to the same
+  // (pair, segment-hit-count) set.
+  private val LineMaxDist = 2.0
+  private val LineDx = 8.13
+  private val LineDy = 6.29
+  private def lineCorpus(s: SparkSession, dir: String): DataFrame = {
+    import graft.geo.Wkb
+    val lineUdf = udf { (id: Long) =>
+      val (x, y) = xyOf(id)
+      Wkb.write(Wkb.GLineString(Array(
+        Array(x, y), Array(x + LineDx, y), Array(x + LineDx, y + LineDy)),
+        hasZ = false, hasM = false))
+    }
+    graft.Tables.documents(s, dir)
+      .filter(pmod(col("doc_id"), lit(20)) === 5)
+      .select(col("doc_id"), lineUdf(col("doc_id")).as("wkb"))
+  }
+  def q85GeoLineDistance(s: SparkSession, dir: String): DataFrame =
+    graft.geo.GeoGrid.lineDistanceJoin(
+      pointCorpus(s, dir), col("doc_id"), col("wkb"),
+      lineCorpus(s, dir), col("doc_id"), col("wkb"),
+      GridCellSize, LineMaxDist)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_geo_line_distance" -> q85GeoLineDistance _,
     "q14_geom_type" -> q14GeomType _,
     "q15_linearize" -> q15Linearize _,
     "q26_contours"  -> q26Contours _,
@@ -234,7 +265,50 @@ object GeoQueries {
     "q82_geo_shape_stats" -> q82GeoShapeStats _,
   )
 
+  /** HUGEINT replay of GeoGrid.segWithinFp: clamped-projection
+    * point-to-segment distance predicate over micro-unit integers. */
+  private def segWithinSql(px: String, py: String, ax: String, ay: String,
+      bx: String, by: String): String = {
+    val apx = s"($px - $ax)"; val apy = s"($py - $ay)"
+    val abx = s"($bx - $ax)"; val aby = s"($by - $ay)"
+    val bpx = s"($px - $bx)"; val bpy = s"($py - $by)"
+    val td = s"($abx*$abx + $aby*$aby)"
+    val tn = s"($apx*$abx + $apy*$aby)"
+    val cross = s"($abx*$apy - $aby*$apx)"
+    val fp = math.floor(LineMaxDist * 1e6).toLong
+    val r2 = s"(CAST($fp AS HUGEINT) * $fp)"
+    s"(CASE WHEN $td = 0 OR $tn <= 0 THEN $apx*$apx + $apy*$apy <= $r2 " +
+      s"WHEN $tn >= $td THEN $bpx*$bpx + $bpy*$bpy <= $r2 " +
+      s"ELSE $cross*$cross <= $r2*$td END)"
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q85_geo_line_distance" -> {
+      val s1 = segWithinSql("pt.px", "pt.py", "ln.ax1", "ln.ay1", "ln.ax2", "ln.ay2")
+      val s2 = segWithinSql("pt.px", "pt.py", "ln.ax2", "ln.ay2", "ln.ax3", "ln.ay3")
+      s"""WITH pt AS (SELECT doc_id AS point_id,
+         |    CAST(floor(((x + x) / 2.0) * 1000000.0) AS HUGEINT) AS px,
+         |    CAST(floor(((y + y) / 2.0) * 1000000.0) AS HUGEINT) AS py
+         |  FROM (SELECT doc_id,
+         |    CAST(doc_id * 37 % 1000 AS DOUBLE) / 10.0 - 50.0 AS x,
+         |    CAST(doc_id * 91 % 1000 AS DOUBLE) / 10.0 - 50.0 AS y FROM documents) s),
+         |ln AS (SELECT doc_id AS line_id,
+         |    CAST(floor(x * 1000000.0) AS HUGEINT) AS ax1,
+         |    CAST(floor(y * 1000000.0) AS HUGEINT) AS ay1,
+         |    CAST(floor((x + $LineDx) * 1000000.0) AS HUGEINT) AS ax2,
+         |    CAST(floor(y * 1000000.0) AS HUGEINT) AS ay2,
+         |    CAST(floor((x + $LineDx) * 1000000.0) AS HUGEINT) AS ax3,
+         |    CAST(floor((y + $LineDy) * 1000000.0) AS HUGEINT) AS ay3
+         |  FROM (SELECT doc_id,
+         |    CAST(doc_id * 37 % 1000 AS DOUBLE) / 10.0 - 50.0 AS x,
+         |    CAST(doc_id * 91 % 1000 AS DOUBLE) / 10.0 - 50.0 AS y FROM documents) s
+         |  WHERE doc_id % 20 = 5),
+         |j AS (SELECT pt.point_id, ln.line_id,
+         |    CAST($s1 AS INTEGER) + CAST($s2 AS INTEGER) AS n_seg_hits
+         |  FROM pt, ln)
+         |SELECT point_id, line_id, CAST(n_seg_hits AS BIGINT) AS n_seg_hits
+         |FROM j WHERE n_seg_hits > 0""".stripMargin
+    },
     "q14_geom_type" ->
       ("SELECT * FROM (VALUES " +
         WkbCorpus.cases.map { case (n, _, e) => s"('$n','$e','$e')" }.mkString(", ") +

@@ -326,4 +326,92 @@ class GeoGridSpec extends AnyFunSuite with SparkTestSession {
     assert(got(1L) == Some((2L, -4L)))
     assert(got(2L).isEmpty && got(3L).isEmpty)
   }
+
+  test("segWithinFp: clamp regions, degenerate segment, exact boundary") {
+    // horizontal segment (0,0)-(10,0) in micro-units, r = 2
+    val (ax, ay, bx, by) = (0L, 0L, 10000000L, 0L)
+    val r = 2000000L
+    // perpendicular region: distance is |y|
+    assert(GeoGrid.segWithinFp(5000000L, 2000000L, ax, ay, bx, by, r))
+    assert(!GeoGrid.segWithinFp(5000000L, 2000001L, ax, ay, bx, by, r))
+    // before-A clamp: distance to A, diagonal
+    assert(GeoGrid.segWithinFp(-1400000L, -1400000L, ax, ay, bx, by, r))
+    assert(!GeoGrid.segWithinFp(-1500000L, -1500000L, ax, ay, bx, by, r))
+    // past-B clamp: distance to B
+    assert(GeoGrid.segWithinFp(12000000L, 0L, ax, ay, bx, by, r))
+    assert(!GeoGrid.segWithinFp(12000001L, 0L, ax, ay, bx, by, r))
+    // degenerate A==B behaves as point distance
+    assert(GeoGrid.segWithinFp(1000000L, 1000000L, ax, ay, ax, ay, r))
+    assert(!GeoGrid.segWithinFp(2000000L, 2000000L, ax, ay, ax, ay, r))
+    // far coordinates: products overflow a long, BigInt must not wrap
+    val big = 8000000000000000L // 8e15 micro-units = 8e9 units
+    assert(!GeoGrid.segWithinFp(0L, big, -big, 0L, big, 0L, r))
+    assert(GeoGrid.segWithinFp(0L, 1000000L, -big, 0L, big, 0L, r))
+  }
+
+  test("lineDistanceJoin equals brute force; multi-cell pairs exactly once") {
+    import spark.implicits._
+    def ls(pts: (Double, Double)*) = Wkb.write(Wkb.GLineString(
+      pts.map { case (x, y) => Array(x, y) }.toArray, false, false))
+    // line 0 spans four cells horizontally; line 1 is an L; line 2 far away
+    val lines = Seq(
+      (0L, ls((-14.0, 0.5), (26.0, 0.5))),
+      (1L, ls((3.0, 3.0), (3.0, 12.0), (9.0, 12.0))),
+      (2L, ls((80.0, 80.0), (90.0, 80.0)))).toDF("id", "wkb")
+    val points = (0 until 60).map { i =>
+      (100L + i, Wkb.write(pt(i * 1.37 - 15.0, (i % 7).toDouble - 1.0)))
+    }.toDF("id", "wkb")
+    val got = GeoGrid.lineDistanceJoin(points, col("id"), col("wkb"),
+        lines, col("id"), col("wkb"), cellSize = 10.0, maxDist = 2.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute force in the same micro-unit integer arithmetic
+    val segs = Map(
+      0L -> Seq(((-14.0, 0.5), (26.0, 0.5))),
+      1L -> Seq(((3.0, 3.0), (3.0, 12.0)), ((3.0, 12.0), (9.0, 12.0))),
+      2L -> Seq(((80.0, 80.0), (90.0, 80.0))))
+    def fp(v: Double) = math.floor(v * 1e6).toLong
+    val expected = (for {
+      i <- 0 until 60
+      (lid, ss) <- segs
+      hits = ss.count { case ((x1, y1), (x2, y2)) =>
+        GeoGrid.segWithinFp(fp(i * 1.37 - 15.0), fp((i % 7).toDouble - 1.0),
+          fp(x1), fp(y1), fp(x2), fp(y2), 2000000L)
+      }
+      if hits > 0
+    } yield (100L + i, lid) -> hits.toLong).toMap
+    assert(got === expected)
+    assert(got.nonEmpty && got.keys.exists(_._2 == 0L) && got.keys.exists(_._2 == 1L))
+  }
+
+  test("lineDistanceJoin: curves linearize in; polygons and garbage drop out") {
+    import spark.implicits._
+    // a semicircle arc from (0,0) through (2,2) to (4,0): its apex is
+    // reachable only via linearization (control-point walk misses it)
+    val arc = Wkb.write(Wkb.GCircularString(
+      Array(Array(0.0, 0.0), Array(2.0, 2.0), Array(4.0, 0.0)), false, false))
+    val poly = Wkb.write(Wkb.GPolygon(Array(Array(
+      Array(0.0, 0.0), Array(4.0, 0.0), Array(4.0, 4.0), Array(0.0, 0.0))), false, false))
+    val lines = Seq((1L, arc), (2L, poly), (3L, Array[Byte](9, 9)),
+      (4L, null.asInstanceOf[Array[Byte]])).toDF("id", "wkb")
+    val points = Seq((10L, Wkb.write(pt(2.0, 2.5)))).toDF("id", "wkb")
+    val got = GeoGrid.lineDistanceJoin(points, col("id"), col("wkb"),
+        lines, col("id"), col("wkb"), cellSize = 10.0, maxDist = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(_._2).toSet === Set(1L),
+      "the arc apex is within reach only if curves linearize into the index")
+  }
+
+  test("lineDistanceJoin: a world-spanning segment is excluded by the span cap") {
+    import spark.implicits._
+    def ls(pts: (Double, Double)*) = Wkb.write(Wkb.GLineString(
+      pts.map { case (x, y) => Array(x, y) }.toArray, false, false))
+    val lines = Seq(
+      (1L, ls((-1.0e9, 0.0), (1.0e9, 0.0))), // 2e8 cells wide at cellSize=10
+      (2L, ls((-5.0, 1.0), (5.0, 1.0)))).toDF("id", "wkb")
+    val points = Seq((10L, Wkb.write(pt(0.0, 0.0)))).toDF("id", "wkb")
+    val got = GeoGrid.lineDistanceJoin(points, col("id"), col("wkb"),
+        lines, col("id"), col("wkb"), cellSize = 10.0, maxDist = 2.0)
+      .collect().map(_.getLong(1)).toSet
+    assert(got === Set(2L), "the giant segment must drop out, the normal one stays")
+  }
 }
