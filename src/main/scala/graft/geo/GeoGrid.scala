@@ -498,6 +498,54 @@ object GeoGrid {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** Grid admission audit: every input row with the REASON the grid
+    * family would admit or refuse it — the data-quality counterpart
+    * of the silent-exclusion contract ([[finiteCenter]] returning
+    * None, the [[MaxPolyCellsPerAxis]] span cap). The join operators
+    * are right to drop unscorable geometries without ceremony; a
+    * curation pipeline auditing a layer needs the counts and the ids.
+    *
+    * Reasons, checked in order: `null_wkb` (null bytes), `unparsable`
+    * (codec refuses), `empty_or_nan` (no finite envelope center —
+    * empty geometries, NaN vertices), `coord_overflow` (center beyond
+    * [[MaxCoord]], the fixed-point long bound), `span_exceeded`
+    * (envelope covers ≥ [[MaxPolyCellsPerAxis]] cells on an axis —
+    * the giant-geometry guard), else `ok` with the home cell.
+    *
+    * 100 TB shape: one scan-local projection, zero shuffle — the
+    * caller aggregates reasons however it likes. */
+  def gridAudit(df: DataFrame, idCol: Column, wkbCol: Column,
+      cellSize: Double): DataFrame = {
+    require(cellSize > 0.0 && cellSize <= MaxCellSize,
+      s"cellSize must be in (0, $MaxCellSize]")
+    val auditUdf = udf { (bytes: Array[Byte]) =>
+      if (bytes == null) ("null_wkb", None: Option[Long], None: Option[Long])
+      else Wkb.read(bytes) match {
+        case None => ("unparsable", None, None)
+        case Some(g0) =>
+          val g = linearized(g0)
+          val (minX, minY, maxX, maxY) = envelope(g)
+          val cx = (minX + maxX) / 2.0
+          val cy = (minY + maxY) / 2.0
+          if (!java.lang.Double.isFinite(cx) || !java.lang.Double.isFinite(cy))
+            ("empty_or_nan", None, None)
+          else if (math.abs(cx) > MaxCoord || math.abs(cy) > MaxCoord)
+            ("coord_overflow", None, None)
+          else {
+            val sx = math.floor(maxX / cellSize).toLong - math.floor(minX / cellSize).toLong
+            val sy = math.floor(maxY / cellSize).toLong - math.floor(minY / cellSize).toLong
+            if (sx >= MaxPolyCellsPerAxis || sy >= MaxPolyCellsPerAxis)
+              ("span_exceeded", None, None)
+            else ("ok", Some(math.floor(cx / cellSize).toLong),
+              Some(math.floor(cy / cellSize).toLong))
+          }
+      }
+    }
+    df.select(idCol.as("id"), auditUdf(wkbCol).as("a"))
+      .select(col("id"), col("a._1").as("reason"),
+        col("a._2").as("cell_x"), col("a._3").as("cell_y"))
+  }
+
   /** The (Multi)LineString parts of a geometry — empty for anything
     * else (curves participate via [[linearized]] upstream). */
   private[geo] def linesIn(g: Wkb.Geom): Array[Wkb.GLineString] = g match {

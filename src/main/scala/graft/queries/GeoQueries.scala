@@ -252,7 +252,40 @@ object GeoQueries {
       lineCorpus(s, dir), col("doc_id"), col("wkb"),
       GridCellSize, LineMaxDist)
 
+  // ---- q86: grid admission audit (the silent-exclusion contract,
+  // surfaced) ----
+  // The join family rightly DROPS unscorable geometries (null,
+  // unparsable, empty, overflow, giant-span) without ceremony; a layer
+  // audit needs the ids and reasons. The corpus plants every refusal
+  // class by doc_id arithmetic, so the oracle knows each row's reason
+  // — and the home cell of the admitted rows — from the synthesis
+  // alone, while the Spark side must decode and classify its way to
+  // the identical verdict column.
+  private def auditCorpus(s: SparkSession, dir: String): DataFrame = {
+    import graft.geo.Wkb
+    val geomUdf = udf { (id: Long) =>
+      (id % 50).toInt match {
+        case 1 => null
+        case 2 => Array[Byte](9, 9, 9) // no such WKB type
+        case 3 => Wkb.write(Wkb.GLineString(Array.empty, hasZ = false, hasM = false))
+        case 4 => Wkb.write(Wkb.GPoint(Array(Double.NaN, 1.0), hasZ = false, hasM = false))
+        case 5 => Wkb.write(Wkb.GPoint(Array(9.5e12, 0.0), hasZ = false, hasM = false))
+        case 6 => Wkb.write(Wkb.GLineString(Array(
+          Array(-3.0e7, 0.0), Array(3.0e7, 0.0)), hasZ = false, hasM = false))
+        case _ =>
+          val (x, y) = xyOf(id)
+          Wkb.write(Wkb.GPoint(Array(x, y), hasZ = false, hasM = false))
+      }
+    }
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id"), geomUdf(col("doc_id")).as("wkb"))
+  }
+  def q86GeoGridAudit(s: SparkSession, dir: String): DataFrame =
+    graft.geo.GeoGrid.gridAudit(auditCorpus(s, dir),
+      col("doc_id"), col("wkb"), GridCellSize)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_geo_grid_audit" -> q86GeoGridAudit _,
     "q85_geo_line_distance" -> q85GeoLineDistance _,
     "q14_geom_type" -> q14GeomType _,
     "q15_linearize" -> q15Linearize _,
@@ -283,6 +316,23 @@ object GeoQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q86_geo_grid_audit" ->
+      s"""SELECT doc_id AS id,
+         |  CASE doc_id % 50
+         |    WHEN 1 THEN 'null_wkb'
+         |    WHEN 2 THEN 'unparsable'
+         |    WHEN 3 THEN 'empty_or_nan'
+         |    WHEN 4 THEN 'empty_or_nan'
+         |    WHEN 5 THEN 'coord_overflow'
+         |    WHEN 6 THEN 'span_exceeded'
+         |    ELSE 'ok' END AS reason,
+         |  CASE WHEN doc_id % 50 IN (1, 2, 3, 4, 5, 6) THEN NULL
+         |    ELSE CAST(floor(((x + x) / 2.0) / $GridCellSize) AS BIGINT) END AS cell_x,
+         |  CASE WHEN doc_id % 50 IN (1, 2, 3, 4, 5, 6) THEN NULL
+         |    ELSE CAST(floor(((y + y) / 2.0) / $GridCellSize) AS BIGINT) END AS cell_y
+         |FROM (SELECT doc_id,
+         |  CAST(doc_id * 37 % 1000 AS DOUBLE) / 10.0 - 50.0 AS x,
+         |  CAST(doc_id * 91 % 1000 AS DOUBLE) / 10.0 - 50.0 AS y FROM documents) s""".stripMargin,
     "q85_geo_line_distance" -> {
       val s1 = segWithinSql("pt.px", "pt.py", "ln.ax1", "ln.ay1", "ln.ax2", "ln.ay2")
       val s2 = segWithinSql("pt.px", "pt.py", "ln.ax2", "ln.ay2", "ln.ax3", "ln.ay3")

@@ -327,6 +327,40 @@ class GeoGridSpec extends AnyFunSuite with SparkTestSession {
     assert(got(2L).isEmpty && got(3L).isEmpty)
   }
 
+  test("gridAudit: every refusal class gets its reason; ok rows get cells") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, null.asInstanceOf[Array[Byte]]),
+      (2L, Array[Byte](9, 9, 9)),
+      (3L, Wkb.write(Wkb.GLineString(Array.empty, false, false))),
+      (4L, Wkb.write(pt(Double.NaN, 1.0))),
+      (5L, Wkb.write(pt(9.5e12, 0.0))),
+      (6L, Wkb.write(Wkb.GLineString(Array(
+        Array(-3.0e7, 0.0), Array(3.0e7, 0.0)), false, false))),
+      (7L, Wkb.write(pt(25.0, -35.0)))).toDF("id", "wkb")
+    val got = GeoGrid.gridAudit(rows, col("id"), col("wkb"), 10.0)
+      .collect().map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) None else Some((r.getLong(2), r.getLong(3))))).toMap
+    assert(got(1L) === (("null_wkb", None)))
+    assert(got(2L) === (("unparsable", None)))
+    assert(got(3L) === (("empty_or_nan", None)))
+    assert(got(4L) === (("empty_or_nan", None)))
+    assert(got(5L) === (("coord_overflow", None)))
+    assert(got(6L) === (("span_exceeded", None)))
+    assert(got(7L) === (("ok", Some((2L, -4L)))))
+    // the audit's admission verdict must agree with what gridCells
+    // actually grids — one contract, two surfaces
+    val gridded = GeoGrid.gridCells(rows, col("wkb"), 10.0)
+      .collect().map(r => r.getLong(0) -> !r.isNullAt(2)).toMap
+    got.foreach { case (id, (reason, _)) =>
+      // gridCells has no span guard (it indexes centers, not ranges),
+      // so span_exceeded rows still grid there; every OTHER refusal
+      // must agree
+      if (reason != "span_exceeded")
+        assert(gridded(id) === (reason == "ok"), s"id $id: $reason vs gridCells")
+    }
+  }
+
   test("segWithinFp: clamp regions, degenerate segment, exact boundary") {
     // horizontal segment (0,0)-(10,0) in micro-units, r = 2
     val (ax, ay, bx, by) = (0L, 0L, 10000000L, 0L)
