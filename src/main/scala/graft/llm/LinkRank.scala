@@ -1,0 +1,67 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph authority scoring — PageRank (Page et al. 1999) in the
+  * repo's deterministic fixed-point frame. Web-scale curation
+  * pipelines rank DOMAINS by link authority and feed the score into
+  * the keep/drop decision (a page on a well-linked host is worth more
+  * than the same text on a link farm); this is that signal, computed
+  * the way every other trained operator here is: integer arithmetic
+  * end to end, so the result is partition-invariant and the oracle
+  * replays every iteration as an unrolled CTE (`q87_pagerank`).
+  *
+  * Update rule, all in longs (`div` = floor division, every value
+  * non-negative):
+  *
+  *   pr₀(v)    = scale div n
+  *   share(u)  = pr_t(u) div outdeg(u)
+  *   pr_{t+1}(v) = (scale·(100−d)) div (100·n)
+  *                 + (d · Σ_{u→v} share(u)) div 100
+  *
+  * with `d` the damping numerator (85 = the classic 0.85). Floor
+  * losses mean Σpr drifts a little below `scale` per round — the
+  * ranking signal is unaffected and determinism is what buys the
+  * oracle.
+  *
+  * 100 TB shape: per iteration, ONE shuffle keyed on `src` (the
+  * share join — co-partition `edges` by src to make it map-side) and
+  * one aggregation keyed on `dst`; the driver holds a single scalar
+  * (the node count — the bounded-collect precedent); no adjacency
+  * ever materializes driver-side. Dangling nodes contribute nothing
+  * (their mass evaporates, the standard simplification); in-link-less
+  * nodes settle at the base term. Deep iteration counts should
+  * checkpoint every few rounds (plan depth grows linearly) — the
+  * caller's knob, per the dupSpanStats materialization precedent. */
+object LinkRank {
+
+  /** Fixed-point PageRank over an edge list `(src, dst)` (long ids).
+    * Returns every node: `(v, pr_fp)` at scale `scale`. */
+  def pageRankFp(edges: DataFrame, nIter: Int,
+      scale: Long = 1000000000000L, dampNum: Long = 85L): DataFrame = {
+    require(nIter >= 0, "nIter must be non-negative")
+    require(scale > 0L, "scale must be positive")
+    require(dampNum >= 0L && dampNum <= 100L, "dampNum must be in [0, 100]")
+    val e = Caches.persistTracked(
+      edges.select(col("src").cast("bigint").as("src"),
+        col("dst").cast("bigint").as("dst")))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val nodes = Caches.persistTracked(
+      e.select(col("src").as("v")).union(e.select(col("dst").as("v"))).distinct())
+    val n = math.max(nodes.count(), 1L)
+    val base = (scale * (100L - dampNum)) / (100L * n)
+    var pr = nodes.select(col("v"), lit(scale / n).as("pr"))
+    for (_ <- 0 until nIter) {
+      val shares = pr.join(deg.withColumnRenamed("src", "v"), Seq("v"))
+        .select(col("v").as("src"), expr("pr div outdeg").as("share"))
+      val contrib = e.join(shares, Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("share")).as("c"))
+        .withColumnRenamed("dst", "v")
+      pr = nodes.join(contrib, Seq("v"), "left")
+        .select(col("v"),
+          (lit(base) + expr(s"(${dampNum}L * coalesce(c, 0L)) div 100L")).as("pr"))
+    }
+    pr.select(col("v"), col("pr").as("pr_fp"))
+  }
+}

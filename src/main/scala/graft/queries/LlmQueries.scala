@@ -661,7 +661,29 @@ object LlmQueries {
     graft.llm.Bm25.scoreTopK(graft.Tables.documents(s, dir),
       "doc_id", "text", Bm25Queries, Bm25K)
 
+  // ---- q87: fixed-point PageRank over a synthesized link graph ----
+  // The domain-authority curation signal: every doc links to three
+  // arithmetic neighbors ((id·7 + k·13) mod N, self-loops dropped), so
+  // the oracle can regenerate the graph and replay all Lloyd-style
+  // unrolled iterations from the row count alone, while the Spark
+  // side runs the real distributed iteration (share join + dst
+  // aggregation per round).
+  private val PrIter = 3
+  def q87PageRank(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir).select(col("doc_id"))
+    val n = math.max(docs.count(), 1L)
+    val edges = docs.select(col("doc_id").as("src"),
+        explode(expr("sequence(1, 3)")).as("k"))
+      .select(col("src"), expr(s"(src * 7L + k * 13L) % ${n}L").as("dst"))
+      .filter(col("dst") =!= col("src"))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+    graft.llm.LinkRank.pageRankFp(edges, PrIter)
+      .join(deg.withColumnRenamed("src", "v"), Seq("v"))
+      .select(col("v").as("doc_id"), col("out_deg"), col("pr_fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_pagerank"     -> q87PageRank _,
     "q83_bm25"         -> q83Bm25 _,
     "q16_dedup_exact"  -> q16DedupExact _,
     "q17_dedup_norm"   -> q17DedupNorm _,
@@ -1162,6 +1184,30 @@ object LlmQueries {
          |    PARTITION BY query_id ORDER BY score_fp DESC, doc_id ASC) AS rn FROM sc)
          |SELECT query_id, doc_id, score_fp, CAST(rn AS INTEGER) AS rn
          |FROM r WHERE rn <= $Bm25K""".stripMargin
+    },
+    "q87_pagerank" -> {
+      val scale = 1000000000000L
+      val iters = (0 until PrIter).map { t =>
+        s"""c${t + 1} AS (SELECT e.dst AS v, sum(p$t.pr // d.outdeg) AS c
+           |  FROM p$t JOIN deg d ON p$t.v = d.src JOIN e ON e.src = p$t.v
+           |  GROUP BY e.dst),
+           |p${t + 1} AS (SELECT nodes.v,
+           |    ($scale * 15) // (100 * (SELECT n FROM nn))
+           |    + (85 * coalesce(c${t + 1}.c, 0)) // 100 AS pr
+           |  FROM nodes LEFT JOIN c${t + 1} ON nodes.v = c${t + 1}.v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |e AS (SELECT doc_id AS src, (doc_id * 7 + k * 13) % (SELECT n FROM nn) AS dst
+         |  FROM documents, unnest([1, 2, 3]) AS t(k)
+         |  WHERE (doc_id * 7 + k * 13) % (SELECT n FROM nn) <> doc_id),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+         |nodes AS (SELECT DISTINCT src AS v FROM e
+         |  UNION SELECT DISTINCT dst AS v FROM e),
+         |p0 AS (SELECT v, $scale // (SELECT n FROM nn) AS pr FROM nodes),
+         |$iters
+         |SELECT p$PrIter.v AS doc_id, deg.outdeg AS out_deg,
+         |  CAST(p$PrIter.pr AS BIGINT) AS pr_fp
+         |FROM p$PrIter JOIN deg ON p$PrIter.v = deg.src""".stripMargin
     },
     "q74_dynamic_filter" ->
       s"""WITH t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok
