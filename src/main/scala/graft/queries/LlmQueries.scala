@@ -682,7 +682,19 @@ object LlmQueries {
       .select(col("v").as("doc_id"), col("out_deg"), col("pr_fp"))
   }
 
+  // ---- q88: deterministic BPE tokenizer training ----
+  // Train-the-tokenizer-on-the-corpus: three merge rounds over the
+  // word-frequency table (integer counts, lexicographic tie-break),
+  // then per-doc symbol counts under the learned merges. The oracle
+  // replays every round — pair counting, argmax, corpus-wide literal
+  // replace — as unrolled CTEs on the same bracket-wrapped strings.
+  private val BpeMerges = 3
+  def q88BpeTrain(s: SparkSession, dir: String): DataFrame =
+    graft.llm.BpeTrainer.symbolCounts(
+      graft.Tables.documents(s, dir), "doc_id", "text", BpeMerges)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_bpe_train"    -> q88BpeTrain _,
     "q87_pagerank"     -> q87PageRank _,
     "q83_bm25"         -> q83Bm25 _,
     "q16_dedup_exact"  -> q16DedupExact _,
@@ -1184,6 +1196,36 @@ object LlmQueries {
          |    PARTITION BY query_id ORDER BY score_fp DESC, doc_id ASC) AS rn FROM sc)
          |SELECT query_id, doc_id, score_fp, CAST(rn AS INTEGER) AS rn
          |FROM r WHERE rn <= $Bm25K""".stripMargin
+    },
+    "q88_bpe_train" -> {
+      val rounds = (0 until BpeMerges).map { t =>
+        s"""p${t + 1} AS (SELECT y[i] AS l, y[i + 1] AS r, sum(freq) AS c
+           |  FROM (SELECT freq, string_split(s[2:len(s) - 1], '][') AS y FROM w$t) t$t,
+           |    unnest(range(1, len(y))) AS u(i)
+           |  GROUP BY 1, 2),
+           |b${t + 1} AS (SELECT l, r FROM p${t + 1}
+           |  ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+           |w${t + 1} AS (SELECT w, freq,
+           |    CASE WHEN (SELECT count(*) FROM b${t + 1}) = 0 THEN s
+           |      ELSE replace(s,
+           |        '[' || (SELECT l FROM b${t + 1}) || '][' || (SELECT r FROM b${t + 1}) || ']',
+           |        '[' || (SELECT l FROM b${t + 1}) || (SELECT r FROM b${t + 1}) || ']')
+           |    END AS s FROM w$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+         |wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM e GROUP BY w),
+         |w0 AS (SELECT w, freq, array_to_string(
+         |    list_transform(string_split(w, ''), c -> '[' || c || ']'), '') AS s
+         |  FROM wf),
+         |$rounds,
+         |ns AS (SELECT w, CAST(len(string_split(s[2:len(s) - 1], '][')) AS BIGINT) AS n_sym
+         |  FROM w$BpeMerges),
+         |sc AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         |    CAST(sum(ns.n_sym) AS BIGINT) AS n_sym
+         |  FROM e JOIN ns ON e.w = ns.w GROUP BY e.doc_id)
+         |SELECT d.doc_id, coalesce(sc.n_tok, 0) AS n_tok,
+         |  coalesce(sc.n_sym, 0) AS n_sym
+         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin
     },
     "q87_pagerank" -> {
       val scale = 1000000000000L

@@ -1,0 +1,73 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** BPE training: hand-computed merge sequence, greedy-replace
+  * semantics, exhaustion, and the no-token contract. */
+class BpeSpec extends AnyFunSuite with SparkTestSession {
+
+  private def docsOf(texts: String*) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  test("merge table matches the hand-computed BPE run") {
+    // words: aaab ×2, ab ×1
+    val docs = docsOf("aaab aaab", "ab")
+    val merges = BpeTrainer.trainMerges(docs, "doc_id", "text", nMerges = 3)
+    // round 1: (a,a) count 4 (two positions in aaab, freq 2) beats (a,b)=3
+    // round 2: after [aa][a][b]: (a,b)=2+1=3 beats (aa,a)=2
+    // round 3: after [aa][ab]/[ab]: (aa,ab)=2
+    assert(merges === Seq(("a", "a", 4L), ("a", "b", 3L), ("aa", "ab", 2L)))
+  }
+
+  test("symbolCounts: full merge collapses words; nMerges=0 counts chars") {
+    val docs = docsOf("aaab aaab ab", "", "aaab")
+    val after = BpeTrainer.symbolCounts(docs, "doc_id", "text", nMerges = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // aaab → [aaab] (1 symbol), ab → [ab] (1 symbol)
+    assert(after(0L) === ((3L, 3L)))
+    assert(after(1L) === ((0L, 0L)))
+    assert(after(2L) === ((1L, 1L)))
+    val raw = BpeTrainer.symbolCounts(docs, "doc_id", "text", nMerges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(raw(0L) === 10L) // 4 + 4 + 2 chars
+    assert(raw(2L) === 4L)
+  }
+
+  test("greedy leftmost merge: a run of equal symbols pairs like BPE") {
+    // aaaa: round-1 (a,a) has count 3; replace is leftmost
+    // non-overlapping → [aa][aa], 2 symbols
+    val docs = docsOf("aaaa")
+    val merges = BpeTrainer.trainMerges(docs, "doc_id", "text", nMerges = 1)
+    assert(merges === Seq(("a", "a", 3L)))
+    val counts = BpeTrainer.symbolCounts(docs, "doc_id", "text", nMerges = 1)
+      .collect().map(r => r.getLong(2))
+    assert(counts.toSeq === Seq(2L))
+  }
+
+  test("training exhausts gracefully when no pairs remain") {
+    val docs = docsOf("a b c", "b c")
+    val merges = BpeTrainer.trainMerges(docs, "doc_id", "text", nMerges = 5)
+    assert(merges.isEmpty)
+    val counts = BpeTrainer.symbolCounts(docs, "doc_id", "text", nMerges = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(counts === Set((3L, 3L), (2L, 2L)))
+  }
+
+  test("partition-invariant merges") {
+    import org.apache.spark.sql.functions.col
+    val docs = docsOf("the table the table scan", "scan the hash table",
+      "hash join hash join", "merge sort merge")
+    val a = BpeTrainer.trainMerges(docs.repartition(1), "doc_id", "text", 4)
+    val b = BpeTrainer.trainMerges(docs.repartition(9), "doc_id", "text", 4)
+    assert(a === b && a.size === 4)
+    val ca = BpeTrainer.symbolCounts(docs.repartition(1), "doc_id", "text", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val cb = BpeTrainer.symbolCounts(docs.repartition(9), "doc_id", "text", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ca === cb)
+  }
+}
