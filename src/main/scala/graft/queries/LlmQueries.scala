@@ -693,7 +693,25 @@ object LlmQueries {
     graft.llm.BpeTrainer.symbolCounts(
       graft.Tables.documents(s, dir), "doc_id", "text", BpeMerges)
 
+  // ---- q89: fuzzy entity-resolution join (edit-distance blocking) ----
+  // Master = distinct part names; dirty = deterministic perturbations
+  // (first char dropped / e→3 / unchanged, keyed by id mod 3). The
+  // Spark side must length-band, neighbor-probe, and levenshtein-
+  // verify its way to the exact lev ≤ 2 pair set the oracle computes
+  // brute-force — blocking completeness is what the equality proves.
+  private val FuzzyMaxDist = 2
+  def q89FuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val master = graft.Tables.part(s, dir)
+      .groupBy(col("p_name")).agg(min(col("p_partkey")).as("id"))
+      .select(col("id"), col("p_name").as("name"))
+    val dirty = master.select((col("id") + 100000L).as("id"),
+      expr("CASE CAST(id % 3 AS INT) WHEN 0 THEN substring(name, 2) " +
+        "WHEN 1 THEN replace(name, 'e', '3') ELSE name END").as("name"))
+    graft.llm.Fuzzy.editDistanceJoin(master, dirty, FuzzyMaxDist)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_fuzzy_join"   -> q89FuzzyJoin _,
     "q88_bpe_train"    -> q88BpeTrain _,
     "q87_pagerank"     -> q87PageRank _,
     "q83_bm25"         -> q83Bm25 _,
@@ -1197,6 +1215,16 @@ object LlmQueries {
          |SELECT query_id, doc_id, score_fp, CAST(rn AS INTEGER) AS rn
          |FROM r WHERE rn <= $Bm25K""".stripMargin
     },
+    "q89_fuzzy_join" ->
+      s"""WITH m AS (SELECT min(p_partkey) AS id, p_name AS name
+         |  FROM part GROUP BY p_name),
+         |d AS (SELECT id + 100000 AS id,
+         |    CASE CAST(id % 3 AS INTEGER) WHEN 0 THEN substr(name, 2)
+         |      WHEN 1 THEN replace(name, 'e', '3') ELSE name END AS name
+         |  FROM m)
+         |SELECT m.id AS id_a, d.id AS id_b,
+         |  CAST(levenshtein(m.name, d.name) AS BIGINT) AS lev
+         |FROM m, d WHERE levenshtein(m.name, d.name) <= $FuzzyMaxDist""".stripMargin,
     "q88_bpe_train" -> {
       val rounds = (0 until BpeMerges).map { t =>
         s"""p${t + 1} AS (SELECT y[i] AS l, y[i + 1] AS r, sum(freq) AS c
