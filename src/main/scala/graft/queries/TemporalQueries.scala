@@ -46,9 +46,21 @@ object TemporalQueries {
       .select(col("event_id"), col("user_id"), col("n_in_window"))
   }
 
+  // ---- q90: hourly gap fill (time-axis densification) ----
+  // The q9 aggregation with its holes materialized: every (type, hour)
+  // of the observed span exists, filled hours carry 0 and a flag. The
+  // oracle regenerates the dense axis with generate_series and must
+  // land on the identical grid.
+  def q90GapFill(s: SparkSession, dir: String): DataFrame =
+    graft.temporal.GapFill.hourlyCounts(
+      graft.Tables.events(s, dir), "event_type", "ts")
+      .select(col("key").as("event_type"), col("hour_ts"),
+        col("n_events"), col("is_gap"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_asof_join"  -> q34AsofJoin _,
     "q35_range_join" -> q35RangeJoin _,
+    "q90_gap_fill"   -> q90GapFill _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -73,5 +85,18 @@ object TemporalQueries {
          |FROM l LEFT JOIN e r ON r.user_id = l.user_id
          |  AND r.us >= l.us - $WindowUs AND r.us < l.us
          |GROUP BY l.event_id, l.user_id""".stripMargin,
+    "q90_gap_fill" ->
+      """WITH h AS (SELECT event_type,
+        |    CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |mm AS (SELECT min(hour_ts) AS mn, max(hour_ts) AS mx FROM h),
+        |axis AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour_ts
+        |  FROM mm),
+        |ty AS (SELECT DISTINCT event_type FROM events),
+        |g AS (SELECT ty.event_type, axis.hour_ts FROM ty, axis)
+        |SELECT g.event_type, g.hour_ts, coalesce(h.n, 0) AS n_events,
+        |  h.n IS NULL AS is_gap
+        |FROM g LEFT JOIN h ON g.event_type = h.event_type
+        |  AND g.hour_ts = h.hour_ts""".stripMargin,
   )
 }

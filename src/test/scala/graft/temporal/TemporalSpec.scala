@@ -117,4 +117,39 @@ class TemporalSpec extends AnyFunSuite with SparkTestSession {
     }.toMap
     assert(got === want)
   }
+
+  test("gap fill: dense axis per key, zeros flagged, null ts dropped") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val ev = Seq(
+      ("a", ts("2024-01-01 00:10:00")),
+      ("a", ts("2024-01-01 00:40:00")),
+      ("a", ts("2024-01-01 03:05:00")), // hours 1,2 are gaps for a
+      ("b", ts("2024-01-01 02:30:00")),
+      ("b", null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("k", "ts")
+    val got = GapFill.hourlyCounts(ev, "k", "ts")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString.take(13),
+        r.getLong(2), r.getBoolean(3))).toSet
+    assert(got === Set(
+      ("a", "2024-01-01 00", 2L, false),
+      ("a", "2024-01-01 01", 0L, true),
+      ("a", "2024-01-01 02", 0L, true),
+      ("a", "2024-01-01 03", 1L, false),
+      ("b", "2024-01-01 00", 0L, true),
+      ("b", "2024-01-01 01", 0L, true),
+      ("b", "2024-01-01 02", 1L, false),
+      ("b", "2024-01-01 03", 0L, true)))
+  }
+
+  test("gap fill: corrupt-timestamp span is refused; empty input returns empty") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val bad = Seq(("a", ts("1970-01-01 00:00:00")), ("a", ts("2024-01-01 00:00:00")))
+      .toDF("k", "ts")
+    val e = intercept[IllegalArgumentException] {
+      GapFill.hourlyCounts(bad, "k", "ts", maxAxisHours = 1000L)
+    }
+    assert(e.getMessage.contains("time axis"))
+    val empty = Seq.empty[(String, java.sql.Timestamp)].toDF("k", "ts")
+    assert(GapFill.hourlyCounts(empty, "k", "ts").collect().isEmpty)
+  }
 }
