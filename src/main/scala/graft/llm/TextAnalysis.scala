@@ -347,4 +347,71 @@ object TextAnalysis {
       .select(Seq(col("doc_id"), col("n_tok"), col("reasons"), col("kept")) ++
         (if (withQuality) Seq(col("quality_fp")) else Nil) ++ carried: _*)
   }
+
+  /** `floor(2·log2(x/y))` for positive x ≥ y, integer-exactly as the
+    * binary digit length of `x² div y²` minus one — the q71/BM25
+    * digit-length trick at HALF-bit resolution (squaring, not
+    * fourth-powering, keeps the oracle's HUGEINT within range at
+    * test scale; BigInt here is exact at any scale). */
+  private[llm] def log2Q2(x: BigInt, y: BigInt): Long = {
+    require(x >= y && y > 0, "log2Q2 requires x >= y > 0")
+    ((x * x) / (y * y)).bitLength - 1L
+  }
+
+  /** Collocation extraction: the top-`topK` adjacent token pairs by
+    * count, scored with pointwise mutual information in half-bits —
+    * `pmi_q2 = floor(2·log2(N·c_ab / (c_a·c_b)))` — the classic
+    * find-the-multiword-terms pass ("new york", "machine learning")
+    * a corpus pipeline runs before vocabulary decisions. Only
+    * POSITIVE-PMI pairs survive (`N·c_ab ≥ c_a·c_b`): a pair seen
+    * less often than independence predicts is not a collocation.
+    * Integer arithmetic throughout (BigInt squaring for the log), so
+    * DuckDB replays count, filter, score and ranking exactly.
+    *
+    * Returns `(w_a, w_b, c_ab, pmi_q2)`, ranked `c_ab` desc with the
+    * (w_a, w_b) lexicographic tie-break.
+    *
+    * 100 TB shape: adjacent pairs explode scan-locally from each
+    * doc's token array (never a self-join); the pair aggregate is
+    * bounded by observed bigrams; unigram counts and the corpus
+    * total ride broadcast; the final ranking is TakeOrdered over the
+    * `minCount`-filtered aggregate, never a global sort. */
+  def collocations(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 2L, topK: Int = 20): DataFrame = {
+    require(minCount >= 1L, "minCount must be at least 1")
+    require(topK > 0, "topK must be positive")
+    val q = graft.Names.quoted _
+    // the token stream has ONE consumer here (the unigram aggregate) —
+    // no persist; the pair path re-runs the codegen'd tokenize, which
+    // at 100 TB is cheaper than a corpus-sized cache write (the q71
+    // lesson). The skinny freq aggregate is what both joins reuse.
+    val freq = Caches.persistTracked(
+      tokenFreq(explodedTokens(docs, idCol, textCol)))
+    val total = freq.agg(coalesce(sum(col("c")), lit(0L)).as("n"))
+    val pairs = docs.select(tokens(col(q(textCol))).as("y"))
+      .filter(size(col("y")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(y) - 1), " +
+          "i -> struct(element_at(y, i) AS a, element_at(y, i + 1) AS b))")).as("p"))
+      .groupBy(col("p.a").as("w_a"), col("p.b").as("w_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val pmiUdf = udf { (n: Long, cab: Long, ca: Long, cb: Long) =>
+      val x = BigInt(n) * BigInt(cab)
+      val y = BigInt(ca) * BigInt(cb)
+      if (x >= y) Some(log2Q2(x, y)) else None
+    }
+    // unigram joins stay plain equi-joins: the full frequency table is
+    // vocabulary-sized, not guaranteed broadcastable — AQE promotes
+    // them when it is; only the 1-row total is broadcast by fiat
+    pairs
+      .join(freq.select(col("w").as("w_a"), col("c").as("__ca")), Seq("w_a"))
+      .join(freq.select(col("w").as("w_b"), col("c").as("__cb")), Seq("w_b"))
+      .crossJoin(broadcast(total))
+      .select(col("w_a"), col("w_b"), col("c_ab"),
+        pmiUdf(col("n"), col("c_ab"), col("__ca"), col("__cb")).as("pmi_q2"))
+      .filter(col("pmi_q2").isNotNull)
+      .orderBy(col("c_ab").desc, col("w_a").asc, col("w_b").asc)
+      .limit(topK)
+  }
 }

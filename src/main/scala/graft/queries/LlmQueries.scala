@@ -710,7 +710,19 @@ object LlmQueries {
     graft.llm.Fuzzy.editDistanceJoin(master, dirty, FuzzyMaxDist)
   }
 
+  // ---- q91: collocation extraction (adjacent-pair PMI) ----
+  // Multiword-term discovery: top bigrams by count with half-bit
+  // integer PMI; only positive-PMI pairs survive. The oracle replays
+  // pair counting, the independence filter, the squared digit-length
+  // log, and the (count, pair) ranking.
+  private val CollocTopK = 20
+  private val CollocMinCount = 2L
+  def q91Collocations(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.collocations(graft.Tables.documents(s, dir),
+      "doc_id", "text", CollocMinCount, CollocTopK)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_collocations" -> q91Collocations _,
     "q89_fuzzy_join"   -> q89FuzzyJoin _,
     "q88_bpe_train"    -> q88BpeTrain _,
     "q87_pagerank"     -> q87PageRank _,
@@ -1215,6 +1227,22 @@ object LlmQueries {
          |SELECT query_id, doc_id, score_fp, CAST(rn AS INTEGER) AS rn
          |FROM r WHERE rn <= $Bm25K""".stripMargin
     },
+    "q91_collocations" ->
+      s"""WITH e AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+         |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY w),
+         |nn AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM uni),
+         |pr AS (SELECT y[i] AS w_a, y[i + 1] AS w_b, CAST(count(*) AS BIGINT) AS c_ab
+         |  FROM (SELECT $toksSql AS y FROM documents) t,
+         |    unnest(range(1, len(y))) AS u(i)
+         |  GROUP BY 1, 2 HAVING count(*) >= $CollocMinCount),
+         |sc AS (SELECT pr.w_a, pr.w_b, pr.c_ab,
+         |    (SELECT n FROM nn)::HUGEINT * pr.c_ab AS x,
+         |    ua.c::HUGEINT * ub.c AS y
+         |  FROM pr JOIN uni ua ON pr.w_a = ua.w JOIN uni ub ON pr.w_b = ub.w)
+         |SELECT w_a, w_b, c_ab,
+         |  CAST(length(bin((x * x) // (y * y))) - 1 AS BIGINT) AS pmi_q2
+         |FROM sc WHERE x >= y
+         |ORDER BY c_ab DESC, w_a ASC, w_b ASC LIMIT $CollocTopK""".stripMargin,
     "q89_fuzzy_join" ->
       s"""WITH m AS (SELECT min(p_partkey) AS id, p_name AS name
          |  FROM part GROUP BY p_name),

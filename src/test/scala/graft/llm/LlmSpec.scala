@@ -462,4 +462,37 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
     // interpreted — still row-local, still zero-shuffle
     assert(plan.contains("*("), "the bitmask/scan projections fell out of codegen")
   }
+
+  test("collocations: planted bigram wins with hand-computed half-bit PMI") {
+    import spark.implicits._
+    // "new york" appears 4×; tokens: new(4) york(4) plus 8 filler
+    // tokens → N = 16; PMI(new,york) = 2·log2(16·4/(4·4)) = 2·log2(4)
+    // → q2 = 4
+    val docs = Seq(
+      (1L, "new york a b c d"),
+      (2L, "new york e f g h"),
+      (3L, "new york new york"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(docs, "doc_id", "text",
+      minCount = 2L, topK = 5).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.head._1 === "new" && got.head._2 === "york" && got.head._3 === 4L)
+    val n = 16L; val cab = 4L; val ca = 4L; val cb = 4L
+    val expectedQ2 = TextAnalysis.log2Q2(BigInt(n * cab), BigInt(ca * cb))
+    assert(got.head._4 === expectedQ2 && expectedQ2 === 4L)
+    // a negative-PMI pair (york, new appears once; 16·1 < 4·4 is
+    // false... york-new: c=1 < minCount) — anything below minCount or
+    // independence is absent
+    assert(!got.exists(r => r._1 == "b" || r._2 == "c"))
+  }
+
+  test("collocations: partition-invariant ranking") {
+    import spark.implicits._
+    val docs = (0L until 50L).map(i =>
+      (i, s"alpha beta gamma delta w$i alpha beta")).toDF("doc_id", "text")
+    def run(p: Int) = TextAnalysis.collocations(docs.repartition(p),
+      "doc_id", "text", 2L, 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(run(1) === run(11))
+  }
 }
