@@ -229,6 +229,17 @@ object Streams {
         coalesce(col("__n_corpus"), lit(0L)).as("n_corpus"))
   }
 
+  /** Stream-static fuzzy entity resolution: arriving dirty names match
+    * against the static master list through the length-band blocking
+    * join ([[graft.llm.Fuzzy.editDistanceJoin]] — probe explosion,
+    * band equi-join, codegen'd levenshtein verify are all STATELESS,
+    * so the operator runs unchanged under Structured Streaming with
+    * no watermark or state store). Emits `(id_a, id_b, lev)` match
+    * rows; arrivals matching nothing emit nothing (new-entity
+    * detection composes downstream against the emitted ids). */
+  def fuzzyIngest(stream: DataFrame, master: DataFrame, maxDist: Int): DataFrame =
+    graft.llm.Fuzzy.editDistanceJoin(stream, master, maxDist)
+
   /** Parse a stream of JSON strings into typed rows with a schema
     * compiled by [[graft.schema.JsonSchemaToStruct]] — JSON Schema in,
     * streaming Dataset out. Malformed records survive (PERMISSIVE +

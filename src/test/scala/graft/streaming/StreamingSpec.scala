@@ -402,6 +402,31 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally query.stop()
   }
 
+  test("fuzzyIngest: streamed dirty names against the static master equal batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val master = Seq((1L, "hammer"), (2L, "wrench"), (3L, "screwdriver"))
+      .toDF("id", "name")
+    val arrivals = Seq((100L, "hammer"), (101L, "hammr"), (102L, "wrencch"),
+      (103L, "sprocket"), (104L, "xx"))
+    val input = MemoryStream[(Long, String)]
+    val query = Streams.fuzzyIngest(input.toDF().toDF("id", "name"),
+        master, maxDist = 2)
+      .writeStream.format("memory").queryName("fuzzy_out")
+      .outputMode("append").start()
+    try {
+      input.addData(arrivals: _*)
+      query.processAllAvailable()
+      def shape(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val got = shape(spark.table("fuzzy_out"))
+      val batch = shape(graft.llm.Fuzzy.editDistanceJoin(
+        arrivals.toDF("id", "name"), master, maxDist = 2))
+      assert(got === batch)
+      assert(got === Set((100L, 1L, 0L), (101L, 1L, 1L), (102L, 2L, 1L)))
+    } finally query.stop()
+  }
+
   test("parseJsonStream: Json2Spark schema drives from_json; malformed rows flagged") {
     import spark.implicits._
     val schema = graft.schema.JsonSchemaToStruct.convert(
