@@ -188,7 +188,7 @@ object IvfIndex {
   /** Scan-local argmin-squared-distance cell assignment over a
     * broadcast integer codebook; ties break toward the smaller cell
     * id. Pure integer arithmetic → identical on any partitioning. */
-  private def cellOfUdf(bc: org.apache.spark.broadcast.Broadcast[Array[Array[Long]]]) =
+  private[llm] def cellOfUdf(bc: org.apache.spark.broadcast.Broadcast[Array[Array[Long]]]) =
     udf { (e: Seq[Long]) =>
       val v = e.toArray
       var best = -1

@@ -84,10 +84,55 @@ object PqIndex {
       .select(col("vec_id"), codesUdf(col("e")).as("codes"))
   }
 
+  /** One flat LUT per query row: `lut(i·kSub + c) = q_subslice(i) ·
+    * cb(i)(c)` — scan-local against the broadcast codebooks. */
+  private def lutUdf(bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Long]]]],
+      kSub: Int) = udf { (e: Seq[Long]) =>
+    val v = e.toArray
+    val cbs = bc.value
+    val subDim = cbs(0)(0).length
+    val out = new Array[Long](cbs.length * kSub)
+    var i = 0
+    while (i < cbs.length) {
+      var c = 0
+      while (c < cbs(i).length) {
+        val cent = cbs(i)(c)
+        var s = 0L
+        var j = 0
+        while (j < subDim) { s += v(i * subDim + j) * cent(j); j += 1 }
+        out(i * kSub + c) = s
+        c += 1
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** ADC score: m `element_at` lookups per row — built-in higher-order
+    * functions over the row's LUT and codes, no embedding in sight. */
+  private def adcExpr(m: Int, kSub: Int) =
+    expr(s"aggregate(transform(sequence(0, $m - 1), " +
+      s"i -> element_at(lut, i * $kSub + element_at(codes, i + 1) + 1)), " +
+      "0L, (acc, x) -> acc + x)")
+
+  /** Exact rerank of `(query_id, vec_id)` candidates by true dot_fp. */
+  private def exactRerank(candidates: DataFrame, vectors: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
+    val exact = candidates
+      .join(vectors.select(col("vec_id"), col("embedding").as("ce")), "vec_id")
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"))), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        Similarity.dotFpNative("qe", "ce").as("dot_fp"))
+    Similarity.topKPerQuery(exact, k)
+  }
+
   /** Two-stage PQ search: ADC ranking over codes, exact rerank of the
     * survivors. Returns `(query_id, vec_id, dot_fp, rn)`, `rn ≤ k`,
     * ranked `dot_fp` desc / `vec_id` asc. `rerank ≥ k` controls the
-    * candidate width (recall/cost knob). */
+    * candidate width (recall/cost knob). The scan is LINEAR per query
+    * (flat PQ) with queries broadcast — the cell-bounded form is
+    * [[ivfAdcSearch]]. */
   def adcSearch(vectors: DataFrame, queries: DataFrame, m: Int, kSub: Int,
       k: Int, rerank: Int, nIter: Int = 2): DataFrame = {
     require(k > 0, "k must be positive")
@@ -96,45 +141,61 @@ object PqIndex {
     LlmFunctions.registerDotFp(spark)
     val codebooks = fitSubspaces(vectors, m, kSub, nIter)
     val bc = spark.sparkContext.broadcast(codebooks)
-    // one flat LUT per query: lut(i·kSub + c) = q_subslice(i) · cb(i)(c)
-    val lutUdf = udf { (e: Seq[Long]) =>
-      val v = e.toArray
-      val cbs = bc.value
-      val subDim = cbs(0)(0).length
-      val out = new Array[Long](cbs.length * kSub)
-      var i = 0
-      while (i < cbs.length) {
-        var c = 0
-        while (c < cbs(i).length) {
-          val cent = cbs(i)(c)
-          var s = 0L
-          var j = 0
-          while (j < subDim) { s += v(i * subDim + j) * cent(j); j += 1 }
-          out(i * kSub + c) = s
-          c += 1
-        }
-        i += 1
-      }
-      out.toSeq
-    }
     val luts = IvfIndex.quantized(queries)
-      .select(col("vec_id").as("query_id"), lutUdf(col("e")).as("lut"))
-    // ADC: m element_at lookups per corpus row — built-in higher-order
-    // functions over the broadcast-joined LUT, no embedding in sight
+      .select(col("vec_id").as("query_id"), lutUdf(bc, kSub)(col("e")).as("lut"))
     val adc = encode(vectors, codebooks)
       .crossJoin(broadcast(luts))
-      .select(col("query_id"), col("vec_id"),
-        expr(s"aggregate(transform(sequence(0, $m - 1), " +
-          s"i -> element_at(lut, i * $kSub + element_at(codes, i + 1) + 1)), " +
-          "0L, (acc, x) -> acc + x)").as("dot_fp"))
+      .select(col("query_id"), col("vec_id"), adcExpr(m, kSub).as("dot_fp"))
     val candidates = Similarity.topKPerQuery(adc, rerank)
       .select(col("query_id"), col("vec_id"))
-    val exact = candidates
-      .join(vectors.select(col("vec_id"), col("embedding").as("ce")), "vec_id")
-      .join(broadcast(queries.select(col("vec_id").as("query_id"),
-        col("embedding").as("qe"))), "query_id")
-      .select(col("query_id"), col("vec_id"),
-        Similarity.dotFpNative("qe", "ce").as("dot_fp"))
-    Similarity.topKPerQuery(exact, k)
+    exactRerank(candidates, vectors, queries, k)
+  }
+
+  /** IVF-ADC — the billion-vector serving shape (FAISS's IVF-PQ,
+    * non-residual variant): a coarse fixed-point quantizer
+    * ([[IvfIndex.fitFixedPoint]]) bounds WHICH vectors each query
+    * scores (nProbe cells, not the corpus), PQ codes bound WHAT the
+    * scoring touches (m ints per vector, not dim floats), ADC scores
+    * candidates via lookup tables, and the exact rerank restores true
+    * ordering for the survivors. Deterministic end to end — both
+    * trainings, assignment, probing, ADC and rerank replay in SQL
+    * (`q92_ivfadc`).
+    *
+    * Unlike [[adcSearch]], queries need NOT be broadcastable: probe
+    * rows (query_id, lut, cell) shuffle by cell and meet the code
+    * index there — the plan scales in nProbe·cellSize, not corpus
+    * size. */
+  def ivfAdcSearch(vectors: DataFrame, queries: DataFrame, nLists: Int,
+      coarseIter: Int, m: Int, kSub: Int, pqIter: Int,
+      k: Int, nProbe: Int, rerank: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(rerank >= k, "rerank width must be at least k")
+    require(nProbe > 0, "nProbe must be positive")
+    val spark = vectors.sparkSession
+    LlmFunctions.registerDotFp(spark)
+    val coarse = IvfIndex.fitFixedPoint(vectors, nLists, coarseIter)
+    val bcCoarse = spark.sparkContext.broadcast(coarse)
+    val codebooks = fitSubspaces(vectors, m, kSub, pqIter)
+    val bcCb = spark.sparkContext.broadcast(codebooks)
+    val index = IvfIndex.quantized(vectors)
+      .select(col("vec_id"), IvfIndex.cellOfUdf(bcCoarse)(col("e")).as("cell"))
+      .join(encode(vectors, codebooks), Seq("vec_id"))
+    val probeUdf = udf { (e: Seq[Long]) =>
+      val v = e.toArray
+      bcCoarse.value.zipWithIndex.map { case (c, i) =>
+        var d = 0L
+        var j = 0
+        while (j < c.length) { val x = v(j) - c(j); d += x * x; j += 1 }
+        (d, i)
+      }.sorted.take(nProbe).map(_._2).toSeq
+    }
+    val probes = IvfIndex.quantized(queries)
+      .select(col("vec_id").as("query_id"), lutUdf(bcCb, kSub)(col("e")).as("lut"),
+        explode(probeUdf(col("e"))).as("cell"))
+    val adc = probes.join(index, Seq("cell"))
+      .select(col("query_id"), col("vec_id"), adcExpr(m, kSub).as("dot_fp"))
+    val candidates = Similarity.topKPerQuery(adc, rerank)
+      .select(col("query_id"), col("vec_id"))
+    exactRerank(candidates, vectors, queries, k)
   }
 }

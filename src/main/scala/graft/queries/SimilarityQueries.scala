@@ -162,6 +162,20 @@ object SimilarityQueries {
       .select(col("query_id"), col("vec_id"), col("dot_fp"), col("rn"))
   }
 
+  // ---- q92: IVF-ADC (cells bound the scan, codes bound the memory) ----
+  // The billion-vector serving shape: q66's coarse quantizer picks
+  // nProbe cells per query, q84's PQ codes score the cell members via
+  // lookup tables, the exact rerank restores true order. Queries ride
+  // the cell shuffle (never broadcast), so the plan scales in
+  // nProbe·cellSize, not corpus size.
+  def q92IvfAdc(s: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+    graft.llm.PqIndex.ivfAdcSearch(emb,
+      emb.filter(col("vec_id") < NumQueryVecs),
+      IvfLists, IvfIter, PqM, PqKSub, PqIter, AnnK, IvfProbe, PqRerank)
+      .select(col("query_id"), col("vec_id"), col("dot_fp"), col("rn"))
+  }
+
   private val SemDedupCellCap = 64
   private val SemDedupMinDotFp = 350000L
 
@@ -292,6 +306,7 @@ object SimilarityQueries {
     "q72_cluster_best"  -> q72ClusterBest _,
     "q75_embed_quantize" -> q75EmbedQuantize _,
     "q84_pq_ann"        -> q84PqAnn _,
+    "q92_ivfadc"        -> q92IvfAdc _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -640,52 +655,45 @@ object SimilarityQueries {
   // sum of per-subspace (query-slice · centroid-of-code) integer dots
   // (ADC), keep the top-PqRerank, exact-rerank with the true
   // embeddings.
-  private val q84Sql = {
-    def sq(v: String, c: String): String =
-      s"list_sum(list_transform(range(1, ${PqSubDim + 1}), " +
-        s"i -> ($v.e[i]-$c.c[i])*($v.e[i]-$c.c[i])))"
-    def assignCte(src: String, cent: String, out: String): String =
-      s"""$out AS (SELECT vec_id, e, cell FROM (
-         |  SELECT v.vec_id, v.e, c.cell,
-         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY ${sq("v", "c")}, c.cell) AS rn
-         |  FROM $src v CROSS JOIN $cent c) t WHERE rn = 1)""".stripMargin
-    def updateCte(assign: String, prev: String, out: String): String =
-      s"""${out}x AS (SELECT cell, i.v AS dim,
-         |    CAST(floor(sum(e[i.v])::DOUBLE / count(*)) AS BIGINT) AS cv
-         |  FROM $assign, unnest(range(1, ${PqSubDim + 1})) AS i(v) GROUP BY cell, i.v),
-         |${out}l AS (SELECT cell, list(cv ORDER BY dim) AS c FROM ${out}x GROUP BY cell),
-         |$out AS (SELECT p.cell, coalesce(l.c, p.c) AS c
-         |  FROM $prev p LEFT JOIN ${out}l l USING (cell))""".stripMargin
-    val subspaces = (0 until PqM).map { m =>
+  private def pqSq(v: String, c: String): String =
+    s"list_sum(list_transform(range(1, ${PqSubDim + 1}), " +
+      s"i -> ($v.e[i]-$c.c[i])*($v.e[i]-$c.c[i])))"
+  private def pqAssignCte(src: String, cent: String, out: String): String =
+    s"""$out AS (SELECT vec_id, e, cell FROM (
+       |  SELECT v.vec_id, v.e, c.cell,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY ${pqSq("v", "c")}, c.cell) AS rn
+       |  FROM $src v CROSS JOIN $cent c) t WHERE rn = 1)""".stripMargin
+  private def pqUpdateCte(assign: String, prev: String, out: String): String =
+    s"""${out}x AS (SELECT cell, i.v AS dim,
+       |    CAST(floor(sum(e[i.v])::DOUBLE / count(*)) AS BIGINT) AS cv
+       |  FROM $assign, unnest(range(1, ${PqSubDim + 1})) AS i(v) GROUP BY cell, i.v),
+       |${out}l AS (SELECT cell, list(cv ORDER BY dim) AS c FROM ${out}x GROUP BY cell),
+       |$out AS (SELECT p.cell, coalesce(l.c, p.c) AS c
+       |  FROM $prev p LEFT JOIN ${out}l l USING (cell))""".stripMargin
+  /** WITH-fragment: per-subspace slices of quantized `src`, seed
+    * codebooks, unrolled Lloyd rounds, final code assignments
+    * `af0..af{m-1}(vec_id, e, cell)`. */
+  private def pqSubspacesSql(src: String): String =
+    (0 until PqM).map { m =>
       val off = m * PqSubDim
       val slices =
-        s"""e$m AS (SELECT vec_id, e[${off + 1}:${off + PqSubDim}] AS e FROM eq),
+        s"""e$m AS (SELECT vec_id, e[${off + 1}:${off + PqSubDim}] AS e FROM $src),
            |c${m}_0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS c
            |  FROM (SELECT vec_id, e FROM e$m ORDER BY vec_id LIMIT $PqKSub) x)""".stripMargin
       val iters = (0 until PqIter).map { t =>
-        assignCte(s"e$m", s"c${m}_$t", s"a${m}_$t") + ",\n" +
-          updateCte(s"a${m}_$t", s"c${m}_$t", s"c${m}_${t + 1}")
+        pqAssignCte(s"e$m", s"c${m}_$t", s"a${m}_$t") + ",\n" +
+          pqUpdateCte(s"a${m}_$t", s"c${m}_$t", s"c${m}_${t + 1}")
       }.mkString(",\n")
-      s"$slices,\n$iters,\n${assignCte(s"e$m", s"c${m}_$PqIter", s"af$m")}"
+      s"$slices,\n$iters,\n${pqAssignCte(s"e$m", s"c${m}_$PqIter", s"af$m")}"
     }.mkString(",\n")
-    val ms = 0 until PqM
-    val adcTerms = ms.map { m =>
-      s"list_sum(list_transform(range(1, ${PqSubDim + 1}), j -> q$m.e[j] * k$m.c[j]))"
-    }.mkString(" + ")
-    val adcFrom = (Seq("eq q") ++
-      ms.map(m => s"af$m a$m") ++
-      ms.map(m => s"c${m}_$PqIter k$m") ++
-      ms.map(m => s"e$m q$m")).mkString(", ")
-    val adcWhere = (Seq(s"q.vec_id < $NumQueryVecs") ++
-      ms.drop(1).map(m => s"a$m.vec_id = a0.vec_id") ++
-      ms.map(m => s"k$m.cell = a$m.cell") ++
-      ms.map(m => s"q$m.vec_id = q.vec_id")).mkString(" AND ")
-    s"""WITH eq AS (SELECT vec_id, list_transform(embedding,
-       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS e FROM embeddings),
-       |$subspaces,
-       |adc AS (SELECT q.vec_id AS query_id, a0.vec_id, $adcTerms AS adc
-       |  FROM $adcFrom WHERE $adcWhere),
-       |adcr AS (SELECT query_id, vec_id, row_number() OVER (
+  /** ADC score for pair tables aliased `q{m}` (query slices) and
+    * `k{m}` (code centroids). */
+  private val pqAdcTerms: String = (0 until PqM).map { m =>
+    s"list_sum(list_transform(range(1, ${PqSubDim + 1}), j -> q$m.e[j] * k$m.c[j]))"
+  }.mkString(" + ")
+  /** Shared ranking tail: ADC rank → rerank width → exact rerank → k. */
+  private def pqRankTailSql: String =
+    s"""adcr AS (SELECT query_id, vec_id, row_number() OVER (
        |    PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rn FROM adc),
        |cand AS (SELECT query_id, vec_id FROM adcr WHERE rn <= $PqRerank),
        |ex AS (SELECT cand.query_id, cand.vec_id,
@@ -696,6 +704,49 @@ object SimilarityQueries {
        |    PARTITION BY query_id ORDER BY dot_fp DESC, vec_id) AS rn FROM ex)
        |SELECT query_id, vec_id, dot_fp, CAST(rn AS INTEGER) AS rn
        |FROM r WHERE rn <= $AnnK""".stripMargin
+
+  private val q84Sql = {
+    val ms = 0 until PqM
+    val adcFrom = (Seq("eq q") ++
+      ms.map(m => s"af$m a$m") ++
+      ms.map(m => s"c${m}_$PqIter k$m") ++
+      ms.map(m => s"e$m q$m")).mkString(", ")
+    val adcWhere = (Seq(s"q.vec_id < $NumQueryVecs") ++
+      ms.drop(1).map(m => s"a$m.vec_id = a0.vec_id") ++
+      ms.map(m => s"k$m.cell = a$m.cell") ++
+      ms.map(m => s"q$m.vec_id = q.vec_id")).mkString(" AND ")
+    s"""WITH eq AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS e FROM embeddings),
+       |${pqSubspacesSql("eq")},
+       |adc AS (SELECT q.vec_id AS query_id, a0.vec_id, $pqAdcTerms AS adc
+       |  FROM $adcFrom WHERE $adcWhere),
+       |$pqRankTailSql""".stripMargin
+  }
+
+  // q92: the q66 coarse-quantizer prefix bounds WHICH vectors score
+  // (probed cells via af), the q84 subspace machinery bounds WHAT the
+  // scoring touches (codes via af0..af3) — composed exactly like the
+  // Spark side's PqIndex.ivfAdcSearch, then the shared ranking tail.
+  private val q92Sql = {
+    val ms = 0 until PqM
+    val adcFrom = (Seq("cand0 cd") ++
+      ms.map(m => s"af$m a$m") ++
+      ms.map(m => s"c${m}_$PqIter k$m") ++
+      ms.map(m => s"e$m q$m")).mkString(", ")
+    val adcWhere = (ms.map(m => s"a$m.vec_id = cd.vec_id") ++
+      ms.map(m => s"k$m.cell = a$m.cell") ++
+      ms.map(m => s"q$m.vec_id = cd.query_id")).mkString(" AND ")
+    s"""WITH $kmPrefixSql,
+       |${pqSubspacesSql("e")},
+       |qp AS (SELECT query_id, cell FROM (
+       |  SELECT v.vec_id AS query_id, c.cell,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY ${kmSq("v", "c")}, c.cell) AS rn
+       |  FROM e v CROSS JOIN c$IvfIter c WHERE v.vec_id < $NumQueryVecs) t
+       |  WHERE rn <= $IvfProbe),
+       |cand0 AS (SELECT qp.query_id, af.vec_id FROM qp JOIN af USING (cell)),
+       |adc AS (SELECT cd.query_id, cd.vec_id, $pqAdcTerms AS adc
+       |  FROM $adcFrom WHERE $adcWhere),
+       |$pqRankTailSql""".stripMargin
   }
 
   // q67: the same k-means prefix, then in-cell pairwise dot_fp among
@@ -735,6 +786,7 @@ object SimilarityQueries {
     "q62_cross_corpus_capped" -> q62Sql,
     "q66_ivf_trained"   -> q66Sql,
     "q84_pq_ann"        -> q84Sql,
+    "q92_ivfadc"        -> q92Sql,
     "q67_semantic_dedup" -> q67Sql,
     "q72_cluster_best"  -> q72Sql,
     "q75_embed_quantize" -> q75Sql,

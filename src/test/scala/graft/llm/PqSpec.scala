@@ -89,6 +89,35 @@ class PqSpec extends AnyFunSuite with SparkTestSession {
     assert(run(1) === run(7))
   }
 
+  test("ivfAdc: probing all cells at full rerank equals brute force") {
+    val queries = clustered.filter(col("vec_id") < 3)
+    val got = PqIndex.ivfAdcSearch(clustered, queries, nLists = 4,
+      coarseIter = 2, m = 2, kSub = 4, pqIter = 2,
+      k = 3, nProbe = 4, rerank = 100)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Similarity.bruteForceTopK(queries, clustered, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === exact)
+  }
+
+  test("ivfAdc: one probe on clustered data stays in the query's cluster") {
+    val res = PqIndex.ivfAdcSearch(clustered,
+      clustered.filter(col("vec_id") < 4), nLists = 4, coarseIter = 3,
+      m = 2, kSub = 4, pqIter = 3, k = 5, nProbe = 1, rerank = 30)
+      .collect()
+    assert(res.nonEmpty)
+    assert(res.forall(r => r.getLong(1) % 4 === r.getLong(0) % 4))
+  }
+
+  test("ivfAdc: partition-invariant") {
+    val queries = clustered.filter(col("vec_id") < 2)
+    def run(p: Int) = PqIndex.ivfAdcSearch(clustered.repartition(p), queries,
+      nLists = 4, coarseIter = 2, m = 2, kSub = 4, pqIter = 2,
+      k = 4, nProbe = 2, rerank = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(run(1) === run(5))
+  }
+
   test("rerank < k is refused") {
     val e = intercept[IllegalArgumentException] {
       PqIndex.adcSearch(clustered, clustered.limit(1), m = 2, kSub = 4,
