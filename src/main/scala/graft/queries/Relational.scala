@@ -224,7 +224,28 @@ object Relational {
           .as("revenue_fp"))
       .orderBy(col("n_name"))
 
+  // ---- q93: snapshot diff (the CDC arms behind the PG merge) ----
+  // The new snapshot is synthesized from the old by key arithmetic —
+  // every 13th supplier deleted, every 7th rebalanced, every 11th
+  // cloned to a fresh key — so the oracle regenerates both sides and
+  // classifies with a FULL OUTER JOIN, while the Spark side must land
+  // on the identical verdict per key through SnapshotDiff's null-safe
+  // column comparison.
+  def q93SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val old = graft.Tables.supplier(s, dir)
+    val updated = old.filter(pmod(col("s_suppkey"), lit(13)) =!= 0)
+      .withColumn("s_acctbal",
+        when(pmod(col("s_suppkey"), lit(7)) === 0, col("s_acctbal") + 10.0)
+          .otherwise(col("s_acctbal")))
+    val inserted = old.filter(pmod(col("s_suppkey"), lit(11)) === 0)
+      .select((col("s_suppkey") + 100000L).as("s_suppkey"),
+        col("s_name"), col("s_nationkey"), col("s_acctbal"))
+    graft.sync.SnapshotDiff.diff(old, updated.unionByName(inserted),
+      Seq("s_suppkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_snapshot_diff"     -> q93SnapshotDiff _,
     "q1_pricing_summary"    -> q1PricingSummary _,
     "q2_top_orders"         -> q2TopOrders _,
     "q3_nation_revenue"     -> q3NationRevenue _,
@@ -247,6 +268,23 @@ object Relational {
     * plans exactly (same literals, same fixed-point floors) so results
     * are bit-identical, not merely close. */
   val oracleSql: Map[String, String] = Map(
+    "q93_snapshot_diff" ->
+      """WITH o AS (SELECT * FROM supplier),
+        |n AS (SELECT s_suppkey, s_name, s_nationkey,
+        |    CASE WHEN s_suppkey % 7 = 0 THEN s_acctbal + 10.0
+        |      ELSE s_acctbal END AS s_acctbal
+        |  FROM supplier WHERE s_suppkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT s_suppkey + 100000, s_name, s_nationkey, s_acctbal
+        |  FROM supplier WHERE s_suppkey % 11 = 0)
+        |SELECT coalesce(o.s_suppkey, n.s_suppkey) AS s_suppkey,
+        |  CASE WHEN o.s_suppkey IS NULL THEN 'insert'
+        |    WHEN n.s_suppkey IS NULL THEN 'delete'
+        |    WHEN o.s_name IS NOT DISTINCT FROM n.s_name
+        |      AND o.s_nationkey IS NOT DISTINCT FROM n.s_nationkey
+        |      AND o.s_acctbal IS NOT DISTINCT FROM n.s_acctbal THEN 'unchanged'
+        |    ELSE 'update' END AS change
+        |FROM o FULL OUTER JOIN n ON o.s_suppkey = n.s_suppkey""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,
