@@ -231,8 +231,10 @@ object Relational {
   // classifies with a FULL OUTER JOIN, while the Spark side must land
   // on the identical verdict per key through SnapshotDiff's null-safe
   // column comparison.
-  def q93SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
-    val old = graft.Tables.supplier(s, dir)
+  /** The q93/q94 synthesized "new" supplier snapshot: every 13th key
+    * deleted, every 7th rebalanced, every 11th cloned to a fresh key —
+    * ONE definition so diff and SCD2 cannot drift apart. */
+  private def newSupplierSnapshot(old: DataFrame): DataFrame = {
     val updated = old.filter(pmod(col("s_suppkey"), lit(13)) =!= 0)
       .withColumn("s_acctbal",
         when(pmod(col("s_suppkey"), lit(7)) === 0, col("s_acctbal") + 10.0)
@@ -240,12 +242,31 @@ object Relational {
     val inserted = old.filter(pmod(col("s_suppkey"), lit(11)) === 0)
       .select((col("s_suppkey") + 100000L).as("s_suppkey"),
         col("s_name"), col("s_nationkey"), col("s_acctbal"))
-    graft.sync.SnapshotDiff.diff(old, updated.unionByName(inserted),
-      Seq("s_suppkey"))
+    updated.unionByName(inserted)
+  }
+
+  def q93SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val old = graft.Tables.supplier(s, dir)
+    graft.sync.SnapshotDiff.diff(old, newSupplierSnapshot(old), Seq("s_suppkey"))
+  }
+
+  // ---- q94: SCD2 snapshot apply (versioned-dimension maintenance) ----
+  // The supplier dimension starts as all-current versions (valid_from
+  // 0, open-ended); applying the q93 snapshot at ts=100 must close the
+  // deleted/updated versions, open the updated/inserted ones, and pass
+  // the unchanged through — the oracle replays all three arms over the
+  // regenerated snapshot.
+  def q94Scd2(s: SparkSession, dir: String): DataFrame = {
+    val old = graft.Tables.supplier(s, dir)
+    val dim = old.withColumn("valid_from", lit(0L))
+      .withColumn("valid_to", lit(null).cast("bigint"))
+    graft.sync.Scd2.applySnapshot(dim, newSupplierSnapshot(old),
+      Seq("s_suppkey"), batchTs = 100L)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q93_snapshot_diff"     -> q93SnapshotDiff _,
+    "q94_scd2_apply"        -> q94Scd2 _,
     "q1_pricing_summary"    -> q1PricingSummary _,
     "q2_top_orders"         -> q2TopOrders _,
     "q3_nation_revenue"     -> q3NationRevenue _,
@@ -285,6 +306,31 @@ object Relational {
         |      AND o.s_acctbal IS NOT DISTINCT FROM n.s_acctbal THEN 'unchanged'
         |    ELSE 'update' END AS change
         |FROM o FULL OUTER JOIN n ON o.s_suppkey = n.s_suppkey""".stripMargin,
+    "q94_scd2_apply" ->
+      """WITH o AS (SELECT * FROM supplier),
+        |n AS (SELECT s_suppkey, s_name, s_nationkey,
+        |    CASE WHEN s_suppkey % 7 = 0 THEN s_acctbal + 10.0
+        |      ELSE s_acctbal END AS s_acctbal
+        |  FROM supplier WHERE s_suppkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT s_suppkey + 100000, s_name, s_nationkey, s_acctbal
+        |  FROM supplier WHERE s_suppkey % 11 = 0),
+        |ch AS (SELECT coalesce(o.s_suppkey, n.s_suppkey) AS k,
+        |  CASE WHEN o.s_suppkey IS NULL THEN 'insert'
+        |    WHEN n.s_suppkey IS NULL THEN 'delete'
+        |    WHEN o.s_name IS NOT DISTINCT FROM n.s_name
+        |      AND o.s_nationkey IS NOT DISTINCT FROM n.s_nationkey
+        |      AND o.s_acctbal IS NOT DISTINCT FROM n.s_acctbal THEN 'unchanged'
+        |    ELSE 'update' END AS change
+        |  FROM o FULL OUTER JOIN n ON o.s_suppkey = n.s_suppkey)
+        |SELECT o.*, CAST(0 AS BIGINT) AS valid_from, CAST(100 AS BIGINT) AS valid_to
+        |  FROM o JOIN ch ON o.s_suppkey = ch.k WHERE ch.change IN ('delete', 'update')
+        |UNION ALL
+        |SELECT o.*, CAST(0 AS BIGINT), CAST(NULL AS BIGINT)
+        |  FROM o JOIN ch ON o.s_suppkey = ch.k WHERE ch.change = 'unchanged'
+        |UNION ALL
+        |SELECT n.*, CAST(100 AS BIGINT), CAST(NULL AS BIGINT)
+        |  FROM n JOIN ch ON n.s_suppkey = ch.k WHERE ch.change IN ('insert', 'update')""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,

@@ -42,6 +42,35 @@ class SnapshotDiffSpec extends AnyFunSuite with SparkTestSession {
     assert(pinned === Map(1L -> "unchanged", 2L -> "update"))
   }
 
+  test("scd2: close/keep/open arms; history passes through untouched") {
+    val dim = Seq(
+      (1L, "a", 0L, Some(50L)),  // already-closed history
+      (1L, "a2", 50L, None),     // current, will update
+      (2L, "b", 0L, None),       // current, unchanged
+      (3L, "c", 0L, None))       // current, will delete
+      .toDF("k", "v", "valid_from", "valid_to")
+    val snap = Seq((1L, "a3"), (2L, "b"), (4L, "d")).toDF("k", "v")
+    val got = Scd2.applySnapshot(dim, snap, Seq("k"), batchTs = 100L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(got === Set(
+      (1L, "a", 0L, Some(50L)),    // history untouched
+      (1L, "a2", 50L, Some(100L)), // closed by the update
+      (1L, "a3", 100L, None),      // opened by the update
+      (2L, "b", 0L, None),         // kept
+      (3L, "c", 0L, Some(100L)),   // closed by the delete
+      (4L, "d", 100L, None)))      // opened by the insert
+  }
+
+  test("scd2: applying the identical snapshot is a no-op") {
+    val dim = Seq((1L, "a", 0L, None: Option[Long]), (2L, "b", 0L, None: Option[Long]))
+      .toDF("k", "v", "valid_from", "valid_to")
+    val snap = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val got = Scd2.applySnapshot(dim, snap, Seq("k"), 100L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.isNullAt(3))).toSet
+    assert(got === Set((1L, "a", 0L, true), (2L, "b", 0L, true)))
+  }
+
   test("empty key set refused; key-only frames classify by presence") {
     intercept[IllegalArgumentException] {
       SnapshotDiff.diff(Seq((1L, "x")).toDF("k", "v"),
