@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.temporal.{AsofJoin, RangeJoin}
+import graft.temporal.{AsofJoin, Intervals, RangeJoin}
 
 /** Temporal join queries over the `events` table: backward as-of join
   * and bucketed range join — the two interval-predicate shapes a
@@ -57,10 +57,27 @@ object TemporalQueries {
       .select(col("key").as("event_type"), col("hour_ts"),
         col("n_events"), col("is_gap"))
 
+  // ---- q95: interval-union coverage (uptime / concurrency) ----
+  // Each event opens a deterministic 1–7-minute interval (length keyed
+  // on event_id mod 7); per user the operator merges overlaps into
+  // islands and reports union coverage and peak concurrency — the
+  // numbers a naive sum(end-start) gets wrong whenever sessions
+  // overlap. The oracle replays the identical gaps-and-islands walk
+  // and ±1 boundary sweep.
+  def q95IntervalCoverage(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val iv = e.select(col("user_id"), col("event_id"), col("us").as("s"),
+      (col("us") + (col("event_id") % 7 + 1) * 60000000L).as("e"))
+    Intervals.coverage(iv, col("user_id"), col("event_id"), col("s"), col("e"))
+      .select(col("key").as("user_id"), col("n_intervals"), col("n_islands"),
+        col("covered").as("covered_us"), col("max_conc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_asof_join"  -> q34AsofJoin _,
     "q35_range_join" -> q35RangeJoin _,
     "q90_gap_fill"   -> q90GapFill _,
+    "q95_interval_coverage" -> q95IntervalCoverage _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -98,5 +115,30 @@ object TemporalQueries {
         |  h.n IS NULL AS is_gap
         |FROM g LEFT JOIN h ON g.event_type = h.event_type
         |  AND g.hour_ts = h.hour_ts""".stripMargin,
+    // identical gaps-and-islands walk + half-open ±1 sweep (close
+    // before open at equal stamps), all-integer microseconds
+    "q95_interval_coverage" ->
+      """WITH b AS (SELECT user_id AS k, event_id AS iid,
+        |    epoch_ns(ts) // 1000 AS s,
+        |    epoch_ns(ts) // 1000 + (event_id % 7 + 1) * 60000000 AS e
+        |  FROM events WHERE ts IS NOT NULL),
+        |i AS (SELECT k, iid, s, e, max(e) OVER (PARTITION BY k ORDER BY s, e, iid
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM b),
+        |j AS (SELECT k, iid, s, e,
+        |    CASE WHEN pe IS NULL OR s > pe THEN 1 ELSE 0 END AS ni FROM i),
+        |l AS (SELECT k, s, e, sum(ni) OVER (PARTITION BY k ORDER BY s, e, iid
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM j),
+        |g AS (SELECT k, isl, count(*) AS n, min(s) AS i_s, max(e) AS i_e
+        |  FROM l GROUP BY k, isl),
+        |pk AS (SELECT k, CAST(sum(n) AS BIGINT) AS n_intervals,
+        |    CAST(count(*) AS BIGINT) AS n_islands,
+        |    CAST(sum(i_e - i_s) AS BIGINT) AS covered_us FROM g GROUP BY k),
+        |ev2 AS (SELECT k, s AS ts, 1 AS d FROM b
+        |  UNION ALL SELECT k, e, -1 FROM b),
+        |c AS (SELECT k, sum(d) OVER (PARTITION BY k ORDER BY ts, d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c FROM ev2),
+        |mc AS (SELECT k, CAST(max(c) AS BIGINT) AS max_conc FROM c GROUP BY k)
+        |SELECT pk.k AS user_id, n_intervals, n_islands, covered_us, mc.max_conc
+        |FROM pk JOIN mc ON pk.k = mc.k""".stripMargin,
   )
 }
