@@ -89,6 +89,25 @@ object BpeTrainer {
     trainOn(wordFreq(docs, idCol, textCol), nMerges)._1
   }
 
+  /** The learned vocabulary — the artifact an encoder actually ships:
+    * every distinct final symbol with its corpus occurrence mass
+    * (Σ word_freq × in-word occurrences) and a dense id assigned by
+    * (mass desc, symbol asc). The frame is vocabulary-sized by
+    * construction (bounded by distinct symbols, not corpus rows), so
+    * the global rank window is a bounded single-task sort — the same
+    * contract as the q36 top-terms rank. */
+  def vocab(docs: DataFrame, idCol: String, textCol: String,
+      nMerges: Int): DataFrame = {
+    require(nMerges >= 0, "nMerges must be non-negative")
+    val (_, fin) = trainOn(wordFreq(docs, idCol, textCol), nMerges)
+    val occ = fin.select(col("freq"), explode(expr(symsExpr)).as("sym"))
+      .groupBy(col("sym")).agg(sum(col("freq")).as("n_occ"))
+    occ.select(col("sym"), col("n_occ"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_occ").desc, col("sym").asc))
+        .cast("bigint").as("sym_id"))
+  }
+
   /** Per-document tokenization stats under the trained merges:
     * `(doc_id, n_tok, n_sym)` — whitespace tokens and total BPE
     * symbols after `nMerges` rounds (no-token docs report 0/0). */

@@ -64,4 +64,49 @@ object LinkRank {
     }
     pr.select(col("v"), col("pr").as("pr_fp"))
   }
+
+  /** Per-vertex triangle participation over the UNDIRECTED support of
+    * an edge list `(src, dst)`: `(v, n_tri)` for every graph vertex,
+    * zero-participants included.
+    *
+    * The count uses degree orientation (the distributed-triangle
+    * standard): each undirected edge points from its (degree, id)-
+    * smaller endpoint to the larger, which is acyclic, so every
+    * triangle has exactly one vertex with both out-edges — wedges form
+    * only among a vertex's out-neighbors, whose count is bounded by
+    * arboricity rather than raw degree. A star hub with a million
+    * spokes generates ZERO wedges here (all its edges point inward),
+    * which is precisely the skew case that kills the naive
+    * lowest-id orientation. Wedge closure is one equi-join back
+    * against the oriented edges; ids never carry payloads. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("src"), col("dst")).cast("bigint").as("u"),
+        greatest(col("src"), col("dst")).cast("bigint").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val und2 = Caches.persistTracked(und)
+    val deg = und2.select(col("u").as("x"))
+      .unionAll(und2.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val withDeg = und2
+      .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
+    val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val o = Caches.persistTracked(withDeg.select(
+      when(fwd, col("u")).otherwise(col("v")).as("a"),
+      when(fwd, col("v")).otherwise(col("u")).as("b"),
+      when(fwd, col("dv")).otherwise(col("du")).as("db")))
+    val e1 = o.select(col("a"), col("b").as("y"), col("db").as("dy"))
+    val e2 = o.select(col("a"), col("b").as("z"), col("db").as("dz"))
+    val wedges = e1.join(e2, Seq("a"))
+      .filter(col("dy") < col("dz") || (col("dy") === col("dz") && col("y") < col("z")))
+    val tris = wedges.join(o.select(col("a").as("y"), col("b").as("z")), Seq("y", "z"))
+      .select(col("a"), col("y"), col("z"))
+    val perVertex = tris.select(explode(array(col("a"), col("y"), col("z"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_tri"))
+    val nodes = und2.select(col("u").as("v")).unionAll(und2.select(col("v")))
+      .distinct()
+    nodes.join(perVertex, Seq("v"), "left")
+      .select(col("v"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
 }

@@ -1,0 +1,98 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable streaming sketches with deterministic, engine-portable
+  * hashing: a HyperLogLog-style distinct-count card and a count-min
+  * frequency sketch. At 100 TB these are the survey instruments — a
+  * 64-register distinct estimate or a 4×512 counter grid costs fixed
+  * memory per group/stream regardless of cardinality, merges
+  * associatively across partitions (max for HLL registers, sum for CM
+  * counters), and never shuffles raw keys anywhere.
+  *
+  * Both are shipped as ERROR CARDS (the q75 quantization precedent):
+  * sketch estimate next to the exact answer, so the oracle proves the
+  * sketch arithmetic itself — register assignment, rho, the harmonic
+  * sum, the min-over-rows — not just a tolerance.
+  *
+  * Hashing is md5-prefix based (`('0x' || substr(md5(k),1,8))` — the
+  * q52 deterministic-sample trick): identical in Spark and DuckDB, so
+  * every register and counter replays bit-for-bit. Rho uses the
+  * digit-length log2 (`length(bin(r))`) — no floats anywhere.
+  */
+object Sketches {
+
+  /** HLL geometry: m=64 registers (6 bucket bits), 26 value bits. */
+  val HllRegisters = 64
+  private val ValueBits = 26
+  /** alpha_64 ≈ 0.709 in per-mille fixed point (raw HLL estimator —
+    * no small-range correction; the card reports the raw sketch). */
+  private val AlphaPm = 709L
+
+  /** 32-bit deterministic hash of a string column, replayable in any
+    * engine with md5: first 8 hex digits as an unsigned integer. */
+  def md5Hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("bigint")
+
+  /** Per-group HLL distinct card: `(group, n_exact, hll_est,
+    * err_ppm)`. Registers take max(rho) over the group's keys; unseen
+    * registers contribute 2⁰ to the harmonic sum, exactly the raw HLL
+    * estimator `α·m²/Σ2^(-ρ)` evaluated in integer arithmetic over
+    * denominator 2²⁷. */
+  def hllDistinctCard(df: DataFrame, groupCol: Column, keyCol: Column): DataFrame = {
+    val one = 1L << (ValueBits + 1)
+    val hashed = df.select(groupCol.as("g"), md5Hash32(keyCol).as("h"))
+      .withColumn("b", col("h") % HllRegisters)
+      .withColumn("r", expr(s"h div $HllRegisters"))
+      .withColumn("rho",
+        when(col("r") === 0L, lit(ValueBits + 1L))
+          .otherwise(lit(ValueBits + 1L) - length(bin(col("r")))))
+    val regs = hashed.groupBy(col("g"), col("b"))
+      .agg(max(col("rho")).as("mr"))
+    val est = regs.groupBy(col("g"))
+      .agg(sum(expr(s"shiftleft(cast(1 as bigint), ${ValueBits + 1} - mr)")).as("s"),
+        count(lit(1)).as("nb"))
+      .select(col("g"), expr(
+        s"cast(($AlphaPm * $HllRegisters * $HllRegisters * cast($one as bigint)) div " +
+          s"(1000 * (s + ($HllRegisters - nb) * cast($one as bigint))) as bigint)")
+        .as("hll_est"))
+    val exact = df.select(groupCol.as("g"), keyCol.as("k"))
+      .groupBy(col("g")).agg(countDistinct(col("k")).as("n_exact"))
+    exact.join(est, Seq("g"))
+      .select(col("g").as("group_key"), col("n_exact"), col("hll_est"),
+        expr("cast((1000000 * abs(hll_est - n_exact)) div greatest(n_exact, 1) as bigint)")
+          .as("err_ppm"))
+  }
+
+  /** Count-min geometry: 4 hash rows, salted `j:key`. */
+  val CmDepth = 4
+  /** Count-min heavy-hitter card over a token stream: counters are
+    * summed straight off the stream — one shuffle keyed on (row,
+    * bucket), `depth·width` cells total, never a per-token state — and
+    * the top-k exact tokens get their `min_j counter[j][h_j(w)]`
+    * estimate next to the truth (`n_est ≥ n_exact` always, the CM
+    * one-sided guarantee). */
+  def cmsHeavyHitters(docs: DataFrame, idCol: String, textCol: String,
+      width: Int, topK: Int): DataFrame = {
+    require(width > 0 && topK > 0, "width and topK must be positive")
+    val q = graft.Names.quoted _
+    val toks = docs.select(
+      explode(TextAnalysis.tokens(col(q(textCol)))).as("w"))
+    val salted = toks.select(col("w"),
+      explode(expr(s"sequence(0, ${CmDepth - 1})")).as("j"))
+      .withColumn("b", md5Hash32(concat(col("j").cast("string"), lit(":"), col("w"))) % width)
+    val counters = salted.groupBy(col("j"), col("b"))
+      .agg(count(lit(1)).as("tot"))
+    val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("n_exact"))
+    val top = freq.orderBy(col("n_exact").desc, col("w").asc).limit(topK)
+    val probes = top.select(col("w"), col("n_exact"),
+        explode(expr(s"sequence(0, ${CmDepth - 1})")).as("j"))
+      .withColumn("b", md5Hash32(concat(col("j").cast("string"), lit(":"), col("w"))) % width)
+    probes.join(broadcast(counters), Seq("j", "b"))
+      .groupBy(col("w"), col("n_exact"))
+      .agg(min(col("tot")).as("n_est"))
+      .select(col("w"), col("n_exact"), col("n_est"),
+        (col("n_est") - col("n_exact")).as("overcount"))
+  }
+}

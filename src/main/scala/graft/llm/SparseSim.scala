@@ -1,0 +1,71 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** All-pairs sparse similarity: every document pair whose cosine over
+  * term-frequency vectors clears a threshold, computed through the
+  * inverted index — the third dedup geometry next to MinHash (set
+  * Jaccard) and SimHash (hamming): weighted bag-of-words similarity,
+  * the shape TF-IDF-era near-dup and template detection use.
+  *
+  * Pipeline: term frequencies → document-frequency pruning (terms
+  * with `df > maxDf` leave the vector space — the stopword-grade
+  * posting lists that are both semantically empty and the quadratic
+  * skew bomb) → postings self-join on the term → per-pair integer dot
+  * product → integer threshold verify.
+  *
+  * Determinism: everything is integer. The cosine test
+  * `dot/√(n2a·n2b) ≥ thr` is evaluated square-free as
+  * `dot²·10¹² ≥ thrPpm²·n2a·n2b` in decimal(38,0) arithmetic, so no
+  * square root ever runs; `cos2_ppm = ⌊dot²·10⁶/(n2a·n2b)⌋` is the
+  * reported score (monotone in cosine since tf dots are ≥ 0). Bound:
+  * needs `n2a·n2b·10¹² < 10³⁸`, i.e. per-doc `Σtf² < 10¹³` — ~3M
+  * repetitions of one token before overflow, far past any real doc.
+  *
+  * 100 TB shape: one shuffle keys postings by term (bounded fan-out —
+  * a term contributes at most `maxDf²/2` pairs by construction), one
+  * shuffle keys partial products by pair. No pair of documents ever
+  * meets except through a shared surviving term, and text never rides
+  * the pair exchange — only (id, tf).
+  */
+object SparseSim {
+
+  /** `(doc_a, doc_b, dot, n2_a, n2_b, cos2_ppm)` for every pair with
+    * cosine ≥ thrPpm/1e6 over the df-pruned tf vectors; `doc_a <
+    * doc_b`. Norms are over surviving terms only (pruning changes the
+    * vector space, by contract). */
+  def allPairsCosine(docs: DataFrame, idCol: String, textCol: String,
+      maxDf: Long, thrPpm: Long): DataFrame = {
+    require(maxDf > 0, "maxDf must be positive")
+    require(thrPpm > 0 && thrPpm <= 1000000L, "thrPpm must be in (0, 1e6]")
+    val q = graft.Names.quoted _
+    val tf = docs
+      .select(col(q(idCol)).as("doc_id"),
+        explode(TextAnalysis.tokens(col(q(textCol)))).as("w"))
+      .groupBy(col("w"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val kept = tf.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("w"))))
+      .filter(col("df") <= maxDf)
+      .select(col("w"), col("doc_id"), col("tf"))
+    val n2 = kept.groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("tf")).as("n2"))
+    val pairs = kept.as("a")
+      .join(kept.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+    val d = (c: String) => col(c).cast("decimal(38,0)")
+    val ppm = lit(1000000L).cast("decimal(38,0)")
+    pairs
+      .join(n2.select(col("doc_id").as("doc_a"), col("n2").as("n2_a")), Seq("doc_a"))
+      .join(n2.select(col("doc_id").as("doc_b"), col("n2").as("n2_b")), Seq("doc_b"))
+      .filter(d("dot") * d("dot") * ppm * ppm >=
+        lit(thrPpm).cast("decimal(38,0)") * lit(thrPpm) * d("n2_a") * d("n2_b"))
+      .select(col("doc_a"), col("doc_b"), col("dot"),
+        col("n2_a"), col("n2_b"),
+        floor((d("dot") * d("dot") * ppm) / (d("n2_a") * d("n2_b")))
+          .cast("bigint").as("cos2_ppm"))
+  }
+}

@@ -721,7 +721,73 @@ object LlmQueries {
     TextAnalysis.collocations(graft.Tables.documents(s, dir),
       "doc_id", "text", CollocMinCount, CollocTopK)
 
+  // ---- q96: all-pairs sparse cosine over the inverted index ----
+  // The weighted-bag-of-words dedup geometry (MinHash = sets, SimHash
+  // = hamming, this = tf vectors): df-pruned postings self-join, then
+  // a square-free integer cosine verify — dot²·10¹² ≥ thr²·n2a·n2b —
+  // so no float and no sqrt anywhere. The oracle replays term
+  // frequencies, the df cut, and the HUGEINT verify.
+  private val SparseMaxDf = 50L
+  private val SparseThrPpm = 500000L
+  def q96SparseCosine(s: SparkSession, dir: String): DataFrame =
+    graft.llm.SparseSim.allPairsCosine(graft.Tables.documents(s, dir),
+      "doc_id", "text", SparseMaxDf, SparseThrPpm)
+
+  // ---- q97: HLL distinct-token card per language ----
+  // The survey instrument for cardinality at 100 TB: 64 max-registers
+  // per group (mergeable, fixed memory) vs the exact distinct count —
+  // an error card in the q75 style, proving the register assignment,
+  // the digit-length rho, and the integer harmonic estimator
+  // bit-for-bit against the oracle's replay.
+  def q97HllCard(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.Tables.documents(s, dir)
+      .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+    graft.llm.Sketches.hllDistinctCard(toks, col("lang"), col("w"))
+      .withColumnRenamed("group_key", "lang")
+  }
+
+  // ---- q98: count-min heavy hitters ----
+  // Frequency estimation in depth×width fixed memory: counters summed
+  // straight off the token stream, the top-20 exact tokens probed for
+  // their min-over-rows estimate. The one-sided guarantee
+  // (n_est ≥ n_exact) plus collision overcounts, replayed exactly.
+  private val CmWidth = 512
+  private val CmTopK = 20
+  def q98HeavyHitters(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Sketches.cmsHeavyHitters(graft.Tables.documents(s, dir),
+      "doc_id", "text", CmWidth, CmTopK)
+
+  // ---- q99: the trained BPE vocabulary ----
+  // The encoder artifact q88's training implies: every final symbol
+  // with its corpus occurrence mass and a dense (mass desc, symbol
+  // asc) id. Vocabulary-sized, so the rank window is bounded.
+  def q99BpeVocab(s: SparkSession, dir: String): DataFrame =
+    graft.llm.BpeTrainer.vocab(graft.Tables.documents(s, dir),
+      "doc_id", "text", BpeMerges)
+
+  // ---- q100: degree-oriented triangle counting ----
+  // The community-density signal over q87's link graph: per-vertex
+  // triangle participation via degree orientation (wedges form only
+  // at the (degree, id)-smallest vertex, so a star hub generates zero
+  // wedges — the skew-proof formulation). The oracle regenerates the
+  // graph and replays orientation, wedges, and closure.
+  def q100Triangles(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir).select(col("doc_id"))
+    val n = math.max(docs.count(), 1L)
+    val edges = docs.select(col("doc_id").as("src"),
+        explode(expr("sequence(1, 3)")).as("k"))
+      .select(col("src"), expr(s"(src * 7L + k * 13L) % ${n}L").as("dst"))
+      .filter(col("dst") =!= col("src"))
+    graft.llm.LinkRank.triangleCounts(edges)
+      .select(col("v").as("doc_id"), col("n_tri"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_triangles"   -> q100Triangles _,
+    "q99_bpe_vocab"    -> q99BpeVocab _,
+    "q98_heavy_hitters" -> q98HeavyHitters _,
+    "q97_hll_card"     -> q97HllCard _,
+    "q96_sparse_cosine" -> q96SparseCosine _,
     "q91_collocations" -> q91Collocations _,
     "q89_fuzzy_join"   -> q89FuzzyJoin _,
     "q88_bpe_train"    -> q88BpeTrain _,
@@ -770,6 +836,33 @@ object LlmQueries {
   private[queries] val toksSql =
     "CASE WHEN length(trim(text)) = 0 THEN [] " +
       "ELSE string_split_regex(trim(text), '\\s+') END"
+
+  /** The BPE training replay shared by the q88 and q99 oracles: word
+    * frequencies, bracket-wrapped symbol strings, then one
+    * (pair-count, argmax, corpus-wide replace) round per merge,
+    * ending in `w$BpeMerges`. */
+  private def bpeChainSql: String = {
+    val rounds = (0 until BpeMerges).map { t =>
+      s"""p${t + 1} AS (SELECT y[i] AS l, y[i + 1] AS r, sum(freq) AS c
+         |  FROM (SELECT freq, string_split(s[2:len(s) - 1], '][') AS y FROM w$t) t$t,
+         |    unnest(range(1, len(y))) AS u(i)
+         |  GROUP BY 1, 2),
+         |b${t + 1} AS (SELECT l, r FROM p${t + 1}
+         |  ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+         |w${t + 1} AS (SELECT w, freq,
+         |    CASE WHEN (SELECT count(*) FROM b${t + 1}) = 0 THEN s
+         |      ELSE replace(s,
+         |        '[' || (SELECT l FROM b${t + 1}) || '][' || (SELECT r FROM b${t + 1}) || ']',
+         |        '[' || (SELECT l FROM b${t + 1}) || (SELECT r FROM b${t + 1}) || ']')
+         |    END AS s FROM w$t)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+       |wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM e GROUP BY w),
+       |w0 AS (SELECT w, freq, array_to_string(
+       |    list_transform(string_split(w, ''), c -> '[' || c || ']'), '') AS s
+       |  FROM wf),
+       |$rounds""".stripMargin
+  }
 
   private def hitsSql(vocab: Seq[String]): String = {
     val lst = vocab.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -1227,6 +1320,88 @@ object LlmQueries {
          |SELECT query_id, doc_id, score_fp, CAST(rn AS INTEGER) AS rn
          |FROM r WHERE rn <= $Bm25K""".stripMargin
     },
+    "q99_bpe_vocab" ->
+      s"""WITH $bpeChainSql,
+         |v AS (SELECT unnest(string_split(s[2:len(s) - 1], '][')) AS sym, freq
+         |  FROM w$BpeMerges),
+         |vc AS (SELECT sym, CAST(sum(freq) AS BIGINT) AS n_occ FROM v GROUP BY sym)
+         |SELECT sym, n_occ, CAST(row_number() OVER (
+         |  ORDER BY n_occ DESC, sym ASC) AS BIGINT) AS sym_id FROM vc""".stripMargin,
+    "q100_triangles" ->
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |ed AS (SELECT doc_id AS src, (doc_id * 7 + k * 13) % (SELECT n FROM nn) AS dst
+        |  FROM documents, unnest([1, 2, 3]) t(k)
+        |  WHERE (doc_id * 7 + k * 13) % (SELECT n FROM nn) <> doc_id),
+        |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM ed WHERE src <> dst),
+        |deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM
+        |  (SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und) GROUP BY x),
+        |o AS (SELECT
+        |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS a,
+        |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS b,
+        |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN dv.d ELSE du.d END AS db
+        |  FROM und JOIN deg du ON und.u = du.x JOIN deg dv ON und.v = dv.x),
+        |w AS (SELECT e1.a, e1.b AS y, e2.b AS z
+        |  FROM o e1 JOIN o e2 ON e1.a = e2.a
+        |  WHERE e1.db < e2.db OR (e1.db = e2.db AND e1.b < e2.b)),
+        |tri AS (SELECT w.a, w.y, w.z FROM w JOIN o ON o.a = w.y AND o.b = w.z),
+        |pv AS (SELECT v, CAST(count(*) AS BIGINT) AS n_tri FROM
+        |  (SELECT a AS v FROM tri UNION ALL SELECT y AS v FROM tri
+        |   UNION ALL SELECT z AS v FROM tri) GROUP BY v),
+        |nodes AS (SELECT u AS v FROM und UNION SELECT v FROM und)
+        |SELECT nodes.v AS doc_id, coalesce(pv.n_tri, 0) AS n_tri
+        |FROM nodes LEFT JOIN pv ON nodes.v = pv.v""".stripMargin,
+    "q97_hll_card" ->
+      s"""WITH e AS (SELECT lang, unnest($toksSql) AS w FROM documents),
+         |h AS (SELECT lang, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM e),
+         |r AS (SELECT lang, h % 64 AS b,
+         |    CASE WHEN h // 64 = 0 THEN 27
+         |      ELSE 27 - length(bin(h // 64)) END AS rho FROM h),
+         |reg AS (SELECT lang, b, max(rho) AS mr FROM r GROUP BY 1, 2),
+         |s AS (SELECT lang, sum(1::BIGINT << (27 - mr)) AS s, count(*) AS nb
+         |  FROM reg GROUP BY lang),
+         |est AS (SELECT lang, (709 * 64 * 64 * (1::BIGINT << 27))
+         |    // (1000 * (s + (64 - nb) * (1::BIGINT << 27))) AS hll_est FROM s),
+         |ex AS (SELECT lang, CAST(count(DISTINCT w) AS BIGINT) AS n_exact
+         |  FROM e GROUP BY lang)
+         |SELECT ex.lang, n_exact, CAST(hll_est AS BIGINT) AS hll_est,
+         |  CAST((1000000 * abs(hll_est - n_exact)) // greatest(n_exact, 1)
+         |    AS BIGINT) AS err_ppm
+         |FROM ex JOIN est USING (lang)""".stripMargin,
+    "q98_heavy_hitters" ->
+      s"""WITH e AS (SELECT unnest($toksSql) AS w FROM documents),
+         |cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS n_exact FROM e GROUP BY w),
+         |hb AS (SELECT w, j,
+         |    ('0x' || substr(md5(j::VARCHAR || ':' || w), 1, 8))::BIGINT % $CmWidth AS b
+         |  FROM cnt, unnest([0, 1, 2, 3]) t(j)),
+         |ctr AS (SELECT j, b, CAST(sum(cnt.n_exact) AS BIGINT) AS tot
+         |  FROM hb JOIN cnt USING (w) GROUP BY j, b),
+         |top AS (SELECT w, n_exact FROM cnt ORDER BY n_exact DESC, w ASC LIMIT $CmTopK),
+         |est AS (SELECT top.w, top.n_exact, min(ctr.tot) AS n_est
+         |  FROM top JOIN hb USING (w) JOIN ctr ON hb.j = ctr.j AND hb.b = ctr.b
+         |  GROUP BY top.w, top.n_exact)
+         |SELECT w, n_exact, CAST(n_est AS BIGINT) AS n_est,
+         |  CAST(n_est - n_exact AS BIGINT) AS overcount FROM est""".stripMargin,
+    "q96_sparse_cosine" ->
+      s"""WITH e AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+         |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM e GROUP BY 1, 2),
+         |dfs AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+         |kept AS (SELECT tf.doc_id, tf.w, tf.tf FROM tf JOIN dfs USING (w)
+         |  WHERE dfs.df <= $SparseMaxDf),
+         |n2 AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
+         |  FROM kept GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+         |  FROM kept a JOIN kept b ON a.w = b.w AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (SELECT doc_a, doc_b, dot, na.n2 AS n2_a, nb.n2 AS n2_b
+         |  FROM p JOIN n2 na ON p.doc_a = na.doc_id
+         |  JOIN n2 nb ON p.doc_b = nb.doc_id)
+         |SELECT doc_a, doc_b, dot, n2_a, n2_b,
+         |  CAST((dot::HUGEINT * dot * 1000000)
+         |    // (n2_a::HUGEINT * n2_b) AS BIGINT) AS cos2_ppm
+         |FROM j WHERE dot::HUGEINT * dot * 1000000 * 1000000
+         |  >= $SparseThrPpm::HUGEINT * $SparseThrPpm * n2_a * n2_b""".stripMargin,
     "q91_collocations" ->
       s"""WITH e AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
          |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY w),
@@ -1253,27 +1428,8 @@ object LlmQueries {
          |SELECT m.id AS id_a, d.id AS id_b,
          |  CAST(levenshtein(m.name, d.name) AS BIGINT) AS lev
          |FROM m, d WHERE levenshtein(m.name, d.name) <= $FuzzyMaxDist""".stripMargin,
-    "q88_bpe_train" -> {
-      val rounds = (0 until BpeMerges).map { t =>
-        s"""p${t + 1} AS (SELECT y[i] AS l, y[i + 1] AS r, sum(freq) AS c
-           |  FROM (SELECT freq, string_split(s[2:len(s) - 1], '][') AS y FROM w$t) t$t,
-           |    unnest(range(1, len(y))) AS u(i)
-           |  GROUP BY 1, 2),
-           |b${t + 1} AS (SELECT l, r FROM p${t + 1}
-           |  ORDER BY c DESC, l ASC, r ASC LIMIT 1),
-           |w${t + 1} AS (SELECT w, freq,
-           |    CASE WHEN (SELECT count(*) FROM b${t + 1}) = 0 THEN s
-           |      ELSE replace(s,
-           |        '[' || (SELECT l FROM b${t + 1}) || '][' || (SELECT r FROM b${t + 1}) || ']',
-           |        '[' || (SELECT l FROM b${t + 1}) || (SELECT r FROM b${t + 1}) || ']')
-           |    END AS s FROM w$t)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH e AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
-         |wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM e GROUP BY w),
-         |w0 AS (SELECT w, freq, array_to_string(
-         |    list_transform(string_split(w, ''), c -> '[' || c || ']'), '') AS s
-         |  FROM wf),
-         |$rounds,
+    "q88_bpe_train" ->
+      s"""WITH $bpeChainSql,
          |ns AS (SELECT w, CAST(len(string_split(s[2:len(s) - 1], '][')) AS BIGINT) AS n_sym
          |  FROM w$BpeMerges),
          |sc AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
@@ -1281,8 +1437,7 @@ object LlmQueries {
          |  FROM e JOIN ns ON e.w = ns.w GROUP BY e.doc_id)
          |SELECT d.doc_id, coalesce(sc.n_tok, 0) AS n_tok,
          |  coalesce(sc.n_sym, 0) AS n_sym
-         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin
-    },
+         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
     "q87_pagerank" -> {
       val scale = 1000000000000L
       val iters = (0 until PrIter).map { t =>

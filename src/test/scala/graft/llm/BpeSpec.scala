@@ -37,6 +37,20 @@ class BpeSpec extends AnyFunSuite with SparkTestSession {
     assert(raw(2L) === 4L)
   }
 
+  test("vocab: symbol mass and dense (mass desc, symbol asc) ids") {
+    // after 3 merges on aaab×2 + ab: final symbols aaab→[aa][ab]→[aaab],
+    // ab→[ab]. Masses: aaab=2, ab=1
+    val docs = docsOf("aaab aaab", "ab")
+    val v = BpeTrainer.vocab(docs, "doc_id", "text", nMerges = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(v === Set(("aaab", 2L, 1L), ("ab", 1L, 2L)))
+    // nMerges=0: char vocabulary; ids break mass ties lexicographically
+    val v0 = BpeTrainer.vocab(docs, "doc_id", "text", nMerges = 0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // chars: a mass 2·3+1 = 7, b mass 2+1 = 3
+    assert(v0 === Set(("a", 7L, 1L), ("b", 3L, 2L)))
+  }
+
   test("greedy leftmost merge: a run of equal symbols pairs like BPE") {
     // aaaa: round-1 (a,a) has count 3; replace is leftmost
     // non-overlapping → [aa][aa], 2 symbols

@@ -1,0 +1,89 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+/** Tests for the mergeable sketches: HLL register arithmetic against a
+  * Scala replay, estimate quality on a known-cardinality set, the CM
+  * one-sided guarantee, and plan shape (counters never shuffle keys).
+  */
+class SketchesSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private def md5h32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+  }
+
+  test("hllDistinctCard replays the register arithmetic exactly") {
+    val keys = (1 to 400).map(i => ("g1", s"key$i")) ++
+      (1 to 50).map(i => ("g2", s"other$i"))
+    val got = Sketches.hllDistinctCard(keys.toDF("g", "k"), col("g"), col("k"))
+      .select(col("group_key"), col("n_exact"), col("hll_est"), col("err_ppm"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // Scala replay of the identical integer estimator
+    def replay(ks: Seq[String]): Long = {
+      val regs = Array.fill(64)(0L)
+      ks.distinct.foreach { k =>
+        val h = md5h32(k); val b = (h % 64).toInt; val r = h / 64
+        val rho = if (r == 0) 27L
+          else 27L - (64 - java.lang.Long.numberOfLeadingZeros(r))
+        regs(b) = math.max(regs(b), rho)
+      }
+      val s = regs.map(mr => 1L << (27 - mr)).sum
+      (709L * 64 * 64 * (1L << 27)) / (1000L * s)
+    }
+    assert(got("g1")._1 === 400L)
+    assert(got("g1")._2 === replay(keys.filter(_._1 == "g1").map(_._2)))
+    assert(got("g2")._1 === 50L)
+    assert(got("g2")._2 === replay(keys.filter(_._1 == "g2").map(_._2)))
+    // raw HLL at m=64 has ~13% relative error; sanity-bound the card
+    assert(got("g1")._3 < 400000L, s"estimate off by ${got("g1")._3} ppm")
+  }
+
+  test("duplicate keys do not move HLL registers") {
+    val once = Sketches.hllDistinctCard(
+        Seq(("g", "a"), ("g", "b")).toDF("g", "k"), col("g"), col("k"))
+      .select(col("hll_est")).as[Long].collect().head
+    val dup = Sketches.hllDistinctCard(
+        Seq(("g", "a"), ("g", "a"), ("g", "b"), ("g", "b")).toDF("g", "k"),
+        col("g"), col("k"))
+      .select(col("hll_est")).as[Long].collect().head
+    assert(once === dup)
+  }
+
+  test("cmsHeavyHitters: estimates are exact in a collision-free sketch") {
+    // tiny vocab, wide sketch → no collisions → n_est == n_exact
+    val docs = Seq((1L, "a a a b"), (2L, "a b c"), (3L, "c c d"))
+      .toDF("doc_id", "text")
+    val out = Sketches.cmsHeavyHitters(docs, "doc_id", "text", 4096, 10)
+      .select(col("w"), col("n_exact"), col("n_est"), col("overcount"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(out === Set(("a", 4L, 4L, 0L), ("b", 2L, 2L, 0L),
+      ("c", 3L, 3L, 0L), ("d", 1L, 1L, 0L)))
+  }
+
+  test("cmsHeavyHitters: one-sided guarantee under forced collisions") {
+    val rnd = new scala.util.Random(53)
+    val docs = (1L to 40L).map(i =>
+      i -> Seq.fill(20)(s"w${rnd.nextInt(200)}").mkString(" "))
+      .toDF("doc_id", "text")
+    // width 8 → heavy collisions; estimate must never undercount
+    val out = Sketches.cmsHeavyHitters(docs, "doc_id", "text", 8, 20)
+      .select(col("overcount")).as[Long].collect()
+    assert(out.nonEmpty && out.forall(_ >= 0L))
+  }
+
+  test("plan: CM counters aggregate on (row, bucket) — raw tokens never join") {
+    val docs = Seq((1L, "x y z")).toDF("doc_id", "text")
+    val plan = Sketches.cmsHeavyHitters(docs, "doc_id", "text", 512, 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"), plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"counter probe should broadcast the 2048-cell counter table:\n$plan")
+  }
+}
