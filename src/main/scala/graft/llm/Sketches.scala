@@ -35,6 +35,20 @@ object Sketches {
   def md5Hash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("bigint")
 
+  /** The register grid itself: `(g, b, mr)` — max rho per (group,
+    * register). This IS the mergeable sketch state (merge = max), and
+    * because max is an unordered streaming-safe aggregate it doubles
+    * as the continuous form ([[graft.streaming.Streams.hllRegisters]]). */
+  def hllRegisters(df: DataFrame, groupCol: Column, keyCol: Column): DataFrame =
+    df.select(groupCol.as("g"), md5Hash32(keyCol).as("h"))
+      .withColumn("b", col("h") % HllRegisters)
+      .withColumn("r", expr(s"h div $HllRegisters"))
+      .withColumn("rho",
+        when(col("r") === 0L, lit(ValueBits + 1L))
+          .otherwise(lit(ValueBits + 1L) - length(bin(col("r")))))
+      .groupBy(col("g"), col("b"))
+      .agg(max(col("rho")).as("mr"))
+
   /** Per-group HLL distinct card: `(group, n_exact, hll_est,
     * err_ppm)`. Registers take max(rho) over the group's keys; unseen
     * registers contribute 2⁰ to the harmonic sum, exactly the raw HLL
@@ -42,14 +56,7 @@ object Sketches {
     * denominator 2²⁷. */
   def hllDistinctCard(df: DataFrame, groupCol: Column, keyCol: Column): DataFrame = {
     val one = 1L << (ValueBits + 1)
-    val hashed = df.select(groupCol.as("g"), md5Hash32(keyCol).as("h"))
-      .withColumn("b", col("h") % HllRegisters)
-      .withColumn("r", expr(s"h div $HllRegisters"))
-      .withColumn("rho",
-        when(col("r") === 0L, lit(ValueBits + 1L))
-          .otherwise(lit(ValueBits + 1L) - length(bin(col("r")))))
-    val regs = hashed.groupBy(col("g"), col("b"))
-      .agg(max(col("rho")).as("mr"))
+    val regs = hllRegisters(df, groupCol, keyCol)
     val est = regs.groupBy(col("g"))
       .agg(sum(expr(s"shiftleft(cast(1 as bigint), ${ValueBits + 1} - mr)")).as("s"),
         count(lit(1)).as("nb"))
@@ -67,6 +74,23 @@ object Sketches {
 
   /** Count-min geometry: 4 hash rows, salted `j:key`. */
   val CmDepth = 4
+
+  /** Fans each row out to its `CmDepth` (j, b) cells, carrying every
+    * other column through — shared by counter build and probes so the
+    * two sides cannot disagree on a bucket. Expects a `w` column. */
+  private[graft] def cmSalted(df: DataFrame, width: Int): DataFrame =
+    df.select(col("*"), explode(expr(s"sequence(0, ${CmDepth - 1})")).as("j"))
+      .withColumn("b",
+        md5Hash32(concat(col("j").cast("string"), lit(":"), col("w"))) % width)
+
+  /** The depth×width counter grid `(j, b, tot)` summed straight off a
+    * token-stream frame with column `w`. Sum is unordered and
+    * mergeable, so this same build runs continuously
+    * ([[graft.streaming.Streams.cmCounters]]). */
+  def cmCounters(toks: DataFrame, width: Int): DataFrame =
+    cmSalted(toks.select(col("w")), width)
+      .groupBy(col("j"), col("b"))
+      .agg(count(lit(1)).as("tot"))
   /** Count-min heavy-hitter card over a token stream: counters are
     * summed straight off the stream — one shuffle keyed on (row,
     * bucket), `depth·width` cells total, never a per-token state — and
@@ -79,16 +103,11 @@ object Sketches {
     val q = graft.Names.quoted _
     val toks = docs.select(
       explode(TextAnalysis.tokens(col(q(textCol)))).as("w"))
-    val salted = toks.select(col("w"),
-      explode(expr(s"sequence(0, ${CmDepth - 1})")).as("j"))
-      .withColumn("b", md5Hash32(concat(col("j").cast("string"), lit(":"), col("w"))) % width)
-    val counters = salted.groupBy(col("j"), col("b"))
-      .agg(count(lit(1)).as("tot"))
+    val counters = cmCounters(toks, width)
     val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("n_exact"))
     val top = freq.orderBy(col("n_exact").desc, col("w").asc).limit(topK)
-    val probes = top.select(col("w"), col("n_exact"),
-        explode(expr(s"sequence(0, ${CmDepth - 1})")).as("j"))
-      .withColumn("b", md5Hash32(concat(col("j").cast("string"), lit(":"), col("w"))) % width)
+    val probes = cmSalted(
+      top.select(col("w"), col("n_exact")), width)
     probes.join(broadcast(counters), Seq("j", "b"))
       .groupBy(col("w"), col("n_exact"))
       .agg(min(col("tot")).as("n_est"))

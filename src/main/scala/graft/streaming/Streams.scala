@@ -240,6 +240,29 @@ object Streams {
   def fuzzyIngest(stream: DataFrame, master: DataFrame, maxDist: Int): DataFrame =
     graft.llm.Fuzzy.editDistanceJoin(stream, master, maxDist)
 
+  /** Streaming HLL register build — the continuous twin of
+    * [[graft.llm.Sketches.hllRegisters]]. The register grid is a
+    * max-aggregate, which is unordered and mergeable, so the streaming
+    * aggregation IS the sketch: state is fixed at groups×64 rows no
+    * matter how much data flows through, and the estimator reads the
+    * live grid whenever it likes (update/complete mode). Stream==batch
+    * equivalence is exact (same code path) and pinned in
+    * StreamingSpec. */
+  def hllRegisters(rows: DataFrame, groupCol: String, keyCol: String): DataFrame =
+    graft.llm.Sketches.hllRegisters(rows, qcol(groupCol), qcol(keyCol))
+
+  /** Streaming count-min counter build — the continuous twin of
+    * [[graft.llm.Sketches.cmCounters]]: the depth×width grid is a
+    * pure sum per cell, so counters accumulate across micro-batches
+    * with fixed state (depth·width rows) and merging is addition —
+    * the CM mergeability property. Heavy-hitter probes join the live
+    * grid downstream. */
+  def cmCounters(docs: DataFrame, textCol: String = "text",
+      width: Int = 512): DataFrame =
+    graft.llm.Sketches.cmCounters(
+      docs.select(explode(
+        graft.llm.TextAnalysis.tokens(qcol(textCol))).as("w")), width)
+
   /** Parse a stream of JSON strings into typed rows with a schema
     * compiled by [[graft.schema.JsonSchemaToStruct]] — JSON Schema in,
     * streaming Dataset out. Malformed records survive (PERMISSIVE +

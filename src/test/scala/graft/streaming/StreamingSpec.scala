@@ -427,6 +427,47 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally query.stop()
   }
 
+  test("sketch twins: HLL registers and CM counters accumulate across " +
+      "micro-batches to the exact batch grids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = (1 to 30).map(i => (1L + i % 3, s"doc token$i shared"))
+    val batch2 = (31 to 50).map(i => (1L + i % 3, s"doc token$i shared extra$i"))
+    val all = batch1 ++ batch2
+
+    val hin = MemoryStream[(Long, String)]
+    val hllQ = Streams.hllRegisters(hin.toDF().toDF("g", "k"), "g", "k")
+      .writeStream.format("memory").queryName("hll_out")
+      .outputMode("complete").start()
+    val cin = MemoryStream[(Long, String)]
+    val cmQ = Streams.cmCounters(cin.toDF().toDF("doc_id", "text"), width = 64)
+      .writeStream.format("memory").queryName("cm_out")
+      .outputMode("complete").start()
+    try {
+      // two separate micro-batches: the grids must MERGE, not reset
+      hin.addData(batch1: _*); cin.addData(batch1: _*)
+      hllQ.processAllAvailable(); cmQ.processAllAvailable()
+      hin.addData(batch2: _*); cin.addData(batch2: _*)
+      hllQ.processAllAvailable(); cmQ.processAllAvailable()
+
+      val gotHll = spark.table("hll_out")
+        .as[(Long, Long, Long)].collect().toSet
+      val wantHll = graft.llm.Sketches.hllRegisters(
+          all.toDF("g", "k"), col("g"), col("k"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(gotHll === wantHll)
+
+      val gotCm = spark.table("cm_out")
+        .as[(Int, Long, Long)].collect().toSet
+      val wantCm = Streams.cmCounters(all.toDF("doc_id", "text"), width = 64)
+        .as[(Int, Long, Long)].collect().toSet
+      assert(gotCm === wantCm)
+      // fixed-state contract: the grids never exceed their geometry
+      assert(gotHll.size <= 3 * 64)
+      assert(gotCm.size <= 4 * 64)
+    } finally { hllQ.stop(); cmQ.stop() }
+  }
+
   test("parseJsonStream: Json2Spark schema drives from_json; malformed rows flagged") {
     import spark.implicits._
     val schema = graft.schema.JsonSchemaToStruct.convert(
