@@ -96,6 +96,72 @@ object Sampling {
       .drop(h, n, t, rn)
   }
 
+  /** Weighted deterministic top-k per group: each row draws the
+    * integer priority `⌊h·10⁶ / w⌋` (h = 32-bit md5 prefix of the
+    * key, w = positive weight) and the k smallest priorities per
+    * group win — heavier rows draw proportionally smaller priorities,
+    * so the sample is weight-biased yet a pure function of the data
+    * (the weighted counterpart of [[deterministicGroupSample]]; the
+    * contract IS the integer priority formula, not an exact A-ES
+    * distribution — no float pow crosses an engine boundary).
+    *
+    * Scale shape mirrors q52's threshold prefilter, lifted to
+    * PRIORITY space: survival is `pri < C` with
+    * `C = (k·margin·2³²·10⁶) div Σw` — constant within the group, so
+    * survival is exactly monotone in priority and expected survivors
+    * stay ≤ k·margin regardless of group size (E[rows with pri < C] =
+    * Σ min(1, k·margin·wᵢ/Σw)). The rank window sorts only that
+    * sliver. Small groups (n ≤ k·margin) keep every row; the q52
+    * exactness guard fails loudly if weight skew starves a group's
+    * sliver below min(k, n). Null keys, null weights and w ≤ 0 rows
+    * are excluded throughout (no hash → no position).
+    *
+    * Returns the surviving rows' original columns plus `_priority`.
+    * Same eager-jobs caveat as [[deterministicGroupSample]]. */
+  def weightedGroupSample(df: DataFrame, groupCol: String, keyCol: String,
+      weightCol: String, k: Int, margin: Int = 8): DataFrame = {
+    require(k > 0 && margin >= 2, "k must be positive, margin >= 2")
+    require(!df.columns.contains("_priority"),
+      "input already has a _priority column")
+    val qg = graft.Names.quoted(groupCol)
+    val qw = graft.Names.quoted(weightCol)
+    val h = graft.Names.fresh("_h", df.columns)
+    val n = graft.Names.fresh("_n", df.columns)
+    val sw = graft.Names.fresh("_sw", df.columns)
+    val t = graft.Names.fresh("_t", df.columns)
+    val rn = graft.Names.fresh("_rn", df.columns)
+    val maxPri = 4294967296L * 1000000L // beyond any real priority → keep all
+    val hashed = df.withColumn(h, hash32(keyCol))
+      .filter(col(h).isNotNull && col(qw).isNotNull && col(qw) > 0)
+      .withColumn("_priority", expr(s"(`$h` * 1000000L) div $qw"))
+    val counts = hashed.groupBy(col(qg))
+      .agg(count(lit(1)).as(n),
+        sum(col(qw).cast("decimal(38,0)")).as(sw))
+      .withColumn(t,
+        when(col(n) <= k.toLong * margin, lit(maxPri))
+          .otherwise(least(
+            floor(lit(k.toLong * margin).cast("decimal(38,0)") *
+              lit(4294967296L) * lit(1000000L) / col(sw)).cast("bigint"),
+            lit(maxPri))))
+    val survivors = Caches.persistTracked(hashed
+      .join(broadcast(counts), groupCol)
+      .filter(col("_priority") < col(t)))
+    val surv = graft.Names.fresh("_surv", df.columns ++ Seq(h, n, sw, t, rn))
+    val short = counts
+      .join(survivors.groupBy(col(qg)).agg(count(lit(1)).as(surv)),
+        Seq(groupCol), "left")
+      .filter(coalesce(col(surv), lit(0L)) < least(lit(k.toLong), col(n)))
+      .limit(1).collect()
+    require(short.isEmpty,
+      s"weightedGroupSample: margin=$margin too tight for group " +
+        s"'${short.headOption.map(_.get(0)).orNull}' — raise margin")
+    val w = Window.partitionBy(col(qg))
+      .orderBy(col("_priority"), col(graft.Names.quoted(keyCol)))
+    survivors.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= k)
+      .drop(h, n, sw, t, rn)
+  }
+
   /** Deterministic token-budget mixture sampling — the "data mixing"
     * step of a training pipeline: given a per-stratum target weight
     * (DoReMi-style static reweighting) and a total token budget

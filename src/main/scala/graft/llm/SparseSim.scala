@@ -68,4 +68,54 @@ object SparseSim {
         floor((d("dot") * d("dot") * ppm) / (d("n2_a") * d("n2_b")))
           .cast("bigint").as("cos2_ppm"))
   }
+
+  /** Asymmetric containment join: directed pairs where the contained
+    * document's distinct word-3-gram set lies (mostly) inside the
+    * container's — `|S_a ∩ S_b| ≥ thrPpm/1e6 · |S_a|`. This is the
+    * dup geometry Jaccard-based near-dup MISSES by construction: a
+    * paragraph quoted inside a much longer document has tiny Jaccard
+    * (the union is huge) but containment ≈ 1. Docs with fewer than 3
+    * tokens have no 3-grams and never participate.
+    *
+    * Same engine shape as [[allPairsCosine]]: distinct grams →
+    * df pruning (grams in more than `maxDf` docs leave the space — the
+    * boilerplate that is both meaningless and the skew bomb) →
+    * postings self-join → per-ordered-pair shared count → integer
+    * verify, evaluated in BOTH directions from each undirected pair
+    * so the pair exchange is not doubled. All arithmetic fits plain
+    * longs (shared·10⁶ is bounded by a doc's gram count · 10⁶). */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxDf: Long, thrPpm: Long): DataFrame = {
+    require(maxDf > 0, "maxDf must be positive")
+    require(thrPpm > 0 && thrPpm <= 1000000L, "thrPpm must be in (0, 1e6]")
+    val q = graft.Names.quoted _
+    val grams = docs
+      .select(col(q(idCol)).as("doc_id"),
+        TextAnalysis.tokens(col(q(textCol))).as("toks"))
+      .select(col("doc_id"),
+        explode(TextAnalysis.word3grams("toks")).as("g"))
+      .distinct()
+    val kept = grams.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+      .filter(col("df") <= maxDf)
+      .select(col("g"), col("doc_id"))
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val pairs = kept.as("a")
+      .join(kept.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_grams").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_grams").as("n_b")), Seq("doc_b"))
+    val aInB = pairs.filter(col("shared") * 1000000L >= lit(thrPpm) * col("n_a"))
+      .select(col("doc_a").as("contained_id"), col("doc_b").as("container_id"),
+        col("shared"), col("n_a").as("n_contained"))
+    val bInA = pairs.filter(col("shared") * 1000000L >= lit(thrPpm) * col("n_b"))
+      .select(col("doc_b").as("contained_id"), col("doc_a").as("container_id"),
+        col("shared"), col("n_b").as("n_contained"))
+    aInB.unionAll(bInA)
+      .select(col("contained_id"), col("container_id"), col("shared"),
+        col("n_contained"),
+        expr("(shared * 1000000L) div n_contained").as("cont_ppm"))
+  }
 }

@@ -782,7 +782,34 @@ object LlmQueries {
       .select(col("v").as("doc_id"), col("n_tri"))
   }
 
+  // ---- q101: asymmetric containment join ----
+  // The dup geometry Jaccard misses: a short document quoted inside a
+  // long one has tiny Jaccard but containment ≈ 1. Distinct-3-gram
+  // postings, df cut, one undirected pair pass evaluated in both
+  // directions. The oracle replays grams, the cut, and both verifies.
+  private val ContainMaxDf = 50L
+  private val ContainThrPpm = 800000L
+  def q101Containment(s: SparkSession, dir: String): DataFrame =
+    graft.llm.SparseSim.containmentPairs(graft.Tables.documents(s, dir),
+      "doc_id", "text", ContainMaxDf, ContainThrPpm)
+
+  // ---- q103: weighted deterministic group sample ----
+  // Length-biased eval selection: priority ⌊h·10⁶/w⌋ with w =
+  // max(n_chars, 1), k smallest per language. The operator runs the
+  // priority-space threshold prefilter (survivors ≤ k·margin per
+  // group); the oracle replays the FULL rank window — equality proves
+  // the prefilter sound, the q52 pattern.
+  private val WSampleK = 10
+  def q103WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.documents(s, dir)
+      .withColumn("w8", greatest(col("n_chars"), lit(1L)))
+    graft.llm.Sampling.weightedGroupSample(d, "lang", "doc_id", "w8", WSampleK)
+      .select(col("lang"), col("doc_id"), col("_priority").as("pri"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_weighted_sample" -> q103WeightedSample _,
+    "q101_containment" -> q101Containment _,
     "q100_triangles"   -> q100Triangles _,
     "q99_bpe_vocab"    -> q99BpeVocab _,
     "q98_heavy_hitters" -> q98HeavyHitters _,
@@ -1320,6 +1347,42 @@ object LlmQueries {
          |SELECT query_id, doc_id, score_fp, CAST(rn AS INTEGER) AS rn
          |FROM r WHERE rn <= $Bm25K""".stripMargin
     },
+    "q101_containment" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g0 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+         |    THEN list_transform(range(1, len(toks) - 1),
+         |      i -> array_to_string(toks[i:i+2], ' '))
+         |    ELSE [] END) AS g FROM t),
+         |g AS (SELECT DISTINCT doc_id, g FROM g0),
+         |dfs AS (SELECT g, count(*) AS df FROM g GROUP BY g),
+         |kept AS (SELECT g.doc_id, g.g FROM g JOIN dfs USING (g)
+         |  WHERE dfs.df <= $ContainMaxDf),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+         |  FROM kept GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+         |    CAST(count(*) AS BIGINT) AS shared
+         |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (SELECT da, db, shared, sa.n AS na, sb.n AS nb FROM p
+         |  JOIN sz sa ON p.da = sa.doc_id JOIN sz sb ON p.db = sb.doc_id),
+         |d AS (
+         |  SELECT da AS contained_id, db AS container_id, shared,
+         |    na AS n_contained FROM j WHERE shared * 1000000 >= $ContainThrPpm * na
+         |  UNION ALL
+         |  SELECT db, da, shared, nb FROM j
+         |  WHERE shared * 1000000 >= $ContainThrPpm * nb)
+         |SELECT contained_id, container_id, shared, n_contained,
+         |  CAST((shared * 1000000) // n_contained AS BIGINT) AS cont_ppm
+         |FROM d""".stripMargin,
+    "q103_weighted_sample" ->
+      s"""WITH h AS (SELECT lang, doc_id,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h,
+         |    greatest(n_chars, 1) AS w FROM documents),
+         |p AS (SELECT lang, doc_id, (h * 1000000) // w AS pri FROM h),
+         |r AS (SELECT lang, doc_id, pri, row_number() OVER (
+         |    PARTITION BY lang ORDER BY pri, doc_id) AS rn FROM p)
+         |SELECT lang, doc_id, CAST(pri AS BIGINT) AS pri
+         |FROM r WHERE rn <= $WSampleK""".stripMargin,
     "q99_bpe_vocab" ->
       s"""WITH $bpeChainSql,
          |v AS (SELECT unnest(string_split(s[2:len(s) - 1], '][')) AS sym, freq

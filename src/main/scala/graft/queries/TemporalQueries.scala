@@ -73,11 +73,30 @@ object TemporalQueries {
         col("covered").as("covered_us"), col("max_conc"))
   }
 
+  // ---- q102: burst detection (peak sliding-window event rate) ----
+  // The bot/abuse signal: per user, the maximum number of events in
+  // any trailing 10-minute window. Composes q35's bucketed range join
+  // (each event counts its half-open trailing window, +1 for itself)
+  // with a per-user max — no per-user sort, no window over the raw
+  // stream.
+  private val BurstWindowUs = 600000000L // 10 minutes
+  def q102Burst(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    RangeJoin.countPreceding(
+        e.select(col("event_id"), col("user_id"), col("us")),
+        e.select(col("user_id"), col("us")),
+        Seq("user_id"), "us", BurstWindowUs)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("n_in_window")) + 1L).as("max_burst"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_asof_join"  -> q34AsofJoin _,
     "q35_range_join" -> q35RangeJoin _,
     "q90_gap_fill"   -> q90GapFill _,
     "q95_interval_coverage" -> q95IntervalCoverage _,
+    "q102_burst"     -> q102Burst _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -140,5 +159,15 @@ object TemporalQueries {
         |mc AS (SELECT k, CAST(max(c) AS BIGINT) AS max_conc FROM c GROUP BY k)
         |SELECT pk.k AS user_id, n_intervals, n_islands, covered_us, mc.max_conc
         |FROM pk JOIN mc ON pk.k = mc.k""".stripMargin,
+    "q102_burst" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
+         |  FROM events),
+         |c AS (SELECT l.event_id, l.user_id, count(r.us) AS n
+         |  FROM e l LEFT JOIN e r ON r.user_id = l.user_id
+         |    AND r.us >= l.us - $BurstWindowUs AND r.us < l.us
+         |  GROUP BY 1, 2)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(max(n) + 1 AS BIGINT) AS max_burst
+         |FROM c GROUP BY user_id""".stripMargin,
   )
 }

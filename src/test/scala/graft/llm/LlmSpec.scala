@@ -232,6 +232,43 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
     assert(got.count(_._2 == "g0") == k)
   }
 
+  test("weightedGroupSample equals the naive weighted-priority window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(67)
+    val rows = (0 until 400).map(i =>
+      (i.toLong, s"g${i % 3}", 1L + rnd.nextInt(5000))) ++
+      Seq((1000L, "tiny", 7L), (1001L, "tiny", 9000L)) // undersized group
+    val df = rows.toDF("doc_id", "lang", "w")
+    val k = 10
+    val got = Sampling.weightedGroupSample(df, "lang", "doc_id", "w", k)
+      .select("doc_id", "lang", "_priority").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val h = expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)")
+    val naive = df.withColumn("h", h)
+      .withColumn("pri", expr("(h * 1000000L) div w"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("pri"), col("doc_id"))))
+      .filter(col("rn") <= k)
+      .select("doc_id", "lang", "pri").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == naive)
+    assert(got.count(_._2 == "tiny") == 2) // undersized group kept whole
+    // the bias is real: sampled rows carry systematically larger
+    // weights than the group average
+    val wById = rows.map(r => r._1 -> r._3).toMap
+    val sampledMean = got.filter(_._2 != "tiny").toSeq
+      .map(t => wById(t._1)).sum / (3.0 * k)
+    val popMean = rows.filter(_._2 != "tiny").map(_._3).sum / 400.0
+    assert(sampledMean > popMean,
+      s"weighting had no effect: sampled mean $sampledMean vs $popMean")
+    // zero/negative weights and null keys never participate
+    val bad = Seq((1L, "g", 0L), (2L, "g", -5L), (3L, "g", 10L)).toDF("doc_id", "lang", "w")
+    val kept = Sampling.weightedGroupSample(bad, "lang", "doc_id", "w", 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(3L))
+  }
+
   test("tokenBudgetMixture: rates follow the target weights; selection deterministic") {
     import spark.implicits._
     // two strata, equal token mass (1000 each), weights 1 vs 3, budget

@@ -75,6 +75,60 @@ class SparseSimSpec extends AnyFunSuite with SparkTestSession {
     assert(got === want)
   }
 
+  private def runCont(docs: Seq[(Long, String)], maxDf: Long, thrPpm: Long) =
+    SparseSim.containmentPairs(docs.toDF("doc_id", "text"), "doc_id", "text",
+        maxDf, thrPpm)
+      .select(col("contained_id"), col("container_id"), col("shared"),
+        col("n_contained"), col("cont_ppm"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+
+  test("containment: a quoted paragraph is contained but far from Jaccard-similar") {
+    val para = "alpha beta gamma delta epsilon zeta"
+    val long = para + " " + (1 to 30).map(i => s"filler$i").mkString(" ")
+    val out = runCont(Seq(1L -> para, 2L -> long), maxDf = 10L, thrPpm = 1000000L)
+    // para has 4 3-grams, all inside the long doc → containment 1.0
+    // in that direction ONLY (the long doc has 35 grams)
+    assert(out === Set((1L, 2L, 4L, 4L, 1000000L)))
+    // while symmetric cosine at the same bar sees nothing
+    assert(run(Seq(1L -> para, 2L -> long), 10L, 800000L).isEmpty)
+  }
+
+  test("containment: direction respects each side's own size") {
+    // d1 ⊂ d2 at 2/3, d2 ⊄ d1 (2/4 < 0.6)
+    val out = runCont(Seq(
+      1L -> "a b c d e",              // grams: abc bcd cde
+      2L -> "a b c d x p q r s t"),   // grams: abc bcd cdx xpq pqr qrs rst + ...
+      maxDf = 10L, thrPpm = 600000L)
+    assert(out.map(t => (t._1, t._2)) === Set((1L, 2L)))
+    val t = out.head
+    assert(t._3 === 2L && t._4 === 3L && t._5 === 666666L)
+  }
+
+  test("containment randomized: matches brute force over distinct gram sets") {
+    val rnd = new scala.util.Random(61)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val docs = (1L to 40L).map { i =>
+      i -> Seq.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val maxDf = 30L; val thr = 700000L
+    val got = runCont(docs, maxDf, thr)
+    def gramsOf(t: String): Set[String] = {
+      val ts = t.split("\\s+").toSeq
+      if (ts.size < 3) Set.empty
+      else ts.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val g0 = docs.map { case (id, t) => id -> gramsOf(t) }.toMap
+    val df = g0.values.flatten.groupBy(identity).map { case (g, xs) => g -> xs.size }
+    val g = g0.map { case (id, s) => id -> s.filter(df(_) <= maxDf) }
+    val want = (for {
+      a <- g.keys; b <- g.keys if a != b
+      sh = g(a).intersect(g(b)).size.toLong
+      na = g(a).size.toLong
+      if na > 0 && sh * 1000000L >= thr * na
+    } yield (a, b, sh, na, sh * 1000000L / na)).toSet
+    assert(got === want)
+  }
+
   test("plan: pairs meet only through the term join — no cartesian") {
     val df = Seq(1L -> "x y", 2L -> "y z").toDF("doc_id", "text")
     val plan = SparseSim.allPairsCosine(df, "doc_id", "text", 10L, 100000L)

@@ -65,6 +65,20 @@ class TemporalSpec extends AnyFunSuite with SparkTestSession {
     assert(got == want)
   }
 
+  test("burst composition: max trailing-window count includes the event itself") {
+    // user 1: events at 0, 50, 99, 500 (window 100): counts-in-window
+    // are 0, 1, 2, 0 → max_burst = 3 (the 99-event sees 0 and 50)
+    val e = Seq((1L, 10L, 0L), (1L, 11L, 50L), (1L, 12L, 99L), (1L, 13L, 500L),
+      (2L, 14L, 5L)).toDF("user", "id", "ts")
+    val out = RangeJoin.countPreceding(
+        e.select(col("id"), col("user"), col("ts")),
+        e.select(col("user"), col("ts")), Seq("user"), "ts", 100L)
+      .groupBy(col("user"))
+      .agg((max(col("n_in_window")) + 1L).as("max_burst"))
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 3L, 2L -> 1L))
+  }
+
   test("physical plans: range join is an equi-join, as-of join shuffles once") {
     import spark.implicits._
     val left = Seq((1L, 10L, 100L)).toDF("user", "id", "ts")
