@@ -72,16 +72,27 @@ object Sketches {
           .as("err_ppm"))
   }
 
-  /** Count-min geometry: 4 hash rows, salted `j:key`. */
+  /** Count-min geometry: 4 hash rows — the four 32-bit lanes of one
+    * md5. */
   val CmDepth = 4
 
   /** Fans each row out to its `CmDepth` (j, b) cells, carrying every
     * other column through — shared by counter build and probes so the
-    * two sides cannot disagree on a bucket. Expects a `w` column. */
-  private[graft] def cmSalted(df: DataFrame, width: Int): DataFrame =
-    df.select(col("*"), explode(expr(s"sequence(0, ${CmDepth - 1})")).as("j"))
+    * two sides cannot disagree on a bucket. Expects a `w` column.
+    *
+    * The `CmDepth` hash rows are the four 32-bit lanes of ONE md5 (hex
+    * digits 1–8, 9–16, 17–24, 25–32) — md5 is the dominant cost of
+    * the build, and its 128 bits already hold four independent
+    * 32-bit hashes; computing it before the lane fan-out hashes each
+    * token once instead of once per row. */
+  private[graft] def cmSalted(df: DataFrame, width: Int): DataFrame = {
+    val m = graft.Names.fresh("_m", df.columns)
+    df.withColumn(m, md5(col("w")))
+      .select(col("*"), explode(expr(s"sequence(0, ${CmDepth - 1})")).as("j"))
       .withColumn("b",
-        md5Hash32(concat(col("j").cast("string"), lit(":"), col("w"))) % width)
+        expr(s"cast(conv(substr(`$m`, j * 8 + 1, 8), 16, 10) as bigint)") % width)
+      .drop(m)
+  }
 
   /** The depth×width counter grid `(j, b, tot)` summed straight off a
     * token-stream frame with column `w`. Sum is unordered and

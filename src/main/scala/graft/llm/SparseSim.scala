@@ -45,9 +45,15 @@ object SparseSim {
         explode(TextAnalysis.tokens(col(q(textCol)))).as("w"))
       .groupBy(col("w"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
-    val kept = tf.withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("w"))))
-      .filter(col("df") <= maxDf)
+    // df pruning as a broadcast ANTI-join against the heavy-term
+    // blocklist: the blocklist is small by construction (≤ corpus
+    // postings / maxDf terms can exceed the cap), so hot terms are
+    // filtered MAP-SIDE — their postings never congregate in one
+    // partition just to be counted and discarded (a per-term window
+    // would buffer a stopword's entire posting list in one task).
+    val heavy = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("w"))
+    val kept = tf.join(broadcast(heavy), Seq("w"), "left_anti")
       .select(col("w"), col("doc_id"), col("tf"))
     val n2 = kept.groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("tf")).as("n2"))
@@ -95,9 +101,10 @@ object SparseSim {
       .select(col("doc_id"),
         explode(TextAnalysis.word3grams("toks")).as("g"))
       .distinct()
-    val kept = grams.withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
-      .filter(col("df") <= maxDf)
+    // same broadcast-blocklist pruning shape as [[allPairsCosine]]
+    val heavy = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("g"))
+    val kept = grams.join(broadcast(heavy), Seq("g"), "left_anti")
       .select(col("g"), col("doc_id"))
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     val pairs = kept.as("a")

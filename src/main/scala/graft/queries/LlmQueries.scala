@@ -1435,7 +1435,7 @@ object LlmQueries {
       s"""WITH e AS (SELECT unnest($toksSql) AS w FROM documents),
          |cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS n_exact FROM e GROUP BY w),
          |hb AS (SELECT w, j,
-         |    ('0x' || substr(md5(j::VARCHAR || ':' || w), 1, 8))::BIGINT % $CmWidth AS b
+         |    ('0x' || substr(md5(w), j * 8 + 1, 8))::BIGINT % $CmWidth AS b
          |  FROM cnt, unnest([0, 1, 2, 3]) t(j)),
          |ctr AS (SELECT j, b, CAST(sum(cnt.n_exact) AS BIGINT) AS tot
          |  FROM hb JOIN cnt USING (w) GROUP BY j, b),

@@ -129,10 +129,15 @@ class SparseSimSpec extends AnyFunSuite with SparkTestSession {
     assert(got === want)
   }
 
-  test("plan: pairs meet only through the term join — no cartesian") {
+  test("plan: pairs meet only through the term join; df prune is a " +
+      "broadcast anti-join (hot terms filtered map-side)") {
     val df = Seq(1L -> "x y", 2L -> "y z").toDF("doc_id", "text")
     val plan = SparseSim.allPairsCosine(df, "doc_id", "text", 10L, 100000L)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"), plan)
+    assert(plan.contains("LeftAnti") && plan.contains("BroadcastHashJoin"),
+      s"df prune should be a broadcast anti-join, not a per-term window:\n$plan")
+    assert(!plan.contains("Window"),
+      s"no per-term window may buffer a hot term's postings:\n$plan")
   }
 }
