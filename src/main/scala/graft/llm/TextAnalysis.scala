@@ -414,4 +414,82 @@ object TextAnalysis {
       .orderBy(col("c_ab").desc, col("w_a").asc, col("w_b").asc)
       .limit(topK)
   }
+
+  /** Bigram-conditional surprisal — the language-model upgrade of
+    * [[unigramSurprisalFp]]: each adjacent pair (a, b) costs
+    * `⌊log₂((c(a)+V) / (c(ab)+1))⌋` bits, i.e. −log₂ of the add-one-
+    * smoothed conditional P(b|a) = (c(ab)+1)/(c(a)+V), computed
+    * integer-exactly via binary digit length. A doc full of common
+    * words in UNCOMMON order now scores high where the unigram model
+    * is blind — the fluency signal perplexity filters actually use.
+    * Docs with fewer than 2 tokens report 0/0/0.
+    *
+    * 100 TB shape: pairs explode scan-locally per doc (never a
+    * self-join); the bigram-type table aggregates once on (a, b) and
+    * the scoring join shuffles the pair stream by the same key — the
+    * one corpus-sized exchange; unigram context counts join the
+    * bigram TYPE table (vocabulary-sized, AQE promotes to broadcast
+    * when it fits); V reaches the driver as one scalar. The token
+    * stream is recomputed, never persisted (the q71 lesson). */
+  def bigramSurprisalFp(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val q = graft.Names.quoted _
+    def pairsByDoc = docs
+      .select(col(q(idCol)).as("doc_id"), tokens(col(q(textCol))).as("y"))
+      .filter(size(col("y")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(y) - 1), " +
+          "i -> struct(element_at(y, i) AS a, element_at(y, i + 1) AS b))")).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val freq = Caches.persistTracked(tokenFreq(explodedTokens(docs, idCol, textCol)))
+    val v = math.max(freq.count(), 1L)
+    val bits = pairsByDoc.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      .join(freq.select(col("w").as("a"), col("c").as("c_a")), Seq("a"))
+      .select(col("a"), col("b"),
+        expr(s"cast(length(bin((c_a + ${v}L) div (c_ab + 1L))) - 1 as bigint)")
+          .as("bits"))
+    val scored = pairsByDoc.join(bits, Seq("a", "b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("sum_bits"))
+    docs.select(col(q(idCol)).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_bits"), lit(0L)).as("sum_bits"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0L, lit(0L))
+          .otherwise(expr(
+            "cast(floor(1000000.0 * cast(sum_bits as double) / cast(n_bigrams as double)) as bigint)"))
+          .as("surprisal2_fp"))
+  }
+
+  /** Cross-group score calibration: percentile-normalize an integer
+    * score within each group — `pct_ppm = ⌊10⁶·|{s' < s}| /
+    * max(n−1, 1)⌋`, so each group's minimum maps to 0 and maximum to
+    * 10⁶ and a "good" score means the same thing in every group. The
+    * curation use: quality thresholds tuned on one source silently
+    * misfire on another whose score DISTRIBUTION differs; calibrating
+    * first makes one threshold portable across sources.
+    *
+    * 100 TB shape: the rank walk runs over the (group, score)
+    * COUNTING aggregate only — bounded by distinct scores (quantized
+    * by construction for every score in this library), never a
+    * corpus sort — and the percentile table broadcasts back onto the
+    * corpus, so the corpus itself never shuffles. Returns the input
+    * columns plus `pct_ppm`. */
+  def scoreCalibration(df: DataFrame, groupCol: String, scoreCol: String): DataFrame = {
+    require(!df.columns.contains("pct_ppm"), "input already has pct_ppm")
+    val qg = graft.Names.quoted(groupCol)
+    val qs = graft.Names.quoted(scoreCol)
+    val c = graft.Names.fresh("_c", df.columns)
+    val lt = graft.Names.fresh("_lt", df.columns)
+    val n = graft.Names.fresh("_n", df.columns)
+    val cnt = df.groupBy(col(qg), col(qs)).agg(count(lit(1)).as(c))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qg)).orderBy(col(qs))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val totals = df.groupBy(col(qg)).agg(count(lit(1)).as(n))
+    val pct = cnt.withColumn(lt, coalesce(sum(col(c)).over(w), lit(0L)))
+      .join(totals, Seq(groupCol))
+      .select(col(qg), col(qs),
+        expr(s"(`$lt` * 1000000L) div greatest(`$n` - 1L, 1L)").as("pct_ppm"))
+    df.join(broadcast(pct), Seq(groupCol, scoreCol))
+  }
 }

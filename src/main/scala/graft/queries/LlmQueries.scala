@@ -807,7 +807,31 @@ object LlmQueries {
       .select(col("lang"), col("doc_id"), col("_priority").as("pri"))
   }
 
+  // ---- q104: cross-source quality calibration ----
+  // A quality threshold tuned on one source misfires on another whose
+  // score distribution differs; percentile-normalizing within source
+  // (exact integer rank over the score-counting aggregate) makes one
+  // threshold portable. The oracle replays the rank walk and the
+  // floor division.
+  def q104QualityCalibrated(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), qualityScoreFp("text").as("quality_fp"))
+    TextAnalysis.scoreCalibration(d, "source", "quality_fp")
+      .select(col("doc_id"), col("source"), col("quality_fp"), col("pct_ppm"))
+  }
+
+  // ---- q105: bigram-conditional surprisal ----
+  // The fluency signal q71's unigram model is blind to: common words
+  // in uncommon ORDER now cost bits. Add-one-smoothed P(b|a) scored
+  // as an integer digit-length log; the oracle replays pairs, counts,
+  // smoothing and the per-doc mean.
+  def q105BigramSurprisal(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramSurprisalFp(graft.Tables.documents(s, dir),
+      "doc_id", "text")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_bigram_surprisal" -> q105BigramSurprisal _,
+    "q104_quality_calibrated" -> q104QualityCalibrated _,
     "q103_weighted_sample" -> q103WeightedSample _,
     "q101_containment" -> q101Containment _,
     "q100_triangles"   -> q100Triangles _,
@@ -1347,6 +1371,44 @@ object LlmQueries {
          |SELECT query_id, doc_id, score_fp, CAST(rn AS INTEGER) AS rn
          |FROM r WHERE rn <= $Bm25K""".stripMargin
     },
+    "q104_quality_calibrated" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
+         |sc AS (SELECT doc_id, source, CAST($qualityFpSql AS BIGINT) AS quality_fp
+         |  FROM t),
+         |cnt AS (SELECT source, quality_fp, CAST(count(*) AS BIGINT) AS c
+         |  FROM sc GROUP BY 1, 2),
+         |cum AS (SELECT source, quality_fp,
+         |    coalesce(sum(c) OVER (PARTITION BY source ORDER BY quality_fp
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lt FROM cnt),
+         |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sc GROUP BY source)
+         |SELECT sc.doc_id, sc.source, sc.quality_fp,
+         |  CAST((cum.lt * 1000000) // greatest(n.n - 1, 1) AS BIGINT) AS pct_ppm
+         |FROM sc JOIN cum ON sc.source = cum.source
+         |  AND sc.quality_fp = cum.quality_fp
+         |JOIN n ON sc.source = n.source""".stripMargin,
+    "q105_bigram_surprisal" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |e AS (SELECT doc_id, unnest(toks) AS w FROM t),
+         |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY w),
+         |vv AS (SELECT greatest(CAST(count(*) AS BIGINT), 1) AS v FROM uni),
+         |pr AS (SELECT doc_id, y[i] AS a, y[i + 1] AS b
+         |  FROM (SELECT doc_id, toks AS y FROM t) s,
+         |    unnest(range(1, len(y))) AS u(i)),
+         |big AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM pr GROUP BY a, b),
+         |bits AS (SELECT big.a, big.b,
+         |    CAST(length(bin((uni.c + (SELECT v FROM vv)) // (big.c_ab + 1))) - 1
+         |      AS BIGINT) AS bits
+         |  FROM big JOIN uni ON big.a = uni.w),
+         |sc AS (SELECT pr.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(bits.bits) AS BIGINT) AS sum_bits
+         |  FROM pr JOIN bits ON pr.a = bits.a AND pr.b = bits.b
+         |  GROUP BY pr.doc_id)
+         |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+         |  coalesce(sc.sum_bits, 0) AS sum_bits,
+         |  CAST(CASE WHEN coalesce(sc.n_bigrams, 0) = 0 THEN 0
+         |    ELSE floor(1000000.0 * CAST(sc.sum_bits AS DOUBLE)
+         |      / CAST(sc.n_bigrams AS DOUBLE)) END AS BIGINT) AS surprisal2_fp
+         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
     "q101_containment" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |g0 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3

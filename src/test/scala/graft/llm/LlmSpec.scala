@@ -232,6 +232,41 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
     assert(got.count(_._2 == "g0") == k)
   }
 
+  test("bigramSurprisalFp: hand-computed add-one bits; short docs report zero") {
+    import spark.implicits._
+    // uni: x:5 y:1 z:1 → V=3; types: (x,x):3 → ⌊log2(8/4)⌋=1 bit,
+    // (x,y):1 → ⌊log2(8/2)⌋=2 bits
+    val docs = Seq((1L, "x x x x"), (2L, "x y"), (3L, "z"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramSurprisalFp(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) === ((3L, 3L, 1000000L))) // three (x,x) pairs, 1 bit each
+    assert(out(2L) === ((1L, 2L, 2000000L))) // the rarer transition costs more
+    assert(out(3L) === ((0L, 0L, 0L)))       // single token: no bigrams
+    assert(out(4L) === ((0L, 0L, 0L)))
+  }
+
+  test("scoreCalibration: exact percentile ranks, ties share, singleton is 0") {
+    import spark.implicits._
+    val df = Seq((1L, "A", 10L), (2L, "A", 20L), (3L, "A", 20L), (4L, "A", 30L),
+      (5L, "B", 100L)).toDF("id", "src", "score")
+    val out = TextAnalysis.scoreCalibration(df, "src", "score")
+      .select("id", "pct_ppm").as[(Long, Long)].collect().toMap
+    assert(out(1L) === 0L)        // group min → 0
+    assert(out(2L) === 333333L)   // 1 of 3 below, ties share
+    assert(out(3L) === 333333L)
+    assert(out(4L) === 1000000L)  // group max → 1e6
+    assert(out(5L) === 0L)        // singleton group
+    // calibration is per-group: identical raw scores in different
+    // groups may land on different percentiles
+    val two = Seq((1L, "A", 5L), (2L, "A", 9L), (3L, "B", 9L), (4L, "B", 11L))
+      .toDF("id", "src", "score")
+    val o2 = TextAnalysis.scoreCalibration(two, "src", "score")
+      .select("id", "pct_ppm").as[(Long, Long)].collect().toMap
+    assert(o2(2L) === 1000000L && o2(3L) === 0L) // same score 9, opposite ends
+  }
+
   test("weightedGroupSample equals the naive weighted-priority window") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
