@@ -460,6 +460,91 @@ object TextAnalysis {
           .as("surprisal2_fp"))
   }
 
+  /** Robust per-group outlier card: median / MAD (median absolute
+    * deviation) flagging — the outlier detector that a handful of
+    * million-token documents cannot drag, unlike mean/stddev, and
+    * that needs no float (so no engine drift). Conventions: the LOWER
+    * median — the smallest value whose cumulative count reaches
+    * `(n+1) div 2` — for both passes; `is_outlier = |x−med| > 3·mad`.
+    * A singleton group has mad 0 and flags nothing.
+    *
+    * 100 TB shape: each pass is the q74 machinery — ONE counting
+    * aggregate on (group, value), persisted at distinct-value size,
+    * from which both the cumulative window (over the distinct-value
+    * rows only) and the group sizes derive; a group-row-sized median
+    * table broadcasts back. The corpus is scanned once per pass,
+    * never sorted. Returns the input columns plus `med`, `mad`,
+    * `is_outlier`. */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val qg = graft.Names.quoted(groupCol)
+    val qv = graft.Names.quoted(valueCol)
+    def medianOf(frame: DataFrame, vCol: String, outName: String): DataFrame = {
+      val qc = graft.Names.quoted(vCol)
+      val c = graft.Names.fresh("_c", frame.columns)
+      val cum = graft.Names.fresh("_cum", frame.columns)
+      val n = graft.Names.fresh("_n", frame.columns)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(qg)).orderBy(col(qc))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val cells = Caches.persistTracked(
+        frame.groupBy(col(qg), col(qc)).agg(count(lit(1)).as(c)))
+      cells
+        .withColumn(cum, sum(col(c)).over(w))
+        .join(cells.groupBy(col(qg)).agg(sum(col(c)).as(n)), Seq(groupCol))
+        .filter(col(cum) >= expr(s"(`$n` + 1L) div 2L"))
+        .groupBy(col(qg)).agg(min(col(qc)).as(outName))
+    }
+    val med = medianOf(df.select(col(qg), col(qv)), valueCol, "med")
+    val withMed = df.join(broadcast(med), Seq(groupCol))
+    val dev = graft.Names.fresh("_dev", df.columns :+ "med")
+    val devFrame = withMed.withColumn(dev, abs(col(qv) - col("med")))
+    val mad = medianOf(devFrame.select(col(qg), col(dev)), dev, "mad")
+    withMed.join(broadcast(mad), Seq(groupCol))
+      .withColumn("is_outlier", abs(col(qv) - col("med")) > lit(3L) * col("mad"))
+  }
+
+  /** Per-group distribution drift vs the whole corpus: bucket an
+    * integer feature (`bucket = min(v div bucketWidth, maxBucket)`),
+    * convert each group's histogram and the global histogram to ppm
+    * SHARES, and report the L2 distance `Σ_b (s_b − g_b)²` — the
+    * corpus-monitoring number ("did source X's length profile move
+    * away from the corpus?") that stays integer-exact at ANY corpus
+    * size, where a χ² on raw counts would overflow fixed-width
+    * integers at 10¹¹ rows. Shares are ≤ 10⁶, the bucket axis is
+    * capped, so the statistic is bounded by 51·10¹² regardless of
+    * scale. Buckets a group never hit still contribute (0 − g_b)².
+    *
+    * 100 TB shape: ONE counting aggregation over the corpus — the
+    * (group × bucket) cell counts, persisted at its tiny aggregate
+    * size — from which the per-group totals, the global histogram,
+    * and the corpus total all derive by re-aggregating cells; no
+    * second scan, no driver-side action. All arithmetic then runs on
+    * the bucket-grid cross of broadcast-sized aggregates. Returns
+    * `(group, n_rows, drift_l2)`. */
+  def histogramDrift(df: DataFrame, groupCol: String, valueCol: String,
+      bucketWidth: Long = 10L, maxBucket: Long = 50L): DataFrame = {
+    require(bucketWidth > 0 && maxBucket >= 0, "bad bucket geometry")
+    val qg = graft.Names.quoted(groupCol)
+    val qv = graft.Names.quoted(valueCol)
+    val b = graft.Names.fresh("_b", df.columns)
+    val bucketed = df.select(col(qg),
+      least(expr(s"$qv div ${bucketWidth}L"), lit(maxBucket)).as(b))
+    val perGroup = Caches.persistTracked(
+      bucketed.groupBy(col(qg), col(b)).agg(count(lit(1)).as("o")))
+    val totals = perGroup.groupBy(col(qg)).agg(sum(col("o")).as("n_rows"))
+    val global = perGroup.groupBy(col(b)).agg(sum(col("o")).as("cb"))
+    val nTotal = perGroup.agg(sum(col("o")).as("nt"))
+    val grid = totals.crossJoin(broadcast(global))
+      .crossJoin(broadcast(nTotal))
+      .join(perGroup, Seq(groupCol, b), "left")
+      .select(col(qg), col("n_rows"),
+        expr("(coalesce(o, 0L) * 1000000L) div n_rows").as("s"),
+        expr("(cb * 1000000L) div greatest(nt, 1L)").as("gs"))
+    grid.groupBy(col(qg), col("n_rows"))
+      .agg(sum((col("s") - col("gs")) * (col("s") - col("gs"))).as("drift_l2"))
+      .select(col(qg), col("n_rows"), col("drift_l2"))
+  }
+
   /** Cross-group score calibration: percentile-normalize an integer
     * score within each group — `pct_ppm = ⌊10⁶·|{s' < s}| /
     * max(n−1, 1)⌋`, so each group's minimum maps to 0 and maximum to

@@ -829,7 +829,32 @@ object LlmQueries {
     TextAnalysis.bigramSurprisalFp(graft.Tables.documents(s, dir),
       "doc_id", "text")
 
+  // ---- q107: robust per-language length outliers (median/MAD) ----
+  // Mean/stddev outlier gates are dragged by the very outliers they
+  // hunt; median/MAD is not, and stays integer-exact. The oracle
+  // replays both lower-median walks and the 3·MAD flag.
+  def q107RobustOutliers(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.robustOutliers(
+      graft.Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars")),
+      "lang", "n_chars")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("med"),
+        col("mad"), col("is_outlier"))
+
+  // ---- q108: per-source length-histogram drift vs the corpus ----
+  // "Did source X's length profile move away from the corpus?" — L2
+  // distance between ppm histogram SHARES, integer-exact at any
+  // scale. The oracle replays buckets, shares and the grid sum.
+  private val DriftBucketWidth = 200L
+  private val DriftMaxBucket = 50L
+  def q108HistogramDrift(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.histogramDrift(
+      graft.Tables.documents(s, dir).select(col("source"), col("n_chars")),
+      "source", "n_chars", DriftBucketWidth, DriftMaxBucket)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_histogram_drift" -> q108HistogramDrift _,
+    "q107_robust_outliers" -> q107RobustOutliers _,
     "q105_bigram_surprisal" -> q105BigramSurprisal _,
     "q104_quality_calibrated" -> q104QualityCalibrated _,
     "q103_weighted_sample" -> q103WeightedSample _,
@@ -1371,6 +1396,45 @@ object LlmQueries {
          |SELECT query_id, doc_id, score_fp, CAST(rn AS INTEGER) AS rn
          |FROM r WHERE rn <= $Bm25K""".stripMargin
     },
+    // lower median both passes: smallest value whose cumulative count
+    // reaches (n+1)//2; flag |x−med| > 3·mad
+    "q107_robust_outliers" ->
+      """WITH b AS (SELECT doc_id, lang, n_chars FROM documents),
+        |n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
+        |c AS (SELECT lang, n_chars, count(*) AS c FROM b GROUP BY 1, 2),
+        |cm AS (SELECT lang, n_chars,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum FROM c),
+        |med AS (SELECT cm.lang, min(n_chars) AS med FROM cm JOIN n USING (lang)
+        |  WHERE cum >= (n.n + 1) // 2 GROUP BY 1),
+        |d AS (SELECT b.doc_id, b.lang, b.n_chars, med.med,
+        |    abs(b.n_chars - med.med) AS dev FROM b JOIN med USING (lang)),
+        |dc AS (SELECT lang, dev, count(*) AS c FROM d GROUP BY 1, 2),
+        |dm AS (SELECT lang, dev,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY dev) AS cum FROM dc),
+        |mad AS (SELECT dm.lang, min(dev) AS mad FROM dm JOIN n USING (lang)
+        |  WHERE cum >= (n.n + 1) // 2 GROUP BY 1)
+        |SELECT d.doc_id, d.lang, d.n_chars, d.med, mad.mad,
+        |  abs(d.n_chars - d.med) > 3 * mad.mad AS is_outlier
+        |FROM d JOIN mad USING (lang)""".stripMargin,
+    // ppm shares per source vs global, L2 over the capped bucket grid;
+    // buckets a source never hit still contribute (0 − g_b)²
+    "q108_histogram_drift" ->
+      s"""WITH b AS (SELECT source,
+         |    least(n_chars // $DriftBucketWidth, $DriftMaxBucket) AS bk
+         |  FROM documents),
+         |pg AS (SELECT source, bk, CAST(count(*) AS BIGINT) AS o
+         |  FROM b GROUP BY 1, 2),
+         |t AS (SELECT source, CAST(sum(o) AS BIGINT) AS n_rows FROM pg GROUP BY 1),
+         |g AS (SELECT bk, CAST(sum(o) AS BIGINT) AS cb FROM pg GROUP BY 1),
+         |nt AS (SELECT CAST(sum(o) AS BIGINT) AS nt FROM pg),
+         |grid AS (SELECT t.source, t.n_rows,
+         |    (coalesce(pg.o, 0) * 1000000) // t.n_rows AS s,
+         |    (g.cb * 1000000) // greatest(nt.nt, 1) AS gs
+         |  FROM t CROSS JOIN g CROSS JOIN nt
+         |  LEFT JOIN pg ON pg.source = t.source AND pg.bk = g.bk)
+         |SELECT source, n_rows,
+         |  CAST(sum((s - gs) * (s - gs)) AS BIGINT) AS drift_l2
+         |FROM grid GROUP BY 1, 2""".stripMargin,
     "q104_quality_calibrated" ->
       s"""WITH t AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
          |sc AS (SELECT doc_id, source, CAST($qualityFpSql AS BIGINT) AS quality_fp

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.temporal.{AsofJoin, Intervals, RangeJoin}
+import graft.temporal.{AsofJoin, Funnel, Intervals, RangeJoin}
 
 /** Temporal join queries over the `events` table: backward as-of join
   * and bucketed range join — the two interval-predicate shapes a
@@ -91,7 +91,19 @@ object TemporalQueries {
         (max(col("n_in_window")) + 1L).as("max_burst"))
   }
 
+  // ---- q106: ordered funnel (view → click → purchase) ----
+  // Conversion with ORDER enforced: each stage counts only strictly
+  // after the user's previous-stage first reach. One filtered
+  // aggregation + user-key join per stage — never a per-user sort.
+  private val FunnelStages =
+    Seq("view" -> "view", "click" -> "click", "purchase" -> "purchase")
+  def q106Funnel(s: SparkSession, dir: String): DataFrame =
+    Funnel.reach(ev(s, dir), "user_id", "event_type", "us", FunnelStages)
+      .select(col("user").as("user_id"), col("view_us"), col("click_us"),
+        col("purchase_us"), col("stage"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_funnel"    -> q106Funnel _,
     "q34_asof_join"  -> q34AsofJoin _,
     "q35_range_join" -> q35RangeJoin _,
     "q90_gap_fill"   -> q90GapFill _,
@@ -169,5 +181,24 @@ object TemporalQueries {
          |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
          |  CAST(max(n) + 1 AS BIGINT) AS max_burst
          |FROM c GROUP BY user_id""".stripMargin,
+    // each stage's first reach strictly after the previous frontier
+    "q106_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us
+        |  FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |s1 AS (SELECT user_id, min(us) AS view_us FROM e
+        |  WHERE event_type = 'view' AND us IS NOT NULL GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.us) AS click_us FROM e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.us > s1.view_us GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.us) AS purchase_us FROM e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us > s2.click_us GROUP BY e.user_id)
+        |SELECT u.user_id, s1.view_us, s2.click_us, s3.purchase_us,
+        |  CAST((CASE WHEN s1.view_us IS NULL THEN 0 ELSE 1 END)
+        |    + (CASE WHEN s2.click_us IS NULL THEN 0 ELSE 1 END)
+        |    + (CASE WHEN s3.purchase_us IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS stage
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |  LEFT JOIN s3 USING (user_id)""".stripMargin,
   )
 }

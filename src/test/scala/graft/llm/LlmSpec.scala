@@ -267,6 +267,40 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
     assert(o2(2L) === 1000000L && o2(3L) === 0L) // same score 9, opposite ends
   }
 
+  test("robustOutliers: lower median/MAD, 3·MAD flag, singleton unflagged") {
+    import spark.implicits._
+    // A: [1,2,3,100] → med=2 (cum≥(4+1)div2=2), devs [1,0,1,98] →
+    // mad=1; only |100−2|=98 > 3 flags. The 100 cannot drag the
+    // median the way it would drag a mean.
+    val df = Seq((1L, "A", 1L), (2L, "A", 2L), (3L, "A", 3L), (4L, "A", 100L),
+      (5L, "B", 7L)).toDF("id", "grp", "v")
+    val out = TextAnalysis.robustOutliers(df, "grp", "v")
+      .select("id", "med", "mad", "is_outlier")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 2L, 1L, false)))
+    assert(out(4L) === ((4L, 2L, 1L, true)))  // the planted outlier
+    assert(out.values.count(_._4) === 1)
+    assert(out(5L) === ((5L, 7L, 0L, false))) // singleton: mad 0, unflagged
+  }
+
+  test("histogramDrift: ppm-share L2 vs corpus; unhit buckets still charged") {
+    import spark.implicits._
+    // X buckets [0,1,1]; Y buckets [0,50 capped]; global b0:2 b1:2 b50:1
+    val df = Seq((1L, "X", 5L), (2L, "X", 15L), (3L, "X", 15L),
+      (4L, "Y", 5L), (5L, "Y", 500000L)).toDF("id", "src", "v")
+    val out = TextAnalysis.histogramDrift(df, "src", "v")
+      .select("src", "n_rows", "drift_l2")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def sq(x: Long) = x * x
+    def sh(o: Long, n: Long) = o * 1000000L / n
+    val xDrift = sq(sh(1, 3) - sh(2, 5)) + sq(sh(2, 3) - sh(2, 5)) +
+      sq(0L - sh(1, 5)) // X never hits b50 yet is charged (0 − g_50)²
+    val yDrift = sq(sh(1, 2) - sh(2, 5)) + sq(0L - sh(2, 5)) +
+      sq(sh(1, 2) - sh(1, 5))
+    assert(out("X") === ((3L, xDrift)))
+    assert(out("Y") === ((2L, yDrift)))
+  }
+
   test("weightedGroupSample equals the naive weighted-priority window") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
