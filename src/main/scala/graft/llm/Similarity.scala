@@ -314,4 +314,24 @@ object Similarity {
         when(col("__ok"), array_max(col("errs"))).as("max_abs_err_fp"),
         when(col("__ok"), expr("aggregate(errs, 0L, (acc, v) -> acc + v)"))
           .as("sum_abs_err_fp"))
+
+  /** Reciprocal-rank fusion over N ranked lists, each `(qid, doc_id,
+    * rn)` with rn 1-based: `rrf_ppm = Σ_lists ⌊10⁶/(c+rank)⌋`, a doc
+    * absent from a list contributing nothing — integer-exact, so a
+    * fused ranking is oracle-replayable. Re-ranks by (rrf_ppm desc,
+    * doc_id asc). The inputs are top-k lists (≤ k·|queries| rows
+    * each); union + aggregate + window all run on that driver-trivial
+    * frame however large the corpus behind the rankings. */
+  def rrfFuse(lists: Seq[DataFrame], c: Long = 60L): DataFrame = {
+    require(lists.nonEmpty, "at least one ranked list")
+    require(c >= 0, "rank constant must be non-negative")
+    val contribs = lists.map(_.select(col("qid"), col("doc_id"),
+      expr(s"1000000L div (${c}L + cast(rn as bigint))").as("contrib")))
+    contribs.reduce(_ unionByName _)
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("contrib")).as("rrf_ppm"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("rrf_ppm").desc, col("doc_id").asc)).cast("bigint"))
+  }
 }

@@ -653,7 +653,7 @@ object LlmQueries {
   // the two-level top-k heap — no float leaves the engine, so DuckDB
   // replays the ranking byte-for-byte.
   private val Bm25K = 10
-  private val Bm25Queries: Seq[(String, Seq[String])] = Seq(
+  private[queries] val Bm25Queries: Seq[(String, Seq[String])] = Seq(
     "near_dup"  -> Seq("dup", "hash"),
     "pipeline"  -> Seq("scan", "filter", "vector"),
     "rare_only" -> Seq("dup"))
@@ -907,6 +907,38 @@ object LlmQueries {
     "q64_pii_sequential"    -> q64PiiSequential _,
     "q65_media_dups"        -> q65MediaDups _,
   )
+
+  /** The full q83 BM25 oracle — also composed into the q111 hybrid-
+    * retrieval oracle (SimilarityQueries) so the fused ranking can
+    * never drift from the BM25 it claims to fuse. */
+  private[queries] def bm25Sql: String = {
+    val vals = Bm25Queries.flatMap { case (l, ts) =>
+      ts.distinct.map(w => s"('$l', '$w')")
+    }.mkString(", ")
+    s"""WITH q(query_id, w) AS (VALUES $vals),
+       |dl AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl FROM documents),
+       |st AS (SELECT greatest(CAST(count(*) AS BIGINT), 1) AS d,
+       |    greatest(CAST(coalesce(sum(dl), 0) AS BIGINT), 1) AS tl FROM dl),
+       |e AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+       |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM e
+       |  WHERE w IN (SELECT w FROM q) GROUP BY doc_id, w),
+       |dfs AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+       |idf AS (SELECT w, CAST(length(bin(
+       |    (st.d::HUGEINT * st.d * st.d * st.d)
+       |    // (df::HUGEINT * df * df * df))) - 1 AS BIGINT) AS idf_q4
+       |  FROM dfs, st),
+       |nrm AS (SELECT doc_id, (dl * st.d * 10000) // st.tl AS norm_s FROM dl, st),
+       |ts AS (SELECT tf.doc_id, tf.w, idf.idf_q4 *
+       |    ((1000000 * 22 * tf.tf * 10000)
+       |     // (10 * tf.tf * 10000 + 3 * 10000 + 9 * nrm.norm_s)) AS term_fp
+       |  FROM tf JOIN idf USING (w) JOIN nrm USING (doc_id)),
+       |sc AS (SELECT q.query_id, ts.doc_id, CAST(sum(ts.term_fp) AS BIGINT) AS score_fp
+       |  FROM q JOIN ts USING (w) GROUP BY q.query_id, ts.doc_id),
+       |r AS (SELECT query_id, doc_id, score_fp, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score_fp DESC, doc_id ASC) AS rn FROM sc)
+       |SELECT query_id, doc_id, score_fp, CAST(rn AS INTEGER) AS rn
+       |FROM r WHERE rn <= $Bm25K""".stripMargin
+  }
 
   /** DuckDB token expression mirroring TextAnalysis.tokens. */
   private[queries] val toksSql =
@@ -1368,34 +1400,7 @@ object LlmQueries {
          |    ELSE floor(1000000.0 * CAST(sc.sum_bits AS DOUBLE)
          |      / CAST(sc.n_tokens AS DOUBLE)) END AS BIGINT) AS surprisal_fp
          |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
-    "q83_bm25" -> {
-      val vals = Bm25Queries.flatMap { case (l, ts) =>
-        ts.distinct.map(w => s"('$l', '$w')")
-      }.mkString(", ")
-      s"""WITH q(query_id, w) AS (VALUES $vals),
-         |dl AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl FROM documents),
-         |st AS (SELECT greatest(CAST(count(*) AS BIGINT), 1) AS d,
-         |    greatest(CAST(coalesce(sum(dl), 0) AS BIGINT), 1) AS tl FROM dl),
-         |e AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
-         |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM e
-         |  WHERE w IN (SELECT w FROM q) GROUP BY doc_id, w),
-         |dfs AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
-         |idf AS (SELECT w, CAST(length(bin(
-         |    (st.d::HUGEINT * st.d * st.d * st.d)
-         |    // (df::HUGEINT * df * df * df))) - 1 AS BIGINT) AS idf_q4
-         |  FROM dfs, st),
-         |nrm AS (SELECT doc_id, (dl * st.d * 10000) // st.tl AS norm_s FROM dl, st),
-         |ts AS (SELECT tf.doc_id, tf.w, idf.idf_q4 *
-         |    ((1000000 * 22 * tf.tf * 10000)
-         |     // (10 * tf.tf * 10000 + 3 * 10000 + 9 * nrm.norm_s)) AS term_fp
-         |  FROM tf JOIN idf USING (w) JOIN nrm USING (doc_id)),
-         |sc AS (SELECT q.query_id, ts.doc_id, CAST(sum(ts.term_fp) AS BIGINT) AS score_fp
-         |  FROM q JOIN ts USING (w) GROUP BY q.query_id, ts.doc_id),
-         |r AS (SELECT query_id, doc_id, score_fp, row_number() OVER (
-         |    PARTITION BY query_id ORDER BY score_fp DESC, doc_id ASC) AS rn FROM sc)
-         |SELECT query_id, doc_id, score_fp, CAST(rn AS INTEGER) AS rn
-         |FROM r WHERE rn <= $Bm25K""".stripMargin
-    },
+    "q83_bm25" -> bm25Sql,
     // lower median both passes: smallest value whose cumulative count
     // reaches (n+1)//2; flag |x−med| > 3·mad
     "q107_robust_outliers" ->

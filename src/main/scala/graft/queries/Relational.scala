@@ -165,6 +165,21 @@ object Relational {
         sumFp(cents(col("o_totalprice"))).as("total_cents"))
       .orderBy(col("o_year").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
+  // ---- q109: hourly × event-type pivot (wide activity matrix) ----
+  // The dashboard shape every event pipeline exports: one row per
+  // hour, one counted column per event type. Explicit pivot values
+  // keep the schema static (no values-discovery job, no
+  // nondeterministic column order at 100 TB); Catalyst plans it as a
+  // single aggregate with conditional counts — one shuffle, no join.
+  private val PivotTypes = Seq("view", "click", "purchase", "signup", "error")
+  def q109EventPivot(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+      .pivot("event_type", PivotTypes)
+      .agg(count(lit(1)))
+      .select(col("hour_ts") +:
+        PivotTypes.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+
   // ---- q13: fact⋈dim join (part lookup) ----
   // No broadcast hint: `part` scales with SF, so a forced broadcast
   // OOMs executors at 100×. AQE picks broadcast-hash when the measured
@@ -283,12 +298,23 @@ object Relational {
     "q25_left_join_tags"    -> q25LeftJoinTags _,
     "q30_props_json"        -> q30PropsJson _,
     "q33_supplier_revenue"  -> q33SupplierRevenue _,
+    "q109_event_pivot"      -> q109EventPivot _,
   )
 
   /** DuckDB-dialect oracles. Expression structure mirrors the Spark
     * plans exactly (same literals, same fixed-point floors) so results
     * are bit-identical, not merely close. */
   val oracleSql: Map[String, String] = Map(
+    // conditional counts mirror the explicit-values pivot; absent
+    // cells are 0, not null
+    "q109_event_pivot" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+        |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+        |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+        |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+        |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+        |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error
+        |FROM events GROUP BY 1""".stripMargin,
     "q93_snapshot_diff" ->
       """WITH o AS (SELECT * FROM supplier),
         |n AS (SELECT s_suppkey, s_name, s_nationkey,

@@ -287,7 +287,34 @@ object SimilarityQueries {
         sum(expr("cast(floor(cast(v as double) * 1000000.0) as bigint)")
           .cast("decimal(38,0)")).cast("bigint").as("sum_fp"))
 
+  // ---- q111: hybrid retrieval — reciprocal-rank fusion ----
+  // The retrieval stack a modern pipeline actually ships: a lexical
+  // ranking (q83 BM25) and a semantic ranking (q23 exact-cosine
+  // top-k, legit here because vec_id IS doc_id in the corpus) fused
+  // per query by RRF: score = Σ_lists ⌊10⁶/(60+rank)⌋, absent-in-list
+  // contributing 0 — integer-exact, so the fused order replays in the
+  // oracle byte-for-byte. Both sub-rankings are the already-audited
+  // scale paths; the fusion itself runs on two top-k lists (≤ k rows
+  // per query per list), a driver-trivial full-outer join + window
+  // regardless of corpus size.
+  private val RrfC = 60L
+  def q111HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nQ = LlmQueries.Bm25Queries.size
+    val qidMap = LlmQueries.Bm25Queries.map(_._1).zipWithIndex
+      .map { case (l, i) => (l, i.toLong) }.toDF("label", "qid")
+    val bm = LlmQueries.q83Bm25(s, dir)
+      .join(broadcast(qidMap), col("query_id") === col("label"))
+      .select(col("qid"), col("doc_id"), col("rn"))
+    val ann = q23EmbedTopk(s, dir)
+      .filter(col("query_id") < nQ)
+      .select(col("query_id").cast("bigint").as("qid"),
+        col("vec_id").as("doc_id"), col("rn"))
+    Similarity.rrfFuse(Seq(bm, ann), RrfC)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_hybrid_rrf"   -> q111HybridRrf _,
     "q21_minhash_pairs" -> q21MinhashPairs _,
     "q22_simhash16"     -> q22Simhash16 _,
     "q23_embed_topk"    -> q23EmbedTopk _,
@@ -771,7 +798,35 @@ object SimilarityQueries {
        |FROM m LEFT JOIN dups d ON m.vec_id = d.vec_id""".stripMargin
   }
 
+  /** q111: the q83 and q23 oracles verbatim as derived tables (so the
+    * fusion can never drift from the rankings it fuses), then the RRF
+    * sum and re-rank. */
+  private def q111Sql: String = {
+    val qm = LlmQueries.Bm25Queries.map(_._1).zipWithIndex
+      .map { case (l, i) => s"('$l', $i)" }.mkString(", ")
+    val nQ = LlmQueries.Bm25Queries.size
+    s"""WITH bmr AS (${LlmQueries.bm25Sql}),
+       |annr AS ($q23Sql),
+       |qm(label, qid) AS (VALUES $qm),
+       |b2 AS (SELECT qm.qid, bmr.doc_id, bmr.rn FROM bmr
+       |  JOIN qm ON bmr.query_id = qm.label),
+       |a2 AS (SELECT query_id AS qid, vec_id AS doc_id, rn FROM annr
+       |  WHERE query_id < $nQ),
+       |f AS (SELECT coalesce(b2.qid, a2.qid) AS qid,
+       |    coalesce(b2.doc_id, a2.doc_id) AS doc_id,
+       |    coalesce(1000000 // (60 + b2.rn), 0)
+       |      + coalesce(1000000 // (60 + a2.rn), 0) AS rrf_ppm
+       |  FROM b2 FULL JOIN a2
+       |    ON b2.qid = a2.qid AND b2.doc_id = a2.doc_id)
+       |SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+       |  CAST(rrf_ppm AS BIGINT) AS rrf_ppm,
+       |  CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY rrf_ppm DESC, doc_id) AS BIGINT) AS rn
+       |FROM f""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q111_hybrid_rrf"   -> q111Sql,
     "q21_minhash_pairs" -> q21Sql,
     "q22_simhash16"     -> q22Sql,
     "q23_embed_topk"    -> q23Sql,

@@ -102,7 +102,27 @@ object TemporalQueries {
       .select(col("user").as("user_id"), col("view_us"), col("click_us"),
         col("purchase_us"), col("stage"))
 
+  // ---- q110: event-type transition matrix (Markov counts) ----
+  // The behavioral signature per event stream: for each consecutive
+  // pair of a user's events, count (from → to) and its share of the
+  // from-type's outgoing transitions. One lag window per user (the
+  // q11 session machinery) into a type×type aggregate — the matrix is
+  // |types|² rows however large the stream; share is an integer-ppm
+  // window over those few rows.
+  def q110Transitions(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    ev(s, dir).filter(col("us").isNotNull)
+      .withColumn("to_et", lead(col("event_type"), 1).over(w))
+      .filter(col("to_et").isNotNull)
+      .groupBy(col("event_type").as("from_et"), col("to_et"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_ppm",
+        expr("n * 1000000L div sum(n) over (partition by from_et)"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_transitions" -> q110Transitions _,
     "q106_funnel"    -> q106Funnel _,
     "q34_asof_join"  -> q34AsofJoin _,
     "q35_range_join" -> q35RangeJoin _,
@@ -181,6 +201,19 @@ object TemporalQueries {
          |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
          |  CAST(max(n) + 1 AS BIGINT) AS max_burst
          |FROM c GROUP BY user_id""".stripMargin,
+    // same lag walk, same (us, event_id) tie order, ppm floor division
+    "q110_transitions" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_ns(ts) // 1000 AS us FROM events WHERE ts IS NOT NULL),
+        |p AS (SELECT event_type AS from_et,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS to_et FROM e),
+        |c AS (SELECT from_et, to_et, CAST(count(*) AS BIGINT) AS n FROM p
+        |  WHERE to_et IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_et, to_et, n,
+        |  CAST((n * 1000000) // sum(n) OVER (PARTITION BY from_et) AS BIGINT)
+        |    AS share_ppm
+        |FROM c""".stripMargin,
     // each stage's first reach strictly after the previous frontier
     "q106_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us

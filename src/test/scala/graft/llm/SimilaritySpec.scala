@@ -300,4 +300,25 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     })
     assert(rows.length == 500, "every document carries a verdict")
   }
+
+  test("rrfFuse: both-lists doc outranks single-list; exact ppm; absent = 0") {
+    import spark.implicits._
+    // list A ranks docs 10,11,12; list B ranks 11,20 — doc 11 appears
+    // in both and must win query 0 despite never being rank 1
+    val a = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L)).toDF("qid", "doc_id", "rn")
+    val b = Seq((0L, 11L, 1L), (0L, 20L, 2L)).toDF("qid", "doc_id", "rn")
+    val out = Similarity.rrfFuse(Seq(a, b))
+      .select("doc_id", "rrf_ppm", "rn").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(11L) === ((1000000L / 62 + 1000000L / 61, 1L)))
+    assert(out(10L) === ((1000000L / 61, 2L)))       // lone rank-1 loses
+    assert(out(20L)._1 === 1000000L / 62)            // absent from A adds 0
+    assert(out(12L)._1 === 1000000L / 63)
+    // ties (same rrf_ppm) break by doc_id ascending
+    val t1 = Seq((0L, 5L, 1L)).toDF("qid", "doc_id", "rn")
+    val t2 = Seq((0L, 3L, 1L)).toDF("qid", "doc_id", "rn")
+    val tie = Similarity.rrfFuse(Seq(t1, t2))
+      .select("doc_id", "rn").as[(Long, Long)].collect().toMap
+    assert(tie(3L) === 1L && tie(5L) === 2L)
+  }
 }
