@@ -242,4 +242,59 @@ object MinHashLSH {
     // a redundant inter_count evaluation into the join condition
     if (minJaccardFp > 0L) scored.filter(col("jaccard_fp") >= minJaccardFp) else scored
   }
+
+  /** LSH tuning card: recall and precision of the banded candidate
+    * generator against exact ground truth, per Jaccard threshold —
+    * the evidence that picks (numHashes, rowsPerBand) before anyone
+    * trusts LSH output at scale.
+    *
+    * Ground truth needs pairs LSH *misses*, so some brute force is
+    * irreducible; the card confines it to the deterministic eval
+    * slice `id < sampleLimit`. A modulus sample would keep each PAIR
+    * with probability 1/m² and destroy the signal; the id-range slice
+    * preserves every pair inside it, and its cost is O(sampleLimit²)
+    * — a CONSTANT at any corpus size, the bound that lets the
+    * nested-loop upper-triangle join below exist at all. The LSH side
+    * reuses the production [[nearDupPairs]] path unchanged. Output:
+    * one row per threshold with exact integer counts and ppm rates
+    * (null rate when its denominator is 0). */
+  def recallCard(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 1,
+      sampleLimit: Long = 250L, thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty, "at least one threshold")
+    require(sampleLimit > 0, "sampleLimit must be positive")
+    LlmFunctions.registerInterCount(docs.sparkSession)
+    val sample = docs.filter(col(graft.Names.quoted(idCol)) < sampleLimit)
+    val sets = persistTracked(shingleSets(sample, idCol, textCol, shingleN))
+    val jaccard = expr(
+      """cast(floor(1000000.0 * cast(i as double)
+        |  / cast(size(sa) + size(sb) - i as double)) as bigint)""".stripMargin)
+    val truth = sets.select(col("doc_id").as("doc_a"), col("s").as("sa"))
+      .join(broadcast(sets.select(col("doc_id").as("doc_b"), col("s").as("sb"))),
+        col("doc_a") < col("doc_b"))
+      .select(col("sa"), col("sb"), expr("inter_count(sa, sb)").as("i"))
+      .select(jaccard.as("jaccard_fp"))
+    val cand = nearDupPairs(sample, idCol, textCol, shingleN, numHashes,
+      rowsPerBand).select(col("jaccard_fp"))
+    def hitCounts(df: DataFrame, pfx: String, extra: Seq[Column]): DataFrame = {
+      val sums = thresholds.zipWithIndex.map { case (t, i) =>
+        coalesce(sum(when(col("jaccard_fp") >= t, 1L).otherwise(0L)), lit(0L))
+          .as(s"${pfx}_$i")
+      } ++ extra
+      df.agg(sums.head, sums.tail: _*)
+    }
+    val tAgg = hitCounts(truth, "t", Nil)
+    val cAgg = hitCounts(cand, "f", Seq(count(lit(1)).as("n_cand")))
+    val stackArgs = thresholds.indices
+      .map(i => s"${thresholds(i)}L, t_$i, f_$i").mkString(", ")
+    tAgg.crossJoin(cAgg)
+      .selectExpr(
+        s"stack(${thresholds.size}, $stackArgs) AS (thr_fp, n_true, n_found)",
+        "n_cand")
+      .select(col("thr_fp"), col("n_true"), col("n_cand"), col("n_found"),
+        expr("case when n_true > 0 then n_found * 1000000L div n_true end")
+          .as("recall_ppm"),
+        expr("case when n_cand > 0 then n_found * 1000000L div n_cand end")
+          .as("precision_ppm"))
+  }
 }

@@ -322,6 +322,38 @@ object Similarity {
     * doc_id asc). The inputs are top-k lists (≤ k·|queries| rows
     * each); union + aggregate + window all run on that driver-trivial
     * frame however large the corpus behind the rankings. */
+  /** Recall@k card: grades approximate rankings against an exact
+    * baseline. Inputs are `(query_id, vec_id, rn)` rankings (rn
+    * 1-based); output is one row per (method, query) with
+    * `hits = |approx top-k ∩ exact top-k|` and
+    * `recall_ppm = ⌊10⁶·hits/k⌋` — integer-exact, so the card itself
+    * is oracle-replayable. This is the tuning evidence an ANN
+    * deployment needs before trading exactness for scan locality.
+    *
+    * Scale: every input is a top-k list (≤ k·|queries| rows), so the
+    * card's joins are driver-trivial whatever the corpus behind the
+    * rankings — the expensive work stays inside the (audited) search
+    * paths that produced the lists. */
+  def recallAtK(exact: DataFrame, runs: Seq[(String, DataFrame)], k: Int): DataFrame = {
+    require(runs.nonEmpty, "at least one approximate run")
+    require(k > 0, "k must be positive")
+    val e = exact.filter(col("rn") <= k).select(col("query_id"), col("vec_id"))
+    val ap = runs.map { case (m, df) =>
+      df.filter(col("rn") <= k)
+        .select(lit(m).as("method"), col("query_id"), col("vec_id"))
+    }.reduce(_ unionByName _)
+    val spine = e.select(col("query_id")).distinct()
+      .select(explode(array(runs.map(r => lit(r._1)): _*)).as("method"),
+        col("query_id"))
+    val hits = ap.join(e, Seq("query_id", "vec_id"))
+      .groupBy(col("method"), col("query_id"))
+      .agg(count(lit(1)).as("hits"))
+    spine.join(hits, Seq("method", "query_id"), "left")
+      .select(col("method"), col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        expr(s"coalesce(hits, 0L) * 1000000L div ${k}L").as("recall_ppm"))
+  }
+
   def rrfFuse(lists: Seq[DataFrame], c: Long = 60L): DataFrame = {
     require(lists.nonEmpty, "at least one ranked list")
     require(c >= 0, "rank constant must be non-negative")

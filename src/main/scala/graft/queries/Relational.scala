@@ -180,6 +180,30 @@ object Relational {
       .select(col("hour_ts") +:
         PivotTypes.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
 
+  // ---- q114: trailing 90-day spend (RANGE-frame window) ----
+  // The running-exposure shape (rolling spend, rate limits, trailing
+  // quotas): per order, the customer's order count and cent-exact
+  // spend over the preceding 90 days INCLUDING same-day peers — a
+  // RANGE frame over an integer day axis, which row_number/lag
+  // machinery cannot express. Partitioned by customer: no global
+  // sort, frames never cross the key shuffle, and the DECIMAL(38,0)
+  // accumulator keeps 100 TB sums from wrapping.
+  private val RollingDays = 90
+  def q114RollingSpend(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("order_day"))
+      .rangeBetween(-RollingDays, Window.currentRow)
+    graft.Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+          .cast("bigint").as("order_day"),
+        cents(col("o_totalprice")).as("__cents"))
+      .select(col("o_orderkey"), col("o_custkey"), col("order_day"),
+        count(lit(1)).over(w).as("n_90d"),
+        sum(col("__cents").cast("decimal(38,0)")).over(w)
+          .cast("bigint").as("spend_90d_cents"))
+  }
+
   // ---- q13: fact⋈dim join (part lookup) ----
   // No broadcast hint: `part` scales with SF, so a forced broadcast
   // OOMs executors at 100×. AQE picks broadcast-hash when the measured
@@ -299,12 +323,24 @@ object Relational {
     "q30_props_json"        -> q30PropsJson _,
     "q33_supplier_revenue"  -> q33SupplierRevenue _,
     "q109_event_pivot"      -> q109EventPivot _,
+    "q114_rolling_spend"    -> q114RollingSpend _,
   )
 
   /** DuckDB-dialect oracles. Expression structure mirrors the Spark
     * plans exactly (same literals, same fixed-point floors) so results
     * are bit-identical, not merely close. */
   val oracleSql: Map[String, String] = Map(
+    // same integer day axis, same RANGE frame, same cent floor
+    "q114_rolling_spend" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS order_day,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_90d,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) OVER w AS BIGINT)
+        |    AS spend_90d_cents
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY datediff('day', DATE '1970-01-01', o_orderdate)
+        |  RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)""".stripMargin,
     // conditional counts mirror the explicit-values pivot; absent
     // cells are 0, not null
     "q109_event_pivot" ->

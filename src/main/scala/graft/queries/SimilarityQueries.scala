@@ -313,8 +313,43 @@ object SimilarityQueries {
     Similarity.rrfFuse(Seq(bm, ann), RrfC)
   }
 
+  // ---- q112: ANN recall card (exact baseline vs every ANN path) ----
+  // The acceptance gate for trading exactness away: each approximate
+  // path (sign-LSH buckets, seeded IVF, PQ-ADC) graded against the
+  // brute-force baseline by recall@k in exact ppm. Every ranking is
+  // deterministic integer arithmetic, so the card replays in the
+  // oracle — including the misses. The card's own joins run on top-k
+  // lists (≤ k·|queries| rows per method) however large the corpus;
+  // the heavy scans stay inside the audited search paths.
+  private val RecallMethods = Seq("ivf_seeded", "pq_adc", "sign_lsh")
+  def q112AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val runs = Seq(
+      "sign_lsh"   -> q24EmbedAnn(s, dir),
+      "ivf_seeded" -> q41IvfAnn(s, dir),
+      "pq_adc"     -> q84PqAnn(s, dir))
+    Similarity.recallAtK(q23EmbedTopk(s, dir), runs, AnnK)
+  }
+
+  // ---- q113: LSH tuning card (banded recall vs exact truth) ----
+  // Before anyone trusts q21's candidates at 100 TB: recall and
+  // precision of the banded generator against brute-force ground
+  // truth on a deterministic doc_id-mod sample, per Jaccard
+  // threshold. The quadratic truth join is bounded by the id-range
+  // eval slice (a CONSTANT cost at any corpus size — a modulus sample
+  // would keep pairs at 1/m² and destroy the signal), the LSH side is
+  // the unchanged production path, and every count is exact — so the
+  // card replays in the oracle, misses included.
+  private val CardSampleLimit = 250L
+  private val CardThresholds = Seq(200000L, 500000L, 800000L)
+  def q113LshRecallCard(s: SparkSession, dir: String): DataFrame =
+    MinHashLSH.recallCard(graft.Tables.documents(s, dir), "doc_id", "text",
+      shingleN = ShingleN, numHashes = NumHashes, rowsPerBand = 1,
+      sampleLimit = CardSampleLimit, thresholds = CardThresholds)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q111_hybrid_rrf"   -> q111HybridRrf _,
+    "q112_ann_recall"   -> q112AnnRecall _,
+    "q113_lsh_recall"   -> q113LshRecallCard _,
     "q21_minhash_pairs" -> q21MinhashPairs _,
     "q22_simhash16"     -> q22Simhash16 _,
     "q23_embed_topk"    -> q23EmbedTopk _,
@@ -825,8 +860,67 @@ object SimilarityQueries {
        |FROM f""".stripMargin
   }
 
+  /** q112: the four ranking oracles verbatim as derived tables, then
+    * the hits/recall aggregate — the card cannot drift from the
+    * rankings it grades. */
+  private def q112Sql: String = {
+    val methodRows = RecallMethods.map(m => s"('$m')").mkString(", ")
+    s"""WITH ex0 AS ($q23Sql),
+       |a24 AS ($q24Sql),
+       |a41 AS ($q41Sql),
+       |a84 AS ($q84Sql),
+       |e AS (SELECT query_id, vec_id FROM ex0 WHERE rn <= $AnnK),
+       |ap AS (
+       |  SELECT 'sign_lsh' AS method, query_id, vec_id FROM a24 WHERE rn <= $AnnK
+       |  UNION ALL SELECT 'ivf_seeded', query_id, vec_id FROM a41 WHERE rn <= $AnnK
+       |  UNION ALL SELECT 'pq_adc', query_id, vec_id FROM a84 WHERE rn <= $AnnK),
+       |spine AS (SELECT m.method, q.query_id
+       |  FROM (SELECT DISTINCT query_id FROM e) q
+       |  CROSS JOIN (VALUES $methodRows) m(method)),
+       |h AS (SELECT ap.method, ap.query_id, CAST(count(*) AS BIGINT) AS hits
+       |  FROM ap JOIN e USING (query_id, vec_id) GROUP BY 1, 2)
+       |SELECT spine.method, spine.query_id,
+       |  CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       |  CAST((coalesce(h.hits, 0) * 1000000) // $AnnK AS BIGINT) AS recall_ppm
+       |FROM spine LEFT JOIN h USING (method, query_id)""".stripMargin
+  }
+
+  /** q113: the minhash CTE chain on the sampled docs, brute-force
+    * truth with the identical Jaccard formula, banded candidates
+    * exactly as q21, then per-threshold conditional counts. */
+  private def q113Sql: String = {
+    val thrRows = CardThresholds.map(t => s"($t)").mkString(", ")
+    def jSql(a: String, b: String): String =
+      s"""CAST(floor(1000000.0 * CAST(len(list_intersect($a.s, $b.s)) AS DOUBLE)
+         |    / CAST(len($a.s) + len($b.s) - len(list_intersect($a.s, $b.s)) AS DOUBLE)) AS BIGINT)""".stripMargin
+    s"""WITH $minhashCtes,
+       |smp AS (SELECT doc_id FROM documents WHERE doc_id < $CardSampleLimit),
+       |ss AS (SELECT s.doc_id, s.s FROM sets s JOIN smp USING (doc_id)),
+       |truth AS (SELECT ${jSql("a", "b")} AS j
+       |  FROM ss a JOIN ss b ON a.doc_id < b.doc_id),
+       |sbands AS (SELECT b.doc_id, b.band_id, b.band_key
+       |  FROM bands b JOIN smp USING (doc_id)),
+       |cpairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sbands a JOIN sbands b ON a.band_id = b.band_id
+       |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |cand AS (SELECT ${jSql("sa", "sb")} AS j FROM cpairs
+       |  JOIN ss sa ON doc_a = sa.doc_id JOIN ss sb ON doc_b = sb.doc_id),
+       |thr(thr_fp) AS (VALUES $thrRows),
+       |t AS (SELECT thr_fp, CAST(count(*) FILTER (j >= thr_fp) AS BIGINT) AS n_true
+       |  FROM thr LEFT JOIN truth ON TRUE GROUP BY thr_fp),
+       |c AS (SELECT thr_fp, CAST(count(*) FILTER (j >= thr_fp) AS BIGINT) AS n_found
+       |  FROM thr LEFT JOIN cand ON TRUE GROUP BY thr_fp),
+       |cc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand)
+       |SELECT CAST(t.thr_fp AS BIGINT) AS thr_fp, t.n_true, cc.n_cand, c.n_found,
+       |  CASE WHEN t.n_true > 0 THEN CAST((c.n_found * 1000000) // t.n_true AS BIGINT) END AS recall_ppm,
+       |  CASE WHEN cc.n_cand > 0 THEN CAST((c.n_found * 1000000) // cc.n_cand AS BIGINT) END AS precision_ppm
+       |FROM t JOIN c USING (thr_fp) CROSS JOIN cc""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q111_hybrid_rrf"   -> q111Sql,
+    "q112_ann_recall"   -> q112Sql,
+    "q113_lsh_recall"   -> q113Sql,
     "q21_minhash_pairs" -> q21Sql,
     "q22_simhash16"     -> q22Sql,
     "q23_embed_topk"    -> q23Sql,

@@ -121,8 +121,28 @@ object TemporalQueries {
         expr("n * 1000000L div sum(n) over (partition by from_et)"))
   }
 
+  // ---- q115: retention cohort matrix ----
+  // The durability readout every event product ships: users grouped
+  // by first-active day, then for each (cohort, day-offset) the count
+  // of users still active. Integer epoch-days (no timezone, no
+  // calendar drift between engines). Scale: one (user, day) distinct
+  // — the only corpus-sized shuffle, keyed by user — then the cohort
+  // min and the join both reuse that user partitioning (AQE
+  // co-locates); the output is |days|² cells at most, driver-trivial.
+  def q115Retention(s: SparkSession, dir: String): DataFrame = {
+    val days = ev(s, dir).filter(col("us").isNotNull)
+      .select(col("user_id"), expr("us div 86400000000").as("day"))
+      .distinct()
+    val cohort = days.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    days.join(cohort, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q110_transitions" -> q110Transitions _,
+    "q115_retention"   -> q115Retention _,
     "q106_funnel"    -> q106Funnel _,
     "q34_asof_join"  -> q34AsofJoin _,
     "q35_range_join" -> q35RangeJoin _,
@@ -201,6 +221,15 @@ object TemporalQueries {
          |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
          |  CAST(max(n) + 1 AS BIGINT) AS max_burst
          |FROM c GROUP BY user_id""".stripMargin,
+    // same integer epoch-day floor, distinct (user, day) spine
+    "q115_retention" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 // 86400000000 AS day
+        |  FROM events WHERE ts IS NOT NULL),
+        |d AS (SELECT DISTINCT user_id, day FROM e),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+        |SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM d JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
     // same lag walk, same (us, event_id) tie order, ppm floor division
     "q110_transitions" ->
       """WITH e AS (SELECT event_id, user_id, event_type,

@@ -301,6 +301,59 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(rows.length == 500, "every document carries a verdict")
   }
 
+  test("recallAtK: hits, zero-hit queries kept, ppm floor, rn>k ignored") {
+    import spark.implicits._
+    // exact top-3 for queries 0 and 1
+    val exact = Seq(
+      (0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L), (0L, 99L, 4L),
+      (1L, 20L, 1L), (1L, 21L, 2L), (1L, 22L, 3L)).toDF("query_id", "vec_id", "rn")
+    // method a: 2/3 on q0 (13 is a miss), 0/3 on q1; its rank-4 row
+    // (vec 22, a would-be hit) must be ignored
+    val a = Seq((0L, 10L, 1L), (0L, 13L, 2L), (0L, 11L, 3L),
+      (1L, 30L, 1L), (1L, 31L, 2L), (1L, 32L, 3L), (1L, 22L, 4L))
+      .toDF("query_id", "vec_id", "rn")
+    // method b: perfect on both queries
+    val b = exact.filter($"rn" <= 3)
+    val out = Similarity.recallAtK(exact, Seq("a" -> a, "b" -> b), 3)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out.size === 4, "2 methods x 2 queries, zero-hit rows included")
+    assert(out(("a", 0L)) === ((2L, 666666L)))
+    assert(out(("a", 1L)) === ((0L, 0L)))
+    assert(out(("b", 0L)) === ((3L, 1000000L)))
+    assert(out(("b", 1L)) === ((3L, 1000000L)))
+  }
+
+  test("recallCard: planted identical pair found; counts and ppm exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "one two three four five six seven"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact dup of 0
+      (3L, "red green blue yellow purple orange"),
+      (4L, "north south east west up down"),
+      (5L, "cat dog bird fish horse cow")).toDF("doc_id", "text")
+    val card = MinHashLSH.recallCard(docs, "doc_id", "text",
+      sampleLimit = 6L, thresholds = Seq(0L, 1000000L))
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    val (_, t0, cand0, f0, _, p0) = card(0L)
+    assert(t0 === 15L, "thr 0: every pair is truth (C(6,2))")
+    assert(f0 === cand0, "thr 0: every candidate counts as found")
+    assert(p0 === Some(1000000L), "thr 0 precision is vacuously 1")
+    val (_, t1, _, f1, r1, _) = card(1000000L)
+    assert(t1 === 1L && f1 === 1L, "the identical pair is truth and found")
+    assert(r1 === Some(1000000L), "identical minhash ⇒ recall 1 at thr 1.0")
+    // sampleLimit=3 keeps docs {0,1,2}: 3 truth pairs at thr 0, and
+    // the planted dup pair (0,2) survives the slice
+    val sliced = MinHashLSH.recallCard(docs, "doc_id", "text",
+      sampleLimit = 3L, thresholds = Seq(0L, 1000000L))
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(sliced(0L)._2 === 3L, "id-range sample is docs {0,1,2}")
+    assert(sliced(1000000L)._4 === 1L, "pair (0,2) survives the slice")
+  }
+
   test("rrfFuse: both-lists doc outranks single-list; exact ppm; absent = 0") {
     import spark.implicits._
     // list A ranks docs 10,11,12; list B ranks 11,20 — doc 11 appears
