@@ -354,6 +354,70 @@ object IvfIndex {
         (coalesce(col("n_dup_of"), lit(0L)) === 0L).as("kept"))
   }
 
+  /** Mutual-kNN graph clustering over the trained cells — the
+    * topic-grouping operator SemDeDup's threshold rule cannot express:
+    * two vectors join a cluster only when each ranks the other inside
+    * its top-`k` in-cell neighbors (by `dot_fp` desc, id asc), which
+    * suppresses the hub effect a plain radius graph suffers (a generic
+    * centroid-ish vector near everything chains unrelated topics; it
+    * is almost never MUTUALLY top-k with all of them). Components of
+    * the mutual graph become clusters labeled by their smallest
+    * member id ([[Dedup.connectedComponents]] — converged fixpoint, so
+    * deterministic under any partitioning).
+    *
+    * Returns every input id: (vec_id, cell, cluster_id); vectors with
+    * no mutual neighbor (or rank-truncated out of comparison) are
+    * singletons. `q117_mutual_knn` replays training, ranking,
+    * mutuality, and the closure (recursive CTE) in DuckDB.
+    *
+    * 100 TB shape: everything inherits [[semanticDedup]]'s bounds —
+    * broadcast codebook, one cell-keyed shuffle, cap²-bounded in-cell
+    * pair expansion via the same rank truncation — plus two windows
+    * over the (bounded) pair frame; the closure iterates on skinny
+    * (id, label) rows only. */
+  def mutualKnnClusters(vectors: DataFrame, nLists: Int, k: Int,
+      nIter: Int = 3, maxCellSize: Int = 0): DataFrame = {
+    require(k > 0, "k must be positive")
+    LlmFunctions.registerDotFp(vectors.sparkSession)
+    val centroids = fitFixedPoint(vectors, nLists, nIter)
+    val bc = vectors.sparkSession.sparkContext.broadcast(centroids)
+    val members = quantized(vectors)
+      .select(col("vec_id"), cellOfUdf(bc)(col("e")).as("cell"))
+    val compared = if (maxCellSize > 0) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cell")).orderBy(col("vec_id"))
+      members.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= maxCellSize).drop("__rn")
+    } else members
+    val withEmb = compared
+      .join(vectors.select(col("vec_id"), col("embedding")), "vec_id")
+    val pairs = withEmb.select(col("cell"), col("vec_id").as("a_id"),
+        col("embedding").as("ae"))
+      .join(withEmb.select(col("cell"), col("vec_id").as("b_id"),
+        col("embedding").as("be")), "cell")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        Similarity.dotFpNative("ae", "be").as("dot_fp"))
+    val directed = pairs.select(col("a_id").as("src"), col("b_id").as("dst"),
+        col("dot_fp"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst"),
+        col("dot_fp")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dot_fp").desc, col("dst"))
+    val ranked = directed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+    // an edge survives only if BOTH directions ranked ≤ k
+    val mutual = ranked.select(col("src"), col("dst"))
+      .join(ranked.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"))
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("doc_a"), col("dst").as("doc_b"))
+    val labels = Dedup.connectedComponents(
+      members.select(col("vec_id").as("doc_id")), mutual)
+    members.join(labels.withColumnRenamed("doc_id", "vec_id"), "vec_id")
+      .select(col("vec_id"), col("cell"), col("cluster_id"))
+  }
+
   /** Top-k per query, scored only against the query's nProbe cells.
     * Scores use the same fixed-point `dot_fp` as the exact path. */
   def search(queries: DataFrame, indexed: DataFrame, model: Model,

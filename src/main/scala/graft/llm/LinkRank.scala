@@ -65,6 +65,38 @@ object LinkRank {
     pr.select(col("v"), col("pr").as("pr_fp"))
   }
 
+  /** Depth-bounded BFS: shortest hop distance from a seed set, along
+    * directed edges, up to `maxDepth` hops — the k-hop reachability
+    * primitive (seed-expansion curation: "everything within 3 links
+    * of a trusted domain", blast-radius analysis, lineage walks).
+    * Returns `(v, dist)` for every vertex REACHED within the bound;
+    * distances are exact BFS layers, so the result is a pure function
+    * of the graph and the oracle replays each round as a CTE.
+    *
+    * 100 TB shape: the frontier frame holds one row per reached
+    * vertex; each round is ONE join keyed on `src` plus a min-
+    * aggregation keyed on `dst` — co-partition `edges` by src and the
+    * join is map-side. Nothing driver-side; depth is a small constant
+    * (the operator's contract, not a convergence loop), so the plan is
+    * `maxDepth` stages deep and needs no checkpointing at sane
+    * depths. */
+  def khopDistances(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0, "maxDepth must be non-negative")
+    val e = Caches.persistTracked(
+      edges.select(col("src").cast("bigint").as("src"),
+        col("dst").cast("bigint").as("dst")))
+    var dist = seeds.select(col("v").cast("bigint").as("v"), lit(0L).as("dist"))
+    for (_ <- 0 until maxDepth) {
+      val step = e.join(dist.withColumnRenamed("v", "src"), "src")
+        .groupBy(col("dst").as("v")).agg(min(col("dist") + 1L).as("nd"))
+      dist = dist.join(step, Seq("v"), "full")
+        .select(col("v"),
+          least(coalesce(col("dist"), col("nd")),
+            coalesce(col("nd"), col("dist"))).as("dist"))
+    }
+    dist
+  }
+
   /** Per-vertex triangle participation over the UNDIRECTED support of
     * an edge list `(src, dst)`: `(v, n_tri)` for every graph vertex,
     * zero-participants included.

@@ -538,6 +538,54 @@ object Multimodal {
         coalesce(col("n_distinct_frames"), lit(0L)).as("n_distinct_frames"))
   }
 
+  /** Scene-cut detection over multi-frame containers: decode every
+    * frame in order, reduce it to a mean-pixel luminance in fixed
+    * point (`mp = pix_sum·1000 div (w·h·3)` — content-scaled, so
+    * comparable across frame sizes), and declare a cut wherever the
+    * frame-to-frame delta reaches `thrMp`. Returns (id, n_frames,
+    * n_cuts, n_scenes) per container, `n_scenes = n_cuts + 1` when any
+    * frame decoded, all zero for malformed/empty containers (the
+    * standard degrade-don't-drop contract).
+    *
+    * This is the temporal-segmentation primitive a video training
+    * pipeline runs before clip sampling (sample per scene, not per
+    * fixed stride, or duplicate-scene removal feeds on its output).
+    *
+    * 100 TB shape: the decode stays inside the task that read the
+    * payload, emitting one skinny (id, frame, mp) row per frame; the
+    * lag window partitions by container id — frames of one container
+    * ride one partition, containers spread freely. No shuffle carries
+    * pixel data. */
+  def videoSceneCuts(payloads: Dataset[MediaPayload], thrMp: Long): DataFrame = {
+    require(thrMp > 0, "threshold must be positive")
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    val frames = payloads.flatMap { p =>
+      videoFrameSpans(p.content).toSeq.flatten.zipWithIndex.map {
+        case ((off, len), f) =>
+          val bytes = java.util.Arrays.copyOfRange(p.content, off, off + len)
+          val mp = (for {
+            (w, h) <- decodeBmp(bytes) if w > 0 && h > 0
+            sums <- bmpBandSums(bytes, 1)
+          } yield sums(0) * 1000L / (w.toLong * h * 3L)).getOrElse(-1L)
+          (p.id, f.toLong, mp)
+      }
+    }.toDF("id", "f", "mp")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("f"))
+    val cuts = frames.withColumn("prev", lag(col("mp"), 1).over(w))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("prev").isNotNull &&
+          abs(col("mp") - col("prev")) >= thrMp, 1L).otherwise(0L)).as("n_cuts"))
+    payloads.select(col("id")).join(cuts, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_frames"), lit(0L)).as("n_frames"),
+        coalesce(col("n_cuts"), lit(0L)).as("n_cuts"),
+        when(col("n_frames").isNotNull, col("n_cuts") + 1L).otherwise(0L)
+          .as("n_scenes"))
+  }
+
   /** Payload-level duplicate statistics across a mixed media corpus —
     * [[videoFrameDupStats]]'s whole-payload sibling: every payload gets
     * a content key derived from its DECODED representation (BMP: dims +

@@ -577,4 +577,49 @@ object TextAnalysis {
         expr(s"(`$lt` * 1000000L) div greatest(`$n` - 1L, 1L)").as("pct_ppm"))
     df.join(broadcast(pct), Seq(groupCol, scoreCol))
   }
+
+  /** Vocabulary-growth (Heaps' law) card: distinct-token and total-
+    * token counts at `nCheckpoints` evenly-spaced corpus prefixes in
+    * `idCol` order — the sizing evidence for tokenizer vocab and
+    * dedup-sketch capacity planning ("how fast does vocabulary still
+    * grow at the corpus tail?"). Checkpoint k covers ids
+    * `< ⌈n·k/nCheckpoints⌉`; output is one row per checkpoint:
+    * (chk, n_docs, vocab, total_tokens).
+    *
+    * 100 TB shape: the corpus-sized work is two aggregations — per
+    * token `min(doc_id)` (bounded by DISTINCT tokens, the
+    * [[tokenFreq]] precedent) and per doc a token count — after which
+    * every prefix question is a conditional count against the tiny
+    * broadcast checkpoint list. The naive alternative (re-scanning
+    * the prefix per checkpoint) would cost nCheckpoints corpus scans;
+    * this costs one. The driver holds one scalar (the doc count —
+    * the bounded-collect precedent). */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+      nCheckpoints: Int): DataFrame = {
+    require(nCheckpoints > 0, "nCheckpoints must be positive")
+    val q = graft.Names.quoted _
+    val n = docs.count()
+    val chks = (1 to nCheckpoints)
+      .map(k => (n * k + nCheckpoints - 1) / nCheckpoints).distinct
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val chkDf = chks.toDF("chk")
+    // null text reads as empty (the corpus-wide null-text contract)
+    val d0 = docs.select(col(q(idCol)).as("doc_id"),
+      coalesce(col(q(textCol)), lit("")).as("text"))
+    val toks = explodedTokens(d0, "doc_id", "text")
+    val firstSeen = toks.groupBy(col("w")).agg(min(col("doc_id")).as("fd"))
+    val vocabAt = firstSeen.crossJoin(broadcast(chkDf))
+      .groupBy(col("chk"))
+      .agg(sum(when(col("fd") < col("chk"), 1L).otherwise(0L)).as("vocab"))
+    val perDoc = d0.select(col("doc_id"),
+      size(tokens(col("text"))).cast("bigint").as("nt"))
+    val tokAt = perDoc.crossJoin(broadcast(chkDf))
+      .groupBy(col("chk"))
+      .agg(sum(when(col("doc_id") < col("chk"), col("nt")).otherwise(0L))
+        .as("total_tokens"),
+        sum(when(col("doc_id") < col("chk"), 1L).otherwise(0L)).as("n_docs"))
+    vocabAt.join(tokAt, "chk")
+      .select(col("chk"), col("n_docs"), col("vocab"), col("total_tokens"))
+  }
 }

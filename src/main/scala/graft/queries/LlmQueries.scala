@@ -782,6 +782,51 @@ object LlmQueries {
       .select(col("v").as("doc_id"), col("n_tri"))
   }
 
+  // ---- q116: k-hop seed expansion over the link graph ----
+  // The trust-propagation primitive: BFS layers from the seed slice
+  // (doc_id ≡ 0 mod SeedMod) along q87's directed edges, depth-capped
+  // at KhopDepth. Unreached docs surface as dist = -1 (curation reads
+  // that as "outside the trust radius"), so every doc carries a
+  // verdict. Each round is one src-keyed join + dst-keyed min — the
+  // frontier frame never exceeds one row per reached vertex.
+  private val KhopDepth = 3
+  private val SeedMod = 101L
+  def q116KhopSeeds(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir).select(col("doc_id"))
+    val n = math.max(docs.count(), 1L)
+    val edges = docs.select(col("doc_id").as("src"),
+        explode(expr("sequence(1, 3)")).as("k"))
+      .select(col("src"), expr(s"(src * 7L + k * 13L) % ${n}L").as("dst"))
+      .filter(col("dst") =!= col("src"))
+    val seeds = docs.filter(col("doc_id") % SeedMod === 0L)
+      .select(col("doc_id").as("v"))
+    val dist = graft.llm.LinkRank.khopDistances(edges, seeds, KhopDepth)
+    docs.join(dist.withColumnRenamed("v", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("dist"), lit(-1L)).as("dist"))
+  }
+
+  // ---- q122: vocabulary-growth (Heaps' law) card ----
+  // Sizing evidence for tokenizer vocab and sketch capacity: distinct
+  // vs total token counts at 8 corpus prefixes. The corpus pays two
+  // aggregations total (token first-seen + per-doc counts); every
+  // checkpoint is then a conditional count — not one scan per prefix.
+  private val GrowthCheckpoints = 8
+  def q122VocabGrowth(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabGrowth(graft.Tables.documents(s, dir),
+      "doc_id", "text", GrowthCheckpoints)
+
+  // ---- q123: video scene-cut detection ----
+  // Temporal segmentation before clip sampling: every frame of every
+  // GVID container decoded in order, reduced to a fixed-point mean
+  // pixel, a cut wherever the frame-to-frame delta reaches the
+  // threshold. The oracle recomputes each frame's mean pixel from the
+  // BMP spec and replays the lag walk — certifying the decode, the
+  // ordering, and the cut rule together.
+  private val SceneCutThrMp = 30000L
+  def q123SceneCuts(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Multimodal.videoSceneCuts(
+      graft.llm.Multimodal.documentsAsVideo(s, dir), SceneCutThrMp)
+
   // ---- q101: asymmetric containment join ----
   // The dup geometry Jaccard misses: a short document quoted inside a
   // long one has tiny Jaccard but containment ≈ 1. Distinct-3-gram
@@ -853,6 +898,9 @@ object LlmQueries {
       "source", "n_chars", DriftBucketWidth, DriftMaxBucket)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_khop_seeds"  -> q116KhopSeeds _,
+    "q122_vocab_growth" -> q122VocabGrowth _,
+    "q123_scene_cuts"  -> q123SceneCuts _,
     "q108_histogram_drift" -> q108HistogramDrift _,
     "q107_robust_outliers" -> q107RobustOutliers _,
     "q105_bigram_surprisal" -> q105BigramSurprisal _,
@@ -1200,6 +1248,78 @@ object LlmQueries {
        |FROM sh""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // BFS layers unrolled one CTE per round over the regenerated q87
+    // edge rule; min() keeps the first (shortest) layer a vertex joins
+    "q116_khop_seeds" -> {
+      val rounds = (0 until KhopDepth).map { t =>
+        s"""d${t + 1} AS (SELECT v, min(dist) AS dist FROM (
+           |  SELECT v, dist FROM d$t
+           |  UNION ALL
+           |  SELECT e.dst AS v, d$t.dist + 1 AS dist
+           |  FROM e JOIN d$t ON e.src = d$t.v) u GROUP BY v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |e AS (SELECT doc_id AS src, (doc_id * 7 + k * 13) % (SELECT n FROM nn) AS dst
+         |  FROM documents, unnest([1, 2, 3]) AS t(k)
+         |  WHERE (doc_id * 7 + k * 13) % (SELECT n FROM nn) <> doc_id),
+         |d0 AS (SELECT doc_id AS v, CAST(0 AS BIGINT) AS dist FROM documents
+         |  WHERE doc_id % $SeedMod = 0),
+         |$rounds
+         |SELECT d.doc_id, CAST(coalesce(r.dist, -1) AS BIGINT) AS dist
+         |FROM documents d LEFT JOIN d$KhopDepth r ON d.doc_id = r.v""".stripMargin
+    },
+    // same tokenize, same ceil-divided checkpoint grid, conditional
+    // counts against token first-seen / per-doc length aggregates
+    "q122_vocab_growth" ->
+      s"""WITH d0 AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d0),
+         |chk AS (SELECT DISTINCT
+         |    CAST(((SELECT n FROM nn) * k.v + $GrowthCheckpoints - 1)
+         |      // $GrowthCheckpoints AS BIGINT) AS chk
+         |  FROM unnest(range(1, ${GrowthCheckpoints + 1})) AS k(v)),
+         |tl AS (SELECT doc_id, $toksSql AS toks FROM d0),
+         |t AS (SELECT doc_id, unnest(toks) AS w FROM tl),
+         |fs AS (SELECT w, min(doc_id) AS fd FROM t GROUP BY w),
+         |v AS (SELECT chk.chk,
+         |    CAST(sum(CASE WHEN fs.fd < chk.chk THEN 1 ELSE 0 END) AS BIGINT) AS vocab
+         |  FROM fs, chk GROUP BY chk.chk),
+         |pd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS nt FROM tl),
+         |tk AS (SELECT chk.chk,
+         |    CAST(sum(CASE WHEN pd.doc_id < chk.chk THEN pd.nt ELSE 0 END) AS BIGINT)
+         |      AS total_tokens,
+         |    CAST(sum(CASE WHEN pd.doc_id < chk.chk THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_docs
+         |  FROM pd, chk GROUP BY chk.chk)
+         |SELECT v.chk, tk.n_docs, v.vocab, tk.total_tokens
+         |FROM v JOIN tk ON v.chk = tk.chk""".stripMargin,
+    // q63's frame/pixel replay reduced to mean pixel, then the lag
+    // walk and the threshold rule
+    "q123_scene_cuts" ->
+      s"""WITH v AS (SELECT doc_id, (doc_id % 5) + 2 AS nf FROM documents),
+         |fr AS (SELECT doc_id, j.v AS f,
+         |    ((doc_id + 3*j.v) % 24) + 1 AS w,
+         |    ((doc_id*7 + 5*j.v) % 20) + 1 AS h
+         |  FROM v, unnest(range(0, nf)) AS j(v)),
+         |fr2 AS (SELECT *, ((w*3 + 3) // 4) * 4 AS stride FROM fr),
+         |dims AS (SELECT DISTINCT w, h, stride FROM fr2),
+         |pix AS (SELECT w, h, CAST(sum((r.v * stride + j.v) % 251) AS BIGINT) AS s
+         |  FROM dims, unnest(range(0, h)) AS r(v), unnest(range(0, w*3)) AS j(v)
+         |  GROUP BY w, h),
+         |mp AS (SELECT doc_id, f, s * 1000 // (fr2.w * fr2.h * 3) AS mp
+         |  FROM fr2 JOIN pix USING (w, h)),
+         |lg AS (SELECT doc_id, f, mp,
+         |    lag(mp) OVER (PARTITION BY doc_id ORDER BY f) AS prev FROM mp),
+         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+         |    CAST(sum(CASE WHEN prev IS NOT NULL
+         |      AND abs(mp - prev) >= $SceneCutThrMp THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_cuts
+         |  FROM lg GROUP BY doc_id)
+         |SELECT d.doc_id AS id,
+         |  CAST(coalesce(n_frames, 0) AS BIGINT) AS n_frames,
+         |  CAST(coalesce(n_cuts, 0) AS BIGINT) AS n_cuts,
+         |  CAST(CASE WHEN n_frames IS NOT NULL THEN n_cuts + 1 ELSE 0 END AS BIGINT)
+         |    AS n_scenes
+         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
     "q70_incremental_dedup" ->
       """WITH nf AS (SELECT doc_id,
         |    md5(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))) AS fp

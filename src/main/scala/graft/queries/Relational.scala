@@ -204,6 +204,71 @@ object Relational {
           .cast("bigint").as("spend_90d_cents"))
   }
 
+  // ---- q118: Pareto skyline (size maximal, price minimal) ----
+  // Multi-criteria filtering without a scoring function: keep parts no
+  // other part beats on BOTH size (bigger better) and price (cheaper
+  // better), strict in at least one. The naive operator is an O(n²)
+  // anti-join; this plan exploits the 2-D structure: the frontier is
+  // fully determined by min-price-per-size (a partial aggregate, the
+  // ONLY corpus-sized shuffle, bounded by the size domain) plus a
+  // running min over sizes descending — a window over the TINY
+  // per-size frame — broadcast back for the final scan-local filter.
+  // 100×: the per-size frame stays |size-domain|-sized; nothing else
+  // grows beyond one map-side combine.
+  def q118Skyline(s: SparkSession, dir: String): DataFrame = {
+    val pts = graft.Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_size").cast("bigint").as("size"),
+        cents(col("p_retailprice")).as("price_cents"))
+    val bySize = pts.groupBy(col("size"))
+      .agg(min(col("price_cents")).as("best"))
+    val w = Window.orderBy(col("size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val thr = bySize.select(col("size"), col("best"),
+      min(col("best")).over(w).as("beyond"))
+    pts.join(broadcast(thr), "size")
+      .filter(col("price_cents") === col("best") &&
+        (col("beyond").isNull || col("beyond") > col("price_cents")))
+      .select(col("p_partkey"), col("size"), col("price_cents"))
+  }
+
+  // ---- q119: CUBE over year × priority with grouping_id ----
+  // q12's rollup sibling completing the grouping-sets surface: all
+  // four (year, priority) marginal combinations in one pass, each row
+  // tagged by grouping_id so a consumer can tell "year total" from
+  // "priority total" without null-sniffing. One shuffle; Catalyst
+  // expands the cube into a single aggregate.
+  def q119CubeGrouping(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.orders(s, dir)
+      .withColumn("o_year", year(col("o_orderdate")).cast("bigint"))
+      .cube(col("o_year"), col("o_orderpriority"))
+      .agg(grouping_id().cast("bigint").as("gid"), count(lit(1)).as("n_orders"),
+        sumFp(cents(col("o_totalprice"))).as("total_cents"))
+
+  // ---- q120: z-order layout audit ----
+  // The data-layout decision for multi-predicate scans at 100 TB:
+  // interleave (custkey mod 2^8, order-day mod 2^8) into a Morton key
+  // and show, per curve bucket, how tightly BOTH source dimensions are
+  // enveloped — the min/max spans ARE the zone-map bounds a writer
+  // clustering files by this key would give every file, i.e. the
+  // pruning a scan gets on either predicate. The key is scan-local
+  // integer arithmetic (graft.layout.ZOrder, one shared term
+  // generator for both engines); the audit is one aggregation.
+  private val ZBits = 8
+  private val ZMask = 1L << ZBits
+  private val ZBucketSize = 1024L
+  def q120ZorderAudit(s: SparkSession, dir: String): DataFrame = {
+    val zSql = graft.layout.ZOrder.zExprSql("x", "y", ZBits, "div")
+    graft.Tables.orders(s, dir)
+      .select((col("o_custkey") % ZMask).as("x"),
+        (datediff(col("o_orderdate"), to_date(lit("1970-01-01"))) % ZMask)
+          .cast("bigint").as("y"))
+      .select(col("x"), col("y"), expr(zSql).as("z"))
+      .groupBy(expr(s"z div $ZBucketSize").as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+  }
+
   // ---- q13: fact⋈dim join (part lookup) ----
   // No broadcast hint: `part` scales with SF, so a forced broadcast
   // OOMs executors at 100×. AQE picks broadcast-hash when the measured
@@ -324,12 +389,48 @@ object Relational {
     "q33_supplier_revenue"  -> q33SupplierRevenue _,
     "q109_event_pivot"      -> q109EventPivot _,
     "q114_rolling_spend"    -> q114RollingSpend _,
+    "q118_skyline"          -> q118Skyline _,
+    "q119_cube_grouping"    -> q119CubeGrouping _,
+    "q120_zorder_audit"     -> q120ZorderAudit _,
   )
 
   /** DuckDB-dialect oracles. Expression structure mirrors the Spark
     * plans exactly (same literals, same fixed-point floors) so results
     * are bit-identical, not merely close. */
   val oracleSql: Map[String, String] = Map(
+    // dominance spelled as NOT EXISTS — deliberately independent of the
+    // Spark plan's per-size aggregation, so the frontier algebra itself
+    // is what the hash compare proves
+    "q118_skyline" ->
+      """WITH p AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS size,
+        |    CAST(floor(p_retailprice * 100.0) AS BIGINT) AS price_cents
+        |  FROM part)
+        |SELECT p_partkey, size, price_cents FROM p
+        |WHERE NOT EXISTS (SELECT 1 FROM p q
+        |  WHERE q.size >= p.size AND q.price_cents <= p.price_cents
+        |    AND (q.size > p.size OR q.price_cents < p.price_cents))""".stripMargin,
+    // GROUPING(a, b) carries the same first-arg-is-MSB convention as
+    // Spark's grouping_id()
+    "q119_cube_grouping" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        | o_orderpriority,
+        | CAST(GROUPING(CAST(EXTRACT(year FROM o_orderdate) AS BIGINT),
+        |   o_orderpriority) AS BIGINT) AS gid,
+        | count(*) AS n_orders,
+        | CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders
+        |GROUP BY CUBE(CAST(EXTRACT(year FROM o_orderdate) AS BIGINT), o_orderpriority)""".stripMargin,
+    // the identical interleave terms, generated by the same function
+    "q120_zorder_audit" -> {
+      val zSql = graft.layout.ZOrder.zExprSql("x", "y", ZBits, "//")
+      s"""WITH d AS (SELECT CAST(o_custkey % $ZMask AS BIGINT) AS x,
+         |    CAST(datediff('day', DATE '1970-01-01', o_orderdate) % $ZMask AS BIGINT) AS y
+         |  FROM orders),
+         |z AS (SELECT x, y, $zSql AS z FROM d)
+         |SELECT CAST(z // $ZBucketSize AS BIGINT) AS zbucket, count(*) AS n,
+         |  min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
+         |FROM z GROUP BY 1""".stripMargin
+    },
     // same integer day axis, same RANGE frame, same cent floor
     "q114_rolling_spend" ->
       """SELECT o_orderkey, o_custkey,

@@ -189,6 +189,19 @@ object SimilarityQueries {
     graft.llm.IvfIndex.semanticDedup(graft.Tables.embeddings(s, dir),
       IvfLists, SemDedupMinDotFp, IvfIter, maxCellSize = SemDedupCellCap)
 
+  private val MutualK = 4
+
+  // ---- q117: mutual-kNN graph clustering (topic grouping) ----
+  // SemDeDup's threshold rule finds COPIES; this finds TOPICS: an edge
+  // only where each side ranks the other inside its top-k in-cell
+  // neighbors (hub suppression — a centroid-ish vector near everything
+  // is mutually top-k with almost nothing), components labeled by
+  // smallest member. Training, ranking, mutuality, and the closure all
+  // replay in the oracle (recursive CTE over the mutual edge set).
+  def q117MutualKnn(s: SparkSession, dir: String): DataFrame =
+    graft.llm.IvfIndex.mutualKnnClusters(graft.Tables.embeddings(s, dir),
+      IvfLists, MutualK, IvfIter, maxCellSize = SemDedupCellCap)
+
   private val CapBucketSize = 4
 
   // ---- q48: cross-corpus near-dup linkage (record resolution) ----
@@ -350,6 +363,7 @@ object SimilarityQueries {
     "q111_hybrid_rrf"   -> q111HybridRrf _,
     "q112_ann_recall"   -> q112AnnRecall _,
     "q113_lsh_recall"   -> q113LshRecallCard _,
+    "q117_mutual_knn"   -> q117MutualKnn _,
     "q21_minhash_pairs" -> q21MinhashPairs _,
     "q22_simhash16"     -> q22Simhash16 _,
     "q23_embed_topk"    -> q23EmbedTopk _,
@@ -833,6 +847,40 @@ object SimilarityQueries {
        |FROM m LEFT JOIN dups d ON m.vec_id = d.vec_id""".stripMargin
   }
 
+  /** q117: the q67 replay (training + cap) extended with per-side
+    * neighbor ranking, the mutuality join, and a recursive closure
+    * over the surviving edges — q38's component labeling on the
+    * mutual-kNN graph. */
+  private def q117Sql: String = {
+    s"""WITH RECURSIVE $kmPrefixSql,
+       |m AS (SELECT vec_id, cell FROM af),
+       |cmp AS (SELECT vec_id, cell FROM (
+       |  SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn FROM m) t
+       |  WHERE rn <= $SemDedupCellCap),
+       |pr AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    ${dotS("ea.embedding", "eb.embedding")} AS dot_fp
+       |  FROM cmp a JOIN cmp b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN embeddings ea ON a.vec_id = ea.vec_id
+       |  JOIN embeddings eb ON b.vec_id = eb.vec_id),
+       |dr AS (SELECT a_id AS src, b_id AS dst, dot_fp FROM pr
+       |  UNION ALL SELECT b_id, a_id, dot_fp FROM pr),
+       |rk AS (SELECT src, dst FROM (
+       |  SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY dot_fp DESC, dst) AS rn
+       |  FROM dr) t WHERE rn <= $MutualK),
+       |mut AS (SELECT a.src AS s, a.dst AS d FROM rk a
+       |  JOIN rk b ON a.src = b.dst AND a.dst = b.src),
+       |reach(v, r) AS (
+       |  SELECT s, d FROM mut
+       |  UNION
+       |  SELECT reach.v, mut.d FROM reach JOIN mut ON reach.r = mut.s)
+       |SELECT m.vec_id, CAST(m.cell AS INTEGER) AS cell,
+       |  least(m.vec_id, coalesce(mn.mn, m.vec_id)) AS cluster_id
+       |FROM m LEFT JOIN (SELECT v, min(r) AS mn FROM reach GROUP BY v) mn
+       |  ON m.vec_id = mn.v""".stripMargin
+  }
+
   /** q111: the q83 and q23 oracles verbatim as derived tables (so the
     * fusion can never drift from the rankings it fuses), then the RRF
     * sum and re-rank. */
@@ -921,6 +969,7 @@ object SimilarityQueries {
     "q111_hybrid_rrf"   -> q111Sql,
     "q112_ann_recall"   -> q112Sql,
     "q113_lsh_recall"   -> q113Sql,
+    "q117_mutual_knn"   -> q117Sql,
     "q21_minhash_pairs" -> q21Sql,
     "q22_simhash16"     -> q22Sql,
     "q23_embed_topk"    -> q23Sql,

@@ -140,9 +140,31 @@ object TemporalQueries {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  // ---- q121: day-of-week seasonality card ----
+  // The load-shape readout behind capacity planning and anomaly
+  // baselines: per (event_type, weekday) the event count, cent-exact
+  // value mass, and the weekday's ppm share of its type. Weekday is
+  // pure epoch-day arithmetic ((day + 4) % 7, 0 = Sunday — no calendar
+  // functions, so both engines agree by construction). One corpus
+  // aggregation; the share window runs on the |types|·7-row result.
+  def q121Seasonality(s: SparkSession, dir: String): DataFrame = {
+    val byCell = graft.Tables.events(s, dir).filter(col("ts").isNotNull)
+      .select(col("event_type"),
+        expr("(unix_micros(ts) div 86400000000L + 4) % 7").as("dow"),
+        floor(col("value") * 100).cast("bigint").as("vc"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("vc").cast("decimal(38,0)")).cast("bigint").as("value_cents"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+    byCell.withColumn("__tot", sum(col("n")).over(w))
+      .select(col("event_type"), col("dow"), col("n"), col("value_cents"),
+        expr("n * 1000000L div __tot").as("share_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q110_transitions" -> q110Transitions _,
     "q115_retention"   -> q115Retention _,
+    "q121_seasonality" -> q121Seasonality _,
     "q106_funnel"    -> q106Funnel _,
     "q34_asof_join"  -> q34AsofJoin _,
     "q35_range_join" -> q35RangeJoin _,
@@ -221,6 +243,19 @@ object TemporalQueries {
          |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
          |  CAST(max(n) + 1 AS BIGINT) AS max_burst
          |FROM c GROUP BY user_id""".stripMargin,
+    // same epoch-day weekday arithmetic, same cent floor, ppm div
+    "q121_seasonality" ->
+      """WITH e AS (SELECT event_type,
+        |    (epoch_ns(ts) // 1000 // 86400000000 + 4) % 7 AS dow,
+        |    CAST(floor(value * 100) AS BIGINT) AS vc
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT event_type, CAST(dow AS BIGINT) AS dow,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(vc) AS BIGINT) AS value_cents
+        |  FROM e GROUP BY 1, 2)
+        |SELECT event_type, dow, n, value_cents,
+        |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+        |    AS share_ppm
+        |FROM c""".stripMargin,
     // same integer epoch-day floor, distinct (user, day) spine
     "q115_retention" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 // 86400000000 AS day

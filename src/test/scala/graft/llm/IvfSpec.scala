@@ -263,4 +263,40 @@ class IvfSpec extends AnyFunSuite with SparkTestSession {
     val recall = (ivf & exact).size.toDouble / exact.size
     assert(recall >= 0.5, f"trained-IVF recall@5 degraded to $recall%.2f")
   }
+
+  test("mutualKnnClusters: hub suppression at k=1, chaining at k=2") {
+    import spark.implicits._
+    // two tight pairs (0,1) and (2,3) plus a hub 4 moderately close to
+    // everything — the configuration a radius graph merges and mutual
+    // top-k must keep apart
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.99f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.1f, 0.99f)),
+      (4L, Array(0.7f, 0.7f))).toDF("vec_id", "embedding")
+    val k1 = IvfIndex.mutualKnnClusters(emb, nLists = 1, k = 1, nIter = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // hub's top-1 is not mutual (its favorite prefers its pair): three
+    // components, labeled by their minima
+    assert(k1 === Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 2L, 4L -> 4L))
+    // at k=2 the hub earns mutual edges to 1 and 3 and chains all five
+    val k2 = IvfIndex.mutualKnnClusters(emb, nLists = 1, k = 2, nIter = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(k2.values.toSet === Set(0L), s"one component expected: $k2")
+  }
+
+  test("mutualKnnClusters: every input id labeled, cap survivors singleton") {
+    // cap = 10 on 25-member cells: ranks 11..25 never enter the pair
+    // frame, so they must come back as singletons, and nothing drops
+    val out = IvfIndex.mutualKnnClusters(clustered, nLists = 4, k = 3,
+      nIter = 3, maxCellSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.length == 100, "every input id must reach the output")
+    val labels = out.toMap
+    val uncompared = out.filter { case (id, cl) => cl == id }
+    assert(uncompared.length >= 100 - 4 * 10,
+      "cap-truncated members must surface as singletons")
+    // labels are component minima: no label exceeds its member
+    assert(out.forall { case (id, cl) => cl <= id })
+    assert(labels.size == 100)
+  }
 }

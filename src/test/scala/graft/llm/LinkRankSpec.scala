@@ -76,4 +76,23 @@ class LinkRankSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a === b)
   }
+
+  test("khopDistances: BFS layers, depth cap, multi-seed min") {
+    import spark.implicits._
+    // chain 0→1→2→3→4, depth 2 from seed 0: nodes 3,4 unreached
+    val chain = edgesDF((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+    val got = LinkRank.khopDistances(chain, Seq(0L).toDF("v"), 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+    // two seeds: every vertex takes the NEARER seed's layer, and a
+    // seed reachable from another seed keeps distance 0
+    val g = edgesDF((0L, 2L), (2L, 3L), (1L, 3L), (3L, 0L))
+    val multi = LinkRank.khopDistances(g, Seq(0L, 1L).toDF("v"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(multi === Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 1L))
+    // depth 0 is just the seed set
+    val d0 = LinkRank.khopDistances(chain, Seq(0L).toDF("v"), 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d0 === Map(0L -> 0L))
+  }
 }

@@ -601,4 +601,20 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
     assert(run(1) === run(11))
   }
+
+  test("vocabGrowth: exact counts at ceil-spaced prefixes, null text = empty") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b"), (1L, "b c"), (2L, null), (3L, "a d"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.vocabGrowth(docs, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // chk 2 covers docs {0,1}: vocab {a,b,c}, 4 tokens; chk 4 all:
+    // vocab {a,b,c,d}, 6 tokens (the null doc contributes nothing)
+    assert(got === Map(2L -> ((2L, 3L, 4L)), 4L -> ((4L, 4L, 6L))))
+    // checkpoints collapse when n < nCheckpoints: distinct prefixes only
+    val tiny = TextAnalysis.vocabGrowth(docs.limit(1), "doc_id", "text", 5)
+      .collect().map(_.getLong(0)).sorted
+    assert(tiny.toSeq === Seq(1L))
+  }
 }

@@ -340,6 +340,37 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(soloOut == ((2L, 0L, 1L)))
   }
 
+  test("videoSceneCuts: threshold splits cuts from continuations; malformed degrades") {
+    import spark.implicits._
+    // mean pixel replayed from the BMP generation rule (pixel byte =
+    // dataIdx % 251), the same arithmetic the q123 oracle uses
+    def mp(w: Int, h: Int): Long = {
+      val stride = ((w * 3 + 3) / 4) * 4
+      var s = 0L
+      for (r <- 0 until h; j <- 0 until w * 3) s += (r * stride + j) % 251
+      s * 1000L / (w.toLong * h * 3L)
+    }
+    val dims = Seq((4, 3), (4, 3), (24, 20))
+    val deltas = dims.sliding(2).map { case Seq((w1, h1), (w2, h2)) =>
+      math.abs(mp(w2, h2) - mp(w1, h1))
+    }.toSeq
+    // the fixture must exercise both branches of the rule
+    assert(deltas.head == 0L && deltas.last > 0L)
+    val thr = deltas.last // cut fires on >=, so exactly the big jump
+    val payloads = Seq(
+      MediaPayload(1L, "video/gvid", encodeVideo(dims)),
+      MediaPayload(2L, "video/gvid", Array[Byte](9, 9, 9)), // malformed
+    ).toDS()
+    val out = videoSceneCuts(payloads, thr).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((3L, 1L, 2L)), s"got ${out(1L)}")
+    assert(out(2L) === ((0L, 0L, 0L)), "malformed container degrades to zeros")
+    // a higher threshold erases the cut: one scene
+    val calm = videoSceneCuts(payloads, thr + 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(calm(1L) === 1L)
+  }
+
   test("mediaDupStats: decoded-content dups counted per type; raw fallback for undecodable") {
     import spark.implicits._
     val payloads = Seq(
