@@ -418,6 +418,56 @@ object IvfIndex {
       .select(col("vec_id"), col("cell"), col("cluster_id"))
   }
 
+  /** IVF index-quality card: per trained cell, the member count, its
+    * ppm share of the corpus, and the floor-mean squared distance to
+    * the centroid — the evidence that decides nLists before anyone
+    * serves from the index. List IMBALANCE is the scale killer probe
+    * latency inherits (a cell holding 30% of a billion vectors makes
+    * every probe touching it scan 3·10⁸ candidates), and mean radius
+    * tells apart tight cells from junk-drawer cells; both replay
+    * exactly in the oracle because training is fixed-point.
+    *
+    * Empty cells surface as zero rows (an over-provisioned codebook is
+    * itself a finding). 100 TB shape: one scan-local assignment over
+    * the broadcast codebook, one (cell)-keyed aggregation accumulating
+    * in DECIMAL(38,0), and an nLists-row window for the shares. */
+  def balanceCard(vectors: DataFrame, nLists: Int, nIter: Int = 3): DataFrame = {
+    val spark = vectors.sparkSession
+    val centroids = fitFixedPoint(vectors, nLists, nIter)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val cellSq = udf { (e: Seq[Long]) =>
+      val v = e.toArray
+      var best = -1
+      var bestD = Long.MaxValue
+      var i = 0
+      while (i < bc.value.length) {
+        val c = bc.value(i)
+        var d = 0L
+        var j = 0
+        while (j < c.length) { val x = v(j) - c(j); d += x * x; j += 1 }
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      (best, bestD)
+    }
+    val g = quantized(vectors).select(cellSq(col("e")).as("cs"))
+      .select(col("cs._1").as("cell"), col("cs._2").as("sqd"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("sqd").cast("decimal(38,0)")).as("s"))
+    val cells = spark.range(nLists).select(col("id").cast("int").as("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    cells.join(g, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+        col("s"))
+      .withColumn("__tot", sum(col("n_vecs")).over(w))
+      .select(col("cell"), col("n_vecs"),
+        expr("n_vecs * 1000000L div __tot").as("share_ppm"),
+        expr("cast(coalesce(s div n_vecs, 0L) as bigint)").as("mean_sqdist"))
+  }
+
   /** Top-k per query, scored only against the query's nProbe cells.
     * Scores use the same fixed-point `dot_fp` as the exact path. */
   def search(queries: DataFrame, indexed: DataFrame, model: Model,

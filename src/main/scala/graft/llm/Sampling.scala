@@ -241,4 +241,25 @@ object Sampling {
       .filter(col(h) < col(th))
       .drop(h, th)
   }
+
+  /** Deterministic train/val/test assignment by key hash: the split a
+    * training pipeline must be able to RE-DERIVE forever (reshuffling
+    * the corpus, appending batches, or re-running the job must never
+    * move a document across splits, or eval contaminates). The
+    * assignment is a pure row-local function of the key — hash32 mod
+    * 100 against cumulative percent fences — so it holds under any
+    * partitioning, needs zero shuffle, and replays in SQL. Splits are
+    * disjoint and exhaustive by construction. */
+  def hashSplit(df: DataFrame, keyCol: String, trainPct: Int,
+      valPct: Int): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      "percents must leave room for a non-empty test split")
+    val r = graft.Names.fresh("_r", df.columns)
+    df.withColumn(r, hash32(keyCol) % 100)
+      .withColumn("split",
+        when(col(r) < trainPct, "train")
+          .when(col(r) < trainPct + valPct, "val")
+          .otherwise("test"))
+      .drop(r)
+  }
 }

@@ -827,6 +827,19 @@ object LlmQueries {
     graft.llm.Multimodal.videoSceneCuts(
       graft.llm.Multimodal.documentsAsVideo(s, dir), SceneCutThrMp)
 
+  // ---- q126: deterministic train/val/test split ----
+  // The split that must be re-derivable forever: hash32(doc_id) mod
+  // 100 against 90/5 fences, row-local and shuffle-free, so appending
+  // batches or reshuffling the corpus can never migrate a document
+  // into eval. Per-doc assignment (not just counts) so downstream
+  // joins consume it; the oracle replays the identical md5 prefix.
+  private val TrainPct = 90
+  private val ValPct = 5
+  def q126DatasetSplit(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Sampling.hashSplit(
+      graft.Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+      "doc_id", TrainPct, ValPct)
+
   // ---- q101: asymmetric containment join ----
   // The dup geometry Jaccard misses: a short document quoted inside a
   // long one has tiny Jaccard but containment ≈ 1. Distinct-3-gram
@@ -901,6 +914,7 @@ object LlmQueries {
     "q116_khop_seeds"  -> q116KhopSeeds _,
     "q122_vocab_growth" -> q122VocabGrowth _,
     "q123_scene_cuts"  -> q123SceneCuts _,
+    "q126_dataset_split" -> q126DatasetSplit _,
     "q108_histogram_drift" -> q108HistogramDrift _,
     "q107_robust_outliers" -> q107RobustOutliers _,
     "q105_bigram_surprisal" -> q105BigramSurprisal _,
@@ -1292,6 +1306,15 @@ object LlmQueries {
          |  FROM pd, chk GROUP BY chk.chk)
          |SELECT v.chk, tk.n_docs, v.vocab, tk.total_tokens
          |FROM v JOIN tk ON v.chk = tk.chk""".stripMargin,
+    // identical md5-prefix hash (the q52 portability trick), same fences
+    "q126_dataset_split" ->
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN r < $TrainPct THEN 'train'
+         |       WHEN r < ${TrainPct + ValPct} THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, lang,
+         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS r
+         |  FROM documents) t""".stripMargin,
     // q63's frame/pixel replay reduced to mean pixel, then the lag
     // walk and the threshold rule
     "q123_scene_cuts" ->

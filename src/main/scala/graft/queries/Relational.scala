@@ -269,6 +269,34 @@ object Relational {
         min(col("y")).as("y_min"), max(col("y")).as("y_max"))
   }
 
+  // ---- q124: market-basket itemset mining (top pairs + lift) ----
+  // Association-rule support/lift over order baskets: distinct
+  // (order, part) items, within-order pair expansion — bounded by
+  // BASKET size squared, never corpus size, the property that keeps
+  // this viable at 100 TB — then a counting aggregate keyed on the
+  // pair and TakeOrdered for the top-k (no global sort). Lift runs in
+  // DECIMAL(38,0): support·N·10⁶ overflows BIGINT at ~10⁹ orders.
+  private val BasketTopK = 20
+  def q124Itemsets(s: SparkSession, dir: String): DataFrame = {
+    val items = graft.Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val n = items.select(col("ok")).distinct().count()
+    val cnt = items.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+    val top = items.select(col("ok"), col("pk").as("item_a"))
+      .join(items.select(col("ok"), col("pk").as("item_b")), "ok")
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("item_a"), col("item_b"))
+      .limit(BasketTopK)
+    top
+      .join(cnt.select(col("pk").as("item_a"), col("c").as("ca")), "item_a")
+      .join(cnt.select(col("pk").as("item_b"), col("c").as("cb")), "item_b")
+      .select(col("item_a"), col("item_b"), col("support"),
+        expr(s"cast((cast(support as decimal(38,0)) * ${n}L * 1000000L)" +
+          " div (ca * cb) as bigint)").as("lift_ppm"))
+  }
+
   // ---- q13: fact⋈dim join (part lookup) ----
   // No broadcast hint: `part` scales with SF, so a forced broadcast
   // OOMs executors at 100×. AQE picks broadcast-hash when the measured
@@ -392,12 +420,25 @@ object Relational {
     "q118_skyline"          -> q118Skyline _,
     "q119_cube_grouping"    -> q119CubeGrouping _,
     "q120_zorder_audit"     -> q120ZorderAudit _,
+    "q124_itemsets"         -> q124Itemsets _,
   )
 
   /** DuckDB-dialect oracles. Expression structure mirrors the Spark
     * plans exactly (same literals, same fixed-point floors) so results
     * are bit-identical, not merely close. */
   val oracleSql: Map[String, String] = Map(
+    // same pair counting and top-k order; HUGEINT carries the lift
+    "q124_itemsets" ->
+      s"""WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |nn AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM it),
+         |c AS (SELECT pk, CAST(count(*) AS BIGINT) AS c FROM it GROUP BY pk),
+         |p AS (SELECT a.pk AS item_a, b.pk AS item_b, CAST(count(*) AS BIGINT) AS support
+         |  FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+         |t AS (SELECT * FROM p ORDER BY support DESC, item_a, item_b LIMIT $BasketTopK)
+         |SELECT item_a, item_b, support,
+         |  CAST((CAST(support AS HUGEINT) * (SELECT n FROM nn) * 1000000)
+         |    // (ca.c * cb.c) AS BIGINT) AS lift_ppm
+         |FROM t JOIN c ca ON t.item_a = ca.pk JOIN c cb ON t.item_b = cb.pk""".stripMargin,
     // dominance spelled as NOT EXISTS — deliberately independent of the
     // Spark plan's per-size aggregation, so the frontier algebra itself
     // is what the hash compare proves

@@ -191,6 +191,16 @@ object SimilarityQueries {
 
   private val MutualK = 4
 
+  // ---- q125: IVF balance card (the nLists sizing evidence) ----
+  // Imbalanced inverted lists are the probe-latency killer at scale;
+  // this card surfaces per-cell population, ppm share, and floor-mean
+  // squared radius off the SAME fixed-point training the search paths
+  // use, so its numbers are the index's numbers, oracle-replayed
+  // Lloyd rounds included.
+  def q125IvfBalance(s: SparkSession, dir: String): DataFrame =
+    graft.llm.IvfIndex.balanceCard(graft.Tables.embeddings(s, dir),
+      IvfLists, IvfIter)
+
   // ---- q117: mutual-kNN graph clustering (topic grouping) ----
   // SemDeDup's threshold rule finds COPIES; this finds TOPICS: an edge
   // only where each side ranks the other inside its top-k in-cell
@@ -364,6 +374,7 @@ object SimilarityQueries {
     "q112_ann_recall"   -> q112AnnRecall _,
     "q113_lsh_recall"   -> q113LshRecallCard _,
     "q117_mutual_knn"   -> q117MutualKnn _,
+    "q125_ivf_balance"  -> q125IvfBalance _,
     "q21_minhash_pairs" -> q21MinhashPairs _,
     "q22_simhash16"     -> q22Simhash16 _,
     "q23_embed_topk"    -> q23EmbedTopk _,
@@ -881,6 +892,22 @@ object SimilarityQueries {
        |  ON m.vec_id = mn.v""".stripMargin
   }
 
+  /** q125: the trained assignment re-aggregated per cell; sqdist to
+    * the OWN cell's final centroid, HUGEINT floor-mean. */
+  private def q125Sql: String =
+    s"""WITH $kmPrefixSql,
+       |sq AS (SELECT af.vec_id, af.cell, ${kmSq("af", "c")} AS sqd
+       |  FROM af JOIN c$IvfIter c USING (cell)),
+       |g AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs, sum(sqd) AS s
+       |  FROM sq GROUP BY cell),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM af)
+       |SELECT CAST(c.cell AS INTEGER) AS cell,
+       |  coalesce(g.n_vecs, 0) AS n_vecs,
+       |  CAST(coalesce(g.n_vecs, 0) * 1000000 // (SELECT n FROM tot) AS BIGINT)
+       |    AS share_ppm,
+       |  CAST(coalesce(g.s // g.n_vecs, 0) AS BIGINT) AS mean_sqdist
+       |FROM c$IvfIter c LEFT JOIN g USING (cell)""".stripMargin
+
   /** q111: the q83 and q23 oracles verbatim as derived tables (so the
     * fusion can never drift from the rankings it fuses), then the RRF
     * sum and re-rank. */
@@ -970,6 +997,7 @@ object SimilarityQueries {
     "q112_ann_recall"   -> q112Sql,
     "q113_lsh_recall"   -> q113Sql,
     "q117_mutual_knn"   -> q117Sql,
+    "q125_ivf_balance"  -> q125Sql,
     "q21_minhash_pairs" -> q21Sql,
     "q22_simhash16"     -> q22Sql,
     "q23_embed_topk"    -> q23Sql,

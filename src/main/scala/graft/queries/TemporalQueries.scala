@@ -161,10 +161,34 @@ object TemporalQueries {
         expr("n * 1000000L div __tot").as("share_ppm"))
   }
 
+  // ---- q127: seasonal anomaly days (dow-conditioned volume) ----
+  // The alerting readout q121's baseline exists for: each
+  // (event_type, day) volume judged against the floor-mean of ITS
+  // weekday within its type — Monday traffic compared to Mondays, so
+  // weekly rhythm doesn't false-alarm. All-integer (epoch-day dow,
+  // floor-mean, ppm deviation); every day carries a verdict. The
+  // corpus pays one (type, day) aggregation; baseline join and verdict
+  // run on the days-sized frame.
+  private val AnomalyThrPpm = 500000L
+  def q127SeasonalAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = ev(s, dir).filter(col("us").isNotNull)
+      .select(col("event_type"), expr("us div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", expr("(day + 4) % 7"))
+    val base = daily.groupBy(col("event_type"), col("dow"))
+      .agg(expr("sum(n) div count(1)").as("base_n"))
+    daily.join(base, Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"), col("n"), col("base_n"),
+        expr("abs(n - base_n) * 1000000L div base_n").as("dev_ppm"))
+      .withColumn("anomalous", col("dev_ppm") >= AnomalyThrPpm)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q110_transitions" -> q110Transitions _,
     "q115_retention"   -> q115Retention _,
     "q121_seasonality" -> q121Seasonality _,
+    "q127_seasonal_anomaly" -> q127SeasonalAnomaly _,
     "q106_funnel"    -> q106Funnel _,
     "q34_asof_join"  -> q34AsofJoin _,
     "q35_range_join" -> q35RangeJoin _,
@@ -243,6 +267,19 @@ object TemporalQueries {
          |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
          |  CAST(max(n) + 1 AS BIGINT) AS max_burst
          |FROM c GROUP BY user_id""".stripMargin,
+    // same daily aggregation, floor-mean baseline, ppm deviation
+    "q127_seasonal_anomaly" ->
+      s"""WITH d AS (SELECT event_type, epoch_ns(ts) // 1000 // 86400000000 AS day,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+         |d2 AS (SELECT *, (day + 4) % 7 AS dow FROM d),
+         |b AS (SELECT event_type, dow, sum(n) // count(*) AS base_n
+         |  FROM d2 GROUP BY 1, 2)
+         |SELECT d2.event_type, CAST(d2.day AS BIGINT) AS day, d2.n,
+         |  CAST(b.base_n AS BIGINT) AS base_n,
+         |  CAST(abs(d2.n - b.base_n) * 1000000 // b.base_n AS BIGINT) AS dev_ppm,
+         |  abs(d2.n - b.base_n) * 1000000 // b.base_n >= $AnomalyThrPpm AS anomalous
+         |FROM d2 JOIN b USING (event_type, dow)""".stripMargin,
     // same epoch-day weekday arithmetic, same cent floor, ppm div
     "q121_seasonality" ->
       """WITH e AS (SELECT event_type,

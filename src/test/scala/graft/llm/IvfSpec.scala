@@ -284,6 +284,30 @@ class IvfSpec extends AnyFunSuite with SparkTestSession {
     assert(k2.values.toSet === Set(0L), s"one component expected: $k2")
   }
 
+  test("balanceCard: planted clusters give even shares; over-provisioned cells report empty") {
+    // 4 planted 25-member clusters, nLists = 4: every cell lands one
+    // cluster — exact quarter shares and a radius far below the
+    // cross-cluster scale
+    val even = IvfIndex.balanceCard(clustered, nLists = 4, nIter = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(even.length === 4)
+    assert(even.forall { case (_, n, share, _) => n == 25L && share == 250000L })
+    assert(even.map(_._2).sum === 100L)
+    // shares are ppm of the corpus and sum to ~1e6 (floor losses only)
+    assert(even.map(_._3).sum <= 1000000L && even.map(_._3).sum > 999900L)
+    // duplicate seed vectors: the tie rule drains one cell — the empty
+    // cell must still surface as a zero row, not vanish
+    import spark.implicits._
+    val dup = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val over = IvfIndex.balanceCard(dup, nLists = 2, nIter = 0)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(over.length === 2, "one row per provisioned cell, empties included")
+    assert(over(1) === ((1, 0L, 0L, 0L)), "empty cell reports zeros")
+    assert(over(0)._2 === 3L && over(0)._3 === 1000000L && over(0)._4 > 0L)
+  }
+
   test("mutualKnnClusters: every input id labeled, cap survivors singleton") {
     // cap = 10 on 25-member cells: ranks 11..25 never enter the pair
     // frame, so they must come back as singletons, and nothing drops

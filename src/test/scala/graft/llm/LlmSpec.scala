@@ -617,4 +617,29 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(_.getLong(0)).sorted
     assert(tiny.toSeq === Seq(1L))
   }
+
+  test("hashSplit: disjoint, exhaustive, stable under repartition and append") {
+    import spark.implicits._
+    val docs = (0L until 500L).map(d => (d, s"doc $d")).toDF("doc_id", "text")
+    val got = Sampling.hashSplit(docs, "doc_id", 90, 5)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size === 500, "one verdict per row, splits exhaustive")
+    val byS = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byS.keySet === Set("train", "val", "test"))
+    assert(byS("train") > byS("val") && byS("train") > byS("test"))
+    // the assignment is a pure key function: any layout, any subset
+    val re = Sampling.hashSplit(docs.repartition(13), "doc_id", 90, 5)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(re === got)
+    val subset = Sampling.hashSplit(docs.filter($"doc_id" < 100), "doc_id", 90, 5)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    subset.foreach { case (d, s) => assert(got(d) === s) }
+    // degenerate fences refused
+    assertThrows[IllegalArgumentException] {
+      Sampling.hashSplit(docs, "doc_id", 95, 5)
+    }
+  }
 }
