@@ -54,22 +54,54 @@ object Sketches {
     * registers contribute 2⁰ to the harmonic sum, exactly the raw HLL
     * estimator `α·m²/Σ2^(-ρ)` evaluated in integer arithmetic over
     * denominator 2²⁷. */
-  def hllDistinctCard(df: DataFrame, groupCol: Column, keyCol: Column): DataFrame = {
+  /** The raw estimator `α·m²/Σ2^(-ρ)` over a register frame `(g, b,
+    * mr)`, integer arithmetic at denominator 2²⁷: `(g, hll_est)`.
+    * Shared by the per-group card and the union card so the two can
+    * only differ in the registers they feed it. */
+  private def hllEstimate(regs: DataFrame): DataFrame = {
     val one = 1L << (ValueBits + 1)
-    val regs = hllRegisters(df, groupCol, keyCol)
-    val est = regs.groupBy(col("g"))
+    regs.groupBy(col("g"))
       .agg(sum(expr(s"shiftleft(cast(1 as bigint), ${ValueBits + 1} - mr)")).as("s"),
         count(lit(1)).as("nb"))
       .select(col("g"), expr(
         s"cast(($AlphaPm * $HllRegisters * $HllRegisters * cast($one as bigint)) div " +
           s"(1000 * (s + ($HllRegisters - nb) * cast($one as bigint))) as bigint)")
         .as("hll_est"))
+  }
+
+  def hllDistinctCard(df: DataFrame, groupCol: Column, keyCol: Column): DataFrame = {
+    val regs = hllRegisters(df, groupCol, keyCol)
+    val est = hllEstimate(regs)
     val exact = df.select(groupCol.as("g"), keyCol.as("k"))
       .groupBy(col("g")).agg(countDistinct(col("k")).as("n_exact"))
     exact.join(est, Seq("g"))
       .select(col("g").as("group_key"), col("n_exact"), col("hll_est"),
         expr("cast((1000000 * abs(hll_est - n_exact)) div greatest(n_exact, 1) as bigint)")
           .as("err_ppm"))
+  }
+
+  /** The mergeability card — the property that makes sketches THE
+    * survey instrument at 100 TB: per-group register grids max-merged
+    * into a corpus union sketch must equal the sketch built directly
+    * over the corpus, because max is associative and commutative.
+    * One row: `(n_exact, union_est, direct_est, merge_exact)` — the
+    * estimates agree bit-for-bit BY ALGEBRA, and the card (oracle-
+    * replayed) certifies it rather than asserts it. Operationally this
+    * is the contract that lets per-partition / per-day / per-tenant
+    * sketches roll up without touching raw keys again. */
+  def hllUnionCard(df: DataFrame, groupCol: Column, keyCol: Column): DataFrame = {
+    val perGroup = hllRegisters(df, groupCol, keyCol)
+    val mergedRegs = perGroup.groupBy(col("b")).agg(max(col("mr")).as("mr"))
+      .withColumn("g", lit("all"))
+    val unionEst = hllEstimate(mergedRegs)
+      .select(col("hll_est").as("union_est"))
+    val directEst = hllEstimate(hllRegisters(df, lit("all"), keyCol))
+      .select(col("hll_est").as("direct_est"))
+    val exact = df.select(keyCol.as("k"))
+      .agg(countDistinct(col("k")).as("n_exact"))
+    exact.crossJoin(unionEst).crossJoin(directEst)
+      .select(col("n_exact"), col("union_est"), col("direct_est"),
+        (col("union_est") === col("direct_est")).as("merge_exact"))
   }
 
   /** Count-min geometry: 4 hash rows — the four 32-bit lanes of one

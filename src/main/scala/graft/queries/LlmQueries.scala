@@ -757,6 +757,18 @@ object LlmQueries {
     graft.llm.Sketches.cmsHeavyHitters(graft.Tables.documents(s, dir),
       "doc_id", "text", CmWidth, CmTopK)
 
+  // ---- q128: HLL sketch-merge card (roll-up without raw keys) ----
+  // The reason sketches earn their keep at 100 TB: q97's per-language
+  // register grids max-merged into a corpus union estimate, next to
+  // the directly-built corpus sketch and the exact count. Equality of
+  // the two estimates is the associativity contract that lets
+  // per-partition/per-day sketches roll up forever.
+  def q128HllUnion(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.Tables.documents(s, dir)
+      .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+    graft.llm.Sketches.hllUnionCard(toks, col("lang"), col("w"))
+  }
+
   // ---- q99: the trained BPE vocabulary ----
   // The encoder artifact q88's training implies: every final symbol
   // with its corpus occurrence mass and a dense (mass desc, symbol
@@ -915,6 +927,7 @@ object LlmQueries {
     "q122_vocab_growth" -> q122VocabGrowth _,
     "q123_scene_cuts"  -> q123SceneCuts _,
     "q126_dataset_split" -> q126DatasetSplit _,
+    "q128_hll_union"   -> q128HllUnion _,
     "q108_histogram_drift" -> q108HistogramDrift _,
     "q107_robust_outliers" -> q107RobustOutliers _,
     "q105_bigram_surprisal" -> q105BigramSurprisal _,
@@ -1688,6 +1701,28 @@ object LlmQueries {
         |nodes AS (SELECT u AS v FROM und UNION SELECT v FROM und)
         |SELECT nodes.v AS doc_id, coalesce(pv.n_tri, 0) AS n_tri
         |FROM nodes LEFT JOIN pv ON nodes.v = pv.v""".stripMargin,
+    // q97's register replay, evaluated twice: max-merged across langs
+    // vs built directly — the associativity certificate
+    "q128_hll_union" ->
+      s"""WITH e AS (SELECT lang, unnest($toksSql) AS w FROM documents),
+         |h AS (SELECT lang, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM e),
+         |r AS (SELECT lang, h % 64 AS b,
+         |    CASE WHEN h // 64 = 0 THEN 27
+         |      ELSE 27 - length(bin(h // 64)) END AS rho FROM h),
+         |reg AS (SELECT lang, b, max(rho) AS mr FROM r GROUP BY 1, 2),
+         |mreg AS (SELECT b, max(mr) AS mr FROM reg GROUP BY b),
+         |us AS (SELECT sum(1::BIGINT << (27 - mr)) AS s, count(*) AS nb FROM mreg),
+         |ue AS (SELECT (709 * 64 * 64 * (1::BIGINT << 27))
+         |    // (1000 * (s + (64 - nb) * (1::BIGINT << 27))) AS union_est FROM us),
+         |dreg AS (SELECT b, max(rho) AS mr FROM r GROUP BY b),
+         |ds AS (SELECT sum(1::BIGINT << (27 - mr)) AS s, count(*) AS nb FROM dreg),
+         |de AS (SELECT (709 * 64 * 64 * (1::BIGINT << 27))
+         |    // (1000 * (s + (64 - nb) * (1::BIGINT << 27))) AS direct_est FROM ds),
+         |ex AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS n_exact FROM e)
+         |SELECT n_exact, CAST(union_est AS BIGINT) AS union_est,
+         |  CAST(direct_est AS BIGINT) AS direct_est,
+         |  union_est = direct_est AS merge_exact
+         |FROM ex CROSS JOIN ue CROSS JOIN de""".stripMargin,
     "q97_hll_card" ->
       s"""WITH e AS (SELECT lang, unnest($toksSql) AS w FROM documents),
          |h AS (SELECT lang, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM e),

@@ -184,8 +184,44 @@ object TemporalQueries {
       .withColumn("anomalous", col("dev_ppm") >= AnomalyThrPpm)
   }
 
+  // ---- q129: funnel conversion-latency percentiles ----
+  // How long from first view to first purchase: exact p50/p90/p99 over
+  // converting users, on a SECONDS axis — flooring to seconds bounds
+  // the distinct-value frame by the corpus time range (the q74
+  // cumulative-window precedent), where a microsecond axis would make
+  // the percentile frame user-sized and the global window a 100 TB
+  // sort. Negative latencies (purchase before any view) legitimately
+  // rank below zero. One corpus aggregation keyed by user; everything
+  // after runs on the distinct-seconds frame.
+  private val LatPcts = Seq(50, 90, 99)
+  def q129ConversionLatency(s: SparkSession, dir: String): DataFrame = {
+    val firsts = ev(s, dir).filter(col("us").isNotNull)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("us"))).as("v"),
+        min(when(col("event_type") === "purchase", col("us"))).as("p"))
+    // FLOOR division (pmod), not `div`: latencies can be negative and
+    // Spark's div truncates toward zero while the oracle's `//` floors
+    val lat = firsts.filter(col("v").isNotNull && col("p").isNotNull)
+      .select(expr("(p - v - pmod(p - v, 1000000L)) div 1000000L").as("lat_s"))
+    val c = lat.groupBy(col("lat_s")).agg(count(lit(1)).as("c"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("lat_s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val cum = c.withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("tot", sum(col("c")).over(wAll))
+    val outCols = coalesce(max(col("tot")), lit(0L)).as("n_users") +:
+      LatPcts.map(p => min(when(
+        col("cum") >= expr(s"($p * tot + 99) div 100"), col("lat_s")))
+        .as(s"p${p}_s"))
+    cum.agg(outCols.head, outCols.tail: _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q110_transitions" -> q110Transitions _,
+    "q129_conversion_latency" -> q129ConversionLatency _,
     "q115_retention"   -> q115Retention _,
     "q121_seasonality" -> q121Seasonality _,
     "q127_seasonal_anomaly" -> q127SeasonalAnomaly _,
@@ -267,6 +303,25 @@ object TemporalQueries {
          |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
          |  CAST(max(n) + 1 AS BIGINT) AS max_burst
          |FROM c GROUP BY user_id""".stripMargin,
+    // same first-view/first-purchase mins, seconds floor, ceil-rank picks
+    "q129_conversion_latency" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us
+         |  FROM events WHERE ts IS NOT NULL
+         |    AND event_type IN ('view', 'purchase')),
+         |f AS (SELECT user_id,
+         |    min(CASE WHEN event_type = 'view' THEN us END) AS v,
+         |    min(CASE WHEN event_type = 'purchase' THEN us END) AS p
+         |  FROM e GROUP BY user_id),
+         |l AS (SELECT (p - v) // 1000000 AS lat_s FROM f
+         |  WHERE v IS NOT NULL AND p IS NOT NULL),
+         |c AS (SELECT lat_s, CAST(count(*) AS BIGINT) AS c FROM l GROUP BY lat_s),
+         |cum AS (SELECT lat_s, sum(c) OVER (ORDER BY lat_s) AS cum,
+         |    sum(c) OVER () AS tot FROM c)
+         |SELECT coalesce(CAST(max(tot) AS BIGINT), 0) AS n_users,
+         |  ${LatPcts.map(p =>
+              s"CAST(min(CASE WHEN cum >= ($p * tot + 99) // 100 THEN lat_s END) AS BIGINT) AS p${p}_s")
+              .mkString(",\n|  ")}
+         |FROM cum""".stripMargin,
     // same daily aggregation, floor-mean baseline, ppm deviation
     "q127_seasonal_anomaly" ->
       s"""WITH d AS (SELECT event_type, epoch_ns(ts) // 1000 // 86400000000 AS day,

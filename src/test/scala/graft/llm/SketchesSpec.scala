@@ -86,4 +86,27 @@ class SketchesSpec extends AnyFunSuite with SparkTestSession {
     assert(plan.contains("BroadcastHashJoin"),
       s"counter probe should broadcast the 2048-cell counter table:\n$plan")
   }
+
+  test("hllUnionCard: max-merged group sketches equal the direct sketch") {
+    import spark.implicits._
+    // overlapping groups: 0..149 in g0, 100..249 in g1 — the union
+    // estimate must see 250 distinct keys once, not 300
+    val rows = (0 until 150).map(i => ("g0", s"k$i")) ++
+      (100 until 250).map(i => ("g1", s"k$i"))
+    val df = rows.toDF("g", "k")
+    val card = Sketches.hllUnionCard(df, col("g"), col("k")).collect().head
+    assert(card.getLong(0) === 250L)
+    assert(card.getLong(1) === card.getLong(2),
+      "merged and direct estimates must agree bit-for-bit")
+    assert(card.getBoolean(3), "merge_exact certifies the algebra")
+    // and the union estimate is the raw-HLL ballpark, not garbage
+    val est = card.getLong(1)
+    assert(est > 150L && est < 500L, s"estimate $est implausible for 250 keys")
+    // splitting the SAME corpus differently cannot change the union
+    val resplit = df.withColumn("g",
+      when(length(col("k")) % 2 === 0, "a").otherwise("b"))
+    val card2 = Sketches.hllUnionCard(resplit, col("g"), col("k"))
+      .collect().head
+    assert(card2.getLong(1) === est, "union estimate is split-invariant")
+  }
 }
