@@ -406,16 +406,26 @@ object IvfIndex {
       .partitionBy(col("src")).orderBy(col("dot_fp").desc, col("dst"))
     val ranked = directed.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
-    // an edge survives only if BOTH directions ranked ≤ k
-    val mutual = ranked.select(col("src"), col("dst"))
+    // an edge survives only if BOTH directions ranked ≤ k; cached
+    // (skinny 2-col frame) because the closure consumes it thrice —
+    // symmetrized edges, the touched-vertex set, and each round's
+    // lineage — and recomputing means re-running the pair pipeline
+    val mutual = Caches.persistTracked(ranked.select(col("src"), col("dst"))
       .join(ranked.select(col("dst").as("src"), col("src").as("dst")),
         Seq("src", "dst"))
       .filter(col("src") < col("dst"))
-      .select(col("src").as("doc_a"), col("dst").as("doc_b"))
-    val labels = Dedup.connectedComponents(
-      members.select(col("vec_id").as("doc_id")), mutual)
-    members.join(labels.withColumnRenamed("doc_id", "vec_id"), "vec_id")
-      .select(col("vec_id"), col("cell"), col("cluster_id"))
+      .select(col("src").as("doc_a"), col("dst").as("doc_b")))
+    // the closure iterates over edge-TOUCHED vertices only — vertices
+    // with no mutual edge are singletons by definition and join back
+    // as themselves, so the per-round frames scale with the matched
+    // subset, not the corpus
+    val touched = mutual.select(col("doc_a").as("doc_id"))
+      .unionByName(mutual.select(col("doc_b").as("doc_id"))).distinct()
+    val labels = Dedup.connectedComponents(touched, mutual)
+    members.join(labels.withColumnRenamed("doc_id", "vec_id"),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
   }
 
   /** IVF index-quality card: per trained cell, the member count, its
