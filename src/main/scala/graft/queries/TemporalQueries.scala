@@ -200,10 +200,11 @@ object TemporalQueries {
       .groupBy(col("user_id"))
       .agg(min(when(col("event_type") === "view", col("us"))).as("v"),
         min(when(col("event_type") === "purchase", col("us"))).as("p"))
-    // FLOOR division (pmod), not `div`: latencies can be negative and
-    // Spark's div truncates toward zero while the oracle's `//` floors
+    // latencies can be negative; Spark `div` and DuckDB `//` both
+    // truncate integer division toward zero, so the floors agree
+    // (verified: -5 // 2 = -2 in DuckDB)
     val lat = firsts.filter(col("v").isNotNull && col("p").isNotNull)
-      .select(expr("(p - v - pmod(p - v, 1000000L)) div 1000000L").as("lat_s"))
+      .select(expr("(p - v) div 1000000L").as("lat_s"))
     val c = lat.groupBy(col("lat_s")).agg(count(lit(1)).as("c"))
     val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("lat_s"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
