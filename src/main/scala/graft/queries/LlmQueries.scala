@@ -852,6 +852,43 @@ object LlmQueries {
       graft.Tables.documents(s, dir).select(col("doc_id"), col("lang")),
       "doc_id", TrainPct, ValPct)
 
+  // ---- q131: histogram-quantile error card ----
+  // The scalable-quantile tradeoff with evidence: per language, exact
+  // p50/p90/p99 of n_chars (ceil-rank over the counting aggregate)
+  // next to the estimate a 256-wide equi-width histogram gives
+  // (bucket midpoint at the same rank), with the ppm error. The
+  // histogram is the 100 TB path — buckets are a fixed-size mergeable
+  // aggregate like the q97 registers — and the card prices its error
+  // instead of asserting a tolerance.
+  private val SketchPcts = Seq(50, 90, 99)
+  private val SketchW = 256L
+  def q131QuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = graft.Tables.documents(s, dir)
+      .select(col("lang"), col("n_chars").cast("bigint").as("v"))
+    val pcts = explode(array(SketchPcts.map(p => lit(p.toLong)): _*)).as("pct")
+    def ranked(frame: DataFrame): DataFrame = {
+      val wc = Window.partitionBy(col("lang")).orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wa = Window.partitionBy(col("lang"))
+      frame.groupBy(col("lang"), col("x")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wc))
+        .withColumn("tot", sum(col("c")).over(wa))
+        .select(col("lang"), col("x"), col("cum"), col("tot"), pcts)
+        .filter(col("cum") >= expr("(pct * tot + 99L) div 100L"))
+        .groupBy(col("lang"), col("pct")).agg(min(col("x")).as("pick"))
+    }
+    val exact = ranked(d.select(col("lang"), col("v").as("x")))
+      .withColumnRenamed("pick", "exact_v")
+    val est = ranked(d.select(col("lang"), expr(s"v div $SketchW").as("x")))
+      .select(col("lang"), col("pct"),
+        expr(s"pick * $SketchW + ${SketchW / 2}").as("est_v"))
+    exact.join(est, Seq("lang", "pct"))
+      .select(col("lang"), col("pct"), col("exact_v"), col("est_v"),
+        expr("abs(est_v - exact_v) * 1000000L div greatest(exact_v, 1L)")
+          .as("err_ppm"))
+  }
+
   // ---- q101: asymmetric containment join ----
   // The dup geometry Jaccard misses: a short document quoted inside a
   // long one has tiny Jaccard but containment ≈ 1. Distinct-3-gram
@@ -928,6 +965,7 @@ object LlmQueries {
     "q123_scene_cuts"  -> q123SceneCuts _,
     "q126_dataset_split" -> q126DatasetSplit _,
     "q128_hll_union"   -> q128HllUnion _,
+    "q131_quantile_sketch" -> q131QuantileSketch _,
     "q108_histogram_drift" -> q108HistogramDrift _,
     "q107_robust_outliers" -> q107RobustOutliers _,
     "q105_bigram_surprisal" -> q105BigramSurprisal _,
@@ -1319,6 +1357,32 @@ object LlmQueries {
          |  FROM pd, chk GROUP BY chk.chk)
          |SELECT v.chk, tk.n_docs, v.vocab, tk.total_tokens
          |FROM v JOIN tk ON v.chk = tk.chk""".stripMargin,
+    // same counting-aggregate ceil-rank picks on both axes
+    "q131_quantile_sketch" -> {
+      val pctRows = SketchPcts.map(p => s"($p)").mkString(", ")
+      s"""WITH d AS (SELECT lang, CAST(n_chars AS BIGINT) AS v FROM documents),
+         |pct(pct) AS (VALUES $pctRows),
+         |ec AS (SELECT lang, v AS x, CAST(count(*) AS BIGINT) AS c
+         |  FROM d GROUP BY 1, 2),
+         |ecum AS (SELECT lang, x, sum(c) OVER w AS cum, sum(c) OVER p AS tot
+         |  FROM ec WINDOW w AS (PARTITION BY lang ORDER BY x
+         |    ROWS UNBOUNDED PRECEDING), p AS (PARTITION BY lang)),
+         |exact AS (SELECT lang, pct, min(x) AS exact_v FROM ecum, pct
+         |  WHERE cum >= (pct * tot + 99) // 100 GROUP BY 1, 2),
+         |hc AS (SELECT lang, v // $SketchW AS x, CAST(count(*) AS BIGINT) AS c
+         |  FROM d GROUP BY 1, 2),
+         |hcum AS (SELECT lang, x, sum(c) OVER w AS cum, sum(c) OVER p AS tot
+         |  FROM hc WINDOW w AS (PARTITION BY lang ORDER BY x
+         |    ROWS UNBOUNDED PRECEDING), p AS (PARTITION BY lang)),
+         |est AS (SELECT lang, pct,
+         |    min(x) * $SketchW + ${SketchW / 2} AS est_v FROM hcum, pct
+         |  WHERE cum >= (pct * tot + 99) // 100 GROUP BY 1, 2)
+         |SELECT exact.lang, CAST(exact.pct AS BIGINT) AS pct,
+         |  CAST(exact_v AS BIGINT) AS exact_v, CAST(est_v AS BIGINT) AS est_v,
+         |  CAST(abs(est_v - exact_v) * 1000000 // greatest(exact_v, 1) AS BIGINT)
+         |    AS err_ppm
+         |FROM exact JOIN est USING (lang, pct)""".stripMargin
+    },
     // identical md5-prefix hash (the q52 portability trick), same fences
     "q126_dataset_split" ->
       s"""SELECT doc_id, lang,

@@ -220,9 +220,50 @@ object TemporalQueries {
     cum.agg(outCols.head, outCols.tail: _*)
   }
 
+  // ---- q130: single change-point detection (best level shift) ----
+  // Where did the series change: for every candidate split after day d
+  // the floor-mean before vs after, the winner by (shift desc, day
+  // asc). Cumulative sums make all |days| candidate splits ONE window
+  // pass over the per-type daily aggregate — no per-split rescan, no
+  // sequential recurrence — so the plan is two windows and a rank on
+  // a days-sized frame, after the single corpus aggregation.
+  def q130ChangePoint(s: SparkSession, dir: String): DataFrame =
+    changePoint(ev(s, dir).filter(col("us").isNotNull)
+      .select(col("event_type"), expr("us div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The split scan over an already-aggregated `(event_type, day, n)`
+    * frame — separated so the spec can plant a known level shift. */
+  private[graft] def changePoint(daily: DataFrame): DataFrame = {
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wa = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+    val splits = daily
+      .withColumn("cum_n", sum(col("n")).over(wc))
+      .withColumn("cnt", count(lit(1)).over(wc))
+      .withColumn("tot_n", sum(col("n")).over(wa))
+      .withColumn("tot_cnt", count(lit(1)).over(wa))
+      .filter(col("cnt") < col("tot_cnt"))
+      .select(col("event_type"), col("day"),
+        expr("cum_n div cnt").as("mean_before"),
+        expr("(tot_n - cum_n) div (tot_cnt - cnt)").as("mean_after"),
+        expr("""abs((tot_n - cum_n) div (tot_cnt - cnt) - cum_n div cnt)
+          | * 1000000L div greatest(tot_n div tot_cnt, 1L)""".stripMargin)
+          .as("shift_ppm"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("shift_ppm").desc, col("day"))
+    splits.withColumn("__rn", row_number().over(wr)).filter(col("__rn") === 1)
+      .select(col("event_type"), col("day").as("split_day"),
+        col("mean_before"), col("mean_after"), col("shift_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q110_transitions" -> q110Transitions _,
     "q129_conversion_latency" -> q129ConversionLatency _,
+    "q130_change_point" -> q130ChangePoint _,
     "q115_retention"   -> q115Retention _,
     "q121_seasonality" -> q121Seasonality _,
     "q127_seasonal_anomaly" -> q127SeasonalAnomaly _,
@@ -304,6 +345,31 @@ object TemporalQueries {
          |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
          |  CAST(max(n) + 1 AS BIGINT) AS max_burst
          |FROM c GROUP BY user_id""".stripMargin,
+    // same cumulative-split arithmetic, same (shift desc, day) winner
+    "q130_change_point" ->
+      """WITH d AS (SELECT event_type, epoch_ns(ts) // 1000 // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |c AS (SELECT event_type, day, n,
+        |    sum(n) OVER w AS cum_n, count(*) OVER w AS cnt,
+        |    sum(n) OVER p AS tot_n, count(*) OVER p AS tot_cnt
+        |  FROM d
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING),
+        |  p AS (PARTITION BY event_type)),
+        |s AS (SELECT event_type, day,
+        |    cum_n // cnt AS mean_before,
+        |    (tot_n - cum_n) // (tot_cnt - cnt) AS mean_after,
+        |    abs((tot_n - cum_n) // (tot_cnt - cnt) - cum_n // cnt)
+        |      * 1000000 // greatest(tot_n // tot_cnt, 1) AS shift_ppm
+        |  FROM c WHERE cnt < tot_cnt),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY shift_ppm DESC, day) AS rn FROM s)
+        |SELECT event_type, CAST(day AS BIGINT) AS split_day,
+        |  CAST(mean_before AS BIGINT) AS mean_before,
+        |  CAST(mean_after AS BIGINT) AS mean_after,
+        |  CAST(shift_ppm AS BIGINT) AS shift_ppm
+        |FROM r WHERE rn = 1""".stripMargin,
     // same first-view/first-purchase mins, seconds floor, ceil-rank picks
     "q129_conversion_latency" ->
       s"""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us

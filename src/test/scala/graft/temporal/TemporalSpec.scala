@@ -166,4 +166,23 @@ class TemporalSpec extends AnyFunSuite with SparkTestSession {
     val empty = Seq.empty[(String, java.sql.Timestamp)].toDF("k", "ts")
     assert(GapFill.hourlyCounts(empty, "k", "ts").collect().isEmpty)
   }
+
+  test("changePoint: planted level shift found at the exact boundary") {
+    // type a: 10/day for days 0-9, then 30/day for days 10-19 — the
+    // best split is after day 9 with means 10 and 30
+    val a = (0L until 20L).map(d => ("a", d, if (d < 10) 10L else 30L))
+    // type b: flat 5/day — every split shows shift 0; winner is the
+    // EARLIEST day by the tie rule
+    val b = (0L until 6L).map(d => ("b", d, 5L))
+    val daily = (a ++ b).toDF("event_type", "day", "n")
+    val got = graft.queries.TemporalQueries.changePoint(daily)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("a") === ((9L, 10L, 30L, 1000000L)),
+      s"shift |30-10| over overall mean 20 = 1.0 → 1e6 ppm; got ${got("a")}")
+    assert(got("b") === ((0L, 5L, 5L, 0L)))
+    // a single-day series has no interior split: no row
+    val single = Seq(("c", 0L, 7L)).toDF("event_type", "day", "n")
+    assert(graft.queries.TemporalQueries.changePoint(single).collect().isEmpty)
+  }
 }
