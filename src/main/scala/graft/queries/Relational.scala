@@ -269,6 +269,35 @@ object Relational {
         min(col("y")).as("y_min"), max(col("y")).as("y_max"))
   }
 
+  // ---- q132: unpivot (melt) — the reshape inverse of q109 ----
+  // Wide → tall via stack(): q109's hourly matrix melted back to
+  // (hour_ts, event_type, n), absent cells as explicit zeros. stack is
+  // a row-local generator (no shuffle beyond q109's aggregate), and
+  // building on q109 verbatim means the pair certifies the round trip.
+  def q132Unpivot(s: SparkSession, dir: String): DataFrame = {
+    val stackArgs = PivotTypes.map(t => s"'$t', n_$t").mkString(", ")
+    q109EventPivot(s, dir).select(col("hour_ts"),
+      expr(s"stack(${PivotTypes.size}, $stackArgs) AS (event_type, n)"))
+  }
+
+  // ---- q133: salted equi-join (the skew tool under the oracle gate) ----
+  // Salting splits a hot key across saltFactor sub-keys (deterministic
+  // hash salt on the big side, explode-replicated small side) so one
+  // reducer never owns a heavy hitter AQE can't split. The oracle is
+  // the PLAIN join — equality proves salting is semantics-free, which
+  // is the entire point of the technique.
+  private val SaltFactor = 8
+  def q133SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = graft.Tables.lineitem(s, dir)
+      .select(col("l_suppkey"), cents(col("l_extendedprice")).as("cents"))
+    val sup = graft.Tables.supplier(s, dir)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    Skew.saltedEquiJoin(li, sup, Seq("l_suppkey"), SaltFactor)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sumFp(col("cents")).as("total_cents"))
+  }
+
   // ---- q124: market-basket itemset mining (top pairs + lift) ----
   // Association-rule support/lift over order baskets: distinct
   // (order, part) items, within-order pair expansion — bounded by
@@ -421,12 +450,34 @@ object Relational {
     "q119_cube_grouping"    -> q119CubeGrouping _,
     "q120_zorder_audit"     -> q120ZorderAudit _,
     "q124_itemsets"         -> q124Itemsets _,
+    "q132_unpivot"          -> q132Unpivot _,
+    "q133_salted_join"      -> q133SaltedJoin _,
   )
 
   /** DuckDB-dialect oracles. Expression structure mirrors the Spark
     * plans exactly (same literals, same fixed-point floors) so results
     * are bit-identical, not merely close. */
   val oracleSql: Map[String, String] = Map(
+    // the dense hour × type grid with explicit zeros; null-safe on the
+    // null-timestamp hour row
+    "q132_unpivot" ->
+      """WITH p AS (SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |h AS (SELECT DISTINCT hour_ts FROM p),
+        |t(event_type) AS (VALUES ('view'), ('click'), ('purchase'),
+        |  ('signup'), ('error'))
+        |SELECT h.hour_ts, t.event_type, coalesce(p.n, 0) AS n
+        |FROM h CROSS JOIN t
+        |LEFT JOIN p ON h.hour_ts IS NOT DISTINCT FROM p.hour_ts
+        |  AND t.event_type = p.event_type""".stripMargin,
+    // the PLAIN join — equality certifies salting is semantics-free
+    "q133_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n_items,
+        | CAST(sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+        |   AS total_cents
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey""".stripMargin,
     // same pair counting and top-k order; HUGEINT carries the lift
     "q124_itemsets" ->
       s"""WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
