@@ -326,6 +326,42 @@ object Relational {
           " div (ca * cb) as bigint)").as("lift_ppm"))
   }
 
+  // ---- q134: directed association rules (confidence + lift) ----
+  // q124 mines the undirected pair support; this derives the actual
+  // RULES a recommender consumes: both directions of every pair with
+  // support >= MinRuleSupport, confidence_ppm = support·10⁶/c(A) and
+  // the symmetric lift. Same within-basket expansion (bounded by
+  // basket size squared, never corpus size); the item-count frame is
+  // aggregate-sized, so both enrichment joins broadcast. Confidence
+  // runs in DECIMAL(38,0) for the same ~10⁹-order headroom as q124.
+  private val MinRuleSupport = 2L
+  def q134AssocRules(s: SparkSession, dir: String): DataFrame = {
+    val items = graft.Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val n = items.select(col("ok")).distinct().count()
+    val cnt = items.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+    val pairs = items.select(col("ok"), col("pk").as("a"))
+      .join(items.select(col("ok"), col("pk").as("b")), "ok")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= MinRuleSupport)
+    val rules = pairs.select(col("a").as("antecedent"),
+        col("b").as("consequent"), col("support"))
+      .unionAll(pairs.select(col("b").as("antecedent"),
+        col("a").as("consequent"), col("support")))
+    rules
+      .join(broadcast(cnt.select(col("pk").as("antecedent"), col("c").as("ca"))),
+        "antecedent")
+      .join(broadcast(cnt.select(col("pk").as("consequent"), col("c").as("cb"))),
+        "consequent")
+      .select(col("antecedent"), col("consequent"), col("support"),
+        expr("cast((cast(support as decimal(38,0)) * 1000000L) div ca as bigint)")
+          .as("conf_ppm"),
+        expr(s"cast((cast(support as decimal(38,0)) * ${n}L * 1000000L)" +
+          " div (ca * cb) as bigint)").as("lift_ppm"))
+  }
+
   // ---- q13: fact⋈dim join (part lookup) ----
   // No broadcast hint: `part` scales with SF, so a forced broadcast
   // OOMs executors at 100×. AQE picks broadcast-hash when the measured
@@ -450,6 +486,7 @@ object Relational {
     "q119_cube_grouping"    -> q119CubeGrouping _,
     "q120_zorder_audit"     -> q120ZorderAudit _,
     "q124_itemsets"         -> q124Itemsets _,
+    "q134_assoc_rules"      -> q134AssocRules _,
     "q132_unpivot"          -> q132Unpivot _,
     "q133_salted_join"      -> q133SaltedJoin _,
   )
@@ -478,6 +515,24 @@ object Relational {
         |   AS total_cents
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey""".stripMargin,
+    // both rule directions from the same pair frame; HUGEINT carries
+    // the confidence and lift numerators
+    "q134_assoc_rules" ->
+      s"""WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |nn AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM it),
+         |c AS (SELECT pk, CAST(count(*) AS BIGINT) AS c FROM it GROUP BY pk),
+         |p AS (SELECT a.pk AS a, b.pk AS b, CAST(count(*) AS BIGINT) AS support
+         |  FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING count(*) >= $MinRuleSupport),
+         |r AS (SELECT a AS antecedent, b AS consequent, support FROM p
+         |  UNION ALL SELECT b, a, support FROM p)
+         |SELECT antecedent, consequent, support,
+         |  CAST((CAST(support AS HUGEINT) * 1000000) // ca.c AS BIGINT)
+         |    AS conf_ppm,
+         |  CAST((CAST(support AS HUGEINT) * (SELECT n FROM nn) * 1000000)
+         |    // (ca.c * cb.c) AS BIGINT) AS lift_ppm
+         |FROM r JOIN c ca ON r.antecedent = ca.pk
+         |JOIN c cb ON r.consequent = cb.pk""".stripMargin,
     // same pair counting and top-k order; HUGEINT carries the lift
     "q124_itemsets" ->
       s"""WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

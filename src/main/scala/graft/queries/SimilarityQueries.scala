@@ -103,6 +103,40 @@ object SimilarityQueries {
         (col("__rn") === 1).as("kept"))
   }
 
+  // ---- q135: golden-record survivorship per dedup cluster ----
+  // The MDM step after q38/q72: instead of keeping one ROW, merge the
+  // cluster's members column-wise into one consolidated record —
+  // modal lang and source (tie → lexicographically smallest), min
+  // doc_id as the stable canonical key, max n_chars (longest-copy
+  // rule), member count for audit. Scale: the member frame is skinny
+  // (5 cols) and cached once so the LSH+fixpoint cluster pass runs a
+  // single time; the two modal paths are counting aggregates plus
+  // rank windows partitioned by cluster — partition size = cluster
+  // size, overwhelmingly 1, so no skew at any SF.
+  def q135Survivorship(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables.documents(s, dir)
+    val m = graft.llm.Caches.persistTracked(
+      q38DedupClusters(s, dir).join(docs, "doc_id")
+        .select(col("cluster_id"), col("doc_id"), col("lang"),
+          col("source"), col("n_chars")))
+    def modal(c: String): DataFrame = {
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("__c").desc, col(c).asc)
+      m.groupBy(col("cluster_id"), col(c)).agg(count(lit(1)).as("__c"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).select(col("cluster_id"), col(c))
+    }
+    m.groupBy(col("cluster_id")).agg(
+        count(lit(1)).as("n_members"),
+        min(col("doc_id")).as("canonical_doc_id"),
+        max(col("n_chars")).as("max_n_chars"))
+      .join(modal("lang"), "cluster_id")
+      .join(modal("source"), "cluster_id")
+      .select(col("cluster_id"), col("n_members"), col("canonical_doc_id"),
+        col("lang"), col("source"), col("max_n_chars"))
+  }
+
   // ---- q75: int8 scalar quantization error card ----
   // The storage-compression decision for an embedding corpus, with
   // per-vector exact error evidence; pure integer arithmetic, zero
@@ -391,6 +425,7 @@ object SimilarityQueries {
     "q66_ivf_trained"   -> q66IvfTrained _,
     "q67_semantic_dedup" -> q67SemanticDedup _,
     "q72_cluster_best"  -> q72ClusterBest _,
+    "q135_survivorship" -> q135Survivorship _,
     "q75_embed_quantize" -> q75EmbedQuantize _,
     "q84_pq_ann"        -> q84PqAnn _,
     "q92_ivfadc"        -> q92IvfAdc _,
@@ -630,6 +665,30 @@ object SimilarityQueries {
        |  (row_number() OVER (PARTITION BY cl.cluster_id
        |     ORDER BY sc.quality_fp DESC, cl.doc_id) = 1) AS kept
        |FROM cl JOIN sc ON cl.doc_id = sc.doc_id""".stripMargin
+
+  // q38's closure joined to the raw attributes, then column-wise
+  // survivorship: modal picks spelled as rank-1 over counting
+  // aggregates (same tie order), min/max/count straight off the
+  // member frame.
+  private val q135Sql =
+    s"""WITH cl AS ($q38Sql),
+       |m AS (SELECT cl.cluster_id, d.doc_id, d.lang, d.source, d.n_chars
+       |  FROM cl JOIN documents d ON cl.doc_id = d.doc_id),
+       |lm AS (SELECT cluster_id, lang FROM (
+       |  SELECT cluster_id, lang, row_number() OVER (PARTITION BY cluster_id
+       |    ORDER BY count(*) DESC, lang) AS rn
+       |  FROM m GROUP BY cluster_id, lang) t WHERE rn = 1),
+       |sm AS (SELECT cluster_id, source FROM (
+       |  SELECT cluster_id, source, row_number() OVER (PARTITION BY cluster_id
+       |    ORDER BY count(*) DESC, source) AS rn
+       |  FROM m GROUP BY cluster_id, source) t WHERE rn = 1),
+       |b AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       |    min(doc_id) AS canonical_doc_id, max(n_chars) AS max_n_chars
+       |  FROM m GROUP BY cluster_id)
+       |SELECT b.cluster_id, b.n_members, b.canonical_doc_id,
+       |  lm.lang, sm.source, b.max_n_chars
+       |FROM b JOIN lm ON b.cluster_id = lm.cluster_id
+       |JOIN sm ON b.cluster_id = sm.cluster_id""".stripMargin
 
   // int8 quantization error card replayed in list arithmetic: same
   // micro-unit grid, same non-negative integer divisions.
@@ -1015,6 +1074,7 @@ object SimilarityQueries {
     "q92_ivfadc"        -> q92Sql,
     "q67_semantic_dedup" -> q67Sql,
     "q72_cluster_best"  -> q72Sql,
+    "q135_survivorship" -> q135Sql,
     "q75_embed_quantize" -> q75Sql,
     "q46_embed_stats" ->
       s"""SELECT label, CAST(i - 1 AS INTEGER) AS dim, count(*) AS n,
