@@ -243,6 +243,71 @@ object MinHashLSH {
     if (minJaccardFp > 0L) scored.filter(col("jaccard_fp") >= minJaccardFp) else scored
   }
 
+  /** Near-dup pairs restricted to a bounded event-time window — the
+    * incremental-corpus form of [[nearDupPairs]]. Each doc carries a
+    * non-negative integer day (`dayCol`); only pairs with
+    * |day_a − day_b| <= windowDays are emitted.
+    *
+    * The LSH band join is additionally keyed by time block
+    * (day div W and day div W + 1, so any admissible pair — whose
+    * blocks differ by at most 1 — still shares a composite key).
+    * That is the retention guard that keeps this viable on an
+    * ever-growing 100 TB corpus: a boilerplate band key that would
+    * bucket ALL of history now buckets at most ~2 windows of it, so
+    * candidate volume stays linear in corpus age and old blocks can
+    * be dropped at the scan. Because the blocking provably admits
+    * every pair the exact day filter keeps, the result is identical
+    * to the unblocked pipeline + day filter — which is exactly what
+    * the DuckDB oracle replays (the salted-join proof pattern: the
+    * optimization must be semantics-free).
+    *
+    * Output: (doc_a, doc_b, gap_days, jaccard_fp). */
+  def temporalNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      dayCol: String, windowDays: Long, shingleN: Int = 3, numHashes: Int = 8,
+      minJaccardFp: Long = 0L): DataFrame = {
+    require(windowDays > 0, "windowDays must be positive")
+    LlmFunctions.registerInterCount(docs.sparkSession)
+    LlmFunctions.registerMinHashSigs(docs.sparkSession)
+    val day = col(graft.Names.quoted(dayCol)).cast("bigint")
+    val sets = persistTracked(
+      shingleSets(docs, idCol, textCol, shingleN)
+        .join(docs.select(col(graft.Names.quoted(idCol)).as("doc_id"),
+          day.as("day")), "doc_id"))
+    val mh = sets.select(col("doc_id"), col("day"),
+      expr(s"minhash_sigs(s, $numHashes)").as("mh"))
+    val bandKey = expr(
+      s"transform(sequence(0, ${numHashes - 1}), b -> cast(element_at(mh, b + 1) as string))")
+    val bands = mh
+      .select(col("doc_id"), col("day"),
+        posexplode(bandKey).as(Seq("band_id", "band_key")))
+      .select(col("doc_id"), col("day"), col("band_id"), col("band_key"),
+        explode(expr(s"array(day div ${windowDays}L, day div ${windowDays}L + 1L)"))
+          .as("blk"))
+    val buckets = bands
+      .groupBy(col("band_id"), col("band_key"), col("blk"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("day")))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val pairs = buckets
+      .select(explode(expr(upperTriangleSql("ids",
+        (a, b) => s"struct($a.doc_id AS doc_a, $b.doc_id AS doc_b, " +
+          s"abs($a.day - $b.day) AS gap_days)"))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.gap_days").as("gap_days"))
+      .filter(col("gap_days") <= windowDays)
+      .distinct()
+    val jaccard = expr(
+      """cast(floor(1000000.0 * cast(i as double)
+        |  / cast(size(sa) + size(sb) - i as double)) as bigint)""".stripMargin)
+    val scored = pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("gap_days"),
+        expr("inter_count(sa, sb)").as("i"), col("sa"), col("sb"))
+      .select(col("doc_a"), col("doc_b"), col("gap_days"), jaccard.as("jaccard_fp"))
+    if (minJaccardFp > 0L) scored.filter(col("jaccard_fp") >= minJaccardFp)
+    else scored
+  }
+
   /** LSH tuning card: recall and precision of the banded candidate
     * generator against exact ground truth, per Jaccard threshold —
     * the evidence that picks (numHashes, rowsPerBand) before anyone

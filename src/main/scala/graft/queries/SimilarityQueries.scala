@@ -137,6 +137,26 @@ object SimilarityQueries {
         col("lang"), col("source"), col("max_n_chars"))
   }
 
+  // ---- q136: time-windowed near-dup pairs (temporal LSH blocking) ----
+  // Dedup over an ever-growing corpus must not compare today's crawl
+  // against all of history: pairs only matter within TemporalWindow
+  // days. The operator keys the band join by (band, time block) so a
+  // boilerplate band key buckets at most two windows of corpus, and
+  // candidate volume stays linear in corpus age. Days are synthesized
+  // deterministically from doc_id (the q87/q100 edge-derivation
+  // precedent); the oracle is the UNBLOCKED q21 pair set + the exact
+  // day filter — equality certifies the time blocking is
+  // semantics-free, the q133 salted-join proof pattern.
+  private val TemporalWindow = 7L
+  private val DayMod = 90L
+  private val DayMul = 37L
+  def q136TemporalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+      .withColumn("day", expr(s"(doc_id * ${DayMul}L) % ${DayMod}L"))
+    MinHashLSH.temporalNearDupPairs(docs, "doc_id", "text", "day",
+      TemporalWindow, shingleN = ShingleN, numHashes = NumHashes)
+  }
+
   // ---- q75: int8 scalar quantization error card ----
   // The storage-compression decision for an embedding corpus, with
   // per-vector exact error evidence; pure integer arithmetic, zero
@@ -426,6 +446,7 @@ object SimilarityQueries {
     "q67_semantic_dedup" -> q67SemanticDedup _,
     "q72_cluster_best"  -> q72ClusterBest _,
     "q135_survivorship" -> q135Survivorship _,
+    "q136_temporal_dedup" -> q136TemporalDedup _,
     "q75_embed_quantize" -> q75EmbedQuantize _,
     "q84_pq_ann"        -> q84PqAnn _,
     "q92_ivfadc"        -> q92IvfAdc _,
@@ -665,6 +686,17 @@ object SimilarityQueries {
        |  (row_number() OVER (PARTITION BY cl.cluster_id
        |     ORDER BY sc.quality_fp DESC, cl.doc_id) = 1) AS kept
        |FROM cl JOIN sc ON cl.doc_id = sc.doc_id""".stripMargin
+
+  // the unblocked banded pair set + exact day filter: the Spark side's
+  // time-block candidate keying must change nothing
+  private val q136Sql =
+    s"""WITH p AS ($q21Sql),
+       |d AS (SELECT doc_id, (doc_id * $DayMul) % $DayMod AS day FROM documents)
+       |SELECT p.doc_a, p.doc_b,
+       |  CAST(abs(da.day - db.day) AS BIGINT) AS gap_days, p.jaccard_fp
+       |FROM p JOIN d da ON p.doc_a = da.doc_id
+       |JOIN d db ON p.doc_b = db.doc_id
+       |WHERE abs(da.day - db.day) <= $TemporalWindow""".stripMargin
 
   // q38's closure joined to the raw attributes, then column-wise
   // survivorship: modal picks spelled as rank-1 over counting
@@ -1075,6 +1107,7 @@ object SimilarityQueries {
     "q67_semantic_dedup" -> q67Sql,
     "q72_cluster_best"  -> q72Sql,
     "q135_survivorship" -> q135Sql,
+    "q136_temporal_dedup" -> q136Sql,
     "q75_embed_quantize" -> q75Sql,
     "q46_embed_stats" ->
       s"""SELECT label, CAST(i - 1 AS INTEGER) AS dim, count(*) AS n,
