@@ -11,6 +11,12 @@ object Verify {
     // The driver always passes two args, so its full run is unchanged.
     val only: Set[String] =
       if (args.length > 2) args(2).split(',').toSet else Set.empty
+    // A typo'd name must fail loudly: silently selecting nothing would
+    // write no parquet + an empty oracle_sql.json and exit 0 — a
+    // spot-check that looks green while checking nothing.
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only(n) }

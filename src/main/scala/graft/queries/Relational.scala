@@ -323,7 +323,7 @@ object Relational {
       .join(cnt.select(col("pk").as("item_b"), col("c").as("cb")), "item_b")
       .select(col("item_a"), col("item_b"), col("support"),
         expr(s"cast((cast(support as decimal(38,0)) * ${n}L * 1000000L)" +
-          " div (ca * cb) as bigint)").as("lift_ppm"))
+          " div (cast(ca as decimal(38,0)) * cb) as bigint)").as("lift_ppm"))
   }
 
   // ---- q134: directed association rules (confidence + lift) ----
@@ -359,7 +359,7 @@ object Relational {
         expr("cast((cast(support as decimal(38,0)) * 1000000L) div ca as bigint)")
           .as("conf_ppm"),
         expr(s"cast((cast(support as decimal(38,0)) * ${n}L * 1000000L)" +
-          " div (ca * cb) as bigint)").as("lift_ppm"))
+          " div (cast(ca as decimal(38,0)) * cb) as bigint)").as("lift_ppm"))
   }
 
   // ---- q13: fact⋈dim join (part lookup) ----

@@ -121,8 +121,10 @@ object SimilarityQueries {
         .select(col("cluster_id"), col("doc_id"), col("lang"),
           col("source"), col("n_chars")))
     def modal(c: String): DataFrame = {
+      // nulls-last pins the tie order independent of engine defaults:
+      // Spark's plain asc sorts NULL first, DuckDB's ASC sorts it last.
       val w = Window.partitionBy(col("cluster_id"))
-        .orderBy(col("__c").desc, col(c).asc)
+        .orderBy(col("__c").desc, col(c).asc_nulls_last)
       m.groupBy(col("cluster_id"), col(c)).agg(count(lit(1)).as("__c"))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).select(col("cluster_id"), col(c))
@@ -708,11 +710,11 @@ object SimilarityQueries {
        |  FROM cl JOIN documents d ON cl.doc_id = d.doc_id),
        |lm AS (SELECT cluster_id, lang FROM (
        |  SELECT cluster_id, lang, row_number() OVER (PARTITION BY cluster_id
-       |    ORDER BY count(*) DESC, lang) AS rn
+       |    ORDER BY count(*) DESC, lang NULLS LAST) AS rn
        |  FROM m GROUP BY cluster_id, lang) t WHERE rn = 1),
        |sm AS (SELECT cluster_id, source FROM (
        |  SELECT cluster_id, source, row_number() OVER (PARTITION BY cluster_id
-       |    ORDER BY count(*) DESC, source) AS rn
+       |    ORDER BY count(*) DESC, source NULLS LAST) AS rn
        |  FROM m GROUP BY cluster_id, source) t WHERE rn = 1),
        |b AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
        |    min(doc_id) AS canonical_doc_id, max(n_chars) AS max_n_chars
