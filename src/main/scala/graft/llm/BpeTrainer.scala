@@ -99,13 +99,77 @@ object BpeTrainer {
   def vocab(docs: DataFrame, idCol: String, textCol: String,
       nMerges: Int): DataFrame = {
     require(nMerges >= 0, "nMerges must be non-negative")
-    val (_, fin) = trainOn(wordFreq(docs, idCol, textCol), nMerges)
+    vocabFrom(trainOn(wordFreq(docs, idCol, textCol), nMerges)._2)
+  }
+
+  private def vocabFrom(fin: DataFrame): DataFrame = {
     val occ = fin.select(col("freq"), explode(expr(symsExpr)).as("sym"))
       .groupBy(col("sym")).agg(sum(col("freq")).as("n_occ"))
     occ.select(col("sym"), col("n_occ"),
       row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("n_occ").desc, col("sym").asc))
         .cast("bigint").as("sym_id"))
+  }
+
+  /** ENCODE: apply a trained merge table to tokenize a corpus.
+    *
+    * This is the path that makes the tokenizer usable — training
+    * (q88) learns the merges, `vocab` (q99) ships the symbol table,
+    * and this applies them to text: every whitespace token is
+    * bracket-wrapped and the merges are replayed IN RANK ORDER as the
+    * same leftmost-non-overlapping literal replaces training used
+    * (the semantics q88's oracle pins), then each resulting symbol is
+    * looked up in the vocabulary for its dense id. Emits one row per
+    * document: `(doc_id, token_ids, n_bpe_tokens)` with `token_ids`
+    * the space-joined symbol-id sequence in reading order (empty
+    * string / 0 for token-less docs).
+    *
+    * 100 TB shape: the merge chain is a driver-held list of literal
+    * string pairs folded into ONE codegen'd projection over the
+    * exploded token stream — no join, no state, embarrassingly
+    * parallel; the only join is the broadcast of the
+    * vocabulary-sized symbol table for id lookup (kilobytes-to-
+    * megabytes, the artifact every real tokenizer broadcasts), and
+    * the final per-doc assembly groups by the id the corpus is
+    * already keyed by. Unseen-at-training words (none here, but the
+    * contract matters for a held-out corpus) degrade to their
+    * single-character symbols and surface as null ids rather than
+    * silently dropping. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      nMerges: Int): DataFrame = {
+    require(nMerges >= 0, "nMerges must be non-negative")
+    val q = graft.Names.quoted _
+    val (merges, fin) = trainOn(wordFreq(docs, idCol, textCol), nMerges)
+    val ids = vocabFrom(fin).select(col("sym"), col("sym_id"))
+    // the trained tokenizer as ONE expression: bracket-wrap the word,
+    // then one literal replace per learned merge, in rank order —
+    // exactly the replace chain training applied, so encode(w) for a
+    // training word reproduces its final training symbols
+    val encodeSql = merges.foldLeft(
+      "array_join(transform(split(w, ''), c -> concat('[', c, ']')), '')") {
+      case (acc, (l, r, _)) =>
+        s"replace($acc, ${sq(s"[$l][$r]")}, ${sq(s"[$l$r]")})"
+    }
+    val perSym = docs
+      .select(col(q(idCol)).as("doc_id"),
+        posexplode(TextAnalysis.tokens(col(q(textCol)))).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"), expr(encodeSql).as("s"))
+      .select(col("doc_id"), col("pos"),
+        posexplode(expr(symsExpr)).as(Seq("spos", "sym")))
+    val agg = perSym.join(broadcast(ids), Seq("sym"))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("spos"),
+              col("sym_id")))),
+            x => x.getField("sym_id").cast("string")),
+          " ").as("token_ids"),
+        count(lit(1)).as("n_bpe_tokens"))
+    docs.select(col(q(idCol)).as("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("token_ids"), lit("")).as("token_ids"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
   }
 
   /** Per-document tokenization stats under the trained merges:
