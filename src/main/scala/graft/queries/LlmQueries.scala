@@ -777,6 +777,20 @@ object LlmQueries {
     graft.llm.BpeTrainer.vocab(graft.Tables.documents(s, dir),
       "doc_id", "text", BpeMerges)
 
+  // ---- q137: BPE encode — tokenize the corpus with the trained merges ----
+  // The path that makes q88's training usable: every whitespace token
+  // is bracket-wrapped and the learned merges are replayed in rank
+  // order as the same leftmost-non-overlapping literal replaces
+  // training used, then each resulting symbol takes its q99 dense id.
+  // One row per document: (doc_id, token_ids, n_bpe_tokens). The
+  // oracle proves the replace-chain encoder agrees with training by a
+  // different route — it looks each word up in the final training
+  // table (encode(w) must equal w's final training symbols) and
+  // reassembles ids in reading order.
+  def q137BpeEncode(s: SparkSession, dir: String): DataFrame =
+    graft.llm.BpeTrainer.encode(graft.Tables.documents(s, dir),
+      "doc_id", "text", BpeMerges)
+
   // ---- q100: degree-oriented triangle counting ----
   // The community-density signal over q87's link graph: per-vertex
   // triangle participation via degree orientation (wedges form only
@@ -974,6 +988,7 @@ object LlmQueries {
     "q101_containment" -> q101Containment _,
     "q100_triangles"   -> q100Triangles _,
     "q99_bpe_vocab"    -> q99BpeVocab _,
+    "q137_bpe_encode"  -> q137BpeEncode _,
     "q98_heavy_hitters" -> q98HeavyHitters _,
     "q97_hll_card"     -> q97HllCard _,
     "q96_sparse_cosine" -> q96SparseCosine _,
@@ -1741,6 +1756,27 @@ object LlmQueries {
          |vc AS (SELECT sym, CAST(sum(freq) AS BIGINT) AS n_occ FROM v GROUP BY sym)
          |SELECT sym, n_occ, CAST(row_number() OVER (
          |  ORDER BY n_occ DESC, sym ASC) AS BIGINT) AS sym_id FROM vc""".stripMargin,
+    "q137_bpe_encode" ->
+      s"""WITH $bpeChainSql,
+         |vx AS (SELECT unnest(string_split(s[2:len(s) - 1], '][')) AS sym, freq
+         |  FROM w$BpeMerges),
+         |vc AS (SELECT sym, CAST(sum(freq) AS BIGINT) AS n_occ FROM vx GROUP BY sym),
+         |ids AS (SELECT sym, CAST(row_number() OVER (
+         |  ORDER BY n_occ DESC, sym ASC) AS BIGINT) AS sym_id FROM vc),
+         |tk AS (SELECT doc_id, i, toks[i::INT] AS w FROM
+         |  (SELECT doc_id, $toksSql AS toks FROM documents) x,
+         |  unnest(range(1, len(toks) + 1)) AS u(i)),
+         |sy AS (SELECT doc_id, i, j, y[j::INT] AS sym FROM
+         |  (SELECT tk.doc_id, tk.i, string_split(s[2:len(s) - 1], '][') AS y
+         |   FROM tk JOIN w$BpeMerges USING (w)) z,
+         |  unnest(range(1, len(y) + 1)) AS u(j)),
+         |agg AS (SELECT doc_id,
+         |    string_agg(CAST(sym_id AS VARCHAR), ' ' ORDER BY i, j) AS token_ids,
+         |    CAST(count(*) AS BIGINT) AS n_bpe_tokens
+         |  FROM sy JOIN ids USING (sym) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(agg.token_ids, '') AS token_ids,
+         |  coalesce(agg.n_bpe_tokens, 0) AS n_bpe_tokens
+         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
     "q100_triangles" ->
       """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
         |ed AS (SELECT doc_id AS src, (doc_id * 7 + k * 13) % (SELECT n FROM nn) AS dst
