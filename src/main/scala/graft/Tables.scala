@@ -20,19 +20,32 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame   = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame   = apply(s, d, "region")
-  /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark's
-    * timestamp type (µs) cannot hold; read it as raw nanos and floor
-    * to micros. True floored division (`(ts - pmod(ts,1000)) div 1000`,
-    * not truncation) mirrors the oracle's `epoch_ns(ts)//1000` even for
-    * pre-1970 timestamps. Requires
-    * `spark.sql.legacy.parquet.nanosAsLong=true` at session build (set
-    * by `Sessions.builder`; mutating it here per-read would be a hidden
-    * session-global side effect).
+  /** `events.ts` has shipped in two parquet layouts across testdata
+    * generations; normalize both to a µs TIMESTAMP (UTC session, so
+    * values match the DuckDB oracle's naive-timestamp read):
+    *  - INT64 TIMESTAMP(NANOS), which Spark's µs timestamp cannot hold
+    *    — surfaces as LongType under
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (set at session
+    *    build by `Sessions.builder`; mutating it here per-read would be
+    *    a hidden session-global side effect). Floor nanos to micros
+    *    with true floored division (`(ts - pmod(ts,1000)) div 1000`,
+    *    not truncation), mirroring the oracle's `epoch_ns(ts)//1000`
+    *    even for pre-1970 timestamps.
+    *  - INT64 TIMESTAMP(MICROS, isAdjustedToUTC=false) — surfaces as
+    *    TIMESTAMP_NTZ; a plain cast reinterprets the naive value as
+    *    session-zone (UTC) instant, value-identical to the nanos path.
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }
