@@ -131,16 +131,30 @@ object BpeTrainer {
     * vocabulary-sized symbol table for id lookup (kilobytes-to-
     * megabytes, the artifact every real tokenizer broadcasts), and
     * the final per-doc assembly groups by the id the corpus is
-    * already keyed by. Unseen-at-training words (none here, but the
-    * contract matters for a held-out corpus) degrade to their
-    * single-character symbols and surface as null ids rather than
-    * silently dropping. */
+    * already keyed by. Trains once, then delegates to the pre-trained
+    * overload. */
   def encode(docs: DataFrame, idCol: String, textCol: String,
       nMerges: Int): DataFrame = {
     require(nMerges >= 0, "nMerges must be non-negative")
-    val q = graft.Names.quoted _
     val (merges, fin) = trainOn(wordFreq(docs, idCol, textCol), nMerges)
-    val ids = vocabFrom(fin).select(col("sym"), col("sym_id"))
+    encode(docs, idCol, textCol, merges,
+      vocabFrom(fin).select(col("sym"), col("sym_id")))
+  }
+
+  /** ENCODE with a PRE-TRAINED tokenizer — `merges` in learn order
+    * plus a `(sym, sym_id)` vocabulary (the `trainMerges`/`vocab`
+    * artifacts). Training runs once, offline; this pass is a pure
+    * codegen'd projection (the merge chain folded into one replace
+    * expression) plus one broadcast LEFT join against the
+    * vocabulary-sized id table, so a held-out corpus encodes without
+    * re-touching the training corpus. Unseen-at-training words
+    * degrade to whatever symbols the merge chain leaves (ultimately
+    * single characters); symbols absent from the vocabulary still
+    * COUNT toward `n_bpe_tokens` and surface as the literal `null`
+    * placeholder in `token_ids` rather than silently dropping. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String, Long)], vocabIds: DataFrame): DataFrame = {
+    val q = graft.Names.quoted _
     // the trained tokenizer as ONE expression: bracket-wrap the word,
     // then one literal replace per learned merge, in rank order —
     // exactly the replace chain training applied, so encode(w) for a
@@ -156,7 +170,9 @@ object BpeTrainer {
       .select(col("doc_id"), col("pos"), expr(encodeSql).as("s"))
       .select(col("doc_id"), col("pos"),
         posexplode(expr(symsExpr)).as(Seq("spos", "sym")))
-    val agg = perSym.join(broadcast(ids), Seq("sym"))
+    val agg = perSym
+      .join(broadcast(vocabIds.select(col("sym"), col("sym_id"))),
+        Seq("sym"), "left")
       .groupBy(col("doc_id"))
       .agg(
         array_join(
@@ -164,7 +180,7 @@ object BpeTrainer {
             array_sort(collect_list(struct(col("pos"), col("spos"),
               col("sym_id")))),
             x => x.getField("sym_id").cast("string")),
-          " ").as("token_ids"),
+          " ", "null").as("token_ids"),
         count(lit(1)).as("n_bpe_tokens"))
     docs.select(col(q(idCol)).as("doc_id")).join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),

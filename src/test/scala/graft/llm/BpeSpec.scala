@@ -71,6 +71,38 @@ class BpeSpec extends AnyFunSuite with SparkTestSession {
     assert(counts === Set((3L, 3L), (2L, 2L)))
   }
 
+  test("encode reproduces each word's final training symbols") {
+    // after 3 merges on aaab×2 + ab: aaab→[aaab] (id 1), ab→[ab] (id 2)
+    val docs = docsOf("aaab aaab", "ab")
+    val enc = BpeTrainer.encode(docs, "doc_id", "text", nMerges = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(enc(0L) === (("1 1", 2L)))
+    assert(enc(1L) === (("2", 1L)))
+  }
+
+  test("encode: reading-order id assembly, token-less docs, nMerges=0") {
+    // char vocabulary: masses a=2, b=3 → b id 1, a id 2
+    val docs = docsOf("ab ba", "", "b")
+    val enc = BpeTrainer.encode(docs, "doc_id", "text", nMerges = 0)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(enc(0L) === (("2 1 1 2", 4L))) // [a][b] then [b][a], in order
+    assert(enc(1L) === (("", 0L)))
+    assert(enc(2L) === (("1", 1L)))
+  }
+
+  test("pre-trained encode: unseen symbols surface as null and still count") {
+    // train to full collapse on aaab — vocabulary is exactly {aaab}
+    val train = docsOf("aaab aaab")
+    val merges = BpeTrainer.trainMerges(train, "doc_id", "text", nMerges = 3)
+    val vocab = BpeTrainer.vocab(train, "doc_id", "text", nMerges = 3)
+    // held-out corpus: aaab encodes to its training symbol; ac stays
+    // [a][c] — both symbols unseen → literal null ids, counted
+    val held = docsOf("aaab ac")
+    val enc = BpeTrainer.encode(held, "doc_id", "text", merges, vocab)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(enc.toSeq === Seq(("1 null null", 3L)))
+  }
+
   test("partition-invariant merges") {
     import org.apache.spark.sql.functions.col
     val docs = docsOf("the table the table scan", "scan the hash table",
