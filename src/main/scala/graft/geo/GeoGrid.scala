@@ -679,4 +679,157 @@ object GeoGrid {
       .groupBy(col("point_id"), col("line_id"))
       .agg(count(lit(1)).as("n_seg_hits"))
   }
+
+  /** Grid-partitioned EXACT k-nearest-neighbor join: for every query
+    * POINT, the `k` nearest corpus POINTs by squared micro-unit
+    * distance, ties by neighbor id — the snap-to-nearest-POI shape
+    * behind PostGIS's `ORDER BY geom <-> target LIMIT k` idiom that
+    * follows every point-layer ship (the reference pushes point
+    * layers to PostGIS exactly for this, sync_df_to_pgdb.py:198-202).
+    * Returns `(query_id, neighbor_id, dist2_fp2, nn_rank)` with
+    * `nn_rank` 1..k; queries with unparsable/empty WKB drop out, a
+    * corpus smaller than `k` yields fewer rows per query.
+    *
+    * Expanding-ring search with PER-QUERY radii:
+    *  - each query's first probe is the cell block at radius
+    *    `max(1, Chebyshev distance from its home cell to the corpus
+    *    cell bounding box)` — a far-off query jumps straight to the
+    *    first block that can contain corpus cells instead of grinding
+    *    empty rings;
+    *  - probe cells are clipped to the corpus cell box, so no round
+    *    ever enumerates cells that cannot hold a corpus point;
+    *  - after a probe at radius r, a query retires when its k-th
+    *    candidate is STRICTLY inside the covered radius
+    *    (`kth_dist2 < (r·cellSizeFp)²` — the standard grid-kNN
+    *    termination proof: an unprobed point differs by more than
+    *    r·cellSize on some axis, so its floored micro-unit delta is
+    *    ≥ r·cellSizeFp and it cannot displace the k-th even on the id
+    *    tie-break), or when its block covers the whole corpus box
+    *    (fewer than k neighbors simply don't exist);
+    *  - survivors re-probe ONLY the new ring (cells with Chebyshev
+    *    distance exactly r+1), merging into a per-query running top-k,
+    *    so no cell is ever joined twice for the same query.
+    *
+    * 100 TB shape: every round shuffles skinny `(id, two longs)` rows
+    * keyed by grid cell — geometry bytes never cross an exchange; the
+    * running state is a ≤k-row-per-query frame plus eight bounds
+    * scalars on the driver; the round count is data-bounded by the
+    * corpus cell span (dense corpora retire almost everything at the
+    * first 3×3 block), matching the fixed-point-iteration contract of
+    * the PageRank/CC operators. */
+  def knnJoin(queries: DataFrame, qIdCol: Column, qWkbCol: Column,
+      corpus: DataFrame, cIdCol: Column, cWkbCol: Column,
+      cellSize: Double, k: Int): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    require(cellSize > 0.0, "cellSize must be positive")
+    require(cellSize <= MaxCellSize,
+      s"cellSize ($cellSize) beyond $MaxCellSize overflows the fixed-point " +
+        "squared-distance arithmetic — rescale coordinates first")
+    import graft.llm.Caches
+    val cFp = math.floor(cellSize * 1e6).toLong
+    val xyUdf = udf { (bytes: Array[Byte]) =>
+      Option(bytes).flatMap(Wkb.read).flatMap(finiteCenter).map { case (cx, cy) =>
+        (math.floor(cx * 1e6).toLong, math.floor(cy * 1e6).toLong,
+          math.floor(cx / cellSize).toLong, math.floor(cy / cellSize).toLong)
+      }
+    }
+    val qs = Caches.persistTracked(
+      queries.select(qIdCol.as("query_id"), xyUdf(qWkbCol).as("p"))
+        .filter(col("p").isNotNull)
+        .select(col("query_id"), col("p._1").as("qx"), col("p._2").as("qy"),
+          col("p._3").as("qcx"), col("p._4").as("qcy")))
+    val cs = Caches.persistTracked(
+      corpus.select(cIdCol.as("neighbor_id"), xyUdf(cWkbCol).as("p"))
+        .filter(col("p").isNotNull)
+        .select(col("neighbor_id"), col("p._1").as("nx"), col("p._2").as("ny"),
+          col("p._3").as("pcx"), col("p._4").as("pcy")))
+    def emptyResult: DataFrame = qs.limit(0).crossJoin(cs.limit(0))
+      .select(col("query_id"), col("neighbor_id"),
+        lit(0L).as("dist2_fp2"), lit(0L).as("nn_rank"))
+    val cb = cs.agg(
+      min("pcx").as("a"), max("pcx").as("b"), min("pcy").as("c"),
+      max("pcy").as("d"), min("nx").as("e"), max("nx").as("f"),
+      min("ny").as("g"), max("ny").as("h")).collect()(0)
+    if (cb.isNullAt(0)) return emptyResult
+    val qb = qs.agg(min("qx").as("a"), max("qx").as("b"),
+      min("qy").as("c"), max("qy").as("d")).collect()(0)
+    if (qb.isNullAt(0)) return emptyResult
+    val (minCx, maxCx, minCy, maxCy) =
+      (cb.getLong(0), cb.getLong(1), cb.getLong(2), cb.getLong(3))
+    // overflow guard over the UNION of both sides' fp coordinates,
+    // with 2·cellSizeFp slack because the termination threshold is
+    // (r·cellSizeFp)² for r up to the cross-box Chebyshev span + 1
+    val spanX = BigInt(math.max(cb.getLong(5), qb.getLong(1)) -
+      math.min(cb.getLong(4), qb.getLong(0))) + 2 * BigInt(cFp)
+    val spanY = BigInt(math.max(cb.getLong(7), qb.getLong(3)) -
+      math.min(cb.getLong(6), qb.getLong(2))) + 2 * BigInt(cFp)
+    require(spanX * spanX + spanY * spanY <= BigInt(Long.MaxValue),
+      "coordinate span overflows fixed-point squared-distance " +
+        "arithmetic — rescale coordinates first")
+    // per-query state: rprev = largest Chebyshev radius already
+    // probed (-1 = nothing yet), rcur = radius this round probes to
+    var active = Caches.persistTracked(qs
+      .withColumn("rcur", greatest(lit(1L),
+        greatest(lit(minCx) - col("qcx"), col("qcx") - lit(maxCx), lit(0L)),
+        greatest(lit(minCy) - col("qcy"), col("qcy") - lit(maxCy), lit(0L))))
+      .withColumn("rprev", lit(-1L)))
+    var topk: DataFrame = null
+    // hard bound: by radius maxR every block covers the corpus box
+    val qcb = qs.agg(min("qcx"), max("qcx"), min("qcy"), max("qcy")).collect()(0)
+    val maxR = math.max(
+      math.max(math.abs(qcb.getLong(1) - minCx), math.abs(maxCx - qcb.getLong(0))),
+      math.max(math.abs(qcb.getLong(3) - minCy), math.abs(maxCy - qcb.getLong(2)))) + 1
+    var rounds = 0L
+    while (rounds <= maxR && !active.isEmpty) {
+      // clipped block of radius rcur minus the already-probed block:
+      // the ranges are provably nonempty for every active query
+      // (rcur ≥ its axis gap to the corpus box by construction)
+      val probes = active
+        .select(col("query_id"), col("qx"), col("qy"),
+          explode(expr(
+            s"""filter(flatten(transform(
+               |  sequence(greatest(qcx - rcur, ${minCx}L),
+               |           least(qcx + rcur, ${maxCx}L)),
+               |  px -> transform(
+               |    sequence(greatest(qcy - rcur, ${minCy}L),
+               |             least(qcy + rcur, ${maxCy}L)),
+               |    py -> struct(px AS pcx, py AS pcy)))),
+               |  c -> greatest(abs(c.pcx - qcx), abs(c.pcy - qcy)) > rprev)
+               |""".stripMargin)).as("c"))
+        .select(col("query_id"), col("qx"), col("qy"),
+          col("c.pcx").as("pcx"), col("c.pcy").as("pcy"))
+      val cand = probes.join(cs, Seq("pcx", "pcy"))
+        .select(col("query_id"), col("neighbor_id"),
+          ((col("qx") - col("nx")) * (col("qx") - col("nx")) +
+            (col("qy") - col("ny")) * (col("qy") - col("ny"))).as("dist2_fp2"))
+      val merged = if (topk == null) cand else topk.unionByName(cand)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("dist2_fp2").asc, col("neighbor_id").asc)
+      val newTop = Caches.persistTracked(
+        merged.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= k).drop("__rn"))
+      val stats = newTop.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("__n"), max(col("dist2_fp2")).as("__kth"))
+      active = Caches.persistTracked(active
+        .join(stats, Seq("query_id"), "left")
+        .filter(!((coalesce(col("__n"), lit(0L)) >= k &&
+            col("__kth") < (col("rcur") * cFp) * (col("rcur") * cFp)) ||
+          (col("qcx") - col("rcur") <= minCx &&
+            col("qcx") + col("rcur") >= maxCx &&
+            col("qcy") - col("rcur") <= minCy &&
+            col("qcy") + col("rcur") >= maxCy)))
+        .select(col("query_id"), col("qx"), col("qy"), col("qcx"), col("qcy"),
+          (col("rcur") + 1).as("rcur"), col("rcur").as("rprev")))
+      topk = newTop
+      rounds += 1
+    }
+    if (topk == null) emptyResult
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("dist2_fp2").asc, col("neighbor_id").asc)
+      topk.withColumn("nn_rank", row_number().over(w).cast("bigint"))
+    }
+  }
 }

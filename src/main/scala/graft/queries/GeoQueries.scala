@@ -284,8 +284,26 @@ object GeoQueries {
     graft.geo.GeoGrid.gridAudit(auditCorpus(s, dir),
       col("doc_id"), col("wkb"), GridCellSize)
 
+  // ---- q138: grid-partitioned exact kNN join (snap-to-nearest-POI) ----
+  // Every point queries the sparse POI layer (every 20th doc, same
+  // coordinate formula) for its 3 nearest neighbors. The POI layer's
+  // density (≈1 per 4 cells at sf0.01) forces real ring expansion —
+  // most queries cannot retire at the first 3×3 block because the
+  // termination proof demands the k-th hit strictly inside the
+  // covered radius. The oracle replays the synthesis arithmetic and a
+  // brute-force O(n·m) rank — the grid search must produce the
+  // identical top-3 per query, ties and all.
+  private val KnnK = 3
+  private val PoiResidue = 7
+  def q138GeoKnn(s: SparkSession, dir: String): DataFrame =
+    graft.geo.GeoGrid.knnJoin(
+      pointCorpus(s, dir), col("doc_id"), col("wkb"),
+      pointCorpus(s, dir).filter(pmod(col("doc_id"), lit(20)) === PoiResidue),
+      col("doc_id"), col("wkb"), GridCellSize, KnnK)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q86_geo_grid_audit" -> q86GeoGridAudit _,
+    "q138_geo_knn" -> q138GeoKnn _,
     "q85_geo_line_distance" -> q85GeoLineDistance _,
     "q14_geom_type" -> q14GeomType _,
     "q15_linearize" -> q15Linearize _,
@@ -316,6 +334,26 @@ object GeoQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // brute-force O(n·m) kNN replay under the same micro-unit integer
+    // arithmetic and (dist2, id) tie order the grid search uses — the
+    // expanding-ring termination must lose no neighbor and invent none
+    "q138_geo_knn" ->
+      s"""WITH p AS (SELECT doc_id,
+         |    CAST(floor((((x + x) / 2.0)) * 1000000.0) AS BIGINT) AS xf,
+         |    CAST(floor((((y + y) / 2.0)) * 1000000.0) AS BIGINT) AS yf
+         |  FROM (SELECT doc_id,
+         |    CAST(doc_id * 37 % 1000 AS DOUBLE) / 10.0 - 50.0 AS x,
+         |    CAST(doc_id * 91 % 1000 AS DOUBLE) / 10.0 - 50.0 AS y FROM documents) s),
+         |poi AS (SELECT doc_id AS neighbor_id, xf, yf FROM p
+         |  WHERE doc_id % 20 = $PoiResidue),
+         |d AS (SELECT p.doc_id AS query_id, poi.neighbor_id,
+         |    (p.xf - poi.xf) * (p.xf - poi.xf)
+         |      + (p.yf - poi.yf) * (p.yf - poi.yf) AS dist2_fp2
+         |  FROM p, poi),
+         |r AS (SELECT query_id, neighbor_id, dist2_fp2, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY dist2_fp2, neighbor_id) AS rn FROM d)
+         |SELECT query_id, neighbor_id, dist2_fp2, CAST(rn AS BIGINT) AS nn_rank
+         |FROM r WHERE rn <= $KnnK""".stripMargin,
     "q86_geo_grid_audit" ->
       s"""SELECT doc_id AS id,
          |  CASE doc_id % 50

@@ -448,4 +448,59 @@ class GeoGridSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(_.getLong(1)).toSet
     assert(got === Set(2L), "the giant segment must drop out, the normal one stays")
   }
+
+  /** Brute-force kNN over micro-unit fixed-point coordinates — the
+    * oracle the grid search must match exactly, ties included. */
+  private def bruteKnn(qs: Seq[(Long, Double, Double)],
+      cs: Seq[(Long, Double, Double)], k: Int): Set[(Long, Long, Long, Long)] = {
+    def fp(v: Double) = math.floor(v * 1e6).toLong
+    qs.flatMap { case (qid, qx, qy) =>
+      cs.map { case (nid, nx, ny) =>
+        val dx = fp(qx) - fp(nx); val dy = fp(qy) - fp(ny)
+        (nid, dx * dx + dy * dy)
+      }.sortBy { case (nid, d2) => (d2, nid) }.take(k).zipWithIndex
+        .map { case ((nid, d2), i) => (qid, nid, d2, i + 1L) }
+    }.toSet
+  }
+
+  test("knnJoin equals brute force on a sparse corpus (ring expansion required)") {
+    import spark.implicits._
+    // corpus density ≪ 1 per cell at cellSize=10: the nearest POI sits
+    // in the 3×3 block but the 2nd-nearest is 3-4 rings out, so a
+    // first-block-only search would return the wrong top-2 — and the
+    // far-off query at x=200 exercises the jump-to-first-useful-ring
+    // path (its home block is 17 cells from the corpus box)
+    val qPts = Seq((0L, 0.0, 0.0), (1L, 5.0, 5.0), (2L, 200.0, 0.0),
+      (3L, -15.0, -15.0))
+    val cPts = Seq((100L, 1.0, 1.0), (101L, 35.0, 0.0), (102L, -42.0, 8.0))
+    val queries = qPts.map { case (i, x, y) => (i, Wkb.write(pt(x, y))) }
+      .toDF("id", "wkb")
+    val corpus = cPts.map { case (i, x, y) => (i, Wkb.write(pt(x, y))) }
+      .toDF("id", "wkb")
+    val got = GeoGrid.knnJoin(queries, col("id"), col("wkb"),
+        corpus, col("id"), col("wkb"), cellSize = 10.0, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === bruteKnn(qPts, cPts, 2))
+  }
+
+  test("knnJoin: short lists under a small corpus, deterministic tie order") {
+    import spark.implicits._
+    // two POIs exactly equidistant from the query: the lower id must
+    // take rank 1 (the (dist2, id) tie contract); k=3 over a corpus of
+    // 2 yields exactly 2 rows, and an empty corpus yields none
+    val queries = Seq((0L, Wkb.write(pt(0.0, 0.0)))).toDF("id", "wkb")
+    val corpus = Seq((7L, Wkb.write(pt(5.0, 0.0))), (3L, Wkb.write(pt(-5.0, 0.0))))
+      .toDF("id", "wkb")
+    val got = GeoGrid.knnJoin(queries, col("id"), col("wkb"),
+        corpus, col("id"), col("wkb"), cellSize = 10.0, k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSeq.sortBy(_._2)
+    // fp coords: floor(-5·1e6) = -5000000, dist2 identical on both sides
+    assert(got === Seq((3L, 1L), (7L, 2L)))
+    val none = GeoGrid.knnJoin(queries, col("id"), col("wkb"),
+      corpus.filter(col("id") < 0), col("id"), col("wkb"), 10.0, 2)
+    assert(none.count() === 0L)
+    assert(none.columns.toSeq ===
+      Seq("query_id", "neighbor_id", "dist2_fp2", "nn_rank"))
+  }
 }
