@@ -498,6 +498,38 @@ object GeoGrid {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** [[overlapJoin]] upgraded from WHICH pairs intersect to HOW MUCH:
+    * every intersecting pair with TWICE the intersection area in
+    * micro-unit fp² (`GeoStats.intersectionArea2Fp` — exact rational
+    * Sutherland–Hodgman when a side is convex, envelope-intersection
+    * fallback flagged `exact = false` otherwise). The overlay-analysis
+    * follow-up to st_intersects: land-cover × admin-area reporting
+    * runs on intersection areas, not intersection booleans.
+    *
+    * 100 TB shape: identical to [[overlapJoin]] — the pair discovery
+    * IS overlapJoin, and the area computation adds one scan-local
+    * projection over the surviving pairs' bytes (re-joined BY ID, so
+    * geometry still never rides the candidate exchange). */
+  def overlapAreaJoin(a: DataFrame, aIdCol: Column, aWkbCol: Column,
+      b: DataFrame, bIdCol: Column, bWkbCol: Column,
+      cellSize: Double): DataFrame = {
+    val pairs = overlapJoin(a, aIdCol, aWkbCol, b, bIdCol, bWkbCol, cellSize)
+    val areaUdf = udf { (bytesA: Array[Byte], bytesB: Array[Byte]) =>
+      val pa = Option(bytesA).flatMap(Wkb.read).map(linearized)
+        .map(polysIn).getOrElse(Array.empty[Wkb.GPolygon])
+      val pb = Option(bytesB).flatMap(Wkb.read).map(linearized)
+        .map(polysIn).getOrElse(Array.empty[Wkb.GPolygon])
+      GeoStats.intersectionArea2Fp(pa, pb)
+    }
+    pairs
+      .join(a.select(aIdCol.as("id_a"), aWkbCol.as("__a_wkb")), Seq("id_a"))
+      .join(b.select(bIdCol.as("id_b"), bWkbCol.as("__b_wkb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        areaUdf(col("__a_wkb"), col("__b_wkb")).as("r"))
+      .select(col("id_a"), col("id_b"),
+        col("r._1").as("area2_fp2"), col("r._2").as("exact"))
+  }
+
   /** Grid admission audit: every input row with the REASON the grid
     * family would admit or refuse it — the data-quality counterpart
     * of the silent-exclusion contract ([[finiteCenter]] returning

@@ -90,6 +90,194 @@ object GeoStats {
       Some(total)
     } catch { case _: ArithmeticException => None }
 
+  // ---------- intersection area (Sutherland–Hodgman, exact rational) ----------
+
+  /** Homogeneous rational point (x/w, y/w) with w > 0 — clip-edge
+    * intersections are rational even over integer inputs, and BigInt
+    * homogeneous coordinates keep the whole clip EXACT (a double
+    * evaluation would drift in the last ulp and break oracle replay).
+    * gcd-reduced after every intersection to bound coefficient
+    * growth. */
+  private final case class HPt(x: BigInt, y: BigInt, w: BigInt) {
+    def reduced: HPt = {
+      val g = x.gcd(y).gcd(w)
+      if (g > 1) HPt(x / g, y / g, w / g) else this
+    }
+  }
+
+  /** Ring vertices floored to micro-unit Longs (the q82 arithmetic),
+    * closing duplicate dropped. Throws on non-finite/out-of-range
+    * coordinates — callers map that to the unscorable contract. */
+  private def fpRing(r: Array[Array[Double]]): Array[(Long, Long)] = {
+    val pts = r.map { c =>
+      val x = c(0); val y = c(1)
+      if (!java.lang.Double.isFinite(x) || !java.lang.Double.isFinite(y) ||
+        math.abs(x) > GeoGrid.MaxCoord || math.abs(y) > GeoGrid.MaxCoord)
+        throw new ArithmeticException("non-finite or out-of-range coordinate")
+      (math.floor(x * 1e6).toLong, math.floor(y * 1e6).toLong)
+    }
+    if (pts.length >= 2 && pts.head == pts.last) pts.dropRight(1) else pts
+  }
+
+  private def signedArea2(ring: Array[(Long, Long)]): BigInt = {
+    var s = BigInt(0)
+    var j = 0
+    while (j < ring.length) {
+      val (x0, y0) = ring(j)
+      val (x1, y1) = ring((j + 1) % ring.length)
+      s += BigInt(x0) * y1 - BigInt(x1) * y0
+      j += 1
+    }
+    s
+  }
+
+  /** Convex (allowing collinear runs): no two consecutive-edge cross
+    * products with opposite signs. */
+  private def isConvex(ring: Array[(Long, Long)]): Boolean = {
+    var pos = false; var neg = false
+    var j = 0
+    val n = ring.length
+    while (j < n) {
+      val (ax, ay) = ring(j)
+      val (bx, by) = ring((j + 1) % n)
+      val (cx, cy) = ring((j + 2) % n)
+      val cr = BigInt(bx - ax) * (cy - by) - BigInt(by - ay) * (cx - bx)
+      if (cr.signum > 0) pos = true
+      if (cr.signum < 0) neg = true
+      j += 1
+    }
+    !(pos && neg)
+  }
+
+  /** Which side of the directed clip edge c1→c2 (CCW ⇒ inside is
+    * left, sign ≥ 0). */
+  private def side(p: HPt, c1: (Long, Long), c2: (Long, Long)): Int =
+    (BigInt(c2._1 - c1._1) * (p.y - BigInt(c1._2) * p.w) -
+      BigInt(c2._2 - c1._2) * (p.x - BigInt(c1._1) * p.w)).signum
+
+  /** Exact intersection of segment-line p–q with the clip line c1–c2
+    * via homogeneous line cross products; callers only invoke it when
+    * the endpoints sit on opposite sides, so the lines are never
+    * parallel. */
+  private def intersect(p: HPt, q: HPt,
+      c1: (Long, Long), c2: (Long, Long)): HPt = {
+    val a = BigInt(c1._2 - c2._2)
+    val b = BigInt(c2._1 - c1._1)
+    val c = BigInt(c1._1) * c2._2 - BigInt(c2._1) * c1._2
+    val m1 = p.y * q.w - p.w * q.y
+    val m2 = p.w * q.x - p.x * q.w
+    val m3 = p.x * q.y - p.y * q.x
+    val x = b * m3 - c * m2
+    val y = c * m1 - a * m3
+    val w = a * m2 - b * m1
+    (if (w.signum < 0) HPt(-x, -y, -w) else HPt(x, y, w)).reduced
+  }
+
+  private def clipEdge(in: Array[HPt],
+      c1: (Long, Long), c2: (Long, Long)): Array[HPt] = {
+    if (in.isEmpty) return in
+    val buf = scala.collection.mutable.ArrayBuffer.empty[HPt]
+    var j = 0
+    while (j < in.length) {
+      val cur = in(j)
+      val prev = in((j + in.length - 1) % in.length)
+      val cs = side(cur, c1, c2)
+      val ps = side(prev, c1, c2)
+      if (cs >= 0) {
+        if (ps < 0) buf += intersect(prev, cur, c1, c2)
+        buf += cur
+      } else if (ps >= 0) buf += intersect(prev, cur, c1, c2)
+      j += 1
+    }
+    buf.toArray
+  }
+
+  /** Floor of TWICE the intersection area of `subj` clipped by the
+    * CONVEX ring `clip`, in micro-unit fp² — exact rational
+    * Sutherland–Hodgman, so the floor is the floor of the TRUE
+    * doubled area (integral for integral intersections, e.g.
+    * axis-aligned rectangles). Subject concavity is fine: S-H's
+    * degenerate bridge edges along the clip boundary are zero-area.
+    * None when the result exceeds Long range. */
+  private def clipArea2(subj: Array[(Long, Long)],
+      clip0: Array[(Long, Long)]): Option[Long] = {
+    val clip = if (signedArea2(clip0).signum >= 0) clip0 else clip0.reverse
+    var out = subj.map { case (x, y) => HPt(BigInt(x), BigInt(y), BigInt(1)) }
+    var j = 0
+    while (j < clip.length && out.nonEmpty) {
+      out = clipEdge(out, clip(j), clip((j + 1) % clip.length))
+      j += 1
+    }
+    if (out.length < 3) return Some(0L)
+    var num = BigInt(0); var den = BigInt(1)
+    var i = 0
+    while (i < out.length) {
+      val p = out(i); val q = out((i + 1) % out.length)
+      val tn = p.x * q.y - q.x * p.y
+      val td = p.w * q.w
+      num = num * td + tn * den
+      den = den * td
+      val g = num.gcd(den)
+      if (g > 1) { num /= g; den /= g }
+      i += 1
+    }
+    val floor2 = num.abs / den
+    if (floor2 <= BigInt(Long.MaxValue)) Some(floor2.toLong) else None
+  }
+
+  /** Envelope-intersection doubled area over every vertex of every
+    * part — the conservative upper-bound fallback when exact clipping
+    * isn't available (multi-part, holes, or doubly-concave pairs). */
+  private def envArea2(pa: Array[Wkb.GPolygon],
+      pb: Array[Wkb.GPolygon]): Option[Long] = {
+    def box(ps: Array[Wkb.GPolygon]): (Long, Long, Long, Long) = {
+      var x0 = Long.MaxValue; var y0 = Long.MaxValue
+      var x1 = Long.MinValue; var y1 = Long.MinValue
+      ps.foreach(_.rings.foreach(fpRing(_).foreach { case (x, y) =>
+        if (x < x0) x0 = x; if (y < y0) y0 = y
+        if (x > x1) x1 = x; if (y > y1) y1 = y
+      }))
+      if (x0 > x1) throw new ArithmeticException("empty polygon")
+      (x0, y0, x1, y1)
+    }
+    val (ax0, ay0, ax1, ay1) = box(pa)
+    val (bx0, by0, bx1, by1) = box(pb)
+    val w = BigInt(math.min(ax1, bx1)) - math.max(ax0, bx0)
+    val h = BigInt(math.min(ay1, by1)) - math.max(ay0, by0)
+    if (w.signum <= 0 || h.signum <= 0) Some(0L)
+    else {
+      val a = 2 * w * h
+      if (a <= BigInt(Long.MaxValue)) Some(a.toLong) else None
+    }
+  }
+
+  /** TWICE the intersection area of two (multi)polygons in micro-unit
+    * fp², plus an exactness flag: when both sides are single-part,
+    * single-ring and at least one is convex, the value is the exact
+    * rational-arithmetic Sutherland–Hodgman clip area (floored);
+    * otherwise it degrades to the envelope-intersection area with
+    * `exact = false` — real overlay analysis pre-decomposes concave
+    * layers into convex parts, the same contract as the grid family's
+    * pre-split-giants rule. `(None, false)` for unscorable inputs. */
+  private[geo] def intersectionArea2Fp(pa: Array[Wkb.GPolygon],
+      pb: Array[Wkb.GPolygon]): (Option[Long], Boolean) =
+    try {
+      if (pa.isEmpty || pb.isEmpty) (None, false)
+      else {
+        val single = pa.length == 1 && pa(0).rings.length == 1 &&
+          pb.length == 1 && pb(0).rings.length == 1
+        if (single) {
+          val ra = fpRing(pa(0).rings(0))
+          val rb = fpRing(pb(0).rings(0))
+          if (ra.length >= 3 && rb.length >= 3 && isConvex(rb))
+            (clipArea2(ra, rb), true)
+          else if (ra.length >= 3 && rb.length >= 3 && isConvex(ra))
+            (clipArea2(rb, ra), true)
+          else (envArea2(pa, pb), false)
+        } else (envArea2(pa, pb), false)
+      }
+    } catch { case _: ArithmeticException => (None, false) }
+
   /** Shape statistics per row: `(poly_id, n_rings, n_vertices,
     * area2_fp2)` where area2_fp2 is TWICE the area in squared
     * micro-units (keeping it doubled avoids a halving that would

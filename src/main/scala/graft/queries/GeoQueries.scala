@@ -301,9 +301,26 @@ object GeoQueries {
       pointCorpus(s, dir).filter(pmod(col("doc_id"), lit(20)) === PoiResidue),
       col("doc_id"), col("wkb"), GridCellSize, KnnK)
 
+  // ---- q139: polygon overlap with intersection AREA (overlay analysis) ----
+  // q81's pair discovery upgraded to HOW MUCH: the exact rational
+  // Sutherland–Hodgman clip area over the same two rectangle corpora.
+  // For axis-aligned rectangles the doubled intersection area is
+  // 2·(x-overlap)·(y-overlap) over the floored corners, which the
+  // oracle replays brute-force — the Spark side must parse → clip →
+  // shoelace its way to the identical integer, with exact=true from
+  // the convex path. Concave/rational cases are covered by
+  // GeoStatsSpec (SQL can't replay a rational clip).
+  def q139GeoOverlapArea(s: SparkSession, dir: String): DataFrame =
+    graft.geo.GeoGrid.overlapAreaJoin(
+      rectCorpus(s, dir, residue = 0, extentBase = 3.05),
+      col("doc_id"), col("wkb"),
+      rectCorpus(s, dir, residue = 10, extentBase = 4.17),
+      col("doc_id"), col("wkb"), GridCellSize)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q86_geo_grid_audit" -> q86GeoGridAudit _,
     "q138_geo_knn" -> q138GeoKnn _,
+    "q139_geo_overlap_area" -> q139GeoOverlapArea _,
     "q85_geo_line_distance" -> q85GeoLineDistance _,
     "q14_geom_type" -> q14GeomType _,
     "q15_linearize" -> q15Linearize _,
@@ -354,6 +371,36 @@ object GeoQueries {
          |    PARTITION BY query_id ORDER BY dist2_fp2, neighbor_id) AS rn FROM d)
          |SELECT query_id, neighbor_id, dist2_fp2, CAST(rn AS BIGINT) AS nn_rank
          |FROM r WHERE rn <= $KnnK""".stripMargin,
+    // q81's brute-force overlap replay extended with the doubled
+    // rectangle-intersection area over the same floored-corner fp
+    // arithmetic the clip must reproduce
+    "q139_geo_overlap_area" ->
+      s"""WITH ca AS (SELECT doc_id AS id_a,
+         |    CAST(doc_id * 37 % 1000 AS DOUBLE) / 10.0 - 50.0 AS cx,
+         |    CAST(doc_id * 91 % 1000 AS DOUBLE) / 10.0 - 50.0 AS cy,
+         |    CAST(doc_id // 20 % 5 AS DOUBLE) + 3.05 AS wv
+         |  FROM documents WHERE doc_id % 20 = 0),
+         |cb AS (SELECT doc_id AS id_b,
+         |    CAST(doc_id * 37 % 1000 AS DOUBLE) / 10.0 - 50.0 AS cx,
+         |    CAST(doc_id * 91 % 1000 AS DOUBLE) / 10.0 - 50.0 AS cy,
+         |    CAST(doc_id // 20 % 5 AS DOUBLE) + 4.17 AS wv
+         |  FROM documents WHERE doc_id % 20 = 10),
+         |ba AS (SELECT id_a,
+         |    CAST(floor((cx - wv) * 1000000.0) AS BIGINT) AS x0f,
+         |    CAST(floor((cx + wv) * 1000000.0) AS BIGINT) AS x1f,
+         |    CAST(floor((cy - wv) * 1000000.0) AS BIGINT) AS y0f,
+         |    CAST(floor((cy + wv) * 1000000.0) AS BIGINT) AS y1f FROM ca),
+         |bb AS (SELECT id_b,
+         |    CAST(floor((cx - wv) * 1000000.0) AS BIGINT) AS x0f,
+         |    CAST(floor((cx + wv) * 1000000.0) AS BIGINT) AS x1f,
+         |    CAST(floor((cy - wv) * 1000000.0) AS BIGINT) AS y0f,
+         |    CAST(floor((cy + wv) * 1000000.0) AS BIGINT) AS y1f FROM cb)
+         |SELECT ba.id_a, bb.id_b,
+         |  2 * (least(ba.x1f, bb.x1f) - greatest(ba.x0f, bb.x0f))
+         |    * (least(ba.y1f, bb.y1f) - greatest(ba.y0f, bb.y0f)) AS area2_fp2,
+         |  true AS exact FROM ba, bb
+         |WHERE ba.x0f < bb.x1f AND bb.x0f < ba.x1f
+         |  AND ba.y0f < bb.y1f AND bb.y0f < ba.y1f""".stripMargin,
     "q86_geo_grid_audit" ->
       s"""SELECT doc_id AS id,
          |  CASE doc_id % 50

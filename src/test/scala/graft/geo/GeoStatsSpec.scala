@@ -80,4 +80,46 @@ class GeoStatsSpec extends AnyFunSuite with SparkTestSession {
     assert(areaUnits > 250.0 && areaUnits < math.Pi * 100.0,
       s"linearized circle area $areaUnits out of range")
   }
+
+  private def poly(pts: (Double, Double)*) =
+    Wkb.GPolygon(Array((pts :+ pts.head).map { case (x, y) =>
+      Array(x, y) }.toArray), false, false)
+
+  test("intersectionArea2Fp: exact clips, rational floors, fallbacks") {
+    def area(a: Wkb.GPolygon, b: Wkb.GPolygon) =
+      GeoStats.intersectionArea2Fp(Array(a), Array(b))
+    // rect ∩ rect: 2×1 overlap → doubled fp² area 2·(2e6·1e6)
+    assert(area(rect(0, 0, 4, 3), rect(2, 2, 6, 6)) ===
+      ((Some(2L * 2000000L * 1000000L), true)))
+    // commutes
+    assert(area(rect(2, 2, 6, 6), rect(0, 0, 4, 3)) ===
+      ((Some(2L * 2000000L * 1000000L), true)))
+    // triangle ∩ rect: the x ≥ 1 slice of the (0,0)-(2,0)-(0,2)
+    // triangle is a half-unit triangle → doubled fp² area 1e12
+    assert(area(poly((0, 0), (2, 0), (0, 2)), rect(1, 0, 3, 3)) ===
+      ((Some(1000000000000L), true)))
+    // rational intersection: unit right triangle ∩ unit right triangle
+    // mirrored → intersection area 1/4, doubled = 1/2 in units →
+    // 0.5e12 fp², exactly representable; the clip's rational vertices
+    // (the hypotenuses cross at (1/2, 1/2)) must not drift
+    assert(area(poly((0, 0), (1, 0), (0, 1)), poly((1, 0), (1, 1), (0, 0))) ===
+      ((Some(500000000000L), true)))
+    // disjoint convex pair → zero area, still exact
+    assert(area(rect(0, 0, 1, 1), rect(5, 5, 6, 6)) === ((Some(0L), true)))
+    // concave subject against a convex clip stays exact (S-H bridge
+    // edges are zero-area): L-shape ∩ rect covering its notch column.
+    // L = 4×4 minus the 2×2 top-right notch; clip x∈[2,4],y∈[0,4]
+    // overlaps only the L's bottom-right 2×2 arm → doubled 2·4e12
+    val lShape = poly((0, 0), (4, 0), (4, 2), (2, 2), (2, 4), (0, 4))
+    assert(area(lShape, rect(2, 0, 4, 4)) ===
+      ((Some(2L * 2000000L * 2000000L), true)))
+    // two concave rings → envelope fallback, flagged inexact
+    val lb = poly((10, 0), (14, 0), (14, 2), (12, 2), (12, 4), (10, 4))
+    val got = GeoStats.intersectionArea2Fp(Array(lShape), Array(lb))
+    assert(got._2 === false && got._1.isDefined)
+    // multipolygon → fallback flag
+    val multi = GeoStats.intersectionArea2Fp(
+      Array(rect(0, 0, 1, 1), rect(2, 0, 3, 1)), Array(rect(0, 0, 3, 1)))
+    assert(multi._2 === false)
+  }
 }
