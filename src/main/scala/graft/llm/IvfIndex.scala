@@ -354,6 +354,49 @@ object IvfIndex {
         (coalesce(col("n_dup_of"), lit(0L)) === 0L).as("kept"))
   }
 
+  /** Stream-static ANN ingest — [[semanticDedup]]'s admission check in
+    * the [[graft.streaming.Streams.spatialIngest]] shape: the codebook
+    * trains ONCE on the static corpus (driver-held, broadcast into the
+    * plan), each arriving vector is cell-assigned scan-locally, and a
+    * stream-static LEFT join against the corpus's cell members surfaces
+    * every in-cell near-duplicate (`dot_fp ≥ minDotFp`). Emits one row
+    * per (arrival, matching corpus member) — `(vec_id, cell, dup_of,
+    * dot_fp)` — and arrivals with NO near-dup keep one row with null
+    * `dup_of`, so admission (`dup_of IS NULL`) and evidence live in the
+    * same frame.
+    *
+    * Every stage is STATELESS (projection over a broadcast codebook,
+    * stream-static join — no watermark, no state store), so the same
+    * call runs unchanged on a batch frame, which is the correctness
+    * oracle (StreamingSpec pins stream == batch over the embeddings
+    * corpus).
+    *
+    * 100 TB shape: the static side shuffles once per micro-batch at
+    * worst (cache it upstream); the stream side never shuffles —
+    * arrivals carry their embedding to the kilobyte-scale broadcast
+    * codebook, and candidate volume per arrival is its cell's
+    * membership, the same n/k bound the batch dedup relies on. */
+  def annIngest(arrivals: DataFrame, corpus: DataFrame, nLists: Int,
+      minDotFp: Long, nIter: Int = 3): DataFrame = {
+    LlmFunctions.registerDotFp(corpus.sparkSession)
+    val centroids = fitFixedPoint(corpus, nLists, nIter)
+    val bc = corpus.sparkSession.sparkContext.broadcast(centroids)
+    val idx = quantized(corpus)
+      .select(col("vec_id").as("__cid"), cellOfUdf(bc)(col("e")).as("__ccell"))
+      .join(corpus.select(col("vec_id").as("__cid"),
+        col("embedding").as("__ce")), "__cid")
+    val arr = quantized(arrivals)
+      .select(col("vec_id"), cellOfUdf(bc)(col("e")).as("cell"))
+      .join(arrivals.select(col("vec_id"), col("embedding").as("__ae")), "vec_id")
+    arr.join(idx,
+        col("cell") === col("__ccell") &&
+          Similarity.dotFpNative("__ae", "__ce") >= minDotFp,
+        "left")
+      .select(col("vec_id"), col("cell"), col("__cid").as("dup_of"),
+        when(col("__cid").isNotNull,
+          Similarity.dotFpNative("__ae", "__ce")).as("dot_fp"))
+  }
+
   /** Mutual-kNN graph clustering over the trained cells — the
     * topic-grouping operator SemDeDup's threshold rule cannot express:
     * two vectors join a cluster only when each ranks the other inside

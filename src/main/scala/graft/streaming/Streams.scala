@@ -240,6 +240,20 @@ object Streams {
   def fuzzyIngest(stream: DataFrame, master: DataFrame, maxDist: Int): DataFrame =
     graft.llm.Fuzzy.editDistanceJoin(stream, master, maxDist)
 
+  /** Streaming ANN ingest — the vector twin of [[spatialIngest]]:
+    * embeddings arriving as a stream are cell-assigned against the
+    * STATIC corpus's trained fixed-point codebook and near-dup-checked
+    * against the corpus's cell members
+    * ([[graft.llm.IvfIndex.annIngest]] — broadcast-codebook
+    * projection + stream-static left join, fully stateless, so no
+    * watermark or state store and any output mode works). One row per
+    * (arrival, in-cell near-dup) plus a null-`dup_of` row for clean
+    * arrivals: the q29/q70 batch pair's admission decision, made at
+    * arrival time. */
+  def annIngest(stream: DataFrame, corpus: DataFrame, nLists: Int,
+      minDotFp: Long, nIter: Int = 3): DataFrame =
+    graft.llm.IvfIndex.annIngest(stream, corpus, nLists, minDotFp, nIter)
+
   /** Streaming HLL register build — the continuous twin of
     * [[graft.llm.Sketches.hllRegisters]]. The register grid is a
     * max-aggregate, which is unordered and mergeable, so the streaming

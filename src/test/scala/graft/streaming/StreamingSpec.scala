@@ -145,10 +145,15 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
   // ---- file-source equivalence: the stream path over the SAME
   // parquet the DuckDB oracle checks in batch (q9 / q16 shapes) ----
 
-  /** events.parquet carries INT64 TIMESTAMP(NANOS); replicate
-    * Tables.events' nanos→micros floor for the streaming reader. */
+  /** Replicate Tables.events' two-layout ts normalization (legacy
+    * INT64 TIMESTAMP(NANOS) → floored micros; TIMESTAMP(MICROS) NTZ →
+    * session-UTC cast) for the streaming reader. */
   private def nanosToTs(df: org.apache.spark.sql.DataFrame) =
-    df.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
 
   /** The file stream source wants a DIRECTORY; expose the single
     * events.parquet file through a temp dir symlink. */
@@ -424,6 +429,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
         arrivals.toDF("id", "name"), master, maxDist = 2))
       assert(got === batch)
       assert(got === Set((100L, 1L, 0L), (101L, 1L, 1L), (102L, 2L, 1L)))
+    } finally query.stop()
+  }
+
+  test("annIngest: streamed embeddings against the static codebook equal batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two well-separated directions so the 2-list codebook splits them
+    def v(dir: Int, j: Int): Array[Float] = {
+      val base = if (dir == 0) Array(1f, 0f, 0f, 0f) else Array(0f, 1f, 0f, 0f)
+      base.map(x => x + j * 0.001f)
+    }
+    val corpus = (0 until 20).map(i => (i.toLong, v(i % 2, i / 2)))
+      .toDF("vec_id", "embedding")
+    val arrivals = Seq(
+      (100L, v(0, 1)), // near-dup of the dir-0 cell members
+      (101L, v(1, 3)), // near-dup of the dir-1 cell members
+      (102L, Array(0f, 0f, 1f, 0f))) // orthogonal — admits clean
+    val minDot = 900000L // cos ≈ 0.9 in dot_fp micro-units (Σ floor(aᵢbᵢ·10⁶))
+    val input = MemoryStream[(Long, Array[Float])]
+    val query = Streams.annIngest(input.toDF().toDF("vec_id", "embedding"),
+        corpus, nLists = 2, minDotFp = minDot, nIter = 2)
+      .writeStream.format("memory").queryName("ann_out")
+      .outputMode("append").start()
+    try {
+      input.addData(arrivals: _*)
+      query.processAllAvailable()
+      def shape(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getInt(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+      val got = shape(spark.table("ann_out"))
+      val batch = shape(Streams.annIngest(
+        arrivals.toDF("vec_id", "embedding"), corpus, 2, minDot, 2))
+      assert(got === batch)
+      // dup arrivals carry match evidence; the clean one keeps a
+      // single null-dup_of row (admission and evidence in one frame)
+      assert(got.exists(t => t._1 == 100L && t._3.isDefined && t._4.exists(_ >= minDot)))
+      assert(got.exists(t => t._1 == 101L && t._3.isDefined))
+      val clean = got.filter(_._1 == 102L)
+      assert(clean.size == 1 && clean.head._3.isEmpty && clean.head._4.isEmpty)
     } finally query.stop()
   }
 
