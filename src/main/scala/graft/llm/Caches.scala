@@ -65,9 +65,30 @@ object Caches {
     bc
   }
 
-  /** Release every cache AND tracked broadcast the graft operators
-    * created in this JVM, returning how many resources (caches +
-    * broadcasts) were released. Scoped to graft's own tracking —
+  /** Driver-held trained-artifact memo (e.g. the IVF codebook): a
+    * deterministic pure function of (canonical input plan, params)
+    * that several operators recompute identically — q66/q67/q92/q117/
+    * q125 all train the SAME codebook on the same corpus, and a real
+    * deployment trains an index once and serves many consumers.
+    * Cleared by [[unpersistAll]] along with the caches, so
+    * min-over-iterations benches (which unpersist before every timed
+    * run) still price the full training compute. */
+  private val artifactMemo =
+    new java.util.concurrent.ConcurrentHashMap[AnyRef, AnyRef]()
+
+  private[graft] def memoized[V <: AnyRef](key: AnyRef)(compute: => V): V = {
+    val hit = artifactMemo.get(key)
+    if (hit != null) hit.asInstanceOf[V]
+    else {
+      val v = compute
+      artifactMemo.putIfAbsent(key, v)
+      v
+    }
+  }
+
+  /** Release every cache, tracked broadcast, AND memoized trained
+    * artifact the graft operators created in this JVM, returning how
+    * many resources were released. Scoped to graft's own tracking —
     * unlike `spark.catalog.clearCache()` it cannot evict unrelated
     * user data. */
   def unpersistAll(blocking: Boolean = false): Int = {
@@ -84,6 +105,8 @@ object Caches {
       n += 1
       bc = trackedBc.poll()
     }
+    n += artifactMemo.size()
+    artifactMemo.clear()
     n
   }
 }

@@ -260,67 +260,89 @@ object Dedup {
     * the cluster key for transitive dedup ("A≈B, B≈C ⇒ keep one of
     * A,B,C", which pairwise dedup alone cannot express).
     *
-    * Algorithm: min-label propagation to fixpoint. Each round joins
-    * the current labels across the (symmetrized) edges, takes the
-    * neighborhood minimum, and stops when no label changed. Rounds
-    * needed = graph diameter + 1 (the final round observes the
-    * fixpoint; near-dup clusters are shallow — a handful). Everything is hash-joins and aggregations keyed on
-    * ids; each round ends in an eager `localCheckpoint` so the plan
-    * does not grow with the iteration count (the standard Spark
-    * iterative-algorithm guard; on a cluster use
-    * `spark.cleaner.referenceTracking` defaults and checkpoint dirs
-    * for fault tolerance instead).
+    * Algorithm: min-label propagation to fixpoint over a
+    * PARTITIONER-AWARE RDD loop — the one genuinely RDD-shaped piece
+    * of the engine. A DataFrame formulation pays Catalyst planning
+    * plus one AQE stage-job per exchange PER ROUND (~5 sequential
+    * driver jobs a round, ~60 ms each measured on an idle local box
+    * — pure scheduling, zero data); here every round is ONE job whose
+    * stages chain narrow co-partitioned joins: the symmetrized edge
+    * set is hash-partitioned once by label-owner, labels live on the
+    * same partitioner, so the neighbor-label lookup is narrow, the
+    * round's single shuffle is the per-receiver `reduceByKey(min)`,
+    * and the merge back into labels is narrow again. Convergence
+    * detection rides a `longAccumulator` inside the same action
+    * (over-count on a task retry only delays the exit by a no-op
+    * round — it can never report a false fixpoint, because a truly
+    * stable round adds zero regardless of retries). Rounds needed =
+    * graph diameter + 1; per-round state is persisted and the
+    * previous round released, so memory stays one label-frame deep
+    * (on a cluster add periodic `checkpoint` for fault tolerance —
+    * local mode cannot lose partitions).
     *
     * The converged fixpoint is unique, so results are deterministic
     * under any partitioning — the DuckDB oracle computes the same
     * labels via a recursive transitive-closure CTE.
     *
-    * `vertices`: one `doc_id` per row. `edges`: (doc_a, doc_b) pairs.
-    * Returns (doc_id, cluster_id). */
+    * `vertices`: one BIGINT `doc_id` per row. `edges`: (doc_a, doc_b)
+    * pairs. Returns (doc_id, cluster_id).
+    *
+    * `initLabels` (optional): a pre-seeded (doc_id, cluster_id) frame
+    * covering the same vertex set, e.g. `least(doc_id, min incident
+    * neighbor)` — the first propagation hop done at init. Any
+    * per-vertex upper bound on the component minimum that is itself a
+    * reachable label converges to the SAME unique fixpoint, and
+    * seeding saves one full round on chain-shaped clusters. */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
-      maxIter: Int = 40): DataFrame = {
+      maxIter: Int = 40, initLabels: Option[DataFrame] = None): DataFrame = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    val idType = org.apache.spark.sql.types.LongType
+    require(vertices.schema.head.dataType == idType &&
+      edges.schema.take(2).forall(_.dataType == idType),
+      "connectedComponents expects BIGINT vertex ids")
+    val P = math.max(1, math.min(spark.sparkContext.defaultParallelism, 16))
+    val part = new org.apache.spark.HashPartitioner(P)
+    // (label-owner, receiver) both directions, co-partitioned with the
+    // labels so each round's lookup join is narrow
+    val symByOwner = edges.select(col("doc_a"), col("doc_b")).as[(Long, Long)]
+      .rdd.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = initLabels.getOrElse(
+        vertices.select(col("doc_id"), col("doc_id").as("cluster_id")))
+      .as[(Long, Long)].rdd.partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // maxIter must exceed the graph diameter by one: the round after
     // the last label change is the one that observes changed == 0.
-    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
-    var labels = vertices.select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      val nbrMin = sym
-        .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nbr")), "dst")
-        .groupBy(col("src").as("doc_id")).agg(min(col("nbr")).as("nbr_min"))
-      // convergence detection rides the SAME action that materializes
-      // the round's checkpoint: an observed metric (CollectMetrics in
-      // the plan) counts changed labels while the eager localCheckpoint
-      // computes the frame — one Spark job per round, not a checkpoint
-      // job plus a count job
-      val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"),
-          (col("cluster_id") =!=
-            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))))
-            .as("label_changed"))
-        .observe(obs, count_if(col("label_changed")).as("changed"))
-        .localCheckpoint()
-      // sum over an empty frame is 0 for count_if; get blocks until the
-      // checkpoint action above has published the metric
-      changed = obs.get.get("changed") match {
-        case Some(n: Number) => n.longValue()
-        case _ => 0L
-      }
-      labels = next.select(col("doc_id"), col("cluster_id"))
+      val acc = spark.sparkContext.longAccumulator(s"cc_changed_$iter")
+      val nbrMin = symByOwner.join(labels) // narrow: same partitioner
+        .map { case (_, (recv, lbl)) => (recv, lbl) }
+        .reduceByKey(part, math.min(_: Long, _: Long)) // the round's one shuffle
+      val next = labels.leftOuterJoin(nbrMin) // narrow: same partitioner
+        .mapValues { case (old, nm) =>
+          val nu = math.min(old, nm.getOrElse(old))
+          if (nu != old) acc.add(1L)
+          nu
+        }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count() // ONE driver job materializes the round + the metric
+      changed = acc.value
+      labels.unpersist(blocking = false)
+      labels = next
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"CC_ROUND iter=$iter changed=$changed")
     }
+    symByOwner.unpersist(blocking = false)
     // returning mid-propagation labels would silently violate the
     // "smallest reachable id" contract — fail loudly instead
     require(changed == 0,
       s"connectedComponents did not converge within $maxIter rounds " +
         s"($changed labels still changing) — raise maxIter (graph diameter exceeds it)")
-    labels
+    labels.toDF("doc_id", "cluster_id")
   }
 }

@@ -233,9 +233,21 @@ object IvfIndex {
     // search's assignment pass reads it once more, via CacheManager's
     // canonical-plan match) — cache it instead of re-scanning and
     // re-quantizing the corpus nIter+1 times; tracked, so
-    // Caches.unpersistAll releases it between corpora
-    val q = Caches.persistTracked(quantized(vectors))
-    fitOnQuantized(q, nLists, nIter)
+    // Caches.unpersistAll releases it between corpora.
+    // The trained codebook itself is memoized per (canonical corpus
+    // plan, nLists, nIter): training is a deterministic pure function
+    // of those, and q66/q67/q92/q117/q125 all train the identical
+    // codebook — an offline index build serves many consumers. The
+    // memo clears with unpersistAll, so benches still price training.
+    // key on the canonicalized PLAN OBJECT, not its string: a
+    // LocalRelation prints without its data, so two different
+    // in-memory corpora would collide on the rendered form — plan
+    // equality compares structurally, data included
+    Caches.memoized(("ivf_codebook",
+      vectors.queryExecution.analyzed.canonicalized, nLists, nIter)) {
+      val q = Caches.persistTracked(quantized(vectors))
+      fitOnQuantized(q, nLists, nIter)
+    }
   }
 
   /** Lloyd's rounds over an ALREADY-quantized `(vec_id, e)` frame —
@@ -461,10 +473,15 @@ object IvfIndex {
     // the closure iterates over edge-TOUCHED vertices only — vertices
     // with no mutual edge are singletons by definition and join back
     // as themselves, so the per-round frames scale with the matched
-    // subset, not the corpus
-    val touched = mutual.select(col("doc_a").as("doc_id"))
-      .unionByName(mutual.select(col("doc_b").as("doc_id"))).distinct()
-    val labels = Dedup.connectedComponents(touched, mutual)
+    // subset, not the corpus. Labels seed at least(self, min incident
+    // neighbor) — the first propagation hop folded into init, saving a
+    // full round on chain-shaped clusters (same unique fixpoint).
+    val seeded = mutual.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"))
+      .unionByName(mutual.select(col("doc_b").as("doc_id"), col("doc_a").as("nbr")))
+      .groupBy(col("doc_id")).agg(min(col("nbr")).as("nbr_min"))
+      .select(col("doc_id"), least(col("doc_id"), col("nbr_min")).as("cluster_id"))
+    val labels = Dedup.connectedComponents(
+      seeded.select(col("doc_id")), mutual, initLabels = Some(seeded))
     members.join(labels.withColumnRenamed("doc_id", "vec_id"),
         Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),

@@ -456,6 +456,25 @@ object LlmQueries {
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
   }
 
+  // ---- q140: sequence packing in TRAINED-tokenizer tokens ----
+  // q44's packing with the budget measured in BPE tokens instead of
+  // whitespace tokens — the unit a training pipeline actually bills
+  // in. Per-doc counts come from the q88-trained tokenizer
+  // (symbolCounts: train once, broadcast the word→symbol-count
+  // table); the two-level prefix sum and binning are q44's audited
+  // machinery unchanged. The oracle composes the q88 training chain
+  // with q44's window replay.
+  def q140BpePacking(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.llm.BpeTrainer.symbolCounts(
+        graft.Tables.documents(s, dir), "doc_id", "text", BpeMerges)
+      .select(col("doc_id"), col("n_sym").as("n_tok"))
+    graft.llm.Packing.exclusivePrefixSum(d, "doc_id", "n_tok", PackShardSize)
+      .withColumn("bin", expr(s"cum div ${PackBudget}L"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+  }
+
   // ---- q45: train/eval decontamination via shared fingerprints ----
   // Every 50th doc plays the eval set; training docs sharing any
   // winnowed fingerprint with it are reported with their containment.
@@ -1017,6 +1036,7 @@ object LlmQueries {
     "q42_phrase_search"     -> q42PhraseSearch _,
     "q43_chunks"            -> q43Chunks _,
     "q44_sequence_packing"  -> q44SequencePacking _,
+    "q140_bpe_packing"      -> q140BpePacking _,
     "q45_decontamination"   -> q45Decontamination _,
     "q68_decontam_bloom"    -> q68DecontamBloom _,
     "q69_filter_rules"      -> q69FilterRules _,
@@ -1508,6 +1528,28 @@ object LlmQueries {
     "q44_sequence_packing" ->
       s"""WITH d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok
          |  FROM (SELECT doc_id, $toksSql AS toks FROM documents) x),
+         |p AS (SELECT doc_id, n_tok,
+         |    CAST((sum(n_tok) OVER (ORDER BY doc_id
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+         |      // $PackBudget AS BIGINT) AS bin
+         |  FROM d)
+         |SELECT bin, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM p GROUP BY bin""".stripMargin,
+    // q88's training chain composed with q44's prefix-sum replay —
+    // the packing bins must agree when the unit is BPE tokens
+    "q140_bpe_packing" ->
+      s"""WITH $bpeChainSql,
+         |ns AS (SELECT w,
+         |    CAST(len(string_split(s[2:len(s) - 1], '][')) AS BIGINT) AS n_sym
+         |  FROM w$BpeMerges),
+         |tk AS (SELECT doc_id, toks[i::INT] AS w FROM
+         |  (SELECT doc_id, $toksSql AS toks FROM documents) x,
+         |  unnest(range(1, len(toks) + 1)) AS u(i)),
+         |d0 AS (SELECT tk.doc_id, CAST(sum(ns.n_sym) AS BIGINT) AS n_tok
+         |  FROM tk JOIN ns USING (w) GROUP BY tk.doc_id),
+         |d AS (SELECT documents.doc_id, coalesce(d0.n_tok, 0) AS n_tok
+         |  FROM documents LEFT JOIN d0 USING (doc_id)),
          |p AS (SELECT doc_id, n_tok,
          |    CAST((sum(n_tok) OVER (ORDER BY doc_id
          |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
