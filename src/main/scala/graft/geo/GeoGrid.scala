@@ -838,12 +838,17 @@ object GeoGrid {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id"))
         .orderBy(col("dist2_fp2").asc, col("neighbor_id").asc)
-      val newTop = Caches.persistTracked(
-        merged.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") <= k).drop("__rn"))
+      // LAZY localCheckpoint, not persist: the running top-k's plan is
+      // a union chain over every probed ring — without per-round
+      // truncation the logical plan (and its cached-plan rendering)
+      // grows with the round count and a long expansion OOMs on pure
+      // plan strings
+      val newTop = merged.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k).drop("__rn")
+        .localCheckpoint(eager = false)
       val stats = newTop.groupBy(col("query_id"))
         .agg(count(lit(1)).as("__n"), max(col("dist2_fp2")).as("__kth"))
-      active = Caches.persistTracked(active
+      active = active
         .join(stats, Seq("query_id"), "left")
         .filter(!((coalesce(col("__n"), lit(0L)) >= k &&
             col("__kth") < (col("rcur") * cFp) * (col("rcur") * cFp)) ||
@@ -852,7 +857,8 @@ object GeoGrid {
             col("qcy") - col("rcur") <= minCy &&
             col("qcy") + col("rcur") >= maxCy)))
         .select(col("query_id"), col("qx"), col("qy"), col("qcx"), col("qcy"),
-          (col("rcur") + 1).as("rcur"), col("rcur").as("rprev")))
+          (col("rcur") + 1).as("rcur"), col("rcur").as("rprev"))
+        .localCheckpoint(eager = false)
       topk = newTop
       rounds += 1
     }

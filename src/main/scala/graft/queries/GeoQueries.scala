@@ -193,6 +193,33 @@ object GeoQueries {
       rectCorpus(s, dir, residue = 0, extentBase = 3.05),
       col("doc_id"), col("wkb"), GridCellSize)
 
+  // ---- q141: zonal statistics (per-polygon point aggregates) ----
+  // The geo workhorse AFTER a containment join: per zone, how many
+  // points and what value mass — census counts per admin area, sensor
+  // means per management zone. Pairs come from q80's audited
+  // containment join; the value is a pure doc_id function so the
+  // oracle replays synthesis + brute-force containment + aggregation,
+  // and zones with no points survive with zero counts (the left-join
+  // contract a reporting layer needs). Integer sums and a floor-mean
+  // keep it hash-exact cross-engine.
+  def q141ZonalStats(s: SparkSession, dir: String): DataFrame = {
+    val polys = rectCorpus(s, dir, residue = 0, extentBase = 3.05)
+    val pairs = graft.geo.GeoGrid.containmentJoin(
+      pointCorpus(s, dir), col("doc_id"), col("wkb"),
+      polys, col("doc_id"), col("wkb"), GridCellSize)
+    val vals = pairs
+      .select(col("poly_id"), pmod(col("point_id") * 13, lit(1000)).as("v"))
+      .groupBy(col("poly_id"))
+      .agg(count(lit(1)).as("n_points"), sum(col("v")).as("sum_v"),
+        expr("sum(v) div count(1)").as("mean_v_fp"))
+    polys.select(col("doc_id").as("poly_id"))
+      .join(vals, Seq("poly_id"), "left")
+      .select(col("poly_id"),
+        coalesce(col("n_points"), lit(0L)).as("n_points"),
+        coalesce(col("sum_v"), lit(0L)).as("sum_v"),
+        col("mean_v_fp"))
+  }
+
   // ---- q81: grid-partitioned polygon ⋈ polygon overlap (st_intersects) ----
   // The third spatial workhorse over two disjoint rectangle corpora
   // (residues 0 and 10 mod 20; extent fractions .05 vs .17 keep every
@@ -321,6 +348,7 @@ object GeoQueries {
     "q86_geo_grid_audit" -> q86GeoGridAudit _,
     "q138_geo_knn" -> q138GeoKnn _,
     "q139_geo_overlap_area" -> q139GeoOverlapArea _,
+    "q141_zonal_stats" -> q141ZonalStats _,
     "q85_geo_line_distance" -> q85GeoLineDistance _,
     "q14_geom_type" -> q14GeomType _,
     "q15_linearize" -> q15Linearize _,
@@ -371,6 +399,34 @@ object GeoQueries {
          |    PARTITION BY query_id ORDER BY dist2_fp2, neighbor_id) AS rn FROM d)
          |SELECT query_id, neighbor_id, dist2_fp2, CAST(rn AS BIGINT) AS nn_rank
          |FROM r WHERE rn <= $KnnK""".stripMargin,
+    // q80's brute-force containment replay + per-zone aggregation over
+    // the synthesized value column; zero-point zones ride the left join
+    "q141_zonal_stats" ->
+      s"""WITH pt AS (SELECT doc_id AS point_id,
+         |    CAST(floor((CAST(doc_id * 37 % 1000 AS DOUBLE) / 10.0 - 50.0)
+         |      * 1000000.0) AS BIGINT) AS pxf,
+         |    CAST(floor((CAST(doc_id * 91 % 1000 AS DOUBLE) / 10.0 - 50.0)
+         |      * 1000000.0) AS BIGINT) AS pyf FROM documents),
+         |pg AS (SELECT doc_id AS poly_id,
+         |    CAST(doc_id * 37 % 1000 AS DOUBLE) / 10.0 - 50.0 AS cx,
+         |    CAST(doc_id * 91 % 1000 AS DOUBLE) / 10.0 - 50.0 AS cy,
+         |    CAST(doc_id // 20 % 5 AS DOUBLE) + 3.05 AS wv
+         |  FROM documents WHERE doc_id % 20 = 0),
+         |pb AS (SELECT poly_id,
+         |    CAST(floor((cx - wv) * 1000000.0) AS BIGINT) AS x0f,
+         |    CAST(floor((cx + wv) * 1000000.0) AS BIGINT) AS x1f,
+         |    CAST(floor((cy - wv) * 1000000.0) AS BIGINT) AS y0f,
+         |    CAST(floor((cy + wv) * 1000000.0) AS BIGINT) AS y1f FROM pg),
+         |pr AS (SELECT pt.point_id, pb.poly_id FROM pt, pb
+         |  WHERE pt.pxf > pb.x0f AND pt.pxf < pb.x1f
+         |    AND pt.pyf > pb.y0f AND pt.pyf < pb.y1f),
+         |ag AS (SELECT poly_id, CAST(count(*) AS BIGINT) AS n_points,
+         |    CAST(sum(point_id * 13 % 1000) AS BIGINT) AS sum_v,
+         |    CAST(sum(point_id * 13 % 1000) // count(*) AS BIGINT) AS mean_v_fp
+         |  FROM pr GROUP BY poly_id)
+         |SELECT pg.poly_id, coalesce(ag.n_points, 0) AS n_points,
+         |  coalesce(ag.sum_v, 0) AS sum_v, ag.mean_v_fp
+         |FROM pg LEFT JOIN ag USING (poly_id)""".stripMargin,
     // q81's brute-force overlap replay extended with the doubled
     // rectangle-intersection area over the same floored-corner fp
     // arithmetic the clip must reproduce

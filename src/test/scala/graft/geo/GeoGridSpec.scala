@@ -484,6 +484,32 @@ class GeoGridSpec extends AnyFunSuite with SparkTestSession {
     assert(got === bruteKnn(qPts, cPts, 2))
   }
 
+  test("knnJoin equals brute force on randomized corpora") {
+    import spark.implicits._
+    // seeded randomized sweep over corpus shapes, cell sizes, and k —
+    // the termination proof has to hold wherever the points land
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val nq = 30
+      val nc = 12 + rnd.nextInt(20)
+      def xy() = (rnd.nextDouble() * 300 - 150, rnd.nextDouble() * 300 - 150)
+      val qPts = (0 until nq).map { i => val (x, y) = xy(); (i.toLong, x, y) }
+      val cPts = (0 until nc).map { i => val (x, y) = xy(); (100L + i, x, y) }
+      val k = 1 + rnd.nextInt(4)
+      val cellSize = 7.0 + rnd.nextInt(19)
+      val queries = qPts.map { case (i, x, y) => (i, Wkb.write(pt(x, y))) }
+        .toDF("id", "wkb")
+      val corpus = cPts.map { case (i, x, y) => (i, Wkb.write(pt(x, y))) }
+        .toDF("id", "wkb")
+      val got = GeoGrid.knnJoin(queries, col("id"), col("wkb"),
+          corpus, col("id"), col("wkb"), cellSize, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(got === bruteKnn(qPts, cPts, k),
+        s"trial $trial (k=$k cellSize=$cellSize nc=$nc)")
+    }
+  }
+
   test("knnJoin: short lists under a small corpus, deterministic tie order") {
     import spark.implicits._
     // two POIs exactly equidistant from the query: the lower id must
