@@ -166,6 +166,56 @@ object SimilarityQueries {
   def q75EmbedQuantize(s: SparkSession, dir: String): DataFrame =
     Similarity.scalarQuantizeStats(graft.Tables.embeddings(s, dir))
 
+  // ---- q142: Johnson–Lindenstrauss random projection ----
+  // The dimensionality-reduction pass a billion-vector pipeline runs
+  // BEFORE indexing: project 64-dim embeddings onto the 8
+  // deterministic integer hyperplanes (the q24 LSH planes — a sparse
+  // ±{0..3} JL variant) with the SAME fixed-point contract as every
+  // score here: proj_fp = dot_fp(embedding, plane) = Σ floor(xᵢwᵢ·10⁶).
+  // One codegen'd native-expression call per output dim, zero shuffle;
+  // the oracle embeds the identical 8×64 weight literals and replays
+  // the per-element floor sum.
+  def q142RandomProjection(s: SparkSession, dir: String): DataFrame = {
+    graft.llm.LlmFunctions.registerDotFp(s)
+    val planes = Similarity.planeWeights(Dim)
+    val parts = planes.zipWithIndex.map { case (w, j) =>
+      val arr = w.map(v => s"${v.toDouble}D").mkString("array(", ", ", ")")
+      struct(lit(j).cast("int").as("proj_dim"),
+        expr(s"dot_fp(embedding, $arr)").as("proj_fp"))
+    }
+    graft.Tables.embeddings(s, dir)
+      .select(col("vec_id"), explode(array(parts: _*)).as("p"))
+      .select(col("vec_id"), col("p.proj_dim").as("proj_dim"),
+        col("p.proj_fp").as("proj_fp"))
+  }
+
+  // ---- q143: JL-projected search recall card ----
+  // The evidence that decides whether q142's 8-dim projection may
+  // stand in for the 64-dim space: top-k by projected L2 graded
+  // against the exact dot_fp baseline with the q112 recall machinery.
+  // Projection, distance, ranking, and the misses are all integer
+  // arithmetic, so the card replays in the oracle. The query side is
+  // a broadcast (NumQueryVecs rows); the corpus-side work is one
+  // scan-local projection — the card costs one 8-dim brute-force
+  // pass, which is exactly the saving the projection buys at scale.
+  def q143ProjectedRecall(s: SparkSession, dir: String): DataFrame = {
+    graft.llm.LlmFunctions.registerDotFp(s)
+    val projArr = Similarity.planeWeights(Dim).map { w =>
+      val arr = w.map(v => s"${v.toDouble}D").mkString("array(", ", ", ")")
+      s"dot_fp(embedding, $arr)"
+    }.mkString("array(", ", ", ")")
+    val corp = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(projArr).as("pv"))
+    val qs = corp.filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("query_id"), col("pv").as("pq"))
+    val scored = qs.crossJoin(corp)
+      .select(col("query_id"), col("vec_id"),
+        (-expr("aggregate(zip_with(pq, pv, (a, b) -> (a - b) * (a - b)), " +
+          "0L, (acc, x) -> acc + x)")).as("dot_fp"))
+    Similarity.recallAtK(q23EmbedTopk(s, dir),
+      Seq("jl_proj" -> Similarity.topKPerQuery(scored, AnnK)), AnnK)
+  }
+
   private val IvfLists = 16
   private val IvfProbe = 2
 
@@ -450,6 +500,8 @@ object SimilarityQueries {
     "q135_survivorship" -> q135Survivorship _,
     "q136_temporal_dedup" -> q136TemporalDedup _,
     "q75_embed_quantize" -> q75EmbedQuantize _,
+    "q142_random_projection" -> q142RandomProjection _,
+    "q143_projected_recall" -> q143ProjectedRecall _,
     "q84_pq_ann"        -> q84PqAnn _,
     "q92_ivfadc"        -> q92IvfAdc _,
   )
@@ -1111,6 +1163,56 @@ object SimilarityQueries {
     "q135_survivorship" -> q135Sql,
     "q136_temporal_dedup" -> q136Sql,
     "q75_embed_quantize" -> q75Sql,
+    // both rankings replayed: projected L2 over the embedded weight
+    // literals vs the exact dot_fp baseline, intersected per query
+    "q143_projected_recall" -> {
+      val projList = Similarity.planeWeights(Dim).map { w =>
+        val lst = w.map(v => s"${v.toDouble}").mkString("[", ", ", "]")
+        s"""CAST(list_sum(list_transform(range(1, len(embedding) + 1),
+           |  i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * ($lst)[i] * 1000000.0) AS BIGINT)))
+           |  AS BIGINT)""".stripMargin
+      }.mkString("[", ", ", "]")
+      val dist = (1 to Similarity.NumPlanes).map(p =>
+        s"(q.pq[$p] - pv.pv[$p]) * (q.pq[$p] - pv.pv[$p])").mkString(" + ")
+      s"""WITH pv AS (SELECT vec_id, $projList AS pv FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, pv AS pq FROM pv
+         |  WHERE vec_id < $NumQueryVecs),
+         |sc AS (SELECT query_id, pv.vec_id, $dist AS dist2 FROM q CROSS JOIN pv),
+         |pr AS (SELECT query_id, vec_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY dist2 ASC, vec_id) AS rn FROM sc),
+         |qe2 AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+         |  WHERE vec_id < $NumQueryVecs),
+         |scored AS (SELECT query_id, e.vec_id, $dotSql AS dot_fp
+         |  FROM qe2 CROSS JOIN (SELECT vec_id, embedding AS ce FROM embeddings) e),
+         |ex AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dot_fp DESC, vec_id) AS rn
+         |  FROM scored) r WHERE rn <= $AnnK),
+         |hits AS (SELECT pr.query_id, CAST(count(*) AS BIGINT) AS hits
+         |  FROM pr JOIN ex ON pr.query_id = ex.query_id AND pr.vec_id = ex.vec_id
+         |  WHERE pr.rn <= $AnnK GROUP BY pr.query_id)
+         |SELECT 'jl_proj' AS method, s.query_id,
+         |  coalesce(hits.hits, 0) AS hits,
+         |  CAST(coalesce(hits.hits, 0) * 1000000 // $AnnK AS BIGINT) AS recall_ppm
+         |FROM (SELECT DISTINCT query_id FROM ex) s
+         |LEFT JOIN hits USING (query_id)""".stripMargin
+    },
+    // the identical 8×64 integer weight matrix as literals; per-element
+    // floor(x·w·10⁶) sums replay dot_fp exactly
+    "q142_random_projection" -> {
+      val wm = Similarity.planeWeights(Dim).zipWithIndex.flatMap {
+        case (w, j) => w.zipWithIndex.map { case (v, i) =>
+          s"($j, ${i + 1}, ${v.toDouble})"
+        }
+      }.mkString(", ")
+      s"""WITH wm(j, i, w) AS (VALUES $wm),
+         |e AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+         |  FROM embeddings, unnest(range(1, $Dim + 1)) AS u(i)),
+         |p AS (SELECT vec_id, wm.j AS proj_dim,
+         |    CAST(sum(CAST(floor(x * wm.w * 1000000.0) AS BIGINT)) AS BIGINT)
+         |      AS proj_fp
+         |  FROM e JOIN wm ON e.i = wm.i GROUP BY 1, 2)
+         |SELECT vec_id, CAST(proj_dim AS INTEGER) AS proj_dim, proj_fp FROM p""".stripMargin
+    },
     "q46_embed_stats" ->
       s"""SELECT label, CAST(i - 1 AS INTEGER) AS dim, count(*) AS n,
          |  CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT))
