@@ -36,6 +36,37 @@ object TemporalQueries {
         (col("us") - col("asof.us")).as("gap_us"))
   }
 
+  // ---- q144: last-touch attribution (windowed as-of + channel rollup) ----
+  // The marketing-analytics workhorse the funnel/transition cards
+  // don't answer: WHICH channel gets credit for each purchase. Each
+  // purchase takes its latest prior touch (view/click/signup) via the
+  // q34 as-of machinery — the latest prior IS the closest, so the
+  // attribution window is a post-filter, not a join blowup — and
+  // falls back to 'direct' when the touch is stale or absent. Value
+  // rides as floor(value·10⁴) fixed-point cents; the oracle replays
+  // the inequality join + (us desc, event_id desc) pick + window
+  // filter + rollup.
+  private val AttrWindowUs = 172800000000L // 48 hours
+  private val AttrTouches = Seq("view", "click", "signup")
+  def q144Attribution(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us"),
+        expr("cast(floor(value * 10000.0) as bigint)").as("v_fp"))
+    val touches = e.filter(col("event_type").isin(AttrTouches: _*))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("us"))
+    AsofJoin.asofBackward(purchases, touches, Seq("user_id"), "us", "event_id")
+      .select(col("v_fp"),
+        when(col("asof").isNotNull &&
+            col("us") - col("asof.us") <= AttrWindowUs,
+          col("asof.event_type")).otherwise(lit("direct")).as("channel"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("v_fp")).as("attributed_fp"))
+  }
+
   // ---- q35: bucketed range join — events preceding each error ----
   def q35RangeJoin(s: SparkSession, dir: String): DataFrame = {
     val e = ev(s, dir)
@@ -269,6 +300,7 @@ object TemporalQueries {
     "q127_seasonal_anomaly" -> q127SeasonalAnomaly _,
     "q106_funnel"    -> q106Funnel _,
     "q34_asof_join"  -> q34AsofJoin _,
+    "q144_attribution" -> q144Attribution _,
     "q35_range_join" -> q35RangeJoin _,
     "q90_gap_fill"   -> q90GapFill _,
     "q95_interval_coverage" -> q95IntervalCoverage _,
@@ -289,6 +321,27 @@ object TemporalQueries {
         |      ORDER BY c.us DESC, c.event_id DESC) AS rn
         |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.us <= p.us)
         |SELECT purchase_id, user_id, click_id, gap_us FROM j WHERE rn = 1""".stripMargin,
+    // q34's inequality-join pick + the window filter and channel rollup
+    "q144_attribution" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type,
+         |    epoch_ns(ts) // 1000 AS us, value FROM events),
+         |p AS (SELECT event_id, user_id, us,
+         |    CAST(floor(value * 10000.0) AS BIGINT) AS v_fp FROM e
+         |  WHERE event_type = 'purchase'),
+         |t AS (SELECT user_id, event_id, event_type, us FROM e
+         |  WHERE event_type IN ('view', 'click', 'signup')),
+         |m AS (SELECT p.event_id, p.us AS p_us, p.v_fp,
+         |    t.event_type AS t_type, t.us AS t_us,
+         |    row_number() OVER (PARTITION BY p.event_id
+         |      ORDER BY t.us DESC, t.event_id DESC) AS rn
+         |  FROM p LEFT JOIN t ON p.user_id = t.user_id AND t.us <= p.us),
+         |c AS (SELECT v_fp,
+         |    CASE WHEN t_us IS NOT NULL AND p_us - t_us <= $AttrWindowUs
+         |      THEN t_type ELSE 'direct' END AS channel
+         |  FROM m WHERE rn = 1)
+         |SELECT channel, count(*) AS n_purchases,
+         |  CAST(sum(v_fp) AS BIGINT) AS attributed_fp
+         |FROM c GROUP BY channel""".stripMargin,
     "q35_range_join" ->
       s"""WITH e AS (SELECT event_id, user_id, event_type,
          |    epoch_ns(ts) // 1000 AS us FROM events),
