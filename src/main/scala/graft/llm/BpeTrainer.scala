@@ -81,12 +81,25 @@ object BpeTrainer {
       TextAnalysis.tokenFreq(TextAnalysis.explodedTokens(docs, idCol, textCol))
         .withColumnRenamed("c", "freq"))
 
+  /** Memoized training — a pure function of (corpus plan, columns,
+    * nMerges), and four consumers (merge table q88, vocab q99, encode
+    * q137, packing counts q140) train the IDENTICAL tokenizer: train
+    * once per session, like the IVF codebook memo. Clears with
+    * `Caches.unpersistAll`, so min-over-iterations benches still
+    * price the training rounds. */
+  private def trained(docs: DataFrame, idCol: String, textCol: String,
+      nMerges: Int): (Seq[(String, String, Long)], DataFrame) =
+    Caches.memoized(("bpe_train",
+      docs.queryExecution.analyzed.canonicalized, idCol, textCol, nMerges)) {
+      trainOn(wordFreq(docs, idCol, textCol), nMerges)
+    }
+
   /** The merge table alone: `(left, right, pair_count)` in learn
     * order. */
   def trainMerges(docs: DataFrame, idCol: String, textCol: String,
       nMerges: Int): Seq[(String, String, Long)] = {
     require(nMerges >= 0, "nMerges must be non-negative")
-    trainOn(wordFreq(docs, idCol, textCol), nMerges)._1
+    trained(docs, idCol, textCol, nMerges)._1
   }
 
   /** The learned vocabulary — the artifact an encoder actually ships:
@@ -99,7 +112,7 @@ object BpeTrainer {
   def vocab(docs: DataFrame, idCol: String, textCol: String,
       nMerges: Int): DataFrame = {
     require(nMerges >= 0, "nMerges must be non-negative")
-    vocabFrom(trainOn(wordFreq(docs, idCol, textCol), nMerges)._2)
+    vocabFrom(trained(docs, idCol, textCol, nMerges)._2)
   }
 
   private def vocabFrom(fin: DataFrame): DataFrame = {
@@ -136,7 +149,7 @@ object BpeTrainer {
   def encode(docs: DataFrame, idCol: String, textCol: String,
       nMerges: Int): DataFrame = {
     require(nMerges >= 0, "nMerges must be non-negative")
-    val (merges, fin) = trainOn(wordFreq(docs, idCol, textCol), nMerges)
+    val (merges, fin) = trained(docs, idCol, textCol, nMerges)
     encode(docs, idCol, textCol, merges,
       vocabFrom(fin).select(col("sym"), col("sym_id")))
   }
@@ -195,7 +208,7 @@ object BpeTrainer {
       nMerges: Int): DataFrame = {
     require(nMerges >= 0, "nMerges must be non-negative")
     val q = graft.Names.quoted _
-    val (_, fin) = trainOn(wordFreq(docs, idCol, textCol), nMerges)
+    val (_, fin) = trained(docs, idCol, textCol, nMerges)
     val nsym = fin.select(col("w"),
       expr(s"cast(size($symsExpr) as bigint)").as("n_sym"))
     val scored = TextAnalysis.explodedTokens(docs, idCol, textCol)

@@ -204,6 +204,42 @@ object Relational {
           .cast("bigint").as("spend_90d_cents"))
   }
 
+  // ---- q145: group-wise winsorization (robust metric aggregates) ----
+  // Mean-of-metric dashboards die on outliers; the robust fix clips
+  // each event_type's values at its own exact p05/p95 before summing.
+  // Cutoffs use the q40 order-statistic contract (smallest value whose
+  // cumulative count reaches ceil(q·n)) over the (type, value)
+  // counting aggregate — bounded by distinct values per type, never a
+  // corpus sort — then one broadcast-size cutoff join clips and
+  // re-aggregates in fixed-point. Clip counts ride along as the
+  // evidence a metrics reviewer asks for first.
+  def q145Winsorize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = graft.Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("cast(floor(value * 10000.0) as bigint)").as("v_fp"))
+    val counts = v.groupBy(col("event_type"), col("v_fp"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("v_fp"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("event_type"))))
+    val cuts = cum.groupBy(col("event_type")).agg(
+      min(when(col("cum") >= expr("cast(ceil(0.05 * n) as bigint)"),
+        col("v_fp"))).as("lo_fp"),
+      min(when(col("cum") >= expr("cast(ceil(0.95 * n) as bigint)"),
+        col("v_fp"))).as("hi_fp"))
+    v.join(broadcast(cuts), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("lo_fp")).as("lo_fp"), min(col("hi_fp")).as("hi_fp"),
+        sum(when(col("v_fp") < col("lo_fp"), 1L).otherwise(0L)).as("n_clip_low"),
+        sum(when(col("v_fp") > col("hi_fp"), 1L).otherwise(0L)).as("n_clip_high"),
+        sum(greatest(least(col("v_fp"), col("hi_fp")), col("lo_fp")))
+          .as("winsorized_sum_fp"))
+  }
+
   // ---- q118: Pareto skyline (size maximal, price minimal) ----
   // Multi-criteria filtering without a scoring function: keep parts no
   // other part beats on BOTH size (bigger better) and price (cheaper
@@ -482,6 +518,7 @@ object Relational {
     "q33_supplier_revenue"  -> q33SupplierRevenue _,
     "q109_event_pivot"      -> q109EventPivot _,
     "q114_rolling_spend"    -> q114RollingSpend _,
+    "q145_winsorize"        -> q145Winsorize _,
     "q118_skyline"          -> q118Skyline _,
     "q119_cube_grouping"    -> q119CubeGrouping _,
     "q120_zorder_audit"     -> q120ZorderAudit _,
@@ -578,6 +615,31 @@ object Relational {
          |  min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
          |FROM z GROUP BY 1""".stripMargin
     },
+    // the q40 ceil-rank cutoff convention over the counting aggregate,
+    // then clip + re-aggregate — clip counts included
+    "q145_winsorize" ->
+      """WITH v AS (SELECT event_type,
+        |    CAST(floor(value * 10000.0) AS BIGINT) AS v_fp
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT event_type, v_fp, count(*) AS c FROM v GROUP BY 1, 2),
+        |cm AS (SELECT event_type, v_fp,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY v_fp) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n FROM c),
+        |cuts AS (SELECT event_type,
+        |    min(CASE WHEN cum >= CAST(ceil(0.05 * n) AS BIGINT)
+        |      THEN v_fp END) AS lo_fp,
+        |    min(CASE WHEN cum >= CAST(ceil(0.95 * n) AS BIGINT)
+        |      THEN v_fp END) AS hi_fp
+        |  FROM cm GROUP BY 1)
+        |SELECT v.event_type, count(*) AS n,
+        |  min(lo_fp) AS lo_fp, min(hi_fp) AS hi_fp,
+        |  CAST(sum(CASE WHEN v_fp < lo_fp THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_low,
+        |  CAST(sum(CASE WHEN v_fp > hi_fp THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_high,
+        |  CAST(sum(greatest(least(v_fp, hi_fp), lo_fp)) AS BIGINT)
+        |    AS winsorized_sum_fp
+        |FROM v JOIN cuts USING (event_type) GROUP BY v.event_type""".stripMargin,
     // same integer day axis, same RANGE frame, same cent floor
     "q114_rolling_spend" ->
       """SELECT o_orderkey, o_custkey,
