@@ -307,6 +307,37 @@ object LlmQueries {
       .select(col("lang"), col("w"), col("tf"), col("score"), col("rn"))
   }
 
+  // ---- q146: emerging terms (frequency-ratio trend card) ----
+  // Which vocabulary is NEW: term frequency in the recent half of the
+  // corpus (doc_id ≥ N/2 — the deterministic stand-in for a time
+  // split) against the older half, scored as the add-one-smoothed
+  // ratio floor(1e6·(recent+1)/(older+1)). A support floor keeps
+  // one-off noise out; top-20 by (score, recent tf, term) so ties are
+  // deterministic. One (half, token) counting aggregate — the corpus
+  // text never shuffles — and a vocabulary-sized rank.
+  private val EmergeMinRecent = 5L
+  private val EmergeTopK = 20
+  def q146EmergingTerms(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.documents(s, dir)
+    val n = d.count()
+    val tf = d.select(
+        (col("doc_id") >= lit(n / 2)).as("recent"),
+        explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w"))
+      .agg(sum(when(col("recent"), 1L).otherwise(0L)).as("tf_recent"),
+        sum(when(!col("recent"), 1L).otherwise(0L)).as("tf_old"))
+      .filter(col("tf_recent") >= EmergeMinRecent)
+      .withColumn("score", expr(
+        "cast(floor(1000000.0 * cast(tf_recent + 1 as double) " +
+          "/ cast(tf_old + 1 as double)) as bigint)"))
+    tf.orderBy(col("score").desc, col("tf_recent").desc, col("w").asc)
+      .limit(EmergeTopK)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("tf_recent").desc, col("w").asc))
+        .cast("bigint"))
+  }
+
   // ---- q37: repetition statistics (Gopher-style filters) ----
   // Two repetition signals per doc, both integer fixed-point:
   // duplicate word-3-gram fraction (row-local list arithmetic, zero
@@ -1037,6 +1068,7 @@ object LlmQueries {
     "q43_chunks"            -> q43Chunks _,
     "q44_sequence_packing"  -> q44SequencePacking _,
     "q140_bpe_packing"      -> q140BpePacking _,
+    "q146_emerging_terms"   -> q146EmergingTerms _,
     "q45_decontamination"   -> q45Decontamination _,
     "q68_decontam_bloom"    -> q68DecontamBloom _,
     "q69_filter_rules"      -> q69FilterRules _,
@@ -1600,6 +1632,23 @@ object LlmQueries {
          |WHERE bucket < CASE lang $rateCase ELSE 10 END
          |GROUP BY lang ORDER BY lang""".stripMargin
     },
+    // the deterministic doc_id-half split + smoothed ratio + rank
+    "q146_emerging_terms" ->
+      s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |e AS (SELECT doc_id >= (SELECT n FROM nn) // 2 AS recent,
+         |    unnest($toksSql) AS w FROM documents),
+         |tf AS (SELECT w,
+         |    CAST(sum(CASE WHEN recent THEN 1 ELSE 0 END) AS BIGINT) AS tf_recent,
+         |    CAST(sum(CASE WHEN recent THEN 0 ELSE 1 END) AS BIGINT) AS tf_old
+         |  FROM e GROUP BY w),
+         |f AS (SELECT w, tf_recent, tf_old,
+         |    CAST(floor(1000000.0 * CAST(tf_recent + 1 AS DOUBLE)
+         |      / CAST(tf_old + 1 AS DOUBLE)) AS BIGINT) AS score
+         |  FROM tf WHERE tf_recent >= $EmergeMinRecent),
+         |r AS (SELECT w, tf_recent, tf_old, score, row_number() OVER (
+         |    ORDER BY score DESC, tf_recent DESC, w ASC) AS rn FROM f)
+         |SELECT w, tf_recent, tf_old, score, CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= $EmergeTopK""".stripMargin,
     "q40_token_quantiles" ->
       s"""WITH d AS (SELECT lang, CAST(len(toks) AS BIGINT) AS n_tok
          |  FROM (SELECT lang, $toksSql AS toks FROM documents) x),

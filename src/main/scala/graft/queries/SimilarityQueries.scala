@@ -216,6 +216,42 @@ object SimilarityQueries {
       Seq("jl_proj" -> Similarity.topKPerQuery(scored, AnnK)), AnnK)
   }
 
+  // ---- q147: label-centroid cosine matrix (topic similarity card) ----
+  // Which labeled slices of the corpus say the same thing: per-label
+  // fixed-point centroids (floor-mean of the q46 component sums —
+  // explicit double-floor division so negative sums floor identically
+  // in both engines), then every label pair's cosine as
+  // floor(1e6·dot/(|a|·|b|)). Integer dot/norms convert exactly to
+  // double (≪ 2⁵³) and IEEE sqrt is correctly rounded, so the score
+  // replays bit-for-bit. Everything after the one (label, dim)
+  // aggregation is label²-sized — a card, not a corpus pass.
+  def q147LabelCosine(s: SparkSession, dir: String): DataFrame = {
+    val cent = graft.Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(expr("sum(cast(floor(cast(x as double) * 1000000.0) as bigint))")
+        .as("sf"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"),
+        expr("cast(floor(cast(sf as double) / cast(n as double)) as bigint)")
+          .as("cf"))
+    val nrm = cent.groupBy(col("label"))
+      .agg(sum(col("cf") * col("cf")).as("nrm"))
+    val pairs = cent.select(col("label").as("label_a"), col("dim"),
+        col("cf").as("ca"))
+      .join(cent.select(col("label").as("label_b"), col("dim"),
+        col("cf").as("cb")), Seq("dim"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(col("ca") * col("cb")).as("dot"))
+    pairs
+      .join(nrm.select(col("label").as("label_a"), col("nrm").as("na")), "label_a")
+      .join(nrm.select(col("label").as("label_b"), col("nrm").as("nb")), "label_b")
+      .select(col("label_a"), col("label_b"), expr(
+        "cast(floor(1000000.0 * cast(dot as double) / " +
+          "(sqrt(cast(na as double)) * sqrt(cast(nb as double)))) as bigint)")
+        .as("cos_fp"))
+  }
+
   private val IvfLists = 16
   private val IvfProbe = 2
 
@@ -502,6 +538,7 @@ object SimilarityQueries {
     "q75_embed_quantize" -> q75EmbedQuantize _,
     "q142_random_projection" -> q142RandomProjection _,
     "q143_projected_recall" -> q143ProjectedRecall _,
+    "q147_label_cosine" -> q147LabelCosine _,
     "q84_pq_ann"        -> q84PqAnn _,
     "q92_ivfadc"        -> q92IvfAdc _,
   )
@@ -1163,6 +1200,27 @@ object SimilarityQueries {
     "q135_survivorship" -> q135Sql,
     "q136_temporal_dedup" -> q136Sql,
     "q75_embed_quantize" -> q75Sql,
+    // centroid floor-division, dot, norms, and the sqrt-scored cosine
+    // all replayed in the same arithmetic order
+    "q147_label_cosine" ->
+      s"""WITH c AS (SELECT label, i AS dim,
+         |    CAST(floor(CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE)
+         |        * 1000000.0) AS BIGINT)) AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cf
+         |  FROM embeddings, unnest(range(1, $Dim + 1)) AS u(i)
+         |  GROUP BY label, i),
+         |n AS (SELECT label, CAST(sum(cf * cf) AS BIGINT) AS nrm
+         |  FROM c GROUP BY label),
+         |d AS (SELECT a.label AS label_a, b.label AS label_b,
+         |    CAST(sum(a.cf * b.cf) AS BIGINT) AS dot
+         |  FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+         |  GROUP BY 1, 2)
+         |SELECT label_a, label_b,
+         |  CAST(floor(1000000.0 * CAST(dot AS DOUBLE)
+         |    / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))))
+         |    AS BIGINT) AS cos_fp
+         |FROM d JOIN n na ON na.label = d.label_a
+         |JOIN n nb ON nb.label = d.label_b""".stripMargin,
     // both rankings replayed: projected L2 over the embedded weight
     // literals vs the exact dot_fp baseline, intersected per query
     "q143_projected_recall" -> {
