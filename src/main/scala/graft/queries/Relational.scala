@@ -156,6 +156,42 @@ object Relational {
       .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
   }
 
+  // ---- q148: top session paths (behavioral path mining) ----
+  // The path-mining complement to the funnel (q106) and the transition
+  // matrix (q110): the most common session-opening event sequences.
+  // Sessions cut by q11's 30-minute gap rule on the (ts, event_id)
+  // order; each session's first 5 event types join into a path string;
+  // top-15 by (count desc, path asc). All windows partition by user
+  // (or user+session) — never a global sort; the final rank runs on
+  // the path-distinct aggregate via TakeOrdered.
+  private val PathLen = 5
+  private val PathTopK = 15
+  def q148SessionPaths(s: SparkSession, dir: String): DataFrame = {
+    val wU = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val e = graft.Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(wU))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > 30L * 60 * 1000000, lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("sess_no", sum(col("new_sess")).over(wU))
+    val wS = Window.partitionBy(col("user_id"), col("sess_no"))
+      .orderBy(col("us"), col("event_id"))
+    val paths = e.withColumn("rn", row_number().over(wS))
+      .filter(col("rn") <= PathLen)
+      .groupBy(col("user_id"), col("sess_no"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+    paths.orderBy(col("n_sessions").desc, col("path").asc).limit(PathTopK)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("n_sessions").desc, col("path").asc)).cast("bigint"))
+  }
+
   // ---- q12: rollup over year × priority (grouping sets) ----
   def q12YearPriorityRollup(s: SparkSession, dir: String): DataFrame =
     graft.Tables.orders(s, dir)
@@ -519,6 +555,7 @@ object Relational {
     "q109_event_pivot"      -> q109EventPivot _,
     "q114_rolling_spend"    -> q114RollingSpend _,
     "q145_winsorize"        -> q145Winsorize _,
+    "q148_session_paths"    -> q148SessionPaths _,
     "q118_skyline"          -> q118Skyline _,
     "q119_cube_grouping"    -> q119CubeGrouping _,
     "q120_zorder_audit"     -> q120ZorderAudit _,
@@ -615,6 +652,29 @@ object Relational {
          |  min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
          |FROM z GROUP BY 1""".stripMargin
     },
+    // q11's gap rule + per-session rank + string_agg + top-k replay
+    "q148_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) // 1000 AS us FROM events),
+        |s AS (SELECT user_id, event_id, event_type, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |      OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |t AS (SELECT user_id, event_id, event_type, us,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sess_no FROM s),
+        |r AS (SELECT user_id, sess_no, event_type,
+        |    row_number() OVER (PARTITION BY user_id, sess_no
+        |      ORDER BY us, event_id) AS rn FROM t),
+        |p AS (SELECT user_id, sess_no,
+        |    string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 5 GROUP BY 1, 2),
+        |g AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |  FROM p GROUP BY path),
+        |k AS (SELECT path, n_sessions, row_number() OVER (
+        |    ORDER BY n_sessions DESC, path) AS rn FROM g)
+        |SELECT path, n_sessions, CAST(rn AS BIGINT) AS rn
+        |FROM k WHERE rn <= 15""".stripMargin,
     // the q40 ceil-rank cutoff convention over the counting aggregate,
     // then clip + re-aggregate — clip counts included
     "q145_winsorize" ->
