@@ -192,6 +192,36 @@ object Relational {
         Window.orderBy(col("n_sessions").desc, col("path").asc)).cast("bigint"))
   }
 
+  // ---- q149: referential-integrity audit (FK orphan card) ----
+  // The data-quality gate a warehouse runs before trusting joins:
+  // per declared FK edge, total child rows, orphan rows (no parent),
+  // and distinct orphan keys. Each edge is one LEFT ANTI join — the
+  // shape Catalyst turns into a broadcast/hash anti join with the
+  // child scan pruned to the key column — so the card costs one
+  // key-projection pass per edge at any scale.
+  def q149FkAudit(s: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, childKey: String,
+        parent: DataFrame, parentKey: String): DataFrame = {
+      val orphans = child.select(col(childKey).as("k"))
+        .join(parent.select(col(parentKey).as("k")), Seq("k"), "left_anti")
+      val t = child.agg(count(lit(1)).as("n_child")).select(col("n_child"))
+      val o = orphans.agg(count(lit(1)).as("n_orphans"),
+        countDistinct(col("k")).as("n_orphan_keys"))
+      t.crossJoin(o).select(lit(name).as("fk"), col("n_child"),
+        col("n_orphans"), col("n_orphan_keys"))
+    }
+    val li = graft.Tables.lineitem(s, dir)
+    val o = graft.Tables.orders(s, dir)
+    val c = graft.Tables.customer(s, dir)
+    val su = graft.Tables.supplier(s, dir)
+    val n = graft.Tables.nation(s, dir)
+    edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
+      .unionByName(edge("lineitem->supplier", li, "l_suppkey", su, "s_suppkey"))
+      .unionByName(edge("orders->customer", o, "o_custkey", c, "c_custkey"))
+      .unionByName(edge("customer->nation", c, "c_nationkey", n, "n_nationkey"))
+      .unionByName(edge("supplier->nation", su, "s_nationkey", n, "n_nationkey"))
+  }
+
   // ---- q12: rollup over year × priority (grouping sets) ----
   def q12YearPriorityRollup(s: SparkSession, dir: String): DataFrame =
     graft.Tables.orders(s, dir)
@@ -250,22 +280,13 @@ object Relational {
   // re-aggregates in fixed-point. Clip counts ride along as the
   // evidence a metrics reviewer asks for first.
   def q145Winsorize(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val v = graft.Tables.events(s, dir)
       .filter(col("value").isNotNull)
       .select(col("event_type"),
         expr("cast(floor(value * 10000.0) as bigint)").as("v_fp"))
-    val counts = v.groupBy(col("event_type"), col("v_fp"))
-      .agg(count(lit(1)).as("c"))
-    val wCum = Window.partitionBy(col("event_type")).orderBy(col("v_fp"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = counts.withColumn("cum", sum(col("c")).over(wCum))
-      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("event_type"))))
-    val cuts = cum.groupBy(col("event_type")).agg(
-      min(when(col("cum") >= expr("cast(ceil(0.05 * n) as bigint)"),
-        col("v_fp"))).as("lo_fp"),
-      min(when(col("cum") >= expr("cast(ceil(0.95 * n) as bigint)"),
-        col("v_fp"))).as("hi_fp"))
+    val cuts = graft.llm.Robust
+      .cutoffsFp(v, col("event_type"), col("v_fp"), loQ = 0.05, hiQ = 0.95)
+      .withColumnRenamed("group_key", "event_type")
     v.join(broadcast(cuts), Seq("event_type"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -556,6 +577,7 @@ object Relational {
     "q114_rolling_spend"    -> q114RollingSpend _,
     "q145_winsorize"        -> q145Winsorize _,
     "q148_session_paths"    -> q148SessionPaths _,
+    "q149_fk_audit"         -> q149FkAudit _,
     "q118_skyline"          -> q118Skyline _,
     "q119_cube_grouping"    -> q119CubeGrouping _,
     "q120_zorder_audit"     -> q120ZorderAudit _,
@@ -652,6 +674,29 @@ object Relational {
          |  min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
          |FROM z GROUP BY 1""".stripMargin
     },
+    // each FK edge replayed as a NOT-IN-parents filter + counts
+    "q149_fk_audit" ->
+      """SELECT 'lineitem->orders' AS fk,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_child,
+        |  CAST(count(*) AS BIGINT) AS n_orphans,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orphan_keys
+        |FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |UNION ALL
+        |SELECT 'lineitem->supplier',
+        |  (SELECT count(*) FROM lineitem), count(*), count(DISTINCT l_suppkey)
+        |FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+        |UNION ALL
+        |SELECT 'orders->customer',
+        |  (SELECT count(*) FROM orders), count(*), count(DISTINCT o_custkey)
+        |FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |UNION ALL
+        |SELECT 'customer->nation',
+        |  (SELECT count(*) FROM customer), count(*), count(DISTINCT c_nationkey)
+        |FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+        |UNION ALL
+        |SELECT 'supplier->nation',
+        |  (SELECT count(*) FROM supplier), count(*), count(DISTINCT s_nationkey)
+        |FROM supplier WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation)""".stripMargin,
     // q11's gap rule + per-session rank + string_agg + top-k replay
     "q148_session_paths" ->
       """WITH e AS (SELECT user_id, event_id, event_type,

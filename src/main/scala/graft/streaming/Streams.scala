@@ -254,6 +254,21 @@ object Streams {
       minDotFp: Long, nIter: Int = 3): DataFrame =
     graft.llm.IvfIndex.annIngest(stream, corpus, nLists, minDotFp, nIter)
 
+  /** Streaming winsorize-apply — q145's robust clipping at ingest
+    * time: exact per-group p-quantile cutoffs train on the STATIC
+    * corpus ([[graft.llm.Robust.cutoffsFp]]), and each arriving row is
+    * clipped against its group's cutoffs by a stateless broadcast
+    * join + projection ([[graft.llm.Robust.clipFp]]) — groups unseen
+    * at training pass through unclipped. No watermark, no state
+    * store; the same call runs on a batch frame, which is the
+    * correctness oracle (StreamingSpec pins stream == batch). */
+  def clipIngest(stream: DataFrame, corpus: DataFrame, groupCol: String,
+      valueFpCol: String, loQ: Double = 0.05, hiQ: Double = 0.95): DataFrame = {
+    val cuts = graft.llm.Robust.cutoffsFp(corpus,
+      qcol(groupCol), qcol(valueFpCol), loQ, hiQ)
+    graft.llm.Robust.clipFp(stream, qcol(groupCol), qcol(valueFpCol), cuts)
+  }
+
   /** Streaming HLL register build — the continuous twin of
     * [[graft.llm.Sketches.hllRegisters]]. The register grid is a
     * max-aggregate, which is unordered and mergeable, so the streaming

@@ -472,6 +472,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally query.stop()
   }
 
+  test("clipIngest: streamed values clip against static cutoffs, equal batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // corpus: type 'a' values 1..100 → p05 = 5, p95 = 95 (ceil-rank);
+    // type 'b' constant → cutoffs collapse to the constant
+    val corpus = ((1 to 100).map(i => ("a", i.toLong)) ++
+      (1 to 10).map(_ => ("b", 7L))).toDF("grp", "v_fp")
+    val arrivals = Seq((1L, "a", 3L), (2L, "a", 50L), (3L, "a", 99L),
+      (4L, "b", 7L), (5L, "b", 100L), (6L, "zz", -5L)) // zz unseen
+    val input = MemoryStream[(Long, String, Long)]
+    val query = Streams.clipIngest(input.toDF().toDF("id", "grp", "v_fp"),
+        corpus, "grp", "v_fp")
+      .writeStream.format("memory").queryName("clip_out")
+      .outputMode("append").start()
+    try {
+      input.addData(arrivals: _*)
+      query.processAllAvailable()
+      def shape(df: org.apache.spark.sql.DataFrame) =
+        df.select("id", "clipped_fp", "was_clipped").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      val got = shape(spark.table("clip_out"))
+      val batch = shape(Streams.clipIngest(
+        arrivals.toDF("id", "grp", "v_fp"), corpus, "grp", "v_fp"))
+      assert(got === batch)
+      assert(got === Set((1L, 5L, true), (2L, 50L, false), (3L, 95L, true),
+        (4L, 7L, false), (5L, 7L, true), (6L, -5L, false)))
+    } finally query.stop()
+  }
+
   test("sketch twins: HLL registers and CM counters accumulate across " +
       "micro-batches to the exact batch grids") {
     import spark.implicits._
