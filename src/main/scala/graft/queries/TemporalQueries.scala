@@ -67,6 +67,28 @@ object TemporalQueries {
         sum(col("v_fp")).as("attributed_fp"))
   }
 
+  // ---- q150: time-decayed engagement score (recency weighting) ----
+  // Popularity/engagement ranking needs recency decay, but float
+  // 2^(-age/H) is libm-dependent and unreplayable. This is the
+  // integer-exact form: weight = 10⁶ >> (age_days div halfLife),
+  // clamped — a step-exponential that halves every halfLife days
+  // using only shifts, identical in any engine. Anchor = the corpus
+  // max day (data-derived, deterministic). One scan + one user
+  // aggregation.
+  private val DecayHalfLifeDays = 30L
+  def q150DecayedEngagement(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("cast(floor(unix_micros(ts) / 86400000000.0) as bigint)")
+          .as("day"))
+    val maxDay = e.agg(max(col("day"))).collect()(0).getLong(0)
+    e.select(col("user_id"),
+        expr(s"shiftright(1000000L, cast(least(($maxDay" +
+          s"L - day) div $DecayHalfLifeDays, 19L) as int))").as("wt"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("wt")).as("decay_score"))
+  }
+
   // ---- q35: bucketed range join — events preceding each error ----
   def q35RangeJoin(s: SparkSession, dir: String): DataFrame = {
     val e = ev(s, dir)
@@ -301,6 +323,7 @@ object TemporalQueries {
     "q106_funnel"    -> q106Funnel _,
     "q34_asof_join"  -> q34AsofJoin _,
     "q144_attribution" -> q144Attribution _,
+    "q150_decayed_engagement" -> q150DecayedEngagement _,
     "q35_range_join" -> q35RangeJoin _,
     "q90_gap_fill"   -> q90GapFill _,
     "q95_interval_coverage" -> q95IntervalCoverage _,
@@ -321,6 +344,17 @@ object TemporalQueries {
         |      ORDER BY c.us DESC, c.event_id DESC) AS rn
         |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.us <= p.us)
         |SELECT purchase_id, user_id, click_id, gap_us FROM j WHERE rn = 1""".stripMargin,
+    // the integer-shift step-exponential replayed bit-for-bit
+    "q150_decayed_engagement" ->
+      s"""WITH e AS (SELECT user_id,
+         |    CAST(floor((epoch_ns(ts) // 1000) / 86400000000.0) AS BIGINT) AS day
+         |  FROM events),
+         |m AS (SELECT max(day) AS maxday FROM e)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(1000000 >> CAST(least(
+         |    ((SELECT maxday FROM m) - day) // $DecayHalfLifeDays, 19) AS INTEGER))
+         |    AS BIGINT) AS decay_score
+         |FROM e GROUP BY user_id""".stripMargin,
     // q34's inequality-join pick + the window filter and channel rollup
     "q144_attribution" ->
       s"""WITH e AS (SELECT event_id, user_id, event_type,
