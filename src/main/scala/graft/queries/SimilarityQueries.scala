@@ -80,6 +80,21 @@ object SimilarityQueries {
     graft.llm.Dedup.connectedComponents(docs.select(col("doc_id")), edges)
   }
 
+  // ---- q151: cluster-size histogram (duplication-mass card) ----
+  // The readout that decides a dedup budget: HOW the duplication mass
+  // distributes — many pairs, or a few giant clusters? One aggregate
+  // over q38's audited labels to sizes, one more to the histogram
+  // (size → clusters, docs, redundant docs); singleton rows keep the
+  // unduplicated mass visible. Histogram cardinality is bounded by
+  // the largest cluster, not the corpus.
+  def q151ClusterSizes(s: SparkSession, dir: String): DataFrame =
+    q38DedupClusters(s, dir)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz")).as("n_docs"),
+        sum(col("sz") - 1L).as("n_redundant"))
+
   // ---- q72: cluster-aware keep-best dedup ----
   // The decision real pipelines make on top of q38's labels: within
   // each near-dup cluster keep the HIGHEST-QUALITY member (tie → the
@@ -539,6 +554,7 @@ object SimilarityQueries {
     "q142_random_projection" -> q142RandomProjection _,
     "q143_projected_recall" -> q143ProjectedRecall _,
     "q147_label_cosine" -> q147LabelCosine _,
+    "q151_cluster_sizes" -> q151ClusterSizes _,
     "q84_pq_ann"        -> q84PqAnn _,
     "q92_ivfadc"        -> q92IvfAdc _,
   )
@@ -1200,6 +1216,16 @@ object SimilarityQueries {
     "q135_survivorship" -> q135Sql,
     "q136_temporal_dedup" -> q136Sql,
     "q75_embed_quantize" -> q75Sql,
+    // q38's recursive closure aggregated twice: labels → sizes →
+    // histogram
+    "q151_cluster_sizes" ->
+      s"""WITH cl AS ($q38Sql),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+         |  FROM cl GROUP BY cluster_id)
+         |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sum(sz) AS BIGINT) AS n_docs,
+         |  CAST(sum(sz - 1) AS BIGINT) AS n_redundant
+         |FROM sz GROUP BY sz""".stripMargin,
     // centroid floor-division, dot, norms, and the sqrt-scored cosine
     // all replayed in the same arithmetic order
     "q147_label_cosine" ->
