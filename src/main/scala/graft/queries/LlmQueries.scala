@@ -338,6 +338,48 @@ object LlmQueries {
         .cast("bigint"))
   }
 
+  // ---- q152: source-composition drift (corpus mixture monitoring) ----
+  // Whether the ingest mix is moving: each source's share of the
+  // recent corpus half vs the older half (q146's deterministic
+  // doc_id split), in exact ppm, with the absolute drift alongside.
+  // One counting aggregate; every later frame is source-cardinality-
+  // sized.
+  def q152SourceDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.documents(s, dir)
+    val n = d.count()
+    val agg = d.select((col("doc_id") >= lit(n / 2)).as("recent"), col("source"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("recent"), 1L).otherwise(0L)).as("n_recent"),
+        sum(when(!col("recent"), 1L).otherwise(0L)).as("n_old"))
+    val tot = agg.agg(sum(col("n_recent")).as("tr"), sum(col("n_old")).as("to"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_recent"), col("n_old"),
+        expr("n_recent * 1000000L div greatest(tr, 1L)").as("share_recent_ppm"),
+        expr("n_old * 1000000L div greatest(to, 1L)").as("share_old_ppm"))
+      .withColumn("drift_ppm",
+        abs(col("share_recent_ppm") - col("share_old_ppm")))
+  }
+
+  // ---- q153: per-language tokenizer equity card ----
+  // The fairness audit an LLM pipeline owes its tokenizer: characters
+  // per BPE token by language — a language the tokenizer fragments
+  // pays more compute per character. Composes the q88-trained symbol
+  // counts (trained once via the session memo) with the documents'
+  // language column; ratios are exact fixed-point.
+  def q153TokenizerEquity(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.documents(s, dir)
+    val counts = graft.llm.BpeTrainer.symbolCounts(d, "doc_id", "text", BpeMerges)
+    d.select(col("doc_id"), col("lang"),
+        length(col("text")).cast("bigint").as("n_chars"))
+      .join(counts, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars"),
+        sum(col("n_sym")).as("bpe_tokens"),
+        expr("sum(n_chars) * 1000000L div greatest(sum(n_sym), 1L)")
+          .as("chars_per_token_ppm"))
+  }
+
   // ---- q37: repetition statistics (Gopher-style filters) ----
   // Two repetition signals per doc, both integer fixed-point:
   // duplicate word-3-gram fraction (row-local list arithmetic, zero
@@ -1069,6 +1111,8 @@ object LlmQueries {
     "q44_sequence_packing"  -> q44SequencePacking _,
     "q140_bpe_packing"      -> q140BpePacking _,
     "q146_emerging_terms"   -> q146EmergingTerms _,
+    "q152_source_drift"     -> q152SourceDrift _,
+    "q153_tokenizer_equity" -> q153TokenizerEquity _,
     "q45_decontamination"   -> q45Decontamination _,
     "q68_decontam_bloom"    -> q68DecontamBloom _,
     "q69_filter_rules"      -> q69FilterRules _,
@@ -1632,6 +1676,46 @@ object LlmQueries {
          |WHERE bucket < CASE lang $rateCase ELSE 10 END
          |GROUP BY lang ORDER BY lang""".stripMargin
     },
+    // the q146 half split aggregated per source, shares in exact ppm
+    "q152_source_drift" ->
+      s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |a AS (SELECT source,
+         |    CAST(sum(CASE WHEN doc_id >= (SELECT n FROM nn) // 2
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_recent,
+         |    CAST(sum(CASE WHEN doc_id >= (SELECT n FROM nn) // 2
+         |      THEN 0 ELSE 1 END) AS BIGINT) AS n_old
+         |  FROM documents GROUP BY source),
+         |t AS (SELECT CAST(sum(n_recent) AS BIGINT) AS tr,
+         |    CAST(sum(n_old) AS BIGINT) AS tt FROM a)
+         |SELECT source, n_recent, n_old,
+         |  CAST(n_recent * 1000000 // greatest(tr, 1) AS BIGINT)
+         |    AS share_recent_ppm,
+         |  CAST(n_old * 1000000 // greatest(tt, 1) AS BIGINT) AS share_old_ppm,
+         |  CAST(abs(n_recent * 1000000 // greatest(tr, 1)
+         |    - n_old * 1000000 // greatest(tt, 1)) AS BIGINT) AS drift_ppm
+         |FROM a, t""".stripMargin,
+    // q88's training chain → per-doc symbol counts → per-language
+    // character/token ratio
+    "q153_tokenizer_equity" ->
+      s"""WITH $bpeChainSql,
+         |ns AS (SELECT w,
+         |    CAST(len(string_split(s[2:len(s) - 1], '][')) AS BIGINT) AS n_sym
+         |  FROM w$BpeMerges),
+         |tk AS (SELECT doc_id, toks[i::INT] AS w FROM
+         |  (SELECT doc_id, $toksSql AS toks FROM documents) x,
+         |  unnest(range(1, len(toks) + 1)) AS u(i)),
+         |d0 AS (SELECT tk.doc_id, CAST(sum(ns.n_sym) AS BIGINT) AS n_sym
+         |  FROM tk JOIN ns USING (w) GROUP BY tk.doc_id),
+         |dd AS (SELECT documents.doc_id, documents.lang,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    coalesce(d0.n_sym, 0) AS n_sym
+         |  FROM documents LEFT JOIN d0 USING (doc_id))
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars,
+         |  CAST(sum(n_sym) AS BIGINT) AS bpe_tokens,
+         |  CAST(sum(n_chars) * 1000000 // greatest(sum(n_sym), 1) AS BIGINT)
+         |    AS chars_per_token_ppm
+         |FROM dd GROUP BY lang""".stripMargin,
     // the deterministic doc_id-half split + smoothed ratio + rank
     "q146_emerging_terms" ->
       s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
