@@ -1277,7 +1277,7 @@ object LlmQueries {
     * the low 32 bits (bytes < 256), so it runs on a BIGINT-cast slice
     * of the state. Bit 63 of the final simhash maps to the sign bit of
     * the BIGINT Spark produces. */
-  private val q31Sql: String = {
+  private[queries] val q31Sql: String = {
     val fnvSql =
       """list_reduce(
         |  list_concat([CAST('14695981039346656037' AS HUGEINT)],

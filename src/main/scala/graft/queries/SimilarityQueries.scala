@@ -95,6 +95,31 @@ object SimilarityQueries {
         sum(col("sz")).as("n_docs"),
         sum(col("sz") - 1L).as("n_redundant"))
 
+  // ---- q154: near-dup detector agreement (MinHash vs SimHash) ----
+  // Two production detectors, one question: do they find the SAME
+  // pairs? The full-outer overlap of q21's banded-Jaccard pairs and
+  // q31's simhash-Hamming pairs, as one evidence row (each detector's
+  // count, the intersection, and each side's exclusives). Detector
+  // disagreement is the first thing a dedup review asks for; both
+  // pair sets are the audited production paths, and the card's join
+  // runs on pair lists, not the corpus.
+  def q154DetectorAgreement(s: SparkSession, dir: String): DataFrame = {
+    val mh = q21MinhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      .withColumn("m", lit(1L))
+    val sh = LlmQueries.q31SimhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      .withColumn("h", lit(1L))
+    mh.join(sh, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(coalesce(col("m"), lit(0L))).as("n_minhash"),
+        sum(coalesce(col("h"), lit(0L))).as("n_simhash"),
+        sum(when(col("m").isNotNull && col("h").isNotNull, 1L).otherwise(0L))
+          .as("n_both"),
+        sum(when(col("m").isNotNull && col("h").isNull, 1L).otherwise(0L))
+          .as("n_minhash_only"),
+        sum(when(col("m").isNull && col("h").isNotNull, 1L).otherwise(0L))
+          .as("n_simhash_only"))
+  }
+
   // ---- q72: cluster-aware keep-best dedup ----
   // The decision real pipelines make on top of q38's labels: within
   // each near-dup cluster keep the HIGHEST-QUALITY member (tie → the
@@ -555,6 +580,7 @@ object SimilarityQueries {
     "q143_projected_recall" -> q143ProjectedRecall _,
     "q147_label_cosine" -> q147LabelCosine _,
     "q151_cluster_sizes" -> q151ClusterSizes _,
+    "q154_detector_agreement" -> q154DetectorAgreement _,
     "q84_pq_ann"        -> q84PqAnn _,
     "q92_ivfadc"        -> q92IvfAdc _,
   )
@@ -1216,6 +1242,21 @@ object SimilarityQueries {
     "q135_survivorship" -> q135Sql,
     "q136_temporal_dedup" -> q136Sql,
     "q75_embed_quantize" -> q75Sql,
+    // both audited pair generators embedded verbatim, overlapped
+    "q154_detector_agreement" ->
+      s"""WITH mh AS (SELECT doc_a, doc_b FROM ($q21Sql) qq),
+         |sh AS (SELECT doc_a, doc_b FROM (${LlmQueries.q31Sql}) ss),
+         |j AS (SELECT mh.doc_a IS NOT NULL AS m, sh.doc_a IS NOT NULL AS h
+         |  FROM mh FULL OUTER JOIN sh
+         |    ON mh.doc_a = sh.doc_a AND mh.doc_b = sh.doc_b)
+         |SELECT CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_minhash,
+         |  CAST(sum(CASE WHEN h THEN 1 ELSE 0 END) AS BIGINT) AS n_simhash,
+         |  CAST(sum(CASE WHEN m AND h THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         |  CAST(sum(CASE WHEN m AND NOT h THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_minhash_only,
+         |  CAST(sum(CASE WHEN h AND NOT m THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_simhash_only
+         |FROM j""".stripMargin,
     // q38's recursive closure aggregated twice: labels → sizes →
     // histogram
     "q151_cluster_sizes" ->
