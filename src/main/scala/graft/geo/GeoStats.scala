@@ -24,12 +24,16 @@ object GeoStats {
     * translation keeps products bounded by the ring's EXTENT rather
     * than its distance from the origin. Works on closed (WKB
     * contract) and unclosed rings alike. Throws ArithmeticException
-    * on non-finite coordinates or Long overflow — the caller maps
-    * that to the null/unscorable contract; the decision is exact
-    * (addExact/multiplyExact), not estimated from a bound. */
-  private def ringShoelace2Fp(ring: Array[Array[Double]]): Long = {
+    * on non-finite coordinates — the caller maps that to the
+    * null/unscorable contract. The value is EXACT for every
+    * representable ring: terms run through a Long fast path and fall
+    * back to BigInt accumulation when an INTERMEDIATE product
+    * overflows (a wide ring far from its min corner can overflow a
+    * single cross term while its true area is still tiny — transient
+    * overflow must not make a representable area unscorable). */
+  private def ringShoelace2(ring: Array[Array[Double]]): BigInt = {
     val n = ring.length
-    if (n < 3) return 0L
+    if (n < 3) return BigInt(0)
     val xs = new Array[Long](n)
     val ys = new Array[Long](n)
     var minX = Long.MaxValue
@@ -46,49 +50,71 @@ object GeoStats {
       if (ys(i) < minY) minY = ys(i)
       i += 1
     }
-    var s = 0L
-    def term(i: Int, j: Int): Unit = {
-      val x0 = Math.subtractExact(xs(i), minX)
-      val y0 = Math.subtractExact(ys(i), minY)
-      val x1 = Math.subtractExact(xs(j), minX)
-      val y1 = Math.subtractExact(ys(j), minY)
-      s = Math.addExact(s,
-        Math.subtractExact(Math.multiplyExact(x0, y1), Math.multiplyExact(x1, y0)))
+    // translated coordinates are non-negative and ≤ the ring extent;
+    // MaxCoord keeps them < 2^62 so subtractExact cannot overflow
+    val closed = xs(0) == xs(n - 1) && ys(0) == ys(n - 1)
+    val last = if (closed) n - 1 else n
+    def bigSum: BigInt = {
+      var s = BigInt(0)
+      var j = 0
+      while (j < last) {
+        val k = (j + 1) % n
+        val x0 = xs(j) - minX; val y0 = ys(j) - minY
+        val x1 = xs(k) - minX; val y1 = ys(k) - minY
+        s += BigInt(x0) * y1 - BigInt(x1) * y0
+        j += 1
+      }
+      s
     }
-    i = 0
-    while (i < n - 1) { term(i, i + 1); i += 1 }
-    // a closed ring (WKB contract: first == last) has already cycled —
-    // the duplicate endpoint's edge to itself contributed zero and the
-    // edge into it closed the loop; an unclosed ring wraps explicitly
-    if (xs(0) != xs(n - 1) || ys(0) != ys(n - 1)) term(n - 1, 0)
-    s
+    try {
+      var s = 0L
+      var j = 0
+      while (j < last) {
+        val k = (j + 1) % n
+        val x0 = xs(j) - minX; val y0 = ys(j) - minY
+        val x1 = xs(k) - minX; val y1 = ys(k) - minY
+        s = Math.addExact(s,
+          Math.subtractExact(Math.multiplyExact(x0, y1), Math.multiplyExact(x1, y0)))
+        j += 1
+      }
+      BigInt(s)
+    } catch { case _: ArithmeticException => bigSum }
   }
 
-  /** Twice the total area over (multi)polygon parts: per part,
-    * |shoelace(exterior)| minus Σ|shoelace(hole)| using the OGC/WKB
-    * POSITIONAL contract — ring 0 is the exterior, later rings are
-    * holes — rather than winding order, which WKB producers do not
-    * reliably normalize (a hole wound the same way as its shell is
-    * legal bytes and must still subtract). Fully
-    * orientation-independent as a result. None on overflow, bad
-    * coordinates, or holes outweighing their shell (the unscorable
-    * contract — that geometry is invalid, not zero-area). */
-  private[geo] def polyArea2Fp(parts: Array[Wkb.GPolygon]): Option[Long] =
+  /** Twice the total area over (multi)polygon parts as an exact
+    * BigInt: per part, |shoelace(exterior)| minus Σ|shoelace(hole)|
+    * using the OGC/WKB POSITIONAL contract — ring 0 is the exterior,
+    * later rings are holes — rather than winding order, which WKB
+    * producers do not reliably normalize (a hole wound the same way
+    * as its shell is legal bytes and must still subtract). Fully
+    * orientation-independent as a result. None on bad coordinates or
+    * holes outweighing their shell (the unscorable contract — that
+    * geometry is invalid, not zero-area). Never None for magnitude:
+    * the BigInt value is total. */
+  private[geo] def polyArea2Big(parts: Array[Wkb.GPolygon]): Option[BigInt] =
     try {
-      var total = 0L
+      var total = BigInt(0)
       parts.foreach { p =>
-        var s = 0L
+        var s = BigInt(0)
         var i = 0
         p.rings.foreach { r =>
-          val a = Math.absExact(ringShoelace2Fp(r))
-          s = if (i == 0) a else Math.subtractExact(s, a)
+          val a = ringShoelace2(r).abs
+          s = if (i == 0) a else s - a
           i += 1
         }
-        if (s < 0L) throw new ArithmeticException("holes outweigh the exterior ring")
-        total = Math.addExact(total, s)
+        if (s.signum < 0) throw new ArithmeticException("holes outweigh the exterior ring")
+        total += s
       }
       Some(total)
     } catch { case _: ArithmeticException => None }
+
+  /** [[polyArea2Big]] clamped to the Long-valued column contract:
+    * None exactly when the geometry is unscorable OR the FINAL
+    * doubled area exceeds Long range — the same scorability rule as
+    * the rational clip path, so self-intersection always agrees with
+    * the polygon's own area. */
+  private[geo] def polyArea2Fp(parts: Array[Wkb.GPolygon]): Option[Long] =
+    polyArea2Big(parts).filter(_ <= BigInt(Long.MaxValue)).map(_.toLong)
 
   // ---------- intersection area (Sutherland–Hodgman, exact rational) ----------
 
@@ -192,15 +218,16 @@ object GeoStats {
     buf.toArray
   }
 
-  /** Floor of TWICE the intersection area of `subj` clipped by the
-    * CONVEX ring `clip`, in micro-unit fp² — exact rational
-    * Sutherland–Hodgman, so the floor is the floor of the TRUE
-    * doubled area (integral for integral intersections, e.g.
-    * axis-aligned rectangles). Subject concavity is fine: S-H's
-    * degenerate bridge edges along the clip boundary are zero-area.
-    * None when the result exceeds Long range. */
-  private def clipArea2(subj: Array[(Long, Long)],
-      clip0: Array[(Long, Long)]): Option[Long] = {
+  /** TWICE the intersection area of `subj` clipped by the CONVEX
+    * ring `clip`, as an EXACT non-negative rational `num/den` in
+    * micro-unit fp² — rational Sutherland–Hodgman, gcd-reduced.
+    * Subject concavity is fine: S-H's degenerate bridge edges along
+    * the clip boundary are zero-area. Kept rational (not floored) so
+    * triangulated concave clips can sum per-triangle areas EXACTLY
+    * and floor once at the end — per-triangle floors would undershoot
+    * the true total. */
+  private def clipArea2Rat(subj: Array[(Long, Long)],
+      clip0: Array[(Long, Long)]): (BigInt, BigInt) = {
     val clip = if (signedArea2(clip0).signum >= 0) clip0 else clip0.reverse
     var out = subj.map { case (x, y) => HPt(BigInt(x), BigInt(y), BigInt(1)) }
     var j = 0
@@ -208,7 +235,7 @@ object GeoStats {
       out = clipEdge(out, clip(j), clip((j + 1) % clip.length))
       j += 1
     }
-    if (out.length < 3) return Some(0L)
+    if (out.length < 3) return (BigInt(0), BigInt(1))
     var num = BigInt(0); var den = BigInt(1)
     var i = 0
     while (i < out.length) {
@@ -221,15 +248,91 @@ object GeoStats {
       if (g > 1) { num /= g; den /= g }
       i += 1
     }
-    val floor2 = num.abs / den
-    if (floor2 <= BigInt(Long.MaxValue)) Some(floor2.toLong) else None
+    if (num.signum < 0) (-num, den) else (num, den)
+  }
+
+  /** Ear-clipping triangulation of a SIMPLE ring over the exact
+    * integer cross machinery: normalize to CCW, then repeatedly cut a
+    * convex vertex whose CLOSED ear triangle contains no other ring
+    * vertex — a vertex exactly ON the ear's boundary blocks too,
+    * because a diagonal through a vertex pinches the remainder into a
+    * non-simple chain and double-counts area (the L-ring's notch
+    * corner sits exactly on the corner-to-corner hypotenuse — a real
+    * regression this function shipped with). Zero-area (collinear)
+    * ears are cut freely — they contribute nothing. Throws
+    * ArithmeticException when no ear exists (a self-intersecting
+    * ring — Meisters' two-ears theorem guarantees one for every
+    * simple polygon), which callers map to the envelope fallback. */
+  private[geo] def earTriangulate(
+      ring0: Array[(Long, Long)]): Array[Array[(Long, Long)]] = {
+    val ccw = if (signedArea2(ring0).signum >= 0) ring0 else ring0.reverse
+    val work = scala.collection.mutable.ArrayBuffer(ccw: _*)
+    val tris = scala.collection.mutable.ArrayBuffer.empty[Array[(Long, Long)]]
+    def cross(a: (Long, Long), b: (Long, Long), c: (Long, Long)): BigInt =
+      BigInt(b._1 - a._1) * (c._2 - b._2) - BigInt(b._2 - a._2) * (c._1 - b._1)
+    def insideOrOn(p: (Long, Long), a: (Long, Long), b: (Long, Long),
+        c: (Long, Long)): Boolean =
+      cross(a, b, p).signum >= 0 && cross(b, c, p).signum >= 0 &&
+        cross(c, a, p).signum >= 0
+    while (work.length > 3) {
+      val n = work.length
+      var i = 0
+      var cut = false
+      while (i < n && !cut) {
+        val a = work((i + n - 1) % n); val b = work(i); val c = work((i + 1) % n)
+        val cr = cross(a, b, c)
+        if (cr.signum == 0) { work.remove(i); cut = true } // degenerate ear
+        else if (cr.signum > 0) {
+          var blocked = false
+          var j = 0
+          while (j < n && !blocked) {
+            val p = work(j)
+            if (p != a && p != b && p != c && insideOrOn(p, a, b, c))
+              blocked = true
+            j += 1
+          }
+          if (!blocked) { tris += Array(a, b, c); work.remove(i); cut = true }
+        }
+        i += 1
+      }
+      if (!cut) throw new ArithmeticException("no ear: ring is not simple")
+    }
+    if (work.length == 3) tris += work.toArray
+    tris.toArray
+  }
+
+  /** Floor of TWICE the intersection area of `subj` with `clip`,
+    * exact for ANY pair of simple rings: a concave side is
+    * ear-triangulated, and Sutherland–Hodgman only ever runs on
+    * convex⋈convex pieces — the one regime where it is provably
+    * exact (a concave SUBJECT's degenerate bridge edges cancel in
+    * theory, but collinear subject/clip edge overlaps make that
+    * cancellation fragile; partitioning sidesteps it entirely).
+    * Intersection area is additive over both partitions, and the
+    * per-piece rationals are summed EXACTLY before the single final
+    * floor — per-piece floors would undershoot the true total. */
+  private def clipArea2Big(subj: Array[(Long, Long)],
+      clip: Array[(Long, Long)]): BigInt = {
+    val subjParts = if (isConvex(subj)) Array(subj) else earTriangulate(subj)
+    val clipParts = if (isConvex(clip)) Array(clip) else earTriangulate(clip)
+    var num = BigInt(0); var den = BigInt(1)
+    subjParts.foreach { sp =>
+      clipParts.foreach { cp =>
+        val (tn, td) = clipArea2Rat(sp, cp)
+        num = num * td + tn * den
+        den = den * td
+        val g = num.gcd(den)
+        if (g > 1) { num /= g; den /= g }
+      }
+    }
+    num / den
   }
 
   /** Envelope-intersection doubled area over every vertex of every
     * part — the conservative upper-bound fallback when exact clipping
-    * isn't available (multi-part, holes, or doubly-concave pairs). */
-  private def envArea2(pa: Array[Wkb.GPolygon],
-      pb: Array[Wkb.GPolygon]): Option[Long] = {
+    * isn't available (multi-part or holes). */
+  private def envArea2Big(pa: Array[Wkb.GPolygon],
+      pb: Array[Wkb.GPolygon]): BigInt = {
     def box(ps: Array[Wkb.GPolygon]): (Long, Long, Long, Long) = {
       var x0 = Long.MaxValue; var y0 = Long.MaxValue
       var x1 = Long.MinValue; var y1 = Long.MinValue
@@ -244,23 +347,19 @@ object GeoStats {
     val (bx0, by0, bx1, by1) = box(pb)
     val w = BigInt(math.min(ax1, bx1)) - math.max(ax0, bx0)
     val h = BigInt(math.min(ay1, by1)) - math.max(ay0, by0)
-    if (w.signum <= 0 || h.signum <= 0) Some(0L)
-    else {
-      val a = 2 * w * h
-      if (a <= BigInt(Long.MaxValue)) Some(a.toLong) else None
-    }
+    if (w.signum <= 0 || h.signum <= 0) BigInt(0) else 2 * w * h
   }
 
   /** TWICE the intersection area of two (multi)polygons in micro-unit
-    * fp², plus an exactness flag: when both sides are single-part,
-    * single-ring and at least one is convex, the value is the exact
-    * rational-arithmetic Sutherland–Hodgman clip area (floored);
-    * otherwise it degrades to the envelope-intersection area with
-    * `exact = false` — real overlay analysis pre-decomposes concave
-    * layers into convex parts, the same contract as the grid family's
-    * pre-split-giants rule. `(None, false)` for unscorable inputs. */
-  private[geo] def intersectionArea2Fp(pa: Array[Wkb.GPolygon],
-      pb: Array[Wkb.GPolygon]): (Option[Long], Boolean) =
+    * fp² as an exact BigInt, plus an exactness flag: single-part,
+    * single-ring pairs get the exact rational clip (concave sides
+    * ear-triangulated, Sutherland–Hodgman over the convex pieces)
+    * with `exact = true`; multi-part or holed inputs degrade to the
+    * envelope-intersection upper bound with `exact = false`; so does
+    * a non-simple ring that defeats triangulation. `(None, false)`
+    * for unscorable inputs. */
+  private[geo] def intersectionArea2Big(pa: Array[Wkb.GPolygon],
+      pb: Array[Wkb.GPolygon]): (Option[BigInt], Boolean) =
     try {
       if (pa.isEmpty || pb.isEmpty) (None, false)
       else {
@@ -269,14 +368,26 @@ object GeoStats {
         if (single) {
           val ra = fpRing(pa(0).rings(0))
           val rb = fpRing(pb(0).rings(0))
-          if (ra.length >= 3 && rb.length >= 3 && isConvex(rb))
-            (clipArea2(ra, rb), true)
-          else if (ra.length >= 3 && rb.length >= 3 && isConvex(ra))
-            (clipArea2(rb, ra), true)
-          else (envArea2(pa, pb), false)
-        } else (envArea2(pa, pb), false)
+          if (ra.length >= 3 && rb.length >= 3)
+            try (Some(clipArea2Big(ra, rb)), true)
+            catch {
+              // non-simple ring: triangulation failed — envelope bound
+              case _: ArithmeticException => (Some(envArea2Big(pa, pb)), false)
+            }
+          else (Some(envArea2Big(pa, pb)), false)
+        } else (Some(envArea2Big(pa, pb)), false)
       }
     } catch { case _: ArithmeticException => (None, false) }
+
+  /** [[intersectionArea2Big]] clamped to the Long-valued column
+    * contract: None exactly when unscorable OR the FINAL doubled area
+    * exceeds Long range — matching [[polyArea2Fp]]'s scorability so
+    * self-intersection reproduces the polygon's own area. */
+  private[geo] def intersectionArea2Fp(pa: Array[Wkb.GPolygon],
+      pb: Array[Wkb.GPolygon]): (Option[Long], Boolean) = {
+    val (a, exact) = intersectionArea2Big(pa, pb)
+    (a.filter(_ <= BigInt(Long.MaxValue)).map(_.toLong), exact)
+  }
 
   /** Shape statistics per row: `(poly_id, n_rings, n_vertices,
     * area2_fp2)` where area2_fp2 is TWICE the area in squared

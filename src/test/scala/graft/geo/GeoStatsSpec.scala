@@ -113,13 +113,45 @@ class GeoStatsSpec extends AnyFunSuite with SparkTestSession {
     val lShape = poly((0, 0), (4, 0), (4, 2), (2, 2), (2, 4), (0, 4))
     assert(area(lShape, rect(2, 0, 4, 4)) ===
       ((Some(2L * 2000000L * 2000000L), true)))
-    // two concave rings → envelope fallback, flagged inexact
+    // two concave rings, disjoint: the triangulated clip path is
+    // exact now — true zero, not an envelope guess
     val lb = poly((10, 0), (14, 0), (14, 2), (12, 2), (12, 4), (10, 4))
-    val got = GeoStats.intersectionArea2Fp(Array(lShape), Array(lb))
-    assert(got._2 === false && got._1.isDefined)
+    assert(GeoStats.intersectionArea2Fp(Array(lShape), Array(lb)) ===
+      ((Some(0L), true)))
+    // concave ⋈ concave, overlapping: L ∩ (L + (1,1)). By region
+    // algebra ([0,4]×[0,2] ∪ [0,2]×[2,4]) ∩ ([1,5]×[1,3] ∪ [1,3]×[3,5])
+    // = [1,4]×[1,2] + [1,2]×[2,3] + [1,2]×[3,4] = 5 units², doubled 1e13
+    val lShift = poly((1, 1), (5, 1), (5, 3), (3, 3), (3, 5), (1, 5))
+    assert(area(lShape, lShift) === ((Some(10000000000000L), true)))
+    assert(area(lShift, lShape) === ((Some(10000000000000L), true)))
     // multipolygon → fallback flag
     val multi = GeoStats.intersectionArea2Fp(
       Array(rect(0, 0, 1, 1), rect(2, 0, 3, 1)), Array(rect(0, 0, 3, 1)))
     assert(multi._2 === false)
+  }
+
+  test("earTriangulate: L-ring partitions into triangles summing to its area") {
+    val ring = Array((0L, 0L), (4000000L, 0L), (4000000L, 2000000L),
+      (2000000L, 2000000L), (2000000L, 4000000L), (0L, 4000000L))
+    val tris = GeoStats.earTriangulate(ring)
+    assert(tris.length === 4, "n-2 triangles for a simple hexagon")
+    val total = tris.map { t =>
+      val p = Wkb.GPolygon(Array((t :+ t.head).map { case (x, y) =>
+        Array(x / 1e6, y / 1e6) }), false, false)
+      GeoStats.polyArea2Fp(Array(p)).get
+    }.sum
+    assert(total === 2L * 12L * 1000000L * 1000000L)
+  }
+
+  test("transient shoelace overflow: representable area stays scorable") {
+    // the round-11 falsifying triangle: one translated cross term
+    // overflows a Long (≈9.25e18) while the final doubled area fits —
+    // the ring must still score, and self-clip must reproduce it
+    val tri = poly((240.5195, 5502.4121), (-2708.8396, 3015.2773),
+      (1012.0769, 3621.0628))
+    val own = GeoStats.polyArea2Fp(Array(tri))
+    assert(own.isDefined && own.get > 0L)
+    assert(GeoStats.intersectionArea2Fp(Array(tri), Array(tri)) ===
+      ((own, true)))
   }
 }
