@@ -811,23 +811,46 @@ object GeoGrid {
     val maxR = math.max(
       math.max(math.abs(qcb.getLong(1) - minCx), math.abs(maxCx - qcb.getLong(0))),
       math.max(math.abs(qcb.getLong(3) - minCy), math.abs(maxCy - qcb.getLong(2)))) + 1
+    // one ring strip as a SQL array expression, empty-guarded: Spark's
+    // sequence(a, b) DESCENDS when a > b, so an inverted (clipped-out)
+    // range must yield the typed empty array, not a reversed strip
+    def stripSql(pxLo: String, pxHi: String, pyLo: String, pyHi: String) =
+      s"CASE WHEN ($pxLo) <= ($pxHi) AND ($pyLo) <= ($pyHi) THEN " +
+        s"flatten(transform(sequence($pxLo, $pxHi), px -> " +
+        s"transform(sequence($pyLo, $pyHi), py -> struct(px AS pcx, py AS pcy)))) " +
+        "ELSE cast(array() as array<struct<pcx:bigint,pcy:bigint>>) END"
     var rounds = 0L
     while (rounds <= maxR && !active.isEmpty) {
-      // clipped block of radius rcur minus the already-probed block:
-      // the ranges are provably nonempty for every active query
-      // (rcur ≥ its axis gap to the corpus box by construction)
+      // ONLY the new ring — Chebyshev radius in (rprev, rcur] — built
+      // directly as four disjoint strips clipped to the corpus box
+      // (bottom/top full-width rows, then left/right columns of the
+      // middle band), instead of materializing the whole (2·rcur+1)²
+      // block and filtering: a far-off query that jumps to a large
+      // first radius would otherwise pay a block-sized array per row
+      // every round — quadratic in radius. At rprev = -1 (first
+      // probe) the four strips degenerate to exactly the full block.
+      val pxLoF = s"greatest(qcx - rcur, ${minCx}L)"
+      val pxHiF = s"least(qcx + rcur, ${maxCx}L)"
+      val ringSql = "concat(" +
+        stripSql(pxLoF, pxHiF,
+          s"greatest(qcy - rcur, ${minCy}L)",
+          s"least(qcy - rprev - 1, ${maxCy}L)") + ", " +
+        stripSql(pxLoF, pxHiF,
+          s"greatest(greatest(qcy + rprev + 1, qcy - rprev), ${minCy}L)",
+          s"least(qcy + rcur, ${maxCy}L)") + ", " +
+        stripSql(
+          s"greatest(qcx - rcur, ${minCx}L)",
+          s"least(qcx - rprev - 1, ${maxCx}L)",
+          s"greatest(qcy - rprev, ${minCy}L)",
+          s"least(qcy + rprev, ${maxCy}L)") + ", " +
+        stripSql(
+          s"greatest(greatest(qcx + rprev + 1, qcx - rprev), ${minCx}L)",
+          s"least(qcx + rcur, ${maxCx}L)",
+          s"greatest(qcy - rprev, ${minCy}L)",
+          s"least(qcy + rprev, ${maxCy}L)") + ")"
       val probes = active
         .select(col("query_id"), col("qx"), col("qy"),
-          explode(expr(
-            s"""filter(flatten(transform(
-               |  sequence(greatest(qcx - rcur, ${minCx}L),
-               |           least(qcx + rcur, ${maxCx}L)),
-               |  px -> transform(
-               |    sequence(greatest(qcy - rcur, ${minCy}L),
-               |             least(qcy + rcur, ${maxCy}L)),
-               |    py -> struct(px AS pcx, py AS pcy)))),
-               |  c -> greatest(abs(c.pcx - qcx), abs(c.pcy - qcy)) > rprev)
-               |""".stripMargin)).as("c"))
+          explode(expr(ringSql)).as("c"))
         .select(col("query_id"), col("qx"), col("qy"),
           col("c.pcx").as("pcx"), col("c.pcy").as("pcy"))
       val cand = probes.join(cs, Seq("pcx", "pcy"))

@@ -89,7 +89,7 @@ object BpeTrainer {
     * price the training rounds. */
   private def trained(docs: DataFrame, idCol: String, textCol: String,
       nMerges: Int): (Seq[(String, String, Long)], DataFrame) =
-    Caches.memoized(("bpe_train",
+    Caches.memoized(docs.sparkSession, ("bpe_train",
       docs.queryExecution.analyzed.canonicalized, idCol, textCol, nMerges)) {
       trainOn(wordFreq(docs, idCol, textCol), nMerges)
     }

@@ -66,23 +66,54 @@ object Caches {
   }
 
   /** Driver-held trained-artifact memo (e.g. the IVF codebook): a
-    * deterministic pure function of (canonical input plan, params)
-    * that several operators recompute identically — q66/q67/q92/q117/
-    * q125 all train the SAME codebook on the same corpus, and a real
-    * deployment trains an index once and serves many consumers.
-    * Cleared by [[unpersistAll]] along with the caches, so
+    * deterministic pure function of (owning session, canonical input
+    * plan, params) that several operators recompute identically —
+    * q66/q67/q92/q117/q125 all train the SAME codebook on the same
+    * corpus, and a real deployment trains an index once and serves
+    * many consumers. The session UUID is part of the key because a
+    * memoized value can be session-bound (the BPE memo holds a
+    * DataFrame): after a session restart in the same JVM an identical
+    * call must retrain, not resurrect a frame tied to a stopped
+    * session. Entries are LRU-bounded so distinct corpora across a
+    * long-lived JVM cannot grow the memo without bound, and
+    * [[unpersistAll]] still clears it outright, so
     * min-over-iterations benches (which unpersist before every timed
-    * run) still price the full training compute. */
+    * run) price the full training compute. */
+  private val MemoMaxEntries = 64
   private val artifactMemo =
-    new java.util.concurrent.ConcurrentHashMap[AnyRef, AnyRef]()
+    new java.util.LinkedHashMap[AnyRef, AnyRef](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[AnyRef, AnyRef]): Boolean =
+        size() > MemoMaxEntries
+    }
 
-  private[graft] def memoized[V <: AnyRef](key: AnyRef)(compute: => V): V = {
-    val hit = artifactMemo.get(key)
+  /** Stable per-session discriminator (Spark's own sessionUUID is
+    * private[sql]): a UUID assigned per session OBJECT, held weakly so
+    * a stopped session's id — and with it every memo entry keyed on
+    * it — becomes unreachable rather than pinned. SparkSession does
+    * not override equals, so WeakHashMap keys on identity: a
+    * restarted session in the same JVM gets a fresh id and can never
+    * resurrect a frame bound to the stopped one. */
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]())
+  private def sessionId(spark: org.apache.spark.sql.SparkSession): String =
+    sessionIds.computeIfAbsent(spark,
+      _ => java.util.UUID.randomUUID().toString)
+
+  private[graft] def memoized[V <: AnyRef](
+      spark: org.apache.spark.sql.SparkSession, key: AnyRef)(
+      compute: => V): V = {
+    val full = (sessionId(spark), key)
+    val hit = artifactMemo.synchronized(artifactMemo.get(full))
     if (hit != null) hit.asInstanceOf[V]
     else {
+      // compute OUTSIDE the lock: training runs Spark jobs
       val v = compute
-      artifactMemo.putIfAbsent(key, v)
-      v
+      artifactMemo.synchronized {
+        val raced = artifactMemo.get(full)
+        if (raced != null) raced.asInstanceOf[V]
+        else { artifactMemo.put(full, v); v }
+      }
     }
   }
 
@@ -105,8 +136,10 @@ object Caches {
       n += 1
       bc = trackedBc.poll()
     }
-    n += artifactMemo.size()
-    artifactMemo.clear()
+    artifactMemo.synchronized {
+      n += artifactMemo.size()
+      artifactMemo.clear()
+    }
     n
   }
 }

@@ -298,8 +298,12 @@ object Dedup {
     val spark = vertices.sparkSession
     import spark.implicits._
     val idType = org.apache.spark.sql.types.LongType
+    // validate the SAME columns the body selects — positional
+    // schema.take(2) would check the wrong fields on an edges frame
+    // with extra or reordered columns
     require(vertices.schema.head.dataType == idType &&
-      edges.schema.take(2).forall(_.dataType == idType),
+      edges.schema("doc_a").dataType == idType &&
+      edges.schema("doc_b").dataType == idType,
       "connectedComponents expects BIGINT vertex ids")
     val P = math.max(1, math.min(spark.sparkContext.defaultParallelism, 16))
     val part = new org.apache.spark.HashPartitioner(P)

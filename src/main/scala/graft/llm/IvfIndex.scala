@@ -2,7 +2,7 @@ package graft.llm
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.linalg.Vectors
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest-neighbor search: a k-means
@@ -179,11 +179,16 @@ object IvfIndex {
     Similarity.topKPerQuery(scored, k)
   }
 
-  /** Quantized-embedding projection: `e_i = floor(x_i · 10⁶)` —
-    * the integer domain the deterministic trainer works in. */
+  /** Quantizing column expression over `embedding`:
+    * `e_i = floor(x_i · 10⁶)` — the integer domain the deterministic
+    * trainer works in. Usable inline in a single projection (the
+    * streaming paths need cell + payload in ONE select). */
+  private[llm] def quantizedExpr: Column = expr(
+    "transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0) as bigint))")
+
+  /** Quantized-embedding projection of [[quantizedExpr]]. */
   private[llm] def quantized(vectors: DataFrame): DataFrame =
-    vectors.select(col("vec_id"), expr(
-      "transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0) as bigint))").as("e"))
+    vectors.select(col("vec_id"), quantizedExpr.as("e"))
 
   /** Scan-local argmin-squared-distance cell assignment over a
     * broadcast integer codebook; ties break toward the smaller cell
@@ -243,7 +248,7 @@ object IvfIndex {
     // LocalRelation prints without its data, so two different
     // in-memory corpora would collide on the rendered form — plan
     // equality compares structurally, data included
-    Caches.memoized(("ivf_codebook",
+    Caches.memoized(vectors.sparkSession, ("ivf_codebook",
       vectors.queryExecution.analyzed.canonicalized, nLists, nIter)) {
       val q = Caches.persistTracked(quantized(vectors))
       fitOnQuantized(q, nLists, nIter)
@@ -393,13 +398,16 @@ object IvfIndex {
     LlmFunctions.registerDotFp(corpus.sparkSession)
     val centroids = fitFixedPoint(corpus, nLists, nIter)
     val bc = corpus.sparkSession.sparkContext.broadcast(centroids)
-    val idx = quantized(corpus)
-      .select(col("vec_id").as("__cid"), cellOfUdf(bc)(col("e")).as("__ccell"))
-      .join(corpus.select(col("vec_id").as("__cid"),
-        col("embedding").as("__ce")), "__cid")
-    val arr = quantized(arrivals)
-      .select(col("vec_id"), cellOfUdf(bc)(col("e")).as("cell"))
-      .join(arrivals.select(col("vec_id"), col("embedding").as("__ae")), "vec_id")
+    // cell + embedding in ONE projection per side — joining two
+    // projections of `arrivals` back together on vec_id would be a
+    // stream-stream SELF-join when arrivals is a streaming frame
+    // (unbounded join state, append-mode-only), silently breaking the
+    // stateless contract the docstring promises
+    val qe = quantizedExpr
+    val idx = corpus.select(col("vec_id").as("__cid"),
+      col("embedding").as("__ce"), cellOfUdf(bc)(qe).as("__ccell"))
+    val arr = arrivals.select(col("vec_id"),
+      col("embedding").as("__ae"), cellOfUdf(bc)(qe).as("cell"))
     arr.join(idx,
         col("cell") === col("__ccell") &&
           Similarity.dotFpNative("__ae", "__ce") >= minDotFp,

