@@ -34,9 +34,27 @@ object BpeTrainer {
   private def wrapExpr(wCol: String) =
     expr(s"array_join(transform(split($wCol, ''), c -> concat('[', c, ']')), '')")
 
-  private val symsExpr = "split(substring(s, 2, length(s) - 2), '\\\\]\\\\[')"
+  /** Split a bracket-wrapped symbol string back into its symbols —
+    * over any SQL expression (column or lambda variable). */
+  private[graft] def symsOfSql(sExpr: String): String =
+    s"split(substring($sExpr, 2, length($sExpr) - 2), '\\\\]\\\\[')"
+
+  private val symsExpr = symsOfSql("s")
 
   private def sq(lit: String): String = "'" + lit.replace("'", "''") + "'"
+
+  /** The trained tokenizer as ONE SQL scalar over a word-valued
+    * expression: bracket-wrap, then one literal replace per learned
+    * merge in rank order — the exact chain training applied. Shared
+    * by the batch encode and the streaming ingest twin so the two can
+    * never drift. */
+  private[graft] def encodeWordSql(merges: Seq[(String, String, Long)],
+      wExpr: String): String =
+    merges.foldLeft(
+      s"array_join(transform(split($wExpr, ''), c -> concat('[', c, ']')), '')") {
+      case (acc, (l, r, _)) =>
+        s"replace($acc, ${sq(s"[$l][$r]")}, ${sq(s"[$l$r]")})"
+    }
 
   /** One training round: the winning pair (count desc, pair asc) over
     * the current symbol strings, or None when no word has ≥2 symbols
@@ -168,15 +186,10 @@ object BpeTrainer {
   def encode(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String, Long)], vocabIds: DataFrame): DataFrame = {
     val q = graft.Names.quoted _
-    // the trained tokenizer as ONE expression: bracket-wrap the word,
-    // then one literal replace per learned merge, in rank order —
-    // exactly the replace chain training applied, so encode(w) for a
-    // training word reproduces its final training symbols
-    val encodeSql = merges.foldLeft(
-      "array_join(transform(split(w, ''), c -> concat('[', c, ']')), '')") {
-      case (acc, (l, r, _)) =>
-        s"replace($acc, ${sq(s"[$l][$r]")}, ${sq(s"[$l$r]")})"
-    }
+    // the trained tokenizer as ONE expression ([[encodeWordSql]]), so
+    // encode(w) for a training word reproduces its final training
+    // symbols
+    val encodeSql = encodeWordSql(merges, "w")
     val perSym = docs
       .select(col(q(idCol)).as("doc_id"),
         posexplode(TextAnalysis.tokens(col(q(textCol)))).as(Seq("pos", "w")))

@@ -173,15 +173,31 @@ object PqIndex {
     * size. */
   def ivfAdcSearch(vectors: DataFrame, queries: DataFrame, nLists: Int,
       coarseIter: Int, m: Int, kSub: Int, pqIter: Int,
+      k: Int, nProbe: Int, rerank: Int): DataFrame =
+    ivfAdcSearch(vectors, queries,
+      IvfIndex.fitFixedPoint(vectors, nLists, coarseIter),
+      fitSubspaces(vectors, m, kSub, pqIter), k, nProbe, rerank)
+
+  /** [[ivfAdcSearch]] with PRE-TRAINED codebooks — the serve-side
+    * entry point once [[Artifacts.loadCodebook]]/
+    * [[Artifacts.loadPqCodebooks]] have shipped the offline-trained
+    * index: no training job runs, the corpus is only encoded and
+    * probed. Byte-identical to the training overload given the same
+    * codebooks (ArtifactsSpec pins the round trip). */
+  def ivfAdcSearch(vectors: DataFrame, queries: DataFrame,
+      coarse: Array[Array[Long]], codebooks: Array[Array[Array[Long]]],
       k: Int, nProbe: Int, rerank: Int): DataFrame = {
     require(k > 0, "k must be positive")
     require(rerank >= k, "rerank width must be at least k")
     require(nProbe > 0, "nProbe must be positive")
+    require(coarse.nonEmpty, "coarse codebook must be non-empty")
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "PQ codebooks must be non-empty")
+    val m = codebooks.length
+    val kSub = codebooks(0).length
     val spark = vectors.sparkSession
     LlmFunctions.registerDotFp(spark)
-    val coarse = IvfIndex.fitFixedPoint(vectors, nLists, coarseIter)
     val bcCoarse = spark.sparkContext.broadcast(coarse)
-    val codebooks = fitSubspaces(vectors, m, kSub, pqIter)
     val bcCb = spark.sparkContext.broadcast(codebooks)
     val index = IvfIndex.quantized(vectors)
       .select(col("vec_id"), IvfIndex.cellOfUdf(bcCoarse)(col("e")).as("cell"))

@@ -254,6 +254,46 @@ object Streams {
       minDotFp: Long, nIter: Int = 3): DataFrame =
     graft.llm.IvfIndex.annIngest(stream, corpus, nLists, minDotFp, nIter)
 
+  /** Streaming BPE encode — tokenize arriving documents against a
+    * STATIC trained tokenizer (the [[graft.llm.Artifacts]] load-side:
+    * `merges` in learn order + the `(sym, sym_id)` vocabulary). The
+    * batch encoder's assembly (posexplode → vocab join → groupBy
+    * collect) would be a stateful streaming aggregation; here the
+    * whole encode is ONE scan-local projection per document — the
+    * merge chain folds into a single SQL scalar inside a `transform`
+    * over the token array ([[graft.llm.BpeTrainer.encodeWordSql]],
+    * shared with batch so the two cannot drift), and symbol→id lookup
+    * rides a broadcast of the vocabulary-sized map instead of a join.
+    * No watermark, no state store, any output mode; same call runs on
+    * a batch frame, which is the correctness oracle (stream == batch
+    * == [[graft.llm.BpeTrainer.encode]], pinned in ArtifactsSpec).
+    * Output matches the batch encoder exactly: `(doc_id, token_ids,
+    * n_bpe_tokens)`, unseen symbols count and print as `null`. */
+  def bpeIngest(stream: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String, Long)], vocabIds: DataFrame): DataFrame = {
+    import graft.llm.{BpeTrainer, TextAnalysis}
+    val spark = stream.sparkSession
+    val vmap = vocabIds.select(col("sym"), col("sym_id")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bc = spark.sparkContext.broadcast(vmap)
+    val idsUdf = udf { (syms: Seq[String]) =>
+      syms.map(s => bc.value.get(s).map(_.toString).getOrElse("null"))
+        .mkString(" ")
+    }
+    val symsSql = "flatten(transform(__toks, w -> " +
+      BpeTrainer.symsOfSql(BpeTrainer.encodeWordSql(merges, "w")) + "))"
+    stream
+      .select(qcol(idCol).as("doc_id"),
+        TextAnalysis.tokens(qcol(textCol)).as("__toks"))
+      // null text → null token array → coalesce to empty, matching
+      // the batch encoder's token-less contract ("", 0)
+      .select(col("doc_id"), coalesce(expr(symsSql),
+        expr("cast(array() as array<string>)")).as("__syms"))
+      .select(col("doc_id"),
+        idsUdf(col("__syms")).as("token_ids"),
+        size(col("__syms")).cast("bigint").as("n_bpe_tokens"))
+  }
+
   /** Streaming winsorize-apply — q145's robust clipping at ingest
     * time: exact per-group p-quantile cutoffs train on the STATIC
     * corpus ([[graft.llm.Robust.cutoffsFp]]), and each arriving row is

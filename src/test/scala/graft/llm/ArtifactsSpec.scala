@@ -1,0 +1,135 @@
+package graft.llm
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Top-level so Spark derives the Encoder. */
+case class ArtDoc(doc_id: Long, text: String)
+case class ArtVec(vec_id: Long, embedding: Array[Float])
+
+/** Trained-artifact persistence: load∘save is identity for every
+  * artifact, a query served from a LOADED artifact is byte-identical
+  * to the in-session-trained run, and the streaming BPE ingest twin
+  * equals the batch encoder. */
+class ArtifactsSpec extends AnyFunSuite with SparkTestSession {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      ArtDoc(1L, "the low lower lowest of the low"),
+      ArtDoc(2L, "new newer newest wider wide"),
+      ArtDoc(3L, "the wide river flows lower"),
+      ArtDoc(4L, ""),
+      ArtDoc(5L, "low low low wide wide new")).toDF()
+  }
+
+  private def vecs = {
+    import spark.implicits._
+    // 24 deterministic 8-dim vectors in 4 loose clusters
+    (0 until 24).map { i =>
+      val c = i % 4
+      ArtVec(i.toLong, Array.tabulate(8)(d =>
+        (c * 10 + ((i * 7 + d * 3) % 5) * 0.1 + d * 0.01).toFloat))
+    }.toDF()
+  }
+
+  test("BPE merges + vocab round-trip and loaded-artifact encode is identical") {
+    val nMerges = 12
+    val merges = BpeTrainer.trainMerges(docs, "doc_id", "text", nMerges)
+    val vocab = BpeTrainer.vocab(docs, "doc_id", "text", nMerges)
+    val path = tmp("bpe-artifact")
+    Artifacts.saveBpe(spark, path, merges, vocab)
+    assert(Artifacts.loadBpeMerges(spark, path) === merges,
+      "merges must reload in learn order, counts intact")
+    val vocabBack = Artifacts.loadBpeVocab(spark, path)
+    assert(vocabBack.columns.sorted.toSeq === vocab.columns.sorted.toSeq)
+    assert(vocabBack.collect().map(_.toSeq).toSet ===
+      vocab.collect().map(_.toSeq).toSet)
+    // the q137 contract: encoding a held-out-style corpus from the
+    // LOADED artifact reproduces the in-session-trained encode exactly
+    val trained = BpeTrainer.encode(docs, "doc_id", "text", nMerges)
+      .collect().map(_.toSeq).toSet
+    val loaded = BpeTrainer.encode(docs, "doc_id", "text",
+        Artifacts.loadBpeMerges(spark, path),
+        vocabBack.select(col("sym"), col("sym_id")))
+      .collect().map(_.toSeq).toSet
+    assert(loaded === trained)
+  }
+
+  test("IVF coarse codebook round-trips exactly") {
+    val cb = IvfIndex.fitFixedPoint(vecs, nLists = 4, nIter = 2)
+    val path = tmp("ivf-codebook")
+    Artifacts.saveCodebook(spark, path, cb)
+    val back = Artifacts.loadCodebook(spark, path)
+    assert(back.length === cb.length)
+    cb.indices.foreach(i => assert(back(i).toSeq === cb(i).toSeq, s"cell $i"))
+  }
+
+  test("PQ codebooks round-trip and loaded-artifact IVF-ADC search is identical") {
+    val coarse = IvfIndex.fitFixedPoint(vecs, nLists = 4, nIter = 2)
+    val pq = PqIndex.fitSubspaces(vecs, m = 2, kSub = 4, nIter = 2)
+    val cbPath = tmp("ivf-coarse")
+    val pqPath = tmp("pq-codebooks")
+    Artifacts.saveCodebook(spark, cbPath, coarse)
+    Artifacts.savePqCodebooks(spark, pqPath, pq)
+    val pqBack = Artifacts.loadPqCodebooks(spark, pqPath)
+    assert(pqBack.length === pq.length)
+    for (m <- pq.indices; c <- pq(m).indices)
+      assert(pqBack(m)(c).toSeq === pq(m)(c).toSeq, s"subspace $m code $c")
+    // the q92 contract: serving from loaded codebooks runs no training
+    // and returns byte-identical results to the training overload
+    import spark.implicits._
+    val queries = vecs.filter(col("vec_id") < 3)
+    val trained = PqIndex.ivfAdcSearch(vecs, queries, nLists = 4,
+        coarseIter = 2, m = 2, kSub = 4, pqIter = 2,
+        k = 3, nProbe = 2, rerank = 6)
+      .collect().map(_.toSeq).toSet
+    val served = PqIndex.ivfAdcSearch(vecs, queries,
+        Artifacts.loadCodebook(spark, cbPath), pqBack,
+        k = 3, nProbe = 2, rerank = 6)
+      .collect().map(_.toSeq).toSet
+    assert(served === trained)
+  }
+
+  test("streaming bpeIngest == batch bpeIngest == batch encode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val nMerges = 12
+    val merges = BpeTrainer.trainMerges(docs, "doc_id", "text", nMerges)
+    val vocabIds = BpeTrainer.vocab(docs, "doc_id", "text", nMerges)
+      .select(col("sym"), col("sym_id"))
+    // held-out arrivals: unseen words must count and print null ids
+    val arrivals = Seq(
+      ArtDoc(10L, "the lowest new river"),
+      ArtDoc(11L, "zzz unseen zzz"),
+      ArtDoc(12L, ""))
+    val input = MemoryStream[ArtDoc]
+    val query = graft.streaming.Streams
+      .bpeIngest(input.toDF(), "doc_id", "text", merges, vocabIds)
+      .writeStream.format("memory").queryName("bpe_ingest_out")
+      .outputMode("append").start()
+    val got = try {
+      input.addData(arrivals: _*)
+      query.processAllAvailable()
+      spark.table("bpe_ingest_out").collect().map(_.toSeq).toSet
+    } finally query.stop()
+    val batchTwin = graft.streaming.Streams
+      .bpeIngest(arrivals.toDF(), "doc_id", "text", merges, vocabIds)
+      .collect().map(_.toSeq).toSet
+    val batchEncode = BpeTrainer.encode(arrivals.toDF(), "doc_id", "text",
+        merges, vocabIds)
+      .collect().map(_.toSeq).toSet
+    assert(got === batchTwin, "stream must equal the batch twin")
+    assert(got === batchEncode, "twin must equal the batch encoder")
+    // and the unseen symbols really do surface as nulls, not drops
+    val unseen = got.find(_.head == 11L).get
+    assert(unseen(1).asInstanceOf[String].contains("null"))
+    assert(unseen(2).asInstanceOf[Long] > 0L)
+  }
+}
