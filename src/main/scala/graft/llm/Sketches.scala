@@ -35,6 +35,37 @@ object Sketches {
   def md5Hash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("bigint")
 
+  /** Checksum modulus: 2⁶¹−1, so a BIGINT-rendered sum of 32-bit row
+    * hashes can never wrap at any corpus size. */
+  val ChecksumMod = 2305843009213693951L
+
+  /** Order-independent dataset integrity card — the replication /
+    * migration audit a 100 TB lake runs instead of a row-by-row diff.
+    * Per group: row count, distinct-row-hash count (catches duplicated
+    * rows), a COMMUTATIVE content checksum (md5-based 32-bit row hash
+    * over the \\u0001-delimited field rendering, summed mod
+    * [[ChecksumMod]]), and the hash range. Pure map-side arithmetic +
+    * one partial-aggregated groupBy — no sort, no join; two copies of
+    * a table agree iff their cards agree, under ANY partitioning or
+    * row order on either side. Callers render each field to string
+    * themselves (nullable fields through `coalesce`) so the hashed
+    * bytes are explicit and replayable. */
+  def integrityCard(df: DataFrame, groupCol: Column,
+      fields: Seq[Column]): DataFrame = {
+    require(fields.nonEmpty, "integrityCard needs at least one field")
+    // \\u0001-delimited so field boundaries are unambiguous
+    // ("ab"+"c" never collides with "a"+"bc")
+    val h = md5Hash32(concat_ws("\u0001", fields: _*))
+    df.select(groupCol.as("g"), h.as("h"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("h")).as("n_distinct_rows"),
+        expr(s"cast(sum(cast(h as decimal(38,0))) % ${ChecksumMod}L as bigint)")
+          .as("sum_hash"),
+        min(col("h")).as("min_hash"),
+        max(col("h")).as("max_hash"))
+  }
+
   /** The register grid itself: `(g, b, mr)` — max rho per (group,
     * register). This IS the mergeable sketch state (merge = max), and
     * because max is an unordered streaming-safe aggregate it doubles

@@ -883,6 +883,41 @@ object LlmQueries {
     graft.llm.BpeTrainer.encode(graft.Tables.documents(s, dir),
       "doc_id", "text", BpeMerges)
 
+  // ---- q157: BPE encode through the PERSISTED artifact ----
+  // The full train-once/ship/serve loop on the oracle surface: train,
+  // write the merge table + vocabulary as parquet
+  // ([[graft.llm.Artifacts]]), load them back, and encode with the
+  // pre-trained overload only. Oracle-identical to q137 BY CONTRACT —
+  // persistence must not change one byte of the encoding. At 100 TB
+  // the save/load halves run in different jobs days apart; here they
+  // round-trip through a temp dir inside one query.
+  def q157BpeEncodeLoaded(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    val merges = graft.llm.BpeTrainer.trainMerges(docs, "doc_id", "text", BpeMerges)
+    val vocab = graft.llm.BpeTrainer.vocab(docs, "doc_id", "text", BpeMerges)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-q157-bpe").toString
+    graft.llm.Artifacts.saveBpe(s, path, merges, vocab)
+    val loadedMerges = graft.llm.Artifacts.loadBpeMerges(s, path)
+    val loadedVocab = graft.llm.Artifacts.loadBpeVocab(s, path)
+      .select(col("sym"), col("sym_id"))
+    graft.llm.BpeTrainer.encode(docs, "doc_id", "text",
+      loadedMerges, loadedVocab)
+  }
+
+  // ---- q155: order-independent dataset integrity checksum ----
+  // [[graft.llm.Sketches.integrityCard]] over the documents table,
+  // grouped by source: the replication/migration audit a 100 TB lake
+  // runs instead of a row-by-row diff (see the card's scaladoc for
+  // the commutativity contract).
+  def q155DatasetChecksum(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Sketches.integrityCard(graft.Tables.documents(s, dir),
+        col("source"),
+        Seq(col("doc_id").cast("string"), coalesce(col("text"), lit("")),
+          coalesce(col("lang"), lit("")), coalesce(col("source"), lit("")),
+          col("n_chars").cast("string")))
+      .withColumnRenamed("g", "source")
+
   // ---- q100: degree-oriented triangle counting ----
   // The community-density signal over q87's link graph: per-vertex
   // triangle participation via degree orientation (wedges form only
@@ -1081,6 +1116,8 @@ object LlmQueries {
     "q100_triangles"   -> q100Triangles _,
     "q99_bpe_vocab"    -> q99BpeVocab _,
     "q137_bpe_encode"  -> q137BpeEncode _,
+    "q155_dataset_checksum" -> q155DatasetChecksum _,
+    "q157_bpe_encode_loaded" -> q157BpeEncodeLoaded _,
     "q98_heavy_hitters" -> q98HeavyHitters _,
     "q97_hll_card"     -> q97HllCard _,
     "q96_sparse_cosine" -> q96SparseCosine _,
@@ -1423,7 +1460,48 @@ object LlmQueries {
        |    AS contamination_fp
        |FROM sh""".stripMargin
 
+  /** The q137 encode oracle — training replayed through the chain
+    * CTE, then each word looked up in the final training table and
+    * reassembled in reading order. Shared verbatim by q157 (encode
+    * through the saved-then-loaded artifact): persistence must not
+    * change one byte of the result. */
+  private def bpeEncodeSql: String =
+    s"""WITH $bpeChainSql,
+       |vx AS (SELECT unnest(string_split(s[2:len(s) - 1], '][')) AS sym, freq
+       |  FROM w$BpeMerges),
+       |vc AS (SELECT sym, CAST(sum(freq) AS BIGINT) AS n_occ FROM vx GROUP BY sym),
+       |ids AS (SELECT sym, CAST(row_number() OVER (
+       |  ORDER BY n_occ DESC, sym ASC) AS BIGINT) AS sym_id FROM vc),
+       |tk AS (SELECT doc_id, i, toks[i::INT] AS w FROM
+       |  (SELECT doc_id, $toksSql AS toks FROM documents) x,
+       |  unnest(range(1, len(toks) + 1)) AS u(i)),
+       |sy AS (SELECT doc_id, i, j, y[j::INT] AS sym FROM
+       |  (SELECT tk.doc_id, tk.i, string_split(s[2:len(s) - 1], '][') AS y
+       |   FROM tk JOIN w$BpeMerges USING (w)) z,
+       |  unnest(range(1, len(y) + 1)) AS u(j)),
+       |agg AS (SELECT doc_id,
+       |    string_agg(CAST(sym_id AS VARCHAR), ' ' ORDER BY i, j) AS token_ids,
+       |    CAST(count(*) AS BIGINT) AS n_bpe_tokens
+       |  FROM sy JOIN ids USING (sym) GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(agg.token_ids, '') AS token_ids,
+       |  coalesce(agg.n_bpe_tokens, 0) AS n_bpe_tokens
+       |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    // the commutative row-hash card replayed literally: same
+    // \x01-delimited field concat, same md5-prefix hash, same mod
+    "q155_dataset_checksum" ->
+      """WITH h AS (SELECT source,
+        |    ('0x' || substr(md5(concat_ws(chr(1),
+        |      CAST(doc_id AS VARCHAR), coalesce(text, ''),
+        |      coalesce(lang, ''), coalesce(source, ''),
+        |      CAST(n_chars AS VARCHAR))), 1, 8))::BIGINT AS h
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_rows,
+        |  CAST(sum(h) % 2305843009213693951 AS BIGINT) AS sum_hash,
+        |  min(h) AS min_hash, max(h) AS max_hash
+        |FROM h GROUP BY source""".stripMargin,
     // BFS layers unrolled one CTE per round over the regenerated q87
     // edge rule; min() keeps the first (shortest) layer a vertex joins
     "q116_khop_seeds" -> {
@@ -1931,27 +2009,10 @@ object LlmQueries {
          |vc AS (SELECT sym, CAST(sum(freq) AS BIGINT) AS n_occ FROM v GROUP BY sym)
          |SELECT sym, n_occ, CAST(row_number() OVER (
          |  ORDER BY n_occ DESC, sym ASC) AS BIGINT) AS sym_id FROM vc""".stripMargin,
-    "q137_bpe_encode" ->
-      s"""WITH $bpeChainSql,
-         |vx AS (SELECT unnest(string_split(s[2:len(s) - 1], '][')) AS sym, freq
-         |  FROM w$BpeMerges),
-         |vc AS (SELECT sym, CAST(sum(freq) AS BIGINT) AS n_occ FROM vx GROUP BY sym),
-         |ids AS (SELECT sym, CAST(row_number() OVER (
-         |  ORDER BY n_occ DESC, sym ASC) AS BIGINT) AS sym_id FROM vc),
-         |tk AS (SELECT doc_id, i, toks[i::INT] AS w FROM
-         |  (SELECT doc_id, $toksSql AS toks FROM documents) x,
-         |  unnest(range(1, len(toks) + 1)) AS u(i)),
-         |sy AS (SELECT doc_id, i, j, y[j::INT] AS sym FROM
-         |  (SELECT tk.doc_id, tk.i, string_split(s[2:len(s) - 1], '][') AS y
-         |   FROM tk JOIN w$BpeMerges USING (w)) z,
-         |  unnest(range(1, len(y) + 1)) AS u(j)),
-         |agg AS (SELECT doc_id,
-         |    string_agg(CAST(sym_id AS VARCHAR), ' ' ORDER BY i, j) AS token_ids,
-         |    CAST(count(*) AS BIGINT) AS n_bpe_tokens
-         |  FROM sy JOIN ids USING (sym) GROUP BY doc_id)
-         |SELECT d.doc_id, coalesce(agg.token_ids, '') AS token_ids,
-         |  coalesce(agg.n_bpe_tokens, 0) AS n_bpe_tokens
-         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "q137_bpe_encode" -> bpeEncodeSql,
+    // same corpus result through the SAVED artifact — the oracle is
+    // identical by contract: persistence must not change one byte
+    "q157_bpe_encode_loaded" -> bpeEncodeSql,
     "q100_triangles" ->
       """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
         |ed AS (SELECT doc_id AS src, (doc_id * 7 + k * 13) % (SELECT n FROM nn) AS dst

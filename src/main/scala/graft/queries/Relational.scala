@@ -222,6 +222,15 @@ object Relational {
       .unionByName(edge("supplier->nation", su, "s_nationkey", n, "n_nationkey"))
   }
 
+  // ---- q156: schema-dynamic column profile of `orders` ----
+  // The pre-trust audit card ([[graft.governance.Profile]]): per
+  // column, null mass, exact distinct cardinality, and the value
+  // range rendered engine-portably (floats through the fixed-point
+  // contract, timestamps to the second). One scan + one Expand
+  // aggregate regardless of column count.
+  def q156ColumnProfile(s: SparkSession, dir: String): DataFrame =
+    graft.governance.Profile.columnProfile(graft.Tables.orders(s, dir))
+
   // ---- q12: rollup over year × priority (grouping sets) ----
   def q12YearPriorityRollup(s: SparkSession, dir: String): DataFrame =
     graft.Tables.orders(s, dir)
@@ -585,12 +594,40 @@ object Relational {
     "q134_assoc_rules"      -> q134AssocRules _,
     "q132_unpivot"          -> q132Unpivot _,
     "q133_salted_join"      -> q133SaltedJoin _,
+    "q156_column_profile"   -> q156ColumnProfile _,
   )
 
   /** DuckDB-dialect oracles. Expression structure mirrors the Spark
     * plans exactly (same literals, same fixed-point floors) so results
     * are bit-identical, not merely close. */
   val oracleSql: Map[String, String] = Map(
+    // per-column stats replayed literally: null mass as count(*) -
+    // count(col), distinct/min/max over the same fixed-point image
+    // (floats through floor(x·100)) and the same second-resolution
+    // timestamp rendering the Spark side uses
+    "q156_column_profile" -> {
+      def numCol(c: String) =
+        s"""SELECT '$c' AS column_name,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_s,
+           |  CAST(max($c) AS VARCHAR) AS max_s FROM orders""".stripMargin
+      def fpCol(c: String) =
+        s"""SELECT '$c',
+           |  CAST(count(*) - count($c) AS BIGINT),
+           |  CAST(count(DISTINCT CAST(floor($c * 100) AS BIGINT)) AS BIGINT),
+           |  CAST(min(CAST(floor($c * 100) AS BIGINT)) AS VARCHAR),
+           |  CAST(max(CAST(floor($c * 100) AS BIGINT)) AS VARCHAR) FROM orders""".stripMargin
+      def tsCol(c: String) =
+        s"""SELECT '$c',
+           |  CAST(count(*) - count($c) AS BIGINT),
+           |  CAST(count(DISTINCT $c) AS BIGINT),
+           |  strftime(min($c), '%Y-%m-%d %H:%M:%S'),
+           |  strftime(max($c), '%Y-%m-%d %H:%M:%S') FROM orders""".stripMargin
+      Seq(numCol("o_orderkey"), numCol("o_custkey"), numCol("o_orderstatus"),
+        fpCol("o_totalprice"), tsCol("o_orderdate"), numCol("o_orderpriority"))
+        .mkString("\nUNION ALL\n")
+    },
     // the dense hour × type grid with explicit zeros; null-safe on the
     // null-timestamp hour row
     "q132_unpivot" ->

@@ -109,4 +109,33 @@ class SketchesSpec extends AnyFunSuite with SparkTestSession {
       .collect().head
     assert(card2.getLong(1) === est, "union estimate is split-invariant")
   }
+
+  test("integrityCard: commutative, duplicate-sensitive, boundary-proof") {
+    def cardOf(df: org.apache.spark.sql.DataFrame) =
+      Sketches.integrityCard(df, col("g"),
+          Seq(col("a"), coalesce(col("b"), lit(""))))
+        .as[(String, Long, Long, Long, Long, Long)]
+        .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    val rows = Seq(("s1", "ab", Some("c")), ("s1", "a", Some("bc")),
+      ("s1", "x", None), ("s2", "y", Some("z")))
+    val base = cardOf(rows.toDF("g", "a", "b"))
+    // row order and partitioning cannot move the card
+    assert(cardOf(rows.reverse.toDF("g", "a", "b").repartition(5)) === base)
+    // "ab"+"c" and "a"+"bc" are DIFFERENT rows (delimited fields)
+    assert(base("s1")._2 === 3L, "field boundaries must disambiguate")
+    // a duplicated row changes n_rows but not n_distinct_rows
+    val dup = cardOf((rows :+ (("s1", "x", Option.empty[String])))
+      .toDF("g", "a", "b"))
+    assert(dup("s1")._1 === base("s1")._1 + 1)
+    assert(dup("s1")._2 === base("s1")._2)
+    // one flipped character anywhere flips the checksum
+    val flipped = cardOf(Seq(("s1", "ab", Some("c")), ("s1", "a", Some("bc")),
+      ("s1", "X", None), ("s2", "y", Some("z"))).toDF("g", "a", "b"))
+    assert(flipped("s1")._3 !== base("s1")._3)
+    assert(flipped("s2") === base("s2"), "untouched groups keep their card")
+    // the Scala md5 replay pins the sum arithmetic
+    val expect = Seq("ab\u0001c", "a\u0001bc", "x\u0001")
+      .map(md5h32).sum % Sketches.ChecksumMod
+    assert(base("s1")._3 === expect)
+  }
 }
