@@ -50,12 +50,19 @@ object Sketches {
     * row order on either side. Callers render each field to string
     * themselves (nullable fields through `coalesce`) so the hashed
     * bytes are explicit and replayable. */
+  /** The per-row content hash the integrity card aggregates —
+    * \\u0001-delimited so field boundaries are unambiguous ("ab"+"c"
+    * never collides with "a"+"bc"). Shared with the streaming twin
+    * ([[graft.streaming.Streams.integrityIngest]]) so the two sides
+    * hash identical bytes by construction. */
+  private[graft] def integrityHash(fields: Seq[Column]): Column = {
+    require(fields.nonEmpty, "integrityHash needs at least one field")
+    md5Hash32(concat_ws("\u0001", fields: _*))
+  }
+
   def integrityCard(df: DataFrame, groupCol: Column,
       fields: Seq[Column]): DataFrame = {
-    require(fields.nonEmpty, "integrityCard needs at least one field")
-    // \\u0001-delimited so field boundaries are unambiguous
-    // ("ab"+"c" never collides with "a"+"bc")
-    val h = md5Hash32(concat_ws("\u0001", fields: _*))
+    val h = integrityHash(fields)
     df.select(groupCol.as("g"), h.as("h"))
       .groupBy(col("g"))
       .agg(count(lit(1)).as("n_rows"),

@@ -309,6 +309,37 @@ object Streams {
     graft.llm.Robust.clipFp(stream, qcol(groupCol), qcol(valueFpCol), cuts)
   }
 
+  /** Continuous dataset-integrity monitoring — the streaming twin of
+    * [[graft.llm.Sketches.integrityCard]]'s commutative columns. The
+    * checksum is a per-group (count, modular sum, min, max) over the
+    * shared row-content hash ([[graft.llm.Sketches.integrityHash]] —
+    * the streaming and batch sides hash identical bytes by
+    * construction), all unordered mergeable aggregates, so state is
+    * ONE row per group no matter how much data flows through and the
+    * live card can be read in update/complete mode at any moment —
+    * e.g. to compare a replication stream's running card against the
+    * source table's batch card. The batch card's exact
+    * `n_distinct_rows` column is the one non-streamable aggregate
+    * (countDistinct is unsupported in streaming); at ingest time its
+    * estimator is the HLL register twin ([[hllRegisters]] keyed on
+    * the same hash). The modulo is applied AFTER the decimal sum
+    * (not per-batch), which is exact because `(a+b) mod m =
+    * ((a mod m)+(b mod m)) mod m` and DECIMAL(38,0) holds any
+    * pre-modulo partial. */
+  def integrityIngest(rows: DataFrame, groupCol: String,
+      fields: Seq[Column]): DataFrame =
+    rows
+      .select(qcol(groupCol).as("g"),
+        graft.llm.Sketches.integrityHash(fields).as("h"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("h").cast("decimal(38,0)")).as("sum_raw"),
+        min(col("h")).as("min_hash"), max(col("h")).as("max_hash"))
+      .select(col("g"), col("n_rows"),
+        expr(s"cast(sum_raw % ${graft.llm.Sketches.ChecksumMod}L as bigint)")
+          .as("sum_hash"),
+        col("min_hash"), col("max_hash"))
+
   /** Streaming HLL register build — the continuous twin of
     * [[graft.llm.Sketches.hllRegisters]]. The register grid is a
     * max-aggregate, which is unordered and mergeable, so the streaming

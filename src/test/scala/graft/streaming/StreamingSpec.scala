@@ -554,4 +554,34 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(ok.getLong(0) == 1L && ok.getString(1) == "x")
     assert(parsed.count(!_.getBoolean(2)) == 1)
   }
+
+  test("integrityIngest: running card across micro-batches equals batch card") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, String)]
+    val fields = Seq(col("id").cast("string"), coalesce(col("txt"), lit("")))
+    val query = Streams.integrityIngest(
+        input.toDF().toDF("src", "id", "txt"), "src", fields)
+      .writeStream.format("memory").queryName("integrity_out")
+      .outputMode("complete").start()
+    val b1 = Seq(("s1", 1L, "alpha"), ("s1", 2L, "beta"), ("s2", 9L, "x"))
+    val b2 = Seq(("s1", 3L, "gamma"), ("s1", 1L, "alpha")) // exact dup row
+    try {
+      input.addData(b1: _*)
+      query.processAllAvailable()
+      input.addData(b2: _*)
+      query.processAllAvailable()
+      val got = spark.table("integrity_out")
+        .select("g", "n_rows", "sum_hash", "min_hash", "max_hash")
+        .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      // the batch card over everything that flowed, commutative cols only
+      val batch = graft.llm.Sketches.integrityCard(
+          (b1 ++ b2).toDF("src", "id", "txt"), col("src"), fields)
+        .select("g", "n_rows", "sum_hash", "min_hash", "max_hash")
+        .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got === batch)
+      // and the dup contributed: s1 counted 4 rows across 2 batches
+      assert(got.find(_._1 == "s1").get._2 === 4L)
+    } finally query.stop()
+  }
 }
