@@ -105,4 +105,33 @@ object Artifacts {
       .collect()
       .groupBy(_.getInt(0)).toArray.sortBy(_._1)
       .map(_._2.map(_.getSeq[Long](1).toArray))
+
+  // ---------- Decontamination Bloom prefilter ----------
+
+  /** Persist a trained eval-set Bloom prefilter
+    * ([[Decontaminate.evalBloom]]): the serialized bitset as one
+    * binary row. Spark's sketch serialization is versioned and
+    * deterministic for a given insert set, so load∘save is exactly
+    * identity (byte-for-byte, asserted in ArtifactsSpec) — and the
+    * parquet wrapper keeps the artifact in the same catalog layout
+    * as the tokenizer and codebook artifacts. */
+  def saveBloom(spark: SparkSession, path: String,
+      bloom: org.apache.spark.util.sketch.BloomFilter): Unit = {
+    import spark.implicits._
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    Seq(Tuple1(bos.toByteArray)).toDF("bits")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** The prefilter back — byte-identical input for the pre-built
+    * [[Decontaminate.contaminatedBloom]] overload. */
+  def loadBloom(spark: SparkSession, path: String): org.apache.spark.util.sketch.BloomFilter = {
+    val rows = spark.read.parquet(path).select(col("bits")).collect()
+    require(rows.length == 1,
+      s"expected exactly one serialized filter at $path, found ${rows.length}")
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(rows.head.getAs[Array[Byte]](0)))
+  }
 }

@@ -73,6 +73,49 @@ object Decontaminate {
     * broadcast and the cached eval projection are tracked in
     * [[Caches]]; `Caches.unpersistAll()` releases both (between
     * corpora, as Bench does per iteration). */
+  /** The standalone prefilter build — the TRAIN side of the Bloom
+    * artifact ([[graft.llm.Artifacts.saveBloom]]): the eval set's
+    * distinct winnowed fingerprints folded into one Bloom filter.
+    * `None` when the eval set yields no fingerprints (a filter over
+    * zero rows cannot be built, and there is nothing to prefilter
+    * against). Runs two Spark jobs (count + bloomFilter aggregate). */
+  def evalBloom(eval: DataFrame, idCol: String, textCol: String,
+      fpp: Double = 0.01): Option[org.apache.spark.util.sketch.BloomFilter] = {
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0, 1), got $fpp")
+    Fingerprint.register(eval.sparkSession)
+    val evalFps = fps(eval, idCol, textCol)
+      .select(explode(col("fps")).as("fp")).distinct()
+    val n = evalFps.count()
+    if (n == 0) None else Some(evalFps.stat.bloomFilter("fp", n, fpp))
+  }
+
+  /** [[contaminatedBloom]] with a PRE-BUILT prefilter — the serve
+    * side of the Bloom artifact: a benchmark eval set is fixed for
+    * months, so its filter is trained once ([[evalBloom]]), shipped
+    * ([[graft.llm.Artifacts.saveBloom]]/`loadBloom`), and every
+    * ingest job broadcasts the loaded bitset instead of re-running
+    * the build aggregate. False positives are erased by the
+    * confirming equi-join, so any filter BUILT OVER THE SAME eval
+    * fingerprints yields output bit-identical to [[contaminated]].
+    * A STALE artifact (eval set changed since training) can drop
+    * true fingerprints scan-side — a missed-contamination false
+    * negative the join cannot resurrect; re-train the artifact
+    * whenever the eval set changes. */
+  def contaminatedBloom(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String,
+      bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    Fingerprint.register(train.sparkSession)
+    val evalFps = fps(eval, idCol, textCol)
+      .select(explode(col("fps")).as("fp")).distinct()
+    val trainFps = fps(train, idCol, textCol)
+      .select(col("doc_id"), size(col("fps")).cast("bigint").as("n_fps"),
+        explode(col("fps")).as("fp"))
+    val bc = Caches.broadcastTracked(
+      train.sparkSession.sparkContext.broadcast(bloom))
+    val mightContain = udf((fp: Long) => bc.value.mightContainLong(fp))
+    containmentOf(trainFps.filter(mightContain(col("fp"))), evalFps)
+  }
+
   def contaminatedBloom(train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, fpp: Double = 0.01): DataFrame = {
     require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0, 1), got $fpp")

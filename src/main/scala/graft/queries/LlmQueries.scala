@@ -573,6 +573,31 @@ object LlmQueries {
       "doc_id", "text")
   }
 
+  // ---- q158: decontamination through the PERSISTED Bloom artifact ----
+  // The full prefilter artifact loop on the oracle surface: build the
+  // eval-set Bloom ([[graft.llm.Decontaminate.evalBloom]]), save and
+  // reload it as parquet ([[graft.llm.Artifacts]]), then run the
+  // pre-built contaminatedBloom overload — SAME ORACLE as q45/q68,
+  // because a round-tripped filter over the same eval fingerprints
+  // must leave the output bit-identical. At 100 TB the eval benchmark
+  // set is fixed for months: train the filter once, ship the bitset,
+  // and every ingest job broadcasts the loaded artifact.
+  def q158DecontamBloomLoaded(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.documents(s, dir)
+    val train = d.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+    val eval = d.filter(pmod(col("doc_id"), lit(50)) === 0)
+    graft.llm.Decontaminate.evalBloom(eval, "doc_id", "text") match {
+      case Some(bloom) =>
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-q158-bloom").toString
+        graft.llm.Artifacts.saveBloom(s, path, bloom)
+        graft.llm.Decontaminate.contaminatedBloom(train, eval,
+          "doc_id", "text", graft.llm.Artifacts.loadBloom(s, path))
+      case None => // no eval fingerprints — nothing to prefilter
+        graft.llm.Decontaminate.contaminated(train, eval, "doc_id", "text")
+    }
+  }
+
   // ---- q69: Gopher/C4-style rule filter with reasons bitmask ----
   // One bit per violated rule (length band, mean token length,
   // stopword floor, 3-gram repetition, digit share) — the corpus-
@@ -1152,6 +1177,7 @@ object LlmQueries {
     "q153_tokenizer_equity" -> q153TokenizerEquity _,
     "q45_decontamination"   -> q45Decontamination _,
     "q68_decontam_bloom"    -> q68DecontamBloom _,
+    "q158_decontam_bloom_loaded" -> q158DecontamBloomLoaded _,
     "q69_filter_rules"      -> q69FilterRules _,
     "q70_incremental_dedup" -> q70IncrementalDedup _,
     "q71_surprisal"         -> q71Surprisal _,
@@ -1666,6 +1692,8 @@ object LlmQueries {
     "q45_decontamination" -> q45Sql,
     // Bloom prefilter is exactness-preserving ⇒ q68 shares q45's oracle
     "q68_decontam_bloom" -> q45Sql,
+    // round-tripped prefilter artifact is also exactness-preserving
+    "q158_decontam_bloom_loaded" -> q45Sql,
     "q69_filter_rules" -> q69Sql,
     "q73_data_card" -> q73Sql,
     "q76_curation_funnel" -> q76Sql,

@@ -132,4 +132,45 @@ class ArtifactsSpec extends AnyFunSuite with SparkTestSession {
     assert(unseen(1).asInstanceOf[String].contains("null"))
     assert(unseen(2).asInstanceOf[Long] > 0L)
   }
+
+  test("Bloom prefilter: load-after-save is byte-identical") {
+    val bloom = Decontaminate.evalBloom(docs, "doc_id", "text").get
+    val path = tmp("graft-bloom")
+    Artifacts.saveBloom(spark, path, bloom)
+    val loaded = Artifacts.loadBloom(spark, path)
+    def bytes(b: org.apache.spark.util.sketch.BloomFilter) = {
+      val bos = new java.io.ByteArrayOutputStream(); b.writeTo(bos)
+      bos.toByteArray.toSeq
+    }
+    assert(bytes(loaded) === bytes(bloom))
+  }
+
+  test("decontamination from the loaded prefilter is byte-identical to exact") {
+    import spark.implicits._
+    // train/eval split with REAL overlap: doc 3 shares text shingles
+    val corpus = Seq(
+      ArtDoc(1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      ArtDoc(2L, "one two three four five six seven eight nine ten"),
+      ArtDoc(3L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      ArtDoc(4L, "totally unrelated content about rivers and stones here"),
+      ArtDoc(50L, "alpha beta gamma delta epsilon zeta eta theta iota")).toDF()
+    val train = corpus.filter(col("doc_id") % 50 =!= 0)
+    val eval = corpus.filter(col("doc_id") % 50 === 0)
+    val exact = Decontaminate.contaminated(train, eval, "doc_id", "text")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(exact.nonEmpty, "fixture must actually contaminate")
+    val path = tmp("graft-bloom-e2e")
+    Artifacts.saveBloom(spark, path,
+      Decontaminate.evalBloom(eval, "doc_id", "text").get)
+    val viaLoaded = Decontaminate.contaminatedBloom(train, eval,
+        "doc_id", "text", Artifacts.loadBloom(spark, path))
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(viaLoaded === exact)
+  }
+
+  test("evalBloom over a fingerprint-less eval set is None") {
+    import spark.implicits._
+    assert(Decontaminate.evalBloom(
+      Seq(ArtDoc(7L, "")).toDF(), "doc_id", "text").isEmpty)
+  }
 }
