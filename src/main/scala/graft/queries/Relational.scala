@@ -231,6 +231,38 @@ object Relational {
   def q156ColumnProfile(s: SparkSession, dir: String): DataFrame =
     graft.governance.Profile.columnProfile(graft.Tables.orders(s, dir))
 
+  // ---- q159: shuffle-skew advisor card ----
+  // The diagnostic that decides BEFORE a 100 TB join whether to salt
+  // (q133's machinery), broadcast, or trust AQE skew splitting: for
+  // each candidate shuffle key, total rows, distinct keys, the
+  // heaviest key's row count, its corpus share in ppm, and the salt
+  // factor that would level the hottest key down to the mean
+  // (ceil(max/mean), integer arithmetic). Cost per key: one
+  // partial-aggregated groupBy(count) + one tiny aggregate over
+  // key-cardinality rows — the same pass a shuffle would pay anyway,
+  // run once at profiling time instead of discovered as a straggler
+  // at job time.
+  def q159SkewAdvisor(s: SparkSession, dir: String): DataFrame = {
+    def card(name: String, df: DataFrame, key: String): DataFrame =
+      df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).cast("bigint").as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max(col("c")).as("max_per_key"))
+        .select(lit(name).as("key_col"), col("n_rows"), col("n_keys"),
+          col("max_per_key"),
+          expr("cast((1000000 * max_per_key) div n_rows as bigint)")
+            .as("top_share_ppm"),
+          expr("cast((max_per_key * n_keys + n_rows - 1) div n_rows as bigint)")
+            .as("salt_factor"))
+    card("lineitem.l_orderkey", graft.Tables.lineitem(s, dir), "l_orderkey")
+      .unionByName(card("lineitem.l_suppkey",
+        graft.Tables.lineitem(s, dir), "l_suppkey"))
+      .unionByName(card("orders.o_custkey",
+        graft.Tables.orders(s, dir), "o_custkey"))
+      .unionByName(card("events.user_id",
+        graft.Tables.events(s, dir), "user_id"))
+  }
+
   // ---- q12: rollup over year × priority (grouping sets) ----
   def q12YearPriorityRollup(s: SparkSession, dir: String): DataFrame =
     graft.Tables.orders(s, dir)
@@ -595,12 +627,31 @@ object Relational {
     "q132_unpivot"          -> q132Unpivot _,
     "q133_salted_join"      -> q133SaltedJoin _,
     "q156_column_profile"   -> q156ColumnProfile _,
+    "q159_skew_advisor"     -> q159SkewAdvisor _,
   )
 
   /** DuckDB-dialect oracles. Expression structure mirrors the Spark
     * plans exactly (same literals, same fixed-point floors) so results
     * are bit-identical, not merely close. */
   val oracleSql: Map[String, String] = Map(
+    // per-key count-of-counts replayed with the same integer ceil
+    "q159_skew_advisor" -> {
+      def card(name: String, table: String, key: String) =
+        s"""SELECT '$name' AS key_col,
+           |  CAST(sum(c) AS BIGINT) AS n_rows,
+           |  CAST(count(*) AS BIGINT) AS n_keys,
+           |  max(c) AS max_per_key,
+           |  CAST((1000000 * max(c)) // sum(c) AS BIGINT) AS top_share_ppm,
+           |  CAST((max(c) * count(*) + sum(c) - 1) // sum(c) AS BIGINT)
+           |    AS salt_factor
+           |FROM (SELECT CAST(count(*) AS BIGINT) AS c
+           |  FROM $table GROUP BY $key)""".stripMargin
+      Seq(card("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+        card("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+        card("orders.o_custkey", "orders", "o_custkey"),
+        card("events.user_id", "events", "user_id"))
+        .mkString("\nUNION ALL\n")
+    },
     // per-column stats replayed literally: null mass as count(*) -
     // count(col), distinct/min/max over the same fixed-point image
     // (floats through floor(x·100)) and the same second-resolution
