@@ -10,44 +10,61 @@ import org.apache.spark.sql.types._
   * the data-side complement: per-column null mass, exact distinct
   * cardinality, and value range).
   *
-  * One declarative aggregation over one scan produces every column's
-  * stats; the wide single-row result is then unpivoted with `stack`
-  * into the `(column_name, n_nulls, n_distinct, min_s, max_s)` card.
-  * Catalyst plans the multi-DISTINCT aggregate as a single scan +
-  * Expand (one duplicate per distinct column), so an N-column profile
-  * costs one pass over the data times N+1 row expansion — never N
-  * scans.
+  * Shape: one scan UNPIVOTS each row into `(col_id, value)` entries
+  * (an explode over a per-row struct array — Catalyst's Expand by
+  * another name), then TWO hash aggregations produce the card:
+  * `(col_id, value) → count` collapses the stream to per-column
+  * distinct values with their multiplicities, and the per-column
+  * rollup over that bounded frame derives null mass (the null value's
+  * collapsed count), distinct cardinality (a plain count), and
+  * min/max. This deliberately avoids `N × countDistinct(col)` in one
+  * aggregate: Spark plans that rewrite as a SortAggregate over the
+  * whole expanded stream in a SINGLE partition when any min/max
+  * buffer is var-length (strings), which benchmarked 7× slower than
+  * this formulation at sf0.1. Here every corpus-sized stage is a
+  * partial-aggregated HashAggregate; the only sort-based aggregation
+  * left runs over already-distinct values, partitioned by column.
   *
-  * 100 TB note: exact DISTINCT is the audit-grade path and inherently
-  * shuffles per column; for routine monitoring at full scale swap the
-  * distinct aggregates for the mergeable HLL registers
-  * ([[graft.llm.Sketches.hllRegisters]]) and keep this exact form for
-  * sampled or per-partition audits.
+  * 100 TB note: exact DISTINCT inherently shuffles the value stream;
+  * for routine monitoring at full scale swap stage one for the
+  * mergeable HLL registers ([[graft.llm.Sketches.hllRegisters]]) and
+  * keep this exact form for sampled or per-partition audits.
   *
-  * Determinism contract: min/max aggregate on the NATIVE value (or its
-  * fixed-point image for floats — floor is monotone, so
-  * `min(floor(x·100)) = floor(min(x)·100)`) and only the final scalar
-  * is rendered to string, with timestamps formatted to the second
-  * (`yyyy-MM-dd HH:mm:ss`, chronological as a string) so the rendering
-  * is engine-portable. Float distinct counts are over the fixed-point
-  * image, matching the repo-wide float contract.
+  * Determinism contract: values aggregate NATIVELY — integrals and
+  * temporals as bigint (micros / days), floats through the monotone
+  * fixed-point image `floor(x·100)` (so `min(image) = image(min)`),
+  * strings as themselves — and only the final per-column scalar is
+  * rendered to string (timestamps to the second, chronological as a
+  * string), so rendering can never reorder numerics and the card is
+  * engine-portable.
   */
 object Profile {
 
   /** Fixed-point scale for float/double columns (cents). */
   val FloatScale = 100L
 
-  private def aggKey(f: StructField): Column = f.dataType match {
-    case FloatType | DoubleType =>
-      floor(col(quoted(f.name)) * FloatScale).cast("bigint")
-    case _ => col(quoted(f.name))
-  }
+  /** The bigint image a non-string column aggregates under — null
+    * iff the value is null (for the types our tables carry). */
+  private def numImage(f: StructField, c: Column): Option[Column] =
+    f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(c.cast("bigint"))
+      case FloatType | DoubleType =>
+        Some(floor(c * FloatScale).cast("bigint"))
+      case TimestampType => Some(unix_micros(c))
+      case TimestampNTZType => Some(unix_micros(c.cast("timestamp")))
+      case DateType => Some(unix_date(c).cast("bigint"))
+      case BooleanType => Some(c.cast("int").cast("bigint"))
+      case _ => None // profiles through the string side
+    }
 
-  private def render(f: StructField, c: Column): Column = f.dataType match {
-    case DateType => date_format(c, "yyyy-MM-dd")
+  /** Render a final bigint-image scalar back to the card's portable
+    * string form. */
+  private def renderNum(f: StructField, c: Column): Column = f.dataType match {
     case TimestampType | TimestampNTZType =>
-      date_format(c, "yyyy-MM-dd HH:mm:ss")
-    case StringType => c
+      date_format(timestamp_micros(c), "yyyy-MM-dd HH:mm:ss")
+    case DateType => date_format(date_from_unix_date(c.cast("int")), "yyyy-MM-dd")
+    case BooleanType => when(c === 1L, "true").when(c === 0L, "false")
     case _ => c.cast("string")
   }
 
@@ -58,24 +75,41 @@ object Profile {
   def columnProfile(df: DataFrame): DataFrame = {
     val fields = df.schema.fields
     require(fields.nonEmpty, "cannot profile a zero-column frame")
-    val aggs = fields.toSeq.flatMap { f =>
-      val k = aggKey(f)
-      Seq(
-        sum(when(col(quoted(f.name)).isNull, 1L).otherwise(0L))
-          .as(s"${f.name}__nulls"),
-        countDistinct(k).as(s"${f.name}__distinct"),
-        min(k).as(s"${f.name}__min"),
-        max(k).as(s"${f.name}__max"))
+    val entries = fields.toSeq.zipWithIndex.map { case (f, i) =>
+      val c = col(quoted(f.name))
+      val (vn, vs) = numImage(f, c) match {
+        case Some(n) => (n, lit(null).cast("string"))
+        case None    => (lit(null).cast("bigint"), c.cast("string"))
+      }
+      struct(lit(i).as("cid"), vn.as("vn"), vs.as("vs"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val rows = fields.toSeq.map { f =>
-      struct(
-        lit(f.name).as("column_name"),
-        coalesce(col(quoted(s"${f.name}__nulls")), lit(0L)).as("n_nulls"),
-        col(quoted(s"${f.name}__distinct")).as("n_distinct"),
-        render(f, col(quoted(s"${f.name}__min"))).as("min_s"),
-        render(f, col(quoted(s"${f.name}__max"))).as("max_s"))
-    }
-    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+    val unpivoted = df
+      .select(explode(array(entries: _*)).as("e"))
+      .select(col("e.cid").as("cid"), col("e.vn").as("vn"), col("e.vs").as("vs"))
+    // corpus-sized stage: distinct values per column, with counts —
+    // nulls collapse to one (cid, null, null) row carrying the null mass
+    val values = unpivoted.groupBy(col("cid"), col("vn"), col("vs"))
+      .agg(count(lit(1)).as("cnt"))
+    // bounded stage: the rollup runs over distinct values only
+    val isNull = col("vn").isNull && col("vs").isNull
+    val rolled = values.groupBy(col("cid"))
+      .agg(sum(when(isNull, col("cnt")).otherwise(0L)).as("n_nulls"),
+        count(when(!isNull, lit(1))).as("n_distinct"),
+        min(col("vn")).as("min_vn"), max(col("vn")).as("max_vn"),
+        min(col("vs")).as("min_vs"), max(col("vs")).as("max_vs"))
+    // per-column dispatch on the 1-row-per-column rollup: unmatched
+    // whens yield null, so coalesce picks the single matching arm
+    def pick(from: StructField => Column): Column =
+      coalesce(fields.toSeq.zipWithIndex
+        .map { case (f, i) => when(col("cid") === i, from(f)) }: _*)
+    def stringSide(f: StructField): Boolean =
+      numImage(f, col(quoted(f.name))).isEmpty
+    rolled.select(
+      pick(f => lit(f.name)).as("column_name"),
+      col("n_nulls"), col("n_distinct"),
+      pick(f => if (stringSide(f)) col("min_vs")
+        else renderNum(f, col("min_vn"))).as("min_s"),
+      pick(f => if (stringSide(f)) col("max_vs")
+        else renderNum(f, col("max_vn"))).as("max_s"))
   }
 }
