@@ -120,6 +120,39 @@ object SimilarityQueries {
           .as("n_simhash_only"))
   }
 
+  // ---- q160: cross-split near-dup leakage card ----
+  // The eval-integrity audit a training pipeline runs AFTER splitting
+  // (Dodge et al.'s "documenting the data" failure mode): near-dup
+  // pairs (q21's audited banded-Jaccard path) joined to the
+  // deterministic hash split (q126's assignment rule), rolled up per
+  // unordered split pair. A train↔test or train↔val row is leaked
+  // evaluation data the split's doc-level hashing cannot see —
+  // near-dups land in different splits precisely because their ids
+  // hash independently. Scale: the pair list is LSH-banded (never
+  // all-pairs), the split is a pure projection, and the two
+  // doc-id joins shuffle pair-list-sized frames only.
+  private val LeakTrainPct = 80
+  private val LeakValPct = 10
+  def q160SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    val pairs = MinHashLSH.nearDupPairs(docs, "doc_id", "text",
+      shingleN = ShingleN, numHashes = NumHashes, rowsPerBand = 1,
+      minJaccardFp = 0L)
+    val split = graft.llm.Sampling.hashSplit(
+      docs.select(col("doc_id")), "doc_id", LeakTrainPct, LeakValPct)
+    pairs
+      .join(split.select(col("doc_id").as("doc_a"), col("split").as("sa")),
+        "doc_a")
+      .join(split.select(col("doc_id").as("doc_b"), col("split").as("sb")),
+        "doc_b")
+      .groupBy(least(col("sa"), col("sb")).as("split_lo"),
+        greatest(col("sa"), col("sb")).as("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+        max(col("jaccard_fp")).as("max_jaccard_fp"),
+        sum(col("jaccard_fp").cast("decimal(38,0)")).cast("bigint")
+          .as("sum_jaccard_fp"))
+  }
+
   // ---- q72: cluster-aware keep-best dedup ----
   // The decision real pipelines make on top of q38's labels: within
   // each near-dup cluster keep the HIGHEST-QUALITY member (tie → the
@@ -558,6 +591,7 @@ object SimilarityQueries {
     "q117_mutual_knn"   -> q117MutualKnn _,
     "q125_ivf_balance"  -> q125IvfBalance _,
     "q21_minhash_pairs" -> q21MinhashPairs _,
+    "q160_split_leakage" -> q160SplitLeakage _,
     "q22_simhash16"     -> q22Simhash16 _,
     "q23_embed_topk"    -> q23EmbedTopk _,
     "q24_embed_ann"     -> q24EmbedAnn _,
@@ -1223,6 +1257,25 @@ object SimilarityQueries {
     "q117_mutual_knn"   -> q117Sql,
     "q125_ivf_balance"  -> q125Sql,
     "q21_minhash_pairs" -> q21Sql,
+    // q21's pair replay joined to q126's split rule, rolled up per
+    // unordered split pair with the same fixed-point jaccard sums
+    "q160_split_leakage" ->
+      s"""WITH p AS ($q21Sql),
+         |spl AS (SELECT doc_id,
+         |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |        % 100 < $LeakTrainPct THEN 'train'
+         |      WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |        % 100 < ${LeakTrainPct + LeakValPct} THEN 'val'
+         |      ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT least(a.split, b.split) AS split_lo,
+         |  greatest(a.split, b.split) AS split_hi,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  max(p.jaccard_fp) AS max_jaccard_fp,
+         |  CAST(sum(p.jaccard_fp) AS BIGINT) AS sum_jaccard_fp
+         |FROM p JOIN spl a ON p.doc_a = a.doc_id
+         |  JOIN spl b ON p.doc_b = b.doc_id
+         |GROUP BY 1, 2""".stripMargin,
     "q22_simhash16"     -> q22Sql,
     "q23_embed_topk"    -> q23Sql,
     "q24_embed_ann"     -> q24Sql,
