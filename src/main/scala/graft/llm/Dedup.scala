@@ -349,4 +349,59 @@ object Dedup {
         s"($changed labels still changing) — raise maxIter (graph diameter exceeds it)")
     labels.toDF("doc_id", "cluster_id")
   }
+
+  /** Sorted-neighborhood candidate pairs — the classic record-linkage
+    * blocking alternative to MinHash/SimHash banding: sort by the
+    * normalized text, compare each row only to its `windowSize`
+    * successors in sort order. Near-identical texts sort adjacent, so
+    * the window finds them in O(n·w) candidates with ZERO hashing
+    * parameters to tune — the complement of LSH (which catches edits
+    * anywhere, but misses nothing only at matching band settings).
+    *
+    * A GLOBAL sort order would serialize 100 TB through one window
+    * task, so the sort runs per BLOCK — the first `blockPrefixLen`
+    * normalized characters — exactly the banding trade LSH makes:
+    * pairs that straddle a block boundary are out of reach, which is
+    * the documented recall cost of distributing the neighborhood scan
+    * (blocks are hash-partitioned and each block's window sorts only
+    * its own rows). Ordering inside a block is `(key, id)`, so ties
+    * on identical normalized text are broken deterministically and
+    * the pair set replays in any engine.
+    *
+    * Output per candidate pair: block, `doc_lo`/`doc_hi` (id-ordered),
+    * `pos_dist` (neighborhood offset, 1..w), `len_diff_chars`
+    * (normalized-length gap — the cheap pre-verify every SNM pipeline
+    * filters on) and `same_norm` (exact normalized equality). Null
+    * ids or texts are excluded (no sort position). */
+  def snmPairs(df: DataFrame, idCol: String, textCol: String,
+      blockPrefixLen: Int = 4, windowSize: Int = 2): DataFrame = {
+    require(blockPrefixLen > 0 && windowSize > 0,
+      "blockPrefixLen and windowSize must be positive")
+    val qi = graft.Names.quoted(idCol)
+    val qt = graft.Names.quoted(textCol)
+    val base = df.filter(col(qi).isNotNull && col(qt).isNotNull)
+      .select(col(qi).cast("bigint").as("doc_id"),
+        normalizeText(col(qt)).as("k"))
+      .withColumn("block", substring(col("k"), 1, blockPrefixLen))
+    val w = Window.partitionBy(col("block")).orderBy(col("k"), col("doc_id"))
+    // window exprs first, explode second — a Generate operator cannot
+    // itself host window expressions
+    val withLeads = base.select(col("block") +: col("doc_id") +: col("k") +:
+      (1 to windowSize).flatMap(i => Seq(
+        lead(col("doc_id"), i).over(w).as(s"_id$i"),
+        lead(col("k"), i).over(w).as(s"_k$i"))): _*)
+    val neighbors = array((1 to windowSize).map(i =>
+      struct(col(s"_id$i").as("id2"), col(s"_k$i").as("k2"),
+        lit(i.toLong).as("pos_dist"))): _*)
+    withLeads.select(col("block"), col("doc_id"), col("k"),
+        explode(neighbors).as("nb"))
+      .filter(col("nb.id2").isNotNull)
+      .select(col("block"),
+        least(col("doc_id"), col("nb.id2")).as("doc_lo"),
+        greatest(col("doc_id"), col("nb.id2")).as("doc_hi"),
+        col("nb.pos_dist"),
+        abs(length(col("k")) - length(col("nb.k2"))).cast("bigint")
+          .as("len_diff_chars"),
+        (col("k") === col("nb.k2")).as("same_norm"))
+  }
 }

@@ -262,4 +262,42 @@ object Sampling {
           .otherwise("test"))
       .drop(r)
   }
+
+  /** Temperature-derived source mixing card: per stratum, the sampling
+    * weight a multilingual/multi-source training run assigns under
+    * temperature T=2 reweighting — weight ∝ tokens^(1/2), the standard
+    * up-weighting of small sources against head domination (q57's
+    * [[tokenBudgetMixture]] consumes CALLER-chosen weights; this
+    * derives them from the corpus itself).
+    *
+    * Determinism: `sqrt` is IEEE-correctly-rounded in both the JVM and
+    * DuckDB, and `floor(sqrt(n)·10⁶)` is one multiply + one floor on
+    * that exact value, so `weight_fp` replays bit-for-bit; everything
+    * downstream (`mixture_ppm`, `epochs_fp`) is integer division. The
+    * epochs product runs in decimal(38,0) — `total_tokens ·
+    * mixture_ppm` exceeds Long range at ~10¹³ corpus tokens, well
+    * inside 100 TB reach.
+    *
+    * Scale shape: one per-stratum aggregation (map-side combined),
+    * then a broadcast of the two-scalar totals row — the card is
+    * #strata rows end to end, no corpus-sized shuffle. */
+  def temperatureMixture(df: DataFrame, stratumCol: String,
+      tokenCol: String): DataFrame = {
+    val qs = graft.Names.quoted(stratumCol)
+    val qt = graft.Names.quoted(tokenCol)
+    val agg = df.filter(col(qs).isNotNull)
+      .groupBy(col(qs))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(qt).cast("decimal(38,0)")).cast("bigint").as("n_tokens"))
+      .withColumn("weight_fp",
+        floor(sqrt(col("n_tokens").cast("double")) * 1e6).cast("bigint"))
+    val tot = agg.agg(sum(col("weight_fp")).cast("bigint").as("tw"),
+      sum(col("n_tokens").cast("decimal(38,0)")).cast("bigint").as("tn"))
+    agg.crossJoin(broadcast(tot))
+      .withColumn("mixture_ppm",
+        expr("cast((cast(weight_fp as decimal(38,0)) * 1000000) div greatest(tw, 1L) as bigint)"))
+      .withColumn("epochs_fp",
+        expr("cast((cast(tn as decimal(38,0)) * mixture_ppm) div greatest(n_tokens, 1L) as bigint)"))
+      .drop("tn", "tw")
+  }
 }

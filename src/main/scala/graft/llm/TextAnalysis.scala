@@ -622,4 +622,44 @@ object TextAnalysis {
     vocabAt.join(tokAt, "chk")
       .select(col("chk"), col("n_docs"), col("vocab"), col("total_tokens"))
   }
+
+  /** Per-group total-variation distance between the group's unigram
+    * token distribution and the whole corpus's, as exact parts-per-
+    * million: `TVD = ½·Σ_t |c_gt/r_g − c_t/N|`. Unlike a KL/χ² card,
+    * TVD needs NO per-term division or logarithm — over the common
+    * denominator `r_g·N` it is one integer numerator sum and ONE final
+    * division, so it replays bit-for-bit in any engine and never
+    * meets a float. Tokens the group lacks still contribute
+    * (`r_g·c_t/N` mass); rather than materializing the group×vocab
+    * grid, the identity
+    * `Σ_all |c·N − r·c_t| = r·N + Σ_{t∈g}(|c·N − r·c_t| − r·c_t)`
+    * folds every absent token into one closed-form term, so only rows
+    * that EXIST are summed. Arithmetic runs in decimal(38,0):
+    * `c·N ≤ N² ≤ 10³⁰` at a 10¹⁵-token corpus, and the final
+    * `numerator·10⁶ ≤ 2·r·N·10⁶` stays under 10³⁸ — 100 TB-safe where
+    * a BIGINT product overflows at ~10⁹ tokens.
+    *
+    * Scale shape: explode → one (group, token) aggregation, a
+    * vocab-sized shuffle for per-token totals joined back on token,
+    * an auto-broadcast per-group totals join, and a broadcast
+    * one-row corpus total — no corpus-sized join anywhere. Groups
+    * with zero tokens have no distribution and are absent. */
+  def tokenDivergenceFp(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val qg = graft.Names.quoted(groupCol)
+    val toks = df.filter(col(qg).isNotNull)
+      .select(col(qg).as("g"), explode(tokens(col(graft.Names.quoted(textCol)))).as("tok"))
+    val c = toks.groupBy(col("g"), col("tok")).agg(count(lit(1)).as("c"))
+    val ct = c.groupBy(col("tok")).agg(sum(col("c")).cast("bigint").as("ct"))
+    val rs = c.groupBy(col("g")).agg(sum(col("c")).cast("bigint").as("rs"))
+    val n = rs.agg(sum(col("rs").cast("decimal(38,0)")).cast("bigint").as("n"))
+    c.join(ct, "tok").join(rs, "g").crossJoin(broadcast(n))
+      .groupBy(col("g"), col("rs"), col("n"))
+      .agg(sum(expr(
+        "abs(cast(c as decimal(38,0)) * n - cast(rs as decimal(38,0)) * ct)" +
+          " - cast(rs as decimal(38,0)) * ct")).as("adj"))
+      .select(col("g").as(groupCol), col("rs").as("n_tokens"),
+        expr("cast(((cast(rs as decimal(38,0)) * n + adj) * 1000000)" +
+          " div (2 * cast(rs as decimal(38,0)) * n) as bigint)").as("tvd_ppm"))
+  }
 }

@@ -338,6 +338,43 @@ object LlmQueries {
         .cast("bigint"))
   }
 
+  // ---- q161: temperature-derived source mixing weights ----
+  // The sampling-weight card a multi-source training run ships:
+  // weight ∝ tokens^(1/2) (temperature-2 reweighting), normalized to
+  // ppm, plus the effective epochs each source runs when the budget
+  // equals the corpus token mass (up-sampling factor for small
+  // sources, down-sampling for head sources). q57 consumes
+  // caller-chosen weights; this derives them from the corpus.
+  def q161TemperatureMixture(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Sampling.temperatureMixture(
+      graft.Tables.documents(s, dir)
+        .select(col("source"), tokenCount(col("text")).cast("bigint").as("n_tok")),
+      "source", "n_tok")
+      .orderBy(col("source"))
+
+  // ---- q163: per-source token-distribution divergence (exact TVD) ----
+  // "Does source X speak a different language than the corpus?" —
+  // total-variation distance between unigram distributions in exact
+  // integer ppm (one final division, no float sums), the
+  // vocabulary-level complement of q108's length-histogram drift and
+  // q152's composition drift.
+  def q163SourceDivergence(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenDivergenceFp(
+      graft.Tables.documents(s, dir).select(col("source"), col("text")),
+      "source", "text")
+      .orderBy(col("source"))
+
+  // ---- q164: sorted-neighborhood dedup candidate pairs ----
+  // The third blocking family next to MinHash banding (q21) and
+  // SimHash radius probing (q31): block by normalized prefix, sort
+  // inside the block, pair each row with its 2 sort-successors. Zero
+  // hash parameters; recall trade = pairs straddling a block
+  // boundary, the same cut LSH makes at band edges.
+  def q164SnmPairs(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Dedup.snmPairs(
+      graft.Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      "doc_id", "text")
+
   // ---- q152: source-composition drift (corpus mixture monitoring) ----
   // Whether the ingest mix is moving: each source's share of the
   // recent corpus half vs the older half (q146's deterministic
@@ -1174,6 +1211,9 @@ object LlmQueries {
     "q140_bpe_packing"      -> q140BpePacking _,
     "q146_emerging_terms"   -> q146EmergingTerms _,
     "q152_source_drift"     -> q152SourceDrift _,
+    "q161_temperature_mixture" -> q161TemperatureMixture _,
+    "q163_source_divergence"   -> q163SourceDivergence _,
+    "q164_snm_pairs"           -> q164SnmPairs _,
     "q153_tokenizer_equity" -> q153TokenizerEquity _,
     "q45_decontamination"   -> q45Decontamination _,
     "q68_decontam_bloom"    -> q68DecontamBloom _,
@@ -1783,6 +1823,55 @@ object LlmQueries {
          |GROUP BY lang ORDER BY lang""".stripMargin
     },
     // the q146 half split aggregated per source, shares in exact ppm
+    "q161_temperature_mixture" ->
+      s"""WITH d AS (SELECT source, CAST(len(toks) AS BIGINT) AS n_tok
+         |  FROM (SELECT source, $toksSql AS toks FROM documents) t),
+         |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM d GROUP BY source),
+         |w AS (SELECT source, n_docs, n_tokens,
+         |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT)
+         |      AS weight_fp FROM a),
+         |t AS (SELECT CAST(sum(weight_fp) AS BIGINT) AS tw,
+         |    CAST(sum(n_tokens) AS BIGINT) AS tn FROM w),
+         |m AS (SELECT source, n_docs, n_tokens, weight_fp,
+         |    CAST(CAST(weight_fp AS HUGEINT) * 1000000 // greatest(tw, 1)
+         |      AS BIGINT) AS mixture_ppm FROM w, t)
+         |SELECT source, n_docs, n_tokens, weight_fp, mixture_ppm,
+         |  CAST(CAST((SELECT tn FROM t) AS HUGEINT) * mixture_ppm
+         |    // greatest(n_tokens, 1) AS BIGINT) AS epochs_fp
+         |FROM m ORDER BY source""".stripMargin,
+    "q163_source_divergence" ->
+      s"""WITH tk AS (SELECT source, unnest($toksSql) AS tok FROM documents),
+         |cc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM tk GROUP BY source, tok),
+         |ct AS (SELECT tok, CAST(sum(cnt) AS BIGINT) AS ct FROM cc GROUP BY tok),
+         |rs AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS rs FROM cc
+         |  GROUP BY source),
+         |nn AS (SELECT CAST(sum(rs) AS BIGINT) AS n FROM rs),
+         |j AS (SELECT cc.source, rs.rs, nn.n,
+         |    abs(CAST(cc.cnt AS HUGEINT) * nn.n - CAST(rs.rs AS HUGEINT) * ct.ct)
+         |      - CAST(rs.rs AS HUGEINT) * ct.ct AS term
+         |  FROM cc JOIN ct ON cc.tok = ct.tok
+         |  JOIN rs ON cc.source = rs.source, nn)
+         |SELECT source, rs AS n_tokens,
+         |  CAST((CAST(rs AS HUGEINT) * n + sum(term)) * 1000000
+         |    // (2 * CAST(rs AS HUGEINT) * n) AS BIGINT) AS tvd_ppm
+         |FROM j GROUP BY source, rs, n ORDER BY source""".stripMargin,
+    "q164_snm_pairs" ->
+      """WITH b AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS k
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |r AS (SELECT doc_id, k, substr(k, 1, 4) AS block,
+        |    row_number() OVER (PARTITION BY substr(k, 1, 4)
+        |      ORDER BY k, doc_id) AS rn FROM b)
+        |SELECT a.block AS block,
+        |  CAST(least(a.doc_id, c.doc_id) AS BIGINT) AS doc_lo,
+        |  CAST(greatest(a.doc_id, c.doc_id) AS BIGINT) AS doc_hi,
+        |  CAST(c.rn - a.rn AS BIGINT) AS pos_dist,
+        |  CAST(abs(length(a.k) - length(c.k)) AS BIGINT) AS len_diff_chars,
+        |  (a.k = c.k) AS same_norm
+        |FROM r a JOIN r c
+        |  ON a.block = c.block AND c.rn - a.rn BETWEEN 1 AND 2""".stripMargin,
     "q152_source_drift" ->
       s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
          |a AS (SELECT source,

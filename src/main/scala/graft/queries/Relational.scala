@@ -231,6 +231,32 @@ object Relational {
   def q156ColumnProfile(s: SparkSession, dir: String): DataFrame =
     graft.governance.Profile.columnProfile(graft.Tables.orders(s, dir))
 
+  // ---- q162: k-anonymity audit over customer quasi-identifiers ----
+  // The re-identification risk card a dataset release owes its DPO:
+  // equivalence classes over the quasi-identifier tuple (nation,
+  // market segment, account-balance band), then per segment the
+  // class count, the smallest class (the dataset's k), and how many
+  // classes/rows sit below the k=5 bar. Scale shape: one grouped
+  // count over the quasi-identifier tuple (map-side combined), then
+  // an aggregation over class-cardinality rows — never row-scale
+  // state. The balance band is floor(bal/1000) — one IEEE divide +
+  // floor both engines compute identically.
+  private val AnonK = 5L
+  def q162KAnonymity(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.customer(s, dir)
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        floor(col("c_acctbal") / 1000.0).cast("bigint").as("bal_band"))
+      .groupBy(col("c_mktsegment"), col("c_nationkey"), col("bal_band"))
+      .agg(count(lit(1)).as("cls_n"))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(col("cls_n")).cast("bigint").as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min(col("cls_n")).as("k_min"),
+        sum(when(col("cls_n") < AnonK, 1L).otherwise(0L)).as("n_risky_classes"),
+        sum(when(col("cls_n") < AnonK, col("cls_n")).otherwise(0L))
+          .cast("bigint").as("n_risky_rows"))
+      .orderBy(col("c_mktsegment"))
+
   // ---- q159: shuffle-skew advisor card ----
   // The diagnostic that decides BEFORE a 100 TB join whether to salt
   // (q133's machinery), broadcast, or trust AQE skew splitting: for
@@ -628,6 +654,7 @@ object Relational {
     "q133_salted_join"      -> q133SaltedJoin _,
     "q156_column_profile"   -> q156ColumnProfile _,
     "q159_skew_advisor"     -> q159SkewAdvisor _,
+    "q162_k_anonymity"      -> q162KAnonymity _,
   )
 
   /** DuckDB-dialect oracles. Expression structure mirrors the Spark
@@ -656,6 +683,21 @@ object Relational {
     // count(col), distinct/min/max over the same fixed-point image
     // (floats through floor(x·100)) and the same second-resolution
     // timestamp rendering the Spark side uses
+    "q162_k_anonymity" ->
+      """WITH cls AS (SELECT c_mktsegment, c_nationkey,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+        |    CAST(count(*) AS BIGINT) AS cls_n
+        |  FROM customer GROUP BY c_mktsegment, c_nationkey,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+        |SELECT c_mktsegment,
+        |  CAST(sum(cls_n) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(min(cls_n) AS BIGINT) AS k_min,
+        |  CAST(sum(CASE WHEN cls_n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_risky_classes,
+        |  CAST(sum(CASE WHEN cls_n < 5 THEN cls_n ELSE 0 END) AS BIGINT)
+        |    AS n_risky_rows
+        |FROM cls GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q156_column_profile" -> {
       def numCol(c: String) =
         s"""SELECT '$c' AS column_name,

@@ -1,0 +1,80 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Hand-computed oracles for the round-12 curation cards:
+  * temperature mixing weights, token-distribution TVD, and
+  * sorted-neighborhood candidate pairs. */
+class CurationCardsSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  test("temperatureMixture: sqrt weights, ppm shares, epochs — exact on a known frame") {
+    // A: 100 tokens over 2 docs, B: 25 tokens over 1 doc
+    val df = Seq(("A", 60L), ("A", 40L), ("B", 25L)).toDF("src", "n_tok")
+    val out = Sampling.temperatureMixture(df, "src", "n_tok")
+      .orderBy("src").collect()
+    // sqrt(100)=10 → 10e6; sqrt(25)=5 → 5e6; tw=15e6; tn=125
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))).toSeq == Seq(
+      ("A", 2L, 100L, 10000000L, 666666L, (125L * 666666L) / 100L),
+      ("B", 1L, 25L, 5000000L, 333333L, (125L * 333333L) / 25L)))
+    // shares can undershoot 1e6 by flooring, never overshoot
+    assert(out.map(_.getLong(4)).sum <= 1000000L)
+  }
+
+  test("temperatureMixture: null strata excluded, zero-token stratum survives") {
+    val df = Seq((Some("A"), 4L), (None, 9L), (Some("B"), 0L))
+      .toDF("src", "n_tok")
+    val out = Sampling.temperatureMixture(df, "src", "n_tok")
+      .orderBy("src").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("A", "B"))
+    // B: sqrt(0)=0 weight, 0 ppm, epochs guard div-by-zero → 0
+    assert(out(1).getLong(3) == 0L && out(1).getLong(4) == 0L &&
+      out(1).getLong(5) == 0L)
+  }
+
+  test("tokenDivergenceFp: TVD vs hand computation incl. absent-token mass") {
+    val df = Seq(("A", "x x y"), ("B", "y y y")).toDF("g", "text")
+    val out = TextAnalysis.tokenDivergenceFp(df, "g", "text")
+      .orderBy("g").collect()
+    // corpus: x=2, y=4, N=6. A=(2x,1y): TVD=½(|2/3-1/3|+|1/3-2/3|)=1/3
+    // B=(3y): TVD=½(|0-1/3|+|1-2/3|)=1/3
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("A", 3L, 333333L), ("B", 3L, 333333L)))
+  }
+
+  test("tokenDivergenceFp: single-source corpus has zero divergence; empty docs absent") {
+    val df = Seq(("A", "a b c"), ("A", "d e"), ("B", "   ")).toDF("g", "text")
+    val out = TextAnalysis.tokenDivergenceFp(df, "g", "text").collect()
+    // B contributed no tokens → no distribution → absent
+    assert(out.map(r => (r.getString(0), r.getLong(2))).toSeq == Seq(("A", 0L)))
+  }
+
+  test("snmPairs: in-block neighbor pairs, id-ordered, same_norm on dup texts") {
+    val df = Seq(
+      (2L, "aaa x"), (10L, "AAA   x"), // same normalized key "aaa x"
+      (1L, "aaa z"),
+      (7L, "zzz q")                    // lone block: no pairs
+    ).toDF("doc_id", "text")
+    val out = Dedup.snmPairs(df, "doc_id", "text").orderBy("doc_lo", "doc_hi")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    // block "aaa " sort order: ("aaa x",2), ("aaa x",10), ("aaa z",1)
+    assert(out.toSeq == Seq(
+      ("aaa ", 1L, 2L, 2L, 0L, false),
+      ("aaa ", 1L, 10L, 1L, 0L, false),
+      ("aaa ", 2L, 10L, 1L, 0L, true)))
+  }
+
+  test("snmPairs: pair volume is bounded by windowSize per row") {
+    val df = (1L to 40L).map(i => (i, s"prefix shared ${i % 7} tail"))
+      .toDF("doc_id", "text")
+    val n = Dedup.snmPairs(df, "doc_id", "text", blockPrefixLen = 4,
+      windowSize = 3).count()
+    assert(n <= 40L * 3)
+  }
+}
