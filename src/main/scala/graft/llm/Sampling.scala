@@ -45,7 +45,7 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** 32-bit integer prefix of md5(key) — uniform on [0, 2^32). */
-  private def hash32(keyCol: String): org.apache.spark.sql.Column =
+  private[graft] def hash32(keyCol: String): org.apache.spark.sql.Column =
     expr(s"cast(conv(substr(md5(cast(${graft.Names.quoted(keyCol)} as string)), 1, 8), 16, 10) as bigint)")
 
   def deterministicGroupSample(df: DataFrame, groupCol: String, keyCol: String,

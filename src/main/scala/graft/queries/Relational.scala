@@ -467,8 +467,13 @@ object Relational {
   // DECIMAL(38,0): support·N·10⁶ overflows BIGINT at ~10⁹ orders.
   private val BasketTopK = 20
   def q124Itemsets(s: SparkSession, dir: String): DataFrame = {
-    val items = graft.Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    // persisted (Caches-tracked): the basket frame feeds FOUR consumers
+    // (the eager order count, the per-item counts, and both sides of
+    // the within-basket self-join) — without materialization each one
+    // re-runs the lineitem scan + distinct shuffle
+    val items = graft.llm.Caches.persistTracked(
+      graft.Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct())
     val n = items.select(col("ok")).distinct().count()
     val cnt = items.groupBy(col("pk")).agg(count(lit(1)).as("c"))
     val top = items.select(col("ok"), col("pk").as("item_a"))
@@ -496,8 +501,12 @@ object Relational {
   // runs in DECIMAL(38,0) for the same ~10⁹-order headroom as q124.
   private val MinRuleSupport = 2L
   def q134AssocRules(s: SparkSession, dir: String): DataFrame = {
-    val items = graft.Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    // persisted for the same four-consumer reason as q124 — and the
+    // two queries' basket frames are plan-identical, so the tracked
+    // cache is shared between them within a session
+    val items = graft.llm.Caches.persistTracked(
+      graft.Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct())
     val n = items.select(col("ok")).distinct().count()
     val cnt = items.groupBy(col("pk")).agg(count(lit(1)).as("c"))
     val pairs = items.select(col("ok"), col("pk").as("a"))

@@ -309,6 +309,36 @@ object Streams {
     graft.llm.Robust.clipFp(stream, qcol(groupCol), qcol(valueFpCol), cuts)
   }
 
+  /** Streaming temperature-mixture sampling — q161's mixing weights
+    * applied at ingest time: per-stratum sampling rates derive from
+    * the STATIC corpus ([[graft.llm.Sampling.temperatureMixture]] —
+    * `rate = min(1, budgetFraction · epochs_fp/10⁶)`, the epochs
+    * column IS the per-stratum resampling factor), and each arriving
+    * row keeps or drops by `hash32(key) < floor(rate·2³²)` — a pure
+    * row-local decision, so the admitted set is deterministic under
+    * replays and re-partitioning, and identical on a batch frame
+    * (StreamingSpec pins stream == batch). Stateless: one broadcast
+    * stream-static join + filter; no watermark, no state store, any
+    * output mode. Strata absent from the training corpus have no
+    * trained weight and are dropped (the [[graft.llm.Sampling
+    * .tokenBudgetMixture]] contract). */
+  def mixtureIngest(stream: DataFrame, corpus: DataFrame,
+      stratumCol: String, keyCol: String, tokenCol: String,
+      budgetFraction: Double): DataFrame = {
+    require(budgetFraction > 0.0 && budgetFraction <= 1.0,
+      "budgetFraction must be in (0, 1]")
+    val rates = graft.llm.Sampling
+      .temperatureMixture(corpus, stratumCol, tokenCol)
+      .select(qcol(stratumCol),
+        floor(least(lit(1.0),
+          lit(budgetFraction) * col("epochs_fp").cast("double") / 1e6) *
+          lit(4294967296.0)).cast("long").as("__th"))
+    stream.join(broadcast(rates), Seq(stratumCol))
+      .withColumn("__h", graft.llm.Sampling.hash32(keyCol))
+      .filter(col("__h") < col("__th"))
+      .drop("__h", "__th")
+  }
+
   /** Continuous dataset-integrity monitoring — the streaming twin of
     * [[graft.llm.Sketches.integrityCard]]'s commutative columns. The
     * checksum is a per-group (count, modular sum, min, max) over the

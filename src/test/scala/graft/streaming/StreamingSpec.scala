@@ -501,6 +501,40 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally query.stop()
   }
 
+  test("mixtureIngest: temperature-rate sampling at ingest equals batch; " +
+      "up-weighted stratum keeps all, unseen stratum drops") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // big: 10000 tokens → epochs ≈ 0.92; small: 100 → epochs ≈ 9.2.
+    // bf = 0.5 ⇒ small's rate saturates at 1 (kept in full), big ~0.46.
+    val corpus = (Seq.fill(10)(("big", 1000L)) :+ ("small", 100L))
+      .toDF("src", "n_tok")
+    val arrivals = (1L to 40L).map(i => (i, if (i <= 30) "big" else "small")) :+
+      (99L, "unseen")
+    val input = MemoryStream[(Long, String)]
+    val query = Streams.mixtureIngest(input.toDF().toDF("id", "src"),
+        corpus, "src", "id", "n_tok", budgetFraction = 0.5)
+      .writeStream.format("memory").queryName("mix_out")
+      .outputMode("append").start()
+    try {
+      input.addData(arrivals: _*)
+      query.processAllAvailable()
+      def shape(df: org.apache.spark.sql.DataFrame) =
+        df.select("id", "src").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet
+      val got = shape(spark.table("mix_out"))
+      val batch = shape(Streams.mixtureIngest(arrivals.toDF("id", "src"),
+        corpus, "src", "id", "n_tok", budgetFraction = 0.5))
+      assert(got === batch)
+      assert(got.filter(_._2 == "small").map(_._1) ==
+        arrivals.filter(_._2 == "small").map(_._1).toSet,
+        "saturated rate must keep the whole up-weighted stratum")
+      assert(!got.exists(_._2 == "unseen"), "untrained stratum must drop")
+      val nBig = got.count(_._2 == "big")
+      assert(nBig > 0 && nBig < 30, s"big stratum should thin (~46%), got $nBig/30")
+    } finally query.stop()
+  }
+
   test("sketch twins: HLL registers and CM counters accumulate across " +
       "micro-batches to the exact batch grids") {
     import spark.implicits._
