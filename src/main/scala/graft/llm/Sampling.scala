@@ -285,12 +285,16 @@ object Sampling {
       tokenCol: String): DataFrame = {
     val qs = graft.Names.quoted(stratumCol)
     val qt = graft.Names.quoted(tokenCol)
-    val agg = df.filter(col(qs).isNotNull)
+    // persisted (Caches-tracked): the #strata-row aggregate feeds both
+    // the output and the totals branch — without materialization the
+    // corpus scan + tokenize runs once per consumer (the
+    // [[tokenBudgetMixture]] precedent)
+    val agg = Caches.persistTracked(df.filter(col(qs).isNotNull)
       .groupBy(col(qs))
       .agg(count(lit(1)).as("n_docs"),
         sum(col(qt).cast("decimal(38,0)")).cast("bigint").as("n_tokens"))
       .withColumn("weight_fp",
-        floor(sqrt(col("n_tokens").cast("double")) * 1e6).cast("bigint"))
+        floor(sqrt(col("n_tokens").cast("double")) * 1e6).cast("bigint")))
     val tot = agg.agg(sum(col("weight_fp")).cast("bigint").as("tw"),
       sum(col("n_tokens").cast("decimal(38,0)")).cast("bigint").as("tn"))
     agg.crossJoin(broadcast(tot))

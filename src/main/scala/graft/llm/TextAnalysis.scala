@@ -649,7 +649,11 @@ object TextAnalysis {
     val qg = graft.Names.quoted(groupCol)
     val toks = df.filter(col(qg).isNotNull)
       .select(col(qg).as("g"), explode(tokens(col(graft.Names.quoted(textCol)))).as("tok"))
-    val c = toks.groupBy(col("g"), col("tok")).agg(count(lit(1)).as("c"))
+    // persisted (Caches-tracked): the (group, token) counts feed the
+    // pair join AND both marginal aggregations — unpersisted, each
+    // consumer re-runs the corpus explode, the expensive pass
+    val c = graft.llm.Caches.persistTracked(
+      toks.groupBy(col("g"), col("tok")).agg(count(lit(1)).as("c")))
     val ct = c.groupBy(col("tok")).agg(sum(col("c")).cast("bigint").as("ct"))
     val rs = c.groupBy(col("g")).agg(sum(col("c")).cast("bigint").as("rs"))
     val n = rs.agg(sum(col("rs").cast("decimal(38,0)")).cast("bigint").as("n"))
