@@ -231,6 +231,38 @@ object Relational {
   def q156ColumnProfile(s: SparkSession, dir: String): DataFrame =
     graft.governance.Profile.columnProfile(graft.Tables.orders(s, dir))
 
+  // ---- q165: Benford leading-digit audit of order amounts ----
+  // The first-pass anomaly screen an audit runs over any financial
+  // column: the distribution of leading digits of o_totalprice vs
+  // Benford's law, per digit, in exact ppm. The leading digit comes
+  // from the INTEGER cents value via decimal-string head — integer→
+  // string is exact in every engine, where float log10 at a power-of-
+  // ten boundary is not. Expected shares are the floor(log10(1+1/d)
+  // ·10⁶) constants inlined below; deviation_ppm = |observed −
+  // expected| per digit (a synthetic TPC-H price column is NOT
+  // Benford — the card's job is to SHOW that, deterministically).
+  // One scan, a 9-group aggregate, a broadcast scalar total.
+  private val BenfordPpm = Map(1 -> 301029L, 2 -> 176091L, 3 -> 124938L,
+    4 -> 96910L, 5 -> 79181L, 6 -> 66946L, 7 -> 57991L, 8 -> 51152L,
+    9 -> 45757L)
+  def q165Benford(s: SparkSession, dir: String): DataFrame = {
+    val expected = BenfordPpm.toSeq.sortBy(_._1)
+      .map { case (d, p) => when(col("digit") === d.toLong, p) }
+      .reduceRight(_ otherwise _)
+    val byDigit = graft.Tables.orders(s, dir)
+      .select(cents(col("o_totalprice")).as("c"))
+      .filter(col("c") > 0L)
+      .select(substring(col("c").cast("string"), 1, 1).cast("bigint").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = byDigit.agg(sum(col("n")).cast("bigint").as("t"))
+    byDigit.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        expr("cast((n * 1000000L) div t as bigint)").as("observed_ppm"),
+        expected.cast("bigint").as("benford_ppm"))
+      .withColumn("deviation_ppm", abs(col("observed_ppm") - col("benford_ppm")))
+      .orderBy(col("digit"))
+  }
+
   // ---- q162: k-anonymity audit over customer quasi-identifiers ----
   // The re-identification risk card a dataset release owes its DPO:
   // equivalence classes over the quasi-identifier tuple (nation,
@@ -664,6 +696,7 @@ object Relational {
     "q156_column_profile"   -> q156ColumnProfile _,
     "q159_skew_advisor"     -> q159SkewAdvisor _,
     "q162_k_anonymity"      -> q162KAnonymity _,
+    "q165_benford"          -> q165Benford _,
   )
 
   /** DuckDB-dialect oracles. Expression structure mirrors the Spark
@@ -692,6 +725,24 @@ object Relational {
     // count(col), distinct/min/max over the same fixed-point image
     // (floats through floor(x·100)) and the same second-resolution
     // timestamp rendering the Spark side uses
+    "q165_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT)
+        |    AS digit
+        |  FROM (SELECT CAST(floor(o_totalprice * 100.0) AS BIGINT) AS c
+        |    FROM orders) x WHERE c > 0),
+        |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d
+        |  GROUP BY digit),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM g),
+        |e AS (SELECT * FROM (VALUES (1, 301029), (2, 176091), (3, 124938),
+        |    (4, 96910), (5, 79181), (6, 66946), (7, 57991), (8, 51152),
+        |    (9, 45757)) v(digit, benford_ppm))
+        |SELECT g.digit, g.n,
+        |  CAST(g.n * 1000000 // t.t AS BIGINT) AS observed_ppm,
+        |  CAST(e.benford_ppm AS BIGINT) AS benford_ppm,
+        |  CAST(abs(g.n * 1000000 // t.t - e.benford_ppm) AS BIGINT)
+        |    AS deviation_ppm
+        |FROM g JOIN e ON g.digit = e.digit, t
+        |ORDER BY g.digit""".stripMargin,
     "q162_k_anonymity" ->
       """WITH cls AS (SELECT c_mktsegment, c_nationkey,
         |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
