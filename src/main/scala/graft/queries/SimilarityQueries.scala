@@ -289,6 +289,32 @@ object SimilarityQueries {
       Seq("jl_proj" -> Similarity.topKPerQuery(scored, AnnK)), AnnK)
   }
 
+  // ---- q166: matryoshka prefix-dimension recall card ----
+  // The acceptance evidence for matryoshka-style dimension truncation
+  // (serve the first d of 64 dims, keep the rest on disk): top-k by
+  // PREFIX dot product at d ∈ {32, 16, 8}, each graded against the
+  // exact full-dimension baseline — q143's JL-projection card with
+  // slicing instead of projection (no weights to ship; truncation is
+  // free at read time when the writer lays dims matryoshka-first).
+  // Cost: the same broadcast-queries × corpus scan as q23, once per
+  // prefix, on progressively cheaper dot products; every later frame
+  // is top-k-sized.
+  private val MrlDims = Seq(32, 16, 8)
+  def q166MatryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    graft.llm.LlmFunctions.registerDotFp(s)
+    val emb = graft.Tables.embeddings(s, dir)
+    val corp = emb.select(col("vec_id"), col("embedding").as("ce"))
+    val qs = broadcast(emb.filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+    val runs = MrlDims.map { d =>
+      val scored = qs.crossJoin(corp)
+        .select(col("query_id"), col("vec_id"),
+          expr(s"dot_fp(slice(qe, 1, $d), slice(ce, 1, $d))").as("dot_fp"))
+      s"mrl_$d" -> Similarity.topKPerQuery(scored, AnnK)
+    }
+    Similarity.recallAtK(q23EmbedTopk(s, dir), runs, AnnK)
+  }
+
   // ---- q147: label-centroid cosine matrix (topic similarity card) ----
   // Which labeled slices of the corpus say the same thing: per-label
   // fixed-point centroids (floor-mean of the q46 component sums —
@@ -612,6 +638,7 @@ object SimilarityQueries {
     "q75_embed_quantize" -> q75EmbedQuantize _,
     "q142_random_projection" -> q142RandomProjection _,
     "q143_projected_recall" -> q143ProjectedRecall _,
+    "q166_matryoshka_recall" -> q166MatryoshkaRecall _,
     "q147_label_cosine" -> q147LabelCosine _,
     "q151_cluster_sizes" -> q151ClusterSizes _,
     "q154_detector_agreement" -> q154DetectorAgreement _,
@@ -1343,6 +1370,40 @@ object SimilarityQueries {
          |JOIN n nb ON nb.label = d.label_b""".stripMargin,
     // both rankings replayed: projected L2 over the embedded weight
     // literals vs the exact dot_fp baseline, intersected per query
+    // prefix-dot dot_fp replay per truncation depth; exact baseline,
+    // ranked lists, hits and the query spine mirror recallAtK
+    "q166_matryoshka_recall" -> {
+      def prefixDot(d: Int) =
+        s"""CAST(list_sum(list_transform(range(1, $d + 1),
+           |  i -> CAST(floor(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) * 1000000.0) AS BIGINT)))
+           |  AS BIGINT)""".stripMargin
+      val perDim = Seq(32, 16, 8).map { d =>
+        s"""SELECT 'mrl_$d' AS method, query_id, vec_id FROM (
+           |  SELECT query_id, c.vec_id, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY ${prefixDot(d)} DESC, c.vec_id) AS rn
+           |    FROM q CROSS JOIN c) r WHERE rn <= $AnnK""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+         |  WHERE vec_id < $NumQueryVecs),
+         |c AS (SELECT vec_id, embedding AS ce FROM embeddings),
+         |scored AS (SELECT query_id, c.vec_id, $dotSql AS dot_fp
+         |  FROM q CROSS JOIN c),
+         |ex AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dot_fp DESC, vec_id) AS rn
+         |  FROM scored) r WHERE rn <= $AnnK),
+         |ap AS ($perDim),
+         |hits AS (SELECT method, ap.query_id, CAST(count(*) AS BIGINT) AS hits
+         |  FROM ap JOIN ex ON ap.query_id = ex.query_id AND ap.vec_id = ex.vec_id
+         |  GROUP BY method, ap.query_id),
+         |spine AS (SELECT m.method, s.query_id
+         |  FROM (SELECT DISTINCT query_id FROM ex) s
+         |  CROSS JOIN (VALUES ('mrl_32'), ('mrl_16'), ('mrl_8')) m(method))
+         |SELECT spine.method, spine.query_id,
+         |  coalesce(hits.hits, 0) AS hits,
+         |  CAST(coalesce(hits.hits, 0) * 1000000 // $AnnK AS BIGINT) AS recall_ppm
+         |FROM spine LEFT JOIN hits
+         |  ON spine.method = hits.method AND spine.query_id = hits.query_id""".stripMargin
+    },
     "q143_projected_recall" -> {
       val projList = Similarity.planeWeights(Dim).map { w =>
         val lst = w.map(v => s"${v.toDouble}").mkString("[", ", ", "]")

@@ -339,6 +339,36 @@ object Streams {
       .drop("__h", "__th")
   }
 
+  /** Streaming k-anonymity suppression — q162's audit enforced at
+    * ingest: equivalence-class sizes over the quasi-identifier tuple
+    * train on the STATIC corpus, and every arriving row landing in a
+    * class smaller than `k` — including classes the corpus has never
+    * seen (count 0), the conservative default a privacy gate owes —
+    * ships with its quasi-identifiers NULLED and `suppressed = true`.
+    * Non-quasi payload columns always pass through. Stateless: one
+    * broadcast stream-static LEFT join + projection; no watermark, no
+    * state store, identical on a batch frame (StreamingSpec pins
+    * stream == batch). A quasi tuple containing a SQL null never
+    * equi-joins, so null-bearing rows fall in the unseen-class arm —
+    * suppressed, not leaked. */
+  def anonymizeIngest(stream: DataFrame, corpus: DataFrame,
+      quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column")
+    require(k > 0, "k must be positive")
+    val cn = graft.Names.fresh("__cls_n", stream.columns)
+    val classes = corpus.groupBy(quasiCols.map(qcol): _*)
+      .agg(count(lit(1)).as(cn))
+    val joined = stream.join(broadcast(classes), quasiCols, "left")
+    val suppressed = coalesce(col(qname(cn)), lit(0L)) < k
+    val schema = stream.schema
+    joined.select(stream.columns.map { c =>
+      if (quasiCols.contains(c))
+        when(suppressed, lit(null).cast(schema(c).dataType))
+          .otherwise(qcol(c)).as(c)
+      else qcol(c)
+    } :+ suppressed.as("suppressed"): _*)
+  }
+
   /** Continuous dataset-integrity monitoring — the streaming twin of
     * [[graft.llm.Sketches.integrityCard]]'s commutative columns. The
     * checksum is a per-group (count, modular sum, min, max) over the

@@ -535,6 +535,40 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally query.stop()
   }
 
+  test("anonymizeIngest: sub-k and unseen classes suppress quasi columns, " +
+      "equal batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // class (n=7, "auto") passes k=5; (n=2, "bike") and unseen suppress
+    val corpus = (Seq.fill(7)((7, "auto")) ++ Seq.fill(2)((2, "bike")))
+      .toDF("nation", "segment")
+    val arrivals = Seq((1L, 7, "auto", 10L), (2L, 2, "bike", 20L),
+      (3L, 9, "boat", 30L))
+    val input = MemoryStream[(Long, Int, String, Long)]
+    val query = Streams.anonymizeIngest(
+        input.toDF().toDF("id", "nation", "segment", "payload"),
+        corpus, Seq("nation", "segment"), k = 5L)
+      .writeStream.format("memory").queryName("anon_out")
+      .outputMode("append").start()
+    try {
+      input.addData(arrivals: _*)
+      query.processAllAvailable()
+      def shape(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getInt(1)),
+          Option(r.getString(2)), r.getLong(3), r.getBoolean(4))).toSet
+      val got = shape(spark.table("anon_out"))
+      val batch = shape(Streams.anonymizeIngest(
+        arrivals.toDF("id", "nation", "segment", "payload"),
+        corpus, Seq("nation", "segment"), k = 5L))
+      assert(got === batch)
+      assert(got === Set(
+        (1L, Some(7), Some("auto"), 10L, false),
+        (2L, None, None, 20L, true),
+        (3L, None, None, 30L, true)))
+    } finally query.stop()
+  }
+
   test("sketch twins: HLL registers and CM counters accumulate across " +
       "micro-batches to the exact batch grids") {
     import spark.implicits._
