@@ -384,10 +384,14 @@ object LlmQueries {
   def q152SourceDrift(s: SparkSession, dir: String): DataFrame = {
     val d = graft.Tables.documents(s, dir)
     val n = d.count()
-    val agg = d.select((col("doc_id") >= lit(n / 2)).as("recent"), col("source"))
-      .groupBy(col("source"))
-      .agg(sum(when(col("recent"), 1L).otherwise(0L)).as("n_recent"),
-        sum(when(!col("recent"), 1L).otherwise(0L)).as("n_old"))
+    // persisted (Caches-tracked): the source-cardinality aggregate
+    // feeds both the output and the totals branch — unpersisted, the
+    // corpus scan runs once per consumer
+    val agg = graft.llm.Caches.persistTracked(
+      d.select((col("doc_id") >= lit(n / 2)).as("recent"), col("source"))
+        .groupBy(col("source"))
+        .agg(sum(when(col("recent"), 1L).otherwise(0L)).as("n_recent"),
+          sum(when(!col("recent"), 1L).otherwise(0L)).as("n_old")))
     val tot = agg.agg(sum(col("n_recent")).as("tr"), sum(col("n_old")).as("to"))
     agg.crossJoin(broadcast(tot))
       .select(col("source"), col("n_recent"), col("n_old"),

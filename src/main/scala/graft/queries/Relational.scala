@@ -249,11 +249,14 @@ object Relational {
     val expected = BenfordPpm.toSeq.sortBy(_._1)
       .map { case (d, p) => when(col("digit") === d.toLong, p) }
       .reduceRight(_ otherwise _)
-    val byDigit = graft.Tables.orders(s, dir)
-      .select(cents(col("o_totalprice")).as("c"))
-      .filter(col("c") > 0L)
-      .select(substring(col("c").cast("string"), 1, 1).cast("bigint").as("digit"))
-      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    // persisted (Caches-tracked): the 9-row digit histogram feeds the
+    // output and the scalar total — one orders scan, not two
+    val byDigit = graft.llm.Caches.persistTracked(
+      graft.Tables.orders(s, dir)
+        .select(cents(col("o_totalprice")).as("c"))
+        .filter(col("c") > 0L)
+        .select(substring(col("c").cast("string"), 1, 1).cast("bigint").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n")))
     val tot = byDigit.agg(sum(col("n")).cast("bigint").as("t"))
     byDigit.crossJoin(broadcast(tot))
       .select(col("digit"), col("n"),
