@@ -2,7 +2,6 @@ package graft.governance
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -35,8 +34,12 @@ object Storage {
     * share_ppm)` — share is of total compressed bytes, in exact ppm. */
   def parquetFootprint(spark: SparkSession, dir: String,
       table: String): DataFrame = {
+    // the session's Hadoop conf, not a bare Configuration — the
+    // operator must reach every filesystem the session can (S3A
+    // credentials, fs.defaultFS, ...)
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
-      new Path(s"$dir/$table.parquet"), new Configuration()))
+      new Path(s"$dir/$table.parquet"),
+      spark.sessionState.newHadoopConf()))
     val perCol =
       try {
         reader.getFooter.getBlocks.asScala

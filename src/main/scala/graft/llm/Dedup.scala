@@ -379,9 +379,12 @@ object Dedup {
       "blockPrefixLen and windowSize must be positive")
     val qi = graft.Names.quoted(idCol)
     val qt = graft.Names.quoted(textCol)
-    val base = df.filter(col(qi).isNotNull && col(qt).isNotNull)
-      .select(col(qi).cast("bigint").as("doc_id"),
+    // null filter AFTER the cast: a non-castable id becomes a SQL
+    // null at the cast, and the documented contract excludes it (a
+    // null doc_id must never reach least/greatest in the pair rows)
+    val base = df.select(col(qi).cast("bigint").as("doc_id"),
         normalizeText(col(qt)).as("k"))
+      .filter(col("doc_id").isNotNull && col("k").isNotNull)
       .withColumn("block", substring(col("k"), 1, blockPrefixLen))
     val w = Window.partitionBy(col("block")).orderBy(col("k"), col("doc_id"))
     // window exprs first, explode second — a Generate operator cannot

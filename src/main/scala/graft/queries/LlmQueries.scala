@@ -1829,7 +1829,8 @@ object LlmQueries {
     // the q146 half split aggregated per source, shares in exact ppm
     "q161_temperature_mixture" ->
       s"""WITH d AS (SELECT source, CAST(len(toks) AS BIGINT) AS n_tok
-         |  FROM (SELECT source, $toksSql AS toks FROM documents) t),
+         |  FROM (SELECT source, $toksSql AS toks FROM documents
+         |        WHERE source IS NOT NULL) t),
          |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          |    CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM d GROUP BY source),
          |w AS (SELECT source, n_docs, n_tokens,
@@ -1845,7 +1846,8 @@ object LlmQueries {
          |    // greatest(n_tokens, 1) AS BIGINT) AS epochs_fp
          |FROM m ORDER BY source""".stripMargin,
     "q163_source_divergence" ->
-      s"""WITH tk AS (SELECT source, unnest($toksSql) AS tok FROM documents),
+      s"""WITH tk AS (SELECT source, unnest($toksSql) AS tok FROM documents
+         |  WHERE source IS NOT NULL),
          |cc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
          |  FROM tk GROUP BY source, tok),
          |ct AS (SELECT tok, CAST(sum(cnt) AS BIGINT) AS ct FROM cc GROUP BY tok),

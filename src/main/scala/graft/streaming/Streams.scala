@@ -327,16 +327,18 @@ object Streams {
       budgetFraction: Double): DataFrame = {
     require(budgetFraction > 0.0 && budgetFraction <= 1.0,
       "budgetFraction must be in (0, 1]")
+    val th = graft.Names.fresh("__th", stream.columns)
+    val h = graft.Names.fresh("__h", stream.columns :+ th)
     val rates = graft.llm.Sampling
       .temperatureMixture(corpus, stratumCol, tokenCol)
       .select(qcol(stratumCol),
         floor(least(lit(1.0),
           lit(budgetFraction) * col("epochs_fp").cast("double") / 1e6) *
-          lit(4294967296.0)).cast("long").as("__th"))
+          lit(4294967296.0)).cast("long").as(th))
     stream.join(broadcast(rates), Seq(stratumCol))
-      .withColumn("__h", graft.llm.Sampling.hash32(keyCol))
-      .filter(col("__h") < col("__th"))
-      .drop("__h", "__th")
+      .withColumn(h, graft.llm.Sampling.hash32(keyCol))
+      .filter(col(qname(h)) < col(qname(th)))
+      .drop(h, th)
   }
 
   /** Streaming k-anonymity suppression — q162's audit enforced at
@@ -355,6 +357,11 @@ object Streams {
       quasiCols: Seq[String], k: Long): DataFrame = {
     require(quasiCols.nonEmpty, "at least one quasi-identifier column")
     require(k > 0, "k must be positive")
+    // `suppressed` is the operator's output contract — a stream that
+    // already carries one would make the result ambiguous downstream;
+    // fail loudly rather than emit duplicate column names
+    require(!stream.columns.contains("suppressed"),
+      "anonymizeIngest reserves the output column name 'suppressed'")
     val cn = graft.Names.fresh("__cls_n", stream.columns)
     val classes = corpus.groupBy(quasiCols.map(qcol): _*)
       .agg(count(lit(1)).as(cn))
