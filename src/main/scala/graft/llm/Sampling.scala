@@ -263,6 +263,35 @@ object Sampling {
       .drop(r)
   }
 
+  /** Deterministic shard plan — the (shard, position) assignment a
+    * resumable training data-loader needs: shard = hash32(key) mod
+    * nShards, position = rank of (hash, key) within the shard. Both
+    * are pure functions of the key set, so the plan re-derives
+    * identically after reshuffles, retries, or re-runs — reading
+    * shard s from position p resumes EXACTLY where a crashed epoch
+    * stopped. Hash order also decorrelates neighbors, giving the
+    * within-shard shuffle training wants without an RNG.
+    *
+    * Scale shape: one hash-shuffle on the shard key, then a
+    * row_number window per shard — each shard sorts in ONE task, so
+    * `nShards` is the parallelism/size knob: pick it so a shard fits
+    * a task (at 100 TB that is ~10⁵ shards of ~1 GB, the same
+    * file-count a sharded writer would emit). Null keys are excluded
+    * (no hash → no deterministic position). */
+  def shardPlan(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val qk = graft.Names.quoted(keyCol)
+    val h = graft.Names.fresh("_h", df.columns)
+    df.filter(col(qk).isNotNull)
+      .withColumn(h, hash32(keyCol))
+      .select(col(qk), (col(graft.Names.quoted(h)) % nShards).as("shard"),
+        col(graft.Names.quoted(h)).as(h))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col(graft.Names.quoted(h)), col(qk))).cast("bigint"))
+      .drop(h)
+  }
+
   /** Temperature-derived source mixing card: per stratum, the sampling
     * weight a multilingual/multi-source training run assigns under
     * temperature T=2 reweighting — weight ∝ tokens^(1/2), the standard

@@ -375,6 +375,17 @@ object LlmQueries {
       graft.Tables.documents(s, dir).select(col("doc_id"), col("text")),
       "doc_id", "text")
 
+  // ---- q167: deterministic shard plan (resumable loader order) ----
+  // The (shard, position) assignment a training data-loader resumes
+  // from: hash-mod shard, rank-of-hash position — both pure functions
+  // of doc_id, so the plan survives reshuffles and re-runs unchanged
+  // (q126's split determinism applied to intra-epoch ORDER).
+  private val PlanShards = 8
+  def q167ShardPlan(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Sampling.shardPlan(
+      graft.Tables.documents(s, dir).select(col("doc_id")),
+      "doc_id", PlanShards)
+
   // ---- q152: source-composition drift (corpus mixture monitoring) ----
   // Whether the ingest mix is moving: each source's share of the
   // recent corpus half vs the older half (q146's deterministic
@@ -1216,6 +1227,7 @@ object LlmQueries {
     "q146_emerging_terms"   -> q146EmergingTerms _,
     "q152_source_drift"     -> q152SourceDrift _,
     "q161_temperature_mixture" -> q161TemperatureMixture _,
+    "q167_shard_plan"          -> q167ShardPlan _,
     "q163_source_divergence"   -> q163SourceDivergence _,
     "q164_snm_pairs"           -> q164SnmPairs _,
     "q153_tokenizer_equity" -> q153TokenizerEquity _,
@@ -1827,6 +1839,13 @@ object LlmQueries {
          |GROUP BY lang ORDER BY lang""".stripMargin
     },
     // the q146 half split aggregated per source, shares in exact ppm
+    "q167_shard_plan" ->
+      """SELECT doc_id, CAST(h % 8 AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+        |    AS BIGINT) AS pos
+        |FROM (SELECT doc_id,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        |  FROM documents WHERE doc_id IS NOT NULL) t""".stripMargin,
     "q161_temperature_mixture" ->
       s"""WITH d AS (SELECT source, CAST(len(toks) AS BIGINT) AS n_tok
          |  FROM (SELECT source, $toksSql AS toks FROM documents

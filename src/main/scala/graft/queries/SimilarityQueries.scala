@@ -315,6 +315,26 @@ object SimilarityQueries {
     Similarity.recallAtK(q23EmbedTopk(s, dir), runs, AnnK)
   }
 
+  // ---- q168: documents ↔ embeddings coverage audit ----
+  // The cross-modality referential card q149 doesn't cover: every
+  // document should have its vector and every vector its document.
+  // FULL OUTER join on the id edge, rolled up per source — vectors
+  // with no document land in the '(orphan_vectors)' row. Scale: one
+  // equi-join shuffling two id-plus-tag projections, then a
+  // source-cardinality aggregate.
+  def q168EmbeddingCoverage(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val e = graft.Tables.embeddings(s, dir).select(col("vec_id"))
+    d.join(e, col("doc_id") === col("vec_id"), "full_outer")
+      .groupBy(coalesce(col("source"), lit("(orphan_vectors)")).as("source"))
+      .agg(count(col("doc_id")).as("n_docs"),
+        count(col("vec_id")).as("n_vecs"))
+      .withColumn("coverage_ppm",
+        when(col("n_docs") > 0L,
+          expr("(n_vecs * 1000000L) div n_docs")).otherwise(0L))
+      .orderBy(col("source"))
+  }
+
   // ---- q147: label-centroid cosine matrix (topic similarity card) ----
   // Which labeled slices of the corpus say the same thing: per-label
   // fixed-point centroids (floor-mean of the q46 component sums —
@@ -639,6 +659,7 @@ object SimilarityQueries {
     "q142_random_projection" -> q142RandomProjection _,
     "q143_projected_recall" -> q143ProjectedRecall _,
     "q166_matryoshka_recall" -> q166MatryoshkaRecall _,
+    "q168_embedding_coverage" -> q168EmbeddingCoverage _,
     "q147_label_cosine" -> q147LabelCosine _,
     "q151_cluster_sizes" -> q151ClusterSizes _,
     "q154_detector_agreement" -> q154DetectorAgreement _,
@@ -1370,6 +1391,17 @@ object SimilarityQueries {
          |JOIN n nb ON nb.label = d.label_b""".stripMargin,
     // both rankings replayed: projected L2 over the embedded weight
     // literals vs the exact dot_fp baseline, intersected per query
+    "q168_embedding_coverage" ->
+      """SELECT coalesce(source, '(orphan_vectors)') AS source,
+        |  CAST(count(doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(vec_id) AS BIGINT) AS n_vecs,
+        |  CAST(CASE WHEN count(doc_id) > 0
+        |    THEN count(vec_id) * 1000000 // count(doc_id)
+        |    ELSE 0 END AS BIGINT) AS coverage_ppm
+        |FROM documents d FULL OUTER JOIN embeddings e
+        |  ON d.doc_id = e.vec_id
+        |GROUP BY coalesce(source, '(orphan_vectors)')
+        |ORDER BY source""".stripMargin,
     // prefix-dot dot_fp replay per truncation depth; exact baseline,
     // ranked lists, hits and the query spine mirror recallAtK
     "q166_matryoshka_recall" -> {

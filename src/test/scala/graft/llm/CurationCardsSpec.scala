@@ -70,6 +70,21 @@ class CurationCardsSpec extends AnyFunSuite with SparkTestSession {
       ("aaa ", 2L, 10L, 1L, 0L, true)))
   }
 
+  test("shardPlan: shards bounded, positions contiguous from 1, stable under repartition") {
+    val df = (1L to 200L).toDF("doc_id")
+    val plan = Sampling.shardPlan(df, "doc_id", 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(plan.length == 200)
+    assert(plan.forall { case (_, s, _) => s >= 0 && s < 8 })
+    plan.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        "positions must be contiguous from 1 within each shard")
+    }
+    val replan = Sampling.shardPlan(df.repartition(7), "doc_id", 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(plan.toSet == replan.toSet, "plan must survive repartitioning")
+  }
+
   test("snmPairs: pair volume is bounded by windowSize per row") {
     val df = (1L to 40L).map(i => (i, s"prefix shared ${i % 7} tail"))
       .toDF("doc_id", "text")
