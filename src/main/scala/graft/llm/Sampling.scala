@@ -280,15 +280,19 @@ object Sampling {
     * (no hash → no deterministic position). */
   def shardPlan(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
     require(nShards > 0, "nShards must be positive")
+    // `shard`/`pos` are the operator's output contract — fail loudly
+    // rather than silently replace a caller's column
+    require(!df.columns.contains("shard") && !df.columns.contains("pos"),
+      "shardPlan reserves the output column names 'shard' and 'pos'")
     val qk = graft.Names.quoted(keyCol)
     val h = graft.Names.fresh("_h", df.columns)
+    val qh = graft.Names.quoted(h)
     df.filter(col(qk).isNotNull)
       .withColumn(h, hash32(keyCol))
-      .select(col(qk), (col(graft.Names.quoted(h)) % nShards).as("shard"),
-        col(graft.Names.quoted(h)).as(h))
+      .withColumn("shard", col(qh) % nShards)
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("shard"))
-          .orderBy(col(graft.Names.quoted(h)), col(qk))).cast("bigint"))
+          .orderBy(col(qh), col(qk))).cast("bigint"))
       .drop(h)
   }
 

@@ -386,6 +386,34 @@ object LlmQueries {
       graft.Tables.documents(s, dir).select(col("doc_id")),
       "doc_id", PlanShards)
 
+  // ---- q169: end-to-end training manifest ----
+  // The one call a curation run SHIPS: q76's verdict machinery keeps
+  // only clean documents (not contaminated, not a duplicate, rules
+  // pass), and q167's deterministic shard plan orders them for the
+  // data loader — doc_id, lang, token count, shard, position, all
+  // re-derivable forever. Every stage is individually oracle-proven
+  // (q69/q17/q45/q167); this composes them into the artifact a
+  // training job actually consumes.
+  def q169TrainingManifest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = graft.Tables.documents(s, dir)
+    val rules = TextAnalysis.ruleFilter(d, "doc_id", "text",
+        carryCols = Seq("lang", "text"))
+      .withColumn("fp", Dedup.fingerprintOrEmpty(col("text")))
+    // q45's split IS the contamination reference (the q76 contract)
+    val cont = q45Decontamination(s, dir)
+      .select(col("doc_id"), lit(true).as("contaminated"))
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    val kept = rules.withColumn("__rn", row_number().over(w))
+      .join(cont, Seq("doc_id"), "left")
+      .filter(!coalesce(col("contaminated"), lit(false)) &&
+        col("__rn") === 1 && col("kept"))
+      .select(col("doc_id"), col("lang"), col("n_tok"))
+    graft.llm.Sampling.shardPlan(kept, "doc_id", PlanShards)
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        col("shard").cast("bigint").as("shard"), col("pos"))
+  }
+
   // ---- q152: source-composition drift (corpus mixture monitoring) ----
   // Whether the ingest mix is moving: each source's share of the
   // recent corpus half vs the older half (q146's deterministic
@@ -1228,6 +1256,7 @@ object LlmQueries {
     "q152_source_drift"     -> q152SourceDrift _,
     "q161_temperature_mixture" -> q161TemperatureMixture _,
     "q167_shard_plan"          -> q167ShardPlan _,
+    "q169_training_manifest"   -> q169TrainingManifest _,
     "q163_source_divergence"   -> q163SourceDivergence _,
     "q164_snm_pairs"           -> q164SnmPairs _,
     "q153_tokenizer_equity" -> q153TokenizerEquity _,
@@ -1839,6 +1868,24 @@ object LlmQueries {
          |GROUP BY lang ORDER BY lang""".stripMargin
     },
     // the q146 half split aggregated per source, shares in exact ppm
+    // q76's verdict chain filtered to the kept class, then q167's
+    // hash-shard/rank-position replay over the survivors
+    "q169_training_manifest" ->
+      s"""WITH $rulesCtes,
+         |cont AS (SELECT doc_id FROM ($q45Sql) z),
+         |sv AS (SELECT doc_id,
+         |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM rr),
+         |kept AS (SELECT rr.doc_id, rr.lang, rr.n_tok
+         |  FROM rr JOIN sv ON rr.doc_id = sv.doc_id
+         |  LEFT JOIN cont ON rr.doc_id = cont.doc_id
+         |  WHERE cont.doc_id IS NULL AND sv.rn = 1 AND ($reasonsSql) = 0),
+         |hh AS (SELECT doc_id, lang, n_tok,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+         |  FROM kept)
+         |SELECT doc_id, lang, n_tok, CAST(h % 8 AS BIGINT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+         |    AS BIGINT) AS pos
+         |FROM hh""".stripMargin,
     "q167_shard_plan" ->
       """SELECT doc_id, CAST(h % 8 AS BIGINT) AS shard,
         |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
