@@ -141,4 +141,61 @@ object LinkRank {
     nodes.join(perVertex, Seq("v"), "left")
       .select(col("v"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
+
+  /** Fixed-point HITS (Kleinberg 1999) — the hubs/authorities
+    * complement of [[pageRankFp]]: a node is a good HUB if it links
+    * to good authorities, a good AUTHORITY if good hubs link to it
+    * (a directory page vs a canonical source — PageRank conflates
+    * the two roles, HITS separates them). Same determinism frame as
+    * every trained operator here: integer arithmetic end to end, so
+    * the oracle replays every round as unrolled CTEs.
+    *
+    * Update rule (all non-negative; `div` = floor division):
+    *
+    *   a₀(v) = scale
+    *   h_t(v) = (Σ_{v→w} a_t(w)) · scale div max-over-nodes(Σ …)
+    *   a_{t+1}(w) = (Σ_{v→w} h_t(v)) · scale div max(…)
+    *
+    * Max-normalization (the standard HITS choice, integer-exact
+    * here) replaces the usual L2 norm, which no integer replay could
+    * express; the per-round maxima are single broadcast scalars.
+    * Sums accumulate in DECIMAL(38,0): a node with 10⁹ in-links at
+    * scale 10¹² overflows a BIGINT sum, 100 TB reach demands the
+    * wide accumulator (the [[graft.queries.Relational]] sumFp
+    * precedent).
+    *
+    * 100 TB shape: per round, one join keyed on `dst` + one
+    * aggregation keyed on `src` (then the mirror pair) — the same
+    * two-shuffle budget as a PageRank round; score frames are
+    * node-sized; nothing driver-side. */
+  def hitsFp(edges: DataFrame, nIter: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(nIter >= 1, "nIter must be at least 1")
+    require(scale > 0L, "scale must be positive")
+    val e = Caches.persistTracked(
+      edges.select(col("src").cast("bigint").as("src"),
+        col("dst").cast("bigint").as("dst")))
+    val nodes = Caches.persistTracked(
+      e.select(col("src").as("v")).union(e.select(col("dst").as("v"))).distinct())
+    var auth = nodes.select(col("v"), lit(scale).as("a"))
+    var hub = nodes.select(col("v"), lit(scale).as("h"))
+    for (_ <- 0 until nIter) {
+      val hraw = e.join(auth.select(col("v").as("dst"), col("a")), Seq("dst"))
+        .groupBy(col("src")).agg(sum(col("a").cast("decimal(38,0)")).as("hr"))
+      val hmax = hraw.agg(max(col("hr")).as("hm"))
+      hub = nodes.join(hraw.withColumnRenamed("src", "v"), Seq("v"), "left")
+        .crossJoin(broadcast(hmax))
+        .select(col("v"), expr(s"cast((coalesce(hr, 0) * ${scale}L)" +
+          " div greatest(hm, 1) as bigint)").as("h"))
+      val araw = e.join(hub.select(col("v").as("src"), col("h")), Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("h").cast("decimal(38,0)")).as("ar"))
+      val amax = araw.agg(max(col("ar")).as("am"))
+      auth = nodes.join(araw.withColumnRenamed("dst", "v"), Seq("v"), "left")
+        .crossJoin(broadcast(amax))
+        .select(col("v"), expr(s"cast((coalesce(ar, 0) * ${scale}L)" +
+          " div greatest(am, 1) as bigint)").as("a"))
+    }
+    hub.join(auth, Seq("v"))
+      .select(col("v"), col("h").as("hub_fp"), col("a").as("auth_fp"))
+  }
 }

@@ -879,6 +879,22 @@ object LlmQueries {
       .select(col("v").as("doc_id"), col("out_deg"), col("pr_fp"))
   }
 
+  // ---- q170: HITS hubs/authorities over the link graph ----
+  // q87's graph scored with the role-separating algorithm: directory
+  // pages (hubs) vs canonical sources (authorities), fixed-point
+  // max-normalized so the oracle replays both rounds verbatim.
+  private val HitsIter = 2
+  def q170Hits(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir).select(col("doc_id"))
+    val n = math.max(docs.count(), 1L)
+    val edges = docs.select(col("doc_id").as("src"),
+        explode(expr("sequence(1, 3)")).as("k"))
+      .select(col("src"), expr(s"(src * 7L + k * 13L) % ${n}L").as("dst"))
+      .filter(col("dst") =!= col("src"))
+    graft.llm.LinkRank.hitsFp(edges, HitsIter)
+      .select(col("v").as("doc_id"), col("hub_fp"), col("auth_fp"))
+  }
+
   // ---- q88: deterministic BPE tokenizer training ----
   // Train-the-tokenizer-on-the-corpus: three merge rounds over the
   // word-frequency table (integer counts, lexicographic tie-break),
@@ -1257,6 +1273,7 @@ object LlmQueries {
     "q161_temperature_mixture" -> q161TemperatureMixture _,
     "q167_shard_plan"          -> q167ShardPlan _,
     "q169_training_manifest"   -> q169TrainingManifest _,
+    "q170_hits"                -> q170Hits _,
     "q163_source_divergence"   -> q163SourceDivergence _,
     "q164_snm_pairs"           -> q164SnmPairs _,
     "q153_tokenizer_equity" -> q153TokenizerEquity _,
@@ -2335,6 +2352,36 @@ object LlmQueries {
          |SELECT d.doc_id, coalesce(sc.n_tok, 0) AS n_tok,
          |  coalesce(sc.n_sym, 0) AS n_sym
          |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
+    // q87's graph; each HITS round = hub sum + max-normalize, then
+    // auth sum + max-normalize, all in HUGEINT floor division
+    "q170_hits" -> {
+      val scale = 1000000000000L
+      val rounds = (0 until HitsIter).map { t =>
+        s"""h${t + 1}r AS (SELECT e.src AS v, sum(a$t.a) AS hr
+           |  FROM e JOIN a$t ON e.dst = a$t.v GROUP BY e.src),
+           |h${t + 1} AS (SELECT nodes.v,
+           |    CAST(coalesce(h${t + 1}r.hr, 0) * $scale
+           |      // greatest((SELECT max(hr) FROM h${t + 1}r), 1) AS HUGEINT) AS h
+           |  FROM nodes LEFT JOIN h${t + 1}r ON nodes.v = h${t + 1}r.v),
+           |a${t + 1}r AS (SELECT e.dst AS v, sum(h${t + 1}.h) AS ar
+           |  FROM e JOIN h${t + 1} ON e.src = h${t + 1}.v GROUP BY e.dst),
+           |a${t + 1} AS (SELECT nodes.v,
+           |    CAST(coalesce(a${t + 1}r.ar, 0) * $scale
+           |      // greatest((SELECT max(ar) FROM a${t + 1}r), 1) AS HUGEINT) AS a
+           |  FROM nodes LEFT JOIN a${t + 1}r ON nodes.v = a${t + 1}r.v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |e AS (SELECT doc_id AS src, (doc_id * 7 + k * 13) % (SELECT n FROM nn) AS dst
+         |  FROM documents, unnest([1, 2, 3]) AS t(k)
+         |  WHERE (doc_id * 7 + k * 13) % (SELECT n FROM nn) <> doc_id),
+         |nodes AS (SELECT DISTINCT src AS v FROM e
+         |  UNION SELECT DISTINCT dst AS v FROM e),
+         |a0 AS (SELECT v, CAST($scale AS HUGEINT) AS a FROM nodes),
+         |$rounds
+         |SELECT h$HitsIter.v AS doc_id, CAST(h$HitsIter.h AS BIGINT) AS hub_fp,
+         |  CAST(a$HitsIter.a AS BIGINT) AS auth_fp
+         |FROM h$HitsIter JOIN a$HitsIter ON h$HitsIter.v = a$HitsIter.v""".stripMargin
+    },
     "q87_pagerank" -> {
       val scale = 1000000000000L
       val iters = (0 until PrIter).map { t =>

@@ -95,4 +95,18 @@ class LinkRankSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(d0 === Map(0L -> 0L))
   }
+
+  test("hitsFp: star center is the sole hub, leaves the authorities; " +
+      "shared-authority hubs tie") {
+    val S = 1000000000000L
+    // star: 0 → 1,2,3
+    val star = LinkRank.hitsFp(edgesDF((0L, 1L), (0L, 2L), (0L, 3L)), 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(star === Map(0L -> (S, 0L), 1L -> (0L, S), 2L -> (0L, S),
+      3L -> (0L, S)))
+    // two hubs pointing at one shared authority score identically
+    val bi = LinkRank.hitsFp(edgesDF((10L, 1L), (11L, 1L)), 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(bi(10L) == bi(11L) && bi(10L)._1 == S && bi(1L)._2 == S)
+  }
 }
