@@ -315,6 +315,32 @@ object SimilarityQueries {
     Similarity.recallAtK(q23EmbedTopk(s, dir), runs, AnnK)
   }
 
+  // ---- q171: SNM candidates verified by exact Jaccard ----
+  // q164's sorted-neighborhood blocking completed into a full dedup
+  // path: every candidate pair scored with the SAME hashed-shingle
+  // Jaccard verify the MinHash family uses (q21's `inter_count`
+  // merge walk over sorted 60-bit base sets) — so the three blocking
+  // families (banding, radius probing, neighborhood sort) are
+  // directly comparable downstream. Scale: pairs are O(n·w); the
+  // verify joins ship only the candidate ids plus their base sets.
+  def q171SnmVerified(s: SparkSession, dir: String): DataFrame = {
+    graft.llm.LlmFunctions.registerInterCount(s)
+    val docs = graft.Tables.documents(s, dir)
+    val sets = graft.llm.Caches.persistTracked(
+      graft.llm.MinHashLSH.shingleSets(docs, "doc_id", "text", ShingleN))
+    graft.llm.Dedup.snmPairs(docs.select(col("doc_id"), col("text")),
+        "doc_id", "text")
+      .select(col("doc_lo").as("doc_a"), col("doc_hi").as("doc_b"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        col("sa"), col("sb"), expr("inter_count(sa, sb)").as("i"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("""cast(floor(1000000.0 * cast(i as double)
+          |  / cast(size(sa) + size(sb) - i as double)) as bigint)""".stripMargin)
+          .as("jaccard_fp"))
+  }
+
   // ---- q168: documents ↔ embeddings coverage audit ----
   // The cross-modality referential card q149 doesn't cover: every
   // document should have its vector and every vector its document.
@@ -660,6 +686,7 @@ object SimilarityQueries {
     "q143_projected_recall" -> q143ProjectedRecall _,
     "q166_matryoshka_recall" -> q166MatryoshkaRecall _,
     "q168_embedding_coverage" -> q168EmbeddingCoverage _,
+    "q171_snm_verified" -> q171SnmVerified _,
     "q147_label_cosine" -> q147LabelCosine _,
     "q151_cluster_sizes" -> q151ClusterSizes _,
     "q154_detector_agreement" -> q154DetectorAgreement _,
@@ -1391,6 +1418,21 @@ object SimilarityQueries {
          |JOIN n nb ON nb.label = d.label_b""".stripMargin,
     // both rankings replayed: projected L2 over the embedded weight
     // literals vs the exact dot_fp baseline, intersected per query
+    // q164's window pair generator feeding q21's list_intersect
+    // Jaccard replay — `sets` comes from the shared minhash CTEs
+    "q171_snm_verified" ->
+      s"""WITH $minhashCtes,
+         |nb AS (SELECT doc_id,
+         |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS k
+         |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         |r AS (SELECT doc_id, k, substr(k, 1, 4) AS block,
+         |    row_number() OVER (PARTITION BY substr(k, 1, 4)
+         |      ORDER BY k, doc_id) AS rn FROM nb),
+         |pairs AS (SELECT least(a.doc_id, c.doc_id) AS doc_a,
+         |    greatest(a.doc_id, c.doc_id) AS doc_b
+         |  FROM r a JOIN r c
+         |    ON a.block = c.block AND c.rn - a.rn BETWEEN 1 AND 2)
+         |${jaccardSelect("doc_a", "doc_b")}""".stripMargin,
     "q168_embedding_coverage" ->
       """SELECT coalesce(source, '(orphan_vectors)') AS source,
         |  CAST(count(doc_id) AS BIGINT) AS n_docs,
