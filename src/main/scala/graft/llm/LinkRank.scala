@@ -180,15 +180,22 @@ object LinkRank {
     var auth = nodes.select(col("v"), lit(scale).as("a"))
     var hub = nodes.select(col("v"), lit(scale).as("h"))
     for (_ <- 0 until nIter) {
-      val hraw = e.join(auth.select(col("v").as("dst"), col("a")), Seq("dst"))
-        .groupBy(col("src")).agg(sum(col("a").cast("decimal(38,0)")).as("hr"))
+      // each raw-sum frame feeds TWO consumers (its max scalar and the
+      // normalized scores) and the next round builds on top — without
+      // materialization the lineage recomputes every earlier round
+      // once per consumer, exponentially. The persisted frames are
+      // node-sized (the CC/PageRank iteration precedent).
+      val hraw = Caches.persistTracked(
+        e.join(auth.select(col("v").as("dst"), col("a")), Seq("dst"))
+          .groupBy(col("src")).agg(sum(col("a").cast("decimal(38,0)")).as("hr")))
       val hmax = hraw.agg(max(col("hr")).as("hm"))
       hub = nodes.join(hraw.withColumnRenamed("src", "v"), Seq("v"), "left")
         .crossJoin(broadcast(hmax))
         .select(col("v"), expr(s"cast((coalesce(hr, 0) * ${scale}L)" +
           " div greatest(hm, 1) as bigint)").as("h"))
-      val araw = e.join(hub.select(col("v").as("src"), col("h")), Seq("src"))
-        .groupBy(col("dst")).agg(sum(col("h").cast("decimal(38,0)")).as("ar"))
+      val araw = Caches.persistTracked(
+        e.join(hub.select(col("v").as("src"), col("h")), Seq("src"))
+          .groupBy(col("dst")).agg(sum(col("h").cast("decimal(38,0)")).as("ar")))
       val amax = araw.agg(max(col("ar")).as("am"))
       auth = nodes.join(araw.withColumnRenamed("dst", "v"), Seq("v"), "left")
         .crossJoin(broadcast(amax))
