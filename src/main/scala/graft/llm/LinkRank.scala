@@ -142,6 +142,53 @@ object LinkRank {
       .select(col("v"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
 
+  /** Personalized PageRank — [[pageRankFp]] with the teleport mass
+    * confined to a SEED set: the trust-propagation scorer seed-based
+    * curation runs ("rank everything by closeness to these vetted
+    * domains", the continuous counterpart of [[khopDistances]]'
+    * hard hop cutoff). Identical fixed-point frame and per-round
+    * shuffle budget as the global walk; the only changes are the
+    * initial mass (`scale div |S|` on seeds, 0 elsewhere) and the
+    * base term (paid to seeds only). Seeds are intersected with the
+    * graph's node set by the init join; `|S|` is the distinct seed
+    * count as given (a seed outside the graph keeps its mass share
+    * reserved and unspent — the caller's data bug to surface, not
+    * silently renormalize). */
+  def personalizedPageRankFp(edges: DataFrame, seeds: DataFrame,
+      nIter: Int, scale: Long = 1000000000000L,
+      dampNum: Long = 85L): DataFrame = {
+    require(nIter >= 0, "nIter must be non-negative")
+    require(scale > 0L, "scale must be positive")
+    require(dampNum >= 0L && dampNum <= 100L, "dampNum must be in [0, 100]")
+    val e = Caches.persistTracked(
+      edges.select(col("src").cast("bigint").as("src"),
+        col("dst").cast("bigint").as("dst")))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val nodes = Caches.persistTracked(
+      e.select(col("src").as("v")).union(e.select(col("dst").as("v"))).distinct())
+    val sd = Caches.persistTracked(
+      seeds.select(col("v").cast("bigint").as("v")).distinct()
+        .withColumn("is_seed", lit(true)))
+    val nS = math.max(sd.count(), 1L)
+    val base = (scale * (100L - dampNum)) / (100L * nS)
+    var pr = nodes.join(broadcast(sd), Seq("v"), "left")
+      .select(col("v"),
+        when(col("is_seed"), lit(scale / nS)).otherwise(lit(0L)).as("pr"))
+    for (_ <- 0 until nIter) {
+      val shares = pr.join(deg.withColumnRenamed("src", "v"), Seq("v"))
+        .select(col("v").as("src"), expr("pr div outdeg").as("share"))
+      val contrib = e.join(shares, Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("share")).as("c"))
+        .withColumnRenamed("dst", "v")
+      pr = nodes.join(contrib, Seq("v"), "left")
+        .join(broadcast(sd), Seq("v"), "left")
+        .select(col("v"),
+          (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
+            expr(s"(${dampNum}L * coalesce(c, 0L)) div 100L")).as("pr"))
+    }
+    pr.select(col("v"), col("pr").as("ppr_fp"))
+  }
+
   /** Fixed-point HITS (Kleinberg 1999) — the hubs/authorities
     * complement of [[pageRankFp]]: a node is a good HUB if it links
     * to good authorities, a good AUTHORITY if good hubs link to it

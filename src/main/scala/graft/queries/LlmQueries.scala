@@ -895,6 +895,23 @@ object LlmQueries {
       .select(col("v").as("doc_id"), col("hub_fp"), col("auth_fp"))
   }
 
+  // ---- q172: personalized PageRank from trusted seeds ----
+  // q87's graph re-scored with teleport confined to the seed set
+  // (every ~97th doc): the continuous trust-propagation complement
+  // of q116's hard k-hop cutoff, fixed-point like the global walk.
+  def q172SeededPagerank(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir).select(col("doc_id"))
+    val n = math.max(docs.count(), 1L)
+    val edges = docs.select(col("doc_id").as("src"),
+        explode(expr("sequence(1, 3)")).as("k"))
+      .select(col("src"), expr(s"(src * 7L + k * 13L) % ${n}L").as("dst"))
+      .filter(col("dst") =!= col("src"))
+    val seeds = docs.filter(col("doc_id") % 97L === 0L)
+      .select(col("doc_id").as("v"))
+    graft.llm.LinkRank.personalizedPageRankFp(edges, seeds, PrIter)
+      .select(col("v").as("doc_id"), col("ppr_fp"))
+  }
+
   // ---- q88: deterministic BPE tokenizer training ----
   // Train-the-tokenizer-on-the-corpus: three merge rounds over the
   // word-frequency table (integer counts, lexicographic tie-break),
@@ -1274,6 +1291,7 @@ object LlmQueries {
     "q167_shard_plan"          -> q167ShardPlan _,
     "q169_training_manifest"   -> q169TrainingManifest _,
     "q170_hits"                -> q170Hits _,
+    "q172_seeded_pagerank"     -> q172SeededPagerank _,
     "q163_source_divergence"   -> q163SourceDivergence _,
     "q164_snm_pairs"           -> q164SnmPairs _,
     "q153_tokenizer_equity" -> q153TokenizerEquity _,
@@ -2352,6 +2370,38 @@ object LlmQueries {
          |SELECT d.doc_id, coalesce(sc.n_tok, 0) AS n_tok,
          |  coalesce(sc.n_sym, 0) AS n_sym
          |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
+    // q87's rounds with seed-only init and base term; |S| from the
+    // seeds CTE, floor division throughout
+    "q172_seeded_pagerank" -> {
+      val scale = 1000000000000L
+      val iters = (0 until PrIter).map { t =>
+        s"""c${t + 1} AS (SELECT e.dst AS v, sum(p$t.pr // d.outdeg) AS c
+           |  FROM p$t JOIN deg d ON p$t.v = d.src JOIN e ON e.src = p$t.v
+           |  GROUP BY e.dst),
+           |p${t + 1} AS (SELECT nodes.v,
+           |    (CASE WHEN seeds.v IS NOT NULL
+           |      THEN ($scale * 15) // (100 * (SELECT ns FROM sn)) ELSE 0 END)
+           |    + (85 * coalesce(c${t + 1}.c, 0)) // 100 AS pr
+           |  FROM nodes LEFT JOIN c${t + 1} ON nodes.v = c${t + 1}.v
+           |  LEFT JOIN seeds ON nodes.v = seeds.v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |e AS (SELECT doc_id AS src, (doc_id * 7 + k * 13) % (SELECT n FROM nn) AS dst
+         |  FROM documents, unnest([1, 2, 3]) AS t(k)
+         |  WHERE (doc_id * 7 + k * 13) % (SELECT n FROM nn) <> doc_id),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+         |nodes AS (SELECT DISTINCT src AS v FROM e
+         |  UNION SELECT DISTINCT dst AS v FROM e),
+         |seeds AS (SELECT DISTINCT doc_id AS v FROM documents WHERE doc_id % 97 = 0),
+         |sn AS (SELECT greatest(CAST(count(*) AS BIGINT), 1) AS ns FROM seeds),
+         |p0 AS (SELECT nodes.v,
+         |    CASE WHEN seeds.v IS NOT NULL
+         |      THEN $scale // (SELECT ns FROM sn) ELSE 0 END AS pr
+         |  FROM nodes LEFT JOIN seeds ON nodes.v = seeds.v),
+         |$iters
+         |SELECT p$PrIter.v AS doc_id, CAST(p$PrIter.pr AS BIGINT) AS ppr_fp
+         |FROM p$PrIter""".stripMargin
+    },
     // q87's graph; each HITS round = hub sum + max-normalize, then
     // auth sum + max-normalize, all in HUGEINT floor division
     "q170_hits" -> {

@@ -109,4 +109,21 @@ class LinkRankSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(bi(10L) == bi(11L) && bi(10L)._1 == S && bi(1L)._2 == S)
   }
+
+  test("personalizedPageRankFp: mass flows only from seeds; unreached nodes score 0") {
+    import spark.implicits._
+    val S = 1000000000000L
+    // chain 0 → 1 → 2, plus isolated pair 8 → 9; seed = {0}
+    val g = edgesDF((0L, 1L), (1L, 2L), (8L, 9L))
+    val got = LinkRank.personalizedPageRankFp(g, Seq(0L).toDF("v"), 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand replay: p0 = (S,0,0,0,0); base(0) = 15% of S
+    val base = (S * 15L) / 100L
+    val p1 = Map(0L -> base, 1L -> (85L * S) / 100L, 2L -> 0L, 8L -> 0L, 9L -> 0L)
+    val p2 = Map(0L -> base, 1L -> (85L * p1(0L)) / 100L,
+      2L -> (85L * p1(1L)) / 100L, 8L -> 0L, 9L -> 0L)
+    assert(got === p2)
+    assert(got(8L) == 0L && got(9L) == 0L,
+      "components unreached from the seeds must hold zero mass")
+  }
 }
