@@ -218,6 +218,15 @@ object LinkRank {
   def hitsFp(edges: DataFrame, nIter: Int,
       scale: Long = 1000000000000L): DataFrame = {
     require(nIter >= 1, "nIter must be at least 1")
+    // the per-round materializations live in the bounded tracked
+    // cache (2 frames per round + edges + nodes); beyond ~6 rounds
+    // oldest-first eviction would silently reintroduce the
+    // exponential recompute the persists exist to prevent — refuse
+    // loudly (HITS converges in a handful of rounds; checkpoint
+    // between calls if more are genuinely needed)
+    require(nIter <= 6,
+      s"nIter = $nIter exceeds the tracked-cache budget (max 6) — " +
+        "run hitsFp in stages with checkpointing instead")
     require(scale > 0L, "scale must be positive")
     val e = Caches.persistTracked(
       edges.select(col("src").cast("bigint").as("src"),

@@ -220,24 +220,34 @@ object MinHashLSH {
     * `maxBucketSize > 0` drops pathological LSH buckets before their
     * quadratic pair expansion — the 100 TB skew guard (boilerplate
     * buckets carry no near-dup signal worth m² work). */
+  /** Joins each candidate side's sorted base set and appends the
+    * exact `jaccard_fp` = floor(10⁶·|∩|/|∪|), computed as ONE
+    * `inter_count` merge walk per pair (|a ∪ b| = |a| + |b| − |a ∩ b|
+    * for distinct sets, so no array_intersect + array_union pair).
+    * The ONE spelling of the verify every blocking family shares —
+    * banding, time-windowed banding, and the sorted-neighborhood
+    * path. Every column of `pairs` survives. */
+  private[graft] def withJaccardFp(pairs: DataFrame, sets: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val carry = pairs.columns.toSeq.map(c => col(graft.Names.quoted(c)))
+    pairs
+      .join(sets.select(col("doc_id").as(aCol), col("s").as("__sa")), aCol)
+      .join(sets.select(col("doc_id").as(bCol), col("s").as("__sb")), bCol)
+      .select(carry ++ Seq(expr("inter_count(__sa, __sb)").as("__i"),
+        col("__sa"), col("__sb")): _*)
+      .select(carry :+ expr(
+        """cast(floor(1000000.0 * cast(__i as double)
+          |  / cast(size(__sa) + size(__sb) - __i as double)) as bigint)"""
+          .stripMargin).as("jaccard_fp"): _*)
+  }
+
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 1,
       minJaccardFp: Long = 0L, maxBucketSize: Int = 0): DataFrame = {
     LlmFunctions.registerInterCount(docs.sparkSession)
     val sets = persistTracked(shingleSets(docs, idCol, textCol, shingleN))
     val pairs = candidatePairsFromSets(sets, numHashes, rowsPerBand, maxBucketSize)
-    // |a ∪ b| = |a| + |b| − |a ∩ b| for distinct sets, so one merge
-    // walk (`inter_count`, sorted inputs) replaces the hash-building
-    // array_intersect + array_union pair per candidate
-    val jaccard = expr(
-      """cast(floor(1000000.0 * cast(i as double)
-        |  / cast(size(sa) + size(sb) - i as double)) as bigint)""".stripMargin)
-    val scored = pairs
-      .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"),
-        expr("inter_count(sa, sb)").as("i"))
-      .select(col("doc_a"), col("doc_b"), jaccard.as("jaccard_fp"))
+    val scored = withJaccardFp(pairs, sets, "doc_a", "doc_b")
     // jaccard is never negative: a 0 threshold filter would only push
     // a redundant inter_count evaluation into the join condition
     if (minJaccardFp > 0L) scored.filter(col("jaccard_fp") >= minJaccardFp) else scored
@@ -295,15 +305,7 @@ object MinHashLSH {
         col("p.gap_days").as("gap_days"))
       .filter(col("gap_days") <= windowDays)
       .distinct()
-    val jaccard = expr(
-      """cast(floor(1000000.0 * cast(i as double)
-        |  / cast(size(sa) + size(sb) - i as double)) as bigint)""".stripMargin)
-    val scored = pairs
-      .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"), col("gap_days"),
-        expr("inter_count(sa, sb)").as("i"), col("sa"), col("sb"))
-      .select(col("doc_a"), col("doc_b"), col("gap_days"), jaccard.as("jaccard_fp"))
+    val scored = withJaccardFp(pairs, sets, "doc_a", "doc_b")
     if (minJaccardFp > 0L) scored.filter(col("jaccard_fp") >= minJaccardFp)
     else scored
   }

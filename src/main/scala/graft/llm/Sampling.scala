@@ -277,7 +277,12 @@ object Sampling {
     * `nShards` is the parallelism/size knob: pick it so a shard fits
     * a task (at 100 TB that is ~10⁵ shards of ~1 GB, the same
     * file-count a sharded writer would emit). Null keys are excluded
-    * (no hash → no deterministic position). */
+    * (no hash → no deterministic position).
+    *
+    * PRECONDITION: `keyCol` values must be UNIQUE — the key IS the
+    * row's identity. Duplicate keys collide on the (hash, key) sort
+    * tuple, making their relative positions partition-order-dependent
+    * and breaking the re-derivability contract. */
   def shardPlan(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
     require(nShards > 0, "nShards must be positive")
     // `shard`/`pos` are the operator's output contract — fail loudly

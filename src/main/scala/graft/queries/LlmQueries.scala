@@ -395,23 +395,44 @@ object LlmQueries {
   // (q69/q17/q45/q167); this composes them into the artifact a
   // training job actually consumes.
   def q169TrainingManifest(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val d = graft.Tables.documents(s, dir)
-    val rules = TextAnalysis.ruleFilter(d, "doc_id", "text",
-        carryCols = Seq("lang", "text"))
-      .withColumn("fp", Dedup.fingerprintOrEmpty(col("text")))
-    // q45's split IS the contamination reference (the q76 contract)
-    val cont = q45Decontamination(s, dir)
-      .select(col("doc_id"), lit(true).as("contaminated"))
-    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
-    val kept = rules.withColumn("__rn", row_number().over(w))
-      .join(cont, Seq("doc_id"), "left")
-      .filter(!coalesce(col("contaminated"), lit(false)) &&
-        col("__rn") === 1 && col("kept"))
+    // TRAIN side only — the eval split (q45's doc_id % 50 == 0
+    // convention) must never reach a training manifest; restricting
+    // upfront also keeps dedup survivorship within the training
+    // corpus (an eval doc must not "win" a fingerprint and evict the
+    // train copy a loader could legitimately use)
+    val train = graft.Tables.documents(s, dir)
+      .filter(pmod(col("doc_id"), lit(50)) =!= 0)
+    val kept = curationVerdicts(s, dir, train)
+      .filter(col("verdict") === "kept")
       .select(col("doc_id"), col("lang"), col("n_tok"))
     graft.llm.Sampling.shardPlan(kept, "doc_id", PlanShards)
       .select(col("doc_id"), col("lang"), col("n_tok"),
         col("shard").cast("bigint").as("shard"), col("pos"))
+  }
+
+  /** Per-document curation verdict over `d` — the ONE spelling of the
+    * q76 priority chain (contaminated beats duplicate beats
+    * rule-dropped beats kept), shared by the funnel card and the
+    * training manifest so the two can never diverge. Contamination
+    * comes from [[q45Decontamination]] (its split IS the reference);
+    * the duplicate window runs over `d` as given, so survivorship is
+    * scoped to the caller's corpus slice. */
+  private def curationVerdicts(s: SparkSession, dir: String,
+      d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rules = TextAnalysis.ruleFilter(d, "doc_id", "text",
+        carryCols = Seq("lang", "text"))
+      .withColumn("fp", Dedup.fingerprintOrEmpty(col("text")))
+    val cont = q45Decontamination(s, dir)
+      .select(col("doc_id"), lit(true).as("contaminated"))
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    rules.withColumn("__rn", row_number().over(w))
+      .join(cont, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        when(coalesce(col("contaminated"), lit(false)), lit("contaminated"))
+          .when(col("__rn") > 1, lit("duplicate"))
+          .when(!col("kept"), lit("rule_dropped"))
+          .otherwise(lit("kept")).as("verdict"))
   }
 
   // ---- q152: source-composition drift (corpus mixture monitoring) ----
@@ -803,24 +824,10 @@ object LlmQueries {
   // funnel counts. The accounting view a curation run actually ships:
   // how much mass each stage removes, per language, in one query.
   def q76CurationFunnel(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val d = graft.Tables.documents(s, dir)
-    val rules = TextAnalysis.ruleFilter(d, "doc_id", "text",
-        carryCols = Seq("lang", "text"))
-      .withColumn("fp", Dedup.fingerprintOrEmpty(col("text")))
-    // q45's split IS the contamination reference — call it rather than
-    // restate the split, so the two queries (and q76's oracle, which
-    // embeds q45's SQL) cannot diverge
-    val cont = q45Decontamination(s, dir)
-      .select(col("doc_id"), lit(true).as("contaminated"))
-    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
-    val verdicts = rules.withColumn("__rn", row_number().over(w))
-      .join(cont, Seq("doc_id"), "left")
-      .select(col("lang"),
-        when(coalesce(col("contaminated"), lit(false)), lit("contaminated"))
-          .when(col("__rn") > 1, lit("duplicate"))
-          .when(!col("kept"), lit("rule_dropped"))
-          .otherwise(lit("kept")).as("verdict"))
+    // shared verdict chain (see [[curationVerdicts]]) over the WHOLE
+    // corpus — the funnel accounts for every document, while q169
+    // scopes the same chain to the train split
+    val verdicts = curationVerdicts(s, dir, graft.Tables.documents(s, dir))
     verdicts.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("verdict") === "contaminated", 1L).otherwise(0L)).as("n_contaminated"),
@@ -866,13 +873,24 @@ object LlmQueries {
   // side runs the real distributed iteration (share join + dst
   // aggregation per round).
   private val PrIter = 3
-  def q87PageRank(s: SparkSession, dir: String): DataFrame = {
+
+  /** The synthetic link graph every graph query scores (q87 / q100 /
+    * q116 / q170 / q172): 3 deterministic out-edges per doc
+    * (`(doc·7 + k·13) mod n`), self-loops dropped. ONE spelling —
+    * each query's embedded oracle replays this arithmetic, so a
+    * per-site fork would have to stay byte-synchronized five ways. */
+  private def linkGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = graft.Tables.documents(s, dir).select(col("doc_id"))
     val n = math.max(docs.count(), 1L)
     val edges = docs.select(col("doc_id").as("src"),
         explode(expr("sequence(1, 3)")).as("k"))
       .select(col("src"), expr(s"(src * 7L + k * 13L) % ${n}L").as("dst"))
       .filter(col("dst") =!= col("src"))
+    (docs, edges)
+  }
+
+  def q87PageRank(s: SparkSession, dir: String): DataFrame = {
+    val (_, edges) = linkGraph(s, dir)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
     graft.llm.LinkRank.pageRankFp(edges, PrIter)
       .join(deg.withColumnRenamed("src", "v"), Seq("v"))
@@ -885,12 +903,7 @@ object LlmQueries {
   // max-normalized so the oracle replays both rounds verbatim.
   private val HitsIter = 2
   def q170Hits(s: SparkSession, dir: String): DataFrame = {
-    val docs = graft.Tables.documents(s, dir).select(col("doc_id"))
-    val n = math.max(docs.count(), 1L)
-    val edges = docs.select(col("doc_id").as("src"),
-        explode(expr("sequence(1, 3)")).as("k"))
-      .select(col("src"), expr(s"(src * 7L + k * 13L) % ${n}L").as("dst"))
-      .filter(col("dst") =!= col("src"))
+    val (_, edges) = linkGraph(s, dir)
     graft.llm.LinkRank.hitsFp(edges, HitsIter)
       .select(col("v").as("doc_id"), col("hub_fp"), col("auth_fp"))
   }
@@ -900,12 +913,7 @@ object LlmQueries {
   // (every ~97th doc): the continuous trust-propagation complement
   // of q116's hard k-hop cutoff, fixed-point like the global walk.
   def q172SeededPagerank(s: SparkSession, dir: String): DataFrame = {
-    val docs = graft.Tables.documents(s, dir).select(col("doc_id"))
-    val n = math.max(docs.count(), 1L)
-    val edges = docs.select(col("doc_id").as("src"),
-        explode(expr("sequence(1, 3)")).as("k"))
-      .select(col("src"), expr(s"(src * 7L + k * 13L) % ${n}L").as("dst"))
-      .filter(col("dst") =!= col("src"))
+    val (docs, edges) = linkGraph(s, dir)
     val seeds = docs.filter(col("doc_id") % 97L === 0L)
       .select(col("doc_id").as("v"))
     graft.llm.LinkRank.personalizedPageRankFp(edges, seeds, PrIter)
@@ -1063,12 +1071,7 @@ object LlmQueries {
   // wedges — the skew-proof formulation). The oracle regenerates the
   // graph and replays orientation, wedges, and closure.
   def q100Triangles(s: SparkSession, dir: String): DataFrame = {
-    val docs = graft.Tables.documents(s, dir).select(col("doc_id"))
-    val n = math.max(docs.count(), 1L)
-    val edges = docs.select(col("doc_id").as("src"),
-        explode(expr("sequence(1, 3)")).as("k"))
-      .select(col("src"), expr(s"(src * 7L + k * 13L) % ${n}L").as("dst"))
-      .filter(col("dst") =!= col("src"))
+    val (_, edges) = linkGraph(s, dir)
     graft.llm.LinkRank.triangleCounts(edges)
       .select(col("v").as("doc_id"), col("n_tri"))
   }
@@ -1083,12 +1086,7 @@ object LlmQueries {
   private val KhopDepth = 3
   private val SeedMod = 101L
   def q116KhopSeeds(s: SparkSession, dir: String): DataFrame = {
-    val docs = graft.Tables.documents(s, dir).select(col("doc_id"))
-    val n = math.max(docs.count(), 1L)
-    val edges = docs.select(col("doc_id").as("src"),
-        explode(expr("sequence(1, 3)")).as("k"))
-      .select(col("src"), expr(s"(src * 7L + k * 13L) % ${n}L").as("dst"))
-      .filter(col("dst") =!= col("src"))
+    val (docs, edges) = linkGraph(s, dir)
     val seeds = docs.filter(col("doc_id") % SeedMod === 0L)
       .select(col("doc_id").as("v"))
     val dist = graft.llm.LinkRank.khopDistances(edges, seeds, KhopDepth)
@@ -1908,26 +1906,29 @@ object LlmQueries {
     "q169_training_manifest" ->
       s"""WITH $rulesCtes,
          |cont AS (SELECT doc_id FROM ($q45Sql) z),
+         |tr2 AS (SELECT * FROM rr WHERE doc_id % 50 != 0),
          |sv AS (SELECT doc_id,
-         |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM rr),
-         |kept AS (SELECT rr.doc_id, rr.lang, rr.n_tok
-         |  FROM rr JOIN sv ON rr.doc_id = sv.doc_id
-         |  LEFT JOIN cont ON rr.doc_id = cont.doc_id
-         |  WHERE cont.doc_id IS NULL AND sv.rn = 1 AND ($reasonsSql) = 0),
+         |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM tr2),
+         |kept AS (SELECT tr2.doc_id, tr2.lang, tr2.n_tok
+         |  FROM tr2 JOIN sv ON tr2.doc_id = sv.doc_id
+         |  LEFT JOIN cont ON tr2.doc_id = cont.doc_id
+         |  WHERE cont.doc_id IS NULL AND sv.rn = 1
+         |    AND ($reasonsSql) = 0),
          |hh AS (SELECT doc_id, lang, n_tok,
          |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
          |  FROM kept)
-         |SELECT doc_id, lang, n_tok, CAST(h % 8 AS BIGINT) AS shard,
-         |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
-         |    AS BIGINT) AS pos
+         |SELECT doc_id, lang, n_tok,
+         |  CAST(h % $PlanShards AS BIGINT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY h % $PlanShards
+         |    ORDER BY h, doc_id) AS BIGINT) AS pos
          |FROM hh""".stripMargin,
     "q167_shard_plan" ->
-      """SELECT doc_id, CAST(h % 8 AS BIGINT) AS shard,
-        |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
-        |    AS BIGINT) AS pos
-        |FROM (SELECT doc_id,
-        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
-        |  FROM documents WHERE doc_id IS NOT NULL) t""".stripMargin,
+      s"""SELECT doc_id, CAST(h % $PlanShards AS BIGINT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY h % $PlanShards
+         |    ORDER BY h, doc_id) AS BIGINT) AS pos
+         |FROM (SELECT doc_id,
+         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+         |  FROM documents WHERE doc_id IS NOT NULL) t""".stripMargin,
     "q161_temperature_mixture" ->
       s"""WITH d AS (SELECT source, CAST(len(toks) AS BIGINT) AS n_tok
          |  FROM (SELECT source, $toksSql AS toks FROM documents

@@ -328,17 +328,11 @@ object SimilarityQueries {
     val docs = graft.Tables.documents(s, dir)
     val sets = graft.llm.Caches.persistTracked(
       graft.llm.MinHashLSH.shingleSets(docs, "doc_id", "text", ShingleN))
-    graft.llm.Dedup.snmPairs(docs.select(col("doc_id"), col("text")),
-        "doc_id", "text")
-      .select(col("doc_lo").as("doc_a"), col("doc_hi").as("doc_b"))
-      .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        col("sa"), col("sb"), expr("inter_count(sa, sb)").as("i"))
-      .select(col("doc_a"), col("doc_b"),
-        expr("""cast(floor(1000000.0 * cast(i as double)
-          |  / cast(size(sa) + size(sb) - i as double)) as bigint)""".stripMargin)
-          .as("jaccard_fp"))
+    graft.llm.MinHashLSH.withJaccardFp(
+      graft.llm.Dedup.snmPairs(docs.select(col("doc_id"), col("text")),
+          "doc_id", "text")
+        .select(col("doc_lo").as("doc_a"), col("doc_hi").as("doc_b")),
+      sets, "doc_a", "doc_b")
   }
 
   // ---- q168: documents ↔ embeddings coverage audit ----
@@ -351,8 +345,14 @@ object SimilarityQueries {
   def q168EmbeddingCoverage(s: SparkSession, dir: String): DataFrame = {
     val d = graft.Tables.documents(s, dir).select(col("doc_id"), col("source"))
     val e = graft.Tables.embeddings(s, dir).select(col("vec_id"))
+    // the roll-up key distinguishes a VECTOR with no document
+    // (doc_id null after the full join) from a DOCUMENT with a null
+    // source — conflating them would hide null-source docs inside the
+    // orphan-vector row
     d.join(e, col("doc_id") === col("vec_id"), "full_outer")
-      .groupBy(coalesce(col("source"), lit("(orphan_vectors)")).as("source"))
+      .groupBy(when(col("doc_id").isNull, lit("(orphan_vectors)"))
+        .otherwise(coalesce(col("source"), lit("(null_source)")))
+        .as("source"))
       .agg(count(col("doc_id")).as("n_docs"),
         count(col("vec_id")).as("n_vecs"))
       .withColumn("coverage_ppm",
@@ -1434,7 +1434,8 @@ object SimilarityQueries {
          |    ON a.block = c.block AND c.rn - a.rn BETWEEN 1 AND 2)
          |${jaccardSelect("doc_a", "doc_b")}""".stripMargin,
     "q168_embedding_coverage" ->
-      """SELECT coalesce(source, '(orphan_vectors)') AS source,
+      """SELECT CASE WHEN doc_id IS NULL THEN '(orphan_vectors)'
+        |    ELSE coalesce(source, '(null_source)') END AS source,
         |  CAST(count(doc_id) AS BIGINT) AS n_docs,
         |  CAST(count(vec_id) AS BIGINT) AS n_vecs,
         |  CAST(CASE WHEN count(doc_id) > 0
@@ -1442,7 +1443,8 @@ object SimilarityQueries {
         |    ELSE 0 END AS BIGINT) AS coverage_ppm
         |FROM documents d FULL OUTER JOIN embeddings e
         |  ON d.doc_id = e.vec_id
-        |GROUP BY coalesce(source, '(orphan_vectors)')
+        |GROUP BY CASE WHEN doc_id IS NULL THEN '(orphan_vectors)'
+        |    ELSE coalesce(source, '(null_source)') END
         |ORDER BY source""".stripMargin,
     // prefix-dot dot_fp replay per truncation depth; exact baseline,
     // ranked lists, hits and the query spine mirror recallAtK
