@@ -656,10 +656,28 @@ object SimilarityQueries {
       shingleN = ShingleN, numHashes = NumHashes, rowsPerBand = 1,
       sampleLimit = CardSampleLimit, thresholds = CardThresholds)
 
+  // ---- q173: LSH band-configuration sweep (the S-curve evidence) ----
+  // q113 grades ONE (bands, rows) point; tuning needs the trade-off
+  // curve: 8 bands × 1 row (high recall, low precision) against
+  // 4 × 2 (the reverse) on the same truth slice — the measured
+  // S-curve that picks the production setting before anyone trusts
+  // banded candidates at scale. Same machinery as q113, run per
+  // config; cost is two O(sampleLimit²) cards, constant at any
+  // corpus size.
+  def q173LshSweep(s: SparkSession, dir: String): DataFrame = {
+    def cfg(rows: Int, label: String) =
+      MinHashLSH.recallCard(graft.Tables.documents(s, dir), "doc_id", "text",
+        shingleN = ShingleN, numHashes = NumHashes, rowsPerBand = rows,
+        sampleLimit = CardSampleLimit, thresholds = CardThresholds)
+        .withColumn("bands_cfg", lit(label))
+    cfg(1, "b8r1").unionByName(cfg(2, "b4r2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q111_hybrid_rrf"   -> q111HybridRrf _,
     "q112_ann_recall"   -> q112AnnRecall _,
     "q113_lsh_recall"   -> q113LshRecallCard _,
+    "q173_lsh_sweep"    -> q173LshSweep _,
     "q117_mutual_knn"   -> q117MutualKnn _,
     "q125_ivf_balance"  -> q125IvfBalance _,
     "q21_minhash_pairs" -> q21MinhashPairs _,
@@ -1325,10 +1343,58 @@ object SimilarityQueries {
        |FROM t JOIN c USING (thr_fp) CROSS JOIN cc""".stripMargin
   }
 
+  // q113's card replayed per band configuration: config 1 reuses the
+  // shared `bands` CTE (8×1); config 2 rebuilds band keys as 2-row
+  // slices of the same signatures (4×2), mirroring
+  // MinHashLSH.candidatePairsFromSets' slice arithmetic.
+  private def q173Sql: String = {
+    val thrRows = CardThresholds.map(t => s"($t)").mkString(", ")
+    def jSql(a: String, b: String): String =
+      s"""CAST(floor(1000000.0 * CAST(len(list_intersect($a.s, $b.s)) AS DOUBLE)
+         |    / CAST(len($a.s) + len($b.s) - len(list_intersect($a.s, $b.s)) AS DOUBLE)) AS BIGINT)""".stripMargin
+    def cfgCtes(n: Int, bandsCte: String): String =
+      s"""sb$n AS (SELECT b.doc_id, b.band_id, b.band_key
+         |  FROM $bandsCte b JOIN smp USING (doc_id)),
+         |cp$n AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sb$n a JOIN sb$n b ON a.band_id = b.band_id
+         |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |cd$n AS (SELECT ${jSql("sa", "sb")} AS j FROM cp$n
+         |  JOIN ss sa ON doc_a = sa.doc_id JOIN ss sb ON doc_b = sb.doc_id),
+         |c$n AS (SELECT thr_fp, CAST(count(*) FILTER (j >= thr_fp) AS BIGINT) AS n_found
+         |  FROM thr LEFT JOIN cd$n ON TRUE GROUP BY thr_fp),
+         |cc$n AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cd$n)""".stripMargin
+    def cfgSelect(n: Int, label: String): String =
+      s"""SELECT '$label' AS bands_cfg, CAST(t.thr_fp AS BIGINT) AS thr_fp,
+         |  t.n_true, cc$n.n_cand, c$n.n_found,
+         |  CASE WHEN t.n_true > 0
+         |    THEN CAST((c$n.n_found * 1000000) // t.n_true AS BIGINT) END AS recall_ppm,
+         |  CASE WHEN cc$n.n_cand > 0
+         |    THEN CAST((c$n.n_found * 1000000) // cc$n.n_cand AS BIGINT) END AS precision_ppm
+         |FROM t JOIN c$n USING (thr_fp) CROSS JOIN cc$n""".stripMargin
+    s"""WITH $minhashCtes,
+       |smp AS (SELECT doc_id FROM documents WHERE doc_id < $CardSampleLimit),
+       |ss AS (SELECT s.doc_id, s.s FROM sets s JOIN smp USING (doc_id)),
+       |truth AS (SELECT ${jSql("a", "b")} AS j
+       |  FROM ss a JOIN ss b ON a.doc_id < b.doc_id),
+       |thr(thr_fp) AS (VALUES $thrRows),
+       |t AS (SELECT thr_fp, CAST(count(*) FILTER (j >= thr_fp) AS BIGINT) AS n_true
+       |  FROM thr LEFT JOIN truth ON TRUE GROUP BY thr_fp),
+       |bands2 AS (SELECT doc_id, b AS band_id,
+       |  array_to_string(list_transform(mh[(2 * b + 1):(2 * b + 2)],
+       |    x -> CAST(x AS VARCHAR)), '|') AS band_key
+       |  FROM mh, unnest(range(0, ${NumHashes / 2})) AS u(b)),
+       |${cfgCtes(1, "bands")},
+       |${cfgCtes(2, "bands2")}
+       |${cfgSelect(1, "b8r1")}
+       |UNION ALL
+       |${cfgSelect(2, "b4r2")}""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q111_hybrid_rrf"   -> q111Sql,
     "q112_ann_recall"   -> q112Sql,
     "q113_lsh_recall"   -> q113Sql,
+    "q173_lsh_sweep"    -> q173Sql,
     "q117_mutual_knn"   -> q117Sql,
     "q125_ivf_balance"  -> q125Sql,
     "q21_minhash_pairs" -> q21Sql,
