@@ -343,6 +343,17 @@ object MinHashLSH {
       .select(jaccard.as("jaccard_fp"))
     val cand = nearDupPairs(sample, idCol, textCol, shingleN, numHashes,
       rowsPerBand).select(col("jaccard_fp"))
+    thresholdCard(truth, cand, thresholds)
+  }
+
+  /** Per-threshold recall/precision card over two single-column
+    * `jaccard_fp` frames (exact truth scores vs a candidate
+    * generator's scores) — the generic tail shared by the LSH
+    * ([[recallCard]]) and sorted-neighborhood recall cards, so every
+    * blocking family is graded by the SAME arithmetic. */
+  private[graft] def thresholdCard(truth: DataFrame, cand: DataFrame,
+      thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty, "at least one threshold")
     def hitCounts(df: DataFrame, pfx: String, extra: Seq[Column]): DataFrame = {
       val sums = thresholds.zipWithIndex.map { case (t, i) =>
         coalesce(sum(when(col("jaccard_fp") >= t, 1L).otherwise(0L)), lit(0L))

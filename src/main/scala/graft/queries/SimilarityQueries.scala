@@ -335,6 +335,33 @@ object SimilarityQueries {
       sets, "doc_a", "doc_b")
   }
 
+  // ---- q174: sorted-neighborhood recall card ----
+  // The third blocking family graded on the SAME truth slice and
+  // thresholds as q113/q173: SNM's recall is bounded by what sorts
+  // adjacent (an edit in the first block-prefix characters moves a
+  // doc across blocks), so this card quantifies the neighborhood
+  // trade against banding. Cost: one O(sampleLimit²) truth pass +
+  // the O(n·w) SNM candidates, both constant at corpus scale.
+  def q174SnmRecall(s: SparkSession, dir: String): DataFrame = {
+    graft.llm.LlmFunctions.registerInterCount(s)
+    val sample = graft.Tables.documents(s, dir)
+      .filter(col("doc_id") < CardSampleLimit)
+    val sets = graft.llm.Caches.persistTracked(
+      graft.llm.MinHashLSH.shingleSets(sample, "doc_id", "text", ShingleN))
+    val ids = sets.select(col("doc_id"))
+    val truthPairs = ids.select(col("doc_id").as("doc_a"))
+      .join(broadcast(ids.select(col("doc_id").as("doc_b"))),
+        col("doc_a") < col("doc_b"))
+    val truth = MinHashLSH.withJaccardFp(truthPairs, sets, "doc_a", "doc_b")
+      .select(col("jaccard_fp"))
+    val candPairs = graft.llm.Dedup.snmPairs(
+        sample.select(col("doc_id"), col("text")), "doc_id", "text")
+      .select(col("doc_lo").as("doc_a"), col("doc_hi").as("doc_b"))
+    val cand = MinHashLSH.withJaccardFp(candPairs, sets, "doc_a", "doc_b")
+      .select(col("jaccard_fp"))
+    MinHashLSH.thresholdCard(truth, cand, CardThresholds)
+  }
+
   // ---- q168: documents ↔ embeddings coverage audit ----
   // The cross-modality referential card q149 doesn't cover: every
   // document should have its vector and every vector its document.
@@ -678,6 +705,7 @@ object SimilarityQueries {
     "q112_ann_recall"   -> q112AnnRecall _,
     "q113_lsh_recall"   -> q113LshRecallCard _,
     "q173_lsh_sweep"    -> q173LshSweep _,
+    "q174_snm_recall"   -> q174SnmRecall _,
     "q117_mutual_knn"   -> q117MutualKnn _,
     "q125_ivf_balance"  -> q125IvfBalance _,
     "q21_minhash_pairs" -> q21MinhashPairs _,
@@ -1395,6 +1423,44 @@ object SimilarityQueries {
     "q112_ann_recall"   -> q112Sql,
     "q113_lsh_recall"   -> q113Sql,
     "q173_lsh_sweep"    -> q173Sql,
+    // q113's truth/threshold CTEs with q171's SNM pair generator
+    // (restricted to the sample slice) as the candidate source
+    "q174_snm_recall" -> {
+      val thrRows = CardThresholds.map(t => s"($t)").mkString(", ")
+      def jSql(a: String, b: String): String =
+        s"""CAST(floor(1000000.0 * CAST(len(list_intersect($a.s, $b.s)) AS DOUBLE)
+           |    / CAST(len($a.s) + len($b.s) - len(list_intersect($a.s, $b.s)) AS DOUBLE)) AS BIGINT)""".stripMargin
+      s"""WITH $minhashCtes,
+         |smp AS (SELECT doc_id FROM documents WHERE doc_id < $CardSampleLimit),
+         |ss AS (SELECT s.doc_id, s.s FROM sets s JOIN smp USING (doc_id)),
+         |truth AS (SELECT ${jSql("a", "b")} AS j
+         |  FROM ss a JOIN ss b ON a.doc_id < b.doc_id),
+         |thr(thr_fp) AS (VALUES $thrRows),
+         |t AS (SELECT thr_fp, CAST(count(*) FILTER (j >= thr_fp) AS BIGINT) AS n_true
+         |  FROM thr LEFT JOIN truth ON TRUE GROUP BY thr_fp),
+         |nb AS (SELECT d.doc_id,
+         |    trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')) AS k
+         |  FROM documents d JOIN smp USING (doc_id)
+         |  WHERE d.doc_id IS NOT NULL AND d.text IS NOT NULL),
+         |r AS (SELECT doc_id, k, substr(k, 1, 4) AS block,
+         |    row_number() OVER (PARTITION BY substr(k, 1, 4)
+         |      ORDER BY k, doc_id) AS rn FROM nb),
+         |cp AS (SELECT least(a.doc_id, c.doc_id) AS doc_a,
+         |    greatest(a.doc_id, c.doc_id) AS doc_b
+         |  FROM r a JOIN r c
+         |    ON a.block = c.block AND c.rn - a.rn BETWEEN 1 AND 2),
+         |cd AS (SELECT ${jSql("sa", "sb")} AS j FROM cp
+         |  JOIN ss sa ON doc_a = sa.doc_id JOIN ss sb ON doc_b = sb.doc_id),
+         |c AS (SELECT thr_fp, CAST(count(*) FILTER (j >= thr_fp) AS BIGINT) AS n_found
+         |  FROM thr LEFT JOIN cd ON TRUE GROUP BY thr_fp),
+         |cc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cd)
+         |SELECT CAST(t.thr_fp AS BIGINT) AS thr_fp, t.n_true, cc.n_cand, c.n_found,
+         |  CASE WHEN t.n_true > 0
+         |    THEN CAST((c.n_found * 1000000) // t.n_true AS BIGINT) END AS recall_ppm,
+         |  CASE WHEN cc.n_cand > 0
+         |    THEN CAST((c.n_found * 1000000) // cc.n_cand AS BIGINT) END AS precision_ppm
+         |FROM t JOIN c USING (thr_fp) CROSS JOIN cc""".stripMargin
+    },
     "q117_mutual_knn"   -> q117Sql,
     "q125_ivf_balance"  -> q125Sql,
     "q21_minhash_pairs" -> q21Sql,
