@@ -257,6 +257,19 @@ object LinkRank {
         .crossJoin(broadcast(amax))
         .select(col("v"), expr(s"cast((coalesce(ar, 0) * ${scale}L)" +
           " div greatest(am, 1) as bigint)").as("a"))
+      // LAZY per-round truncation (the GeoGrid kNN precedent), and the
+      // second half of the double-consumer fix: hub feeds BOTH the
+      // araw aggregate and (last round) the final join, auth feeds the
+      // next round's hraw and the final join — unmaterialized, each
+      // consumer replays the normalize join + broadcast-max subquery.
+      // localCheckpoint materializes each score frame once
+      // (node-sized), truncates the per-round plan nesting that grows
+      // analysis cost and bench variance, and stays off the tracked
+      // cache budget (the ContextCleaner frees checkpoint blocks when
+      // the frame is dropped). Values are exact integers — truncation
+      // cannot perturb the oracle-replayed result.
+      hub = hub.localCheckpoint(eager = false)
+      auth = auth.localCheckpoint(eager = false)
     }
     hub.join(auth, Seq("v"))
       .select(col("v"), col("h").as("hub_fp"), col("a").as("auth_fp"))
