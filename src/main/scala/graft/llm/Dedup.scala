@@ -374,18 +374,48 @@ object Dedup {
     * filters on) and `same_norm` (exact normalized equality). Null
     * ids or texts are excluded (no sort position). */
   def snmPairs(df: DataFrame, idCol: String, textCol: String,
-      blockPrefixLen: Int = 4, windowSize: Int = 2): DataFrame = {
+      blockPrefixLen: Int = 4, windowSize: Int = 2,
+      maxBlockSize: Int = 0): DataFrame = {
     require(blockPrefixLen > 0 && windowSize > 0,
       "blockPrefixLen and windowSize must be positive")
-    val qi = graft.Names.quoted(idCol)
-    val qt = graft.Names.quoted(textCol)
-    // null filter AFTER the cast: a non-castable id becomes a SQL
-    // null at the cast, and the documented contract excludes it (a
-    // null doc_id must never reach least/greatest in the pair rows)
-    val base = df.select(col(qi).cast("bigint").as("doc_id"),
-        normalizeText(col(qt)).as("k"))
+    snmPairsByKey(snmKeyed(df, idCol, textCol), blockPrefixLen, windowSize,
+      maxBlockSize)
+  }
+
+  /** (doc_id, k) projection shared by the SNM passes — the null
+    * contract lives HERE so every keying applies it identically. Null
+    * filter AFTER the cast: a non-castable id becomes a SQL null at
+    * the cast, and the documented contract excludes it (a null doc_id
+    * must never reach least/greatest in the pair rows). */
+  private def snmKeyed(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(graft.Names.quoted(idCol)).cast("bigint").as("doc_id"),
+        normalizeText(col(graft.Names.quoted(textCol))).as("k"))
       .filter(col("doc_id").isNotNull && col("k").isNotNull)
+
+  /** One window scan over one (doc_id, k) keying of the corpus — the
+    * shared core of the forward pass ([[snmPairs]]) and the
+    * reversed-key second pass ([[snmPairsMultiPass]]).
+    *
+    * `maxBlockSize > 0` is the hot-prefix skew guard, the SNM
+    * analogue of the LSH `maxBucketSize` cap: blocks are 4-char
+    * normalized prefixes, so shared boilerplate ("the ", a common
+    * header) can funnel a large corpus fraction into ONE block whose
+    * per-block sort is exactly the single-task bottleneck per-block
+    * execution exists to avoid. Overfull blocks are dropped BEFORE
+    * the neighborhood window (a count window on the same partition
+    * key — no extra shuffle); like capBuckets, a dropped block
+    * carries near-zero dedup signal per comparison, and the recall
+    * card (q174) is the instrument that prices the loss. 0 = off. */
+  private def snmPairsByKey(keyed: DataFrame, blockPrefixLen: Int,
+      windowSize: Int, maxBlockSize: Int): DataFrame = {
+    val blocked0 = keyed
       .withColumn("block", substring(col("k"), 1, blockPrefixLen))
+    val base =
+      if (maxBlockSize > 0) {
+        val wb = Window.partitionBy(col("block"))
+        blocked0.withColumn("__bn", count(lit(1)).over(wb))
+          .filter(col("__bn") <= maxBlockSize).drop("__bn")
+      } else blocked0
     val w = Window.partitionBy(col("block")).orderBy(col("k"), col("doc_id"))
     // window exprs first, explode second — a Generate operator cannot
     // itself host window expressions
@@ -406,5 +436,42 @@ object Dedup {
         abs(length(col("k")) - length(col("nb.k2"))).cast("bigint")
           .as("len_diff_chars"),
         (col("k") === col("nb.k2")).as("same_norm"))
+  }
+
+  /** Multi-pass sorted neighborhood — the standard fix for SNM's
+    * known blind spot: a pair whose normalized texts differ in their
+    * first characters never sorts adjacent, so the single forward
+    * pass cannot meet it. A second pass sorts by the REVERSED
+    * normalized text (suffix order): a prefix edit leaves the suffix
+    * aligned, so the pair meets in pass two, and the union of both
+    * passes' candidates strictly dominates either (q174's recall card
+    * prices the lift). Reversal is per code point in both engines —
+    * exact-parity on this corpus (all-ASCII at every SF, asserted in
+    * the spec's fixture) and on any text without combining marks.
+    *
+    * Output per DISTINCT unordered pair: which pass(es) found it
+    * (`in_fwd`/`in_rev`), plus the verify-filter columns
+    * (`len_diff_chars`, `same_norm` — both invariant under reversal,
+    * aggregated with min/bool_or only for determinism). The keyed
+    * projection feeds both passes, so it is persisted (the recurring
+    * two-consumer rule); cost is two window scans + one pair-key
+    * aggregate — still O(n·w) candidates, zero hash parameters. */
+  def snmPairsMultiPass(df: DataFrame, idCol: String, textCol: String,
+      blockPrefixLen: Int = 4, windowSize: Int = 2,
+      maxBlockSize: Int = 0): DataFrame = {
+    require(blockPrefixLen > 0 && windowSize > 0,
+      "blockPrefixLen and windowSize must be positive")
+    val keyed = Caches.persistTracked(snmKeyed(df, idCol, textCol))
+    val fwd = snmPairsByKey(keyed, blockPrefixLen, windowSize, maxBlockSize)
+    val rev = snmPairsByKey(
+      keyed.select(col("doc_id"), reverse(col("k")).as("k")),
+      blockPrefixLen, windowSize, maxBlockSize)
+    fwd.withColumn("__f", lit(true)).withColumn("__r", lit(false))
+      .unionByName(rev.withColumn("__f", lit(false)).withColumn("__r", lit(true)))
+      .groupBy(col("doc_lo"), col("doc_hi"))
+      .agg(expr("bool_or(__f)").as("in_fwd"),
+        expr("bool_or(__r)").as("in_rev"),
+        min(col("len_diff_chars")).as("len_diff_chars"),
+        expr("bool_or(same_norm)").as("same_norm"))
   }
 }

@@ -375,6 +375,17 @@ object LlmQueries {
       graft.Tables.documents(s, dir).select(col("doc_id"), col("text")),
       "doc_id", "text")
 
+  // ---- q177: multi-pass sorted-neighborhood candidates ----
+  // q164's forward pass unioned with a reversed-key (suffix-order)
+  // second pass: the pairs a prefix edit hides from the forward sort
+  // meet in suffix order, so the union strictly dominates either pass
+  // (q174's recall card prices the lift per threshold). One row per
+  // distinct pair, tagged with which pass(es) found it.
+  def q177SnmMultipass(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Dedup.snmPairsMultiPass(
+      graft.Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      "doc_id", "text")
+
   // ---- q167: deterministic shard plan (resumable loader order) ----
   // The (shard, position) assignment a training data-loader resumes
   // from: hash-mod shard, rank-of-hash position — both pure functions
@@ -1292,6 +1303,7 @@ object LlmQueries {
     "q172_seeded_pagerank"     -> q172SeededPagerank _,
     "q163_source_divergence"   -> q163SourceDivergence _,
     "q164_snm_pairs"           -> q164SnmPairs _,
+    "q177_snm_multipass"       -> q177SnmMultipass _,
     "q153_tokenizer_equity" -> q153TokenizerEquity _,
     "q45_decontamination"   -> q45Decontamination _,
     "q68_decontam_bloom"    -> q68DecontamBloom _,
@@ -1980,6 +1992,38 @@ object LlmQueries {
         |  (a.k = c.k) AS same_norm
         |FROM r a JOIN r c
         |  ON a.block = c.block AND c.rn - a.rn BETWEEN 1 AND 2""".stripMargin,
+    // q164's forward window + the same window over reverse(k), pairs
+    // unioned and rolled up per unordered pair with pass flags
+    "q177_snm_multipass" ->
+      """WITH b AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS k
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |rf AS (SELECT doc_id, k, substr(k, 1, 4) AS block,
+        |    row_number() OVER (PARTITION BY substr(k, 1, 4)
+        |      ORDER BY k, doc_id) AS rn FROM b),
+        |rv AS (SELECT doc_id, reverse(k) AS k FROM b),
+        |rr AS (SELECT doc_id, k, substr(k, 1, 4) AS block,
+        |    row_number() OVER (PARTITION BY substr(k, 1, 4)
+        |      ORDER BY k, doc_id) AS rn FROM rv),
+        |pf AS (SELECT least(a.doc_id, c.doc_id) AS doc_lo,
+        |    greatest(a.doc_id, c.doc_id) AS doc_hi,
+        |    abs(length(a.k) - length(c.k)) AS ld, (a.k = c.k) AS sn
+        |  FROM rf a JOIN rf c
+        |    ON a.block = c.block AND c.rn - a.rn BETWEEN 1 AND 2),
+        |pr AS (SELECT least(a.doc_id, c.doc_id) AS doc_lo,
+        |    greatest(a.doc_id, c.doc_id) AS doc_hi,
+        |    abs(length(a.k) - length(c.k)) AS ld, (a.k = c.k) AS sn
+        |  FROM rr a JOIN rr c
+        |    ON a.block = c.block AND c.rn - a.rn BETWEEN 1 AND 2),
+        |u AS (SELECT doc_lo, doc_hi, ld, sn, true AS f, false AS r FROM pf
+        |  UNION ALL
+        |  SELECT doc_lo, doc_hi, ld, sn, false AS f, true AS r FROM pr)
+        |SELECT CAST(doc_lo AS BIGINT) AS doc_lo,
+        |  CAST(doc_hi AS BIGINT) AS doc_hi,
+        |  bool_or(f) AS in_fwd, bool_or(r) AS in_rev,
+        |  CAST(min(ld) AS BIGINT) AS len_diff_chars,
+        |  bool_or(sn) AS same_norm
+        |FROM u GROUP BY doc_lo, doc_hi""".stripMargin,
     "q152_source_drift" ->
       s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
          |a AS (SELECT source,

@@ -335,13 +335,17 @@ object SimilarityQueries {
       sets, "doc_a", "doc_b")
   }
 
-  // ---- q174: sorted-neighborhood recall card ----
+  // ---- q174: sorted-neighborhood recall card, per pass config ----
   // The third blocking family graded on the SAME truth slice and
   // thresholds as q113/q173: SNM's recall is bounded by what sorts
   // adjacent (an edit in the first block-prefix characters moves a
   // doc across blocks), so this card quantifies the neighborhood
-  // trade against banding. Cost: one O(sampleLimit²) truth pass +
-  // the O(n·w) SNM candidates, both constant at corpus scale.
+  // trade against banding — and, per config row, what the reversed-key
+  // second pass (q177) buys back at equal threshold. The truth frame
+  // and shingle sets are computed ONCE and persisted (two card
+  // consumers — the recurring shared-aggregate rule); cost is one
+  // O(sampleLimit²) truth pass + two O(n·w) candidate passes, all
+  // constant at corpus scale.
   def q174SnmRecall(s: SparkSession, dir: String): DataFrame = {
     graft.llm.LlmFunctions.registerInterCount(s)
     val sample = graft.Tables.documents(s, dir)
@@ -352,14 +356,22 @@ object SimilarityQueries {
     val truthPairs = ids.select(col("doc_id").as("doc_a"))
       .join(broadcast(ids.select(col("doc_id").as("doc_b"))),
         col("doc_a") < col("doc_b"))
-    val truth = MinHashLSH.withJaccardFp(truthPairs, sets, "doc_a", "doc_b")
-      .select(col("jaccard_fp"))
-    val candPairs = graft.llm.Dedup.snmPairs(
-        sample.select(col("doc_id"), col("text")), "doc_id", "text")
-      .select(col("doc_lo").as("doc_a"), col("doc_hi").as("doc_b"))
-    val cand = MinHashLSH.withJaccardFp(candPairs, sets, "doc_a", "doc_b")
-      .select(col("jaccard_fp"))
-    MinHashLSH.thresholdCard(truth, cand, CardThresholds)
+    val truth = graft.llm.Caches.persistTracked(
+      MinHashLSH.withJaccardFp(truthPairs, sets, "doc_a", "doc_b")
+        .select(col("jaccard_fp")))
+    def card(candPairs: DataFrame, label: String): DataFrame =
+      MinHashLSH.thresholdCard(truth,
+        MinHashLSH.withJaccardFp(candPairs, sets, "doc_a", "doc_b")
+          .select(col("jaccard_fp")), CardThresholds)
+        .withColumn("snm_cfg", lit(label))
+    val docsSlim = sample.select(col("doc_id"), col("text"))
+    card(graft.llm.Dedup.snmPairs(docsSlim, "doc_id", "text")
+        .select(col("doc_lo").as("doc_a"), col("doc_hi").as("doc_b")),
+        "fwd")
+      .unionByName(card(
+        graft.llm.Dedup.snmPairsMultiPass(docsSlim, "doc_id", "text")
+          .select(col("doc_lo").as("doc_a"), col("doc_hi").as("doc_b")),
+        "fwd_rev"))
   }
 
   // ---- q168: documents ↔ embeddings coverage audit ----
@@ -692,10 +704,29 @@ object SimilarityQueries {
   // config; cost is two O(sampleLimit²) cards, constant at any
   // corpus size.
   def q173LshSweep(s: SparkSession, dir: String): DataFrame = {
+    // the shingle sets and the O(sampleLimit²) exact-Jaccard truth
+    // are config-INDEPENDENT — compute each once, persist (two card
+    // consumers), and only the band-key candidate generation differs
+    // per config (the q174 structure; calling recallCard per config
+    // would pay the truth pass twice)
+    graft.llm.LlmFunctions.registerInterCount(s)
+    val sample = graft.Tables.documents(s, dir)
+      .filter(col("doc_id") < CardSampleLimit)
+    val sets = graft.llm.Caches.persistTracked(
+      graft.llm.MinHashLSH.shingleSets(sample, "doc_id", "text", ShingleN))
+    val ids = sets.select(col("doc_id"))
+    val truthPairs = ids.select(col("doc_id").as("doc_a"))
+      .join(broadcast(ids.select(col("doc_id").as("doc_b"))),
+        col("doc_a") < col("doc_b"))
+    val truth = graft.llm.Caches.persistTracked(
+      MinHashLSH.withJaccardFp(truthPairs, sets, "doc_a", "doc_b")
+        .select(col("jaccard_fp")))
     def cfg(rows: Int, label: String) =
-      MinHashLSH.recallCard(graft.Tables.documents(s, dir), "doc_id", "text",
-        shingleN = ShingleN, numHashes = NumHashes, rowsPerBand = rows,
-        sampleLimit = CardSampleLimit, thresholds = CardThresholds)
+      MinHashLSH.thresholdCard(truth,
+        MinHashLSH.withJaccardFp(
+          MinHashLSH.candidatePairsFromSets(sets, NumHashes, rows),
+          sets, "doc_a", "doc_b").select(col("jaccard_fp")),
+        CardThresholds)
         .withColumn("bands_cfg", lit(label))
     cfg(1, "b8r1").unionByName(cfg(2, "b4r2"))
   }
@@ -1424,12 +1455,28 @@ object SimilarityQueries {
     "q113_lsh_recall"   -> q113Sql,
     "q173_lsh_sweep"    -> q173Sql,
     // q113's truth/threshold CTEs with q171's SNM pair generator
-    // (restricted to the sample slice) as the candidate source
+    // (restricted to the sample slice) as the candidate source, one
+    // config per pass set: fwd = q164's forward window, fwd_rev =
+    // q177's forward ∪ reversed-key pairs, distinct per pair
     "q174_snm_recall" -> {
       val thrRows = CardThresholds.map(t => s"($t)").mkString(", ")
       def jSql(a: String, b: String): String =
         s"""CAST(floor(1000000.0 * CAST(len(list_intersect($a.s, $b.s)) AS DOUBLE)
            |    / CAST(len($a.s) + len($b.s) - len(list_intersect($a.s, $b.s)) AS DOUBLE)) AS BIGINT)""".stripMargin
+      def cfgTail(n: Int): String =
+        s"""cd$n AS (SELECT ${jSql("sa", "sb")} AS j FROM cp$n
+           |  JOIN ss sa ON doc_a = sa.doc_id JOIN ss sb ON doc_b = sb.doc_id),
+           |c$n AS (SELECT thr_fp, CAST(count(*) FILTER (j >= thr_fp) AS BIGINT) AS n_found
+           |  FROM thr LEFT JOIN cd$n ON TRUE GROUP BY thr_fp),
+           |cc$n AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cd$n)""".stripMargin
+      def cfgSelect(n: Int, label: String): String =
+        s"""SELECT '$label' AS snm_cfg, CAST(t.thr_fp AS BIGINT) AS thr_fp,
+           |  t.n_true, cc$n.n_cand, c$n.n_found,
+           |  CASE WHEN t.n_true > 0
+           |    THEN CAST((c$n.n_found * 1000000) // t.n_true AS BIGINT) END AS recall_ppm,
+           |  CASE WHEN cc$n.n_cand > 0
+           |    THEN CAST((c$n.n_found * 1000000) // cc$n.n_cand AS BIGINT) END AS precision_ppm
+           |FROM t JOIN c$n USING (thr_fp) CROSS JOIN cc$n""".stripMargin
       s"""WITH $minhashCtes,
          |smp AS (SELECT doc_id FROM documents WHERE doc_id < $CardSampleLimit),
          |ss AS (SELECT s.doc_id, s.s FROM sets s JOIN smp USING (doc_id)),
@@ -1442,24 +1489,29 @@ object SimilarityQueries {
          |    trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')) AS k
          |  FROM documents d JOIN smp USING (doc_id)
          |  WHERE d.doc_id IS NOT NULL AND d.text IS NOT NULL),
-         |r AS (SELECT doc_id, k, substr(k, 1, 4) AS block,
+         |rf AS (SELECT doc_id, k, substr(k, 1, 4) AS block,
          |    row_number() OVER (PARTITION BY substr(k, 1, 4)
          |      ORDER BY k, doc_id) AS rn FROM nb),
-         |cp AS (SELECT least(a.doc_id, c.doc_id) AS doc_a,
+         |rvv AS (SELECT doc_id, reverse(k) AS k FROM nb),
+         |rr AS (SELECT doc_id, k, substr(k, 1, 4) AS block,
+         |    row_number() OVER (PARTITION BY substr(k, 1, 4)
+         |      ORDER BY k, doc_id) AS rn FROM rvv),
+         |cp1 AS (SELECT least(a.doc_id, c.doc_id) AS doc_a,
          |    greatest(a.doc_id, c.doc_id) AS doc_b
-         |  FROM r a JOIN r c
+         |  FROM rf a JOIN rf c
          |    ON a.block = c.block AND c.rn - a.rn BETWEEN 1 AND 2),
-         |cd AS (SELECT ${jSql("sa", "sb")} AS j FROM cp
-         |  JOIN ss sa ON doc_a = sa.doc_id JOIN ss sb ON doc_b = sb.doc_id),
-         |c AS (SELECT thr_fp, CAST(count(*) FILTER (j >= thr_fp) AS BIGINT) AS n_found
-         |  FROM thr LEFT JOIN cd ON TRUE GROUP BY thr_fp),
-         |cc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cd)
-         |SELECT CAST(t.thr_fp AS BIGINT) AS thr_fp, t.n_true, cc.n_cand, c.n_found,
-         |  CASE WHEN t.n_true > 0
-         |    THEN CAST((c.n_found * 1000000) // t.n_true AS BIGINT) END AS recall_ppm,
-         |  CASE WHEN cc.n_cand > 0
-         |    THEN CAST((c.n_found * 1000000) // cc.n_cand AS BIGINT) END AS precision_ppm
-         |FROM t JOIN c USING (thr_fp) CROSS JOIN cc""".stripMargin
+         |cp2 AS (SELECT DISTINCT doc_a, doc_b FROM (
+         |  SELECT doc_a, doc_b FROM cp1
+         |  UNION ALL
+         |  SELECT least(a.doc_id, c.doc_id) AS doc_a,
+         |    greatest(a.doc_id, c.doc_id) AS doc_b
+         |  FROM rr a JOIN rr c
+         |    ON a.block = c.block AND c.rn - a.rn BETWEEN 1 AND 2) uu),
+         |${cfgTail(1)},
+         |${cfgTail(2)}
+         |${cfgSelect(1, "fwd")}
+         |UNION ALL
+         |${cfgSelect(2, "fwd_rev")}""".stripMargin
     },
     "q117_mutual_knn"   -> q117Sql,
     "q125_ivf_balance"  -> q125Sql,

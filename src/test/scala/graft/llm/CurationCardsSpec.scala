@@ -92,4 +92,40 @@ class CurationCardsSpec extends AnyFunSuite with SparkTestSession {
       windowSize = 3).count()
     assert(n <= 40L * 3)
   }
+
+  test("snmPairsMultiPass: reversed-key pass recovers the prefix-edit pair fwd misses") {
+    val df = Seq(
+      // prefix edit, shared suffix: fwd blocks "alph"/"brav" never
+      // meet; reversed keys share the "zz t" block and sort adjacent
+      (1L, "alpha shared suffix content zz"),
+      (2L, "bravo shared suffix content zz"),
+      // suffix edit: fwd finds it, the reversed pass cannot
+      (3L, "kilo echo one"),
+      (4L, "kilo echo two")
+    ).toDF("doc_id", "text")
+    val fwdOnly = Dedup.snmPairs(df, "doc_id", "text")
+      .select("doc_lo", "doc_hi").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fwdOnly.toSet == Set((3L, 4L)),
+      "single pass must miss the prefix-edited pair — that IS the blind spot")
+    val multi = Dedup.snmPairsMultiPass(df, "doc_id", "text")
+      .orderBy("doc_lo").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(multi.toSeq == Seq(
+      (1L, 2L, false, true, 0L, false),
+      (3L, 4L, true, false, 0L, false)),
+      "union of passes must strictly dominate the forward pass")
+  }
+
+  test("snmPairs: maxBlockSize drops the hot block, spares the rest") {
+    val df = Seq(
+      (1L, "hot aaa"), (2L, "hot bbb"), (3L, "hot ccc"), // block size 3
+      (10L, "cold x"), (11L, "cold y")                    // block size 2
+    ).toDF("doc_id", "text")
+    assert(Dedup.snmPairs(df, "doc_id", "text").count() == 4L)
+    val capped = Dedup.snmPairs(df, "doc_id", "text", maxBlockSize = 2)
+      .select("doc_lo", "doc_hi").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSet == Set((10L, 11L)),
+      "an overfull block must be dropped whole; small blocks untouched")
+  }
 }
