@@ -731,15 +731,43 @@ object LlmQueries {
     val nf = graft.llm.Caches.persistTracked(
       graft.Tables.documents(s, dir).select(col("doc_id"),
         Dedup.fingerprintOrEmpty(col("text")).as("fp")))
-    val batch = nf.filter(pmod(col("doc_id"), lit(10)) === 0)
+    Dedup.incrementalByFp(
+      nf.filter(pmod(col("doc_id"), lit(10)) =!= 0), incrementalBatch(nf))
+  }
+
+  /** The q70/q175 incoming-batch fixture over a fingerprinted corpus
+    * frame — ONE spelling (corpus-dup slice, offset re-id'd %7 and
+    * %13 slices) so the loaded-index replay can never drift from the
+    * in-session original it must match byte for byte. */
+  private def incrementalBatch(nf: DataFrame): DataFrame =
+    nf.filter(pmod(col("doc_id"), lit(10)) === 0)
       .unionByName(nf.filter(pmod(col("doc_id"), lit(7)) === 0 &&
           pmod(col("doc_id"), lit(10)) =!= 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("fp")))
       .unionByName(nf.filter(pmod(col("doc_id"), lit(13)) === 0 &&
           pmod(col("doc_id"), lit(10)) === 0)
         .select((col("doc_id") + 2000000L).as("doc_id"), col("fp")))
-    Dedup.incrementalByFp(
-      nf.filter(pmod(col("doc_id"), lit(10)) =!= 0), batch)
+
+  // ---- q175: incremental dedup against the SHIPPED fingerprint index ----
+  // q70 rebuilt its corpus index per run; the real deployment trains
+  // it once, ships it (Artifacts catalog), and every ingest batch
+  // joins against the LOADED table — the last trained state that was
+  // still rebuilt from scratch each session. The batch side is
+  // fingerprinted fresh (it was never part of the shipped index);
+  // output is byte-identical to q70 by construction and shares its
+  // oracle.
+  def q175IncrementalLoaded(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.llm.Artifacts.ensure(dir, "fp-index-v1") { p =>
+      graft.llm.Artifacts.saveFingerprintIndex(p + "/index",
+        graft.Tables.documents(s, dir)
+          .filter(pmod(col("doc_id"), lit(10)) =!= 0)
+          .select(col("doc_id"), Dedup.fingerprintOrEmpty(col("text")).as("fp")))
+    }
+    val corpus = graft.llm.Artifacts.loadFingerprintIndex(s, root + "/index")
+    val nf = graft.llm.Caches.persistTracked(
+      graft.Tables.documents(s, dir).select(col("doc_id"),
+        Dedup.fingerprintOrEmpty(col("text")).as("fp")))
+    Dedup.incrementalByFp(corpus, incrementalBatch(nf))
   }
 
   // ---- q50: exact-substring duplicate-span stats ----
@@ -1310,6 +1338,7 @@ object LlmQueries {
     "q158_decontam_bloom_loaded" -> q158DecontamBloomLoaded _,
     "q69_filter_rules"      -> q69FilterRules _,
     "q70_incremental_dedup" -> q70IncrementalDedup _,
+    "q175_incremental_loaded" -> q175IncrementalLoaded _,
     "q71_surprisal"         -> q71Surprisal _,
     "q73_data_card"         -> q73DataCard _,
     "q74_dynamic_filter"    -> q74DynamicFilter _,
@@ -1324,6 +1353,25 @@ object LlmQueries {
     "q64_pii_sequential"    -> q64PiiSequential _,
     "q65_media_dups"        -> q65MediaDups _,
   )
+
+  /** The q70 incremental-dedup oracle — also bound to q175, whose
+    * loaded-index replay must stay byte-identical to q70. */
+  private def q70Sql: String =
+    """WITH nf AS (SELECT doc_id,
+      |    md5(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |c AS (SELECT DISTINCT fp FROM nf WHERE doc_id % 10 != 0),
+      |b0 AS (SELECT doc_id, fp FROM nf WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, fp FROM nf WHERE doc_id % 7 = 0 AND doc_id % 10 != 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, fp FROM nf WHERE doc_id % 13 = 0 AND doc_id % 10 = 0),
+      |b AS (SELECT doc_id, fp,
+      |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM b0)
+      |SELECT b.doc_id, b.fp,
+      |  CASE WHEN c.fp IS NOT NULL THEN 'dup_of_corpus'
+      |       WHEN rn = 1 THEN 'new' ELSE 'dup_in_batch' END AS status
+      |FROM b LEFT JOIN c ON b.fp = c.fp""".stripMargin
 
   /** The full q83 BM25 oracle — also composed into the q111 hybrid-
     * retrieval oracle (SimilarityQueries) so the fused ranking can
@@ -1765,22 +1813,9 @@ object LlmQueries {
          |  CAST(CASE WHEN n_frames IS NOT NULL THEN n_cuts + 1 ELSE 0 END AS BIGINT)
          |    AS n_scenes
          |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
-    "q70_incremental_dedup" ->
-      """WITH nf AS (SELECT doc_id,
-        |    md5(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))) AS fp
-        |  FROM documents),
-        |c AS (SELECT DISTINCT fp FROM nf WHERE doc_id % 10 != 0),
-        |b0 AS (SELECT doc_id, fp FROM nf WHERE doc_id % 10 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, fp FROM nf WHERE doc_id % 7 = 0 AND doc_id % 10 != 0
-        |  UNION ALL
-        |  SELECT doc_id + 2000000, fp FROM nf WHERE doc_id % 13 = 0 AND doc_id % 10 = 0),
-        |b AS (SELECT doc_id, fp,
-        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM b0)
-        |SELECT b.doc_id, b.fp,
-        |  CASE WHEN c.fp IS NOT NULL THEN 'dup_of_corpus'
-        |       WHEN rn = 1 THEN 'new' ELSE 'dup_in_batch' END AS status
-        |FROM b LEFT JOIN c ON b.fp = c.fp""".stripMargin,
+    "q70_incremental_dedup" -> q70Sql,
+    // the shipped-index replay is byte-identical ⇒ shares q70's oracle
+    "q175_incremental_loaded" -> q70Sql,
     "q16_dedup_exact" ->
       """SELECT doc_id, lang, source, n_chars FROM (
         |  SELECT doc_id, lang, source, n_chars,

@@ -502,6 +502,31 @@ object SimilarityQueries {
       .select(col("query_id"), col("vec_id"), col("dot_fp"), col("rn"))
   }
 
+  // ---- q176: IVF-ADC from the SHIPPED codebook artifacts ----
+  // q92 with the serve-side entry point: coarse + PQ codebooks are
+  // trained once per corpus into the Artifacts catalog (the session
+  // memo does not survive the bench's per-iteration cache clear, so
+  // q92's bench line prices training every time); here every run
+  // after the first LOADS and pays only encode + probe + rerank —
+  // the honest serving cost. Byte-identical to q92 (same codebooks
+  // by determinism), so it shares q92's oracle.
+  def q176IvfAdcLoaded(s: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+    val root = graft.llm.Artifacts.ensure(dir,
+      s"ivfadc-v1-l$IvfLists-i$IvfIter-m$PqM-k$PqKSub-p$PqIter") { p =>
+      graft.llm.Artifacts.saveCodebook(s, p + "/coarse",
+        graft.llm.IvfIndex.fitFixedPoint(emb, IvfLists, IvfIter))
+      graft.llm.Artifacts.savePqCodebooks(s, p + "/pq",
+        graft.llm.PqIndex.fitSubspaces(emb, PqM, PqKSub, PqIter))
+    }
+    graft.llm.PqIndex.ivfAdcSearch(emb,
+      emb.filter(col("vec_id") < NumQueryVecs),
+      graft.llm.Artifacts.loadCodebook(s, root + "/coarse"),
+      graft.llm.Artifacts.loadPqCodebooks(s, root + "/pq"),
+      AnnK, IvfProbe, PqRerank)
+      .select(col("query_id"), col("vec_id"), col("dot_fp"), col("rn"))
+  }
+
   private val SemDedupCellCap = 64
   private val SemDedupMinDotFp = 350000L
 
@@ -769,6 +794,7 @@ object SimilarityQueries {
     "q154_detector_agreement" -> q154DetectorAgreement _,
     "q84_pq_ann"        -> q84PqAnn _,
     "q92_ivfadc"        -> q92IvfAdc _,
+    "q176_ivfadc_loaded" -> q176IvfAdcLoaded _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -1549,6 +1575,8 @@ object SimilarityQueries {
     "q66_ivf_trained"   -> q66Sql,
     "q84_pq_ann"        -> q84Sql,
     "q92_ivfadc"        -> q92Sql,
+    // loaded-codebook serve path is byte-identical ⇒ shares q92's oracle
+    "q176_ivfadc_loaded" -> q92Sql,
     "q67_semantic_dedup" -> q67Sql,
     "q72_cluster_best"  -> q72Sql,
     "q135_survivorship" -> q135Sql,

@@ -173,4 +173,53 @@ class ArtifactsSpec extends AnyFunSuite with SparkTestSession {
     assert(Decontaminate.evalBloom(
       Seq(ArtDoc(7L, "")).toDF(), "doc_id", "text").isEmpty)
   }
+
+  test("fingerprint index round-trips and drives incrementalByFp identically") {
+    val index = docs.select(col("doc_id"),
+      Dedup.fingerprintOrEmpty(col("text")).as("fp"))
+    val path = tmp("fp-index") + "/index"
+    Artifacts.saveFingerprintIndex(path, index)
+    val back = Artifacts.loadFingerprintIndex(spark, path)
+    assert(back.columns.toSeq === index.columns.toSeq)
+    assert(back.collect().map(_.toSeq).toSet ===
+      index.collect().map(_.toSeq).toSet)
+    // the q175 contract: the loaded index classifies a batch exactly
+    // as the in-session frame does
+    import spark.implicits._
+    val batch = Seq(ArtDoc(100L, "the low lower lowest of the low"),
+      ArtDoc(101L, "entirely novel"), ArtDoc(102L, "entirely novel")).toDF()
+      .select(col("doc_id"), Dedup.fingerprintOrEmpty(col("text")).as("fp"))
+    val fromLoaded = Dedup.incrementalByFp(back, batch)
+      .collect().map(_.toSeq).toSet
+    val fromLive = Dedup.incrementalByFp(index, batch)
+      .collect().map(_.toSeq).toSet
+    assert(fromLoaded === fromLive)
+    assert(fromLoaded.exists(_.contains("dup_of_corpus")) &&
+      fromLoaded.exists(_.contains("dup_in_batch")) &&
+      fromLoaded.exists(_.contains("new")))
+  }
+
+  test("ensure trains once, serves from the marker, and keys params into the name") {
+    val corpusDir = tmp("ensure-corpus")
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(corpusDir, "t.parquet"), "x")
+    var trainings = 0
+    def train(): String = Artifacts.ensure(corpusDir, "art-v1") { p =>
+      trainings += 1
+      new java.io.File(p).mkdirs()
+      java.nio.file.Files.writeString(java.nio.file.Path.of(p, "data"), "d")
+    }
+    val d1 = train(); val d2 = train()
+    assert(d1 === d2 && trainings === 1,
+      "second call must serve the saved artifact, not retrain")
+    assert(new java.io.File(d1, "_TRAINED").exists())
+    // a different hyperparameter set must be a different artifact
+    val other = Artifacts.ensure(corpusDir, "art-v2")(p =>
+      new java.io.File(p).mkdirs())
+    assert(other !== d1)
+    // a regenerated corpus (changed file signature) keys a fresh root
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(corpusDir, "t.parquet"), "different-bytes")
+    assert(Artifacts.rootFor(corpusDir) !== new java.io.File(d1).getParent)
+  }
 }
