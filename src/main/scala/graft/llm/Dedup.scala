@@ -438,6 +438,46 @@ object Dedup {
         (col("k") === col("nb.k2")).as("same_norm"))
   }
 
+  /** Canonical URL dedup key — the web-corpus dedup axis none of the
+    * content-blocking families (MinHash/SimHash/SNM) covers: the SAME
+    * page crawled twice under cosmetically different URLs (scheme or
+    * host case, `www.` prefix, default port, trailing slash, query
+    * parameter order, tracking parameters, fragments) must collapse
+    * to one key BEFORE any content comparison runs. Normalization,
+    * applied in order:
+    *
+    *  1. fragment dropped (`#…` — client-side only);
+    *  2. scheme and host lowercased (RFC 3986 §6.2.2.1; path stays
+    *     case-sensitive);
+    *  3. default ports `:80`/`:443` stripped;
+    *  4. leading `www.` stripped;
+    *  5. trailing slashes stripped from the path;
+    *  6. query params split on `&`, tracking params dropped
+    *     (`utm_*`, `fbclid`, `gclid`, `ref`), the rest SORTED and
+    *     rejoined (param order is almost never semantic; sorting
+    *     makes the key order-free). Empty query ⇒ no `?`.
+    *
+    * Pure row-local string surgery (codegen'd regexp/array ops, no
+    * UDF, no shuffle) — at 100 TB this runs at scan speed and the
+    * only shuffle is whatever consumes the key. The DuckDB oracle
+    * (q178) replays each step verbatim; patterns use `[.]`/`[?]`
+    * classes instead of backslash escapes so both engines parse them
+    * identically. */
+  def normalizeUrl(urlCol: String): Column = {
+    val q = graft.Names.quoted(urlCol)
+    val noFrag = s"regexp_replace($q, '#.*$$', '')"
+    val scheme = s"lower(regexp_extract($noFrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    val rest = s"regexp_replace($noFrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '')"
+    val host = s"regexp_replace(regexp_replace(lower(regexp_extract($rest, '^([^/?]*)', 1)), ':(80|443)$$', ''), '^www[.]', '')"
+    val pathq = s"regexp_replace($rest, '^[^/?]*', '')"
+    val path = s"regexp_replace(regexp_extract($pathq, '^([^?]*)', 1), '/+$$', '')"
+    val query = s"regexp_extract($pathq, '[?](.*)$$', 1)"
+    val qn = s"array_join(array_sort(filter(split($query, '&'), " +
+      "p -> p != '' AND NOT p rlike '^(utm_|fbclid=|gclid=|ref=)')), '&')"
+    expr(s"concat($scheme, '://', $host, $path, " +
+      s"CASE WHEN $qn = '' THEN '' ELSE '?' || $qn END)")
+  }
+
   /** Multi-pass sorted neighborhood — the standard fix for SNM's
     * known blind spot: a pair whose normalized texts differ in their
     * first characters never sorts adjacent, so the single forward

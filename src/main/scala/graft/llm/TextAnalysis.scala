@@ -128,12 +128,19 @@ object TextAnalysis {
   /** Word 3-grams of a token array — strict (no collapse below 3
     * tokens, unlike the LSH shingles): repetition statistics want
     * "no 3-grams" for short docs, not a degenerate one. */
-  def word3grams(toksCol: String): Column =
+  def word3grams(toksCol: String): Column = wordNgrams(toksCol, 3)
+
+  /** Word n-grams of a token array, strict like [[word3grams]] (a doc
+    * shorter than n tokens has NO n-grams). Row-local list
+    * arithmetic — no shuffle. */
+  def wordNgrams(toksCol: String, n: Int): Column = {
+    require(n >= 1, "n must be positive")
     expr(
-      s"""CASE WHEN size($toksCol) >= 3
-         | THEN transform(sequence(0, size($toksCol) - 3),
-         |   i -> concat_ws(' ', slice($toksCol, i + 1, 3)))
+      s"""CASE WHEN size($toksCol) >= $n
+         | THEN transform(sequence(0, size($toksCol) - $n),
+         |   i -> concat_ws(' ', slice($toksCol, i + 1, $n)))
          | ELSE array() END""".stripMargin)
+  }
 
   /** Fraction (millionths) of word 3-grams that are repeats of an
     * earlier 3-gram in the same doc — the Gopher-style repetition

@@ -386,6 +386,98 @@ object LlmQueries {
       graft.Tables.documents(s, dir).select(col("doc_id"), col("text")),
       "doc_id", "text")
 
+  /** Deterministic per-doc URL fixture for q178 (the corpus carries
+    * categorical sources, not URLs): realistic cosmetic variants —
+    * scheme/host case, `www.`, default ports, trailing slash, query
+    * order, tracking params, fragments — as a pure function of
+    * doc_id, in SQL that parses IDENTICALLY in Spark and DuckDB (the
+    * linkGraph precedent: one spelling, embedded in both the query
+    * and its oracle). */
+  private val urlSynthSql: String =
+    """CASE WHEN doc_id % 3 = 0 THEN 'http' WHEN doc_id % 3 = 1 THEN 'https' ELSE 'HTTPS' END
+      | || '://' || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END
+      | || CASE WHEN doc_id % 5 = 0 THEN 'Docs' ELSE 'docs' END
+      | || (doc_id % 40) || '.example.com'
+      | || CASE WHEN doc_id % 3 = 1 AND doc_id % 5 = 1 THEN ':443'
+      |         WHEN doc_id % 3 = 0 AND doc_id % 5 = 2 THEN ':80' ELSE '' END
+      | || '/p/' || (doc_id % 100)
+      | || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+      | || CASE WHEN doc_id % 6 = 0 THEN '?utm_source=feed&b=2&a=1'
+      |         WHEN doc_id % 6 = 3 THEN '?a=1&b=2'
+      |         WHEN doc_id % 6 = 5 THEN '?a=1&b=2&gclid=XyZ' ELSE '' END
+      | || CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END""".stripMargin
+      .linesIterator.mkString(" ")
+
+  // ---- q178: URL-canonicalization dedup key card ----
+  // The web-corpus dedup axis the content families (MinHash, SimHash,
+  // SNM) don't cover: the same page crawled under cosmetically
+  // different URLs collapses to one canonical key BEFORE any content
+  // comparison. Per surviving key with >=2 docs: cluster size, how
+  // many RAW variants it absorbed, and the survivorship pick (lowest
+  // doc_id). Scale: key derivation is row-local codegen'd string
+  // surgery; the only shuffle is the key groupBy.
+  def q178UrlDedupKey(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id"), expr(urlSynthSql).as("url"))
+      .select(col("doc_id"), col("url"),
+        graft.llm.Dedup.normalizeUrl("url").as("url_key"))
+      .groupBy(col("url_key"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("url")).as("n_variants"),
+        min(col("doc_id")).as("keep_doc_id"))
+      .filter(col("n_docs") >= 2)
+
+  private val ProbeGramN = 13
+
+  // ---- q179: n-gram memorization / novelty probe ----
+  // q68's decontamination machinery pointed at MEASUREMENT instead of
+  // filtering: per source, what fraction of the train slice's
+  // distinct 13-grams also appear in the eval slice (q45's
+  // doc_id % 50 == 0 convention) — the memorization-risk rate a
+  // model card reports, where q45/q68 DROP the offending docs. Grams
+  // are keyed by md5 in BOTH engines, so the join compares 32-char
+  // keys (never text) and any collision affects both sides
+  // identically — exact replay by construction. The per-doc gram
+  // frame is built ONCE over the whole table and sliced (the q70 nf
+  // pattern), persisted for its two consumers (eval key set, train
+  // side); totals ride the pre-explode frame so zero-overlap docs
+  // still count.
+  def q179MemorizationProbe(s: SparkSession, dir: String): DataFrame = {
+    val g = graft.llm.Caches.persistTracked(
+      graft.Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          graft.llm.TextAnalysis.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"), col("source"),
+          graft.llm.TextAnalysis.wordNgrams("__toks", ProbeGramN).as("__gs0"))
+        .select(col("doc_id"), col("source"),
+          expr("array_distinct(transform(__gs0, g -> md5(cast(g as binary))))")
+            .as("gs")))
+    val ev = g.filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select(explode(col("gs")).as("gk")).distinct()
+    val tr = g.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+    val hits = tr.select(col("doc_id"), explode(col("gs")).as("gk"))
+      .join(ev, Seq("gk"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    val d = tr.select(col("doc_id"), col("source"),
+        size(col("gs")).cast("bigint").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("source"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_grams")).as("__sg"),
+        sum(col("n_hit")).as("__sh"),
+        sum(when(col("n_hit") > 0, 1L).otherwise(0L)).as("n_docs_hit"),
+        max(when(col("n_grams") > 0,
+          expr("n_hit * 1000000L div n_grams")).otherwise(0L)).as("max_doc_ppm"))
+      .select(col("source"), col("n_docs"),
+        col("__sg").cast("bigint").as("n_grams"),
+        col("__sh").cast("bigint").as("n_overlap"),
+        when(col("__sg") > 0, expr("__sh * 1000000L div __sg"))
+          .otherwise(0L).cast("bigint").as("overlap_ppm"),
+        col("n_docs_hit"), col("max_doc_ppm"))
+  }
+
   // ---- q167: deterministic shard plan (resumable loader order) ----
   // The (shard, position) assignment a training data-loader resumes
   // from: hash-mod shard, rank-of-hash position — both pure functions
@@ -1332,6 +1424,8 @@ object LlmQueries {
     "q163_source_divergence"   -> q163SourceDivergence _,
     "q164_snm_pairs"           -> q164SnmPairs _,
     "q177_snm_multipass"       -> q177SnmMultipass _,
+    "q178_url_dedup_key"       -> q178UrlDedupKey _,
+    "q179_memorization_probe"  -> q179MemorizationProbe _,
     "q153_tokenizer_equity" -> q153TokenizerEquity _,
     "q45_decontamination"   -> q45Decontamination _,
     "q68_decontam_bloom"    -> q68DecontamBloom _,
@@ -2059,6 +2153,61 @@ object LlmQueries {
         |  CAST(min(ld) AS BIGINT) AS len_diff_chars,
         |  bool_or(sn) AS same_norm
         |FROM u GROUP BY doc_lo, doc_hi""".stripMargin,
+    // the synthesized URL fixture (one spelling with the Spark side)
+    // + every normalization step of Dedup.normalizeUrl replayed
+    "q178_url_dedup_key" ->
+      s"""WITH u AS (SELECT doc_id, $urlSynthSql AS url FROM documents),
+         |n1 AS (SELECT doc_id, url,
+         |    regexp_replace(url, '#.*$$', '') AS nf FROM u),
+         |n2 AS (SELECT doc_id, url,
+         |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         |    regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+         |  FROM n1),
+         |n3 AS (SELECT doc_id, url, scheme,
+         |    regexp_replace(regexp_replace(
+         |      lower(regexp_extract(rest, '^([^/?]*)', 1)),
+         |      ':(80|443)$$', ''), '^www[.]', '') AS host,
+         |    regexp_replace(rest, '^[^/?]*', '') AS pathq
+         |  FROM n2),
+         |n4 AS (SELECT doc_id, url, scheme, host,
+         |    regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$$', '') AS path,
+         |    coalesce(array_to_string(list_sort(list_filter(
+         |      string_split(regexp_extract(pathq, '[?](.*)$$', 1), '&'),
+         |      p -> p <> '' AND NOT regexp_matches(p, '^(utm_|fbclid=|gclid=|ref=)'))),
+         |      '&'), '') AS qn
+         |  FROM n3)
+         |SELECT scheme || '://' || host || path ||
+         |    CASE WHEN qn = '' THEN '' ELSE '?' || qn END AS url_key,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
+         |  CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+         |FROM n4 GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+    // md5-keyed 13-gram overlap of the train slice against the eval
+    // slice (q45's % 50 split), rolled up per source
+    "q179_memorization_probe" ->
+      s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id, source, CASE WHEN len(toks) >= $ProbeGramN
+         |    THEN list_distinct(list_transform(range(1, len(toks) - ${ProbeGramN - 2}),
+         |      i -> md5(array_to_string(toks[i:i+${ProbeGramN - 1}], ' '))))
+         |    ELSE [] END AS gs FROM t),
+         |ev AS (SELECT DISTINCT unnest(gs) AS gk FROM g WHERE doc_id % 50 = 0),
+         |tr AS (SELECT doc_id, source, CAST(len(gs) AS BIGINT) AS n_grams, gs
+         |  FROM g WHERE doc_id % 50 != 0),
+         |tg AS (SELECT doc_id, unnest(gs) AS gk FROM tr),
+         |h AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM tg JOIN ev USING (gk) GROUP BY doc_id),
+         |d AS (SELECT tr.source, tr.n_grams, coalesce(h.n_hit, 0) AS n_hit
+         |  FROM tr LEFT JOIN h USING (doc_id))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_grams) AS BIGINT) AS n_grams,
+         |  CAST(sum(n_hit) AS BIGINT) AS n_overlap,
+         |  CAST(CASE WHEN sum(n_grams) > 0
+         |    THEN sum(n_hit) * 1000000 // sum(n_grams) ELSE 0 END AS BIGINT)
+         |    AS overlap_ppm,
+         |  CAST(sum(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit,
+         |  CAST(max(CASE WHEN n_grams > 0
+         |    THEN n_hit * 1000000 // n_grams ELSE 0 END) AS BIGINT) AS max_doc_ppm
+         |FROM d GROUP BY source""".stripMargin,
     "q152_source_drift" ->
       s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
          |a AS (SELECT source,

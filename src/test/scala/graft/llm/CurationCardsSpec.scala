@@ -117,6 +117,35 @@ class CurationCardsSpec extends AnyFunSuite with SparkTestSession {
       "union of passes must strictly dominate the forward pass")
   }
 
+  test("normalizeUrl: case, www, ports, slash, fragment, tracking params, order") {
+    val df = Seq(
+      (1L, "HTTPS://WWW.Example.COM:443/A/b/?b=2&utm_source=x&a=1#frag"),
+      (2L, "https://example.com/A/b?a=1&b=2"),
+      (3L, "http://example.com:80/"),
+      (4L, "http://example.com"),
+      (5L, "https://example.com/p?utm_campaign=z&fbclid=abc")
+    ).toDF("doc_id", "url")
+    val out = df.select(col("doc_id"), Dedup.normalizeUrl("url").as("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "https://example.com/A/b?a=1&b=2",
+      "path case preserved; everything cosmetic canonicalized")
+    assert(out(1L) === out(2L), "the two crawls must share one key")
+    assert(out(3L) === "http://example.com")
+    assert(out(3L) === out(4L), "default port + root slash are cosmetic")
+    assert(out(5L) === "https://example.com/p",
+      "tracking-only query must vanish entirely (no dangling '?')")
+  }
+
+  test("wordNgrams: strict windows, no collapse below n") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextAnalysis.tokens(col("text")).as("t"))
+      .select(col("doc_id"), TextAnalysis.wordNgrams("t", 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) === Seq("a b c", "b c d", "c d e"))
+    assert(out(2L) === Seq.empty, "short docs have NO n-grams, not a stub one")
+  }
+
   test("snmPairs: maxBlockSize drops the hot block, spares the rest") {
     val df = Seq(
       (1L, "hot aaa"), (2L, "hot bbb"), (3L, "hot ccc"), // block size 3
