@@ -354,6 +354,67 @@ object Similarity {
         expr(s"coalesce(hits, 0L) * 1000000L div ${k}L").as("recall_ppm"))
   }
 
+  /** Per-label fixed-point centroids — (label, dim, cf) where cf is
+    * the floor-mean of `floor(x·10⁶)` components (explicit double
+    * floor division so negative sums floor identically in every
+    * engine). ONE spelling under the q147 label-cosine matrix and the
+    * q182 outlier card, so the two can never disagree about what the
+    * centroid IS. One (label, dim) aggregation; everything downstream
+    * is labels×dim-sized. */
+  def labelCentroidsFp(vectors: DataFrame, labelCol: String, embCol: String): DataFrame = {
+    val ql = graft.Names.quoted(labelCol)
+    val qe = graft.Names.quoted(embCol)
+    vectors
+      .select(col(ql).as("label"), posexplode(col(qe)).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(expr("sum(cast(floor(cast(x as double) * 1000000.0) as bigint))")
+        .as("sf"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"),
+        expr("cast(floor(cast(sf as double) / cast(n as double)) as bigint)")
+          .as("cf"))
+  }
+
+  /** Embedding-space outlier audit per label: every vector's integer
+    * squared distance to its label centroid ([[labelCentroidsFp]]),
+    * then per label the count, floor-mean and max distance, and how
+    * many vectors sit beyond `k ×` the label mean — the mislabeled /
+    * corrupt-embedding screen a curation run applies before vectors
+    * feed dedup or retrieval training. All-integer (components are
+    * `floor(x·10⁶)`), so the card replays exactly; per-label sums
+    * accumulate in decimal(38,0) — 10⁹ vectors × ~10¹⁴ per-vector
+    * distance overflows a BIGINT (the sumFp/HITS precedent). The
+    * per-vector distance frame feeds the stats aggregate AND the
+    * threshold count, so it is persisted (the two-consumer rule). */
+  def centroidOutlierCard(vectors: DataFrame, idCol: String, labelCol: String,
+      embCol: String, k: Int = 4): DataFrame = {
+    require(k >= 1, "threshold multiplier must be at least 1")
+    val cent = labelCentroidsFp(vectors, labelCol, embCol)
+    val qi = graft.Names.quoted(idCol)
+    val ql = graft.Names.quoted(labelCol)
+    val qe = graft.Names.quoted(embCol)
+    val v = vectors
+      .select(col(qi).as("vec_id"), col(ql).as("label"),
+        posexplode(col(qe)).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        expr("cast(floor(cast(x as double) * 1000000.0) as bigint)").as("xq"))
+    val dist = Caches.persistTracked(
+      v.join(cent, Seq("label", "dim"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(sum((col("xq") - col("cf")) * (col("xq") - col("cf")))
+          .as("dist2")))
+    val stats = dist.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("cast(sum(cast(dist2 as decimal(38,0))) div count(1) as bigint)")
+          .as("mean_dist2"),
+        max(col("dist2")).as("max_dist2"))
+    dist.join(stats, Seq("label"))
+      .groupBy(col("label"), col("n_vecs"), col("mean_dist2"), col("max_dist2"))
+      .agg(sum(when(col("dist2") > lit(k.toLong) * col("mean_dist2"), 1L)
+        .otherwise(0L)).as("n_outliers"))
+      .select(col("label"), col("n_vecs"), col("mean_dist2"),
+        col("max_dist2"), col("n_outliers"))
+  }
+
   def rrfFuse(lists: Seq[DataFrame], c: Long = 60L): DataFrame = {
     require(lists.nonEmpty, "at least one ranked list")
     require(c >= 0, "rank constant must be non-negative")

@@ -442,8 +442,13 @@ object LlmQueries {
   // pattern), persisted for its two consumers (eval key set, train
   // side); totals ride the pre-explode frame so zero-overlap docs
   // still count.
-  def q179MemorizationProbe(s: SparkSession, dir: String): DataFrame = {
-    val g = graft.llm.Caches.persistTracked(
+  /** md5-keyed distinct word-13-gram frame over the WHOLE table —
+    * (doc_id, source, gs). ONE spelling feeding q179's cross-split
+    * overlap and q181's first-occurrence novelty; persisted, and the
+    * cache tracker dedupes by canonical plan, so the two cards share
+    * one materialization within a session. */
+  private def md5GramFrame(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Caches.persistTracked(
       graft.Tables.documents(s, dir)
         .select(col("doc_id"), col("source"),
           graft.llm.TextAnalysis.tokens(col("text")).as("__toks"))
@@ -452,6 +457,9 @@ object LlmQueries {
         .select(col("doc_id"), col("source"),
           expr("array_distinct(transform(__gs0, g -> md5(cast(g as binary))))")
             .as("gs")))
+
+  def q179MemorizationProbe(s: SparkSession, dir: String): DataFrame = {
+    val g = md5GramFrame(s, dir)
     val ev = g.filter(pmod(col("doc_id"), lit(50)) === 0)
       .select(explode(col("gs")).as("gk")).distinct()
     val tr = g.filter(pmod(col("doc_id"), lit(50)) =!= 0)
@@ -476,6 +484,44 @@ object LlmQueries {
         when(col("__sg") > 0, expr("__sh * 1000000L div __sg"))
           .otherwise(0L).cast("bigint").as("overlap_ppm"),
         col("n_docs_hit"), col("max_doc_ppm"))
+  }
+
+  // ---- q181: first-occurrence novelty profile ----
+  // The curriculum/dup-pressure card: per doc, which of its distinct
+  // 13-grams appear HERE first (the gram's minimum doc_id over the
+  // whole corpus is this doc), rolled up per source — high novelty =
+  // fresh content worth its tokens; near-zero novelty = the document
+  // restates what ingestion order already covered (the dedup families
+  // find COPIES; this prices partial restatement). Scale: one
+  // gram-keyed aggregate (min doc_id) + one join back — both shuffle
+  // 32-char md5 keys, never text; the gram frame is the SAME
+  // persisted projection q179 rides.
+  def q181NoveltyProfile(s: SparkSession, dir: String): DataFrame = {
+    val g = md5GramFrame(s, dir)
+    val ex = g.select(col("doc_id"), explode(col("gs")).as("gk"))
+    val firsts = ex.groupBy(col("gk")).agg(min(col("doc_id")).as("first_doc"))
+    val novel = ex.join(firsts, Seq("gk"))
+      .filter(col("first_doc") === col("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+    val d = g.select(col("doc_id"), col("source"),
+        size(col("gs")).cast("bigint").as("n_grams"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("source"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_grams")).as("__sg"),
+        sum(col("n_novel")).as("__sn"),
+        sum(when(col("n_grams") > 0 && col("n_novel") === col("n_grams"), 1L)
+          .otherwise(0L)).as("n_fully_novel"),
+        sum(when(col("n_grams") > 0 && col("n_novel") === 0L, 1L)
+          .otherwise(0L)).as("n_stale"))
+      .select(col("source"), col("n_docs"),
+        col("__sg").cast("bigint").as("n_grams"),
+        col("__sn").cast("bigint").as("n_novel"),
+        when(col("__sg") > 0, expr("__sn * 1000000L div __sg"))
+          .otherwise(0L).cast("bigint").as("novelty_ppm"),
+        col("n_fully_novel"), col("n_stale"))
   }
 
   // ---- q167: deterministic shard plan (resumable loader order) ----
@@ -1426,6 +1472,7 @@ object LlmQueries {
     "q177_snm_multipass"       -> q177SnmMultipass _,
     "q178_url_dedup_key"       -> q178UrlDedupKey _,
     "q179_memorization_probe"  -> q179MemorizationProbe _,
+    "q181_novelty_profile"     -> q181NoveltyProfile _,
     "q153_tokenizer_equity" -> q153TokenizerEquity _,
     "q45_decontamination"   -> q45Decontamination _,
     "q68_decontam_bloom"    -> q68DecontamBloom _,
@@ -1447,6 +1494,16 @@ object LlmQueries {
     "q64_pii_sequential"    -> q64PiiSequential _,
     "q65_media_dups"        -> q65MediaDups _,
   )
+
+  /** Shared md5-13-gram oracle CTE chain (`t` → `g`) mirroring
+    * [[md5GramFrame]] — one spelling under both the q179 overlap and
+    * q181 novelty oracles. */
+  private def gramCtes: String =
+    s"""t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+       |g AS (SELECT doc_id, source, CASE WHEN len(toks) >= $ProbeGramN
+       |    THEN list_distinct(list_transform(range(1, len(toks) - ${ProbeGramN - 2}),
+       |      i -> md5(array_to_string(toks[i:i+${ProbeGramN - 1}], ' '))))
+       |    ELSE [] END AS gs FROM t)""".stripMargin
 
   /** The q70 incremental-dedup oracle — also bound to q175, whose
     * loaded-index replay must stay byte-identical to q70. */
@@ -2185,11 +2242,7 @@ object LlmQueries {
     // md5-keyed 13-gram overlap of the train slice against the eval
     // slice (q45's % 50 split), rolled up per source
     "q179_memorization_probe" ->
-      s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
-         |g AS (SELECT doc_id, source, CASE WHEN len(toks) >= $ProbeGramN
-         |    THEN list_distinct(list_transform(range(1, len(toks) - ${ProbeGramN - 2}),
-         |      i -> md5(array_to_string(toks[i:i+${ProbeGramN - 1}], ' '))))
-         |    ELSE [] END AS gs FROM t),
+      s"""WITH $gramCtes,
          |ev AS (SELECT DISTINCT unnest(gs) AS gk FROM g WHERE doc_id % 50 = 0),
          |tr AS (SELECT doc_id, source, CAST(len(gs) AS BIGINT) AS n_grams, gs
          |  FROM g WHERE doc_id % 50 != 0),
@@ -2207,6 +2260,29 @@ object LlmQueries {
          |  CAST(sum(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit,
          |  CAST(max(CASE WHEN n_grams > 0
          |    THEN n_hit * 1000000 // n_grams ELSE 0 END) AS BIGINT) AS max_doc_ppm
+         |FROM d GROUP BY source""".stripMargin,
+    // the same gram chain, graded against FIRST corpus occurrence
+    // (min doc_id per gram) instead of the eval slice
+    "q181_novelty_profile" ->
+      s"""WITH $gramCtes,
+         |ex AS (SELECT doc_id, unnest(gs) AS gk FROM g),
+         |f AS (SELECT gk, min(doc_id) AS first_doc FROM ex GROUP BY gk),
+         |nv AS (SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS n_novel
+         |  FROM ex JOIN f USING (gk) WHERE f.first_doc = ex.doc_id
+         |  GROUP BY ex.doc_id),
+         |d AS (SELECT g.source, CAST(len(gs) AS BIGINT) AS n_grams,
+         |    coalesce(nv.n_novel, 0) AS n_novel
+         |  FROM g LEFT JOIN nv USING (doc_id))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_grams) AS BIGINT) AS n_grams,
+         |  CAST(sum(n_novel) AS BIGINT) AS n_novel,
+         |  CAST(CASE WHEN sum(n_grams) > 0
+         |    THEN sum(n_novel) * 1000000 // sum(n_grams) ELSE 0 END AS BIGINT)
+         |    AS novelty_ppm,
+         |  CAST(sum(CASE WHEN n_grams > 0 AND n_novel = n_grams THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_fully_novel,
+         |  CAST(sum(CASE WHEN n_grams > 0 AND n_novel = 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_stale
          |FROM d GROUP BY source""".stripMargin,
     "q152_source_drift" ->
       s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),

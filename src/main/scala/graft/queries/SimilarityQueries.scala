@@ -410,14 +410,8 @@ object SimilarityQueries {
   // replays bit-for-bit. Everything after the one (label, dim)
   // aggregation is label²-sized — a card, not a corpus pass.
   def q147LabelCosine(s: SparkSession, dir: String): DataFrame = {
-    val cent = graft.Tables.embeddings(s, dir)
-      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
-      .groupBy(col("label"), col("dim"))
-      .agg(expr("sum(cast(floor(cast(x as double) * 1000000.0) as bigint))")
-        .as("sf"), count(lit(1)).as("n"))
-      .select(col("label"), col("dim"),
-        expr("cast(floor(cast(sf as double) / cast(n as double)) as bigint)")
-          .as("cf"))
+    val cent = graft.llm.Similarity.labelCentroidsFp(
+      graft.Tables.embeddings(s, dir), "label", "embedding")
     val nrm = cent.groupBy(col("label"))
       .agg(sum(col("cf") * col("cf")).as("nrm"))
     val pairs = cent.select(col("label").as("label_a"), col("dim"),
@@ -435,6 +429,16 @@ object SimilarityQueries {
           "(sqrt(cast(na as double)) * sqrt(cast(nb as double)))) as bigint)")
         .as("cos_fp"))
   }
+
+  /** q147/q182's shared centroid CTE (`c`) — the oracle twin of
+    * [[graft.llm.Similarity.labelCentroidsFp]]. */
+  private def centCteSql: String =
+    s"""c AS (SELECT label, i AS dim,
+       |    CAST(floor(CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE)
+       |        * 1000000.0) AS BIGINT)) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cf
+       |  FROM embeddings, unnest(range(1, $Dim + 1)) AS u(i)
+       |  GROUP BY label, i)""".stripMargin
 
   private val IvfLists = 16
   private val IvfProbe = 2
@@ -501,6 +505,19 @@ object SimilarityQueries {
       IvfLists, IvfIter, PqM, PqKSub, PqIter, AnnK, IvfProbe, PqRerank)
       .select(col("query_id"), col("vec_id"), col("dot_fp"), col("rn"))
   }
+
+  private val OutlierK = 4
+
+  // ---- q182: embedding-space outlier audit per label ----
+  // The mislabeled/corrupt-vector screen: integer squared distance of
+  // every vector to its label centroid (the SAME centroid spelling as
+  // q147 — Similarity.labelCentroidsFp), per-label count/floor-mean/
+  // max, and how many vectors exceed 4× the label mean. Exact integer
+  // replay; decimal(38,0) sums for 100 TB reach.
+  def q182EmbeddingOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Similarity.centroidOutlierCard(
+      graft.Tables.embeddings(s, dir), "vec_id", "label", "embedding",
+      OutlierK)
 
   // ---- q176: IVF-ADC from the SHIPPED codebook artifacts ----
   // q92 with the serve-side entry point: coarse + PQ codebooks are
@@ -795,6 +812,7 @@ object SimilarityQueries {
     "q84_pq_ann"        -> q84PqAnn _,
     "q92_ivfadc"        -> q92IvfAdc _,
     "q176_ivfadc_loaded" -> q176IvfAdcLoaded _,
+    "q182_embedding_outliers" -> q182EmbeddingOutliers _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -1577,6 +1595,25 @@ object SimilarityQueries {
     "q92_ivfadc"        -> q92Sql,
     // loaded-codebook serve path is byte-identical ⇒ shares q92's oracle
     "q176_ivfadc_loaded" -> q92Sql,
+    // q147's centroid CTE + integer squared distances, stats and the
+    // k×mean threshold count replayed per label
+    "q182_embedding_outliers" ->
+      s"""WITH $centCteSql,
+         |v AS (SELECT vec_id, label, i AS dim,
+         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+         |  FROM embeddings, unnest(range(1, $Dim + 1)) AS u(i)),
+         |dd AS (SELECT v.vec_id, v.label,
+         |    CAST(sum((xq - cf) * (xq - cf)) AS BIGINT) AS dist2
+         |  FROM v JOIN c ON v.label = c.label AND v.dim = c.dim
+         |  GROUP BY v.vec_id, v.label),
+         |st AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+         |    CAST(sum(dist2) // count(*) AS BIGINT) AS mean_dist2,
+         |    CAST(max(dist2) AS BIGINT) AS max_dist2 FROM dd GROUP BY label)
+         |SELECT st.label, st.n_vecs, st.mean_dist2, st.max_dist2,
+         |  CAST(sum(CASE WHEN dd.dist2 > $OutlierK * st.mean_dist2
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         |FROM dd JOIN st ON dd.label = st.label
+         |GROUP BY st.label, st.n_vecs, st.mean_dist2, st.max_dist2""".stripMargin,
     "q67_semantic_dedup" -> q67Sql,
     "q72_cluster_best"  -> q72Sql,
     "q135_survivorship" -> q135Sql,
@@ -1610,12 +1647,7 @@ object SimilarityQueries {
     // centroid floor-division, dot, norms, and the sqrt-scored cosine
     // all replayed in the same arithmetic order
     "q147_label_cosine" ->
-      s"""WITH c AS (SELECT label, i AS dim,
-         |    CAST(floor(CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE)
-         |        * 1000000.0) AS BIGINT)) AS DOUBLE)
-         |      / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cf
-         |  FROM embeddings, unnest(range(1, $Dim + 1)) AS u(i)
-         |  GROUP BY label, i),
+      s"""WITH $centCteSql,
          |n AS (SELECT label, CAST(sum(cf * cf) AS BIGINT) AS nrm
          |  FROM c GROUP BY label),
          |d AS (SELECT a.label AS label_a, b.label AS label_b,

@@ -294,6 +294,21 @@ object Streams {
         size(col("__syms")).cast("bigint").as("n_bpe_tokens"))
   }
 
+  /** Streaming URL-canonicalization ingest — q178's dedup key at
+    * crawl time: every arriving document's URL collapses to its
+    * canonical form ([[graft.llm.Dedup.normalizeUrl]], the SAME
+    * expression as batch, so the two cannot drift) plus the key's
+    * md5 — the narrow value a downstream exact-dup suppressor keys
+    * its state on or a per-domain rate limiter groups by, 32 chars
+    * instead of an unbounded URL. Pure row-local projection: no
+    * watermark, no state store, any output mode; identical on a
+    * batch frame (StreamingSpec pins stream == batch). */
+  def urlKeyIngest(stream: DataFrame, idCol: String, urlCol: String): DataFrame =
+    stream
+      .select(qcol(idCol).as("doc_id"), qcol(urlCol).as("url"))
+      .withColumn("url_key", graft.llm.Dedup.normalizeUrl("url"))
+      .withColumn("key_fp", md5(col("url_key").cast("binary")))
+
   /** Streaming winsorize-apply — q145's robust clipping at ingest
     * time: exact per-group p-quantile cutoffs train on the STATIC
     * corpus ([[graft.llm.Robust.cutoffsFp]]), and each arriving row is

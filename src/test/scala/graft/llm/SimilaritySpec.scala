@@ -374,4 +374,27 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
       .select("doc_id", "rn").as[(Long, Long)].collect().toMap
     assert(tie(3L) === 1L && tie(5L) === 2L)
   }
+
+  test("centroidOutlierCard: exact on a known frame, outlier beyond k×mean flagged") {
+    import spark.implicits._
+    // label a: nine inliers at (1,1) + one far outlier at (9,1) — the
+    // inlier mass must dominate the mean for a 4×mean threshold to
+    // bite; label b: two identical vectors (zero everything)
+    val vecs = ((1L to 9L).map(i => (i, "a", Array(1.0f, 1.0f))) ++
+      Seq((10L, "a", Array(9.0f, 1.0f)),
+        (20L, "b", Array(2.0f, 2.0f)), (21L, "b", Array(2.0f, 2.0f))))
+      .toDF("vec_id", "label", "embedding")
+    // hand arithmetic at 1e6 fixed point: label a centroid dim0 =
+    // floor(18e6/10) = 1800000, dim1 = 1000000
+    val dIn = (1000000L - 1800000L) * (1000000L - 1800000L)
+    val dOut = (9000000L - 1800000L) * (9000000L - 1800000L)
+    val mean = (9L * dIn + dOut) / 10L
+    assert(dOut > 4 * mean && dIn <= 4 * mean,
+      "fixture sanity: exactly the planted outlier exceeds the threshold")
+    val out = Similarity.centroidOutlierCard(vecs, "vec_id", "label", "embedding")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("a") === ((10L, mean, dOut, 1L)))
+    assert(out("b") === ((2L, 0L, 0L, 0L)))
+  }
 }

@@ -251,6 +251,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(out == Set((1L, 10L))) // r@1 is outside the 5-minute bound
   }
 
+  test("urlKeyIngest: canonical keys on a stream equal batch; variants collapse") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val rows = Seq(
+      (1L, "HTTPS://WWW.Example.COM:443/a/?b=2&utm_source=x&a=1#f"),
+      (2L, "https://example.com/a?a=1&b=2"),
+      (3L, "http://other.org/p"))
+    val query = Streams.urlKeyIngest(
+        input.toDF().toDF("doc_id", "url"), "doc_id", "url")
+      .writeStream.format("memory").queryName("urlkey_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      val got = spark.table("urlkey_out").orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(2), r.getString(3)))
+      assert(got(0)._2 === "https://example.com/a?a=1&b=2")
+      assert(got(0)._2 === got(1)._2 && got(0)._3 === got(1)._3,
+        "the two crawls of one page must share key AND key_fp")
+      assert(got(2)._2 === "http://other.org/p")
+      val batch = Streams.urlKeyIngest(
+          rows.toDF("doc_id", "url"), "doc_id", "url")
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(2), r.getString(3)))
+      assert(got.toSeq === batch.toSeq, "stream must equal batch exactly")
+    } finally query.stop()
+  }
+
   test("Pii.scrub is stateless: runs unchanged on a stream, equals batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
