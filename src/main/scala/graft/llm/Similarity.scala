@@ -407,7 +407,10 @@ object Similarity {
         expr("cast(sum(cast(dist2 as decimal(38,0))) div count(1) as bigint)")
           .as("mean_dist2"),
         max(col("dist2")).as("max_dist2"))
-    dist.join(stats, Seq("label"))
+    // stats is label-cardinality — broadcast it EXPLICITLY: at this
+    // test scale the optimizer happily broadcasts the (tiny-looking)
+    // cached dist frame instead, which at corpus scale is n_vecs-sized
+    dist.join(broadcast(stats), Seq("label"))
       .groupBy(col("label"), col("n_vecs"), col("mean_dist2"), col("max_dist2"))
       .agg(sum(when(col("dist2") > lit(k.toLong) * col("mean_dist2"), 1L)
         .otherwise(0L)).as("n_outliers"))
