@@ -427,6 +427,39 @@ object LlmQueries {
         min(col("doc_id")).as("keep_doc_id"))
       .filter(col("n_docs") >= 2)
 
+  // ---- q180: per-domain corpus mix card ----
+  // The CommonCrawl-style domain composition audit a web corpus ships
+  // with: documents keyed by the CANONICAL host of their URL (q178's
+  // normalizer, so 'WWW.Docs7…:443' and 'docs7…' are one domain), per
+  // domain doc/token counts and ppm shares of the corpus. The
+  // per-domain aggregate feeds the output AND the share denominators,
+  // so it is persisted (the recurring two-consumer rule); totals ride
+  // one broadcast scalar row.
+  def q180DomainMix(s: SparkSession, dir: String): DataFrame = {
+    val perDomain = graft.llm.Caches.persistTracked(
+      graft.Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), expr(urlSynthSql).as("url"))
+        .select(col("doc_id"), col("text"),
+          graft.llm.Dedup.normalizeUrl("url").as("uk"))
+        .select(col("doc_id"),
+          regexp_extract(col("uk"), "^[a-z]+://([^/?]*)", 1).as("domain"),
+          graft.llm.TextAnalysis.tokenCount(col("text")).cast("bigint")
+            .as("n_tok"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens")))
+    val totals = perDomain
+      .agg(sum(col("n_docs")).as("__td"), sum(col("n_tokens")).as("__tt"))
+    perDomain.crossJoin(broadcast(totals))
+      .select(col("domain"), col("n_docs"),
+        col("n_tokens").cast("bigint").as("n_tokens"),
+        expr("n_docs * 1000000L div greatest(__td, 1L)").cast("bigint")
+          .as("doc_share_ppm"),
+        // corpus token totals reach ~10¹³ at 100 TB — ×10⁶ overflows a
+        // BIGINT numerator, so widen (HUGEINT on the DuckDB side)
+        expr("cast(cast(n_tokens as decimal(38,0)) * 1000000 " +
+          "div greatest(__tt, 1L) as bigint)").as("token_share_ppm"))
+  }
+
   private val ProbeGramN = 13
 
   // ---- q179: n-gram memorization / novelty probe ----
@@ -1471,6 +1504,7 @@ object LlmQueries {
     "q164_snm_pairs"           -> q164SnmPairs _,
     "q177_snm_multipass"       -> q177SnmMultipass _,
     "q178_url_dedup_key"       -> q178UrlDedupKey _,
+    "q180_domain_mix"          -> q180DomainMix _,
     "q179_memorization_probe"  -> q179MemorizationProbe _,
     "q181_novelty_profile"     -> q181NoveltyProfile _,
     "q153_tokenizer_equity" -> q153TokenizerEquity _,
@@ -2239,6 +2273,26 @@ object LlmQueries {
          |  CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
          |  CAST(min(doc_id) AS BIGINT) AS keep_doc_id
          |FROM n4 GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+    // the same synthesized URLs keyed by canonical DOMAIN only (the
+    // host steps of the q178 normalizer), shares replayed off totals
+    "q180_domain_mix" ->
+      s"""WITH u AS (SELECT doc_id, $toksSql AS toks, $urlSynthSql AS url
+         |  FROM documents),
+         |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+         |    regexp_replace(regexp_replace(lower(regexp_extract(
+         |      regexp_replace(regexp_replace(url, '#.*$$', ''),
+         |        '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+         |      '^([^/?]*)', 1)), ':(80|443)$$', ''), '^www[.]', '') AS domain
+         |  FROM u),
+         |a AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM d GROUP BY domain),
+         |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+         |    CAST(sum(n_tokens) AS BIGINT) AS tt FROM a)
+         |SELECT domain, n_docs, n_tokens,
+         |  CAST(n_docs * 1000000 // greatest(td, 1) AS BIGINT) AS doc_share_ppm,
+         |  CAST(CAST(n_tokens AS HUGEINT) * 1000000 // greatest(tt, 1) AS BIGINT)
+         |    AS token_share_ppm
+         |FROM a, t""".stripMargin,
     // md5-keyed 13-gram overlap of the train slice against the eval
     // slice (q45's % 50 split), rolled up per source
     "q179_memorization_probe" ->
