@@ -354,6 +354,26 @@ object Similarity {
         expr(s"coalesce(hits, 0L) * 1000000L div ${k}L").as("recall_ppm"))
   }
 
+  /** Hard-negative mining (contrastive training): per query, the k
+    * HIGHEST-dot candidates whose label differs from the query's —
+    * the most confusable cross-class neighbors, exactly what a
+    * contrastive batch builder pairs with each anchor (the query's
+    * own row is same-label, so self never surfaces). Labels compare
+    * null-safely: a null-label candidate IS a valid negative for a
+    * labeled query and vice versa. Same broadcast + two-level
+    * bounded-selection shape as [[bruteForceTopK]]; the label
+    * exclusion rides the scored stage, adding zero shuffles. */
+  def hardNegatives(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    LlmFunctions.registerDotFp(queries.sparkSession)
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"), col("label").as("__ql")))
+    val scored = q.crossJoin(candidates.select(col("vec_id"),
+        col("embedding").as("ce"), col("label").as("__cl")))
+      .filter(!(col("__ql") <=> col("__cl")))
+      .select(col("query_id"), col("vec_id"), dotFpNative("qe", "ce").as("dot_fp"))
+    topKPerQuery(scored, k)
+  }
+
   /** Per-label fixed-point centroids — (label, dim, cf) where cf is
     * the floor-mean of `floor(x·10⁶)` components (explicit double
     * floor division so negative sums floor identically in every

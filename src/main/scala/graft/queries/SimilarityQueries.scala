@@ -56,6 +56,17 @@ object SimilarityQueries {
       .select(col("query_id"), col("vec_id"), col("dot_fp"), col("rn"))
   }
 
+  // ---- q183: hard-negative mining (contrastive batch builder) ----
+  // Per anchor, the TopK most-similar CROSS-label vectors — the
+  // confusable negatives contrastive training wants next to each
+  // anchor; q23's audited broadcast + two-level selection with the
+  // null-safe label exclusion inside the scored stage.
+  def q183HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+    Similarity.hardNegatives(emb.filter(col("vec_id") < NumQueryVecs), emb, TopK)
+      .select(col("query_id"), col("vec_id"), col("dot_fp"), col("rn"))
+  }
+
   private val NearDupMinDotFp = 350000L
 
   // ---- q29: embedding-cosine near-dup pairs (multi-probe LSH) ----
@@ -813,6 +824,7 @@ object SimilarityQueries {
     "q92_ivfadc"        -> q92IvfAdc _,
     "q176_ivfadc_loaded" -> q176IvfAdcLoaded _,
     "q182_embedding_outliers" -> q182EmbeddingOutliers _,
+    "q183_hard_negatives" -> q183HardNegatives _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -1595,6 +1607,19 @@ object SimilarityQueries {
     "q92_ivfadc"        -> q92Sql,
     // loaded-codebook serve path is byte-identical ⇒ shares q92's oracle
     "q176_ivfadc_loaded" -> q92Sql,
+    // q23's ranking replay with the null-safe cross-label exclusion
+    "q183_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql
+         |  FROM embeddings WHERE vec_id < $NumQueryVecs),
+         |scored AS (SELECT query_id, e.vec_id, $dotSql AS dot_fp
+         |  FROM q CROSS JOIN
+         |    (SELECT vec_id, embedding AS ce, label AS cl FROM embeddings) e
+         |  WHERE q.ql IS DISTINCT FROM e.cl),
+         |ranked AS (SELECT query_id, vec_id, dot_fp,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY dot_fp DESC, vec_id) AS rn
+         |  FROM scored)
+         |SELECT query_id, vec_id, dot_fp, CAST(rn AS INTEGER) AS rn
+         |FROM ranked WHERE rn <= $TopK""".stripMargin,
     // q147's centroid CTE + integer squared distances, stats and the
     // k×mean threshold count replayed per label
     "q182_embedding_outliers" ->

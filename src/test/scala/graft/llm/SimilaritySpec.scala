@@ -375,6 +375,24 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(tie(3L) === 1L && tie(5L) === 2L)
   }
 
+  test("hardNegatives: nearest same-label neighbor (and self) never surface") {
+    import spark.implicits._
+    // query 0 (label a) is IDENTICAL to vec 1 (label a) — the top dot
+    // overall — and close to vec 2 (label b); 3 (label b) is far
+    val vecs = Seq(
+      (0L, "a", Array(1.0f, 0.0f)),
+      (1L, "a", Array(1.0f, 0.0f)),
+      (2L, "b", Array(0.9f, 0.1f)),
+      (3L, "b", Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.hardNegatives(
+        vecs.filter(col("vec_id") === 0L), vecs, 2)
+      .orderBy("rn").collect()
+      .map(r => (r.getLong(1), r.getInt(3)))
+    assert(out.toSeq === Seq((2L, 1), (3L, 2)),
+      "same-label top hit and self excluded; cross-label ranked by dot")
+  }
+
   test("centroidOutlierCard: exact on a known frame, outlier beyond k×mean flagged") {
     import spark.implicits._
     // label a: nine inliers at (1,1) + one far outlier at (9,1) — the
