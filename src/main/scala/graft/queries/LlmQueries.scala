@@ -427,6 +427,33 @@ object LlmQueries {
         min(col("doc_id")).as("keep_doc_id"))
       .filter(col("n_docs") >= 2)
 
+  // ---- q184: dedup savings card ----
+  // What exact dedup actually BUYS, in the unit budgets are written
+  // in: per source, the docs that are a non-first copy of their
+  // normalized fingerprint (q17's survivorship rule) and the tokens
+  // those copies carry, as a ppm savings rate. One fingerprint-keyed
+  // rank window + one source aggregate; token numerators widened to
+  // decimal(38,0)/HUGEINT for 100 TB totals (the q180 precedent).
+  def q184DedupSavings(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("doc_id"))
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        Dedup.fingerprintOrEmpty(col("text")).as("fp"),
+        TextAnalysis.tokenCount(col("text")).cast("bigint").as("n_tok"))
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(col("n_tok")).as("__tt"),
+        sum(when(col("__rn") > 1, col("n_tok")).otherwise(0L)).as("__dt"))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        col("__tt").cast("bigint").as("n_tokens"),
+        col("__dt").cast("bigint").as("dup_tokens"),
+        expr("cast(cast(__dt as decimal(38,0)) * 1000000 " +
+          "div greatest(__tt, 1L) as bigint)").as("savings_ppm"))
+  }
+
   // ---- q180: per-domain corpus mix card ----
   // The CommonCrawl-style domain composition audit a web corpus ships
   // with: documents keyed by the CANONICAL host of their URL (q178's
@@ -1511,6 +1538,7 @@ object LlmQueries {
     "q177_snm_multipass"       -> q177SnmMultipass _,
     "q178_url_dedup_key"       -> q178UrlDedupKey _,
     "q180_domain_mix"          -> q180DomainMix _,
+    "q184_dedup_savings"       -> q184DedupSavings _,
     "q179_memorization_probe"  -> q179MemorizationProbe _,
     "q181_novelty_profile"     -> q181NoveltyProfile _,
     "q153_tokenizer_equity" -> q153TokenizerEquity _,
@@ -2279,6 +2307,22 @@ object LlmQueries {
          |  CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
          |  CAST(min(doc_id) AS BIGINT) AS keep_doc_id
          |FROM n4 GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+    // q17's fingerprint rank window + token counts → per-source
+    // savings arithmetic (HUGEINT numerator)
+    "q184_dedup_savings" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    md5(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))) AS fp,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |r AS (SELECT source, n_tok,
+         |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM d)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN rn > 1 THEN n_tok ELSE 0 END) AS BIGINT) AS dup_tokens,
+         |  CAST(CAST(sum(CASE WHEN rn > 1 THEN n_tok ELSE 0 END) AS HUGEINT)
+         |    * 1000000 // greatest(sum(n_tok), 1) AS BIGINT) AS savings_ppm
+         |FROM r GROUP BY source""".stripMargin,
     // the same synthesized URLs keyed by canonical DOMAIN only (the
     // host steps of the q178 normalizer), shares replayed off totals
     "q180_domain_mix" ->
