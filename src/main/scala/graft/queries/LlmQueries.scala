@@ -487,6 +487,35 @@ object LlmQueries {
           "div greatest(__tt, 1L) as bigint)").as("token_share_ppm"))
   }
 
+  // ---- q185: URL-level split leakage card ----
+  // The q160/q179 leakage axis at the URL layer: a train document
+  // whose CANONICAL URL (q178's key) also appears in the eval slice
+  // is the same page crawled into both splits — leakage no content
+  // hash is needed to prove. The split predicate is a parameter of
+  // the card; the demo split here is doc_id % 7 (q45's % 50
+  // convention is STRUCTURALLY collision-free against the synthetic
+  // URL arithmetic — same-key docs are always congruent mod 200,
+  // hence in the same % 50 class — which would make the card
+  // trivially zero). Scale: keyed projection persisted for its two
+  // split consumers; one distinct + one left join on the key.
+  def q185UrlSplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val keyed = graft.llm.Caches.persistTracked(
+      graft.Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), expr(urlSynthSql).as("url"))
+        .select(col("doc_id"), col("source"),
+          graft.llm.Dedup.normalizeUrl("url").as("uk")))
+    val evalK = keyed.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select(col("uk")).distinct().withColumn("__hit", lit(true))
+    keyed.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      .join(evalK, Seq("uk"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_train_docs"),
+        sum(when(col("__hit"), 1L).otherwise(0L)).as("n_leaked_docs"),
+        countDistinct(when(col("__hit"), col("uk"))).as("n_leaked_keys"))
+      .withColumn("leak_ppm",
+        expr("n_leaked_docs * 1000000L div greatest(n_train_docs, 1L)"))
+  }
+
   private val ProbeGramN = 13
 
   // ---- q179: n-gram memorization / novelty probe ----
@@ -1539,6 +1568,7 @@ object LlmQueries {
     "q178_url_dedup_key"       -> q178UrlDedupKey _,
     "q180_domain_mix"          -> q180DomainMix _,
     "q184_dedup_savings"       -> q184DedupSavings _,
+    "q185_url_split_leakage"   -> q185UrlSplitLeakage _,
     "q179_memorization_probe"  -> q179MemorizationProbe _,
     "q181_novelty_profile"     -> q181NoveltyProfile _,
     "q153_tokenizer_equity" -> q153TokenizerEquity _,
@@ -1562,6 +1592,32 @@ object LlmQueries {
     "q64_pii_sequential"    -> q64PiiSequential _,
     "q65_media_dups"        -> q65MediaDups _,
   )
+
+  /** Shared URL-normalization oracle CTE chain (`u` → `n4`, carrying
+    * doc_id, source, url and the canonical `uk`) — one spelling under
+    * q178's key card and q185's split-leakage card, mirroring
+    * [[graft.llm.Dedup.normalizeUrl]] step for step. */
+  private def urlKeyCtes: String =
+    s"""u AS (SELECT doc_id, source, $urlSynthSql AS url FROM documents),
+       |n1 AS (SELECT doc_id, source, url,
+       |    regexp_replace(url, '#.*$$', '') AS nf FROM u),
+       |n2 AS (SELECT doc_id, source, url,
+       |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |    regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+       |  FROM n1),
+       |n3 AS (SELECT doc_id, source, url, scheme,
+       |    regexp_replace(regexp_replace(
+       |      lower(regexp_extract(rest, '^([^/?]*)', 1)),
+       |      ':(80|443)$$', ''), '^www[.]', '') AS host,
+       |    regexp_replace(rest, '^[^/?]*', '') AS pathq
+       |  FROM n2),
+       |n4 AS (SELECT doc_id, source, url, scheme || '://' || host ||
+       |    regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$$', '') ||
+       |    CASE WHEN qn = '' THEN '' ELSE '?' || qn END AS uk
+       |  FROM (SELECT n3.*, coalesce(array_to_string(list_sort(list_filter(
+       |      string_split(regexp_extract(pathq, '[?](.*)$$', 1), '&'),
+       |      p -> p <> '' AND NOT regexp_matches(p, '^(utm_|fbclid=|gclid=|ref=)'))),
+       |      '&'), '') AS qn FROM n3) x)""".stripMargin
 
   /** Shared md5-13-gram oracle CTE chain (`t` → `g`) mirroring
     * [[md5GramFrame]] — one spelling under both the q179 overlap and
@@ -2281,32 +2337,26 @@ object LlmQueries {
     // the synthesized URL fixture (one spelling with the Spark side)
     // + every normalization step of Dedup.normalizeUrl replayed
     "q178_url_dedup_key" ->
-      s"""WITH u AS (SELECT doc_id, $urlSynthSql AS url FROM documents),
-         |n1 AS (SELECT doc_id, url,
-         |    regexp_replace(url, '#.*$$', '') AS nf FROM u),
-         |n2 AS (SELECT doc_id, url,
-         |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-         |    regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
-         |  FROM n1),
-         |n3 AS (SELECT doc_id, url, scheme,
-         |    regexp_replace(regexp_replace(
-         |      lower(regexp_extract(rest, '^([^/?]*)', 1)),
-         |      ':(80|443)$$', ''), '^www[.]', '') AS host,
-         |    regexp_replace(rest, '^[^/?]*', '') AS pathq
-         |  FROM n2),
-         |n4 AS (SELECT doc_id, url, scheme, host,
-         |    regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$$', '') AS path,
-         |    coalesce(array_to_string(list_sort(list_filter(
-         |      string_split(regexp_extract(pathq, '[?](.*)$$', 1), '&'),
-         |      p -> p <> '' AND NOT regexp_matches(p, '^(utm_|fbclid=|gclid=|ref=)'))),
-         |      '&'), '') AS qn
-         |  FROM n3)
-         |SELECT scheme || '://' || host || path ||
-         |    CASE WHEN qn = '' THEN '' ELSE '?' || qn END AS url_key,
+      s"""WITH $urlKeyCtes
+         |SELECT uk AS url_key,
          |  CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
          |  CAST(min(doc_id) AS BIGINT) AS keep_doc_id
-         |FROM n4 GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+         |FROM n4 GROUP BY uk HAVING count(*) >= 2""".stripMargin,
+    // the shared URL-key chain, eval keys (the % 7 demo split) joined
+    // back against the train side
+    "q185_url_split_leakage" ->
+      s"""WITH $urlKeyCtes,
+         |ev AS (SELECT DISTINCT uk FROM n4 WHERE doc_id % 7 = 0),
+         |tr AS (SELECT n4.source, n4.uk, ev.uk IS NOT NULL AS hit
+         |  FROM n4 LEFT JOIN ev ON n4.uk = ev.uk
+         |  WHERE n4.doc_id % 7 != 0)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_train_docs,
+         |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked_docs,
+         |  CAST(count(DISTINCT CASE WHEN hit THEN uk END) AS BIGINT) AS n_leaked_keys,
+         |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) * 1000000
+         |    // greatest(count(*), 1) AS BIGINT) AS leak_ppm
+         |FROM tr GROUP BY source""".stripMargin,
     // q17's fingerprint rank window + token counts → per-source
     // savings arithmetic (HUGEINT numerator)
     "q184_dedup_savings" ->

@@ -294,6 +294,41 @@ object Streams {
         size(col("__syms")).cast("bigint").as("n_bpe_tokens"))
   }
 
+  /** Streaming decontamination ingest — q45/q68 at ingest time: every
+    * arriving document's winnowed fingerprints are checked against the
+    * STATIC eval set's fingerprints, and contaminated arrivals surface
+    * with the same (doc_id, n_fps, n_shared, contamination_fp) rows
+    * the batch path emits. The eval fingerprint set is bounded (it is
+    * exactly what the Bloom artifact already compresses to driver
+    * scale); here it broadcasts as the EXACT set, so containment is a
+    * row-local lookup — stateless, no watermark, no state store, and
+    * byte-identical to [[graft.llm.Decontaminate.contaminated]] on a
+    * batch frame (StreamingSpec pins stream == batch). The broadcast
+    * is tracked, so [[graft.llm.Caches.unpersistAll]] releases it. */
+  def decontamIngest(stream: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val spark = stream.sparkSession
+    graft.llm.Fingerprint.register(spark)
+    val evalFps = eval
+      .select(expr(s"array_distinct(doc_fingerprints(${qname(textCol)}))").as("fps"))
+      .select(explode(col("fps")).as("fp")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val bc = graft.llm.Caches.broadcastTracked(
+      spark.sparkContext.broadcast(evalFps))
+    val sharedUdf = udf { (fps: Seq[Long]) =>
+      if (fps == null) 0L else fps.count(bc.value.contains).toLong
+    }
+    stream
+      .select(qcol(idCol).as("doc_id"),
+        expr(s"array_distinct(doc_fingerprints(${qname(textCol)}))").as("__fps"))
+      .select(col("doc_id"), size(col("__fps")).cast("bigint").as("n_fps"),
+        sharedUdf(col("__fps")).as("n_shared"))
+      .filter(col("n_shared") > 0)
+      .select(col("doc_id"), col("n_fps"), col("n_shared"),
+        expr("cast(floor(1000000.0 * cast(n_shared as double) " +
+          "/ cast(n_fps as double)) as bigint)").as("contamination_fp"))
+  }
+
   /** Streaming URL-canonicalization ingest — q178's dedup key at
     * crawl time: every arriving document's URL collapses to its
     * canonical form ([[graft.llm.Dedup.normalizeUrl]], the SAME

@@ -251,6 +251,36 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(out == Set((1L, 10L))) // r@1 is outside the 5-minute bound
   }
 
+  test("decontamIngest: contaminated arrivals equal batch decontamination") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evalDoc = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    val eval = Seq((100L, evalDoc)).toDF("doc_id", "text")
+    val rows = Seq(
+      (1L, s"prefix text before the leak $evalDoc suffix text after"),
+      (2L, "completely unrelated content about database systems and " +
+        "distributed query processing at petabyte scale every day"))
+    val input = MemoryStream[(Long, String)]
+    val query = Streams.decontamIngest(
+        input.toDF().toDF("doc_id", "text"), eval, "doc_id", "text")
+      .writeStream.format("memory").queryName("decontam_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      def shape(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      val got = shape(spark.table("decontam_out"))
+      val batch = shape(graft.llm.Decontaminate.contaminated(
+        rows.toDF("doc_id", "text"), eval, "doc_id", "text"))
+      assert(got === batch, "stream must equal the batch exact path")
+      assert(got.map(_._1) === Seq(1L),
+        "only the doc embedding the eval text surfaces")
+      assert(got.head._4 > 0L)
+    } finally query.stop()
+  }
+
   test("urlKeyIngest: canonical keys on a stream equal batch; variants collapse") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
