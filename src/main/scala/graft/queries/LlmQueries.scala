@@ -487,6 +487,34 @@ object LlmQueries {
           "div greatest(__tt, 1L) as bigint)").as("token_share_ppm"))
   }
 
+  // ---- q186: content-keyed split audit (leakage-free assignment) ----
+  // WHY the split key matters: q126 assigns by doc_id hash, so exact
+  // duplicates (same fingerprint, different ids) can straddle
+  // train/val/test — leakage by construction. Keying the SAME
+  // hashSplit by the content fingerprint makes straddling impossible
+  // (one fp ⇒ one hash ⇒ one split). The card measures both schemes
+  // on the same corpus: distinct fps, docs, fps spanning >1 split and
+  // the docs they carry — by_content's zero is re-proven by the
+  // oracle, not assumed. Scale: the fingerprint frame is persisted
+  // for its two scheme consumers; each scheme is one fp-keyed
+  // aggregate folded to one row.
+  def q186ContentSplit(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.llm.Caches.persistTracked(
+      graft.Tables.documents(s, dir).select(col("doc_id"),
+        Dedup.fingerprintOrEmpty(col("text")).as("fp")))
+    def card(keyCol: String, scheme: String): DataFrame =
+      graft.llm.Sampling.hashSplit(d, keyCol, TrainPct, ValPct)
+        .groupBy(col("fp"))
+        .agg(countDistinct(col("split")).as("nsp"), count(lit(1)).as("nd"))
+        .agg(count(lit(1)).as("n_fps"), sum(col("nd")).as("n_docs"),
+          sum(when(col("nsp") > 1, 1L).otherwise(0L)).as("n_straddling_fps"),
+          sum(when(col("nsp") > 1, col("nd")).otherwise(0L)).as("n_straddling_docs"))
+        .select(lit(scheme).as("scheme"), col("n_fps"),
+          col("n_docs").cast("bigint").as("n_docs"),
+          col("n_straddling_fps"), col("n_straddling_docs"))
+    card("doc_id", "by_doc_id").unionByName(card("fp", "by_content"))
+  }
+
   // ---- q185: URL-level split leakage card ----
   // The q160/q179 leakage axis at the URL layer: a train document
   // whose CANONICAL URL (q178's key) also appears in the eval slice
@@ -1569,6 +1597,7 @@ object LlmQueries {
     "q180_domain_mix"          -> q180DomainMix _,
     "q184_dedup_savings"       -> q184DedupSavings _,
     "q185_url_split_leakage"   -> q185UrlSplitLeakage _,
+    "q186_content_split"       -> q186ContentSplit _,
     "q179_memorization_probe"  -> q179MemorizationProbe _,
     "q181_novelty_profile"     -> q181NoveltyProfile _,
     "q153_tokenizer_equity" -> q153TokenizerEquity _,
@@ -2357,6 +2386,32 @@ object LlmQueries {
          |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) * 1000000
          |    // greatest(count(*), 1) AS BIGINT) AS leak_ppm
          |FROM tr GROUP BY source""".stripMargin,
+    // both split keyings replayed over one fingerprint CTE; the
+    // by_content row's zero straddling is re-proven, not assumed
+    "q186_content_split" -> {
+      def schemeSql(keyExpr: String, label: String): String =
+        s"""SELECT '$label' AS scheme, CAST(count(*) AS BIGINT) AS n_fps,
+           |  CAST(sum(nd) AS BIGINT) AS n_docs,
+           |  CAST(sum(CASE WHEN nsp > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_straddling_fps,
+           |  CAST(sum(CASE WHEN nsp > 1 THEN nd ELSE 0 END) AS BIGINT)
+           |    AS n_straddling_docs
+           |FROM (SELECT fp, CAST(count(DISTINCT split) AS BIGINT) AS nsp,
+           |    CAST(count(*) AS BIGINT) AS nd
+           |  FROM (SELECT fp, CASE
+           |      WHEN ('0x' || substr(md5($keyExpr), 1, 8))::BIGINT % 100
+           |        < $TrainPct THEN 'train'
+           |      WHEN ('0x' || substr(md5($keyExpr), 1, 8))::BIGINT % 100
+           |        < ${TrainPct + ValPct} THEN 'val'
+           |      ELSE 'test' END AS split FROM d) y
+           |  GROUP BY fp) z""".stripMargin
+      s"""WITH d AS (SELECT doc_id,
+         |    md5(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))) AS fp
+         |  FROM documents)
+         |${schemeSql("CAST(doc_id AS VARCHAR)", "by_doc_id")}
+         |UNION ALL
+         |${schemeSql("fp", "by_content")}""".stripMargin
+    },
     // q17's fingerprint rank window + token counts → per-source
     // savings arithmetic (HUGEINT numerator)
     "q184_dedup_savings" ->

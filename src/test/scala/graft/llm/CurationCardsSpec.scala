@@ -117,6 +117,25 @@ class CurationCardsSpec extends AnyFunSuite with SparkTestSession {
       "union of passes must strictly dominate the forward pass")
   }
 
+  test("content-keyed split cannot straddle a duplicate; doc_id-keyed split can") {
+    // ids 1 (hash bucket 60 → train) and 20 (bucket 96 → test) carry
+    // IDENTICAL text: the doc_id keying puts the two copies in
+    // different splits, the fp keying cannot
+    val df = Seq((1L, "same exact text"), (20L, "same exact text"),
+      (2L, "something else")).toDF("doc_id", "text")
+    val d = df.select(col("doc_id"),
+      Dedup.fingerprintOrEmpty(col("text")).as("fp"))
+    def straddles(keyCol: String): Long =
+      Sampling.hashSplit(d, keyCol, 90, 5)
+        .groupBy(col("fp"))
+        .agg(countDistinct(col("split")).as("nsp"))
+        .filter(col("nsp") > 1).count()
+    assert(straddles("doc_id") === 1L,
+      "the planted duplicate must straddle under doc_id keying")
+    assert(straddles("fp") === 0L,
+      "one fp -> one hash -> one split: straddling is impossible")
+  }
+
   test("normalizeUrl: case, www, ports, slash, fragment, tracking params, order") {
     val df = Seq(
       (1L, "HTTPS://WWW.Example.COM:443/A/b/?b=2&utm_source=x&a=1#frag"),
