@@ -487,6 +487,33 @@ object LlmQueries {
           "div greatest(__tt, 1L) as bigint)").as("token_share_ppm"))
   }
 
+  private val BoilerMinDf = 3
+  private val BoilerTopK = 50
+
+  // ---- q187: boilerplate span mining ----
+  // The C4-style boilerplate detector's evidence: 13-gram spans
+  // recurring across MANY documents (doc frequency ≥ BoilerMinDf) are
+  // headers/footers/licenses, not content — ranked by df with the
+  // gram as tiebreak. Grams are per-doc DISTINCT (a doc repeating its
+  // own span is repetition — q37's axis — not boilerplate). Scale:
+  // one gram-keyed partial-aggregating count; the rank window runs
+  // over the df-filtered sliver only (the q146 emerging-terms
+  // precedent), never the full gram stream.
+  def q187Boilerplate(s: SparkSession, dir: String): DataFrame = {
+    val g = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        TextAnalysis.wordNgrams("__toks", ProbeGramN).as("__gs"))
+      .select(col("doc_id"),
+        explode(expr("array_distinct(__gs)")).as("gram"))
+    val f = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= BoilerMinDf)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("df").desc, col("gram").asc)
+    f.withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= BoilerTopK)
+  }
+
   // ---- q186: content-keyed split audit (leakage-free assignment) ----
   // WHY the split key matters: q126 assigns by doc_id hash, so exact
   // duplicates (same fingerprint, different ids) can straddle
@@ -1598,6 +1625,7 @@ object LlmQueries {
     "q184_dedup_savings"       -> q184DedupSavings _,
     "q185_url_split_leakage"   -> q185UrlSplitLeakage _,
     "q186_content_split"       -> q186ContentSplit _,
+    "q187_boilerplate"         -> q187Boilerplate _,
     "q179_memorization_probe"  -> q179MemorizationProbe _,
     "q181_novelty_profile"     -> q181NoveltyProfile _,
     "q153_tokenizer_equity" -> q153TokenizerEquity _,
@@ -2386,6 +2414,20 @@ object LlmQueries {
          |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) * 1000000
          |    // greatest(count(*), 1) AS BIGINT) AS leak_ppm
          |FROM tr GROUP BY source""".stripMargin,
+    // per-doc distinct 13-gram strings → doc frequency → ranked slice
+    "q187_boilerplate" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(toks) >= $ProbeGramN
+         |      THEN list_transform(range(1, len(toks) - ${ProbeGramN - 2}),
+         |        i -> array_to_string(toks[i:i+${ProbeGramN - 1}], ' '))
+         |      ELSE [] END)) AS gram FROM t),
+         |f AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM g
+         |  GROUP BY gram HAVING count(*) >= $BoilerMinDf),
+         |r AS (SELECT gram, df,
+         |    row_number() OVER (ORDER BY df DESC, gram) AS rn FROM f)
+         |SELECT gram, df, CAST(rn AS BIGINT) AS rn FROM r
+         |WHERE rn <= $BoilerTopK""".stripMargin,
     // both split keyings replayed over one fingerprint CTE; the
     // by_content row's zero straddling is re-proven, not assumed
     "q186_content_split" -> {
