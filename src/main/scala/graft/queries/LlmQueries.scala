@@ -487,6 +487,37 @@ object LlmQueries {
           "div greatest(__tt, 1L) as bigint)").as("token_share_ppm"))
   }
 
+  private val PadBuckets = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L,
+    2048L, 4096L, 8192L)
+
+  /** Power-of-two padding bucket of `n_tok` — ONE SQL spelling (plain
+    * integer CASE chain; log2/pow would be float and not replayable)
+    * embedded in both the Spark side and the oracle. */
+  private val padBucketSql: String =
+    "CASE " + PadBuckets.map(b => s"WHEN n_tok <= $b THEN $b").mkString(" ") +
+      " ELSE 16384 END"
+
+  // ---- q188: padding-waste card (length-bucketed batching) ----
+  // The OTHER batching strategy next to q44/q140's packing: pad every
+  // sequence up to its power-of-two length bucket. This card prices
+  // that choice — per bucket, how many tokens the padding burns (ppm
+  // of the padded volume) — the evidence that picks packing over
+  // padding (or sizes the buckets). One row-local bucket projection +
+  // one bucket aggregate; waste numerators widened to
+  // decimal(38,0)/HUGEINT (padded totals × 10⁶ overflow BIGINT at
+  // corpus scale).
+  def q188PaddingWaste(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.documents(s, dir)
+      .select(TextAnalysis.tokenCount(col("text")).cast("bigint").as("n_tok"))
+      .select(col("n_tok"), expr(padBucketSql).cast("bigint").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("__st"))
+      .select(col("bucket"), col("n_docs"),
+        col("__st").cast("bigint").as("n_tokens"),
+        (col("n_docs") * col("bucket")).as("padded_tokens"),
+        expr("cast(cast(n_docs * bucket - __st as decimal(38,0)) * 1000000 " +
+          "div greatest(n_docs * bucket, 1L) as bigint)").as("waste_ppm"))
+
   private val BoilerMinDf = 3
   private val BoilerTopK = 50
 
@@ -1626,6 +1657,7 @@ object LlmQueries {
     "q185_url_split_leakage"   -> q185UrlSplitLeakage _,
     "q186_content_split"       -> q186ContentSplit _,
     "q187_boilerplate"         -> q187Boilerplate _,
+    "q188_padding_waste"       -> q188PaddingWaste _,
     "q179_memorization_probe"  -> q179MemorizationProbe _,
     "q181_novelty_profile"     -> q181NoveltyProfile _,
     "q153_tokenizer_equity" -> q153TokenizerEquity _,
@@ -2414,6 +2446,17 @@ object LlmQueries {
          |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) * 1000000
          |    // greatest(count(*), 1) AS BIGINT) AS leak_ppm
          |FROM tr GROUP BY source""".stripMargin,
+    // the shared bucket CASE chain + per-bucket padding arithmetic
+    "q188_padding_waste" ->
+      s"""WITH d AS (SELECT CAST(len($toksSql) AS BIGINT) AS n_tok FROM documents),
+         |b AS (SELECT n_tok, $padBucketSql AS bucket FROM d)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) * bucket AS BIGINT) AS padded_tokens,
+         |  CAST(CAST(count(*) * bucket - sum(n_tok) AS HUGEINT) * 1000000
+         |    // greatest(count(*) * bucket, 1) AS BIGINT) AS waste_ppm
+         |FROM b GROUP BY bucket""".stripMargin,
     // per-doc distinct 13-gram strings → doc frequency → ranked slice
     "q187_boilerplate" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -313,7 +313,34 @@ object TemporalQueries {
         col("mean_before"), col("mean_after"), col("shift_ppm"))
   }
 
+  private val RetentionDays = 30L
+  private val UsPerDay = 86400000000L
+
+  // ---- q189: retention / TTL audit ----
+  // The governance card a data-retention policy is enforced against:
+  // per event type, how much of the stream is already past the
+  // retention horizon (anchor = the stream's own max event time, the
+  // q150 anchor pattern — no wall clock, so the card replays
+  // identically forever). The skinny (type, us) projection feeds the
+  // anchor aggregate AND the per-type rollup (persisted — the
+  // two-consumer rule); the anchor rides one broadcast scalar row.
+  def q189RetentionAudit(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.llm.Caches.persistTracked(
+      ev(s, dir).select(col("event_type"), col("us")))
+    val anchor = e.agg(max(col("us")).as("__a"))
+    e.crossJoin(broadcast(anchor))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("us") < col("__a") - lit(RetentionDays * UsPerDay), 1L)
+          .otherwise(0L)).as("n_expired"),
+        expr(s"cast((max(__a) - min(us)) div ${UsPerDay}L as bigint)")
+          .as("oldest_age_days"))
+      .withColumn("expired_ppm",
+        expr("n_expired * 1000000L div greatest(n_events, 1L)"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_retention_audit" -> q189RetentionAudit _,
     "q110_transitions" -> q110Transitions _,
     "q129_conversion_latency" -> q129ConversionLatency _,
     "q130_change_point" -> q130ChangePoint _,
@@ -331,6 +358,18 @@ object TemporalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // stream-anchored horizon + per-type expiry arithmetic
+    "q189_retention_audit" ->
+      s"""WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS us FROM events),
+         |a AS (SELECT max(us) AS a FROM e)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(CASE WHEN us < a - ${RetentionDays * UsPerDay}
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_expired,
+         |  CAST((a - min(us)) // $UsPerDay AS BIGINT) AS oldest_age_days,
+         |  CAST(sum(CASE WHEN us < a - ${RetentionDays * UsPerDay}
+         |    THEN 1 ELSE 0 END) * 1000000
+         |    // greatest(count(*), 1) AS BIGINT) AS expired_ppm
+         |FROM e, a GROUP BY event_type, a""".stripMargin,
     // plain inequality join + window with the identical tie rule
     // (max ts, then max event_id) — exact semantics, small-scale form
     "q34_asof_join" ->
