@@ -91,6 +91,32 @@ object SimilarityQueries {
     graft.llm.Dedup.connectedComponents(docs.select(col("doc_id")), edges)
   }
 
+  // ---- q190: cluster-keyed split audit ----
+  // q186 proves exact duplicates need a content-keyed split; this is
+  // the stronger production guarantee: NEAR-dup clusters (q38's
+  // audited transitive closure) must not straddle train/val/test
+  // either, and keying the split by cluster_id makes that impossible
+  // by construction. Both keyings measured over the same clusters;
+  // the doc_id keying's straddle count IS the leakage a naive split
+  // ships. Scale: the cluster frame is persisted for its two scheme
+  // consumers; each scheme is one cluster-keyed aggregate.
+  def q190ClusterSplit(s: SparkSession, dir: String): DataFrame = {
+    val clusters = graft.llm.Caches.persistTracked(q38DedupClusters(s, dir))
+    def card(keyCol: String, scheme: String): DataFrame =
+      graft.llm.Sampling.hashSplit(clusters, keyCol, LeakTrainPct, LeakValPct)
+        .groupBy(col("cluster_id"))
+        .agg(countDistinct(col("split")).as("nsp"), count(lit(1)).as("nd"))
+        .agg(count(lit(1)).as("n_clusters"), sum(col("nd")).as("n_docs"),
+          sum(when(col("nsp") > 1, 1L).otherwise(0L))
+            .as("n_straddling_clusters"),
+          sum(when(col("nsp") > 1, col("nd")).otherwise(0L))
+            .as("n_straddling_docs"))
+        .select(lit(scheme).as("scheme"), col("n_clusters"),
+          col("n_docs").cast("bigint").as("n_docs"),
+          col("n_straddling_clusters"), col("n_straddling_docs"))
+    card("doc_id", "by_doc_id").unionByName(card("cluster_id", "by_cluster"))
+  }
+
   // ---- q151: cluster-size histogram (duplication-mass card) ----
   // The readout that decides a dedup budget: HOW the duplication mass
   // distributes — many pairs, or a few giant clusters? One aggregate
@@ -825,6 +851,7 @@ object SimilarityQueries {
     "q176_ivfadc_loaded" -> q176IvfAdcLoaded _,
     "q182_embedding_outliers" -> q182EmbeddingOutliers _,
     "q183_hard_negatives" -> q183HardNegatives _,
+    "q190_cluster_split" -> q190ClusterSplit _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -1607,6 +1634,29 @@ object SimilarityQueries {
     "q92_ivfadc"        -> q92Sql,
     // loaded-codebook serve path is byte-identical ⇒ shares q92's oracle
     "q176_ivfadc_loaded" -> q92Sql,
+    // q38's closure + both split keyings, straddle counts per scheme
+    "q190_cluster_split" -> {
+      def schemeSql(keyExpr: String, label: String): String =
+        s"""SELECT '$label' AS scheme, CAST(count(*) AS BIGINT) AS n_clusters,
+           |  CAST(sum(nd) AS BIGINT) AS n_docs,
+           |  CAST(sum(CASE WHEN nsp > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_straddling_clusters,
+           |  CAST(sum(CASE WHEN nsp > 1 THEN nd ELSE 0 END) AS BIGINT)
+           |    AS n_straddling_docs
+           |FROM (SELECT cluster_id, CAST(count(DISTINCT split) AS BIGINT) AS nsp,
+           |    CAST(count(*) AS BIGINT) AS nd
+           |  FROM (SELECT cluster_id, CASE
+           |      WHEN ('0x' || substr(md5($keyExpr), 1, 8))::BIGINT % 100
+           |        < $LeakTrainPct THEN 'train'
+           |      WHEN ('0x' || substr(md5($keyExpr), 1, 8))::BIGINT % 100
+           |        < ${LeakTrainPct + LeakValPct} THEN 'val'
+           |      ELSE 'test' END AS split FROM cl) y
+           |  GROUP BY cluster_id) z""".stripMargin
+      s"""WITH cl AS ($q38Sql)
+         |${schemeSql("CAST(doc_id AS VARCHAR)", "by_doc_id")}
+         |UNION ALL
+         |${schemeSql("CAST(cluster_id AS VARCHAR)", "by_cluster")}""".stripMargin
+    },
     // q23's ranking replay with the null-safe cross-label exclusion
     "q183_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql
