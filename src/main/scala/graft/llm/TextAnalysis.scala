@@ -142,6 +142,32 @@ object TextAnalysis {
          | ELSE array() END""".stripMargin)
   }
 
+  /** Cross-document boilerplate spans: n-gram strings occurring in at
+    * least `minDf` DISTINCT documents (per-doc distinct, so a doc
+    * repeating its own span is repetition — [[dup3gramFp]]'s axis —
+    * not boilerplate), ranked by doc frequency with the gram as the
+    * deterministic tiebreak, top `topK` kept. ONE spelling under the
+    * q187 card and the streaming filter twin
+    * ([[graft.streaming.Streams.boilerplateIngest]]). Scale: one
+    * gram-keyed partial-aggregating count; the rank window runs over
+    * the df-filtered sliver only, never the full gram stream. */
+  def boilerplateGrams(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDf: Long, topK: Int): DataFrame = {
+    require(minDf >= 2, "a boilerplate span must recur across documents")
+    require(topK > 0, "topK must be positive")
+    val qi = graft.Names.quoted(idCol)
+    val qt = graft.Names.quoted(textCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("df").desc, col("gram").asc)
+    docs.select(col(qi).as("doc_id"), tokens(col(qt)).as("__toks"))
+      .select(col("doc_id"), wordNgrams("__toks", n).as("__gs"))
+      .select(col("doc_id"), explode(expr("array_distinct(__gs)")).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= topK)
+  }
+
   /** Fraction (millionths) of word 3-grams that are repeats of an
     * earlier 3-gram in the same doc — the Gopher-style repetition
     * signal. Row-local list arithmetic, no shuffle. */

@@ -530,20 +530,9 @@ object LlmQueries {
   // one gram-keyed partial-aggregating count; the rank window runs
   // over the df-filtered sliver only (the q146 emerging-terms
   // precedent), never the full gram stream.
-  def q187Boilerplate(s: SparkSession, dir: String): DataFrame = {
-    val g = graft.Tables.documents(s, dir)
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
-      .select(col("doc_id"),
-        TextAnalysis.wordNgrams("__toks", ProbeGramN).as("__gs"))
-      .select(col("doc_id"),
-        explode(expr("array_distinct(__gs)")).as("gram"))
-    val f = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= BoilerMinDf)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("df").desc, col("gram").asc)
-    f.withColumn("rn", row_number().over(w).cast("bigint"))
-      .filter(col("rn") <= BoilerTopK)
-  }
+  def q187Boilerplate(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.boilerplateGrams(graft.Tables.documents(s, dir),
+      "doc_id", "text", ProbeGramN, BoilerMinDf, BoilerTopK)
 
   // ---- q186: content-keyed split audit (leakage-free assignment) ----
   // WHY the split key matters: q126 assigns by doc_id hash, so exact

@@ -117,6 +117,33 @@ object SimilarityQueries {
     card("doc_id", "by_doc_id").unionByName(card("cluster_id", "by_cluster"))
   }
 
+  // ---- q191: dedup-weighted token budget ----
+  // What the training budget looks like under each dedup policy, per
+  // source: raw tokens, representative-only tokens (keep the lowest
+  // id per q38 cluster — the hard-dedup budget), and the soft
+  // "count once" weighting (each doc at weight 1/cluster_size, in
+  // ppm-tokens) that recent data-mixture work prefers to hard drops.
+  // Scale: cluster sizes are one cluster-keyed aggregate; the rollup
+  // joins skinny id/size frames; ppm-token sums accumulate in
+  // decimal(38,0)/HUGEINT.
+  def q191DedupBudget(s: SparkSession, dir: String): DataFrame = {
+    val clusters = graft.llm.Caches.persistTracked(q38DedupClusters(s, dir))
+    val sized = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("csz"), min(col("doc_id")).as("rep"))
+    val toks = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        graft.llm.TextAnalysis.tokenCount(col("text")).cast("bigint")
+          .as("n_tok"))
+    toks.join(clusters, Seq("doc_id")).join(sized, Seq("cluster_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("bigint").as("n_tokens"),
+        sum(when(col("doc_id") === col("rep"), col("n_tok")).otherwise(0L))
+          .cast("bigint").as("rep_tokens"),
+        expr("cast(sum(cast(n_tok * 1000000L div csz as decimal(38,0))) " +
+          "as bigint)").as("weighted_tokens_ppm"))
+  }
+
   // ---- q151: cluster-size histogram (duplication-mass card) ----
   // The readout that decides a dedup budget: HOW the duplication mass
   // distributes — many pairs, or a few giant clusters? One aggregate
@@ -852,6 +879,7 @@ object SimilarityQueries {
     "q182_embedding_outliers" -> q182EmbeddingOutliers _,
     "q183_hard_negatives" -> q183HardNegatives _,
     "q190_cluster_split" -> q190ClusterSplit _,
+    "q191_dedup_budget" -> q191DedupBudget _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -1634,6 +1662,22 @@ object SimilarityQueries {
     "q92_ivfadc"        -> q92Sql,
     // loaded-codebook serve path is byte-identical ⇒ shares q92's oracle
     "q176_ivfadc_loaded" -> q92Sql,
+    // q38's closure + token counts: raw, representative-only, and
+    // 1/cluster_size-weighted ppm-token budgets per source
+    "q191_dedup_budget" ->
+      s"""WITH cl AS ($q38Sql),
+         |tk AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS csz,
+         |    min(doc_id) AS rep FROM cl GROUP BY cluster_id),
+         |j AS (SELECT tk.source, tk.n_tok, cl.doc_id, sz.csz, sz.rep
+         |  FROM tk JOIN cl USING (doc_id) JOIN sz USING (cluster_id))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN doc_id = rep THEN n_tok ELSE 0 END) AS BIGINT)
+         |    AS rep_tokens,
+         |  CAST(sum(n_tok * 1000000 // csz) AS BIGINT) AS weighted_tokens_ppm
+         |FROM j GROUP BY source""".stripMargin,
     // q38's closure + both split keyings, straddle counts per scheme
     "q190_cluster_split" -> {
       def schemeSql(keyExpr: String, label: String): String =

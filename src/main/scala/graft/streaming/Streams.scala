@@ -294,6 +294,40 @@ object Streams {
         size(col("__syms")).cast("bigint").as("n_bpe_tokens"))
   }
 
+  /** Streaming boilerplate screen — q187 at ingest time: the top
+    * boilerplate spans are mined ONCE from the STATIC corpus
+    * ([[graft.llm.TextAnalysis.boilerplateGrams]], the same spelling
+    * as the batch card), and each arriving document reports how many
+    * of its distinct n-grams are known boilerplate plus the ppm
+    * share. The trained list is ≤ topK gram strings — a kilobyte
+    * broadcast — so the check is row-local: stateless, no watermark,
+    * identical on a batch frame (StreamingSpec pins stream == batch).
+    * The broadcast is tracked for [[graft.llm.Caches.unpersistAll]]. */
+  def boilerplateIngest(stream: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, n: Int = 13, minDf: Long = 3L,
+      topK: Int = 50): DataFrame = {
+    import graft.llm.TextAnalysis
+    val spark = stream.sparkSession
+    val boiler = TextAnalysis.boilerplateGrams(corpus, idCol, textCol,
+        n, minDf, topK)
+      .select(col("gram")).collect().map(_.getString(0)).toSet
+    val bc = graft.llm.Caches.broadcastTracked(
+      spark.sparkContext.broadcast(boiler))
+    val hitsUdf = udf { (gs: Seq[String]) =>
+      if (gs == null) 0L else gs.count(bc.value.contains).toLong
+    }
+    stream
+      .select(qcol(idCol).as("doc_id"),
+        TextAnalysis.tokens(qcol(textCol)).as("__toks"))
+      .select(col("doc_id"),
+        TextAnalysis.wordNgrams("__toks", n).as("__gs0"))
+      .select(col("doc_id"), expr("array_distinct(__gs0)").as("__gs"))
+      .select(col("doc_id"), size(col("__gs")).cast("bigint").as("n_grams"),
+        hitsUdf(col("__gs")).as("n_boiler"))
+      .withColumn("boiler_ppm", expr(
+        "case when n_grams > 0 then n_boiler * 1000000L div n_grams else 0L end"))
+  }
+
   /** Streaming decontamination ingest — q45/q68 at ingest time: every
     * arriving document's winnowed fingerprints are checked against the
     * STATIC eval set's fingerprints, and contaminated arrivals surface

@@ -251,6 +251,42 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(out == Set((1L, 10L))) // r@1 is outside the 5-minute bound
   }
 
+  test("boilerplateIngest: corpus-mined spans flag arrivals; stream == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // a 13-word span shared by three corpus docs IS boilerplate; the
+    // per-doc unique prefix grams stay below minDf
+    val span = "this is the standard legal disclaimer footer text " +
+      "for every document here now"
+    val corpus = Seq((1L, s"aaa $span"), (2L, s"bbb $span"),
+      (3L, s"ccc $span")).toDF("doc_id", "text")
+    val rows = Seq(
+      (100L, s"xxx $span"),
+      (101L, "entirely fresh words that never appeared in the corpus " +
+        "so nothing here can possibly be known boilerplate at all"))
+    val input = MemoryStream[(Long, String)]
+    val query = Streams.boilerplateIngest(
+        input.toDF().toDF("doc_id", "text"), corpus, "doc_id", "text")
+      .writeStream.format("memory").queryName("boiler_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      def shape(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      val got = shape(spark.table("boiler_out"))
+      assert(got.head._1 === 100L && got.head._3 === 1L,
+        "the arrival embedding the span must count one boilerplate gram")
+      assert(got.head._4 > 0L)
+      assert(got(1)._3 === 0L && got(1)._4 === 0L,
+        "fresh content must count zero")
+      val batch = shape(Streams.boilerplateIngest(
+        rows.toDF("doc_id", "text"), corpus, "doc_id", "text"))
+      assert(got === batch, "stream must equal batch exactly")
+    } finally query.stop()
+  }
+
   test("decontamIngest: contaminated arrivals equal batch decontamination") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
