@@ -106,6 +106,26 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkTestSession {
       s"scan reads more columns than the query needs: $readSchema")
   }
 
+  test("q178's URL canonicalization is pure codegen — no UDF in the plan") {
+    // the key derivation must run at scan speed: regexp + higher-order
+    // array ops only, never a ScalaUDF (which would break whole-stage
+    // codegen on the hottest projection of the web-dedup path)
+    val plan = SparkEntry.queries("q178_url_dedup_key")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"UDF leaked into the URL-key plan:\n${plan.take(1500)}")
+  }
+
+  test("q183's label exclusion adds no exchange over q23's top-k plan") {
+    def exchanges(name: String): Int =
+      "Exchange".r.findAllIn(SparkEntry.queries(name)(
+        spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString).length
+    // hard negatives = q23's broadcast + two-level selection with a
+    // filter INSIDE the scored stage — same shuffle budget exactly
+    assert(exchanges("q183_hard_negatives") == exchanges("q23_embed_topk"),
+      "the cross-label filter must ride the existing stages")
+  }
+
   test("GraftExtensions installs native functions via spark.sql.extensions") {
     // newSession(): empty per-session function registry (no UDFs
     // registered by other specs) but the app-level extensions apply —
