@@ -534,6 +534,56 @@ object LlmQueries {
     TextAnalysis.boilerplateGrams(graft.Tables.documents(s, dir),
       "doc_id", "text", ProbeGramN, BoilerMinDf, BoilerTopK)
 
+  // ---- q192: train→eval contamination provenance matrix ----
+  // q179 says HOW MUCH of each train source overlaps the eval slice;
+  // this says WHOSE eval content it is: distinct shared 13-grams per
+  // (train source, eval source) pair — the provenance a cleanup acts
+  // on (drop the train source, or re-split the eval set). Rides the
+  // SAME persisted md5-gram frame; the pair matrix is
+  // source²-bounded.
+  def q192ContaminationMatrix(s: SparkSession, dir: String): DataFrame = {
+    val g = md5GramFrame(s, dir)
+    val ev = g.filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select(col("source").as("eval_source"), explode(col("gs")).as("gk"))
+      .distinct()
+    val tr = g.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      .select(col("source").as("train_source"), explode(col("gs")).as("gk"))
+      .distinct()
+    tr.join(ev, Seq("gk"))
+      .groupBy(col("train_source"), col("eval_source"))
+      .agg(countDistinct(col("gk")).as("n_shared_grams"))
+  }
+
+  private val QualitySweepThresholds = Seq(300000L, 500000L, 700000L, 900000L)
+
+  // ---- q193: quality-cutoff sweep card ----
+  // The S-curve that picks a quality filter threshold BEFORE anyone
+  // deletes data: per candidate cutoff, the docs and tokens that
+  // survive `quality_fp >= thr` with ppm shares — q20's score, q173's
+  // sweep discipline. One corpus pass computes every threshold's sums
+  // (a stack over one aggregate row — no per-threshold rescan);
+  // token numerators widened to decimal(38,0)/HUGEINT.
+  def q193QualitySweep(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.documents(s, dir)
+      .select(TextAnalysis.qualityScoreFp("text").as("q"),
+        TextAnalysis.tokenCount(col("text")).cast("bigint").as("n_tok"))
+    val sums = QualitySweepThresholds.zipWithIndex.flatMap { case (t, i) =>
+      Seq(sum(when(col("q") >= t, 1L).otherwise(0L)).as(s"d_$i"),
+        sum(when(col("q") >= t, col("n_tok")).otherwise(0L)).as(s"t_$i"))
+    } ++ Seq(count(lit(1)).as("nd"), sum(col("n_tok")).as("nt"))
+    val stackArgs = QualitySweepThresholds.indices
+      .map(i => s"${QualitySweepThresholds(i)}L, d_$i, t_$i").mkString(", ")
+    d.agg(sums.head, sums.tail: _*)
+      .selectExpr(s"stack(${QualitySweepThresholds.size}, $stackArgs) " +
+        "AS (thr_fp, n_docs_kept, n_tokens_kept)", "nd", "nt")
+      .select(col("thr_fp"), col("n_docs_kept"),
+        col("n_tokens_kept").cast("bigint").as("n_tokens_kept"),
+        expr("n_docs_kept * 1000000L div greatest(nd, 1L)")
+          .as("docs_kept_ppm"),
+        expr("cast(cast(n_tokens_kept as decimal(38,0)) * 1000000 " +
+          "div greatest(nt, 1L) as bigint)").as("tokens_kept_ppm"))
+  }
+
   // ---- q186: content-keyed split audit (leakage-free assignment) ----
   // WHY the split key matters: q126 assigns by doc_id hash, so exact
   // duplicates (same fingerprint, different ids) can straddle
@@ -1647,6 +1697,8 @@ object LlmQueries {
     "q186_content_split"       -> q186ContentSplit _,
     "q187_boilerplate"         -> q187Boilerplate _,
     "q188_padding_waste"       -> q188PaddingWaste _,
+    "q192_contamination_matrix" -> q192ContaminationMatrix _,
+    "q193_quality_sweep"       -> q193QualitySweep _,
     "q179_memorization_probe"  -> q179MemorizationProbe _,
     "q181_novelty_profile"     -> q181NoveltyProfile _,
     "q153_tokenizer_equity" -> q153TokenizerEquity _,
@@ -2435,6 +2487,39 @@ object LlmQueries {
          |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) * 1000000
          |    // greatest(count(*), 1) AS BIGINT) AS leak_ppm
          |FROM tr GROUP BY source""".stripMargin,
+    // the shared gram chain, eval/train gram sets tagged by source,
+    // distinct shared grams per pair
+    "q192_contamination_matrix" ->
+      s"""WITH $gramCtes,
+         |ev AS (SELECT DISTINCT source AS eval_source, unnest(gs) AS gk
+         |  FROM g WHERE doc_id % 50 = 0),
+         |tr AS (SELECT DISTINCT source AS train_source, unnest(gs) AS gk
+         |  FROM g WHERE doc_id % 50 != 0)
+         |SELECT train_source, eval_source,
+         |  CAST(count(DISTINCT gk) AS BIGINT) AS n_shared_grams
+         |FROM tr JOIN ev USING (gk)
+         |GROUP BY train_source, eval_source""".stripMargin,
+    // q20's score crossed with every threshold in one pass
+    "q193_quality_sweep" -> {
+      val thrRows = QualitySweepThresholds.map(t => s"($t)").mkString(", ")
+      s"""WITH d AS (SELECT CAST($qualityFpSql AS BIGINT) AS q,
+         |    CAST(len(toks) AS BIGINT) AS n_tok
+         |  FROM (SELECT text, $toksSql AS toks FROM documents) x),
+         |t(thr_fp) AS (VALUES $thrRows),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+         |    CAST(sum(n_tok) AS BIGINT) AS nt FROM d)
+         |SELECT CAST(t.thr_fp AS BIGINT) AS thr_fp,
+         |  CAST(sum(CASE WHEN d.q >= t.thr_fp THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_docs_kept,
+         |  CAST(sum(CASE WHEN d.q >= t.thr_fp THEN d.n_tok ELSE 0 END) AS BIGINT)
+         |    AS n_tokens_kept,
+         |  CAST(sum(CASE WHEN d.q >= t.thr_fp THEN 1 ELSE 0 END) * 1000000
+         |    // greatest(a.nd, 1) AS BIGINT) AS docs_kept_ppm,
+         |  CAST(CAST(sum(CASE WHEN d.q >= t.thr_fp THEN d.n_tok ELSE 0 END)
+         |    AS HUGEINT) * 1000000 // greatest(a.nt, 1) AS BIGINT)
+         |    AS tokens_kept_ppm
+         |FROM t CROSS JOIN d, a GROUP BY t.thr_fp, a.nd, a.nt""".stripMargin
+    },
     // the shared bucket CASE chain + per-bucket padding arithmetic
     "q188_padding_waste" ->
       s"""WITH d AS (SELECT CAST(len($toksSql) AS BIGINT) AS n_tok FROM documents),
