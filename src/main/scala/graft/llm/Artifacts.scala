@@ -146,11 +146,20 @@ object Artifacts {
     * the way the reference ships its computed layers
     * (`sync_df_to_pgdb.py:188-252` stages then publishes). */
   def saveFingerprintIndex(path: String, index: DataFrame): Unit =
-    index.write.mode("overwrite").parquet(path)
+    saveIndexFrame(path, index)
 
   /** The index back, schema-intact — ready to be the corpus side of
     * [[Dedup.incrementalByFp]]. */
   def loadFingerprintIndex(spark: SparkSession, path: String): DataFrame =
+    loadIndexFrame(spark, path)
+
+  /** Persist any corpus-sized index frame (the fingerprint index, the
+    * LSH band index) as a DISTRIBUTED parquet table — partitioned
+    * write, no `repartition(1)` funnel, no driver collect on load. */
+  def saveIndexFrame(path: String, index: DataFrame): Unit =
+    index.write.mode("overwrite").parquet(path)
+
+  def loadIndexFrame(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
   // ---------- Stable on-disk artifact catalog ----------

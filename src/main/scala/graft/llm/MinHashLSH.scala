@@ -130,8 +130,16 @@ object MinHashLSH {
     * pairs and its collect_list is one m-element row — at corpus scale
     * cap this; boilerplate-heavy buckets carry no near-dup signal
     * worth quadratic work). */
-  def candidatePairsFromSets(sets: DataFrame, numHashes: Int, rowsPerBand: Int,
-      maxBucketSize: Int = 0): DataFrame = {
+  /** (doc_id, band_id, band_key) — the banded signature index, the
+    * SHIPPABLE near-dup state: persist it once
+    * ([[graft.llm.Artifacts]]) and an ingest batch needs only ITS OWN
+    * bands plus one equi-join to find which corpus docs it may
+    * duplicate (q194) — the corpus is never re-signatured per batch.
+    * Also the internal first stage of [[candidatePairsFromSets]], so
+    * the shipped index and the in-session pair generator can never
+    * disagree about what a band IS. */
+  def bandIndexFromSets(sets: DataFrame, numHashes: Int,
+      rowsPerBand: Int): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
     LlmFunctions.registerMinHashSigs(sets.sparkSession)
     val numBands = numHashes / rowsPerBand
@@ -140,8 +148,13 @@ object MinHashLSH {
       s"""transform(sequence(0, ${numBands - 1}),
          |  b -> concat_ws('|', transform(slice(mh, b * $rowsPerBand + 1, $rowsPerBand),
          |    x -> cast(x as string))))""".stripMargin)
-    val bands = mh.select(col("doc_id"),
+    mh.select(col("doc_id"),
       posexplode(bandKey).as(Seq("band_id", "band_key")))
+  }
+
+  def candidatePairsFromSets(sets: DataFrame, numHashes: Int, rowsPerBand: Int,
+      maxBucketSize: Int = 0): DataFrame = {
+    val bands = bandIndexFromSets(sets, numHashes, rowsPerBand)
     val buckets = capBuckets(bands, Seq("band_id", "band_key"), maxBucketSize)
       .groupBy(col("band_id"), col("band_key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))

@@ -117,6 +117,43 @@ object SimilarityQueries {
     card("doc_id", "by_doc_id").unionByName(card("cluster_id", "by_cluster"))
   }
 
+  // ---- q194: incremental near-dup screen from the SHIPPED band index ----
+  // q70's incremental contract lifted from exact to NEAR-dup: the
+  // corpus's LSH band index is trained once and shipped as a
+  // distributed parquet artifact (the fingerprint-index precedent);
+  // an arriving batch signatures only ITSELF and one band equi-join
+  // says which corpus docs each arrival may duplicate — the corpus is
+  // never re-tokenized, re-hashed or re-banded per batch, which is
+  // the entire point at 100 TB. Clean arrivals surface with zero
+  // candidates (a screen must list what PASSED, not only what hit).
+  def q194IncrementalNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    val root = graft.llm.Artifacts.ensure(dir,
+      s"band-index-v1-n$NumHashes-r1-s$ShingleN") { p =>
+      graft.llm.Artifacts.saveIndexFrame(p + "/bands",
+        MinHashLSH.bandIndexFromSets(
+          MinHashLSH.shingleSets(
+            docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+            "doc_id", "text", ShingleN),
+          NumHashes, 1))
+    }
+    val corpusBands = graft.llm.Artifacts.loadIndexFrame(s, root + "/bands")
+      .select(col("doc_id").as("corpus_doc"), col("band_id"), col("band_key"))
+    val batchBands = MinHashLSH.bandIndexFromSets(
+      MinHashLSH.shingleSets(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        "doc_id", "text", ShingleN),
+      NumHashes, 1)
+    val counts = batchBands.join(corpusBands, Seq("band_id", "band_key"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("corpus_doc")).as("n_candidates"))
+    docs.filter(pmod(col("doc_id"), lit(10)) === 0).select(col("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        (coalesce(col("n_candidates"), lit(0L)) > 0L).as("likely_dup"))
+  }
+
   // ---- q191: dedup-weighted token budget ----
   // What the training budget looks like under each dedup policy, per
   // source: raw tokens, representative-only tokens (keep the lowest
@@ -880,6 +917,7 @@ object SimilarityQueries {
     "q183_hard_negatives" -> q183HardNegatives _,
     "q190_cluster_split" -> q190ClusterSplit _,
     "q191_dedup_budget" -> q191DedupBudget _,
+    "q194_incremental_neardup" -> q194IncrementalNearDup _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -1662,6 +1700,22 @@ object SimilarityQueries {
     "q92_ivfadc"        -> q92Sql,
     // loaded-codebook serve path is byte-identical ⇒ shares q92's oracle
     "q176_ivfadc_loaded" -> q92Sql,
+    // the shared bands CTE sliced into corpus/batch sides, candidate
+    // counts per arrival, clean arrivals at zero
+    "q194_incremental_neardup" ->
+      s"""WITH $minhashCtes,
+         |cb AS (SELECT doc_id AS corpus_doc, band_id, band_key FROM bands
+         |  WHERE doc_id % 10 != 0),
+         |bb AS (SELECT doc_id, band_id, band_key FROM bands
+         |  WHERE doc_id % 10 = 0),
+         |c AS (SELECT bb.doc_id,
+         |    CAST(count(DISTINCT cb.corpus_doc) AS BIGINT) AS n_candidates
+         |  FROM bb JOIN cb USING (band_id, band_key) GROUP BY bb.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(c.n_candidates, 0) AS BIGINT) AS n_candidates,
+         |  coalesce(c.n_candidates, 0) > 0 AS likely_dup
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+         |LEFT JOIN c USING (doc_id)""".stripMargin,
     // q38's closure + token counts: raw, representative-only, and
     // 1/cluster_size-weighted ppm-token budgets per source
     "q191_dedup_budget" ->
