@@ -1633,7 +1633,49 @@ object LlmQueries {
       graft.Tables.documents(s, dir).select(col("source"), col("n_chars")),
       "source", "n_chars", DriftBucketWidth, DriftMaxBucket)
 
+  // ---- q195: trained token-vote language classifier ----
+  // The first TRAINED MODEL on the board (vs trained indexes/codecs):
+  // multinomial-NB-as-token-vote ([[graft.llm.NbClassifier]]) fit on
+  // the hash-split train slice of `documents`, evaluated as a
+  // confusion matrix on the held-out test slice. Every score is an
+  // exact integer floor-division, so training, the per-token winner
+  // table, the vote, and the matrix all replay in the oracle.
+  // Scale: training is one (label, token) aggregate; scoring is one
+  // vocab join + two doc-keyed aggregates — see the module scaladoc.
+  private val ClsTrainPct = 80
+  private val ClsValPct = 10
+  def q195NbClassifier(s: SparkSession, dir: String): DataFrame = {
+    val split = graft.llm.Sampling.hashSplit(
+      graft.Tables.documents(s, dir), "doc_id", ClsTrainPct, ClsValPct)
+    val counts = graft.llm.NbClassifier.train(
+      split.filter(col("split") === "train"), "text", "lang")
+    graft.llm.NbClassifier.confusionCard(
+      split.filter(col("split") === "test"), counts, "doc_id", "text", "lang")
+  }
+
+  // ---- q196: the same classifier served from the durable catalog ----
+  // train-once/serve-many (the q157/q158/q175/q176 contract): the
+  // counts frame — the classifier's ENTIRE trained state — ships as a
+  // plain parquet artifact; the winner table, totals, and smoothing
+  // constants re-derive from the loaded replica, so this card is
+  // byte-identical to q195 (same oracle) while its bench line prices
+  // load + score only.
+  def q196NbLoaded(s: SparkSession, dir: String): DataFrame = {
+    val split = graft.llm.Sampling.hashSplit(
+      graft.Tables.documents(s, dir), "doc_id", ClsTrainPct, ClsValPct)
+    val root = graft.llm.Artifacts.ensure(dir, s"nbcls-v1-p$ClsTrainPct") { p =>
+      graft.llm.Artifacts.saveIndexFrame(s"$p/counts",
+        graft.llm.NbClassifier.train(
+          split.filter(col("split") === "train"), "text", "lang"))
+    }
+    val counts = graft.llm.Artifacts.loadIndexFrame(s, s"$root/counts")
+    graft.llm.NbClassifier.confusionCard(
+      split.filter(col("split") === "test"), counts, "doc_id", "text", "lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_nb_classifier" -> q195NbClassifier _,
+    "q196_nb_loaded"   -> q196NbLoaded _,
     "q116_khop_seeds"  -> q116KhopSeeds _,
     "q122_vocab_growth" -> q122VocabGrowth _,
     "q123_scene_cuts"  -> q123SceneCuts _,
@@ -2096,7 +2138,65 @@ object LlmQueries {
        |  coalesce(agg.n_bpe_tokens, 0) AS n_bpe_tokens
        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
 
+  // q195/q196 (identical semantics — q196 serves the SAME counts from
+  // the artifact catalog): train counts, smoothed fixed-point winner
+  // per token type (HUGEINT product, floor division), smoothing
+  // default for unseen types, per-doc majority vote, confusion matrix
+  private val nbClsSql = {
+    val scale = graft.llm.NbClassifier.ScaleFp
+    s"""WITH spl AS (SELECT doc_id,
+       |    CASE WHEN r < $ClsTrainPct THEN 'train'
+       |         WHEN r < ${ClsTrainPct + ClsValPct} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT doc_id,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS r
+       |    FROM documents) t),
+       |e AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+       |tr AS (SELECT d.lang AS label, e.w
+       |  FROM e JOIN documents d USING (doc_id) JOIN spl USING (doc_id)
+       |  WHERE spl.split = 'train'),
+       |cnt AS (SELECT label, w, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM tr GROUP BY 1, 2),
+       |tot AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+       |voc AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM cnt),
+       |cells AS (SELECT dw.w, tot.label,
+       |    CAST((CAST(coalesce(c.cnt, 0) + 1 AS HUGEINT) * $scale)
+       |      // (tot.tot + (SELECT v FROM voc)) AS BIGINT) AS score_fp
+       |  FROM (SELECT DISTINCT w FROM cnt) dw CROSS JOIN tot
+       |  LEFT JOIN cnt c ON c.w = dw.w AND c.label = tot.label),
+       |win AS (SELECT w, label AS label_pred FROM (
+       |    SELECT w, label, row_number() OVER (PARTITION BY w
+       |      ORDER BY score_fp DESC, label ASC) AS rn FROM cells) t
+       |  WHERE rn = 1),
+       |dflt AS (SELECT label AS label_dflt FROM (
+       |    SELECT label, row_number() OVER (ORDER BY
+       |      CAST((CAST(1 AS HUGEINT) * $scale)
+       |        // (tot + (SELECT v FROM voc)) AS BIGINT) DESC,
+       |      label ASC) AS rn FROM tot) t
+       |  WHERE rn = 1),
+       |tf AS (SELECT e.doc_id, e.w, CAST(count(*) AS BIGINT) AS tf
+       |  FROM e JOIN spl USING (doc_id) WHERE spl.split = 'test'
+       |  GROUP BY 1, 2),
+       |votes AS (SELECT tf.doc_id,
+       |    coalesce(win.label_pred, (SELECT label_dflt FROM dflt)) AS lab,
+       |    CAST(sum(tf.tf) AS BIGINT) AS votes
+       |  FROM tf LEFT JOIN win ON tf.w = win.w GROUP BY 1, 2),
+       |pred AS (SELECT doc_id, lab AS label_pred FROM (
+       |    SELECT doc_id, lab, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY votes DESC, lab ASC) AS rn FROM votes) t
+       |  WHERE rn = 1)
+       |SELECT d.lang AS label_true,
+       |  coalesce(p.label_pred, '${graft.llm.NbClassifier.NoEvidenceLabel}') AS label_pred,
+       |  CAST(count(*) AS BIGINT) AS n_docs
+       |FROM documents d JOIN spl USING (doc_id)
+       |LEFT JOIN pred p USING (doc_id)
+       |WHERE spl.split = 'test'
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q195_nb_classifier" -> nbClsSql,
+    "q196_nb_loaded" -> nbClsSql,
     // the commutative row-hash card replayed literally: same
     // \x01-delimited field concat, same md5-prefix hash, same mod
     "q155_dataset_checksum" ->

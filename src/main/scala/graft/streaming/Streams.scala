@@ -378,6 +378,44 @@ object Streams {
       .withColumn("url_key", graft.llm.Dedup.normalizeUrl("url"))
       .withColumn("key_fp", md5(col("url_key").cast("binary")))
 
+  /** Streaming classifier scoring — q195's trained token-vote router
+    * at ingest time: the winner table + unseen-token default derive
+    * from the trained counts artifact ([[graft.llm.NbClassifier]]),
+    * are collected (bounded by train-vocabulary token TYPES — the
+    * same bound bpeIngest's vocab collect rides) and broadcast, and
+    * each arriving document is scored by a row-local majority vote —
+    * no watermark, no state store, any output mode. The map-vote
+    * spelling here and the join-window batch spelling
+    * ([[graft.llm.NbClassifier.predict]]) are pinned equal by
+    * StreamingSpec, so stream and batch routing cannot drift. */
+  def classifyIngest(stream: DataFrame, counts: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val spark = stream.sparkSession
+    val verdicts = graft.llm.NbClassifier.tokenVerdicts(counts)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val dflt = graft.llm.NbClassifier.defaultVerdict(counts)
+      .collect().head.getString(0)
+    val bc = graft.llm.Caches.broadcastTracked(
+      spark.sparkContext.broadcast((verdicts, dflt)))
+    val voteUdf = udf { (toks: Seq[String]) =>
+      if (toks == null || toks.isEmpty) graft.llm.NbClassifier.NoEvidenceLabel
+      else {
+        val (m, d) = bc.value
+        val votes = scala.collection.mutable.Map.empty[String, Long]
+        toks.foreach { w =>
+          val lab = m.getOrElse(w, d)
+          votes(lab) = votes.getOrElse(lab, 0L) + 1L
+        }
+        votes.toSeq.minBy { case (lab, v) => (-v, lab) }._1
+      }
+    }
+    stream
+      .select(qcol(idCol).as("doc_id"),
+        graft.llm.TextAnalysis.tokens(qcol(textCol)).as("__toks"))
+      .select(col("doc_id"), voteUdf(col("__toks")).as("label_pred"),
+        coalesce(size(col("__toks")), lit(0)).cast("bigint").as("n_tokens"))
+  }
+
   /** Streaming winsorize-apply — q145's robust clipping at ingest
     * time: exact per-group p-quantile cutoffs train on the STATIC
     * corpus ([[graft.llm.Robust.cutoffsFp]]), and each arriving row is

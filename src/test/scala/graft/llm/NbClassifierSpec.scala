@@ -1,0 +1,100 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Top-level so Spark derives the Encoder. */
+case class NbDoc(doc_id: Long, text: String, lang: String)
+
+/** Trained token-vote classifier: count training, fixed-point winner
+  * table, smoothing default, majority vote with its deterministic tie
+  * and no-evidence contracts, artifact round-trip identity, and the
+  * collected-map scoring twin == the join-window batch path. */
+class NbClassifierSpec extends AnyFunSuite with SparkTestSession {
+
+  // en: {cat, dog, fish}; fr: {chat, chien}; shared: 'le' appears in
+  // BOTH but more in fr — a seen-token tiebreak probe
+  private def labeled = {
+    import spark.implicits._
+    Seq(
+      NbDoc(1L, "cat dog fish cat", "en"),
+      NbDoc(2L, "dog fish le", "en"),
+      NbDoc(3L, "chat chien le le", "fr"),
+      NbDoc(4L, "chien le chat", "fr")).toDF()
+  }
+
+  test("train: exact (label, token) counts, null labels excluded") {
+    import spark.implicits._
+    val in = labeled.unionByName(
+      Seq((9L, "cat cat", null.asInstanceOf[String]))
+        .toDF("doc_id", "text", "lang"))
+    val got = NbClassifier.train(in, "text", "lang")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got.contains(("en", "cat", 2L)), "null-labeled docs must not train")
+    assert(got.contains(("fr", "le", 3L)))
+    assert(got.contains(("en", "le", 1L)))
+    assert(!got.exists(_._1 == null))
+  }
+
+  test("tokenVerdicts: per-type argmax of the smoothed fixed-point score") {
+    val counts = NbClassifier.train(labeled, "text", "lang")
+    val v = NbClassifier.tokenVerdicts(counts)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // en: cat2 dog2 fish2 le1 (tot 7); fr: chat2 chien2 le3 (tot 7);
+    // vocab 6 types → both denominators 7 + 6 = 13
+    // cat: en (2+1)/13 vs fr (0+1)/13 → en
+    assert(v("cat") === "en" && v("dog") === "en" && v("fish") === "en")
+    assert(v("chat") === "fr" && v("chien") === "fr")
+    // le: en (1+1)/13 vs fr (3+1)/13 → fr
+    assert(v("le") === "fr")
+    assert(v.size === 6, "one verdict per train token type")
+  }
+
+  test("defaultVerdict: equal masses tie → smallest label, deterministically") {
+    val counts = NbClassifier.train(labeled, "text", "lang")
+    // unseen: en 1/13 vs fr 1/13 — an exact tie both engines must
+    // break identically: label ascending
+    val d = NbClassifier.defaultVerdict(counts).collect()
+    assert(d.length === 1 && d.head.getString(0) === "en")
+  }
+
+  test("predict: majority vote, unseen→default, empty→(none), ties→smallest label") {
+    import spark.implicits._
+    val counts = NbClassifier.train(labeled, "text", "lang")
+    val eval = Seq(
+      NbDoc(10L, "cat dog chien", "x"),     // en 2 votes vs fr 1 → en
+      NbDoc(11L, "zzz qqq", "x"),           // all unseen → default 'en' 
+      NbDoc(12L, "", "x"),                  // no tokens → (none)
+      NbDoc(13L, "cat chien", "x")).toDF()  // 1–1 tie → 'en' < 'fr'
+    val got = NbClassifier.predict(eval, counts, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(
+      (10L, "en", 3L), (11L, "en", 2L),
+      (12L, NbClassifier.NoEvidenceLabel, 0L), (13L, "en", 2L)))
+  }
+
+  test("confusionCard: every eval doc lands in exactly one cell") {
+    import spark.implicits._
+    val counts = NbClassifier.train(labeled, "text", "lang")
+    val eval = Seq(
+      NbDoc(20L, "cat fish", "en"), NbDoc(21L, "chien chat", "fr"),
+      NbDoc(22L, "chien chat", "en")).toDF()
+    val got = NbClassifier.confusionCard(eval, counts, "doc_id", "text", "lang")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("en", "en", 1L), ("fr", "fr", 1L), ("en", "fr", 1L)))
+  }
+
+  test("artifact round-trip: loaded counts score byte-identically") {
+    val counts = NbClassifier.train(labeled, "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("nbcls").toString
+    Artifacts.saveIndexFrame(dir + "/counts", counts)
+    val loaded = Artifacts.loadIndexFrame(spark, dir + "/counts")
+    val a = NbClassifier.predict(labeled, counts, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val b = NbClassifier.predict(labeled, loaded, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b, "trained-in-session and loaded state must agree exactly")
+  }
+}

@@ -346,6 +346,39 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally query.stop()
   }
 
+  test("classifyIngest: streamed routing equals the join-window batch path") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val counts = graft.llm.NbClassifier.train(
+      Seq((1L, "cat dog fish cat", "en"), (2L, "dog fish le", "en"),
+        (3L, "chat chien le le", "fr"), (4L, "chien le chat", "fr"))
+        .toDF("doc_id", "text", "lang"),
+      "text", "lang")
+    val rows = Seq(
+      (10L, "cat dog chien"),  // majority en
+      (11L, "zzz qqq"),        // unseen → smoothing default
+      (12L, ""),               // no evidence
+      (13L, "le le cat"))      // seen-token fr majority
+    val input = MemoryStream[(Long, String)]
+    val query = Streams.classifyIngest(
+        input.toDF().toDF("doc_id", "text"), counts, "doc_id", "text")
+      .writeStream.format("memory").queryName("classify_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      def shape(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      val got = shape(spark.table("classify_out"))
+      // the twin's collected-map vote vs predict's join-window vote:
+      // two implementations, pinned equal
+      val batch = shape(graft.llm.NbClassifier.predict(
+        rows.toDF("doc_id", "text"), counts, "doc_id", "text"))
+      assert(got === batch, "stream must equal the batch scorer exactly")
+      assert(got.map(_._2) === Seq("en", "en", "(none)", "fr"))
+    } finally query.stop()
+  }
+
   test("Pii.scrub is stateless: runs unchanged on a stream, equals batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
