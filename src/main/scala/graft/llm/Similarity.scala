@@ -262,6 +262,65 @@ object Similarity {
       .filter(col("dot_fp") >= minDotFp)
   }
 
+  /** Label-noise audit: for EVERY vector, how many of its `k` nearest
+    * in-bucket neighbors (exact fixed-point dot, q24's candidate rule)
+    * share its label — the per-example agreement signal that flags
+    * probable mislabels before classifier training ingests them.
+    * Majority-disagreeing vectors (`2·n_agree < n_nb`) are `noisy`.
+    *
+    * Scale shape: every vector is a query, so candidates come from the
+    * sign-LSH bucket SELF-join (never a broadcast of the corpus, never
+    * all-pairs) and the selection is the shared two-level
+    * [[topKPerQuery]]; labels join back onto the ≤ k·n winner rows,
+    * not the scored stream. `maxBucketSize` mirrors the
+    * [[embeddingNearDupPairs]] hot-bucket guard: overfull buckets are
+    * dropped from scoring (their members surface with `n_nb = 0`,
+    * never a single giant task). Bucket-less isolated vectors stay in
+    * the output with `n_nb = 0`, `noisy = false` — no evidence is not
+    * disagreement. */
+  def labelAgreementCard(vectors: DataFrame, labelCol: String, k: Int,
+      dim: Int, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    LlmFunctions.registerDotFp(vectors.sparkSession)
+    LlmFunctions.registerLshBucket(vectors.sparkSession)
+    require(k > 0, "k must be positive")
+    require(maxBucketSize >= 2, "maxBucketSize < 2 can never score a neighbor")
+    val ql = graft.Names.quoted(labelCol)
+    def base = vectors.select(col("vec_id"), col("embedding"),
+      bucketExpr("embedding", dim).as("bucket"))
+    def b =
+      if (maxBucketSize == Int.MaxValue) base
+      else {
+        val sizes = base.groupBy(col("bucket")).agg(count(lit(1)).as("__bc"))
+          .filter(col("__bc") <= maxBucketSize)
+        base.join(broadcast(sizes.select(col("bucket"))), "bucket")
+          .select(col("vec_id"), col("embedding"), col("bucket"))
+      }
+    val scored = b
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("bucket"))
+      .join(b.select(col("vec_id"), col("embedding").as("ce"), col("bucket")),
+        "bucket")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), dotFpNative("qe", "ce").as("dot_fp"))
+    val labs = vectors.select(col("vec_id"), col(ql).as("__lab"))
+    val agg = topKPerQuery(scored, k)
+      .join(labs.select(col("vec_id").as("query_id"), col("__lab").as("__qlab")),
+        "query_id")
+      .join(labs.select(col("vec_id"), col("__lab").as("__clab")), "vec_id")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_nb"),
+        sum(when(col("__clab") === col("__qlab"), 1L).otherwise(0L))
+          .as("n_agree"))
+    labs.join(agg.withColumnRenamed("query_id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("__lab").as("label"),
+        coalesce(col("n_nb"), lit(0L)).as("n_nb"),
+        coalesce(col("n_agree"), lit(0L)).as("n_agree"))
+      .withColumn("agree_fp",
+        when(col("n_nb") === 0, lit(0L)).otherwise(expr(
+          "cast(floor(1000000.0 * cast(n_agree as double) / cast(n_nb as double)) as bigint)")))
+      .withColumn("noisy", col("n_nb") > 0 && col("n_agree") * 2 < col("n_nb"))
+  }
+
   def annTopK(queries: DataFrame, candidates: DataFrame, k: Int, dim: Int): DataFrame = {
     LlmFunctions.registerDotFp(queries.sparkSession)
     LlmFunctions.registerLshBucket(queries.sparkSession)

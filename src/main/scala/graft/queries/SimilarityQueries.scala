@@ -254,6 +254,46 @@ object SimilarityQueries {
           .as("sum_jaccard_fp"))
   }
 
+  // ---- q197: semantic split leakage (embedding-space contamination) ----
+  // q160 proves LEXICAL leakage; this is its embedding twin — the
+  // leakage a paraphrase hides from every n-gram fingerprint: q29's
+  // audited multi-probe sign-LSH near-dup pairs (cosine ≥ threshold,
+  // exact fixed-point dots) joined against the SAME deterministic
+  // hash split, rolled up per unordered split pair. A train↔test row
+  // here is an eval example the model effectively trained on even
+  // though no shingle matches. Scale: pairs are bucketed (never
+  // all-pairs), the split is a pure projection, and both vec-id joins
+  // shuffle pair-list-sized frames only.
+  def q197SemanticLeakage(s: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+    val pairs = Similarity.embeddingNearDupPairs(emb, NearDupMinDotFp, Dim)
+    val split = graft.llm.Sampling.hashSplit(
+      emb.select(col("vec_id")), "vec_id", LeakTrainPct, LeakValPct)
+    pairs
+      .join(split.select(col("vec_id").as("vec_a"), col("split").as("sa")),
+        "vec_a")
+      .join(split.select(col("vec_id").as("vec_b"), col("split").as("sb")),
+        "vec_b")
+      .groupBy(least(col("sa"), col("sb")).as("split_lo"),
+        greatest(col("sa"), col("sb")).as("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+        max(col("dot_fp")).as("max_dot_fp"),
+        sum(col("dot_fp").cast("decimal(38,0)")).cast("bigint")
+          .as("sum_dot_fp"))
+  }
+
+  private val AgreeK = 4
+
+  // ---- q198: kNN label-agreement audit (label-noise detection) ----
+  // [[graft.llm.Similarity.labelAgreementCard]] over the embeddings
+  // table: per vector, the share of its k nearest in-bucket neighbors
+  // sharing its label; majority disagreement flags a probable
+  // mislabel before any classifier trains on it. The oracle replays
+  // buckets, exact dots, the top-k rank, and both flags.
+  def q198LabelAgreement(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelAgreementCard(graft.Tables.embeddings(s, dir),
+      "label", AgreeK, Dim)
+
   // ---- q72: cluster-aware keep-best dedup ----
   // The decision real pipelines make on top of q38's labels: within
   // each near-dup cluster keep the HIGHEST-QUALITY member (tie → the
@@ -918,6 +958,8 @@ object SimilarityQueries {
     "q190_cluster_split" -> q190ClusterSplit _,
     "q191_dedup_budget" -> q191DedupBudget _,
     "q194_incremental_neardup" -> q194IncrementalNearDup _,
+    "q197_semantic_leakage" -> q197SemanticLeakage _,
+    "q198_label_agreement" -> q198LabelAgreement _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -1684,6 +1726,55 @@ object SimilarityQueries {
          |FROM p JOIN spl a ON p.doc_a = a.doc_id
          |  JOIN spl b ON p.doc_b = b.doc_id
          |GROUP BY 1, 2""".stripMargin,
+    // q160's rollup with q29's embedding pair generator as the pair
+    // source — same split spelling, dot_fp instead of jaccard_fp
+    "q197_semantic_leakage" ->
+      s"""WITH p AS ($q29Sql),
+         |spl AS (SELECT vec_id,
+         |    CASE WHEN ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+         |        % 100 < $LeakTrainPct THEN 'train'
+         |      WHEN ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+         |        % 100 < ${LeakTrainPct + LeakValPct} THEN 'val'
+         |      ELSE 'test' END AS split
+         |  FROM embeddings)
+         |SELECT least(a.split, b.split) AS split_lo,
+         |  greatest(a.split, b.split) AS split_hi,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  max(p.dot_fp) AS max_dot_fp,
+         |  CAST(sum(p.dot_fp) AS BIGINT) AS sum_dot_fp
+         |FROM p JOIN spl a ON p.vec_a = a.vec_id
+         |  JOIN spl b ON p.vec_b = b.vec_id
+         |GROUP BY 1, 2""".stripMargin,
+    // buckets, exact in-bucket dots, shared top-k rank, agreement
+    // rollup and both coalesce-to-zero flags replayed
+    "q198_label_agreement" ->
+      s"""WITH b AS (SELECT vec_id, label, embedding,
+         |    CAST($bucketSql AS BIGINT) AS bucket FROM embeddings),
+         |sc AS (SELECT a.vec_id AS query_id, c.vec_id,
+         |    CAST(list_sum(list_transform(range(1, len(a.embedding) + 1),
+         |      i -> CAST(floor(CAST(a.embedding[i] AS DOUBLE)
+         |        * CAST(c.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)))
+         |      AS BIGINT) AS dot_fp
+         |  FROM b a JOIN b c USING (bucket) WHERE a.vec_id <> c.vec_id),
+         |top AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY dot_fp DESC, vec_id ASC) AS rn FROM sc) t
+         |  WHERE rn <= $AgreeK),
+         |ag AS (SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_nb,
+         |    CAST(sum(CASE WHEN qb.label = cb.label THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_agree
+         |  FROM top t JOIN b qb ON t.query_id = qb.vec_id
+         |  JOIN b cb ON t.vec_id = cb.vec_id
+         |  GROUP BY 1)
+         |SELECT vec_id, label, n_nb, n_agree,
+         |  CAST(CASE WHEN n_nb = 0 THEN 0
+         |    ELSE floor(1000000.0 * CAST(n_agree AS DOUBLE)
+         |      / CAST(n_nb AS DOUBLE)) END AS BIGINT) AS agree_fp,
+         |  (n_nb > 0 AND 2 * n_agree < n_nb) AS noisy
+         |FROM (SELECT e.vec_id, e.label,
+         |    CAST(coalesce(ag.n_nb, 0) AS BIGINT) AS n_nb,
+         |    CAST(coalesce(ag.n_agree, 0) AS BIGINT) AS n_agree
+         |  FROM embeddings e LEFT JOIN ag ON e.vec_id = ag.query_id) t""".stripMargin,
     "q22_simhash16"     -> q22Sql,
     "q23_embed_topk"    -> q23Sql,
     "q24_embed_ann"     -> q24Sql,

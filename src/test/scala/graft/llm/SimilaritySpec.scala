@@ -99,6 +99,30 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(capped == Set((1L, 2L))) // boilerplate gone, signal intact
   }
 
+  test("labelAgreementCard: agreement, noisy flag, isolated vectors, bucket cap") {
+    import spark.implicits._
+    val v = Array.tabulate(64)(i => (math.cos(i * 0.7) / 8).toFloat)
+    def near(eps: Float) = { val c = v.clone(); c(0) = v(0) + eps; c }
+    val far = Array.tabulate(64)(i => (math.sin(i * 1.3 + 2) / 8).toFloat)
+    // 1,2,3 co-bucketed: 1 and 2 labeled 0, 3 labeled 9 (the mislabel);
+    // 7 sits alone in its bucket (isolated)
+    val vecs = Seq(
+      (1L, v, 0), (2L, near(0.001f), 0), (3L, near(0.002f), 9),
+      (7L, far, 0)).toDF("vec_id", "embedding", "label")
+    val card = Similarity.labelAgreementCard(vecs, "label", k = 2, dim = 64)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(card(1L) === ((2L, 1L, 500000L, false)), "1 sees {2 agree, 3 not}")
+    assert(card(3L) === ((2L, 0L, 0L, true)), "the mislabel disagrees with both")
+    assert(card(7L) === ((0L, 0L, 0L, false)),
+      "isolated: no neighbors is not disagreement")
+    // cap = 2 drops the 3-vector bucket entirely → everyone isolated
+    val capped = Similarity.labelAgreementCard(vecs, "label", k = 2, dim = 64,
+        maxBucketSize = 2)
+      .collect().map(r => (r.getLong(2), r.getBoolean(5))).toSet
+    assert(capped === Set((0L, false)), "capped bucket scores no one")
+  }
+
   test("ann bucket: identical vectors land in the same bucket") {
     import spark.implicits._
     LlmFunctions.registerDotFp(spark)
