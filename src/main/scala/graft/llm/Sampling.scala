@@ -301,6 +301,58 @@ object Sampling {
       .drop(h)
   }
 
+  /** Capped-proportional (water-filling) budget allocation: split an
+    * integer token `budget` equally across keys, except no key can
+    * receive more than its `cap` — the classic fair-share rule a
+    * training-data buyer runs when a target token count must be
+    * spread across sources of unequal availability. Exact closed
+    * form, no iteration: keys sorted by (cap asc, key asc) with
+    * prefix sums; a key saturates iff even granting it its full cap
+    * leaves every LARGER key at least that much
+    * (`capᵢ·(n−i) + Pᵢ ≤ budget`); the rest share the remaining
+    * budget at the floor level, with the division remainder granted
+    * +1 token to the first `rem` unsaturated keys in sort order — so
+    * `Σ alloc = min(budget, Σ cap)` EXACTLY, a property the specs
+    * pin. For every unsaturated key `cap ≥ level + 1` holds by the
+    * cut definition, so the +1 never breaches a cap.
+    *
+    * Determinism: pure integer arithmetic (floor division; the cut
+    * and remainder are rank functions of the sorted caps), so the
+    * whole allocation replays in SQL. Scale shape: runs on the
+    * per-key AGGREGATE frame (≤ |keys| rows — metadata-sized), so
+    * the global ordered window here is a deliberate single-task walk
+    * over a tiny frame, the same shape as every per-source card; the
+    * corpus-sized work is the caller's cap aggregation. */
+  def cappedAllocation(caps: DataFrame, keyCol: String, capCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0L, "budget must be non-negative")
+    val qk = graft.Names.quoted(keyCol)
+    val qc = graft.Names.quoted(capCol)
+    val w = Window.orderBy(col("cap").asc, col("key").asc)
+    val all = Window.partitionBy(lit(1))
+    caps.select(col(qk).as("key"), col(qc).cast("bigint").as("cap"))
+      .withColumn("i", row_number().over(w).cast("bigint"))
+      .withColumn("pfx", sum(col("cap")).over(w))
+      .withColumn("n", count(lit(1)).over(all).cast("bigint"))
+      .withColumn("sat", col("cap") * (col("n") - col("i")) + col("pfx") <= budget)
+      .withColumn("cutv", max(when(col("sat"), col("i")).otherwise(0L)).over(all))
+      .withColumn("pcut", max(when(col("sat"), col("pfx")).otherwise(0L)).over(all))
+      // unused when cutv = n (everyone saturated); greatest() keeps the
+      // idle division defined with the SAME value in both engines
+      .withColumn("lvl",
+        expr(s"($budget - pcut) div greatest(n - cutv, 1L)"))
+      .withColumn("rem",
+        expr(s"($budget - pcut) - lvl * greatest(n - cutv, 1L)"))
+      .withColumn("alloc",
+        when(col("i") <= col("cutv"), col("cap"))
+          .otherwise(least(col("cap"),
+            col("lvl") + when(col("i") - col("cutv") <= col("rem"), 1L)
+              .otherwise(0L))))
+      .select(col("key").as(keyCol), col("cap").as("cap_tokens"),
+        col("alloc").as("alloc_tokens"),
+        (col("i") <= col("cutv")).as("saturated"))
+  }
+
   /** Temperature-derived source mixing card: per stratum, the sampling
     * weight a multilingual/multi-source training run assigns under
     * temperature T=2 reweighting — weight ∝ tokens^(1/2), the standard

@@ -1673,7 +1673,34 @@ object LlmQueries {
       split.filter(col("split") === "test"), counts, "doc_id", "text", "lang")
   }
 
+  // ---- q199: capped-proportional token-budget allocation ----
+  // The fair-share decision q161/q191 stop short of: given a target
+  // token budget (90% of the corpus here), how many tokens to DRAW
+  // from each source when no source can give more than it has.
+  // [[graft.llm.Sampling.cappedAllocation]]'s exact integer
+  // water-fill over the per-source token caps; at this corpus the
+  // budget sits between the smallest and largest caps, so BOTH
+  // regimes (saturated small sources, level-shared big ones) appear
+  // in the card and the oracle re-proves the cut, the floor level,
+  // and the remainder distribution. Scale: one corpus aggregate
+  // (map-side combined, persisted for its two consumers — the budget
+  // scalar is a bounded driver collect), then source-count-sized
+  // window walks.
+  private val AllocPpm = 900000L
+  def q199TokenAllocation(s: SparkSession, dir: String): DataFrame = {
+    val caps = graft.llm.Caches.persistTracked(
+      graft.Tables.documents(s, dir)
+        .groupBy(coalesce(col("source"), lit("(null)")).as("source"))
+        .agg(sum(TextAnalysis.tokenCount(col("text")).cast("bigint"))
+          .cast("bigint").as("cap_tokens")))
+    val total = caps.agg(sum(col("cap_tokens")).cast("bigint"))
+      .collect()(0).getLong(0)
+    val budget = (BigInt(total) * AllocPpm / 1000000L).toLong
+    graft.llm.Sampling.cappedAllocation(caps, "source", "cap_tokens", budget)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_token_allocation" -> q199TokenAllocation _,
     "q195_nb_classifier" -> q195NbClassifier _,
     "q196_nb_loaded"   -> q196NbLoaded _,
     "q116_khop_seeds"  -> q116KhopSeeds _,
@@ -2194,7 +2221,39 @@ object LlmQueries {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  // the water-fill replayed: sorted caps, prefix sums, the cut
+  // condition, floor level, and +1-to-first-rem remainder rule
+  private val allocSql =
+    s"""WITH caps AS (SELECT coalesce(source, '(null)') AS source,
+       |    CAST(sum(len($toksSql)) AS BIGINT) AS cap
+       |  FROM documents GROUP BY 1),
+       |bud AS (SELECT CAST(CAST(sum(cap) AS HUGEINT) * $AllocPpm
+       |    // 1000000 AS BIGINT) AS b FROM caps),
+       |ord AS (SELECT source, cap,
+       |    CAST(row_number() OVER (ORDER BY cap ASC, source ASC) AS BIGINT) AS i,
+       |    CAST(sum(cap) OVER (ORDER BY cap ASC, source ASC) AS BIGINT) AS pfx,
+       |    CAST(count(*) OVER () AS BIGINT) AS n
+       |  FROM caps),
+       |st AS (SELECT *,
+       |    (cap * (n - i) + pfx <= (SELECT b FROM bud)) AS sat FROM ord),
+       |cu AS (SELECT *,
+       |    max(CASE WHEN sat THEN i ELSE 0 END) OVER () AS cutv,
+       |    max(CASE WHEN sat THEN pfx ELSE 0 END) OVER () AS pcut FROM st),
+       |lv AS (SELECT *,
+       |    ((SELECT b FROM bud) - pcut) // greatest(n - cutv, 1) AS lvl,
+       |    ((SELECT b FROM bud) - pcut)
+       |      - (((SELECT b FROM bud) - pcut) // greatest(n - cutv, 1))
+       |        * greatest(n - cutv, 1) AS rem
+       |  FROM cu)
+       |SELECT source, cap AS cap_tokens,
+       |  CAST(CASE WHEN i <= cutv THEN cap
+       |    ELSE least(cap, lvl + CASE WHEN i - cutv <= rem THEN 1 ELSE 0 END)
+       |    END AS BIGINT) AS alloc_tokens,
+       |  (i <= cutv) AS saturated
+       |FROM lv""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q199_token_allocation" -> allocSql,
     "q195_nb_classifier" -> nbClsSql,
     "q196_nb_loaded" -> nbClsSql,
     // the commutative row-hash card replayed literally: same
