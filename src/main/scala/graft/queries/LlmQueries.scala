@@ -1699,7 +1699,57 @@ object LlmQueries {
     graft.llm.Sampling.cappedAllocation(caps, "source", "cap_tokens", budget)
   }
 
+  // ---- q200: data-constrained epoch plan (repeat-vs-buy card) ----
+  // The Muennighoff-style accounting a token-starved training run
+  // needs: per source, its UNIQUE token mass (q184's first-occurrence
+  // fingerprint rule — duplicate copies must not count as fresh
+  // data), the share of a 2×-unique total budget it is assigned
+  // (q199's water-fill, caps = EpochCap·unique so no source repeats
+  // past 4 epochs), the implied epoch count, and the EFFECTIVE token
+  // value after a geometric per-epoch decay (repeated epochs teach
+  // less — the shape data-constrained scaling fits measure). All
+  // integer: epoch slices are clamps, the decay a ppm literal per
+  // epoch, products in decimal(38,0)/HUGEINT. Scale: one corpus scan
+  // into the per-source unique aggregate (persisted for its two
+  // consumers), then source-count-sized arithmetic.
+  private val EpochCap = 4
+  private val EpochValuePpm = Seq(1000000L, 630000L, 400000L, 250000L)
+  private val RepeatPpm = 2000000L
+  def q200EpochPlan(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("doc_id"))
+    val uniq = graft.llm.Caches.persistTracked(
+      graft.Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          Dedup.fingerprintOrEmpty(col("text")).as("fp"),
+          TextAnalysis.tokenCount(col("text")).cast("bigint").as("n_tok"))
+        .withColumn("__rn", row_number().over(w))
+        .groupBy(col("source"))
+        .agg(sum(when(col("__rn") === 1, col("n_tok")).otherwise(0L))
+          .cast("bigint").as("unique_tokens")))
+    val total = uniq.agg(sum(col("unique_tokens")).cast("bigint"))
+      .collect()(0).getLong(0)
+    val budget = (BigInt(total) * RepeatPpm / 1000000L).toLong
+    val alloc = graft.llm.Sampling.cappedAllocation(
+      uniq.select(col("source"),
+        (col("unique_tokens") * EpochCap).as("cap_tokens")),
+      "source", "cap_tokens", budget)
+    val effTerms = EpochValuePpm.zipWithIndex.map { case (v, k) =>
+      s"cast(greatest(least(alloc_tokens - ${k}L * unique_tokens, " +
+        s"unique_tokens), 0L) as decimal(38,0)) * $v"
+    }.mkString(" + ")
+    alloc.join(uniq, Seq("source"))
+      .select(col("source"), col("unique_tokens"),
+        col("alloc_tokens"),
+        expr("cast(case when unique_tokens = 0 then 0 else " +
+          "cast(alloc_tokens as decimal(38,0)) * 1000000 " +
+          "div unique_tokens end as bigint)").as("epochs_fp"),
+        expr(s"cast(($effTerms) div 1000000 as bigint)")
+          .as("effective_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_epoch_plan" -> q200EpochPlan _,
     "q199_token_allocation" -> q199TokenAllocation _,
     "q195_nb_classifier" -> q195NbClassifier _,
     "q196_nb_loaded"   -> q196NbLoaded _,
@@ -2222,37 +2272,75 @@ object LlmQueries {
   }
 
   // the water-fill replayed: sorted caps, prefix sums, the cut
-  // condition, floor level, and +1-to-first-rem remainder rule
+  // condition, floor level, and +1-to-first-rem remainder rule.
+  // ONE spelling, embedded by every allocation oracle (q199, q200) —
+  // expects CTEs `caps(source, cap)` and `bud(b)` upstream, ends in
+  // `wf(source, cap, alloc, saturated)`.
+  private val waterfillCtes =
+    """ord AS (SELECT source, cap,
+      |    CAST(row_number() OVER (ORDER BY cap ASC, source ASC) AS BIGINT) AS i,
+      |    CAST(sum(cap) OVER (ORDER BY cap ASC, source ASC) AS BIGINT) AS pfx,
+      |    CAST(count(*) OVER () AS BIGINT) AS n
+      |  FROM caps),
+      |st AS (SELECT *,
+      |    (cap * (n - i) + pfx <= (SELECT b FROM bud)) AS sat FROM ord),
+      |cu AS (SELECT *,
+      |    max(CASE WHEN sat THEN i ELSE 0 END) OVER () AS cutv,
+      |    max(CASE WHEN sat THEN pfx ELSE 0 END) OVER () AS pcut FROM st),
+      |lv AS (SELECT *,
+      |    ((SELECT b FROM bud) - pcut) // greatest(n - cutv, 1) AS lvl,
+      |    ((SELECT b FROM bud) - pcut)
+      |      - (((SELECT b FROM bud) - pcut) // greatest(n - cutv, 1))
+      |        * greatest(n - cutv, 1) AS rem
+      |  FROM cu),
+      |wf AS (SELECT source, cap,
+      |  CAST(CASE WHEN i <= cutv THEN cap
+      |    ELSE least(cap, lvl + CASE WHEN i - cutv <= rem THEN 1 ELSE 0 END)
+      |    END AS BIGINT) AS alloc,
+      |  (i <= cutv) AS saturated
+      |FROM lv)""".stripMargin
+
   private val allocSql =
     s"""WITH caps AS (SELECT coalesce(source, '(null)') AS source,
        |    CAST(sum(len($toksSql)) AS BIGINT) AS cap
        |  FROM documents GROUP BY 1),
        |bud AS (SELECT CAST(CAST(sum(cap) AS HUGEINT) * $AllocPpm
        |    // 1000000 AS BIGINT) AS b FROM caps),
-       |ord AS (SELECT source, cap,
-       |    CAST(row_number() OVER (ORDER BY cap ASC, source ASC) AS BIGINT) AS i,
-       |    CAST(sum(cap) OVER (ORDER BY cap ASC, source ASC) AS BIGINT) AS pfx,
-       |    CAST(count(*) OVER () AS BIGINT) AS n
-       |  FROM caps),
-       |st AS (SELECT *,
-       |    (cap * (n - i) + pfx <= (SELECT b FROM bud)) AS sat FROM ord),
-       |cu AS (SELECT *,
-       |    max(CASE WHEN sat THEN i ELSE 0 END) OVER () AS cutv,
-       |    max(CASE WHEN sat THEN pfx ELSE 0 END) OVER () AS pcut FROM st),
-       |lv AS (SELECT *,
-       |    ((SELECT b FROM bud) - pcut) // greatest(n - cutv, 1) AS lvl,
-       |    ((SELECT b FROM bud) - pcut)
-       |      - (((SELECT b FROM bud) - pcut) // greatest(n - cutv, 1))
-       |        * greatest(n - cutv, 1) AS rem
-       |  FROM cu)
-       |SELECT source, cap AS cap_tokens,
-       |  CAST(CASE WHEN i <= cutv THEN cap
-       |    ELSE least(cap, lvl + CASE WHEN i - cutv <= rem THEN 1 ELSE 0 END)
-       |    END AS BIGINT) AS alloc_tokens,
-       |  (i <= cutv) AS saturated
-       |FROM lv""".stripMargin
+       |$waterfillCtes
+       |SELECT source, cap AS cap_tokens, alloc AS alloc_tokens, saturated
+       |FROM wf""".stripMargin
+
+  // q184's first-occurrence unique-token rule + the shared water-fill
+  // chain + clamp-per-epoch decayed value, all in one replay
+  private val epochPlanSql = {
+    val effTerms = EpochValuePpm.zipWithIndex.map { case (v, k) =>
+      s"""CAST(greatest(least(wf.alloc - $k * u.unique_tokens,
+         |      u.unique_tokens), 0) AS HUGEINT) * $v""".stripMargin
+    }.mkString("\n    + ")
+    s"""WITH d AS (SELECT doc_id, source,
+       |    md5(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))) AS fp,
+       |    CAST(len($toksSql) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |r AS (SELECT source, n_tok,
+       |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM d),
+       |u AS (SELECT source,
+       |    CAST(sum(CASE WHEN rn = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+       |      AS unique_tokens
+       |  FROM r GROUP BY 1),
+       |bud AS (SELECT CAST(CAST(sum(unique_tokens) AS HUGEINT) * $RepeatPpm
+       |    // 1000000 AS BIGINT) AS b FROM u),
+       |caps AS (SELECT source, unique_tokens * $EpochCap AS cap FROM u),
+       |$waterfillCtes
+       |SELECT u.source, u.unique_tokens, wf.alloc AS alloc_tokens,
+       |  CAST(CASE WHEN u.unique_tokens = 0 THEN 0
+       |    ELSE CAST(wf.alloc AS HUGEINT) * 1000000 // u.unique_tokens
+       |    END AS BIGINT) AS epochs_fp,
+       |  CAST(($effTerms) // 1000000 AS BIGINT) AS effective_tokens
+       |FROM u JOIN wf ON u.source = wf.source""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
+    "q200_epoch_plan" -> epochPlanSql,
     "q199_token_allocation" -> allocSql,
     "q195_nb_classifier" -> nbClsSql,
     "q196_nb_loaded" -> nbClsSql,
