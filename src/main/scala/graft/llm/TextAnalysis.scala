@@ -168,6 +168,68 @@ object TextAnalysis {
       .filter(col("rn") <= topK)
   }
 
+  /** What stripping the mined boilerplate would SAVE: per group, the
+    * token mass covered by at least one occurrence of a
+    * [[boilerplateGrams]] span — q187 mines the spans, this prices
+    * their removal. A token is covered if any boilerplate n-gram
+    * starting within the previous n positions hits; overlapping and
+    * chained occurrences are merged EXACTLY (never double-counted) by
+    * the classic island walk: occurrences sorted by start position
+    * contribute `min(n, gap-to-previous-start)` each — correct for
+    * fixed-length intervals because end positions are monotone in
+    * start positions.
+    *
+    * Scale shape: the mined span set is ≤ topK rows (broadcast); the
+    * positional gram stream is row-local (explode, no shuffle) and
+    * collapses to per-(doc, hit) rows at the broadcast join — only
+    * HITS reach the per-doc window, not the corpus gram stream.
+    * Group totals come from a second column-pruned scan rather than
+    * persisting the tokenized corpus (cheaper than caching text at
+    * 100 TB). */
+  def boilerplateStripCard(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, n: Int, minDf: Long, topK: Int): DataFrame = {
+    val qi = graft.Names.quoted(idCol)
+    val qt = graft.Names.quoted(textCol)
+    val qg = graft.Names.quoted(groupCol)
+    val boiler = boilerplateGrams(docs, idCol, textCol, n, minDf, topK)
+      .select(col("gram"))
+    val hits = docs
+      .select(col(qi).as("doc_id"),
+        coalesce(col(qg), lit("(null)")).as("grp"),
+        tokens(col(qt)).as("__toks"))
+      .select(col("doc_id"), col("grp"),
+        posexplode(wordNgrams("__toks", n)))
+      .join(broadcast(boiler), col("col") === col("gram"))
+      .select(col("doc_id"), col("grp"), (col("pos") + 1).cast("bigint").as("i"))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+    val perDoc = hits
+      .withColumn("__prev", lag(col("i"), 1).over(wd))
+      .withColumn("__cov", least(lit(n.toLong),
+        coalesce(col("i") - col("__prev"), lit(n.toLong))))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(sum(col("__cov")).cast("bigint").as("covered"))
+    val totals = docs
+      .select(coalesce(col(qg), lit("(null)")).as("grp"),
+        tokenCount(col(qt)).cast("bigint").as("__m"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__m")).cast("bigint").as("total_tokens"))
+    val strip = perDoc.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs_hit"),
+        sum(col("covered")).cast("bigint").as("covered_tokens"))
+    totals.join(strip, Seq("grp"), "left")
+      .select(col("grp").as(groupCol), col("n_docs"),
+        coalesce(col("n_docs_hit"), lit(0L)).as("n_docs_hit"),
+        col("total_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+      .withColumn("cleaned_tokens",
+        col("total_tokens") - col("covered_tokens"))
+      .withColumn("strip_ppm", expr(
+        "cast(cast(covered_tokens as decimal(38,0)) * 1000000 " +
+          "div greatest(total_tokens, 1L) as bigint)"))
+  }
+
   /** Fraction (millionths) of word 3-grams that are repeats of an
     * earlier 3-gram in the same doc — the Gopher-style repetition
     * signal. Row-local list arithmetic, no shuffle. */

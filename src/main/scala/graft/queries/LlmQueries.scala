@@ -534,6 +534,19 @@ object LlmQueries {
     TextAnalysis.boilerplateGrams(graft.Tables.documents(s, dir),
       "doc_id", "text", ProbeGramN, BoilerMinDf, BoilerTopK)
 
+  // ---- q201: boilerplate-strip savings card ----
+  // q187 MINES the cross-document spans; this prices REMOVING them:
+  // per source, the token mass covered by at least one mined span
+  // occurrence (overlaps and chains merged exactly by the island
+  // walk — min(n, gap) per occurrence), the cleaned residue, and the
+  // strip ratio. The span set is the SAME boilerplateGrams call as
+  // q187, so the two cards cannot disagree about what boilerplate
+  // IS; the oracle replays mining, positional hits, the island walk,
+  // and both rollups.
+  def q201BoilerplateStrip(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.boilerplateStripCard(graft.Tables.documents(s, dir),
+      "doc_id", "text", "source", ProbeGramN, BoilerMinDf, BoilerTopK)
+
   // ---- q192: train→eval contamination provenance matrix ----
   // q179 says HOW MUCH of each train source overlaps the eval slice;
   // this says WHOSE eval content it is: distinct shared 13-grams per
@@ -1749,6 +1762,7 @@ object LlmQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_boilerplate_strip" -> q201BoilerplateStrip _,
     "q200_epoch_plan" -> q200EpochPlan _,
     "q199_token_allocation" -> q199TokenAllocation _,
     "q195_nb_classifier" -> q195NbClassifier _,
@@ -2300,6 +2314,21 @@ object LlmQueries {
       |  (i <= cutv) AS saturated
       |FROM lv)""".stripMargin
 
+  // q187's boilerplate mining — ONE spelling shared by the mining
+  // card (q187) and the strip-savings card (q201): t(doc_id, source,
+  // toks) → per-doc-distinct grams → df filter → rank
+  private val boilerCtes =
+    s"""t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+       |g AS (SELECT doc_id, unnest(list_distinct(
+       |    CASE WHEN len(toks) >= $ProbeGramN
+       |      THEN list_transform(range(1, len(toks) - ${ProbeGramN - 2}),
+       |        i -> array_to_string(toks[i:i+${ProbeGramN - 1}], ' '))
+       |      ELSE [] END)) AS gram FROM t),
+       |f AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM g
+       |  GROUP BY gram HAVING count(*) >= $BoilerMinDf),
+       |r AS (SELECT gram, df,
+       |    row_number() OVER (ORDER BY df DESC, gram) AS rn FROM f)""".stripMargin
+
   private val allocSql =
     s"""WITH caps AS (SELECT coalesce(source, '(null)') AS source,
        |    CAST(sum(len($toksSql)) AS BIGINT) AS cap
@@ -2780,18 +2809,38 @@ object LlmQueries {
          |FROM b GROUP BY bucket""".stripMargin,
     // per-doc distinct 13-gram strings → doc frequency → ranked slice
     "q187_boilerplate" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |g AS (SELECT doc_id, unnest(list_distinct(
-         |    CASE WHEN len(toks) >= $ProbeGramN
-         |      THEN list_transform(range(1, len(toks) - ${ProbeGramN - 2}),
-         |        i -> array_to_string(toks[i:i+${ProbeGramN - 1}], ' '))
-         |      ELSE [] END)) AS gram FROM t),
-         |f AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM g
-         |  GROUP BY gram HAVING count(*) >= $BoilerMinDf),
-         |r AS (SELECT gram, df,
-         |    row_number() OVER (ORDER BY df DESC, gram) AS rn FROM f)
+      s"""WITH $boilerCtes
          |SELECT gram, df, CAST(rn AS BIGINT) AS rn FROM r
          |WHERE rn <= $BoilerTopK""".stripMargin,
+    // q187's mining CTEs verbatim, then positional hits, the
+    // fixed-interval island walk, and the per-source rollups
+    "q201_boilerplate_strip" ->
+      s"""WITH $boilerCtes,
+         |b AS (SELECT gram FROM r WHERE rn <= $BoilerTopK),
+         |p AS (SELECT doc_id, source, i.i AS i,
+         |    array_to_string(toks[i.i:i.i+${ProbeGramN - 1}], ' ') AS gram
+         |  FROM t, unnest(range(1, greatest(len(toks) - ${ProbeGramN - 2}, 1))) i(i)),
+         |h AS (SELECT p.doc_id, p.source, p.i FROM p JOIN b USING (gram)),
+         |cv AS (SELECT doc_id, coalesce(source, '(null)') AS source,
+         |    CAST(sum(least($ProbeGramN, coalesce(i - prev, $ProbeGramN)))
+         |      AS BIGINT) AS covered
+         |  FROM (SELECT doc_id, source, i,
+         |      lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM h) x
+         |  GROUP BY 1, 2),
+         |tt AS (SELECT coalesce(source, '(null)') AS source,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(toks)) AS BIGINT) AS total_tokens FROM t GROUP BY 1),
+         |sp AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs_hit,
+         |    CAST(sum(covered) AS BIGINT) AS covered_tokens FROM cv GROUP BY 1)
+         |SELECT tt.source, tt.n_docs,
+         |  CAST(coalesce(sp.n_docs_hit, 0) AS BIGINT) AS n_docs_hit,
+         |  tt.total_tokens,
+         |  CAST(coalesce(sp.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+         |  tt.total_tokens - CAST(coalesce(sp.covered_tokens, 0) AS BIGINT)
+         |    AS cleaned_tokens,
+         |  CAST(CAST(coalesce(sp.covered_tokens, 0) AS HUGEINT) * 1000000
+         |    // greatest(tt.total_tokens, 1) AS BIGINT) AS strip_ppm
+         |FROM tt LEFT JOIN sp USING (source)""".stripMargin,
     // both split keyings replayed over one fingerprint CTE; the
     // by_content row's zero straddling is re-proven, not assumed
     "q186_content_split" -> {

@@ -11,6 +11,24 @@ import graft.SparkTestSession
 class CurationCardsSpec extends AnyFunSuite with SparkTestSession {
   import spark.implicits._
 
+  test("boilerplateStripCard: overlapping and chained spans merge, never double-count") {
+    // 2-grams with minDf=2: "a b" (docs 1,2,3) and "b c" (docs 1,2)
+    // are boilerplate; doc1 "a b c d" has hits at 1,2 — chained
+    // islands cover tokens 1..3 (3, not 4); doc2 "x a b c" covers
+    // 2..4 (3); doc3 "a b" covers both tokens (2); doc4 clean.
+    val docs = Seq(
+      (1L, "a b c d", "s1"), (2L, "x a b c", "s1"),
+      (3L, "a b", "s2"), (4L, "p q r", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.boilerplateStripCard(docs, "doc_id", "text",
+        "source", n = 2, minDf = 2L, topK = 10)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out(0) === (("s1", 2L, 2L, 8L, 6L, 2L, 750000L)))
+    assert(out(1) === (("s2", 2L, 1L, 5L, 2L, 3L, 400000L)))
+  }
+
   test("temperatureMixture: sqrt weights, ppm shares, epochs — exact on a known frame") {
     // A: 100 tokens over 2 docs, B: 25 tokens over 1 doc
     val df = Seq(("A", 60L), ("A", 40L), ("B", 25L)).toDF("src", "n_tok")
