@@ -1761,7 +1761,43 @@ object LlmQueries {
           .as("effective_tokens"))
   }
 
+  // ---- q202: vocabulary-size sweep (coverage curve pricing) ----
+  // The tokenizer-design question q53 answers for ONE vocab size,
+  // priced for every candidate in one pass (the q193/q199 sweep
+  // pattern): occurrence coverage needs no corpus re-scan per V —
+  // OOV@V is total occurrences minus the rank-prefix mass of the
+  // frequency table, so the whole sweep reads the corpus once,
+  // ranks only the top max(V) rows (TakeOrdered, q53's tie-break),
+  // and the candidate join is literals × a max(V)-row frame. The
+  // frequency table feeds the rank AND the totals → persisted.
+  private val VocabSweep = Seq(5L, 10L, 20L, 40L, 80L)
+  def q202VocabSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val maxV = VocabSweep.max.toInt
+    val freq = graft.llm.Caches.persistTracked(
+      TextAnalysis.tokenFreq(TextAnalysis.explodedTokens(
+        graft.Tables.documents(s, dir), "doc_id", "text")))
+    val top = TextAnalysis.topVocabOfFreq(freq, maxV)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("w").asc)).cast("bigint"))
+    val tot = freq.agg(sum(col("c")).cast("bigint").as("total_occ"),
+      count(lit(1)).as("n_types"))
+    VocabSweep.toDF("vocab_size")
+      .join(top, col("rnk") <= col("vocab_size"), "left")
+      .groupBy(col("vocab_size"))
+      .agg(count(col("w")).as("covered_types"),
+        sum(coalesce(col("c"), lit(0L))).cast("bigint").as("covered_occ"))
+      .crossJoin(broadcast(tot))
+      .select(col("vocab_size"), col("n_types"), col("covered_types"),
+        col("covered_occ"),
+        (col("total_occ") - col("covered_occ")).as("oov_occ"),
+        expr("cast(cast(total_occ - covered_occ as decimal(38,0)) * 1000000 " +
+          "div greatest(total_occ, 1L) as bigint)").as("oov_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_vocab_sweep" -> q202VocabSweep _,
     "q201_boilerplate_strip" -> q201BoilerplateStrip _,
     "q200_epoch_plan" -> q200EpochPlan _,
     "q199_token_allocation" -> q199TokenAllocation _,
@@ -2369,6 +2405,27 @@ object LlmQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // the coverage curve replayed: freq table, TakeOrdered prefix
+    // rank with q53's tie-break, literal candidates, prefix masses
+    "q202_vocab_sweep" ->
+      s"""WITH e AS (SELECT unnest($toksSql) AS w FROM documents),
+         |fq AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY w),
+         |tt AS (SELECT CAST(sum(c) AS BIGINT) AS total_occ,
+         |    CAST(count(*) AS BIGINT) AS n_types FROM fq),
+         |tp AS (SELECT w, c,
+         |    CAST(row_number() OVER (ORDER BY c DESC, w ASC) AS BIGINT) AS rnk
+         |  FROM (SELECT w, c FROM fq ORDER BY c DESC, w ASC
+         |    LIMIT ${VocabSweep.max}) s),
+         |cd AS (SELECT CAST(unnest([${VocabSweep.mkString(", ")}]) AS BIGINT)
+         |    AS vocab_size),
+         |cv AS (SELECT cd.vocab_size, CAST(count(w) AS BIGINT) AS covered_types,
+         |    CAST(sum(coalesce(c, 0)) AS BIGINT) AS covered_occ
+         |  FROM cd LEFT JOIN tp ON tp.rnk <= cd.vocab_size GROUP BY 1)
+         |SELECT cv.vocab_size, tt.n_types, cv.covered_types, cv.covered_occ,
+         |  tt.total_occ - cv.covered_occ AS oov_occ,
+         |  CAST(CAST(tt.total_occ - cv.covered_occ AS HUGEINT) * 1000000
+         |    // greatest(tt.total_occ, 1) AS BIGINT) AS oov_ppm
+         |FROM cv CROSS JOIN tt""".stripMargin,
     "q200_epoch_plan" -> epochPlanSql,
     "q199_token_allocation" -> allocSql,
     "q195_nb_classifier" -> nbClsSql,
