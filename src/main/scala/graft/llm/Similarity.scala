@@ -321,6 +321,50 @@ object Similarity {
       .withColumn("noisy", col("n_nb") > 0 && col("n_agree") * 2 < col("n_nb"))
   }
 
+  /** kNN label imputation, graded: impute each `test` vector's label
+    * as the majority label of its `k` nearest `train` in-bucket
+    * neighbors (exact fixed-point dots; vote ties → smallest label;
+    * no train neighbor in the bucket → `-1`, "no evidence"), and
+    * carry the held-back true label so the output IS the accuracy
+    * card. The transductive companion of [[labelAgreementCard]]:
+    * that one audits labels we have, this one fills labels we lack —
+    * the standard bootstrap for extending a small labeled slice over
+    * an unlabeled corpus.
+    *
+    * Scale shape: test⋈train meet on the sign-LSH bucket (a shuffle
+    * join — neither side broadcasts, both may be corpus-sized), the
+    * selection is the shared two-level [[topKPerQuery]], and label
+    * votes aggregate over ≤ k rows per query. */
+  def knnImputeCard(train: DataFrame, test: DataFrame, labelCol: String,
+      k: Int, dim: Int): DataFrame = {
+    LlmFunctions.registerDotFp(train.sparkSession)
+    LlmFunctions.registerLshBucket(train.sparkSession)
+    require(k > 0, "k must be positive")
+    val ql = graft.Names.quoted(labelCol)
+    val tr = train.select(col("vec_id"), col("embedding"),
+      col(ql).as("__lab"), bucketExpr("embedding", dim).as("bucket"))
+    val te = test.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"), bucketExpr("embedding", dim).as("bucket"))
+    val scored = te
+      .join(tr.select(col("vec_id"), col("embedding").as("ce"), col("bucket")),
+        "bucket")
+      .select(col("query_id"), col("vec_id"), dotFpNative("qe", "ce").as("dot_fp"))
+    val votes = topKPerQuery(scored, k)
+      .join(tr.select(col("vec_id"), col("__lab")), "vec_id")
+      .groupBy(col("query_id"), col("__lab"))
+      .agg(count(lit(1)).as("votes"))
+    val pred = votes.withColumn("__rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("votes").desc, col("__lab").asc)))
+      .filter(col("__rn") === 1)
+      .select(col("query_id").as("vec_id"), col("__lab").as("__pred"))
+    test.select(col("vec_id"), col(ql).as("label_true"))
+      .join(pred, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label_true"),
+        coalesce(col("__pred"), lit(-1)).as("label_imputed"))
+      .withColumn("correct", col("label_imputed") === col("label_true"))
+  }
+
   def annTopK(queries: DataFrame, candidates: DataFrame, k: Int, dim: Int): DataFrame = {
     LlmFunctions.registerDotFp(queries.sparkSession)
     LlmFunctions.registerLshBucket(queries.sparkSession)

@@ -284,6 +284,21 @@ object SimilarityQueries {
 
   private val AgreeK = 4
 
+  // ---- q203: kNN label imputation on the held-out split ----
+  // [[graft.llm.Similarity.knnImputeCard]] with q197's deterministic
+  // hash split as the labeled/unlabeled divide: train-slice vectors
+  // keep labels, test-slice labels are imputed from the k nearest
+  // in-bucket train neighbors and graded against the held-back
+  // truth — the semi-supervised bootstrap measured, not assumed.
+  def q203KnnImpute(s: SparkSession, dir: String): DataFrame = {
+    val split = graft.llm.Sampling.hashSplit(
+      graft.Tables.embeddings(s, dir), "vec_id", LeakTrainPct, LeakValPct)
+    Similarity.knnImputeCard(
+      split.filter(col("split") === "train"),
+      split.filter(col("split") === "test"),
+      "label", AgreeK, Dim)
+  }
+
   // ---- q198: kNN label-agreement audit (label-noise detection) ----
   // [[graft.llm.Similarity.labelAgreementCard]] over the embeddings
   // table: per vector, the share of its k nearest in-bucket neighbors
@@ -960,6 +975,7 @@ object SimilarityQueries {
     "q194_incremental_neardup" -> q194IncrementalNearDup _,
     "q197_semantic_leakage" -> q197SemanticLeakage _,
     "q198_label_agreement" -> q198LabelAgreement _,
+    "q203_knn_impute" -> q203KnnImpute _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -1745,6 +1761,43 @@ object SimilarityQueries {
          |FROM p JOIN spl a ON p.vec_a = a.vec_id
          |  JOIN spl b ON p.vec_b = b.vec_id
          |GROUP BY 1, 2""".stripMargin,
+    // q197's split spelling as the labeled/unlabeled divide; buckets,
+    // cross-slice dots, top-k rank, majority vote with its two
+    // deterministic tie-breaks, -1 no-evidence sentinel
+    "q203_knn_impute" ->
+      s"""WITH spl AS (SELECT vec_id,
+         |    CASE WHEN ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+         |        % 100 < $LeakTrainPct THEN 'train'
+         |      WHEN ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+         |        % 100 < ${LeakTrainPct + LeakValPct} THEN 'val'
+         |      ELSE 'test' END AS split
+         |  FROM embeddings),
+         |b AS (SELECT e.vec_id, e.label, e.embedding,
+         |    CAST($bucketSql AS BIGINT) AS bucket, spl.split
+         |  FROM embeddings e JOIN spl USING (vec_id)),
+         |sc AS (SELECT q.vec_id AS query_id, c.vec_id, c.label AS clab,
+         |    CAST(list_sum(list_transform(range(1, len(q.embedding) + 1),
+         |      i -> CAST(floor(CAST(q.embedding[i] AS DOUBLE)
+         |        * CAST(c.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)))
+         |      AS BIGINT) AS dot_fp
+         |  FROM b q JOIN b c USING (bucket)
+         |  WHERE q.split = 'test' AND c.split = 'train'),
+         |top AS (SELECT query_id, vec_id, clab FROM (SELECT query_id, vec_id,
+         |    clab, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY dot_fp DESC, vec_id ASC) AS rn FROM sc) t
+         |  WHERE rn <= $AgreeK),
+         |vt AS (SELECT query_id, clab, CAST(count(*) AS BIGINT) AS votes
+         |  FROM top GROUP BY 1, 2),
+         |pr AS (SELECT query_id, clab FROM (SELECT query_id, clab,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY votes DESC, clab ASC) AS rn FROM vt) t
+         |  WHERE rn = 1)
+         |SELECT e.vec_id, e.label AS label_true,
+         |  coalesce(pr.clab, -1) AS label_imputed,
+         |  (coalesce(pr.clab, -1) = e.label) AS correct
+         |FROM embeddings e
+         |JOIN spl ON e.vec_id = spl.vec_id AND spl.split = 'test'
+         |LEFT JOIN pr ON pr.query_id = e.vec_id""".stripMargin,
     // buckets, exact in-bucket dots, shared top-k rank, agreement
     // rollup and both coalesce-to-zero flags replayed
     "q198_label_agreement" ->

@@ -123,6 +123,34 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(capped === Set((0L, false)), "capped bucket scores no one")
   }
 
+  test("knnImputeCard: majority vote, vote tie → smallest label, no evidence → -1") {
+    import spark.implicits._
+    val v = Array.tabulate(64)(i => (math.cos(i * 0.7) / 8).toFloat)
+    def near(eps: Float) = { val c = v.clone(); c(0) = v(0) + eps; c }
+    val far = Array.tabulate(64)(i => (math.sin(i * 1.3 + 2) / 8).toFloat)
+    val train = Seq(
+      (1L, near(0.001f), 5), (2L, near(0.002f), 5), (3L, near(0.003f), 7))
+      .toDF("vec_id", "embedding", "label")
+    val test = Seq(
+      (10L, v, 5),                    // 3 train neighbors: 5,5,7 → 5
+      (11L, far, 7)).toDF("vec_id", "embedding", "label") // empty bucket → -1
+    val got = Similarity.knnImputeCard(train, test, "label", k = 3, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getBoolean(3))).toSet
+    assert(got === Set((10L, 5, 5, true), (11L, 7, -1, false)))
+    // k = 2 keeps the two CLOSEST (1, 2 — both label 5); a vote tie
+    // at k spanning labels breaks by smallest label: force it with
+    // k = 4 over {5, 5, 7} → still 5; and a 1–1 tie via k = 2 on a
+    // train set where ranks 1,2 carry labels 7 and 5 → 5 wins
+    val tieTrain = Seq((1L, near(0.001f), 7), (2L, near(0.002f), 5))
+      .toDF("vec_id", "embedding", "label")
+    val tie = Similarity.knnImputeCard(tieTrain,
+        Seq((10L, v, 9)).toDF("vec_id", "embedding", "label"),
+        "label", k = 2, dim = 64)
+      .collect().map(r => (r.getInt(2), r.getBoolean(3))).toSet
+    assert(tie === Set((5, false)), "1-1 vote tie must pick the smallest label")
+  }
+
   test("ann bucket: identical vectors land in the same bucket") {
     import spark.implicits._
     LlmFunctions.registerDotFp(spark)
