@@ -126,6 +126,38 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkTestSession {
       "the cross-label filter must ride the existing stages")
   }
 
+  test("q201's mined-span join broadcasts the span set, never the corpus stream") {
+    // the positional gram stream is corpus×positions — it must meet
+    // the ≤ topK mined spans via a broadcast hash join, and no
+    // cartesian/nested-loop join may appear anywhere in the card
+    val plan = SparkEntry.queries("q201_boilerplate_strip")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"mined spans must broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "no unkeyed join may touch the positional stream")
+  }
+
+  test("q195's corpus-side scoring joins vocab once — no per-class corpus blowup") {
+    // the winner table collapses the per-class dimension BEFORE the
+    // corpus join: the eval token stream must never cross-join the
+    // class list (the naive NB plan), and the classifier adds no
+    // cartesian anywhere
+    val plan = SparkEntry.queries("q195_nb_classifier")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"corpus×classes cartesian leaked into the scoring plan:\n${plan.take(1500)}")
+  }
+
+  test("q203's impute path stays a bucket equi-join between the splits") {
+    val plan = SparkEntry.queries("q203_knn_impute")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"test×train must meet on the bucket key only:\n${plan.take(1500)}")
+  }
+
   test("GraftExtensions installs native functions via spark.sql.extensions") {
     // newSession(): empty per-session function registry (no UDFs
     // registered by other specs) but the app-level extensions apply —
