@@ -293,6 +293,7 @@ object Dedup {
     * per-vertex upper bound on the component minimum that is itself a
     * reachable label converges to the SAME unique fixpoint, and
     * seeding saves one full round on chain-shaped clusters. */
+
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
       maxIter: Int = 40, initLabels: Option[DataFrame] = None): DataFrame = {
     val spark = vertices.sparkSession
@@ -348,6 +349,34 @@ object Dedup {
       s"connectedComponents did not converge within $maxIter rounds " +
         s"($changed labels still changing) — raise maxIter (graph diameter exceeds it)")
     labels.toDF("doc_id", "cluster_id")
+  }
+
+  /** Bounded max-propagation with per-hop halving: after `rounds`
+    * rounds, `s(v) = max over nodes u within `rounds` hops of
+    * `s₀(u) div 2^dist(u,v)`` — the decay-with-distance spread used
+    * by the guilt-by-duplication card (q204). Integer floor halving,
+    * so every score is exact and oracle-replayable; max (not sum) so
+    * dense spam clusters cannot overflow or double-count. Scale: the
+    * LinkRank round discipline — symmetrized edges and each round's
+    * node-sized scores persisted, one join + one dst-keyed max
+    * aggregate per round. `seeds` = (doc_id, s); `edges` =
+    * (src, dst), symmetrized here. */
+  def maxPropagate(seeds: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "at least one propagation round")
+    val sym = Caches.persistTracked(
+      edges.select(col("src"), col("dst"))
+        .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"))))
+    var sc = Caches.persistTracked(seeds.select(col("doc_id"), col("s")))
+    for (_ <- 1 to rounds) {
+      val m = sym
+        .join(sc.select(col("doc_id").as("src"), col("s")), "src")
+        .groupBy(col("dst")).agg(max(col("s")).as("mx"))
+      sc = Caches.persistTracked(
+        sc.join(m.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            greatest(col("s"), coalesce(expr("mx div 2"), lit(0L))).as("s")))
+    }
+    sc
   }
 
   /** Sorted-neighborhood candidate pairs — the classic record-linkage

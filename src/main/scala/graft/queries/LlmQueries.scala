@@ -2145,7 +2145,7 @@ object LlmQueries {
   // length, stopword ratio, 3-gram repetition, digit share, quality,
   // normalized fingerprint) computed once, ending in per-doc frame
   // `rr` carrying lang for downstream aggregation.
-  private val rulesCtes: String =
+  private[queries] val rulesCtes: String =
     s"""d AS (SELECT doc_id, lang, coalesce(text, '') AS text FROM documents),
        |t AS (SELECT doc_id, lang, text, $toksSql AS toks FROM d),
        |s AS (SELECT doc_id, lang,
@@ -2171,7 +2171,7 @@ object LlmQueries {
 
   /** The reasons bitmask over `rr`'s columns — spelled once so q69's
     * two uses (mask + kept) and q73's keep-count cannot drift. */
-  private val reasonsSql: String =
+  private[queries] val reasonsSql: String =
     s"""(CASE WHEN n_tok < $RuleMinTokens THEN 1 ELSE 0 END)
        |    + (CASE WHEN n_tok > $RuleMaxTokens THEN 2 ELSE 0 END)
        |    + (CASE WHEN mean_fp < $RuleMinMeanTokLenFp

@@ -309,6 +309,38 @@ object SimilarityQueries {
     Similarity.labelAgreementCard(graft.Tables.embeddings(s, dir),
       "label", AgreeK, Dim)
 
+  // ---- q204: spam propagation over the near-dup graph ----
+  // Guilt by duplication: a document that PASSES the q69 rule gate
+  // but near-duplicates a rule-dropped (spam) document is probably
+  // spam the rules missed — template spam mutates past keyword rules
+  // faster than past shingle fingerprints. Seeds = rule verdicts
+  // (suspicion 10⁶ for dropped, 0 for kept); two max-propagation
+  // rounds over q38's audited near-dup edges, halving per hop
+  // (integer floor — exact), so a clean doc one hop from spam scores
+  // 500000, two hops 250000; `flagged` = kept but ≥ 250000. Scale:
+  // the LinkRank round discipline — edges and each round's scores
+  // persisted, one join + one dst-keyed max aggregate per round,
+  // node-sized frames throughout.
+  def q204SpamPropagation(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    val kept = graft.llm.Caches.persistTracked(
+      TextAnalysis.ruleFilter(docs, "doc_id", "text")
+        .select(col("doc_id"), col("kept")))
+    val pairs = MinHashLSH.nearDupPairs(docs, "doc_id", "text",
+      shingleN = ShingleN, numHashes = NumHashes, rowsPerBand = 1,
+      minJaccardFp = ClusterMinJaccardFp)
+      .select(col("doc_a"), col("doc_b"))
+    val sc = graft.llm.Dedup.maxPropagate(
+      kept.select(col("doc_id"),
+        when(col("kept"), 0L).otherwise(1000000L).as("s")),
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")),
+      rounds = 2)
+    kept.join(sc, Seq("doc_id"))
+      .select(col("doc_id"), col("kept"), col("s").as("suspicion_ppm"))
+      .withColumn("flagged",
+        col("kept") && col("suspicion_ppm") >= 250000L)
+  }
+
   // ---- q72: cluster-aware keep-best dedup ----
   // The decision real pipelines make on top of q38's labels: within
   // each near-dup cluster keep the HIGHEST-QUALITY member (tie → the
@@ -976,6 +1008,7 @@ object SimilarityQueries {
     "q197_semantic_leakage" -> q197SemanticLeakage _,
     "q198_label_agreement" -> q198LabelAgreement _,
     "q203_knn_impute" -> q203KnnImpute _,
+    "q204_spam_propagation" -> q204SpamPropagation _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -1761,6 +1794,33 @@ object SimilarityQueries {
          |FROM p JOIN spl a ON p.vec_a = a.vec_id
          |  JOIN spl b ON p.vec_b = b.vec_id
          |GROUP BY 1, 2""".stripMargin,
+    // q69's rule CTEs seed suspicion, q38's edge spelling carries it,
+    // two unrolled max-halving rounds — all three fragments
+    // individually hash-proven elsewhere
+    "q204_spam_propagation" ->
+      s"""WITH ${LlmQueries.rulesCtes},
+         |pj AS (SELECT doc_a, doc_b FROM ($q21Sql) q
+         |  WHERE jaccard_fp >= $ClusterMinJaccardFp),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM pj
+         |  UNION SELECT doc_b, doc_a FROM pj),
+         |s0 AS (SELECT doc_id,
+         |    CASE WHEN ${LlmQueries.reasonsSql} = 0 THEN 0
+         |      ELSE 1000000 END AS s,
+         |    ${LlmQueries.reasonsSql} = 0 AS kept
+         |  FROM rr),
+         |m1 AS (SELECT e.dst AS doc_id, CAST(max(s0.s) AS BIGINT) AS mx
+         |  FROM e JOIN s0 ON e.src = s0.doc_id GROUP BY 1),
+         |s1 AS (SELECT s0.doc_id, s0.kept,
+         |    greatest(s0.s, coalesce(m1.mx // 2, 0)) AS s
+         |  FROM s0 LEFT JOIN m1 USING (doc_id)),
+         |m2 AS (SELECT e.dst AS doc_id, CAST(max(s1.s) AS BIGINT) AS mx
+         |  FROM e JOIN s1 ON e.src = s1.doc_id GROUP BY 1),
+         |s2 AS (SELECT s1.doc_id, s1.kept,
+         |    greatest(s1.s, coalesce(m2.mx // 2, 0)) AS s
+         |  FROM s1 LEFT JOIN m2 USING (doc_id))
+         |SELECT doc_id, kept, CAST(s AS BIGINT) AS suspicion_ppm,
+         |  (kept AND s >= 250000) AS flagged
+         |FROM s2""".stripMargin,
     // q197's split spelling as the labeled/unlabeled divide; buckets,
     // cross-slice dots, top-k rank, majority vote with its two
     // deterministic tie-breaks, -1 no-evidence sentinel

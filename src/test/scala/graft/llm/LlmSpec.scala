@@ -21,6 +21,27 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
     ).toDF("doc_id", "text")
   }
 
+  test("maxPropagate: halving per hop, max not sum, bounded by rounds") {
+    import spark.implicits._
+    // chain 1–2–3–4 with spam seed at 1; 5 isolated; 6–7 both spam
+    // (max must not stack); edges given one-directionally — the
+    // operator symmetrizes
+    val seeds = Seq((1L, 1000000L), (2L, 0L), (3L, 0L), (4L, 0L),
+      (5L, 0L), (6L, 1000000L), (7L, 1000000L))
+      .toDF("doc_id", "s")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L))
+      .toDF("src", "dst")
+    val got = Dedup.maxPropagate(seeds, edges, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      1L -> 1000000L,  // seed keeps its own score
+      2L -> 500000L,   // one hop
+      3L -> 250000L,   // two hops
+      4L -> 0L,        // three hops — beyond the round budget
+      5L -> 0L,        // isolated
+      6L -> 1000000L, 7L -> 1000000L)) // two adjacent seeds: max, no stacking
+  }
+
   test("exact dedup keeps the smallest doc_id per identical text") {
     val out = Dedup.exact(docs, Seq("text"), "doc_id")
       .select("doc_id").collect().map(_.getLong(0)).sorted
