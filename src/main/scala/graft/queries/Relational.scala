@@ -665,7 +665,47 @@ object Relational {
       Seq("s_suppkey"), batchTs = 100L)
   }
 
+  // ---- q205: erasure-cascade plan (right-to-be-forgotten audit) ----
+  // The plan a GDPR/consent deletion job must present BEFORE touching
+  // data: given a forget-set of customers (the demo predicate
+  // c_custkey % 41 = 0 — in production an uploaded key list), the
+  // exact blast radius down the foreign-key chain: customers
+  // themselves, their orders, and those orders' lineitems, each as
+  // (rows to delete, delete ppm). Deletion must see the SAME cascade
+  // the plan priced, so the plan is pure keyed joins: forget keys →
+  // orders by o_custkey → lineitems semi-joined on the deleted
+  // orderkeys. Scale: two key-projected joins (key sets only — no
+  // payload columns move), three count aggregates folded to one row
+  // each; at 100 TB the orderkey set shuffles as 8-byte keys.
+  def q205ErasurePlan(s: SparkSession, dir: String): DataFrame = {
+    def card(tbl: String, total: DataFrame, del: DataFrame): DataFrame = {
+      val t = total.agg(count(lit(1)).cast("bigint").as("n_rows"))
+      val d = del.agg(count(lit(1)).cast("bigint").as("n_delete"))
+      t.crossJoin(d).select(lit(tbl).as("tbl"), col("n_rows"),
+        col("n_delete"),
+        expr("cast(cast(n_delete as decimal(38,0)) * 1000000 " +
+          "div greatest(n_rows, 1L) as bigint)").as("delete_ppm"))
+    }
+    val cust = graft.Tables.customer(s, dir)
+    val orders = graft.Tables.orders(s, dir)
+    val li = graft.Tables.lineitem(s, dir)
+    val forgetC = cust.filter(pmod(col("c_custkey"), lit(41)) === 0)
+      .select(col("c_custkey"))
+    // the deleted-orderkey set feeds its own count AND the lineitem
+    // cascade → persisted (key column only)
+    val delOKeys = graft.llm.Caches.persistTracked(
+      orders.join(forgetC, col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey")))
+    val delL = li.join(delOKeys,
+      col("l_orderkey") === col("o_orderkey"), "left_semi")
+    card("customer", cust.select(col("c_custkey")), forgetC)
+      .unionByName(card("orders", orders.select(col("o_orderkey")), delOKeys))
+      .unionByName(card("lineitem", li.select(col("l_orderkey")),
+        delL.select(col("l_orderkey"))))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q205_erasure_plan" -> q205ErasurePlan _,
     "q93_snapshot_diff"     -> q93SnapshotDiff _,
     "q94_scd2_apply"        -> q94Scd2 _,
     "q1_pricing_summary"    -> q1PricingSummary _,
@@ -706,6 +746,31 @@ object Relational {
     * plans exactly (same literals, same fixed-point floors) so results
     * are bit-identical, not merely close. */
   val oracleSql: Map[String, String] = Map(
+    // the cascade replayed as IN-subqueries; one UNION ALL row per
+    // table with the same HUGEINT ppm spelling
+    "q205_erasure_plan" ->
+      """WITH fc AS (SELECT c_custkey FROM customer WHERE c_custkey % 41 = 0),
+        |dok AS (SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM fc)),
+        |dl AS (SELECT l_orderkey FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM dok)),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer),
+        |o AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+        |l AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+        |cd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM fc),
+        |od AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dok),
+        |ld AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dl)
+        |SELECT 'customer' AS tbl, c.n AS n_rows, cd.n AS n_delete,
+        |  CAST(CAST(cd.n AS HUGEINT) * 1000000 // greatest(c.n, 1)
+        |    AS BIGINT) AS delete_ppm FROM c, cd
+        |UNION ALL
+        |SELECT 'orders', o.n, od.n,
+        |  CAST(CAST(od.n AS HUGEINT) * 1000000 // greatest(o.n, 1)
+        |    AS BIGINT) FROM o, od
+        |UNION ALL
+        |SELECT 'lineitem', l.n, ld.n,
+        |  CAST(CAST(ld.n AS HUGEINT) * 1000000 // greatest(l.n, 1)
+        |    AS BIGINT) FROM l, ld""".stripMargin,
     // per-key count-of-counts replayed with the same integer ceil
     "q159_skew_advisor" -> {
       def card(name: String, table: String, key: String) =
