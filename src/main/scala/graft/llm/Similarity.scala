@@ -262,6 +262,22 @@ object Similarity {
       .filter(col("dot_fp") >= minDotFp)
   }
 
+  /** One 64-bit sign word per embedding: bit `i` set iff
+    * `embedding[i] > 0` — the 32× compression of binary embedding
+    * search (64 floats → one BIGINT), distance = `bit_count(xor)`.
+    * Bit `dim-1 = 63` lands on the Long sign bit by Java `<<` wrap —
+    * harmless for XOR/popcount, and the oracle replays the same
+    * two's-complement value explicitly. Row-local codegen'd
+    * expression: packs at scan speed, no shuffle. */
+  def signWordExpr(embCol: String, dim: Int): Column = {
+    require(dim >= 1 && dim <= 64, "one word packs at most 64 dims")
+    expr(
+      s"""aggregate(sequence(0, ${dim - 1}), 0L,
+         |  (acc, i) -> acc + CASE
+         |    WHEN element_at($embCol, i + 1) > CAST(0.0 AS FLOAT)
+         |    THEN shiftleft(1L, i) ELSE 0L END)""".stripMargin)
+  }
+
   /** Label-noise audit: for EVERY vector, how many of its `k` nearest
     * in-bucket neighbors (exact fixed-point dot, q24's candidate rule)
     * share its label — the per-example agreement signal that flags

@@ -477,6 +477,27 @@ object SimilarityQueries {
       Seq("jl_proj" -> Similarity.topKPerQuery(scored, AnnK)), AnnK)
   }
 
+  // ---- q206: binary sign-embedding recall card ----
+  // The 32×-compression acceptance evidence (64 floats → one BIGINT
+  // sign word, [[graft.llm.Similarity.signWordExpr]]): top-k by
+  // Hamming distance over the packed words, graded against the exact
+  // fixed-point dot baseline through the SAME recallAtK spine as
+  // q143/q166 — a third compression family (bits) next to JL
+  // projection and matryoshka truncation. Scale: packing is a
+  // row-local codegen'd projection; the scored stream carries two
+  // BIGINTs per pair, and selection is the shared two-level top-k.
+  def q206BinaryRecall(s: SparkSession, dir: String): DataFrame = {
+    val corp = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id"), Similarity.signWordExpr("embedding", Dim).as("wbits"))
+    val qs = corp.filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("query_id"), col("wbits").as("qb"))
+    val scored = qs.crossJoin(corp)
+      .select(col("query_id"), col("vec_id"),
+        (-expr("cast(bit_count(qb ^ wbits) as bigint)")).as("dot_fp"))
+    Similarity.recallAtK(q23EmbedTopk(s, dir),
+      Seq("sign_bits" -> Similarity.topKPerQuery(scored, AnnK)), AnnK)
+  }
+
   // ---- q166: matryoshka prefix-dimension recall card ----
   // The acceptance evidence for matryoshka-style dimension truncation
   // (serve the first d of 64 dims, keep the rest on disk): top-k by
@@ -1009,6 +1030,7 @@ object SimilarityQueries {
     "q198_label_agreement" -> q198LabelAgreement _,
     "q203_knn_impute" -> q203KnnImpute _,
     "q204_spam_propagation" -> q204SpamPropagation _,
+    "q206_binary_recall" -> q206BinaryRecall _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -2100,6 +2122,38 @@ object SimilarityQueries {
          |  CAST(coalesce(hits.hits, 0) * 1000000 // $AnnK AS BIGINT) AS recall_ppm
          |FROM spine LEFT JOIN hits
          |  ON spine.method = hits.method AND spine.query_id = hits.query_id""".stripMargin
+    },
+    // the packed sign word replayed two's-complement-exactly (bit 63
+    // as the explicit Long minimum), Hamming rank, q143's recall tail
+    "q206_binary_recall" -> {
+      val word =
+        s"""CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+           |  i -> CASE WHEN embedding[i] > 0 THEN
+           |    CASE WHEN i = $Dim THEN (-9223372036854775807 - 1)
+           |    ELSE (1::BIGINT << (i - 1)) END
+           |  ELSE 0 END)) AS BIGINT)""".stripMargin
+      s"""WITH wb AS (SELECT vec_id, $word AS w FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, w AS qw FROM wb
+         |  WHERE vec_id < $NumQueryVecs),
+         |sc AS (SELECT query_id, wb.vec_id,
+         |    bit_count(xor(qw, wb.w)) AS ham FROM q CROSS JOIN wb),
+         |pr AS (SELECT query_id, vec_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY ham ASC, vec_id) AS rn FROM sc),
+         |qe2 AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+         |  WHERE vec_id < $NumQueryVecs),
+         |scored AS (SELECT query_id, e.vec_id, $dotSql AS dot_fp
+         |  FROM qe2 CROSS JOIN (SELECT vec_id, embedding AS ce FROM embeddings) e),
+         |ex AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dot_fp DESC, vec_id) AS rn
+         |  FROM scored) r WHERE rn <= $AnnK),
+         |hits AS (SELECT pr.query_id, CAST(count(*) AS BIGINT) AS hits
+         |  FROM pr JOIN ex ON pr.query_id = ex.query_id AND pr.vec_id = ex.vec_id
+         |  WHERE pr.rn <= $AnnK GROUP BY pr.query_id)
+         |SELECT 'sign_bits' AS method, s.query_id,
+         |  coalesce(hits.hits, 0) AS hits,
+         |  CAST(coalesce(hits.hits, 0) * 1000000 // $AnnK AS BIGINT) AS recall_ppm
+         |FROM (SELECT DISTINCT query_id FROM ex) s
+         |LEFT JOIN hits USING (query_id)""".stripMargin
     },
     "q143_projected_recall" -> {
       val projList = Similarity.planeWeights(Dim).map { w =>
