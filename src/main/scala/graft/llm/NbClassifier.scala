@@ -59,6 +59,17 @@ object NbClassifier {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Delta-training: counts are a commutative monoid under per-cell
+    * addition, so a shipped artifact extends with a new labeled batch
+    * WITHOUT re-reading the old corpus — `merge(train(A), train(B))`
+    * equals `train(A ∪ B)` exactly (pinned in NbClassifierSpec),
+    * which makes incremental retrains byte-honest, not approximate.
+    * One (label, w) aggregate over the concatenated count frames. */
+  def mergeCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("label"), col("w"))
+      .agg(sum(col("cnt")).cast("bigint").as("cnt"))
+
   /** Smoothed fixed-point class score — the one spelling both the
     * winner table and the unseen-token default run through. */
   private def scoreFp: Column =

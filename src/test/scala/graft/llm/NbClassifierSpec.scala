@@ -86,6 +86,19 @@ class NbClassifierSpec extends AnyFunSuite with SparkTestSession {
     assert(got === Set(("en", "en", 1L), ("fr", "fr", 1L), ("en", "fr", 1L)))
   }
 
+  test("mergeCounts: delta-train equals full retrain exactly") {
+    import spark.implicits._
+    val a = labeled.filter(col("doc_id") <= 2)
+    val b = labeled.filter(col("doc_id") > 2)
+    val merged = NbClassifier.mergeCounts(
+        NbClassifier.train(a, "text", "lang"),
+        NbClassifier.train(b, "text", "lang"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val full = NbClassifier.train(labeled, "text", "lang")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(merged === full, "counts must be a monoid — no drift on delta-train")
+  }
+
   test("artifact round-trip: loaded counts score byte-identically") {
     val counts = NbClassifier.train(labeled, "text", "lang")
     val dir = java.nio.file.Files.createTempDirectory("nbcls").toString
