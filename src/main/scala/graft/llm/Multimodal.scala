@@ -339,6 +339,45 @@ object Multimodal {
     }
   }
 
+  /** Voice-activity segmentation over real 16-bit PCM: fixed windows
+    * of `win` samples, a window ACTIVE iff its absolute-amplitude sum
+    * exceeds `thrPerSample` per sample it contains (the tail window
+    * may be short — the threshold scales with it), segments = maximal
+    * runs of active windows. The droppable-silence accounting an
+    * audio curation pipeline runs before paying for transcription.
+    * Integer-exact over the decoded samples, so the synthetic-payload
+    * oracle replays windows, flags, and the run count byte-for-byte.
+    * Returns (nWindows, nActive, nSegments); None for non-16-bit or
+    * structurally invalid WAV. Row-local — scales like decode(). */
+  def wavActivity(content: Array[Byte], win: Int,
+      thrPerSample: Long): Option[(Long, Long, Long)] = {
+    require(win > 0, "window must be positive")
+    require(thrPerSample >= 0L, "threshold must be non-negative")
+    wavLayout(content).flatMap { l =>
+      if (l.bitsPerSample != 16) None
+      else {
+        val buf = ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN)
+        val n = l.dataSize / 2
+        val nw = (n + win - 1) / win
+        var w = 0; var nActive = 0L; var nSeg = 0L; var prev = false
+        while (w < nw) {
+          var i = w * win
+          val hi = math.min((w + 1) * win, n)
+          var acc = 0L
+          while (i < hi) {
+            acc += math.abs(buf.getShort(l.dataOff + 2 * i).toLong)
+            i += 1
+          }
+          val act = acc > thrPerSample * (hi - w * win)
+          if (act) { nActive += 1; if (!prev) nSeg += 1 }
+          prev = act
+          w += 1
+        }
+        Some((nw.toLong, nActive, nSeg))
+      }
+    }
+  }
+
   /** Uniform decoded-sample feature over both real codecs: BMP pixel
     * band sums or WAV PCM band energies by declared media type. */
   def bandEnergies(p: MediaPayload, bands: Int): Option[Array[Long]] =

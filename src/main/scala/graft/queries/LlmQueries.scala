@@ -133,6 +133,34 @@ object LlmQueries {
       .toDF("id", "media_type", "band", "energy")
   }
 
+  // ---- q207: audio voice-activity segmentation (VAD card) ----
+  // The silence-dropping evidence an audio pipeline needs before
+  // paying for transcription: per WAV clip (the q47/q56 REAL payloads
+  // — spec-compliant RIFF files decoded by the chunk walk, not
+  // trusted metadata), 16-sample windows flagged active by
+  // absolute-amplitude sum vs half-scale (16384/sample), maximal
+  // active runs counted as segments. Integer-exact over decoded PCM,
+  // so the oracle replays every window, flag, and run boundary from
+  // the synthesis formula. Scale: row-local decode+walk per clip,
+  // no shuffle until the (absent) rollup.
+  private val VadWin = 16
+  private val VadThrPerSample = 16384L
+  def q207AudioVad(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Multimodal
+    import s.implicits._
+    Multimodal.documentsAsRealMedia(s, dir)
+      .filter(_.mediaType == "audio/wav")
+      .flatMap { p =>
+        Multimodal.wavActivity(p.content, VadWin, VadThrPerSample).map {
+          case (nw, na, ns) => (p.id, nw, na, ns)
+        }
+      }
+      .toDF("id", "n_windows", "n_active", "n_segments")
+      .withColumn("active_ppm", expr(
+        "cast(cast(n_active as decimal(38,0)) * 1000000 " +
+          "div greatest(n_windows, 1L) as bigint)"))
+  }
+
   // ---- q47: REAL container decode (BMP + WAV header parsing) ----
   // Payloads are actual spec-compliant BMP/WAV files synthesized from
   // doc_id; decode() parses the real headers back (dims at BMP bytes
@@ -1797,6 +1825,7 @@ object LlmQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q207_audio_vad" -> q207AudioVad _,
     "q202_vocab_sweep" -> q202VocabSweep _,
     "q201_boilerplate_strip" -> q201BoilerplateStrip _,
     "q200_epoch_plan" -> q200EpochPlan _,
@@ -3581,6 +3610,31 @@ object LlmQueries {
     // decoded-sample band energies: LEFT JOIN against the (id, band)
     // spine so bands whose slice is empty (n < bands) report 0 instead
     // of vanishing from the group-by
+    // q56's WAV synthesis formula, windowed: per-window abs sums vs
+    // the scaled threshold, run starts via lag — every boundary exact
+    "q207_audio_vad" ->
+      s"""WITH wavsrc AS (SELECT doc_id, 1 + ((doc_id // 2) % 2) AS ch,
+         |    (doc_id % 200) + 1 AS frames
+         |  FROM documents WHERE doc_id % 2 = 1),
+         |wsp AS (SELECT doc_id, ch * frames AS n, u.w
+         |  FROM wavsrc, unnest(range(0, (ch * frames + ${VadWin - 1}) // $VadWin)) AS u(w)),
+         |we AS (SELECT doc_id, w,
+         |    sum(abs((ui.i * 257) % 65536 - 32768)) AS e,
+         |    count(*) AS cnt
+         |  FROM wsp, unnest(range(w * $VadWin, least((w + 1) * $VadWin, n))) AS ui(i)
+         |  GROUP BY doc_id, w),
+         |fl AS (SELECT doc_id, w, (e > $VadThrPerSample * cnt) AS act FROM we),
+         |sg AS (SELECT doc_id, w, act,
+         |    lag(act) OVER (PARTITION BY doc_id ORDER BY w) AS pa FROM fl),
+         |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |    CAST(sum(CASE WHEN act THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+         |    CAST(sum(CASE WHEN act AND NOT coalesce(pa, false) THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_segments
+         |  FROM sg GROUP BY 1)
+         |SELECT doc_id AS id, n_windows, n_active, n_segments,
+         |  CAST(CAST(n_active AS HUGEINT) * 1000000
+         |    // greatest(n_windows, 1) AS BIGINT) AS active_ppm
+         |FROM ag""".stripMargin,
     "q56_media_features" ->
       s"""WITH bmpsrc AS (SELECT doc_id, (doc_id % 64) + 1 AS w, ((doc_id * 7) % 48) + 1 AS h,
          |    ((((doc_id % 64) + 1) * 3 + 3) // 4) * 4 AS stride

@@ -67,6 +67,27 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
       "666D7420 10000000 0100 0100 401F0000 803E0000 0200 1000" +
       "64617461 04000000 11223344")             // data, size 4, samples
 
+  test("wavActivity: windows, scaled tail threshold, segment runs, rejects junk") {
+    // 40 mono frames, win 16 → windows of 16/16/8 samples; sawtooth
+    // sample i = (i*257) % 65536 - 32768
+    val wav = Multimodal.encodeWav(8000, 1, 40)
+    def absSum(lo: Int, hi: Int) =
+      (lo until hi).map(i => math.abs((i * 257) % 65536 - 32768).toLong).sum
+    val Some((nw, na, ns)) = Multimodal.wavActivity(wav, 16, 16384L)
+    assert(nw === 3L)
+    val acts = Seq((0, 16), (16, 32), (32, 40)).map { case (lo, hi) =>
+      absSum(lo, hi) > 16384L * (hi - lo)
+    }
+    assert(na === acts.count(identity).toLong)
+    val expSeg = acts.zip(false +: acts).count { case (a, p) => a && !p }
+    assert(ns === expSeg.toLong)
+    // threshold 0 → every window active, one segment spanning all
+    assert(Multimodal.wavActivity(wav, 16, 0L) === Some((3L, 3L, 1L)))
+    // impossible threshold → nothing active, zero segments
+    assert(Multimodal.wavActivity(wav, 16, 40000L) === Some((3L, 0L, 0L)))
+    assert(Multimodal.wavActivity(Array[Byte](1, 2, 3), 16, 0L) === None)
+  }
+
   test("decodeBmp reads dims from real header bytes; rejects malformed") {
     assert(decodeBmp(goldenBmp) == Some((2, 2)))
     // top-down variant: height −2 at offset 22 still reports (2, 2)
