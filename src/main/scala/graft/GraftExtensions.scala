@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.geo.expressions.WkbGeomTypeExpr
-import graft.llm.expressions.{DotFpExpr, InterCountExpr, LshBucketExpr, MinHashSigsExpr, ShingleBasesExpr}
+import graft.llm.expressions.{DotFpExpr, InterCountExpr, LshBucketExpr, MinHashSigsExpr, ShingleBasesExpr, SignWordExpr}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
@@ -73,6 +73,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "lsh_bucket takes exactly 2 arguments")
         LshBucketExpr(children.head, intLiteral(children(1), "lsh_bucket"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier(graft.llm.LlmFunctions.SignWord),
+      new ExpressionInfo(classOf[SignWordExpr].getName,
+        graft.llm.LlmFunctions.SignWord),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "sign_word takes exactly 2 arguments")
+        SignWordExpr(children.head, intLiteral(children(1), "sign_word"))
       }))
   }
 

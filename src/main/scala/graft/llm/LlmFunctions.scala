@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.llm.expressions.{DotFpExpr, InterCountExpr, LshBucketExpr, MinHashSigsExpr, ShingleBasesExpr}
+import graft.llm.expressions.{DotFpExpr, InterCountExpr, LshBucketExpr, MinHashSigsExpr, ShingleBasesExpr, SignWordExpr}
 
 /** SQL registration surface for the LLM-pipeline functions (same
   * pattern as `graft.geo.GeoFunctions`). */
@@ -17,6 +17,7 @@ object LlmFunctions {
 
   val InterCount = "inter_count"
   val LshBucket = "lsh_bucket"
+  val SignWord = "sign_word"
 
   def registerAll(spark: SparkSession): Unit = {
     registerDotFp(spark)
@@ -24,6 +25,7 @@ object LlmFunctions {
     registerShingleBases(spark)
     registerInterCount(spark)
     registerLshBucket(spark)
+    registerSignWord(spark)
     SimHash.register(spark)
     Fingerprint.register(spark)
   }
@@ -42,6 +44,23 @@ object LlmFunctions {
             s"$LshBucket: dim must be an INT literal, got $other")
         }
         LshBucketExpr(children.head, dim)
+      })
+  }
+
+  /** `sign_word(embedding, dim)` — dim must be an integer literal. */
+  def registerSignWord(spark: SparkSession): Unit = {
+    val info = new ExpressionInfo(classOf[SignWordExpr].getName, SignWord)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(SignWord),
+      info,
+      (children: Seq[Expression]) => {
+        require(children.size == 2, s"$SignWord takes exactly 2 arguments")
+        val dim = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"$SignWord: dim must be an INT literal, got $other")
+        }
+        SignWordExpr(children.head, dim)
       })
   }
 

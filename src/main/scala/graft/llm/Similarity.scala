@@ -267,9 +267,20 @@ object Similarity {
     * search (64 floats → one BIGINT), distance = `bit_count(xor)`.
     * Bit `dim-1 = 63` lands on the Long sign bit by Java `<<` wrap —
     * harmless for XOR/popcount, and the oracle replays the same
-    * two's-complement value explicitly. Row-local codegen'd
-    * expression: packs at scan speed, no shuffle. */
+    * two's-complement value explicitly. Native codegen'd flat loop
+    * ([[graft.llm.expressions.SignWordExpr]]): packs at scan speed,
+    * no per-element lambda frames, no shuffle. Requires
+    * [[LlmFunctions.registerSignWord]] (the operators do it). */
   def signWordExpr(embCol: String, dim: Int): Column = {
+    require(dim >= 1 && dim <= 64, "one word packs at most 64 dims")
+    expr(s"sign_word($embCol, $dim)")
+  }
+
+  /** The higher-order-function composition `sign_word` replaces —
+    * retained because SimilaritySpec asserts the two agree
+    * bit-for-bit on well-formed vectors (the `bucketExprComposed`
+    * precedent). */
+  def signWordComposed(embCol: String, dim: Int): Column = {
     require(dim >= 1 && dim <= 64, "one word packs at most 64 dims")
     expr(
       s"""aggregate(sequence(0, ${dim - 1}), 0L,

@@ -487,6 +487,7 @@ object SimilarityQueries {
   // row-local codegen'd projection; the scored stream carries two
   // BIGINTs per pair, and selection is the shared two-level top-k.
   def q206BinaryRecall(s: SparkSession, dir: String): DataFrame = {
+    graft.llm.LlmFunctions.registerSignWord(s)
     val corp = graft.Tables.embeddings(s, dir)
       .select(col("vec_id"), Similarity.signWordExpr("embedding", Dim).as("wbits"))
     val qs = corp.filter(col("vec_id") < NumQueryVecs)

@@ -123,6 +123,27 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(capped === Set((0L, false)), "capped bucket scores no one")
   }
 
+  test("native sign_word == the composed aggregate spelling, incl. the sign bit") {
+    import spark.implicits._
+    LlmFunctions.registerSignWord(spark)
+    // deterministic mix of positive/negative/zero values across 64
+    // dims — zero must NOT set a bit; dim 63 exercises the Long sign
+    val vecs = (0 until 16).map { v =>
+      (v.toLong, Array.tabulate(64) { i =>
+        val h = (v * 131 + i * 37) % 7 - 3
+        (h * 0.25f)
+      })
+    }.toDF("vec_id", "embedding")
+    val both = vecs.select(
+        Similarity.signWordExpr("embedding", 64).as("nat"),
+        Similarity.signWordComposed("embedding", 64).as("cmp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(both.forall { case (n, c) => n == c },
+      s"native/composed mismatch: ${both.find { case (n, c) => n != c }}")
+    assert(both.exists(_._1 < 0L), "bit 63 (sign bit) must be exercised")
+    assert(both.map(_._1).distinct.length > 1, "words must vary")
+  }
+
   test("knnImputeCard: majority vote, vote tie → smallest label, no evidence → -1") {
     import spark.implicits._
     val v = Array.tabulate(64)(i => (math.cos(i * 0.7) / 8).toFloat)
