@@ -416,6 +416,31 @@ object Streams {
         coalesce(size(col("__toks")), lit(0)).cast("bigint").as("n_tokens"))
   }
 
+  /** Streaming voice-activity screen — q207's VAD card at media-ingest
+    * time: each arriving payload decodes (the REAL RIFF chunk walk)
+    * and segments row-locally through the SAME
+    * [[graft.llm.Multimodal.wavActivity]] as batch, so stream and
+    * batch silence accounting cannot drift (StreamingSpec pins
+    * stream == batch). Non-WAV and structurally invalid payloads are
+    * dropped, mirroring the batch flatMap's None arm. No watermark,
+    * no state store, any output mode. */
+  def vadIngest(stream: DataFrame, idCol: String, typeCol: String,
+      contentCol: String, win: Int, thrPerSample: Long): DataFrame = {
+    val vadUdf = udf { (mt: String, content: Array[Byte]) =>
+      if (mt != "audio/wav" || content == null) None
+      else graft.llm.Multimodal.wavActivity(content, win, thrPerSample)
+    }
+    stream
+      .select(qcol(idCol).as("id"),
+        vadUdf(qcol(typeCol), qcol(contentCol)).as("__v"))
+      .filter(col("__v").isNotNull)
+      .select(col("id"), col("__v._1").as("n_windows"),
+        col("__v._2").as("n_active"), col("__v._3").as("n_segments"))
+      .withColumn("active_ppm", expr(
+        "cast(cast(n_active as decimal(38,0)) * 1000000 " +
+          "div greatest(n_windows, 1L) as bigint)"))
+  }
+
   /** Streaming winsorize-apply — q145's robust clipping at ingest
     * time: exact per-group p-quantile cutoffs train on the STATIC
     * corpus ([[graft.llm.Robust.cutoffsFp]]), and each arriving row is

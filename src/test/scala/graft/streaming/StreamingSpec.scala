@@ -379,6 +379,41 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally query.stop()
   }
 
+  test("vadIngest: streamed VAD equals batch; non-WAV and junk dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "audio/wav", graft.llm.Multimodal.encodeWav(8000, 1, 40)),
+      (2L, "image/bmp", graft.llm.Multimodal.encodeBmp(4, 4)),
+      (3L, "audio/wav", Array[Byte](1, 2, 3)),
+      (4L, "audio/wav", graft.llm.Multimodal.encodeWav(8000, 2, 33)))
+    val input = MemoryStream[(Long, String, Array[Byte])]
+    val query = Streams.vadIngest(
+        input.toDF().toDF("id", "mt", "content"), "id", "mt", "content",
+        win = 16, thrPerSample = 16384L)
+      .writeStream.format("memory").queryName("vad_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      def shape(df: org.apache.spark.sql.DataFrame) = df.orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+      val got = shape(spark.table("vad_out"))
+      assert(got.map(_._1) === Seq(1L, 4L),
+        "only structurally valid WAV payloads may surface")
+      val batch = shape(Streams.vadIngest(
+        rows.toDF("id", "mt", "content"), "id", "mt", "content", 16, 16384L))
+      assert(got === batch, "stream must equal batch exactly")
+      // and both must equal the direct decoder the q207 card uses
+      val direct = rows.collect { case (id, "audio/wav", c) =>
+        graft.llm.Multimodal.wavActivity(c, 16, 16384L).map {
+          case (nw, na, ns) => (id, nw, na, ns) }
+      }.flatten
+      assert(got.map(t => (t._1, t._2, t._3, t._4)) === direct)
+    } finally query.stop()
+  }
+
   test("Pii.scrub is stateless: runs unchanged on a stream, equals batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
