@@ -117,7 +117,10 @@ object NbClassifier {
     * occurrence votes for its type's winner class (unseen types vote
     * the smoothing default), the document takes the majority (ties →
     * smallest label), token-free documents get [[NoEvidenceLabel]].
-    * Output: `(doc_id, label_pred, n_tokens)` for every input doc. */
+    * Output: `(doc_id, label_pred, n_tokens, share_ppm)` for every
+    * input doc — `share_ppm` is the winning class's share of all
+    * votes (floor ppm; 0 with no evidence), the confidence signal
+    * the calibration card (q209) buckets. */
   def predict(docs: DataFrame, counts: DataFrame,
       idCol: String, textCol: String): DataFrame = {
     val qid = graft.Names.quoted(idCol)
@@ -143,12 +146,15 @@ object NbClassifier {
           .orderBy(col("votes").desc, col("lab").asc)))
       .filter(col("__rn") === 1)
       .select(col("doc_id"), col("lab").as("__lab"),
-        col("__nt").cast("bigint").as("__nt"))
+        col("__nt").cast("bigint").as("__nt"),
+        col("votes").cast("bigint").as("__tv"))
     docs.select(col(qid).as("doc_id"))
       .join(pred, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("__lab"), lit(NoEvidenceLabel)).as("label_pred"),
-        coalesce(col("__nt"), lit(0L)).as("n_tokens"))
+        coalesce(col("__nt"), lit(0L)).as("n_tokens"),
+        coalesce(expr("cast(cast(__tv as decimal(38,0)) * 1000000 " +
+          "div greatest(__nt, 1L) as bigint)"), lit(0L)).as("share_ppm"))
   }
 
   /** The evaluation card: confusion matrix of a labeled eval slice

@@ -1824,7 +1824,34 @@ object LlmQueries {
           "div greatest(total_occ, 1L) as bigint)").as("oov_ppm"))
   }
 
+  // ---- q209: classifier confidence calibration card ----
+  // Is the router's confidence honest? q195's vote-share signal
+  // bucketed into deciles against held-back truth: per bucket,
+  // accuracy ppm — a well-calibrated classifier's accuracy rises
+  // with its share; a flat curve means the confidence is noise and
+  // any share-based routing threshold is theater. Same split, same
+  // trained counts, same vote pipeline as q195 (shared nbCtes in the
+  // oracle), one extra windowed share and a decile rollup.
+  def q209NbCalibration(s: SparkSession, dir: String): DataFrame = {
+    val split = graft.llm.Sampling.hashSplit(
+      graft.Tables.documents(s, dir), "doc_id", ClsTrainPct, ClsValPct)
+    val counts = graft.llm.NbClassifier.train(
+      split.filter(col("split") === "train"), "text", "lang")
+    val test = split.filter(col("split") === "test")
+    graft.llm.NbClassifier.predict(test, counts, "doc_id", "text")
+      .join(test.select(col("doc_id"), col("lang").as("label_true")),
+        Seq("doc_id"))
+      .groupBy(expr("share_ppm div 100000").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("label_pred") === col("label_true"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("accuracy_ppm", expr(
+        "cast(cast(n_correct as decimal(38,0)) * 1000000 " +
+          "div greatest(n_docs, 1L) as bigint)"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q209_nb_calibration" -> q209NbCalibration _,
     "q207_audio_vad" -> q207AudioVad _,
     "q202_vocab_sweep" -> q202VocabSweep _,
     "q201_boilerplate_strip" -> q201BoilerplateStrip _,
@@ -2298,9 +2325,12 @@ object LlmQueries {
   // the artifact catalog): train counts, smoothed fixed-point winner
   // per token type (HUGEINT product, floor division), smoothing
   // default for unseen types, per-doc majority vote, confusion matrix
-  private val nbClsSql = {
+  // everything through the per-(doc, class) vote rollup — ONE
+  // spelling shared by the confusion (q195/q196) and calibration
+  // (q209) oracles
+  private val nbCtes = {
     val scale = graft.llm.NbClassifier.ScaleFp
-    s"""WITH spl AS (SELECT doc_id,
+    s"""spl AS (SELECT doc_id,
        |    CASE WHEN r < $ClsTrainPct THEN 'train'
        |         WHEN r < ${ClsTrainPct + ClsValPct} THEN 'val'
        |         ELSE 'test' END AS split
@@ -2336,7 +2366,11 @@ object LlmQueries {
        |votes AS (SELECT tf.doc_id,
        |    coalesce(win.label_pred, (SELECT label_dflt FROM dflt)) AS lab,
        |    CAST(sum(tf.tf) AS BIGINT) AS votes
-       |  FROM tf LEFT JOIN win ON tf.w = win.w GROUP BY 1, 2),
+       |  FROM tf LEFT JOIN win ON tf.w = win.w GROUP BY 1, 2)""".stripMargin
+  }
+
+  private val nbClsSql =
+    s"""WITH $nbCtes,
        |pred AS (SELECT doc_id, lab AS label_pred FROM (
        |    SELECT doc_id, lab, row_number() OVER (PARTITION BY doc_id
        |      ORDER BY votes DESC, lab ASC) AS rn FROM votes) t
@@ -2348,7 +2382,35 @@ object LlmQueries {
        |LEFT JOIN pred p USING (doc_id)
        |WHERE spl.split = 'test'
        |GROUP BY 1, 2""".stripMargin
-  }
+
+  // the vote rollup extended with the winner's vote share: per-doc
+  // totals and ranks in one window pass, floor-ppm share, decile
+  // buckets vs held-back truth
+  private val nbCalSql =
+    s"""WITH $nbCtes,
+       |vt2 AS (SELECT doc_id, lab, votes,
+       |    sum(votes) OVER (PARTITION BY doc_id) AS nt,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY votes DESC, lab ASC) AS rn FROM votes),
+       |pr AS (SELECT doc_id, lab AS label_pred,
+       |    CAST(CAST(votes AS HUGEINT) * 1000000 // greatest(nt, 1)
+       |      AS BIGINT) AS share_ppm
+       |  FROM vt2 WHERE rn = 1),
+       |base AS (SELECT d.doc_id, d.lang AS label_true,
+       |    coalesce(pr.label_pred,
+       |      '${graft.llm.NbClassifier.NoEvidenceLabel}') AS label_pred,
+       |    CAST(coalesce(pr.share_ppm, 0) AS BIGINT) AS share_ppm
+       |  FROM documents d JOIN spl USING (doc_id)
+       |  LEFT JOIN pr USING (doc_id)
+       |  WHERE spl.split = 'test')
+       |SELECT share_ppm // 100000 AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN label_pred = label_true THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_correct,
+       |  CAST(CAST(sum(CASE WHEN label_pred = label_true THEN 1 ELSE 0 END)
+       |      AS HUGEINT) * 1000000 // greatest(count(*), 1) AS BIGINT)
+       |    AS accuracy_ppm
+       |FROM base GROUP BY 1""".stripMargin
 
   // the water-fill replayed: sorted caps, prefix sums, the cut
   // condition, floor level, and +1-to-first-rem remainder rule.
@@ -2459,6 +2521,7 @@ object LlmQueries {
     "q199_token_allocation" -> allocSql,
     "q195_nb_classifier" -> nbClsSql,
     "q196_nb_loaded" -> nbClsSql,
+    "q209_nb_calibration" -> nbCalSql,
     // the commutative row-hash card replayed literally: same
     // \x01-delimited field concat, same md5-prefix hash, same mod
     "q155_dataset_checksum" ->

@@ -499,6 +499,42 @@ object SimilarityQueries {
       Seq("sign_bits" -> Similarity.topKPerQuery(scored, AnnK)), AnnK)
   }
 
+  // ---- q208: first-relevant rank / reciprocal-rank card ----
+  // The ranking-metric axis the recall cards don't cover: per query
+  // vector, the rank of the first SAME-LABEL neighbor (self excluded)
+  // in the exact top-TopK, and its reciprocal rank in ppm — the MRR
+  // evidence a retrieval eval reports next to recall@k. Self must be
+  // excluded by ID, not rank: an identical vector with a smaller id
+  // outranks self on the (dot desc, vec_id asc) tie-break, so
+  // "drop rank 1" would be wrong. Scale: q23's broadcast queries ×
+  // corpus scan through the shared two-level top-k; the re-rank
+  // window sees ≤ TopK+1 rows per query.
+  def q208FirstRelevant(s: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+    val top = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < NumQueryVecs), emb, TopK + 1)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("dot_fp").desc, col("vec_id").asc)))
+      .filter(col("rnk") <= TopK)
+    val labs = emb.select(col("vec_id"), col("label"))
+    val fr = top
+      .join(labs.select(col("vec_id").as("query_id"),
+        col("label").as("qlab")), "query_id")
+      .join(labs.select(col("vec_id"), col("label").as("clab")), "vec_id")
+      .filter(col("clab") === col("qlab"))
+      .groupBy(col("query_id"))
+      .agg(min(col("rnk")).cast("bigint").as("first_rel_rank"))
+    labs.filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("query_id"), col("label"))
+      .join(fr, Seq("query_id"), "left")
+      .select(col("query_id"), col("label"),
+        coalesce(col("first_rel_rank"), lit(0L)).as("first_rel_rank"),
+        expr("cast(case when coalesce(first_rel_rank, 0L) = 0 then 0 " +
+          "else 1000000 div first_rel_rank end as bigint)").as("rr_ppm"))
+  }
+
   // ---- q166: matryoshka prefix-dimension recall card ----
   // The acceptance evidence for matryoshka-style dimension truncation
   // (serve the first d of 64 dims, keep the rest on disk): top-k by
@@ -1032,6 +1068,7 @@ object SimilarityQueries {
     "q203_knn_impute" -> q203KnnImpute _,
     "q204_spam_propagation" -> q204SpamPropagation _,
     "q206_binary_recall" -> q206BinaryRecall _,
+    "q208_first_relevant" -> q208FirstRelevant _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -2124,6 +2161,27 @@ object SimilarityQueries {
          |FROM spine LEFT JOIN hits
          |  ON spine.method = hits.method AND spine.query_id = hits.query_id""".stripMargin
     },
+    // self excluded by ID before ranking; min same-label rank within
+    // TopK; integer reciprocal ppm
+    "q208_first_relevant" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS qlab
+         |  FROM embeddings WHERE vec_id < $NumQueryVecs),
+         |scored AS (SELECT query_id, qlab, e.vec_id, e.label AS clab,
+         |    $dotSql AS dot_fp
+         |  FROM q CROSS JOIN
+         |    (SELECT vec_id, embedding AS ce, label FROM embeddings) e
+         |  WHERE e.vec_id <> q.query_id),
+         |r AS (SELECT query_id, qlab, vec_id, clab,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY dot_fp DESC, vec_id) AS rnk FROM scored),
+         |fr AS (SELECT query_id, CAST(min(rnk) AS BIGINT) AS frr FROM r
+         |  WHERE rnk <= $TopK AND clab = qlab GROUP BY 1)
+         |SELECT e.vec_id AS query_id, e.label,
+         |  CAST(coalesce(fr.frr, 0) AS BIGINT) AS first_rel_rank,
+         |  CAST(CASE WHEN coalesce(fr.frr, 0) = 0 THEN 0
+         |    ELSE 1000000 // fr.frr END AS BIGINT) AS rr_ppm
+         |FROM embeddings e LEFT JOIN fr ON e.vec_id = fr.query_id
+         |WHERE e.vec_id < $NumQueryVecs""".stripMargin,
     // the packed sign word replayed two's-complement-exactly (bit 63
     // as the explicit Long minimum), Hamming rank, q143's recall tail
     "q206_binary_recall" -> {

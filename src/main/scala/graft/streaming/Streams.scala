@@ -398,7 +398,8 @@ object Streams {
     val bc = graft.llm.Caches.broadcastTracked(
       spark.sparkContext.broadcast((verdicts, dflt)))
     val voteUdf = udf { (toks: Seq[String]) =>
-      if (toks == null || toks.isEmpty) graft.llm.NbClassifier.NoEvidenceLabel
+      if (toks == null || toks.isEmpty)
+        (graft.llm.NbClassifier.NoEvidenceLabel, 0L)
       else {
         val (m, d) = bc.value
         val votes = scala.collection.mutable.Map.empty[String, Long]
@@ -406,14 +407,18 @@ object Streams {
           val lab = m.getOrElse(w, d)
           votes(lab) = votes.getOrElse(lab, 0L) + 1L
         }
-        votes.toSeq.minBy { case (lab, v) => (-v, lab) }._1
+        val (lab, tv) = votes.toSeq.minBy { case (l, v) => (-v, l) }
+        (lab, tv * 1000000L / toks.size)
       }
     }
     stream
       .select(qcol(idCol).as("doc_id"),
         graft.llm.TextAnalysis.tokens(qcol(textCol)).as("__toks"))
-      .select(col("doc_id"), voteUdf(col("__toks")).as("label_pred"),
+      .select(col("doc_id"),
+        voteUdf(col("__toks")).as("__v"),
         coalesce(size(col("__toks")), lit(0)).cast("bigint").as("n_tokens"))
+      .select(col("doc_id"), col("__v._1").as("label_pred"),
+        col("n_tokens"), col("__v._2").as("share_ppm"))
   }
 
   /** Streaming voice-activity screen — q207's VAD card at media-ingest

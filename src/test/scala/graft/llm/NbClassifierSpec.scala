@@ -69,10 +69,13 @@ class NbClassifierSpec extends AnyFunSuite with SparkTestSession {
       NbDoc(12L, "", "x"),                  // no tokens → (none)
       NbDoc(13L, "cat chien", "x")).toDF()  // 1–1 tie → 'en' < 'fr'
     val got = NbClassifier.predict(eval, counts, "doc_id", "text")
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
     assert(got === Set(
-      (10L, "en", 3L), (11L, "en", 2L),
-      (12L, NbClassifier.NoEvidenceLabel, 0L), (13L, "en", 2L)))
+      (10L, "en", 3L, 666666L),                      // 2 of 3 votes
+      (11L, "en", 2L, 1000000L),                     // default sweeps
+      (12L, NbClassifier.NoEvidenceLabel, 0L, 0L),
+      (13L, "en", 2L, 500000L)))                     // split vote
   }
 
   test("confusionCard: every eval doc lands in exactly one cell") {

@@ -368,7 +368,8 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       input.addData(rows: _*)
       query.processAllAvailable()
       def shape(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id")
-        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSeq
       val got = shape(spark.table("classify_out"))
       // the twin's collected-map vote vs predict's join-window vote:
       // two implementations, pinned equal
