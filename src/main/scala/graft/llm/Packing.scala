@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -29,6 +29,54 @@ import org.apache.spark.sql.functions._
   * exchange reuse keeps it to one read in the common case.
   */
 object Packing {
+
+  /** The length-sorted-batching decision card: padding waste of
+    * fixed-size batches under (a) hash-order batching — the shuffled
+    * data-loader default — vs (b) length-descending batching within
+    * the same shards. Each batch pads every member to its own max
+    * length, so waste_ppm = padded slots / total slots; sorting by
+    * length groups like-sized sequences and is the standard fix this
+    * card prices rather than asserts.
+    *
+    * Scale shape: a data-parallel loader batches PER SHARD, so both
+    * schemes rank inside hash shards (`hash32(key) mod nShards` —
+    * shardPlan's decorrelation), never a global window; everything
+    * after the two per-shard rank windows is batch-keyed aggregation.
+    * The skinny (hash, key, len) projection is persisted for its two
+    * scheme consumers. Null keys are excluded (no deterministic
+    * position). Output: one row per scheme — (scheme, n_batches,
+    * total_tokens, padded_tokens, waste_ppm). */
+  def batchWasteCard(df: DataFrame, keyCol: String, lenCol: String,
+      nShards: Int, batchSize: Int): DataFrame = {
+    require(nShards > 0 && batchSize > 0, "shards and batch size positive")
+    val qk = graft.Names.quoted(keyCol)
+    val ql = graft.Names.quoted(lenCol)
+    val base = Caches.persistTracked(
+      df.filter(col(qk).isNotNull)
+        .select(Sampling.hash32(keyCol).as("__h"), col(qk).as("__k"),
+          col(ql).cast("bigint").as("__len"))
+        .withColumn("__shard", col("__h") % nShards))
+    def scheme(name: String, order: Seq[Column]): DataFrame =
+      base
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("__shard")).orderBy(order: _*)))
+        .withColumn("__batch", expr(s"(__rn - 1) div $batchSize"))
+        .groupBy(col("__shard"), col("__batch"))
+        .agg(count(lit(1)).as("__b"), max(col("__len")).as("__mx"),
+          sum(col("__len")).cast("bigint").as("__t"))
+        .agg(count(lit(1)).cast("bigint").as("n_batches"),
+          sum(col("__t")).cast("bigint").as("total_tokens"),
+          sum(col("__b") * col("__mx") - col("__t")).cast("bigint")
+            .as("padded_tokens"))
+        .select(lit(name).as("scheme"), col("n_batches"), col("total_tokens"),
+          col("padded_tokens"),
+          expr("cast(cast(padded_tokens as decimal(38,0)) * 1000000 " +
+            "div greatest(total_tokens + padded_tokens, 1L) as bigint)")
+            .as("waste_ppm"))
+    scheme("hash_order", Seq(col("__h").asc, col("__k").asc))
+      .unionByName(
+        scheme("length_sorted", Seq(col("__len").desc, col("__k").asc)))
+  }
 
   /** Adds `outCol` = exclusive prefix sum of `weightCol` in `idCol`
     * order. `idCol` must be non-negative integral and unique; weights

@@ -1850,7 +1850,23 @@ object LlmQueries {
           "div greatest(n_docs, 1L) as bigint)"))
   }
 
+  // ---- q210: length-sorted-batching waste card ----
+  // [[graft.llm.Packing.batchWasteCard]] over whitespace token
+  // counts: the padding a shuffled loader pays vs the same shards
+  // batched length-descending — the decision evidence for sorted
+  // batching, priced not asserted (q188 prices PACKED-vs-padded;
+  // this prices the batching ORDER).
+  private val BatchShards = 8
+  private val BatchSize = 32
+  def q210BatchWaste(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Packing.batchWasteCard(
+      graft.Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("bigint").as("n_tok")),
+      "doc_id", "n_tok", BatchShards, BatchSize)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q210_batch_waste" -> q210BatchWaste _,
     "q209_nb_calibration" -> q209NbCalibration _,
     "q207_audio_vad" -> q207AudioVad _,
     "q202_vocab_sweep" -> q202VocabSweep _,
@@ -2495,7 +2511,39 @@ object LlmQueries {
        |FROM u JOIN wf ON u.source = wf.source""".stripMargin
   }
 
+  // both scheme chains over one shard assignment; per-shard rank →
+  // fixed batches → per-batch max/sum → the two one-row rollups
+  private val batchWasteSql = {
+    def chain(tag: String, order: String): String =
+      s"""h$tag AS (SELECT shard,
+         |    (row_number() OVER (PARTITION BY shard ORDER BY $order) - 1)
+         |      // $BatchSize AS batch, ln FROM sh),
+         |a$tag AS (SELECT shard, batch, CAST(count(*) AS BIGINT) AS bb,
+         |    CAST(max(ln) AS BIGINT) AS mx, CAST(sum(ln) AS BIGINT) AS tt
+         |  FROM h$tag GROUP BY 1, 2),
+         |g$tag AS (SELECT CAST(count(*) AS BIGINT) AS n_batches,
+         |    CAST(sum(tt) AS BIGINT) AS total_tokens,
+         |    CAST(sum(bb * mx - tt) AS BIGINT) AS padded_tokens
+         |  FROM a$tag)""".stripMargin
+    def row(name: String, tag: String): String =
+      s"""SELECT '$name' AS scheme, n_batches, total_tokens, padded_tokens,
+         |  CAST(CAST(padded_tokens AS HUGEINT) * 1000000
+         |    // greatest(total_tokens + padded_tokens, 1) AS BIGINT)
+         |    AS waste_ppm
+         |FROM g$tag""".stripMargin
+    s"""WITH b AS (SELECT
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h,
+       |    doc_id AS k, CAST(len($toksSql) AS BIGINT) AS ln FROM documents),
+       |sh AS (SELECT h, k, ln, h % $BatchShards AS shard FROM b),
+       |${chain("1", "h, k")},
+       |${chain("2", "ln DESC, k")}
+       |${row("hash_order", "1")}
+       |UNION ALL
+       |${row("length_sorted", "2")}""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q210_batch_waste" -> batchWasteSql,
     // the coverage curve replayed: freq table, TakeOrdered prefix
     // rank with q53's tie-break, literal candidates, prefix masses
     "q202_vocab_sweep" ->
