@@ -210,6 +210,17 @@ object IvfIndex {
       best
     }
 
+  /** Trained cell-assignment frame `(vec_id, cell)` — the audited
+    * scan-local argmin over the broadcast fixed-point codebook,
+    * exposed for cards that join the index's cell structure against
+    * document metadata (q212's embedding↔text alignment). Same
+    * training memo and the same tie-break as every search path. */
+  def cellAssignments(vectors: DataFrame, nLists: Int, nIter: Int = 3): DataFrame = {
+    val centroids = fitFixedPoint(vectors, nLists, nIter)
+    val bc = vectors.sparkSession.sparkContext.broadcast(centroids)
+    quantized(vectors).select(col("vec_id"), cellOfUdf(bc)(col("e")).as("cell"))
+  }
+
   /** Deterministic TRAINED quantizer: Lloyd's k-means run entirely in
     * fixed-point integers, which removes the one thing that kept the
     * trained path un-oracle-able — float summation order. Embeddings

@@ -535,6 +535,79 @@ object SimilarityQueries {
           "else 1000000 div first_rel_rank end as bigint)").as("rr_ppm"))
   }
 
+  // ---- q211: triplet-margin mining card ----
+  // The contrastive-batch evidence q183 stops short of: per anchor,
+  // the hardest POSITIVE (highest-dot same-label, self excluded) and
+  // the hardest NEGATIVE (highest-dot cross-label) from ONE scored
+  // pass, and the triplet margin between them — anchors with a
+  // non-positive margin are the cases a contrastive loss actually
+  // learns from. Missing sides surface as -1/0 by explicit
+  // convention. Scale: q23's broadcast queries × corpus scan, one
+  // (query, same-label?) window over it, then an anchor-keyed fold.
+  def q211TripletMargin(s: SparkSession, dir: String): DataFrame = {
+    graft.llm.LlmFunctions.registerDotFp(s)
+    val emb = graft.Tables.embeddings(s, dir)
+    val q = broadcast(emb.filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("label").as("qlab")))
+    val scored = q.crossJoin(emb.select(col("vec_id"),
+        col("embedding").as("ce"), col("label").as("clab")))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qlab"), col("vec_id"), col("clab"),
+        Similarity.dotFpNative("qe", "ce").as("dot_fp"),
+        (col("clab") === col("qlab")).as("same"))
+    val best = scored.withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"), col("same"))
+          .orderBy(col("dot_fp").desc, col("vec_id").asc)))
+      .filter(col("__rn") === 1)
+    best.groupBy(col("query_id"))
+      .agg(
+        max(when(col("same"), col("vec_id"))).as("__pid"),
+        max(when(col("same"), col("dot_fp"))).as("__pd"),
+        max(when(!col("same"), col("vec_id"))).as("__nid"),
+        max(when(!col("same"), col("dot_fp"))).as("__nd"))
+      .select(col("query_id"),
+        coalesce(col("__pid"), lit(-1L)).as("pos_id"),
+        coalesce(col("__pd"), lit(0L)).as("pos_dot_fp"),
+        coalesce(col("__nid"), lit(-1L)).as("neg_id"),
+        coalesce(col("__nd"), lit(0L)).as("neg_dot_fp"))
+      .withColumn("margin_fp", col("pos_dot_fp") - col("neg_dot_fp"))
+  }
+
+  // ---- q212: embedding↔text alignment (cell language purity) ----
+  // Does the embedding space organize by language? The trained IVF
+  // assignment ([[graft.llm.IvfIndex.cellAssignments]] — the SAME
+  // fixed-point Lloyd training and argmin tie-break as every search
+  // path) joined against `documents.lang` by id: per cell, the
+  // majority language and its purity ppm. Low purity = embeddings
+  // and text metadata disagree — the audit run before trusting
+  // either for routing. Scale: assignment is scan-local over the
+  // broadcast codebook; the rollup is cell×lang-bounded.
+  def q212CellLangAlignment(s: SparkSession, dir: String): DataFrame = {
+    val af = graft.llm.IvfIndex.cellAssignments(
+      graft.Tables.embeddings(s, dir), IvfLists, IvfIter)
+    val g = graft.llm.Caches.persistTracked(
+      af.join(graft.Tables.documents(s, dir)
+          .select(col("doc_id").as("vec_id"),
+            coalesce(col("lang"), lit("(null)")).as("lang")),
+        Seq("vec_id"))
+      .groupBy(col("cell"), col("lang"))
+      .agg(count(lit(1)).as("n")))
+    val tot = g.groupBy(col("cell")).agg(sum(col("n")).cast("bigint").as("n_vecs"))
+    val top = g.withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+          .orderBy(col("n").desc, col("lang").asc)))
+      .filter(col("__rn") === 1)
+      .select(col("cell"), col("lang").as("top_lang"),
+        col("n").cast("bigint").as("top_n"))
+    tot.join(top, Seq("cell"))
+      .select(col("cell").cast("int").as("cell"), col("n_vecs"),
+        col("top_lang"), col("top_n"),
+        expr("cast(cast(top_n as decimal(38,0)) * 1000000 " +
+          "div greatest(n_vecs, 1L) as bigint)").as("purity_ppm"))
+  }
+
   // ---- q166: matryoshka prefix-dimension recall card ----
   // The acceptance evidence for matryoshka-style dimension truncation
   // (serve the first d of 64 dims, keep the rest on disk): top-k by
@@ -1069,6 +1142,8 @@ object SimilarityQueries {
     "q204_spam_propagation" -> q204SpamPropagation _,
     "q206_binary_recall" -> q206BinaryRecall _,
     "q208_first_relevant" -> q208FirstRelevant _,
+    "q211_triplet_margin" -> q211TripletMargin _,
+    "q212_cell_lang_alignment" -> q212CellLangAlignment _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -2161,6 +2236,48 @@ object SimilarityQueries {
          |FROM spine LEFT JOIN hits
          |  ON spine.method = hits.method AND spine.query_id = hits.query_id""".stripMargin
     },
+    // one scored pass, argmax per (anchor, same-label?) side, the
+    // -1/0 missing-side convention, margin from the coalesced dots
+    "q211_triplet_margin" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS qlab
+         |  FROM embeddings WHERE vec_id < $NumQueryVecs),
+         |scored AS (SELECT query_id, qlab, e.vec_id, e.label AS clab,
+         |    $dotSql AS dot_fp, (e.label = q.qlab) AS same
+         |  FROM q CROSS JOIN
+         |    (SELECT vec_id, embedding AS ce, label FROM embeddings) e
+         |  WHERE e.vec_id <> q.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id, same
+         |    ORDER BY dot_fp DESC, vec_id) AS rn FROM scored),
+         |b AS (SELECT query_id,
+         |    max(CASE WHEN same THEN vec_id END) AS pid,
+         |    max(CASE WHEN same THEN dot_fp END) AS pd,
+         |    max(CASE WHEN NOT same THEN vec_id END) AS nid,
+         |    max(CASE WHEN NOT same THEN dot_fp END) AS nd
+         |  FROM r WHERE rn = 1 GROUP BY 1)
+         |SELECT query_id,
+         |  CAST(coalesce(pid, -1) AS BIGINT) AS pos_id,
+         |  CAST(coalesce(pd, 0) AS BIGINT) AS pos_dot_fp,
+         |  CAST(coalesce(nid, -1) AS BIGINT) AS neg_id,
+         |  CAST(coalesce(nd, 0) AS BIGINT) AS neg_dot_fp,
+         |  CAST(coalesce(pd, 0) - coalesce(nd, 0) AS BIGINT) AS margin_fp
+         |FROM b""".stripMargin,
+    // the trained assignment CTE chain (q125's spelling) joined to
+    // documents.lang; per-cell majority with the (n desc, lang) tie
+    "q212_cell_lang_alignment" ->
+      s"""WITH $kmPrefixSql,
+         |j AS (SELECT af.cell, coalesce(d.lang, '(null)') AS lang
+         |  FROM af JOIN documents d ON af.vec_id = d.doc_id),
+         |g AS (SELECT cell, lang, CAST(count(*) AS BIGINT) AS n
+         |  FROM j GROUP BY 1, 2),
+         |t AS (SELECT cell, CAST(sum(n) AS BIGINT) AS n_vecs FROM g GROUP BY 1),
+         |m AS (SELECT cell, lang AS top_lang, n AS top_n FROM (
+         |    SELECT cell, lang, n, row_number() OVER (PARTITION BY cell
+         |      ORDER BY n DESC, lang ASC) AS rn FROM g) x WHERE rn = 1)
+         |SELECT CAST(m.cell AS INTEGER) AS cell, t.n_vecs, m.top_lang,
+         |  CAST(m.top_n AS BIGINT) AS top_n,
+         |  CAST(CAST(m.top_n AS HUGEINT) * 1000000
+         |    // greatest(t.n_vecs, 1) AS BIGINT) AS purity_ppm
+         |FROM t JOIN m USING (cell)""".stripMargin,
     // self excluded by ID before ranking; min same-label rank within
     // TopK; integer reciprocal ppm
     "q208_first_relevant" ->
