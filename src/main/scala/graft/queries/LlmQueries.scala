@@ -814,6 +814,25 @@ object LlmQueries {
         col("shard").cast("bigint").as("shard"), col("pos"))
   }
 
+  // ---- q213: the manifest SERVED from the durable catalog ----
+  // The manifest IS the deliverable a training job consumes — the
+  // one output that must survive the session that computed it. Saved
+  // once per corpus through `Artifacts.ensure` (train-once marker,
+  // corpus-signature key) as plain parquet, then every later session
+  // and bench iteration LOADS it; byte-identical to q169 by the same
+  // contract q157/q175/q176 meet (identical oracle). A re-derived
+  // manifest that differed would mean a crashed run could resume
+  // against different data — this card makes that impossible to miss.
+  def q213ManifestLoaded(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.llm.Artifacts.ensure(dir, "manifest-v1") { p =>
+      graft.llm.Artifacts.saveIndexFrame(s"$p/manifest",
+        q169TrainingManifest(s, dir))
+    }
+    graft.llm.Artifacts.loadIndexFrame(s, s"$root/manifest")
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("shard"),
+        col("pos"))
+  }
+
   /** Per-document curation verdict over `d` — the ONE spelling of the
     * q76 priority chain (contaminated beats duplicate beats
     * rule-dropped beats kept), shared by the funnel card and the
@@ -1867,6 +1886,7 @@ object LlmQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q210_batch_waste" -> q210BatchWaste _,
+    "q213_manifest_loaded" -> q213ManifestLoaded _,
     "q209_nb_calibration" -> q209NbCalibration _,
     "q207_audio_vad" -> q207AudioVad _,
     "q202_vocab_sweep" -> q202VocabSweep _,
@@ -2542,6 +2562,26 @@ object LlmQueries {
        |${row("length_sorted", "2")}""".stripMargin
   }
 
+  private val manifestSql =
+    s"""WITH $rulesCtes,
+       |cont AS (SELECT doc_id FROM ($q45Sql) z),
+       |tr2 AS (SELECT * FROM rr WHERE doc_id % 50 != 0),
+       |sv AS (SELECT doc_id,
+       |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM tr2),
+       |kept AS (SELECT tr2.doc_id, tr2.lang, tr2.n_tok
+       |  FROM tr2 JOIN sv ON tr2.doc_id = sv.doc_id
+       |  LEFT JOIN cont ON tr2.doc_id = cont.doc_id
+       |  WHERE cont.doc_id IS NULL AND sv.rn = 1
+       |    AND ($reasonsSql) = 0),
+       |hh AS (SELECT doc_id, lang, n_tok,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+       |  FROM kept)
+       |SELECT doc_id, lang, n_tok,
+       |  CAST(h % $PlanShards AS BIGINT) AS shard,
+       |  CAST(row_number() OVER (PARTITION BY h % $PlanShards
+       |    ORDER BY h, doc_id) AS BIGINT) AS pos
+       |FROM hh""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q210_batch_waste" -> batchWasteSql,
     // the coverage curve replayed: freq table, TakeOrdered prefix
@@ -2828,25 +2868,10 @@ object LlmQueries {
     // the q146 half split aggregated per source, shares in exact ppm
     // q76's verdict chain filtered to the kept class, then q167's
     // hash-shard/rank-position replay over the survivors
-    "q169_training_manifest" ->
-      s"""WITH $rulesCtes,
-         |cont AS (SELECT doc_id FROM ($q45Sql) z),
-         |tr2 AS (SELECT * FROM rr WHERE doc_id % 50 != 0),
-         |sv AS (SELECT doc_id,
-         |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM tr2),
-         |kept AS (SELECT tr2.doc_id, tr2.lang, tr2.n_tok
-         |  FROM tr2 JOIN sv ON tr2.doc_id = sv.doc_id
-         |  LEFT JOIN cont ON tr2.doc_id = cont.doc_id
-         |  WHERE cont.doc_id IS NULL AND sv.rn = 1
-         |    AND ($reasonsSql) = 0),
-         |hh AS (SELECT doc_id, lang, n_tok,
-         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
-         |  FROM kept)
-         |SELECT doc_id, lang, n_tok,
-         |  CAST(h % $PlanShards AS BIGINT) AS shard,
-         |  CAST(row_number() OVER (PARTITION BY h % $PlanShards
-         |    ORDER BY h, doc_id) AS BIGINT) AS pos
-         |FROM hh""".stripMargin,
+    "q169_training_manifest" -> manifestSql,
+    // the loaded replica is byte-identical by the artifact contract —
+    // the oracle is the SAME manifest replay
+    "q213_manifest_loaded" -> manifestSql,
     "q167_shard_plan" ->
       s"""SELECT doc_id, CAST(h % $PlanShards AS BIGINT) AS shard,
          |  CAST(row_number() OVER (PARTITION BY h % $PlanShards
