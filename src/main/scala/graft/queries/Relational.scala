@@ -704,7 +704,44 @@ object Relational {
         delL.select(col("l_orderkey"))))
   }
 
+  // ---- q214: sole-late-supplier (the TPC-H Q21 shape) ----
+  // "Which supplier alone held up multi-supplier orders?" — the
+  // classic exists/not-exists double correlation, expressed
+  // Spark-first WITHOUT correlated subqueries: one (order, supplier)
+  // aggregate (bool_or of lateness), then both existence conditions
+  // as window counts over the per-order supplier rows — exists
+  // another supplier ⇔ ns ≥ 2, not exists another late one ⇔ nl = 1.
+  // Scale: lineitem⋈orders shuffles once on the order key; the
+  // windows run over the (order, supplier) AGGREGATE (≤ a few rows
+  // per order), never the raw lineitems; no cartesian, no rewrite
+  // into three self-joins of the fact table. Lateness = shipped more
+  // than 60 days after the order date, on 'F' orders.
+  private val LateDays = 60
+  def q214SoleLateSupplier(s: SparkSession, dir: String): DataFrame = {
+    val l = graft.Tables.lineitem(s, dir)
+      .join(graft.Tables.orders(s, dir)
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+        (col("l_shipdate") >
+          col("o_orderdate") + expr(s"interval $LateDays days")).as("late"))
+    val ps = l.groupBy(col("ok"), col("sk"))
+      .agg(expr("bool_or(late)").as("has_late"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("ok"))
+    ps.withColumn("ns", count(lit(1)).over(w))
+      .withColumn("nl",
+        sum(when(col("has_late"), 1L).otherwise(0L)).over(w))
+      .filter(col("has_late") && col("ns") >= 2 && col("nl") === 1)
+      .groupBy(col("sk"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(graft.Tables.supplier(s, dir)
+        .select(col("s_suppkey").as("sk"), col("s_name")), Seq("sk"))
+      .select(col("s_name"), col("numwait"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q214_sole_late_supplier" -> q214SoleLateSupplier _,
     "q205_erasure_plan" -> q205ErasurePlan _,
     "q93_snapshot_diff"     -> q93SnapshotDiff _,
     "q94_scd2_apply"        -> q94Scd2 _,
@@ -746,6 +783,22 @@ object Relational {
     * plans exactly (same literals, same fixed-point floors) so results
     * are bit-identical, not merely close. */
   val oracleSql: Map[String, String] = Map(
+    // the same windowed-existence formulation — both engines count
+    // per-order supplier rows, no correlated subqueries to diverge on
+    "q214_sole_late_supplier" ->
+      s"""WITH l AS (SELECT l_orderkey AS ok, l_suppkey AS sk,
+         |    (l_shipdate > o_orderdate + INTERVAL $LateDays DAY) AS late
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE o_orderstatus = 'F'),
+         |ps AS (SELECT ok, sk, bool_or(late) AS has_late FROM l GROUP BY 1, 2),
+         |q AS (SELECT sk FROM (SELECT sk, has_late,
+         |    count(*) OVER (PARTITION BY ok) AS ns,
+         |    sum(CASE WHEN has_late THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY ok) AS nl
+         |  FROM ps) x WHERE has_late AND ns >= 2 AND nl = 1)
+         |SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+         |FROM q JOIN supplier s ON q.sk = s.s_suppkey
+         |GROUP BY 1""".stripMargin,
     // the cascade replayed as IN-subqueries; one UNION ALL row per
     // table with the same HUGEINT ppm spelling
     "q205_erasure_plan" ->
