@@ -608,6 +608,22 @@ object SimilarityQueries {
           "div greatest(n_vecs, 1L) as bigint)").as("purity_ppm"))
   }
 
+  // ---- q215: nProbe recall sweep (the IVF latency/recall knob) ----
+  // q66 prices ONE probe setting; this prices the knob: the SAME
+  // memoized fixed-point training searched at nProbe ∈ {1, 2, 4},
+  // each graded against the exact baseline through the shared
+  // recallAtK spine — the evidence for choosing probe count that a
+  // 100 TB deployment otherwise guesses. Training runs once (session
+  // memo); each run adds only its probe-cell join and top-k.
+  private val ProbeSweep = Seq(1, 2, 4)
+  def q215ProbeSweep(s: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < NumQueryVecs)
+    val runs = ProbeSweep.map(p => s"probe_$p" ->
+      graft.llm.IvfIndex.fixedPointSearch(emb, q, IvfLists, AnnK, p, IvfIter))
+    Similarity.recallAtK(q23EmbedTopk(s, dir), runs, AnnK)
+  }
+
   // ---- q166: matryoshka prefix-dimension recall card ----
   // The acceptance evidence for matryoshka-style dimension truncation
   // (serve the first d of 64 dims, keep the rest on disk): top-k by
@@ -1144,6 +1160,7 @@ object SimilarityQueries {
     "q208_first_relevant" -> q208FirstRelevant _,
     "q211_triplet_margin" -> q211TripletMargin _,
     "q212_cell_lang_alignment" -> q212CellLangAlignment _,
+    "q215_probe_sweep" -> q215ProbeSweep _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -2261,6 +2278,53 @@ object SimilarityQueries {
          |  CAST(coalesce(nd, 0) AS BIGINT) AS neg_dot_fp,
          |  CAST(coalesce(pd, 0) - coalesce(nd, 0) AS BIGINT) AS margin_fp
          |FROM b""".stripMargin,
+    // q66's probe/score/rank chain once per nProbe over ONE trained
+    // assignment; q166's exact-baseline + spine + hits tail
+    "q215_probe_sweep" -> {
+      def chain(p: Int) =
+        s"""qp$p AS (SELECT query_id, cell FROM (
+           |  SELECT v.vec_id AS query_id, c.cell,
+           |    row_number() OVER (PARTITION BY v.vec_id
+           |      ORDER BY ${kmSq("v", "c")}, c.cell) AS rn
+           |  FROM e v CROSS JOIN c$IvfIter c WHERE v.vec_id < $NumQueryVecs) t
+           |  WHERE rn <= $p),
+           |sc$p AS (SELECT qp$p.query_id, af.vec_id,
+           |    ${dotS("qe.embedding", "ce.embedding")} AS dot_fp
+           |  FROM qp$p JOIN af USING (cell)
+           |  JOIN embeddings qe ON qp$p.query_id = qe.vec_id
+           |  JOIN embeddings ce ON af.vec_id = ce.vec_id),
+           |r$p AS (SELECT query_id, vec_id,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY dot_fp DESC, vec_id) AS rn
+           |  FROM sc$p)""".stripMargin
+      val aps = ProbeSweep.map(p =>
+        s"SELECT 'probe_$p' AS method, query_id, vec_id FROM r$p WHERE rn <= $AnnK")
+        .mkString("\nUNION ALL\n")
+      val methods = ProbeSweep.map(p => s"('probe_$p')").mkString(", ")
+      s"""WITH $kmPrefixSql,
+         |${ProbeSweep.map(chain).mkString(",\n")},
+         |qe2 AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+         |  WHERE vec_id < $NumQueryVecs),
+         |scored AS (SELECT query_id, e2.vec_id, $dotSql AS dot_fp
+         |  FROM qe2 CROSS JOIN
+         |    (SELECT vec_id, embedding AS ce FROM embeddings) e2),
+         |ex AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY dot_fp DESC, vec_id) AS rn FROM scored) r
+         |  WHERE rn <= $AnnK),
+         |ap AS ($aps),
+         |hits AS (SELECT method, ap.query_id, CAST(count(*) AS BIGINT) AS hits
+         |  FROM ap JOIN ex ON ap.query_id = ex.query_id AND ap.vec_id = ex.vec_id
+         |  GROUP BY method, ap.query_id),
+         |spine AS (SELECT m.method, s.query_id
+         |  FROM (SELECT DISTINCT query_id FROM ex) s
+         |  CROSS JOIN (VALUES $methods) m(method))
+         |SELECT spine.method, spine.query_id,
+         |  coalesce(hits.hits, 0) AS hits,
+         |  CAST(coalesce(hits.hits, 0) * 1000000 // $AnnK AS BIGINT) AS recall_ppm
+         |FROM spine LEFT JOIN hits
+         |  ON spine.method = hits.method AND spine.query_id = hits.query_id""".stripMargin
+    },
     // the trained assignment CTE chain (q125's spelling) joined to
     // documents.lang; per-cell majority with the (n desc, lang) tie
     "q212_cell_lang_alignment" ->
