@@ -1884,7 +1884,39 @@ object LlmQueries {
           TextAnalysis.tokenCount(col("text")).cast("bigint").as("n_tok")),
       "doc_id", "n_tok", BatchShards, BatchSize)
 
+  // ---- q216: per-document keyword extraction (TF·IDF top-k) ----
+  // The doc-level twin of q36's corpus-level distinctive terms: each
+  // document's top-3 terms by tf × integer-exact idf (binary digit
+  // length of N div df — q71's log trick, so the score replays
+  // byte-for-byte; float idf would drift in the last ulp). The
+  // per-(doc, term) tf frame feeds BOTH the df aggregate and the
+  // scoring join → persisted; at 100 TB that frame is
+  // distinct-(doc, term)-pairs sized — the same trade dupSpanStats
+  // documents, spend storage or recompute the tokenize. Ranking is
+  // per-doc over the doc's own terms, never a global window.
+  private val KwTopK = 3
+  def q216Keywords(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.documents(s, dir)
+    val tf = graft.llm.Caches.persistTracked(
+      TextAnalysis.explodedTokens(d, "doc_id", "text")
+        .groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("tf")))
+    val dfq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n"))
+    tf.join(dfq, Seq("w"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf") * expr("cast(length(bin(n div df)) - 1 as bigint)"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("w").asc)))
+      .filter(col("rnk") <= KwTopK)
+      .select(col("doc_id"), col("rnk").cast("bigint").as("rnk"),
+        col("w").as("term"), col("score").cast("bigint").as("score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q216_keywords" -> q216Keywords _,
     "q210_batch_waste" -> q210BatchWaste _,
     "q213_manifest_loaded" -> q213ManifestLoaded _,
     "q209_nb_calibration" -> q209NbCalibration _,
@@ -2583,6 +2615,22 @@ object LlmQueries {
        |FROM hh""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // tf, df, the digit-length idf, and the per-doc rank replayed
+    "q216_keywords" ->
+      s"""WITH e AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+         |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+         |  FROM e GROUP BY 1, 2),
+         |dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |sc AS (SELECT tf.doc_id, tf.w,
+         |    tf.tf * CAST(length(bin((SELECT n FROM n) // dfq.df)) - 1
+         |      AS BIGINT) AS score
+         |  FROM tf JOIN dfq USING (w)),
+         |r AS (SELECT doc_id, w, score, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, w ASC) AS rnk FROM sc)
+         |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, w AS term,
+         |  CAST(score AS BIGINT) AS score
+         |FROM r WHERE rnk <= $KwTopK""".stripMargin,
     "q210_batch_waste" -> batchWasteSql,
     // the coverage curve replayed: freq table, TakeOrdered prefix
     // rank with q53's tie-break, literal candidates, prefix masses
