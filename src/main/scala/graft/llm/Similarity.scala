@@ -511,17 +511,27 @@ object Similarity {
     * q182 outlier card, so the two can never disagree about what the
     * centroid IS. One (label, dim) aggregation; everything downstream
     * is labels×dim-sized. */
-  def labelCentroidsFp(vectors: DataFrame, labelCol: String, embCol: String): DataFrame = {
-    val ql = graft.Names.quoted(labelCol)
+  def labelCentroidsFp(vectors: DataFrame, labelCol: String, embCol: String): DataFrame =
+    groupCentroidsFp(vectors, Seq(labelCol), embCol)
+      .withColumnRenamed(labelCol, "label")
+
+  /** [[labelCentroidsFp]] generalized to a composite grouping (e.g.
+    * (source, split) for the drift card) — the SAME fixed-point
+    * sum/floor-mean arithmetic, one spelling for every centroid
+    * consumer. Output keeps the caller's group column names. */
+  def groupCentroidsFp(vectors: DataFrame, groupCols: Seq[String],
+      embCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    val qs = groupCols.map(c => col(graft.Names.quoted(c)))
     val qe = graft.Names.quoted(embCol)
     vectors
-      .select(col(ql).as("label"), posexplode(col(qe)).as(Seq("dim", "x")))
-      .groupBy(col("label"), col("dim"))
+      .select(qs :+ posexplode(col(qe)).as(Seq("dim", "x")): _*)
+      .groupBy(qs :+ col("dim"): _*)
       .agg(expr("sum(cast(floor(cast(x as double) * 1000000.0) as bigint))")
         .as("sf"), count(lit(1)).as("n"))
-      .select(col("label"), col("dim"),
+      .select(qs ++ Seq(col("dim"),
         expr("cast(floor(cast(sf as double) / cast(n as double)) as bigint)")
-          .as("cf"))
+          .as("cf")): _*)
   }
 
   /** Embedding-space outlier audit per label: every vector's integer

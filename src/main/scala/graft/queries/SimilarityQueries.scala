@@ -624,6 +624,64 @@ object SimilarityQueries {
     Similarity.recallAtK(q23EmbedTopk(s, dir), runs, AnnK)
   }
 
+  // ---- q217: per-source split drift (train vs test centroids) ----
+  // Representation drift the split should NOT have: per source, the
+  // fixed-point cosine between its train-slice and test-slice
+  // centroids (q147's exact centroid/norm/sqrt spelling via
+  // [[graft.llm.Similarity.labelCentroidsFp]] over a composite
+  // (source, split) label). A hash split is content-blind, so low
+  // cosine here means the source is internally heterogeneous enough
+  // that ANY split carries distribution shift — the caveat to attach
+  // to its eval numbers. Sources missing a slice drop out (inner
+  // joins — both engines identically). Scale: one posexplode
+  // aggregate to (label, dim) rows, everything after is
+  // sources×dims-bounded; counts come from a skinny no-embedding
+  // scan.
+  def q217SourceSplitDrift(s: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+    val src = graft.Tables.documents(s, dir)
+      .select(col("doc_id").as("vec_id"),
+        coalesce(col("source"), lit("(null)")).as("source"))
+    val withSplit = graft.llm.Sampling.hashSplit(
+        emb.join(src, Seq("vec_id")), "vec_id", LeakTrainPct, LeakValPct)
+      .filter(col("split") =!= "val")
+    val cent = graft.llm.Caches.persistTracked(
+      Similarity.groupCentroidsFp(withSplit, Seq("source", "split"),
+        "embedding"))
+    val nrm = cent.groupBy(col("source"), col("split"))
+      .agg(sum(col("cf") * col("cf")).as("nrm"))
+    val dot = cent.filter(col("split") === "train")
+      .select(col("source"), col("dim"), col("cf").as("ca"))
+      .join(cent.filter(col("split") === "test")
+        .select(col("source"), col("dim"), col("cf").as("cb")),
+        Seq("source", "dim"))
+      .groupBy(col("source"))
+      .agg(sum(col("ca") * col("cb")).as("dot"))
+    // count docs WITH vectors only (a doc-only count silently drifts
+    // wherever documents outnumber embeddings — it did at sf0.1);
+    // the id-only join is a skinny key scan, no embedding bytes move
+    val counts = graft.llm.Caches.persistTracked(
+      graft.llm.Sampling.hashSplit(
+          src.join(emb.select(col("vec_id")), Seq("vec_id")),
+          "vec_id", LeakTrainPct, LeakValPct)
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n")))
+    dot
+      .join(nrm.filter(col("split") === "train")
+        .select(col("source"), col("nrm").as("na")), Seq("source"))
+      .join(nrm.filter(col("split") === "test")
+        .select(col("source"), col("nrm").as("nb")), Seq("source"))
+      .join(counts.filter(col("split") === "train")
+        .select(col("source"), col("n").as("n_train")), Seq("source"))
+      .join(counts.filter(col("split") === "test")
+        .select(col("source"), col("n").as("n_test")), Seq("source"))
+      .select(col("source"), col("n_train").cast("bigint").as("n_train"),
+        col("n_test").cast("bigint").as("n_test"),
+        expr("cast(floor(1000000.0 * cast(dot as double) / " +
+          "(sqrt(cast(na as double)) * sqrt(cast(nb as double)))) as bigint)")
+          .as("cos_fp"))
+  }
+
   // ---- q166: matryoshka prefix-dimension recall card ----
   // The acceptance evidence for matryoshka-style dimension truncation
   // (serve the first d of 64 dims, keep the rest on disk): top-k by
@@ -1161,6 +1219,7 @@ object SimilarityQueries {
     "q211_triplet_margin" -> q211TripletMargin _,
     "q212_cell_lang_alignment" -> q212CellLangAlignment _,
     "q215_probe_sweep" -> q215ProbeSweep _,
+    "q217_split_drift" -> q217SourceSplitDrift _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -2278,6 +2337,47 @@ object SimilarityQueries {
          |  CAST(coalesce(nd, 0) AS BIGINT) AS neg_dot_fp,
          |  CAST(coalesce(pd, 0) - coalesce(nd, 0) AS BIGINT) AS margin_fp
          |FROM b""".stripMargin,
+    // q147's centroid/norm/sqrt spelling per (source, split); dot
+    // joins train×test on (source, dim); inner joins drop one-sided
+    // sources in both engines identically
+    "q217_split_drift" ->
+      s"""WITH spl AS (SELECT vec_id,
+         |    CASE WHEN ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+         |        % 100 < $LeakTrainPct THEN 'train'
+         |      WHEN ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+         |        % 100 < ${LeakTrainPct + LeakValPct} THEN 'val'
+         |      ELSE 'test' END AS split
+         |  FROM embeddings),
+         |j AS (SELECT e.vec_id, coalesce(d.source, '(null)') AS source,
+         |    spl.split, e.embedding
+         |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+         |  JOIN spl ON e.vec_id = spl.vec_id
+         |  WHERE spl.split <> 'val'),
+         |c AS (SELECT source, split, i AS dim,
+         |    CAST(floor(CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE)
+         |        * 1000000.0) AS BIGINT)) AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cf
+         |  FROM j, unnest(range(1, $Dim + 1)) AS u(i)
+         |  GROUP BY source, split, i),
+         |nr AS (SELECT source, split, CAST(sum(cf * cf) AS BIGINT) AS nrm
+         |  FROM c GROUP BY 1, 2),
+         |dd AS (SELECT a.source, CAST(sum(a.cf * b.cf) AS BIGINT) AS dot
+         |  FROM c a JOIN c b ON a.source = b.source AND a.dim = b.dim
+         |  WHERE a.split = 'train' AND b.split = 'test'
+         |  GROUP BY 1),
+         |cn AS (SELECT coalesce(d.source, '(null)') AS source, spl.split,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM documents d JOIN spl ON d.doc_id = spl.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT dd.source, ntr.n AS n_train, nte.n AS n_test,
+         |  CAST(floor(1000000.0 * CAST(dot AS DOUBLE)
+         |    / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))))
+         |    AS BIGINT) AS cos_fp
+         |FROM dd
+         |JOIN nr na ON na.source = dd.source AND na.split = 'train'
+         |JOIN nr nb ON nb.source = dd.source AND nb.split = 'test'
+         |JOIN cn ntr ON ntr.source = dd.source AND ntr.split = 'train'
+         |JOIN cn nte ON nte.source = dd.source AND nte.split = 'test'""".stripMargin,
     // q66's probe/score/rank chain once per nProbe over ONE trained
     // assignment; q166's exact-baseline + spine + hits tail
     "q215_probe_sweep" -> {
