@@ -1915,7 +1915,39 @@ object LlmQueries {
         col("w").as("term"), col("score").cast("bigint").as("score"))
   }
 
+  // ---- q218: more-data accuracy card (delta-train serving live) ----
+  // The question every labeling budget hangs on: does adding the val
+  // slice's labels actually lift test accuracy? Scored twice against
+  // the SAME held-out test slice: counts trained on train only, and
+  // counts DELTA-MERGED with the val slice ([[NbClassifier
+  // .mergeCounts]] — exact by the spec-pinned monoid property, so
+  // the oracle may equivalently train on train∪val). One row per
+  // variant. The base counts frame feeds both variants → persisted
+  // (vocab-sized).
+  def q218MoreDataCard(s: SparkSession, dir: String): DataFrame = {
+    val split = graft.llm.Sampling.hashSplit(
+      graft.Tables.documents(s, dir), "doc_id", ClsTrainPct, ClsValPct)
+    val test = split.filter(col("split") === "test")
+    val base = graft.llm.Caches.persistTracked(
+      graft.llm.NbClassifier.train(
+        split.filter(col("split") === "train"), "text", "lang"))
+    val delta = graft.llm.NbClassifier.mergeCounts(base,
+      graft.llm.NbClassifier.train(
+        split.filter(col("split") === "val"), "text", "lang"))
+    def row(name: String, counts: DataFrame): DataFrame =
+      graft.llm.NbClassifier.confusionCard(test, counts,
+          "doc_id", "text", "lang")
+        .agg(sum(col("n_docs")).cast("bigint").as("n_docs"),
+          sum(when(col("label_true") === col("label_pred"), col("n_docs"))
+            .otherwise(0L)).cast("bigint").as("n_correct"))
+        .select(lit(name).as("variant"), col("n_docs"), col("n_correct"),
+          expr("cast(cast(n_correct as decimal(38,0)) * 1000000 " +
+            "div greatest(n_docs, 1L) as bigint)").as("accuracy_ppm"))
+    row("train_only", base).unionByName(row("with_val", delta))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q218_more_data" -> q218MoreDataCard _,
     "q216_keywords" -> q216Keywords _,
     "q210_batch_waste" -> q210BatchWaste _,
     "q213_manifest_loaded" -> q213ManifestLoaded _,
@@ -2396,7 +2428,7 @@ object LlmQueries {
   // everything through the per-(doc, class) vote rollup — ONE
   // spelling shared by the confusion (q195/q196) and calibration
   // (q209) oracles
-  private val nbCtes = {
+  private def nbCtesFor(trainCond: String): String = {
     val scale = graft.llm.NbClassifier.ScaleFp
     s"""spl AS (SELECT doc_id,
        |    CASE WHEN r < $ClsTrainPct THEN 'train'
@@ -2408,7 +2440,7 @@ object LlmQueries {
        |e AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
        |tr AS (SELECT d.lang AS label, e.w
        |  FROM e JOIN documents d USING (doc_id) JOIN spl USING (doc_id)
-       |  WHERE spl.split = 'train'),
+       |  WHERE $trainCond),
        |cnt AS (SELECT label, w, CAST(count(*) AS BIGINT) AS cnt
        |  FROM tr GROUP BY 1, 2),
        |tot AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS tot FROM cnt GROUP BY 1),
@@ -2436,6 +2468,8 @@ object LlmQueries {
        |    CAST(sum(tf.tf) AS BIGINT) AS votes
        |  FROM tf LEFT JOIN win ON tf.w = win.w GROUP BY 1, 2)""".stripMargin
   }
+
+  private val nbCtes = nbCtesFor("spl.split = 'train'")
 
   private val nbClsSql =
     s"""WITH $nbCtes,
@@ -2614,7 +2648,34 @@ object LlmQueries {
        |    ORDER BY h, doc_id) AS BIGINT) AS pos
        |FROM hh""".stripMargin
 
+  // one accuracy row per training set; the delta merge equals a full
+  // retrain on train∪val (the monoid property NbClassifierProps
+  // pins), so the oracle trains each variant directly
+  private val moreDataSql = {
+    def variant(name: String, cond: String): String =
+      s"""SELECT '$name' AS variant, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN lt = lp THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_correct,
+         |  CAST(CAST(sum(CASE WHEN lt = lp THEN 1 ELSE 0 END) AS HUGEINT)
+         |    * 1000000 // greatest(count(*), 1) AS BIGINT) AS accuracy_ppm
+         |FROM (WITH ${nbCtesFor(cond)},
+         |  pred AS (SELECT doc_id, lab AS label_pred FROM (
+         |      SELECT doc_id, lab, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY votes DESC, lab ASC) AS rn FROM votes) t
+         |    WHERE rn = 1)
+         |  SELECT d.lang AS lt,
+         |    coalesce(p.label_pred,
+         |      '${graft.llm.NbClassifier.NoEvidenceLabel}') AS lp
+         |  FROM documents d JOIN spl USING (doc_id)
+         |  LEFT JOIN pred p USING (doc_id)
+         |  WHERE spl.split = 'test') x""".stripMargin
+    s"""${variant("train_only", "spl.split = 'train'")}
+       |UNION ALL
+       |${variant("with_val", "spl.split IN ('train', 'val')")}""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q218_more_data" -> moreDataSql,
     // tf, df, the digit-length idf, and the per-doc rank replayed
     "q216_keywords" ->
       s"""WITH e AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
