@@ -1946,7 +1946,49 @@ object LlmQueries {
     row("train_only", base).unionByName(row("with_val", delta))
   }
 
+  // ---- q219: sampling-temperature sweep (the mixing knob priced) ----
+  // q161 prices T=2; this prices the knob: per temperature T ∈
+  // {1, 2, 4}, every source's mixing share under weight ∝
+  // tokens^(1/T) — T=1 is proportional (head-dominated), T=4 is
+  // near-uniform (small sources up-weighted hard). Weights stay
+  // exact: T=1 uses raw token counts (scale cancels in the share),
+  // T=2 the IEEE-exact floor(√n·10⁶), T=4 the composition of two
+  // correctly-rounded sqrts — no pow(), nothing unreplayable. One
+  // corpus aggregate (persisted), then a 3×|sources| frame with a
+  // per-T window total.
+  private val TempSweep = Seq(1, 2, 4)
+  def q219TemperatureSweep(s: SparkSession, dir: String): DataFrame = {
+    val agg = graft.llm.Caches.persistTracked(
+      graft.Tables.documents(s, dir)
+        .filter(col("source").isNotNull)
+        .select(col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("bigint").as("n_tok"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_tok").cast("decimal(38,0)")).cast("bigint")
+          .as("n_tokens")))
+    def variant(t: Int): DataFrame = {
+      val w = t match {
+        case 1 => col("n_tokens")
+        case 2 => floor(sqrt(col("n_tokens").cast("double")) * 1e6)
+          .cast("bigint")
+        case 4 => floor(sqrt(sqrt(col("n_tokens").cast("double"))) * 1e6)
+          .cast("bigint")
+        case other => throw new IllegalArgumentException(s"T=$other")
+      }
+      agg.select(lit(t.toLong).as("t"), col("source"), col("n_tokens"),
+        w.as("weight_fp"))
+    }
+    TempSweep.map(variant).reduce(_ unionByName _)
+      .withColumn("tw", sum(col("weight_fp").cast("decimal(38,0)")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("t"))))
+      .select(col("t"), col("source"), col("n_tokens"), col("weight_fp"),
+        expr("cast((cast(weight_fp as decimal(38,0)) * 1000000) " +
+          "div greatest(tw, cast(1 as decimal(38,0))) as bigint)")
+          .as("mixture_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q219_temperature_sweep" -> q219TemperatureSweep _,
     "q218_more_data" -> q218MoreDataCard _,
     "q216_keywords" -> q216Keywords _,
     "q210_batch_waste" -> q210BatchWaste _,
@@ -2675,6 +2717,27 @@ object LlmQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // q161's strata CTE; per-T weight spellings unioned; per-T window
+    // total normalizes (HUGEINT floor division)
+    "q219_temperature_sweep" ->
+      s"""WITH d AS (SELECT source, CAST(len(toks) AS BIGINT) AS n_tok
+         |  FROM (SELECT source, $toksSql AS toks FROM documents
+         |        WHERE source IS NOT NULL) t),
+         |a AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |  FROM d GROUP BY source),
+         |v AS (SELECT CAST(1 AS BIGINT) AS t, source, n_tokens,
+         |    n_tokens AS weight_fp FROM a
+         |  UNION ALL SELECT 2, source, n_tokens,
+         |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT)
+         |  FROM a
+         |  UNION ALL SELECT 4, source, n_tokens,
+         |    CAST(floor(sqrt(sqrt(CAST(n_tokens AS DOUBLE))) * 1000000.0)
+         |      AS BIGINT) FROM a)
+         |SELECT t, source, n_tokens, weight_fp,
+         |  CAST((CAST(weight_fp AS HUGEINT) * 1000000)
+         |    // greatest(sum(weight_fp) OVER (PARTITION BY t), 1)
+         |    AS BIGINT) AS mixture_ppm
+         |FROM v""".stripMargin,
     "q218_more_data" -> moreDataSql,
     // tf, df, the digit-length idf, and the per-doc rank replayed
     "q216_keywords" ->
