@@ -96,7 +96,7 @@ object Sketches {
     * mr)`, integer arithmetic at denominator 2²⁷: `(g, hll_est)`.
     * Shared by the per-group card and the union card so the two can
     * only differ in the registers they feed it. */
-  private def hllEstimate(regs: DataFrame): DataFrame = {
+  private[graft] def hllEstimate(regs: DataFrame): DataFrame = {
     val one = 1L << (ValueBits + 1)
     regs.groupBy(col("g"))
       .agg(sum(expr(s"shiftleft(cast(1 as bigint), ${ValueBits + 1} - mr)")).as("s"),

@@ -1987,7 +1987,60 @@ object LlmQueries {
           .as("mixture_ppm"))
   }
 
+  // ---- q220: sketch-estimated cross-source overlap vs exact ----
+  // q51/q192 compute cross-source overlap EXACTLY (a gram equi-join
+  // — fine until the gram sets are petabyte-scale); the 100 TB
+  // instrument is inclusion-exclusion over mergeable HLL sketches:
+  // |A∩B| ≈ est(A) + est(B) − est(A∪B), where the union sketch is a
+  // register max-merge (no raw keys touched). This card computes
+  // BOTH on the same md5-gram sets — every pair's exact
+  // intersection, the sketch estimate, and the signed error — so the
+  // estimator's fitness is measured, not assumed. Zero-overlap pairs
+  // stay on the spine (their error is the interesting arm). All
+  // integer: q97/q128's exact-replay estimator over the shared
+  // register spelling; register frames persist for their two
+  // consumers.
+  def q220OverlapEstimate(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Sketches
+    val sg = graft.llm.Caches.persistTracked(
+      md5GramFrame(s, dir)
+        .select(col("source"), explode(col("gs")).as("gk")).distinct())
+    val ex = sg.select(col("source").as("sa"), col("gk"))
+      .join(sg.select(col("source").as("sb"), col("gk")), Seq("gk"))
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("n_inter"))
+    val regs = graft.llm.Caches.persistTracked(
+      Sketches.hllRegisters(sg, col("source"), col("gk")))
+    val single = graft.llm.Caches.persistTracked(Sketches.hllEstimate(regs))
+    val pairsF = single.select(col("g").as("sa"))
+      .crossJoin(single.select(col("g").as("sb")))
+      .filter(col("sa") < col("sb"))
+    val pregs = pairsF.join(regs.withColumnRenamed("g", "sa"), Seq("sa"))
+        .select(col("sa"), col("sb"), col("b"), col("mr"))
+      .unionByName(pairsF.join(regs.withColumnRenamed("g", "sb"), Seq("sb"))
+        .select(col("sa"), col("sb"), col("b"), col("mr")))
+      .groupBy(col("sa"), col("sb"), col("b"))
+      .agg(max(col("mr")).as("mr"))
+    val uest = Sketches.hllEstimate(
+        pregs.select(struct(col("sa"), col("sb")).as("g"), col("b"), col("mr")))
+      .select(col("g.sa").as("sa"), col("g.sb").as("sb"),
+        col("hll_est").as("u_est"))
+    pairsF
+      .join(ex, Seq("sa", "sb"), "left")
+      .join(single.select(col("g").as("sa"), col("hll_est").as("a_est")),
+        Seq("sa"))
+      .join(single.select(col("g").as("sb"), col("hll_est").as("b_est")),
+        Seq("sb"))
+      .join(uest, Seq("sa", "sb"))
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter_exact"),
+        (col("a_est") + col("b_est") - col("u_est")).as("inter_est"))
+      .withColumn("err", col("inter_est") - col("n_inter_exact"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q220_overlap_estimate" -> q220OverlapEstimate _,
     "q219_temperature_sweep" -> q219TemperatureSweep _,
     "q218_more_data" -> q218MoreDataCard _,
     "q216_keywords" -> q216Keywords _,
@@ -2717,6 +2770,45 @@ object LlmQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // the shared gram CTEs; exact pair intersections; q97/q128's
+    // register + estimator spellings for singles, and the pair
+    // max-merge for unions; inclusion–exclusion with signed error
+    "q220_overlap_estimate" ->
+      s"""WITH $gramCtes,
+         |sg AS (SELECT DISTINCT source, u.gk FROM g, unnest(gs) AS u(gk)),
+         |px AS (SELECT a.source AS sa, b.source AS sb,
+         |    CAST(count(*) AS BIGINT) AS n_inter
+         |  FROM sg a JOIN sg b ON a.gk = b.gk AND a.source < b.source
+         |  GROUP BY 1, 2),
+         |h AS (SELECT source, ('0x' || substr(md5(gk), 1, 8))::BIGINT AS h
+         |  FROM sg),
+         |r AS (SELECT source, h % 64 AS b,
+         |    CASE WHEN h // 64 = 0 THEN 27
+         |      ELSE 27 - length(bin(h // 64)) END AS rho FROM h),
+         |reg AS (SELECT source, b, max(rho) AS mr FROM r GROUP BY 1, 2),
+         |est AS (SELECT source, (709 * 64 * 64 * (1::BIGINT << 27))
+         |    // (1000 * (s + (64 - nb) * (1::BIGINT << 27))) AS e
+         |  FROM (SELECT source, sum(1::BIGINT << (27 - mr)) AS s,
+         |      count(*) AS nb FROM reg GROUP BY source) x),
+         |sp AS (SELECT a.source AS sa, b.source AS sb
+         |  FROM est a JOIN est b ON a.source < b.source),
+         |pr AS (SELECT sp.sa, sp.sb, reg.b, max(reg.mr) AS mr
+         |  FROM sp JOIN reg ON reg.source = sp.sa OR reg.source = sp.sb
+         |  GROUP BY 1, 2, 3),
+         |uest AS (SELECT sa, sb, (709 * 64 * 64 * (1::BIGINT << 27))
+         |    // (1000 * (s + (64 - nb) * (1::BIGINT << 27))) AS u
+         |  FROM (SELECT sa, sb, sum(1::BIGINT << (27 - mr)) AS s,
+         |      count(*) AS nb FROM pr GROUP BY 1, 2) x)
+         |SELECT sp.sa AS source_a, sp.sb AS source_b,
+         |  CAST(coalesce(px.n_inter, 0) AS BIGINT) AS n_inter_exact,
+         |  CAST(ea.e + eb.e - uest.u AS BIGINT) AS inter_est,
+         |  CAST(ea.e + eb.e - uest.u - coalesce(px.n_inter, 0) AS BIGINT)
+         |    AS err
+         |FROM sp
+         |LEFT JOIN px ON sp.sa = px.sa AND sp.sb = px.sb
+         |JOIN est ea ON ea.source = sp.sa
+         |JOIN est eb ON eb.source = sp.sb
+         |JOIN uest ON uest.sa = sp.sa AND uest.sb = sp.sb""".stripMargin,
     // q161's strata CTE; per-T weight spellings unioned; per-T window
     // total normalizes (HUGEINT floor division)
     "q219_temperature_sweep" ->
