@@ -740,7 +740,39 @@ object Relational {
       .select(col("s_name"), col("numwait"))
   }
 
+  // ---- q221: local-supplier regional revenue (the TPC-H Q5 shape) ----
+  // The 6-table join-order stress test: lineitem⋈orders⋈customer⋈
+  // supplier⋈nation⋈region with the LOCAL-supplier condition
+  // (s_nationkey = c_nationkey — a join predicate BETWEEN two
+  // dimensions reached through different fact paths, the thing naive
+  // join trees get wrong), a two-year date window, and the
+  // discounted-revenue fixed point. Spark-first: the plan is
+  // declared flat and Catalyst/AQE pick the order; only the two
+  // fixed-cardinality dims carry broadcast hints (q3's rule — the
+  // SF-proportional sides must stay hint-free so 100× data cannot
+  // OOM a forced broadcast).
+  def q221RegionalRevenue(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.lineitem(s, dir)
+      .join(graft.Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= ts("1996-01-01") &&
+            col("o_orderdate") < ts("1998-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(graft.Tables.customer(s, dir),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.Tables.supplier(s, dir),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(graft.Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(graft.Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sumFp(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+          .as("revenue_fp"),
+        count(lit(1)).as("n_items"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q221_regional_revenue" -> q221RegionalRevenue _,
     "q214_sole_late_supplier" -> q214SoleLateSupplier _,
     "q205_erasure_plan" -> q205ErasurePlan _,
     "q93_snapshot_diff"     -> q93SnapshotDiff _,
@@ -783,6 +815,23 @@ object Relational {
     * plans exactly (same literals, same fixed-point floors) so results
     * are bit-identical, not merely close. */
   val oracleSql: Map[String, String] = Map(
+    // the flat 6-way join with the cross-dimension local-supplier
+    // predicate; q1's disc-price fixed point
+    "q221_regional_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0)
+        |    AS BIGINT)) AS BIGINT) AS revenue_fp,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
     // the same windowed-existence formulation — both engines count
     // per-order supplier rows, no correlated subqueries to diverge on
     "q214_sole_late_supplier" ->
