@@ -771,7 +771,35 @@ object Relational {
           .as("revenue_fp"),
         count(lit(1)).as("n_items"))
 
+  // ---- q222: small-quantity-order revenue (the TPC-H Q17 shape) ----
+  // The correlated-scalar-subquery classic ("lineitems under 20% of
+  // their part's average quantity"), Spark-first: the per-part
+  // average is a WINDOW over the already-joined rows — one shuffle
+  // on the part key serves the join AND the average, where the
+  // textbook nested form scans lineitem twice and correlates per
+  // row. The brand filter prunes parts BEFORE the fact join (pushed
+  // to the part scan, broadcast). Determinism: the average is one
+  // IEEE double division and 0.2·avg one multiply — both engines
+  // compute bit-identical doubles, and the revenue lands in the q1
+  // fixed point.
+  def q222SmallQuantityRevenue(s: SparkSession, dir: String): DataFrame = {
+    val parts = graft.Tables.part(s, dir)
+      .filter(col("p_brand") === "Brand#4")
+      .select(col("p_partkey"), col("p_brand"))
+    val joined = graft.Tables.lineitem(s, dir)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("p_partkey"))
+    joined
+      .withColumn("__avg_qty",
+        sum(col("l_quantity")).over(w) / count(lit(1)).over(w))
+      .filter(col("l_quantity") < lit(0.2) * col("__avg_qty"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        sumFp(cents(col("l_extendedprice"))).as("revenue_cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q222_small_quantity_revenue" -> q222SmallQuantityRevenue _,
     "q221_regional_revenue" -> q221RegionalRevenue _,
     "q214_sole_late_supplier" -> q214SoleLateSupplier _,
     "q205_erasure_plan" -> q205ErasurePlan _,
@@ -815,6 +843,20 @@ object Relational {
     * plans exactly (same literals, same fixed-point floors) so results
     * are bit-identical, not merely close. */
   val oracleSql: Map[String, String] = Map(
+    // per-part average as a window over the joined rows (sum/count —
+    // the same IEEE division Spark computes), then the 20% gate
+    "q222_small_quantity_revenue" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM (SELECT p.p_brand, l.l_quantity, l.l_extendedprice,
+        |    sum(l.l_quantity) OVER (PARTITION BY p.p_partkey)
+        |      / count(*) OVER (PARTITION BY p.p_partkey) AS avg_qty
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_brand = 'Brand#4') x
+        |WHERE l_quantity < 0.2 * avg_qty
+        |GROUP BY 1""".stripMargin,
     // the flat 6-way join with the cross-dimension local-supplier
     // predicate; q1's disc-price fixed point
     "q221_regional_revenue" ->
