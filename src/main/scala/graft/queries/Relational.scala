@@ -798,7 +798,24 @@ object Relational {
         sumFp(cents(col("l_extendedprice"))).as("revenue_cents"))
   }
 
+  // ---- q223: customer order-count distribution (TPC-H Q13 shape) ----
+  // The double-aggregate with an outer join underneath: every
+  // customer's order count — INCLUDING the zero-order customers the
+  // inner-join formulation silently drops (q8 proves they exist) —
+  // then the histogram of those counts. count(o_orderkey) over the
+  // left join is the null-aware count that makes the zero bucket
+  // real. Two shuffles: the join key, then the histogram key.
+  def q223CustomerDistribution(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.customer(s, dir)
+      .join(graft.Tables.orders(s, dir),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q223_customer_distribution" -> q223CustomerDistribution _,
     "q222_small_quantity_revenue" -> q222SmallQuantityRevenue _,
     "q221_regional_revenue" -> q221RegionalRevenue _,
     "q214_sole_late_supplier" -> q214SoleLateSupplier _,
@@ -843,6 +860,14 @@ object Relational {
     * plans exactly (same literals, same fixed-point floors) so results
     * are bit-identical, not merely close. */
   val oracleSql: Map[String, String] = Map(
+    // the null-aware count over the left join keeps the zero bucket
+    "q223_customer_distribution" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c.c_custkey,
+        |    CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1) x
+        |GROUP BY 1""".stripMargin,
     // per-part average as a window over the joined rows (sum/count —
     // the same IEEE division Spark computes), then the 20% gate
     "q222_small_quantity_revenue" ->
