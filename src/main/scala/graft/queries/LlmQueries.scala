@@ -2039,7 +2039,40 @@ object LlmQueries {
       .withColumn("err", col("inter_est") - col("n_inter_exact"))
   }
 
+  // ---- q224: per-source rule-drop breakdown (which rule, where) ----
+  // q69 says WHICH docs failed and q73 HOW MANY per language; this
+  // says WHICH RULE fires WHERE — per (source, rule bit): failure
+  // count and ppm, zero rows kept on the spine so a silent rule is
+  // visible. A rule that fires only in one source is usually a
+  // SOURCE defect (template, encoding), not a content signal — the
+  // routing decision this card feeds. One rule scan (persisted for
+  // the totals + bit-explode consumers); the bit test is integer
+  // div/mod, identical in both engines.
+  def q224RuleBreakdown(s: SparkSession, dir: String): DataFrame = {
+    val rf = graft.llm.Caches.persistTracked(
+      TextAnalysis.ruleFilter(graft.Tables.documents(s, dir),
+          "doc_id", "text", carryCols = Seq("source"))
+        .select(col("doc_id"),
+          coalesce(col("source"), lit("(null)")).as("source"),
+          col("reasons")))
+    val fl = rf
+      .select(col("source"), col("reasons"),
+        explode(expr("sequence(0, 5)")).as("rule_id"))
+      .filter(expr("(reasons div shiftleft(1L, rule_id)) % 2 = 1"))
+      .groupBy(col("source"), col("rule_id"))
+      .agg(count(lit(1)).as("n_failed"))
+    rf.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .select(col("source"), col("n_docs"),
+        explode(expr("sequence(0, 5)")).as("rule_id"))
+      .join(fl, Seq("source", "rule_id"), "left")
+      .select(col("source"), col("rule_id").cast("bigint").as("rule_id"),
+        coalesce(col("n_failed"), lit(0L)).as("n_failed"),
+        expr("cast(cast(coalesce(n_failed, 0L) as decimal(38,0)) * 1000000 " +
+          "div greatest(n_docs, 1L) as bigint)").as("fail_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q224_rule_breakdown" -> q224RuleBreakdown _,
     "q220_overlap_estimate" -> q220OverlapEstimate _,
     "q219_temperature_sweep" -> q219TemperatureSweep _,
     "q218_more_data" -> q218MoreDataCard _,
@@ -2770,6 +2803,28 @@ object LlmQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // the shared rule CTEs + reasons mask; bit test by div/mod; the
+    // (source × rule) spine keeps silent rules visible
+    "q224_rule_breakdown" ->
+      s"""WITH $rulesCtes,
+         |rb AS (SELECT rr.doc_id, coalesce(d2.source, '(null)') AS source,
+         |    CAST($reasonsSql AS BIGINT) AS reasons
+         |  FROM rr JOIN documents d2 ON rr.doc_id = d2.doc_id),
+         |tt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM rb GROUP BY 1),
+         |fl AS (SELECT source, u.b AS rule_id,
+         |    CAST(count(*) AS BIGINT) AS n_failed
+         |  FROM rb, unnest(range(0, 6)) AS u(b)
+         |  WHERE (reasons // (1::BIGINT << b)) % 2 = 1
+         |  GROUP BY 1, 2),
+         |sp AS (SELECT tt.source, u.b AS rule_id, tt.n_docs
+         |  FROM tt, unnest(range(0, 6)) AS u(b))
+         |SELECT sp.source, CAST(sp.rule_id AS BIGINT) AS rule_id,
+         |  CAST(coalesce(fl.n_failed, 0) AS BIGINT) AS n_failed,
+         |  CAST(CAST(coalesce(fl.n_failed, 0) AS HUGEINT) * 1000000
+         |    // greatest(sp.n_docs, 1) AS BIGINT) AS fail_ppm
+         |FROM sp LEFT JOIN fl
+         |  ON sp.source = fl.source AND sp.rule_id = fl.rule_id""".stripMargin,
     // the shared gram CTEs; exact pair intersections; q97/q128's
     // register + estimator spellings for singles, and the pair
     // max-merge for unions; inclusion–exclusion with signed error

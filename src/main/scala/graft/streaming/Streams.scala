@@ -446,6 +446,19 @@ object Streams {
           "div greatest(n_windows, 1L) as bigint)"))
   }
 
+  /** Streaming rule gate — q69's curation rules at crawl time, the
+    * most natural place for them: the whole gate is ONE codegen'd
+    * projection ([[graft.llm.TextAnalysis.ruleFilter]], zero shuffle
+    * — plan-asserted in batch), so it runs unchanged on a stream
+    * with no watermark and no state store. Arrivals carry the full
+    * per-rule reasons bitmask, not just a verdict, so a downstream
+    * monitor can alert on WHICH rule started firing (the q224 axis)
+    * without a second pass. Stream == batch pinned by StreamingSpec
+    * — the same call IS the batch oracle. */
+  def ruleGateIngest(stream: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    graft.llm.TextAnalysis.ruleFilter(stream, idCol, textCol)
+
   /** Streaming winsorize-apply — q145's robust clipping at ingest
     * time: exact per-group p-quantile cutoffs train on the STATIC
     * corpus ([[graft.llm.Robust.cutoffsFp]]), and each arriving row is

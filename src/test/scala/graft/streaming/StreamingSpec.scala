@@ -415,6 +415,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally query.stop()
   }
 
+  test("ruleGateIngest: the q69 gate runs unchanged on a stream, equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "short"),  // under the token floor → dropped with a reason
+      (2L, "the quick brown fox jumps over the lazy dog and then runs " +
+        "far away into the deep dark forest tonight with many words " +
+        "to speak of and the story continues on and on for a while"),
+      (3L, "1 2 3 4 5 6 7 8 9 0 1 2 3 4 5 6 7 8 9 0 1 2 3 4 5"))
+    val input = MemoryStream[(Long, String)]
+    val query = Streams.ruleGateIngest(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("rulegate_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      def shape(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3))).toSeq
+      val got = shape(spark.table("rulegate_out"))
+      val batch = shape(graft.llm.TextAnalysis.ruleFilter(
+        rows.toDF("doc_id", "text"), "doc_id", "text"))
+      assert(got === batch, "stream must equal the batch gate exactly")
+      assert(!got(0)._4 && got(0)._3 != 0L, "the short doc must carry a reason")
+      assert(got(1)._4, "the normal doc passes")
+    } finally query.stop()
+  }
+
   test("Pii.scrub is stateless: runs unchanged on a stream, equals batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
