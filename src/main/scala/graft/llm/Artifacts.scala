@@ -187,21 +187,51 @@ object Artifacts {
 
   /** Train-once guard over [[rootFor]]: if `name`'s completion marker
     * exists the saved artifact is served untouched; otherwise
-    * `train(dir)` runs and the marker is written LAST, so a crashed
-    * mid-save run retrains rather than serving half an artifact.
-    * Hyperparameters (and an algorithm version) belong IN `name` — a
-    * changed parameter must key a different artifact, never overwrite
-    * one. Trainings here are deterministic, so a concurrent double
-    * train writes identical bytes (saves use overwrite mode) and the
-    * marker is idempotent. Returns the artifact directory. */
+    * `train` runs into a UNIQUE TEMP SIBLING directory that is
+    * atomically renamed into place — a concurrent session that
+    * already saw the marker can never observe a half-written
+    * directory, because the published path is only ever created by
+    * one rename of a fully-trained tree (marker included). A train
+    * lambda that writes nothing fails the publish outright instead of
+    * marking an empty artifact. Hyperparameters (and an algorithm
+    * version) belong IN `name` — a changed parameter must key a
+    * different artifact, never overwrite one. Trainings here are
+    * deterministic, so when two sessions race, whichever rename lands
+    * first wins and the loser's identical bytes are discarded.
+    * Returns the artifact directory. */
   def ensure(sfDir: String, name: String)(train: String => Unit): String = {
-    val dir = new java.io.File(rootFor(sfDir), name)
+    val parent = new java.io.File(rootFor(sfDir))
+    val dir = new java.io.File(parent, name)
     val marker = new java.io.File(dir, "_TRAINED")
     if (!marker.exists()) {
-      train(dir.toString)
-      dir.mkdirs()
-      marker.createNewFile()
+      parent.mkdirs()
+      // a directory without its marker is a crashed or interrupted
+      // publish — clear it so the rename target is free
+      if (dir.exists()) deleteRecursively(dir)
+      val tmp = java.nio.file.Files.createTempDirectory(
+        parent.toPath, s".$name-train-").toFile
+      try {
+        train(tmp.toString)
+        require(Option(tmp.listFiles()).exists(_.nonEmpty),
+          s"train for artifact '$name' wrote no files — refusing to " +
+            "publish an empty artifact")
+        new java.io.File(tmp, "_TRAINED").createNewFile()
+        try java.nio.file.Files.move(tmp.toPath, dir.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          // another session's rename landed first: serve theirs
+          case e: java.nio.file.FileSystemException =>
+            if (!marker.exists()) throw e
+        }
+      } finally deleteRecursively(tmp)
     }
     dir.toString
   }
+
+  private def deleteRecursively(f: java.io.File): Unit =
+    if (f.exists()) {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+      f.delete(): Unit
+    }
 }

@@ -360,13 +360,23 @@ object Dedup {
     * LinkRank round discipline — symmetrized edges and each round's
     * node-sized scores persisted, one join + one dst-keyed max
     * aggregate per round. `seeds` = (doc_id, s); `edges` =
-    * (src, dst), symmetrized here. */
+    * (src, dst), symmetrized here. Edge endpoints ABSENT from `seeds`
+    * enter the score frame at s=0 (one node-sized anti-join, round
+    * 0 only) — without that a seedless node has no row in the score
+    * frame to relay through, silently cutting every propagation path
+    * that crosses it (ADVICE r13); with it the formula above holds on
+    * ANY seed/edge combination, and nodes named only in `seeds`
+    * (isolated, no edges) still pass through untouched. */
   def maxPropagate(seeds: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "at least one propagation round")
     val sym = Caches.persistTracked(
       edges.select(col("src"), col("dst"))
         .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"))))
-    var sc = Caches.persistTracked(seeds.select(col("doc_id"), col("s")))
+    val seeded = seeds.select(col("doc_id"), col("s"))
+    var sc = Caches.persistTracked(seeded.unionByName(
+      sym.select(col("src").as("doc_id")).distinct()
+        .join(seeded.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit(0L).as("s"))))
     for (_ <- 1 to rounds) {
       val m = sym
         .join(sc.select(col("doc_id").as("src"), col("s")), "src")
@@ -478,13 +488,19 @@ object Dedup {
     *  1. fragment dropped (`#…` — client-side only);
     *  2. scheme and host lowercased (RFC 3986 §6.2.2.1; path stays
     *     case-sensitive);
-    *  3. default ports `:80`/`:443` stripped;
+    *  3. the scheme's OWN default port stripped — `:80` only under
+    *     `http`, `:443` only under `https` (an unconditional strip
+    *     would merge `https://host:80/x`, a genuinely different
+    *     origin, into `https://host/x` — ADVICE r13);
     *  4. leading `www.` stripped;
     *  5. trailing slashes stripped from the path;
     *  6. query params split on `&`, tracking params dropped
-    *     (`utm_*`, `fbclid`, `gclid`, `ref`), the rest SORTED and
-    *     rejoined (param order is almost never semantic; sorting
-    *     makes the key order-free). Empty query ⇒ no `?`.
+    *     (`utm_*`, `fbclid`, `gclid` — NOT `ref`, which is frequently
+    *     semantic, e.g. `?ref=branch` on a code host; dropping it
+    *     would false-merge documents on the axis that decides which
+    *     get deleted), the rest SORTED and rejoined (param order is
+    *     almost never semantic; sorting makes the key order-free).
+    *     Empty query ⇒ no `?`.
     *
     * Pure row-local string surgery (codegen'd regexp/array ops, no
     * UDF, no shuffle) — at 100 TB this runs at scan speed and the
@@ -497,12 +513,17 @@ object Dedup {
     val noFrag = s"regexp_replace($q, '#.*$$', '')"
     val scheme = s"lower(regexp_extract($noFrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
     val rest = s"regexp_replace($noFrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '')"
-    val host = s"regexp_replace(regexp_replace(lower(regexp_extract($rest, '^([^/?]*)', 1)), ':(80|443)$$', ''), '^www[.]', '')"
+    val hostRaw = s"lower(regexp_extract($rest, '^([^/?]*)', 1))"
+    val hostPort = s"CASE WHEN $scheme = 'http' " +
+      s"THEN regexp_replace($hostRaw, ':80$$', '') " +
+      s"WHEN $scheme = 'https' THEN regexp_replace($hostRaw, ':443$$', '') " +
+      s"ELSE $hostRaw END"
+    val host = s"regexp_replace($hostPort, '^www[.]', '')"
     val pathq = s"regexp_replace($rest, '^[^/?]*', '')"
     val path = s"regexp_replace(regexp_extract($pathq, '^([^?]*)', 1), '/+$$', '')"
     val query = s"regexp_extract($pathq, '[?](.*)$$', 1)"
     val qn = s"array_join(array_sort(filter(split($query, '&'), " +
-      "p -> p != '' AND NOT p rlike '^(utm_|fbclid=|gclid=|ref=)')), '&')"
+      "p -> p != '' AND NOT p rlike '^(utm_|fbclid=|gclid=)')), '&')"
     expr(s"concat($scheme, '://', $host, $path, " +
       s"CASE WHEN $qn = '' THEN '' ELSE '?' || $qn END)")
   }

@@ -113,6 +113,21 @@ object NbClassifier {
       .limit(1)
       .select(col("label").as("label_dflt"))
 
+  /** The corpus-side term-frequency frame `(doc_id, w, tf)` predict
+    * scores against — public so a card comparing several trained
+    * variants on the SAME eval slice (q218) tokenizes that slice
+    * once, persists this frame, and shares it across variants instead
+    * of re-exploding the corpus per variant. */
+  def termFrequencies(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val qid = graft.Names.quoted(idCol)
+    val qt = graft.Names.quoted(textCol)
+    docs.select(col(qid).as("doc_id"),
+        explode(TextAnalysis.tokens(col(qt))).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
   /** Score a corpus against a trained counts frame: every token
     * occurrence votes for its type's winner class (unseen types vote
     * the smoothing default), the document takes the majority (ties →
@@ -124,14 +139,33 @@ object NbClassifier {
   def predict(docs: DataFrame, counts: DataFrame,
       idCol: String, textCol: String): DataFrame = {
     val qid = graft.Names.quoted(idCol)
-    val qt = graft.Names.quoted(textCol)
-    val tf = docs
-      .select(col(qid).as("doc_id"),
-        explode(TextAnalysis.tokens(col(qt))).as("w"))
-      .groupBy(col("doc_id"), col("w"))
-      .agg(count(lit(1)).as("tf"))
+    predictFromTf(docs.select(col(qid).as("doc_id")),
+      termFrequencies(docs, idCol, textCol), counts)
+  }
+
+  /** [[predict]] over a PRECOMPUTED (doc_id, w, tf) frame — the
+    * share-one-tokenize entry point for multi-variant cards. `docIds`
+    * supplies the full eval universe (one `doc_id` column) so
+    * token-free documents still land in the output. */
+  def predictFromTf(docIds: DataFrame, tf: DataFrame,
+      counts: DataFrame): DataFrame = {
+    // The smoothing default must stay a ONE-row frame even when the
+    // counts frame is empty: a bare crossJoin with an empty
+    // defaultVerdict would collapse the votes frame to zero rows and
+    // silently mark every doc no-evidence (ADVICE r13). A left join
+    // from a literal single row instead carries a NULL default, so
+    // with no trained counts every token votes NULL, each doc groups
+    // into one NULL-label majority, and the output matches the
+    // oracle's NULL-scalar-subquery spelling exactly: label_pred
+    // coalesces to (none) but n_tokens stays real and share_ppm is
+    // 1000000 — the trap the advisor flagged, closed in-plan with no
+    // eager driver action.
+    val dflt = docIds.sparkSession.range(1).toDF("__one")
+      .join(broadcast(defaultVerdict(counts).withColumn("__one", lit(0L))),
+        Seq("__one"), "left")
+      .select(col("label_dflt"))
     val votes = tf.join(tokenVerdicts(counts), Seq("w"), "left")
-      .crossJoin(broadcast(defaultVerdict(counts)))
+      .crossJoin(broadcast(dflt))
       .withColumn("lab", coalesce(col("label_pred"), col("label_dflt")))
       .groupBy(col("doc_id"), col("lab"))
       .agg(sum(col("tf")).as("votes"))
@@ -148,7 +182,7 @@ object NbClassifier {
       .select(col("doc_id"), col("lab").as("__lab"),
         col("__nt").cast("bigint").as("__nt"),
         col("votes").cast("bigint").as("__tv"))
-    docs.select(col(qid).as("doc_id"))
+    docIds.select(col("doc_id"))
       .join(pred, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("__lab"), lit(NoEvidenceLabel)).as("label_pred"),

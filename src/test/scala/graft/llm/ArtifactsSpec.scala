@@ -213,9 +213,24 @@ class ArtifactsSpec extends AnyFunSuite with SparkTestSession {
     assert(d1 === d2 && trainings === 1,
       "second call must serve the saved artifact, not retrain")
     assert(new java.io.File(d1, "_TRAINED").exists())
+    // the publish is atomic-rename: no half-trained temp sibling may
+    // survive next to the served artifact
+    assert(Option(new java.io.File(d1).getParentFile.listFiles()).get
+      .forall(!_.getName.startsWith(".art-v1-train-")),
+      "train temp directory must be renamed away or deleted")
+    // a train lambda that writes NOTHING must refuse to publish —
+    // the r13 ADVICE trap was an empty directory wearing a marker
+    val thrown = intercept[IllegalArgumentException] {
+      Artifacts.ensure(corpusDir, "art-empty")(_ => ())
+    }
+    assert(thrown.getMessage.contains("wrote no files"))
+    assert(!new java.io.File(new java.io.File(d1).getParent, "art-empty")
+      .exists(), "a refused publish must leave nothing behind")
     // a different hyperparameter set must be a different artifact
-    val other = Artifacts.ensure(corpusDir, "art-v2")(p =>
-      new java.io.File(p).mkdirs())
+    val other = Artifacts.ensure(corpusDir, "art-v2") { p =>
+      new java.io.File(p).mkdirs()
+      java.nio.file.Files.writeString(java.nio.file.Path.of(p, "data"), "d")
+    }
     assert(other !== d1)
     // a regenerated corpus (changed file signature) keys a fresh root
     java.nio.file.Files.writeString(

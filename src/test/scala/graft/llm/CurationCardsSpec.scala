@@ -160,7 +160,10 @@ class CurationCardsSpec extends AnyFunSuite with SparkTestSession {
       (2L, "https://example.com/A/b?a=1&b=2"),
       (3L, "http://example.com:80/"),
       (4L, "http://example.com"),
-      (5L, "https://example.com/p?utm_campaign=z&fbclid=abc")
+      (5L, "https://example.com/p?utm_campaign=z&fbclid=abc"),
+      (6L, "https://example.com:80/x"),
+      (7L, "http://example.com:443/x"),
+      (8L, "https://git.example.com/r?ref=main&a=1")
     ).toDF("doc_id", "url")
     val out = df.select(col("doc_id"), Dedup.normalizeUrl("url").as("k"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -171,6 +174,12 @@ class CurationCardsSpec extends AnyFunSuite with SparkTestSession {
     assert(out(3L) === out(4L), "default port + root slash are cosmetic")
     assert(out(5L) === "https://example.com/p",
       "tracking-only query must vanish entirely (no dangling '?')")
+    assert(out(6L) === "https://example.com:80/x",
+      ":80 under httpS is a DIFFERENT origin — the port must survive")
+    assert(out(7L) === "http://example.com:443/x",
+      ":443 under http is a DIFFERENT origin — the port must survive")
+    assert(out(8L) === "https://git.example.com/r?a=1&ref=main",
+      "ref= is frequently semantic (?ref=branch) — kept, only sorted")
   }
 
   test("wordNgrams: strict windows, no collapse below n") {

@@ -42,6 +42,23 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
       6L -> 1000000L, 7L -> 1000000L)) // two adjacent seeds: max, no stacking
   }
 
+  test("maxPropagate: unseeded edge nodes relay instead of cutting paths") {
+    import spark.implicits._
+    // chain 1–2–3 where ONLY 1 and 3 appear in seeds: node 2 exists
+    // solely as an edge endpoint. It must enter at s=0, RECEIVE a
+    // halved score, and RELAY the quartered score on to 3 — the
+    // advisor's r13 finding was that a missing score row silently cut
+    // every path through an unseeded node.
+    val seeds = Seq((1L, 1000000L), (3L, 0L)).toDF("doc_id", "s")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = Dedup.maxPropagate(seeds, edges, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      1L -> 1000000L,
+      2L -> 500000L,   // unseeded, surfaced in the output at its hop score
+      3L -> 250000L))  // the relay the old code lost
+  }
+
   test("exact dedup keeps the smallest doc_id per identical text") {
     val out = Dedup.exact(docs, Seq("text"), "doc_id")
       .select("doc_id").collect().map(_.getLong(0)).sorted

@@ -78,6 +78,39 @@ class NbClassifierSpec extends AnyFunSuite with SparkTestSession {
       (13L, "en", 2L, 500000L)))                     // split vote
   }
 
+  test("predict: EMPTY counts keeps voted rows (the oracle's NULL-subquery shape)") {
+    import spark.implicits._
+    // The advisor's r13 trap: with an empty trained-counts frame the
+    // old crossJoin collapsed the votes frame to zero rows and every
+    // doc scored as no-evidence (share 0) while the DuckDB spelling's
+    // NULL scalar subquery kept the voted rows at share 1000000. The
+    // left-joined one-row default pins Spark to the oracle shape:
+    // tokens still vote (all for the NULL default, coalesced to the
+    // no-evidence label), n_tokens stays real, share is 1000000.
+    val counts = NbClassifier.train(labeled, "text", "lang")
+      .filter(lit(false))
+    val eval = Seq(NbDoc(30L, "cat dog", "x"), NbDoc(31L, "", "x")).toDF()
+    val got = NbClassifier.predict(eval, counts, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got === Set(
+      (30L, NbClassifier.NoEvidenceLabel, 2L, 1000000L),
+      (31L, NbClassifier.NoEvidenceLabel, 0L, 0L)))
+  }
+
+  test("predictFromTf: shared precomputed tf frame equals the direct path") {
+    import graft.llm.{NbClassifier => NB}
+    val counts = NB.train(labeled, "text", "lang")
+    val direct = NB.predict(labeled, counts, "doc_id", "text")
+      .collect().map(_.toString).sorted.toSeq
+    val shared = NB.predictFromTf(
+        labeled.select(col("doc_id")),
+        NB.termFrequencies(labeled, "doc_id", "text"), counts)
+      .collect().map(_.toString).sorted.toSeq
+    assert(shared === direct,
+      "the share-one-tokenize entry point must be plan-sugar only")
+  }
+
   test("confusionCard: every eval doc lands in exactly one cell") {
     import spark.implicits._
     val counts = NbClassifier.train(labeled, "text", "lang")
