@@ -306,9 +306,20 @@ object IvfIndex {
     * Shuffle carries only (cell, skinny probe) rows; embeddings join
     * back by cell/id. */
   def fixedPointSearch(vectors: DataFrame, queries: DataFrame, nLists: Int,
-      k: Int, nProbe: Int, nIter: Int = 3): DataFrame = {
+      k: Int, nProbe: Int, nIter: Int = 3): DataFrame =
+    searchWithCodebook(vectors, queries, fitFixedPoint(vectors, nLists, nIter),
+      k, nProbe)
+
+  /** The probe/score/rank half of [[fixedPointSearch]] over an
+    * ALREADY-TRAINED coarse codebook — the serve-side entry point a
+    * shipped artifact drives ([[Artifacts.loadCodebook]]): no Lloyd
+    * rounds, no memo; the caller prices exactly assignment + probe +
+    * exact rerank. `fixedPointSearch` is literally this function fed
+    * by `fitFixedPoint`, so a loaded replica's results are
+    * byte-identical to the in-session training path. */
+  def searchWithCodebook(vectors: DataFrame, queries: DataFrame,
+      centroids: Array[Array[Long]], k: Int, nProbe: Int): DataFrame = {
     LlmFunctions.registerDotFp(vectors.sparkSession)
-    val centroids = fitFixedPoint(vectors, nLists, nIter)
     val bc = vectors.sparkSession.sparkContext.broadcast(centroids)
     val probeCellsUdf = udf { (e: Seq[Long]) =>
       val v = e.toArray

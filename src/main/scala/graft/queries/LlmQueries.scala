@@ -1946,8 +1946,12 @@ object LlmQueries {
   // predictFromTf instead of re-exploding the corpus per variant
   // (the r13 verdict's double-tokenize finding).
   def q218MoreDataCard(s: SparkSession, dir: String): DataFrame = {
-    val split = graft.llm.Sampling.hashSplit(
-      graft.Tables.documents(s, dir), "doc_id", ClsTrainPct, ClsValPct)
+    // the split frame feeds FIVE consumers (test tf, labels, ids, and
+    // the two train slices) — one md5 split pass, persisted
+    val split = graft.llm.Caches.persistTracked(
+      graft.llm.Sampling.hashSplit(
+        graft.Tables.documents(s, dir), "doc_id", ClsTrainPct, ClsValPct)
+        .select(col("doc_id"), col("text"), col("lang"), col("split")))
     val test = split.filter(col("split") === "test")
     val testIds = test.select(col("doc_id"))
     val testTf = graft.llm.Caches.persistTracked(

@@ -624,6 +624,29 @@ object SimilarityQueries {
     Similarity.recallAtK(q23EmbedTopk(s, dir), runs, AnnK)
   }
 
+  // ---- q225: the nProbe sweep served from the SHIPPED codebook ----
+  // q215's bench line deliberately prices training per iteration (the
+  // memo-clearing design); this is the deployment's number: the
+  // coarse codebook trains ONCE into the durable Artifacts catalog
+  // and every sweep run loads it and pays probe + exact rerank only
+  // ([[graft.llm.IvfIndex.searchWithCodebook]] — fixedPointSearch is
+  // literally that function fed by fitFixedPoint, so the loaded
+  // replica is byte-identical to q215 and shares its oracle, the
+  // q176/q92 precedent).
+  def q225ProbeSweepLoaded(s: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+    val root = graft.llm.Artifacts.ensure(dir,
+      s"ivfcoarse-v1-l$IvfLists-i$IvfIter") { p =>
+      graft.llm.Artifacts.saveCodebook(s, p + "/coarse",
+        graft.llm.IvfIndex.fitFixedPoint(emb, IvfLists, IvfIter))
+    }
+    val cb = graft.llm.Artifacts.loadCodebook(s, root + "/coarse")
+    val q = emb.filter(col("vec_id") < NumQueryVecs)
+    val runs = ProbeSweep.map(p => s"probe_$p" ->
+      graft.llm.IvfIndex.searchWithCodebook(emb, q, cb, AnnK, p))
+    Similarity.recallAtK(q23EmbedTopk(s, dir), runs, AnnK)
+  }
+
   // ---- q217: per-source split drift (train vs test centroids) ----
   // Representation drift the split should NOT have: per source, the
   // fixed-point cosine between its train-slice and test-slice
@@ -1219,6 +1242,7 @@ object SimilarityQueries {
     "q211_triplet_margin" -> q211TripletMargin _,
     "q212_cell_lang_alignment" -> q212CellLangAlignment _,
     "q215_probe_sweep" -> q215ProbeSweep _,
+    "q225_probe_sweep_loaded" -> q225ProbeSweepLoaded _,
     "q217_split_drift" -> q217SourceSplitDrift _,
   )
 
@@ -1576,6 +1600,57 @@ object SimilarityQueries {
        |  FROM (SELECT vec_id, e FROM e ORDER BY vec_id LIMIT $IvfLists) s),
        |$iters,
        |${kmAssignCte(s"c$IvfIter", "af")}""".stripMargin
+  }
+
+  /** q215's oracle — q66's probe/score/rank chain once per nProbe over
+    * ONE trained assignment, then q166's exact-baseline + spine + hits
+    * tail. A def shared by q215 and its loaded-codebook twin q225
+    * (byte-identical by codebook determinism — the q176/q92
+    * precedent). */
+  private def q215Sql: String = {
+    def chain(p: Int) =
+      s"""qp$p AS (SELECT query_id, cell FROM (
+         |  SELECT v.vec_id AS query_id, c.cell,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${kmSq("v", "c")}, c.cell) AS rn
+         |  FROM e v CROSS JOIN c$IvfIter c WHERE v.vec_id < $NumQueryVecs) t
+         |  WHERE rn <= $p),
+         |sc$p AS (SELECT qp$p.query_id, af.vec_id,
+         |    ${dotS("qe.embedding", "ce.embedding")} AS dot_fp
+         |  FROM qp$p JOIN af USING (cell)
+         |  JOIN embeddings qe ON qp$p.query_id = qe.vec_id
+         |  JOIN embeddings ce ON af.vec_id = ce.vec_id),
+         |r$p AS (SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY dot_fp DESC, vec_id) AS rn
+         |  FROM sc$p)""".stripMargin
+    val aps = ProbeSweep.map(p =>
+      s"SELECT 'probe_$p' AS method, query_id, vec_id FROM r$p WHERE rn <= $AnnK")
+      .mkString("\nUNION ALL\n")
+    val methods = ProbeSweep.map(p => s"('probe_$p')").mkString(", ")
+    s"""WITH $kmPrefixSql,
+       |${ProbeSweep.map(chain).mkString(",\n")},
+       |qe2 AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       |  WHERE vec_id < $NumQueryVecs),
+       |scored AS (SELECT query_id, e2.vec_id, $dotSql AS dot_fp
+       |  FROM qe2 CROSS JOIN
+       |    (SELECT vec_id, embedding AS ce FROM embeddings) e2),
+       |ex AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dot_fp DESC, vec_id) AS rn FROM scored) r
+       |  WHERE rn <= $AnnK),
+       |ap AS ($aps),
+       |hits AS (SELECT method, ap.query_id, CAST(count(*) AS BIGINT) AS hits
+       |  FROM ap JOIN ex ON ap.query_id = ex.query_id AND ap.vec_id = ex.vec_id
+       |  GROUP BY method, ap.query_id),
+       |spine AS (SELECT m.method, s.query_id
+       |  FROM (SELECT DISTINCT query_id FROM ex) s
+       |  CROSS JOIN (VALUES $methods) m(method))
+       |SELECT spine.method, spine.query_id,
+       |  coalesce(hits.hits, 0) AS hits,
+       |  CAST(coalesce(hits.hits, 0) * 1000000 // $AnnK AS BIGINT) AS recall_ppm
+       |FROM spine LEFT JOIN hits
+       |  ON spine.method = hits.method AND spine.query_id = hits.query_id""".stripMargin
   }
 
   private val q66Sql = {
@@ -2380,51 +2455,10 @@ object SimilarityQueries {
          |JOIN cn nte ON nte.source = dd.source AND nte.split = 'test'""".stripMargin,
     // q66's probe/score/rank chain once per nProbe over ONE trained
     // assignment; q166's exact-baseline + spine + hits tail
-    "q215_probe_sweep" -> {
-      def chain(p: Int) =
-        s"""qp$p AS (SELECT query_id, cell FROM (
-           |  SELECT v.vec_id AS query_id, c.cell,
-           |    row_number() OVER (PARTITION BY v.vec_id
-           |      ORDER BY ${kmSq("v", "c")}, c.cell) AS rn
-           |  FROM e v CROSS JOIN c$IvfIter c WHERE v.vec_id < $NumQueryVecs) t
-           |  WHERE rn <= $p),
-           |sc$p AS (SELECT qp$p.query_id, af.vec_id,
-           |    ${dotS("qe.embedding", "ce.embedding")} AS dot_fp
-           |  FROM qp$p JOIN af USING (cell)
-           |  JOIN embeddings qe ON qp$p.query_id = qe.vec_id
-           |  JOIN embeddings ce ON af.vec_id = ce.vec_id),
-           |r$p AS (SELECT query_id, vec_id,
-           |    row_number() OVER (PARTITION BY query_id
-           |      ORDER BY dot_fp DESC, vec_id) AS rn
-           |  FROM sc$p)""".stripMargin
-      val aps = ProbeSweep.map(p =>
-        s"SELECT 'probe_$p' AS method, query_id, vec_id FROM r$p WHERE rn <= $AnnK")
-        .mkString("\nUNION ALL\n")
-      val methods = ProbeSweep.map(p => s"('probe_$p')").mkString(", ")
-      s"""WITH $kmPrefixSql,
-         |${ProbeSweep.map(chain).mkString(",\n")},
-         |qe2 AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
-         |  WHERE vec_id < $NumQueryVecs),
-         |scored AS (SELECT query_id, e2.vec_id, $dotSql AS dot_fp
-         |  FROM qe2 CROSS JOIN
-         |    (SELECT vec_id, embedding AS ce FROM embeddings) e2),
-         |ex AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY dot_fp DESC, vec_id) AS rn FROM scored) r
-         |  WHERE rn <= $AnnK),
-         |ap AS ($aps),
-         |hits AS (SELECT method, ap.query_id, CAST(count(*) AS BIGINT) AS hits
-         |  FROM ap JOIN ex ON ap.query_id = ex.query_id AND ap.vec_id = ex.vec_id
-         |  GROUP BY method, ap.query_id),
-         |spine AS (SELECT m.method, s.query_id
-         |  FROM (SELECT DISTINCT query_id FROM ex) s
-         |  CROSS JOIN (VALUES $methods) m(method))
-         |SELECT spine.method, spine.query_id,
-         |  coalesce(hits.hits, 0) AS hits,
-         |  CAST(coalesce(hits.hits, 0) * 1000000 // $AnnK AS BIGINT) AS recall_ppm
-         |FROM spine LEFT JOIN hits
-         |  ON spine.method = hits.method AND spine.query_id = hits.query_id""".stripMargin
-    },
+    "q215_probe_sweep" -> q215Sql,
+    // the loaded-codebook sweep is byte-identical by codebook
+    // determinism ⇒ shares the oracle (the q176/q92 precedent)
+    "q225_probe_sweep_loaded" -> q215Sql,
     // the trained assignment CTE chain (q125's spelling) joined to
     // documents.lang; per-cell majority with the (n desc, lang) tie
     "q212_cell_lang_alignment" ->

@@ -71,6 +71,26 @@ class ArtifactsSpec extends AnyFunSuite with SparkTestSession {
     cb.indices.foreach(i => assert(back(i).toSeq === cb(i).toSeq, s"cell $i"))
   }
 
+  test("IVF search from a loaded codebook is byte-identical to the training path") {
+    // the q225 contract: searchWithCodebook over Artifacts-loaded
+    // centroids runs no Lloyd rounds yet returns exactly what
+    // fixedPointSearch (train-in-session) returns, at every nProbe
+    val cb = IvfIndex.fitFixedPoint(vecs, nLists = 4, nIter = 2)
+    val path = tmp("ivf-serve")
+    Artifacts.saveCodebook(spark, path, cb)
+    val back = Artifacts.loadCodebook(spark, path)
+    val queries = vecs.filter(col("vec_id") < 3)
+    for (p <- Seq(1, 2)) {
+      val trained = IvfIndex.fixedPointSearch(vecs, queries, nLists = 4,
+          k = 3, nProbe = p, nIter = 2)
+        .collect().map(_.toSeq).toSet
+      val served = IvfIndex.searchWithCodebook(vecs, queries, back,
+          k = 3, nProbe = p)
+        .collect().map(_.toSeq).toSet
+      assert(served === trained, s"nProbe=$p")
+    }
+  }
+
   test("PQ codebooks round-trip and loaded-artifact IVF-ADC search is identical") {
     val coarse = IvfIndex.fitFixedPoint(vecs, nLists = 4, nIter = 2)
     val pq = PqIndex.fitSubspaces(vecs, m = 2, kSub = 4, nIter = 2)

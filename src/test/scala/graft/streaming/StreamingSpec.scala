@@ -380,6 +380,42 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally query.stop()
   }
 
+  test("classifyIngest: a vocab cap above the tail is exact; the map is bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val counts = graft.llm.NbClassifier.train(
+      Seq((1L, "cat dog fish cat", "en"), (2L, "dog fish le", "en"),
+        (3L, "chat chien le le", "fr"), (4L, "chien le chat", "fr"))
+        .toDF("doc_id", "text", "lang"),
+      "text", "lang")
+    val vocabSize = counts.select(col("w")).distinct().count().toInt
+    val rows = Seq((10L, "cat dog chien"), (11L, "zzz qqq"),
+      (13L, "le le cat"))
+    def run(cap: Int, name: String) = {
+      val input = MemoryStream[(Long, String)]
+      val query = Streams.classifyIngest(
+          input.toDF().toDF("doc_id", "text"), counts, "doc_id", "text",
+          maxVocab = cap)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        input.addData(rows: _*)
+        query.processAllAvailable()
+        spark.table(name).orderBy("doc_id").collect().map(_.toSeq).toSeq
+      } finally query.stop()
+    }
+    // cap ≥ |V|: the bounded collect must be EXACTLY the full routing
+    assert(run(vocabSize, "classify_cap_full") ===
+      run(0, "classify_uncapped"),
+      "a cap covering the whole train vocabulary must not move any vote")
+    // cap = 1: only the most-frequent type ('le', 5 occurrences) keeps
+    // its winner; every other type votes the smoothing default — the
+    // bound is real, not a no-op
+    val tiny = run(1, "classify_cap_tiny")
+    assert(tiny.nonEmpty && tiny.size === rows.size,
+      "capped routing still scores every arrival")
+  }
+
   test("vadIngest: streamed VAD equals batch; non-WAV and junk dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
