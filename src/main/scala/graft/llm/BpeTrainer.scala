@@ -233,4 +233,46 @@ object BpeTrainer {
         coalesce(col("n_tok"), lit(0L)).as("n_tok"),
         coalesce(col("n_sym"), lit(0L)).as("n_sym"))
   }
+
+  /** DECODE: invert an id sequence back to text — one broadcast join
+    * (`sym_id → sym`, the vocabulary read the other way) plus an
+    * ordered concat. Symbols are bare character runs (no separators),
+    * so concatenating a WORD's symbols reproduces the word exactly —
+    * `decode(encode(w)) == w` whenever every symbol is in the
+    * vocabulary (pinned in BpeSpec and graded corpus-wide by the q227
+    * round-trip card). Ids with no vocabulary row (the literal `null`
+    * placeholder [[encode]] emits for unseen-at-training symbols)
+    * make the row LOSSY: `n_unknown > 0` and `decoded` NULL — decode
+    * refuses to fabricate text it cannot prove.
+    *
+    * Input: `keyCols` plus `idsCol`, a space-joined sym_id string
+    * (exactly [[encode]]'s `token_ids` shape). Output: the keys,
+    * `decoded`, `n_unknown`. Row-local split/explode, one broadcast
+    * of the vocabulary-sized id table, one key-grouped assembly —
+    * the mirror image of encode's shape, no extra shuffle class. */
+  def decodeIds(ids: DataFrame, keyCols: Seq[String], idsCol: String,
+      vocabIds: DataFrame): DataFrame = {
+    val q = graft.Names.quoted _
+    val keys = keyCols.map(c => col(q(c)))
+    val perId = ids
+      .select(keys :+ posexplode(split(col(q(idsCol)), " "))
+        .as(Seq("pos", "sid")): _*)
+      // try_cast, not cast: encode's literal `null` placeholder (and
+      // any other non-numeric id) must become a SQL NULL unknown, not
+      // an ANSI cast error
+      .withColumn("sym_id", expr("try_cast(sid as bigint)"))
+      .join(broadcast(vocabIds.select(col("sym_id"), col("sym"))),
+        Seq("sym_id"), "left")
+    perId.groupBy(keys: _*)
+      .agg(
+        sum(when(col("sym").isNull, 1L).otherwise(0L)).as("n_unknown"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("sym")))),
+            x => x.getField("sym")),
+          "").as("__dec"))
+      .select(keys ++ Seq(
+        when(col("n_unknown") === 0L, col("__dec")).as("decoded"),
+        col("n_unknown").cast("bigint").as("n_unknown")): _*)
+  }
 }

@@ -1977,6 +1977,87 @@ object LlmQueries {
     row("train_only", base).unionByName(row("with_val", delta))
   }
 
+  // ---- q226: NB distillation of the rule gate (weak supervision) ----
+  // The cheap-router-approximates-expensive-rules evidence a crawler
+  // deploys: q69's rule verdict becomes the TRAINING LABEL (keep/drop
+  // — no human labels anywhere), the token-vote classifier fits on
+  // the train slice, and the card is its confusion against held-out
+  // RULE verdicts — how well a one-join router reproduces the full
+  // six-rule gate. High agreement ⇒ the router can pre-screen at
+  // crawl time and reserve the rule battery for the maybes. Shares
+  // the q195 machinery end to end (train/confusionCard) and the
+  // nbCtes oracle spelling with the label source swapped to the
+  // rulesCtes verdict. Scale: labeling is the q69 row-local
+  // projection; everything after is the audited classifier shape.
+  def q226RuleDistill(s: SparkSession, dir: String): DataFrame = {
+    val labeled = graft.llm.Caches.persistTracked(
+      graft.llm.Sampling.hashSplit(
+        TextAnalysis.ruleFilter(graft.Tables.documents(s, dir),
+            "doc_id", "text", carryCols = Seq("text"))
+          .select(col("doc_id"), col("text"),
+            when(col("kept"), lit("keep")).otherwise(lit("drop"))
+              .as("rule_label")),
+        "doc_id", ClsTrainPct, ClsValPct))
+    val counts = graft.llm.NbClassifier.train(
+      labeled.filter(col("split") === "train"), "text", "rule_label")
+    graft.llm.NbClassifier.confusionCard(
+      labeled.filter(col("split") === "test"), counts,
+      "doc_id", "text", "rule_label")
+  }
+
+  // ---- q227: BPE decode + round-trip card ----
+  // Encode has been on the board since q137; this adds its inverse
+  // ([[graft.llm.BpeTrainer.decodeIds]] — the vocabulary joined the
+  // other way, `sym_id → sym`, plus an ordered concat) and GRADES the
+  // pair: the tokenizer trains on the hash-split train slice only,
+  // every distinct held-out test word encodes through the trained
+  // merge chain, decodes back through ids, and the card reports per
+  // source how many words round-trip exactly versus how many are
+  // LOSSY — a symbol the training vocabulary never produced has no
+  // id (encode's literal `null`), so decode refuses it. The loss
+  // rate is the deployment question for a frozen tokenizer: how much
+  // of tomorrow's crawl can today's vocabulary even represent.
+  // Scale: training rides the (word, freq) aggregate; the card side
+  // is DISTINCT (source, word)-bounded — encode is a codegen'd
+  // replace chain, decode one vocabulary broadcast; the only
+  // shuffles are the word distinct and the source rollup.
+  def q227BpeRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val split = graft.llm.Sampling.hashSplit(
+      graft.Tables.documents(s, dir), "doc_id", ClsTrainPct, ClsValPct)
+    val train = split.filter(col("split") === "train")
+    val merges = graft.llm.BpeTrainer.trainMerges(
+      train, "doc_id", "text", BpeMerges)
+    val vocab = graft.llm.BpeTrainer.vocab(train, "doc_id", "text", BpeMerges)
+      .select(col("sym"), col("sym_id"))
+    val testWords = split.filter(col("split") === "test")
+      .select(coalesce(col("source"), lit("(null)")).as("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .distinct()
+    val encoded = testWords
+      .select(col("source"), col("w"),
+        expr(graft.llm.BpeTrainer.encodeWordSql(merges, "w")).as("s"))
+      .select(col("source"), col("w"),
+        posexplode(expr(graft.llm.BpeTrainer.symsOfSql("s")))
+          .as(Seq("j", "sym")))
+      .join(broadcast(vocab), Seq("sym"), "left")
+      .groupBy(col("source"), col("w"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("j"), col("sym_id")))),
+          x => x.getField("sym_id").cast("string")),
+        " ", "null").as("token_ids"))
+    graft.llm.BpeTrainer.decodeIds(encoded, Seq("source", "w"),
+        "token_ids", vocab)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("decoded") === col("w"), 1L).otherwise(0L))
+          .cast("bigint").as("n_roundtrip_ok"),
+        sum(when(col("n_unknown") > 0L, 1L).otherwise(0L))
+          .cast("bigint").as("n_lossy"))
+      .withColumn("loss_ppm",
+        expr("n_lossy * 1000000L div greatest(n_words, 1L)"))
+  }
+
   // ---- q219: sampling-temperature sweep (the mixing knob priced) ----
   // q161 prices T=2; this prices the knob: per temperature T ∈
   // {1, 2, 4}, every source's mixing share under weight ∝
@@ -2107,6 +2188,8 @@ object LlmQueries {
     "q220_overlap_estimate" -> q220OverlapEstimate _,
     "q219_temperature_sweep" -> q219TemperatureSweep _,
     "q218_more_data" -> q218MoreDataCard _,
+    "q226_rule_distill" -> q226RuleDistill _,
+    "q227_bpe_roundtrip" -> q227BpeRoundtrip _,
     "q216_keywords" -> q216Keywords _,
     "q210_batch_waste" -> q210BatchWaste _,
     "q213_manifest_loaded" -> q213ManifestLoaded _,
@@ -2305,7 +2388,12 @@ object LlmQueries {
     * frequencies, bracket-wrapped symbol strings, then one
     * (pair-count, argmax, corpus-wide replace) round per merge,
     * ending in `w$BpeMerges`. */
-  private def bpeChainSql: String = {
+  private def bpeChainSql: String = bpeChainSqlFrom("documents")
+
+  /** The unrolled BPE training rounds over `src`'s words — `src` is
+    * any FROM-able relation carrying (doc_id, text); the q227
+    * round-trip card trains on the split's train slice only. */
+  private def bpeChainSqlFrom(src: String): String = {
     val rounds = (0 until BpeMerges).map { t =>
       s"""p${t + 1} AS (SELECT y[i] AS l, y[i + 1] AS r, sum(freq) AS c
          |  FROM (SELECT freq, string_split(s[2:len(s) - 1], '][') AS y FROM w$t) t$t,
@@ -2320,12 +2408,67 @@ object LlmQueries {
          |        '[' || (SELECT l FROM b${t + 1}) || (SELECT r FROM b${t + 1}) || ']')
          |    END AS s FROM w$t)""".stripMargin
     }.mkString(",\n")
-    s"""e AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+    s"""e AS (SELECT doc_id, unnest($toksSql) AS w FROM $src),
        |wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM e GROUP BY w),
        |w0 AS (SELECT w, freq, array_to_string(
        |    list_transform(string_split(w, ''), c -> '[' || c || ']'), '') AS s
        |  FROM wf),
        |$rounds""".stripMargin
+  }
+
+  /** q227's oracle: the train-slice merge rounds ([[bpeChainSqlFrom]]),
+    * the vocabulary-id CTE (the q137 spelling), the SAME unrolled
+    * replace chain applied to every distinct held-out word, and the
+    * id→symbol decode with its unknown accounting. */
+  private def q227Sql: String = {
+    val applyRounds = (0 until BpeMerges).map { t =>
+      s"""x${t + 1} AS (SELECT source, w,
+         |  CASE WHEN (SELECT count(*) FROM b${t + 1}) = 0 THEN s
+         |    ELSE replace(s,
+         |      '[' || (SELECT l FROM b${t + 1}) || '][' || (SELECT r FROM b${t + 1}) || ']',
+         |      '[' || (SELECT l FROM b${t + 1}) || (SELECT r FROM b${t + 1}) || ']')
+         |  END AS s FROM x$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH spl AS (SELECT doc_id,
+       |    CASE WHEN r < $ClsTrainPct THEN 'train'
+       |         WHEN r < ${ClsTrainPct + ClsValPct} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT doc_id,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS r
+       |    FROM documents) t),
+       |${bpeChainSqlFrom("(SELECT d2.* FROM documents d2 " +
+          "JOIN spl USING (doc_id) WHERE spl.split = 'train') trd")},
+       |vx AS (SELECT unnest(string_split(s[2:len(s) - 1], '][')) AS sym, freq
+       |  FROM w$BpeMerges),
+       |vc AS (SELECT sym, CAST(sum(freq) AS BIGINT) AS n_occ FROM vx GROUP BY sym),
+       |ids AS (SELECT sym, CAST(row_number() OVER (
+       |  ORDER BY n_occ DESC, sym ASC) AS BIGINT) AS sym_id FROM vc),
+       |tw AS (SELECT DISTINCT coalesce(d3.source, '(null)') AS source, w
+       |  FROM (SELECT doc_id, source, unnest($toksSql) AS w FROM documents) d3
+       |  JOIN spl USING (doc_id) WHERE spl.split = 'test'),
+       |x0 AS (SELECT source, w, array_to_string(
+       |    list_transform(string_split(w, ''), c -> '[' || c || ']'), '') AS s
+       |  FROM tw),
+       |$applyRounds,
+       |sy AS (SELECT source, w, j, y[j::INT] AS sym FROM
+       |  (SELECT source, w, string_split(s[2:len(s) - 1], '][') AS y
+       |   FROM x$BpeMerges) z,
+       |  unnest(range(1, len(y) + 1)) AS u(j)),
+       |dj AS (SELECT sy.source, sy.w, sy.j, sy.sym, ids.sym_id
+       |  FROM sy LEFT JOIN ids USING (sym)),
+       |wd AS (SELECT source, w,
+       |    CAST(count(*) FILTER (sym_id IS NULL) AS BIGINT) AS n_unknown,
+       |    string_agg(CASE WHEN sym_id IS NOT NULL THEN sym END, ''
+       |      ORDER BY j) AS dec
+       |  FROM dj GROUP BY source, w)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(CASE WHEN n_unknown = 0 AND dec = w THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_roundtrip_ok,
+       |  CAST(sum(CASE WHEN n_unknown > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_lossy,
+       |  CAST(sum(CASE WHEN n_unknown > 0 THEN 1 ELSE 0 END) * 1000000
+       |    // greatest(count(*), 1) AS BIGINT) AS loss_ppm
+       |FROM wd GROUP BY source""".stripMargin
   }
 
   private def hitsSql(vocab: Seq[String]): String = {
@@ -2589,7 +2732,9 @@ object LlmQueries {
   // everything through the per-(doc, class) vote rollup — ONE
   // spelling shared by the confusion (q195/q196) and calibration
   // (q209) oracles
-  private def nbCtesFor(trainCond: String): String = {
+  private def nbCtesFor(trainCond: String,
+      labelJoin: String = "JOIN documents d USING (doc_id)",
+      labelExpr: String = "d.lang"): String = {
     val scale = graft.llm.NbClassifier.ScaleFp
     s"""spl AS (SELECT doc_id,
        |    CASE WHEN r < $ClsTrainPct THEN 'train'
@@ -2599,8 +2744,8 @@ object LlmQueries {
        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS r
        |    FROM documents) t),
        |e AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
-       |tr AS (SELECT d.lang AS label, e.w
-       |  FROM e JOIN documents d USING (doc_id) JOIN spl USING (doc_id)
+       |tr AS (SELECT $labelExpr AS label, e.w
+       |  FROM e $labelJoin JOIN spl USING (doc_id)
        |  WHERE $trainCond),
        |cnt AS (SELECT label, w, CAST(count(*) AS BIGINT) AS cnt
        |  FROM tr GROUP BY 1, 2),
@@ -2919,6 +3064,27 @@ object LlmQueries {
          |    AS BIGINT) AS mixture_ppm
          |FROM v""".stripMargin,
     "q218_more_data" -> moreDataSql,
+    // the rulesCtes verdict becomes the label CTE; the nb chain and
+    // the confusion tail are the q195 spelling with the label source
+    // swapped — the distillation shares every other line
+    "q226_rule_distill" ->
+      s"""WITH $rulesCtes,
+         |lbl AS (SELECT doc_id, CASE WHEN ($reasonsSql) = 0
+         |    THEN 'keep' ELSE 'drop' END AS label FROM rr),
+         |${nbCtesFor("spl.split = 'train'", "JOIN lbl USING (doc_id)",
+             "lbl.label")},
+         |pred AS (SELECT doc_id, lab AS label_pred FROM (
+         |    SELECT doc_id, lab, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY votes DESC, lab ASC) AS rn FROM votes) t2
+         |  WHERE rn = 1)
+         |SELECT lbl.label AS label_true,
+         |  coalesce(p.label_pred,
+         |    '${graft.llm.NbClassifier.NoEvidenceLabel}') AS label_pred,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM lbl JOIN spl USING (doc_id)
+         |LEFT JOIN pred p USING (doc_id)
+         |WHERE spl.split = 'test'
+         |GROUP BY 1, 2""".stripMargin,
     // tf, df, the digit-length idf, and the per-doc rank replayed
     "q216_keywords" ->
       s"""WITH e AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
@@ -3782,6 +3948,9 @@ object LlmQueries {
          |SELECT sym, n_occ, CAST(row_number() OVER (
          |  ORDER BY n_occ DESC, sym ASC) AS BIGINT) AS sym_id FROM vc""".stripMargin,
     "q137_bpe_encode" -> bpeEncodeSql,
+    // train-slice rounds + the same chain applied to held-out words +
+    // the id→symbol decode with unknown accounting
+    "q227_bpe_roundtrip" -> q227Sql,
     // same corpus result through the SAVED artifact — the oracle is
     // identical by contract: persistence must not change one byte
     "q157_bpe_encode_loaded" -> bpeEncodeSql,

@@ -798,6 +798,44 @@ object Relational {
         sumFp(cents(col("l_extendedprice"))).as("revenue_cents"))
   }
 
+  // ---- q228: dominant-share supplier (the TPC-H Q20 shape) ----
+  // The remaining classic: Q20's NESTED SEMI-JOIN with a correlated
+  // threshold — "suppliers holding a dominant position in some
+  // screened part". The correlated scalar (Q20 compares stock against
+  // half the part's shipped volume) is a WINDOW over the one
+  // (part, supplier) aggregate: a supplier qualifies for a part when
+  // it shipped MORE than half that part's 1996 volume. Then two true
+  // semi-joins, innermost-out exactly like Q20: qualifying pairs ⋉
+  // name-screened parts (broadcast — the q222 filtered-dim rule),
+  // suppliers ⋉ qualifying supplier keys (no hint — SF-proportional,
+  // the q221 rule). No correlated subquery, no second lineitem scan,
+  // no fact self-join; one shuffle on (part, supplier), one window
+  // on its aggregate, one shuffle into the supplier semi-join.
+  // Quantities are integer-valued by the corpus contract — cast to
+  // BIGINT so the sums replay exactly.
+  def q228DominantSupplier(s: SparkSession, dir: String): DataFrame = {
+    val redParts = graft.Tables.part(s, dir)
+      .filter(col("p_name").startsWith("red"))
+      .select(col("p_partkey"))
+    val ps = graft.Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1997-01-01 00:00:00"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("bigint")).as("sq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_partkey"))
+    val dominant = ps.withColumn("pt", sum(col("sq")).over(w))
+      .filter(col("sq") * 2 > col("pt"))
+      .join(broadcast(redParts),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .select(col("l_suppkey"))
+    graft.Tables.supplier(s, dir)
+      .join(broadcast(graft.Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), col("n_name"))
+  }
+
   // ---- q223: customer order-count distribution (TPC-H Q13 shape) ----
   // The double-aggregate with an outer join underneath: every
   // customer's order count — INCLUDING the zero-order customers the
@@ -816,6 +854,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q223_customer_distribution" -> q223CustomerDistribution _,
+    "q228_dominant_supplier" -> q228DominantSupplier _,
     "q222_small_quantity_revenue" -> q222SmallQuantityRevenue _,
     "q221_regional_revenue" -> q221RegionalRevenue _,
     "q214_sole_late_supplier" -> q214SoleLateSupplier _,
@@ -884,6 +923,23 @@ object Relational {
         |GROUP BY 1""".stripMargin,
     // the flat 6-way join with the cross-dimension local-supplier
     // predicate; q1's disc-price fixed point
+    // the same window-over-aggregate threshold + two semi-joins —
+    // no correlated subquery on either side
+    "q228_dominant_supplier" ->
+      """WITH ps AS (SELECT l_partkey AS pk, l_suppkey AS sk,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY 1, 2),
+        |dom AS (SELECT pk, sk FROM (SELECT pk, sk, sq,
+        |      sum(sq) OVER (PARTITION BY pk) AS pt FROM ps) d
+        |  WHERE sq * 2 > pt),
+        |fp AS (SELECT DISTINCT dom.sk FROM dom
+        |  JOIN part ON pk = p_partkey WHERE p_name LIKE 'red%')
+        |SELECT s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (SELECT sk FROM fp)""".stripMargin,
     "q221_regional_revenue" ->
       """SELECT r_name, n_name,
         |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0)

@@ -158,6 +158,25 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkTestSession {
       s"test×train must meet on the bucket key only:\n${plan.take(1500)}")
   }
 
+  test("q228's Q20 shape: one lineitem scan, window threshold, true semi-joins") {
+    // the classic rewrites Q20 into a correlated subquery (second
+    // lineitem scan per row) or a fact self-join; the shape here must
+    // stay: ONE lineitem scan feeding a window over the (part,
+    // supplier) aggregate, the part screen and the supplier screen as
+    // genuine LeftSemi joins, no cartesian anywhere
+    val q = SparkEntry.queries("q228_dominant_supplier")(
+      spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"Q20 shape must carry only equi-joins:\n${plan.take(1500)}")
+    assert(plan.contains("LeftSemi"),
+      s"the part/supplier screens must stay semi-joins:\n${plan.take(1500)}")
+    val scans = graft.PlanNodes.all(q.queryExecution.executedPlan)
+      .count(n => n.nodeName.contains("Scan") && n.toString.contains("lineitem"))
+    assert(scans === 1, s"exactly one lineitem scan, found $scans")
+  }
+
   test("GraftExtensions installs native functions via spark.sql.extensions") {
     // newSession(): empty per-session function registry (no UDFs
     // registered by other specs) but the app-level extensions apply —

@@ -103,6 +103,38 @@ class BpeSpec extends AnyFunSuite with SparkTestSession {
     assert(enc.toSeq === Seq(("1 null null", 3L)))
   }
 
+  test("decode inverts encode exactly for in-vocab text; unknown ids refuse") {
+    import org.apache.spark.sql.functions.col
+    // train on a small real-ish corpus, encode the SAME corpus (every
+    // symbol in-vocab by construction), decode word-by-word: the
+    // round-trip identity decode(encode(w)) == w must hold for every
+    // distinct word
+    val train = docsOf("the table the table scan", "scan the hash table")
+    val merges = BpeTrainer.trainMerges(train, "doc_id", "text", 3)
+    val vocab = BpeTrainer.vocab(train, "doc_id", "text", 3)
+      .select(col("sym"), col("sym_id"))
+    import spark.implicits._
+    val words = Seq("the", "table", "scan", "hash")
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val enc = BpeTrainer.encode(words, "doc_id", "text", merges, vocab)
+    val dec = BpeTrainer.decodeIds(
+        enc.join(words, Seq("doc_id")), Seq("doc_id", "text"), "token_ids",
+        vocab)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(dec.length === 4)
+    dec.foreach { case (w, decoded, nUnknown) =>
+      assert(nUnknown === 0L, s"'$w' is in-vocab — no unknown ids")
+      assert(decoded === w, s"decode(encode('$w')) must be '$w'")
+    }
+    // an id sequence with the null placeholder (unseen symbol) is
+    // LOSSY: decoded refuses (NULL), n_unknown counts it
+    val lossy = BpeTrainer.decodeIds(
+        Seq((99L, "1 null")).toDF("doc_id", "token_ids"),
+        Seq("doc_id"), "token_ids", vocab)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2)))
+    assert(lossy.toSeq === Seq((99L, None, 1L)))
+  }
+
   test("partition-invariant merges") {
     import org.apache.spark.sql.functions.col
     val docs = docsOf("the table the table scan", "scan the hash table",

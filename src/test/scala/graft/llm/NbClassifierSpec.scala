@@ -122,6 +122,30 @@ class NbClassifierSpec extends AnyFunSuite with SparkTestSession {
     assert(got === Set(("en", "en", 1L), ("fr", "fr", 1L), ("en", "fr", 1L)))
   }
 
+  test("rule-gate distillation: weak labels come from the gate, cells partition the slice") {
+    // the q226 wiring on real corpus rows: every held-out doc lands in
+    // exactly ONE confusion cell, the truth axis is exactly the rule
+    // gate's own verdict (no human labels anywhere), and the cell
+    // total equals the test-slice size — the card can neither drop
+    // nor double-count a document
+    val card = graft.queries.LlmQueries
+      .q226RuleDistill(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(card.nonEmpty)
+    assert(card.map(_._1).toSet.subsetOf(Set("keep", "drop")),
+      "truth labels are the gate's verdicts only")
+    assert(card.map(_._2).toSet.subsetOf(
+      Set("keep", "drop", NbClassifier.NoEvidenceLabel)))
+    val labeled = graft.llm.Sampling.hashSplit(
+      TextAnalysis.ruleFilter(
+          graft.Tables.documents(spark, "/root/testdata/sf0.001"),
+          "doc_id", "text"),
+      "doc_id", 80, 10)
+    val nTest = labeled.filter(col("split") === "test").count()
+    assert(card.map(_._3).sum === nTest,
+      "confusion cells must partition the held-out slice exactly")
+  }
+
   test("mergeCounts: delta-train equals full retrain exactly") {
     import spark.implicits._
     val a = labeled.filter(col("doc_id") <= 2)
