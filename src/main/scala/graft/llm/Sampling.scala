@@ -301,6 +301,30 @@ object Sampling {
       .drop(h)
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment — the
+    * coordination-free complement of [[shardPlan]]'s `hash % N`:
+    * every (key, shard) pair gets a deterministic md5 weight and the
+    * key lives on the shard with the LARGEST weight. The property
+    * that earns the extra hashing: growing N → N+1 moves ONLY the
+    * keys whose new shard wins their argmax — an expected 1/(N+1) of
+    * the data, and every mover lands on the NEW shard (Thaler &
+    * Ravishankar 1996); `hash % N` reshuffles ~all of it. Entirely
+    * row-local (one fold over the shard list per row — no shuffle,
+    * no coordinator, any two engines agree), which is why object
+    * stores and cache rings use exactly this. The weight is the md5
+    * HEX STRING compared lexicographically — fixed-length lowercase
+    * hex makes that identical to comparing the 128-bit value, and
+    * both engines produce the same digest of the same bytes. */
+  def rendezvousShard(keyCol: String, nShards: Int): org.apache.spark.sql.Column = {
+    require(nShards > 0, "nShards must be positive")
+    val k = graft.Names.quoted(keyCol)
+    def w(x: String) = s"md5(concat(cast($k as string), ':', cast($x as string)))"
+    expr(s"""aggregate(sequence(0, ${nShards - 1}),
+      named_struct('h', cast('' as string), 's', cast(-1 as int)),
+      (acc, x) -> CASE WHEN ${w("x")} > acc.h
+        THEN named_struct('h', ${w("x")}, 's', x) ELSE acc END).s""")
+  }
+
   /** Capped-proportional (water-filling) budget allocation: split an
     * integer token `budget` equally across keys, except no key can
     * receive more than its `cap` — the classic fair-share rule a

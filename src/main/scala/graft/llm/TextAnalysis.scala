@@ -761,4 +761,5 @@ object TextAnalysis {
         expr("cast(((cast(rs as decimal(38,0)) * n + adj) * 1000000)" +
           " div (2 * cast(rs as decimal(38,0)) * n) as bigint)").as("tvd_ppm"))
   }
+
 }

@@ -2058,6 +2058,124 @@ object LlmQueries {
         expr("n_lossy * 1000000L div greatest(n_words, 1L)"))
   }
 
+  // ---- q230: compute-optimal feasibility card (Chinchilla × data) ----
+  // The sizing question q199/q200 stop short of: given THIS corpus,
+  // which model sizes can be trained compute-optimally at all? Per
+  // candidate size: the Chinchilla token requirement (20 tokens per
+  // parameter — Hoffmann et al. 2022), the corpus's total and
+  // UNIQUE-after-exact-dedup tokens (the honest budget — q184's
+  // fingerprint spelling), the epochs of the unique set the
+  // requirement implies (floor ppm), and feasibility under the
+  // ~4-useful-epochs repetition bound (Muennighoff et al. 2023, the
+  // q200 constant). All integer arithmetic off ONE corpus aggregate;
+  // the model list is a constant frame — the card costs one dedup
+  // scan regardless of how many sizes it prices.
+  private val ChinchillaTokensPerParam = 20L
+  private val ModelSizesM = Seq(125L, 1300L, 13000L)
+  def q230ComputeOptimal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("doc_id"))
+    val budget = graft.Tables.documents(s, dir)
+      .select(col("doc_id"),
+        Dedup.fingerprintOrEmpty(col("text")).as("fp"),
+        TextAnalysis.tokenCount(col("text")).cast("bigint").as("n_tok"))
+      .withColumn("__rn", row_number().over(w))
+      .agg(sum(col("n_tok")).cast("bigint").as("total_tokens"),
+        sum(when(col("__rn") === 1, col("n_tok")).otherwise(0L))
+          .cast("bigint").as("unique_tokens"))
+    ModelSizesM.toDF("m_params_m")
+      .crossJoin(broadcast(budget))
+      .withColumn("required_tokens",
+        expr(s"m_params_m * 1000000L * $ChinchillaTokensPerParam"))
+      .withColumn("epochs_needed_ppm",
+        expr("cast(cast(required_tokens as decimal(38,0)) * 1000000 " +
+          "div greatest(unique_tokens, 1L) as bigint)"))
+      .withColumn("feasible",
+        col("required_tokens") <= lit(EpochCap.toLong) * col("unique_tokens"))
+  }
+
+  /** Deterministic PII fixture for q231 (the synthetic corpus carries
+    * no contact surface of its own): emails, private-range IPs, and
+    * +NN phone strings appended as a pure function of doc_id — the
+    * urlSynthSql precedent: ONE spelling, embedded in both the query
+    * and its oracle, so the detectors are graded on text whose truth
+    * both engines derive identically. */
+  /** Deterministic sparse-PII fixture for q231 (q59's injection
+    * plants PII on EVERY doc — right for grading the scrubber,
+    * useless for a prevalence card): emails, private-range IPs, and
+    * +NN phones appended to DISJOINT doc_id classes as a pure
+    * function of doc_id — the urlSynthSql precedent: ONE spelling,
+    * embedded in both the query and its oracle. Shapes match the
+    * audited [[graft.llm.Pii]] patterns. */
+  private val piiSynthSql: String =
+    """CASE WHEN doc_id % 7 = 0
+      |  THEN ' contact user' || doc_id || '@mail.example.com now'
+      |WHEN doc_id % 7 = 2
+      |  THEN ' from 192.168.' || (doc_id % 256) || '.' || (doc_id % 100) || ' up'
+      |WHEN doc_id % 7 = 4
+      |  THEN ' call +47 555 ' || (10000 + doc_id % 89999)
+      |ELSE '' END""".stripMargin.linesIterator.mkString(" ")
+
+  // ---- q231: per-source PII prevalence + redaction budget card ----
+  // q59/q64 grade the SCRUBBER per document; this is the fleet-level
+  // decision card a curation pass runs first: per source, how many
+  // documents carry a PII surface at all ([[graft.llm.Pii.scrub]] —
+  // the audited detectors, unchanged), the match counts per kind,
+  // and the character budget redaction will move (raw vs clean char
+  // sums — <TOKEN> replacements make the delta signed, the honest
+  // unit a storage planner needs). Detection stays row-local
+  // codegen'd regex at scan speed; the only shuffle is the source
+  // rollup — and the SAME scrub projection runs unchanged at crawl
+  // time ([[graft.streaming.Streams.piiIngest]], stream == batch
+  // pinned).
+  def q231PiiScan(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Pii.scrub(
+        graft.Tables.documents(s, dir)
+          .select(col("doc_id"),
+            coalesce(col("source"), lit("(null)")).as("source"),
+            expr(s"concat(coalesce(text, ''), $piiSynthSql)").as("text")),
+        "text")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_emails") + col("n_ips") + col("n_phones") > 0L, 1L)
+          .otherwise(0L)).as("n_pii_docs"),
+        sum(col("n_emails")).cast("bigint").as("n_emails"),
+        sum(col("n_ips")).cast("bigint").as("n_ips"),
+        sum(col("n_phones")).cast("bigint").as("n_phones"),
+        sum(length(col("text"))).cast("bigint").as("raw_chars"),
+        sum(length(col("clean_text"))).cast("bigint").as("clean_chars"))
+      .withColumn("pii_doc_ppm",
+        expr("n_pii_docs * 1000000L div greatest(n_docs, 1L)"))
+
+  // ---- q233: rendezvous reshard card (minimal-disruption proof) ----
+  // q167's shardPlan is `hash % N` — add a shard and ~everything
+  // moves; this card prices the alternative: rendezvous/HRW
+  // assignment ([[graft.llm.Sampling.rendezvousShard]]) under N=8 and
+  // N=9 shards, per old shard: how many docs move at all (theory:
+  // ~1/9) and — the HRW theorem, measured not assumed — how many
+  // move anywhere EXCEPT the new shard (must be exactly 0: a key's
+  // argmax over a superset changes only if the new candidate wins).
+  // Assignment is a row-local md5 fold, zero shuffle; the only
+  // exchange is the per-shard rollup.
+  private val ReshardFrom = 8
+  def q233ReshardCard(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.llm.Sampling.rendezvousShard("doc_id", ReshardFrom)
+          .cast("bigint").as("s_old"),
+        graft.llm.Sampling.rendezvousShard("doc_id", ReshardFrom + 1)
+          .cast("bigint").as("s_new"))
+      .groupBy(col("s_old"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("s_new") =!= col("s_old"), 1L).otherwise(0L))
+          .cast("bigint").as("n_moved"),
+        sum(when(col("s_new") =!= col("s_old") &&
+            col("s_new") =!= lit(ReshardFrom.toLong), 1L).otherwise(0L))
+          .cast("bigint").as("n_moved_elsewhere"))
+      .withColumn("moved_ppm",
+        expr("n_moved * 1000000L div greatest(n_docs, 1L)"))
+
   // ---- q219: sampling-temperature sweep (the mixing knob priced) ----
   // q161 prices T=2; this prices the knob: per temperature T ∈
   // {1, 2, 4}, every source's mixing share under weight ∝
@@ -2190,6 +2308,9 @@ object LlmQueries {
     "q218_more_data" -> q218MoreDataCard _,
     "q226_rule_distill" -> q226RuleDistill _,
     "q227_bpe_roundtrip" -> q227BpeRoundtrip _,
+    "q230_compute_optimal" -> q230ComputeOptimal _,
+    "q231_pii_scan" -> q231PiiScan _,
+    "q233_reshard_card" -> q233ReshardCard _,
     "q216_keywords" -> q216Keywords _,
     "q210_batch_waste" -> q210BatchWaste _,
     "q213_manifest_loaded" -> q213ManifestLoaded _,
@@ -3951,6 +4072,83 @@ object LlmQueries {
     // train-slice rounds + the same chain applied to held-out words +
     // the id→symbol decode with unknown accounting
     "q227_bpe_roundtrip" -> q227Sql,
+    // the sparse fixture + the audited q59 detector/redaction
+    // spellings, rolled up per source
+    "q231_pii_scan" -> {
+      val em = graft.llm.Pii.EmailPattern
+      val ip = graft.llm.Pii.Ipv4Pattern
+      val ph = graft.llm.Pii.PhonePattern
+      s"""WITH d AS (SELECT doc_id, coalesce(source, '(null)') AS source,
+         |    coalesce(text, '') || $piiSynthSql AS t FROM documents),
+         |p AS (SELECT doc_id, source, t,
+         |    CAST(len(regexp_extract_all(t, '$em')) AS BIGINT) AS n_emails,
+         |    CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ips,
+         |    CAST(len(regexp_extract_all(t, '$ph')) AS BIGINT) AS n_phones,
+         |    regexp_replace(regexp_replace(regexp_replace(t,
+         |      '$em', '${graft.llm.Pii.EmailToken}', 'g'),
+         |      '$ip', '${graft.llm.Pii.Ipv4Token}', 'g'),
+         |      '$ph', '${graft.llm.Pii.PhoneToken}', 'g') AS clean
+         |  FROM d)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN n_emails + n_ips + n_phones > 0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
+         |  CAST(sum(n_emails) AS BIGINT) AS n_emails,
+         |  CAST(sum(n_ips) AS BIGINT) AS n_ips,
+         |  CAST(sum(n_phones) AS BIGINT) AS n_phones,
+         |  CAST(sum(length(t)) AS BIGINT) AS raw_chars,
+         |  CAST(sum(length(clean)) AS BIGINT) AS clean_chars,
+         |  CAST(sum(CASE WHEN n_emails + n_ips + n_phones > 0
+         |      THEN 1 ELSE 0 END) * 1000000
+         |    // greatest(count(*), 1) AS BIGINT) AS pii_doc_ppm
+         |FROM p GROUP BY source""".stripMargin
+    },
+    // the same md5 argmax per (doc, shard) under both shard counts —
+    // arg_max over the unnested shard list replays the row-local fold
+    "q233_reshard_card" -> {
+      def chain(n: Int, tag: String) =
+        s"""e$tag AS (SELECT doc_id, x,
+           |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(x AS VARCHAR)) AS h
+           |  FROM documents, unnest(range(0, $n)) AS u(x)),
+           |o$tag AS (SELECT doc_id, arg_max(x, h) AS s_$tag
+           |  FROM e$tag GROUP BY doc_id)""".stripMargin
+      s"""WITH ${chain(ReshardFrom, "old")},
+         |${chain(ReshardFrom + 1, "new")},
+         |j AS (SELECT s_old, s_new FROM oold JOIN onew USING (doc_id))
+         |SELECT CAST(s_old AS BIGINT) AS s_old,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN s_new <> s_old THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_moved,
+         |  CAST(sum(CASE WHEN s_new <> s_old AND s_new <> $ReshardFrom
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_elsewhere,
+         |  CAST(sum(CASE WHEN s_new <> s_old THEN 1 ELSE 0 END) * 1000000
+         |    // greatest(count(*), 1) AS BIGINT) AS moved_ppm
+         |FROM j GROUP BY s_old""".stripMargin
+    },
+    // q184's fingerprint/unique-token spelling feeding the constant
+    // model frame; every derived number is integer arithmetic
+    "q230_compute_optimal" -> {
+      val values = ModelSizesM.map(m => s"($m)").mkString(", ")
+      s"""WITH d AS (SELECT doc_id,
+         |    md5(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))) AS fp,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |r AS (SELECT n_tok,
+         |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM d),
+         |u AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         |    CAST(sum(CASE WHEN rn = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+         |      AS unique_tokens FROM r),
+         |m(m_params_m) AS (SELECT CAST(v AS BIGINT) FROM (VALUES $values) t0(v))
+         |SELECT CAST(m_params_m AS BIGINT) AS m_params_m,
+         |  total_tokens, unique_tokens,
+         |  CAST(m_params_m * 1000000 * $ChinchillaTokensPerParam AS BIGINT)
+         |    AS required_tokens,
+         |  CAST(CAST(m_params_m * 1000000 * $ChinchillaTokensPerParam AS HUGEINT)
+         |    * 1000000 // greatest(unique_tokens, 1) AS BIGINT)
+         |    AS epochs_needed_ppm,
+         |  (m_params_m * 1000000 * $ChinchillaTokensPerParam)
+         |    <= $EpochCap * unique_tokens AS feasible
+         |FROM m, u""".stripMargin
+    },
     // same corpus result through the SAVED artifact — the oracle is
     // identical by contract: persistence must not change one byte
     "q157_bpe_encode_loaded" -> bpeEncodeSql,

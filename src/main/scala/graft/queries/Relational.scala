@@ -836,6 +836,37 @@ object Relational {
       .select(col("s_name"), col("n_name"))
   }
 
+  // ---- q229: lapsed above-average customers (the TPC-H Q22 shape) ----
+  // The last classic on the board: Q22's GLOBAL-scalar threshold +
+  // anti-join ("customers above the average positive balance with no
+  // recent activity"). The scalar subquery is a one-row aggregate
+  // broadcast-crossed onto the customer scan (never recomputed per
+  // row); "no recent orders" is a true LEFT ANTI against the
+  // date-pruned order keys (the filter reaches the orders scan);
+  // balances ride the q1 cents fixed point so the threshold
+  // comparison and the rollup sum replay exactly (money is 2-decimal
+  // by the corpus contract, so cents > 0 ⇔ balance > 0). The
+  // balance screen runs BEFORE the anti-join — Q22's own trick —
+  // so the anti probe side is the rich slice, not the full table.
+  def q229LapsedCustomers(s: SparkSession, dir: String): DataFrame = {
+    val cust = graft.Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        cents(col("c_acctbal")).as("bal"))
+    val threshold = cust.filter(col("bal") > 0L)
+      .agg(expr("sum(bal) div count(1)").cast("bigint").as("__thr"))
+    val recent = graft.Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= ts("2001-01-01 00:00:00"))
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(threshold))
+      .filter(col("bal") > col("__thr"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(graft.Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("numcust"),
+        sumFp(col("bal")).as("total_bal_cents"))
+  }
+
   // ---- q223: customer order-count distribution (TPC-H Q13 shape) ----
   // The double-aggregate with an outer join underneath: every
   // customer's order count — INCLUDING the zero-order customers the
@@ -855,6 +886,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q223_customer_distribution" -> q223CustomerDistribution _,
     "q228_dominant_supplier" -> q228DominantSupplier _,
+    "q229_lapsed_customers" -> q229LapsedCustomers _,
     "q222_small_quantity_revenue" -> q222SmallQuantityRevenue _,
     "q221_regional_revenue" -> q221RegionalRevenue _,
     "q214_sole_late_supplier" -> q214SoleLateSupplier _,
@@ -923,6 +955,22 @@ object Relational {
         |GROUP BY 1""".stripMargin,
     // the flat 6-way join with the cross-dimension local-supplier
     // predicate; q1's disc-price fixed point
+    // the same global-threshold + anti-join formulation; the NOT
+    // EXISTS arm carries the date predicate on both sides
+    "q229_lapsed_customers" ->
+      """WITH b AS (SELECT c_custkey, c_nationkey,
+        |    CAST(floor(c_acctbal * 100.0) AS BIGINT) AS bal FROM customer),
+        |th AS (SELECT CAST(sum(bal) // count(*) AS BIGINT) AS thr
+        |  FROM b WHERE bal > 0),
+        |rich AS (SELECT b.c_custkey, b.c_nationkey, b.bal
+        |  FROM b JOIN th ON b.bal > th.thr),
+        |lapsed AS (SELECT r.* FROM rich r WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o WHERE o.o_custkey = r.c_custkey
+        |    AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'))
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(sum(bal) AS BIGINT) AS total_bal_cents
+        |FROM lapsed JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
     // the same window-over-aggregate threshold + two semi-joins —
     // no correlated subquery on either side
     "q228_dominant_supplier" ->

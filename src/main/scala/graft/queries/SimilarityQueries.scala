@@ -1120,6 +1120,45 @@ object SimilarityQueries {
     Similarity.rrfFuse(Seq(bm, ann), RrfC)
   }
 
+  // ---- q232: lexical↔dense retrieval agreement card ----
+  // The question hybrid fusion (q111) presupposes an answer to: do
+  // BM25 and the dense ranker even SEE the same documents? Per query:
+  // top-k set sizes on both sides, the intersection, and its Jaccard
+  // in floor ppm — high agreement means fusion is redundant, low
+  // agreement means each retriever covers the other's misses (the
+  // RRF payoff). Composes the two audited rankings unchanged (q83
+  // BM25, q23 exact dense top-k); the card's own joins are
+  // top-k-sized. The qid spine keeps every query visible even when a
+  // ranker returns nothing for it.
+  private val RetAgreeK = 5
+  def q232RetrievalAgreement(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nQ = LlmQueries.Bm25Queries.size
+    val qidMap = LlmQueries.Bm25Queries.map(_._1).zipWithIndex
+      .map { case (l, i) => (l, i.toLong) }.toDF("label", "qid")
+    val lex = LlmQueries.q83Bm25(s, dir)
+      .join(broadcast(qidMap), col("query_id") === col("label"))
+      .filter(col("rn") <= RetAgreeK)
+      .select(col("qid"), col("doc_id"), lit(1L).as("__l"))
+    val den = q23EmbedTopk(s, dir)
+      .filter(col("query_id") < nQ && col("rn") <= RetAgreeK)
+      .select(col("query_id").cast("bigint").as("qid"),
+        col("vec_id").as("doc_id"), lit(1L).as("__d"))
+    val g = lex.join(den, Seq("qid", "doc_id"), "full")
+      .groupBy(col("qid"))
+      .agg(sum(coalesce(col("__l"), lit(0L))).cast("bigint").as("n_lexical"),
+        sum(coalesce(col("__d"), lit(0L))).cast("bigint").as("n_dense"),
+        sum(coalesce(col("__l"), lit(0L)) * coalesce(col("__d"), lit(0L)))
+          .cast("bigint").as("n_overlap"))
+    qidMap.select(col("qid")).join(g, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_lexical"), lit(0L)).as("n_lexical"),
+        coalesce(col("n_dense"), lit(0L)).as("n_dense"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("jaccard_ppm", expr("n_overlap * 1000000L div " +
+        "greatest(n_lexical + n_dense - n_overlap, 1L)"))
+  }
+
   // ---- q112: ANN recall card (exact baseline vs every ANN path) ----
   // The acceptance gate for trading exactness away: each approximate
   // path (sign-LSH buckets, seeded IVF, PQ-ADC) graded against the
@@ -1192,6 +1231,7 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q111_hybrid_rrf"   -> q111HybridRrf _,
     "q112_ann_recall"   -> q112AnnRecall _,
+    "q232_retrieval_agreement" -> q232RetrievalAgreement _,
     "q113_lsh_recall"   -> q113LshRecallCard _,
     "q173_lsh_sweep"    -> q173LshSweep _,
     "q174_snm_recall"   -> q174SnmRecall _,
@@ -1871,6 +1911,38 @@ object SimilarityQueries {
        |FROM f""".stripMargin
   }
 
+  /** q232: the q83 and q23 oracles verbatim as derived tables (the
+    * q111 discipline), then the full-join set algebra and the qid
+    * spine. */
+  private def q232Sql: String = {
+    val qm = LlmQueries.Bm25Queries.map(_._1).zipWithIndex
+      .map { case (l, i) => s"('$l', $i)" }.mkString(", ")
+    val nQ = LlmQueries.Bm25Queries.size
+    s"""WITH bmr AS (${LlmQueries.bm25Sql}),
+       |annr AS ($q23Sql),
+       |qm(label, qid) AS (VALUES $qm),
+       |b2 AS (SELECT qm.qid, bmr.doc_id FROM bmr
+       |  JOIN qm ON bmr.query_id = qm.label WHERE bmr.rn <= $RetAgreeK),
+       |a2 AS (SELECT query_id AS qid, vec_id AS doc_id FROM annr
+       |  WHERE query_id < $nQ AND rn <= $RetAgreeK),
+       |f AS (SELECT coalesce(b2.qid, a2.qid) AS qid,
+       |    CASE WHEN b2.doc_id IS NOT NULL THEN 1 ELSE 0 END AS l,
+       |    CASE WHEN a2.doc_id IS NOT NULL THEN 1 ELSE 0 END AS d
+       |  FROM b2 FULL JOIN a2
+       |    ON b2.qid = a2.qid AND b2.doc_id = a2.doc_id),
+       |g AS (SELECT qid, CAST(sum(l) AS BIGINT) AS n_lexical,
+       |    CAST(sum(d) AS BIGINT) AS n_dense,
+       |    CAST(sum(l * d) AS BIGINT) AS n_overlap FROM f GROUP BY qid)
+       |SELECT CAST(qm.qid AS BIGINT) AS qid,
+       |  CAST(coalesce(g.n_lexical, 0) AS BIGINT) AS n_lexical,
+       |  CAST(coalesce(g.n_dense, 0) AS BIGINT) AS n_dense,
+       |  CAST(coalesce(g.n_overlap, 0) AS BIGINT) AS n_overlap,
+       |  CAST(coalesce(g.n_overlap, 0) * 1000000 // greatest(
+       |    coalesce(g.n_lexical, 0) + coalesce(g.n_dense, 0)
+       |      - coalesce(g.n_overlap, 0), 1) AS BIGINT) AS jaccard_ppm
+       |FROM (SELECT DISTINCT qid FROM qm) qm LEFT JOIN g USING (qid)""".stripMargin
+  }
+
   /** q112: the four ranking oracles verbatim as derived tables, then
     * the hits/recall aggregate — the card cannot drift from the
     * rankings it grades. */
@@ -1978,6 +2050,7 @@ object SimilarityQueries {
   val oracleSql: Map[String, String] = Map(
     "q111_hybrid_rrf"   -> q111Sql,
     "q112_ann_recall"   -> q112Sql,
+    "q232_retrieval_agreement" -> q232Sql,
     "q113_lsh_recall"   -> q113Sql,
     "q173_lsh_sweep"    -> q173Sql,
     // q113's truth/threshold CTEs with q171's SNM pair generator

@@ -479,6 +479,23 @@ object Streams {
       textCol: String): DataFrame =
     graft.llm.TextAnalysis.ruleFilter(stream, idCol, textCol)
 
+  /** Streaming PII scrub — the q59/q231 detectors at crawl time,
+    * where a redaction pipeline actually wants them: every arriving
+    * document carries its per-detector match counts AND the redacted
+    * text ([[graft.llm.Pii.scrub]] — the audited patterns,
+    * unchanged) before anything lands in the lake. The whole screen
+    * is ONE codegen'd regex projection, zero shuffle, so it runs
+    * unchanged on a stream with no watermark and no state store, and
+    * the batch call IS the correctness oracle (StreamingSpec pins
+    * stream == batch). */
+  def piiIngest(stream: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    graft.llm.Pii.scrub(stream, textCol)
+      .select(qcol(idCol).as("doc_id"), col("n_emails"), col("n_ips"),
+        col("n_phones"), col("clean_text"))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_ips") + col("n_phones") > 0L)
+
   /** Streaming winsorize-apply — q145's robust clipping at ingest
     * time: exact per-group p-quantile cutoffs train on the STATIC
     * corpus ([[graft.llm.Robust.cutoffsFp]]), and each arriving row is

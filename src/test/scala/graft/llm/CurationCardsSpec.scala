@@ -103,6 +103,31 @@ class CurationCardsSpec extends AnyFunSuite with SparkTestSession {
     assert(plan.toSet == replan.toSet, "plan must survive repartitioning")
   }
 
+  test("rendezvousShard: minimal disruption — movers go ONLY to the new shard") {
+    val df = (1L to 400L).toDF("doc_id")
+    val both = df.select(col("doc_id"),
+        Sampling.rendezvousShard("doc_id", 8).as("s8"),
+        Sampling.rendezvousShard("doc_id", 9).as("s9"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(both.forall { case (_, a, b) => a >= 0 && a < 8 && b >= 0 && b < 9 })
+    // the HRW theorem: an argmax over a superset changes only when
+    // the NEW candidate wins — every mover lands on shard 8
+    both.filter { case (_, a, b) => a != b }.foreach { case (k, _, b) =>
+      assert(b === 8, s"key $k moved to shard $b, not the new shard")
+    }
+    // the point of paying for HRW: a minority moves (~1/9), not ~all
+    // (hash % N moves ~8/9 on the same transition)
+    val moved = both.count { case (_, a, b) => a != b }
+    assert(moved > 0 && moved < 400 / 4,
+      s"expected ~1/9 of 400 keys to move, got $moved")
+    // balanced-ish and deterministic under repartitioning
+    assert(both.map(_._2).distinct.length === 8, "every shard is used")
+    val re = df.repartition(7).select(col("doc_id"),
+        Sampling.rendezvousShard("doc_id", 8).as("s8"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(re === both.map(t => (t._1, t._2)).toSet)
+  }
+
   test("snmPairs: pair volume is bounded by windowSize per row") {
     val df = (1L to 40L).map(i => (i, s"prefix shared ${i % 7} tail"))
       .toDF("doc_id", "text")

@@ -416,6 +416,33 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       "capped routing still scores every arrival")
   }
 
+  test("piiIngest: streamed PII scrub equals batch exactly; text redacted") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "mail me a@b.io"),
+      (2L, "host 10.1.2.3 up"),
+      (3L, "clean words only"))
+    val input = MemoryStream[(Long, String)]
+    val query = Streams.piiIngest(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("pii_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      def shape(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id")
+        .collect().map(_.toSeq).toSeq
+      val got = shape(spark.table("pii_out"))
+      val batch = shape(Streams.piiIngest(
+        rows.toDF("doc_id", "text"), "doc_id", "text"))
+      assert(got === batch, "stream must equal the batch scrub exactly")
+      assert(got.map(_.last) === Seq(true, true, false))
+      assert(got.map(_(4)) === Seq("mail me <EMAIL>", "host <IP> up",
+        "clean words only"), "arrivals carry the redacted text")
+    } finally query.stop()
+  }
+
   test("vadIngest: streamed VAD equals batch; non-WAV and junk dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
