@@ -88,11 +88,105 @@ object Fingerprint {
     math.floor(1e6 * a.count(bs.contains) / a.length).toLong
   }
 
+  /** Expected chunk spacing for [[cdcCuts]]: a cut fires where the
+    * rolling hash ≡ 0 (mod divisor), so chunks average ~divisor bytes
+    * plus the window. */
+  val CdcDivisor = 64L
+
+  /** Content-defined chunk cut points (the Rabin-CDC core of LBFS /
+    * FastCDC, minus their min/max clamps — clamping makes the cut
+    * sequence a stateful scan that no longer replays as a per-position
+    * predicate, so this is the PURE content-defined variant: every
+    * position whose w-byte rolling hash divides `divisor` cuts).
+    * Returns the 1-based byte END offset of each cut, strictly
+    * ascending, excluding the document end (the final chunk is the
+    * remainder, so a caller appending `nb` always gets non-empty
+    * chunks). Why content-defined instead of fixed-size: an insertion
+    * near the head shifts every fixed-size boundary and re-keys the
+    * whole tail, while CDC boundaries re-synchronize at the next cut
+    * — chunk identities downstream of the edit survive, which is what
+    * makes chunk-level dedup find PARTIAL overlap between revisions
+    * (pinned in FingerprintSpec). */
+  def cdcCuts(text: String, w: Int = DefaultWindow,
+      divisor: Long = CdcDivisor): Array[Int] = {
+    if (text == null) return Array.empty
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val hs = rollingHashes(bytes, w)
+    val out = new ArrayBuffer[Int]()
+    var i = 0
+    while (i < hs.length) {
+      val end = i + w // 1-based end byte of window i
+      if (hs(i) % divisor == 0L && end < bytes.length) out += end
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** The corpus → CDC-chunk frame `(doc_id, st, en, len, ck)`:
+    * 1-based byte spans from [[cdcCuts]] plus the engine-portable
+    * chunk identity (md5 of the LOWERCASED HEX of the byte slice —
+    * DuckDB cannot slice blobs, so the hex spelling is the one both
+    * engines compute identically). Requires [[register]] on the
+    * session. Row-local until the caller shuffles the chunk keys;
+    * ~bytes/CdcDivisor rows per document. Shared by the q234 dedup
+    * card, the q235/q236 admission paths, and the streaming ingest
+    * twin, so batch and stream can never disagree about what a chunk
+    * IS. */
+  def cdcChunkFrame(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val qi = graft.Names.quoted(idCol)
+    val qt = graft.Names.quoted(textCol)
+    docs
+      .select(col(qi).as("doc_id"),
+        coalesce(col(qt), lit("")).as("__text"))
+      .withColumn("__bin", col("__text").cast("binary"))
+      .withColumn("__nb", length(col("__bin")).cast("int"))
+      .filter(col("__nb") > 0)
+      .withColumn("__cuts", expr("cdc_cuts(__text)"))
+      .withColumn("__starts",
+        expr("concat(array(1), transform(__cuts, c -> c + 1))"))
+      .withColumn("__ends", expr("concat(__cuts, array(__nb))"))
+      .select(col("doc_id"), col("__bin"),
+        posexplode(arrays_zip(col("__starts"), col("__ends")))
+          .as(Seq("__ci", "__se")))
+      .select(col("doc_id"), col("__bin"),
+        col("__se.__starts").as("st"), col("__se.__ends").as("en"))
+      .withColumn("len", (col("en") - col("st") + 1).cast("bigint"))
+      .withColumn("ck",
+        md5(lower(hex(expr("substring(__bin, st, en - st + 1)")))))
+      .drop("__bin")
+  }
+
+  /** Row-local twin of [[cdcChunkFrame]]'s identity derivation:
+    * `(len, chunk_key)` per chunk, with the key spelled EXACTLY like
+    * the frame's `ck` column (md5 over the lowercased hex of the
+    * byte slice, lowercase hex digest) — pinned equal in
+    * FingerprintSpec so the streaming admission meter and the batch
+    * store can never disagree about a chunk's name. */
+  def cdcChunkKeys(text: String): Array[(Long, String)] = {
+    if (text == null) return Array.empty
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (bytes.isEmpty) return Array.empty
+    val cuts = cdcCuts(text)
+    val ends = cuts :+ bytes.length
+    val starts = 1 +: cuts.map(_ + 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    starts.zip(ends).map { case (s, e) =>
+      val hexs = bytes.slice(s - 1, e).map("%02x".format(_)).mkString
+      md.reset()
+      val dig = md.digest(hexs.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        .map("%02x".format(_)).mkString
+      ((e - s + 1).toLong, dig)
+    }
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.udf.register("doc_fingerprints",
       (text: String) => fingerprints(text))
     spark.udf.register("fingerprint_containment_fp",
       (a: Seq[Long], b: Seq[Long]) =>
         containmentFp(Option(a).map(_.toArray).orNull, Option(b).map(_.toArray).getOrElse(Array.empty)))
+    spark.udf.register("cdc_cuts", (text: String) => cdcCuts(text))
   }
 }

@@ -496,6 +496,43 @@ object Streams {
       .withColumn("has_pii",
         col("n_emails") + col("n_ips") + col("n_phones") > 0L)
 
+  /** Streaming CDC admission meter — q235's store-admission question
+    * per upload, at upload time: each arriving document chunks
+    * row-locally ([[graft.llm.Fingerprint.cdcChunkKeys]], the SAME
+    * key spelling as the batch chunk frame) and counts its chunks
+    * and bytes against a broadcast Bloom prefilter of the store's
+    * chunk keys — no shuffle, no state store, bounded broadcast
+    * however large the store (the [[decontamIngest]] discipline).
+    * Bloom false positives UNDER-count novelty at the configured
+    * fpp; a store that must bill exactly re-checks admitted chunks
+    * against the exact index in batch (q235/q236). Output per
+    * arrival: (doc_id, n_chunks, n_novel_chunks, total_bytes,
+    * novel_bytes, novel_ppm) — stream == batch pinned. */
+  def cdcIngest(stream: DataFrame, idCol: String, textCol: String,
+      bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    val bc = graft.llm.Caches.broadcastTracked(
+      stream.sparkSession.sparkContext.broadcast(bloom))
+    val meter = udf { (text: String) =>
+      val cs = graft.llm.Fingerprint.cdcChunkKeys(text)
+      var nc = 0L; var nn = 0L; var tb = 0L; var nb = 0L
+      cs.foreach { case (len, key) =>
+        nc += 1; tb += len
+        if (!bc.value.mightContainString(key)) { nn += 1; nb += len }
+      }
+      (nc, nn, tb, nb)
+    }
+    stream
+      .select(qcol(idCol).as("doc_id"), meter(qcol(textCol)).as("__m"))
+      .select(col("doc_id"),
+        col("__m._1").as("n_chunks"),
+        col("__m._2").as("n_novel_chunks"),
+        col("__m._3").as("total_bytes"),
+        col("__m._4").as("novel_bytes"))
+      .withColumn("novel_ppm", expr(
+        "cast(cast(novel_bytes as decimal(38,0)) * 1000000 " +
+          "div greatest(total_bytes, 1L) as bigint)"))
+  }
+
   /** Streaming winsorize-apply — q145's robust clipping at ingest
     * time: exact per-group p-quantile cutoffs train on the STATIC
     * corpus ([[graft.llm.Robust.cutoffsFp]]), and each arriving row is

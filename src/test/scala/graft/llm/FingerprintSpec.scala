@@ -70,4 +70,57 @@ class FingerprintSpec extends AnyFunSuite with SparkTestSession {
     assert(!pairs.contains((1L, 3L)))
     spark.catalog.dropTempView("fp_docs")
   }
+
+  test("cdcCuts: bounds, assembly, and boundary re-synchronization after an edit") {
+    // deterministic pseudo-text long enough to carry several cuts
+    val rnd = new scala.util.Random(7)
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val body = (1 to 400).map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+    val cuts = Fingerprint.cdcCuts(body)
+    val nb = body.getBytes("UTF-8").length
+    assert(cuts.nonEmpty, "a multi-KB doc must carry cut points")
+    assert(cuts.toSeq == cuts.sorted.toSeq && cuts.distinct.length == cuts.length,
+      "cuts strictly ascending")
+    assert(cuts.forall(c => c >= Fingerprint.DefaultWindow && c < nb),
+      "every cut ends a full window and never lands on the doc end")
+    // chunks reassemble to the document exactly
+    def chunksOf(text: String): Seq[String] = {
+      val bs = text.getBytes("UTF-8")
+      val cs = Fingerprint.cdcCuts(text)
+      val ends = cs :+ bs.length
+      val starts = 1 +: cs.map(_ + 1)
+      starts.zip(ends).map { case (s, e) => new String(bs, s - 1, e - s + 1, "UTF-8") }
+    }
+    assert(chunksOf(body).mkString("") === body)
+    // THE CDC property: a prefix edit re-synchronizes at the next cut
+    // — the shared tail keeps its chunk identities (fixed-size
+    // chunking would shift and re-key every boundary downstream)
+    val edited = "inserted-prefix-edit " + body
+    val a = chunksOf(body).toSet
+    val b = chunksOf(edited).toSet
+    val shared = a.intersect(b).size
+    assert(shared * 2 > a.size,
+      s"expected most of ${a.size} chunks to survive the edit, shared $shared")
+  }
+
+  test("cdcChunkKeys spells chunk identities exactly like cdcChunkFrame") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    Fingerprint.register(spark)
+    val rnd = new scala.util.Random(11)
+    val texts = (1L to 3L).map(i => i ->
+      (1 to 300).map(_ => s"w${rnd.nextInt(9)}").mkString(" "))
+    val frame = Fingerprint.cdcChunkFrame(
+        texts.toDF("doc_id", "text"), "doc_id", "text")
+      .select(col("doc_id"), col("st"), col("len"), col("ck"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2))
+      .map(t => (t._1, t._3, t._4))
+    val local = texts.flatMap { case (id, t) =>
+      Fingerprint.cdcChunkKeys(t).map { case (len, key) => (id, len, key) }
+    }
+    assert(frame.toSeq === local,
+      "the row-local twin and the frame must name every chunk identically")
+  }
 }

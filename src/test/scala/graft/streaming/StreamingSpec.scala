@@ -443,6 +443,44 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally query.stop()
   }
 
+  test("cdcIngest: streamed admission equals batch; known doc reads zero novel") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.llm.Fingerprint.register(spark)
+    val rnd = new scala.util.Random(3)
+    def mk() = (1 to 300).map(_ => s"t${rnd.nextInt(9)}").mkString(" ")
+    val stored = Seq(mk(), mk())
+    val keys = stored.flatMap(t =>
+      graft.llm.Fingerprint.cdcChunkKeys(t).map(_._2))
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(
+      keys.size.toLong.max(1L), 0.0001)
+    keys.foreach(bloom.putString)
+    val rows = Seq(
+      (1L, stored.head),   // exact copy of a stored doc → zero novel
+      (2L, mk()),          // brand-new content → ~all novel
+      (3L, ""))            // empty → all zeros
+    val input = MemoryStream[(Long, String)]
+    val query = Streams.cdcIngest(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", bloom)
+      .writeStream.format("memory").queryName("cdc_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      def shape(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id")
+        .collect().map(_.toSeq).toSeq
+      val got = shape(spark.table("cdc_out"))
+      val batch = shape(Streams.cdcIngest(
+        rows.toDF("doc_id", "text"), "doc_id", "text", bloom))
+      assert(got === batch, "stream must equal the batch meter exactly")
+      val byId = got.map(r => r.head -> r).toMap
+      assert(byId(1L)(4) === 0L, "a fully-stored doc admits zero novel bytes")
+      assert(byId(2L)(4) === byId(2L)(3),
+        "brand-new content is fully novel (no Bloom FP at this fpp/size)")
+      assert(byId(3L) === Seq(3L, 0L, 0L, 0L, 0L, 0L))
+    } finally query.stop()
+  }
+
   test("vadIngest: streamed VAD equals batch; non-WAV and junk dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
