@@ -2251,6 +2251,62 @@ object LlmQueries {
       graft.llm.Artifacts.loadIndexFrame(s, s"$root/chunks"))
   }
 
+  // ---- q237: erasure blast radius across SHIPPED artifacts ----
+  // q205 traces a GDPR erasure through the TABLES; this traces it
+  // through the TRAINED ARTIFACTS — the part a deletion request
+  // actually struggles with, because shipped state outlives its
+  // source rows. For the deterministic erase set (doc_id % EraseMod
+  // = 0), per artifact family: how many entries exist, how many are
+  // AFFECTED (an erased doc contributed), and how many are REMOVABLE
+  // outright (every contributor erased — safe to delete; affected-
+  // but-not-removable entries need a decrement or retrain instead):
+  //  - fp_index (q70/q175): one row per doc — every erased doc's row
+  //    is removable, nothing else is touched;
+  //  - cdc_chunk_index (q236): a chunk key survives while ANY
+  //    surviving doc still produces it — content-addressed state
+  //    deletes by refcount, not by owner;
+  //  - nb_counts (q195/q196): a (label, token) cell entirely from
+  //    erased train docs deletes; a shared cell needs the exact
+  //    count decrement (the mergeCounts monoid run backwards).
+  // One pass per family over audited frames; output is 3 rows.
+  private val EraseMod = 97
+  def q237ArtifactErasure(s: SparkSession, dir: String): DataFrame = {
+    graft.llm.Fingerprint.register(s)
+    val docs = graft.Tables.documents(s, dir)
+    def card(name: String, entries: DataFrame): DataFrame =
+      // entries: (has_erased: bool, removable: bool) per artifact entry
+      entries.agg(count(lit(1)).cast("bigint").as("n_entries"),
+          sum(when(col("has_erased"), 1L).otherwise(0L)).cast("bigint")
+            .as("n_affected"),
+          sum(when(col("removable"), 1L).otherwise(0L)).cast("bigint")
+            .as("n_removable"))
+        .select(lit(name).as("artifact"), col("n_entries"),
+          col("n_affected"), col("n_removable"),
+          expr("n_affected * 1000000L div greatest(n_entries, 1L)")
+            .as("affected_ppm"))
+    val er = pmod(col("doc_id"), lit(EraseMod)) === 0
+    val fpIdx = docs.select(er.as("has_erased"))
+      .withColumn("removable", col("has_erased"))
+    val chunkIdx = graft.llm.Fingerprint.cdcChunkFrame(docs, "doc_id", "text")
+      .select(col("ck"), er.as("er"))
+      .groupBy(col("ck"))
+      .agg(expr("bool_or(er)").as("has_erased"),
+        expr("not bool_or(not er)").as("removable"))
+    val nbCells = graft.llm.Sampling.hashSplit(docs, "doc_id",
+        ClsTrainPct, ClsValPct)
+      .filter(col("split") === "train" && col("lang").isNotNull)
+      .select(col("lang").cast("string").as("label"), er.as("er"),
+        explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy(col("label"), col("w"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("er"), 1L).otherwise(0L)).as("ec"))
+      .select((col("ec") > 0L).as("has_erased"),
+        (col("ec") === col("cnt")).as("removable"))
+    card("fp_index", fpIdx)
+      .unionByName(card("cdc_chunk_index", chunkIdx))
+      .unionByName(card("nb_counts", nbCells))
+  }
+
   // ---- q233: rendezvous reshard card (minimal-disruption proof) ----
   // q167's shardPlan is `hash % N` — add a shard and ~everything
   // moves; this card prices the alternative: rendezvous/HRW
@@ -2417,6 +2473,7 @@ object LlmQueries {
     "q234_cdc_dedup" -> q234CdcDedup _,
     "q235_cdc_admission" -> q235CdcAdmission _,
     "q236_cdc_admission_loaded" -> q236CdcAdmissionLoaded _,
+    "q237_artifact_erasure" -> q237ArtifactErasure _,
     "q216_keywords" -> q216Keywords _,
     "q210_batch_waste" -> q210BatchWaste _,
     "q213_manifest_loaded" -> q213ManifestLoaded _,
@@ -4264,6 +4321,50 @@ object LlmQueries {
          |    // greatest(count(*), 1) AS BIGINT) AS pii_doc_ppm
          |FROM p GROUP BY source""".stripMargin
     },
+    // three artifact families replayed off their audited spellings:
+    // per-doc rows, refcounted chunk keys, (label, token) cells
+    "q237_artifact_erasure" ->
+      s"""WITH $cdcCkCtes,
+         |spl AS (SELECT doc_id,
+         |    CASE WHEN r < $ClsTrainPct THEN 'train'
+         |         WHEN r < ${ClsTrainPct + ClsValPct} THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS r
+         |    FROM documents) t),
+         |fpx AS (SELECT CAST(count(*) AS BIGINT) AS n_entries,
+         |    CAST(sum(CASE WHEN doc_id % $EraseMod = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_affected,
+         |    CAST(sum(CASE WHEN doc_id % $EraseMod = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_removable
+         |  FROM documents),
+         |cg AS (SELECT ck, bool_or(doc_id % $EraseMod = 0) AS he,
+         |    NOT bool_or(doc_id % $EraseMod != 0) AS rm
+         |  FROM ck GROUP BY ck),
+         |cx AS (SELECT CAST(count(*) AS BIGINT) AS n_entries,
+         |    CAST(sum(CASE WHEN he THEN 1 ELSE 0 END) AS BIGINT) AS n_affected,
+         |    CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removable
+         |  FROM cg),
+         |tr2 AS (SELECT d.lang AS label, unnest($toksSql) AS w,
+         |    (d.doc_id % $EraseMod = 0) AS er
+         |  FROM documents d JOIN spl USING (doc_id)
+         |  WHERE spl.split = 'train' AND d.lang IS NOT NULL),
+         |cells AS (SELECT label, w, CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(sum(CASE WHEN er THEN 1 ELSE 0 END) AS BIGINT) AS ec
+         |  FROM tr2 GROUP BY 1, 2),
+         |nx AS (SELECT CAST(count(*) AS BIGINT) AS n_entries,
+         |    CAST(sum(CASE WHEN ec > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_affected,
+         |    CAST(sum(CASE WHEN ec = cnt THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_removable
+         |  FROM cells),
+         |u AS (SELECT 'fp_index' AS artifact, * FROM fpx
+         |  UNION ALL SELECT 'cdc_chunk_index', * FROM cx
+         |  UNION ALL SELECT 'nb_counts', * FROM nx)
+         |SELECT artifact, n_entries, n_affected, n_removable,
+         |  CAST(n_affected * 1000000 // greatest(n_entries, 1) AS BIGINT)
+         |    AS affected_ppm
+         |FROM u""".stripMargin,
     // the shared chunk CTEs split on the q194 arrival convention; the
     // admission left join replayed per arriving doc
     "q235_cdc_admission" -> q235Sql,

@@ -496,6 +496,29 @@ object Streams {
       .withColumn("has_pii",
         col("n_emails") + col("n_ips") + col("n_phones") > 0L)
 
+  /** Streaming shard router — q233's rendezvous assignment at ingest
+    * time, where a partitioned store actually routes: every arriving
+    * document carries its HRW shard under the CURRENT shard count and
+    * under count+1, so a rollout can dual-write movers during a
+    * resize window and cut over with zero rehash storms (the movers
+    * are exactly the rows with `shard != shard_next`, and the HRW
+    * theorem — measured by q233 — guarantees they all target the new
+    * shard). A row-local md5 fold ([[graft.llm.Sampling
+    * .rendezvousShard]]): no shuffle, no state, no coordinator; the
+    * batch call IS the correctness oracle (stream == batch pinned in
+    * StreamingSpec). */
+  def shardIngest(stream: DataFrame, idCol: String,
+      nShards: Int): DataFrame =
+    stream
+      .select(qcol(idCol).as("doc_id"))
+      .withColumn("shard",
+        graft.llm.Sampling.rendezvousShard("doc_id", nShards)
+          .cast("bigint"))
+      .withColumn("shard_next",
+        graft.llm.Sampling.rendezvousShard("doc_id", nShards + 1)
+          .cast("bigint"))
+      .withColumn("moves", col("shard") =!= col("shard_next"))
+
   /** Streaming CDC admission meter — q235's store-admission question
     * per upload, at upload time: each arriving document chunks
     * row-locally ([[graft.llm.Fingerprint.cdcChunkKeys]], the SAME

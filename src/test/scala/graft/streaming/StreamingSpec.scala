@@ -443,6 +443,33 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally query.stop()
   }
 
+  test("shardIngest: streamed routing equals batch; movers target the new shard") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1L to 60L).map(Tuple1(_))
+    val input = MemoryStream[Tuple1[Long]]
+    val query = Streams.shardIngest(
+        input.toDF().toDF("doc_id"), "doc_id", nShards = 8)
+      .writeStream.format("memory").queryName("shard_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      val got = spark.table("shard_out").orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3))).toSeq
+      val batch = Streams.shardIngest(
+          rows.toDF("doc_id"), "doc_id", nShards = 8)
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3))).toSeq
+      assert(got === batch, "stream must equal the batch router exactly")
+      got.filter(_._4).foreach { case (k, _, next, _) =>
+        assert(next === 8L, s"mover $k must target the NEW shard only")
+      }
+    } finally query.stop()
+  }
+
   test("cdcIngest: streamed admission equals batch; known doc reads zero novel") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
