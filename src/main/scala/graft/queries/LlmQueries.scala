@@ -2307,6 +2307,44 @@ object LlmQueries {
       .unionByName(card("nb_counts", nbCells))
   }
 
+  // ---- q238: threshold-free ranking quality of cheap scores ----
+  // q226 distills the rule gate into a classifier and grades it at
+  // ONE operating point (a confusion card); this asks the
+  // threshold-free question — how well does a cheap per-doc score
+  // RANK the expensive gate's verdict — as the exact Mann-Whitney
+  // AUC, P(score_pos > score_neg) + ½·P(tie). Integer throughout:
+  // the corpus collapses to one (score → pos/neg count) aggregate,
+  // AUC2 = Σ_s p_s·(2·C_s + q_s) over that tiny frame (C_s =
+  // negatives strictly below s), and the division lands as
+  // floor-ppm, so the DuckDB replay is exact. 100 TB: one
+  // ruleFilter scan persisted once (both rankers ride it), one
+  // shuffle per ranker down to |distinct score| rows, and a window
+  // over that score-sized frame — the corpus itself never reaches a
+  // global sort (the naive per-row rank() spelling would).
+  def q238RankAuc(s: SparkSession, dir: String): DataFrame = {
+    val rf = graft.llm.Caches.persistTracked(
+      TextAnalysis.ruleFilter(graft.Tables.documents(s, dir),
+          "doc_id", "text", withQuality = true)
+        .select(col("kept"), col("quality_fp"), col("n_tok")))
+    def card(name: String, score: org.apache.spark.sql.Column): DataFrame = {
+      val per = rf.groupBy(score.as("sc")).agg(
+        sum(when(col("kept"), 1L).otherwise(0L)).as("p"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("q"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("sc"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      per.withColumn("c", coalesce(sum(col("q")).over(w), lit(0L)))
+        .agg(sum(col("p") * (lit(2L) * col("c") + col("q"))).as("auc2"),
+          sum(col("p")).as("np"), sum(col("q")).as("nq"))
+        .select(lit(name).as("ranker"),
+          col("np").cast("bigint").as("n_pos"),
+          col("nq").cast("bigint").as("n_neg"),
+          expr("cast(cast(auc2 as decimal(38,0)) * 1000000 " +
+            "div greatest(2 * np * nq, 1L) as bigint)").as("auc_ppm"))
+    }
+    card("quality_fp", col("quality_fp"))
+      .unionByName(card("n_tok", col("n_tok")))
+  }
+
   // ---- q233: rendezvous reshard card (minimal-disruption proof) ----
   // q167's shardPlan is `hash % N` — add a shard and ~everything
   // moves; this card prices the alternative: rendezvous/HRW
@@ -2474,6 +2512,7 @@ object LlmQueries {
     "q235_cdc_admission" -> q235CdcAdmission _,
     "q236_cdc_admission_loaded" -> q236CdcAdmissionLoaded _,
     "q237_artifact_erasure" -> q237ArtifactErasure _,
+    "q238_rank_auc" -> q238RankAuc _,
     "q216_keywords" -> q216Keywords _,
     "q210_batch_waste" -> q210BatchWaste _,
     "q213_manifest_loaded" -> q213ManifestLoaded _,
@@ -4365,6 +4404,30 @@ object LlmQueries {
          |  CAST(n_affected * 1000000 // greatest(n_entries, 1) AS BIGINT)
          |    AS affected_ppm
          |FROM u""".stripMargin,
+    // the rule CTEs label each doc; each ranker collapses to a
+    // (score → pos/neg count) frame and AUC2 = Σ p·(2C + q) replays
+    // the exact midrank Mann-Whitney statistic in integers
+    "q238_rank_auc" -> {
+      def aucArm(tag: String, scoreCol: String): String =
+        s"""s_$tag AS (SELECT $scoreCol AS sc,
+           |    CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS p,
+           |    CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS q
+           |  FROM lb GROUP BY 1),
+           |c_$tag AS (SELECT p, q, coalesce(sum(q) OVER (ORDER BY sc
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+           |  FROM s_$tag),
+           |a_$tag AS (SELECT '$scoreCol' AS ranker,
+           |    CAST(sum(p) AS BIGINT) AS n_pos,
+           |    CAST(sum(q) AS BIGINT) AS n_neg,
+           |    CAST(CAST(sum(p * (2 * c + q)) AS HUGEINT) * 1000000
+           |      // greatest(2 * sum(p) * sum(q), 1) AS BIGINT) AS auc_ppm
+           |  FROM c_$tag)""".stripMargin
+      s"""WITH $rulesCtes,
+         |lb AS (SELECT ($reasonsSql = 0) AS kept, quality_fp, n_tok FROM rr),
+         |${aucArm("qf", "quality_fp")},
+         |${aucArm("nt", "n_tok")}
+         |SELECT * FROM a_qf UNION ALL SELECT * FROM a_nt""".stripMargin
+    },
     // the shared chunk CTEs split on the q194 arrival convention; the
     // admission left join replayed per arriving doc
     "q235_cdc_admission" -> q235Sql,
