@@ -762,4 +762,42 @@ object TextAnalysis {
           " div (2 * cast(rs as decimal(38,0)) * n) as bigint)").as("tvd_ppm"))
   }
 
+  /** Mojibake pairs for the UTF-8-read-as-Latin-1 failure: each
+    * well-formed character maps to the two Latin-1 characters its
+    * UTF-8 bytes decode to (é = C3 A9 → "Ã©", ü = C3 BC → "Ã¼") —
+    * the ftfy-style fix-text axis. Pair domains are disjoint and no
+    * replacement output contains another pair's input, so the
+    * replace chains below are order-insensitive and exact. */
+  val MojibakePairs: Seq[(String, String)] = Seq("é" -> "Ã©", "ü" -> "Ã¼")
+
+  /** The artifact LEAD character every 2-byte pair shares ('Ã' =
+    * U+00C3, the misdecoded UTF-8 lead byte). */
+  val MojibakeLead = "Ã"
+
+  /** The double-encoding failure applied to `text` (each pair's
+    * well-formed character → its artifact sequence). Used to plant
+    * deterministic corruption for the q239 card; [[mojibakeRepair]]
+    * is its exact inverse on detector-clean input. */
+  def mojibakeCorrupt(text: Column): Column =
+    MojibakePairs.foldLeft(text) { case (acc, (good, bad)) =>
+      replace(acc, lit(good), lit(bad))
+    }
+
+  /** Reverses [[mojibakeCorrupt]]: every artifact sequence maps back
+    * to its well-formed character. Exact inverse — and a no-op on
+    * clean text — PROVIDED the input contained no artifact sequence
+    * before corruption (the detector-clean precondition pinned by
+    * MojibakeProps); row-local codegen'd replaces, zero shuffle. */
+  def mojibakeRepair(text: Column): Column =
+    MojibakePairs.reverse.foldLeft(text) { case (acc, (good, bad)) =>
+      replace(acc, lit(bad), lit(good))
+    }
+
+  /** Count of artifact lead characters in `text` — the detector
+    * (0 on clean text; ≥1 wherever a double-encoded sequence, or a
+    * stray misdecoded lead byte, survives). */
+  def mojibakeArtifactCount(text: Column): Column =
+    (length(text) - length(replace(text, lit(MojibakeLead), lit(""))))
+      .cast("bigint")
+
 }

@@ -2345,6 +2345,53 @@ object LlmQueries {
       .unionByName(card("n_tok", col("n_tok")))
   }
 
+  // ---- q239: mojibake (encoding-artifact) detect + repair card ----
+  // The ftfy axis of corpus cleaning: UTF-8 text decoded as Latin-1
+  // leaves 'Ã©'-style artifact sequences that poison tokenizers and
+  // dedup keys alike. The synthetic corpus is pure ASCII, so — the
+  // q93 precedent — the card SYNTHESIZES its ground truth by key
+  // arithmetic, identically on both engines: docs with doc_id %
+  // MojiPlantMod = 0 get accents injected (e→é, u→ü: the "clean
+  // European" original) and then suffer the double-encoding failure
+  // ([[graft.llm.TextAnalysis.mojibakeCorrupt]]). Per source: docs
+  // the lead-byte detector flags, total artifact chars, and — the
+  // repair operator's proof — how many docs [[TextAnalysis
+  // .mojibakeRepair]] restores BYTE-IDENTICALLY to the
+  // pre-corruption text (all of them; the detector-clean inverse
+  // contract is also pinned on arbitrary strings in MojibakeProps).
+  // 100 TB: row-local codegen'd replace chains on the scan, zero
+  // shuffle until the one per-source rollup; the streaming twin
+  // (`Streams.mojibakeIngest`) runs the same repair at ingest.
+  private val MojiPlantMod = 13
+  def q239Mojibake(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    val planted = pmod(col("doc_id"), lit(MojiPlantMod)) === 0
+    val accented = replace(replace(coalesce(col("text"), lit("")),
+      lit("e"), lit("é")), lit("u"), lit("ü"))
+    val d = docs.select(
+        coalesce(col("source"), lit("(null)")).as("source"),
+        when(planted, accented).otherwise(coalesce(col("text"), lit("")))
+          .as("pre"),
+        planted.as("planted"))
+      .withColumn("cur",
+        when(col("planted"), TextAnalysis.mojibakeCorrupt(col("pre")))
+          .otherwise(col("pre")))
+      .withColumn("art", TextAnalysis.mojibakeArtifactCount(col("cur")))
+      .withColumn("rt_ok",
+        TextAnalysis.mojibakeRepair(col("cur")) === col("pre"))
+    d.groupBy(col("source")).agg(
+        count(lit(1)).cast("bigint").as("n_docs"),
+        sum(when(col("planted"), 1L).otherwise(0L)).cast("bigint")
+          .as("n_planted"),
+        sum(when(col("art") > 0L, 1L).otherwise(0L)).cast("bigint")
+          .as("n_detected"),
+        sum(col("art")).cast("bigint").as("artifact_chars"),
+        sum(when(col("rt_ok"), 1L).otherwise(0L)).cast("bigint")
+          .as("n_roundtrip_ok"))
+      .withColumn("detected_ppm",
+        expr("n_detected * 1000000L div greatest(n_docs, 1L)"))
+  }
+
   // ---- q233: rendezvous reshard card (minimal-disruption proof) ----
   // q167's shardPlan is `hash % N` — add a shard and ~everything
   // moves; this card prices the alternative: rendezvous/HRW
@@ -2513,6 +2560,7 @@ object LlmQueries {
     "q236_cdc_admission_loaded" -> q236CdcAdmissionLoaded _,
     "q237_artifact_erasure" -> q237ArtifactErasure _,
     "q238_rank_auc" -> q238RankAuc _,
+    "q239_mojibake" -> q239Mojibake _,
     "q216_keywords" -> q216Keywords _,
     "q210_batch_waste" -> q210BatchWaste _,
     "q213_manifest_loaded" -> q213ManifestLoaded _,
@@ -4428,6 +4476,31 @@ object LlmQueries {
          |${aucArm("nt", "n_tok")}
          |SELECT * FROM a_qf UNION ALL SELECT * FROM a_nt""".stripMargin
     },
+    // plant (key arithmetic), corrupt, detect, repair — the replace
+    // chains mirror MojibakePairs in order on both engines
+    "q239_mojibake" ->
+      s"""WITH d0 AS (SELECT coalesce(source, '(null)') AS source,
+         |    doc_id % $MojiPlantMod = 0 AS planted,
+         |    coalesce(text, '') AS t0 FROM documents),
+         |d1 AS (SELECT source, planted,
+         |    CASE WHEN planted THEN replace(replace(t0, 'e', 'é'), 'u', 'ü')
+         |         ELSE t0 END AS pre FROM d0),
+         |d2 AS (SELECT source, planted, pre,
+         |    CASE WHEN planted
+         |      THEN replace(replace(pre, 'é', 'Ã©'), 'ü', 'Ã¼')
+         |      ELSE pre END AS cur FROM d1),
+         |d3 AS (SELECT source, planted,
+         |    CAST(length(cur) - length(replace(cur, 'Ã', '')) AS BIGINT) AS art,
+         |    replace(replace(cur, 'Ã¼', 'ü'), 'Ã©', 'é') = pre AS rt_ok
+         |  FROM d2)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN planted THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
+         |  CAST(sum(CASE WHEN art > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_detected,
+         |  CAST(sum(art) AS BIGINT) AS artifact_chars,
+         |  CAST(sum(CASE WHEN rt_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_ok,
+         |  CAST(sum(CASE WHEN art > 0 THEN 1 ELSE 0 END) * 1000000
+         |    // greatest(count(*), 1) AS BIGINT) AS detected_ppm
+         |FROM d3 GROUP BY source""".stripMargin,
     // the shared chunk CTEs split on the q194 arrival convention; the
     // admission left join replayed per arriving doc
     "q235_cdc_admission" -> q235Sql,

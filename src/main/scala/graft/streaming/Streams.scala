@@ -519,6 +519,25 @@ object Streams {
           .cast("bigint"))
       .withColumn("moves", col("shard") =!= col("shard_next"))
 
+  /** Streaming mojibake cleaner — q239's detect-and-repair at ingest
+    * time, where an encoding-artifact fix actually belongs (before
+    * the text reaches tokenizers or dedup keys). Each arriving
+    * document carries its artifact-lead count, the repaired text
+    * ([[graft.llm.TextAnalysis.mojibakeRepair]] — the SAME column
+    * expressions as the batch card, so stream and batch cannot
+    * disagree), and a `changed` flag. Row-local codegen'd replace
+    * chains: no shuffle, no state, no UDF. */
+  def mojibakeIngest(stream: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    stream
+      .select(qcol(idCol).as("doc_id"),
+        coalesce(qcol(textCol), lit("")).as("text"))
+      .withColumn("artifact_chars",
+        graft.llm.TextAnalysis.mojibakeArtifactCount(col("text")))
+      .withColumn("text_repaired",
+        graft.llm.TextAnalysis.mojibakeRepair(col("text")))
+      .withColumn("changed", col("text_repaired") =!= col("text"))
+
   /** Streaming CDC admission meter — q235's store-admission question
     * per upload, at upload time: each arriving document chunks
     * row-locally ([[graft.llm.Fingerprint.cdcChunkKeys]], the SAME

@@ -470,6 +470,34 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally query.stop()
   }
 
+  test("mojibakeIngest: streamed repair equals batch; artifacts detected and fixed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq((1L, "prÃ©cis and mÃ¼nchen"), (2L, "clean ascii"),
+      (3L, "tschÃ¼ss"))
+    val input = MemoryStream[(Long, String)]
+    val query = Streams.mojibakeIngest(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("moji_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      def shape(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("doc_id").collect()
+          .map(r => (r.getLong(0), r.getLong(2), r.getString(3),
+            r.getBoolean(4))).toSeq
+      val got = shape(spark.table("moji_out"))
+      val batch = shape(Streams.mojibakeIngest(
+        rows.toDF("doc_id", "text"), "doc_id", "text"))
+      assert(got === batch, "stream must equal the batch cleaner exactly")
+      assert(got === Seq(
+        (1L, 2L, "précis and münchen", true),
+        (2L, 0L, "clean ascii", false),
+        (3L, 1L, "tschüss", true)))
+    } finally query.stop()
+  }
+
   test("cdcIngest: streamed admission equals batch; known doc reads zero novel") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
