@@ -110,7 +110,16 @@ object Fingerprint {
   def cdcCuts(text: String, w: Int = DefaultWindow,
       divisor: Long = CdcDivisor): Array[Int] = {
     if (text == null) return Array.empty
-    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    cdcCutEnds(text.getBytes(java.nio.charset.StandardCharsets.UTF_8), w, divisor)
+  }
+
+  /** [[cdcCuts]] over raw UTF-8 bytes — the allocation-light core the
+    * native `cdc_cuts` expression calls: `UTF8String` is already
+    * UTF-8, so the codegen path never materializes a
+    * `java.lang.String` or re-encodes. */
+  def cdcCutEnds(bytes: Array[Byte], w: Int = DefaultWindow,
+      divisor: Long = CdcDivisor): Array[Int] = {
+    if (bytes == null) return Array.empty
     val hs = rollingHashes(bytes, w)
     val out = new ArrayBuffer[Int]()
     var i = 0
@@ -121,6 +130,16 @@ object Fingerprint {
     }
     out.toArray
   }
+
+  /** The native expression's shared kernel: cut ends of a (possibly
+    * null) UTF8String as unsafe ArrayData — one primitive-array copy,
+    * no String round-trip. Null packs to an EMPTY array, matching the
+    * historical `cdc_cuts` UDF contract. */
+  def cdcCutsArrayData(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(
+        if (s == null) Array.emptyIntArray else cdcCutEnds(s.getBytes))
 
   /** The corpus → CDC-chunk frame `(doc_id, st, en, len, ck)`:
     * 1-based byte spans from [[cdcCuts]] plus the engine-portable
@@ -187,6 +206,17 @@ object Fingerprint {
     spark.udf.register("fingerprint_containment_fp",
       (a: Seq[Long], b: Seq[Long]) =>
         containmentFp(Option(a).map(_.toArray).orNull, Option(b).map(_.toArray).getOrElse(Array.empty)))
-    spark.udf.register("cdc_cuts", (text: String) => cdcCuts(text))
+    // cdc_cuts registers as a NATIVE expression (not a UDF): the
+    // chunking hot path stays inside whole-stage codegen and skips
+    // the UTF8String → String → UTF-8 bytes double copy. Same name,
+    // same contract — FingerprintSpec pins native == cdcCuts.
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("cdc_cuts"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.llm.expressions.CdcCutsExpr].getName, "cdc_cuts"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "cdc_cuts takes exactly 1 argument")
+        graft.llm.expressions.CdcCutsExpr(children.head)
+      })
   }
 }

@@ -104,6 +104,37 @@ class FingerprintSpec extends AnyFunSuite with SparkTestSession {
       s"expected most of ${a.size} chunks to survive the edit, shared $shared")
   }
 
+  test("native cdc_cuts expression is bit-compatible with the Scala function") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    Fingerprint.register(spark)
+    val rnd = new scala.util.Random(14)
+    val texts: Seq[String] = Seq("", "x", "short text", "é ü unicode Ã mixed") ++
+      (1 to 6).map(_ => (1 to rnd.nextInt(800) + 1)
+        .map(_ => s"w${rnd.nextInt(9)}").mkString(" "))
+    // codegen path: through a projection over a DataFrame
+    val viaSql = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), expr("cdc_cuts(text)").as("cuts"))
+      .collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Int](1).toList)
+    val expected = texts.map(t => Fingerprint.cdcCuts(t).toList)
+    assert(viaSql.toSeq === expected)
+    // interpreted path + the null contract (empty array, not null)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.StringType
+    val nullEval = graft.llm.expressions.CdcCutsExpr(
+      Literal.create(null, StringType)).eval(null)
+    assert(nullEval.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .numElements() === 0)
+    texts.foreach { t =>
+      val got = graft.llm.expressions.CdcCutsExpr(Literal(t)).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toIntArray().toList
+      assert(got === Fingerprint.cdcCuts(t).toList)
+    }
+  }
+
   test("cdcChunkKeys spells chunk identities exactly like cdcChunkFrame") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
