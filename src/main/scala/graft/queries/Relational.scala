@@ -883,7 +883,186 @@ object Relational {
       .groupBy(col("c_count"))
       .agg(count(lit(1)).as("custdist"))
 
+  // ---- q240: bilateral trade volume (the TPC-H Q7 shape) ----
+  // Two-nation shipping volume by year and direction. Spark-first:
+  // the nation filter lands on the BROADCAST dims, so supplier and
+  // customer are pre-reduced to the two qualifying nations before
+  // they meet the fact — the fact scan shuffles only qualifying
+  // rows, and the direction condition collapses to `supp != cust`
+  // once both sides are known to be in the pair. Dims broadcast,
+  // SF-proportional sides hint-free (the q221 discipline).
+  private val TradeNationA = "NATION_1"
+  private val TradeNationB = "NATION_2"
+  def q240NationTrade(s: SparkSession, dir: String): DataFrame = {
+    val pair = Seq(TradeNationA, TradeNationB)
+    val suppAB = graft.Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(graft.Tables.nation(s, dir)
+          .filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("__snk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("__snk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val custAB = graft.Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(graft.Tables.nation(s, dir)
+          .filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("__cnk"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("__cnk"))
+      .select(col("c_custkey"), col("cust_nation"))
+    graft.Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= ts("1999-01-01 00:00:00") &&
+        col("l_shipdate") < ts("2001-01-01 00:00:00"))
+      .join(graft.Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custAB, col("o_custkey") === col("c_custkey"))
+      .join(suppAB, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("bigint").as("l_year"))
+      .agg(sumFp(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+        .as("volume_fp"))
+  }
+
+  // ---- q241: nation market share (the TPC-H Q8 shape) ----
+  // "What share of a region's revenue in one part type does nation N
+  // supply, per year" — the conditional-sum-over-total classic. ONE
+  // fact pass produces both the numerator (CASE on supplier nation)
+  // and the denominator; the share is integer ppm on the q1 fixed
+  // point, so the DuckDB replay is exact. Region/nation broadcast;
+  // the part-type and customer-region reductions ride hint-free
+  // semi-joins (both sides SF-proportional).
+  private val ShareRegion = "EUROPE"
+  private val SharePartType = "PROMO"
+  private val ShareNation = "NATION_1"
+  def q241MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val promoParts = graft.Tables.part(s, dir)
+      .filter(col("p_type") === SharePartType).select(col("p_partkey"))
+    val custRegion = graft.Tables.customer(s, dir)
+      .join(broadcast(graft.Tables.nation(s, dir)
+          .join(broadcast(graft.Tables.region(s, dir)
+              .filter(col("r_name") === ShareRegion)),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val suppNation = graft.Tables.supplier(s, dir)
+      .join(broadcast(graft.Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    graft.Tables.lineitem(s, dir)
+      .join(promoParts, col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(graft.Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= ts("1999-01-01 00:00:00") &&
+            col("o_orderdate") < ts("2001-01-01 00:00:00"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custRegion, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .withColumn("vol", cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+      .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
+      .agg(sum(when(col("supp_nation") === ShareNation, col("vol")).otherwise(0L))
+          .cast("bigint").as("nation_volume_fp"),
+        sum(col("vol")).cast("bigint").as("total_volume_fp"))
+      .withColumn("share_ppm",
+        expr("cast(cast(nation_volume_fp as decimal(38,0)) * 1000000 " +
+          "div greatest(total_volume_fp, 1L) as bigint)"))
+  }
+
+  // ---- q242: important parts (the TPC-H Q11 shape) ----
+  // "Parts whose accumulated value exceeds a fraction of the GLOBAL
+  // total" — the group-having-vs-global-scalar classic. Q11's fixed
+  // fraction silently empties as SF grows; this is the scale-free
+  // variant (value > 1.5× the mean part value), same plan shape. The
+  // per-part aggregate is persisted ONCE and feeds both the one-row
+  // total (broadcast back) and the filter — no second fact scan, no
+  // correlated subquery.
+  def q242ImportantParts(s: SparkSession, dir: String): DataFrame = {
+    val pv = graft.llm.Caches.persistTracked(
+      graft.Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(sumFp(cents(col("l_extendedprice"), 4)).as("value_fp")))
+    val tot = pv.agg(sum(col("value_fp")).cast("decimal(38,0)").as("__total"),
+      count(lit(1)).as("__np"))
+    pv.crossJoin(broadcast(tot))
+      .filter(expr("cast(value_fp as decimal(38,0)) * __np * 2 > 3 * __total"))
+      .join(graft.Tables.part(s, dir).select(col("p_partkey"), col("p_name")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("value_fp"))
+  }
+
+  // ---- q243: large-quantity orders (the TPC-H Q18 shape) ----
+  // The group-filter-join-back classic ("orders above 250 total
+  // units, with their customer"). The HAVING runs map-side-combined
+  // on the fact BEFORE any wide row exists; only qualifying order
+  // keys (a few per ten thousand) reach the orders/customer joins.
+  // l_quantity is integral-valued, so the bigint sum replays exactly.
+  private val LargeOrderQty = 250L
+  def q243LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val oq = graft.Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("bigint")).as("sum_qty"))
+      .filter(col("sum_qty") > LargeOrderQty)
+    graft.Tables.orders(s, dir)
+      .join(oq, col("o_orderkey") === col("l_orderkey"))
+      .join(graft.Tables.customer(s, dir).select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), cents(col("o_totalprice")).as("total_cents"),
+        col("sum_qty"))
+  }
+
+  // ---- q244: disjunctive-predicate revenue (the TPC-H Q19 shape) ----
+  // Revenue under an OR of (brand, size band, quantity band) triples
+  // — the classic test of DISJUNCTIVE pushdown: Catalyst extracts the
+  // common `p_brand IN (...)` from the OR and pushes it to the part
+  // scan, so the join sees three brands' parts instead of all of
+  // them, while the full disjunction evaluates post-join in one
+  // codegen'd predicate. One row out.
+  def q244DisjunctiveRevenue(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.lineitem(s, dir)
+      .join(graft.Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"), col("p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 30)))
+      .agg(sumFp(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+          .as("revenue_fp"),
+        count(lit(1)).cast("bigint").as("n_items"))
+
+  // ---- q245: top revenue supplier (the TPC-H Q15 shape) ----
+  // The view-then-max classic ("the quarter's best supplier(s),
+  // ties kept"). The supplier-sized revenue aggregate persists once
+  // and feeds both the one-row max (broadcast back) and the filter —
+  // the textbook formulation scans the view twice; a global window
+  // would single-partition the supplier frame. Ties survive because
+  // the filter is an equality against the max, not a LIMIT 1.
+  def q245TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = graft.llm.Caches.persistTracked(
+      graft.Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= ts("2000-01-01 00:00:00") &&
+          col("l_shipdate") < ts("2000-04-01 00:00:00"))
+        .groupBy(col("l_suppkey"))
+        .agg(sumFp(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+          .as("total_revenue_fp")))
+    val mx = rev.agg(max(col("total_revenue_fp")).as("__mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_revenue_fp") === col("__mx"))
+      .join(graft.Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue_fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q240_nation_trade" -> q240NationTrade _,
+    "q241_market_share" -> q241MarketShare _,
+    "q242_important_parts" -> q242ImportantParts _,
+    "q243_large_orders" -> q243LargeOrders _,
+    "q244_disjunctive_revenue" -> q244DisjunctiveRevenue _,
+    "q245_top_supplier" -> q245TopSupplier _,
     "q223_customer_distribution" -> q223CustomerDistribution _,
     "q228_dominant_supplier" -> q228DominantSupplier _,
     "q229_lapsed_customers" -> q229LapsedCustomers _,
@@ -988,6 +1167,99 @@ object Relational {
         |SELECT s_name, n_name
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |WHERE s_suppkey IN (SELECT sk FROM fp)""".stripMargin,
+    // nation filters replayed as IN-lists; direction = the pair minus
+    // the diagonal; the q1 fixed point keeps the volume exact
+    "q240_nation_trade" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0)
+         |    AS BIGINT)) AS BIGINT) AS volume_fp
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '2001-01-01 00:00:00'
+         |  AND n1.n_name IN ('$TradeNationA', '$TradeNationB')
+         |  AND n2.n_name IN ('$TradeNationA', '$TradeNationB')
+         |  AND n1.n_name != n2.n_name
+         |GROUP BY 1, 2, 3""".stripMargin,
+    // numerator and denominator out of the same grouped pass; the
+    // share replayed as HUGEINT floor-ppm
+    "q241_market_share" ->
+      s"""WITH f AS (SELECT year(o_orderdate) AS o_year,
+         |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0)
+         |      AS BIGINT) AS vol,
+         |    n1.n_name AS supp_nation
+         |  FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey AND p_type = '$SharePartType'
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |  JOIN region ON n2.n_regionkey = r_regionkey AND r_name = '$ShareRegion'
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |  WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+         |    AND o_orderdate < TIMESTAMP '2001-01-01 00:00:00')
+         |SELECT CAST(o_year AS BIGINT) AS o_year,
+         |  CAST(sum(CASE WHEN supp_nation = '$ShareNation' THEN vol ELSE 0 END)
+         |    AS BIGINT) AS nation_volume_fp,
+         |  CAST(sum(vol) AS BIGINT) AS total_volume_fp,
+         |  CAST(CAST(sum(CASE WHEN supp_nation = '$ShareNation' THEN vol ELSE 0 END)
+         |      AS HUGEINT) * 1000000
+         |    // greatest(sum(vol), 1) AS BIGINT) AS share_ppm
+         |FROM f GROUP BY 1""".stripMargin,
+    // the group-having-vs-global-scalar shape, scale-free threshold
+    "q242_important_parts" ->
+      """WITH pv AS (SELECT l_partkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 10000.0) AS BIGINT))
+        |      AS BIGINT) AS value_fp
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(value_fp) AS HUGEINT) AS tot,
+        |    CAST(count(*) AS HUGEINT) AS np FROM pv)
+        |SELECT p_partkey, p_name, value_fp
+        |FROM pv CROSS JOIN t
+        |JOIN part ON pv.l_partkey = part.p_partkey
+        |WHERE CAST(value_fp AS HUGEINT) * np * 2 > 3 * tot""".stripMargin,
+    // HAVING on the fact aggregate, then the join-back
+    "q243_large_orders" ->
+      s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+         |  CAST(floor(o_totalprice * 100.0) AS BIGINT) AS total_cents,
+         |  CAST(sum_qty AS BIGINT) AS sum_qty
+         |FROM (SELECT l_orderkey,
+         |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         |  FROM lineitem GROUP BY 1
+         |  HAVING sum(CAST(l_quantity AS BIGINT)) > $LargeOrderQty) q
+         |JOIN orders ON o_orderkey = l_orderkey
+         |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    // the disjunction evaluated verbatim on the joined rows
+    "q244_disjunctive_revenue" ->
+      """SELECT CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |    * 10000.0) AS BIGINT)) AS BIGINT) AS revenue_fp,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    // view-then-max with ties kept: equality against the scalar max
+    "q245_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |      * 10000.0) AS BIGINT)) AS BIGINT) AS total_revenue_fp
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '2000-04-01 00:00:00'
+        |  GROUP BY 1),
+        |m AS (SELECT max(total_revenue_fp) AS mx FROM rev)
+        |SELECT s_suppkey, s_name, total_revenue_fp
+        |FROM rev CROSS JOIN m
+        |JOIN supplier ON rev.l_suppkey = supplier.s_suppkey
+        |WHERE total_revenue_fp = mx""".stripMargin,
     "q221_regional_revenue" ->
       """SELECT r_name, n_name,
         |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0)
