@@ -118,6 +118,16 @@ object Sketches {
           .as("err_ppm"))
   }
 
+  /** The register monoid: two `(g, b, mr)` frames max-merge into the
+    * sketch of the UNION of their inputs — associative and
+    * commutative, and parquet round-trips registers exactly (integers
+    * only). This is what lets a 100 TB store keep yesterday's
+    * registers ON DISK and fold a new partition in without ever
+    * touching raw history keys again; q246 certifies the shipped
+    * round trip (loaded ⊕ delta == built-direct, bit-for-bit). */
+  def mergeRegisters(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("g"), col("b")).agg(max(col("mr")).as("mr"))
+
   /** The mergeability card — the property that makes sketches THE
     * survey instrument at 100 TB: per-group register grids max-merged
     * into a corpus union sketch must equal the sketch built directly

@@ -2392,6 +2392,63 @@ object LlmQueries {
         expr("n_detected * 1000000L div greatest(n_docs, 1L)"))
   }
 
+  // ---- q246: incremental distinct counter off SHIPPED registers ----
+  // q128 proves the HLL register monoid in-session; this proves it
+  // across the STORE boundary — the operational pattern a 100 TB
+  // lake actually runs: per-source registers for the historical
+  // corpus live as a parquet artifact (64 rows per source, written
+  // once), and a new arrival partition (doc_id%7 — coprime with the
+  // synthetic source period, so EVERY source owns docs in both
+  // slices) folds in by max-merge WITHOUT touching raw history
+  // keys. The card pins, per source: loaded-artifact estimate, the
+  // delta's own estimate, the merged estimate, the built-direct
+  // estimate over the full corpus — merged == direct bit-for-bit
+  // (associativity survives the parquet round trip, integers only)
+  // — plus exact distinct and the merged sketch's error. The
+  // arrival-side registers are persisted once (they feed their own
+  // estimate AND the merge).
+  private val HllArrivalMod = 7 // coprime with the source period, so every source has both slices
+  def q246HllIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    // keyed on word 3-grams, not tokens: the synthetic vocabulary is
+    // ~31 words, far below the 64 registers, while 3-grams run
+    // ~1.3k/source — the regime a distinct sketch is FOR
+    def toks(d: DataFrame) = d
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+      .select(coalesce(col("source"), lit("(null)")).as("src"),
+        explode(TextAnalysis.word3grams("__toks")).as("w"))
+    val root = graft.llm.Artifacts.ensure(dir, "hll-grams-v1") { p =>
+      graft.llm.Artifacts.saveIndexFrame(s"$p/regs",
+        graft.llm.Sketches.hllRegisters(
+          toks(docs.filter(pmod(col("doc_id"), lit(HllArrivalMod)) =!= 0)),
+          col("src"), col("w")))
+    }
+    val histRegs = graft.llm.Artifacts.loadIndexFrame(s, s"$root/regs")
+    val deltaRegs = graft.llm.Caches.persistTracked(
+      graft.llm.Sketches.hllRegisters(
+        toks(docs.filter(pmod(col("doc_id"), lit(HllArrivalMod)) === 0)),
+        col("src"), col("w")))
+    val directRegs = graft.llm.Sketches.hllRegisters(
+      toks(docs), col("src"), col("w"))
+    def est(regs: DataFrame, name: String) =
+      graft.llm.Sketches.hllEstimate(regs)
+        .select(col("g"), col("hll_est").as(name))
+    val exact = toks(docs)
+      .groupBy(col("src").as("g"))
+      .agg(countDistinct(col("w")).as("n_exact"))
+    exact
+      .join(est(histRegs, "history_est"), Seq("g"))
+      .join(est(deltaRegs, "delta_est"), Seq("g"))
+      .join(est(graft.llm.Sketches.mergeRegisters(histRegs, deltaRegs),
+        "merged_est"), Seq("g"))
+      .join(est(directRegs, "direct_est"), Seq("g"))
+      .select(col("g").as("source"), col("n_exact"), col("history_est"),
+        col("delta_est"), col("merged_est"), col("direct_est"),
+        (col("merged_est") === col("direct_est")).as("merge_exact"),
+        expr("cast((1000000 * abs(merged_est - n_exact)) " +
+          "div greatest(n_exact, 1) as bigint)").as("err_ppm"))
+  }
+
   // ---- q233: rendezvous reshard card (minimal-disruption proof) ----
   // q167's shardPlan is `hash % N` — add a shard and ~everything
   // moves; this card prices the alternative: rendezvous/HRW
@@ -2561,6 +2618,7 @@ object LlmQueries {
     "q237_artifact_erasure" -> q237ArtifactErasure _,
     "q238_rank_auc" -> q238RankAuc _,
     "q239_mojibake" -> q239Mojibake _,
+    "q246_hll_incremental" -> q246HllIncremental _,
     "q216_keywords" -> q216Keywords _,
     "q210_batch_waste" -> q210BatchWaste _,
     "q213_manifest_loaded" -> q213ManifestLoaded _,
@@ -4475,6 +4533,49 @@ object LlmQueries {
          |${aucArm("qf", "quality_fp")},
          |${aucArm("nt", "n_tok")}
          |SELECT * FROM a_qf UNION ALL SELECT * FROM a_nt""".stripMargin
+    },
+    // the q128 register replay split on the arrival convention: the
+    // history/delta/merged/direct arms share one rho frame, and the
+    // estimator arm is spelled once
+    "q246_hll_incremental" -> {
+      def estArm(tag: String, regs: String): String =
+        s"""s_$tag AS (SELECT src, sum(1::BIGINT << (27 - mr)) AS s,
+           |    count(*) AS nb FROM $regs GROUP BY src),
+           |e_$tag AS (SELECT src, (709 * 64 * 64 * (1::BIGINT << 27))
+           |    // (1000 * (s + (64 - nb) * (1::BIGINT << 27))) AS est
+           |  FROM s_$tag)""".stripMargin
+      s"""WITH e AS (SELECT src, arr, unnest(CASE WHEN len(toks) >= 3
+         |    THEN list_transform(range(1, len(toks) - 1),
+         |      i -> array_to_string(toks[i:i+2], ' '))
+         |    ELSE [] END) AS w
+         |  FROM (SELECT coalesce(source, '(null)') AS src,
+         |    doc_id % $HllArrivalMod = 0 AS arr, $toksSql AS toks
+         |    FROM documents)),
+         |h AS (SELECT src, arr, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM e),
+         |r AS (SELECT src, arr, h % 64 AS b,
+         |    CASE WHEN h // 64 = 0 THEN 27
+         |      ELSE 27 - length(bin(h // 64)) END AS rho FROM h),
+         |hreg AS (SELECT src, b, max(rho) AS mr FROM r WHERE NOT arr GROUP BY 1, 2),
+         |dreg AS (SELECT src, b, max(rho) AS mr FROM r WHERE arr GROUP BY 1, 2),
+         |mreg AS (SELECT src, b, max(mr) AS mr FROM
+         |  (SELECT * FROM hreg UNION ALL SELECT * FROM dreg) GROUP BY 1, 2),
+         |freg AS (SELECT src, b, max(rho) AS mr FROM r GROUP BY 1, 2),
+         |${estArm("h", "hreg")},
+         |${estArm("d", "dreg")},
+         |${estArm("m", "mreg")},
+         |${estArm("f", "freg")},
+         |ex AS (SELECT src, CAST(count(DISTINCT w) AS BIGINT) AS n_exact
+         |  FROM e GROUP BY src)
+         |SELECT ex.src AS source, n_exact,
+         |  CAST(e_h.est AS BIGINT) AS history_est,
+         |  CAST(e_d.est AS BIGINT) AS delta_est,
+         |  CAST(e_m.est AS BIGINT) AS merged_est,
+         |  CAST(e_f.est AS BIGINT) AS direct_est,
+         |  e_m.est = e_f.est AS merge_exact,
+         |  CAST((1000000 * abs(e_m.est - n_exact)) // greatest(n_exact, 1)
+         |    AS BIGINT) AS err_ppm
+         |FROM ex JOIN e_h USING (src) JOIN e_d USING (src)
+         |JOIN e_m USING (src) JOIN e_f USING (src)""".stripMargin
     },
     // plant (key arithmetic), corrupt, detect, repair — the replace
     // chains mirror MojibakePairs in order on both engines

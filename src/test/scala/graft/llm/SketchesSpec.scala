@@ -110,6 +110,29 @@ class SketchesSpec extends AnyFunSuite with SparkTestSession {
     assert(card2.getLong(1) === est, "union estimate is split-invariant")
   }
 
+  test("mergeRegisters: split-any-way merge equals the direct sketch, parquet round trip included") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = (1 to 300).map(i => (s"g${i % 3}", s"k${i % 97}"))
+    val df = rows.toDF("g", "k")
+    def regsOf(d: org.apache.spark.sql.DataFrame) =
+      Sketches.hllRegisters(d, col("g"), col("k"))
+    def regSet(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = regSet(regsOf(df))
+    // any split of the rows max-merges back to the direct registers
+    val (a, b) = rows.partition(_._2.hashCode % 2 == 0)
+    val merged = Sketches.mergeRegisters(
+      regsOf(a.toDF("g", "k")), regsOf(b.toDF("g", "k")))
+    assert(regSet(merged) === direct)
+    // and the monoid survives a parquet round trip (the q246 contract)
+    val tmp = java.nio.file.Files.createTempDirectory("regs").toString
+    regsOf(a.toDF("g", "k")).write.mode("overwrite").parquet(s"$tmp/a")
+    val loaded = spark.read.parquet(s"$tmp/a")
+    assert(regSet(Sketches.mergeRegisters(loaded, regsOf(b.toDF("g", "k"))))
+      === direct)
+  }
+
   test("integrityCard: commutative, duplicate-sensitive, boundary-proof") {
     def cardOf(df: org.apache.spark.sql.DataFrame) =
       Sketches.integrityCard(df, col("g"),
