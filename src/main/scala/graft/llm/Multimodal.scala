@@ -192,6 +192,67 @@ object Multimodal {
     * byte values. The image counterpart of [[wavBandEnergies]] — a
     * feature computed from genuinely DECODED samples, unlike the FNV
     * stub ([[featureVector]]) that hashes raw container bytes. */
+  /** 64-bit difference hash (dHash) of a 24bpp BMP, as a 64-char bit
+    * string: nearest-neighbor-sample a 9×8 grid in image space (the
+    * [[resizeBmp]] arithmetic — pure integer, oracle-replayable),
+    * gray = R+G+B per sample, and each row's 8 bits are the
+    * left-to-right gradient signs. The PERCEPTUAL identity q65's
+    * byte-level content key cannot give: small pixel edits move
+    * sums, not gradient signs, so re-encoded or lightly-edited
+    * copies keep their hash (measured, not asserted, by q247). A bit
+    * STRING rather than a packed BIGINT so cross-engine equality
+    * needs no sign-bit gymnastics. None on anything [[decodeBmp]]
+    * rejects. */
+  def dHashBits(content: Array[Byte]): Option[String] =
+    bmpPixelLayout(content).map { src =>
+      val sb = new java.lang.StringBuilder(64)
+      var ty = 0
+      while (ty < 8) {
+        val sy = ty * src.h / 8
+        val gs = new Array[Int](9)
+        var tx = 0
+        while (tx < 9) {
+          val sx = tx * src.w / 9
+          val o = src.offset(sx, sy, 0)
+          gs(tx) = (content(o) & 0xff) + (content(o + 1) & 0xff) +
+            (content(o + 2) & 0xff)
+          tx += 1
+        }
+        tx = 0
+        while (tx < 8) {
+          sb.append(if (gs(tx) > gs(tx + 1)) '1' else '0')
+          tx += 1
+        }
+        ty += 1
+      }
+      sb.toString
+    }
+
+  /** Deterministic pixel noise — the "edited copy" fixture for the
+    * q247 stability card: +`delta` (mod 256) to every pixel-array
+    * byte whose data index is ≡ 0 (mod `step`). `delta`=1 on a
+    * sparse step is the light-touch edit a perceptual hash should
+    * shrug off; a large delta on a dense step is real corruption it
+    * should NOT survive (the card measures both). Header untouched;
+    * None for anything that is not a valid 24bpp BMP. */
+  def perturbBmp(content: Array[Byte], step: Int,
+      delta: Int = 1): Option[Array[Byte]] = {
+    require(step > 0, "step must be positive")
+    bmpPixelLayout(content).map { src =>
+      val out = content.clone()
+      val dataLen = src.stride * src.h
+      var i = 0
+      while (i < dataLen) {
+        if (i % step == 0) {
+          val off = src.pixelOff + i
+          out(off) = (((content(off) & 0xff) + delta) % 256).toByte
+        }
+        i += 1
+      }
+      out
+    }
+  }
+
   def bmpBandSums(content: Array[Byte], bands: Int): Option[Array[Long]] = {
     require(bands > 0, "bands must be positive")
     bmpPixelLayout(content).map { src =>

@@ -2449,6 +2449,57 @@ object LlmQueries {
           "div greatest(n_exact, 1) as bigint)").as("err_ppm"))
   }
 
+  // ---- q247: perceptual image near-dup (dHash stability card) ----
+  // q65's content key is BYTE-level: one changed pixel re-keys the
+  // image and the dup group dissolves. The perceptual axis hashes
+  // DECODED structure instead: [[graft.llm.Multimodal.dHashBits]]
+  // NN-samples a 9×8 gray grid and keeps only gradient SIGNS, so
+  // small edits move sums but not the hash. The card measures that
+  // claim on planted evidence (the mojibake/q93 discipline): every
+  // image gets a deterministically noised copy (+1 to every 37th
+  // pixel byte — [[Multimodal.perturbBmp]]), which changes BYTES on
+  // every image (data index 0 always perturbs) while the dHash
+  // survives on most — byte-dedup finds zero pairs, perceptual
+  // dedup keeps its clusters. Also pins distinct-dHash vs
+  // distinct-content bucket counts (how much the coarser identity
+  // collapses). One typed row-local decode pass (mapPartitions, the
+  // q65 shape) + one aggregate; at 100 TB the decode rides the scan
+  // and only the 5-counter card shuffles.
+  private val PerturbStep = 37
+  private val HeavyStep = 4
+  private val HeavyDelta = 128
+  def q247PerceptualDups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = graft.llm.Multimodal.documentsAsRealMedia(s, dir)
+      .filter(_.mediaType == "image/bmp")
+      .map { p =>
+        val dims = graft.llm.Multimodal.decodeBmp(p.content)
+          .map { case (w, h) => s"$w:$h" }.getOrElse("invalid")
+        val h0 = graft.llm.Multimodal.dHashBits(p.content).getOrElse("")
+        val pert = graft.llm.Multimodal.perturbBmp(p.content, PerturbStep)
+        val h1 = pert.flatMap(graft.llm.Multimodal.dHashBits).getOrElse("")
+        val h2 = graft.llm.Multimodal.perturbBmp(p.content, HeavyStep, HeavyDelta)
+          .flatMap(graft.llm.Multimodal.dHashBits).getOrElse("")
+        val bytesChanged =
+          pert.exists(q => !java.util.Arrays.equals(q, p.content))
+        (p.id, dims, h0, h1, h2, bytesChanged)
+      }.toDF("doc_id", "dims", "hs", "hp", "hv", "byte_changed")
+    rows.agg(
+        count(lit(1)).cast("bigint").as("n_images"),
+        countDistinct(col("dims")).as("n_distinct_content"),
+        countDistinct(col("hs")).as("n_distinct_dhash"),
+        sum(when(col("byte_changed"), 1L).otherwise(0L)).cast("bigint")
+          .as("n_byte_changed"),
+        sum(when(col("hs") === col("hp"), 1L).otherwise(0L)).cast("bigint")
+          .as("n_dhash_stable"),
+        sum(when(col("hs") === col("hv"), 1L).otherwise(0L)).cast("bigint")
+          .as("n_heavy_stable"))
+      .withColumn("stable_ppm",
+        expr("n_dhash_stable * 1000000L div greatest(n_images, 1L)"))
+      .withColumn("heavy_stable_ppm",
+        expr("n_heavy_stable * 1000000L div greatest(n_images, 1L)"))
+  }
+
   // ---- q233: rendezvous reshard card (minimal-disruption proof) ----
   // q167's shardPlan is `hash % N` — add a shard and ~everything
   // moves; this card prices the alternative: rendezvous/HRW
@@ -2619,6 +2670,7 @@ object LlmQueries {
     "q238_rank_auc" -> q238RankAuc _,
     "q239_mojibake" -> q239Mojibake _,
     "q246_hll_incremental" -> q246HllIncremental _,
+    "q247_perceptual_dups" -> q247PerceptualDups _,
     "q216_keywords" -> q216Keywords _,
     "q210_batch_waste" -> q210BatchWaste _,
     "q213_manifest_loaded" -> q213ManifestLoaded _,
@@ -4577,6 +4629,61 @@ object LlmQueries {
          |FROM ex JOIN e_h USING (src) JOIN e_d USING (src)
          |JOIN e_m USING (src) JOIN e_f USING (src)""".stripMargin
     },
+    // the synthetic BMP's pixel function (data byte i = i % 251,
+    // bottom-up rows) replayed arithmetically: NN 9×8 sample, gray
+    // and its +1-noise twin (every 37th data byte; values ≤ 250 so
+    // +1 never wraps), gradient bits string_agg'd in grid order.
+    // n_byte_changed = count(*): data index 0 always perturbs.
+    "q247_perceptual_dups" ->
+      s"""WITH imgs AS (SELECT doc_id, (doc_id % 64) + 1 AS w,
+         |    ((doc_id * 7) % 48) + 1 AS h FROM documents WHERE doc_id % 2 = 0),
+         |i2 AS (SELECT doc_id, w, h, ((w * 3 + 3) // 4) * 4 AS stride FROM imgs),
+         |grid AS (SELECT doc_id, w, h, stride, ty.v AS ty, tx.v AS tx
+         |  FROM i2, unnest(range(0, 8)) ty(v), unnest(range(0, 9)) tx(v)),
+         |smp AS (SELECT doc_id, ty, tx,
+         |    (h - 1 - (ty * h // 8)) * stride + (tx * w // 9) * 3 AS o
+         |  FROM grid),
+         |g AS (SELECT doc_id, ty, tx,
+         |    (o % 251) + ((o + 1) % 251) + ((o + 2) % 251) AS gray,
+         |    (o % 251) + ((o + 1) % 251) + ((o + 2) % 251)
+         |      + (CASE WHEN o % $PerturbStep = 0 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN (o + 1) % $PerturbStep = 0 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN (o + 2) % $PerturbStep = 0 THEN 1 ELSE 0 END)
+         |      AS gray_p,
+         |    ((o % 251) + (CASE WHEN o % $HeavyStep = 0
+         |        THEN $HeavyDelta ELSE 0 END)) % 256
+         |      + (((o + 1) % 251) + (CASE WHEN (o + 1) % $HeavyStep = 0
+         |        THEN $HeavyDelta ELSE 0 END)) % 256
+         |      + (((o + 2) % 251) + (CASE WHEN (o + 2) % $HeavyStep = 0
+         |        THEN $HeavyDelta ELSE 0 END)) % 256 AS gray_v
+         |  FROM smp),
+         |b AS (SELECT a.doc_id, a.ty, a.tx,
+         |    CASE WHEN a.gray > c.gray THEN '1' ELSE '0' END AS bit,
+         |    CASE WHEN a.gray_p > c.gray_p THEN '1' ELSE '0' END AS bit_p,
+         |    CASE WHEN a.gray_v > c.gray_v THEN '1' ELSE '0' END AS bit_v
+         |  FROM g a JOIN g c ON a.doc_id = c.doc_id AND a.ty = c.ty
+         |    AND c.tx = a.tx + 1
+         |  WHERE a.tx < 8),
+         |hh AS (SELECT b.doc_id,
+         |    string_agg(bit, '' ORDER BY ty, tx) AS hs,
+         |    string_agg(bit_p, '' ORDER BY ty, tx) AS hp,
+         |    string_agg(bit_v, '' ORDER BY ty, tx) AS hv
+         |  FROM b GROUP BY b.doc_id),
+         |j AS (SELECT hh.doc_id, i2.w || ':' || i2.h AS dims, hs, hp, hv
+         |  FROM hh JOIN i2 ON hh.doc_id = i2.doc_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_images,
+         |  CAST(count(DISTINCT dims) AS BIGINT) AS n_distinct_content,
+         |  CAST(count(DISTINCT hs) AS BIGINT) AS n_distinct_dhash,
+         |  CAST(count(*) AS BIGINT) AS n_byte_changed,
+         |  CAST(sum(CASE WHEN hs = hp THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dhash_stable,
+         |  CAST(sum(CASE WHEN hs = hv THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_heavy_stable,
+         |  CAST(sum(CASE WHEN hs = hp THEN 1 ELSE 0 END) * 1000000
+         |    // greatest(count(*), 1) AS BIGINT) AS stable_ppm,
+         |  CAST(sum(CASE WHEN hs = hv THEN 1 ELSE 0 END) * 1000000
+         |    // greatest(count(*), 1) AS BIGINT) AS heavy_stable_ppm
+         |FROM j""".stripMargin,
     // plant (key arithmetic), corrupt, detect, repair — the replace
     // chains mirror MojibakePairs in order on both engines
     "q239_mojibake" ->

@@ -159,6 +159,31 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(metas.forall(_.fingerprint.length == 32))
   }
 
+  test("dHashBits: 64 gradient bits, light-noise invariant, corruption-sensitive, rejects junk") {
+    val img = Multimodal.encodeBmp(40, 30)
+    val h0 = Multimodal.dHashBits(img).get
+    assert(h0.length === 64 && h0.forall(c => c == '0' || c == '1'))
+    // deterministic
+    assert(Multimodal.dHashBits(Multimodal.encodeBmp(40, 30)).get === h0)
+    // +1 on every 37th data byte changes bytes but not the hash
+    val light = Multimodal.perturbBmp(img, 37).get
+    assert(!java.util.Arrays.equals(light, img),
+      "perturbation must actually edit the payload")
+    assert(java.util.Arrays.equals(
+      java.util.Arrays.copyOfRange(light, 0, 54),
+      java.util.Arrays.copyOfRange(img, 0, 54)), "header untouched")
+    assert(Multimodal.dHashBits(light).get === h0,
+      "a perceptual hash must shrug off a one-ulp pixel edit")
+    // +128 on every 4th byte is corruption — the hash must move
+    val heavy = Multimodal.perturbBmp(img, 4, 128).get
+    assert(Multimodal.dHashBits(heavy).get !== h0,
+      "a perceptual hash that survives gross corruption keys nothing")
+    // different content hashes differently; junk is rejected
+    assert(Multimodal.dHashBits(Multimodal.encodeBmp(41, 30)).get !== h0)
+    assert(Multimodal.dHashBits("not a bmp".getBytes).isEmpty)
+    assert(Multimodal.perturbBmp("nope".getBytes, 4).isEmpty)
+  }
+
   test("resizeBmp: identity resample reproduces the source pixels") {
     // nearest-neighbor at the same dims maps every target pixel to
     // itself. Padding bytes are unspecified (the fixture encoder fills
