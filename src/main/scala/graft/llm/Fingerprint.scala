@@ -135,11 +135,13 @@ object Fingerprint {
     * null) UTF8String as unsafe ArrayData — one primitive-array copy,
     * no String round-trip. Null packs to an EMPTY array, matching the
     * historical `cdc_cuts` UDF contract. */
-  def cdcCutsArrayData(s: org.apache.spark.unsafe.types.UTF8String)
+  def cdcCutsArrayData(s: org.apache.spark.unsafe.types.UTF8String,
+      divisor: Long = CdcDivisor)
       : org.apache.spark.sql.catalyst.util.ArrayData =
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
       .fromPrimitiveArray(
-        if (s == null) Array.emptyIntArray else cdcCutEnds(s.getBytes))
+        if (s == null) Array.emptyIntArray
+        else cdcCutEnds(s.getBytes, divisor = divisor))
 
   /** The corpus → CDC-chunk frame `(doc_id, st, en, len, ck)`:
     * 1-based byte spans from [[cdcCuts]] plus the engine-portable
@@ -152,7 +154,8 @@ object Fingerprint {
     * twin, so batch and stream can never disagree about what a chunk
     * IS. */
   def cdcChunkFrame(docs: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String): org.apache.spark.sql.DataFrame = {
+      textCol: String,
+      divisor: Long = CdcDivisor): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val qi = graft.Names.quoted(idCol)
     val qt = graft.Names.quoted(textCol)
@@ -162,7 +165,7 @@ object Fingerprint {
       .withColumn("__bin", col("__text").cast("binary"))
       .withColumn("__nb", length(col("__bin")).cast("int"))
       .filter(col("__nb") > 0)
-      .withColumn("__cuts", expr("cdc_cuts(__text)"))
+      .withColumn("__cuts", expr(s"cdc_cuts(__text, ${divisor}L)"))
       .withColumn("__starts",
         expr("concat(array(1), transform(__cuts, c -> c + 1))"))
       .withColumn("__ends", expr("concat(__cuts, array(__nb))"))
@@ -215,8 +218,20 @@ object Fingerprint {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.llm.expressions.CdcCutsExpr].getName, "cdc_cuts"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(children.size == 1, "cdc_cuts takes exactly 1 argument")
-        graft.llm.expressions.CdcCutsExpr(children.head)
+        require(children.size == 1 || children.size == 2,
+          "cdc_cuts takes a text argument and an optional divisor literal")
+        if (children.size == 1) graft.llm.expressions.CdcCutsExpr(children.head)
+        else {
+          import org.apache.spark.sql.catalyst.expressions.Literal
+          import org.apache.spark.sql.types.{IntegerType, LongType}
+          val d = children(1) match {
+            case Literal(v: Long, LongType) => v
+            case Literal(v: Int, IntegerType) => v.toLong
+            case other => throw new IllegalArgumentException(
+              s"cdc_cuts: divisor must be an integral literal, got $other")
+          }
+          graft.llm.expressions.CdcCutsExpr(children.head, d)
+        }
       })
   }
 }

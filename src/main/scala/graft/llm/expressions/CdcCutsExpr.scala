@@ -26,7 +26,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * Null input packs to an EMPTY array, never null (the historical
   * `cdc_cuts` UDF contract — callers concat the document end, so an
   * empty cut list means one whole-document chunk). */
-case class CdcCutsExpr(child: Expression) extends UnaryExpression {
+case class CdcCutsExpr(child: Expression,
+    divisor: Long = graft.llm.Fingerprint.CdcDivisor) extends UnaryExpression {
+
+  require(divisor > 0, "cdc_cuts divisor must be positive")
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = false
@@ -39,7 +42,7 @@ case class CdcCutsExpr(child: Expression) extends UnaryExpression {
 
   override def eval(input: InternalRow): Any =
     graft.llm.Fingerprint.cdcCutsArrayData(
-      child.eval(input).asInstanceOf[UTF8String])
+      child.eval(input).asInstanceOf[UTF8String], divisor)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val c = child.genCode(ctx)
@@ -49,7 +52,7 @@ case class CdcCutsExpr(child: Expression) extends UnaryExpression {
         |${c.code}
         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
         |  graft.llm.Fingerprint.cdcCutsArrayData(
-        |    ${c.isNull} ? null : ${c.value});
+        |    ${c.isNull} ? null : ${c.value}, ${divisor}L);
         |""".stripMargin)
   }
 

@@ -2500,6 +2500,57 @@ object LlmQueries {
         expr("n_heavy_stable * 1000000L div greatest(n_images, 1L)"))
   }
 
+  // ---- q248: CDC divisor sweep (chunk-size knob pricing) ----
+  // The FastCDC tuning question: a smaller divisor cuts smaller
+  // chunks — better dedup savings, more index entries. One row per
+  // divisor (32/64/128) prices the tradeoff: chunk counts, byte
+  // totals, distinct-chunk store size, and the dedup savings the
+  // store realizes. Each arm is ONE grouped pass over its chunk
+  // frame — per distinct chunk key the occurrence count and length
+  // land in the same aggregate, so totals, store size, and savings
+  // all come from a single ck-keyed shuffle. The sweep also PINS
+  // the power-of-two nesting law (hash % 128 = 0 ⇒ % 64 = 0 ⇒
+  // % 32 = 0): every coarser boundary exists at the finer level
+  // (n_unnested = 0) — which is why a store can RE-CHUNK
+  // incrementally to a finer divisor by only splitting existing
+  // chunks, never moving a boundary.
+  private val CdcSweepDivisors = Seq(32L, 64L, 128L)
+  def q248CdcSweep(s: SparkSession, dir: String): DataFrame = {
+    graft.llm.Fingerprint.register(s)
+    val docs = graft.Tables.documents(s, dir)
+    val frames = CdcSweepDivisors.map { d =>
+      d -> graft.llm.Caches.persistTracked(
+        graft.llm.Fingerprint.cdcChunkFrame(docs, "doc_id", "text", d)
+          .select(col("doc_id"), col("st"), col("len"), col("ck")))
+    }.toMap
+    def arm(d: Long): DataFrame = {
+      val stats = frames(d)
+        .groupBy(col("ck"))
+        .agg(count(lit(1)).as("cnt"), min(col("len")).as("l"))
+        .agg(sum(col("cnt")).cast("bigint").as("n_chunks"),
+          sum(col("cnt") * col("l")).cast("bigint").as("total_bytes"),
+          count(lit(1)).cast("bigint").as("n_distinct_chunks"),
+          sum(col("l")).cast("bigint").as("store_bytes"))
+      val unnested =
+        if (d == CdcSweepDivisors.min) {
+          import s.implicits._
+          Seq(0L).toDF("n_unnested")
+        } else frames(d).select(col("doc_id"), col("st"))
+          .join(frames(d / 2).select(col("doc_id"), col("st")),
+            Seq("doc_id", "st"), "left_anti")
+          .agg(count(lit(1)).cast("bigint").as("n_unnested"))
+      stats.crossJoin(broadcast(unnested))
+        .select(lit(d).as("divisor"), col("n_chunks"), col("total_bytes"),
+          expr("total_bytes div greatest(n_chunks, 1L)").as("avg_chunk_bytes"),
+          col("n_distinct_chunks"),
+          (col("total_bytes") - col("store_bytes")).as("dup_bytes_saved"),
+          expr("cast(cast(total_bytes - store_bytes as decimal(38,0)) * 1000000 " +
+            "div greatest(total_bytes, 1L) as bigint)").as("savings_ppm"),
+          col("n_unnested"))
+    }
+    CdcSweepDivisors.map(arm).reduce(_ unionByName _)
+  }
+
   // ---- q233: rendezvous reshard card (minimal-disruption proof) ----
   // q167's shardPlan is `hash % N` — add a shard and ~everything
   // moves; this card prices the alternative: rendezvous/HRW
@@ -2671,6 +2722,7 @@ object LlmQueries {
     "q239_mojibake" -> q239Mojibake _,
     "q246_hll_incremental" -> q246HllIncremental _,
     "q247_perceptual_dups" -> q247PerceptualDups _,
+    "q248_cdc_sweep" -> q248CdcSweep _,
     "q216_keywords" -> q216Keywords _,
     "q210_batch_waste" -> q210BatchWaste _,
     "q213_manifest_loaded" -> q213ManifestLoaded _,
@@ -3030,28 +3082,34 @@ object LlmQueries {
     * cut predicate, span assembly, and the lowercased-hex md5 chunk
     * identity — ONE spelling under the q234 dedup card and the
     * q235/q236 admission oracles. */
-  private def cdcCkCtes: String = {
+  /** The divisor-parameterized tail of the CDC chunk replay (cut
+    * filter → chunk assembly → md5 identity), CTE names suffixed so
+    * the q248 sweep can instantiate several divisors over ONE shared
+    * `$rollingCtes` hash frame. */
+  private def cdcChainFor(divisor: Long, sfx: String): String = {
     val W = graft.llm.Fingerprint.DefaultWindow
-    val D = graft.llm.Fingerprint.CdcDivisor
-    s"""$rollingCtes,
-       |c AS (SELECT h.doc_id, by.nb, by.hx,
+    s"""c$sfx AS (SELECT h.doc_id, by.nb, by.hx,
        |    list_filter(list_transform(
        |      list_filter(range(1, len(hs)::BIGINT + 1),
-       |        i -> hs[i::INT] % $D = 0),
+       |        i -> hs[i::INT] % $divisor = 0),
        |      i -> i + ${W - 1}), e -> e < nb) AS cuts
        |  FROM hsx h JOIN by USING (doc_id) WHERE nb > 0),
-       |e AS (SELECT doc_id, nb, hx,
+       |e$sfx AS (SELECT doc_id, nb, hx,
        |    list_concat([CAST(1 AS BIGINT)],
        |      list_transform(cuts, c -> c + 1)) AS starts,
        |    list_concat(cuts, [CAST(nb AS BIGINT)]) AS ends
-       |  FROM c),
-       |ch AS (SELECT doc_id, hx, starts[i::INT] AS st, ends[i::INT] AS en
-       |  FROM e, unnest(range(1, len(starts)::BIGINT + 1)) AS u(i)),
-       |ck AS (SELECT doc_id, st, CAST(en - st + 1 AS BIGINT) AS len,
+       |  FROM c$sfx),
+       |ch$sfx AS (SELECT doc_id, hx, starts[i::INT] AS st, ends[i::INT] AS en
+       |  FROM e$sfx, unnest(range(1, len(starts)::BIGINT + 1)) AS u(i)),
+       |ck$sfx AS (SELECT doc_id, st, CAST(en - st + 1 AS BIGINT) AS len,
        |    md5(lower(substr(hx, (st::INT - 1) * 2 + 1,
        |      (en::INT - st::INT + 1) * 2))) AS ck
-       |  FROM ch)""".stripMargin
+       |  FROM ch$sfx)""".stripMargin
   }
+
+  private def cdcCkCtes: String =
+    s"""$rollingCtes,
+       |${cdcChainFor(graft.llm.Fingerprint.CdcDivisor, "")}""".stripMargin
 
   /** q235/q236: the chunk CTEs split on the arrival convention, the
     * admission left join, and the every-arrival spine. */
@@ -4709,6 +4767,47 @@ object LlmQueries {
          |  CAST(sum(CASE WHEN art > 0 THEN 1 ELSE 0 END) * 1000000
          |    // greatest(count(*), 1) AS BIGINT) AS detected_ppm
          |FROM d3 GROUP BY source""".stripMargin,
+    // ONE shared rolling-hash frame, three suffixed chunk chains; per
+    // arm a grouped ck pass and the EXCEPT-emptiness nesting proof
+    "q248_cdc_sweep" -> {
+      def armSql(d: Long, sfx: String, finer: Option[String]): String = {
+        val un = finer match {
+          case Some(f) =>
+            s"""un$sfx AS (SELECT CAST(count(*) AS BIGINT) AS n_unnested FROM
+               |  (SELECT doc_id, st FROM ck$sfx
+               |   EXCEPT SELECT doc_id, st FROM ck$f))""".stripMargin
+          case None =>
+            s"un$sfx AS (SELECT CAST(0 AS BIGINT) AS n_unnested)"
+        }
+        s"""g$sfx AS (SELECT ck, CAST(count(*) AS BIGINT) AS cnt,
+           |    min(len) AS l FROM ck$sfx GROUP BY ck),
+           |st$sfx AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_chunks,
+           |    CAST(sum(cnt * l) AS BIGINT) AS total_bytes,
+           |    CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+           |    CAST(sum(l) AS BIGINT) AS store_bytes FROM g$sfx),
+           |$un""".stripMargin
+      }
+      def rowSql(d: Long, sfx: String): String =
+        s"""SELECT CAST($d AS BIGINT) AS divisor, n_chunks, total_bytes,
+           |  CAST(total_bytes // greatest(n_chunks, 1) AS BIGINT)
+           |    AS avg_chunk_bytes,
+           |  n_distinct_chunks,
+           |  CAST(total_bytes - store_bytes AS BIGINT) AS dup_bytes_saved,
+           |  CAST(CAST(total_bytes - store_bytes AS HUGEINT) * 1000000
+           |    // greatest(total_bytes, 1) AS BIGINT) AS savings_ppm,
+           |  n_unnested
+           |FROM st$sfx CROSS JOIN un$sfx""".stripMargin
+      s"""WITH $rollingCtes,
+         |${cdcChainFor(32, "_32")},
+         |${cdcChainFor(64, "_64")},
+         |${cdcChainFor(128, "_128")},
+         |${armSql(32, "_32", None)},
+         |${armSql(64, "_64", Some("_32"))},
+         |${armSql(128, "_128", Some("_64"))}
+         |${rowSql(32, "_32")}
+         |UNION ALL ${rowSql(64, "_64")}
+         |UNION ALL ${rowSql(128, "_128")}""".stripMargin
+    },
     // the shared chunk CTEs split on the q194 arrival convention; the
     // admission left join replayed per arriving doc
     "q235_cdc_admission" -> q235Sql,

@@ -120,6 +120,19 @@ class FingerprintSpec extends AnyFunSuite with SparkTestSession {
       .map(_.getSeq[Int](1).toList)
     val expected = texts.map(t => Fingerprint.cdcCuts(t).toList)
     assert(viaSql.toSeq === expected)
+    // the divisor argument (q248's sweep path), and the nesting law
+    val swept = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), expr("cdc_cuts(text, 32L)").as("c32"),
+        expr("cdc_cuts(text, 128L)").as("c128"))
+      .collect().sortBy(_.getLong(0))
+    swept.zip(texts).foreach { case (r, t) =>
+      assert(r.getSeq[Int](1).toList ===
+        Fingerprint.cdcCuts(t, divisor = 32L).toList)
+      val fine = r.getSeq[Int](1).toSet
+      assert(r.getSeq[Int](2).forall(fine.contains),
+        "every divisor-128 cut must also cut at divisor 32")
+    }
     // interpreted path + the null contract (empty array, not null)
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.StringType
