@@ -292,6 +292,37 @@ object Relational {
           .cast("bigint").as("n_risky_rows"))
       .orderBy(col("c_mktsegment"))
 
+  // ---- q249: l-diversity audit (attribute disclosure risk) ----
+  // k-anonymity (q162) bounds RE-IDENTIFICATION; it says nothing
+  // about ATTRIBUTE disclosure — a class of 50 rows that all share
+  // one sensitive value still leaks it to anyone who can place a
+  // person in the class. The l-diversity audit over the released
+  // (quasi-identifier, sensitive) view: the SAME equivalence classes
+  // as q162 (nation, market segment, balance band — one spelling,
+  // the two audits grade the same release), sensitive value = the
+  // order priority of the customer's orders. Per segment: classes,
+  // the worst class's distinct-sensitive-count (the dataset's l),
+  // and the homogeneous classes (l = 1) with their row exposure.
+  // Scale: the released view is one fact join; then a two-level
+  // grouped count — class-cardinality state only, never row state.
+  def q249LDiversity(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
+        floor(col("c_acctbal") / 1000.0).cast("bigint").as("bal_band"))
+      .join(graft.Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderpriority")),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_nationkey"), col("bal_band"))
+      .agg(count(lit(1)).as("cls_rows"),
+        countDistinct(col("o_orderpriority")).as("l"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("cls_rows")).cast("bigint").as("n_rows"),
+        min(col("l")).as("l_min"),
+        sum(when(col("l") === 1L, 1L).otherwise(0L)).as("n_homogeneous"),
+        sum(when(col("l") === 1L, col("cls_rows")).otherwise(0L))
+          .cast("bigint").as("n_exposed_rows"))
+
   // ---- q159: shuffle-skew advisor card ----
   // The diagnostic that decides BEFORE a 100 TB join whether to salt
   // (q133's machinery), broadcast, or trust AQE skew splitting: for
@@ -1057,6 +1088,7 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q249_l_diversity" -> q249LDiversity _,
     "q240_nation_trade" -> q240NationTrade _,
     "q241_market_share" -> q241MarketShare _,
     "q242_important_parts" -> q242ImportantParts _,
@@ -1167,6 +1199,24 @@ object Relational {
         |SELECT s_name, n_name
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |WHERE s_suppkey IN (SELECT sk FROM fp)""".stripMargin,
+    // q162's class spelling joined to order priorities; l per class,
+    // then the per-segment rollup
+    "q249_l_diversity" ->
+      """WITH cls AS (SELECT c_mktsegment, c_nationkey,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+        |    CAST(count(*) AS BIGINT) AS cls_rows,
+        |    CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS l
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1, 2, 3)
+        |SELECT c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(cls_rows) AS BIGINT) AS n_rows,
+        |  min(l) AS l_min,
+        |  CAST(sum(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_homogeneous,
+        |  CAST(sum(CASE WHEN l = 1 THEN cls_rows ELSE 0 END) AS BIGINT)
+        |    AS n_exposed_rows
+        |FROM cls GROUP BY 1""".stripMargin,
     // nation filters replayed as IN-lists; direction = the pair minus
     // the diagonal; the q1 fixed point keeps the volume exact
     "q240_nation_trade" ->
