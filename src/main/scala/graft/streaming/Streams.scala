@@ -575,6 +575,34 @@ object Streams {
           "div greatest(total_bytes, 1L) as bigint)"))
   }
 
+  /** Streaming perceptual-dedup meter — q247's dHash at upload time:
+    * each arriving image payload decodes row-locally
+    * ([[graft.llm.Multimodal.dHashBits]], the SAME kernel as the
+    * batch card) and probes its hash against a broadcast set of the
+    * store's known dHashes, so a crawler drops perceptual re-uploads
+    * — re-encoded or lightly edited copies byte-dedup can never
+    * catch — before they cost storage. The known set is
+    * dHash-valued, NOT image-valued: 64-bit-hash strings per
+    * DISTINCT perceptual identity (bounded by content diversity, not
+    * corpus size — the q247 measurement: 250 images → 67 hashes).
+    * Payloads that fail to decode report an empty hash and count as
+    * novel (quarantine, not silent drop). Zero state, no shuffle;
+    * the batch spelling is the oracle (StreamingSpec). */
+  def mediaIngest(stream: DataFrame, idCol: String, contentCol: String,
+      knownHashes: Set[String]): DataFrame = {
+    val bc = graft.llm.Caches.broadcastTracked(
+      stream.sparkSession.sparkContext.broadcast(knownHashes))
+    val hash = udf { (content: Array[Byte]) =>
+      graft.llm.Multimodal.dHashBits(content).getOrElse("")
+    }
+    stream
+      .select(qcol(idCol).as("doc_id"), hash(qcol(contentCol)).as("dhash"))
+      .withColumn("decoded", col("dhash") =!= "")
+      .withColumn("known",
+        udf { (h: String) => h.nonEmpty && bc.value.contains(h) }
+          .apply(col("dhash")))
+  }
+
   /** Streaming winsorize-apply — q145's robust clipping at ingest
     * time: exact per-group p-quantile cutoffs train on the STATIC
     * corpus ([[graft.llm.Robust.cutoffsFp]]), and each arriving row is

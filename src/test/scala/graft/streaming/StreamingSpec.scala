@@ -498,6 +498,38 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally query.stop()
   }
 
+  test("mediaIngest: streamed perceptual probe equals batch; edited re-upload reads known") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.Multimodal
+    val stored = Multimodal.encodeBmp(20, 14)
+    val known = Set(Multimodal.dHashBits(stored).get)
+    val rows = Seq(
+      1L -> stored,                                  // exact re-upload
+      2L -> Multimodal.perturbBmp(stored, 37).get,   // edited copy: bytes differ, hash doesn't
+      3L -> Multimodal.encodeBmp(33, 9),             // genuinely new image
+      4L -> "not an image".getBytes)                 // junk → quarantine as novel
+    assert(!java.util.Arrays.equals(rows(1)._2, stored))
+    val input = MemoryStream[(Long, Array[Byte])]
+    val query = Streams.mediaIngest(
+        input.toDF().toDF("doc_id", "content"), "doc_id", "content", known)
+      .writeStream.format("memory").queryName("media_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      def shape(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("doc_id").collect()
+          .map(r => (r.getLong(0), r.getBoolean(2), r.getBoolean(3))).toSeq
+      val got = shape(spark.table("media_out"))
+      val batch = shape(Streams.mediaIngest(
+        rows.toDF("doc_id", "content"), "doc_id", "content", known))
+      assert(got === batch, "stream must equal the batch meter exactly")
+      assert(got === Seq((1L, true, true), (2L, true, true),
+        (3L, true, false), (4L, false, false)))
+    } finally query.stop()
+  }
+
   test("cdcIngest: streamed admission equals batch; known doc reads zero novel") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
