@@ -2551,6 +2551,93 @@ object LlmQueries {
     CdcSweepDivisors.map(arm).reduce(_ unionByName _)
   }
 
+  // ---- q250/q251: perceptual store admission (dHash novelty) ----
+  // q235's admission question for IMAGES, contrasting the two
+  // identities on realistic upload traffic. The store (doc_id % 10
+  // != 0 images) knows its distinct byte-level content keys (q65's
+  // decoded spelling) and its distinct dHashes (q247's perceptual
+  // kernel). Arrivals (doc_id % 10 = 0) come as a 50/50 mix the
+  // crawl actually sees: UNEDITED re-uploads (doc_id % 20 = 0) and
+  // EDITED copies (the q247 light perturbation — every 37th pixel
+  // byte +1, so the byte key is guaranteed new while the perceptual
+  // hash survives). The per-kind card measures the gap: byte dedup
+  // admits every edited copy as "novel" storage; the dHash probe
+  // catches them. One decode pass per side (row-local), two
+  // identity-sized left joins, two rows out. q251 serves the SAME
+  // card from the SHIPPED identity indexes (saveIndexFrame —
+  // identity-sized, never driver-sized), byte-identical to q250:
+  // one shared oracle.
+  private def imageIdentity(content: Array[Byte]): (String, String) = {
+    val ck = (for {
+      wh <- graft.llm.Multimodal.decodeBmp(content)
+      sums <- graft.llm.Multimodal.bmpBandSums(content, 1)
+    } yield s"image/bmp:${wh._1}:${wh._2}:${content.length}:${sums(0)}")
+      .getOrElse("invalid")
+    (ck, graft.llm.Multimodal.dHashBits(content).getOrElse(""))
+  }
+
+  private def imageStoreFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.llm.Multimodal.documentsAsRealMedia(s, dir)
+      .filter(p => p.mediaType == "image/bmp" && p.id % 10 != 0)
+      .map { p =>
+        val (ck, hs) = imageIdentity(p.content)
+        (ck, hs)
+      }.toDF("ck", "hs")
+  }
+
+  private def imageArrivalFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.llm.Multimodal.documentsAsRealMedia(s, dir)
+      .filter(p => p.mediaType == "image/bmp" && p.id % 10 == 0)
+      .map { p =>
+        val edited = p.id % 20 != 0
+        val c = if (edited)
+          graft.llm.Multimodal.perturbBmp(p.content, PerturbStep).get
+        else p.content
+        val (ck, hs) = imageIdentity(c)
+        (if (edited) "edited" else "original", ck, hs)
+      }.toDF("kind", "ck", "hs")
+  }
+
+  private def perceptualAdmissionCard(arrivals: DataFrame,
+      knownCk: DataFrame, knownHs: DataFrame): DataFrame =
+    arrivals
+      .join(knownHs.select(col("hs")).distinct()
+        .withColumn("__pk", lit(true)), Seq("hs"), "left")
+      .join(knownCk.select(col("ck")).distinct()
+        .withColumn("__bk", lit(true)), Seq("ck"), "left")
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).cast("bigint").as("n_arrivals"),
+        sum(when(col("hs") =!= "", 1L).otherwise(0L)).cast("bigint")
+          .as("n_decoded"),
+        sum(when(col("__bk"), 1L).otherwise(0L)).cast("bigint")
+          .as("n_byte_known"),
+        sum(when(col("__pk"), 1L).otherwise(0L)).cast("bigint")
+          .as("n_perceptual_known"))
+      .withColumn("n_perceptual_extra",
+        col("n_perceptual_known") - col("n_byte_known"))
+      .withColumn("perceptual_ppm",
+        expr("n_perceptual_known * 1000000L div greatest(n_arrivals, 1L)"))
+
+  def q250PerceptualAdmission(s: SparkSession, dir: String): DataFrame = {
+    val store = graft.llm.Caches.persistTracked(imageStoreFrame(s, dir))
+    perceptualAdmissionCard(imageArrivalFrame(s, dir), store, store)
+  }
+
+  def q251PerceptualAdmissionLoaded(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.llm.Artifacts.ensure(dir, "dhash-index-v2") { p =>
+      val store = graft.llm.Caches.persistTracked(imageStoreFrame(s, dir))
+      graft.llm.Artifacts.saveIndexFrame(s"$p/ck",
+        store.select(col("ck")).distinct())
+      graft.llm.Artifacts.saveIndexFrame(s"$p/hs",
+        store.select(col("hs")).distinct())
+    }
+    perceptualAdmissionCard(imageArrivalFrame(s, dir),
+      graft.llm.Artifacts.loadIndexFrame(s, s"$root/ck"),
+      graft.llm.Artifacts.loadIndexFrame(s, s"$root/hs"))
+  }
+
   // ---- q233: rendezvous reshard card (minimal-disruption proof) ----
   // q167's shardPlan is `hash % N` — add a shard and ~everything
   // moves; this card prices the alternative: rendezvous/HRW
@@ -2723,6 +2810,8 @@ object LlmQueries {
     "q246_hll_incremental" -> q246HllIncremental _,
     "q247_perceptual_dups" -> q247PerceptualDups _,
     "q248_cdc_sweep" -> q248CdcSweep _,
+    "q250_perceptual_admission" -> q250PerceptualAdmission _,
+    "q251_perceptual_admission_loaded" -> q251PerceptualAdmissionLoaded _,
     "q216_keywords" -> q216Keywords _,
     "q210_batch_waste" -> q210BatchWaste _,
     "q213_manifest_loaded" -> q213ManifestLoaded _,
@@ -3106,6 +3195,75 @@ object LlmQueries {
        |      (en::INT - st::INT + 1) * 2))) AS ck
        |  FROM ch$sfx)""".stripMargin
   }
+
+  /** q250/q251: q247's clean and perturbed dHash arms, q65's decoded
+    * content-key spelling (and its perturbed pixel sum: clean sum +
+    * the count of pixel-byte data indexes ≡ 0 mod PerturbStep — +1
+    * never wraps, values ≤ 250), the store/arrival split and the two
+    * identity probes per arrival kind. */
+  private def q250Sql: String =
+    s"""WITH imgs AS (SELECT doc_id, (doc_id % 64) + 1 AS w,
+       |    ((doc_id * 7) % 48) + 1 AS h FROM documents WHERE doc_id % 2 = 0),
+       |i2 AS (SELECT doc_id, w, h, ((w * 3 + 3) // 4) * 4 AS stride FROM imgs),
+       |dd AS (SELECT DISTINCT w, h, stride FROM i2),
+       |bpix AS (SELECT w, h,
+       |    CAST(sum((r.v * stride + j.v) % 251) AS BIGINT) AS pix,
+       |    CAST(sum(CASE WHEN (r.v * stride + j.v) % $PerturbStep = 0
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS ec
+       |  FROM dd, unnest(range(0, h)) AS r(v), unnest(range(0, w * 3)) AS j(v)
+       |  GROUP BY w, h),
+       |grid AS (SELECT doc_id, w, h, stride, ty.v AS ty, tx.v AS tx
+       |  FROM i2, unnest(range(0, 8)) ty(v), unnest(range(0, 9)) tx(v)),
+       |smp AS (SELECT doc_id, ty, tx,
+       |    (h - 1 - (ty * h // 8)) * stride + (tx * w // 9) * 3 AS o
+       |  FROM grid),
+       |g AS (SELECT doc_id, ty, tx,
+       |    (o % 251) + ((o + 1) % 251) + ((o + 2) % 251) AS gray,
+       |    (o % 251) + ((o + 1) % 251) + ((o + 2) % 251)
+       |      + (CASE WHEN o % $PerturbStep = 0 THEN 1 ELSE 0 END)
+       |      + (CASE WHEN (o + 1) % $PerturbStep = 0 THEN 1 ELSE 0 END)
+       |      + (CASE WHEN (o + 2) % $PerturbStep = 0 THEN 1 ELSE 0 END)
+       |      AS gray_p
+       |  FROM smp),
+       |b AS (SELECT a.doc_id, a.ty, a.tx,
+       |    CASE WHEN a.gray > c.gray THEN '1' ELSE '0' END AS bit,
+       |    CASE WHEN a.gray_p > c.gray_p THEN '1' ELSE '0' END AS bit_p
+       |  FROM g a JOIN g c ON a.doc_id = c.doc_id AND a.ty = c.ty
+       |    AND c.tx = a.tx + 1
+       |  WHERE a.tx < 8),
+       |hh AS (SELECT b.doc_id,
+       |    string_agg(bit, '' ORDER BY ty, tx) AS hs,
+       |    string_agg(bit_p, '' ORDER BY ty, tx) AS hp
+       |  FROM b GROUP BY b.doc_id),
+       |j AS (SELECT i2.doc_id, hs, hp,
+       |    'image/bmp:' || i2.w || ':' || i2.h || ':' || (54 + stride * i2.h)
+       |      || ':' || pix AS ck,
+       |    'image/bmp:' || i2.w || ':' || i2.h || ':' || (54 + stride * i2.h)
+       |      || ':' || (pix + ec) AS ck_p
+       |  FROM i2 JOIN bpix USING (w, h) JOIN hh ON i2.doc_id = hh.doc_id),
+       |kck AS (SELECT DISTINCT ck FROM j WHERE doc_id % 10 != 0),
+       |khs AS (SELECT DISTINCT hs FROM j WHERE doc_id % 10 != 0),
+       |arr AS (SELECT CASE WHEN doc_id % 20 = 0 THEN 'original'
+       |      ELSE 'edited' END AS kind,
+       |    CASE WHEN doc_id % 20 = 0 THEN ck ELSE ck_p END AS ck,
+       |    CASE WHEN doc_id % 20 = 0 THEN hs ELSE hp END AS hs
+       |  FROM j WHERE doc_id % 10 = 0),
+       |pr AS (SELECT kind, arr.hs,
+       |    kck.ck IS NOT NULL AS bk, khs.hs IS NOT NULL AS pk
+       |  FROM arr LEFT JOIN kck ON arr.ck = kck.ck
+       |  LEFT JOIN khs ON arr.hs = khs.hs)
+       |SELECT kind, CAST(count(*) AS BIGINT) AS n_arrivals,
+       |  CAST(sum(CASE WHEN hs != '' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_decoded,
+       |  CAST(sum(CASE WHEN bk THEN 1 ELSE 0 END) AS BIGINT) AS n_byte_known,
+       |  CAST(sum(CASE WHEN pk THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_perceptual_known,
+       |  CAST(sum(CASE WHEN pk THEN 1 ELSE 0 END)
+       |    - sum(CASE WHEN bk THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_perceptual_extra,
+       |  CAST(sum(CASE WHEN pk THEN 1 ELSE 0 END) * 1000000
+       |    // greatest(count(*), 1) AS BIGINT) AS perceptual_ppm
+       |FROM pr GROUP BY kind""".stripMargin
 
   private def cdcCkCtes: String =
     s"""$rollingCtes,
@@ -4687,6 +4845,10 @@ object LlmQueries {
          |FROM ex JOIN e_h USING (src) JOIN e_d USING (src)
          |JOIN e_m USING (src) JOIN e_f USING (src)""".stripMargin
     },
+    // q247's clean-arm hash replay split on the arrival convention;
+    // loaded variant is byte-identical ⇒ shares the oracle
+    "q250_perceptual_admission" -> q250Sql,
+    "q251_perceptual_admission_loaded" -> q250Sql,
     // the synthetic BMP's pixel function (data byte i = i % 251,
     // bottom-up rows) replayed arithmetically: NN 9×8 sample, gray
     // and its +1-noise twin (every 37th data byte; values ≤ 250 so
