@@ -2638,6 +2638,32 @@ object LlmQueries {
       graft.llm.Artifacts.loadIndexFrame(s, s"$root/hs"))
   }
 
+  // ---- q252: bounded top-k AGGREGATOR (per-source best docs) ----
+  // The custom-typed-aggregation extension point (`Aggregator` +
+  // `functions.udaf`) the engine had not yet exercised — and the
+  // 100 TB spelling of "top k per group": the window formulation
+  // shuffles and sorts EVERY row per group before discarding all
+  // but k; [[graft.llm.TopKAgg]] keeps k-sized state, combines
+  // map-side like any aggregate, and ships |groups|·k rows through
+  // the exchange (plan-asserted in TopKAggSpec: ObjectHashAggregate
+  // with partial_topkagg, no Window, no corpus Sort). Total
+  // deterministic order (quality desc, doc_id asc) makes the result
+  // exact; the oracle replays it as a row_number window — DuckDB
+  // can afford the sort at oracle scale, which is the point.
+  def q252TopkAgg(s: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new graft.llm.TopKAgg(3))
+    TextAnalysis.ruleFilter(graft.Tables.documents(s, dir),
+        "doc_id", "text", carryCols = Seq("source"), withQuality = true)
+      .select(coalesce(col("source"), lit("(null)")).as("source"),
+        col("quality_fp"), col("doc_id"))
+      .groupBy(col("source"))
+      .agg(topk(col("quality_fp"), col("doc_id")).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("source"), (col("i") + 1).cast("bigint").as("rank"),
+        col("e._1").cast("bigint").as("quality_fp"),
+        col("e._2").cast("bigint").as("doc_id"))
+  }
+
   // ---- q233: rendezvous reshard card (minimal-disruption proof) ----
   // q167's shardPlan is `hash % N` — add a shard and ~everything
   // moves; this card prices the alternative: rendezvous/HRW
@@ -2812,6 +2838,7 @@ object LlmQueries {
     "q248_cdc_sweep" -> q248CdcSweep _,
     "q250_perceptual_admission" -> q250PerceptualAdmission _,
     "q251_perceptual_admission_loaded" -> q251PerceptualAdmissionLoaded _,
+    "q252_topk_agg" -> q252TopkAgg _,
     "q216_keywords" -> q216Keywords _,
     "q210_batch_waste" -> q210BatchWaste _,
     "q213_manifest_loaded" -> q213ManifestLoaded _,
@@ -4845,6 +4872,20 @@ object LlmQueries {
          |FROM ex JOIN e_h USING (src) JOIN e_d USING (src)
          |JOIN e_m USING (src) JOIN e_f USING (src)""".stripMargin
     },
+    // the aggregator's total order replayed as a row_number window —
+    // the oracle can afford the sort the 100 TB side avoids
+    "q252_topk_agg" ->
+      s"""WITH $rulesCtes,
+         |q AS (SELECT rr.doc_id, coalesce(d.source, '(null)') AS source,
+         |    rr.quality_fp
+         |  FROM rr JOIN documents d USING (doc_id)),
+         |r AS (SELECT source, doc_id, quality_fp,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY quality_fp DESC, doc_id ASC) AS rank
+         |  FROM q)
+         |SELECT source, CAST(rank AS BIGINT) AS rank,
+         |  CAST(quality_fp AS BIGINT) AS quality_fp, doc_id
+         |FROM r WHERE rank <= 3""".stripMargin,
     // q247's clean-arm hash replay split on the arrival convention;
     // loaded variant is byte-identical ⇒ shares the oracle
     "q250_perceptual_admission" -> q250Sql,
