@@ -1087,7 +1087,207 @@ object Relational {
       .select(col("s_suppkey"), col("s_name"), col("total_revenue_fp"))
   }
 
+  // ---- q253: min-cost regional supplier (the TPC-H Q2 shape) ----
+  // "For each part in a slice, the region's cheapest supplier(s)" —
+  // the classic is a correlated MIN subquery re-executed per part;
+  // here the (part, supplier) cost aggregate is computed ONCE and the
+  // per-part minimum is a window over it, ties kept by equality. The
+  // region reduction lands on the SUPPLIER side before the fact
+  // (broadcast nation⋈region), and the part slice semi-joins the fact
+  // before any aggregation — the fact scan shuffles only qualifying
+  // rows. Unit cost replays exactly: floor((price*100)/qty) is one
+  // IEEE multiply + divide + floor in both engines.
+  private val MinCostRegion = "EUROPE"
+  def q253MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val sliceParts = graft.Tables.part(s, dir)
+      .filter(col("p_type") === "LARGE" && col("p_size") <= 10)
+      .select(col("p_partkey"), col("p_name"))
+    val regionSupp = graft.Tables.supplier(s, dir)
+      .join(broadcast(graft.Tables.nation(s, dir)
+          .join(broadcast(graft.Tables.region(s, dir)
+              .filter(col("r_name") === MinCostRegion)),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        cents(col("s_acctbal")).as("acctbal_cents"))
+    val costs = graft.Tables.lineitem(s, dir)
+      .join(sliceParts.select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(regionSupp.select(col("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(floor(col("l_extendedprice") * lit(100.0) / col("l_quantity"))
+        .cast("bigint")).as("cost_cents"))
+    costs
+      .withColumn("__best",
+        min(col("cost_cents")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("cost_cents") === col("__best"))
+      .join(sliceParts, col("l_partkey") === col("p_partkey"))
+      .join(regionSupp, col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
+        col("acctbal_cents"), col("cost_cents"))
+  }
+
+  // ---- q254: shipping priority top-10 (the TPC-H Q3 shape) ----
+  // Segment-filtered unshipped revenue, top 10 orders. The top-k is
+  // `orderBy(...).limit(10)` — Spark plans TakeOrderedAndProject, a
+  // per-partition bounded heap + k-row driver merge, NOT a global
+  // sort: the 100 TB spelling. Total deterministic order (revenue
+  // desc, orderkey asc) makes the cut exact; the segment filter
+  // reduces customer before it meets orders (hint-free, both sides
+  // SF-proportional).
+  private val ShipPrioDate = "2000-06-01 00:00:00"
+  def q254ShippingPriority(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > ts(ShipPrioDate))
+      .join(graft.Tables.orders(s, dir)
+          .filter(col("o_orderdate") < ts(ShipPrioDate))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+            col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(graft.Tables.customer(s, dir)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sumFp(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+        .as("revenue_fp"))
+      .orderBy(col("revenue_fp").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  // ---- q255: product-line profit (the TPC-H Q9 shape) ----
+  // Profit by supplier nation × year over a part-name slice. The
+  // testdata has no partsupp, so unit cost is p_retailprice (the
+  // same multi-join shape: fact ⋈ part ⋈ orders ⋈ supplier ⋈
+  // nation). Profit stays in integer algebra — revenue at 1e-4
+  // fixed point minus retail*qty at the same scale — so the DECIMAL
+  // accumulate replays as DuckDB HUGEINT bit-for-bit. Nation
+  // broadcasts; everything else is SF-proportional and hint-free.
+  def q255ProductProfit(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.lineitem(s, dir)
+      .join(graft.Tables.part(s, dir)
+          .filter(col("p_name").like("%gear%"))
+          .select(col("p_partkey"), cents(col("p_retailprice"), 4).as("__rp")),
+        col("l_partkey") === col("p_partkey"))
+      .join(graft.Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(graft.Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(graft.Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .withColumn("amount_fp",
+        cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4) -
+          col("__rp") * col("l_quantity").cast("bigint"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("bigint").as("o_year"))
+      .agg(sumFp(col("amount_fp")).as("profit_fp"))
+
+  // ---- q256: returned-item report (the TPC-H Q10 shape) ----
+  // Customers who returned the most revenue in a half-year — the
+  // group-join-topk classic. Revenue aggregates on the fact FIRST
+  // (map-side combined per customer), then joins the customer/nation
+  // attributes; top 20 rides TakeOrderedAndProject under the same
+  // total order discipline as q254.
+  def q256ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val rev = graft.Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .join(graft.Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= ts("1999-01-01 00:00:00") &&
+            col("o_orderdate") < ts("1999-07-01 00:00:00"))
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sumFp(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+        .as("revenue_fp"))
+    rev
+      .join(graft.Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(graft.Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"),
+        cents(col("c_acctbal")).as("acctbal_cents"), col("n_name"),
+        col("revenue_fp"))
+      .orderBy(col("revenue_fp").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  // ---- q257: late-shipment priority classes (the TPC-H Q12 shape) ----
+  // The two-tier CASE-count classic ("per shipment class, how many
+  // late lines carried critical vs non-critical orders"). The
+  // testdata has no l_shipmode/commitdate, so the class axis is
+  // l_linestatus and lateness is ship > order + 30 days — the plan
+  // shape is identical: one fact⋈orders pass, the lateness predicate
+  // filters BEFORE the aggregate, and both tiers come out of the same
+  // grouped pass as conditional counts.
+  private val ShipLateDays = 30
+  def q257LateShipmentPriority(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.lineitem(s, dir)
+      .join(graft.Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >
+        col("o_orderdate") + expr(s"interval $ShipLateDays days"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).cast("bigint").as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).cast("bigint").as("low_line_count"))
+
+  // ---- q258: promo revenue share (the TPC-H Q14 shape) ----
+  // What fraction of one month's revenue came from promo parts — the
+  // conditional-sum-over-total-in-one-pass classic (the q241 ppm
+  // discipline: numerator and denominator from the SAME grouped pass,
+  // share as integer ppm so the replay is exact). Part join carries
+  // only the type flag; the month filter pushes to the fact scan.
+  def q258PromoShare(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= ts("2000-03-01 00:00:00") &&
+        col("l_shipdate") < ts("2000-04-01 00:00:00"))
+      .join(graft.Tables.part(s, dir)
+          .select(col("p_partkey"), (col("p_type") === "PROMO").as("__promo")),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("vol", cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+      .agg(
+        sum(when(col("__promo"), col("vol")).otherwise(0L)).cast("bigint")
+          .as("promo_revenue_fp"),
+        sum(col("vol")).cast("bigint").as("total_revenue_fp"))
+      .withColumn("promo_share_ppm",
+        expr("cast(cast(promo_revenue_fp as decimal(38,0)) * 1000000 " +
+          "div greatest(total_revenue_fp, 1L) as bigint)"))
+
+  // ---- q259: supplier diversity per part config (the TPC-H Q16 shape) ----
+  // "How many distinct suppliers stock each (brand, type, size)
+  // config, excluding a brand, a type, and blacklisted suppliers" —
+  // the count-distinct + NOT-IN classic. The NOT IN is a LEFT ANTI
+  // join (null-safe, distributed); the part exclusions push to the
+  // part scan; the supplier bridge is the fact's (part, supp) pairs,
+  // distinct-counted per config. The blacklist is key arithmetic
+  // (every 13th supplier) — the q205 planted-slice discipline.
+  def q259SupplierDiversity(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(graft.Tables.supplier(s, dir)
+          .filter(col("s_suppkey") % 13 === 0).select(col("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(graft.Tables.part(s, dir)
+          .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO")
+          .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q253_min_cost_supplier" -> q253MinCostSupplier _,
+    "q254_shipping_priority" -> q254ShippingPriority _,
+    "q255_product_profit" -> q255ProductProfit _,
+    "q256_returned_items" -> q256ReturnedItems _,
+    "q257_late_priority" -> q257LateShipmentPriority _,
+    "q258_promo_share" -> q258PromoShare _,
+    "q259_supplier_diversity" -> q259SupplierDiversity _,
     "q249_l_diversity" -> q249LDiversity _,
     "q240_nation_trade" -> q240NationTrade _,
     "q241_market_share" -> q241MarketShare _,
@@ -1142,6 +1342,106 @@ object Relational {
     * plans exactly (same literals, same fixed-point floors) so results
     * are bit-identical, not merely close. */
   val oracleSql: Map[String, String] = Map(
+    // the window-over-aggregate min with ties kept by equality —
+    // same one-pass formulation, no correlated subquery
+    "q253_min_cost_supplier" ->
+      s"""WITH sr AS (SELECT s_suppkey, s_name, n_name,
+         |    CAST(floor(s_acctbal * 100.0) AS BIGINT) AS acctbal_cents
+         |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey AND r_name = '$MinCostRegion'),
+         |sp AS (SELECT p_partkey, p_name FROM part
+         |  WHERE p_type = 'LARGE' AND p_size <= 10),
+         |pc AS (SELECT l_partkey, l_suppkey,
+         |    CAST(min(CAST(floor(l_extendedprice * 100.0 / l_quantity)
+         |      AS BIGINT)) AS BIGINT) AS cost_cents
+         |  FROM lineitem
+         |  WHERE l_partkey IN (SELECT p_partkey FROM sp)
+         |    AND l_suppkey IN (SELECT s_suppkey FROM sr)
+         |  GROUP BY 1, 2),
+         |w AS (SELECT l_partkey, l_suppkey, cost_cents,
+         |    min(cost_cents) OVER (PARTITION BY l_partkey) AS best FROM pc)
+         |SELECT p_partkey, p_name, s_name, n_name, acctbal_cents, cost_cents
+         |FROM w JOIN sp ON l_partkey = p_partkey
+         |JOIN sr ON l_suppkey = s_suppkey
+         |WHERE cost_cents = best""".stripMargin,
+    // the same total order replayed as ORDER BY + LIMIT
+    "q254_shipping_priority" ->
+      s"""SELECT o_orderkey, o_orderdate, o_orderpriority,
+         |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0)
+         |    AS BIGINT)) AS BIGINT) AS revenue_fp
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+         |WHERE l_shipdate > TIMESTAMP '$ShipPrioDate'
+         |  AND o_orderdate < TIMESTAMP '$ShipPrioDate'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue_fp DESC, o_orderkey ASC
+         |LIMIT 10""".stripMargin,
+    // integer profit algebra; HUGEINT accumulate mirrors the decimal
+    "q255_product_profit" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |      * 10000.0) AS BIGINT)
+        |    - CAST(floor(p_retailprice * 10000.0) AS BIGINT)
+        |      * CAST(l_quantity AS BIGINT) AS HUGEINT)) AS BIGINT) AS profit_fp
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%gear%'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2""".stripMargin,
+    // aggregate-then-join; the same deterministic top-20 cut
+    "q256_returned_items" ->
+      """WITH rev AS (SELECT o_custkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |      * 10000.0) AS BIGINT)) AS BIGINT) AS revenue_fp
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1999-07-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT c_custkey, c_name,
+        |  CAST(floor(c_acctbal * 100.0) AS BIGINT) AS acctbal_cents,
+        |  n_name, revenue_fp
+        |FROM rev JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY revenue_fp DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
+    // both tiers out of one grouped pass over the late rows
+    "q257_late_priority" ->
+      s"""SELECT l_linestatus,
+         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE l_shipdate > o_orderdate + INTERVAL $ShipLateDays DAY
+         |GROUP BY 1""".stripMargin,
+    // numerator and denominator from the same pass; HUGEINT floor-ppm
+    "q258_promo_share" ->
+      """WITH f AS (SELECT CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |      * 10000.0) AS BIGINT) AS vol,
+        |    (p_type = 'PROMO') AS promo
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '2000-03-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '2000-04-01 00:00:00')
+        |SELECT CAST(sum(CASE WHEN promo THEN vol ELSE 0 END) AS BIGINT)
+        |    AS promo_revenue_fp,
+        |  CAST(sum(vol) AS BIGINT) AS total_revenue_fp,
+        |  CAST(CAST(sum(CASE WHEN promo THEN vol ELSE 0 END) AS HUGEINT)
+        |    * 1000000 // greatest(sum(vol), 1) AS BIGINT) AS promo_share_ppm
+        |FROM f""".stripMargin,
+    // NOT IN replayed as the same anti condition; count(DISTINCT)
+    "q259_supplier_diversity" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand != 'Brand#1' AND p_type != 'PROMO'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |    WHERE s_suppkey % 13 = 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
     // the null-aware count over the left join keeps the zero bucket
     "q223_customer_distribution" ->
       """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
