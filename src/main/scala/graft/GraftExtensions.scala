@@ -18,7 +18,11 @@ import org.apache.spark.sql.types.IntegerType
   *
   * so SQL users get `get_wkb_geom_type` / `dot_fp` without calling a
   * registration API — the production packaging for cluster-wide
-  * deploys. UDF-backed functions (linearization, contours, simhash,
+  * deploys. Also installs the engine's optimizer rules
+  * ([[graft.plans.IntersectCountRewrite]]: the naive
+  * `size(array_intersect(...))` spelling compiles to the native
+  * two-pointer `inter_count` when provably safe). UDF-backed
+  * functions (linearization, contours, simhash,
   * fingerprints) still attach per session via
   * `GeoFunctions.registerAll` / `LlmFunctions.registerAll`, since
   * ScalaUDF closures cannot be installed through the extensions
@@ -27,6 +31,7 @@ import org.apache.spark.sql.types.IntegerType
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.IntersectCountRewrite)
     ext.injectFunction((
       FunctionIdentifier(graft.geo.GeoFunctions.GetWkbGeomType),
       new ExpressionInfo(classOf[WkbGeomTypeExpr].getName,
