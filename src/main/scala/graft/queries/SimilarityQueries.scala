@@ -1228,7 +1228,40 @@ object SimilarityQueries {
     cfg(1, "b8r1").unionByName(cfg(2, "b4r2"))
   }
 
+  // ---- q260: source-pair shingle overlap (the exact arm, through
+  //      the optimizer rule) ----
+  // Cross-source 3-gram set overlap, written in the NAIVE declarative
+  // spelling — `size(array_intersect(sort_array(array_distinct(..))))`
+  // — which [[graft.plans.IntersectCountRewrite]] compiles to the
+  // native two-pointer `inter_count` during optimization (the spec
+  // plan-asserts the rewrite fires here). Scale shape: the per-source
+  // sets are built from DISTINCT (source, base) rows, so the
+  // collect_list is bounded by the gram VOCABULARY per source, not
+  // the corpus — exact is affordable because this grammar's vocab is
+  // closed; at open vocabulary the q220 HLL register path is the
+  // answer and this card is its truth arm. |sources|² pairs ride a
+  // broadcast loop join (sources are a handful by construction).
+  def q260SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    val ex = graft.llm.MinHashLSH.shingleSets(docs, "doc_id", "text", ShingleN)
+      .join(docs.select(col("doc_id"),
+        coalesce(col("source"), lit("(null)")).as("source")), "doc_id")
+      .select(col("source"), explode(col("s")).as("base"))
+      .distinct()
+    val ss = graft.llm.Caches.persistTracked(
+      ex.groupBy(col("source")).agg(collect_list(col("base")).as("s")))
+    ss.as("a").join(broadcast(ss.as("b")), col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        size(col("a.s")).as("size_a"), size(col("b.s")).as("size_b"),
+        expr("size(array_intersect(sort_array(array_distinct(a.s)), " +
+          "sort_array(array_distinct(b.s))))").as("overlap"))
+      .withColumn("jaccard_fp",
+        expr("cast(floor(1000000.0 * overlap / " +
+          "greatest(size_a + size_b - overlap, 1)) as bigint)"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q260_source_overlap" -> q260SourceOverlap _,
     "q111_hybrid_rrf"   -> q111HybridRrf _,
     "q112_ann_recall"   -> q112AnnRecall _,
     "q232_retrieval_agreement" -> q232RetrievalAgreement _,
@@ -2048,6 +2081,23 @@ object SimilarityQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // the same DISTINCT (source, base) explode + per-source set;
+    // len(list_intersect) is DuckDB's spelling of the rewritten
+    // inter_count (both dedup), jaccard as the shared floor-ppm
+    "q260_source_overlap" ->
+      s"""WITH $minhashCtes,
+         |ex AS (SELECT DISTINCT coalesce(d.source, '(null)') AS source, u.base
+         |  FROM bs JOIN documents d ON bs.doc_id = d.doc_id,
+         |    unnest(bs.bases) AS u(base)),
+         |ss2 AS (SELECT source, list(base) AS s FROM ex GROUP BY 1)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  CAST(len(a.s) AS INTEGER) AS size_a,
+         |  CAST(len(b.s) AS INTEGER) AS size_b,
+         |  CAST(len(list_intersect(a.s, b.s)) AS INTEGER) AS overlap,
+         |  CAST(floor(1000000.0 * len(list_intersect(a.s, b.s))
+         |    / greatest(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 1))
+         |    AS BIGINT) AS jaccard_fp
+         |FROM ss2 a JOIN ss2 b ON a.source < b.source""".stripMargin,
     "q111_hybrid_rrf"   -> q111Sql,
     "q112_ann_recall"   -> q112Sql,
     "q232_retrieval_agreement" -> q232Sql,

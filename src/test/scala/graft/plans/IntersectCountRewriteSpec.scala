@@ -66,4 +66,19 @@ class IntersectCountRewriteSpec extends AnyFunSuite with SparkTestSession {
     assert(!ints.queryExecution.optimizedPlan.toString.contains("inter_count"))
     assert(ints.collect().map(_.getInt(0)).toSeq === Seq(1))
   }
+
+  test("q260's naive spelling compiles through the rule") {
+    val df = graft.queries.SimilarityQueries
+      .queries("q260_source_overlap")(spark, "/root/testdata/sf0.001")
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("inter_count"), s"rule did not fire in q260:\n$opt")
+    assert(!opt.toLowerCase.contains("array_intersect"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // overlap can never exceed either set
+    rows.foreach { r =>
+      val (sa, sb, ov) = (r.getInt(2), r.getInt(3), r.getInt(4))
+      assert(ov <= math.min(sa, sb) && ov >= 0)
+    }
+  }
 }
