@@ -205,4 +205,36 @@ object Sketches {
       .select(col("w"), col("n_exact"), col("n_est"),
         (col("n_est") - col("n_exact")).as("overcount"))
   }
+
+  /** Per-group log2 histogram of a non-negative integer measure:
+    * `(g, bucket, cnt)` where `bucket = length(bin(v))` — the binary
+    * digit count, i.e. `1 + floor(log2 v)` (1 for 0). Pure integer
+    * plumbing (no `log`, which is not cross-engine replayable), at
+    * most 64 buckets per group regardless of data, and the merge is
+    * sum-by-bucket — the quantile sketch a 100 TB pipeline keeps per
+    * source/day instead of sorting the corpus. */
+  def log2Histogram(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame =
+    df.select(groupCol.as("g"), length(bin(valueCol)).cast("int").as("bucket"))
+      .groupBy(col("g"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Quantile estimate read off a [[log2Histogram]]: the midpoint
+    * `((1 << (b-1)) + (1 << b) - 1) div 2` of the first bucket whose
+    * cumulative count reaches the ceil(p%·n) rank. Integer throughout;
+    * the window runs over ≤64 rows per group. Returns
+    * `(g, est_p<p>)`. */
+  def histQuantile(hist: DataFrame, totals: DataFrame, p: Int): DataFrame = {
+    require(p > 0 && p <= 100, s"p must be in (0,100], got $p")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("bucket"))
+    hist.withColumn("cum", sum(col("cnt")).over(w))
+      .join(totals.select(col("g"), col("n_docs")), Seq("g"))
+      .withColumn("k", expr(s"(n_docs * $p + 99) div 100"))
+      .filter(col("cum") >= col("k"))
+      .groupBy(col("g"))
+      .agg(min(col("bucket")).as("b"))
+      .select(col("g"), expr(
+        "(shiftleft(1L, b - 1) + shiftleft(1L, b) - 1L) div 2L")
+        .as(s"est_p$p"))
+  }
 }

@@ -2664,6 +2664,44 @@ object LlmQueries {
         col("e._2").cast("bigint").as("doc_id"))
   }
 
+  // ---- q261: log2-histogram quantile sketch vs exact truth ----
+  // Per-source token-length quantiles (p50/p90) read off a 64-bucket
+  // log2 histogram ([[graft.llm.Sketches.log2Histogram]]) next to the
+  // exact rank statistic. The histogram is the 100 TB instrument:
+  // fixed ≤64-row state per source, merges by bucket-sum across
+  // partitions/days/stores, never sorts anything; the exact arm
+  // (row_number per source — a corpus sort) is the truth this card
+  // affordably buys at oracle scale to MEASURE the sketch's error.
+  // Integer throughout — bucket = binary digit count, estimate = the
+  // bucket midpoint, rank = ceil(p%·n) — so DuckDB replays every
+  // cell bit-for-bit (the q246 discipline, no floats anywhere).
+  def q261QuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    val m = graft.llm.Caches.persistTracked(
+      docs.select(col("doc_id"),
+        coalesce(col("source"), lit("(null)")).as("g"),
+        tokenCount(col("text")).cast("bigint").as("n")))
+    val totals = graft.llm.Caches.persistTracked(
+      m.groupBy(col("g")).agg(count(lit(1)).as("n_docs")))
+    val hist = graft.llm.Sketches.log2Histogram(m, col("g"), col("n"))
+    val rn = m.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("n"), col("doc_id"))))
+    def exact(p: Int) = rn.join(totals, Seq("g"))
+      .filter(col("rn") === expr(s"(n_docs * $p + 99) div 100"))
+      .select(col("g"), col("n").as(s"exact_p$p"))
+    totals
+      .join(graft.llm.Sketches.histQuantile(hist, totals, 50), Seq("g"))
+      .join(exact(50), Seq("g"))
+      .join(graft.llm.Sketches.histQuantile(hist, totals, 90), Seq("g"))
+      .join(exact(90), Seq("g"))
+      .select(col("g").as("source"), col("n_docs"),
+        col("est_p50"), col("exact_p50"),
+        (col("est_p50") - col("exact_p50")).as("err_p50"),
+        col("est_p90"), col("exact_p90"),
+        (col("est_p90") - col("exact_p90")).as("err_p90"))
+  }
+
   // ---- q233: rendezvous reshard card (minimal-disruption proof) ----
   // q167's shardPlan is `hash % N` — add a shard and ~everything
   // moves; this card prices the alternative: rendezvous/HRW
@@ -2839,6 +2877,7 @@ object LlmQueries {
     "q250_perceptual_admission" -> q250PerceptualAdmission _,
     "q251_perceptual_admission_loaded" -> q251PerceptualAdmissionLoaded _,
     "q252_topk_agg" -> q252TopkAgg _,
+    "q261_quantile_sketch" -> q261QuantileSketch _,
     "q216_keywords" -> q216Keywords _,
     "q210_batch_waste" -> q210BatchWaste _,
     "q213_manifest_loaded" -> q213ManifestLoaded _,
@@ -4872,6 +4911,35 @@ object LlmQueries {
          |FROM ex JOIN e_h USING (src) JOIN e_d USING (src)
          |JOIN e_m USING (src) JOIN e_f USING (src)""".stripMargin
     },
+    // the same integer histogram/rank algebra: binary digit count as
+    // the bucket, bit-shift midpoints, ceil-rank via integer div
+    "q261_quantile_sketch" ->
+      s"""WITH m AS (SELECT doc_id, coalesce(source, '(null)') AS g,
+         |    CAST(len($toksSql) AS BIGINT) AS n FROM documents),
+         |t AS (SELECT g, CAST(count(*) AS BIGINT) AS n_docs FROM m GROUP BY 1),
+         |h AS (SELECT g, CAST(length(bin(n)) AS INTEGER) AS bucket,
+         |    count(*) AS cnt FROM m GROUP BY 1, 2),
+         |c AS (SELECT g, bucket,
+         |    sum(cnt) OVER (PARTITION BY g ORDER BY bucket) AS cum FROM h),
+         |r AS (SELECT g, n, row_number()
+         |    OVER (PARTITION BY g ORDER BY n, doc_id) AS rn FROM m),
+         |b50 AS (SELECT c.g, min(bucket) AS b FROM c JOIN t ON c.g = t.g
+         |  WHERE cum >= (n_docs * 50 + 99) // 100 GROUP BY 1),
+         |e50 AS (SELECT g, ((1::BIGINT << (b - 1)) + (1::BIGINT << b) - 1)
+         |    // 2 AS est_p50 FROM b50),
+         |x50 AS (SELECT r.g, n AS exact_p50 FROM r JOIN t ON r.g = t.g
+         |  AND rn = (n_docs * 50 + 99) // 100),
+         |b90 AS (SELECT c.g, min(bucket) AS b FROM c JOIN t ON c.g = t.g
+         |  WHERE cum >= (n_docs * 90 + 99) // 100 GROUP BY 1),
+         |e90 AS (SELECT g, ((1::BIGINT << (b - 1)) + (1::BIGINT << b) - 1)
+         |    // 2 AS est_p90 FROM b90),
+         |x90 AS (SELECT r.g, n AS exact_p90 FROM r JOIN t ON r.g = t.g
+         |  AND rn = (n_docs * 90 + 99) // 100)
+         |SELECT t.g AS source, n_docs, est_p50, exact_p50,
+         |  est_p50 - exact_p50 AS err_p50,
+         |  est_p90, exact_p90, est_p90 - exact_p90 AS err_p90
+         |FROM t JOIN e50 ON t.g = e50.g JOIN x50 ON t.g = x50.g
+         |JOIN e90 ON t.g = e90.g JOIN x90 ON t.g = x90.g""".stripMargin,
     // the aggregator's total order replayed as a row_number window —
     // the oracle can afford the sort the 100 TB side avoids
     "q252_topk_agg" ->

@@ -161,4 +161,45 @@ class SketchesSpec extends AnyFunSuite with SparkTestSession {
       .map(md5h32).sum % Sketches.ChecksumMod
     assert(base("s1")._3 === expect)
   }
+
+  test("log2Histogram: bucket law, slice-merge == direct, quantile containment") {
+    val rnd = new scala.util.Random(2026)
+    val values = Seq.fill(400)(rnd.nextInt(1 << rnd.nextInt(14)).toLong)
+    val df = values.zipWithIndex
+      .map { case (v, i) => (if (i % 3 == 0) "a" else "b", v, i.toLong) }
+      .toDF("g", "n", "id")
+    val hist = Sketches.log2Histogram(df, col("g"), col("n"))
+      .as[(String, Int, Long)].collect()
+    // bucket = binary digit count, and counts add up
+    assert(hist.map(_._3).sum === 400L)
+    hist.foreach { case (_, b, _) =>
+      assert(b >= 1 && b <= 14, s"bucket $b out of the value range") }
+    values.foreach { v =>
+      assert(java.lang.Long.toBinaryString(v).length ===
+        (if (v == 0) 1 else 64 - java.lang.Long.numberOfLeadingZeros(v)))
+    }
+    // histograms from disjoint slices merge by bucket-sum to the direct one
+    val slices = Seq(df.filter(col("id") % 2 === 0), df.filter(col("id") % 2 === 1))
+      .map(Sketches.log2Histogram(_, col("g"), col("n")))
+    val merged = slices.reduce(_ unionByName _)
+      .groupBy(col("g"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+      .as[(String, Int, Long)].collect().toSet
+    assert(merged === hist.toSet)
+    // estimate lands in the same bucket as the exact rank statistic
+    val totals = df.groupBy(col("g")).agg(count(lit(1)).as("n_docs"))
+    for (p <- Seq(10, 50, 90, 100)) {
+      val est = Sketches.histQuantile(
+        Sketches.log2Histogram(df, col("g"), col("n")), totals, p)
+        .as[(String, Long)].collect().toMap
+      val byG = values.zipWithIndex
+        .groupBy { case (_, i) => if (i % 3 == 0) "a" else "b" }
+      byG.foreach { case (g, vs) =>
+        val sorted = vs.map(_._1).sorted
+        val exact = sorted((vs.size * p + 99) / 100 - 1)
+        def bucket(v: Long) = java.lang.Long.toBinaryString(v).length
+        assert(bucket(est(g)) === bucket(exact),
+          s"p$p group $g: est ${est(g)} not in exact's bucket ($exact)")
+      }
+    }
+  }
 }
