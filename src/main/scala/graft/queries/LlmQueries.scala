@@ -2702,6 +2702,32 @@ object LlmQueries {
         (col("est_p90") - col("exact_p90")).as("err_p90"))
   }
 
+  // ---- q262: deterministic bottom-k sample (the reservoir at scale) ----
+  // A k-per-source uniform sample drawn WITHOUT randomness or a
+  // global sort: priority = md5 hash of the doc id, keep the k
+  // smallest via [[graft.llm.TopKAgg]] (score = −h, so the bounded
+  // aggregator's descending order is ascending-priority). This is how
+  // a 100 TB pipeline samples: k-sized map-side state per source, one
+  // aggregate shuffle of |sources|·k rows, reproducible across runs
+  // AND consistent across stores (two sites sampling the same corpus
+  // pick the same docs — no seed exchange). The same k smallest
+  // hashes double as a bottom-k distinct sketch. Oracle replays it as
+  // the window rank the aggregator avoids.
+  private val BottomkSampleK = 5
+  def q262BottomkSample(s: SparkSession, dir: String): DataFrame = {
+    val bottomk = udaf(new graft.llm.TopKAgg(BottomkSampleK))
+    graft.Tables.documents(s, dir)
+      .select(coalesce(col("source"), lit("(null)")).as("source"),
+        graft.llm.Sketches.md5Hash32(col("doc_id").cast("string")).as("h"),
+        col("doc_id"))
+      .groupBy(col("source"))
+      .agg(bottomk((-col("h")).cast("long"), col("doc_id")).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("source"), (col("i") + 1).cast("bigint").as("rank"),
+        (-col("e._1")).cast("bigint").as("h"),
+        col("e._2").cast("bigint").as("doc_id"))
+  }
+
   // ---- q233: rendezvous reshard card (minimal-disruption proof) ----
   // q167's shardPlan is `hash % N` — add a shard and ~everything
   // moves; this card prices the alternative: rendezvous/HRW
@@ -2878,6 +2904,7 @@ object LlmQueries {
     "q251_perceptual_admission_loaded" -> q251PerceptualAdmissionLoaded _,
     "q252_topk_agg" -> q252TopkAgg _,
     "q261_quantile_sketch" -> q261QuantileSketch _,
+    "q262_bottomk_sample" -> q262BottomkSample _,
     "q216_keywords" -> q216Keywords _,
     "q210_batch_waste" -> q210BatchWaste _,
     "q213_manifest_loaded" -> q213ManifestLoaded _,
@@ -4911,6 +4938,15 @@ object LlmQueries {
          |FROM ex JOIN e_h USING (src) JOIN e_d USING (src)
          |JOIN e_m USING (src) JOIN e_f USING (src)""".stripMargin
     },
+    // the hash-priority rank the bounded aggregator avoids sorting for
+    "q262_bottomk_sample" ->
+      s"""WITH p AS (SELECT coalesce(source, '(null)') AS source, doc_id,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+         |  FROM documents),
+         |r AS (SELECT source, doc_id, h, row_number() OVER (PARTITION BY source
+         |    ORDER BY h ASC, doc_id ASC) AS rank FROM p)
+         |SELECT source, CAST(rank AS BIGINT) AS rank, h, doc_id
+         |FROM r WHERE rank <= $BottomkSampleK""".stripMargin,
     // the same integer histogram/rank algebra: binary digit count as
     // the bucket, bit-shift midpoints, ceil-rank via integer div
     "q261_quantile_sketch" ->
