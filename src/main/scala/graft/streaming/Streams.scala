@@ -727,6 +727,19 @@ object Streams {
   def hllRegisters(rows: DataFrame, groupCol: String, keyCol: String): DataFrame =
     graft.llm.Sketches.hllRegisters(rows, qcol(groupCol), qcol(keyCol))
 
+  /** Streaming log2-histogram build — the continuous twin of
+    * [[graft.llm.Sketches.log2Histogram]]: the bucket grid is a pure
+    * count per (group, bucket) cell — unordered, mergeable addition —
+    * so streaming state is fixed at groups×≤64 rows however much data
+    * flows through, and [[graft.llm.Sketches.histQuantile]] reads the
+    * live grid for a running p50/p90 at any moment (the q261 batch
+    * card, continuously). Stream==batch is exact (same code path);
+    * pinned in StreamingSpec, including a quantile read off the live
+    * grid. */
+  def log2Histogram(rows: DataFrame, groupCol: String,
+      valueCol: Column): DataFrame =
+    graft.llm.Sketches.log2Histogram(rows, qcol(groupCol), valueCol)
+
   /** Streaming count-min counter build — the continuous twin of
     * [[graft.llm.Sketches.cmCounters]]: the depth×width grid is a
     * pure sum per cell, so counters accumulate across micro-batches

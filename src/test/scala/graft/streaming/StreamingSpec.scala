@@ -991,6 +991,40 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally { hllQ.stop(); cmQ.stop() }
   }
 
+  test("log2Histogram twin: bucket grid accumulates across micro-batches; " +
+      "live quantile read equals the batch card") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = (1 to 40).map(i => ("s" + i % 2, (i * 7 % 200).toLong))
+    val batch2 = (41 to 90).map(i => ("s" + i % 2, (i * 13 % 1000).toLong))
+    val all = batch1 ++ batch2
+    val in = MemoryStream[(String, Long)]
+    val q = Streams.log2Histogram(in.toDF().toDF("g", "n"), "g", col("n"))
+      .writeStream.format("memory").queryName("hist_out")
+      .outputMode("complete").start()
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      val got = spark.table("hist_out").as[(String, Int, Long)].collect().toSet
+      val want = graft.llm.Sketches.log2Histogram(
+        all.toDF("g", "n"), col("g"), col("n"))
+        .as[(String, Int, Long)].collect().toSet
+      assert(got === want)
+      assert(got.size <= 2 * 64, "grid must stay within its geometry")
+      // the live grid serves the running quantile, == the batch card's
+      val totals = all.toDF("g", "n").groupBy(col("g"))
+        .agg(count(lit(1)).as("n_docs"))
+      val live = graft.llm.Sketches.histQuantile(
+        spark.table("hist_out"), totals, 50).as[(String, Long)].collect().toSet
+      val batchQ = graft.llm.Sketches.histQuantile(
+        graft.llm.Sketches.log2Histogram(all.toDF("g", "n"), col("g"), col("n")),
+        totals, 50).as[(String, Long)].collect().toSet
+      assert(live === batchQ)
+    } finally q.stop()
+  }
+
   test("parseJsonStream: Json2Spark schema drives from_json; malformed rows flagged") {
     import spark.implicits._
     val schema = graft.schema.JsonSchemaToStruct.convert(
