@@ -206,6 +206,15 @@ object Sketches {
         (col("n_est") - col("n_exact")).as("overcount"))
   }
 
+  /** Sum-merge two count-min counter grids — the CM monoid (cells a
+    * side never touched are zero, so the union-then-sum is exact).
+    * Grids from different slices/days/stores fold together without
+    * ever seeing each other's raw tokens. */
+  def mergeCounters(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("j"), col("b"))
+      .agg(sum(col("tot")).as("tot"))
+
   /** Per-group log2 histogram of a non-negative integer measure:
     * `(g, bucket, cnt)` where `bucket = length(bin(v))` — the binary
     * digit count, i.e. `1 + floor(log2 v)` (1 for 0). Pure integer

@@ -2449,6 +2449,54 @@ object LlmQueries {
           "div greatest(n_exact, 1) as bigint)").as("err_ppm"))
   }
 
+  // ---- q263: incremental frequency counters off the SHIPPED grid ----
+  // The q246 store-boundary discipline for the OTHER sketch monoid:
+  // count-min counters for the historical corpus live as a parquet
+  // artifact (depth×width rows, written once); an arrival slice
+  // (doc_id%7, the q246 coprime split) builds its own grid and folds
+  // in by CELL SUM ([[graft.llm.Sketches.mergeCounters]]) — no raw
+  // history tokens anywhere. The card probes the full-corpus top-K
+  // tokens against all four grids: history-only, delta-only, merged,
+  // direct — merged == direct bit-for-bit (sum associativity survives
+  // the parquet round trip), and the merged estimate keeps the CM
+  // one-sided guarantee vs exact. Probes LEFT-join the grids (an
+  // absent cell is a ZERO counter — dropping it would overestimate).
+  private val CmArrivalMod = 7
+  def q263CmIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    def toks(d: DataFrame) = d
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+    val root = graft.llm.Artifacts.ensure(dir, "cm-counters-v1") { p =>
+      graft.llm.Artifacts.saveIndexFrame(s"$p/ctr",
+        graft.llm.Sketches.cmCounters(
+          toks(docs.filter(pmod(col("doc_id"), lit(CmArrivalMod)) =!= 0)),
+          CmWidth))
+    }
+    val hist = graft.llm.Artifacts.loadIndexFrame(s, s"$root/ctr")
+    val delta = graft.llm.Caches.persistTracked(
+      graft.llm.Sketches.cmCounters(
+        toks(docs.filter(pmod(col("doc_id"), lit(CmArrivalMod)) === 0)),
+        CmWidth))
+    val direct = graft.llm.Sketches.cmCounters(toks(docs), CmWidth)
+    val freq = toks(docs).groupBy(col("w")).agg(count(lit(1)).as("n_exact"))
+    val top = freq.orderBy(col("n_exact").desc, col("w").asc).limit(CmTopK)
+    val probes = graft.llm.Caches.persistTracked(
+      graft.llm.Sketches.cmSalted(top, CmWidth))
+    def est(ctr: DataFrame, name: String) =
+      probes.join(broadcast(ctr), Seq("j", "b"), "left")
+        .groupBy(col("w"), col("n_exact"))
+        .agg(min(coalesce(col("tot"), lit(0L))).as(name))
+    est(hist, "est_history")
+      .join(est(delta, "est_delta"), Seq("w", "n_exact"))
+      .join(est(graft.llm.Sketches.mergeCounters(hist, delta), "est_merged"),
+        Seq("w", "n_exact"))
+      .join(est(direct, "est_direct"), Seq("w", "n_exact"))
+      .select(col("w"), col("n_exact"), col("est_history"), col("est_delta"),
+        col("est_merged"), col("est_direct"),
+        (col("est_merged") === col("est_direct")).as("merge_exact"),
+        (col("est_merged") - col("n_exact")).as("overcount"))
+  }
+
   // ---- q247: perceptual image near-dup (dHash stability card) ----
   // q65's content key is BYTE-level: one changed pixel re-keys the
   // image and the dup group dissolves. The perceptual axis hashes
@@ -2905,6 +2953,7 @@ object LlmQueries {
     "q252_topk_agg" -> q252TopkAgg _,
     "q261_quantile_sketch" -> q261QuantileSketch _,
     "q262_bottomk_sample" -> q262BottomkSample _,
+    "q263_cm_incremental" -> q263CmIncremental _,
     "q216_keywords" -> q216Keywords _,
     "q210_batch_waste" -> q210BatchWaste _,
     "q213_manifest_loaded" -> q213ManifestLoaded _,
@@ -4938,6 +4987,48 @@ object LlmQueries {
          |FROM ex JOIN e_h USING (src) JOIN e_d USING (src)
          |JOIN e_m USING (src) JOIN e_f USING (src)""".stripMargin
     },
+    // slice counters replayed from per-token slice counts; merge =
+    // cell sum; probes LEFT-join with zero for absent cells
+    "q263_cm_incremental" ->
+      s"""WITH e AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+         |cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS n_exact FROM e GROUP BY w),
+         |hcnt AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM e
+         |  WHERE doc_id % $CmArrivalMod != 0 GROUP BY w),
+         |dcnt AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM e
+         |  WHERE doc_id % $CmArrivalMod = 0 GROUP BY w),
+         |hb AS (SELECT w, j,
+         |    ('0x' || substr(md5(w), j * 8 + 1, 8))::BIGINT % $CmWidth AS b
+         |  FROM cnt, unnest([0, 1, 2, 3]) t(j)),
+         |hctr AS (SELECT j, b, CAST(sum(hcnt.n) AS BIGINT) AS tot
+         |  FROM hb JOIN hcnt USING (w) GROUP BY j, b),
+         |dctr AS (SELECT j, b, CAST(sum(dcnt.n) AS BIGINT) AS tot
+         |  FROM hb JOIN dcnt USING (w) GROUP BY j, b),
+         |mctr AS (SELECT j, b, CAST(sum(tot) AS BIGINT) AS tot
+         |  FROM (SELECT * FROM hctr UNION ALL SELECT * FROM dctr)
+         |  GROUP BY j, b),
+         |ctr AS (SELECT j, b, CAST(sum(cnt.n_exact) AS BIGINT) AS tot
+         |  FROM hb JOIN cnt USING (w) GROUP BY j, b),
+         |top AS (SELECT w, n_exact FROM cnt
+         |  ORDER BY n_exact DESC, w ASC LIMIT $CmTopK),
+         |probe AS (SELECT top.w, top.n_exact, hb.j, hb.b
+         |  FROM top JOIN hb USING (w)),
+         |eh AS (SELECT w, n_exact, CAST(min(coalesce(hctr.tot, 0)) AS BIGINT)
+         |    AS est_history FROM probe LEFT JOIN hctr
+         |    ON probe.j = hctr.j AND probe.b = hctr.b GROUP BY 1, 2),
+         |ed AS (SELECT w, n_exact, CAST(min(coalesce(dctr.tot, 0)) AS BIGINT)
+         |    AS est_delta FROM probe LEFT JOIN dctr
+         |    ON probe.j = dctr.j AND probe.b = dctr.b GROUP BY 1, 2),
+         |em AS (SELECT w, n_exact, CAST(min(coalesce(mctr.tot, 0)) AS BIGINT)
+         |    AS est_merged FROM probe LEFT JOIN mctr
+         |    ON probe.j = mctr.j AND probe.b = mctr.b GROUP BY 1, 2),
+         |eg AS (SELECT w, n_exact, CAST(min(coalesce(ctr.tot, 0)) AS BIGINT)
+         |    AS est_direct FROM probe LEFT JOIN ctr
+         |    ON probe.j = ctr.j AND probe.b = ctr.b GROUP BY 1, 2)
+         |SELECT eh.w, eh.n_exact, est_history, est_delta, est_merged,
+         |  est_direct, (est_merged = est_direct) AS merge_exact,
+         |  est_merged - eh.n_exact AS overcount
+         |FROM eh JOIN ed ON eh.w = ed.w JOIN em ON eh.w = em.w
+         |JOIN eg ON eh.w = eg.w""".stripMargin,
     // the hash-priority rank the bounded aggregator avoids sorting for
     "q262_bottomk_sample" ->
       s"""WITH p AS (SELECT coalesce(source, '(null)') AS source, doc_id,
