@@ -727,6 +727,30 @@ object Streams {
   def hllRegisters(rows: DataFrame, groupCol: String, keyCol: String): DataFrame =
     graft.llm.Sketches.hllRegisters(rows, qcol(groupCol), qcol(keyCol))
 
+  /** Streaming deterministic bottom-k sample — the continuous twin of
+    * the q262 batch card. The same bounded [[graft.llm.TopKAgg]]
+    * aggregates md5-hash priorities per group, so streaming state is
+    * k (priority, id) pairs per group no matter how much flows
+    * through, the cut equals the batch sample over the same rows by
+    * construction (hash-derived — no RNG, no seed coordination), and
+    * the live sample reads in complete mode at any moment. The
+    * explode back to one row per kept id is a stateless projection
+    * AFTER the stateful aggregate. */
+  def sampleIngest(rows: DataFrame, groupCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val bottomk = udaf(new graft.llm.TopKAgg(k))
+    rows
+      .select(qcol(groupCol).as("g"),
+        graft.llm.Sketches.md5Hash32(qcol(idCol).cast("string")).as("h"),
+        qcol(idCol).cast("long").as("id"))
+      .groupBy(col("g"))
+      .agg(bottomk((-col("h")).cast("long"), col("id")).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("g"), (col("i") + 1).cast("bigint").as("rank"),
+        (-col("e._1")).cast("bigint").as("h"),
+        col("e._2").cast("bigint").as("id"))
+  }
+
   /** Streaming log2-histogram build — the continuous twin of
     * [[graft.llm.Sketches.log2Histogram]]: the bucket grid is a pure
     * count per (group, bucket) cell — unordered, mergeable addition —

@@ -162,6 +162,25 @@ class SketchesSpec extends AnyFunSuite with SparkTestSession {
     assert(base("s1")._3 === expect)
   }
 
+  test("mergeCounters: split-any-way cell sum equals the direct grid, parquet round trip included") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = (1 to 400).map(i => s"tok${i % 53}")
+    def ctrOf(ws: Seq[String]) =
+      Sketches.cmCounters(ws.toDF("w"), width = 64)
+    def cells(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = cells(ctrOf(rows))
+    val (a, b) = rows.zipWithIndex.partition(_._2 % 3 == 0)
+    val merged = Sketches.mergeCounters(ctrOf(a.map(_._1)), ctrOf(b.map(_._1)))
+    assert(cells(merged) === direct)
+    // the monoid survives a parquet round trip (the q263 contract)
+    val tmp = java.nio.file.Files.createTempDirectory("ctr").toString
+    ctrOf(a.map(_._1)).write.mode("overwrite").parquet(s"$tmp/a")
+    assert(cells(Sketches.mergeCounters(
+      spark.read.parquet(s"$tmp/a"), ctrOf(b.map(_._1)))) === direct)
+  }
+
   test("log2Histogram: bucket law, slice-merge == direct, quantile containment") {
     val rnd = new scala.util.Random(2026)
     val values = Seq.fill(400)(rnd.nextInt(1 << rnd.nextInt(14)).toLong)

@@ -1025,6 +1025,40 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("sampleIngest: bounded bottom-k state; live sample equals the batch cut") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = (1L to 60L).map(i => ("s" + i % 3, i))
+    val batch2 = (61L to 140L).map(i => ("s" + i % 3, i))
+    val all = batch1 ++ batch2
+    val in = MemoryStream[(String, Long)]
+    val q = Streams.sampleIngest(in.toDF().toDF("g", "id"), "g", "id", k = 4)
+      .writeStream.format("memory").queryName("sample_out")
+      .outputMode("complete").start()
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      val got = spark.table("sample_out")
+        .as[(String, Long, Long, Long)].collect().toSet
+      val want = Streams.sampleIngest(
+        all.toDF("g", "id"), "g", "id", k = 4)
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(got === want)
+      assert(got.size === 3 * 4, "k rows per group, no more")
+      // the sample is the k smallest hashes — recompute the cut in Scala
+      def h(id: Long) = java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString)
+          .substring(0, 8), 16)
+      val wantScala = all.groupBy(_._1).flatMap { case (g, rs) =>
+        rs.map { case (_, id) => (h(id), id) }.sortBy(identity).take(4)
+          .zipWithIndex.map { case ((hh, id), i) => (g, i + 1L, hh, id) }
+      }.toSet
+      assert(got === wantScala)
+    } finally q.stop()
+  }
+
   test("parseJsonStream: Json2Spark schema drives from_json; malformed rows flagged") {
     import spark.implicits._
     val schema = graft.schema.JsonSchemaToStruct.convert(
