@@ -2449,6 +2449,103 @@ object LlmQueries {
           "div greatest(n_exact, 1) as bigint)").as("err_ppm"))
   }
 
+  // ---- q264: sample-fidelity card (what the reservoir's estimates cost) ----
+  // q262 proves the deterministic bottom-k sample's MECHANISM; this
+  // prices its USE: per-source corpus statistics (mean tokens/doc,
+  // short-doc rate) estimated from a k=100 hash-priority sample next
+  // to the exact full-corpus numbers, signed error in ppm. The sample
+  // rides the same bounded aggregator (k-sized state, |sources|·k
+  // shuffle); only the k sampled ids join back to the corpus for
+  // their measures. Integer fixed-point throughout (ppm via integer
+  // div), so both engines agree bit-for-bit — the card's point is
+  // that the ERROR is measured, not assumed.
+  private val FidelityK = 100
+  private val ShortDocTok = 20
+  def q264SampleFidelity(s: SparkSession, dir: String): DataFrame = {
+    val bottomk = udaf(new graft.llm.TopKAgg(FidelityK))
+    val docs = graft.Tables.documents(s, dir)
+    val m = graft.llm.Caches.persistTracked(
+      docs.select(col("doc_id"),
+        coalesce(col("source"), lit("(null)")).as("source"),
+        tokenCount(col("text")).cast("bigint").as("n_tok")))
+    val sampleIds = m
+      .select(col("source"),
+        graft.llm.Sketches.md5Hash32(col("doc_id").cast("string")).as("h"),
+        col("doc_id"))
+      .groupBy(col("source"))
+      .agg(bottomk((-col("h")).cast("long"), col("doc_id")).as("top"))
+      .select(col("source"), explode(col("top")).as("e"))
+      .select(col("source"), col("e._2").cast("bigint").as("doc_id"))
+    def stats(d: DataFrame, prefix: String) = d
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as(s"${prefix}_n"),
+        expr("cast(cast(sum(n_tok) as decimal(38,0)) * 1000000 " +
+          "div count(1) as bigint)").as(s"${prefix}_mean_tok_fp"),
+        expr(s"cast(sum(case when n_tok < $ShortDocTok then 1 else 0 end) " +
+          s"* 1000000 div count(1) as bigint)").as(s"${prefix}_short_ppm"))
+    stats(m, "full")
+      .join(stats(sampleIds.join(m, Seq("source", "doc_id")), "smp"),
+        Seq("source"))
+      .select(col("source"), col("full_n"), col("smp_n"),
+        col("full_mean_tok_fp"), col("smp_mean_tok_fp"),
+        (col("smp_mean_tok_fp") - col("full_mean_tok_fp"))
+          .as("mean_err_fp"),
+        col("full_short_ppm"), col("smp_short_ppm"),
+        (col("smp_short_ppm") - col("full_short_ppm")).as("short_err_ppm"))
+  }
+
+  // ---- q265: hierarchical histogram rollup (grids sum up forever) ----
+  // The q128-for-histograms card: per-source log2 grids (the q261
+  // artifact shape) BUCKET-SUM into the corpus grid without touching
+  // raw rows — rolled-up == built-direct per cell, and the corpus
+  // p50/p90 read off the merged grid equals the one read off the
+  // direct grid, both next to the exact corpus rank statistic. This
+  // is why a 100 TB lake keeps per-source/per-day grids: any ancestor
+  // in the rollup tree is one 64-row sum away. The exact arm is the
+  // affordable-at-oracle-scale truth (a corpus rank); the grids are
+  // what survives at scale.
+  def q265HistRollup(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    val m = graft.llm.Caches.persistTracked(
+      docs.select(col("doc_id"),
+        coalesce(col("source"), lit("(null)")).as("g"),
+        tokenCount(col("text")).cast("bigint").as("n")))
+    val perSource = graft.llm.Sketches.log2Histogram(m, col("g"), col("n"))
+    val rolled = graft.llm.Caches.persistTracked(
+      perSource.groupBy(col("bucket"))
+        .agg(sum(col("cnt")).as("cnt")).withColumn("g", lit("corpus")))
+    val direct = graft.llm.Caches.persistTracked(
+      graft.llm.Sketches.log2Histogram(
+        m.withColumn("g", lit("corpus")), col("g"), col("n")))
+    val cells = rolled.select(col("bucket"), col("cnt").as("cnt_rolled"))
+      .join(direct.select(col("bucket"), col("cnt").as("cnt_direct")),
+        Seq("bucket"), "full")
+      .agg(count(lit(1)).cast("bigint").as("n_buckets"),
+        expr("bool_and(coalesce(cnt_rolled = cnt_direct, false))")
+          .as("cells_match"))
+    val totals = m.agg(count(lit(1)).as("n_docs"))
+      .withColumn("g", lit("corpus"))
+    def est(h: DataFrame, name: String) =
+      graft.llm.Sketches.histQuantile(h, totals, 50)
+        .select(col("est_p50").as(s"${name}_p50"))
+        .crossJoin(graft.llm.Sketches.histQuantile(h, totals, 90)
+          .select(col("est_p90").as(s"${name}_p90")))
+    val rn = m.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1)).orderBy(col("n"), col("doc_id"))))
+    def exact(p: Int) = rn.crossJoin(broadcast(totals.select(col("n_docs"))))
+      .filter(col("rn") === expr(s"(n_docs * $p + 99) div 100"))
+      .select(col("n").as(s"exact_p$p"))
+    cells
+      .crossJoin(est(rolled, "rolled"))
+      .crossJoin(est(direct, "direct"))
+      .crossJoin(exact(50))
+      .crossJoin(exact(90))
+      .select(col("n_buckets"), col("cells_match"),
+        col("rolled_p50"), col("direct_p50"), col("exact_p50"),
+        col("rolled_p90"), col("direct_p90"), col("exact_p90"))
+  }
+
   // ---- q263: incremental frequency counters off the SHIPPED grid ----
   // The q246 store-boundary discipline for the OTHER sketch monoid:
   // count-min counters for the historical corpus live as a parquet
@@ -2954,6 +3051,8 @@ object LlmQueries {
     "q261_quantile_sketch" -> q261QuantileSketch _,
     "q262_bottomk_sample" -> q262BottomkSample _,
     "q263_cm_incremental" -> q263CmIncremental _,
+    "q264_sample_fidelity" -> q264SampleFidelity _,
+    "q265_hist_rollup" -> q265HistRollup _,
     "q216_keywords" -> q216Keywords _,
     "q210_batch_waste" -> q210BatchWaste _,
     "q213_manifest_loaded" -> q213ManifestLoaded _,
@@ -4987,6 +5086,72 @@ object LlmQueries {
          |FROM ex JOIN e_h USING (src) JOIN e_d USING (src)
          |JOIN e_m USING (src) JOIN e_f USING (src)""".stripMargin
     },
+    // the sample replayed as the hash-priority window rank; stats in
+    // HUGEINT/decimal fixed point with the same integer divisions
+    "q264_sample_fidelity" ->
+      s"""WITH m AS (SELECT doc_id, coalesce(source, '(null)') AS source,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tok FROM documents),
+         |r AS (SELECT source, doc_id, row_number() OVER (PARTITION BY source
+         |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |      ASC, doc_id ASC) AS rk FROM m),
+         |smp AS (SELECT m.source, m.doc_id, m.n_tok FROM r
+         |  JOIN m ON r.source = m.source AND r.doc_id = m.doc_id
+         |  WHERE rk <= $FidelityK),
+         |fs AS (SELECT source, CAST(count(*) AS BIGINT) AS full_n,
+         |    CAST(CAST(sum(n_tok) AS HUGEINT) * 1000000 // count(*) AS BIGINT)
+         |      AS full_mean_tok_fp,
+         |    CAST(CAST(sum(CASE WHEN n_tok < $ShortDocTok THEN 1 ELSE 0 END)
+         |      AS HUGEINT) * 1000000 // count(*) AS BIGINT) AS full_short_ppm
+         |  FROM m GROUP BY 1),
+         |ss AS (SELECT source, CAST(count(*) AS BIGINT) AS smp_n,
+         |    CAST(CAST(sum(n_tok) AS HUGEINT) * 1000000 // count(*) AS BIGINT)
+         |      AS smp_mean_tok_fp,
+         |    CAST(CAST(sum(CASE WHEN n_tok < $ShortDocTok THEN 1 ELSE 0 END)
+         |      AS HUGEINT) * 1000000 // count(*) AS BIGINT) AS smp_short_ppm
+         |  FROM smp GROUP BY 1)
+         |SELECT source, full_n, smp_n, full_mean_tok_fp, smp_mean_tok_fp,
+         |  smp_mean_tok_fp - full_mean_tok_fp AS mean_err_fp,
+         |  full_short_ppm, smp_short_ppm,
+         |  smp_short_ppm - full_short_ppm AS short_err_ppm
+         |FROM fs JOIN ss USING (source)""".stripMargin,
+    // per-source grids bucket-summed; both quantile reads + the exact
+    // corpus rank replayed with the shared integer algebra
+    "q265_hist_rollup" ->
+      s"""WITH m AS (SELECT doc_id, coalesce(source, '(null)') AS g,
+         |    CAST(len($toksSql) AS BIGINT) AS n FROM documents),
+         |hs AS (SELECT g, CAST(length(bin(n)) AS INTEGER) AS bucket,
+         |    count(*) AS cnt FROM m GROUP BY 1, 2),
+         |rolled AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS cnt
+         |  FROM hs GROUP BY 1),
+         |direct AS (SELECT CAST(length(bin(n)) AS INTEGER) AS bucket,
+         |    CAST(count(*) AS BIGINT) AS cnt FROM m GROUP BY 1),
+         |cells AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+         |    bool_and(coalesce(r.cnt = d.cnt, FALSE)) AS cells_match
+         |  FROM rolled r FULL JOIN direct d USING (bucket)),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM m),
+         |cr AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum FROM rolled),
+         |cd AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum FROM direct),
+         |er50 AS (SELECT ((1::BIGINT << (b - 1)) + (1::BIGINT << b) - 1) // 2
+         |    AS rolled_p50 FROM (SELECT min(bucket) AS b FROM cr, t
+         |    WHERE cum >= (n_docs * 50 + 99) // 100)),
+         |er90 AS (SELECT ((1::BIGINT << (b - 1)) + (1::BIGINT << b) - 1) // 2
+         |    AS rolled_p90 FROM (SELECT min(bucket) AS b FROM cr, t
+         |    WHERE cum >= (n_docs * 90 + 99) // 100)),
+         |ed50 AS (SELECT ((1::BIGINT << (b - 1)) + (1::BIGINT << b) - 1) // 2
+         |    AS direct_p50 FROM (SELECT min(bucket) AS b FROM cd, t
+         |    WHERE cum >= (n_docs * 50 + 99) // 100)),
+         |ed90 AS (SELECT ((1::BIGINT << (b - 1)) + (1::BIGINT << b) - 1) // 2
+         |    AS direct_p90 FROM (SELECT min(bucket) AS b FROM cd, t
+         |    WHERE cum >= (n_docs * 90 + 99) // 100)),
+         |rk AS (SELECT n, doc_id, row_number() OVER (ORDER BY n, doc_id)
+         |    AS rn FROM m),
+         |x50 AS (SELECT n AS exact_p50 FROM rk, t
+         |  WHERE rn = (n_docs * 50 + 99) // 100),
+         |x90 AS (SELECT n AS exact_p90 FROM rk, t
+         |  WHERE rn = (n_docs * 90 + 99) // 100)
+         |SELECT n_buckets, cells_match, rolled_p50, direct_p50, exact_p50,
+         |  rolled_p90, direct_p90, exact_p90
+         |FROM cells, er50, ed50, x50, er90, ed90, x90""".stripMargin,
     // slice counters replayed from per-token slice counts; merge =
     // cell sum; probes LEFT-join with zero for absent cells
     "q263_cm_incremental" ->
