@@ -2449,6 +2449,45 @@ object LlmQueries {
           "div greatest(n_exact, 1) as bigint)").as("err_ppm"))
   }
 
+  // ---- q266: novelty saturation curve (when to stop crawling) ----
+  // q181 grades novelty per DOCUMENT; this grades it per ARRIVAL
+  // EPOCH: the corpus split into four id-ordered quarters, and for
+  // each epoch the distinct 13-grams it touches, how many are
+  // first-seen there, the cumulative distinct count, and the
+  // marginal-novelty ppm — the diminishing-returns curve a crawl
+  // operator reads to decide whether the next 25 TB is worth
+  // ingesting. Scale: rides the SAME persisted md5-gram frame as
+  // q179/q181; the only new work is one (gram, epoch) distinct, one
+  // gram-keyed min, and 4-row arithmetic. Epoch bounds come from an
+  // in-plan min/max broadcast — no driver scalar.
+  def q266NoveltyCurve(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    val bounds = docs.agg(min(col("doc_id")).as("__lo"),
+      max(col("doc_id")).as("__hi"))
+    def withEpoch(d: DataFrame) = d.crossJoin(broadcast(bounds))
+      .withColumn("epoch",
+        expr("least(3L, (doc_id - __lo) * 4 div (__hi - __lo + 1))"))
+    val ge = graft.llm.Caches.persistTracked(
+      withEpoch(md5GramFrame(s, dir))
+        .select(col("epoch"), explode(col("gs")).as("gk"))
+        .distinct())
+    val dE = ge.groupBy(col("epoch")).agg(count(lit(1)).as("d_e"))
+    val newE = ge.groupBy(col("gk")).agg(min(col("epoch")).as("epoch"))
+      .groupBy(col("epoch")).agg(count(lit(1)).as("new_e"))
+    val nDocs = withEpoch(docs.select(col("doc_id")))
+      .groupBy(col("epoch")).agg(count(lit(1)).as("n_docs"))
+    nDocs
+      .join(dE, Seq("epoch"), "left")
+      .join(newE, Seq("epoch"), "left")
+      .select(col("epoch"), col("n_docs"),
+        coalesce(col("d_e"), lit(0L)).as("d_e"),
+        coalesce(col("new_e"), lit(0L)).as("new_e"))
+      .withColumn("cum_distinct", sum(col("new_e")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("epoch"))))
+      .withColumn("novelty_ppm",
+        expr("new_e * 1000000 div greatest(d_e, 1L)"))
+  }
+
   // ---- q264: sample-fidelity card (what the reservoir's estimates cost) ----
   // q262 proves the deterministic bottom-k sample's MECHANISM; this
   // prices its USE: per-source corpus statistics (mean tokens/doc,
@@ -2574,8 +2613,14 @@ object LlmQueries {
       graft.llm.Sketches.cmCounters(
         toks(docs.filter(pmod(col("doc_id"), lit(CmArrivalMod)) === 0)),
         CmWidth))
-    val direct = graft.llm.Sketches.cmCounters(toks(docs), CmWidth)
-    val freq = toks(docs).groupBy(col("w")).agg(count(lit(1)).as("n_exact"))
+    // ONE full-corpus tokenize: the per-token freq aggregate feeds
+    // the exact arm, the top-K probe set AND the direct grid (a
+    // counter cell is just sum(n_exact) over the tokens hashing
+    // there — the q218 share-the-aggregate discipline)
+    val freq = graft.llm.Caches.persistTracked(
+      toks(docs).groupBy(col("w")).agg(count(lit(1)).as("n_exact")))
+    val direct = graft.llm.Sketches.cmSalted(freq, CmWidth)
+      .groupBy(col("j"), col("b")).agg(sum(col("n_exact")).as("tot"))
     val top = freq.orderBy(col("n_exact").desc, col("w").asc).limit(CmTopK)
     val probes = graft.llm.Caches.persistTracked(
       graft.llm.Sketches.cmSalted(top, CmWidth))
@@ -3052,6 +3097,7 @@ object LlmQueries {
     "q262_bottomk_sample" -> q262BottomkSample _,
     "q263_cm_incremental" -> q263CmIncremental _,
     "q264_sample_fidelity" -> q264SampleFidelity _,
+    "q266_novelty_curve" -> q266NoveltyCurve _,
     "q265_hist_rollup" -> q265HistRollup _,
     "q216_keywords" -> q216Keywords _,
     "q210_batch_waste" -> q210BatchWaste _,
@@ -5086,6 +5132,30 @@ object LlmQueries {
          |FROM ex JOIN e_h USING (src) JOIN e_d USING (src)
          |JOIN e_m USING (src) JOIN e_f USING (src)""".stripMargin
     },
+    // the shared gram chain bucketed into id-ordered quarters; first
+    // occurrence as a gram-keyed min, the curve as 4-row arithmetic
+    "q266_novelty_curve" ->
+      s"""WITH $gramCtes,
+         |b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+         |de AS (SELECT d.doc_id,
+         |    least(3, (d.doc_id - b.lo) * 4 // (b.hi - b.lo + 1)) AS epoch
+         |  FROM documents d, b),
+         |ge AS (SELECT DISTINCT de.epoch, u.gk
+         |  FROM g JOIN de ON g.doc_id = de.doc_id, unnest(g.gs) AS u(gk)),
+         |dcnt AS (SELECT epoch, CAST(count(*) AS BIGINT) AS d_e
+         |  FROM ge GROUP BY 1),
+         |ne AS (SELECT fe AS epoch, CAST(count(*) AS BIGINT) AS new_e
+         |  FROM (SELECT gk, min(epoch) AS fe FROM ge GROUP BY 1) GROUP BY 1),
+         |nd AS (SELECT epoch, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM de GROUP BY 1)
+         |SELECT CAST(nd.epoch AS BIGINT) AS epoch, n_docs,
+         |  coalesce(d_e, 0) AS d_e, coalesce(new_e, 0) AS new_e,
+         |  CAST(sum(coalesce(new_e, 0)) OVER (ORDER BY nd.epoch) AS BIGINT)
+         |    AS cum_distinct,
+         |  CAST(coalesce(new_e, 0) * 1000000
+         |    // greatest(coalesce(d_e, 0), 1) AS BIGINT) AS novelty_ppm
+         |FROM nd LEFT JOIN dcnt ON nd.epoch = dcnt.epoch
+         |LEFT JOIN ne ON nd.epoch = ne.epoch""".stripMargin,
     // the sample replayed as the hash-priority window rank; stats in
     // HUGEINT/decimal fixed point with the same integer divisions
     "q264_sample_fidelity" ->
