@@ -2449,6 +2449,40 @@ object LlmQueries {
           "div greatest(n_exact, 1) as bigint)").as("err_ppm"))
   }
 
+  // ---- q267: max-seq-len sweep (the context-length knob priced) ----
+  // Choosing a training sequence length is a two-sided loss: short L
+  // wastes capacity on padding the last chunk of every document;
+  // long L amplifies that waste on short docs (and under a
+  // truncate-don't-chunk policy, long docs LOSE tokens). This card
+  // prices both sides for three candidate lengths off ONE persisted
+  // token-count aggregate — per L: docs, tokens, chunks
+  // (ceil-division), padded slots, pad-waste ppm, and the
+  // truncation-policy loss ppm — all integer (ceil via
+  // (n + L − 1) div L, ppm via decimal-widened div), so the replay
+  // is exact. The q193/q215 sweep discipline: the knob never re-scans
+  // the corpus. q188 prices BATCH padding for one scheme; this prices
+  // the SEQUENCE-length choice itself.
+  private val SeqLens = Seq(128L, 512L, 2048L)
+  def q267SeqlenSweep(s: SparkSession, dir: String): DataFrame = {
+    val m = graft.llm.Caches.persistTracked(
+      graft.Tables.documents(s, dir)
+        .select(tokenCount(col("text")).cast("bigint").as("n")))
+    SeqLens.map { l =>
+      m.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n")).cast("bigint").as("n_tokens"),
+        sum(expr(s"(n + ${l - 1}) div $l")).cast("bigint").as("n_chunks"),
+        sum(expr(s"greatest(n - $l, 0L)")).cast("bigint").as("tokens_truncated"))
+        .select(lit(l).as("seq_len"), col("n_docs"), col("n_tokens"),
+          col("n_chunks"),
+          expr(s"cast((cast(n_chunks as decimal(38,0)) * $l - n_tokens) " +
+            s"* 1000000 div greatest(n_chunks * $l, 1L) as bigint)")
+            .as("pad_waste_ppm"),
+          expr("cast(cast(tokens_truncated as decimal(38,0)) * 1000000 " +
+            "div greatest(n_tokens, 1L) as bigint)").as("trunc_loss_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
   // ---- q266: novelty saturation curve (when to stop crawling) ----
   // q181 grades novelty per DOCUMENT; this grades it per ARRIVAL
   // EPOCH: the corpus split into four id-ordered quarters, and for
@@ -3098,6 +3132,7 @@ object LlmQueries {
     "q263_cm_incremental" -> q263CmIncremental _,
     "q264_sample_fidelity" -> q264SampleFidelity _,
     "q266_novelty_curve" -> q266NoveltyCurve _,
+    "q267_seqlen_sweep" -> q267SeqlenSweep _,
     "q265_hist_rollup" -> q265HistRollup _,
     "q216_keywords" -> q216Keywords _,
     "q210_batch_waste" -> q210BatchWaste _,
@@ -5131,6 +5166,23 @@ object LlmQueries {
          |    AS BIGINT) AS err_ppm
          |FROM ex JOIN e_h USING (src) JOIN e_d USING (src)
          |JOIN e_m USING (src) JOIN e_f USING (src)""".stripMargin
+    },
+    // the same ceil-division + HUGEINT ppm arithmetic per candidate
+    // length, three arms over one token-count CTE
+    "q267_seqlen_sweep" -> {
+      def arm(l: Long) =
+        s"""SELECT CAST($l AS BIGINT) AS seq_len,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n) AS BIGINT) AS n_tokens,
+           |  CAST(sum((n + ${l - 1}) // $l) AS BIGINT) AS n_chunks,
+           |  CAST((CAST(sum((n + ${l - 1}) // $l) AS HUGEINT) * $l - sum(n))
+           |    * 1000000 // greatest(sum((n + ${l - 1}) // $l) * $l, 1)
+           |    AS BIGINT) AS pad_waste_ppm,
+           |  CAST(CAST(sum(greatest(n - $l, 0)) AS HUGEINT) * 1000000
+           |    // greatest(sum(n), 1) AS BIGINT) AS trunc_loss_ppm
+           |FROM m""".stripMargin
+      s"""WITH m AS (SELECT CAST(len($toksSql) AS BIGINT) AS n FROM documents)
+         |${SeqLens.map(arm).mkString("\nUNION ALL\n")}""".stripMargin
     },
     // the shared gram chain bucketed into id-ordered quarters; first
     // occurrence as a gram-keyed min, the curve as 4-row arithmetic
