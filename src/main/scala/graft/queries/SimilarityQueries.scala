@@ -1260,7 +1260,52 @@ object SimilarityQueries {
           "greatest(size_a + size_b - overlap, 1)) as bigint)"))
   }
 
+  // ---- q268: vector-quality audit (the ANN-ingest gate) ----
+  // Degenerate vectors poison every similarity metric downstream
+  // (zero vectors make cosine undefined; dimension drift breaks the
+  // index contract silently), so an embedding store audits BEFORE
+  // indexing. Per label: counts of empty and all-zero vectors,
+  // dimension min/max (drift check), the norm² range, and the norm²
+  // p50 BOTH ways — estimated off the ≤64-bucket log2 grid
+  // ([[graft.llm.Sketches.histQuantile]], the instrument that scales)
+  // and exact (the rank window, the oracle-scale truth). One decode
+  // pass, persisted; everything downstream is label- or grid-sized.
+  def q268VectorAudit(s: SparkSession, dir: String): DataFrame = {
+    val m = graft.llm.Caches.persistTracked(
+      graft.Tables.embeddings(s, dir)
+        .select(col("label").cast("bigint").as("g"), col("vec_id"),
+          expr("transform(embedding, x -> cast(floor(cast(x as double) " +
+            "* 1000000.0) as bigint))").as("fp"))
+        .withColumn("dim", coalesce(size(col("fp")), lit(0)).cast("bigint"))
+        .withColumn("norm2",
+          coalesce(expr("aggregate(fp, 0L, (a, x) -> a + x * x)"), lit(0L))))
+    val totals = graft.llm.Caches.persistTracked(
+      m.groupBy(col("g")).agg(count(lit(1)).as("n_docs")))
+    val base = m.groupBy(col("g")).agg(
+      count(lit(1)).as("n_vecs"),
+      sum(when(col("dim") === 0L, 1L).otherwise(0L)).cast("bigint")
+        .as("n_empty"),
+      sum(when(col("dim") > 0L && col("norm2") === 0L, 1L).otherwise(0L))
+        .cast("bigint").as("n_zero"),
+      min(col("dim")).as("dim_min"), max(col("dim")).as("dim_max"),
+      min(col("norm2")).as("norm2_min"), max(col("norm2")).as("norm2_max"))
+    val est = graft.llm.Sketches.histQuantile(
+      graft.llm.Sketches.log2Histogram(m, col("g"), col("norm2")), totals, 50)
+    val exact = m.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+          .orderBy(col("norm2"), col("vec_id"))))
+      .join(totals, Seq("g"))
+      .filter(col("rn") === expr("(n_docs * 50 + 99) div 100"))
+      .select(col("g"), col("norm2").as("exact_p50_norm2"))
+    base.join(est, Seq("g")).join(exact, Seq("g"))
+      .select(col("g").as("label"), col("n_vecs"), col("n_empty"),
+        col("n_zero"), col("dim_min"), col("dim_max"),
+        col("norm2_min"), col("norm2_max"),
+        col("est_p50").as("est_p50_norm2"), col("exact_p50_norm2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q268_vector_audit" -> q268VectorAudit _,
     "q260_source_overlap" -> q260SourceOverlap _,
     "q111_hybrid_rrf"   -> q111HybridRrf _,
     "q112_ann_recall"   -> q112AnnRecall _,
@@ -2081,6 +2126,39 @@ object SimilarityQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // the same decode, bucket, and rank algebra; norm² as a list fold
+    "q268_vector_audit" ->
+      """WITH m AS (SELECT CAST(label AS BIGINT) AS g, vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+        |      * 1000000.0) AS BIGINT)) AS fp
+        |  FROM embeddings),
+        |d AS (SELECT g, vec_id, CAST(coalesce(len(fp), 0) AS BIGINT) AS dim,
+        |    CAST(coalesce(list_sum(list_transform(fp, x -> x * x)), 0)
+        |      AS BIGINT) AS norm2 FROM m),
+        |t AS (SELECT g, CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY 1),
+        |base AS (SELECT g, CAST(count(*) AS BIGINT) AS n_vecs,
+        |    CAST(sum(CASE WHEN dim = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+        |    CAST(sum(CASE WHEN dim > 0 AND norm2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_zero,
+        |    min(dim) AS dim_min, max(dim) AS dim_max,
+        |    min(norm2) AS norm2_min, max(norm2) AS norm2_max
+        |  FROM d GROUP BY 1),
+        |h AS (SELECT g, CAST(length(bin(norm2)) AS INTEGER) AS bucket,
+        |    count(*) AS cnt FROM d GROUP BY 1, 2),
+        |c AS (SELECT g, bucket,
+        |    sum(cnt) OVER (PARTITION BY g ORDER BY bucket) AS cum FROM h),
+        |b50 AS (SELECT c.g, min(bucket) AS b FROM c JOIN t ON c.g = t.g
+        |  WHERE cum >= (n_docs * 50 + 99) // 100 GROUP BY 1),
+        |e50 AS (SELECT g, ((1::BIGINT << (b - 1)) + (1::BIGINT << b) - 1)
+        |    // 2 AS est_p50_norm2 FROM b50),
+        |r AS (SELECT g, norm2, row_number() OVER (PARTITION BY g
+        |    ORDER BY norm2, vec_id) AS rn FROM d),
+        |x50 AS (SELECT r.g, norm2 AS exact_p50_norm2 FROM r
+        |  JOIN t ON r.g = t.g AND rn = (n_docs * 50 + 99) // 100)
+        |SELECT base.g AS label, n_vecs, n_empty, n_zero, dim_min, dim_max,
+        |  norm2_min, norm2_max, est_p50_norm2, exact_p50_norm2
+        |FROM base JOIN e50 ON base.g = e50.g
+        |JOIN x50 ON base.g = x50.g""".stripMargin,
     // the same DISTINCT (source, base) explode + per-source set;
     // len(list_intersect) is DuckDB's spelling of the rewritten
     // inter_count (both dedup), jaccard as the shared floor-ppm
