@@ -2496,8 +2496,11 @@ object LlmQueries {
   // in-plan min/max broadcast — no driver scalar.
   def q266NoveltyCurve(s: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.documents(s, dir)
-    val bounds = docs.agg(min(col("doc_id")).as("__lo"),
-      max(col("doc_id")).as("__hi"))
+    // persisted: the id-bounds scan feeds BOTH epoch assignments
+    // (gram frame and doc counts) — one column-pruned pass, not two
+    val bounds = graft.llm.Caches.persistTracked(
+      docs.agg(min(col("doc_id")).as("__lo"),
+        max(col("doc_id")).as("__hi")))
     def withEpoch(d: DataFrame) = d.crossJoin(broadcast(bounds))
       .withColumn("epoch",
         expr("least(3L, (doc_id - __lo) * 4 div (__hi - __lo + 1))"))
