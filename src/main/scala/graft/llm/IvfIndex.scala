@@ -461,10 +461,22 @@ object IvfIndex {
     * over the (bounded) pair frame; the closure iterates on skinny
     * (id, label) rows only. */
   def mutualKnnClusters(vectors: DataFrame, nLists: Int, k: Int,
-      nIter: Int = 3, maxCellSize: Int = 0): DataFrame = {
+      nIter: Int = 3, maxCellSize: Int = 0): DataFrame =
+    mutualKnnWithCodebook(vectors, fitFixedPoint(vectors, nLists, nIter),
+      k, maxCellSize)
+
+  /** The cell/pair/mutuality/closure half of [[mutualKnnClusters]]
+    * over an ALREADY-TRAINED coarse codebook — the serve-side entry a
+    * shipped artifact drives (the [[searchWithCodebook]] precedent):
+    * no Lloyd rounds, the caller prices exactly assignment + in-cell
+    * ranking + the component closure. `mutualKnnClusters` is
+    * literally this function fed by `fitFixedPoint`, so a loaded
+    * replica's clusters are byte-identical to the in-session
+    * training path. */
+  def mutualKnnWithCodebook(vectors: DataFrame,
+      centroids: Array[Array[Long]], k: Int, maxCellSize: Int = 0): DataFrame = {
     require(k > 0, "k must be positive")
     LlmFunctions.registerDotFp(vectors.sparkSession)
-    val centroids = fitFixedPoint(vectors, nLists, nIter)
     val bc = vectors.sparkSession.sparkContext.broadcast(centroids)
     val members = quantized(vectors)
       .select(col("vec_id"), cellOfUdf(bc)(col("e")).as("cell"))

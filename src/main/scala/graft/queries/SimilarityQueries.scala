@@ -1260,6 +1260,29 @@ object SimilarityQueries {
           "greatest(size_a + size_b - overlap, 1)) as bigint)"))
   }
 
+  // ---- q269: mutual-kNN clusters off the SHIPPED codebook ----
+  // q117 is the board's second-heaviest bench line BECAUSE the bench
+  // prices its k-means training every iteration (memo-clearing by
+  // design); this is the honest serve cost: the coarse codebook loads
+  // from the SAME durable artifact q225 ships
+  // (`ivfcoarse-v1-…/coarse`) and the clusters come out of
+  // [[graft.llm.IvfIndex.mutualKnnWithCodebook]] — assignment,
+  // in-cell ranking, mutuality, closure, NO Lloyd rounds. Training is
+  // deterministic fixed-point, so loaded ≡ trained byte-for-byte and
+  // the card shares q117's oracle verbatim (the q176/q236/q251
+  // precedent).
+  def q269MutualKnnLoaded(s: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+    val root = graft.llm.Artifacts.ensure(dir,
+      s"ivfcoarse-v1-l$IvfLists-i$IvfIter") { p =>
+      graft.llm.Artifacts.saveCodebook(s, p + "/coarse",
+        graft.llm.IvfIndex.fitFixedPoint(emb, IvfLists, IvfIter))
+    }
+    graft.llm.IvfIndex.mutualKnnWithCodebook(emb,
+      graft.llm.Artifacts.loadCodebook(s, root + "/coarse"), MutualK,
+      maxCellSize = SemDedupCellCap)
+  }
+
   // ---- q268: vector-quality audit (the ANN-ingest gate) ----
   // Degenerate vectors poison every similarity metric downstream
   // (zero vectors make cosine undefined; dimension drift breaks the
@@ -1314,6 +1337,7 @@ object SimilarityQueries {
     "q173_lsh_sweep"    -> q173LshSweep _,
     "q174_snm_recall"   -> q174SnmRecall _,
     "q117_mutual_knn"   -> q117MutualKnn _,
+    "q269_mutual_knn_loaded" -> q269MutualKnnLoaded _,
     "q125_ivf_balance"  -> q125IvfBalance _,
     "q21_minhash_pairs" -> q21MinhashPairs _,
     "q160_split_leakage" -> q160SplitLeakage _,
@@ -2241,6 +2265,9 @@ object SimilarityQueries {
          |${cfgSelect(2, "fwd_rev")}""".stripMargin
     },
     "q117_mutual_knn"   -> q117Sql,
+    // loaded ≡ trained byte-for-byte (deterministic fixed-point
+    // training) ⇒ the serve variant shares the oracle verbatim
+    "q269_mutual_knn_loaded" -> q117Sql,
     "q125_ivf_balance"  -> q125Sql,
     "q21_minhash_pairs" -> q21Sql,
     // q21's pair replay joined to q126's split rule, rolled up per
