@@ -2005,6 +2005,33 @@ object LlmQueries {
       "doc_id", "text", "rule_label")
   }
 
+  // ---- q270: rule distillation served from the SHIPPED counts ----
+  // q226 is a bench top-ender because it trains the distilled
+  // classifier per run; this is its honest serve cost: the (label,
+  // token) counts frame ships through the durable catalog (the q196
+  // pattern — counts are a deterministic aggregate, so loaded ≡
+  // trained byte-for-byte) and the card prices exactly label join +
+  // scoring. Shares q226's oracle verbatim.
+  def q270RuleDistillLoaded(s: SparkSession, dir: String): DataFrame = {
+    val labeled = graft.llm.Caches.persistTracked(
+      graft.llm.Sampling.hashSplit(
+        TextAnalysis.ruleFilter(graft.Tables.documents(s, dir),
+            "doc_id", "text", carryCols = Seq("text"))
+          .select(col("doc_id"), col("text"),
+            when(col("kept"), lit("keep")).otherwise(lit("drop"))
+              .as("rule_label")),
+        "doc_id", ClsTrainPct, ClsValPct))
+    val root = graft.llm.Artifacts.ensure(dir, s"nbrule-v1-p$ClsTrainPct") { p =>
+      graft.llm.Artifacts.saveIndexFrame(s"$p/counts",
+        graft.llm.NbClassifier.train(
+          labeled.filter(col("split") === "train"), "text", "rule_label"))
+    }
+    graft.llm.NbClassifier.confusionCard(
+      labeled.filter(col("split") === "test"),
+      graft.llm.Artifacts.loadIndexFrame(s, s"$root/counts"),
+      "doc_id", "text", "rule_label")
+  }
+
   // ---- q227: BPE decode + round-trip card ----
   // Encode has been on the board since q137; this adds its inverse
   // ([[graft.llm.BpeTrainer.decodeIds]] — the vocabulary joined the
@@ -3114,6 +3141,7 @@ object LlmQueries {
     "q219_temperature_sweep" -> q219TemperatureSweep _,
     "q218_more_data" -> q218MoreDataCard _,
     "q226_rule_distill" -> q226RuleDistill _,
+    "q270_rule_distill_loaded" -> q270RuleDistillLoaded _,
     "q227_bpe_roundtrip" -> q227BpeRoundtrip _,
     "q230_compute_optimal" -> q230ComputeOptimal _,
     "q231_pii_scan" -> q231PiiScan _,
@@ -3274,6 +3302,27 @@ object LlmQueries {
        |    THEN list_distinct(list_transform(range(1, len(toks) - ${ProbeGramN - 2}),
        |      i -> md5(array_to_string(toks[i:i+${ProbeGramN - 1}], ' '))))
        |    ELSE [] END AS gs FROM t)""".stripMargin
+
+  /** The q226 rule-distillation oracle — also bound to q270, whose
+    * loaded-counts replay must stay byte-identical to q226. */
+  private def q226Sql: String =
+    s"""WITH $rulesCtes,
+       |lbl AS (SELECT doc_id, CASE WHEN ($reasonsSql) = 0
+       |    THEN 'keep' ELSE 'drop' END AS label FROM rr),
+       |${nbCtesFor("spl.split = 'train'", "JOIN lbl USING (doc_id)",
+           "lbl.label")},
+       |pred AS (SELECT doc_id, lab AS label_pred FROM (
+       |    SELECT doc_id, lab, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY votes DESC, lab ASC) AS rn FROM votes) t2
+       |  WHERE rn = 1)
+       |SELECT lbl.label AS label_true,
+       |  coalesce(p.label_pred,
+       |    '${graft.llm.NbClassifier.NoEvidenceLabel}') AS label_pred,
+       |  CAST(count(*) AS BIGINT) AS n_docs
+       |FROM lbl JOIN spl USING (doc_id)
+       |LEFT JOIN pred p USING (doc_id)
+       |WHERE spl.split = 'test'
+       |GROUP BY 1, 2""".stripMargin
 
   /** The q70 incremental-dedup oracle — also bound to q175, whose
     * loaded-index replay must stay byte-identical to q70. */
@@ -4145,24 +4194,10 @@ object LlmQueries {
     // the rulesCtes verdict becomes the label CTE; the nb chain and
     // the confusion tail are the q195 spelling with the label source
     // swapped — the distillation shares every other line
-    "q226_rule_distill" ->
-      s"""WITH $rulesCtes,
-         |lbl AS (SELECT doc_id, CASE WHEN ($reasonsSql) = 0
-         |    THEN 'keep' ELSE 'drop' END AS label FROM rr),
-         |${nbCtesFor("spl.split = 'train'", "JOIN lbl USING (doc_id)",
-             "lbl.label")},
-         |pred AS (SELECT doc_id, lab AS label_pred FROM (
-         |    SELECT doc_id, lab, row_number() OVER (PARTITION BY doc_id
-         |      ORDER BY votes DESC, lab ASC) AS rn FROM votes) t2
-         |  WHERE rn = 1)
-         |SELECT lbl.label AS label_true,
-         |  coalesce(p.label_pred,
-         |    '${graft.llm.NbClassifier.NoEvidenceLabel}') AS label_pred,
-         |  CAST(count(*) AS BIGINT) AS n_docs
-         |FROM lbl JOIN spl USING (doc_id)
-         |LEFT JOIN pred p USING (doc_id)
-         |WHERE spl.split = 'test'
-         |GROUP BY 1, 2""".stripMargin,
+    "q226_rule_distill" -> q226Sql,
+    // loaded ≡ trained byte-for-byte (deterministic counts frame
+    // through the durable catalog) ⇒ shares the oracle verbatim
+    "q270_rule_distill_loaded" -> q226Sql,
     // tf, df, the digit-length idf, and the per-doc rank replayed
     "q216_keywords" ->
       s"""WITH e AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
