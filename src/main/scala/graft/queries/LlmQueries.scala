@@ -2639,11 +2639,13 @@ object LlmQueries {
     def exact(p: Int) = rn.crossJoin(broadcast(totals.select(col("n_docs"))))
       .filter(col("rn") === expr(s"(n_docs * $p + 99) div 100"))
       .select(col("n").as(s"exact_p$p"))
+    // every arm is ONE row; broadcast them so the plan reads as
+    // BroadcastNestedLoopJoin, never a CartesianProduct
     cells
-      .crossJoin(est(rolled, "rolled"))
-      .crossJoin(est(direct, "direct"))
-      .crossJoin(exact(50))
-      .crossJoin(exact(90))
+      .crossJoin(broadcast(est(rolled, "rolled")))
+      .crossJoin(broadcast(est(direct, "direct")))
+      .crossJoin(broadcast(exact(50)))
+      .crossJoin(broadcast(exact(90)))
       .select(col("n_buckets"), col("cells_match"),
         col("rolled_p50"), col("direct_p50"), col("exact_p50"),
         col("rolled_p90"), col("direct_p90"), col("exact_p90"))
