@@ -2476,6 +2476,60 @@ object LlmQueries {
           "div greatest(n_exact, 1) as bigint)").as("err_ppm"))
   }
 
+  // ---- q271: store-consistency audit (is the shipped state stale?) ----
+  // Every loaded-artifact query (q175/q236/q246/q251/q263/q269/q270)
+  // TRUSTS that the store matches the corpus; this is the audit that
+  // checks it: for each index family, row count and the q155
+  // commutative checksum computed from the LOADED artifact next to
+  // the same pair rebuilt from the corpus — equal iff the store is
+  // fresh, under ANY partitioning or row order on either side. A
+  // build-changed-without-a-version-bump artifact (the documented
+  // staleness hazard) fails here LOUDLY instead of silently serving
+  // wrong bytes. Cost: the rebuild arms are the artifacts' own build
+  // passes; the loaded arms are index-sized scans; everything meets
+  // only in one-row aggregates.
+  def q271StoreAudit(s: SparkSession, dir: String): DataFrame = {
+    graft.llm.Fingerprint.register(s) // the native cdc_cuts expression
+    val docs = graft.Tables.documents(s, dir)
+    val fpRoot = graft.llm.Artifacts.ensure(dir, "fp-index-v1") { p =>
+      graft.llm.Artifacts.saveFingerprintIndex(p + "/index",
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+          .select(col("doc_id"), Dedup.fingerprintOrEmpty(col("text")).as("fp")))
+    }
+    val cdcRoot = graft.llm.Artifacts.ensure(dir, "cdc-index-v1") { p =>
+      graft.llm.Artifacts.saveIndexFrame(s"$p/chunks",
+        graft.llm.Fingerprint.cdcChunkFrame(
+            docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), "doc_id", "text")
+          .select(col("ck")).distinct())
+    }
+    def audit(family: String, loaded: DataFrame, rebuilt: DataFrame,
+        fields: Seq[org.apache.spark.sql.Column]): DataFrame = {
+      def side(d: DataFrame, p: String) = d
+        .select(graft.llm.Sketches.integrityHash(fields).as("h"))
+        .agg(count(lit(1)).cast("bigint").as(s"n_$p"),
+          expr("cast(sum(cast(h as decimal(38,0))) % " +
+            s"${graft.llm.Sketches.ChecksumMod}L as bigint)")
+            .as(s"checksum_$p"))
+      side(loaded, "loaded").crossJoin(broadcast(side(rebuilt, "rebuilt")))
+        .select(lit(family).as("family"), col("n_loaded"), col("n_rebuilt"),
+          col("checksum_loaded"), col("checksum_rebuilt"),
+          (col("n_loaded") === col("n_rebuilt") &&
+            col("checksum_loaded") === col("checksum_rebuilt"))
+            .as("consistent"))
+    }
+    audit("fp-index",
+      graft.llm.Artifacts.loadFingerprintIndex(s, fpRoot + "/index"),
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        .select(col("doc_id"), Dedup.fingerprintOrEmpty(col("text")).as("fp")),
+      Seq(col("doc_id").cast("string"), col("fp")))
+      .unionByName(audit("cdc-index",
+        graft.llm.Artifacts.loadIndexFrame(s, s"$cdcRoot/chunks"),
+        graft.llm.Fingerprint.cdcChunkFrame(
+            docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), "doc_id", "text")
+          .select(col("ck")).distinct(),
+        Seq(col("ck"))))
+  }
+
   // ---- q267: max-seq-len sweep (the context-length knob priced) ----
   // Choosing a training sequence length is a two-sided loss: short L
   // wastes capacity on padding the last chunk of every document;
@@ -3166,6 +3220,7 @@ object LlmQueries {
     "q264_sample_fidelity" -> q264SampleFidelity _,
     "q266_novelty_curve" -> q266NoveltyCurve _,
     "q267_seqlen_sweep" -> q267SeqlenSweep _,
+    "q271_store_audit" -> q271StoreAudit _,
     "q265_hist_rollup" -> q265HistRollup _,
     "q216_keywords" -> q216Keywords _,
     "q210_batch_waste" -> q210BatchWaste _,
@@ -5207,6 +5262,29 @@ object LlmQueries {
          |FROM ex JOIN e_h USING (src) JOIN e_d USING (src)
          |JOIN e_m USING (src) JOIN e_f USING (src)""".stripMargin
     },
+    // both sides of each family replayed from the corpus (a healthy
+    // store's loaded arm IS the rebuild); q70's fp spelling, the cdc
+    // ck chain, and the q155 checksum verbatim
+    "q271_store_audit" ->
+      s"""WITH $cdcCkCtes,
+         |fpb AS (SELECT doc_id,
+         |    md5(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))) AS fp
+         |  FROM documents WHERE doc_id % 10 != 0),
+         |fph AS (SELECT ('0x' || substr(md5(concat_ws(chr(1),
+         |    CAST(doc_id AS VARCHAR), fp)), 1, 8))::BIGINT AS h FROM fpb),
+         |fpa AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(h) % ${graft.llm.Sketches.ChecksumMod} AS BIGINT) AS c
+         |  FROM fph),
+         |cix AS (SELECT DISTINCT ck FROM ck WHERE doc_id % 10 != 0),
+         |cih AS (SELECT ('0x' || substr(md5(ck), 1, 8))::BIGINT AS h FROM cix),
+         |cia AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(h) % ${graft.llm.Sketches.ChecksumMod} AS BIGINT) AS c
+         |  FROM cih)
+         |SELECT 'fp-index' AS family, n AS n_loaded, n AS n_rebuilt,
+         |  c AS checksum_loaded, c AS checksum_rebuilt, true AS consistent
+         |FROM fpa
+         |UNION ALL
+         |SELECT 'cdc-index', n, n, c, c, true FROM cia""".stripMargin,
     // the same ceil-division + HUGEINT ppm arithmetic per candidate
     // length, three arms over one token-count CTE
     "q267_seqlen_sweep" -> {
