@@ -188,10 +188,13 @@ object Artifacts {
   /** Train-once guard over [[rootFor]]: if `name`'s completion marker
     * exists the saved artifact is served untouched; otherwise
     * `train` runs into a UNIQUE TEMP SIBLING directory that is
-    * atomically renamed into place — a concurrent session that
-    * already saw the marker can never observe a half-written
-    * directory, because the published path is only ever created by
-    * one rename of a fully-trained tree (marker included). A train
+    * atomically renamed into place — the published path only ever
+    * appears via one rename of a fully-trained tree (marker
+    * included), and a stale marker-less tree is cleared by an atomic
+    * move-aside (re-checking the marker first, and moving a tree
+    * straight back if a concurrent publish landed inside the window),
+    * never a delete-in-place a concurrent reader could watch lose
+    * files. A train
     * lambda that writes nothing fails the publish outright instead of
     * marking an empty artifact. Hyperparameters (and an algorithm
     * version) belong IN `name` — a changed parameter must key a
@@ -206,8 +209,31 @@ object Artifacts {
     if (!marker.exists()) {
       parent.mkdirs()
       // a directory without its marker is a crashed or interrupted
-      // publish — clear it so the rename target is free
-      if (dir.exists()) deleteRecursively(dir)
+      // publish — free the rename target by moving the stale tree
+      // ASIDE atomically, never deleting in place: a concurrent
+      // session's publish rename can land between the marker check
+      // and a recursive delete, and a reader already handed `dir`
+      // must never watch a complete artifact lose files mid-read.
+      // If the moved tree turns out to carry the marker (a publish
+      // landed in exactly that window), put it straight back and
+      // serve it.
+      if (dir.exists() && !marker.exists()) {
+        val asideParent = java.nio.file.Files.createTempDirectory(
+          parent.toPath, s".$name-stale-")
+        val aside = asideParent.resolve("d")
+        val moved =
+          try {
+            java.nio.file.Files.move(dir.toPath, aside,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            true
+          } catch { case _: java.nio.file.FileSystemException => false }
+        if (moved && new java.io.File(aside.toFile, "_TRAINED").exists())
+          java.nio.file.Files.move(aside, dir.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        deleteRecursively(asideParent.toFile)
+      }
+    }
+    if (!marker.exists()) {
       val tmp = java.nio.file.Files.createTempDirectory(
         parent.toPath, s".$name-train-").toFile
       try {

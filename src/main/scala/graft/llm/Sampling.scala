@@ -319,10 +319,15 @@ object Sampling {
     require(nShards > 0, "nShards must be positive")
     val k = graft.Names.quoted(keyCol)
     def w(x: String) = s"md5(concat(cast($k as string), ':', cast($x as string)))"
-    expr(s"""aggregate(sequence(0, ${nShards - 1}),
+    // hash each (key, shard) weight ONCE: materialize the weights via
+    // transform, then fold for the argmax — the CASE otherwise
+    // re-evaluates the md5 in both its condition and its result arm,
+    // doubling the per-row hash work of the hot path
+    expr(s"""aggregate(
+      transform(sequence(0, ${nShards - 1}),
+        x -> named_struct('h', ${w("x")}, 's', x)),
       named_struct('h', cast('' as string), 's', cast(-1 as int)),
-      (acc, x) -> CASE WHEN ${w("x")} > acc.h
-        THEN named_struct('h', ${w("x")}, 's', x) ELSE acc END).s""")
+      (acc, e) -> CASE WHEN e.h > acc.h THEN e ELSE acc END).s""")
   }
 
   /** Capped-proportional (water-filling) budget allocation: split an

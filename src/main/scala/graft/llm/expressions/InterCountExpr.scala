@@ -48,8 +48,12 @@ case class InterCountExpr(left: Expression, right: Expression) extends BinaryExp
 object InterCountExpr {
   /** Two-pointer merge over sorted ArrayData (called from both the
     * interpreted and generated paths). Null elements cannot occur in
-    * the producing pipeline (shingle_bases emits containsNull=false);
-    * a defensive skip keeps them from miscounting if they do. */
+    * the producing pipeline (shingle_bases emits containsNull=false),
+    * but the app-wide optimizer rule can rewrite USER SQL over
+    * nullable-element arrays — and Spark's `array_intersect` counts a
+    * null shared by both sides exactly once. `sort_array(asc)` places
+    * nulls first and `array_distinct` keeps at most one, so a shared
+    * null is a shared head: count it like any other match. */
   def count(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements()
     val nb = b.numElements()
@@ -57,7 +61,8 @@ object InterCountExpr {
     var j = 0
     var c = 0
     while (i < na && j < nb) {
-      if (a.isNullAt(i)) { i += 1 }
+      if (a.isNullAt(i) && b.isNullAt(j)) { c += 1; i += 1; j += 1 }
+      else if (a.isNullAt(i)) { i += 1 }
       else if (b.isNullAt(j)) { j += 1 }
       else {
         val va = a.getLong(i)

@@ -27,8 +27,13 @@ import graft.llm.expressions.InterCountExpr
   * constant — is not provable plan-locally and is left alone), and
   * demands non-legacy `size` semantics (`legacySizeOfNull = false`,
   * the Spark 3+ default: NULL input → NULL, matching inter_count's
-  * null-safe eval; legacy -1 would diverge). The sort itself is NOT
-  * elided — inter_count consumes the sorted arrays.
+  * null-safe eval; legacy -1 would diverge). Nullable ELEMENTS are
+  * safe too: `array_intersect` counts a null present on both sides
+  * once, and `InterCountExpr.count` matches that exactly (ascending
+  * sort places the at-most-one distinct null at the head of each
+  * side, where the walk counts it like any other shared value). The
+  * sort itself is NOT elided — inter_count consumes the sorted
+  * arrays.
   *
   * Registered via `GraftExtensions.injectOptimizerRule`, so the
   * rewrite applies to every session of the application.

@@ -2687,12 +2687,23 @@ object LlmQueries {
         .select(col("est_p50").as(s"${name}_p50"))
         .crossJoin(graft.llm.Sketches.histQuantile(h, totals, 90)
           .select(col("est_p90").as(s"${name}_p90")))
-    val rn = m.withColumn("rn", row_number().over(
-      org.apache.spark.sql.expressions.Window
-        .partitionBy(lit(1)).orderBy(col("n"), col("doc_id"))))
-    def exact(p: Int) = rn.crossJoin(broadcast(totals.select(col("n_docs"))))
-      .filter(col("rn") === expr(s"(n_docs * $p + 99) div 100"))
-      .select(col("n").as(s"exact_p$p"))
+    // Exact corpus rank via the [[graft.llm.Robust.cutoffsFp]]
+    // spelling: aggregate to per-value counts FIRST (frame bounded by
+    // DISTINCT token counts, never corpus rows), then one cumulative
+    // window over the skinny aggregate. The value at rank r under an
+    // (n, doc_id) total order is exactly the smallest n whose
+    // cumulative count reaches r — no corpus-sized single-task sort.
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cumByValue = graft.llm.Caches.persistTracked(
+      m.groupBy(col("n")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wCum)))
+    def exact(p: Int) = cumByValue
+      .crossJoin(broadcast(totals.select(col("n_docs"))))
+      .filter(col("cum") >= expr(s"(n_docs * $p + 99) div 100"))
+      .agg(min(col("n")).as(s"exact_p$p"))
     // every arm is ONE row; broadcast them so the plan reads as
     // BroadcastNestedLoopJoin, never a CartesianProduct
     cells

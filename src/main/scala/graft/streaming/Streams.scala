@@ -34,6 +34,15 @@ private[streaming] case class SeenState(seen: Boolean, maxTsMs: Long)
   */
 object Streams {
 
+  /** Production default for [[classifyIngest]]'s vocabulary cap: the
+    * 2²⁰ highest-total-count token types. At ~100 B per map entry
+    * that bounds the broadcast vote map near 100 MB — safe on any
+    * driver — while sitting far above the train vocabulary of every
+    * tested corpus, so default routing stays batch-exact there. A
+    * 10⁸-type multilingual crawl hits the cap instead of the driver;
+    * uncapped is an explicit `maxVocab = 0` opt-in. */
+  val DefaultMaxVocab: Int = 1 << 20
+
   private def cents4(c: Column): Column =
     floor(c * lit(10000.0)).cast("bigint")
 
@@ -398,10 +407,12 @@ object Streams {
     * whenever the train vocabulary fits the cap (pinned in
     * StreamingSpec); above it, only rare-type votes can move — and
     * under add-one smoothing a rare type's winner is usually the
-    * default class anyway. The default (0) collects the full
-    * vocabulary — the batch-exact setting for any tested corpus. */
+    * default class anyway. The DEFAULT is [[DefaultMaxVocab]] — the
+    * bound is on unless a caller explicitly passes 0 (uncapped, the
+    * batch-exact opt-in for corpora known to fit the driver). */
   def classifyIngest(stream: DataFrame, counts: DataFrame,
-      idCol: String, textCol: String, maxVocab: Int = 0): DataFrame = {
+      idCol: String, textCol: String,
+      maxVocab: Int = DefaultMaxVocab): DataFrame = {
     val spark = stream.sparkSession
     val verdictsDf = graft.llm.NbClassifier.tokenVerdicts(counts)
     val keep =

@@ -210,4 +210,38 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkTestSession {
       assert(fns.contains(f), s"$f missing after Graft.registerAll")
     }
   }
+
+  test("q265's windows all run over pre-aggregated frames, never corpus rows") {
+    // the exact-percentile arm must use the Robust.cutoffsFp spelling:
+    // groupBy(value).count FIRST, then one cumulative window over the
+    // distinct-value frame. A Window whose subtree has no aggregate
+    // would be sorting corpus rows in one task — the exact plan shape
+    // this repo's 100 TB rule forbids
+    val q = SparkEntry.queries("q265_hist_rollup")(
+      spark, "/root/testdata/sf0.001")
+    val nodes = graft.PlanNodes.all(q.queryExecution.executedPlan)
+    val windows = nodes.filter(_.nodeName.contains("Window"))
+    assert(windows.nonEmpty, "q265 should still carry cumulative windows")
+    // recurse through AQE wrappers AND cached frames: a persistTracked
+    // aggregate shows up as an InMemoryTableScan leaf whose aggregate
+    // lives in the relation's cachedPlan
+    def descendants(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val below = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          Seq(im.relation.cachedPlan)
+        case other => other.children
+      }
+      below.flatMap(c => c +: descendants(c))
+    }
+    windows.foreach { w =>
+      assert(descendants(w).exists(_.nodeName.contains("Aggregate")),
+        s"Window over a non-aggregated (corpus-sized) frame:\n${w.toString.take(800)}")
+    }
+    // and the old single-task spelling is gone for good
+    assert(!q.queryExecution.executedPlan.toString.contains("row_number"),
+      "q265 must not rank corpus rows")
+  }
 }

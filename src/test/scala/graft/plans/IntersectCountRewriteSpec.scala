@@ -44,6 +44,24 @@ class IntersectCountRewriteSpec extends AnyFunSuite with SparkTestSession {
     assert(df.collect().forall(_.isNullAt(0)))
   }
 
+  test("null ELEMENTS shared by both sides count once, matching array_intersect") {
+    // user SQL over nullable-element arrays must see identical results
+    // with and without the rewrite: Spark's size(array_intersect)
+    // counts a shared null exactly once, and so must inter_count
+    import spark.implicits._
+    val df = Seq(
+      (Seq[Option[Long]](Some(3L), None, Some(1L), None),
+        Seq[Option[Long]](None, Some(3L), Some(4L))),    // {null,3} = 2
+      (Seq[Option[Long]](None), Seq[Option[Long]](Some(1L))), // one-sided null = 0
+      (Seq[Option[Long]](None), Seq[Option[Long]](None)))     // null-only = 1
+      .toDF("a", "b").repartition(2)
+      .select(expr(Naive).as("n"))
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("inter_count"),
+      s"rule should fire on nullable-element BIGINT arrays:\n$opt")
+    assert(df.collect().map(_.getInt(0)).toSeq.sorted === Seq(0, 1, 2))
+  }
+
   test("unprovable spellings are left alone") {
     // bare columns: sortedness not provable plan-locally
     val bare = arrays.select(expr("size(array_intersect(a, b))").as("n"))

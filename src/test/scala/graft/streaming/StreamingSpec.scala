@@ -408,6 +408,15 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(run(vocabSize, "classify_cap_full") ===
       run(0, "classify_uncapped"),
       "a cap covering the whole train vocabulary must not move any vote")
+    // the production DEFAULT is capped — the 10⁸-type bound is ON
+    // unless a caller explicitly opts out with 0 — and, sitting above
+    // this corpus's vocabulary, the default path routes batch-exact
+    assert(Streams.DefaultMaxVocab > 0,
+      "classifyIngest must default to a bounded vocabulary")
+    assert(Streams.DefaultMaxVocab >= vocabSize)
+    assert(run(Streams.DefaultMaxVocab, "classify_cap_default") ===
+      run(0, "classify_uncapped2"),
+      "the default cap must be exact on a corpus whose vocab fits it")
     // cap = 1: only the most-frequent type ('le', 5 occurrences) keeps
     // its winner; every other type votes the smoothing default — the
     // bound is real, not a no-op
