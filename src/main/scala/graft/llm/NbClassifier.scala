@@ -59,6 +59,18 @@ object NbClassifier {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** [[train]] over a PRE-EXPLODED `(label, w)` token frame — the
+    * share-one-explode entry point: a multi-slice card (q218)
+    * tokenizes the corpus ONCE and counts every slice in ONE
+    * aggregate by riding the slice tag through `extraKeys`, instead
+    * of re-tokenizing (or re-aggregating) per variant. Per slice the
+    * counts are spec-pinned equal to [[train]]. */
+  def trainFromTokens(tokens: DataFrame,
+      extraKeys: Seq[String] = Nil): DataFrame =
+    tokens.filter(col("label").isNotNull)
+      .groupBy((extraKeys.map(col) :+ col("label")) :+ col("w"): _*)
+      .agg(count(lit(1)).as("cnt"))
+
   /** Delta-training: counts are a commutative monoid under per-cell
     * addition, so a shipped artifact extends with a new labeled batch
     * WITHOUT re-reading the old corpus — `merge(train(A), train(B))`
@@ -70,48 +82,82 @@ object NbClassifier {
       .groupBy(col("label"), col("w"))
       .agg(sum(col("cnt")).cast("bigint").as("cnt"))
 
-  /** Smoothed fixed-point class score — the one spelling both the
-    * winner table and the unseen-token default run through. */
-  private def scoreFp: Column =
-    expr(s"cast((cast(cnt + 1 as decimal(38,0)) * $ScaleFp) " +
-      "div (tot + v) as bigint)")
-
-  /** Per-class token totals + smoothing denominator constants,
-    * re-derived from the counts artifact: ≤ |classes| rows with the
-    * train vocabulary size cross-joined on. */
-  private def totalsWithV(counts: DataFrame): DataFrame =
-    counts.groupBy(col("label"))
+  /** Per-variant class constants folded to ONE array row per variant:
+    * `(variant, labs: array<struct<label, tot, v>>)` — |classes| is
+    * dozens at most, so the whole thing broadcasts by construction.
+    * `sort_array` makes the collected order deterministic. */
+  private def labelConsts(countsAll: DataFrame): DataFrame =
+    countsAll.groupBy(col("variant"), col("label"))
       .agg(sum(col("cnt")).cast("bigint").as("tot"))
-      .crossJoin(counts.select(countDistinct(col("w")).as("v")))
+      .join(countsAll.groupBy(col("variant"))
+        .agg(countDistinct(col("w")).as("v")), Seq("variant"))
+      .groupBy(col("variant"))
+      .agg(sort_array(collect_list(
+        struct(col("label"), col("tot"), col("v")))).as("labs"))
+
+  /** Row-local argmax of the smoothed fixed-point score over the
+    * broadcast `labs` constants, given this row's PRESENT (label,
+    * cnt) pairs: each label's score is
+    * `(cnt+1)·10⁹ div (tot+v)` in decimal(38,0), absent labels score
+    * with cnt = 0, ties break label-ascending. One fold per row over
+    * ≤ |classes| elements — no zero-cell grid, no join-back, no
+    * per-class expansion of the vocab frame. */
+  private def argmaxOverLabs(presentSql: String): Column =
+    expr(s"""aggregate(
+      transform(labs, x -> named_struct(
+        's', cast((cast(aggregate(filter($presentSql,
+                p -> p.label = x.label),
+              cast(0 as bigint), (a, p) -> a + p.cnt) + 1
+            as decimal(38,0)) * $ScaleFp)
+          div (x.tot + x.v) as bigint),
+        'l', x.label)),
+      named_struct('s', cast(null as bigint), 'l', cast(null as string)),
+      (acc, e) -> CASE WHEN acc.l IS NULL OR e.s > acc.s
+        OR (e.s = acc.s AND e.l < acc.l) THEN e ELSE acc END).l""")
+
+  /** The winner tables for a TAGGED union of trained counts frames:
+    * `(variant, w, label_pred)` — one (variant, w) aggregate over the
+    * counts (collecting each token's present labels), one broadcast
+    * of the class constants, one row-local argmax. This is the whole
+    * verdict pipeline: no distinct-grid, no join-back, k variants in
+    * the same two shuffles as one. `consts` is [[labelConsts]] of the
+    * SAME frame, passed in so a caller that also needs the defaults
+    * builds it once. */
+  private def verdictsForVariants(countsAll: DataFrame,
+      consts: DataFrame): DataFrame =
+    countsAll.groupBy(col("variant"), col("w"))
+      .agg(collect_list(struct(col("label"), col("cnt"))).as("present"))
+      .join(broadcast(consts), Seq("variant"))
+      .select(col("variant"), col("w"),
+        argmaxOverLabs("present").as("label_pred"))
+
+  /** The unseen-token default per variant: the same argmax with NO
+    * present labels — `1·10⁹ div (tot_c + |V|)`, i.e. the class with
+    * the smallest training mass, ties → smallest label. One row per
+    * variant WITH trained counts (empty counts → no row). */
+  private def defaultsForVariants(consts: DataFrame): DataFrame =
+    consts.select(col("variant"),
+      argmaxOverLabs(
+        "cast(array() as array<struct<label: string, cnt: bigint>>)")
+        .as("label_dflt"))
+
+  private def tagged(counts: DataFrame): DataFrame =
+    counts.select(lit("").as("variant"), col("label"), col("w"),
+      col("cnt").cast("bigint").as("cnt"))
 
   /** The winner table: for every token TYPE in the train vocabulary,
     * the class maximizing the smoothed score (ties → smallest label).
     * Vocab-sized — this is what makes corpus scoring one join. */
   def tokenVerdicts(counts: DataFrame): DataFrame = {
-    val cells = counts.select(col("w")).distinct()
-      .crossJoin(broadcast(totalsWithV(counts)))
-      .join(counts, Seq("w", "label"), "left")
-      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
-      .withColumn("score_fp", scoreFp)
-    cells.withColumn("__rn", row_number().over(
-        Window.partitionBy(col("w"))
-          .orderBy(col("score_fp").desc, col("label").asc)))
-      .filter(col("__rn") === 1)
-      .select(col("w"), col("label").as("label_pred"))
+    val t = tagged(counts)
+    verdictsForVariants(t, labelConsts(t)).drop("variant")
   }
 
   /** The class an UNSEEN token votes for: argmax of the pure
     * smoothing score `1·10⁹ div (tot_c + |V|)` — i.e. the class with
     * the smallest training mass, ties → smallest label. One row. */
   def defaultVerdict(counts: DataFrame): DataFrame =
-    totalsWithV(counts)
-      .withColumn("cnt", lit(0L))
-      .withColumn("score_fp", scoreFp)
-      // TakeOrdered over ≤ |classes| rows (the topVocab shape) — a
-      // global window here would warn and single-partition the stage
-      .orderBy(col("score_fp").desc, col("label").asc)
-      .limit(1)
-      .select(col("label").as("label_dflt"))
+    defaultsForVariants(labelConsts(tagged(counts))).drop("variant")
 
   /** The corpus-side term-frequency frame `(doc_id, w, tf)` predict
     * scores against — public so a card comparing several trained
@@ -169,22 +215,75 @@ object NbClassifier {
       .withColumn("lab", coalesce(col("label_pred"), col("label_dflt")))
       .groupBy(col("doc_id"), col("lab"))
       .agg(sum(col("tf")).as("votes"))
-    // both windows share the doc_id partition key → ONE shuffle, one
-    // window stage; the doc total rides along instead of re-reading
-    // `votes` through a second aggregate consumer
+    // the doc total AND the majority come out of one doc_id hash
+    // aggregate (min_by over the (-votes, lab) struct = exactly the
+    // (votes desc, lab asc) tie-break) — no sort, no window stage
     val pred = votes
-      .withColumn("__nt",
-        sum(col("votes")).over(Window.partitionBy(col("doc_id"))))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("doc_id"))
-          .orderBy(col("votes").desc, col("lab").asc)))
-      .filter(col("__rn") === 1)
-      .select(col("doc_id"), col("lab").as("__lab"),
-        col("__nt").cast("bigint").as("__nt"),
-        col("votes").cast("bigint").as("__tv"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("votes")).cast("bigint").as("__nt"),
+        min_by(struct(col("lab").as("l"), col("votes").as("v")),
+          struct((col("votes") * -1L).as("nv"), col("lab"))).as("__w"))
+      .select(col("doc_id"), col("__w.l").as("__lab"),
+        col("__nt"), col("__w.v").cast("bigint").as("__tv"))
     docIds.select(col("doc_id"))
       .join(pred, Seq("doc_id"), "left")
       .select(col("doc_id"),
+        coalesce(col("__lab"), lit(NoEvidenceLabel)).as("label_pred"),
+        coalesce(col("__nt"), lit(0L)).as("n_tokens"),
+        coalesce(expr("cast(cast(__tv as decimal(38,0)) * 1000000 " +
+          "div greatest(__nt, 1L) as bigint)"), lit(0L)).as("share_ppm"))
+  }
+
+  /** [[predictFromTf]] for SEVERAL trained variants in ONE corpus-side
+    * pass — the multi-variant-card shape (q218), where scoring k
+    * variants must cost one tf join, not k: the per-variant winner
+    * tables are tagged and unioned (a vocab-sized frame), each tf row
+    * fans out over the tiny broadcast (variant, default) frame, the
+    * union is joined ONCE on (variant, w), and every majority comes
+    * out of one (variant, doc_id) shuffle. Per variant the output is
+    * row-for-row [[predictFromTf]] (spec-pinned): same votes, same
+    * tie-break, same no-evidence handling — `variant` is just a tag
+    * column riding every key. */
+  def predictVariantsFromTf(docIds: DataFrame, tf: DataFrame,
+      variants: Seq[(String, DataFrame)]): DataFrame = {
+    require(variants.nonEmpty, "need at least one trained variant")
+    val s = docIds.sparkSession
+    // tag + union the trained counts, then run the verdict pipeline
+    // ONCE over the tagged frame ([[verdictsForVariants]]) — k
+    // variants in one totals aggregate, one winner aggregate, zero
+    // extra stages. No persist here: callers hand in already-persisted
+    // counts, and a union over cached vocab-sized frames is cheaper to
+    // recompute than to materialize again
+    val countsAll =
+      variants.map { case (name, counts) =>
+        counts.select(lit(name).as("variant"), col("label"), col("w"),
+          col("cnt").cast("bigint").as("cnt"))
+      }.reduce(_.unionByName(_))
+    val consts = labelConsts(countsAll)
+    val verdictsAll = verdictsForVariants(countsAll, consts)
+    // one row per variant, NULL default when its counts are empty —
+    // the same NULL-carrying left join predictFromTf's literal row
+    // provides, spelled over the variant-name local relation
+    import s.implicits._
+    val names = variants.map(_._1).toDF("variant")
+    val dflts = names.join(defaultsForVariants(consts),
+      Seq("variant"), "left")
+    val votes = tf.crossJoin(broadcast(dflts))
+      .join(verdictsAll, Seq("variant", "w"), "left")
+      .withColumn("lab", coalesce(col("label_pred"), col("label_dflt")))
+      .groupBy(col("variant"), col("doc_id"), col("lab"))
+      .agg(sum(col("tf")).as("votes"))
+    val pred = votes
+      .groupBy(col("variant"), col("doc_id"))
+      .agg(sum(col("votes")).cast("bigint").as("__nt"),
+        min_by(struct(col("lab").as("l"), col("votes").as("v")),
+          struct((col("votes") * -1L).as("nv"), col("lab"))).as("__w"))
+      .select(col("variant"), col("doc_id"), col("__w.l").as("__lab"),
+        col("__nt"), col("__w.v").cast("bigint").as("__tv"))
+    docIds.select(col("doc_id"))
+      .crossJoin(broadcast(names))
+      .join(pred, Seq("variant", "doc_id"), "left")
+      .select(col("variant"), col("doc_id"),
         coalesce(col("__lab"), lit(NoEvidenceLabel)).as("label_pred"),
         coalesce(col("__nt"), lit(0L)).as("n_tokens"),
         coalesce(expr("cast(cast(__tv as decimal(38,0)) * 1000000 " +

@@ -111,6 +111,44 @@ class NbClassifierSpec extends AnyFunSuite with SparkTestSession {
       "the share-one-tokenize entry point must be plan-sugar only")
   }
 
+  test("trainFromTokens: pre-exploded slice equals train exactly") {
+    import graft.llm.{NbClassifier => NB}
+    val direct = NB.train(labeled, "text", "lang")
+      .collect().map(_.toString).sorted.toSeq
+    val exploded = labeled.select(
+      col("lang").cast("string").as("label"),
+      explode(graft.llm.TextAnalysis.tokens(col("text"))).as("w"))
+    val shared = NB.trainFromTokens(exploded)
+      .collect().map(_.toString).sorted.toSeq
+    assert(shared === direct,
+      "the share-one-explode entry point must be plan-sugar only")
+  }
+
+  test("predictVariantsFromTf: per variant row-for-row equal to predictFromTf") {
+    import spark.implicits._
+    import graft.llm.{NbClassifier => NB}
+    val base = NB.train(labeled, "text", "lang")
+    // a genuinely different second variant: only the fr rows trained
+    val frOnly = NB.train(labeled.filter(col("lang") === "fr"), "text", "lang")
+    // and a degenerate third: EMPTY counts (the NULL-default shape)
+    val empty = NB.train(labeled.filter(lit(false)), "text", "lang")
+    val eval = Seq(
+      NbDoc(20L, "cat fish", "en"), NbDoc(21L, "chien chat", "fr"),
+      NbDoc(22L, "zzz qqq", "en"), NbDoc(23L, "", "fr")).toDF()
+    val ids = eval.select(col("doc_id"))
+    val tf = NB.termFrequencies(eval, "doc_id", "text")
+    val variants = Seq("base" -> base, "fr_only" -> frOnly, "none" -> empty)
+    val onePass = NB.predictVariantsFromTf(ids, tf, variants)
+    variants.foreach { case (name, counts) =>
+      val single = NB.predictFromTf(ids, tf, counts)
+        .collect().map(_.toString).sorted.toSeq
+      val tagged = onePass.filter(col("variant") === name).drop("variant")
+        .collect().map(_.toString).sorted.toSeq
+      assert(tagged === single,
+        s"variant '$name' must match its single-variant scoring exactly")
+    }
+  }
+
   test("confusionCard: every eval doc lands in exactly one cell") {
     import spark.implicits._
     val counts = NbClassifier.train(labeled, "text", "lang")
