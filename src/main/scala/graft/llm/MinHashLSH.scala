@@ -138,18 +138,99 @@ object MinHashLSH {
     * Also the internal first stage of [[candidatePairsFromSets]], so
     * the shipped index and the in-session pair generator can never
     * disagree about what a band IS. */
+  /** The (band_id → band_key) array for a set column `sCol` — the ONE
+    * spelling of what a band IS, shared by [[bandIndexFromSets]] and
+    * [[fuzzyAdmission]] so the shipped index and the arrival side can
+    * never disagree about banding. */
+  private def bandKeysExpr(sCol: String, numHashes: Int,
+      rowsPerBand: Int): Column = {
+    require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
+    val numBands = numHashes / rowsPerBand
+    expr(
+      s"""transform(sequence(0, ${numBands - 1}),
+         |  b -> concat_ws('|', transform(
+         |    slice(minhash_sigs($sCol, $numHashes), b * $rowsPerBand + 1, $rowsPerBand),
+         |    x -> cast(x as string))))""".stripMargin)
+  }
+
   def bandIndexFromSets(sets: DataFrame, numHashes: Int,
       rowsPerBand: Int): DataFrame = {
-    require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
     LlmFunctions.registerMinHashSigs(sets.sparkSession)
-    val numBands = numHashes / rowsPerBand
-    val mh = sets.select(col("doc_id"), expr(s"minhash_sigs(s, $numHashes)").as("mh"))
-    val bandKey = expr(
-      s"""transform(sequence(0, ${numBands - 1}),
-         |  b -> concat_ws('|', transform(slice(mh, b * $rowsPerBand + 1, $rowsPerBand),
-         |    x -> cast(x as string))))""".stripMargin)
-    mh.select(col("doc_id"),
-      posexplode(bandKey).as(Seq("band_id", "band_key")))
+    sets.select(col("doc_id"),
+      posexplode(bandKeysExpr("s", numHashes, rowsPerBand))
+        .as(Seq("band_id", "band_key")))
+  }
+
+  /** Near-dup ADMISSION of an arrival batch against the SHIPPED
+    * signature index — the q175 serve contract lifted from exact to
+    * fuzzy: `corpusBands` and `corpusSets` are the LOADED artifact
+    * (built once by [[bandIndexFromSets]]/[[shingleSets]], capped and
+    * saved via [[graft.llm.Artifacts]]); arrivals shingle and band
+    * themselves ROW-LOCALLY, candidates come from one equi-join on
+    * (band_id, band_key) — the corpus is never re-tokenized — and
+    * each candidate verifies with the exact `inter_count` Jaccard
+    * between the arrival's fresh set and the SHIPPED corpus set.
+    *
+    * One row per arrival: `(doc_id, n_candidates, n_near_dups,
+    * best_match, best_jaccard_fp, status)` — status `near_dup` iff
+    * any candidate verifies at `minJaccardFp`; candidate-less
+    * arrivals carry NULL best columns.
+    *
+    * STREAMING-SAFE BY CONSTRUCTION — [[graft.streaming.Streams
+    * .fuzzyIngest]] runs this very function on a streaming frame:
+    * no persist, no distinct, no window, no universe self-join (the
+    * arrival's row survives through `posexplode_outer` + left joins
+    * even with no bands or no matches), and the single aggregate
+    * uses duplicate-invariant spellings (`collect_set` sizes, max,
+    * null-last min_by) so pairs sharing several bands count once
+    * without a streaming-unsupported DISTINCT. Per-arrival state is
+    * bounded by bands × bucket cap, never corpus size.
+    *
+    * Skew guard: cap the corpus bands AT INDEX BUILD ([[capBuckets]]
+    * before saving) — an arrival contributes one row per band, so
+    * the stream side cannot skew a bucket by itself; the arrival's
+    * shingle set rides the band explode (bands × set ints, bounded
+    * by the arrival batch, never the corpus). */
+  def fuzzyAdmission(arrivals: DataFrame, idCol: String, textCol: String,
+      corpusBands: DataFrame, corpusSets: DataFrame, shingleN: Int,
+      numHashes: Int, rowsPerBand: Int, minJaccardFp: Long): DataFrame = {
+    LlmFunctions.registerInterCount(arrivals.sparkSession)
+    LlmFunctions.registerShingleBases(arrivals.sparkSession)
+    LlmFunctions.registerMinHashSigs(arrivals.sparkSession)
+    val aSets = shingleSets(arrivals, idCol, textCol, shingleN)
+    val aBands = aSets.select(col("doc_id"), col("s").as("__sa"),
+      posexplode_outer(bandKeysExpr("s", numHashes, rowsPerBand))
+        .as(Seq("band_id", "band_key")))
+    val ver = aBands
+      .join(corpusBands.select(col("doc_id").as("corpus_doc"),
+        col("band_id"), col("band_key")), Seq("band_id", "band_key"), "left")
+      .join(corpusSets.select(col("doc_id").as("corpus_doc"),
+        col("s").as("__sb")), Seq("corpus_doc"), "left")
+      .select(col("doc_id"), col("corpus_doc"),
+        expr("inter_count(__sa, __sb)").as("__i"), col("__sa"), col("__sb"))
+      .select(col("doc_id"), col("corpus_doc"), expr(
+        """cast(floor(1000000.0 * cast(__i as double)
+          |  / cast(size(__sa) + size(__sb) - __i as double)) as bigint)"""
+          .stripMargin).as("jfp"))
+    ver.groupBy(col("doc_id"))
+      .agg(
+        size(collect_set(col("corpus_doc"))).cast("bigint")
+          .as("n_candidates"),
+        size(collect_set(when(col("jfp") >= minJaccardFp,
+          col("corpus_doc")))).cast("bigint").as("n_near_dups"),
+        // null-LAST ordering: an arrival whose bands partly missed
+        // carries (null corpus_doc, null jfp) rows in the same group;
+        // nulls-first struct ordering would elect one of those as the
+        // "best" match over a real candidate
+        min_by(col("corpus_doc"), struct(
+          coalesce(col("jfp") * -1L, lit(Long.MaxValue)).as("nj"),
+          coalesce(col("corpus_doc"), lit(Long.MaxValue)).as("cd")))
+          .as("best_match"),
+        max(col("jfp")).as("best_jaccard_fp"))
+      .select(col("doc_id"), col("n_candidates"), col("n_near_dups"),
+        col("best_match"), col("best_jaccard_fp"),
+        when(col("n_near_dups") > 0L, lit("near_dup"))
+          .otherwise(lit("unique")).as("status"))
   }
 
   def candidatePairsFromSets(sets: DataFrame, numHashes: Int, rowsPerBand: Int,

@@ -154,6 +154,51 @@ object SimilarityQueries {
         (coalesce(col("n_candidates"), lit(0L)) > 0L).as("likely_dup"))
   }
 
+  // ---- q272: fuzzy admission from the SHIPPED signature index ----
+  // q194 told an arrival which corpus docs it MAY duplicate; this is
+  // the full near-dup admission gate a crawler actually runs: the
+  // corpus's band index AND shingle sets ship once through the
+  // durable catalog (bands capped at build — the skew guard rides in
+  // the artifact), and each arrival is banded fresh, probed by one
+  // equi-join, and VERIFIED with the exact inter_count Jaccard
+  // against the loaded sets — near-dups byte-dedup can never catch
+  // (the ' graft'-suffixed plants) verify at ~0.9 Jaccard while the
+  // exact re-uploads verify at 1.0, and clean arrivals pass with
+  // zero candidates. The corpus is never re-tokenized per batch.
+  // [[graft.streaming.Streams.fuzzyIngest]] runs the SAME function
+  // at ingest time (stream == batch pinned in StreamingSpec).
+  private val AdmitCap = 32
+  private val AdmitMinJaccardFp = 500000L
+  private def fuzzyArrivals(docs: DataFrame): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(9)) === 0 &&
+          pmod(col("doc_id"), lit(10)) =!= 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" graft")).as("text")))
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(17)) === 0 &&
+          pmod(col("doc_id"), lit(10)) =!= 0)
+        .select((col("doc_id") + 4000000L).as("doc_id"), col("text")))
+
+  def q272FuzzyAdmission(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    val root = graft.llm.Artifacts.ensure(dir,
+        s"minhash-index-v1-n$NumHashes-r1-s$ShingleN-c$AdmitCap") { p =>
+      val sets = MinHashLSH.shingleSets(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        "doc_id", "text", ShingleN)
+      graft.llm.Artifacts.saveIndexFrame(p + "/sets", sets)
+      graft.llm.Artifacts.saveIndexFrame(p + "/bands",
+        MinHashLSH.capBuckets(
+          MinHashLSH.bandIndexFromSets(sets, NumHashes, 1),
+          Seq("band_id", "band_key"), AdmitCap))
+    }
+    MinHashLSH.fuzzyAdmission(fuzzyArrivals(docs), "doc_id", "text",
+      graft.llm.Artifacts.loadIndexFrame(s, root + "/bands"),
+      graft.llm.Artifacts.loadIndexFrame(s, root + "/sets"),
+      ShingleN, NumHashes, 1, AdmitMinJaccardFp)
+  }
+
   // ---- q191: dedup-weighted token budget ----
   // What the training budget looks like under each dedup policy, per
   // source: raw tokens, representative-only tokens (keep the lowest
@@ -1375,6 +1420,7 @@ object SimilarityQueries {
     "q190_cluster_split" -> q190ClusterSplit _,
     "q191_dedup_budget" -> q191DedupBudget _,
     "q194_incremental_neardup" -> q194IncrementalNearDup _,
+    "q272_fuzzy_admission" -> q272FuzzyAdmission _,
     "q197_semantic_leakage" -> q197SemanticLeakage _,
     "q198_label_agreement" -> q198LabelAgreement _,
     "q203_knn_impute" -> q203KnnImpute _,
@@ -1394,10 +1440,12 @@ object SimilarityQueries {
     "CASE WHEN length(trim(text)) = 0 THEN [] " +
       "ELSE string_split_regex(trim(text), '\\s+') END"
 
-  /** Shared minhash CTE chain ending in `bands(doc_id, band_id,
-    * band_key)` + `sets(doc_id, s)` — the q21/q48/q49 oracles differ
-    * only in how bands become candidate pairs. */
-  private val minhashCtes = {
+  /** The minhash CTE chain over an arbitrary `(doc_id, text)`
+    * relation, CTE names prefixed so two differently-sourced sides
+    * (e.g. q272's mutated arrivals vs the indexed corpus) coexist in
+    * one query; ends in `${pfx}bands(doc_id, band_id, band_key)` +
+    * `${pfx}sets(doc_id, s)`. */
+  private def minhashChainOver(rel: String, pfx: String): String = {
     val shSql =
       s"""CASE WHEN len(toks) >= $ShingleN
          | THEN list_transform(range(1, len(toks) - ${ShingleN - 2}),
@@ -1408,17 +1456,23 @@ object SimilarityQueries {
       val (a, b) = graft.llm.MinHashLSH.seedParams(k)
       s"list_min(list_transform(bases, v -> (v * $a + $b) % $p))"
     }.mkString(", ")
-    s"""base AS (SELECT doc_id, $toksSql AS toks FROM documents),
-       |sh AS (SELECT doc_id, $shSql AS sh FROM base),
-       |bs AS (SELECT doc_id, sh, list_transform(sh,
-       |  s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % $p) AS bases FROM sh),
-       |mh AS (SELECT doc_id, [$minExprs] AS mh FROM bs),
-       |bands AS (SELECT doc_id, b AS band_id,
+    s"""${pfx}base AS (SELECT doc_id, $toksSql AS toks FROM $rel),
+       |${pfx}sh AS (SELECT doc_id, $shSql AS sh FROM ${pfx}base),
+       |${pfx}bs AS (SELECT doc_id, sh, list_transform(sh,
+       |  s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % $p) AS bases FROM ${pfx}sh),
+       |${pfx}mh AS (SELECT doc_id, [$minExprs] AS mh FROM ${pfx}bs),
+       |${pfx}bands AS (SELECT doc_id, b AS band_id,
        |  array_to_string(list_transform(mh[(b + 1):(b + 1)],
        |    x -> CAST(x AS VARCHAR)), '|') AS band_key
-       |  FROM mh, unnest(range(0, $NumHashes)) AS u(b)),
-       |sets AS (SELECT doc_id, list_distinct(bases) AS s FROM bs)""".stripMargin
+       |  FROM ${pfx}mh, unnest(range(0, $NumHashes)) AS u(b)),
+       |${pfx}sets AS (SELECT doc_id, list_distinct(bases) AS s FROM ${pfx}bs)"""
+      .stripMargin
   }
+
+  /** Shared minhash CTE chain ending in `bands(doc_id, band_id,
+    * band_key)` + `sets(doc_id, s)` — the q21/q48/q49 oracles differ
+    * only in how bands become candidate pairs. */
+  private val minhashCtes = minhashChainOver("documents", "")
 
   private def jaccardSelect(aCol: String, bCol: String): String =
     s"""SELECT $aCol, $bCol,
@@ -2418,6 +2472,50 @@ object SimilarityQueries {
     "q92_ivfadc"        -> q92Sql,
     // loaded-codebook serve path is byte-identical ⇒ shares q92's oracle
     "q176_ivfadc_loaded" -> q92Sql,
+    // the corpus side reuses the shared chain (unmutated text),
+    // capped exactly like the shipped index; the arrival side runs
+    // the same chain over the mutated fixture; candidates verify
+    // with exact Jaccard and aggregate duplicate-invariantly
+    "q272_fuzzy_admission" ->
+      s"""WITH $minhashCtes,
+         |arr AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL SELECT doc_id + 3000000 AS doc_id, text || ' graft' AS text
+         |    FROM documents WHERE doc_id % 9 = 0 AND doc_id % 10 != 0
+         |  UNION ALL SELECT doc_id + 4000000 AS doc_id, text
+         |    FROM documents WHERE doc_id % 17 = 0 AND doc_id % 10 != 0),
+         |${minhashChainOver("arr", "arr_")},
+         |cb AS (SELECT doc_id AS corpus_doc, band_id, band_key FROM (
+         |    SELECT doc_id, band_id, band_key,
+         |      count(*) OVER (PARTITION BY band_id, band_key) AS bc
+         |    FROM bands WHERE doc_id % 10 != 0) t
+         |  WHERE bc <= $AdmitCap),
+         |cs AS (SELECT doc_id AS corpus_doc, s FROM sets WHERE doc_id % 10 != 0),
+         |cand AS (SELECT DISTINCT a.doc_id, cb.corpus_doc
+         |  FROM arr_bands a JOIN cb USING (band_id, band_key)),
+         |ver AS (SELECT cand.doc_id, cand.corpus_doc,
+         |    CAST(floor(1000000.0
+         |      * CAST(len(list_intersect(sa.s, cs.s)) AS DOUBLE)
+         |      / CAST(len(sa.s) + len(cs.s)
+         |          - len(list_intersect(sa.s, cs.s)) AS DOUBLE)) AS BIGINT)
+         |      AS jfp
+         |  FROM cand JOIN arr_sets sa ON cand.doc_id = sa.doc_id
+         |  JOIN cs ON cand.corpus_doc = cs.corpus_doc),
+         |a1 AS (SELECT doc_id,
+         |    CAST(count(DISTINCT corpus_doc) AS BIGINT) AS n_candidates,
+         |    CAST(count(DISTINCT CASE WHEN jfp >= $AdmitMinJaccardFp
+         |      THEN corpus_doc END) AS BIGINT) AS n_near_dups,
+         |    max(jfp) AS best_jaccard_fp FROM ver GROUP BY 1),
+         |a2 AS (SELECT a1.doc_id, min(ver.corpus_doc) AS best_match
+         |  FROM a1 JOIN ver ON a1.doc_id = ver.doc_id
+         |    AND ver.jfp = a1.best_jaccard_fp GROUP BY 1)
+         |SELECT arr.doc_id,
+         |  CAST(coalesce(a1.n_candidates, 0) AS BIGINT) AS n_candidates,
+         |  CAST(coalesce(a1.n_near_dups, 0) AS BIGINT) AS n_near_dups,
+         |  a2.best_match, a1.best_jaccard_fp,
+         |  CASE WHEN coalesce(a1.n_near_dups, 0) > 0 THEN 'near_dup'
+         |    ELSE 'unique' END AS status
+         |FROM arr LEFT JOIN a1 USING (doc_id) LEFT JOIN a2 USING (doc_id)"""
+        .stripMargin,
     // the shared bands CTE sliced into corpus/batch sides, candidate
     // counts per arrival, clean arrivals at zero
     "q194_incremental_neardup" ->

@@ -586,6 +586,25 @@ object Streams {
           "div greatest(total_bytes, 1L) as bigint)"))
   }
 
+  /** Streaming fuzzy (near-dup) admission — q272's gate at ingest
+    * time: each arriving document shingles and bands ITSELF
+    * row-locally, probes the LOADED corpus band index by stream-static
+    * equi-join, verifies every candidate with the exact `inter_count`
+    * Jaccard against the shipped shingle sets, and reports one
+    * admission row per arrival. This IS
+    * [[graft.llm.MinHashLSH.fuzzyAdmission]] — one implementation,
+    * streaming-safe by construction (no distinct, no window, one
+    * duplicate-invariant aggregate), so stream and batch verdicts
+    * cannot drift (pinned in StreamingSpec). Corpus state stays a
+    * static frame (broadcast or shuffled by size) — never stream
+    * state, never a driver map; run with update/complete output mode
+    * (the admission row for an arrival is an aggregate). */
+  def fuzzyIngest(stream: DataFrame, idCol: String, textCol: String,
+      corpusBands: DataFrame, corpusSets: DataFrame, shingleN: Int,
+      numHashes: Int, minJaccardFp: Long): DataFrame =
+    graft.llm.MinHashLSH.fuzzyAdmission(stream, idCol, textCol,
+      corpusBands, corpusSets, shingleN, numHashes, 1, minJaccardFp)
+
   /** Streaming perceptual-dedup meter — q247's dHash at upload time:
     * each arriving image payload decodes row-locally
     * ([[graft.llm.Multimodal.dHashBits]], the SAME kernel as the

@@ -1034,6 +1034,48 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("fuzzyIngest: streamed near-dup admission equals the batch gate; " +
+      "edited copies verify, fresh docs pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // indexed corpus: two long-ish docs + one short one
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "spark engines shuffle partitions across executors for wide joins"),
+      (3L, "tiny doc")).toDF("doc_id", "text")
+    val sets = graft.llm.MinHashLSH.shingleSets(corpus, "doc_id", "text", 3)
+    val bands = graft.llm.MinHashLSH.bandIndexFromSets(sets, 8, 1)
+    val arrivals = Seq(
+      // edited copy of doc 1 (one appended word — byte-dedup blind)
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (11L, "spark engines shuffle partitions across executors for wide joins"), // exact
+      (12L, "completely unrelated sentence about marine biology and corals"),
+      (13L, ""))                                                                 // empty
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.fuzzyIngest(in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", bands, sets, shingleN = 3, numHashes = 8,
+        minJaccardFp = 500000L)
+      .writeStream.format("memory").queryName("fuzzy_out")
+      .outputMode("complete").start()
+    try {
+      in.addData(arrivals: _*)
+      q.processAllAvailable()
+      def shape(df: org.apache.spark.sql.DataFrame) = df
+        .collect().map(_.toSeq).toSeq.sortBy(_.head.asInstanceOf[Long])
+      val got = shape(spark.table("fuzzy_out"))
+      val batch = shape(graft.llm.MinHashLSH.fuzzyAdmission(
+        arrivals.toDF("doc_id", "text"), "doc_id", "text",
+        bands, sets, 3, 8, 1, 500000L))
+      assert(got === batch, "stream must equal the batch gate exactly")
+      val byId = got.map(r => r.head -> r).toMap
+      assert(byId(10L)(5) === "near_dup", "edited copy must verify")
+      assert(byId(10L)(3) === 1L, "edited copy's best match is doc 1")
+      assert(byId(11L)(4) === 1000000L, "exact copy verifies at Jaccard 1")
+      assert(byId(12L)(5) === "unique", "fresh doc must pass")
+      assert(byId(13L).size === 6, "empty-text arrival still gets a row")
+    } finally q.stop()
+  }
+
   test("sampleIngest: bounded bottom-k state; live sample equals the batch cut") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
