@@ -351,6 +351,63 @@ object Dedup {
     labels.toDF("doc_id", "cluster_id")
   }
 
+  /** INCREMENTAL connected-components maintenance: fold an arrival
+    * batch into an EXISTING clustering without re-running the full
+    * loop over history — the crawl-cadence answer to "q38 recomputes
+    * the closure on any change".
+    *
+    * Inputs: `existing` = (doc_id, cluster_id), a correct min-label
+    * clustering (every cluster_id is the smallest member id — what
+    * [[connectedComponents]] produces); `newDocs` = (doc_id) arrival
+    * vertices, ids NOT present in `existing`; `newEdges` =
+    * (doc_a, doc_b) links discovered for the batch — each endpoint
+    * may be an old id or a new one (new↔old, new↔new, and late
+    * old↔old evidence all fold in).
+    *
+    * How: components TOUCHED by the delta (clusters owning any edge
+    * endpoint) are re-labeled by label propagation over their STAR
+    * edges (member ↔ cluster representative — connectivity-equivalent
+    * to the original cluster, diameter 2) plus the new edges, seeded
+    * from the existing labels; every untouched cluster passes through
+    * byte-identical. Work is bounded by the delta's NEIGHBORHOOD
+    * (affected members + new edges), never corpus history: old edges
+    * are never rebuilt, old text never re-tokenized, and the
+    * propagation converges in ~(2 + new-bridge diameter) rounds
+    * because stars collapse old clusters to depth one.
+    *
+    * Guarantee (spec-pinned, and proven on-corpus by q273):
+    * `ccDelta(cc(old), new) == cc(old ∪ new)` exactly — min labels
+    * re-derive correctly even when one new doc BRIDGES several old
+    * clusters, because the merged component sees every member through
+    * its star. */
+  def ccDelta(existing: DataFrame, newDocs: DataFrame,
+      newEdges: DataFrame, maxIter: Int = 40): DataFrame = {
+    val endpoints = newEdges.select(col("doc_a").as("doc_id"))
+      .unionByName(newEdges.select(col("doc_b").as("doc_id"))).distinct()
+    val affectedClusters = existing.join(endpoints, Seq("doc_id"))
+      .select(col("cluster_id")).distinct()
+    val affectedDocs = existing.join(affectedClusters, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"))
+    // star edges: representative ↔ member reproduces the affected
+    // cluster's connectivity in one hop without any original edge
+    val starEdges = affectedDocs.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("cluster_id").as("doc_a"), col("doc_id").as("doc_b"))
+    val verts = affectedDocs.select(col("doc_id"))
+      .unionByName(newDocs.select(col("doc_id")))
+      .unionByName(endpoints)
+      .distinct()
+    // seed: existing labels where known, self-labels for arrivals
+    val init = verts.join(affectedDocs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val relabeled = connectedComponents(verts,
+      starEdges.unionByName(newEdges.select(col("doc_a"), col("doc_b"))),
+      maxIter, initLabels = Some(init))
+    existing.join(affectedClusters, Seq("cluster_id"), "left_anti")
+      .select(col("doc_id"), col("cluster_id"))
+      .unionByName(relabeled)
+  }
+
   /** Bounded max-propagation with per-hop halving: after `rounds`
     * rounds, `s(v) = max over nodes u within `rounds` hops of
     * `s₀(u) div 2^dist(u,v)`` — the decay-with-distance spread used

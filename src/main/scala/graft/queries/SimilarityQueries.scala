@@ -199,6 +199,41 @@ object SimilarityQueries {
       ShingleN, NumHashes, 1, AdmitMinJaccardFp)
   }
 
+  // ---- q273: incremental cluster maintenance (delta == full) ----
+  // q38's transitive clusters feed q72/q135/q190/q191/q204 — and
+  // recomputing the closure per crawl batch re-reads all of history.
+  // [[graft.llm.Dedup.ccDelta]] folds an arrival batch into the
+  // EXISTING clustering: touched components re-label over their star
+  // edges + the new links (work bounded by the delta's neighborhood),
+  // untouched clusters pass through byte-identical. This card PROVES
+  // the maintenance theorem on the real corpus: cluster the old slice
+  // (doc_id % 10 != 0, old-only edges), fold in the arrivals
+  // (% 10 == 0) with every edge that names one, and emit per-doc
+  // (full-recompute label, delta label, agree) — the oracle replays
+  // the full closure and pins agree == true for every document, so
+  // ANY divergence of the delta path hash-fails the round.
+  def q273CcDelta(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    val edges = graft.llm.Caches.persistTracked(
+      MinHashLSH.nearDupPairs(docs, "doc_id", "text",
+        shingleN = ShingleN, numHashes = NumHashes, rowsPerBand = 1,
+        minJaccardFp = ClusterMinJaccardFp)
+        .select(col("doc_a"), col("doc_b")))
+    val isOld = (c: org.apache.spark.sql.Column) => pmod(c, lit(10)) =!= 0
+    val oldDocs = docs.filter(isOld(col("doc_id"))).select(col("doc_id"))
+    val existing = graft.llm.Dedup.connectedComponents(oldDocs,
+      edges.filter(isOld(col("doc_a")) && isOld(col("doc_b"))))
+    val delta = graft.llm.Dedup.ccDelta(existing,
+      docs.filter(!isOld(col("doc_id"))).select(col("doc_id")),
+      edges.filter(!isOld(col("doc_a")) || !isOld(col("doc_b"))))
+    val full = graft.llm.Dedup.connectedComponents(
+      docs.select(col("doc_id")), edges)
+    full.join(delta.withColumnRenamed("cluster_id", "delta_cluster_id"),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("cluster_id"), col("delta_cluster_id"),
+        (col("cluster_id") === col("delta_cluster_id")).as("agree"))
+  }
+
   // ---- q191: dedup-weighted token budget ----
   // What the training budget looks like under each dedup policy, per
   // source: raw tokens, representative-only tokens (keep the lowest
@@ -1421,6 +1456,7 @@ object SimilarityQueries {
     "q191_dedup_budget" -> q191DedupBudget _,
     "q194_incremental_neardup" -> q194IncrementalNearDup _,
     "q272_fuzzy_admission" -> q272FuzzyAdmission _,
+    "q273_cc_delta" -> q273CcDelta _,
     "q197_semantic_leakage" -> q197SemanticLeakage _,
     "q198_label_agreement" -> q198LabelAgreement _,
     "q203_knn_impute" -> q203KnnImpute _,
@@ -2516,6 +2552,13 @@ object SimilarityQueries {
          |    ELSE 'unique' END AS status
          |FROM arr LEFT JOIN a1 USING (doc_id) LEFT JOIN a2 USING (doc_id)"""
         .stripMargin,
+    // the full closure is the ONE truth: the delta-maintained label
+    // must equal it per doc, and agree pins to literal true — any
+    // divergence of the Spark-side maintenance hash-fails
+    "q273_cc_delta" ->
+      s"""WITH cl AS ($q38Sql)
+         |SELECT doc_id, cluster_id, cluster_id AS delta_cluster_id,
+         |  true AS agree FROM cl""".stripMargin,
     // the shared bands CTE sliced into corpus/batch sides, candidate
     // counts per arrival, clean arrivals at zero
     "q194_incremental_neardup" ->
