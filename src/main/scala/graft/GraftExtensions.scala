@@ -87,6 +87,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "sign_word takes exactly 2 arguments")
         SignWordExpr(children.head, intLiteral(children(1), "sign_word"))
       }))
+    ext.injectFunction((
+      FunctionIdentifier(graft.llm.LlmFunctions.NormalizeUnicode),
+      new ExpressionInfo(
+        classOf[graft.llm.expressions.NormalizeUnicodeExpr].getName,
+        graft.llm.LlmFunctions.NormalizeUnicode),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "normalize_unicode takes exactly 2 arguments")
+        val form = children(1) match {
+          case Literal(v, _) if v != null => v.toString
+          case other => throw new IllegalArgumentException(
+            s"normalize_unicode form must be a string literal, got $other")
+        }
+        graft.llm.expressions.NormalizeUnicodeExpr(children.head, form)
+      }))
   }
 
   private def intLiteral(e: Expression, fn: String): Int = e match {

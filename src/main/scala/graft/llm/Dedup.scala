@@ -25,6 +25,25 @@ object Dedup {
   /** 128-bit content fingerprint of the normalized text. */
   def fingerprint(text: Column): Column = md5(normalizeText(text).cast("binary"))
 
+  /** [[normalizeText]] with Unicode NFC composition in front — the
+    * dedup key that catches "café" (composed U+00E9) vs "café"
+    * (e + combining U+0301) the way [[normalizeUrl]] catches URL
+    * variants: canonically-equivalent spellings fingerprint
+    * identically. Row-local and codegen'd
+    * ([[graft.llm.expressions.NormalizeUnicodeExpr]]); the DuckDB
+    * oracle replays it as `lower(nfc_normalize(..))`. NFC (not NFKC)
+    * here: canonical equivalence is safe to collapse for dedup KEYS
+    * cross-engine; compatibility folding (full-width → ASCII) is the
+    * NFKC form of the same expression, spec-certified because DuckDB
+    * ships no NFKC. */
+  def normalizeTextUnicode(text: Column): Column =
+    trim(regexp_replace(lower(
+      call_function("normalize_unicode", text, lit("NFC"))), "\\s+", " "))
+
+  /** 128-bit content fingerprint of the Unicode-normalized text. */
+  def unicodeFingerprint(text: Column): Column =
+    md5(normalizeTextUnicode(text).cast("binary"))
+
   /** [[fingerprint]] with null text treated as empty content — the ONE
     * spelling of the null contract every incremental/dedup entry point
     * shares (batch, streaming, q70, q73): null and empty text carry

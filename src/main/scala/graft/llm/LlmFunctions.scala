@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.llm.expressions.{DotFpExpr, InterCountExpr, LshBucketExpr, MinHashSigsExpr, ShingleBasesExpr, SignWordExpr}
+import graft.llm.expressions.{DotFpExpr, InterCountExpr, LshBucketExpr, MinHashSigsExpr, NormalizeUnicodeExpr, ShingleBasesExpr, SignWordExpr}
 
 /** SQL registration surface for the LLM-pipeline functions (same
   * pattern as `graft.geo.GeoFunctions`). */
@@ -18,6 +18,7 @@ object LlmFunctions {
   val InterCount = "inter_count"
   val LshBucket = "lsh_bucket"
   val SignWord = "sign_word"
+  val NormalizeUnicode = "normalize_unicode"
 
   def registerAll(spark: SparkSession): Unit = {
     registerDotFp(spark)
@@ -26,8 +27,30 @@ object LlmFunctions {
     registerInterCount(spark)
     registerLshBucket(spark)
     registerSignWord(spark)
+    registerNormalizeUnicode(spark)
     SimHash.register(spark)
     Fingerprint.register(spark)
+  }
+
+  /** `normalize_unicode(s, 'NFC'|'NFD'|'NFKC'|'NFKD')` — the form must
+    * be a string literal (it parameterizes codegen). */
+  def registerNormalizeUnicode(spark: SparkSession): Unit = {
+    val info = new ExpressionInfo(
+      classOf[NormalizeUnicodeExpr].getName, NormalizeUnicode)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(NormalizeUnicode),
+      info,
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"$NormalizeUnicode takes exactly 2 arguments")
+        val form = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+              if v != null => v.toString
+          case other => throw new IllegalArgumentException(
+            s"$NormalizeUnicode form must be a string literal, got $other")
+        }
+        NormalizeUnicodeExpr(children.head, form)
+      })
   }
 
   /** `lsh_bucket(embedding, dim)` — dim must be an integer literal. */

@@ -2400,6 +2400,48 @@ object LlmQueries {
       .unionByName(card("n_tok", col("n_tok")))
   }
 
+  // ---- q274: Unicode-normalization dedup key ----
+  // The mojibake family's sibling: canonically-EQUIVALENT spellings —
+  // "café" composed (U+00E9) vs "café" decomposed (e + U+0301) —
+  // render identically, tokenize identically to a human, and still
+  // carry different bytes, so the plain lowercase+whitespace
+  // fingerprint treats them as different documents. The q93/q239 key
+  // discipline: the ASCII corpus gets three planted variants per
+  // sampled doc (composed, decomposed, composed-uppercase), built by
+  // identical key arithmetic on both engines, and the card proves
+  // per doc that the raw key splits them (n_raw_fps = 2: lowercase
+  // already folds case, never composition) while the NFC-normalized
+  // key ([[graft.llm.Dedup.unicodeFingerprint]], the codegen'd
+  // normalize_unicode expression; DuckDB replays via nfc_normalize)
+  // collapses all three. 100 TB: a row-local scan-time projection,
+  // no new shuffle — the key slots into every existing
+  // fingerprint-keyed pipeline. NFKC (full-width folding) is the
+  // same expression's other form, spec-certified in
+  // NormalizeUnicodeProps because DuckDB ships no NFKC.
+  private val UnicodeSliceMod = 8
+  def q274UnicodeDedup(s: SparkSession, dir: String): DataFrame = {
+    val b = graft.Tables.documents(s, dir)
+      .filter(pmod(col("doc_id"), lit(UnicodeSliceMod)) === 0)
+      .select(col("doc_id"), col("text"))
+    def slice(suffix: String) = b.select(
+      col("doc_id").as("orig_doc"),
+      concat(col("text"), lit(suffix)).as("text"))
+    // explicit escapes - a source normalizer must never silently
+    // compose the decomposed plant
+    val arr = slice(" caf\u00e9 menu")
+      .unionByName(slice(" cafe\u0301 menu"))
+      .unionByName(slice(" CAF\u00c9 MENU"))
+    arr.select(col("orig_doc"),
+        graft.llm.Dedup.fingerprint(col("text")).as("raw_fp"),
+        graft.llm.Dedup.unicodeFingerprint(col("text")).as("norm_fp"))
+      .groupBy(col("orig_doc"))
+      .agg(count(lit(1)).cast("bigint").as("n_variants"),
+        countDistinct(col("raw_fp")).as("n_raw_fps"),
+        countDistinct(col("norm_fp")).as("n_norm_fps"))
+      .select(col("orig_doc"), col("n_variants"), col("n_raw_fps"),
+        col("n_norm_fps"), (col("n_norm_fps") === 1L).as("norm_collapsed"))
+  }
+
   // ---- q239: mojibake (encoding-artifact) detect + repair card ----
   // The ftfy axis of corpus cleaning: UTF-8 text decoded as Latin-1
   // leaves 'Ã©'-style artifact sequences that poison tokenizers and
@@ -3247,6 +3289,7 @@ object LlmQueries {
     "q237_artifact_erasure" -> q237ArtifactErasure _,
     "q238_rank_auc" -> q238RankAuc _,
     "q239_mojibake" -> q239Mojibake _,
+    "q274_unicode_dedup" -> q274UnicodeDedup _,
     "q246_hll_incremental" -> q246HllIncremental _,
     "q247_perceptual_dups" -> q247PerceptualDups _,
     "q248_cdc_sweep" -> q248CdcSweep _,
@@ -5584,6 +5627,28 @@ object LlmQueries {
          |  CAST(sum(CASE WHEN hs = hv THEN 1 ELSE 0 END) * 1000000
          |    // greatest(count(*), 1) AS BIGINT) AS heavy_stable_ppm
          |FROM j""".stripMargin,
+    // variants planted by chr() arithmetic (233 = é composed, 769 =
+    // combining acute, 201 = É); raw key = the established fp
+    // spelling, normalized key adds nfc_normalize in front
+    "q274_unicode_dedup" ->
+      s"""WITH b AS (SELECT doc_id, text FROM documents
+         |  WHERE doc_id % $UnicodeSliceMod = 0),
+         |arr AS (
+         |  SELECT doc_id AS orig_doc,
+         |    text || ' caf' || chr(233) || ' menu' AS text FROM b
+         |  UNION ALL SELECT doc_id,
+         |    text || ' cafe' || chr(769) || ' menu' FROM b
+         |  UNION ALL SELECT doc_id,
+         |    text || ' CAF' || chr(201) || ' MENU' FROM b),
+         |k AS (SELECT orig_doc,
+         |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS raw_fp,
+         |  md5(trim(regexp_replace(lower(nfc_normalize(text)),
+         |    '\\s+', ' ', 'g'))) AS norm_fp FROM arr)
+         |SELECT orig_doc, CAST(count(*) AS BIGINT) AS n_variants,
+         |  CAST(count(DISTINCT raw_fp) AS BIGINT) AS n_raw_fps,
+         |  CAST(count(DISTINCT norm_fp) AS BIGINT) AS n_norm_fps,
+         |  (count(DISTINCT norm_fp) = 1) AS norm_collapsed
+         |FROM k GROUP BY 1""".stripMargin,
     // plant (key arithmetic), corrupt, detect, repair — the replace
     // chains mirror MojibakePairs in order on both engines
     "q239_mojibake" ->
