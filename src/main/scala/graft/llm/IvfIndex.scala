@@ -473,8 +473,14 @@ object IvfIndex {
     * literally this function fed by `fitFixedPoint`, so a loaded
     * replica's clusters are byte-identical to the in-session
     * training path. */
-  def mutualKnnWithCodebook(vectors: DataFrame,
-      centroids: Array[Array[Long]], k: Int, maxCellSize: Int = 0): DataFrame = {
+  /** (members, edges) over an already-trained codebook: the cell
+    * assignment and the directed in-cell kNN graph — for every
+    * (cap-surviving) vector its top-`k` neighbors by exact
+    * fixed-point dot among its OWN cell's members. One body so the
+    * mutual-kNN clusters (q117) and the shipped graph artifact
+    * (q276) can never disagree about what an edge is. */
+  private def inCellKnn(vectors: DataFrame, centroids: Array[Array[Long]],
+      k: Int, maxCellSize: Int): (DataFrame, DataFrame) = {
     require(k > 0, "k must be positive")
     LlmFunctions.registerDotFp(vectors.sparkSession)
     val bc = vectors.sparkSession.sparkContext.broadcast(centroids)
@@ -501,8 +507,110 @@ object IvfIndex {
         col("dot_fp")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(col("dot_fp").desc, col("dst"))
-    val ranked = directed.withColumn("rn", row_number().over(w))
+    val edges = directed.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
+    (members, edges)
+  }
+
+  /** The directed kNN graph `(src, dst, dot_fp)` built under
+    * MULTI-ASSIGNMENT: every vector joins its `nAssign` nearest
+    * cells, candidate pairs form within each (expanded) cell, and
+    * each vector keeps its top-`k` neighbors over the union. With
+    * `nAssign = 1` this is q117's in-cell edge set; with
+    * `nAssign >= 2` a vector near a cell boundary shares its
+    * SECOND-choice cell with the neighbors probe-1 search loses —
+    * exactly the cross-cell edges graph-expansion serving
+    * ([[graphExpandWithCodebook]]) needs to repair boundary recall.
+    * The shippable graph artifact ([[graft.llm.Artifacts]]): built
+    * once next to the codebook, loaded by every serve. Skew guard:
+    * `maxCellSize` rank-truncates each (expanded) cell before the
+    * quadratic pair step. */
+  def knnGraphWithCodebook(vectors: DataFrame,
+      centroids: Array[Array[Long]], k: Int, maxCellSize: Int = 0,
+      nAssign: Int = 1): DataFrame = {
+    require(nAssign >= 1, "nAssign must be positive")
+    if (nAssign == 1)
+      return inCellKnn(vectors, centroids, k, maxCellSize)._2
+        .select(col("src"), col("dst"), col("dot_fp"))
+    require(k > 0, "k must be positive")
+    LlmFunctions.registerDotFp(vectors.sparkSession)
+    val bc = vectors.sparkSession.sparkContext.broadcast(centroids)
+    val probeCellsUdf = udf { (e: Seq[Long]) =>
+      val v = e.toArray
+      bc.value.zipWithIndex.map { case (c, i) =>
+        var d = 0L
+        var j = 0
+        while (j < c.length) { val x = v(j) - c(j); d += x * x; j += 1 }
+        (d, i)
+      }.sorted.take(nAssign).map(_._2).toSeq
+    }
+    val assigned = quantized(vectors)
+      .select(col("vec_id"), explode(probeCellsUdf(col("e"))).as("cell"))
+    val compared = if (maxCellSize > 0) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cell")).orderBy(col("vec_id"))
+      assigned.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= maxCellSize).drop("__rn")
+    } else assigned
+    // pair ids stay SKINNY through the cell shuffle (a pair sharing
+    // two cells appears twice — distinct BEFORE the embedding joins
+    // so each pair's exact dot is computed once)
+    val pairIds = compared.select(col("cell"), col("vec_id").as("a_id"))
+      .join(compared.select(col("cell"), col("vec_id").as("b_id")), "cell")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    val pairs = pairIds
+      .join(vectors.select(col("vec_id").as("a_id"),
+        col("embedding").as("ae")), "a_id")
+      .join(vectors.select(col("vec_id").as("b_id"),
+        col("embedding").as("be")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        Similarity.dotFpNative("ae", "be").as("dot_fp"))
+    val directed = pairs.select(col("a_id").as("src"), col("b_id").as("dst"),
+        col("dot_fp"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst"),
+        col("dot_fp")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dot_fp").desc, col("dst"))
+    directed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("src"), col("dst"), col("dot_fp"))
+  }
+
+  /** Graph-expansion ANN serve from SHIPPED artifacts: probe-1 IVF
+    * seeds, ONE hop over the shipped in-cell kNN graph, exact rerank
+    * over the expanded candidate set. The boundary repair a coarse
+    * quantizer needs without raising nProbe: a true neighbor that
+    * fell in an adjacent cell is usually a graph neighbor of some
+    * same-cell seed, so expansion recovers it for at most
+    * seeds×graph-k extra exact dots instead of another full cell
+    * scan per probe. Output `(query_id, vec_id, dot_fp, rn ≤ k)` —
+    * the [[fixedPointSearch]] contract, so recall cards compare the
+    * variants directly. */
+  def graphExpandWithCodebook(vectors: DataFrame, queries: DataFrame,
+      centroids: Array[Array[Long]], edges: DataFrame, k: Int): DataFrame = {
+    LlmFunctions.registerDotFp(vectors.sparkSession)
+    val seeds = searchWithCodebook(vectors, queries, centroids, k, 1)
+      .select(col("query_id"), col("vec_id"))
+    val cand = seeds.unionByName(
+        seeds.join(edges.select(col("src").as("vec_id"), col("dst")),
+            Seq("vec_id"))
+          .select(col("query_id"), col("dst").as("vec_id")))
+      .distinct()
+    val scored = cand
+      .join(vectors.select(col("vec_id"), col("embedding").as("ce")),
+        Seq("vec_id"))
+      .join(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe")), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Similarity.dotFpNative("qe", "ce").as("dot_fp"))
+    Similarity.topKPerQuery(scored, k)
+  }
+
+  def mutualKnnWithCodebook(vectors: DataFrame,
+      centroids: Array[Array[Long]], k: Int, maxCellSize: Int = 0): DataFrame = {
+    val (members, ranked) = inCellKnn(vectors, centroids, k, maxCellSize)
     // an edge survives only if BOTH directions ranked ≤ k; cached
     // (skinny 2-col frame) because the closure consumes it thrice —
     // symmetrized edges, the touched-vertex set, and each round's

@@ -3147,6 +3147,56 @@ object LlmQueries {
       .withColumn("moved_ppm",
         expr("n_moved * 1000000L div greatest(n_docs, 1L)"))
 
+  // ---- q275: shard mixture preservation (HRW keeps the data mix) ----
+  // q233 proved rendezvous sharding moves minimal data on resize;
+  // this card proves the property that makes sharded TRAINING sound:
+  // every HRW shard sees (near-)the global source mixture. Per
+  // shard: document count, sources present, Simpson diversity
+  // (1 − Σ pᵢ², the rational diversity index — Shannon needs a log
+  // and would not replay) and the L1 distance between the shard's
+  // ppm-floor source shares and the global shares. Small L1 across
+  // all shards = shard-parallel consumers may treat any shard as an
+  // unbiased sample of the corpus mix. Everything is exact integer/
+  // decimal arithmetic over a shards×sources cell aggregate — the
+  // corpus contributes one row-local HRW assignment + one rollup.
+  private val MixShards = 8
+  def q275ShardMixture(s: SparkSession, dir: String): DataFrame = {
+    val cell = graft.llm.Caches.persistTracked(
+      graft.Tables.documents(s, dir)
+        .select(graft.llm.Sampling.rendezvousShard("doc_id", MixShards)
+            .cast("bigint").as("shard"),
+          coalesce(col("source"), lit("(null)")).as("source"))
+        .groupBy(col("shard"), col("source"))
+        .agg(count(lit(1)).cast("bigint").as("c"))
+        .coalesce(1))
+    val st = cell.groupBy(col("shard"))
+      .agg(sum(col("c")).cast("bigint").as("n"))
+    val g = cell.groupBy(col("source"))
+      .agg(sum(col("c")).cast("bigint").as("gc"))
+    val t = cell.agg(sum(col("c")).cast("bigint").as("n_tot"))
+    // the FULL shards×sources grid: a source absent from a shard
+    // still owes its global share to the L1 distance
+    val grid = st.crossJoin(broadcast(g))
+      .join(cell, Seq("shard", "source"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .crossJoin(broadcast(t))
+    val l1 = grid.groupBy(col("shard"))
+      .agg(sum(abs(expr("cast(c as decimal(38,0)) * 1000000 div n") -
+          expr("cast(gc as decimal(38,0)) * 1000000 div n_tot")))
+          .cast("bigint").as("l1_vs_global_ppm"),
+        sum(when(col("c") > 0L, 1L).otherwise(0L)).cast("bigint")
+          .as("n_sources"))
+    val sp = cell.join(st, Seq("shard"))
+      .groupBy(col("shard"), col("n"))
+      .agg(expr("cast(1000000 - (sum(cast(c as decimal(38,0)) * c) " +
+        "* 1000000) div (cast(n as decimal(38,0)) * n) as bigint)")
+        .as("simpson_ppm"))
+    st.join(l1, Seq("shard"))
+      .join(sp.select(col("shard"), col("simpson_ppm")), Seq("shard"))
+      .select(col("shard"), col("n").as("n_docs"), col("n_sources"),
+        col("simpson_ppm"), col("l1_vs_global_ppm"))
+  }
+
   // ---- q219: sampling-temperature sweep (the mixing knob priced) ----
   // q161 prices T=2; this prices the knob: per temperature T ∈
   // {1, 2, 4}, every source's mixing share under weight ∝
@@ -3283,6 +3333,7 @@ object LlmQueries {
     "q230_compute_optimal" -> q230ComputeOptimal _,
     "q231_pii_scan" -> q231PiiScan _,
     "q233_reshard_card" -> q233ReshardCard _,
+    "q275_shard_mixture" -> q275ShardMixture _,
     "q234_cdc_dedup" -> q234CdcDedup _,
     "q235_cdc_admission" -> q235CdcAdmission _,
     "q236_cdc_admission_loaded" -> q236CdcAdmissionLoaded _,
@@ -5743,6 +5794,45 @@ object LlmQueries {
     },
     // the same md5 argmax per (doc, shard) under both shard counts —
     // arg_max over the unnested shard list replays the row-local fold
+    // HRW replayed via the q233 chain; Simpson + L1 in exact
+    // HUGEINT/decimal arithmetic over the shards×sources grid
+    "q275_shard_mixture" -> {
+      val chain =
+        s"""e AS (SELECT doc_id, x,
+           |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(x AS VARCHAR)) AS h
+           |  FROM documents, unnest(range(0, $MixShards)) AS u(x)),
+           |o AS (SELECT doc_id, CAST(arg_max(x, h) AS BIGINT) AS shard
+           |  FROM e GROUP BY doc_id)""".stripMargin
+      s"""WITH $chain,
+         |d AS (SELECT o.shard, coalesce(dd.source, '(null)') AS source
+         |  FROM documents dd JOIN o USING (doc_id)),
+         |cell AS (SELECT shard, source, CAST(count(*) AS BIGINT) AS c
+         |  FROM d GROUP BY 1, 2),
+         |st AS (SELECT shard, CAST(sum(c) AS BIGINT) AS n
+         |  FROM cell GROUP BY 1),
+         |g AS (SELECT source, CAST(sum(c) AS BIGINT) AS gc
+         |  FROM cell GROUP BY 1),
+         |t AS (SELECT CAST(sum(c) AS BIGINT) AS n_tot FROM cell),
+         |grid AS (SELECT st.shard, st.n, g.source, g.gc,
+         |    coalesce(cell.c, 0) AS c, t.n_tot
+         |  FROM st CROSS JOIN g CROSS JOIN t
+         |  LEFT JOIN cell ON cell.shard = st.shard
+         |    AND cell.source = g.source),
+         |l1 AS (SELECT shard,
+         |    CAST(sum(abs(CAST(c AS HUGEINT) * 1000000 // n
+         |      - CAST(gc AS HUGEINT) * 1000000 // n_tot)) AS BIGINT)
+         |      AS l1_vs_global_ppm,
+         |    CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_sources
+         |  FROM grid GROUP BY 1),
+         |sp AS (SELECT shard,
+         |    CAST(1000000 - (sum(CAST(c AS HUGEINT) * c) * 1000000)
+         |      // (CAST(n AS HUGEINT) * n) AS BIGINT) AS simpson_ppm
+         |  FROM cell JOIN st USING (shard) GROUP BY shard, n)
+         |SELECT st.shard, st.n AS n_docs, l1.n_sources, sp.simpson_ppm,
+         |  l1.l1_vs_global_ppm
+         |FROM st JOIN l1 USING (shard) JOIN sp USING (shard)""".stripMargin
+    },
     "q233_reshard_card" -> {
       def chain(n: Int, tag: String) =
         s"""e$tag AS (SELECT doc_id, x,

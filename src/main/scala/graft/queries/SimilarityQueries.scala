@@ -727,6 +727,43 @@ object SimilarityQueries {
     Similarity.recallAtK(q23EmbedTopk(s, dir), runs, AnnK)
   }
 
+  // ---- q276: graph-expansion ANN from the shipped kNN graph ----
+  // The graph-based member of the ANN family (IVF / PQ / LSH /
+  // brute-force all exist): probe-1 IVF seeds take ONE hop over the
+  // SHIPPED in-cell kNN graph ([[graft.llm.IvfIndex
+  // .knnGraphWithCodebook]] — exactly q117's ranked edge set, built
+  // once next to the coarse codebook in the durable catalog) and the
+  // expanded set exact-reranks. The card prices the repair: recall@k
+  // of probe-1 alone vs probe-1 + expansion against the brute-force
+  // truth — a true neighbor that fell across a cell boundary is
+  // usually a graph neighbor of a same-cell seed, so expansion buys
+  // the recall another probe would, for seeds×graph-k extra exact
+  // dots instead of a second full cell scan. Everything serves from
+  // LOADED artifacts; train-once/serve-many.
+  def q276GraphExpand(s: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+    val root = graft.llm.Artifacts.ensure(dir,
+        s"ivfgraph-v2-l$IvfLists-i$IvfIter-k$MutualK-c$SemDedupCellCap-a2") { p =>
+      val cb = graft.llm.IvfIndex.fitFixedPoint(emb, IvfLists, IvfIter)
+      graft.llm.Artifacts.saveCodebook(s, p + "/coarse", cb)
+      // nAssign = 2: the graph must carry CROSS-cell edges (vectors
+      // sharing a second-choice cell) or expansion could never reach
+      // past the probe cell probe-1 already ranks exactly
+      graft.llm.Artifacts.saveIndexFrame(p + "/edges",
+        graft.llm.IvfIndex.knnGraphWithCodebook(emb, cb, MutualK,
+          SemDedupCellCap, nAssign = 2))
+    }
+    val cb = graft.llm.Artifacts.loadCodebook(s, root + "/coarse")
+    val edges = graft.llm.Artifacts.loadIndexFrame(s, root + "/edges")
+    val q = emb.filter(col("vec_id") < NumQueryVecs)
+    Similarity.recallAtK(q23EmbedTopk(s, dir), Seq(
+      "ivf_probe1" ->
+        graft.llm.IvfIndex.searchWithCodebook(emb, q, cb, AnnK, 1),
+      "graph_expand" ->
+        graft.llm.IvfIndex.graphExpandWithCodebook(emb, q, cb, edges, AnnK)),
+      AnnK)
+  }
+
   // ---- q217: per-source split drift (train vs test centroids) ----
   // Representation drift the split should NOT have: per source, the
   // fixed-point cosine between its train-slice and test-slice
@@ -1457,6 +1494,7 @@ object SimilarityQueries {
     "q194_incremental_neardup" -> q194IncrementalNearDup _,
     "q272_fuzzy_admission" -> q272FuzzyAdmission _,
     "q273_cc_delta" -> q273CcDelta _,
+    "q276_graph_expand" -> q276GraphExpand _,
     "q197_semantic_leakage" -> q197SemanticLeakage _,
     "q198_label_agreement" -> q198LabelAgreement _,
     "q203_knn_impute" -> q203KnnImpute _,
@@ -1883,6 +1921,82 @@ object SimilarityQueries {
        |  CAST(coalesce(hits.hits, 0) * 1000000 // $AnnK AS BIGINT) AS recall_ppm
        |FROM spine LEFT JOIN hits
        |  ON spine.method = hits.method AND spine.query_id = hits.query_id""".stripMargin
+  }
+
+  /** q276: the q117 edge CTEs (same cap, same k) + probe-1 seeds +
+    * one hop + exact rerank, scored by the q215 recall tail. */
+  private def q276Sql: String = {
+    s"""WITH $kmPrefixSql,
+       |af2 AS (SELECT vec_id, cell FROM (
+       |  SELECT v.vec_id, c.cell,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${kmSq("v", "c")}, c.cell) AS rn
+       |  FROM e v CROSS JOIN c$IvfIter c) t WHERE rn <= 2),
+       |cmp AS (SELECT vec_id, cell FROM (
+       |  SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn FROM af2) t
+       |  WHERE rn <= $SemDedupCellCap),
+       |pi AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM cmp a JOIN cmp b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |pr AS (SELECT a_id, b_id,
+       |    ${dotS("ea.embedding", "eb.embedding")} AS dot_fp
+       |  FROM pi
+       |  JOIN embeddings ea ON pi.a_id = ea.vec_id
+       |  JOIN embeddings eb ON pi.b_id = eb.vec_id),
+       |dr AS (SELECT a_id AS src, b_id AS dst, dot_fp FROM pr
+       |  UNION ALL SELECT b_id, a_id, dot_fp FROM pr),
+       |ked AS (SELECT src, dst FROM (
+       |  SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY dot_fp DESC, dst) AS rn
+       |  FROM dr) t WHERE rn <= $MutualK),
+       |qp AS (SELECT query_id, cell FROM (
+       |  SELECT v.vec_id AS query_id, c.cell,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${kmSq("v", "c")}, c.cell) AS rn
+       |  FROM e v CROSS JOIN c$IvfIter c WHERE v.vec_id < $NumQueryVecs) t
+       |  WHERE rn <= 1),
+       |sc AS (SELECT qp.query_id, af.vec_id,
+       |    ${dotS("qe.embedding", "ce.embedding")} AS dot_fp
+       |  FROM qp JOIN af USING (cell)
+       |  JOIN embeddings qe ON qp.query_id = qe.vec_id
+       |  JOIN embeddings ce ON af.vec_id = ce.vec_id),
+       |seeds AS (SELECT query_id, vec_id FROM (
+       |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY dot_fp DESC, vec_id) AS rn FROM sc) t WHERE rn <= $AnnK),
+       |cand AS (SELECT DISTINCT query_id, vec_id FROM (
+       |  SELECT query_id, vec_id FROM seeds
+       |  UNION ALL SELECT seeds.query_id, ked.dst AS vec_id FROM seeds
+       |    JOIN ked ON seeds.vec_id = ked.src) u),
+       |ex2 AS (SELECT cand.query_id, cand.vec_id,
+       |    ${dotS("qe.embedding", "ce.embedding")} AS dot_fp
+       |  FROM cand JOIN embeddings qe ON cand.query_id = qe.vec_id
+       |  JOIN embeddings ce ON cand.vec_id = ce.vec_id),
+       |gx AS (SELECT query_id, vec_id FROM (
+       |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY dot_fp DESC, vec_id) AS rn FROM ex2) t WHERE rn <= $AnnK),
+       |qe2 AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       |  WHERE vec_id < $NumQueryVecs),
+       |scored AS (SELECT query_id, e2.vec_id, $dotSql AS dot_fp
+       |  FROM qe2 CROSS JOIN
+       |    (SELECT vec_id, embedding AS ce FROM embeddings) e2),
+       |ex AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dot_fp DESC, vec_id) AS rn FROM scored) r
+       |  WHERE rn <= $AnnK),
+       |ap AS (SELECT 'ivf_probe1' AS method, query_id, vec_id FROM seeds
+       |  UNION ALL SELECT 'graph_expand', query_id, vec_id FROM gx),
+       |hits AS (SELECT method, ap.query_id, CAST(count(*) AS BIGINT) AS hits
+       |  FROM ap JOIN ex ON ap.query_id = ex.query_id AND ap.vec_id = ex.vec_id
+       |  GROUP BY method, ap.query_id),
+       |spine AS (SELECT m.method, s.query_id
+       |  FROM (SELECT DISTINCT query_id FROM ex) s
+       |  CROSS JOIN (VALUES ('ivf_probe1'), ('graph_expand')) m(method))
+       |SELECT spine.method, spine.query_id,
+       |  coalesce(hits.hits, 0) AS hits,
+       |  CAST(coalesce(hits.hits, 0) * 1000000 // $AnnK AS BIGINT) AS recall_ppm
+       |FROM spine LEFT JOIN hits
+       |  ON spine.method = hits.method AND spine.query_id = hits.query_id"""
+      .stripMargin
   }
 
   private val q66Sql = {
@@ -2355,6 +2469,7 @@ object SimilarityQueries {
          |${cfgSelect(2, "fwd_rev")}""".stripMargin
     },
     "q117_mutual_knn"   -> q117Sql,
+    "q276_graph_expand" -> q276Sql,
     // loaded ≡ trained byte-for-byte (deterministic fixed-point
     // training) ⇒ the serve variant shares the oracle verbatim
     "q269_mutual_knn_loaded" -> q117Sql,

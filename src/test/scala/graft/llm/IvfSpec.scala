@@ -308,6 +308,45 @@ class IvfSpec extends AnyFunSuite with SparkTestSession {
     assert(over(0)._2 === 3L && over(0)._3 === 1000000L && over(0)._4 > 0L)
   }
 
+  test("graphExpandWithCodebook: recall monotone over probe-1; " +
+      "multi-assign graph carries cross-cell edges") {
+    // cross-cell edges must exist: under nAssign=1 every edge stays
+    // inside one probe-1 cell, and expansion could never repair a
+    // boundary miss. A LINE of vectors (no cluster structure) forces
+    // cells to be contiguous segments whose edge members' nearest
+    // neighbors sit in the adjacent cell — exactly the boundary case
+    val line = {
+      import spark.implicits._
+      (0 until 40).map(i => (i.toLong, Array(i.toFloat / 40f, 0.5f)))
+        .toDF("vec_id", "embedding")
+    }
+    val lcb = IvfIndex.fitFixedPoint(line, nLists = 4, nIter = 3)
+    val lcells = IvfIndex.cellAssignments(line, nLists = 4, nIter = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val lcross = IvfIndex.knnGraphWithCodebook(line, lcb, k = 3, nAssign = 2)
+      .collect().count(r => lcells(r.getLong(0)) != lcells(r.getLong(1)))
+    assert(lcross > 0, "nAssign=2 graph must contain cross-cell edges")
+    val cb = IvfIndex.fitFixedPoint(clustered, nLists = 4, nIter = 3)
+    val edges = IvfIndex.knnGraphWithCodebook(clustered, cb, k = 3,
+      nAssign = 2)
+    val q = clustered.filter(col("vec_id") < 10L)
+    val truth = Similarity.bruteForceTopK(q, clustered, 3)
+    def hitsOf(run: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Similarity.recallAtK(truth, Seq("m" -> run), 3)
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val base = hitsOf(IvfIndex.searchWithCodebook(clustered, q, cb, 3, 1))
+    val exp = hitsOf(
+      IvfIndex.graphExpandWithCodebook(clustered, q, cb, edges, 3))
+    // exact rerank over a SUPERSET of the seeds can only keep or gain
+    // true hits (anything displacing a true hit has a higher exact
+    // dot and is therefore itself a true hit) — per query, not just
+    // on average
+    base.keys.foreach { qid =>
+      assert(exp(qid) >= base(qid),
+        s"query $qid: expansion lost recall (${base(qid)} -> ${exp(qid)})")
+    }
+  }
+
   test("mutualKnnClusters: every input id labeled, cap survivors singleton") {
     // cap = 10 on 25-member cells: ranks 11..25 never enter the pair
     // frame, so they must come back as singletons, and nothing drops
