@@ -199,6 +199,45 @@ object SimilarityQueries {
       ShingleN, NumHashes, 1, AdmitMinJaccardFp)
   }
 
+  // ---- q277: 1-bit minhash signature compression (b-bit minhash) ----
+  // Li & König's b-bit minhash at b = 1: keep only each signature's
+  // LOWEST BIT, so 64 signatures pack into ONE 64-bit word — a 64×
+  // smaller signature index (8 bytes/doc vs 8×64), the storage knob
+  // that decides whether a 100 TB corpus's near-dup index fits hot
+  // storage. The price is estimator variance, and this card measures
+  // it where it matters: for every LSH candidate pair, the 1-bit
+  // estimate Ĵ = max(0, 2·(matching bits)/64 − 1) — bit-match
+  // probability is (1+J)/2, so the inversion is exact in
+  // expectation — next to the exact shingle-set Jaccard. Packing is
+  // one row-local fold over the signatures (the q206 sign-word
+  // discipline; DuckDB replays bit 63 as the explicit Long minimum);
+  // comparison is XOR + popcount per pair. All integer arithmetic.
+  private val BbitHashes = 64
+  def q277BbitMinhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    val sets = graft.llm.Caches.persistTracked(
+      MinHashLSH.shingleSets(docs, "doc_id", "text", ShingleN))
+    val packed = sets.select(col("doc_id"), expr(
+      s"""aggregate(transform(minhash_sigs(s, $BbitHashes), (m, i) ->
+         |  CASE WHEN m % 2 = 1 THEN shiftleft(1L, i) ELSE 0L END),
+         |  0L, (acc, x) -> acc | x)""".stripMargin).as("w"))
+    val scored = MinHashLSH.withJaccardFp(
+      MinHashLSH.candidatePairsFromSets(sets, NumHashes, 1),
+      sets, "doc_a", "doc_b")
+    val est = "cast(greatest(0L, 2L * match_bits - 64L) " +
+      "* 1000000L div 64L as bigint)"
+    scored
+      .join(packed.select(col("doc_id").as("doc_a"), col("w").as("wa")),
+        Seq("doc_a"))
+      .join(packed.select(col("doc_id").as("doc_b"), col("w").as("wb")),
+        Seq("doc_b"))
+      .withColumn("match_bits",
+        expr("64L - cast(bit_count(wa ^ wb) as bigint)"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard_fp"),
+        col("match_bits"), expr(est).as("est_ppm"),
+        abs(expr(est) - col("jaccard_fp")).as("abs_err_ppm"))
+  }
+
   // ---- q273: incremental cluster maintenance (delta == full) ----
   // q38's transitive clusters feed q72/q135/q190/q191/q204 — and
   // recomputing the closure per crawl batch re-reads all of history.
@@ -1495,6 +1534,7 @@ object SimilarityQueries {
     "q272_fuzzy_admission" -> q272FuzzyAdmission _,
     "q273_cc_delta" -> q273CcDelta _,
     "q276_graph_expand" -> q276GraphExpand _,
+    "q277_bbit_minhash" -> q277BbitMinhash _,
     "q197_semantic_leakage" -> q197SemanticLeakage _,
     "q198_label_agreement" -> q198LabelAgreement _,
     "q203_knn_impute" -> q203KnnImpute _,
@@ -2470,6 +2510,38 @@ object SimilarityQueries {
     },
     "q117_mutual_knn"   -> q117Sql,
     "q276_graph_expand" -> q276Sql,
+    // 64 LCG signatures off the shared bases, low bits packed into
+    // one word (bit 63 = the explicit Long minimum, the q206
+    // precedent), XOR+popcount per LSH candidate pair next to the
+    // exact Jaccard
+    "q277_bbit_minhash" -> {
+      val p = graft.llm.MinHashLSH.P
+      val minExprs64 = (0 until BbitHashes).map { k =>
+        val (a, b) = graft.llm.MinHashLSH.seedParams(k)
+        s"list_min(list_transform(bases, v -> (v * $a + $b) % $p))"
+      }.mkString(", ")
+      val estSql = s"CAST(greatest(0, 2 * match_bits - 64) " +
+        s"* 1000000 // 64 AS BIGINT)"
+      s"""WITH $minhashCtes,
+         |mh64 AS (SELECT doc_id, [$minExprs64] AS mh FROM bs),
+         |pk AS (SELECT doc_id, CAST(list_sum(list_transform(range(1, 65),
+         |    i -> CASE WHEN mh[i] % 2 = 1 THEN
+         |      CASE WHEN i = 64 THEN (-9223372036854775807 - 1)
+         |      ELSE (1::BIGINT << (i - 1)) END
+         |    ELSE 0 END)) AS BIGINT) AS w FROM mh64),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band_id = b.band_id
+         |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |j AS (${jaccardSelect("doc_a", "doc_b")}),
+         |x AS (SELECT j.doc_a, j.doc_b, j.jaccard_fp,
+         |    CAST(64 - bit_count(xor(pa.w, pb.w)) AS BIGINT) AS match_bits
+         |  FROM j JOIN pk pa ON j.doc_a = pa.doc_id
+         |  JOIN pk pb ON j.doc_b = pb.doc_id)
+         |SELECT doc_a, doc_b, jaccard_fp, match_bits,
+         |  $estSql AS est_ppm,
+         |  abs($estSql - jaccard_fp) AS abs_err_ppm
+         |FROM x""".stripMargin
+    },
     // loaded ≡ trained byte-for-byte (deterministic fixed-point
     // training) ⇒ the serve variant shares the oracle verbatim
     "q269_mutual_knn_loaded" -> q117Sql,
