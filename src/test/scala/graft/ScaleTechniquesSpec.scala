@@ -211,6 +211,39 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("round-15 operators: no cartesian anywhere; q272's corpus side is never re-tokenized") {
+    // q272 (fuzzy admission), q273 (ccDelta card), q275 (shard
+    // mixture), q276 (graph expand), q277 (b-bit) — each must meet
+    // its partners on real equi-join keys; one-row/k-row frames may
+    // broadcast but nothing may degenerate to CartesianProduct
+    Seq("q272_fuzzy_admission", "q275_shard_mixture",
+        "q276_graph_expand", "q277_bbit_minhash").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$q plan degenerated to a cartesian:\n${plan.take(1200)}")
+    }
+    // the whole point of the shipped index: an admission batch scans
+    // documents for the ARRIVAL side only (exactly the fixture's
+    // three planted slices) — the corpus side reads the saved bands
+    // and sets index frames, never documents.parquet
+    val q272 = SparkEntry.queries("q272_fuzzy_admission")(
+      spark, "/root/testdata/sf0.001")
+    val scans = graft.PlanNodes.all(q272.queryExecution.executedPlan)
+      .filter(_.nodeName.contains("Scan")).map(_.toString)
+    val docScans = scans.count(_.contains("documents.parquet"))
+    assert(docScans == 3,
+      s"q272 must scan documents only for the 3 arrival slices, found $docScans")
+    // scan-node toString truncates long artifact paths, so count the
+    // non-documents parquet scans instead: exactly the two shipped
+    // index frames (bands + sets)
+    val artifactScans = scans.count(s =>
+      s.contains("Scan parquet") && !s.contains("documents.parquet"))
+    assert(artifactScans == 2,
+      s"q272's corpus side must read exactly the bands+sets artifacts, " +
+        s"found $artifactScans non-documents scans")
+  }
+
   test("q265's windows all run over pre-aggregated frames, never corpus rows") {
     // the exact-percentile arm must use the Robust.cutoffsFp spelling:
     // groupBy(value).count FIRST, then one cumulative window over the
