@@ -199,6 +199,61 @@ object SimilarityQueries {
       ShingleN, NumHashes, 1, AdmitMinJaccardFp)
   }
 
+  // ---- q278: admission-gate quality vs exhaustive truth ----
+  // q272 is the gate a crawler RUNS; this is the gate's report card:
+  // for every arrival, the truth "has a corpus near-dup" is computed
+  // EXHAUSTIVELY (arrival sets × corpus sets, exact inter_count
+  // Jaccard ≥ the admission threshold — the deliberately-priced
+  // oracle-scale truth instrument, the q112 pattern) and the gate's
+  // verdict is scored against it. Banding can only MISS (every
+  // flagged arrival carries an exact-verified witness ⇒ precision is
+  // 1 by construction — measured, not assumed), so the one number
+  // that matters is recall: how much near-dup mass the capped
+  // shipped index lets through. One summary row.
+  def q278AdmissionRecall(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    val corpusSets = graft.llm.Caches.persistTracked(
+      MinHashLSH.shingleSets(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        "doc_id", "text", ShingleN))
+    val arrSets = graft.llm.Caches.persistTracked(
+      MinHashLSH.shingleSets(fuzzyArrivals(docs), "doc_id", "text", ShingleN))
+    // exhaustive truth: any corpus doc at or above the threshold
+    val truth = arrSets.select(col("doc_id"), col("s").as("sa"))
+      .crossJoin(corpusSets.select(col("s").as("sb")))
+      .select(col("doc_id"),
+        expr("inter_count(sa, sb)").as("i"), col("sa"), col("sb"))
+      .select(col("doc_id"), expr(
+        """cast(floor(1000000.0 * cast(i as double)
+          |  / cast(size(sa) + size(sb) - i as double)) as bigint)"""
+          .stripMargin).as("jfp"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("jfp")) >= AdmitMinJaccardFp).as("is_dup"))
+    val gate = MinHashLSH.fuzzyAdmission(fuzzyArrivals(docs), "doc_id",
+        "text",
+        MinHashLSH.capBuckets(
+          MinHashLSH.bandIndexFromSets(corpusSets, NumHashes, 1),
+          Seq("band_id", "band_key"), AdmitCap),
+        corpusSets, ShingleN, NumHashes, 1, AdmitMinJaccardFp)
+      .select(col("doc_id"), (col("status") === "near_dup").as("flagged"))
+    truth.join(gate, Seq("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_arrivals"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).cast("bigint")
+          .as("n_true_dups"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).cast("bigint")
+          .as("n_flagged"),
+        sum(when(col("is_dup") && col("flagged"), 1L).otherwise(0L))
+          .cast("bigint").as("true_pos"),
+        sum(when(!col("is_dup") && col("flagged"), 1L).otherwise(0L))
+          .cast("bigint").as("false_pos"))
+      .select(col("n_arrivals"), col("n_true_dups"), col("n_flagged"),
+        col("true_pos"), col("false_pos"),
+        expr("true_pos * 1000000L div greatest(n_true_dups, 1L)")
+          .as("recall_ppm"),
+        expr("true_pos * 1000000L div greatest(n_flagged, 1L)")
+          .as("precision_ppm"))
+  }
+
   // ---- q277: 1-bit minhash signature compression (b-bit minhash) ----
   // Li & König's b-bit minhash at b = 1: keep only each signature's
   // LOWEST BIT, so 64 signatures pack into ONE 64-bit word — a 64×
@@ -1535,6 +1590,7 @@ object SimilarityQueries {
     "q273_cc_delta" -> q273CcDelta _,
     "q276_graph_expand" -> q276GraphExpand _,
     "q277_bbit_minhash" -> q277BbitMinhash _,
+    "q278_admission_recall" -> q278AdmissionRecall _,
     "q197_semantic_leakage" -> q197SemanticLeakage _,
     "q198_label_agreement" -> q198LabelAgreement _,
     "q203_knn_impute" -> q203KnnImpute _,
@@ -2746,6 +2802,62 @@ object SimilarityQueries {
       s"""WITH cl AS ($q38Sql)
          |SELECT doc_id, cluster_id, cluster_id AS delta_cluster_id,
          |  true AS agree FROM cl""".stripMargin,
+    // the q272 chain + the exhaustive truth arm (arrival sets ×
+    // corpus sets, exact Jaccard), scored into one summary row
+    "q278_admission_recall" ->
+      s"""WITH $minhashCtes,
+         |arr AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL SELECT doc_id + 3000000 AS doc_id, text || ' graft' AS text
+         |    FROM documents WHERE doc_id % 9 = 0 AND doc_id % 10 != 0
+         |  UNION ALL SELECT doc_id + 4000000 AS doc_id, text
+         |    FROM documents WHERE doc_id % 17 = 0 AND doc_id % 10 != 0),
+         |${minhashChainOver("arr", "arr_")},
+         |cb AS (SELECT doc_id AS corpus_doc, band_id, band_key FROM (
+         |    SELECT doc_id, band_id, band_key,
+         |      count(*) OVER (PARTITION BY band_id, band_key) AS bc
+         |    FROM bands WHERE doc_id % 10 != 0) t
+         |  WHERE bc <= $AdmitCap),
+         |cs AS (SELECT doc_id AS corpus_doc, s FROM sets WHERE doc_id % 10 != 0),
+         |tr AS (SELECT a.doc_id,
+         |    max(CAST(floor(1000000.0
+         |      * CAST(len(list_intersect(a.s, c.s)) AS DOUBLE)
+         |      / CAST(len(a.s) + len(c.s)
+         |          - len(list_intersect(a.s, c.s)) AS DOUBLE)) AS BIGINT))
+         |      >= $AdmitMinJaccardFp AS is_dup
+         |  FROM arr_sets a CROSS JOIN cs c GROUP BY a.doc_id),
+         |cand AS (SELECT DISTINCT a.doc_id, cb.corpus_doc
+         |  FROM arr_bands a JOIN cb USING (band_id, band_key)),
+         |ver AS (SELECT cand.doc_id,
+         |    CAST(floor(1000000.0
+         |      * CAST(len(list_intersect(sa.s, cs.s)) AS DOUBLE)
+         |      / CAST(len(sa.s) + len(cs.s)
+         |          - len(list_intersect(sa.s, cs.s)) AS DOUBLE)) AS BIGINT)
+         |      AS jfp
+         |  FROM cand JOIN arr_sets sa ON cand.doc_id = sa.doc_id
+         |  JOIN cs ON cand.corpus_doc = cs.corpus_doc),
+         |fl AS (SELECT arr.doc_id,
+         |    coalesce(f.n_near, 0) > 0 AS flagged
+         |  FROM arr LEFT JOIN (SELECT doc_id, count(CASE WHEN jfp >=
+         |      $AdmitMinJaccardFp THEN 1 END) AS n_near
+         |    FROM ver GROUP BY 1) f USING (doc_id)),
+         |j AS (SELECT tr.doc_id, tr.is_dup, fl.flagged
+         |  FROM tr JOIN fl USING (doc_id))
+         |SELECT CAST(count(*) AS BIGINT) AS n_arrivals,
+         |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_true_dups,
+         |  CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_flagged,
+         |  CAST(sum(CASE WHEN is_dup AND flagged THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS true_pos,
+         |  CAST(sum(CASE WHEN NOT is_dup AND flagged THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS false_pos,
+         |  CAST(sum(CASE WHEN is_dup AND flagged THEN 1 ELSE 0 END) * 1000000
+         |    // greatest(sum(CASE WHEN is_dup THEN 1 ELSE 0 END), 1)
+         |    AS BIGINT) AS recall_ppm,
+         |  CAST(sum(CASE WHEN is_dup AND flagged THEN 1 ELSE 0 END) * 1000000
+         |    // greatest(sum(CASE WHEN flagged THEN 1 ELSE 0 END), 1)
+         |    AS BIGINT) AS precision_ppm
+         |FROM j""".stripMargin,
     // the shared bands CTE sliced into corpus/batch sides, candidate
     // counts per arrival, clean arrivals at zero
     "q194_incremental_neardup" ->
