@@ -218,17 +218,30 @@ object SimilarityQueries {
         "doc_id", "text", ShingleN))
     val arrSets = graft.llm.Caches.persistTracked(
       MinHashLSH.shingleSets(fuzzyArrivals(docs), "doc_id", "text", ShingleN))
-    // exhaustive truth: any corpus doc at or above the threshold
+    // exhaustive truth: any corpus doc at or above the threshold.
+    // Two LOSSLESS prunes keep the deliberate cross join honest but
+    // not wasteful: (1) J ≥ T needs i ≥ T·(a+b−i) and i ≤ min(a,b),
+    // so any pair with T·max > min(a,b)·(1+T−T) — for T = 0.5,
+    // max(a,b) > 2·min(a,b) — can never qualify and is filtered
+    // BEFORE the per-pair merge walk; (2) the verdict only needs the
+    // BOOLEAN floor(10⁶·i/u) ≥ T·10⁶ ⟺ 10⁶·i ≥ T·10⁶·u (integer k:
+    // floor(x) ≥ k ⟺ x ≥ k), so no division runs at all. The oracle
+    // computes the UNFILTERED truth with the division spelling — the
+    // equivalence is exact integer math, so the independent oracle
+    // still checks the theorem, not a mirrored shortcut.
+    val tLo = AdmitMinJaccardFp
+    // existence over DISTINCT corpus sets equals existence over all
+    // of them — the planted dup families collapse before the
+    // quadratic arm ever sees them
     val truth = arrSets.select(col("doc_id"), col("s").as("sa"))
-      .crossJoin(corpusSets.select(col("s").as("sb")))
+      .crossJoin(corpusSets.select(col("s").as("sb")).distinct())
+      .filter(expr(s"size(sa) * $tLo <= size(sb) * 1000000L and " +
+        s"size(sb) * $tLo <= size(sa) * 1000000L"))
       .select(col("doc_id"),
         expr("inter_count(sa, sb)").as("i"), col("sa"), col("sb"))
-      .select(col("doc_id"), expr(
-        """cast(floor(1000000.0 * cast(i as double)
-          |  / cast(size(sa) + size(sb) - i as double)) as bigint)"""
-          .stripMargin).as("jfp"))
       .groupBy(col("doc_id"))
-      .agg((max(col("jfp")) >= AdmitMinJaccardFp).as("is_dup"))
+      .agg(max(expr(s"cast(i as bigint) * 1000000L >= " +
+        s"$tLo * cast(size(sa) + size(sb) - i as bigint)")).as("is_dup"))
     val gate = MinHashLSH.fuzzyAdmission(fuzzyArrivals(docs), "doc_id",
         "text",
         MinHashLSH.capBuckets(
@@ -236,7 +249,11 @@ object SimilarityQueries {
           Seq("band_id", "band_key"), AdmitCap),
         corpusSets, ShingleN, NumHashes, 1, AdmitMinJaccardFp)
       .select(col("doc_id"), (col("status") === "near_dup").as("flagged"))
-    truth.join(gate, Seq("doc_id"))
+    // LEFT from the gate side: an arrival whose every truth pair was
+    // size-band pruned has no truth row — it is a non-dup, not a
+    // dropped arrival
+    gate.join(truth, Seq("doc_id"), "left")
+      .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))
       .agg(count(lit(1)).cast("bigint").as("n_arrivals"),
         sum(when(col("is_dup"), 1L).otherwise(0L)).cast("bigint")
           .as("n_true_dups"),
