@@ -345,6 +345,39 @@ object SimilarityQueries {
         (col("cluster_id") === col("delta_cluster_id")).as("agree"))
   }
 
+  // ---- q279: CHAINED incremental maintenance (deltas compose) ----
+  // q273 proved one fold; a crawl folds every batch. This card proves
+  // the property that makes that safe: ccDelta COMPOSES — two
+  // successive arrival epochs folded one after the other land on
+  // exactly the full recompute, so iterated maintenance cannot drift.
+  // Epochs by doc_id % 3; each edge belongs to the LATEST epoch of
+  // its endpoints (the batch in which it becomes discoverable).
+  // Oracle: the full closure again, agree pinned true per doc — a
+  // drift anywhere in the chain hash-fails the round.
+  def q279CcDeltaChain(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    val edges = graft.llm.Caches.persistTracked(
+      MinHashLSH.nearDupPairs(docs, "doc_id", "text",
+        shingleN = ShingleN, numHashes = NumHashes, rowsPerBand = 1,
+        minJaccardFp = ClusterMinJaccardFp)
+        .select(col("doc_a"), col("doc_b"),
+          greatest(pmod(col("doc_a"), lit(3)), pmod(col("doc_b"), lit(3)))
+            .as("epoch")))
+    def docsOf(e: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === e)
+      .select(col("doc_id"))
+    def edgesOf(e: Int) = edges.filter(col("epoch") === e)
+      .select(col("doc_a"), col("doc_b"))
+    val e0 = graft.llm.Dedup.connectedComponents(docsOf(0), edgesOf(0))
+    val e1 = graft.llm.Dedup.ccDelta(e0, docsOf(1), edgesOf(1))
+    val e2 = graft.llm.Dedup.ccDelta(e1, docsOf(2), edgesOf(2))
+    val full = graft.llm.Dedup.connectedComponents(
+      docs.select(col("doc_id")), edges.select(col("doc_a"), col("doc_b")))
+    full.join(e2.withColumnRenamed("cluster_id", "chained_cluster_id"),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("cluster_id"), col("chained_cluster_id"),
+        (col("cluster_id") === col("chained_cluster_id")).as("agree"))
+  }
+
   // ---- q191: dedup-weighted token budget ----
   // What the training budget looks like under each dedup policy, per
   // source: raw tokens, representative-only tokens (keep the lowest
@@ -1608,6 +1641,7 @@ object SimilarityQueries {
     "q276_graph_expand" -> q276GraphExpand _,
     "q277_bbit_minhash" -> q277BbitMinhash _,
     "q278_admission_recall" -> q278AdmissionRecall _,
+    "q279_cc_delta_chain" -> q279CcDeltaChain _,
     "q197_semantic_leakage" -> q197SemanticLeakage _,
     "q198_label_agreement" -> q198LabelAgreement _,
     "q203_knn_impute" -> q203KnnImpute _,
@@ -2818,6 +2852,11 @@ object SimilarityQueries {
     "q273_cc_delta" ->
       s"""WITH cl AS ($q38Sql)
          |SELECT doc_id, cluster_id, cluster_id AS delta_cluster_id,
+         |  true AS agree FROM cl""".stripMargin,
+    // same truth, chained twice on the Spark side
+    "q279_cc_delta_chain" ->
+      s"""WITH cl AS ($q38Sql)
+         |SELECT doc_id, cluster_id, cluster_id AS chained_cluster_id,
          |  true AS agree FROM cl""".stripMargin,
     // the q272 chain + the exhaustive truth arm (arrival sets ×
     // corpus sets, exact Jaccard), scored into one summary row
