@@ -257,4 +257,41 @@ class ArtifactsSpec extends AnyFunSuite with SparkTestSession {
       java.nio.file.Path.of(corpusDir, "t.parquet"), "different-bytes")
     assert(Artifacts.rootFor(corpusDir) !== new java.io.File(d1).getParent)
   }
+
+  test("ensure clears a stale marker-less tree by move-aside, never touches a published one") {
+    val corpusDir = tmp("ensure-stale-corpus")
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(corpusDir, "t.parquet"), "x")
+    val parent = new java.io.File(Artifacts.rootFor(corpusDir))
+    parent.mkdirs()
+    // a crashed publish: files present, NO marker — must be cleared
+    // (moved aside, not deleted in place) and retrained
+    val stale = new java.io.File(parent, "art-stale")
+    stale.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(stale.getPath, "half"), "crashed")
+    var trainings = 0
+    val d = Artifacts.ensure(corpusDir, "art-stale") { p =>
+      trainings += 1
+      new java.io.File(p).mkdirs()
+      java.nio.file.Files.writeString(java.nio.file.Path.of(p, "data"), "d")
+    }
+    assert(trainings === 1, "a marker-less tree must retrain")
+    assert(new java.io.File(d, "_TRAINED").exists())
+    assert(!new java.io.File(d, "half").exists(),
+      "the crashed tree's contents must not leak into the publish")
+    assert(Option(parent.listFiles()).get
+      .forall(!_.getName.startsWith(".art-stale-stale-")),
+      "the move-aside temp must be cleaned up")
+    // a COMPLETE published tree (marker present) is served untouched:
+    // same path, no retrain, payload bytes intact
+    val before = java.nio.file.Files.readString(
+      java.nio.file.Path.of(d, "data"))
+    val d2 = Artifacts.ensure(corpusDir, "art-stale") { _ =>
+      fail("a published artifact must never retrain")
+    }
+    assert(d2 === d)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Path.of(d, "data")) === before)
+  }
 }
