@@ -161,6 +161,79 @@ object MinHashLSH {
         .as(Seq("band_id", "band_key")))
   }
 
+  /** The complete shippable signature-index state for INCREMENTAL
+    * maintenance — the three frames a near-dup serving tier persists
+    * through [[graft.llm.Artifacts]]:
+    *
+    *   - `bands`  — the capped `(doc_id, band_id, band_key)` probe
+    *     side ([[bandIndexFromSets]] + [[capBuckets]]), what
+    *     [[fuzzyAdmission]] equi-joins arrivals against;
+    *   - `counts` — FULL per-bucket row counts BEFORE capping. This
+    *     is the fold's cap arbiter: a bucket sitting at the cap that
+    *     an append pushes over must evict its OLD rows too, and those
+    *     rows' bucket population is invisible from the capped `bands`
+    *     alone;
+    *   - `sets`   — the sorted shingle sets ([[shingleSets]]), the
+    *     exact-Jaccard verify side.
+    *
+    * All three are distributed parquet-shaped frames; nothing here
+    * ever touches the driver. */
+  final case class SigIndex(bands: DataFrame, counts: DataFrame,
+      sets: DataFrame)
+
+  /** Build the full [[SigIndex]] over a corpus — the train-side
+    * spelling whose fold twin is [[indexDelta]]. */
+  def signatureIndex(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, rowsPerBand: Int, cap: Int): SigIndex = {
+    val sets = shingleSets(docs, idCol, textCol, shingleN)
+    val bands = bandIndexFromSets(sets, numHashes, rowsPerBand)
+    SigIndex(
+      capBuckets(bands, Seq("band_id", "band_key"), cap),
+      bands.groupBy(col("band_id"), col("band_key"))
+        .agg(count(lit(1)).as("n")),
+      sets)
+  }
+
+  /** Fold an arrival batch into an existing [[SigIndex]] — incremental
+    * maintenance of the SHIPPED near-dup index, the index-side twin of
+    * [[Dedup.ccDelta]]: the corpus is never re-tokenized, re-hashed or
+    * re-banded; the arrival side shingles and bands only ITSELF, and
+    * the one corpus-shaped touch is a bucket-keyed full-outer join
+    * against the counts frame (bucket-sized, not corpus-row-sized)
+    * plus one semi-join that applies the refreshed cap verdicts.
+    *
+    * Exactness contract (proven on-corpus by q280 and on planted cap
+    * transitions by SigIndexDeltaSpec): the folded index is
+    * ROW-IDENTICAL to [[signatureIndex]] rebuilt over the union
+    * corpus — including every cap transition. A bucket the batch
+    * pushes PAST the cap evicts its old rows (they are present in
+    * `index.bands` because their old count was ≤ cap, so the
+    * semi-join sees and drops them); a bucket already past the cap
+    * stays dropped (counts only grow, so its total can never return
+    * under the cap). Folds COMPOSE (the q279 discipline), so
+    * crawl-cadence maintenance cannot drift across batches. */
+  def indexDelta(index: SigIndex, arrivals: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, numHashes: Int, rowsPerBand: Int,
+      cap: Int): SigIndex = {
+    val aSets = shingleSets(arrivals, idCol, textCol, shingleN)
+    val aBands = bandIndexFromSets(aSets, numHashes, rowsPerBand)
+    val aCounts = aBands.groupBy(col("band_id"), col("band_key"))
+      .agg(count(lit(1)).as("an"))
+    val totals = index.counts
+      .join(aCounts, Seq("band_id", "band_key"), "full_outer")
+      .select(col("band_id"), col("band_key"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("an"), lit(0L))).as("n"))
+    val unioned = index.bands.unionByName(aBands)
+    val kept =
+      if (cap <= 0) unioned
+      else unioned.join(
+        totals.filter(col("n") <= cap)
+          .select(col("band_id"), col("band_key")),
+        Seq("band_id", "band_key"), "left_semi")
+        .select(col("doc_id"), col("band_id"), col("band_key"))
+    SigIndex(kept, totals, index.sets.unionByName(aSets))
+  }
+
   /** Near-dup ADMISSION of an arrival batch against the SHIPPED
     * signature index — the q175 serve contract lifted from exact to
     * fuzzy: `corpusBands` and `corpusSets` are the LOADED artifact

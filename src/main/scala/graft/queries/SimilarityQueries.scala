@@ -378,6 +378,56 @@ object SimilarityQueries {
         (col("cluster_id") === col("chained_cluster_id")).as("agree"))
   }
 
+  // ---- q280: incremental signature-index maintenance (fold == rebuild) ----
+  // q272 SERVES from the shipped signature index; this is how that
+  // index stays FRESH at crawl cadence without re-banding the corpus:
+  // [[MinHashLSH.indexDelta]] folds an arrival batch into the LOADED
+  // artifact — arrivals shingle/band only themselves, and the one
+  // corpus-shaped touch is a bucket-keyed join against the shipped
+  // per-bucket counts, the cap arbiter that lets an append EVICT a
+  // bucket it pushes past the cap (the eviction the capped bands
+  // frame alone could never decide). The card proves the maintenance
+  // theorem on the real corpus: per doc, the folded index's band rows
+  // equal a full rebuild over the union corpus — row count plus the
+  // q155 commutative checksum — and the oracle replays the REBUILD
+  // and pins agree == true, so any divergence (a missed eviction, a
+  // double-kept row, a drifted band key) hash-fails the round.
+  def q280IndexDelta(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    val root = graft.llm.Artifacts.ensure(dir,
+        s"minhash-index-v2-n$NumHashes-r1-s$ShingleN-c$AdmitCap") { p =>
+      val idx = MinHashLSH.signatureIndex(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        "doc_id", "text", ShingleN, NumHashes, 1, AdmitCap)
+      graft.llm.Artifacts.saveIndexFrame(p + "/bands", idx.bands)
+      graft.llm.Artifacts.saveIndexFrame(p + "/counts", idx.counts)
+      graft.llm.Artifacts.saveIndexFrame(p + "/sets", idx.sets)
+    }
+    val loaded = MinHashLSH.SigIndex(
+      graft.llm.Artifacts.loadIndexFrame(s, root + "/bands"),
+      graft.llm.Artifacts.loadIndexFrame(s, root + "/counts"),
+      graft.llm.Artifacts.loadIndexFrame(s, root + "/sets"))
+    val folded = MinHashLSH.indexDelta(loaded,
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+      "doc_id", "text", ShingleN, NumHashes, 1, AdmitCap)
+    val rebuilt = MinHashLSH.signatureIndex(docs, "doc_id", "text",
+      ShingleN, NumHashes, 1, AdmitCap)
+    def perDoc(bands: DataFrame, pfx: String) = bands
+      .select(col("doc_id"), graft.llm.Sketches.integrityHash(
+        Seq(col("band_id").cast("string"), col("band_key"))).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as(s"n_$pfx"),
+        expr("cast(sum(cast(h as decimal(38,0))) % " +
+          s"${graft.llm.Sketches.ChecksumMod}L as bigint)").as(s"ck_$pfx"))
+    perDoc(rebuilt.bands, "rebuild")
+      .join(perDoc(folded.bands, "delta"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("n_rebuild"), col("ck_rebuild"),
+        col("n_delta"), col("ck_delta"),
+        (col("n_rebuild").isNotNull && col("n_delta").isNotNull &&
+          col("n_rebuild") === col("n_delta") &&
+          col("ck_rebuild") === col("ck_delta")).as("agree"))
+  }
+
   // ---- q191: dedup-weighted token budget ----
   // What the training budget looks like under each dedup policy, per
   // source: raw tokens, representative-only tokens (keep the lowest
@@ -1642,6 +1692,7 @@ object SimilarityQueries {
     "q277_bbit_minhash" -> q277BbitMinhash _,
     "q278_admission_recall" -> q278AdmissionRecall _,
     "q279_cc_delta_chain" -> q279CcDeltaChain _,
+    "q280_index_delta" -> q280IndexDelta _,
     "q197_semantic_leakage" -> q197SemanticLeakage _,
     "q198_label_agreement" -> q198LabelAgreement _,
     "q203_knn_impute" -> q203KnnImpute _,
@@ -2858,6 +2909,28 @@ object SimilarityQueries {
       s"""WITH cl AS ($q38Sql)
          |SELECT doc_id, cluster_id, cluster_id AS chained_cluster_id,
          |  true AS agree FROM cl""".stripMargin,
+    // the ONE truth is the full rebuild over the union corpus (the
+    // bucket cap applied over ALL docs' band rows); the
+    // delta-maintained columns must equal it per doc and agree pins
+    // to literal true — a missed eviction or double-kept row on the
+    // Spark fold hash-fails
+    "q280_index_delta" ->
+      s"""WITH $minhashCtes,
+         |cb AS (SELECT doc_id, band_id, band_key FROM (
+         |    SELECT doc_id, band_id, band_key,
+         |      count(*) OVER (PARTITION BY band_id, band_key) AS bc
+         |    FROM bands) t
+         |  WHERE bc <= $AdmitCap)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rebuild,
+         |  CAST(sum(('0x' || substr(md5(concat_ws(chr(1),
+         |    CAST(band_id AS VARCHAR), band_key)), 1, 8))::BIGINT)
+         |    % ${graft.llm.Sketches.ChecksumMod} AS BIGINT) AS ck_rebuild,
+         |  CAST(count(*) AS BIGINT) AS n_delta,
+         |  CAST(sum(('0x' || substr(md5(concat_ws(chr(1),
+         |    CAST(band_id AS VARCHAR), band_key)), 1, 8))::BIGINT)
+         |    % ${graft.llm.Sketches.ChecksumMod} AS BIGINT) AS ck_delta,
+         |  true AS agree
+         |FROM cb GROUP BY doc_id""".stripMargin,
     // the q272 chain + the exhaustive truth arm (arrival sets ×
     // corpus sets, exact Jaccard), scored into one summary row
     "q278_admission_recall" ->

@@ -217,7 +217,8 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkTestSession {
     // its partners on real equi-join keys; one-row/k-row frames may
     // broadcast but nothing may degenerate to CartesianProduct
     Seq("q272_fuzzy_admission", "q275_shard_mixture",
-        "q276_graph_expand", "q277_bbit_minhash").foreach { q =>
+        "q276_graph_expand", "q277_bbit_minhash",
+        "q280_index_delta").foreach { q =>
       val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -242,6 +243,32 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkTestSession {
     assert(artifactScans == 2,
       s"q272's corpus side must read exactly the bands+sets artifacts, " +
         s"found $artifactScans non-documents scans")
+  }
+
+  test("q280's fold side reads the shipped index — documents scans are " +
+      "arrival-slice + rebuild-arm only") {
+    val q280 = SparkEntry.queries("q280_index_delta")(
+      spark, "/root/testdata/sf0.001")
+    // distinct: AQE lists a reused exchange's scan once per subtree
+    val scans = graft.PlanNodes.all(q280.queryExecution.executedPlan)
+      .filter(_.nodeName.contains("Scan")).map(_.toString).distinct
+    // every documents scan except the rebuild TRUTH arm must carry
+    // the arrival-slice filter — the fold side never re-reads the
+    // corpus rows (its corpus state is the shipped artifact)
+    val docScans = scans.filter(_.contains("documents.parquet"))
+    val unfiltered = docScans.count(!_.contains("pmod(doc_id"))
+    assert(unfiltered == 1,
+      s"q280 fold must not re-band the corpus: only the rebuild arm " +
+        s"may scan documents unfiltered, found $unfiltered of " +
+        s"${docScans.size}")
+    // the fold's corpus side: exactly the shipped bands + counts
+    // frames (the sets frame is maintained but not consumed by this
+    // card's output, so column pruning drops its scan entirely)
+    val artifactScans = scans.count(s =>
+      s.contains("Scan parquet") && !s.contains("documents.parquet"))
+    assert(artifactScans == 2,
+      s"q280's corpus side must read exactly the bands+counts " +
+        s"artifacts, found $artifactScans non-documents scans")
   }
 
   test("q265's windows all run over pre-aggregated frames, never corpus rows") {

@@ -1,0 +1,101 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** [[MinHashLSH.indexDelta]]'s exactness contract: the folded index is
+  * row-identical to a full rebuild over the union corpus, across every
+  * bucket-cap transition — under cap, crossing the cap on the fold
+  * (old rows must EVICT), already over the cap at build (must stay
+  * dropped), and arrival-only buckets on both sides of the cap.
+  */
+class SigIndexDeltaSpec extends AnyFunSuite with SparkTestSession {
+
+  private val N = 4 // numHashes
+  private val Cap = 2
+
+  private def df(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def bandRows(ix: MinHashLSH.SigIndex): Set[(Long, Int, String)] =
+    ix.bands.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+
+  private def countRows(ix: MinHashLSH.SigIndex): Set[(Int, String, Long)] =
+    ix.counts.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+
+  private def setKeys(ix: MinHashLSH.SigIndex): Set[Long] =
+    ix.sets.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+
+  private def assertEqualIndex(got: MinHashLSH.SigIndex,
+      want: MinHashLSH.SigIndex): Unit = {
+    assert(bandRows(got) === bandRows(want), "bands diverged from rebuild")
+    assert(countRows(got) === countRows(want), "counts diverged from rebuild")
+    assert(setKeys(got) === setKeys(want), "sets diverged from rebuild")
+  }
+
+  test("fold == rebuild across every planted cap transition") {
+    // identical texts share every band bucket, so bucket populations
+    // are exactly the copy counts
+    val old = df(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"), // at cap
+      (3L, "delta epsilon zeta"),                         // under cap
+      (4L, "eta theta iota"), (5L, "eta theta iota"),
+      (6L, "eta theta iota"))                             // over cap at build
+    val arrivals = df(
+      (10L, "alpha beta gamma"),                       // pushes A past cap
+      (11L, "delta epsilon zeta"),                     // B lands AT cap
+      (12L, "kappa lambda mu"), (13L, "kappa lambda mu"),
+      (14L, "kappa lambda mu"),                        // arrival-only, over
+      (15L, "nu xi omicron"))                          // arrival-only, under
+    val oldIx = MinHashLSH.signatureIndex(old, "doc_id", "text", 2, N, 1, Cap)
+    val folded = MinHashLSH.indexDelta(oldIx, arrivals, "doc_id", "text",
+      2, N, 1, Cap)
+    val rebuilt = MinHashLSH.signatureIndex(old.unionByName(arrivals),
+      "doc_id", "text", 2, N, 1, Cap)
+    assertEqualIndex(folded, rebuilt)
+
+    val docsKept = bandRows(folded).map(_._1)
+    // the crossed-cap bucket evicted its OLD rows too
+    assert(!docsKept.contains(1L) && !docsKept.contains(2L) &&
+      !docsKept.contains(10L), "cap-crossing bucket failed to evict")
+    // the at-cap bucket kept both sides
+    assert(docsKept.contains(3L) && docsKept.contains(11L))
+    // over-cap-at-build stays dropped; arrival-only respects the cap
+    assert(!docsKept.exists(Set(4L, 5L, 6L, 12L, 13L, 14L)))
+    assert(docsKept.contains(15L))
+    // counts carry the FULL populations, evicted buckets included
+    assert(countRows(folded).map(_._3).max === 3L)
+  }
+
+  test("folds compose: two batches == one rebuild (the q279 discipline)") {
+    def slice(lo: Long, hi: Long) = df((lo until hi).map(i =>
+      (i, s"w${i % 5} w${(i * 3) % 7} w${(i * 5) % 4}")): _*)
+    val e0 = MinHashLSH.signatureIndex(slice(0, 20), "doc_id", "text",
+      2, N, 1, Cap)
+    val f1 = MinHashLSH.indexDelta(e0, slice(20, 30), "doc_id", "text",
+      2, N, 1, Cap)
+    val f2 = MinHashLSH.indexDelta(f1, slice(30, 40), "doc_id", "text",
+      2, N, 1, Cap)
+    val rebuilt = MinHashLSH.signatureIndex(slice(0, 40), "doc_id", "text",
+      2, N, 1, Cap)
+    assertEqualIndex(f2, rebuilt)
+  }
+
+  test("cap <= 0 disables eviction but still maintains exact counts") {
+    val old = df((1L, "a b c"), (2L, "a b c"), (3L, "a b c"))
+    val folded = MinHashLSH.indexDelta(
+      MinHashLSH.signatureIndex(old, "doc_id", "text", 2, N, 1, 0),
+      df((4L, "a b c")), "doc_id", "text", 2, N, 1, 0)
+    val rebuilt = MinHashLSH.signatureIndex(
+      old.unionByName(df((4L, "a b c"))), "doc_id", "text", 2, N, 1, 0)
+    assertEqualIndex(folded, rebuilt)
+    assert(bandRows(folded).size === 4 * N)
+  }
+}
