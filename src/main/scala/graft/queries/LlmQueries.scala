@@ -2400,6 +2400,43 @@ object LlmQueries {
       .unionByName(card("n_tok", col("n_tok")))
   }
 
+  // ---- q281: DSIR-style importance selection (hashed n-gram ratios) ----
+  // The data-selection operator a pretraining pipeline runs over raw
+  // web text: "keep the documents whose token distribution looks like
+  // my high-quality target corpus" (Xie et al. 2023, importance
+  // resampling over hashed n-grams). Target = the English slice; raw
+  // pool = the whole corpus; every doc scores the count-weighted mean
+  // smoothed target/raw ratio of its hashed-unigram buckets — exact
+  // rational arithmetic in ppm (the Simpson-over-Shannon discipline:
+  // the paper's log-sum would never replay bit-for-bit), so the
+  // oracle replays the entire estimator. The card emits the top-K
+  // selection with its language labels — the lang column IS the
+  // quality readout (a working selector surfaces the en slice).
+  // Scale: two B-bounded bucket aggregates, one ≤B-row broadcast, one
+  // per-doc aggregate, TakeOrderedAndProject for the top-K — no
+  // global window, no corpus-sized shuffle beyond the token explode
+  // every bag-of-words operator pays.
+  private val ImpBuckets = 4096
+  private val ImpSelectK = 50
+  private val ImpTargetLang = "en"
+  def q281ImportanceSelect(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    val counts = graft.llm.Caches.persistTracked(
+      graft.llm.Importance.bucketCounts(docs, "doc_id", "text", ImpBuckets))
+    val targetCounts = counts.join(
+      docs.filter(col("lang") === ImpTargetLang).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val weights = graft.llm.Importance.bucketWeights(
+      targetCounts, counts, ImpBuckets)
+    graft.llm.Importance.docScores(counts, weights)
+      .join(docs.select(col("doc_id"), col("lang"), col("source")),
+        Seq("doc_id"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+      .limit(ImpSelectK)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
+        col("score_ppm"))
+  }
+
   // ---- q274: Unicode-normalization dedup key ----
   // The mojibake family's sibling: canonically-EQUIVALENT spellings —
   // "café" composed (U+00E9) vs "café" decomposed (e + U+0301) —
@@ -3341,6 +3378,7 @@ object LlmQueries {
     "q238_rank_auc" -> q238RankAuc _,
     "q239_mojibake" -> q239Mojibake _,
     "q274_unicode_dedup" -> q274UnicodeDedup _,
+    "q281_importance_select" -> q281ImportanceSelect _,
     "q246_hll_incremental" -> q246HllIncremental _,
     "q247_perceptual_dups" -> q247PerceptualDups _,
     "q248_cdc_sweep" -> q248CdcSweep _,
@@ -5678,6 +5716,38 @@ object LlmQueries {
          |  CAST(sum(CASE WHEN hs = hv THEN 1 ELSE 0 END) * 1000000
          |    // greatest(count(*), 1) AS BIGINT) AS heavy_stable_ppm
          |FROM j""".stripMargin,
+    // the full estimator replayed: same md5-mod-P bases (n=1
+    // shingles, blank docs carry the '' shingle), same bucket fold,
+    // same add-one-smoothed HUGEINT ratio arithmetic, same top-K
+    // tie-break on doc_id
+    "q281_importance_select" ->
+      s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN ['']
+         |    ELSE toks END AS shingles FROM base),
+         |bc AS (SELECT doc_id,
+         |    (('0x' || substr(md5(t), 1, 15))::BIGINT
+         |      % ${graft.llm.MinHashLSH.P}) % $ImpBuckets AS b,
+         |    count(*) AS c
+         |  FROM sh, unnest(shingles) AS u(t) GROUP BY 1, 2),
+         |tb AS (SELECT b, sum(c) AS tc FROM bc JOIN documents USING (doc_id)
+         |  WHERE lang = '$ImpTargetLang' GROUP BY 1),
+         |rb AS (SELECT b, sum(c) AS rc FROM bc GROUP BY 1),
+         |tt AS (SELECT sum(c) AS v FROM bc JOIN documents USING (doc_id)
+         |  WHERE lang = '$ImpTargetLang'),
+         |rt AS (SELECT sum(c) AS v FROM bc),
+         |w AS (SELECT rb.b,
+         |    CAST((1000000::HUGEINT * (coalesce(tb.tc, 0) + 1)
+         |        * ((SELECT v FROM rt) + $ImpBuckets))
+         |      // ((rb.rc + 1) * ((SELECT v FROM tt) + $ImpBuckets))
+         |      AS BIGINT) AS w_ppm
+         |  FROM rb LEFT JOIN tb USING (b)),
+         |sc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+         |    CAST(sum(c::HUGEINT * w_ppm) // CAST(sum(c) AS HUGEINT)
+         |      AS BIGINT) AS score_ppm
+         |  FROM bc JOIN w USING (b) GROUP BY 1)
+         |SELECT d.doc_id, d.lang, d.source, sc.n_tok, sc.score_ppm
+         |FROM sc JOIN documents d USING (doc_id)
+         |ORDER BY sc.score_ppm DESC, d.doc_id LIMIT $ImpSelectK""".stripMargin,
     // variants planted by chr() arithmetic (233 = é composed, 769 =
     // combining acute, 201 = É); raw key = the established fp
     // spelling, normalized key adds nfc_normalize in front

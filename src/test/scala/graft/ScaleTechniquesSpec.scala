@@ -218,7 +218,7 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkTestSession {
     // broadcast but nothing may degenerate to CartesianProduct
     Seq("q272_fuzzy_admission", "q275_shard_mixture",
         "q276_graph_expand", "q277_bbit_minhash",
-        "q280_index_delta").foreach { q =>
+        "q280_index_delta", "q281_importance_select").foreach { q =>
       val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -269,6 +269,16 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkTestSession {
     assert(artifactScans == 2,
       s"q280's corpus side must read exactly the bands+counts " +
         s"artifacts, found $artifactScans non-documents scans")
+  }
+
+  test("q281's top-K is TakeOrderedAndProject — no global sort, no window") {
+    val plan = graft.PlanNodes.all(
+      SparkEntry.queries("q281_importance_select")(
+        spark, "/root/testdata/sf0.001").queryExecution.executedPlan)
+    assert(plan.exists(_.nodeName.contains("TakeOrderedAndProject")),
+      "selection must be a bounded top-K, not a global sort+limit")
+    assert(!plan.exists(_.nodeName.contains("Window")),
+      "no window anywhere in the selection path")
   }
 
   test("q265's windows all run over pre-aggregated frames, never corpus rows") {
