@@ -73,6 +73,50 @@ object Importance {
           .stripMargin).as("w_ppm"))
   }
 
+  /** The pure-smoothing weight an arrival bucket UNSEEN in the raw
+    * pool scores at — ⌊10⁶·(R+B)/(T+B)⌋, the t_b = r_b = 0 case of
+    * the [[bucketWeights]] formula. One row `(w0_ppm)`; ships with
+    * the weight table so the serve side can score vocabulary the
+    * training pool never saw. */
+  def unseenWeight(targetCounts: DataFrame, rawCounts: DataFrame,
+      buckets: Int): DataFrame = {
+    val tTot = targetCounts.agg(sum(col("c")).as("tt"))
+    val rTot = rawCounts.agg(sum(col("c")).as("rt"))
+    rTot.crossJoin(broadcast(tTot)).select(expr(
+      s"""cast((cast(1000000 as decimal(38,0))
+         |    * cast(rt + $buckets as decimal(38,0)))
+         |  div cast(tt + $buckets as decimal(38,0)) as bigint)"""
+        .stripMargin).as("w0_ppm"))
+  }
+
+  /** Score an ARRIVAL batch from a trained weight table — the serve
+    * half of the train-once/serve-many contract, and STREAMING-SAFE
+    * BY CONSTRUCTION: token-level scoring (no intermediate
+    * per-(doc, bucket) aggregate) means exactly ONE aggregation, so
+    * [[graft.streaming.Streams.importanceIngest]] runs this very
+    * function on a streaming frame. Arithmetic is identical to
+    * [[docScores]] (Σ over tokens of w ≡ Σ_b c·w). Buckets the
+    * training pool never saw score at `unseenWppm`
+    * ([[unseenWeight]]); null-text arrivals drop out (no features,
+    * the [[bucketCounts]] contract). */
+  def scoreArrivals(arrivals: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, unseenWppm: Long, buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    LlmFunctions.registerShingleBases(arrivals.sparkSession)
+    arrivals.select(col(graft.Names.quoted(idCol)).as("doc_id"),
+      explode(expr(s"shingle_bases(${graft.Names.quoted(textCol)}, 1)"))
+        .as("base"))
+      .select(col("doc_id"), pmod(col("base"), lit(buckets.toLong)).as("b"))
+      .join(broadcast(weights), Seq("b"), "left")
+      .select(col("doc_id"),
+        coalesce(col("w_ppm"), lit(unseenWppm)).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_tok"),
+        expr("""cast(sum(cast(w as decimal(38,0)))
+          |  div cast(count(1) as decimal(38,0)) as bigint)""".stripMargin)
+          .as("score_ppm"))
+  }
+
   /** Per-doc importance: token count and the count-weighted mean
     * feature ratio in ppm. `weights` (≤B rows) broadcasts. */
   def docScores(counts: DataFrame, weights: DataFrame): DataFrame =

@@ -2437,6 +2437,43 @@ object LlmQueries {
         col("score_ppm"))
   }
 
+  // ---- q282: importance-scoring serve from the SHIPPED weight table ----
+  // q281 trains the selector; this is what a crawler RUNS: the ≤B-row
+  // weight table (plus its one-row unseen-bucket smoothing constant)
+  // ships once through the durable catalog, and every arrival scores
+  // token-locally against the broadcast table — one explode, one
+  // broadcast left join, ONE aggregate, no corpus touch at all (the
+  // q175/q225 serve discipline applied to data selection).
+  // Vocabulary the training pool never saw scores at the smoothing
+  // constant instead of silently dropping (dropping would change
+  // n_tok and bias the mean toward seen vocab).
+  // [[graft.streaming.Streams.importanceIngest]] runs the SAME
+  // function at ingest time (stream == batch pinned in StreamingSpec).
+  def q282ImportanceServe(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    val root = graft.llm.Artifacts.ensure(dir,
+        s"importance-weights-v1-b$ImpBuckets-$ImpTargetLang") { p =>
+      val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      val counts = graft.llm.Caches.persistTracked(
+        graft.llm.Importance.bucketCounts(corpus, "doc_id", "text",
+          ImpBuckets))
+      val tCounts = counts.join(
+        corpus.filter(col("lang") === ImpTargetLang).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      graft.llm.Artifacts.saveIndexFrame(p + "/weights",
+        graft.llm.Importance.bucketWeights(tCounts, counts, ImpBuckets))
+      graft.llm.Artifacts.saveIndexFrame(p + "/defaults",
+        graft.llm.Importance.unseenWeight(tCounts, counts, ImpBuckets))
+    }
+    val weights = graft.llm.Artifacts.loadIndexFrame(s, root + "/weights")
+    // bounded one-row read: the artifact's unseen-bucket constant
+    val w0 = graft.llm.Artifacts.loadIndexFrame(s, root + "/defaults")
+      .head().getLong(0)
+    graft.llm.Importance.scoreArrivals(
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+      "doc_id", "text", weights, w0, ImpBuckets)
+  }
+
   // ---- q274: Unicode-normalization dedup key ----
   // The mojibake family's sibling: canonically-EQUIVALENT spellings —
   // "café" composed (U+00E9) vs "café" decomposed (e + U+0301) —
@@ -3379,6 +3416,7 @@ object LlmQueries {
     "q239_mojibake" -> q239Mojibake _,
     "q274_unicode_dedup" -> q274UnicodeDedup _,
     "q281_importance_select" -> q281ImportanceSelect _,
+    "q282_importance_serve" -> q282ImportanceServe _,
     "q246_hll_incremental" -> q246HllIncremental _,
     "q247_perceptual_dups" -> q247PerceptualDups _,
     "q248_cdc_sweep" -> q248CdcSweep _,
@@ -5748,6 +5786,40 @@ object LlmQueries {
          |SELECT d.doc_id, d.lang, d.source, sc.n_tok, sc.score_ppm
          |FROM sc JOIN documents d USING (doc_id)
          |ORDER BY sc.score_ppm DESC, d.doc_id LIMIT $ImpSelectK""".stripMargin,
+    // weights trained on the corpus slice only (doc_id % 10 != 0,
+    // target = its en sub-slice); arrivals score with the smoothing
+    // constant standing in for training-unseen buckets
+    "q282_importance_serve" ->
+      s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN ['']
+         |    ELSE toks END AS shingles FROM base),
+         |bc AS (SELECT doc_id,
+         |    (('0x' || substr(md5(t), 1, 15))::BIGINT
+         |      % ${graft.llm.MinHashLSH.P}) % $ImpBuckets AS b,
+         |    count(*) AS c
+         |  FROM sh, unnest(shingles) AS u(t) GROUP BY 1, 2),
+         |tb AS (SELECT b, sum(c) AS tc FROM bc JOIN documents USING (doc_id)
+         |  WHERE doc_id % 10 != 0 AND lang = '$ImpTargetLang' GROUP BY 1),
+         |rb AS (SELECT b, sum(c) AS rc FROM bc JOIN documents USING (doc_id)
+         |  WHERE doc_id % 10 != 0 GROUP BY 1),
+         |tt AS (SELECT sum(c) AS v FROM bc JOIN documents USING (doc_id)
+         |  WHERE doc_id % 10 != 0 AND lang = '$ImpTargetLang'),
+         |rt AS (SELECT sum(c) AS v FROM bc JOIN documents USING (doc_id)
+         |  WHERE doc_id % 10 != 0),
+         |w AS (SELECT rb.b,
+         |    CAST((1000000::HUGEINT * (coalesce(tb.tc, 0) + 1)
+         |        * ((SELECT v FROM rt) + $ImpBuckets))
+         |      // ((rb.rc + 1) * ((SELECT v FROM tt) + $ImpBuckets))
+         |      AS BIGINT) AS w_ppm
+         |  FROM rb LEFT JOIN tb USING (b)),
+         |w0 AS (SELECT CAST((1000000::HUGEINT
+         |      * ((SELECT v FROM rt) + $ImpBuckets))
+         |    // ((SELECT v FROM tt) + $ImpBuckets) AS BIGINT) AS v)
+         |SELECT bc.doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+         |  CAST(sum(c::HUGEINT * coalesce(w.w_ppm, (SELECT v FROM w0)))
+         |    // CAST(sum(c) AS HUGEINT) AS BIGINT) AS score_ppm
+         |FROM bc LEFT JOIN w USING (b)
+         |WHERE bc.doc_id % 10 = 0 GROUP BY 1""".stripMargin,
     // variants planted by chr() arithmetic (233 = é composed, 769 =
     // combining acute, 201 = É); raw key = the established fp
     // spelling, normalized key adds nfc_normalize in front

@@ -605,6 +605,22 @@ object Streams {
     graft.llm.MinHashLSH.fuzzyAdmission(stream, idCol, textCol,
       corpusBands, corpusSets, shingleN, numHashes, 1, minJaccardFp)
 
+  /** Streaming importance-scoring at ingest — q282's serve path on
+    * the live crawl: each arrival scores token-locally against the
+    * broadcast ≤B-row weight table (loaded once from the shipped
+    * artifact), with the artifact's smoothing constant standing in
+    * for training-unseen buckets. Delegates to
+    * [[graft.llm.Importance.scoreArrivals]] — token-level scoring
+    * means exactly ONE aggregation and no per-bucket pre-rollup, so
+    * the function is streaming-legal as-is and stream == batch by
+    * construction (pinned in StreamingSpec). Run with
+    * update/complete output mode (the score row is an aggregate);
+    * per-arrival state is its token count, never corpus-sized. */
+  def importanceIngest(stream: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, unseenWppm: Long, buckets: Int): DataFrame =
+    graft.llm.Importance.scoreArrivals(stream, idCol, textCol, weights,
+      unseenWppm, buckets)
+
   /** Streaming perceptual-dedup meter — q247's dHash at upload time:
     * each arriving image payload decodes row-locally
     * ([[graft.llm.Multimodal.dHashBits]], the SAME kernel as the

@@ -1076,6 +1076,45 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("importanceIngest: streamed scores equal the batch serve; " +
+      "unseen vocab scores at the smoothing constant") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val B = 4096
+    val corpus = Seq(
+      (1L, "alpha beta gamma alpha"), (2L, "beta gamma delta"),
+      (3L, "epsilon zeta eta")).toDF("doc_id", "text")
+    val counts = graft.llm.Importance.bucketCounts(corpus, "doc_id",
+      "text", B)
+    val tCounts = counts.filter(col("doc_id") <= 2L) // target = docs 1, 2
+    val weights = graft.llm.Importance.bucketWeights(tCounts, counts, B)
+    val w0 = graft.llm.Importance.unseenWeight(tCounts, counts, B)
+      .head().getLong(0)
+    val arrivals = Seq((10L, "alpha beta"), (11L, "totallynew vocabulary"),
+      (12L, ""), (13L, "epsilon zeta"))
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.importanceIngest(in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", weights, w0, B)
+      .writeStream.format("memory").queryName("imp_out")
+      .outputMode("complete").start()
+    try {
+      in.addData(arrivals: _*)
+      q.processAllAvailable()
+      def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val got = shape(spark.table("imp_out"))
+      val batch = shape(graft.llm.Importance.scoreArrivals(
+        arrivals.toDF("doc_id", "text"), "doc_id", "text", weights, w0, B))
+      assert(got === batch, "stream must equal the batch serve exactly")
+      val byId = got.map(r => r._1 -> r).toMap
+      assert(byId(11L)._3 === w0,
+        "an all-unseen arrival scores exactly the smoothing constant")
+      assert(byId(10L)._3 > byId(13L)._3,
+        "target vocab must outscore raw-only vocab")
+      assert(byId(12L)._2 === 1L, "blank arrival carries the '' shingle")
+    } finally q.stop()
+  }
+
   test("sampleIngest: bounded bottom-k state; live sample equals the batch cut") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
