@@ -2474,6 +2474,25 @@ object LlmQueries {
       "doc_id", "text", weights, w0, ImpBuckets)
   }
 
+  // ---- q283: deterministic bootstrap CI (Poisson resampling) ----
+  // Every corpus statistic this engine reports is a point estimate;
+  // this is the uncertainty instrument: 64 Poisson-bootstrap
+  // replicates of the mean tokens-per-doc, with weights DERIVED from
+  // md5(doc_id|rep) through Poisson(1)'s fixed integer CDF grid
+  // ([[graft.llm.Bootstrap]]) — coordination-free, reproducible, and
+  // replayed exactly by the oracle (same integer, same eight literal
+  // thresholds). The replicate spread IS the confidence interval; a
+  // reader takes the 2.5%/97.5% replicate quantiles off the 64-row
+  // grid. Scale: the row×64 explode collapses map-side to 64 rows
+  // per partition before the shuffle — the wire carries reps ×
+  // partitions rows, whatever the corpus size.
+  private val BootReps = 64
+  def q283BootstrapCi(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Bootstrap.replicateMeans(
+      graft.Tables.documents(s, dir),
+      col("doc_id"), TextAnalysis.tokenCount(col("text")), BootReps)
+      .withColumnRenamed("mean_mstat", "mean_mtok")
+
   // ---- q274: Unicode-normalization dedup key ----
   // The mojibake family's sibling: canonically-EQUIVALENT spellings —
   // "café" composed (U+00E9) vs "café" decomposed (e + U+0301) —
@@ -3417,6 +3436,7 @@ object LlmQueries {
     "q274_unicode_dedup" -> q274UnicodeDedup _,
     "q281_importance_select" -> q281ImportanceSelect _,
     "q282_importance_serve" -> q282ImportanceServe _,
+    "q283_bootstrap_ci" -> q283BootstrapCi _,
     "q246_hll_incremental" -> q246HllIncremental _,
     "q247_perceptual_dups" -> q247PerceptualDups _,
     "q248_cdc_sweep" -> q248CdcSweep _,
@@ -5786,6 +5806,25 @@ object LlmQueries {
          |SELECT d.doc_id, d.lang, d.source, sc.n_tok, sc.score_ppm
          |FROM sc JOIN documents d USING (doc_id)
          |ORDER BY sc.score_ppm DESC, d.doc_id LIMIT $ImpSelectK""".stripMargin,
+    // same md5-derived uniform, same eight literal CDF thresholds,
+    // HUGEINT sums — the whole resampler replayed
+    "q283_bootstrap_ci" -> {
+      val wSql = graft.llm.Bootstrap.PoissonCumPpb
+        .map(t => s"(CASE WHEN u9 >= $t THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH dl AS (SELECT doc_id, coalesce(len($toksSql), 0) AS x
+         |  FROM documents),
+         |e AS (SELECT doc_id, x, rep FROM dl,
+         |  unnest(range(0, $BootReps)) AS t(rep)),
+         |u AS (SELECT rep, x,
+         |    ('0x' || substr(md5(doc_id || '|' || rep), 1, 15))::BIGINT
+         |      % 1000000000 AS u9 FROM e),
+         |w AS (SELECT rep, x, $wSql AS w FROM u)
+         |SELECT CAST(rep AS BIGINT) AS rep, CAST(sum(w) AS BIGINT) AS n_eff,
+         |  CAST(sum(w * x) * 1000 // greatest(sum(w), 1) AS BIGINT)
+         |    AS mean_mtok
+         |FROM w GROUP BY 1""".stripMargin
+    },
     // weights trained on the corpus slice only (doc_id % 10 != 0,
     // target = its en sub-slice); arrivals score with the smoothing
     // constant standing in for training-unseen buckets
