@@ -262,6 +262,36 @@ object Similarity {
       .filter(col("dot_fp") >= minDotFp)
   }
 
+  /** kNN label transfer — the semi-supervised labeling primitive:
+    * every `held` vector takes the majority label of its `k` nearest
+    * `seeds` (exact cosine through [[bruteForceTopK]]'s audited
+    * two-level top-k), ties broken deterministically by
+    * (votes desc, label asc). One row per held vector:
+    * `(vec_id, true_label, pred_label, top_votes, correct)` — the
+    * held side's own labels grade the transfer. The brute-force arm
+    * is the exact-truth pricing; at corpus scale the same vote runs
+    * over the shipped ANN index's neighbor lists instead. */
+  def labelTransfer(held: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
+    val nn = bruteForceTopK(
+      held.select(col("vec_id"), col("embedding")), seeds, k)
+    nn.join(seeds.select(col("vec_id"), col("label").as("nb_label")),
+        Seq("vec_id"))
+      .groupBy(col("query_id"), col("nb_label"))
+      .agg(count(lit(1)).as("nv"))
+      .groupBy(col("query_id"))
+      .agg(
+        min_by(col("nb_label"), struct((col("nv") * -1L).as("a"),
+          col("nb_label").as("b"))).as("pred_label"),
+        max(col("nv")).as("top_votes"))
+      .join(held.select(col("vec_id").as("query_id"),
+        col("label").as("true_label")), Seq("query_id"))
+      .select(col("query_id").as("vec_id"),
+        col("true_label").cast("bigint").as("true_label"),
+        col("pred_label").cast("bigint").as("pred_label"),
+        col("top_votes").cast("bigint").as("top_votes"),
+        (col("true_label") === col("pred_label")).as("correct"))
+  }
+
   /** One 64-bit sign word per embedding: bit `i` set iff
     * `embedding[i] > 0` — the 32× compression of binary embedding
     * search (64 floats → one BIGINT), distance = `bit_count(xor)`.

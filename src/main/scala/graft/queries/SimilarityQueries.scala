@@ -428,6 +428,29 @@ object SimilarityQueries {
           col("ck_rebuild") === col("ck_delta")).as("agree"))
   }
 
+  // ---- q284: kNN label transfer (semi-supervised labeling) ----
+  // The label-propagation primitive a curation pipeline uses to grow
+  // a labeled set ([[graft.llm.Similarity.labelTransfer]]): seeds
+  // (vec_id % 5 != 0) keep their labels, every held-out vector
+  // (% 5 == 0) takes the majority label of its k = 5 nearest seeds
+  // (exact cosine, the audited two-level top-k — no task ever sorts
+  // a full candidate list), ties broken deterministically by
+  // (votes desc, label asc). The held-out TRUE labels grade the
+  // transfer per vector. On THIS corpus the labels are i.i.d. noise,
+  // so accuracy reads the 1/|labels| chance floor (measured 11% over
+  // 10 labels) — the correct verdict ("no structure to propagate");
+  // SimilaritySpec pins 100% on a planted clustered fixture. The
+  // brute-force arm is the exact-truth pricing (the q23/q112
+  // discipline); at corpus scale the same vote runs over the shipped
+  // ANN index's neighbors (q276's graph expansion) instead.
+  private val TransferK = 5
+  def q284LabelTransfer(s: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+    Similarity.labelTransfer(
+      emb.filter(pmod(col("vec_id"), lit(5)) === 0),
+      emb.filter(pmod(col("vec_id"), lit(5)) =!= 0), TransferK)
+  }
+
   // ---- q191: dedup-weighted token budget ----
   // What the training budget looks like under each dedup policy, per
   // source: raw tokens, representative-only tokens (keep the lowest
@@ -1693,6 +1716,7 @@ object SimilarityQueries {
     "q278_admission_recall" -> q278AdmissionRecall _,
     "q279_cc_delta_chain" -> q279CcDeltaChain _,
     "q280_index_delta" -> q280IndexDelta _,
+    "q284_label_transfer" -> q284LabelTransfer _,
     "q197_semantic_leakage" -> q197SemanticLeakage _,
     "q198_label_agreement" -> q198LabelAgreement _,
     "q203_knn_impute" -> q203KnnImpute _,
@@ -2909,6 +2933,29 @@ object SimilarityQueries {
       s"""WITH cl AS ($q38Sql)
          |SELECT doc_id, cluster_id, cluster_id AS chained_cluster_id,
          |  true AS agree FROM cl""".stripMargin,
+    // same fixed-point dots, same (dot desc, vec_id) neighbor order,
+    // same (votes desc, label) tie-break — the whole transfer chain
+    "q284_label_transfer" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
+         |    label AS true_label FROM embeddings WHERE vec_id % 5 = 0),
+         |c AS (SELECT vec_id, embedding AS ce, label AS nb_label
+         |  FROM embeddings WHERE vec_id % 5 != 0),
+         |scored AS (SELECT query_id, true_label, c.vec_id, nb_label,
+         |    $dotSql AS dot_fp FROM q CROSS JOIN c),
+         |ranked AS (SELECT query_id, true_label, nb_label,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY dot_fp DESC, vec_id) AS rn FROM scored),
+         |votes AS (SELECT query_id, true_label, nb_label, count(*) AS nv
+         |  FROM ranked WHERE rn <= $TransferK GROUP BY 1, 2, 3),
+         |pick AS (SELECT query_id, true_label, nb_label, nv,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY nv DESC, nb_label) AS pr FROM votes)
+         |SELECT query_id AS vec_id,
+         |  CAST(true_label AS BIGINT) AS true_label,
+         |  CAST(nb_label AS BIGINT) AS pred_label,
+         |  CAST(nv AS BIGINT) AS top_votes,
+         |  (true_label = nb_label) AS correct
+         |FROM pick WHERE pr = 1""".stripMargin,
     // the ONE truth is the full rebuild over the union corpus (the
     // bucket cap applied over ALL docs' band rows); the
     // delta-maintained columns must equal it per doc and agree pins

@@ -30,6 +30,36 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("labelTransfer: planted clusters transfer perfectly; ties break " +
+      "to the smaller label") {
+    import spark.implicits._
+    // three tight clusters on distinct axes; labels follow clusters
+    def vec(axis: Int, eps: Float): Array[Float] = {
+      val a = Array.fill(8)(0.0f); a(axis) = 1.0f; a((axis + 1) % 8) = eps; a
+    }
+    val rows = for {
+      axis <- 0 until 3
+      i <- 0 until 10
+    } yield ((axis * 10 + i).toLong, vec(axis, 0.01f * i), axis)
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val held = df.filter(col("vec_id") % 5 === 0)
+    val seeds = df.filter(col("vec_id") % 5 =!= 0)
+    val got = Similarity.labelTransfer(held, seeds, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4)))
+    assert(got.length === 6)
+    assert(got.forall(_._4), s"clustered labels must transfer perfectly: " +
+      got.filterNot(_._4).mkString(", "))
+    // deterministic tie-break: 1 seed of label 0 vs 1 of label 1 at
+    // equal distance → the smaller label wins
+    val tied = Seq(
+      (100L, Array(1.0f, 0.0f), 0), (101L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val q = Seq((200L, Array(0.7071f, 0.7071f), 9))
+      .toDF("vec_id", "embedding", "label")
+    val pick = Similarity.labelTransfer(q, tied, 2).collect().head
+    assert(pick.getLong(2) === 0L, "equal votes must break to label 0")
+  }
+
   test("candidate generation never pairs a doc with itself") {
     val pairs = MinHashLSH.candidatePairs(docsDF, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
