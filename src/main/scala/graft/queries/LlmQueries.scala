@@ -2493,6 +2493,29 @@ object LlmQueries {
       col("doc_id"), TextAnalysis.tokenCount(col("text")), BootReps)
       .withColumnRenamed("mean_mstat", "mean_mtok")
 
+  // ---- q285: categorical mixture drift (chi-square per source) ----
+  // The feed monitor: per source, does the arrival batch's language
+  // mix still match the corpus baseline? [[graft.llm.Drift]]'s
+  // chi-square card — exact rational per-cell terms in ppm, add-one
+  // smoothing so never-seen cells stay finite, literal 95% critical
+  // values by df — so "drifted" is a deterministic, oracle-replayable
+  // verdict, not a float comparison. The slice is doc_id % 7 — NOT
+  // the usual % 10: sources ride doc_id % 20, so a % 10 cut makes
+  // every source all-arrivals or all-corpus (no baseline to test);
+  // % 7 is coprime and spreads arrivals across every source. An
+  // unbiased cut reads not-drifted up to the test's own alpha: at
+  // alpha = 0.05 over 20 sources the expected false-flag count is 1,
+  // and the card measures exactly 1 — the test operating at its
+  // design point, not a defect. DriftSpec plants a language flip and
+  // pins the detection. Scale: frames bounded by sources × langs.
+  def q285MixtureDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    graft.llm.Drift.chiSquareCard(
+      docs.filter(pmod(col("doc_id"), lit(7)) === 0),
+      docs.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+      "source", "lang")
+  }
+
   // ---- q274: Unicode-normalization dedup key ----
   // The mojibake family's sibling: canonically-EQUIVALENT spellings —
   // "café" composed (U+00E9) vs "café" decomposed (e + U+0301) —
@@ -3437,6 +3460,7 @@ object LlmQueries {
     "q281_importance_select" -> q281ImportanceSelect _,
     "q282_importance_serve" -> q282ImportanceServe _,
     "q283_bootstrap_ci" -> q283BootstrapCi _,
+    "q285_mixture_drift" -> q285MixtureDrift _,
     "q246_hll_incremental" -> q246HllIncremental _,
     "q247_perceptual_dups" -> q247PerceptualDups _,
     "q248_cdc_sweep" -> q248CdcSweep _,
@@ -5806,6 +5830,41 @@ object LlmQueries {
          |SELECT d.doc_id, d.lang, d.source, sc.n_tok, sc.score_ppm
          |FROM sc JOIN documents d USING (doc_id)
          |ORDER BY sc.score_ppm DESC, d.doc_id LIMIT $ImpSelectK""".stripMargin,
+    // same smoothed rational terms, same literal critical row —
+    // the whole test replayed in HUGEINT
+    "q285_mixture_drift" -> {
+      val critList = graft.llm.Drift.Chi2Crit95Ppm.mkString("[", ", ", "]")
+      s"""WITH o AS (SELECT source AS g,
+         |    coalesce(CAST(lang AS VARCHAR), '(null)') AS cell,
+         |    count(*) AS o
+         |  FROM documents WHERE doc_id % 7 = 0 GROUP BY 1, 2),
+         |c AS (SELECT source AS g,
+         |    coalesce(CAST(lang AS VARCHAR), '(null)') AS cell,
+         |    count(*) AS c
+         |  FROM documents WHERE doc_id % 7 != 0 GROUP BY 1, 2),
+         |cells AS (SELECT coalesce(o.g, c.g) AS g,
+         |    coalesce(o.o, 0) AS o, coalesce(c.c, 0) AS c
+         |  FROM o FULL OUTER JOIN c ON o.g = c.g AND o.cell = c.cell),
+         |tot AS (SELECT g, sum(o) AS a_tot, sum(c) AS c_tot,
+         |    count(*) AS k FROM cells GROUP BY 1),
+         |t AS (SELECT cells.g, a_tot, c_tot, k,
+         |    CAST(1000000::HUGEINT
+         |      * (o::HUGEINT * (c_tot + k) - a_tot::HUGEINT * (c + 1))
+         |      * (o::HUGEINT * (c_tot + k) - a_tot::HUGEINT * (c + 1))
+         |      // (greatest(a_tot, 1)::HUGEINT * (c + 1) * (c_tot + k))
+         |      AS BIGINT) AS term
+         |  FROM cells JOIN tot USING (g)),
+         |agg AS (SELECT g AS source, CAST(max(a_tot) AS BIGINT) AS n_arr,
+         |    CAST(max(c_tot) AS BIGINT) AS n_corpus,
+         |    CAST(max(k) AS BIGINT) AS k_cells,
+         |    CAST(greatest(max(k) - 1, 1) AS BIGINT) AS df,
+         |    CAST(sum(term) AS BIGINT) AS chi2_ppm
+         |  FROM t GROUP BY 1)
+         |SELECT source, n_arr, n_corpus, k_cells, df, chi2_ppm,
+         |  CAST(($critList)[CAST(least(df, 10) AS INT)] AS BIGINT) AS crit_ppm,
+         |  chi2_ppm > ($critList)[CAST(least(df, 10) AS INT)] AS drifted
+         |FROM agg""".stripMargin
+    },
     // same md5-derived uniform, same eight literal CDF thresholds,
     // HUGEINT sums — the whole resampler replayed
     "q283_bootstrap_ci" -> {
