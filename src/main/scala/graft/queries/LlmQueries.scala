@@ -2493,6 +2493,34 @@ object LlmQueries {
       col("doc_id"), TextAnalysis.tokenCount(col("text")), BootReps)
       .withColumnRenamed("mean_mstat", "mean_mtok")
 
+  // ---- q286: rank-fusion review queue (nonparametric quality blend) ----
+  // Three quality signals — token count, stopword ratio, and
+  // inverted 3-gram repetition — fused by MEAN PERCENTILE RANK
+  // ([[graft.llm.RankFusion]]), not by a weighted raw-value sum: a
+  // weighted sum is dominated by whichever signal has the widest
+  // range, while ranks make "bottom 1% by repetition" and "bottom 1%
+  // by length" the same size before averaging. The bottom-K of the
+  // fused order is the curation review queue a human (or an
+  // expensive model gate) actually reads. Scale: each rank table is
+  // a value-grid aggregate + distinct-value window (never a corpus
+  // window), joined back by value; the queue is
+  // TakeOrderedAndProject.
+  private val ReviewK = 40
+  def q286ReviewQueue(s: SparkSession, dir: String): DataFrame = {
+    val prepared = graft.Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("g3", word3grams("toks"))
+      .select(col("doc_id"),
+        coalesce(size(col("toks")).cast("bigint"), lit(0L)).as("s_tok"),
+        coalesce(stopwordRatioFp(col("text"), DefaultStopwords), lit(0L))
+          .cast("bigint").as("s_stop"),
+        (lit(1000000L) - coalesce(dup3gramFp("g3"), lit(0L)))
+          .cast("bigint").as("s_rep"))
+    graft.llm.RankFusion.fuse(prepared, "doc_id",
+        Seq("s_tok", "s_stop", "s_rep"))
+      .orderBy(col("fused_ppm"), col("doc_id")).limit(ReviewK)
+  }
+
   // ---- q285: categorical mixture drift (chi-square per source) ----
   // The feed monitor: per source, does the arrival batch's language
   // mix still match the corpus baseline? [[graft.llm.Drift]]'s
@@ -3461,6 +3489,7 @@ object LlmQueries {
     "q282_importance_serve" -> q282ImportanceServe _,
     "q283_bootstrap_ci" -> q283BootstrapCi _,
     "q285_mixture_drift" -> q285MixtureDrift _,
+    "q286_review_queue" -> q286ReviewQueue _,
     "q246_hll_incremental" -> q246HllIncremental _,
     "q247_perceptual_dups" -> q247PerceptualDups _,
     "q248_cdc_sweep" -> q248CdcSweep _,
@@ -5830,6 +5859,34 @@ object LlmQueries {
          |SELECT d.doc_id, d.lang, d.source, sc.n_tok, sc.score_ppm
          |FROM sc JOIN documents d USING (doc_id)
          |ORDER BY sc.score_ppm DESC, d.doc_id LIMIT $ImpSelectK""".stripMargin,
+    // ranks replayed with RANGE windows (all ties included = the
+    // value-grid cumulative); same signal spellings, same floor/div
+    "q286_review_queue" -> {
+      def rankSql(c: String) =
+        s"""CAST(1000000::HUGEINT * (count(*) OVER (ORDER BY $c
+           |  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           |  // (count(*) OVER ()) AS BIGINT) AS rank_$c""".stripMargin
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id, toks,
+         |    CASE WHEN len(toks) >= 3
+         |      THEN list_transform(range(1, len(toks) - 1),
+         |        i -> array_to_string(toks[i:i+2], ' '))
+         |      ELSE [] END AS g3 FROM t),
+         |sig AS (SELECT doc_id,
+         |    coalesce(CAST(len(toks) AS BIGINT), 0) AS s_tok,
+         |    coalesce($stopFpSql, 0) AS s_stop,
+         |    1000000 - coalesce(CASE WHEN len(g3) = 0 THEN 0
+         |      ELSE CAST(floor(1000000.0 *
+         |        CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+         |        / CAST(len(g3) AS DOUBLE)) AS BIGINT) END, 0) AS s_rep
+         |  FROM g),
+         |r AS (SELECT doc_id, ${rankSql("s_tok")}, ${rankSql("s_stop")},
+         |    ${rankSql("s_rep")} FROM sig)
+         |SELECT doc_id, rank_s_tok, rank_s_stop, rank_s_rep,
+         |  CAST((rank_s_tok + rank_s_stop + rank_s_rep) // 3 AS BIGINT)
+         |    AS fused_ppm
+         |FROM r ORDER BY fused_ppm, doc_id LIMIT $ReviewK""".stripMargin
+    },
     // same smoothed rational terms, same literal critical row —
     // the whole test replayed in HUGEINT
     "q285_mixture_drift" -> {

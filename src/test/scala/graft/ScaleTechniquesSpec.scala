@@ -218,7 +218,8 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkTestSession {
     // broadcast but nothing may degenerate to CartesianProduct
     Seq("q272_fuzzy_admission", "q275_shard_mixture",
         "q276_graph_expand", "q277_bbit_minhash",
-        "q280_index_delta", "q281_importance_select").foreach { q =>
+        "q280_index_delta", "q281_importance_select",
+        "q285_mixture_drift", "q286_review_queue").foreach { q =>
       val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
