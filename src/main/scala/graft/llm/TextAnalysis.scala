@@ -240,6 +240,38 @@ object TextAnalysis {
          |   cast(size($gramsCol) - size(array_distinct($gramsCol)) as double)
          |   / cast(size($gramsCol) as double)) as bigint) END""".stripMargin)
 
+  /** Sorted character array of a text column — the input shape of
+    * [[charCollisionFp]] (sorted so equal chars are adjacent and the
+    * collision fold is one row-local pass). Null → the empty text's
+    * single "" element (both engines split "" that way). */
+  def sortedChars(text: Column): Column =
+    sort_array(split(coalesce(text, lit("")), ""))
+
+  /** Collision (Rényi-2) index of a doc's character distribution in
+    * ppm: ⌊10⁶·Σc(c−1)/(n(n−1))⌋ — the probability two random char
+    * draws collide. Natural text sits near a language's letter-
+    * frequency collision (~6–8%); keyboard-mash / run-on spam
+    * ("aaaa…") reads far higher, which makes this the gibberish
+    * filter that needs NO logarithm (the Simpson-over-Shannon
+    * discipline — exact rational, oracle-replayable). `csCol` is a
+    * SORTED char array ([[sortedChars]]); the fold is one row-local
+    * pass over runs of equal chars — no explode, no shuffle. Docs
+    * under 2 chars read 0. */
+  def charCollisionFp(csCol: String): Column = expr(
+    // the numerator parens are LOAD-BEARING: `a * b div c` inside a
+    // CASE arm is a Spark 4 parse error (div binds looser than the
+    // grammar admits there)
+    s"""CASE WHEN size($csCol) < 2 THEN 0L
+       | ELSE (cast(aggregate($csCol,
+       |     named_struct('p', '', 'r', 0L, 'a', 0L),
+       |     (s, c) -> CASE WHEN c = s.p
+       |       THEN named_struct('p', c, 'r', s.r + 1L, 'a', s.a)
+       |       ELSE named_struct('p', c, 'r', 1L,
+       |         'a', s.a + s.r * (s.r - 1L)) END,
+       |     s -> s.a + s.r * (s.r - 1L)) as decimal(38,0)) * 1000000)
+       |   div (cast(size($csCol) as decimal(38,0))
+       |     * (size($csCol) - 1)) END""".stripMargin)
+
   /** Exploded (doc_id, w) whitespace-token stream — the input shape
     * every vocabulary-driven scorer starts from. */
   def explodedTokens(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -2521,6 +2521,27 @@ object LlmQueries {
       .orderBy(col("fused_ppm"), col("doc_id")).limit(ReviewK)
   }
 
+  // ---- q287: character-collision gibberish filter (Rényi-2) ----
+  // The quality family's entropy-shaped member without the
+  // entropy-shaped logarithm: per doc, the probability two random
+  // character draws collide, exact in ppm
+  // ([[graft.llm.TextAnalysis.charCollisionFp]] — one row-local fold
+  // over the sorted char array; the oracle computes the same
+  // Σc(c−1)/(n(n−1)) through per-char group counts, a genuinely
+  // independent spelling). Natural text reads the language's
+  // letter-frequency collision; "aaaa…" keyboard-mash reads near 10⁶
+  // — the gibberish screen byte-dedup and token stats both miss.
+  // Corpus docs are clean prose, so none flag at the 0.3 threshold
+  // (the truthful verdict); LlmSpec plants mash and pins detection.
+  private val SpamCollisionPpm = 300000L
+  def q287CharCollision(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.documents(s, dir)
+      .withColumn("cs", TextAnalysis.sortedChars(col("text")))
+      .select(col("doc_id"),
+        size(col("cs")).cast("bigint").as("n_chars"),
+        TextAnalysis.charCollisionFp("cs").as("collision_ppm"))
+      .withColumn("flagged", col("collision_ppm") >= SpamCollisionPpm)
+
   // ---- q285: categorical mixture drift (chi-square per source) ----
   // The feed monitor: per source, does the arrival batch's language
   // mix still match the corpus baseline? [[graft.llm.Drift]]'s
@@ -3490,6 +3511,7 @@ object LlmQueries {
     "q283_bootstrap_ci" -> q283BootstrapCi _,
     "q285_mixture_drift" -> q285MixtureDrift _,
     "q286_review_queue" -> q286ReviewQueue _,
+    "q287_char_collision" -> q287CharCollision _,
     "q246_hll_incremental" -> q246HllIncremental _,
     "q247_perceptual_dups" -> q247PerceptualDups _,
     "q248_cdc_sweep" -> q248CdcSweep _,
@@ -5859,6 +5881,24 @@ object LlmQueries {
          |SELECT d.doc_id, d.lang, d.source, sc.n_tok, sc.score_ppm
          |FROM sc JOIN documents d USING (doc_id)
          |ORDER BY sc.score_ppm DESC, d.doc_id LIMIT $ImpSelectK""".stripMargin,
+    // independent spelling: per-char GROUP COUNTS (the Spark side is
+    // a sorted-run fold) — same Σc(c−1)/(n(n−1)) rational
+    "q287_char_collision" ->
+      s"""WITH cs AS (SELECT doc_id,
+         |    string_split(coalesce(text, ''), '') AS a FROM documents),
+         |ct AS (SELECT doc_id, c, count(*) AS k
+         |  FROM cs, unnest(a) AS u(c) GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, sum(k * (k - 1)) AS coll, sum(k) AS n
+         |  FROM ct GROUP BY 1)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+         |  CASE WHEN n < 2 THEN 0
+         |    ELSE CAST(1000000::HUGEINT * coll
+         |      // (n::HUGEINT * (n - 1)) AS BIGINT) END AS collision_ppm,
+         |  (CASE WHEN n < 2 THEN 0
+         |    ELSE CAST(1000000::HUGEINT * coll
+         |      // (n::HUGEINT * (n - 1)) AS BIGINT) END)
+         |    >= $SpamCollisionPpm AS flagged
+         |FROM agg""".stripMargin,
     // ranks replayed with RANGE windows (all ties included = the
     // value-grid cumulative); same signal spellings, same floor/div
     "q286_review_queue" -> {

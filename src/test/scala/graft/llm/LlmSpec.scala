@@ -680,4 +680,38 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
       Sampling.hashSplit(docs, "doc_id", 95, 5)
     }
   }
+
+  test("charCollisionFp: mash flags, prose does not; fold == count model") {
+    import spark.implicits._
+    val fx = Seq(
+      (1L, "aaaaaaaaaaaaaaaaaaaaaaaa"),          // pure mash -> ~1e6
+      (2L, "the quick brown fox jumps over it"), // prose -> low
+      (3L, "ababababababababab"),                // two-char mash -> ~0.5
+      (4L, ""), (5L, "x"), (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = fx
+      .withColumn("cs", TextAnalysis.sortedChars(col("text")))
+      .select(col("doc_id"), TextAnalysis.charCollisionFp("cs").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent model: chars -> counts -> sum c(c-1) / n(n-1)
+    def model(t: String): Long = {
+      val n = t.length.toLong
+      if (n < 2) 0L
+      else {
+        val coll = t.groupBy(identity).values
+          .map(g => g.length.toLong * (g.length - 1)).sum
+        (BigInt(1000000) * BigInt(coll) / BigInt(n * (n - 1))).toLong
+      }
+    }
+    Seq(1L -> "aaaaaaaaaaaaaaaaaaaaaaaa",
+        2L -> "the quick brown fox jumps over it",
+        3L -> "ababababababababab").foreach { case (id, t) =>
+      assert(got(id) === model(t), s"doc $id")
+    }
+    assert(got(1L) === 1000000L, "single-char mash collides always")
+    assert(got(1L) > 300000L && got(3L) > 300000L, "mash flags")
+    assert(got(2L) < 300000L, "prose must not flag")
+    assert(got(4L) === 0L && got(5L) === 0L && got(6L) === 0L,
+      "sub-2-char and null docs read 0")
+  }
 }
