@@ -42,6 +42,20 @@ object Drift {
     9487729L, 11070497L, 12591587L, 14067140L, 15507313L, 16918977L,
     18307038L)
 
+  /** The smoothed per-cell term as a SQL fragment over column NAMES —
+    * one spelling shared by the per-cell card ([[chiSquareCard]]) and
+    * the pivoted ingest form ([[chiSquarePivot]]), so the two can
+    * never disagree about the arithmetic. */
+  private def termSql(o: String, c: String, a: String, cT: String,
+      k: String): String =
+    s"""cast(cast(1000000 as decimal(38,0))
+       |    * (cast($o as decimal(38,0)) * ($cT + $k)
+       |       - cast($a as decimal(38,0)) * ($c + 1))
+       |    * (cast($o as decimal(38,0)) * ($cT + $k)
+       |       - cast($a as decimal(38,0)) * ($c + 1))
+       |  div (cast(greatest($a, 1L) as decimal(38,0))
+       |    * ($c + 1) * ($cT + $k)) as bigint)""".stripMargin
+
   /** Per-group drift card: `(group, n_arr, n_corpus, k_cells, df,
     * chi2_ppm, crit_ppm, drifted)`. Groups present on either side
     * appear; a group with no arrivals reads χ² = 0 (nothing arrived,
@@ -63,14 +77,8 @@ object Drift {
       .agg(sum(col("o")).as("a_tot"), sum(col("c")).as("c_tot"),
         count(lit(1)).as("k"))
     cells.join(totals, Seq("g"))
-      .withColumn("term_ppm", expr(
-        """cast(cast(1000000 as decimal(38,0))
-          |    * (cast(o as decimal(38,0)) * (c_tot + k)
-          |       - cast(a_tot as decimal(38,0)) * (c + 1))
-          |    * (cast(o as decimal(38,0)) * (c_tot + k)
-          |       - cast(a_tot as decimal(38,0)) * (c + 1))
-          |  div (cast(greatest(a_tot, 1L) as decimal(38,0))
-          |    * (c + 1) * (c_tot + k)) as bigint)""".stripMargin))
+      .withColumn("term_ppm",
+        expr(termSql("o", "c", "a_tot", "c_tot", "k")))
       .groupBy(col("g"))
       .agg(max(col("a_tot")).cast("bigint").as("n_arr"),
         max(col("c_tot")).cast("bigint").as("n_corpus"),
@@ -81,6 +89,67 @@ object Drift {
         array(Chi2Crit95Ppm.map(lit): _*),
         least(col("df"), lit(10L)).cast("int")))
       .select(col("g").as(groupCol), col("n_arr"), col("n_corpus"),
+        col("k_cells"), col("df"), col("chi2_ppm"), col("crit_ppm"),
+        (col("chi2_ppm") > col("crit_ppm")).as("drifted"))
+  }
+
+  /** The INGEST-shaped spelling of [[chiSquareCard]] — what a
+    * standing monitor runs: the cell set is a FIXED config list (a
+    * production monitor pins its schema up front), each arrival row
+    * joins the broadcast baseline pivot FIRST, and everything
+    * aggregates in exactly ONE group-keyed pass — join-before-
+    * aggregate, single aggregation, so the function is
+    * streaming-legal as-is and [[graft.streaming.Streams.driftIngest]]
+    * runs it verbatim (stream == batch pinned in StreamingSpec).
+    *
+    * Semantics vs the card: values outside `cells` lump into one
+    * OTHER bucket (an unseen language still alarms — it lands in a
+    * cell whose baseline is zero); a configured cell with neither
+    * arrivals nor baseline does not count toward df, so K_eff equals
+    * the card's observed-cell union and the two spellings are EQUAL
+    * whenever the observed values stay within `cells` plus at most
+    * one unseen value (DriftSpec pins it; q289 shares q285's oracle
+    * outright). One deliberate difference: groups with zero arrivals
+    * are silent here (a monitor alerts on arrivals), where the card
+    * surfaces them with χ² = 0. */
+  def chiSquarePivot(arrivals: DataFrame, baseline: DataFrame,
+      groupCol: String, cellCol: String, cells: Seq[String]): DataFrame = {
+    require(cells.nonEmpty, "the monitor needs a configured cell list")
+    val idx = cells.indices.map(_.toString) :+ "x"
+    def cellOf(df: DataFrame) = df.select(
+      col(graft.Names.quoted(groupCol)).as("g"),
+      coalesce(col(graft.Names.quoted(cellCol)).cast("string"),
+        lit("(null)")).as("cell"))
+    val basePivotAggs = cells.zipWithIndex.map { case (l, i) =>
+      sum(when(col("cell") === l, 1L).otherwise(0L)).as(s"c_$i") } ++ Seq(
+      sum(when(!col("cell").isin(cells: _*), 1L).otherwise(0L)).as("c_x"),
+      count(lit(1)).as("c_tot"))
+    val b = broadcast(cellOf(baseline).groupBy(col("g"))
+      .agg(basePivotAggs.head, basePivotAggs.tail: _*))
+    val arrivalAggs = cells.zipWithIndex.map { case (l, i) =>
+      sum(when(col("cell") === l, 1L).otherwise(0L)).as(s"o_$i") } ++ Seq(
+      sum(when(!col("cell").isin(cells: _*), 1L).otherwise(0L)).as("o_x"),
+      count(lit(1)).as("a_tot")) ++
+      idx.map(i => coalesce(max(col(s"c_$i")), lit(0L)).as(s"c_$i")) :+
+      coalesce(max(col("c_tot")), lit(0L)).as("c_tot")
+    val joined = cellOf(arrivals).join(b, Seq("g"), "left")
+      .groupBy(col("g")).agg(arrivalAggs.head, arrivalAggs.tail: _*)
+    val kEff = idx.map(i =>
+      s"(CASE WHEN o_$i > 0 OR c_$i > 0 THEN 1L ELSE 0L END)")
+      .mkString(" + ")
+    val chi = idx.map(i =>
+      s"(CASE WHEN o_$i > 0 OR c_$i > 0 THEN " +
+        termSql(s"o_$i", s"c_$i", "a_tot", "c_tot", "k_cells") +
+        " ELSE 0L END)").mkString(" + ")
+    joined.withColumn("k_cells", expr(kEff))
+      .withColumn("chi2_ppm", expr(chi))
+      .withColumn("df", greatest(col("k_cells") - 1L, lit(1L)))
+      .withColumn("crit_ppm", element_at(
+        array(Chi2Crit95Ppm.map(lit): _*),
+        least(col("df"), lit(10L)).cast("int")))
+      .select(col("g").as(groupCol),
+        col("a_tot").cast("bigint").as("n_arr"),
+        col("c_tot").cast("bigint").as("n_corpus"),
         col("k_cells"), col("df"), col("chi2_ppm"), col("crit_ppm"),
         (col("chi2_ppm") > col("crit_ppm")).as("drifted"))
   }

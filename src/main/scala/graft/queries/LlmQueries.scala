@@ -1944,8 +1944,10 @@ object LlmQueries {
   // ONE-pass [[graft.llm.NbClassifier.predictVariantsFromTf]]: tagged
   // winner tables unioned, the test tf joined once, both accuracy
   // rows out of a single (variant, doc) aggregate — closing the r14
-  // two-scorings finding.
-  def q218MoreDataCard(s: SparkSession, dir: String): DataFrame = {
+  // two-scorings finding. The per-doc correctness frame is shared
+  // with q288's paired bootstrap (same chain, different tail).
+  private def moreDataPerDocCorrect(s: SparkSession,
+      dir: String): DataFrame = {
     val split = graft.llm.Sampling.hashSplit(
       graft.Tables.documents(s, dir), "doc_id", ClsTrainPct, ClsValPct)
       .select(col("doc_id"), col("text"), col("lang"), col("split"))
@@ -1996,14 +1998,19 @@ object LlmQueries {
     graft.llm.NbClassifier.predictVariantsFromTf(testIds, testTf,
         Seq("train_only" -> base, "with_val" -> delta))
       .join(labels, Seq("doc_id"))
+      .select(col("doc_id"), col("variant"),
+        when(col("label_true") === col("label_pred"), 1L).otherwise(0L)
+          .as("correct"))
+  }
+
+  def q218MoreDataCard(s: SparkSession, dir: String): DataFrame =
+    moreDataPerDocCorrect(s, dir)
       .groupBy(col("variant"))
       .agg(count(lit(1)).cast("bigint").as("n_docs"),
-        sum(when(col("label_true") === col("label_pred"), 1L)
-          .otherwise(0L)).cast("bigint").as("n_correct"))
+        sum(col("correct")).cast("bigint").as("n_correct"))
       .select(col("variant"), col("n_docs"), col("n_correct"),
         expr("cast(cast(n_correct as decimal(38,0)) * 1000000 " +
           "div greatest(n_docs, 1L) as bigint)").as("accuracy_ppm"))
-  }
 
   // ---- q226: NB distillation of the rule gate (weak supervision) ----
   // The cheap-router-approximates-expensive-rules evidence a crawler
@@ -2541,6 +2548,50 @@ object LlmQueries {
         size(col("cs")).cast("bigint").as("n_chars"),
         TextAnalysis.charCollisionFp("cs").as("collision_ppm"))
       .withColumn("flagged", col("collision_ppm") >= SpamCollisionPpm)
+
+  // ---- q288: paired bootstrap — is "more data" SIGNIFICANTLY better? ----
+  // q218 reports the two NB variants' accuracies; this card asks the
+  // question a training decision actually needs answered: is the
+  // with_val gain REAL or test-set noise? Paired Poisson bootstrap
+  // (the q283 machinery): per test doc, the correctness DELTA
+  // (with_val − train_only ∈ {−1,0,1}, shifted +1 so no negative
+  // integer division crosses an engine boundary), resampled 64 times
+  // with the SAME derived weight per doc on both arms — pairing
+  // cancels the shared per-doc difficulty, which is what makes the
+  // delta CI tight enough to mean something. The 64-replicate grid
+  // IS the answer: a CI straddling 0 reads "not significant".
+  def q288PairedBootstrap(s: SparkSession, dir: String): DataFrame = {
+    val delta = moreDataPerDocCorrect(s, dir)
+      .groupBy(col("doc_id"))
+      .agg((lit(1L) +
+        sum(when(col("variant") === "with_val", col("correct"))
+          .otherwise(0L)) -
+        sum(when(col("variant") === "train_only", col("correct"))
+          .otherwise(0L))).as("ds"))
+    graft.llm.Bootstrap.replicateMeans(delta, col("doc_id"), col("ds"),
+        BootReps)
+      .select(col("rep"), col("n_eff"),
+        (col("mean_mstat") - 1000L).as("delta_macc"))
+  }
+
+  // ---- q289: the drift monitor's ingest spelling (pivot == card) ----
+  // q285 is the batch card; this is what the STANDING monitor runs
+  // ([[graft.llm.Drift.chiSquarePivot]]): cells pinned up front as
+  // monitor config, one broadcast baseline join per arrival row, ONE
+  // aggregate — streaming-legal, and [[graft.streaming.Streams
+  // .driftIngest]] IS this function. On this corpus the observed
+  // values stay inside the configured list, so the pivot equals the
+  // card row-for-row on every source that has arrivals — the oracle
+  // is q285's with the zero-arrival rows dropped (the one documented
+  // semantic difference: a monitor alerts on arrivals).
+  private val DriftCells = Seq("en", "zh", "es", "de", "fr")
+  def q289DriftMonitor(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    graft.llm.Drift.chiSquarePivot(
+      docs.filter(pmod(col("doc_id"), lit(7)) === 0),
+      docs.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+      "source", "lang", DriftCells)
+  }
 
   // ---- q285: categorical mixture drift (chi-square per source) ----
   // The feed monitor: per source, does the arrival batch's language
@@ -3512,6 +3563,8 @@ object LlmQueries {
     "q285_mixture_drift" -> q285MixtureDrift _,
     "q286_review_queue" -> q286ReviewQueue _,
     "q287_char_collision" -> q287CharCollision _,
+    "q288_paired_bootstrap" -> q288PairedBootstrap _,
+    "q289_drift_monitor" -> q289DriftMonitor _,
     "q246_hll_incremental" -> q246HllIncremental _,
     "q247_perceptual_dups" -> q247PerceptualDups _,
     "q248_cdc_sweep" -> q248CdcSweep _,
@@ -4466,6 +4519,40 @@ object LlmQueries {
     s"""${variant("train_only", "spl.split = 'train'")}
        |UNION ALL
        |${variant("with_val", "spl.split IN ('train', 'val')")}""".stripMargin
+  }
+
+  private val mixtureDriftSql: String = {
+      val critList = graft.llm.Drift.Chi2Crit95Ppm.mkString("[", ", ", "]")
+    s"""WITH o AS (SELECT source AS g,
+       |    coalesce(CAST(lang AS VARCHAR), '(null)') AS cell,
+       |    count(*) AS o
+       |  FROM documents WHERE doc_id % 7 = 0 GROUP BY 1, 2),
+       |c AS (SELECT source AS g,
+       |    coalesce(CAST(lang AS VARCHAR), '(null)') AS cell,
+       |    count(*) AS c
+       |  FROM documents WHERE doc_id % 7 != 0 GROUP BY 1, 2),
+       |cells AS (SELECT coalesce(o.g, c.g) AS g,
+       |    coalesce(o.o, 0) AS o, coalesce(c.c, 0) AS c
+       |  FROM o FULL OUTER JOIN c ON o.g = c.g AND o.cell = c.cell),
+       |tot AS (SELECT g, sum(o) AS a_tot, sum(c) AS c_tot,
+       |    count(*) AS k FROM cells GROUP BY 1),
+       |t AS (SELECT cells.g, a_tot, c_tot, k,
+       |    CAST(1000000::HUGEINT
+       |      * (o::HUGEINT * (c_tot + k) - a_tot::HUGEINT * (c + 1))
+       |      * (o::HUGEINT * (c_tot + k) - a_tot::HUGEINT * (c + 1))
+       |      // (greatest(a_tot, 1)::HUGEINT * (c + 1) * (c_tot + k))
+       |      AS BIGINT) AS term
+       |  FROM cells JOIN tot USING (g)),
+       |agg AS (SELECT g AS source, CAST(max(a_tot) AS BIGINT) AS n_arr,
+       |    CAST(max(c_tot) AS BIGINT) AS n_corpus,
+       |    CAST(max(k) AS BIGINT) AS k_cells,
+       |    CAST(greatest(max(k) - 1, 1) AS BIGINT) AS df,
+       |    CAST(sum(term) AS BIGINT) AS chi2_ppm
+       |  FROM t GROUP BY 1)
+       |SELECT source, n_arr, n_corpus, k_cells, df, chi2_ppm,
+       |  CAST(($critList)[CAST(least(df, 10) AS INT)] AS BIGINT) AS crit_ppm,
+       |  chi2_ppm > ($critList)[CAST(least(df, 10) AS INT)] AS drifted
+       |FROM agg""".stripMargin
   }
 
   val oracleSql: Map[String, String] = Map(
@@ -5881,6 +5968,42 @@ object LlmQueries {
          |SELECT d.doc_id, d.lang, d.source, sc.n_tok, sc.score_ppm
          |FROM sc JOIN documents d USING (doc_id)
          |ORDER BY sc.score_ppm DESC, d.doc_id LIMIT $ImpSelectK""".stripMargin,
+    // both NB arms replayed through the shared CTE chain, per-doc
+    // correctness paired, then the q283 resampler verbatim (same
+    // uniform, same thresholds); +1 shift keeps integer division
+    // non-negative on both engines
+    "q288_paired_bootstrap" -> {
+      val wSql = graft.llm.Bootstrap.PoissonCumPpb
+        .map(t => s"(CASE WHEN u9 >= $t THEN 1 ELSE 0 END)").mkString(" + ")
+      def arm(cond: String): String =
+        s"""(WITH ${nbCtesFor(cond)},
+           |  pred AS (SELECT doc_id, lab AS label_pred FROM (
+           |      SELECT doc_id, lab, row_number() OVER (PARTITION BY doc_id
+           |        ORDER BY votes DESC, lab ASC) AS rn FROM votes) t
+           |    WHERE rn = 1)
+           |  SELECT d.doc_id,
+           |    CASE WHEN d.lang = coalesce(p.label_pred,
+           |      '${graft.llm.NbClassifier.NoEvidenceLabel}')
+           |      THEN 1 ELSE 0 END AS c
+           |  FROM documents d JOIN spl USING (doc_id)
+           |  LEFT JOIN pred p USING (doc_id)
+           |  WHERE spl.split = 'test')""".stripMargin
+      s"""WITH a AS ${arm("spl.split = 'train'")},
+         |b AS ${arm("spl.split IN ('train', 'val')")},
+         |dd AS (SELECT a.doc_id, 1 + b.c - a.c AS ds
+         |  FROM a JOIN b USING (doc_id)),
+         |e AS (SELECT doc_id, ds, rep FROM dd,
+         |  unnest(range(0, $BootReps)) AS t(rep)),
+         |u AS (SELECT rep, ds,
+         |    ('0x' || substr(md5(doc_id || '|' || rep), 1, 15))::BIGINT
+         |      % 1000000000 AS u9 FROM e),
+         |w AS (SELECT rep, ds, $wSql AS w FROM u)
+         |SELECT CAST(rep AS BIGINT) AS rep,
+         |  CAST(sum(w) AS BIGINT) AS n_eff,
+         |  CAST(sum(w * ds) * 1000 // greatest(sum(w), 1) AS BIGINT)
+         |    - 1000 AS delta_macc
+         |FROM w GROUP BY 1""".stripMargin
+    },
     // independent spelling: per-char GROUP COUNTS (the Spark side is
     // a sorted-run fold) — same Σc(c−1)/(n(n−1)) rational
     "q287_char_collision" ->
@@ -5929,39 +6052,12 @@ object LlmQueries {
     },
     // same smoothed rational terms, same literal critical row —
     // the whole test replayed in HUGEINT
-    "q285_mixture_drift" -> {
-      val critList = graft.llm.Drift.Chi2Crit95Ppm.mkString("[", ", ", "]")
-      s"""WITH o AS (SELECT source AS g,
-         |    coalesce(CAST(lang AS VARCHAR), '(null)') AS cell,
-         |    count(*) AS o
-         |  FROM documents WHERE doc_id % 7 = 0 GROUP BY 1, 2),
-         |c AS (SELECT source AS g,
-         |    coalesce(CAST(lang AS VARCHAR), '(null)') AS cell,
-         |    count(*) AS c
-         |  FROM documents WHERE doc_id % 7 != 0 GROUP BY 1, 2),
-         |cells AS (SELECT coalesce(o.g, c.g) AS g,
-         |    coalesce(o.o, 0) AS o, coalesce(c.c, 0) AS c
-         |  FROM o FULL OUTER JOIN c ON o.g = c.g AND o.cell = c.cell),
-         |tot AS (SELECT g, sum(o) AS a_tot, sum(c) AS c_tot,
-         |    count(*) AS k FROM cells GROUP BY 1),
-         |t AS (SELECT cells.g, a_tot, c_tot, k,
-         |    CAST(1000000::HUGEINT
-         |      * (o::HUGEINT * (c_tot + k) - a_tot::HUGEINT * (c + 1))
-         |      * (o::HUGEINT * (c_tot + k) - a_tot::HUGEINT * (c + 1))
-         |      // (greatest(a_tot, 1)::HUGEINT * (c + 1) * (c_tot + k))
-         |      AS BIGINT) AS term
-         |  FROM cells JOIN tot USING (g)),
-         |agg AS (SELECT g AS source, CAST(max(a_tot) AS BIGINT) AS n_arr,
-         |    CAST(max(c_tot) AS BIGINT) AS n_corpus,
-         |    CAST(max(k) AS BIGINT) AS k_cells,
-         |    CAST(greatest(max(k) - 1, 1) AS BIGINT) AS df,
-         |    CAST(sum(term) AS BIGINT) AS chi2_ppm
-         |  FROM t GROUP BY 1)
-         |SELECT source, n_arr, n_corpus, k_cells, df, chi2_ppm,
-         |  CAST(($critList)[CAST(least(df, 10) AS INT)] AS BIGINT) AS crit_ppm,
-         |  chi2_ppm > ($critList)[CAST(least(df, 10) AS INT)] AS drifted
-         |FROM agg""".stripMargin
-    },
+    // the pivot spelling equals the card wherever arrivals exist
+    // (observed values stay inside the configured cell list), so the
+    // monitor shares the card's oracle minus the zero-arrival rows
+    "q289_drift_monitor" ->
+      s"SELECT * FROM ($mixtureDriftSql) WHERE n_arr > 0",
+    "q285_mixture_drift" -> mixtureDriftSql,
     // same md5-derived uniform, same eight literal CDF thresholds,
     // HUGEINT sums — the whole resampler replayed
     "q283_bootstrap_ci" -> {

@@ -621,6 +621,24 @@ object Streams {
     graft.llm.Importance.scoreArrivals(stream, idCol, textCol, weights,
       unseenWppm, buckets)
 
+  /** Streaming mixture-drift monitor — q289's chi-square gate on the
+    * live feed: each arrival row joins the broadcast baseline pivot
+    * FIRST, then ONE group-keyed aggregate builds the per-source cell
+    * pivot, and the χ²/df/critical-value verdict is row-local
+    * arithmetic on the aggregated row
+    * ([[graft.llm.Drift.chiSquarePivot]] verbatim —
+    * join-before-aggregate + single aggregation makes the function
+    * streaming-legal as-is; stream == batch pinned in StreamingSpec).
+    * Run with update/complete output mode; state is one pivoted row
+    * per source (sources × (cells+2) longs), never corpus-sized.
+    * The cell list is the monitor's pinned config — values outside
+    * it lump into the OTHER bucket, so an unseen language still
+    * alarms against its zero baseline. */
+  def driftIngest(stream: DataFrame, baseline: DataFrame,
+      groupCol: String, cellCol: String, cells: Seq[String]): DataFrame =
+    graft.llm.Drift.chiSquarePivot(stream, baseline, groupCol, cellCol,
+      cells)
+
   /** Streaming perceptual-dedup meter — q247's dHash at upload time:
     * each arriving image payload decodes row-locally
     * ([[graft.llm.Multimodal.dHashBits]], the SAME kernel as the

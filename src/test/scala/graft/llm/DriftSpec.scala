@@ -111,6 +111,35 @@ class DriftSpec extends AnyFunSuite with SparkTestSession {
     assert(d._5 > 10 * d._6, "the flip reads far past the threshold")
   }
 
+  test("chiSquarePivot == chiSquareCard on in-list values, and with " +
+      "one unseen value lumped to OTHER") {
+    val cor = df((0 until 120).map(i =>
+      (s"s${i % 3}", if (i % 3 == 0) "en" else if (i % 2 == 0) "de"
+       else "fr")): _*)
+    val arr = df((0 until 40).map(i =>
+      (s"s${i % 3}", if (i % 5 == 0) "en" else "de")): _*)
+    def shape(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7))).toSet
+    val cells = Seq("en", "de", "fr")
+    assert(shape(Drift.chiSquarePivot(arr, cor, "src", "cell", cells)) ===
+      shape(Drift.chiSquareCard(arr, cor, "src", "cell")),
+      "in-list pivot must equal the card")
+    // one value outside the config list on each side: the pivot's
+    // OTHER bucket carries exactly that cell, so equality holds
+    val arr2 = arr.unionByName(df(("s0", "xx"), ("s1", "xx")))
+    val cor2 = cor.unionByName(df(("s0", "xx")))
+    assert(shape(Drift.chiSquarePivot(arr2, cor2, "src", "cell", cells)) ===
+      shape(Drift.chiSquareCard(arr2, cor2, "src", "cell")),
+      "a single unseen value must lump losslessly")
+    // zero-arrival groups are the documented difference: silent in
+    // the pivot, chi2 = 0 rows in the card
+    val corOnly = cor.unionByName(df(("ghost", "en")))
+    val pivotRows = Drift.chiSquarePivot(arr, corOnly, "src", "cell", cells)
+      .collect().map(_.getString(0)).toSet
+    assert(!pivotRows.contains("ghost"))
+  }
+
   test("edge groups: no arrivals reads zero; a new source stays finite") {
     val arr = df(("new", "en"), ("new", "en"))
     val cor = df(("old", "en"), ("old", "de"))

@@ -1115,6 +1115,39 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("driftIngest: streamed chi-square verdicts equal the batch pivot; " +
+      "an unseen language alarms against its zero baseline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cells = Seq("en", "de")
+    val baseline = (0 until 200).map(i =>
+      ("s" + i % 2, if (i % 8 < 2) "en" else "de")).toDF("src", "lang")
+    // s0 drifts hard (all arrivals flip to en + an unseen language);
+    // s1 stays on the baseline mix
+    val arrivals = (0 until 60).map { i =>
+      if (i % 2 == 0) ("s0", if (i % 6 == 0) "xx" else "en")
+      else ("s1", if (i % 8 == 1) "en" else "de")
+    }
+    val in = MemoryStream[(String, String)]
+    val q = Streams.driftIngest(in.toDF().toDF("src", "lang"),
+        baseline, "src", "lang", cells)
+      .writeStream.format("memory").queryName("drift_out")
+      .outputMode("complete").start()
+    try {
+      in.addData(arrivals: _*)
+      q.processAllAvailable()
+      def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(5), r.getBoolean(7))).toSet
+      val got = shape(spark.table("drift_out"))
+      val batch = shape(graft.llm.Drift.chiSquarePivot(
+        arrivals.toDF("src", "lang"), baseline, "src", "lang", cells))
+      assert(got === batch, "stream must equal the batch pivot exactly")
+      val byS = got.map(r => r._1 -> r._3).toMap
+      assert(byS("s0"), "the flipped+unseen feed must alarm")
+      assert(!byS("s1"), "the on-mix feed must not alarm")
+    } finally q.stop()
+  }
+
   test("sampleIngest: bounded bottom-k state; live sample equals the batch cut") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
