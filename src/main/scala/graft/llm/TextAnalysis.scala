@@ -240,6 +240,40 @@ object TextAnalysis {
          |   cast(size($gramsCol) - size(array_distinct($gramsCol)) as double)
          |   / cast(size($gramsCol) as double)) as bigint) END""".stripMargin)
 
+  /** Per-doc sentence statistics — the Gopher-style
+    * structure-of-prose signals the token-level filters can't see:
+    * sentence count (too few = a fragment or a list), mean tokens
+    * per sentence in centi-tokens (absurdly high = run-on boilerplate
+    * or markup), and the longest sentence. Sentences split on runs of
+    * `[.!?]` — a PORTABLE regex (identical semantics in Java regex
+    * and DuckDB's RE2) — and blank segments are dropped on BOTH
+    * engines, because the engines disagree about trailing empties and
+    * neither side may keep any. One row-local traversal: filter →
+    * per-sentence token counts → fold; no explode, no shuffle.
+    * Output: `(doc_id, n_sent, sent_tokens, mean_ctok_per_sent,
+    * max_sent_tok)`; null/blank docs read all zeros. */
+  def sentenceStats(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val qt = graft.Names.quoted(textCol)
+    docs
+      .select(col(graft.Names.quoted(idCol)).as("doc_id"), expr(
+        s"""transform(
+           |  filter(split(coalesce($qt, ''), '[.!?]+'),
+           |    x -> length(trim(x)) > 0),
+           |  x -> cast(size(split(trim(x), '\\\\s+')) as bigint))"""
+          .stripMargin).as("tl"))
+      .select(col("doc_id"),
+        size(col("tl")).cast("bigint").as("n_sent"),
+        coalesce(expr("aggregate(tl, 0L, (a, x) -> a + x)"), lit(0L))
+          .as("sent_tokens"),
+        coalesce(expr("array_max(tl)"), lit(0L)).as("max_sent_tok"))
+      .select(col("doc_id"), col("n_sent"), col("sent_tokens"),
+        when(col("n_sent") === 0L, lit(0L))
+          .otherwise(expr("(sent_tokens * 100) div n_sent"))
+          .as("mean_ctok_per_sent"),
+        col("max_sent_tok"))
+  }
+
   /** Sorted character array of a text column — the input shape of
     * [[charCollisionFp]] (sorted so equal chars are adjacent and the
     * collision fold is one row-local pass). Null → the empty text's

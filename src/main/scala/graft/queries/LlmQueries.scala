@@ -2574,6 +2574,26 @@ object LlmQueries {
         (col("mean_mstat") - 1000L).as("delta_macc"))
   }
 
+  // ---- q290: sentence statistics (structure-of-prose quality) ----
+  // The Gopher filter axis the token-level stats can't see: a doc
+  // with 400 good tokens in ONE unbroken run-on is boilerplate/markup
+  // shaped, and a 2-sentence doc is a fragment.
+  // [[graft.llm.TextAnalysis.sentenceStats]] — one row-local
+  // traversal (portable [.!?]+ split, blank segments dropped on both
+  // engines by contract), flags derived on top: few_sentences (< 3)
+  // and run_on (longest sentence ≥ 60 tokens). Measured on this
+  // corpus: ALL 500 docs flag few_sentences and 45% flag run_on —
+  // the synthetic text is nearly punctuation-free, i.e. exactly the
+  // prose shape this filter exists to catch (LlmSpec pins that real
+  // sentence structure passes and fragments/run-ons flag).
+  private val MinSentences = 3L
+  private val RunOnTokens = 60L
+  def q290SentenceStats(s: SparkSession, dir: String): DataFrame =
+    graft.llm.TextAnalysis.sentenceStats(
+        graft.Tables.documents(s, dir), "doc_id", "text")
+      .withColumn("few_sentences", col("n_sent") < MinSentences)
+      .withColumn("run_on", col("max_sent_tok") >= RunOnTokens)
+
   // ---- q289: the drift monitor's ingest spelling (pivot == card) ----
   // q285 is the batch card; this is what the STANDING monitor runs
   // ([[graft.llm.Drift.chiSquarePivot]]): cells pinned up front as
@@ -3565,6 +3585,7 @@ object LlmQueries {
     "q287_char_collision" -> q287CharCollision _,
     "q288_paired_bootstrap" -> q288PairedBootstrap _,
     "q289_drift_monitor" -> q289DriftMonitor _,
+    "q290_sentence_stats" -> q290SentenceStats _,
     "q246_hll_incremental" -> q246HllIncremental _,
     "q247_perceptual_dups" -> q247PerceptualDups _,
     "q248_cdc_sweep" -> q248CdcSweep _,
@@ -5968,6 +5989,27 @@ object LlmQueries {
          |SELECT d.doc_id, d.lang, d.source, sc.n_tok, sc.score_ppm
          |FROM sc JOIN documents d USING (doc_id)
          |ORDER BY sc.score_ppm DESC, d.doc_id LIMIT $ImpSelectK""".stripMargin,
+    // same portable [.!?]+ split, same blank-segment drop, same
+    // per-sentence token counts and centi-token floor
+    "q290_sentence_stats" ->
+      s"""WITH sen AS (SELECT doc_id,
+         |    list_transform(
+         |      list_filter(string_split_regex(coalesce(text, ''), '[.!?]+'),
+         |        x -> length(trim(x)) > 0),
+         |      x -> CAST(len(string_split_regex(trim(x), '\\s+'))
+         |        AS BIGINT)) AS tl
+         |  FROM documents),
+         |st AS (SELECT doc_id, CAST(len(tl) AS BIGINT) AS n_sent,
+         |    CAST(coalesce(list_sum(tl), 0) AS BIGINT) AS sent_tokens,
+         |    CAST(coalesce(list_max(tl), 0) AS BIGINT) AS max_sent_tok
+         |  FROM sen)
+         |SELECT doc_id, n_sent, sent_tokens,
+         |  CASE WHEN n_sent = 0 THEN 0
+         |    ELSE (sent_tokens * 100) // n_sent END AS mean_ctok_per_sent,
+         |  max_sent_tok,
+         |  n_sent < $MinSentences AS few_sentences,
+         |  max_sent_tok >= $RunOnTokens AS run_on
+         |FROM st""".stripMargin,
     // both NB arms replayed through the shared CTE chain, per-doc
     // correctness paired, then the q283 resampler verbatim (same
     // uniform, same thresholds); +1 shift keeps integer division

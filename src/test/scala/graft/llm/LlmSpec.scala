@@ -714,4 +714,29 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
     assert(got(4L) === 0L && got(5L) === 0L && got(6L) === 0L,
       "sub-2-char and null docs read 0")
   }
+
+  test("sentenceStats: prose passes, fragments and run-ons flag; " +
+      "portable split drops blanks") {
+    import spark.implicits._
+    val fx = Seq(
+      (1L, "The cat sat. The dog ran! Did the bird fly? Yes."),
+      (2L, "one fragment without terminal punctuation at all"),
+      (3L, ("word " * 70).trim + "."),
+      (4L, ""), (5L, null.asInstanceOf[String]),
+      (6L, "Ends with dots... and more!!! exactly??"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.sentenceStats(fx, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    // 4 sentences of 3/3/4/1 tokens
+    assert(got(1L) === ((4L, 11L, 275L, 4L)))
+    // no terminal punctuation = one sentence
+    assert(got(2L)._1 === 1L)
+    // 70-token single sentence: run-on territory
+    assert(got(3L) === ((1L, 70L, 7000L, 70L)))
+    assert(got(4L) === ((0L, 0L, 0L, 0L)))
+    assert(got(5L) === ((0L, 0L, 0L, 0L)))
+    // runs of terminators collapse; blank tails drop
+    assert(got(6L)._1 === 3L)
+  }
 }
