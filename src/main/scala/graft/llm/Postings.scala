@@ -24,6 +24,32 @@ object Postings {
       .groupBy(col("w"), col("doc_id"))
       .agg(sort_array(collect_list(col("pos").cast("bigint"))).as("ps"))
 
+  /** Docs where `w1` and `w2` occur within `window` tokens of each
+    * other — the proximity operator between phrase match (ordered,
+    * distance 1: [[phraseCounts]]) and bag-of-words AND (distance ∞):
+    * `(doc_id, n_near, min_dist)` with `n_near` the count of w1
+    * occurrences having a w2 within reach and `min_dist` the closest
+    * approach. Row-local O(|P1|·|P2|) per joined posting row — fine
+    * for content terms; stopword-grade lists are the documented
+    * upstream cap risk (object doc), exactly as for phrase queries. */
+  def proximityCounts(postings: DataFrame, w1: String, w2: String,
+      window: Int): DataFrame = {
+    require(window >= 0, "window must be non-negative")
+    val a = postings.filter(col("w") === w1)
+      .select(col("doc_id"), col("ps").as("pa"))
+    val b = postings.filter(col("w") === w2)
+      .select(col("doc_id"), col("ps").as("pb"))
+    a.join(b, "doc_id")
+      .select(col("doc_id"),
+        expr(s"""cast(size(filter(pa,
+          |  x -> exists(pb, y -> abs(x - y) <= $window)))
+          |  as bigint)""".stripMargin).as("n_near"),
+        expr("""array_min(flatten(transform(pa,
+          |  x -> transform(pb, y -> abs(x - y)))))""".stripMargin)
+          .as("min_dist"))
+      .filter(col("n_near") > 0)
+  }
+
   /** Docs containing the exact phrase "w1 w2", with occurrence counts:
     * adjacency = |{p ∈ P(w1) : p+1 ∈ P(w2)}| via the sorted merge
     * walk. */

@@ -2574,6 +2574,23 @@ object LlmQueries {
         (col("mean_mstat") - 1000L).as("delta_macc"))
   }
 
+  // ---- q291: proximity search over the positional index ----
+  // The retrieval operator between q42's phrase match (ordered,
+  // adjacent) and a bag-of-words AND: the same two query terms, but
+  // matching within a 5-token window in either order
+  // ([[graft.llm.Postings.proximityCounts]]) — per doc the count of
+  // w1 occurrences with a w2 in reach and the closest approach. Same
+  // shipped-index discipline as q42: the corpus is indexed once, the
+  // query is a posting-list equi-join plus row-local list
+  // arithmetic; proximity hits are a strict superset of phrase hits
+  // (min_dist = 1 covers adjacency both ways).
+  private val ProxWindow = 5
+  def q291ProximitySearch(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Postings.proximityCounts(
+      graft.llm.Postings.build(
+        graft.Tables.documents(s, dir), "doc_id", "text"),
+      PhraseW1, PhraseW2, ProxWindow)
+
   // ---- q290: sentence statistics (structure-of-prose quality) ----
   // The Gopher filter axis the token-level stats can't see: a doc
   // with 400 good tokens in ONE unbroken run-on is boilerplate/markup
@@ -3586,6 +3603,7 @@ object LlmQueries {
     "q288_paired_bootstrap" -> q288PairedBootstrap _,
     "q289_drift_monitor" -> q289DriftMonitor _,
     "q290_sentence_stats" -> q290SentenceStats _,
+    "q291_proximity_search" -> q291ProximitySearch _,
     "q246_hll_incremental" -> q246HllIncremental _,
     "q247_perceptual_dups" -> q247PerceptualDups _,
     "q248_cdc_sweep" -> q248CdcSweep _,
@@ -5989,6 +6007,25 @@ object LlmQueries {
          |SELECT d.doc_id, d.lang, d.source, sc.n_tok, sc.score_ppm
          |FROM sc JOIN documents d USING (doc_id)
          |ORDER BY sc.score_ppm DESC, d.doc_id LIMIT $ImpSelectK""".stripMargin,
+    // the q42 postings CTEs + the same window predicate and min
+    // distance over the joined lists
+    "q291_proximity_search" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |e AS (SELECT doc_id, toks[i] AS w, i - 1 AS pos
+         |  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+         |p AS (SELECT w, doc_id, list_sort(list(pos)) AS ps
+         |  FROM e GROUP BY w, doc_id),
+         |j AS (SELECT a.doc_id,
+         |    CAST(len(list_filter(a.ps, x ->
+         |      len(list_filter(b.ps, y -> abs(x - y) <= $ProxWindow)) > 0))
+         |      AS BIGINT) AS n_near,
+         |    CAST(list_min(flatten(list_transform(a.ps, x ->
+         |      list_transform(b.ps, y -> abs(x - y))))) AS BIGINT)
+         |      AS min_dist
+         |  FROM p a JOIN p b ON a.doc_id = b.doc_id
+         |  WHERE a.w = '$PhraseW1' AND b.w = '$PhraseW2')
+         |SELECT doc_id, n_near, min_dist FROM j WHERE n_near > 0"""
+        .stripMargin,
     // same portable [.!?]+ split, same blank-segment drop, same
     // per-sentence token counts and centi-token floor
     "q290_sentence_stats" ->

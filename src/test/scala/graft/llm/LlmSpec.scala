@@ -739,4 +739,23 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
     // runs of terminators collapse; blank tails drop
     assert(got(6L)._1 === 3L)
   }
+
+  test("proximityCounts: window semantics exact; superset of phrase hits") {
+    import spark.implicits._
+    val fx = Seq(
+      (1L, "table hash"),                     // adjacent, dist 1
+      (2L, "hash x y z w table"),             // dist 5, reverse order
+      (3L, "table a b c d e hash"),           // dist 6: outside window
+      (4L, "table table hash"),               // two a-occurrences in reach
+      (5L, "no terms here")).toDF("doc_id", "text")
+    val p = Postings.build(fx, "doc_id", "text")
+    val got = Postings.proximityCounts(p, "table", "hash", 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(1L -> ((1L, 1L)), 2L -> ((1L, 5L)),
+      4L -> ((2L, 1L))))
+    // proximity at any window >= 1 covers every phrase hit
+    val phrase = Postings.phraseCounts(p, "table", "hash").collect()
+      .map(_.getLong(0)).toSet
+    assert(phrase.subsetOf(got.keySet))
+  }
 }
