@@ -240,6 +240,42 @@ object TextAnalysis {
          |   cast(size($gramsCol) - size(array_distinct($gramsCol)) as double)
          |   / cast(size($gramsCol) as double)) as bigint) END""".stripMargin)
 
+  /** Four-fifths adverse-impact threshold (ppm) for [[gateDisparity]]. */
+  val AdverseImpactPpm = 800000L
+
+  /** Disparate-impact audit of the [[ruleFilter]] gate per group
+    * (language, source, …): pass rate per group, each group's impact
+    * ratio against the BEST-passing group, and the classic
+    * four-fifths adverse flag (impact < 0.8) — the audit that catches
+    * an English-tuned heuristic gate quietly halving another
+    * language's representation. The group column rides ruleFilter's
+    * OWN scan (carryCols — no second corpus read); the best-rate arm
+    * is a broadcast one-row crossJoin; frames are bounded by the
+    * group cardinality. The verdict is RELATIVE, so it stays
+    * meaningful wherever the absolute pass rates sit. */
+  def gateDisparity(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame = {
+    val byGroup = ruleFilter(docs, idCol, textCol,
+        carryCols = Seq(groupCol))
+      .select(coalesce(col(graft.Names.quoted(groupCol)).cast("string"),
+        lit("(null)")).as("__g"),
+        (col("reasons") === 0L).as("pass"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(when(col("pass"), 1L).otherwise(0L)).cast("bigint")
+          .as("n_pass"))
+      .withColumn("pass_ppm", expr(
+        "cast(cast(n_pass as decimal(38,0)) * 1000000 " +
+          "div greatest(n_docs, 1L) as bigint)"))
+    byGroup
+      .crossJoin(broadcast(byGroup.agg(max(col("pass_ppm")).as("best_ppm"))))
+      .select(col("__g").as(groupCol), col("n_docs"), col("n_pass"),
+        col("pass_ppm"),
+        expr("cast(cast(pass_ppm as decimal(38,0)) * 1000000 " +
+          "div greatest(best_ppm, 1L) as bigint)").as("impact_ppm"))
+      .withColumn("adverse", col("impact_ppm") < AdverseImpactPpm)
+  }
+
   /** Per-doc sentence statistics — the Gopher-style
     * structure-of-prose signals the token-level filters can't see:
     * sentence count (too few = a fragment or a list), mean tokens

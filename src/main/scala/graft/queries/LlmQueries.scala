@@ -2574,6 +2574,21 @@ object LlmQueries {
         (col("mean_mstat") - 1000L).as("delta_macc"))
   }
 
+  // ---- q292: rule-gate disparate-impact audit (four-fifths rule) ----
+  // The responsible-curation number the q69 gate owes its corpus: the
+  // pass RATE per language, each language's impact ratio against the
+  // best-passing one, and the classic four-fifths adverse-impact flag
+  // (impact < 0.8) — the audit that catches an English-tuned filter
+  // quietly halving another language's representation (the documented
+  // real-world failure mode of blocklist/heuristic gates). The lang
+  // column rides ruleFilter's OWN scan (carryCols — no second corpus
+  // read); the best-rate arm is a broadcast one-row crossJoin. The
+  // verdict is relative, so it stays meaningful wherever the absolute
+  // pass rates sit.
+  def q292GateDisparity(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gateDisparity(graft.Tables.documents(s, dir),
+      "doc_id", "text", "lang")
+
   // ---- q291: proximity search over the positional index ----
   // The retrieval operator between q42's phrase match (ordered,
   // adjacent) and a bag-of-words AND: the same two query terms, but
@@ -3604,6 +3619,7 @@ object LlmQueries {
     "q289_drift_monitor" -> q289DriftMonitor _,
     "q290_sentence_stats" -> q290SentenceStats _,
     "q291_proximity_search" -> q291ProximitySearch _,
+    "q292_gate_disparity" -> q292GateDisparity _,
     "q246_hll_incremental" -> q246HllIncremental _,
     "q247_perceptual_dups" -> q247PerceptualDups _,
     "q248_cdc_sweep" -> q248CdcSweep _,
@@ -6007,6 +6023,27 @@ object LlmQueries {
          |SELECT d.doc_id, d.lang, d.source, sc.n_tok, sc.score_ppm
          |FROM sc JOIN documents d USING (doc_id)
          |ORDER BY sc.score_ppm DESC, d.doc_id LIMIT $ImpSelectK""".stripMargin,
+    // the shared rule CTEs; pass = zero reasons; the impact ratio
+    // and four-fifths flag in HUGEINT against the best language
+    "q292_gate_disparity" ->
+      s"""WITH $rulesCtes,
+         |v AS (SELECT rr.doc_id, coalesce(d.lang, '(null)') AS lang,
+         |    CASE WHEN ($reasonsSql) = 0 THEN 1 ELSE 0 END AS pass
+         |  FROM rr JOIN documents d ON rr.doc_id = d.doc_id),
+         |bl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(pass) AS BIGINT) AS n_pass FROM v GROUP BY 1),
+         |pp AS (SELECT lang, n_docs, n_pass,
+         |    CAST(n_pass::HUGEINT * 1000000 // greatest(n_docs, 1)
+         |      AS BIGINT) AS pass_ppm FROM bl),
+         |mx AS (SELECT max(pass_ppm) AS best FROM pp)
+         |SELECT lang, n_docs, n_pass, pass_ppm,
+         |  CAST(pass_ppm::HUGEINT * 1000000
+         |    // greatest((SELECT best FROM mx), 1) AS BIGINT)
+         |    AS impact_ppm,
+         |  CAST(pass_ppm::HUGEINT * 1000000
+         |    // greatest((SELECT best FROM mx), 1) AS BIGINT)
+         |    < ${TextAnalysis.AdverseImpactPpm} AS adverse
+         |FROM pp""".stripMargin,
     // the q42 postings CTEs + the same window predicate and min
     // distance over the joined lists
     "q291_proximity_search" ->

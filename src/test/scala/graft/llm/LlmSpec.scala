@@ -758,4 +758,35 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
       .map(_.getLong(0)).toSet
     assert(phrase.subsetOf(got.keySet))
   }
+
+  test("gateDisparity: a group the gate systematically fails flags " +
+      "adverse; balanced groups do not") {
+    import spark.implicits._
+    // gate-passing prose: >= 20 tokens, mean length in [3,10], 25%
+    // stopwords, all 3-grams distinct, zero digits
+    def prose(i: Int): String = (0 until 24).map { j =>
+      if (j % 4 == 0) "the"
+      else {
+        val v = i * 24 + j
+        s"word${('a' + v % 26).toChar}${('a' + (v / 26) % 26).toChar}"
+      }
+    }.mkString(" ")
+    val digits = "12345 67890 11111 22222 33333 44444 55555 66666 " * 3
+    val fx = ((0 until 20).map(i => (i.toLong, prose(i), "en")) ++
+      (100 until 120).map(i => (i.toLong, digits + i, "zz")))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.gateDisparity(fx, "doc_id", "text", "lang")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got("en")._2 === 1000000L, "the clean group is the baseline")
+    assert(got("zz")._3, "the digit-spam group must flag adverse")
+    assert(!got("en")._3)
+    // balanced fixture: same text shapes in both groups -> no flag
+    val fair = ((0 until 20).map(i => (i.toLong, prose(i), "en")) ++
+      (100 until 120).map(i => (i.toLong, prose(i), "de")))
+      .toDF("doc_id", "text", "lang")
+    val fg = TextAnalysis.gateDisparity(fair, "doc_id", "text", "lang")
+      .collect().map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    assert(fg.values.forall(!_), "identical mixes cannot flag")
+  }
 }
