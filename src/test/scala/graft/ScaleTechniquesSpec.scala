@@ -219,7 +219,10 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkTestSession {
     Seq("q272_fuzzy_admission", "q275_shard_mixture",
         "q276_graph_expand", "q277_bbit_minhash",
         "q280_index_delta", "q281_importance_select",
-        "q285_mixture_drift", "q286_review_queue").foreach { q =>
+        "q285_mixture_drift", "q286_review_queue",
+        "q287_char_collision", "q288_paired_bootstrap",
+        "q289_drift_monitor", "q290_sentence_stats",
+        "q291_proximity_search", "q292_gate_disparity").foreach { q =>
       val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
