@@ -94,6 +94,34 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkTestSession {
     assert(en > 0 && en < full)
   }
 
+  test("dynamic partition pruning: a filtered dim prunes the fact's " +
+      "partitions at RUNTIME") {
+    // the static test above prunes on a literal; DPP is the 100 TB
+    // star-join workhorse — the dim filter's surviving keys prune the
+    // fact scan through a runtime subquery, so a partitioned fact
+    // joined to a selective dim reads 2 directories, not 20
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    import spark.implicits._
+    (0 until 20).flatMap(k => (0 until 50).map(i =>
+      (k, k.toLong * 1000 + i)))
+      .toDF("k", "v").write.mode("overwrite").partitionBy("k")
+      .parquet(dir + "/fact")
+    // the filtering side must itself be a SCAN with a selective
+    // predicate — a LocalRelation never triggers the rule, which is
+    // exactly the production shape anyway (dims live in files)
+    (0 until 20).map(k => (k, if (k < 2) "keep" else "drop"))
+      .toDF("k", "tag").write.mode("overwrite").parquet(dir + "/dim")
+    val q = spark.read.parquet(dir + "/fact")
+      .join(spark.read.parquet(dir + "/dim")
+        .filter(col("tag") === "keep"), "k")
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+    val plan = q.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("dynamicpruning"),
+      s"no DynamicPruningExpression in the fact scan:\n${plan.take(1500)}")
+    val got = q.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got === Map(0 -> 50L, 1 -> 50L))
+  }
+
   test("filters and projection pushdown reach the parquet scan") {
     val plan = SparkEntry.queries("q6_filtered_revenue")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
