@@ -621,6 +621,21 @@ object Streams {
     graft.llm.Importance.scoreArrivals(stream, idCol, textCol, weights,
       unseenWppm, buckets)
 
+  /** Streaming bootstrap CI — q283's resampler on the live feed: the
+    * running mean of an integer statistic arrives WITH its
+    * uncertainty, because every replicate mean updates per
+    * micro-batch ([[graft.llm.Bootstrap.replicateMeans]] verbatim —
+    * the row×reps explode followed by exactly ONE aggregation is
+    * streaming-legal as-is; weights are derived md5 arithmetic, so
+    * identical rows weigh identically whenever they arrive and
+    * stream == batch by construction, pinned in StreamingSpec). Run
+    * with update/complete output mode; state is `reps` rows total,
+    * whatever the stream length. */
+  def bootstrapIngest(stream: DataFrame, keyCol: String, statCol: String,
+      reps: Int): DataFrame =
+    graft.llm.Bootstrap.replicateMeans(stream, qcol(keyCol), qcol(statCol),
+      reps)
+
   /** Streaming mixture-drift monitor — q289's chi-square gate on the
     * live feed: each arrival row joins the broadcast baseline pivot
     * FIRST, then ONE group-keyed aggregate builds the per-source cell

@@ -1115,6 +1115,34 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("bootstrapIngest: the live replicate grid equals the batch " +
+      "resampler after every batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows1 = (0 until 150).map(i => (i.toLong, (i % 9).toLong))
+    val rows2 = (150 until 260).map(i => (i.toLong, (i % 9).toLong))
+    val in = MemoryStream[(Long, Long)]
+    val q = Streams.bootstrapIngest(in.toDF().toDF("id", "x"), "id", "x", 16)
+      .writeStream.format("memory").queryName("boot_out")
+      .outputMode("complete").start()
+    try {
+      def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+        .toSeq
+      in.addData(rows1: _*)
+      q.processAllAvailable()
+      assert(shape(spark.table("boot_out")) ===
+        shape(graft.llm.Bootstrap.replicateMeans(rows1.toDF("id", "x"),
+          col("id"), col("x"), 16)), "mid-stream grid must equal batch")
+      in.addData(rows2: _*)
+      q.processAllAvailable()
+      assert(shape(spark.table("boot_out")) ===
+        shape(graft.llm.Bootstrap.replicateMeans(
+          (rows1 ++ rows2).toDF("id", "x"), col("id"), col("x"), 16)),
+        "the grid after batch 2 must equal the batch resampler on the union")
+    } finally q.stop()
+  }
+
   test("driftIngest: streamed chi-square verdicts equal the batch pivot; " +
       "an unseen language alarms against its zero baseline") {
     import spark.implicits._
