@@ -54,4 +54,36 @@ class SourceFormatsSpec extends AnyFunSuite with SparkTestSession {
     val back = spark.read.option("header", "true").schema(docs.schema).csv(dir)
     assert(sortedRows(back) == sortedRows(docs))
   }
+
+  test("binaryFile source: a media DIRECTORY becomes the multimodal " +
+      "frame — metadata columns, glob filter, real decode downstream") {
+    val dir = tmp("graft-bin")
+    // three real BMP payloads + one decoy the glob must exclude
+    Seq(("a.bmp", 2, 2), ("b.bmp", 4, 2), ("c.bmp", 8, 8)).foreach {
+      case (name, w, h) =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, name),
+          graft.llm.Multimodal.encodeBmp(w, h))
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "notes.txt"),
+      "not an image".getBytes)
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bmp").load(dir)
+    // the production schema: path/modificationTime/length/content
+    assert(bin.columns.toSet ===
+      Set("path", "modificationTime", "length", "content"))
+    assert(bin.count() === 3, "the glob must exclude the decoy")
+    // content is the exact bytes on disk, so the REAL decoder works
+    // directly on the source frame — the 100 TB media-lake entry path
+    val decode = udf { (c: Array[Byte]) =>
+      graft.llm.Multimodal.decodeBmp(c).map { case (w, h) => s"${w}x$h" }
+        .getOrElse("bad")
+    }
+    val dims = bin
+      .select(element_at(split(col("path"), "/"), -1).as("name"),
+        decode(col("content")).as("dims"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(dims === Map("a.bmp" -> "2x2", "b.bmp" -> "4x2",
+      "c.bmp" -> "8x8"))
+  }
 }
