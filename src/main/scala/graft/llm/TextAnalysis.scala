@@ -240,6 +240,21 @@ object TextAnalysis {
          |   cast(size($gramsCol) - size(array_distinct($gramsCol)) as double)
          |   / cast(size($gramsCol) as double)) as bigint) END""".stripMargin)
 
+  /** Count of word bigrams whose md5 lands in the "green" half of
+    * hash space — the detection side of green-list text watermarking
+    * (Kirchenbauer et al. 2023, "A Watermark for Large Language
+    * Models"): a watermarking generator biases each next-token choice
+    * toward the hash-defined green list of its context, so
+    * watermarked text shows a green fraction far above the natural
+    * γ = 1/2, and DETECTION needs no model and no key beyond the hash
+    * convention — one row-local filter over the bigram list. The
+    * screen a pretraining pipeline runs to keep synthetic
+    * (watermarked) text out of a human-text corpus. */
+  def greenCount(gramsCol: String): Column = expr(
+    s"""cast(size(filter($gramsCol,
+       |  x -> cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint)
+       |    % 2 = 0)) as bigint)""".stripMargin)
+
   /** Four-fifths adverse-impact threshold (ppm) for [[gateDisparity]]. */
   val AdverseImpactPpm = 800000L
 

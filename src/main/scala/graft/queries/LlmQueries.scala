@@ -2589,6 +2589,36 @@ object LlmQueries {
     TextAnalysis.gateDisparity(graft.Tables.documents(s, dir),
       "doc_id", "text", "lang")
 
+  // ---- q293: watermark screen (synthetic-text contamination) ----
+  // The detection side of green-list watermarking (Kirchenbauer et
+  // al. 2023): per doc, the fraction of adjacent-token transitions
+  // whose bigram hash lands in the green half of hash space
+  // ([[graft.llm.TextAnalysis.greenCount]] — one row-local filter
+  // over the q37 bigram list). Natural text sits at the γ = 1/2 base
+  // rate; a watermarking generator biases toward green, so the flag
+  // is the exact-integer one-sided 3σ binomial test:
+  // 2g > n AND (2g − n)² ≥ 9n ⟺ g ≥ n/2 + 1.5√n — no square root,
+  // no doubles, and the bar self-scales with doc length (a fixed ppm
+  // cutoff would flag ~8% of 50-pair docs by chance — measured, then
+  // fixed). On this corpus: green centers on 489k ppm, ZERO flags —
+  // the truthful verdict for human text; LlmSpec generates
+  // actually-watermarked text with a greedy green sampler and pins
+  // detection.
+  private val WmMinPairs = 50L
+  def q293WatermarkScreen(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("g2", wordNgrams("toks", 2))
+      .select(col("doc_id"),
+        size(col("g2")).cast("bigint").as("n_pairs"),
+        TextAnalysis.greenCount("g2").as("n_green"))
+      .withColumn("green_ppm", when(col("n_pairs") === 0L, lit(0L))
+        .otherwise(expr("(n_green * 1000000) div n_pairs")))
+      .withColumn("flagged", col("n_pairs") >= WmMinPairs &&
+        col("n_green") * 2L > col("n_pairs") &&
+        (col("n_green") * 2L - col("n_pairs")) *
+          (col("n_green") * 2L - col("n_pairs")) >= col("n_pairs") * 9L)
+
   // ---- q291: proximity search over the positional index ----
   // The retrieval operator between q42's phrase match (ordered,
   // adjacent) and a bag-of-words AND: the same two query terms, but
@@ -3620,6 +3650,7 @@ object LlmQueries {
     "q290_sentence_stats" -> q290SentenceStats _,
     "q291_proximity_search" -> q291ProximitySearch _,
     "q292_gate_disparity" -> q292GateDisparity _,
+    "q293_watermark_screen" -> q293WatermarkScreen _,
     "q246_hll_incremental" -> q246HllIncremental _,
     "q247_perceptual_dups" -> q247PerceptualDups _,
     "q248_cdc_sweep" -> q248CdcSweep _,
@@ -6023,6 +6054,26 @@ object LlmQueries {
          |SELECT d.doc_id, d.lang, d.source, sc.n_tok, sc.score_ppm
          |FROM sc JOIN documents d USING (doc_id)
          |ORDER BY sc.score_ppm DESC, d.doc_id LIMIT $ImpSelectK""".stripMargin,
+    // same bigram spelling as q37, same md5-mod-2 green predicate,
+    // same floor/threshold arithmetic
+    "q293_watermark_screen" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id,
+         |    CASE WHEN len(toks) >= 2
+         |      THEN list_transform(range(1, len(toks)),
+         |        i -> array_to_string(toks[i:i+1], ' '))
+         |      ELSE [] END AS g2 FROM t),
+         |c AS (SELECT doc_id, CAST(len(g2) AS BIGINT) AS n_pairs,
+         |    CAST(len(list_filter(g2, x ->
+         |      ('0x' || substr(md5(x), 1, 15))::BIGINT % 2 = 0))
+         |      AS BIGINT) AS n_green FROM g)
+         |SELECT doc_id, n_pairs, n_green,
+         |  CASE WHEN n_pairs = 0 THEN 0
+         |    ELSE (n_green * 1000000) // n_pairs END AS green_ppm,
+         |  (n_pairs >= $WmMinPairs AND 2 * n_green > n_pairs AND
+         |   (2 * n_green - n_pairs) * (2 * n_green - n_pairs)
+         |     >= 9 * n_pairs) AS flagged
+         |FROM c""".stripMargin,
     // the shared rule CTEs; pass = zero reasons; the impact ratio
     // and four-fifths flag in HUGEINT against the best language
     "q292_gate_disparity" ->

@@ -789,4 +789,57 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(r => r.getString(0) -> r.getBoolean(5)).toMap
     assert(fg.values.forall(!_), "identical mixes cannot flag")
   }
+
+  test("watermark screen: greedily-watermarked text flags at 3-sigma; " +
+      "random text does not; counts match the model") {
+    import spark.implicits._
+    // the SAME green predicate as greenCount: md5 of "prev cur",
+    // first 15 hex chars as a long, even = green
+    def green(prev: String, cur: String): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$prev $cur".getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 2 == 0
+    }
+    val vocab = (0 until 40).map(i => s"tok$i")
+    // watermarking generator: always pick the first green continuation
+    def watermarked(n: Int): String = {
+      val out = scala.collection.mutable.ListBuffer("tok0")
+      while (out.size < n)
+        out += vocab.find(green(out.last, _)).getOrElse(vocab.head)
+      out.mkString(" ")
+    }
+    // "human" text: arithmetic next-token choice, blind to the hash
+    def natural(n: Int, seed: Int): String =
+      (0 until n).map(i => vocab((seed + i * 7) % 40)).mkString(" ")
+    val fx = Seq(
+      (1L, watermarked(80)), (2L, natural(80, 3)), (3L, natural(80, 11)),
+      (4L, watermarked(40))) // below the 50-pair floor: never flags
+      .toDF("doc_id", "text")
+    val got = graft.queries.LlmQueries.queries("q293_watermark_screen")
+    // run the operator chain directly on the fixture
+    val frame = fx
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("g2", TextAnalysis.wordNgrams("toks", 2))
+      .select(col("doc_id"),
+        size(col("g2")).cast("bigint").as("n_pairs"),
+        TextAnalysis.greenCount("g2").as("n_green"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // model check on every doc
+    fx.collect().foreach { r =>
+      val toks = r.getString(1).trim.split("\\s+").toSeq
+      val pairs = toks.sliding(2).toSeq.filter(_.size == 2)
+      val g = pairs.count(p => green(p(0), p(1))).toLong
+      assert(frame(r.getLong(0)) === ((pairs.size.toLong, g)),
+        s"doc ${r.getLong(0)}")
+    }
+    def flags(id: Long): Boolean = {
+      val (n, g) = frame(id)
+      n >= 50 && 2 * g > n && (2 * g - n) * (2 * g - n) >= 9 * n
+    }
+    assert(flags(1L), "watermarked text must flag")
+    assert(!flags(2L) && !flags(3L), "hash-blind text must not flag")
+    assert(!flags(4L), "below the pair floor nothing flags")
+  }
 }
