@@ -255,6 +255,29 @@ object TextAnalysis {
        |  x -> cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint)
        |    % 2 = 0)) as bigint)""".stripMargin)
 
+  /** The full q293 watermark screen as ONE spelling shared by the
+    * batch card and [[graft.streaming.Streams.watermarkIngest]] (the
+    * q272 discipline — batch and stream can never disagree): per doc,
+    * bigram count, green count, green ppm, and the exact-integer
+    * one-sided 3σ binomial flag (2g > n AND (2g−n)² ≥ 9n — no square
+    * root, no doubles, self-scaling with doc length). A stateless
+    * codegen projection: no aggregate, no state, streaming-legal in
+    * any output mode. */
+  def watermarkScreen(docs: DataFrame, idCol: String, textCol: String,
+      minPairs: Long): DataFrame =
+    docs
+      .withColumn("__toks", tokens(col(graft.Names.quoted(textCol))))
+      .withColumn("__g2", wordNgrams("__toks", 2))
+      .select(col(graft.Names.quoted(idCol)).as("doc_id"),
+        size(col("__g2")).cast("bigint").as("n_pairs"),
+        greenCount("__g2").as("n_green"))
+      .withColumn("green_ppm", when(col("n_pairs") === 0L, lit(0L))
+        .otherwise(expr("(n_green * 1000000) div n_pairs")))
+      .withColumn("flagged", col("n_pairs") >= minPairs &&
+        col("n_green") * 2L > col("n_pairs") &&
+        (col("n_green") * 2L - col("n_pairs")) *
+          (col("n_green") * 2L - col("n_pairs")) >= col("n_pairs") * 9L)
+
   /** Four-fifths adverse-impact threshold (ppm) for [[gateDisparity]]. */
   val AdverseImpactPpm = 800000L
 

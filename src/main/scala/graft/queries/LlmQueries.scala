@@ -2606,18 +2606,8 @@ object LlmQueries {
   // detection.
   private val WmMinPairs = 50L
   def q293WatermarkScreen(s: SparkSession, dir: String): DataFrame =
-    graft.Tables.documents(s, dir)
-      .withColumn("toks", tokens(col("text")))
-      .withColumn("g2", wordNgrams("toks", 2))
-      .select(col("doc_id"),
-        size(col("g2")).cast("bigint").as("n_pairs"),
-        TextAnalysis.greenCount("g2").as("n_green"))
-      .withColumn("green_ppm", when(col("n_pairs") === 0L, lit(0L))
-        .otherwise(expr("(n_green * 1000000) div n_pairs")))
-      .withColumn("flagged", col("n_pairs") >= WmMinPairs &&
-        col("n_green") * 2L > col("n_pairs") &&
-        (col("n_green") * 2L - col("n_pairs")) *
-          (col("n_green") * 2L - col("n_pairs")) >= col("n_pairs") * 9L)
+    TextAnalysis.watermarkScreen(graft.Tables.documents(s, dir),
+      "doc_id", "text", WmMinPairs)
 
   // ---- q291: proximity search over the positional index ----
   // The retrieval operator between q42's phrase match (ordered,

@@ -621,6 +621,18 @@ object Streams {
     graft.llm.Importance.scoreArrivals(stream, idCol, textCol, weights,
       unseenWppm, buckets)
 
+  /** Streaming watermark screen — q293's synthetic-text gate at
+    * ingest, where it actually runs: each arriving doc's green-bigram
+    * count and the exact-integer 3σ binomial flag are one STATELESS
+    * codegen projection ([[graft.llm.TextAnalysis.greenCount]] over
+    * the bigram list — no aggregate, no state, any output mode), so
+    * a crawler drops watermarked synthetic text before it costs
+    * storage. Batch spelling is the oracle (q293); stream == batch
+    * pinned in StreamingSpec. */
+  def watermarkIngest(stream: DataFrame, idCol: String, textCol: String,
+      minPairs: Long): DataFrame =
+    graft.llm.TextAnalysis.watermarkScreen(stream, idCol, textCol, minPairs)
+
   /** Streaming bootstrap CI — q283's resampler on the live feed: the
     * running mean of an integer statistic arrives WITH its
     * uncertainty, because every replicate mean updates per

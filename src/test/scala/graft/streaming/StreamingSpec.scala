@@ -1115,6 +1115,32 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("watermarkIngest: the stateless screen equals the batch card " +
+      "and runs in APPEND mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val arrivals = Seq(
+      (1L, (0 until 80).map(i => s"tok${(i * 7) % 40}").mkString(" ")),
+      (2L, "short doc"), (3L, ""))
+    val in = MemoryStream[(Long, String)]
+    // stateless projection => append mode is legal (no aggregate)
+    val q = Streams.watermarkIngest(in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", minPairs = 50L)
+      .writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").start()
+    try {
+      in.addData(arrivals: _*)
+      q.processAllAvailable()
+      def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4))).toSet
+      assert(shape(spark.table("wm_out")) ===
+        shape(graft.llm.TextAnalysis.watermarkScreen(
+          arrivals.toDF("doc_id", "text"), "doc_id", "text", 50L)),
+        "stream must equal the batch screen exactly")
+    } finally q.stop()
+  }
+
   test("bootstrapIngest: the live replicate grid equals the batch " +
       "resampler after every batch") {
     import spark.implicits._
