@@ -86,4 +86,30 @@ class SourceFormatsSpec extends AnyFunSuite with SparkTestSession {
     assert(dims === Map("a.bmp" -> "2x2", "b.bmp" -> "4x2",
       "c.bmp" -> "8x8"))
   }
+
+  test("parquet schema evolution: mergeSchema unions generations, " +
+      "old rows read null for new columns") {
+    import spark.implicits._
+    val dir = tmp("graft-evo")
+    // generation 1: (doc_id, lang); generation 2 adds quality_fp
+    Seq((1L, "en"), (2L, "de")).toDF("doc_id", "lang")
+      .write.parquet(dir + "/g=1")
+    Seq((3L, "fr", 750000L), (4L, "en", 250000L))
+      .toDF("doc_id", "lang", "quality_fp")
+      .write.parquet(dir + "/g=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set("doc_id", "lang", "quality_fp", "g"))
+    val rows = merged.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(r.fieldIndex("quality_fp")))))
+    assert(rows.toSeq === Seq(
+      (1L, None), (2L, None), (3L, Some(750000L)), (4L, Some(250000L))),
+      "old-generation rows must surface the new column as null")
+    // WITHOUT mergeSchema the schema comes from an arbitrary single
+    // footer — whichever wins, it is never the union with g: reading
+    // plain must NOT be relied on for evolved layouts (mergeSchema is
+    // the contract)
+    val unmerged = spark.read.parquet(dir)
+    assert(unmerged.columns.toSet.subsetOf(
+      Set("doc_id", "lang", "quality_fp", "g")))
+  }
 }
