@@ -22,13 +22,16 @@ import org.apache.spark.sql.functions._
   * compares against the literal 95% critical value at df = K−1
   * (capped at 10 — beyond that, bucketize).
   *
-  * Validity envelope (documented, not silent): the squared numerator
-  * is exact while (o(C+K) − A(c+1))² fits decimal(38,0) — counts to
-  * ~10⁹ per group with K ≤ 10² cells, which is the regime a
-  * significance TEST means anything in at all (at 10¹³ observations
-  * any epsilon "drifts significantly"); for bigger frames, test a
-  * deterministic sample ([[Sampling]] q103/q262) — the statistic is
-  * batch-sized by design.
+  * Validity envelope (documented, not silent): the FULL numerator is
+  * 10⁶·(o(C+K) − A(c+1))², so decimal(38,0) exactness requires
+  * |o(C+K) − A(c+1)| ≤ 10¹⁶ — per-group counts to ~10⁸ worst-case
+  * (the divergence term is ≤ max(o·(C+K), A·(c+1)) ≈ N² at counts N;
+  * the ppm multiplier spends 6 of the 38 digits). Past that, non-ANSI
+  * Spark nulls the overflowed decimal instead of failing loudly —
+  * ~10⁸ per group is still the regime a significance TEST means
+  * anything in at all (at 10¹³ observations any epsilon "drifts
+  * significantly"); for bigger frames, test a deterministic sample
+  * ([[Sampling]] q103/q262) — the statistic is batch-sized by design.
   *
   * Scale shape: two (group, cell)-keyed aggregates, one group-keyed
   * rollup — frames bounded by groups × cells, never corpus rows.

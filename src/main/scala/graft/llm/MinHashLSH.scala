@@ -211,7 +211,16 @@ object MinHashLSH {
     * semi-join sees and drops them); a bucket already past the cap
     * stays dropped (counts only grow, so its total can never return
     * under the cap). Folds COMPOSE (the q279 discipline), so
-    * crawl-cadence maintenance cannot drift across batches. */
+    * crawl-cadence maintenance cannot drift across batches.
+    *
+    * PRECONDITION: arrival doc_ids must be DISJOINT from the ids
+    * already in the index — the same new-vertex contract as
+    * [[Dedup.ccDelta]]. Re-folding an already-indexed doc would
+    * duplicate its rows in `sets`/`bands` and permanently inflate the
+    * bucket counts (counts only grow), silently corrupting the cap
+    * arbitration and the rebuild equivalence. A re-crawl of a KNOWN
+    * doc is an erase-then-fold ([[indexErase]] first), not a bare
+    * fold. */
   def indexDelta(index: SigIndex, arrivals: DataFrame, idCol: String,
       textCol: String, shingleN: Int, numHashes: Int, rowsPerBand: Int,
       cap: Int): SigIndex = {
@@ -232,6 +241,79 @@ object MinHashLSH {
         Seq("band_id", "band_key"), "left_semi")
         .select(col("doc_id"), col("band_id"), col("band_key"))
     SigIndex(kept, totals, index.sets.unionByName(aSets))
+  }
+
+  /** Erasure-APPLY on the shipped signature index — [[indexDelta]]
+    * inverted: fold a tombstone set OUT of a loaded [[SigIndex]], so a
+    * right-to-be-forgotten batch costs work bounded by the erase set
+    * instead of a full index rebuild. The erased docs are never
+    * re-tokenized: their band rows re-derive from the SHIPPED `sets`
+    * frame (band keys are pure integer functions of `s`), so the only
+    * corpus-shaped touches are id-keyed anti-joins.
+    *
+    * Exactness contract (the q280 discipline inverted — proven
+    * on-corpus by q294 and on planted cap transitions by
+    * SigIndexDeltaSpec): the folded index is ROW-IDENTICAL to
+    * [[signatureIndex]] rebuilt over the corpus minus the erase set,
+    * including every cap transition, in BOTH directions:
+    *
+    *   - a bucket that was ≤ cap only shrinks — its surviving rows
+    *     pass through (they are all present in `index.bands`);
+    *   - a bucket the erase pulls from OVER the cap back to ≤ cap must
+    *     RESURRECT its surviving rows (they were evicted at build, so
+    *     `index.bands` cannot supply them): they regenerate from the
+    *     surviving sets — a row-local signature pass over the loaded
+    *     integer sets (no text, no md5 re-hash of shingles, since `s`
+    *     already holds the base hashes) semi-joined against the
+    *     (typically tiny) transitioned-bucket list;
+    *   - a bucket still over the cap after the erase keeps ZERO rows —
+    *     the resurrection semi-join keys on transitioned buckets only,
+    *     so still-evicted rows can never leak back.
+    *
+    * Erasing an id absent from the index is a no-op for that id (the
+    * erase side derives from `index.sets`, where absent ids simply
+    * match nothing) — erasure is idempotent, unlike [[indexDelta]]'s
+    * disjoint-arrival precondition. Erase folds compose with each
+    * other and with [[indexDelta]] appends (both are exact rebuild
+    * images, and rebuilds compose trivially), which is the
+    * erase-then-refold path a re-crawl of a known doc takes.
+    *
+    * 100 TB shape: one batch-bounded re-band of the erase set, one
+    * bucket-keyed join against the counts frame (bucket-sized), two
+    * id-keyed anti-joins, and a signature pass over the surviving
+    * sets that shuffles ONLY the resurrected rows (the semi-join
+    * filter runs map-side against the broadcast-size transitioned
+    * list). No driver state. */
+  def indexErase(index: SigIndex, eraseIds: DataFrame, numHashes: Int,
+      rowsPerBand: Int, cap: Int): SigIndex = {
+    val ids = eraseIds.select(col("doc_id"))
+    val eSets = index.sets.join(ids, Seq("doc_id"), "left_semi")
+    val eBands = bandIndexFromSets(eSets, numHashes, rowsPerBand)
+    val eCounts = eBands.groupBy(col("band_id"), col("band_key"))
+      .agg(count(lit(1)).as("en"))
+    val totals = index.counts
+      .join(eCounts, Seq("band_id", "band_key"), "left")
+      .select(col("band_id"), col("band_key"), col("n"),
+        (col("n") - coalesce(col("en"), lit(0L))).as("n2"))
+    val newCounts = totals.filter(col("n2") > 0L)
+      .select(col("band_id"), col("band_key"), col("n2").as("n"))
+    val newSets = index.sets.join(ids, Seq("doc_id"), "left_anti")
+    val keptOld = index.bands.join(ids, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("band_id"), col("band_key"))
+    val kept =
+      if (cap <= 0) keptOld
+      else {
+        val transitioned = totals
+          .filter(col("n") > cap && col("n2") <= cap && col("n2") > 0L)
+          .select(col("band_id"), col("band_key"))
+        // transitioned buckets had n > cap, so index.bands holds none
+        // of their rows — the union cannot double-keep anything
+        val resurrected = bandIndexFromSets(newSets, numHashes, rowsPerBand)
+          .join(transitioned, Seq("band_id", "band_key"), "left_semi")
+          .select(col("doc_id"), col("band_id"), col("band_key"))
+        keptOld.unionByName(resurrected)
+      }
+    SigIndex(kept, newCounts, newSets)
   }
 
   /** Near-dup ADMISSION of an arrival batch against the SHIPPED
@@ -304,6 +386,51 @@ object MinHashLSH {
         col("best_match"), col("best_jaccard_fp"),
         when(col("n_near_dups") > 0L, lit("near_dup"))
           .otherwise(lit("unique")).as("status"))
+  }
+
+  /** Per-tombstone erase impact against the LOADED signature index —
+    * the admission-mirror of [[indexErase]], what a deletion queue
+    * runs per right-to-be-forgotten request before (or instead of)
+    * the fold: for each tombstoned id, whether the index knows it,
+    * how many set ints and band rows the erase will remove, how many
+    * of those rows are LIVE in the capped bands frame, and how many
+    * buckets this doc's removal alone pulls back under the cap
+    * (n == cap+1 — the resurrection triggers [[indexErase]] will pay
+    * for).
+    *
+    * STREAMING-SAFE BY CONSTRUCTION — [[graft.streaming.Streams
+    * .tombstoneIngest]] runs this very function on a streaming frame:
+    * the index sides are static (stream-static left joins), bands
+    * derive row-locally from the loaded sets via the shared
+    * [[bandKeysExpr]], unknown ids keep their row through
+    * `posexplode_outer` + left joins, and the single aggregate uses
+    * duplicate-insensitive spellings (max / conditional counts over
+    * rows unique per (doc, band)). Per-tombstone state is bounded by
+    * the band count, never the corpus. */
+  def eraseImpact(tombstones: DataFrame, idCol: String,
+      corpusSets: DataFrame, corpusCounts: DataFrame, numHashes: Int,
+      rowsPerBand: Int, cap: Int): DataFrame = {
+    LlmFunctions.registerMinHashSigs(tombstones.sparkSession)
+    val t = tombstones.select(col(graft.Names.quoted(idCol)).as("doc_id"))
+    val withSets = t
+      .join(corpusSets.select(col("doc_id"), col("s")), Seq("doc_id"), "left")
+    val bands = withSets.select(col("doc_id"),
+      size(col("s")).as("__ns"),
+      posexplode_outer(when(col("s").isNotNull,
+        bandKeysExpr("s", numHashes, rowsPerBand)))
+        .as(Seq("band_id", "band_key")))
+    bands
+      .join(corpusCounts.select(col("band_id"), col("band_key"), col("n")),
+        Seq("band_id", "band_key"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        max(col("__ns").isNotNull).as("in_index"),
+        coalesce(max(col("__ns")), lit(0)).cast("bigint").as("n_set_ints"),
+        count(col("band_id")).cast("bigint").as("n_band_rows"),
+        sum(when(col("n") <= cap, 1L).otherwise(0L)).cast("bigint")
+          .as("n_live_rows"),
+        sum(when(col("n") === cap + 1L, 1L).otherwise(0L)).cast("bigint")
+          .as("n_resurrections"))
   }
 
   def candidatePairsFromSets(sets: DataFrame, numHashes: Int, rowsPerBand: Int,

@@ -412,20 +412,69 @@ object SimilarityQueries {
       "doc_id", "text", ShingleN, NumHashes, 1, AdmitCap)
     val rebuilt = MinHashLSH.signatureIndex(docs, "doc_id", "text",
       ShingleN, NumHashes, 1, AdmitCap)
-    def perDoc(bands: DataFrame, pfx: String) = bands
-      .select(col("doc_id"), graft.llm.Sketches.integrityHash(
-        Seq(col("band_id").cast("string"), col("band_key"))).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("bigint").as(s"n_$pfx"),
-        expr("cast(sum(cast(h as decimal(38,0))) % " +
-          s"${graft.llm.Sketches.ChecksumMod}L as bigint)").as(s"ck_$pfx"))
-    perDoc(rebuilt.bands, "rebuild")
-      .join(perDoc(folded.bands, "delta"), Seq("doc_id"), "full_outer")
+    bandsPerDoc(rebuilt.bands, "rebuild")
+      .join(bandsPerDoc(folded.bands, "delta"), Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("n_rebuild"), col("ck_rebuild"),
         col("n_delta"), col("ck_delta"),
         (col("n_rebuild").isNotNull && col("n_delta").isNotNull &&
           col("n_rebuild") === col("n_delta") &&
           col("ck_rebuild") === col("ck_delta")).as("agree"))
+  }
+
+  /** Per-doc (row count, commutative checksum) over a band frame —
+    * the fold ≡ rebuild comparison spine shared by q280 (append) and
+    * q294 (erase), so both maintenance proofs grade by the SAME
+    * arithmetic. */
+  private def bandsPerDoc(bands: DataFrame, pfx: String): DataFrame = bands
+    .select(col("doc_id"), graft.llm.Sketches.integrityHash(
+      Seq(col("band_id").cast("string"), col("band_key"))).as("h"))
+    .groupBy(col("doc_id"))
+    .agg(count(lit(1)).cast("bigint").as(s"n_$pfx"),
+      expr("cast(sum(cast(h as decimal(38,0))) % " +
+        s"${graft.llm.Sketches.ChecksumMod}L as bigint)").as(s"ck_$pfx"))
+
+  // ---- q294: erasure-APPLY on the shipped signature index ----
+  // q237 TRACES a GDPR erasure through the artifacts; this APPLIES
+  // it: [[graft.llm.MinHashLSH.indexErase]] folds a tombstone set OUT
+  // of the loaded index — the erased docs' band rows re-derive from
+  // the shipped sets (never from text), the counts frame arbitrates
+  // the cap in REVERSE (a bucket the erase pulls back under the cap
+  // resurrects its surviving rows from the sets; a still-over-cap
+  // bucket keeps zero), and the card proves fold ≡
+  // rebuild-without-the-set per doc (row count + commutative
+  // checksum — the q280 discipline inverted). The oracle replays the
+  // REBUILD over the surviving slice and pins agree == true, so a
+  // leaked erased row, a missed resurrection, or a resurrected
+  // evictee hash-fails the round.
+  private val EraseSliceMod = 7
+  def q294IndexErase(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    val root = graft.llm.Artifacts.ensure(dir,
+        s"minhash-index-all-v1-n$NumHashes-r1-s$ShingleN-c$AdmitCap") { p =>
+      val idx = MinHashLSH.signatureIndex(docs, "doc_id", "text",
+        ShingleN, NumHashes, 1, AdmitCap)
+      graft.llm.Artifacts.saveIndexFrame(p + "/bands", idx.bands)
+      graft.llm.Artifacts.saveIndexFrame(p + "/counts", idx.counts)
+      graft.llm.Artifacts.saveIndexFrame(p + "/sets", idx.sets)
+    }
+    val loaded = MinHashLSH.SigIndex(
+      graft.llm.Artifacts.loadIndexFrame(s, root + "/bands"),
+      graft.llm.Artifacts.loadIndexFrame(s, root + "/counts"),
+      graft.llm.Artifacts.loadIndexFrame(s, root + "/sets"))
+    val erased = MinHashLSH.indexErase(loaded,
+      docs.filter(pmod(col("doc_id"), lit(EraseSliceMod)) === 0)
+        .select(col("doc_id")),
+      NumHashes, 1, AdmitCap)
+    val rebuilt = MinHashLSH.signatureIndex(
+      docs.filter(pmod(col("doc_id"), lit(EraseSliceMod)) =!= 0),
+      "doc_id", "text", ShingleN, NumHashes, 1, AdmitCap)
+    bandsPerDoc(rebuilt.bands, "rebuild")
+      .join(bandsPerDoc(erased.bands, "erase"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("n_rebuild"), col("ck_rebuild"),
+        col("n_erase"), col("ck_erase"),
+        (col("n_rebuild").isNotNull && col("n_erase").isNotNull &&
+          col("n_rebuild") === col("n_erase") &&
+          col("ck_rebuild") === col("ck_erase")).as("agree"))
   }
 
   // ---- q284: kNN label transfer (semi-supervised labeling) ----
@@ -1716,6 +1765,7 @@ object SimilarityQueries {
     "q278_admission_recall" -> q278AdmissionRecall _,
     "q279_cc_delta_chain" -> q279CcDeltaChain _,
     "q280_index_delta" -> q280IndexDelta _,
+    "q294_index_erase" -> q294IndexErase _,
     "q284_label_transfer" -> q284LabelTransfer _,
     "q197_semantic_leakage" -> q197SemanticLeakage _,
     "q198_label_agreement" -> q198LabelAgreement _,
@@ -2976,6 +3026,29 @@ object SimilarityQueries {
          |  CAST(sum(('0x' || substr(md5(concat_ws(chr(1),
          |    CAST(band_id AS VARCHAR), band_key)), 1, 8))::BIGINT)
          |    % ${graft.llm.Sketches.ChecksumMod} AS BIGINT) AS ck_delta,
+         |  true AS agree
+         |FROM cb GROUP BY doc_id""".stripMargin,
+    // the ONE truth is the rebuild over the SURVIVING slice (bands
+    // filtered to doc_id % EraseSliceMod != 0 BEFORE the cap window,
+    // so buckets the erase pulls back under the cap re-admit their
+    // surviving rows); the erase-folded columns must equal it per doc
+    // and agree pins to literal true — a leaked erased row, a missed
+    // resurrection, or a resurrected evictee hash-fails
+    "q294_index_erase" ->
+      s"""WITH $minhashCtes,
+         |cb AS (SELECT doc_id, band_id, band_key FROM (
+         |    SELECT doc_id, band_id, band_key,
+         |      count(*) OVER (PARTITION BY band_id, band_key) AS bc
+         |    FROM bands WHERE doc_id % $EraseSliceMod != 0) t
+         |  WHERE bc <= $AdmitCap)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rebuild,
+         |  CAST(sum(('0x' || substr(md5(concat_ws(chr(1),
+         |    CAST(band_id AS VARCHAR), band_key)), 1, 8))::BIGINT)
+         |    % ${graft.llm.Sketches.ChecksumMod} AS BIGINT) AS ck_rebuild,
+         |  CAST(count(*) AS BIGINT) AS n_erase,
+         |  CAST(sum(('0x' || substr(md5(concat_ws(chr(1),
+         |    CAST(band_id AS VARCHAR), band_key)), 1, 8))::BIGINT)
+         |    % ${graft.llm.Sketches.ChecksumMod} AS BIGINT) AS ck_erase,
          |  true AS agree
          |FROM cb GROUP BY doc_id""".stripMargin,
     // the q272 chain + the exhaustive truth arm (arrival sets ×

@@ -666,6 +666,28 @@ object Streams {
     graft.llm.Drift.chiSquarePivot(stream, baseline, groupCol, cellCol,
       cells)
 
+  /** Streaming erasure-tombstone meter — the deletion queue's view of
+    * [[graft.llm.MinHashLSH.indexErase]]: each arriving
+    * right-to-be-forgotten id probes the LOADED signature index
+    * (stream-static left joins against the shipped sets and counts
+    * frames) and reports what its erase will cost — whether the index
+    * knows it, the set/band rows to remove, how many are live in the
+    * capped bands, and how many buckets its removal pulls back under
+    * the cap (the resurrections the fold will pay for). This IS
+    * [[graft.llm.MinHashLSH.eraseImpact]] — one implementation,
+    * streaming-safe by construction (posexplode_outer + left joins
+    * keep unknown ids, one duplicate-insensitive aggregate), so
+    * stream and batch verdicts cannot drift (pinned in
+    * StreamingSpec). Run with update/complete output mode (the
+    * impact row is an aggregate); per-tombstone state is its band
+    * count, never corpus-sized. The erase APPLY itself stays a batch
+    * fold — this meter is the admission/audit half. */
+  def tombstoneIngest(stream: DataFrame, idCol: String,
+      corpusSets: DataFrame, corpusCounts: DataFrame, numHashes: Int,
+      cap: Int): DataFrame =
+    graft.llm.MinHashLSH.eraseImpact(stream, idCol, corpusSets,
+      corpusCounts, numHashes, 1, cap)
+
   /** Streaming perceptual-dedup meter — q247's dHash at upload time:
     * each arriving image payload decodes row-locally
     * ([[graft.llm.Multimodal.dHashBits]], the SAME kernel as the

@@ -98,4 +98,94 @@ class SigIndexDeltaSpec extends AnyFunSuite with SparkTestSession {
     assertEqualIndex(folded, rebuilt)
     assert(bandRows(folded).size === 4 * N)
   }
+
+  // ------------------------- indexErase -------------------------
+
+  private def eraseIds(ids: Long*): DataFrame = {
+    import spark.implicits._
+    ids.toDF("doc_id")
+  }
+
+  test("erase == rebuild-without across every planted cap transition") {
+    // identical texts share every bucket; populations == copy counts
+    val corpus = df(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "alpha beta gamma"),                          // A: over cap
+      (4L, "delta epsilon zeta"), (5L, "delta epsilon zeta"), // B: at cap
+      (6L, "eta theta iota"), (7L, "eta theta iota"),
+      (8L, "eta theta iota"), (9L, "eta theta iota"),    // C: far over cap
+      (10L, "kappa lambda mu"))                          // D: singleton
+    val built = MinHashLSH.signatureIndex(corpus, "doc_id", "text",
+      2, N, 1, Cap)
+    // erase 1 (pulls A back to cap → RESURRECT 2,3), 4 (B shrinks,
+    // 5 passes through), 6 (C stays over cap → still empty), 10
+    // (D's buckets disappear from counts entirely)
+    val erased = MinHashLSH.indexErase(built, eraseIds(1L, 4L, 6L, 10L),
+      N, 1, Cap)
+    val rebuilt = MinHashLSH.signatureIndex(
+      corpus.filter(!col("doc_id").isin(1L, 4L, 6L, 10L)),
+      "doc_id", "text", 2, N, 1, Cap)
+    assertEqualIndex(erased, rebuilt)
+    val kept = bandRows(erased).map(_._1)
+    assert(kept.contains(2L) && kept.contains(3L),
+      "under-cap transition failed to resurrect surviving rows")
+    assert(kept.contains(5L), "shrunk at-cap bucket lost a survivor")
+    assert(!kept.exists(Set(7L, 8L, 9L)),
+      "still-over-cap bucket resurrected evicted rows")
+    assert(!kept.exists(Set(1L, 4L, 6L, 10L)), "erased doc row leaked")
+    // counts shrink exactly; fully-erased buckets vanish
+    assert(countRows(erased) === countRows(rebuilt))
+  }
+
+  test("erase is idempotent and a no-op for absent ids") {
+    val corpus = df((1L, "a b c"), (2L, "d e f"), (3L, "a b c"))
+    val built = MinHashLSH.signatureIndex(corpus, "doc_id", "text",
+      2, N, 1, Cap)
+    val once = MinHashLSH.indexErase(built, eraseIds(2L, 999L), N, 1, Cap)
+    val twice = MinHashLSH.indexErase(once, eraseIds(2L, 999L), N, 1, Cap)
+    val rebuilt = MinHashLSH.signatureIndex(
+      corpus.filter(col("doc_id") =!= 2L), "doc_id", "text", 2, N, 1, Cap)
+    assertEqualIndex(once, rebuilt)
+    assertEqualIndex(twice, rebuilt)
+  }
+
+  test("erase folds compose with appends: re-crawl = erase then fold") {
+    def slice(lo: Long, hi: Long) = df((lo until hi).map(i =>
+      (i, s"w${i % 5} w${(i * 3) % 7} w${(i * 5) % 4}")): _*)
+    val built = MinHashLSH.signatureIndex(slice(0, 30), "doc_id", "text",
+      2, N, 1, Cap)
+    // re-crawl docs 10..19 with changed text: erase them, fold the
+    // new versions back in (same ids — legal AFTER the erase)
+    val recrawled = df((10L until 20L).map(i =>
+      (i, s"v${i % 3} v${(i * 7) % 5} v${(i * 2) % 6}")): _*)
+    val folded = MinHashLSH.indexDelta(
+      MinHashLSH.indexErase(built, eraseIds(10L until 20L: _*), N, 1, Cap),
+      recrawled, "doc_id", "text", 2, N, 1, Cap)
+    val rebuilt = MinHashLSH.signatureIndex(
+      slice(0, 10).unionByName(slice(20, 30)).unionByName(recrawled),
+      "doc_id", "text", 2, N, 1, Cap)
+    assertEqualIndex(folded, rebuilt)
+  }
+
+  test("eraseImpact reports live rows and resurrection triggers") {
+    val corpus = df(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "alpha beta gamma"),      // over cap by one → resurrection
+      (4L, "delta epsilon zeta"))    // under cap → live rows
+    val built = MinHashLSH.signatureIndex(corpus, "doc_id", "text",
+      2, N, 1, Cap)
+    val impact = MinHashLSH.eraseImpact(eraseIds(1L, 4L, 999L), "doc_id",
+        built.sets, built.counts, N, 1, Cap)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(impact(1L).getBoolean(1) && impact(4L).getBoolean(1))
+    assert(!impact(999L).getBoolean(1) &&
+      impact(999L).getLong(3) === 0L, "absent id must read zero bands")
+    // doc 1's buckets sit at cap+1 → every band is a resurrection
+    // trigger and none of its rows are live in the capped frame
+    assert(impact(1L).getLong(4) === 0L)
+    assert(impact(1L).getLong(5) === N.toLong)
+    // doc 4's buckets are under cap → all live, no resurrections
+    assert(impact(4L).getLong(4) === N.toLong)
+    assert(impact(4L).getLong(5) === 0L)
+  }
 }
