@@ -126,6 +126,17 @@ object Dedup {
           .otherwise(lit("dup_in_batch")).as("status"))
   }
 
+  /** Erasure-APPLY on the shipped fingerprint index (`(doc_id, fp)`,
+    * one row per contributing doc — the [[incrementalByFp]] corpus
+    * side): a pure id anti-join; fold ≡ rebuild-without trivially,
+    * because the index is row-per-contributor. Named so every shipped
+    * artifact family's erase has ONE audited spelling (the q294/q295
+    * discipline: SigIndex → [[MinHashLSH.indexErase]], chunk store →
+    * [[Fingerprint.chunkIndexErase]], classifier counts →
+    * [[NbClassifier.eraseCounts]], this index → here). */
+  def fingerprintIndexErase(index: DataFrame, eraseIds: DataFrame): DataFrame =
+    index.join(eraseIds.select(col("doc_id")), Seq("doc_id"), "left_anti")
+
   /** How [[dupSpanStats]] materializes the exploded (doc_id, gram-hash)
     * stream, which BOTH aggregation branches consume. The stream is
     * NOT small: one row per distinct gram position at ~16 bytes/row

@@ -180,6 +180,39 @@ object Fingerprint {
       .drop("__bin")
   }
 
+  /** The REFCOUNTED chunk-store index `(ck, n)` — q236's distinct-key
+    * index plus the reference count content-addressed deletion needs:
+    * q237's removability rule ("a chunk deletes only when its LAST
+    * contributor goes") becomes maintainable state instead of a
+    * per-erasure recount. One chunk pass + one key-keyed aggregate. */
+  def chunkCountIndex(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    cdcChunkFrame(docs, idCol, textCol)
+      .groupBy(col("ck")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Erasure-APPLY on the refcounted chunk index: the erased docs
+    * chunk ROW-LOCALLY (the store is never re-chunked), their per-key
+    * multiset decrements the refcounts, and keys at zero delete.
+    * Fold ≡ rebuild-without-the-set exactly — chunking is a pure
+    * row-local function, so the erased docs' contribution re-derives
+    * bit-identically (pinned on-corpus by q295). Erasing a doc absent
+    * from the store under-flows nothing only if it truly contributed
+    * — the same contributor precondition as
+    * [[NbClassifier.eraseCounts]]. */
+  def chunkIndexErase(index: org.apache.spark.sql.DataFrame,
+      erasedDocs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    index
+      .join(chunkCountIndex(erasedDocs, idCol, textCol)
+        .select(col("ck"), col("n").as("__en")), Seq("ck"), "left")
+      .select(col("ck"),
+        (col("n") - coalesce(col("__en"), lit(0L))).cast("bigint").as("n"))
+      .filter(col("n") > 0L)
+  }
+
   /** Row-local twin of [[cdcChunkFrame]]'s identity derivation:
     * `(len, chunk_key)` per chunk, with the key spelled EXACTLY like
     * the frame's `ck` column (md5 over the lowercased hex of the

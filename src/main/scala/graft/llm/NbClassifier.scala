@@ -82,6 +82,26 @@ object NbClassifier {
       .groupBy(col("label"), col("w"))
       .agg(sum(col("cnt")).cast("bigint").as("cnt"))
 
+  /** Erasure-APPLY on the shipped counts artifact — [[mergeCounts]]
+    * run backwards: subtract the erased slice's OWN count table from
+    * the loaded artifact and drop cells that hit zero. Counts form a
+    * commutative monoid, so `eraseCounts(train(A ∪ B), train(B)) ==
+    * train(A)` exactly (pinned in NbClassifierSpec and on-corpus by
+    * q295) — the right-to-be-forgotten fold for the classifier
+    * family: work is bounded by the erased docs' tokens plus one
+    * cell-keyed join, never a retrain over history. PRECONDITION:
+    * `erased` must be the counts of docs actually inside the
+    * artifact's train slice (erasing counts never contributed would
+    * corrupt shared cells downward). */
+  def eraseCounts(counts: DataFrame, erased: DataFrame): DataFrame =
+    counts
+      .join(erased.select(col("label"), col("w"), col("cnt").as("__ec")),
+        Seq("label", "w"), "left")
+      .select(col("label"), col("w"),
+        (col("cnt") - coalesce(col("__ec"), lit(0L))).cast("bigint")
+          .as("cnt"))
+      .filter(col("cnt") > 0L)
+
   /** Per-variant class constants folded to ONE array row per variant:
     * `(variant, labs: array<struct<label, tot, v>>)` — |classes| is
     * dozens at most, so the whole thing broadcasts by construction.

@@ -2369,6 +2369,83 @@ object LlmQueries {
       .unionByName(card("nb_counts", nbCells))
   }
 
+  // ---- q295: erasure-APPLY across the artifact families ----
+  // q237 TRACES the blast radius; q294 APPLIES the hardest family
+  // (the capped signature index); this card applies the other three
+  // and proves each fold equals the rebuild-without-the-set:
+  //  - fp_index — [[graft.llm.Dedup.fingerprintIndexErase]]: id
+  //    anti-join (row-per-contributor, q237's "every erased row is
+  //    removable" arm);
+  //  - cdc_chunk_index — [[graft.llm.Fingerprint.chunkIndexErase]]
+  //    over the refcounted index: erased docs chunk ROW-LOCALLY,
+  //    refcounts decrement, keys at zero delete — q237's
+  //    "content-addressed state deletes by refcount" rule applied;
+  //  - nb_counts — [[graft.llm.NbClassifier.eraseCounts]]: the
+  //    mergeCounts monoid run backwards; shared cells decrement,
+  //    erased-only cells vanish.
+  // Per family: entries before, after the fold, after a full rebuild
+  // over the surviving docs, and agree — frame equality pinned
+  // in-Spark by row count + commutative checksum over EVERY column;
+  // the oracle replays the rebuild counts and pins agree == true, so
+  // a missed decrement, an under-deleted key, or a leaked row
+  // hash-fails the round. Work per family is bounded by the erase
+  // set plus one key-keyed join — never a rebuild over history.
+  def q295EraseApply(s: SparkSession, dir: String): DataFrame = {
+    graft.llm.Fingerprint.register(s)
+    val docs = graft.Tables.documents(s, dir)
+    val er = pmod(col("doc_id"), lit(EraseMod)) === 0
+    val eraseIds = docs.filter(er).select(col("doc_id"))
+    val remaining = docs.filter(!er)
+    def sig(df: DataFrame,
+        fields: Seq[org.apache.spark.sql.Column]): DataFrame =
+      df.select(graft.llm.Sketches.integrityHash(fields).as("h"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          expr("cast(sum(cast(h as decimal(38,0))) % " +
+            s"${graft.llm.Sketches.ChecksumMod}L as bigint)").as("ck"))
+    def family(name: String, before: DataFrame, folded: DataFrame,
+        rebuilt: DataFrame,
+        fields: Seq[org.apache.spark.sql.Column]): DataFrame =
+      sig(before, fields).select(col("n").as("n_before"))
+        .crossJoin(sig(folded, fields)
+          .select(col("n").as("n_after"), col("ck").as("__cf")))
+        .crossJoin(sig(rebuilt, fields)
+          .select(col("n").as("n_rebuild"), col("ck").as("__cr")))
+        .select(lit(name).as("artifact"), col("n_before"), col("n_after"),
+          col("n_rebuild"),
+          (col("n_after") === col("n_rebuild") &&
+            col("__cf") === col("__cr")).as("agree"))
+    // fp_index: one row per contributing doc
+    val fpBefore = docs.select(col("doc_id"),
+      Dedup.fingerprintOrEmpty(col("text")).as("fp"))
+    val fpCard = family("fp_index", fpBefore,
+      Dedup.fingerprintIndexErase(fpBefore, eraseIds),
+      remaining.select(col("doc_id"),
+        Dedup.fingerprintOrEmpty(col("text")).as("fp")),
+      Seq(col("doc_id").cast("string"), col("fp")))
+    // cdc_chunk_index: refcounted keys (persisted — the sig pass and
+    // the fold both consume it, and rebuilding means re-chunking)
+    val ckBefore = graft.llm.Caches.persistTracked(
+      graft.llm.Fingerprint.chunkCountIndex(docs, "doc_id", "text"))
+    val ckCard = family("cdc_chunk_index", ckBefore,
+      graft.llm.Fingerprint.chunkIndexErase(ckBefore, docs.filter(er),
+        "doc_id", "text"),
+      graft.llm.Fingerprint.chunkCountIndex(remaining, "doc_id", "text"),
+      Seq(col("ck"), col("n").cast("string")))
+    // nb_counts: the q195/q237 train slice (persisted for the same
+    // two-consumer reason)
+    val trainSlice = graft.llm.Sampling.hashSplit(docs, "doc_id",
+        ClsTrainPct, ClsValPct)
+      .filter(col("split") === "train" && col("lang").isNotNull)
+    val nbBefore = graft.llm.Caches.persistTracked(
+      graft.llm.NbClassifier.train(trainSlice, "text", "lang"))
+    val nbCard = family("nb_counts", nbBefore,
+      graft.llm.NbClassifier.eraseCounts(nbBefore,
+        graft.llm.NbClassifier.train(trainSlice.filter(er), "text", "lang")),
+      graft.llm.NbClassifier.train(trainSlice.filter(!er), "text", "lang"),
+      Seq(col("label"), col("w"), col("cnt").cast("string")))
+    fpCard.unionByName(ckCard).unionByName(nbCard)
+  }
+
   // ---- q238: threshold-free ranking quality of cheap scores ----
   // q226 distills the rule gate into a classifier and grades it at
   // ONE operating point (a confusion card); this asks the
@@ -3626,6 +3703,7 @@ object LlmQueries {
     "q235_cdc_admission" -> q235CdcAdmission _,
     "q236_cdc_admission_loaded" -> q236CdcAdmissionLoaded _,
     "q237_artifact_erasure" -> q237ArtifactErasure _,
+    "q295_erase_apply" -> q295EraseApply _,
     "q238_rank_auc" -> q238RankAuc _,
     "q239_mojibake" -> q239Mojibake _,
     "q274_unicode_dedup" -> q274UnicodeDedup _,
@@ -5662,6 +5740,49 @@ object LlmQueries {
          |  CAST(n_affected * 1000000 // greatest(n_entries, 1) AS BIGINT)
          |    AS affected_ppm
          |FROM u""".stripMargin,
+    // the rebuild counts are the ONE truth per family (erased docs
+    // excluded from the contributor base, refcounts > 0, cells with
+    // surviving count > 0); the fold's n_after must equal them and
+    // agree pins to literal true — a missed decrement, an
+    // under-deleted key, or a leaked row hash-fails
+    "q295_erase_apply" ->
+      s"""WITH $cdcCkCtes,
+         |spl AS (SELECT doc_id,
+         |    CASE WHEN r < $ClsTrainPct THEN 'train'
+         |         WHEN r < ${ClsTrainPct + ClsValPct} THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS r
+         |    FROM documents) t),
+         |fpa AS (SELECT CAST(count(*) AS BIGINT) AS n_before,
+         |    CAST(sum(CASE WHEN doc_id % $EraseMod != 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_after
+         |  FROM documents),
+         |cga AS (SELECT ck,
+         |    CAST(sum(CASE WHEN doc_id % $EraseMod != 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n2
+         |  FROM ck GROUP BY ck),
+         |cxa AS (SELECT CAST(count(*) AS BIGINT) AS n_before,
+         |    CAST(sum(CASE WHEN n2 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_after
+         |  FROM cga),
+         |tr2 AS (SELECT d.lang AS label, unnest($toksSql) AS w,
+         |    (d.doc_id % $EraseMod = 0) AS er
+         |  FROM documents d JOIN spl USING (doc_id)
+         |  WHERE spl.split = 'train' AND d.lang IS NOT NULL),
+         |cells AS (SELECT label, w, CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(sum(CASE WHEN er THEN 1 ELSE 0 END) AS BIGINT) AS ec
+         |  FROM tr2 GROUP BY 1, 2),
+         |nxa AS (SELECT CAST(count(*) AS BIGINT) AS n_before,
+         |    CAST(sum(CASE WHEN cnt > ec THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_after
+         |  FROM cells)
+         |SELECT 'fp_index' AS artifact, n_before, n_after,
+         |  n_after AS n_rebuild, true AS agree FROM fpa
+         |UNION ALL SELECT 'cdc_chunk_index', n_before, n_after, n_after,
+         |  true FROM cxa
+         |UNION ALL SELECT 'nb_counts', n_before, n_after, n_after,
+         |  true FROM nxa""".stripMargin,
     // the rule CTEs label each doc; each ranker collapses to a
     // (score → pos/neg count) frame and AUC2 = Σ p·(2C + q) replays
     // the exact midrank Mann-Whitney statistic in integers

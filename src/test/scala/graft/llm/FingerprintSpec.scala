@@ -167,4 +167,25 @@ class FingerprintSpec extends AnyFunSuite with SparkTestSession {
     assert(frame.toSeq === local,
       "the row-local twin and the frame must name every chunk identically")
   }
+  test("chunkIndexErase: refcount fold == rebuild-without-the-set") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    Fingerprint.register(spark)
+    val rnd = new scala.util.Random(23)
+    def text(seed: Int) = (1 to 260).map(_ => s"w${(rnd.nextInt(7) + seed) % 9}").mkString(" ")
+    // docs 1/2 share text (shared chunk keys — refcounts must
+    // DECREMENT, not delete); doc 3 is unique (its keys must vanish)
+    val shared = text(0)
+    val docs = Seq((1L, shared), (2L, shared), (3L, text(3))).toDF("doc_id", "text")
+    val before = Fingerprint.chunkCountIndex(docs, "doc_id", "text")
+    val folded = Fingerprint.chunkIndexErase(before,
+        docs.filter(col("doc_id").isin(2L, 3L)), "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val rebuilt = Fingerprint.chunkCountIndex(
+        docs.filter(col("doc_id") === 1L), "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(folded === rebuilt,
+      "decrement must equal the rebuild over surviving contributors")
+    assert(folded.nonEmpty && folded.forall(_._2 >= 1L))
+  }
 }

@@ -208,4 +208,19 @@ class NbClassifierSpec extends AnyFunSuite with SparkTestSession {
       .orderBy("doc_id").collect().toSeq
     assert(a === b, "trained-in-session and loaded state must agree exactly")
   }
+  test("eraseCounts: mergeCounts run backwards — erase(train(A∪B), train(B)) == train(A)") {
+    import spark.implicits._
+    val a = labeled.filter(col("doc_id") <= 2L)
+    val b = labeled.filter(col("doc_id") > 2L)
+    val full = NbClassifier.train(labeled, "text", "lang")
+    val erased = NbClassifier.eraseCounts(full,
+        NbClassifier.train(b, "text", "lang"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val want = NbClassifier.train(a, "text", "lang")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(erased === want,
+      "shared cells must decrement and erased-only cells must vanish")
+    // erasing everything empties the artifact outright
+    assert(NbClassifier.eraseCounts(full, full).count() === 0L)
+  }
 }

@@ -1076,6 +1076,45 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("tombstoneIngest: streamed erase impact equals the batch meter; " +
+      "resurrections and unknown ids read correctly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val N = 4; val Cap = 2
+    // bucket at cap+1 (docs 1-3 identical) → erasing any one is a
+    // resurrection trigger on every band; doc 4 is under cap → live
+    val corpus = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "alpha beta gamma"), (4L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val built = graft.llm.MinHashLSH.signatureIndex(corpus, "doc_id",
+      "text", 2, N, 1, Cap)
+    val tombstones = Seq(Tuple1(1L), Tuple1(4L), Tuple1(999L))
+    val in = MemoryStream[Tuple1[Long]]
+    val q = Streams.tombstoneIngest(in.toDF().toDF("doc_id"),
+        "doc_id", built.sets, built.counts, N, Cap)
+      .writeStream.format("memory").queryName("tomb_out")
+      .outputMode("complete").start()
+    try {
+      in.addData(tombstones: _*)
+      q.processAllAvailable()
+      def shape(df: org.apache.spark.sql.DataFrame) = df
+        .collect().map(_.toSeq).toSeq.sortBy(_.head.asInstanceOf[Long])
+      val got = shape(spark.table("tomb_out"))
+      val batch = shape(graft.llm.MinHashLSH.eraseImpact(
+        tombstones.toDF("doc_id"), "doc_id", built.sets, built.counts,
+        N, 1, Cap))
+      assert(got === batch, "stream must equal the batch meter exactly")
+      val byId = got.map(r => r.head -> r).toMap
+      assert(byId(1L)(1) === true && byId(1L)(4) === 0L &&
+        byId(1L)(5) === N.toLong, "over-cap-by-one doc: all resurrections")
+      assert(byId(4L)(4) === N.toLong && byId(4L)(5) === 0L,
+        "under-cap doc: all rows live")
+      assert(byId(999L)(1) === false && byId(999L)(3) === 0L,
+        "unknown id keeps its row with zero bands")
+    } finally q.stop()
+  }
+
   test("importanceIngest: streamed scores equal the batch serve; " +
       "unseen vocab scores at the smoothing constant") {
     import spark.implicits._
