@@ -210,6 +210,160 @@ object IvfIndex {
       best
     }
 
+  /** Scan-local nProbe-nearest-cells UDF over a broadcast integer
+    * codebook — the ONE spelling of probing/multi-assignment shared
+    * by [[searchWithCodebook]], [[knnGraphWithCodebook]],
+    * [[multiAssignments]] and the delta folds (integer sqdist, ties →
+    * smaller cell id; take(1) reproduces [[cellOfUdf]]'s argmin
+    * exactly). */
+  private def probeCellsUdfOf(
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Long]]],
+      nProbe: Int) =
+    udf { (e: Seq[Long]) =>
+      val v = e.toArray
+      bc.value.zipWithIndex.map { case (c, i) =>
+        var d = 0L
+        var j = 0
+        while (j < c.length) { val x = v(j) - c(j); d += x * x; j += 1 }
+        (d, i)
+      }.sorted.take(nProbe).map(_._2).toSeq
+    }
+
+  /** The shippable IVF inverted-list state under multi-assignment:
+    * `(vec_id, cell)`, one row per (vector, assigned cell), each
+    * vector in its `nAssign` nearest cells — the expanded lists
+    * [[knnGraphWithCodebook]] pairs within and [[graphDelta]] folds
+    * into. With `nAssign = 1` this is exactly the
+    * [[cellAssignments]] frame over the same codebook (same argmin,
+    * same tie-break). Scan-local over the broadcast codebook — no
+    * shuffle until a consumer keys on `cell`. */
+  def multiAssignments(vectors: DataFrame, centroids: Array[Array[Long]],
+      nAssign: Int = 1): DataFrame = {
+    require(nAssign >= 1, "nAssign must be positive")
+    val bc = vectors.sparkSession.sparkContext.broadcast(centroids)
+    quantized(vectors).select(col("vec_id"),
+      explode(probeCellsUdfOf(bc, nAssign)(col("e"))).as("cell"))
+  }
+
+  /** Incremental maintenance of the shipped inverted lists — the IVF
+    * analogue of [[graft.llm.MinHashLSH.indexDelta]]: arrivals assign
+    * scan-locally against the LOADED codebook and append to the
+    * loaded lists. Because cell assignment is a pure row-local
+    * function of the FIXED codebook, fold ≡
+    * rebuild-with-the-same-codebook row-for-row (pinned on-corpus by
+    * q296) — the corpus is never re-assigned, and work is bounded by
+    * the arrival batch. The codebook itself NEVER retrains on a fold
+    * (the counts-only-grow analogue): a quantizer refresh changes
+    * every historical assignment, so it is an offline rebuild +
+    * re-index behind a new artifact name, never an in-place
+    * mutation. PRECONDITION: arrival vec_ids are disjoint from the
+    * shipped lists (the [[graft.llm.MinHashLSH.indexDelta]]
+    * contract); a re-embedded known vector is an erase (id anti-join
+    * on the lists — row-per-contributor, the
+    * [[Dedup.fingerprintIndexErase]] shape) then a fold. */
+  def ivfDelta(assigned: DataFrame, arrivals: DataFrame,
+      centroids: Array[Array[Long]], nAssign: Int = 1): DataFrame =
+    assigned.unionByName(multiAssignments(arrivals, centroids, nAssign))
+
+  /** Incremental maintenance of the shipped kNN graph — the fold that
+    * lets a new vector become a GRAPH NEIGHBOR without rebuilding
+    * q276's artifact: arrivals multi-assign scan-locally, candidate
+    * pairs form ONLY between an arrival and the (truncation-surviving)
+    * members of its cells (old members via the LOADED lists, fellow
+    * arrivals directly), each new pair scores one exact dot, and the
+    * patch is two-sided — the arrival gets its top-`k` out-edges, and
+    * every TOUCHED old node re-ranks its loaded edge list against its
+    * new candidates (reverse-edge patch). Untouched nodes pass
+    * through byte-identical.
+    *
+    * Exactness (pinned on-corpus by q297 and on planted boundary
+    * cases by IvfSpec): fold ≡ [[knnGraphWithCodebook]] rebuilt over
+    * the union corpus with the same codebook/k/cap/nAssign, because
+    * top-k is a monotone selection — top-k(old ∪ new) =
+    * top-k(top-k(old) ∪ new), and a node's old edge list IS its
+    * top-k over its old candidates (complete when fewer than k).
+    *
+    * PRECONDITIONS (both documented-by-construction for a crawl):
+    * arrival vec_ids are disjoint from AND GREATER THAN every indexed
+    * id — monotone ids keep the cap's rank-truncation stable (old
+    * survivors stay exactly the old compared set; an arrival enters a
+    * cell only in the capacity left under the cap), which is what
+    * makes the fold exact instead of approximate; and `assigned`/
+    * `edges` must be the shipped lists/graph built with the SAME
+    * codebook, cap and nAssign.
+    *
+    * 100 TB shape: one scan-local arrival assignment, one cell-keyed
+    * equi-join against the loaded lists (bounded by arrival cells ×
+    * cap), exact dots only for new pairs, one semi/anti-join split of
+    * the loaded edges, and a window over the touched pool (touched
+    * nodes × ≤ k+new rows) — never a corpus-wide pair expansion. */
+  def graphDelta(vectors: DataFrame, arrivals: DataFrame,
+      centroids: Array[Array[Long]], assigned: DataFrame,
+      edges: DataFrame, k: Int, maxCellSize: Int = 0,
+      nAssign: Int = 1): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(nAssign >= 1, "nAssign must be positive")
+    LlmFunctions.registerDotFp(vectors.sparkSession)
+    val bc = vectors.sparkSession.sparkContext.broadcast(centroids)
+    val aAssigned = quantized(arrivals).select(col("vec_id"),
+      explode(probeCellsUdfOf(bc, nAssign)(col("e"))).as("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col("vec_id"))
+    val (oldSurv, aEnter) =
+      if (maxCellSize > 0) {
+        val os = assigned.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= maxCellSize).drop("__rn")
+        // arrivals rank BEHIND every old member (ids are greater), so
+        // an arrival enters a cell iff old count + its rank among the
+        // batch's arrivals in that cell stays within the cap
+        val oldCounts = assigned.groupBy(col("cell"))
+          .agg(count(lit(1)).as("__n_old"))
+        val ae = aAssigned.withColumn("__rn", row_number().over(w))
+          .join(oldCounts, Seq("cell"), "left")
+          .filter(coalesce(col("__n_old"), lit(0L)) + col("__rn")
+            <= maxCellSize)
+          .select(col("vec_id"), col("cell"))
+        (os, ae)
+      } else (assigned, aAssigned)
+    val members = oldSurv.unionByName(aEnter)
+    // skinny ids through the cell shuffle; a pair sharing two cells
+    // dedups BEFORE the embedding joins (the knnGraphWithCodebook
+    // discipline) so each new pair's exact dot computes once
+    val pairIds = aEnter.select(col("cell"), col("vec_id").as("x_id"))
+      .join(members.select(col("cell"), col("vec_id").as("y_id")), "cell")
+      .filter(col("x_id") =!= col("y_id"))
+      .select(least(col("x_id"), col("y_id")).as("a_id"),
+        greatest(col("x_id"), col("y_id")).as("b_id"))
+      .distinct()
+    val emb = vectors.select(col("vec_id"), col("embedding"))
+      .unionByName(arrivals.select(col("vec_id"), col("embedding")))
+    val pairs = pairIds
+      .join(emb.select(col("vec_id").as("a_id"),
+        col("embedding").as("ae")), "a_id")
+      .join(emb.select(col("vec_id").as("b_id"),
+        col("embedding").as("be")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        Similarity.dotFpNative("ae", "be").as("dot_fp"))
+    val newDirected = pairs.select(col("a_id").as("src"),
+        col("b_id").as("dst"), col("dot_fp"))
+      .unionByName(pairs.select(col("b_id").as("src"),
+        col("a_id").as("dst"), col("dot_fp")))
+    val touched = newDirected.select(col("src")).distinct()
+    // new pairs always involve an arrival and loaded edges never do
+    // (ids disjoint), so the pool cannot double-count an edge
+    val pooled = edges.join(touched, Seq("src"), "left_semi")
+      .select(col("src"), col("dst"), col("dot_fp"))
+      .unionByName(newDirected)
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dot_fp").desc, col("dst"))
+    val patched = pooled.withColumn("__rn", row_number().over(wk))
+      .filter(col("__rn") <= k)
+      .select(col("src"), col("dst"), col("dot_fp"))
+    edges.join(touched, Seq("src"), "left_anti")
+      .select(col("src"), col("dst"), col("dot_fp"))
+      .unionByName(patched)
+  }
+
   /** Trained cell-assignment frame `(vec_id, cell)` — the audited
     * scan-local argmin over the broadcast fixed-point codebook,
     * exposed for cards that join the index's cell structure against
@@ -321,15 +475,7 @@ object IvfIndex {
       centroids: Array[Array[Long]], k: Int, nProbe: Int): DataFrame = {
     LlmFunctions.registerDotFp(vectors.sparkSession)
     val bc = vectors.sparkSession.sparkContext.broadcast(centroids)
-    val probeCellsUdf = udf { (e: Seq[Long]) =>
-      val v = e.toArray
-      bc.value.zipWithIndex.map { case (c, i) =>
-        var d = 0L
-        var j = 0
-        while (j < c.length) { val x = v(j) - c(j); d += x * x; j += 1 }
-        (d, i)
-      }.sorted.take(nProbe).map(_._2).toSeq
-    }
+    val probeCellsUdf = probeCellsUdfOf(bc, nProbe)
     val cells = quantized(vectors).select(col("vec_id"), cellOfUdf(bc)(col("e")).as("cell"))
       .join(vectors.select(col("vec_id"), col("embedding").as("ce")), "vec_id")
     val probes = quantized(queries)
@@ -535,17 +681,9 @@ object IvfIndex {
     require(k > 0, "k must be positive")
     LlmFunctions.registerDotFp(vectors.sparkSession)
     val bc = vectors.sparkSession.sparkContext.broadcast(centroids)
-    val probeCellsUdf = udf { (e: Seq[Long]) =>
-      val v = e.toArray
-      bc.value.zipWithIndex.map { case (c, i) =>
-        var d = 0L
-        var j = 0
-        while (j < c.length) { val x = v(j) - c(j); d += x * x; j += 1 }
-        (d, i)
-      }.sorted.take(nAssign).map(_._2).toSeq
-    }
     val assigned = quantized(vectors)
-      .select(col("vec_id"), explode(probeCellsUdf(col("e"))).as("cell"))
+      .select(col("vec_id"),
+        explode(probeCellsUdfOf(bc, nAssign)(col("e"))).as("cell"))
     val compared = if (maxCellSize > 0) {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("cell")).orderBy(col("vec_id"))

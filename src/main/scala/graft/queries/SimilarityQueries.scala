@@ -1030,6 +1030,95 @@ object SimilarityQueries {
       AnnK)
   }
 
+  // ---- q296: incremental inverted-list maintenance (fold == rebuild) ----
+  // q280 keeps the near-dup signature index fresh at crawl cadence;
+  // this is the same theorem for the ANN family's FIRST artifact, the
+  // IVF inverted lists: [[graft.llm.IvfIndex.ivfDelta]] folds an
+  // arrival batch into the shipped (vec_id, cell) lists by assigning
+  // arrivals scan-locally against the LOADED codebook — the corpus is
+  // never re-assigned, the codebook never retrains on a fold (a
+  // quantizer refresh is an offline rebuild behind a new artifact
+  // name). Because assignment is a pure row-local function of the
+  // fixed codebook, fold ≡ rebuild-with-the-same-codebook row-for-row
+  // — and with nAssign = 2 the per-vec (count, min cell, max cell)
+  // triple is a LOSSLESS rendering of the assignment set, so the
+  // oracle (which retrains the identical fixed-point codebook and
+  // replays the rank-2 assignment) pins every row; agree == true or
+  // the round hash-fails. Arrivals = the top id decile (monotone
+  // crawl ids — the graphDelta precondition, shared here).
+  private def splitByIdDecile(emb: DataFrame): (DataFrame, DataFrame) = {
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val thr = maxId * 9L / 10L
+    (emb.filter(col("vec_id") <= thr), emb.filter(col("vec_id") > thr))
+  }
+
+  def q296IvfDelta(s: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+    val cb = graft.llm.IvfIndex.fitFixedPoint(emb, IvfLists, IvfIter)
+    val (old, arrivals) = splitByIdDecile(emb)
+    val folded = graft.llm.IvfIndex.ivfDelta(
+      graft.llm.IvfIndex.multiAssignments(old, cb, 2), arrivals, cb, 2)
+    val rebuilt = graft.llm.IvfIndex.multiAssignments(emb, cb, 2)
+    def perVec(df: DataFrame, pfx: String) = df.groupBy(col("vec_id"))
+      .agg(count(lit(1)).cast("bigint").as(s"n_$pfx"),
+        min(col("cell")).cast("bigint").as(s"cmin_$pfx"),
+        max(col("cell")).cast("bigint").as(s"cmax_$pfx"))
+    perVec(rebuilt, "rebuild")
+      .join(perVec(folded, "delta"), Seq("vec_id"), "full_outer")
+      .select(col("vec_id"), col("n_rebuild"), col("cmin_rebuild"),
+        col("cmax_rebuild"), col("n_delta"), col("cmin_delta"),
+        col("cmax_delta"),
+        (col("n_rebuild").isNotNull && col("n_delta").isNotNull &&
+          col("n_rebuild") === col("n_delta") &&
+          col("cmin_rebuild") === col("cmin_delta") &&
+          col("cmax_rebuild") === col("cmax_delta")).as("agree"))
+  }
+
+  // ---- q297: incremental kNN-graph maintenance (fold == rebuild) ----
+  // The last static ANN artifact becomes maintainable: q276 serves
+  // from a shipped kNN graph, and [[graft.llm.IvfIndex.graphDelta]]
+  // lets a new vector become a GRAPH NEIGHBOR without a rebuild —
+  // arrivals multi-assign scan-locally, pair only with the
+  // truncation-surviving members of their cells (loaded lists + fellow
+  // arrivals), and the patch is two-sided: arrival top-k out-edges
+  // plus a re-rank of every touched old node's loaded edge list
+  // against its new candidates (top-k is monotone, so
+  // top-k(old ∪ new) = top-k(top-k(old) ∪ new) — exact, not
+  // approximate). Untouched nodes pass through byte-identical, so
+  // q276's recall off the folded graph is unchanged BY CONSTRUCTION.
+  // The card compares per-src edge count + commutative checksum over
+  // (dst, dot_fp) between the fold and the full rebuild; the oracle
+  // retrains the codebook, replays the rebuild (the q276 edge CTEs
+  // with dots kept), and pins agree == true — a missed reverse-edge
+  // patch, a cap leak, or a drifted tie-break hash-fails the round.
+  def q297GraphDelta(s: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+    val cb = graft.llm.IvfIndex.fitFixedPoint(emb, IvfLists, IvfIter)
+    val (old, arrivals) = splitByIdDecile(emb)
+    val folded = graft.llm.IvfIndex.graphDelta(old, arrivals, cb,
+      graft.llm.IvfIndex.multiAssignments(old, cb, 2),
+      graft.llm.IvfIndex.knnGraphWithCodebook(old, cb, MutualK,
+        SemDedupCellCap, 2),
+      MutualK, SemDedupCellCap, 2)
+    val rebuilt = graft.llm.IvfIndex.knnGraphWithCodebook(emb, cb,
+      MutualK, SemDedupCellCap, 2)
+    def perSrc(df: DataFrame, pfx: String) = df
+      .select(col("src"), graft.llm.Sketches.integrityHash(
+        Seq(col("dst").cast("string"), col("dot_fp").cast("string")))
+        .as("h"))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).cast("bigint").as(s"n_$pfx"),
+        expr("cast(sum(cast(h as decimal(38,0))) % " +
+          s"${graft.llm.Sketches.ChecksumMod}L as bigint)").as(s"ck_$pfx"))
+    perSrc(rebuilt, "rebuild")
+      .join(perSrc(folded, "delta"), Seq("src"), "full_outer")
+      .select(col("src"), col("n_rebuild"), col("ck_rebuild"),
+        col("n_delta"), col("ck_delta"),
+        (col("n_rebuild").isNotNull && col("n_delta").isNotNull &&
+          col("n_rebuild") === col("n_delta") &&
+          col("ck_rebuild") === col("ck_delta")).as("agree"))
+  }
+
   // ---- q217: per-source split drift (train vs test centroids) ----
   // Representation drift the split should NOT have: per source, the
   // fixed-point cosine between its train-slice and test-slice
@@ -1766,6 +1855,8 @@ object SimilarityQueries {
     "q279_cc_delta_chain" -> q279CcDeltaChain _,
     "q280_index_delta" -> q280IndexDelta _,
     "q294_index_erase" -> q294IndexErase _,
+    "q296_ivf_delta" -> q296IvfDelta _,
+    "q297_graph_delta" -> q297GraphDelta _,
     "q284_label_transfer" -> q284LabelTransfer _,
     "q197_semantic_leakage" -> q197SemanticLeakage _,
     "q198_label_agreement" -> q198LabelAgreement _,
@@ -2271,6 +2362,64 @@ object SimilarityQueries {
       .stripMargin
   }
 
+  /** q296: the identical fixed-point training + rank-2 assignment; the
+    * per-vec (count, min, max) triple is lossless at nAssign = 2, and
+    * the delta columns duplicate the rebuild's with agree pinned —
+    * the fold must land exactly here or the round hash-fails. */
+  private def q296Sql: String =
+    s"""WITH $kmPrefixSql,
+       |af2 AS (SELECT vec_id, cell FROM (
+       |  SELECT v.vec_id, c.cell,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${kmSq("v", "c")}, c.cell) AS rn
+       |  FROM e v CROSS JOIN c$IvfIter c) t WHERE rn <= 2)
+       |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_rebuild,
+       |  CAST(min(cell) AS BIGINT) AS cmin_rebuild,
+       |  CAST(max(cell) AS BIGINT) AS cmax_rebuild,
+       |  CAST(count(*) AS BIGINT) AS n_delta,
+       |  CAST(min(cell) AS BIGINT) AS cmin_delta,
+       |  CAST(max(cell) AS BIGINT) AS cmax_delta,
+       |  true AS agree
+       |FROM af2 GROUP BY vec_id""".stripMargin
+
+  /** q297: the q276 edge CTEs (same codebook, cap, nAssign, k) with
+    * the dots KEPT, rolled to per-src count + commutative checksum;
+    * the delta columns duplicate the rebuild's with agree pinned. */
+  private def q297Sql: String =
+    s"""WITH $kmPrefixSql,
+       |af2 AS (SELECT vec_id, cell FROM (
+       |  SELECT v.vec_id, c.cell,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${kmSq("v", "c")}, c.cell) AS rn
+       |  FROM e v CROSS JOIN c$IvfIter c) t WHERE rn <= 2),
+       |cmp AS (SELECT vec_id, cell FROM (
+       |  SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn FROM af2) t
+       |  WHERE rn <= $SemDedupCellCap),
+       |pi AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM cmp a JOIN cmp b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |pr AS (SELECT a_id, b_id,
+       |    ${dotS("ea.embedding", "eb.embedding")} AS dot_fp
+       |  FROM pi
+       |  JOIN embeddings ea ON pi.a_id = ea.vec_id
+       |  JOIN embeddings eb ON pi.b_id = eb.vec_id),
+       |dr AS (SELECT a_id AS src, b_id AS dst, dot_fp FROM pr
+       |  UNION ALL SELECT b_id, a_id, dot_fp FROM pr),
+       |ked AS (SELECT src, dst, dot_fp FROM (
+       |  SELECT src, dst, dot_fp,
+       |    row_number() OVER (PARTITION BY src ORDER BY dot_fp DESC, dst) AS rn
+       |  FROM dr) t WHERE rn <= $MutualK)
+       |SELECT src, CAST(count(*) AS BIGINT) AS n_rebuild,
+       |  CAST(sum(('0x' || substr(md5(concat_ws(chr(1),
+       |    CAST(dst AS VARCHAR), CAST(dot_fp AS VARCHAR))), 1, 8))::BIGINT)
+       |    % ${graft.llm.Sketches.ChecksumMod} AS BIGINT) AS ck_rebuild,
+       |  CAST(count(*) AS BIGINT) AS n_delta,
+       |  CAST(sum(('0x' || substr(md5(concat_ws(chr(1),
+       |    CAST(dst AS VARCHAR), CAST(dot_fp AS VARCHAR))), 1, 8))::BIGINT)
+       |    % ${graft.llm.Sketches.ChecksumMod} AS BIGINT) AS ck_delta,
+       |  true AS agree
+       |FROM ked GROUP BY src""".stripMargin
+
   private val q66Sql = {
     s"""WITH $kmPrefixSql,
        |qp AS (SELECT query_id, cell FROM (
@@ -2742,6 +2891,8 @@ object SimilarityQueries {
     },
     "q117_mutual_knn"   -> q117Sql,
     "q276_graph_expand" -> q276Sql,
+    "q296_ivf_delta" -> q296Sql,
+    "q297_graph_delta" -> q297Sql,
     // 64 LCG signatures off the shared bases, low bits packed into
     // one word (bit 63 = the explicit Long minimum, the q206
     // precedent), XOR+popcount per LSH candidate pair next to the

@@ -362,4 +362,74 @@ class IvfSpec extends AnyFunSuite with SparkTestSession {
     assert(out.forall { case (id, cl) => cl <= id })
     assert(labels.size == 100)
   }
+  // ------------------- graphDelta / ivfDelta -------------------
+
+  private def edgeSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("graphDelta: fold == rebuild on clustered data, arrivals = top id decile") {
+    import spark.implicits._
+    val (old, arr) = (clustered.filter(col("vec_id") < 90),
+      clustered.filter(col("vec_id") >= 90))
+    val cb = IvfIndex.fitFixedPoint(clustered, 4, 2)
+    val folded = IvfIndex.graphDelta(old, arr, cb,
+      IvfIndex.multiAssignments(old, cb, 2),
+      IvfIndex.knnGraphWithCodebook(old, cb, 3, 0, 2), 3, 0, 2)
+    val rebuilt = IvfIndex.knnGraphWithCodebook(clustered, cb, 3, 0, 2)
+    assert(edgeSet(folded) === edgeSet(rebuilt),
+      "folded graph must equal the rebuild edge-for-edge")
+  }
+
+  test("graphDelta under the cell cap: full cells reject arrivals exactly like the rebuild") {
+    import spark.implicits._
+    val cap = 10 // each 25-member cluster cell is already over cap
+    val (old, arr) = (clustered.filter(col("vec_id") < 90),
+      clustered.filter(col("vec_id") >= 90))
+    val cb = IvfIndex.fitFixedPoint(clustered, 4, 2)
+    val folded = IvfIndex.graphDelta(old, arr, cb,
+      IvfIndex.multiAssignments(old, cb, 2),
+      IvfIndex.knnGraphWithCodebook(old, cb, 3, cap, 2), 3, cap, 2)
+    val rebuilt = IvfIndex.knnGraphWithCodebook(clustered, cb, 3, cap, 2)
+    assert(edgeSet(folded) === edgeSet(rebuilt),
+      "rank truncation must arbitrate identically on fold and rebuild")
+    // monotone-id precondition makes old survivors stable: no arrival
+    // (id >= 90) can appear in a first-choice cell already at cap
+    assert(!edgeSet(folded).exists(e => e._1 >= 90L || e._2 >= 90L),
+      "over-cap cells must reject every arrival")
+  }
+
+  test("graphDelta reverse patch: an arrival evicts a touched node's weakest edge") {
+    import spark.implicits._
+    // one cell (nLists = 1): u's k=1 edge must flip to the closer arrival
+    val old = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.6f, 0.8f))).toDF("vec_id", "embedding")
+    val arr = Seq((10L, Array(0.99f, 0.1f))).toDF("vec_id", "embedding")
+    val all = old.unionByName(arr)
+    val cb = IvfIndex.fitFixedPoint(old, 1, 1)
+    val folded = IvfIndex.graphDelta(old, arr, cb,
+      IvfIndex.multiAssignments(old, cb, 1),
+      IvfIndex.knnGraphWithCodebook(old, cb, 1, 0, 1), 1, 0, 1)
+    val rebuilt = IvfIndex.knnGraphWithCodebook(all, cb, 1, 0, 1)
+    assert(edgeSet(folded) === edgeSet(rebuilt))
+    val bySrc = edgeSet(folded).groupBy(_._1)
+    assert(bySrc(0L).head._2 === 10L, "node 0's top-1 must flip to the arrival")
+    assert(bySrc(10L).head._2 === 0L)
+  }
+
+  test("graphDelta with no arrivals is the identity; ivfDelta == rebuild row-for-row") {
+    import spark.implicits._
+    val cb = IvfIndex.fitFixedPoint(clustered, 4, 2)
+    val edges = IvfIndex.knnGraphWithCodebook(clustered, cb, 3, 0, 2)
+    val none = clustered.filter(lit(false))
+    assert(edgeSet(IvfIndex.graphDelta(clustered, none, cb,
+      IvfIndex.multiAssignments(clustered, cb, 2), edges, 3, 0, 2))
+      === edgeSet(edges))
+    val (old, arr) = (clustered.filter(col("vec_id") < 90),
+      clustered.filter(col("vec_id") >= 90))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(rows(IvfIndex.ivfDelta(IvfIndex.multiAssignments(old, cb, 2),
+        arr, cb, 2))
+      === rows(IvfIndex.multiAssignments(clustered, cb, 2)))
+  }
 }
