@@ -388,6 +388,105 @@ object MinHashLSH {
           .otherwise(lit("unique")).as("status"))
   }
 
+  /** 1-bit signatures per word (Li & König's b-bit minhash at b = 1,
+    * 64 signatures). */
+  val PackBits = 64
+
+  /** The packed 1-bit minhash word over a sets column — each of the
+    * [[PackBits]] signatures' LOWEST bit, folded row-locally into ONE
+    * 64-bit long (the q206 sign-word discipline). The 64× smaller
+    * signature rendering that decides whether a 100 TB corpus's
+    * near-dup index fits hot storage; the ONE spelling shared by the
+    * q277 error card and [[fuzzyAdmissionBbit]], so the measured
+    * estimator and the production screen can never disagree about
+    * what the word IS. */
+  def packWordExpr(sCol: String): Column = expr(
+    s"""aggregate(transform(minhash_sigs($sCol, $PackBits), (m, i) ->
+       |  CASE WHEN m % 2 = 1 THEN shiftleft(1L, i) ELSE 0L END),
+       |  0L, (acc, x) -> acc | x)""".stripMargin)
+
+  /** `(doc_id, w)` — the packed-word projection of a [[shingleSets]]
+    * frame: the HOT-storage half of the signature index (8 bytes per
+    * doc vs 8·64 for raw signatures and ~8·|shingles| for the verify
+    * sets). */
+  def packedWords(sets: DataFrame): DataFrame = {
+    LlmFunctions.registerMinHashSigs(sets.sparkSession)
+    sets.select(col("doc_id"), packWordExpr("s").as("w"))
+  }
+
+  /** [[fuzzyAdmission]] with the 1-bit Hamming screen between the
+    * band probe and the exact verify — the hot-storage production
+    * knob q277 priced: candidates still come from one band equi-join,
+    * but each one first scores the b-bit estimate
+    * Ĵ = max(0, 2·match_bits − 64)/64 against the 64×-smaller packed
+    * index (`corpusWords`), and ONLY candidates at or above
+    * `screenMinPpm` touch the big shingle-set artifact for the exact
+    * `inter_count` verify. With the screen a couple of sd below the
+    * admission threshold (q277: mean |err| 0.062; sd of the bit-match
+    * count ≈ 3.5 bits) the skipped mass is almost entirely
+    * true-negative band collisions — and the q278 card MEASURES the
+    * residual recall cost rather than assuming it.
+    *
+    * Same shape and null contract as [[fuzzyAdmission]] plus
+    * `n_screened` (candidates that passed the Hamming screen);
+    * `best_match`/`best_jaccard_fp` rank only VERIFIED candidates
+    * (unscreened ones carry null jfp and sort last; an arrival with
+    * candidates but no screen survivor reads null best columns).
+    * Streaming-legal by the same construction (posexplode_outer +
+    * left joins + one duplicate-invariant aggregate). */
+  def fuzzyAdmissionBbit(arrivals: DataFrame, idCol: String,
+      textCol: String, corpusBands: DataFrame, corpusWords: DataFrame,
+      corpusSets: DataFrame, shingleN: Int, numHashes: Int,
+      rowsPerBand: Int, screenMinPpm: Long, minJaccardFp: Long): DataFrame = {
+    LlmFunctions.registerInterCount(arrivals.sparkSession)
+    LlmFunctions.registerShingleBases(arrivals.sparkSession)
+    LlmFunctions.registerMinHashSigs(arrivals.sparkSession)
+    val aSets = shingleSets(arrivals, idCol, textCol, shingleN)
+    val aBands = aSets.select(col("doc_id"), col("s").as("__sa"),
+      packWordExpr("s").as("__wa"),
+      posexplode_outer(bandKeysExpr("s", numHashes, rowsPerBand))
+        .as(Seq("band_id", "band_key")))
+    val screened = aBands
+      .join(corpusBands.select(col("doc_id").as("corpus_doc"),
+        col("band_id"), col("band_key")), Seq("band_id", "band_key"), "left")
+      .join(corpusWords.select(col("doc_id").as("corpus_doc"),
+        col("w").as("__wb")), Seq("corpus_doc"), "left")
+      .withColumn("__est", expr(
+        s"cast(greatest(0L, 2L * ($PackBits - bit_count(__wa ^ __wb)) " +
+          s"- $PackBits) * 1000000L div $PackBits as bigint)"))
+      .withColumn("__pass",
+        coalesce(col("__est") >= screenMinPpm, lit(false)))
+    // the cold sets artifact joins ONLY screen survivors (the equi
+    // key plus the __pass residual — unscreened candidates keep their
+    // row with a null set and therefore a null jfp)
+    val ver = screened
+      .join(corpusSets.select(col("doc_id").as("__vd"), col("s").as("__sb")),
+        col("corpus_doc") === col("__vd") && col("__pass"), "left")
+      .select(col("doc_id"), col("corpus_doc"), col("__pass"),
+        expr("inter_count(__sa, __sb)").as("__i"), col("__sa"), col("__sb"))
+      .select(col("doc_id"), col("corpus_doc"), col("__pass"), expr(
+        """cast(floor(1000000.0 * cast(__i as double)
+          |  / cast(size(__sa) + size(__sb) - __i as double)) as bigint)"""
+          .stripMargin).as("jfp"))
+    ver.groupBy(col("doc_id"))
+      .agg(
+        size(collect_set(col("corpus_doc"))).cast("bigint")
+          .as("n_candidates"),
+        size(collect_set(when(col("__pass"), col("corpus_doc"))))
+          .cast("bigint").as("n_screened"),
+        size(collect_set(when(col("jfp") >= minJaccardFp,
+          col("corpus_doc")))).cast("bigint").as("n_near_dups"),
+        min_by(when(col("jfp").isNotNull, col("corpus_doc")), struct(
+          coalesce(col("jfp") * -1L, lit(Long.MaxValue)).as("nj"),
+          coalesce(col("corpus_doc"), lit(Long.MaxValue)).as("cd")))
+          .as("best_match"),
+        max(col("jfp")).as("best_jaccard_fp"))
+      .select(col("doc_id"), col("n_candidates"), col("n_screened"),
+        col("n_near_dups"), col("best_match"), col("best_jaccard_fp"),
+        when(col("n_near_dups") > 0L, lit("near_dup"))
+          .otherwise(lit("unique")).as("status"))
+  }
+
   /** Per-tombstone erase impact against the LOADED signature index —
     * the admission-mirror of [[indexErase]], what a deletion queue
     * runs per right-to-be-forgotten request before (or instead of)

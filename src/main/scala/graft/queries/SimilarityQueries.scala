@@ -204,12 +204,15 @@ object SimilarityQueries {
   // for every arrival, the truth "has a corpus near-dup" is computed
   // EXHAUSTIVELY (arrival sets × corpus sets, exact inter_count
   // Jaccard ≥ the admission threshold — the deliberately-priced
-  // oracle-scale truth instrument, the q112 pattern) and the gate's
-  // verdict is scored against it. Banding can only MISS (every
-  // flagged arrival carries an exact-verified witness ⇒ precision is
-  // 1 by construction — measured, not assumed), so the one number
-  // that matters is recall: how much near-dup mass the capped
-  // shipped index lets through. One summary row.
+  // oracle-scale truth instrument, the q112 pattern) and BOTH gate
+  // variants are scored against it: the full banded gate (q272) and
+  // the 1-bit-screened gate (q298 — candidates Hamming-screen against
+  // the 64×-smaller packed index before any exact verify, the
+  // hot-storage trade q277 priced, now graded end to end). Either
+  // variant can only MISS (every flag carries an exact-verified
+  // witness ⇒ precision 1 by construction — measured, not assumed),
+  // so the number that matters is each one's recall. One row per
+  // variant.
   def q278AdmissionRecall(s: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.documents(s, dir)
     val corpusSets = graft.llm.Caches.persistTracked(
@@ -233,27 +236,36 @@ object SimilarityQueries {
     // existence over DISTINCT corpus sets equals existence over all
     // of them — the planted dup families collapse before the
     // quadratic arm ever sees them
-    val truth = arrSets.select(col("doc_id"), col("s").as("sa"))
-      .crossJoin(corpusSets.select(col("s").as("sb")).distinct())
-      .filter(expr(s"size(sa) * $tLo <= size(sb) * 1000000L and " +
-        s"size(sb) * $tLo <= size(sa) * 1000000L"))
-      .select(col("doc_id"),
-        expr("inter_count(sa, sb)").as("i"), col("sa"), col("sb"))
-      .groupBy(col("doc_id"))
-      .agg(max(expr(s"cast(i as bigint) * 1000000L >= " +
-        s"$tLo * cast(size(sa) + size(sb) - i as bigint)")).as("is_dup"))
-    val gate = MinHashLSH.fuzzyAdmission(fuzzyArrivals(docs), "doc_id",
-        "text",
-        MinHashLSH.capBuckets(
-          MinHashLSH.bandIndexFromSets(corpusSets, NumHashes, 1),
-          Seq("band_id", "band_key"), AdmitCap),
-        corpusSets, ShingleN, NumHashes, 1, AdmitMinJaccardFp)
-      .select(col("doc_id"), (col("status") === "near_dup").as("flagged"))
+    val truth = graft.llm.Caches.persistTracked(
+      arrSets.select(col("doc_id"), col("s").as("sa"))
+        .crossJoin(corpusSets.select(col("s").as("sb")).distinct())
+        .filter(expr(s"size(sa) * $tLo <= size(sb) * 1000000L and " +
+          s"size(sb) * $tLo <= size(sa) * 1000000L"))
+        .select(col("doc_id"),
+          expr("inter_count(sa, sb)").as("i"), col("sa"), col("sb"))
+        .groupBy(col("doc_id"))
+        .agg(max(expr(s"cast(i as bigint) * 1000000L >= " +
+          s"$tLo * cast(size(sa) + size(sb) - i as bigint)")).as("is_dup")))
+    val corpusBands = MinHashLSH.capBuckets(
+      MinHashLSH.bandIndexFromSets(corpusSets, NumHashes, 1),
+      Seq("band_id", "band_key"), AdmitCap)
+    val banded = MinHashLSH.fuzzyAdmission(fuzzyArrivals(docs), "doc_id",
+        "text", corpusBands, corpusSets, ShingleN, NumHashes, 1,
+        AdmitMinJaccardFp)
+      .select(lit("banded").as("variant"), col("doc_id"),
+        (col("status") === "near_dup").as("flagged"))
+    val bbit = MinHashLSH.fuzzyAdmissionBbit(fuzzyArrivals(docs), "doc_id",
+        "text", corpusBands, MinHashLSH.packedWords(corpusSets),
+        corpusSets, ShingleN, NumHashes, 1, BbitScreenPpm,
+        AdmitMinJaccardFp)
+      .select(lit("bbit_screen").as("variant"), col("doc_id"),
+        (col("status") === "near_dup").as("flagged"))
     // LEFT from the gate side: an arrival whose every truth pair was
     // size-band pruned has no truth row — it is a non-dup, not a
     // dropped arrival
-    gate.join(truth, Seq("doc_id"), "left")
+    banded.unionByName(bbit).join(truth, Seq("doc_id"), "left")
       .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))
+      .groupBy(col("variant"))
       .agg(count(lit(1)).cast("bigint").as("n_arrivals"),
         sum(when(col("is_dup"), 1L).otherwise(0L)).cast("bigint")
           .as("n_true_dups"),
@@ -263,12 +275,48 @@ object SimilarityQueries {
           .cast("bigint").as("true_pos"),
         sum(when(!col("is_dup") && col("flagged"), 1L).otherwise(0L))
           .cast("bigint").as("false_pos"))
-      .select(col("n_arrivals"), col("n_true_dups"), col("n_flagged"),
-        col("true_pos"), col("false_pos"),
+      .select(col("variant"), col("n_arrivals"), col("n_true_dups"),
+        col("n_flagged"), col("true_pos"), col("false_pos"),
         expr("true_pos * 1000000L div greatest(n_true_dups, 1L)")
           .as("recall_ppm"),
         expr("true_pos * 1000000L div greatest(n_flagged, 1L)")
           .as("precision_ppm"))
+  }
+
+  // ---- q298: 1-bit-screened fuzzy admission (the hot-storage gate) ----
+  // q272's gate with q277's measured estimator put to WORK: the
+  // shipped index's hot tier is the capped bands plus ONE 64-bit
+  // packed word per doc ([[graft.llm.MinHashLSH.packedWords]] — 64×
+  // smaller than raw signatures); every band candidate first scores
+  // the b-bit Hamming estimate against the packed word, and only
+  // candidates at or above the screen (0.25, ~2.3 sd below the 0.5
+  // admission threshold's bit-match mean) touch the COLD shingle-set
+  // artifact for the exact verify — the storage/IO trade a 100 TB
+  // near-dup tier actually deploys. Output adds n_screened to the
+  // q272 shape; the oracle replays banding, packing, the screen and
+  // the conditional verify end to end, and q278 grades this variant's
+  // recall against the exhaustive truth next to the full gate's.
+  private val BbitScreenPpm = 250000L
+  def q298BbitAdmission(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    val root = graft.llm.Artifacts.ensure(dir,
+        s"minhash-index-bbit-v1-n$NumHashes-r1-s$ShingleN-c$AdmitCap") { p =>
+      val sets = MinHashLSH.shingleSets(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        "doc_id", "text", ShingleN)
+      graft.llm.Artifacts.saveIndexFrame(p + "/sets", sets)
+      graft.llm.Artifacts.saveIndexFrame(p + "/words",
+        MinHashLSH.packedWords(sets))
+      graft.llm.Artifacts.saveIndexFrame(p + "/bands",
+        MinHashLSH.capBuckets(
+          MinHashLSH.bandIndexFromSets(sets, NumHashes, 1),
+          Seq("band_id", "band_key"), AdmitCap))
+    }
+    MinHashLSH.fuzzyAdmissionBbit(fuzzyArrivals(docs), "doc_id", "text",
+      graft.llm.Artifacts.loadIndexFrame(s, root + "/bands"),
+      graft.llm.Artifacts.loadIndexFrame(s, root + "/words"),
+      graft.llm.Artifacts.loadIndexFrame(s, root + "/sets"),
+      ShingleN, NumHashes, 1, BbitScreenPpm, AdmitMinJaccardFp)
   }
 
   // ---- q277: 1-bit minhash signature compression (b-bit minhash) ----
@@ -289,10 +337,7 @@ object SimilarityQueries {
     val docs = graft.Tables.documents(s, dir)
     val sets = graft.llm.Caches.persistTracked(
       MinHashLSH.shingleSets(docs, "doc_id", "text", ShingleN))
-    val packed = sets.select(col("doc_id"), expr(
-      s"""aggregate(transform(minhash_sigs(s, $BbitHashes), (m, i) ->
-         |  CASE WHEN m % 2 = 1 THEN shiftleft(1L, i) ELSE 0L END),
-         |  0L, (acc, x) -> acc | x)""".stripMargin).as("w"))
+    val packed = MinHashLSH.packedWords(sets)
     val scored = MinHashLSH.withJaccardFp(
       MinHashLSH.candidatePairsFromSets(sets, NumHashes, 1),
       sets, "doc_a", "doc_b")
@@ -1852,6 +1897,7 @@ object SimilarityQueries {
     "q276_graph_expand" -> q276GraphExpand _,
     "q277_bbit_minhash" -> q277BbitMinhash _,
     "q278_admission_recall" -> q278AdmissionRecall _,
+    "q298_bbit_admission" -> q298BbitAdmission _,
     "q279_cc_delta_chain" -> q279CcDeltaChain _,
     "q280_index_delta" -> q280IndexDelta _,
     "q294_index_erase" -> q294IndexErase _,
@@ -1910,6 +1956,25 @@ object SimilarityQueries {
     * band_key)` + `sets(doc_id, s)` — the q21/q48/q49 oracles differ
     * only in how bands become candidate pairs. */
   private val minhashCtes = minhashChainOver("documents", "")
+
+  /** 64-signature 1-bit packed-word CTE pair over a minhash chain's
+    * `${pfx}bs(doc_id, bases)` relation → `$out(doc_id, w)` — the ONE
+    * packing replay shared by the q277 error card and the b-bit gate
+    * oracles (q298/q278). Bit 63 spelled as the explicit Long
+    * minimum (DuckDB's `<<` on BIGINT would overflow). */
+  private def packCteOver(bsRel: String, out: String): String = {
+    val p = graft.llm.MinHashLSH.P
+    val minExprs64 = (0 until BbitHashes).map { k =>
+      val (a, b) = graft.llm.MinHashLSH.seedParams(k)
+      s"list_min(list_transform(bases, v -> (v * $a + $b) % $p))"
+    }.mkString(", ")
+    s"""${out}m AS (SELECT doc_id, [$minExprs64] AS mh FROM $bsRel),
+       |$out AS (SELECT doc_id, CAST(list_sum(list_transform(range(1, 65),
+       |    i -> CASE WHEN mh[i] % 2 = 1 THEN
+       |      CASE WHEN i = 64 THEN (-9223372036854775807 - 1)
+       |      ELSE (1::BIGINT << (i - 1)) END
+       |    ELSE 0 END)) AS BIGINT) AS w FROM ${out}m)""".stripMargin
+  }
 
   private def jaccardSelect(aCol: String, bCol: String): String =
     s"""SELECT $aCol, $bCol,
@@ -2898,20 +2963,10 @@ object SimilarityQueries {
     // precedent), XOR+popcount per LSH candidate pair next to the
     // exact Jaccard
     "q277_bbit_minhash" -> {
-      val p = graft.llm.MinHashLSH.P
-      val minExprs64 = (0 until BbitHashes).map { k =>
-        val (a, b) = graft.llm.MinHashLSH.seedParams(k)
-        s"list_min(list_transform(bases, v -> (v * $a + $b) % $p))"
-      }.mkString(", ")
       val estSql = s"CAST(greatest(0, 2 * match_bits - 64) " +
         s"* 1000000 // 64 AS BIGINT)"
       s"""WITH $minhashCtes,
-         |mh64 AS (SELECT doc_id, [$minExprs64] AS mh FROM bs),
-         |pk AS (SELECT doc_id, CAST(list_sum(list_transform(range(1, 65),
-         |    i -> CASE WHEN mh[i] % 2 = 1 THEN
-         |      CASE WHEN i = 64 THEN (-9223372036854775807 - 1)
-         |      ELSE (1::BIGINT << (i - 1)) END
-         |    ELSE 0 END)) AS BIGINT) AS w FROM mh64),
+         |${packCteOver("bs", "pk")},
          |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b ON a.band_id = b.band_id
          |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
@@ -3203,7 +3258,9 @@ object SimilarityQueries {
          |  true AS agree
          |FROM cb GROUP BY doc_id""".stripMargin,
     // the q272 chain + the exhaustive truth arm (arrival sets ×
-    // corpus sets, exact Jaccard), scored into one summary row
+    // corpus sets, exact Jaccard), with BOTH gate variants (banded
+    // and 1-bit-screened) scored against the one truth — one summary
+    // row per variant
     "q278_admission_recall" ->
       s"""WITH $minhashCtes,
          |arr AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
@@ -3212,6 +3269,8 @@ object SimilarityQueries {
          |  UNION ALL SELECT doc_id + 4000000 AS doc_id, text
          |    FROM documents WHERE doc_id % 17 = 0 AND doc_id % 10 != 0),
          |${minhashChainOver("arr", "arr_")},
+         |${packCteOver("bs", "cpk")},
+         |${packCteOver("arr_bs", "apk")},
          |cb AS (SELECT doc_id AS corpus_doc, band_id, band_key FROM (
          |    SELECT doc_id, band_id, band_key,
          |      count(*) OVER (PARTITION BY band_id, band_key) AS bc
@@ -3240,9 +3299,29 @@ object SimilarityQueries {
          |  FROM arr LEFT JOIN (SELECT doc_id, count(CASE WHEN jfp >=
          |      $AdmitMinJaccardFp THEN 1 END) AS n_near
          |    FROM ver GROUP BY 1) f USING (doc_id)),
-         |j AS (SELECT tr.doc_id, tr.is_dup, fl.flagged
-         |  FROM tr JOIN fl USING (doc_id))
-         |SELECT CAST(count(*) AS BIGINT) AS n_arrivals,
+         |scr AS (SELECT cand.doc_id, cand.corpus_doc
+         |  FROM cand JOIN apk aw ON cand.doc_id = aw.doc_id
+         |  JOIN cpk cw ON cand.corpus_doc = cw.doc_id
+         |  WHERE CAST(greatest(0, 2 * CAST(64 - bit_count(xor(aw.w, cw.w)) AS BIGINT) - 64)
+         |    * 1000000 // 64 AS BIGINT) >= $BbitScreenPpm),
+         |ver2 AS (SELECT scr.doc_id,
+         |    CAST(floor(1000000.0
+         |      * CAST(len(list_intersect(sa.s, cs.s)) AS DOUBLE)
+         |      / CAST(len(sa.s) + len(cs.s)
+         |          - len(list_intersect(sa.s, cs.s)) AS DOUBLE)) AS BIGINT)
+         |      AS jfp
+         |  FROM scr JOIN arr_sets sa ON scr.doc_id = sa.doc_id
+         |  JOIN cs ON scr.corpus_doc = cs.corpus_doc),
+         |fl2 AS (SELECT arr.doc_id,
+         |    coalesce(f.n_near, 0) > 0 AS flagged
+         |  FROM arr LEFT JOIN (SELECT doc_id, count(CASE WHEN jfp >=
+         |      $AdmitMinJaccardFp THEN 1 END) AS n_near
+         |    FROM ver2 GROUP BY 1) f USING (doc_id)),
+         |j AS (SELECT 'banded' AS variant, tr.doc_id, tr.is_dup, fl.flagged
+         |    FROM tr JOIN fl USING (doc_id)
+         |  UNION ALL SELECT 'bbit_screen', tr.doc_id, tr.is_dup, fl2.flagged
+         |    FROM tr JOIN fl2 USING (doc_id))
+         |SELECT variant, CAST(count(*) AS BIGINT) AS n_arrivals,
          |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_true_dups,
          |  CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
@@ -3257,7 +3336,61 @@ object SimilarityQueries {
          |  CAST(sum(CASE WHEN is_dup AND flagged THEN 1 ELSE 0 END) * 1000000
          |    // greatest(sum(CASE WHEN flagged THEN 1 ELSE 0 END), 1)
          |    AS BIGINT) AS precision_ppm
-         |FROM j""".stripMargin,
+         |FROM j GROUP BY variant""".stripMargin,
+    // the q272 gate chain with the packed-word Hamming screen between
+    // candidacy and the exact verify — unscreened candidates keep a
+    // null jfp, so best columns rank verified candidates only
+    "q298_bbit_admission" ->
+      s"""WITH $minhashCtes,
+         |arr AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL SELECT doc_id + 3000000 AS doc_id, text || ' graft' AS text
+         |    FROM documents WHERE doc_id % 9 = 0 AND doc_id % 10 != 0
+         |  UNION ALL SELECT doc_id + 4000000 AS doc_id, text
+         |    FROM documents WHERE doc_id % 17 = 0 AND doc_id % 10 != 0),
+         |${minhashChainOver("arr", "arr_")},
+         |${packCteOver("bs", "cpk")},
+         |${packCteOver("arr_bs", "apk")},
+         |cb AS (SELECT doc_id AS corpus_doc, band_id, band_key FROM (
+         |    SELECT doc_id, band_id, band_key,
+         |      count(*) OVER (PARTITION BY band_id, band_key) AS bc
+         |    FROM bands WHERE doc_id % 10 != 0) t
+         |  WHERE bc <= $AdmitCap),
+         |cs AS (SELECT doc_id AS corpus_doc, s FROM sets WHERE doc_id % 10 != 0),
+         |cand AS (SELECT DISTINCT a.doc_id, cb.corpus_doc
+         |  FROM arr_bands a JOIN cb USING (band_id, band_key)),
+         |scr AS (SELECT cand.doc_id, cand.corpus_doc,
+         |    CAST(greatest(0, 2 * CAST(64 - bit_count(xor(aw.w, cw.w)) AS BIGINT) - 64)
+         |      * 1000000 // 64 AS BIGINT) >= $BbitScreenPpm AS pass
+         |  FROM cand JOIN apk aw ON cand.doc_id = aw.doc_id
+         |  JOIN cpk cw ON cand.corpus_doc = cw.doc_id),
+         |ver AS (SELECT scr.doc_id, scr.corpus_doc, scr.pass,
+         |    CASE WHEN scr.pass THEN
+         |      CAST(floor(1000000.0
+         |        * CAST(len(list_intersect(sa.s, cs.s)) AS DOUBLE)
+         |        / CAST(len(sa.s) + len(cs.s)
+         |            - len(list_intersect(sa.s, cs.s)) AS DOUBLE)) AS BIGINT)
+         |    END AS jfp
+         |  FROM scr JOIN arr_sets sa ON scr.doc_id = sa.doc_id
+         |  JOIN cs ON scr.corpus_doc = cs.corpus_doc),
+         |a1 AS (SELECT doc_id,
+         |    CAST(count(DISTINCT corpus_doc) AS BIGINT) AS n_candidates,
+         |    CAST(count(DISTINCT CASE WHEN pass
+         |      THEN corpus_doc END) AS BIGINT) AS n_screened,
+         |    CAST(count(DISTINCT CASE WHEN jfp >= $AdmitMinJaccardFp
+         |      THEN corpus_doc END) AS BIGINT) AS n_near_dups,
+         |    max(jfp) AS best_jaccard_fp FROM ver GROUP BY 1),
+         |a2 AS (SELECT a1.doc_id, min(ver.corpus_doc) AS best_match
+         |  FROM a1 JOIN ver ON a1.doc_id = ver.doc_id
+         |    AND ver.jfp = a1.best_jaccard_fp GROUP BY 1)
+         |SELECT arr.doc_id,
+         |  CAST(coalesce(a1.n_candidates, 0) AS BIGINT) AS n_candidates,
+         |  CAST(coalesce(a1.n_screened, 0) AS BIGINT) AS n_screened,
+         |  CAST(coalesce(a1.n_near_dups, 0) AS BIGINT) AS n_near_dups,
+         |  a2.best_match, a1.best_jaccard_fp,
+         |  CASE WHEN coalesce(a1.n_near_dups, 0) > 0 THEN 'near_dup'
+         |    ELSE 'unique' END AS status
+         |FROM arr LEFT JOIN a1 USING (doc_id) LEFT JOIN a2 USING (doc_id)"""
+        .stripMargin,
     // the shared bands CTE sliced into corpus/batch sides, candidate
     // counts per arrival, clean arrivals at zero
     "q194_incremental_neardup" ->
