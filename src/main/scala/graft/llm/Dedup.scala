@@ -17,32 +17,62 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Whitespace-collapse + lowercase + trim — the normalization used
-    * before fingerprinting so trivially-reformatted copies collide. */
+  /** Whitespace-collapse + lowercase + trim — the ASCII-level half of
+    * the dedup normalization. Still the SNM BLOCKING key
+    * ([[snmPairs]] — a candidate generator, where a rare non-NFC
+    * spelling costs at most a missed candidate, priced by the q174
+    * recall card), but NOT the dedup key: [[fingerprint]] composes
+    * NFC in front, because a key decides deletions and must not
+    * double-ingest an NFD re-crawl of an NFC corpus. */
   def normalizeText(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
-  /** 128-bit content fingerprint of the normalized text. */
-  def fingerprint(text: Column): Column = md5(normalizeText(text).cast("binary"))
+  /** `normalize_unicode(text, form)` — resolves against the
+    * [[graft.GraftExtensions]]-injected native expression, present in
+    * EVERY session built through `graft.Sessions.builder` (no
+    * per-session registration call needed), so the NFC default below
+    * works wherever the engine runs. */
+  private def normalizeUnicode(text: Column, form: String): Column =
+    call_function("normalize_unicode", text, lit(form))
 
   /** [[normalizeText]] with Unicode NFC composition in front — the
     * dedup key that catches "café" (composed U+00E9) vs "café"
     * (e + combining U+0301) the way [[normalizeUrl]] catches URL
     * variants: canonically-equivalent spellings fingerprint
     * identically. Row-local and codegen'd
-    * ([[graft.llm.expressions.NormalizeUnicodeExpr]]); the DuckDB
-    * oracle replays it as `lower(nfc_normalize(..))`. NFC (not NFKC)
-    * here: canonical equivalence is safe to collapse for dedup KEYS
-    * cross-engine; compatibility folding (full-width → ASCII) is the
-    * NFKC form of the same expression, spec-certified because DuckDB
-    * ships no NFKC. */
+    * ([[graft.llm.expressions.NormalizeUnicodeExpr]], `isNormalized`
+    * ASCII fast path); the DuckDB oracle replays it as
+    * `lower(nfc_normalize(..))`. NFC (not NFKC) here: canonical
+    * equivalence is safe to collapse for dedup KEYS cross-engine;
+    * compatibility folding (full-width → ASCII) is the NFKC form of
+    * the same expression, spec-certified because DuckDB ships no
+    * NFKC. */
   def normalizeTextUnicode(text: Column): Column =
-    trim(regexp_replace(lower(
-      call_function("normalize_unicode", text, lit("NFC"))), "\\s+", " "))
+    trim(regexp_replace(lower(normalizeUnicode(text, "NFC")), "\\s+", " "))
 
-  /** 128-bit content fingerprint of the Unicode-normalized text. */
-  def unicodeFingerprint(text: Column): Column =
+  /** 128-bit content fingerprint of the normalized text. NFC
+    * normalization is the DEFAULT (round-16 decision, closing r15 ask
+    * #7): every dedup-key call site — q16/q70/q73/q175/q178, the
+    * shipped fingerprint index, the streaming ingest twins — keys on
+    * the NFC form, so an NFD re-crawl of an NFC corpus dedups instead
+    * of double-ingesting. On ASCII text the fast path makes this
+    * byte-identical to (and no slower than) the historical
+    * lower+trim key; every oracle replays the NFC spelling
+    * verbatim. */
+  def fingerprint(text: Column): Column =
     md5(normalizeTextUnicode(text).cast("binary"))
+
+  /** Alias of [[fingerprint]] — kept so call sites written against
+    * the explicit-Unicode name (q274) read unambiguously; since the
+    * NFC default landed the two are the SAME key. */
+  def unicodeFingerprint(text: Column): Column = fingerprint(text)
+
+  /** The PRE-NFC dedup key (lower + whitespace-collapse only) — kept
+    * SOLELY as q274's contrast arm, which proves why the NFC default
+    * matters by showing this key split canonically-equivalent
+    * variants. No dedup path keys on it. */
+  def legacyAsciiFingerprint(text: Column): Column =
+    md5(normalizeText(text).cast("binary"))
 
   /** [[fingerprint]] with null text treated as empty content — the ONE
     * spelling of the null contract every incremental/dedup entry point

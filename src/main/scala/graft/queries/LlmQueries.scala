@@ -1187,7 +1187,7 @@ object LlmQueries {
   // output is byte-identical to q70 by construction and shares its
   // oracle.
   def q175IncrementalLoaded(s: SparkSession, dir: String): DataFrame = {
-    val root = graft.llm.Artifacts.ensure(dir, "fp-index-v1") { p =>
+    val root = graft.llm.Artifacts.ensure(dir, "fp-index-v2") { p =>
       graft.llm.Artifacts.saveFingerprintIndex(p + "/index",
         graft.Tables.documents(s, dir)
           .filter(pmod(col("doc_id"), lit(10)) =!= 0)
@@ -2797,7 +2797,7 @@ object LlmQueries {
       .unionByName(slice(" cafe\u0301 menu"))
       .unionByName(slice(" CAF\u00c9 MENU"))
     arr.select(col("orig_doc"),
-        graft.llm.Dedup.fingerprint(col("text")).as("raw_fp"),
+        graft.llm.Dedup.legacyAsciiFingerprint(col("text")).as("raw_fp"),
         graft.llm.Dedup.unicodeFingerprint(col("text")).as("norm_fp"))
       .groupBy(col("orig_doc"))
       .agg(count(lit(1)).cast("bigint").as("n_variants"),
@@ -2926,7 +2926,7 @@ object LlmQueries {
   def q271StoreAudit(s: SparkSession, dir: String): DataFrame = {
     graft.llm.Fingerprint.register(s) // the native cdc_cuts expression
     val docs = graft.Tables.documents(s, dir)
-    val fpRoot = graft.llm.Artifacts.ensure(dir, "fp-index-v1") { p =>
+    val fpRoot = graft.llm.Artifacts.ensure(dir, "fp-index-v2") { p =>
       graft.llm.Artifacts.saveFingerprintIndex(p + "/index",
         docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
           .select(col("doc_id"), Dedup.fingerprintOrEmpty(col("text")).as("fp")))
@@ -3896,7 +3896,7 @@ object LlmQueries {
     * loaded-index replay must stay byte-identical to q70. */
   private def q70Sql: String =
     """WITH nf AS (SELECT doc_id,
-      |    md5(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))) AS fp
+      |    md5(trim(regexp_replace(lower(nfc_normalize(coalesce(text, ''))), '\s+', ' ', 'g'))) AS fp
       |  FROM documents),
       |c AS (SELECT DISTINCT fp FROM nf WHERE doc_id % 10 != 0),
       |b0 AS (SELECT doc_id, fp FROM nf WHERE doc_id % 10 = 0
@@ -4316,7 +4316,7 @@ object LlmQueries {
        |      CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
        |      / CAST(length(text) AS DOUBLE)) AS BIGINT) END AS digit_fp,
        |  $qualityFpSql AS quality_fp,
-       |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+       |  md5(trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))) AS fp
        | FROM t),
        |rr AS (SELECT doc_id, lang, n_tok, mean_fp, stop_fp, digit_fp, quality_fp, fp,
        |  CASE WHEN len(g3) = 0 THEN 0
@@ -4577,7 +4577,7 @@ object LlmQueries {
          |      u.unique_tokens), 0) AS HUGEINT) * $v""".stripMargin
     }.mkString("\n    + ")
     s"""WITH d AS (SELECT doc_id, source,
-       |    md5(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))) AS fp,
+       |    md5(trim(regexp_replace(lower(nfc_normalize(coalesce(text, ''))), '\\s+', ' ', 'g'))) AS fp,
        |    CAST(len($toksSql) AS BIGINT) AS n_tok
        |  FROM documents),
        |r AS (SELECT source, n_tok,
@@ -4975,9 +4975,9 @@ object LlmQueries {
         |WHERE rn = 1""".stripMargin,
     "q17_dedup_norm" ->
       """SELECT doc_id, fp FROM (
-        |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |  SELECT doc_id, md5(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))) AS fp,
         |    row_number() OVER (
-        |      PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |      PARTITION BY md5(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')))
         |      ORDER BY doc_id) AS rn
         |  FROM documents) t
         |WHERE rn = 1""".stripMargin,
@@ -5316,7 +5316,7 @@ object LlmQueries {
            |      ELSE 'test' END AS split FROM d) y
            |  GROUP BY fp) z""".stripMargin
       s"""WITH d AS (SELECT doc_id,
-         |    md5(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))) AS fp
+         |    md5(trim(regexp_replace(lower(nfc_normalize(coalesce(text, ''))), '\\s+', ' ', 'g'))) AS fp
          |  FROM documents)
          |${schemeSql("CAST(doc_id AS VARCHAR)", "by_doc_id")}
          |UNION ALL
@@ -5326,7 +5326,7 @@ object LlmQueries {
     // savings arithmetic (HUGEINT numerator)
     "q184_dedup_savings" ->
       s"""WITH d AS (SELECT doc_id, source,
-         |    md5(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))) AS fp,
+         |    md5(trim(regexp_replace(lower(nfc_normalize(coalesce(text, ''))), '\\s+', ' ', 'g'))) AS fp,
          |    CAST(len($toksSql) AS BIGINT) AS n_tok
          |  FROM documents),
          |r AS (SELECT source, n_tok,
@@ -5856,7 +5856,7 @@ object LlmQueries {
     "q271_store_audit" ->
       s"""WITH $cdcCkCtes,
          |fpb AS (SELECT doc_id,
-         |    md5(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))) AS fp
+         |    md5(trim(regexp_replace(lower(nfc_normalize(coalesce(text, ''))), '\\s+', ' ', 'g'))) AS fp
          |  FROM documents WHERE doc_id % 10 != 0),
          |fph AS (SELECT ('0x' || substr(md5(concat_ws(chr(1),
          |    CAST(doc_id AS VARCHAR), fp)), 1, 8))::BIGINT AS h FROM fpb),
@@ -6569,7 +6569,7 @@ object LlmQueries {
     "q230_compute_optimal" -> {
       val values = ModelSizesM.map(m => s"($m)").mkString(", ")
       s"""WITH d AS (SELECT doc_id,
-         |    md5(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))) AS fp,
+         |    md5(trim(regexp_replace(lower(nfc_normalize(coalesce(text, ''))), '\\s+', ' ', 'g'))) AS fp,
          |    CAST(len($toksSql) AS BIGINT) AS n_tok
          |  FROM documents),
          |r AS (SELECT n_tok,
@@ -6965,7 +6965,7 @@ object LlmQueries {
          |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
          |  FROM (
          |    SELECT doc_id, lang,
-         |      md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         |      md5(trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))) AS fp
          |    FROM (SELECT doc_id, lang, text, $toksSql AS toks FROM documents) x
          |    WHERE ($qualityFpSql) >= 600000) scored) survivors
          |WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin,
