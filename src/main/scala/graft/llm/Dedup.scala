@@ -439,7 +439,21 @@ object Dedup {
     * `ccDelta(cc(old), new) == cc(old ∪ new)` exactly — min labels
     * re-derive correctly even when one new doc BRIDGES several old
     * clusters, because the merged component sees every member through
-    * its star. */
+    * its star.
+    *
+    * Relabel-volume bound (pinned by CcDeltaAdversarialSpec): a fold
+    * RELABELS at most the members of the touched clusters that do not
+    * already carry the merged component's minimum, plus the arrivals —
+    * when one arrival bridges the two largest clusters, exactly the
+    * larger-minimum cluster's membership plus the arrival changes
+    * label, and every untouched cluster's rows pass through
+    * byte-identical (the anti-join branch, no recompute). The
+    * propagation frame itself is touched-members + arrivals rows —
+    * never corpus history — and converges in ~(2 + new-bridge
+    * diameter) rounds because stars collapse old clusters to depth
+    * one; a chain arriving one edge per epoch therefore costs O(1)
+    * rounds per fold, not O(chain length) (the composition-at-depth
+    * case, also pinned). */
   def ccDelta(existing: DataFrame, newDocs: DataFrame,
       newEdges: DataFrame, maxIter: Int = 40): DataFrame = {
     val endpoints = newEdges.select(col("doc_a").as("doc_id"))
