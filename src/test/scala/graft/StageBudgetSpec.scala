@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageSubmitted}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stage-count budgets for the iterative/multi-stage query class
+  * (r15 ask #6): the driver-box vs builder-box bench spread
+  * concentrates in queries whose cost is SCHEDULING (many small jobs/
+  * stages), so a silent plan change that adds rounds or breaks a
+  * broadcast shows up as wall-clock noise instead of a diff. Pinning
+  * each query's job/stage counts turns scheduler-overhead drift into
+  * a test failure with a number attached.
+  *
+  * Budgets are measured at sf0.001 with ~30% headroom — they are
+  * UPPER bounds on scheduling volume, not exact pins (AQE may merge a
+  * stage), so a pass after legitimate optimization is expected and a
+  * breach means rounds/exchanges grew. Caches and the training memo
+  * are dropped before each query so every run prices the full
+  * pipeline.
+  */
+class StageBudgetSpec extends AnyFunSuite with SparkTestSession {
+
+  private val Dir = "/root/testdata/sf0.001"
+
+  /** (jobs, stages) submitted while `body` runs. */
+  private def counted(body: => Unit): (Int, Int) = {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val l = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+      override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
+        stages.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      // the listener bus is async; wait until the counters go quiet
+      var last = (-1, -1)
+      var same = 0
+      while (same < 3) {
+        Thread.sleep(100)
+        val now = (jobs.get(), stages.get())
+        if (now == last) same += 1 else { same = 0; last = now }
+      }
+      last
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  /** Budgets: (maxJobs, maxStages). */
+  private val budgets = Seq(
+    "q134_assoc_rules" -> (8, 16),
+    "q87_pagerank" -> (12, 40),
+    "q100_triangles" -> (8, 24),
+    "q170_hits" -> (30, 90),
+    "q172_seeded_pagerank" -> (16, 52),
+    "q283_bootstrap_ci" -> (6, 12))
+
+  budgets.foreach { case (name, (maxJobs, maxStages)) =>
+    test(s"$name stays inside its scheduling budget " +
+        s"(jobs <= $maxJobs, stages <= $maxStages)") {
+      graft.llm.Caches.unpersistAll(blocking = true)
+      val (jobs, stages) = counted {
+        SparkEntry.queries(name)(spark, Dir).queryExecution.toRdd.count(): Unit
+      }
+      info(s"$name: jobs=$jobs stages=$stages")
+      assert(jobs <= maxJobs,
+        s"$name submitted $jobs jobs (budget $maxJobs) — an iteration " +
+          "or driver action crept into the plan")
+      assert(stages <= maxStages,
+        s"$name submitted $stages stages (budget $maxStages) — an " +
+          "exchange or lost broadcast crept into the plan")
+    }
+  }
+}
