@@ -47,14 +47,17 @@ class StageBudgetSpec extends AnyFunSuite with SparkTestSession {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
-  /** Budgets: (maxJobs, maxStages). */
+  /** Budgets: (maxJobs, maxStages). Measured at sf0.001 (stable
+    * across runs; AQE submits each shuffle stage as its own job, so
+    * jobs ≈ stages here): q134=15, q87=27, q100=24, q170=46,
+    * q172=34, q283=3 — budgets carry ~30% headroom. */
   private val budgets = Seq(
-    "q134_assoc_rules" -> (8, 16),
-    "q87_pagerank" -> (12, 40),
-    "q100_triangles" -> (8, 24),
-    "q170_hits" -> (30, 90),
-    "q172_seeded_pagerank" -> (16, 52),
-    "q283_bootstrap_ci" -> (6, 12))
+    "q134_assoc_rules" -> (20, 20),
+    "q87_pagerank" -> (36, 36),
+    "q100_triangles" -> (32, 32),
+    "q170_hits" -> (60, 60),
+    "q172_seeded_pagerank" -> (45, 45),
+    "q283_bootstrap_ci" -> (5, 6))
 
   budgets.foreach { case (name, (maxJobs, maxStages)) =>
     test(s"$name stays inside its scheduling budget " +
