@@ -666,6 +666,24 @@ object Streams {
     graft.llm.Drift.chiSquarePivot(stream, baseline, groupCol, cellCol,
       cells)
 
+  /** Streaming 1-bit-screened fuzzy admission — q298's hot-storage
+    * gate at ingest: each arriving document bands itself row-locally,
+    * probes the LOADED band index, Hamming-screens every candidate
+    * against the 64×-smaller packed-word frame, and touches the COLD
+    * shingle-set artifact only for screen survivors. This IS
+    * [[graft.llm.MinHashLSH.fuzzyAdmissionBbit]] — streaming-safe by
+    * the [[fuzzyIngest]] construction (posexplode_outer + left joins
+    * keep candidate-less arrivals; one duplicate-invariant
+    * aggregate), so stream and batch verdicts cannot drift (pinned in
+    * StreamingSpec). Run with update/complete output mode. */
+  def fuzzyIngestBbit(stream: DataFrame, idCol: String, textCol: String,
+      corpusBands: DataFrame, corpusWords: DataFrame,
+      corpusSets: DataFrame, shingleN: Int, numHashes: Int,
+      screenMinPpm: Long, minJaccardFp: Long): DataFrame =
+    graft.llm.MinHashLSH.fuzzyAdmissionBbit(stream, idCol, textCol,
+      corpusBands, corpusWords, corpusSets, shingleN, numHashes, 1,
+      screenMinPpm, minJaccardFp)
+
   /** Streaming erasure-tombstone meter — the deletion queue's view of
     * [[graft.llm.MinHashLSH.indexErase]]: each arriving
     * right-to-be-forgotten id probes the LOADED signature index

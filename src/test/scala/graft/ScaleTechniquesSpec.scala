@@ -313,6 +313,55 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkTestSession {
       "no window anywhere in the selection path")
   }
 
+  test("round-16 operators: no cartesian; the erase/bbit folds read " +
+      "shipped artifacts, never re-tokenized corpus") {
+    // q294 (index erase), q295 (family erases), q296/q297 (ANN
+    // maintenance), q298 (bbit gate) — none may degenerate to a
+    // cartesian (q278's truth arm stays the board's one deliberate
+    // cross join, exempt by name as before)
+    Seq("q294_index_erase", "q295_erase_apply", "q296_ivf_delta",
+        "q297_graph_delta", "q298_bbit_admission").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$q plan degenerated to a cartesian:\n${plan.take(1200)}")
+    }
+    // q294: the erase FOLD's corpus state is the shipped artifact —
+    // every documents scan in the card is slice-filtered (the erase
+    // ids and the rebuild TRUTH arm); zero unfiltered corpus reads,
+    // and the fold consumes all three shipped frames (bands for the
+    // survivors, counts for the cap arbitration, sets for the erase
+    // re-band + resurrection)
+    val q294 = SparkEntry.queries("q294_index_erase")(
+      spark, "/root/testdata/sf0.001")
+    val scans294 = graft.PlanNodes.all(q294.queryExecution.executedPlan)
+      .filter(_.nodeName.contains("Scan")).map(_.toString).distinct
+    val doc294 = scans294.filter(_.contains("documents.parquet"))
+    assert(doc294.nonEmpty && doc294.forall(_.contains("pmod(doc_id")),
+      s"q294 must never scan the corpus unfiltered — the fold's corpus " +
+        s"state is the shipped artifact:\n${doc294.mkString("\n").take(800)}")
+    // 4 scan NODES over the 3 shipped frames: sets is consumed by two
+    // branches (the erase-side semi-join and the survivor anti-join),
+    // whose differing pushed filters make two distinct scan nodes
+    val art294 = scans294.count(s =>
+      s.contains("Scan parquet") && !s.contains("documents.parquet"))
+    assert(art294 == 4,
+      s"q294's fold must read exactly the bands+counts+sets artifacts " +
+        s"(sets twice), found $art294 non-documents scans")
+    // q298: the q272 discipline with the packed words added — the
+    // corpus side reads exactly the three shipped frames, documents
+    // scans exist only for the three arrival slices
+    val q298 = SparkEntry.queries("q298_bbit_admission")(
+      spark, "/root/testdata/sf0.001")
+    val scans298 = graft.PlanNodes.all(q298.queryExecution.executedPlan)
+      .filter(_.nodeName.contains("Scan")).map(_.toString)
+    assert(scans298.count(_.contains("documents.parquet")) == 3,
+      "q298 must scan documents only for the 3 arrival slices")
+    assert(scans298.count(s =>
+        s.contains("Scan parquet") && !s.contains("documents.parquet")) == 3,
+      "q298's corpus side must read exactly bands+words+sets")
+  }
+
   test("q265's windows all run over pre-aggregated frames, never corpus rows") {
     // the exact-percentile arm must use the Robust.cutoffsFp spelling:
     // groupBy(value).count FIRST, then one cumulative window over the

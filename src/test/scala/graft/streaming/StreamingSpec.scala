@@ -1076,6 +1076,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("fuzzyIngestBbit: streamed screened admission equals the batch " +
+      "gate; the screen passes true near-dups and fresh docs pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "spark engines shuffle partitions across executors for wide joins"),
+      (3L, "tiny doc")).toDF("doc_id", "text")
+    val sets = graft.llm.MinHashLSH.shingleSets(corpus, "doc_id", "text", 3)
+    val bands = graft.llm.MinHashLSH.bandIndexFromSets(sets, 8, 1)
+    val words = graft.llm.MinHashLSH.packedWords(sets)
+    val arrivals = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (11L, "spark engines shuffle partitions across executors for wide joins"),
+      (12L, "completely unrelated sentence about marine biology and corals"),
+      (13L, ""))
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.fuzzyIngestBbit(in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", bands, words, sets, shingleN = 3, numHashes = 8,
+        screenMinPpm = 250000L, minJaccardFp = 500000L)
+      .writeStream.format("memory").queryName("fuzzybb_out")
+      .outputMode("complete").start()
+    try {
+      in.addData(arrivals: _*)
+      q.processAllAvailable()
+      def shape(df: org.apache.spark.sql.DataFrame) = df
+        .collect().map(_.toSeq).toSeq.sortBy(_.head.asInstanceOf[Long])
+      val got = shape(spark.table("fuzzybb_out"))
+      val batch = shape(graft.llm.MinHashLSH.fuzzyAdmissionBbit(
+        arrivals.toDF("doc_id", "text"), "doc_id", "text",
+        bands, words, sets, 3, 8, 1, 250000L, 500000L))
+      assert(got === batch, "stream must equal the batch gate exactly")
+      val byId = got.map(r => r.head -> r).toMap
+      assert(byId(10L)(6) === "near_dup", "edited copy must survive the screen")
+      assert(byId(11L)(5) === 1000000L, "exact copy verifies at Jaccard 1")
+      assert(byId(12L)(6) === "unique", "fresh doc must pass")
+      assert(byId(13L).size === 7, "empty-text arrival still gets a row")
+    } finally q.stop()
+  }
+
   test("tombstoneIngest: streamed erase impact equals the batch meter; " +
       "resurrections and unknown ids read correctly") {
     import spark.implicits._
