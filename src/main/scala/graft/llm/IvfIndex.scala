@@ -265,6 +265,99 @@ object IvfIndex {
       centroids: Array[Array[Long]], nAssign: Int = 1): DataFrame =
     assigned.unionByName(multiAssignments(arrivals, centroids, nAssign))
 
+  /** Erasure-APPLY on the shipped inverted lists — the
+    * [[Dedup.fingerprintIndexErase]] shape: the lists are
+    * row-per-(contributor, cell), so the erase is a pure id
+    * anti-join; fold ≡ rebuild-without trivially. */
+  def ivfErase(assigned: DataFrame, eraseIds: DataFrame): DataFrame =
+    assigned.join(eraseIds.select(col("vec_id")), Seq("vec_id"),
+      "left_anti")
+
+  /** Erasure-APPLY on the shipped kNN graph — [[graphDelta]]
+    * inverted, the q294 discipline for the ANN family: fold a
+    * tombstone set OUT of the loaded graph so a right-to-be-forgotten
+    * batch costs work bounded by the erased vectors' NEIGHBORHOODS
+    * instead of a graph rebuild.
+    *
+    * How: the erased vectors' cells come from the LOADED lists (no
+    * re-quantization); every truncation-surviving member of a touched
+    * cell is AFFECTED and re-ranks its full edge list from scratch
+    * over the surviving compared membership of its own cells — which
+    * covers both erased-edge removal and the rank-RESURRECTION case
+    * (removing an erased row promotes later members into the cap, so
+    * a previously-truncated vector can enter comparison; it lands in
+    * the affected set by construction). Untouched sources pass
+    * through byte-identical — an edge can only point at a cell
+    * co-member, so no untouched source can hold an erased edge.
+    *
+    * Exactness (pinned on-corpus by q299 and on planted
+    * cap-resurrection cases by IvfSpec): fold ≡
+    * [[knnGraphWithCodebook]] rebuilt over the surviving corpus with
+    * the same codebook/k/cap/nAssign. No monotone-id precondition
+    * (unlike [[graphDelta]]): erasing only PROMOTES survivor ranks,
+    * so the old compared set of every touched cell is a subset of
+    * the new one and the affected-src recompute sees exactly the
+    * rebuild's membership. The codebook never retrains on an erase —
+    * same posture as [[ivfDelta]].
+    *
+    * 100 TB shape: one id anti-join over the lists, one cell-keyed
+    * equi-join bounded by touched cells × cap for the recompute
+    * pairs, exact dots only for affected pairs, and a window over
+    * the affected pool — never a corpus-wide pair expansion. */
+  def graphErase(vectors: DataFrame, eraseIds: DataFrame,
+      assigned: DataFrame, edges: DataFrame, k: Int,
+      maxCellSize: Int = 0): DataFrame = {
+    require(k > 0, "k must be positive")
+    LlmFunctions.registerDotFp(vectors.sparkSession)
+    val ids = eraseIds.select(col("vec_id"))
+    val touchedCells = assigned.join(ids, Seq("vec_id"), "left_semi")
+      .select(col("cell")).distinct()
+    val survivors = ivfErase(assigned, ids)
+    val comparedNew =
+      if (maxCellSize > 0) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cell")).orderBy(col("vec_id"))
+        survivors.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= maxCellSize).drop("__rn")
+      } else survivors
+    val affected = comparedNew
+      .join(touchedCells, Seq("cell"), "left_semi")
+      .select(col("vec_id")).distinct()
+    // an affected source re-ranks over ALL its cells' surviving
+    // compared members (untouched cells contribute their unchanged
+    // candidate sets — the source's top-k pools across cells)
+    val uCells = comparedNew.join(affected, Seq("vec_id"), "left_semi")
+    val cand = uCells.select(col("cell"), col("vec_id").as("src"))
+      .join(comparedNew.select(col("cell"), col("vec_id").as("dst")),
+        "cell")
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+      .distinct()
+    val emb = vectors.select(col("vec_id"), col("embedding"))
+    val scored = cand
+      .join(emb.select(col("vec_id").as("src"),
+        col("embedding").as("ae")), "src")
+      .join(emb.select(col("vec_id").as("dst"),
+        col("embedding").as("be")), "dst")
+      .select(col("src"), col("dst"),
+        Similarity.dotFpNative("ae", "be").as("dot_fp"))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dot_fp").desc, col("dst"))
+    val rebuiltAffected = scored.withColumn("__rn", row_number().over(wk))
+      .filter(col("__rn") <= k)
+      .select(col("src"), col("dst"), col("dot_fp"))
+    // pass-through excludes BOTH the re-ranked affected sources and
+    // the erased sources' own lists (an erased vector is usually in a
+    // touched cell's membership but never in `affected` — survivors
+    // only — so it needs its own anti-join)
+    edges
+      .join(affected.select(col("vec_id").as("src")), Seq("src"),
+        "left_anti")
+      .join(ids.select(col("vec_id").as("src")), Seq("src"), "left_anti")
+      .select(col("src"), col("dst"), col("dot_fp"))
+      .unionByName(rebuiltAffected)
+  }
+
   /** Incremental maintenance of the shipped kNN graph — the fold that
     * lets a new vector become a GRAPH NEIGHBOR without rebuilding
     * q276's artifact: arrivals multi-assign scan-locally, candidate

@@ -1147,21 +1147,60 @@ object SimilarityQueries {
       MutualK, SemDedupCellCap, 2)
     val rebuilt = graft.llm.IvfIndex.knnGraphWithCodebook(emb, cb,
       MutualK, SemDedupCellCap, 2)
-    def perSrc(df: DataFrame, pfx: String) = df
-      .select(col("src"), graft.llm.Sketches.integrityHash(
-        Seq(col("dst").cast("string"), col("dot_fp").cast("string")))
-        .as("h"))
-      .groupBy(col("src"))
-      .agg(count(lit(1)).cast("bigint").as(s"n_$pfx"),
-        expr("cast(sum(cast(h as decimal(38,0))) % " +
-          s"${graft.llm.Sketches.ChecksumMod}L as bigint)").as(s"ck_$pfx"))
-    perSrc(rebuilt, "rebuild")
-      .join(perSrc(folded, "delta"), Seq("src"), "full_outer")
+    edgesPerSrc(rebuilt, "rebuild")
+      .join(edgesPerSrc(folded, "delta"), Seq("src"), "full_outer")
       .select(col("src"), col("n_rebuild"), col("ck_rebuild"),
         col("n_delta"), col("ck_delta"),
         (col("n_rebuild").isNotNull && col("n_delta").isNotNull &&
           col("n_rebuild") === col("n_delta") &&
           col("ck_rebuild") === col("ck_delta")).as("agree"))
+  }
+
+  /** Per-src (edge count, commutative checksum over (dst, dot)) — the
+    * fold ≡ rebuild spine shared by q297 (append) and q299 (erase). */
+  private def edgesPerSrc(df: DataFrame, pfx: String): DataFrame = df
+    .select(col("src"), graft.llm.Sketches.integrityHash(
+      Seq(col("dst").cast("string"), col("dot_fp").cast("string")))
+      .as("h"))
+    .groupBy(col("src"))
+    .agg(count(lit(1)).cast("bigint").as(s"n_$pfx"),
+      expr("cast(sum(cast(h as decimal(38,0))) % " +
+        s"${graft.llm.Sketches.ChecksumMod}L as bigint)").as(s"ck_$pfx"))
+
+  // ---- q299: kNN-graph erasure-APPLY (fold == rebuild-without) ----
+  // The erase that completes the ANN lifecycle (q296/q297 gave the
+  // artifacts their append fold; q294 gave the signature index its
+  // erase): [[graft.llm.IvfIndex.graphErase]] folds a tombstone set
+  // OUT of the loaded graph — the erased vectors' cells come from the
+  // LOADED lists (no re-quantization), every truncation-surviving
+  // member of a touched cell re-ranks its edge list over the
+  // surviving compared membership (which absorbs the
+  // cap-RESURRECTION case: erasing a row promotes later members into
+  // comparison), untouched sources pass through byte-identical. The
+  // card pins fold ≡ rebuild-without per src (count + checksum);
+  // the oracle retrains the identical codebook and replays the
+  // rebuild over the surviving slice, agree pinned true.
+  private val EraseVecMod = 7
+  def q299GraphErase(s: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+    val cb = graft.llm.IvfIndex.fitFixedPoint(emb, IvfLists, IvfIter)
+    val assigned = graft.llm.IvfIndex.multiAssignments(emb, cb, 2)
+    val edges = graft.llm.IvfIndex.knnGraphWithCodebook(emb, cb,
+      MutualK, SemDedupCellCap, 2)
+    val ids = emb.filter(pmod(col("vec_id"), lit(EraseVecMod)) === 0)
+      .select(col("vec_id"))
+    val folded = graft.llm.IvfIndex.graphErase(emb, ids, assigned,
+      edges, MutualK, SemDedupCellCap)
+    val rebuilt = graft.llm.IvfIndex.knnGraphWithCodebook(
+      emb.filter(pmod(col("vec_id"), lit(EraseVecMod)) =!= 0), cb,
+      MutualK, SemDedupCellCap, 2)
+    edgesPerSrc(rebuilt, "rebuild")
+      .join(edgesPerSrc(folded, "erase"), Seq("src"), "full_outer")
+      .select(col("src"), col("n_rebuild"), col("ck_rebuild"),
+        col("n_erase"), col("ck_erase"),
+        (col("n_rebuild").isNotNull && col("n_erase").isNotNull &&
+          col("n_rebuild") === col("n_erase") &&
+          col("ck_rebuild") === col("ck_erase")).as("agree"))
   }
 
   // ---- q217: per-source split drift (train vs test centroids) ----
@@ -1903,6 +1942,7 @@ object SimilarityQueries {
     "q294_index_erase" -> q294IndexErase _,
     "q296_ivf_delta" -> q296IvfDelta _,
     "q297_graph_delta" -> q297GraphDelta _,
+    "q299_graph_erase" -> q299GraphErase _,
     "q284_label_transfer" -> q284LabelTransfer _,
     "q197_semantic_leakage" -> q197SemanticLeakage _,
     "q198_label_agreement" -> q198LabelAgreement _,
@@ -2447,16 +2487,19 @@ object SimilarityQueries {
        |  true AS agree
        |FROM af2 GROUP BY vec_id""".stripMargin
 
-  /** q297: the q276 edge CTEs (same codebook, cap, nAssign, k) with
-    * the dots KEPT, rolled to per-src count + commutative checksum;
-    * the delta columns duplicate the rebuild's with agree pinned. */
-  private def q297Sql: String =
+  /** q297/q299: the q276 edge CTEs (same codebook, cap, nAssign, k)
+    * with the dots KEPT, rolled to per-src count + commutative
+    * checksum; the fold columns duplicate the rebuild's with agree
+    * pinned. `vecFilter` restricts the ASSIGNED vectors (q299's
+    * surviving slice) — the codebook always trains on the full
+    * corpus, matching the never-retrain-on-maintenance posture. */
+  private def graphPerSrcSql(vecFilter: String, foldPfx: String): String =
     s"""WITH $kmPrefixSql,
        |af2 AS (SELECT vec_id, cell FROM (
        |  SELECT v.vec_id, c.cell,
        |    row_number() OVER (PARTITION BY v.vec_id
        |      ORDER BY ${kmSq("v", "c")}, c.cell) AS rn
-       |  FROM e v CROSS JOIN c$IvfIter c) t WHERE rn <= 2),
+       |  FROM e v CROSS JOIN c$IvfIter c $vecFilter) t WHERE rn <= 2),
        |cmp AS (SELECT vec_id, cell FROM (
        |  SELECT vec_id, cell,
        |    row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn FROM af2) t
@@ -2478,10 +2521,10 @@ object SimilarityQueries {
        |  CAST(sum(('0x' || substr(md5(concat_ws(chr(1),
        |    CAST(dst AS VARCHAR), CAST(dot_fp AS VARCHAR))), 1, 8))::BIGINT)
        |    % ${graft.llm.Sketches.ChecksumMod} AS BIGINT) AS ck_rebuild,
-       |  CAST(count(*) AS BIGINT) AS n_delta,
+       |  CAST(count(*) AS BIGINT) AS n_$foldPfx,
        |  CAST(sum(('0x' || substr(md5(concat_ws(chr(1),
        |    CAST(dst AS VARCHAR), CAST(dot_fp AS VARCHAR))), 1, 8))::BIGINT)
-       |    % ${graft.llm.Sketches.ChecksumMod} AS BIGINT) AS ck_delta,
+       |    % ${graft.llm.Sketches.ChecksumMod} AS BIGINT) AS ck_$foldPfx,
        |  true AS agree
        |FROM ked GROUP BY src""".stripMargin
 
@@ -2957,7 +3000,9 @@ object SimilarityQueries {
     "q117_mutual_knn"   -> q117Sql,
     "q276_graph_expand" -> q276Sql,
     "q296_ivf_delta" -> q296Sql,
-    "q297_graph_delta" -> q297Sql,
+    "q297_graph_delta" -> graphPerSrcSql("", "delta"),
+    "q299_graph_erase" ->
+      graphPerSrcSql(s"WHERE v.vec_id % $EraseVecMod != 0", "erase"),
     // 64 LCG signatures off the shared bases, low bits packed into
     // one word (bit 63 = the explicit Long minimum, the q206
     // precedent), XOR+popcount per LSH candidate pair next to the

@@ -432,4 +432,46 @@ class IvfSpec extends AnyFunSuite with SparkTestSession {
         arr, cb, 2))
       === rows(IvfIndex.multiAssignments(clustered, cb, 2)))
   }
+  test("graphErase: fold == rebuild-without; cap resurrection admits the next member") {
+    import spark.implicits._
+    // one cell (nLists = 1), cap 3: compared = {0,1,2}; erasing 1
+    // must resurrect 3 into comparison, exactly like the rebuild
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.8f, 0.2f)), (3L, Array(0.7f, 0.3f)),
+      (4L, Array(0.6f, 0.4f)), (5L, Array(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val cb = IvfIndex.fitFixedPoint(vecs, 1, 1)
+    val assigned = IvfIndex.multiAssignments(vecs, cb, 1)
+    val edges = IvfIndex.knnGraphWithCodebook(vecs, cb, 2, 3, 1)
+    val erase = Seq(Tuple1(1L)).toDF("vec_id")
+    val folded = IvfIndex.graphErase(vecs, erase, assigned, edges, 2, 3)
+    val rebuilt = IvfIndex.knnGraphWithCodebook(
+      vecs.filter(col("vec_id") =!= 1L), cb, 2, 3, 1)
+    assert(edgeSet(folded) === edgeSet(rebuilt),
+      "erase fold must equal the rebuild over survivors")
+    val srcs = edgeSet(folded).map(_._1)
+    assert(srcs === Set(0L, 2L, 3L), "3 must resurrect; 4/5 stay capped out")
+    assert(!edgeSet(folded).exists(e => e._2 == 1L), "no edge may point at the erased id")
+  }
+
+  test("graphErase: untouched cells pass through byte-identical; erase folds compose with appends") {
+    import spark.implicits._
+    val (old, arr) = (clustered.filter(col("vec_id") < 90),
+      clustered.filter(col("vec_id") >= 90))
+    val cb = IvfIndex.fitFixedPoint(clustered, 4, 2)
+    val assigned = IvfIndex.multiAssignments(clustered, cb, 2)
+    val edges = IvfIndex.knnGraphWithCodebook(clustered, cb, 3, 0, 2)
+    // erase the arrivals back out: erase(delta(old)) == old graph
+    val folded = IvfIndex.graphErase(clustered,
+      arr.select(col("vec_id")), assigned, edges, 3, 0)
+    val rebuilt = IvfIndex.knnGraphWithCodebook(old, cb, 3, 0, 2)
+    assert(edgeSet(folded) === edgeSet(rebuilt),
+      "erasing the last append must land back on the old graph")
+    // ivfErase is the lists' anti-join twin
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(rows(IvfIndex.ivfErase(assigned, arr.select(col("vec_id"))))
+      === rows(IvfIndex.multiAssignments(old, cb, 2)))
+  }
 }
