@@ -255,6 +255,111 @@ object Dedup {
           .as("dup_fp"))
   }
 
+  /** The duplicated-gram blocklist `(g)` — every `gramN`-token word
+    * n-gram (60-bit `shingle_bases` hash) occurring at least `minOcc`
+    * times across the corpus, in-document repeats included (the
+    * boilerplate signature). This is the SHIPPABLE artifact
+    * [[stripSpans]] serves from ([[graft.llm.Artifacts
+    * .saveIndexFrame]]): built once over the corpus, loaded by every
+    * ingest batch. Docs shorter than `gramN` tokens contribute no
+    * grams (their whole-text shingle is not a span). One hash-keyed
+    * aggregate over 8-byte keys; text never shuffles. */
+  def dupGramIndex(docs: DataFrame, idCol: String, textCol: String,
+      gramN: Int, minOcc: Long = 2L): DataFrame = {
+    require(gramN > 0, "gramN must be positive")
+    require(minOcc >= 2L, "minOcc < 2 would blocklist every gram")
+    LlmFunctions.registerShingleBases(docs.sparkSession)
+    val q = graft.Names.quoted _
+    docs
+      .filter(size(graft.llm.TextAnalysis.tokens(col(q(textCol)))) >= gramN)
+      .select(explode(expr(s"shingle_bases(${q(textCol)}, $gramN)")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minOcc)
+      .select(col("g"))
+  }
+
+  /** Exact duplicated-SPAN removal (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499 —
+    * the suffix-array dedup re-expressed set-oriented): every token
+    * covered by a `gramN`-gram whose hash is in `dupGrams` is
+    * REMOVED from the document, and the survivors rejoin in order.
+    * [[dupSpanStats]] reports span duplication; this operator acts on
+    * it — the curation step that strips wholesale-copied boilerplate,
+    * licence blocks and navigation chrome without dropping the whole
+    * document.
+    *
+    * Output one row per input doc: `(doc_id, n_tok, n_removed,
+    * clean_text)` — `clean_text` is the WHITESPACE-NORMALIZED rejoin
+    * of surviving tokens (single spaces; the tokenizer's view, not
+    * original bytes). Docs shorter than `gramN` tokens pass through
+    * untouched; empty/null text reads (0, 0, "").
+    *
+    * ONE spelling, streaming-legal by construction — the token rows
+    * and the dup-gram start rows are two PROJECTIONS of the input
+    * unioned (no self-join), the blocklist membership is a
+    * stream-static semi-join, and everything reassembles in exactly
+    * ONE doc-keyed aggregate whose projection is row-local array
+    * arithmetic (covered = the union of [start, start+gramN) windows;
+    * survivors = tokens at uncovered offsets). So
+    * [[graft.streaming.Streams.spanStripIngest]] IS this function on
+    * a streaming frame (stream == batch pinned in StreamingSpec).
+    *
+    * 100 TB shape: the one shuffle keys (token + dup-start) rows by
+    * doc_id — the same corpus-token-order footprint any reassembly
+    * pays; gram hashing is scan-local; the per-doc projection is
+    * bounded by doc length (worst case len·cov membership tests —
+    * doc-local, never cross-doc). */
+  def stripSpans(docs: DataFrame, idCol: String, textCol: String,
+      gramN: Int, dupGrams: DataFrame): DataFrame = {
+    require(gramN > 0, "gramN must be positive")
+    LlmFunctions.registerShingleBases(docs.sparkSession)
+    val q = graft.Names.quoted _
+    val tokRows = docs
+      .select(col(q(idCol)).as("doc_id"),
+        posexplode_outer(graft.llm.TextAnalysis.tokens(col(q(textCol))))
+          .as(Seq("__i", "__tok")))
+      .select(col("doc_id"), lit(0).as("__kind"), col("__i"), col("__tok"))
+    val gramRows = docs
+      .select(col(q(idCol)).as("doc_id"), col(q(textCol)).as("__text"))
+      .filter(size(graft.llm.TextAnalysis.tokens(col("__text"))) >= gramN)
+      .select(col("doc_id"),
+        posexplode(expr(s"shingle_bases(__text, $gramN)"))
+          .as(Seq("__i", "__g")))
+      .join(dupGrams.select(col("g").as("__g")), Seq("__g"), "left_semi")
+      .select(col("doc_id"), lit(1).as("__kind"), col("__i"),
+        lit(null).cast("string").as("__tok"))
+    tokRows.unionByName(gramRows)
+      .groupBy(col("doc_id"))
+      .agg(
+        sort_array(collect_list(when(
+          col("__kind") === 0 && col("__i").isNotNull,
+          struct(col("__i").as("i"), col("__tok").as("tok"))))).as("__tl"),
+        collect_set(when(col("__kind") === 1, col("__i"))).as("__starts"))
+      .select(col("doc_id"), col("__tl"),
+        expr(s"array_distinct(flatten(transform(__starts, " +
+          s"p -> sequence(p, p + ${gramN - 1}))))").as("__cov"))
+      .select(col("doc_id"),
+        size(col("__tl")).cast("bigint").as("n_tok"),
+        expr("filter(__tl, x -> NOT array_contains(__cov, x.i))")
+          .as("__kept"))
+      .select(col("doc_id"), col("n_tok"),
+        (col("n_tok") - size(col("__kept"))).cast("bigint").as("n_removed"),
+        expr("concat_ws(' ', transform(__kept, x -> x.tok))")
+          .as("clean_text"))
+  }
+
+  /** [[stripSpans]] with the blocklist built from the corpus itself
+    * ([[dupGramIndex]] at `minOcc`) — the batch curation card; the
+    * ingest path ships the index and serves arrivals through
+    * [[stripSpans]] directly. Two tokenize passes by design (the
+    * blocklist aggregate and the strip scan — the
+    * [[GramMaterialization.Recompute]] trade; persist the gram stream
+    * upstream if storage is cheaper than CPU). */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      gramN: Int = 8, minOcc: Long = 2L): DataFrame =
+    stripSpans(docs, idCol, textCol, gramN,
+      dupGramIndex(docs, idCol, textCol, gramN, minOcc))
+
   /** Segment-level (paragraph) duplication stats: split each document
     * into NON-overlapping token segments of `segLen` tokens (the last
     * segment may be shorter), hash each segment, and report per

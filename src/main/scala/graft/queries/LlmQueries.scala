@@ -1211,6 +1211,44 @@ object LlmQueries {
     Dedup.dupSpanStats(graft.Tables.documents(s, dir), "doc_id", "text",
       gramN = DupSpanGramN)
 
+  // ---- q300: exact duplicated-span REMOVAL (Lee et al. 2022) ----
+  // q50 reports span duplication; this ACTS on it — the curation
+  // step that strips every token covered by a corpus-repeated 8-gram
+  // (in-doc repeats included) and rejoins the survivors, so
+  // wholesale-copied boilerplate leaves the training text without
+  // dropping the document. One streaming-legal spelling
+  // ([[graft.llm.Dedup.stripSpans]]: token rows ∪ dup-start rows,
+  // one blocklist semi-join, ONE doc-keyed aggregate whose
+  // projection is row-local window/array arithmetic); the corpus
+  // card builds the blocklist from itself
+  // ([[graft.llm.Dedup.dupGramIndex]] — the shippable artifact), and
+  // the oracle replays hashing, blocklisting, coverage and the
+  // rejoin VERBATIM including clean_text, so a single off-by-one in
+  // span coverage hash-fails the round.
+  private val SpanStripGramN = 8
+  def q300SpanRemoval(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeDupSpans(graft.Tables.documents(s, dir), "doc_id",
+      "text", SpanStripGramN, 2L)
+
+  // ---- q301: span removal served from the SHIPPED blocklist ----
+  // The ingest shape: the corpus's dup-gram blocklist trains once
+  // into the durable catalog and each arrival batch (doc_id % 10 ==
+  // 0) strips against the LOADED index — the corpus is never
+  // re-tokenized per batch, and `Streams.spanStripIngest` runs the
+  // SAME function on the live feed (stream == batch pinned).
+  def q301SpanStripLoaded(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    val root = graft.llm.Artifacts.ensure(dir,
+        s"dupgram-index-v1-n$SpanStripGramN-m2") { p =>
+      graft.llm.Artifacts.saveIndexFrame(p + "/grams",
+        Dedup.dupGramIndex(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+          "doc_id", "text", SpanStripGramN, 2L))
+    }
+    Dedup.stripSpans(docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+      "doc_id", "text", SpanStripGramN,
+      graft.llm.Artifacts.loadIndexFrame(s, root + "/grams"))
+  }
+
   // ---- q52: deterministic exact-k-per-group sample (eval sets) ----
   // Hash-order top-k per language via the threshold-prefilter form:
   // the rank window sees only the ~margin·k oversample, never the
@@ -3823,6 +3861,8 @@ object LlmQueries {
     "q74_dynamic_filter"    -> q74DynamicFilter _,
     "q76_curation_funnel"   -> q76CurationFunnel _,
     "q50_dup_spans"         -> q50DupSpans _,
+    "q300_span_removal"     -> q300SpanRemoval _,
+    "q301_span_strip_loaded" -> q301SpanStripLoaded _,
     "q52_group_sample"      -> q52GroupSample _,
     "q53_oov_rate"          -> q53OovRate _,
     "q59_pii_redact"        -> q59PiiRedact _,
@@ -4206,6 +4246,40 @@ object LlmQueries {
        |  CAST(sum(CASE WHEN pk THEN 1 ELSE 0 END) * 1000000
        |    // greatest(count(*), 1) AS BIGINT) AS perceptual_ppm
        |FROM pr GROUP BY kind""".stripMargin
+
+  /** q300/q301 replay: token + 1-based gram-start streams through the
+    * shared md5 gram chain, the ≥2-occurrence blocklist over
+    * `idxWhere`'s slice, [p, p+N) coverage windows, and the ordered
+    * rejoin; `spineWhere` restricts the stripped/emitted docs. */
+  private def spanStripSql(idxWhere: String, spineWhere: String): String = {
+    val n = SpanStripGramN
+    val p = graft.llm.MinHashLSH.P
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id, CASE WHEN len(toks) >= $n
+       |    THEN list_transform(range(1, len(toks) - ${n - 2}),
+       |      i -> array_to_string(toks[i:i+${n - 1}], ' '))
+       |    ELSE [] END AS sh FROM tk),
+       |bs AS (SELECT doc_id, list_transform(sh,
+       |    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % $p) AS bases
+       |  FROM sh),
+       |occ AS (SELECT doc_id, CAST(i AS BIGINT) AS p, bases[i] AS g
+       |  FROM bs, unnest(range(1, len(bases) + 1)) AS u(i)),
+       |dg AS (SELECT g FROM occ $idxWhere GROUP BY g HAVING count(*) >= 2),
+       |cov AS (SELECT DISTINCT occ.doc_id, ux.x AS idx
+       |  FROM occ JOIN dg USING (g), unnest(range(occ.p, occ.p + $n)) AS ux(x)),
+       |ti AS (SELECT doc_id, CAST(i AS BIGINT) AS idx, toks[i] AS tok
+       |  FROM tk, unnest(range(1, len(toks) + 1)) AS u(i) $spineWhere),
+       |kept AS (SELECT ti.doc_id, ti.idx, ti.tok FROM ti
+       |  LEFT JOIN cov ON ti.doc_id = cov.doc_id AND ti.idx = cov.idx
+       |  WHERE cov.idx IS NULL),
+       |rb AS (SELECT doc_id, count(*) AS n_kept,
+       |    array_to_string(list(tok ORDER BY idx), ' ') AS clean_text
+       |  FROM kept GROUP BY doc_id)
+       |SELECT tk.doc_id, CAST(len(tk.toks) AS BIGINT) AS n_tok,
+       |  CAST(len(tk.toks) - coalesce(rb.n_kept, 0) AS BIGINT) AS n_removed,
+       |  coalesce(rb.clean_text, '') AS clean_text
+       |FROM tk LEFT JOIN rb USING (doc_id) $spineWhere""".stripMargin
+  }
 
   private def cdcCkCtes: String =
     s"""$rollingCtes,
@@ -6832,6 +6906,13 @@ object LlmQueries {
          |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT, doc_id) AS rn
          |  FROM documents) t
          |WHERE rn <= $SampleK""".stripMargin,
+    // hashing, blocklisting (≥2 occurrences, in-doc repeats counted),
+    // 1-based coverage windows, and the ordered rejoin — clean_text
+    // replayed verbatim, so any span off-by-one hash-fails
+    "q300_span_removal" -> spanStripSql("", ""),
+    // blocklist over the corpus slice, strip applied to arrivals only
+    "q301_span_strip_loaded" -> spanStripSql(
+      "WHERE doc_id % 10 != 0", "WHERE doc_id % 10 = 0"),
     "q50_dup_spans" -> {
       val n = DupSpanGramN
       val p = graft.llm.MinHashLSH.P

@@ -666,6 +666,20 @@ object Streams {
     graft.llm.Drift.chiSquarePivot(stream, baseline, groupCol, cellCol,
       cells)
 
+  /** Streaming duplicated-span removal — q301's strip at ingest: each
+    * arriving document's tokens and dup-gram starts are two
+    * projections of the SAME stream unioned (no self-join), the
+    * corpus's shipped gram blocklist joins stream-static, and ONE
+    * doc-keyed aggregate reassembles the survivors row-locally. This
+    * IS [[graft.llm.Dedup.stripSpans]] — one implementation, so the
+    * live feed and the batch card cannot disagree about a span
+    * (stream == batch pinned in StreamingSpec). Run with
+    * update/complete output mode; per-arrival state is its own token
+    * count, never corpus-sized. */
+  def spanStripIngest(stream: DataFrame, idCol: String, textCol: String,
+      gramN: Int, dupGrams: DataFrame): DataFrame =
+    graft.llm.Dedup.stripSpans(stream, idCol, textCol, gramN, dupGrams)
+
   /** Streaming 1-bit-screened fuzzy admission — q298's hot-storage
     * gate at ingest: each arriving document bands itself row-locally,
     * probes the LOADED band index, Hamming-screens every candidate

@@ -1076,6 +1076,44 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("spanStripIngest: streamed span removal equals the batch strip; " +
+      "planted boilerplate leaves, fresh text survives") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val boiler = "all rights reserved contact us for details"
+    val corpus = Seq(
+      (1L, s"alpha beta gamma $boiler"),
+      (2L, s"delta epsilon zeta $boiler"),
+      (3L, "eta theta iota kappa")).toDF("doc_id", "text")
+    val grams = graft.llm.Dedup.dupGramIndex(corpus, "doc_id", "text", 3, 2L)
+    val arrivals = Seq(
+      (10L, s"fresh words here $boiler and a tail"),
+      (11L, "completely novel sentence with no repeats"),
+      (12L, ""))
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.spanStripIngest(in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", 3, grams)
+      .writeStream.format("memory").queryName("strip_out")
+      .outputMode("complete").start()
+    try {
+      in.addData(arrivals: _*)
+      q.processAllAvailable()
+      def shape(df: org.apache.spark.sql.DataFrame) = df
+        .collect().map(_.toSeq).toSeq.sortBy(_.head.asInstanceOf[Long])
+      val got = shape(spark.table("strip_out"))
+      val batch = shape(graft.llm.Dedup.stripSpans(
+        arrivals.toDF("doc_id", "text"), "doc_id", "text", 3, grams))
+      assert(got === batch, "stream must equal the batch strip exactly")
+      val byId = got.map(r => r.head -> r).toMap
+      assert(byId(10L)(3) === "fresh words here and a tail",
+        "the planted boilerplate span must strip, the rest survive")
+      assert(byId(11L)(2) === 0L && byId(11L)(3) ===
+        "completely novel sentence with no repeats")
+      assert(byId(12L)(1) === 0L && byId(12L)(3) === "",
+        "empty-text arrival still gets a row")
+    } finally q.stop()
+  }
+
   test("fuzzyIngestBbit: streamed screened admission equals the batch " +
       "gate; the screen passes true near-dups and fresh docs pass") {
     import spark.implicits._
