@@ -266,17 +266,57 @@ object Dedup {
     * aggregate over 8-byte keys; text never shuffles. */
   def dupGramIndex(docs: DataFrame, idCol: String, textCol: String,
       gramN: Int, minOcc: Long = 2L): DataFrame = {
-    require(gramN > 0, "gramN must be positive")
     require(minOcc >= 2L, "minOcc < 2 would blocklist every gram")
+    blocklistOf(dupGramCounts(docs, idCol, textCol, gramN), minOcc)
+  }
+
+  /** The dup-gram COUNTS frame `(g, n)` — the MAINTAINABLE form of
+    * the blocklist artifact: ship the per-gram occurrence counts and
+    * derive the strip's blocklist as the `n >= minOcc` view
+    * ([[blocklistOf]]). Counts are a commutative monoid (the
+    * chunk-index discipline), so the artifact folds at crawl cadence
+    * through [[dupGramDelta]]/[[dupGramErase]] with fold ≡ rebuild
+    * exactly — and the threshold view means a gram crossing `minOcc`
+    * in EITHER direction enters/leaves the blocklist with no special
+    * casing. */
+  def dupGramCounts(docs: DataFrame, idCol: String, textCol: String,
+      gramN: Int): DataFrame = {
+    require(gramN > 0, "gramN must be positive")
     LlmFunctions.registerShingleBases(docs.sparkSession)
     val q = graft.Names.quoted _
     docs
       .filter(size(graft.llm.TextAnalysis.tokens(col(q(textCol)))) >= gramN)
       .select(explode(expr(s"shingle_bases(${q(textCol)}, $gramN)")).as("g"))
-      .groupBy(col("g")).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= minOcc)
-      .select(col("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
   }
+
+  /** The strip-ready blocklist view of a counts frame. */
+  def blocklistOf(counts: DataFrame, minOcc: Long): DataFrame =
+    counts.filter(col("n") >= minOcc).select(col("g"))
+
+  /** Fold an arrival batch INTO the shipped gram counts — arrivals
+    * gram-hash row-locally, one key-keyed merge; fold ≡ rebuild by
+    * the count monoid (pinned in DupGramLifecycleSpec). Same
+    * disjoint-arrival contract as every append fold. */
+  def dupGramDelta(counts: DataFrame, arrivals: DataFrame, idCol: String,
+      textCol: String, gramN: Int): DataFrame =
+    counts.unionByName(dupGramCounts(arrivals, idCol, textCol, gramN))
+      .groupBy(col("g")).agg(sum(col("n")).cast("bigint").as("n"))
+
+  /** Fold an erased doc set OUT of the shipped gram counts — the
+    * erased docs re-hash row-locally (never the corpus), counts
+    * decrement, zero-count grams delete; a gram falling back under
+    * `minOcc` leaves the blocklist through the [[blocklistOf]] view
+    * automatically. Contributor precondition as
+    * [[NbClassifier.eraseCounts]]. */
+  def dupGramErase(counts: DataFrame, erased: DataFrame, idCol: String,
+      textCol: String, gramN: Int): DataFrame =
+    counts
+      .join(dupGramCounts(erased, idCol, textCol, gramN)
+        .select(col("g"), col("n").as("__en")), Seq("g"), "left")
+      .select(col("g"),
+        (col("n") - coalesce(col("__en"), lit(0L))).cast("bigint").as("n"))
+      .filter(col("n") > 0L)
 
   /** Exact duplicated-SPAN removal (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better", arXiv:2107.06499 —
