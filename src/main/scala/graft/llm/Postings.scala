@@ -24,6 +24,23 @@ object Postings {
       .groupBy(col("w"), col("doc_id"))
       .agg(sort_array(collect_list(col("pos").cast("bigint"))).as("ps"))
 
+  /** Lifecycle folds of the shipped index — row-per-(term,
+    * contributing doc), so both are exact BY CONSTRUCTION (no cap
+    * arbitration, no cross-row state): an arrival batch builds only
+    * its OWN postings and unions in (the disjoint-arrival contract;
+    * a re-crawled doc is erase-then-fold), and an erase is an id
+    * anti-join. Pinned against rebuilds in PostingsLifecycleSpec so
+    * a future structural change (e.g. df-capped lists) cannot
+    * silently break the equivalence. */
+  def delta(postings: DataFrame, arrivals: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    postings.unionByName(build(arrivals, idCol, textCol))
+
+  def erase(postings: DataFrame, eraseIds: DataFrame): DataFrame =
+    postings.join(eraseIds.select(col("doc_id")), Seq("doc_id"),
+        "left_anti")
+      .select(col("w"), col("doc_id"), col("ps"))
+
   /** Docs where `w1` and `w2` occur within `window` tokens of each
     * other — the proximity operator between phrase match (ordered,
     * distance 1: [[phraseCounts]]) and bag-of-words AND (distance ∞):
