@@ -163,6 +163,9 @@ object ScalingSweep {
         graft.temporal.Funnel.reach(eventsAt(k), "user_id", "event_type",
           "us", Seq("view" -> "view", "click" -> "click",
             "purchase" -> "purchase"))
+      },
+      "span_removal" -> { k =>
+        graft.llm.Dedup.removeDupSpans(docsAt(k), "doc_id", "text", 8, 2L)
       })
 
     // warmup (session/codegen startup)
