@@ -50,6 +50,23 @@ object Importance {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** Lifecycle folds of the shipped bucket-count state — the frame is
+    * row-per-(contributing doc, bucket), so an arrival batch appends
+    * its OWN counts (the disjoint-id contract; a re-crawl is
+    * erase-then-fold) and an erase is an id anti-join — both exact by
+    * construction, and the weight table plus smoothing constant
+    * RE-DERIVE from the folded counts ([[bucketWeights]] and
+    * [[unseenWeight]] are pure aggregates of them), pinned in
+    * ImportanceSpec. This closes the DSIR family's lifecycle: a
+    * target-corpus curation decision (add or forget documents) folds
+    * into the serving weights without re-tokenizing history. */
+  def countsDelta(counts: DataFrame, arrivals: DataFrame, idCol: String,
+      textCol: String, buckets: Int): DataFrame =
+    counts.unionByName(bucketCounts(arrivals, idCol, textCol, buckets))
+
+  def countsErase(counts: DataFrame, eraseIds: DataFrame): DataFrame =
+    counts.join(eraseIds.select(col("doc_id")), Seq("doc_id"), "left_anti")
+
   /** The ≤`buckets`-row importance-weight table over two
     * [[bucketCounts]] frames. Buckets absent from the raw pool cannot
     * appear in any raw doc, so the raw-present buckets are the full

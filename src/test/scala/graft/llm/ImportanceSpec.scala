@@ -82,4 +82,28 @@ class ImportanceSpec extends AnyFunSuite with SparkTestSession {
     assert(scored(3L) === 1L, "blank doc carries the single '' shingle")
     assert(scored(1L) === 2L)
   }
+  test("lifecycle folds: weights from folded counts equal the rebuild's") {
+    val old = df((1L, "alpha beta alpha"), (2L, "gamma delta"))
+    val arr = df((10L, "alpha epsilon"))
+    val raw = df((1L, "alpha beta alpha"), (2L, "gamma delta"),
+      (10L, "alpha epsilon"), (20L, "junk junk junk junk"))
+    val rawCounts = Importance.bucketCounts(raw, "doc_id", "text", B)
+    def weightsOf(target: org.apache.spark.sql.DataFrame) =
+      Importance.bucketWeights(target, rawCounts, B)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // append: fold the arrival into the shipped target counts
+    val folded = Importance.countsDelta(
+      Importance.bucketCounts(old, "doc_id", "text", B), arr,
+      "doc_id", "text", B)
+    assert(weightsOf(folded) === weightsOf(
+      Importance.bucketCounts(old.unionByName(arr), "doc_id", "text", B)),
+      "delta-folded weights must equal the rebuild's")
+    // erase: forget doc 2 from the folded state
+    val erased = Importance.countsErase(folded,
+      df((2L, "")).select(org.apache.spark.sql.functions.col("doc_id")))
+    assert(weightsOf(erased) === weightsOf(Importance.bucketCounts(
+        old.filter(org.apache.spark.sql.functions.col("doc_id") =!= 2L)
+          .unionByName(arr), "doc_id", "text", B)),
+      "erase-folded weights must equal the rebuild-without's")
+  }
 }
