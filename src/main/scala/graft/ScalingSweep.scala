@@ -188,6 +188,104 @@ object ScalingSweep {
       val exp = math.log(times(10) / times(1)) / math.log(10.0)
       (name, times(1), times(10), exp)
     }
+
+    // ---- lifecycle folds: FIXED batch, corpus at 1× and 10× ----
+    // The maintenance claims ("a fold costs work bounded by the batch,
+    // never a corpus recompute") measured instead of argued from plan
+    // reads: the shipped artifact is built UNTIMED at each scale and
+    // localCheckpoint-pinned (standing in for a loaded parquet
+    // artifact — materialized, lineage-free), then each fold runs over
+    // the SAME fixed arrival/erase batch at both scales. The timed
+    // region still forces the full folded artifact image (bands +
+    // counts + sets / the patched edge list), which scans the loaded
+    // artifact once — so scan-shaped exponents up to ~1 are expected
+    // and fine (a real store appends the delta instead of rewriting);
+    // what the sweep must rule out is the quadratic signature of a
+    // corpus recompute hiding in a fold, so the alarm bar stays 1.5.
+    val BatchShift = 1000000000L
+    // 500-doc arrival batch: 250 verbatim corpus copies (ids shifted
+    // into a fresh range — stresses candidate verification and the
+    // cap-eviction path) + 250 vocab-renamed fresh docs. Identical at
+    // both scales, so measured growth is the corpus side only.
+    def docBatch(): DataFrame =
+      Tables.documents(spark, sfDir).filter(col("doc_id") < 500)
+        .select((col("doc_id") + BatchShift).as("doc_id"),
+          when(col("doc_id") < 250, col("text"))
+            .otherwise(regexp_replace(col("text"), "(\\S+)", "$1zq"))
+            .as("text"))
+    // 500-vector arrival batch, rotated 7 dims (fresh geometry); the
+    // +10⁹ shift keeps ids ABOVE every corpus id — graphDelta's
+    // monotone-arrival precondition.
+    def embBatch(): DataFrame =
+      Tables.embeddings(spark, sfDir).filter(col("vec_id") < 500)
+        .select((col("vec_id") + BatchShift).as("vec_id"),
+          expr("concat(slice(embedding, 8, size(embedding) - 7), " +
+            "slice(embedding, 1, 7))").as("embedding"))
+    // fixed erase set: replica-0 ids, present in the corpus at both
+    // scales (id % 37 — ~3% of the base slice)
+    def eraseDocIds(): DataFrame =
+      Tables.documents(spark, sfDir)
+        .filter(pmod(col("doc_id"), lit(37L)) === 0L)
+        .select(col("doc_id"))
+    def eraseVecIds(): DataFrame =
+      Tables.embeddings(spark, sfDir)
+        .filter(pmod(col("vec_id"), lit(37L)) === 0L)
+        .select(col("vec_id"))
+    def forceAll(dfs: DataFrame*): DataFrame =
+      dfs.map(_.select(lit(1L).as("one"))).reduce(_ unionByName _)
+
+    val lifeTimes = scala.collection.mutable.LinkedHashMap[(String, Int), Double]()
+    for (k <- scales) {
+      // untimed: build + pin the shipped artifacts at scale k
+      val idx0 = graft.llm.MinHashLSH.signatureIndex(docsAt(k),
+        "doc_id", "text", shingleN = 3, numHashes = 8, rowsPerBand = 1,
+        cap = 64)
+      val idx = graft.llm.MinHashLSH.SigIndex(idx0.bands.localCheckpoint(),
+        idx0.counts.localCheckpoint(), idx0.sets.localCheckpoint())
+      val emb = embAt(k).localCheckpoint()
+      val cb = graft.llm.IvfIndex.fitFixedPoint(emb, 16, 3)
+      val assigned = graft.llm.IvfIndex.multiAssignments(emb, cb, 2)
+        .localCheckpoint()
+      val edges = graft.llm.IvfIndex.knnGraphWithCodebook(emb, cb, 4, 64,
+        nAssign = 2).localCheckpoint()
+      graft.llm.Caches.unpersistAll(blocking = true)
+      val thunks: Seq[(String, () => DataFrame)] = Seq(
+        "sig_index_fold" -> (() => {
+          val f = graft.llm.MinHashLSH.indexDelta(idx, docBatch(),
+            "doc_id", "text", 3, 8, 1, 64)
+          forceAll(f.bands, f.counts, f.sets)
+        }),
+        "sig_index_erase" -> (() => {
+          val f = graft.llm.MinHashLSH.indexErase(idx, eraseDocIds(),
+            8, 1, 64)
+          forceAll(f.bands, f.counts, f.sets)
+        }),
+        "fuzzy_admission" -> (() =>
+          graft.llm.MinHashLSH.fuzzyAdmission(docBatch(), "doc_id",
+            "text", idx.bands, idx.sets, 3, 8, 1, 300000L)),
+        "graph_delta" -> (() =>
+          graft.llm.IvfIndex.graphDelta(emb, embBatch(), cb, assigned,
+            edges, 4, 64, nAssign = 2)),
+        "graph_erase" -> (() =>
+          graft.llm.IvfIndex.graphErase(emb, eraseVecIds(), assigned,
+            edges, 4, 64)))
+      for ((name, th) <- thunks) {
+        val t = (1 to iters).map { _ =>
+          graft.llm.Caches.unpersistAll(blocking = true)
+          val t0 = System.nanoTime()
+          th().queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        println(s"SCALING lifecycle $name x$k: $t s")
+        lifeTimes((name, k)) = t
+      }
+    }
+    val lifeBody = lifeTimes.keys.map(_._1).toSeq.distinct.map { n =>
+      val t1 = lifeTimes((n, 1)); val t10 = lifeTimes((n, 10))
+      val e = math.log(t10 / t1) / math.log(10.0)
+      f"""  "$n": {"t1_sec": $t1%.3f, "t10_sec": $t10%.3f, "exponent": $e%.3f}"""
+    }.mkString(",\n")
+
     val body = results.map { case (n, t1, t10, e) =>
       f"""  "$n": {"t1_sec": $t1%.3f, "t10_sec": $t10%.3f, "exponent": $e%.3f}"""
     }.mkString(",\n")
@@ -198,6 +296,10 @@ object ScalingSweep {
          |"method": "min of $iters runs, caches dropped per run, toRdd.count; replicas vocab-renamed/rotated so global duplication does not masquerade as operator cost; scheduler floor at 1x biases exponents LOW — alarm bar is exponent > 1.5",
          |"families": {
          |$body
+         |},
+         |"lifecycle_method": "fixed 500-row arrival batch / fixed replica-0 erase set at BOTH scales; shipped artifact built untimed and localCheckpoint-pinned per scale; timed region forces the full folded artifact image, so scan-shaped exponents up to ~1 are expected — the bar rules out corpus-recompute signatures (> 1.5)",
+         |"lifecycle": {
+         |$lifeBody
          |}
          |}""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
