@@ -1786,6 +1786,58 @@ object LlmQueries {
       split.filter(col("split") === "test"), counts, "doc_id", "text", "lang")
   }
 
+  // ---- q302: inter-annotator agreement (Cohen's kappa) ----
+  // Label QA for weak supervision: the two independent automatic
+  // labelers the pipeline already runs — the stopword-profile langId
+  // heuristic and the q195 NB classifier — graded against each OTHER
+  // on the test split, chance-corrected
+  // ([[graft.llm.LabelQa.kappaCard]]). Raw agreement po overstates
+  // consensus under skewed marginals (two labelers that both say "en"
+  // 80% of the time agree 68% by luck); kappa rescales by the
+  // marginal-product chance rate — the number an auto-accept rule
+  // ("admit when both labelers agree") must clear before its
+  // agreements mean anything. Scale: one (lab_a, lab_b) cell
+  // aggregate over the split; marginals, the chance product, and the
+  // ratio are all class-count-sized. The oracle replays both labelers
+  // (the q19 CASE chain, the q195 vote CTEs) and the exact
+  // signed-floor-ppm kappa arithmetic in HUGEINT.
+  def q302AnnotatorKappa(s: SparkSession, dir: String): DataFrame = {
+    val split = graft.llm.Sampling.hashSplit(
+      graft.Tables.documents(s, dir), "doc_id", ClsTrainPct, ClsValPct)
+    val counts = graft.llm.NbClassifier.train(
+      split.filter(col("split") === "train"), "text", "lang")
+    val test = split.filter(col("split") === "test")
+    val pair = test.select(col("doc_id"), langId("text").as("lab_a"))
+      .join(graft.llm.NbClassifier.predict(test, counts, "doc_id", "text")
+        .select(col("doc_id"), col("label_pred").as("lab_b")), Seq("doc_id"))
+    graft.llm.LabelQa.kappaCard(pair, "lab_a", "lab_b")
+  }
+
+  // ---- q303: label-consensus monitor (kappa, ingest spelling) ----
+  // q302's card the way the LIVE feed must run it: kappaCard's
+  // aggregate-of-aggregate marginal join is streaming-illegal, so
+  // [[graft.llm.LabelQa.kappaPivot]] pins the class list as monitor
+  // config and computes the whole card in ONE global aggregate
+  // (per-class conditional-sum marginals + the agree count) with the
+  // kappa arithmetic row-local on the single aggregated row —
+  // `Streams.kappaIngest` IS this function (stream == batch pinned in
+  // StreamingSpec). The pinned list here is {en, zh, es}, so the card
+  // also EXERCISES the OTHER lump (de/fr and the no-evidence label
+  // fold into one bucket, the driftIngest discipline). State at
+  // scale: 2·(K+1)+2 longs total, whatever the feed length.
+  private[queries] val KappaClasses = Seq("en", "zh", "es")
+  def q303KappaMonitor(s: SparkSession, dir: String): DataFrame = {
+    val split = graft.llm.Sampling.hashSplit(
+      graft.Tables.documents(s, dir), "doc_id", ClsTrainPct, ClsValPct)
+    val counts = graft.llm.NbClassifier.train(
+      split.filter(col("split") === "train"), "text", "lang")
+    val test = split.filter(col("split") === "test")
+    val pair = test.select(col("doc_id"), langId("text").as("lab_a"))
+      .join(graft.llm.NbClassifier.predict(test, counts, "doc_id", "text")
+        .select(col("doc_id"), col("label_pred").as("lab_b")), Seq("doc_id"))
+    graft.llm.LabelQa.kappaPivot(pair, "lab_a", "lab_b", KappaClasses)
+  }
+
   // ---- q199: capped-proportional token-budget allocation ----
   // The fair-share decision q161/q191 stop short of: given a target
   // token budget (90% of the corpus here), how many tokens to DRAW
@@ -3782,6 +3834,8 @@ object LlmQueries {
     "q199_token_allocation" -> q199TokenAllocation _,
     "q195_nb_classifier" -> q195NbClassifier _,
     "q196_nb_loaded"   -> q196NbLoaded _,
+    "q302_annotator_kappa" -> q302AnnotatorKappa _,
+    "q303_kappa_monitor" -> q303KappaMonitor _,
     "q116_khop_seeds"  -> q116KhopSeeds _,
     "q122_vocab_growth" -> q122VocabGrowth _,
     "q123_scene_cuts"  -> q123SceneCuts _,
@@ -4546,6 +4600,68 @@ object LlmQueries {
 
   private val nbCtes = nbCtesFor("spl.split = 'train'")
 
+  /** The q302/q303 oracle: both labelers replayed (q19's CASE chain,
+    * q195's vote CTEs) into a (lab_a, lab_b) pair frame — lumped into
+    * the pinned [[KappaClasses]]+(other) for the monitor spelling —
+    * then the exact kappa arithmetic: cells → null-safe marginal
+    * join → HUGEINT chance product → signed floor-ppm ratio with the
+    * same symmetric-truncation CASE as the Spark side. */
+  private def kappaOracleSql(lump: Boolean): String = {
+    val inList = KappaClasses.map(c => s"'$c'").mkString(", ")
+    val other = graft.llm.LabelQa.OtherLabel
+    val pairSrc =
+      if (!lump) "kpair"
+      else s"""(SELECT
+         |    CASE WHEN lab_a IN ($inList) THEN lab_a
+         |      ELSE '$other' END AS lab_a,
+         |    CASE WHEN lab_b IN ($inList) THEN lab_b
+         |      ELSE '$other' END AS lab_b
+         |  FROM kpair)""".stripMargin
+    s"""WITH $nbCtes,
+       |pred AS (SELECT doc_id, lab AS label_pred FROM (
+       |    SELECT doc_id, lab, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY votes DESC, lab ASC) AS rn FROM votes) t
+       |  WHERE rn = 1),
+       |kpair AS (SELECT d.doc_id, $langCaseSql AS lab_a,
+       |    coalesce(p.label_pred,
+       |      '${graft.llm.NbClassifier.NoEvidenceLabel}') AS lab_b
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM documents) d
+       |  JOIN spl USING (doc_id) LEFT JOIN pred p USING (doc_id)
+       |  WHERE spl.split = 'test'),
+       |kc AS (SELECT lab_a, lab_b, CAST(count(*) AS BIGINT) AS n
+       |  FROM $pairSrc GROUP BY 1, 2),
+       |kna AS (SELECT lab_a AS lab, CAST(sum(n) AS BIGINT) AS na
+       |  FROM kc GROUP BY 1),
+       |knb AS (SELECT lab_b AS lab, CAST(sum(n) AS BIGINT) AS nb
+       |  FROM kc GROUP BY 1),
+       |kmarg AS (SELECT
+       |    CAST(coalesce(sum(CAST(coalesce(na, 0) AS HUGEINT)
+       |      * coalesce(nb, 0)), 0) AS HUGEINT) AS pe_sum,
+       |    CAST(count(na) AS BIGINT) AS n_classes_a,
+       |    CAST(count(nb) AS BIGINT) AS n_classes_b
+       |  FROM kna FULL OUTER JOIN knb
+       |    ON kna.lab IS NOT DISTINCT FROM knb.lab),
+       |ktot AS (SELECT CAST(sum(n) AS BIGINT) AS n_items,
+       |    CAST(coalesce(sum(CASE WHEN lab_a = lab_b THEN n ELSE 0 END),
+       |      0) AS BIGINT) AS n_agree
+       |  FROM kc)
+       |SELECT n_items, n_agree,
+       |  CAST(CAST(n_agree AS HUGEINT) * 1000000
+       |    // greatest(n_items, 1) AS BIGINT) AS po_ppm,
+       |  CAST(pe_sum AS BIGINT) AS pe_sum,
+       |  CAST(pe_sum * 1000000 // greatest(CAST(n_items AS HUGEINT)
+       |    * n_items, 1) AS BIGINT) AS pe_ppm,
+       |  CAST(CASE
+       |    WHEN CAST(n_agree AS HUGEINT) * n_items - pe_sum >= 0
+       |    THEN (CAST(n_agree AS HUGEINT) * n_items - pe_sum) * 1000000
+       |      // greatest(CAST(n_items AS HUGEINT) * n_items - pe_sum, 1)
+       |    ELSE -((pe_sum - CAST(n_agree AS HUGEINT) * n_items) * 1000000
+       |      // greatest(CAST(n_items AS HUGEINT) * n_items - pe_sum, 1))
+       |    END AS BIGINT) AS kappa_ppm,
+       |  n_classes_a, n_classes_b
+       |FROM ktot, kmarg""".stripMargin
+  }
+
   private val nbClsSql =
     s"""WITH $nbCtes,
        |pred AS (SELECT doc_id, lab AS label_pred FROM (
@@ -4917,6 +5033,16 @@ object LlmQueries {
     "q195_nb_classifier" -> nbClsSql,
     "q196_nb_loaded" -> nbClsSql,
     "q209_nb_calibration" -> nbCalSql,
+    // both labelers replayed (q19's CASE chain, q195's vote CTEs),
+    // then the exact kappa arithmetic: cells → marginals → the
+    // HUGEINT chance product → signed floor-ppm ratio with the same
+    // symmetric-truncation CASE as the Spark side
+    "q302_annotator_kappa" -> kappaOracleSql(lump = false),
+    // the monitor spelling shares the labeler chain; the pinned
+    // class list lumps everything else (incl. the no-evidence label)
+    // into (other) BEFORE the identical kappa arithmetic — kappa
+    // over lumped labels == the one-aggregation pivot by definition
+    "q303_kappa_monitor" -> kappaOracleSql(lump = true),
     // the commutative row-hash card replayed literally: same
     // \x01-delimited field concat, same md5-prefix hash, same mod
     "q155_dataset_checksum" ->

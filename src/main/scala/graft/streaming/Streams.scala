@@ -666,6 +666,25 @@ object Streams {
     graft.llm.Drift.chiSquarePivot(stream, baseline, groupCol, cellCol,
       cells)
 
+  /** Streaming label-consensus monitor — q303's chance-corrected
+    * agreement gate on the live feed: the arriving rows carry the two
+    * labelers' verdicts (attached upstream row-locally — the langId
+    * heuristic is pure column arithmetic, and a classifier labeler
+    * rides [[classifyIngest]]'s one-aggregation scoring; kappa over
+    * the pair is then the only aggregate in THIS query), the class
+    * list is the monitor's pinned config, and the whole card is ONE
+    * global aggregate + row-local kappa arithmetic
+    * ([[graft.llm.LabelQa.kappaPivot]] verbatim — the batch card and
+    * the live gate cannot disagree; stream == batch pinned in
+    * StreamingSpec). Labels outside the pinned list (and null — an
+    * abstaining labeler) lump into the OTHER bucket. Run with
+    * update/complete output mode; state is 2·(K+1)+2 longs TOTAL,
+    * whatever the stream length — a falling live kappa is the
+    * earliest sign one of the labelers drifted. */
+  def kappaIngest(stream: DataFrame, aCol: String, bCol: String,
+      classes: Seq[String]): DataFrame =
+    graft.llm.LabelQa.kappaPivot(stream, aCol, bCol, classes)
+
   /** Streaming duplicated-span removal — q301's strip at ingest: each
     * arriving document's tokens and dup-gram starts are two
     * projections of the SAME stream unioned (no self-join), the

@@ -1286,6 +1286,49 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("kappaIngest: the live consensus card equals the batch pivot " +
+      "after every batch; unpinned labels lump") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pinned = Seq("en", "no")
+    // batch 1: labelers mostly agree; batch 2: labeler B drifts to an
+    // unpinned language (lumps to OTHER) — live kappa must fall
+    val rows1 = (0 until 80).map { i =>
+      val a = if (i % 4 == 0) "no" else "en"
+      (i.toLong, a, if (i % 16 == 1) "no" else a)
+    }
+    val rows2 = (80 until 140).map { i =>
+      (i.toLong, if (i % 4 == 0) "no" else "en", "xx")
+    }
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streams.kappaIngest(in.toDF().toDF("id", "lab_a", "lab_b"),
+        "lab_a", "lab_b", pinned)
+      .writeStream.format("memory").queryName("kappa_out")
+      .outputMode("complete").start()
+    try {
+      def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(_.toSeq).toSeq
+      def batchOf(rows: Seq[(Long, String, String)]) =
+        shape(graft.llm.LabelQa.kappaPivot(
+          rows.toDF("id", "lab_a", "lab_b"), "lab_a", "lab_b", pinned))
+      in.addData(rows1: _*)
+      q.processAllAvailable()
+      assert(shape(spark.table("kappa_out")) === batchOf(rows1),
+        "mid-stream card must equal the batch pivot")
+      val k1 = spark.table("kappa_out").collect().head
+        .getAs[Long]("kappa_ppm")
+      in.addData(rows2: _*)
+      q.processAllAvailable()
+      assert(shape(spark.table("kappa_out")) === batchOf(rows1 ++ rows2),
+        "the card after batch 2 must equal the batch pivot on the union")
+      val k2 = spark.table("kappa_out").collect().head
+        .getAs[Long]("kappa_ppm")
+      assert(k1 > 800000L, "the agreeing feed reads high kappa " +
+        "(5/80 planted disagreements on 3:1 marginals = 0.846)")
+      assert(k2 < k1 - 300000L, "the drifted labeler must crater live kappa")
+    } finally q.stop()
+  }
+
   test("driftIngest: streamed chi-square verdicts equal the batch pivot; " +
       "an unseen language alarms against its zero baseline") {
     import spark.implicits._
