@@ -395,4 +395,65 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkTestSession {
     assert(!q.queryExecution.executedPlan.toString.contains("row_number"),
       "q265 must not rank corpus rows")
   }
+
+  test("q302/q303: no cartesian blowup; the kappa monitor is ONE " +
+      "aggregation pass (its streaming-legality witness)") {
+    // q302's only cross joins are one-row summary frames (tot × marg
+    // — the q278 exemption does not apply here, so check row bounds
+    // instead: every CartesianProduct/BroadcastNestedLoop in the plan
+    // must sit above an Aggregate on BOTH sides, i.e. join inputs are
+    // aggregated one-row cards, never corpus rows)
+    def descendants(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val below = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          Seq(im.relation.cachedPlan)
+        case other => other.children
+      }
+      below.flatMap(c => c +: descendants(c))
+    }
+    Seq("q302_annotator_kappa", "q303_kappa_monitor").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan
+      graft.PlanNodes.all(plan)
+        .filter(n => n.nodeName.contains("CartesianProduct") ||
+          n.nodeName.contains("BroadcastNestedLoop"))
+        .foreach { j =>
+          j.children.foreach { side =>
+            val sub = side +: descendants(side)
+            // bounded = an aggregated card, or the literal one-row
+            // Range the NB default-verdict spelling joins from
+            val bounded = sub.exists(_.nodeName.contains("Aggregate")) ||
+              sub.exists(_.toString.startsWith("Range (0, 1"))
+            assert(bounded,
+              s"$name: unbounded join side (corpus-sized cross join):\n" +
+                j.toString.take(800))
+          }
+        }
+    }
+    // q303 (the ingest spelling): downstream of the labeler chain the
+    // whole kappa card is ONE global aggregate — no Window, no second
+    // grouped aggregation above it. The labeler chain itself carries
+    // the NB vote aggregates; the witness is that the card adds
+    // exactly one more (the global, grouping-key-free one), which is
+    // what lets Streams.kappaIngest run it on a live feed.
+    val q303 = SparkEntry.queries("q303_kappa_monitor")(
+      spark, "/root/testdata/sf0.001")
+    val nodes303 = graft.PlanNodes.all(q303.queryExecution.executedPlan)
+    assert(!nodes303.exists(_.nodeName.contains("Window")),
+      "q303 must carry no window anywhere")
+    // the same pivot function must pass Spark's own streaming planner:
+    // UnsupportedOperationChecker rejects aggregate-of-aggregate, so
+    // analyzing it over a streaming source IS the legality proof
+    val streamIn = spark.readStream.format("rate").load()
+      .selectExpr("cast(value % 3 as string) as lab_a",
+        "cast(value % 5 as string) as lab_b")
+    val q = graft.streaming.Streams.kappaIngest(
+        streamIn, "lab_a", "lab_b", Seq("0", "1", "2"))
+      .writeStream.format("memory").queryName("kappa_legality")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+  }
 }
