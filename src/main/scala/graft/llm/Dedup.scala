@@ -840,4 +840,39 @@ object Dedup {
         min(col("len_diff_chars")).as("len_diff_chars"),
         expr("bool_or(same_norm)").as("same_norm"))
   }
+
+  /** Cluster-cohesion card over a verified pair list `(doc_a, doc_b,
+    * jaccard_fp)` and its transitive closure `(doc_id, cluster_id)`
+    * — the chain-merge instrument behind q304: transitive closures
+    * admit A~B~C even when A≁C, so a survivor-per-cluster policy can
+    * discard documents that were never near-dups of the kept one.
+    * Per multi-doc cluster: verified-edge count vs the pair ceiling
+    * (density, floor ppm), `is_tree` (edges == size−1 — every
+    * admitted edge is a bridge, the maximally fragile shape), and
+    * the weakest admitted link. A chain-merge reads tree-shaped with
+    * a min link barely over threshold; a true dup set reads
+    * near-complete with high links.
+    *
+    * Scale shape: one cluster-keyed join of the (already bounded)
+    * pair list to the labels, two cluster-keyed aggregates — every
+    * frame is cluster-count-sized. Edges are intra-cluster by
+    * construction of the closure, so joining on `doc_a`'s label
+    * suffices. */
+  def cohesionCard(pairs: DataFrame, clusters: DataFrame): DataFrame = {
+    val edgeStats = pairs
+      .join(clusters.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_edges"),
+        min(col("jaccard_fp")).cast("bigint").as("min_link_jfp"))
+    clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"))
+      .filter(col("n_docs") >= 2L)
+      .join(edgeStats, Seq("cluster_id"))
+      .select(col("cluster_id"), col("n_docs"), col("n_edges"),
+        expr("cast(cast(n_edges as decimal(38,0)) * 2000000 " +
+          "div (cast(n_docs as decimal(38,0)) * (n_docs - 1)) as bigint)")
+          .as("density_ppm"),
+        (col("n_edges") === col("n_docs") - 1L).as("is_tree"),
+        col("min_link_jfp"))
+  }
 }

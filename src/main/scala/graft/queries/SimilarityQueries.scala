@@ -587,6 +587,32 @@ object SimilarityQueries {
         sum(col("sz")).as("n_docs"),
         sum(col("sz") - 1L).as("n_redundant"))
 
+  // ---- q304: cluster-cohesion card (chain-merge risk) ----
+  // The failure mode transitive dedup closures hide: a CHAIN of
+  // pairwise-similar docs merges two dissimilar ends into one cluster
+  // (A~B~C admits A≁C), and a survivor-per-cluster policy then throws
+  // away documents that were never near-dups of the kept one. The
+  // instrument: per multi-doc cluster of q38's audited closure, the
+  // verified-edge count against the pair ceiling — density in floor
+  // ppm, the `is_tree` flag (edges == size−1: MAXIMALLY fragile,
+  // every admitted edge is a bridge), and the weakest admitted link's
+  // Jaccard (a chain-merge reads tree-shaped + a min link barely over
+  // the threshold; a true dup set reads near-complete + high links).
+  // Scale: edges come from the SAME one-pass LSH frame the closure
+  // consumes (persisted — no second corpus tokenize); everything
+  // downstream is cluster-count-sized. The oracle replays the q21
+  // pair chain, the recursive closure, and the integer density.
+  def q304ClusterCohesion(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    val pairs = graft.llm.Caches.persistTracked(
+      MinHashLSH.nearDupPairs(docs, "doc_id", "text",
+        shingleN = ShingleN, numHashes = NumHashes, rowsPerBand = 1,
+        minJaccardFp = ClusterMinJaccardFp))
+    val cl = graft.llm.Dedup.connectedComponents(
+      docs.select(col("doc_id")), pairs.select(col("doc_a"), col("doc_b")))
+    graft.llm.Dedup.cohesionCard(pairs, cl)
+  }
+
   // ---- q154: near-dup detector agreement (MinHash vs SimHash) ----
   // Two production detectors, one question: do they find the SAME
   // pairs? The full-outer overlap of q21's banded-Jaccard pairs and
@@ -1922,6 +1948,7 @@ object SimilarityQueries {
     "q171_snm_verified" -> q171SnmVerified _,
     "q147_label_cosine" -> q147LabelCosine _,
     "q151_cluster_sizes" -> q151ClusterSizes _,
+    "q304_cluster_cohesion" -> q304ClusterCohesion _,
     "q154_detector_agreement" -> q154DetectorAgreement _,
     "q84_pq_ann"        -> q84PqAnn _,
     "q92_ivfadc"        -> q92IvfAdc _,
@@ -3553,6 +3580,25 @@ object SimilarityQueries {
          |  CAST(sum(sz) AS BIGINT) AS n_docs,
          |  CAST(sum(sz - 1) AS BIGINT) AS n_redundant
          |FROM sz GROUP BY sz""".stripMargin,
+    // the q21 pair chain thresholded, the recursive closure, the
+    // per-cluster edge rollup, and the integer density all replayed
+    "q304_cluster_cohesion" ->
+      s"""WITH cl AS ($q38Sql),
+         |pj AS (SELECT doc_a, doc_b, jaccard_fp FROM ($q21Sql) q
+         |  WHERE jaccard_fp >= $ClusterMinJaccardFp),
+         |es AS (SELECT cl.cluster_id, CAST(count(*) AS BIGINT) AS n_edges,
+         |    CAST(min(pj.jaccard_fp) AS BIGINT) AS min_link_jfp
+         |  FROM pj JOIN cl ON pj.doc_a = cl.doc_id GROUP BY 1),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM cl GROUP BY cluster_id)
+         |SELECT sz.cluster_id, sz.n_docs, es.n_edges,
+         |  CAST(CAST(es.n_edges AS HUGEINT) * 2000000
+         |    // (CAST(sz.n_docs AS HUGEINT) * (sz.n_docs - 1)) AS BIGINT)
+         |    AS density_ppm,
+         |  (es.n_edges = sz.n_docs - 1) AS is_tree,
+         |  es.min_link_jfp
+         |FROM sz JOIN es USING (cluster_id)
+         |WHERE sz.n_docs >= 2""".stripMargin,
     // centroid floor-division, dot, norms, and the sqrt-scored cosine
     // all replayed in the same arithmetic order
     "q147_label_cosine" ->

@@ -126,6 +126,31 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
       5L -> 5L, 6L -> 6L, 7L -> 7L, 8L -> 8L, 9L -> 7L, 10L -> 10L))
   }
 
+  test("cohesionCard: a planted chain-merge reads tree-shaped with a weak " +
+      "min link; a true dup set reads complete with high links") {
+    import spark.implicits._
+    // cluster {1,2,3}: the chain 1~2~3 (1≁3 never verified) with the
+    // 2~3 link barely over a 0.5 threshold — the chain-merge shape;
+    // cluster {7,8,9}: the complete triangle at high similarity;
+    // 5 is a singleton and must not appear on the card
+    val pairs = Seq(
+      (1L, 2L, 900000L), (2L, 3L, 510000L),
+      (7L, 8L, 980000L), (8L, 9L, 970000L), (7L, 9L, 960000L))
+      .toDF("doc_a", "doc_b", "jaccard_fp")
+    val clusters = Dedup.connectedComponents(
+      Seq(1L, 2L, 3L, 5L, 7L, 8L, 9L).toDF("doc_id"),
+      pairs.select(col("doc_a"), col("doc_b")))
+    val card = Dedup.cohesionCard(pairs, clusters).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getLong(5)))).toMap
+    assert(card.keySet === Set(1L, 7L), "singletons stay off the card")
+    // chain: 3 docs, 2 edges, density 2·2/(3·2) = 666666 ppm, a tree,
+    // weakest admitted link is the 0.51 bridge
+    assert(card(1L) === ((3L, 2L, 666666L, true, 510000L)))
+    // triangle: complete (density 10^6), not a tree, min link 0.96
+    assert(card(7L) === ((3L, 3L, 1000000L, false, 960000L)))
+  }
+
   test("connected components match brute-force union-find on a random graph") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
