@@ -355,6 +355,58 @@ object Relational {
         graft.Tables.events(s, dir), "user_id"))
   }
 
+  // ---- q305: join-size pre-flight (output-cardinality card) ----
+  // The other half of q159's planner diagnostic: q159 grades ONE
+  // table's key skew; this predicts a JOIN's output size before
+  // paying for it. For an inner equi-join the prediction is an
+  // identity, not an estimate — |A ⋈ B| = Σ_k cA(k)·cB(k) — so the
+  // card is exact, and it costs two count frames joined on the key
+  // (each the map-side-combined aggregate a shuffle would compute
+  // anyway) instead of materializing the join. Two candidates a
+  // 100 TB planner actually fears: the fact⋈fact orderkey join
+  // (benign — orders are keys) and the lineitem SELF-join on partkey
+  // (the quadratic-blowup shape: Σ c(k)²). Per candidate: input
+  // sizes, shared keys, the exact predicted output, the blowup ratio
+  // vs the larger input (floor ppm), and the single heaviest key's
+  // contribution — the row that tells an engineer "salt this key"
+  // (q133) or "don't run this". The oracle replays both count-frame
+  // products in HUGEINT.
+  def q305JoinPreflight(s: SparkSession, dir: String): DataFrame = {
+    def counts(df: DataFrame, key: String): DataFrame =
+      df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+    def card(name: String, a: DataFrame, b: DataFrame): DataFrame = {
+      val prod = counts(a, a.columns.head).withColumnRenamed("c", "ca")
+        .join(counts(b, b.columns.head).withColumnRenamed("c", "cb"), Seq("k"))
+        .select(col("k"),
+          (col("ca").cast("decimal(38,0)") * col("cb")).as("p"))
+      val na = a.agg(count(lit(1)).as("n")).select(col("n"))
+      val nb = b.agg(count(lit(1)).as("n")).select(col("n"))
+      prod.agg(
+          count(lit(1)).cast("bigint").as("n_shared_keys"),
+          coalesce(sum(col("p")), lit(0L).cast("decimal(38,0)"))
+            .as("__pred"),
+          coalesce(max(col("p")), lit(0L).cast("decimal(38,0)"))
+            .as("__top"))
+        .crossJoin(na.select(col("n").as("n_left")))
+        .crossJoin(nb.select(col("n").as("n_right")))
+        .select(lit(name).as("join_name"),
+          col("n_left"), col("n_right"), col("n_shared_keys"),
+          col("__pred").cast("bigint").as("predicted_rows"),
+          expr("cast(__pred * 1000000 div greatest(n_left, n_right) " +
+            "as bigint)").as("blowup_ppm"),
+          col("__top").cast("bigint").as("top_key_rows"),
+          expr("cast(case when __pred > 0 then __top * 1000000 div __pred " +
+            "else 0 end as bigint)").as("top_key_share_ppm"))
+    }
+    val li = graft.Tables.lineitem(s, dir)
+    val lok = li.select(col("l_orderkey"))
+    val lpk = li.select(col("l_partkey"))
+    card("lineitem_orders_on_orderkey", lok,
+        graft.Tables.orders(s, dir).select(col("o_orderkey")))
+      .unionByName(card("lineitem_self_on_partkey", lpk, lpk))
+      .orderBy(col("join_name"))
+  }
+
   // ---- q12: rollup over year × priority (grouping sets) ----
   def q12YearPriorityRollup(s: SparkSession, dir: String): DataFrame =
     graft.Tables.orders(s, dir)
@@ -1316,6 +1368,7 @@ object Relational {
     "q10_brand_stats"       -> q10BrandStats _,
     "q11_sessions"          -> q11Sessions _,
     "q12_year_priority_rollup" -> q12YearPriorityRollup _,
+    "q305_join_preflight" -> q305JoinPreflight _,
     "q13_part_type_revenue" -> q13PartTypeRevenue _,
     "q25_left_join_tags"    -> q25LeftJoinTags _,
     "q30_props_json"        -> q30PropsJson _,
@@ -1683,6 +1736,36 @@ object Relational {
         card("orders.o_custkey", "orders", "o_custkey"),
         card("events.user_id", "events", "user_id"))
         .mkString("\nUNION ALL\n")
+    },
+    // both count-frame products replayed in HUGEINT: shared keys,
+    // the exact Σ cA·cB output identity, blowup vs the larger input,
+    // and the heaviest key's share
+    "q305_join_preflight" -> {
+      def card(name: String, aTable: String, aKey: String,
+          bTable: String, bKey: String) =
+        s"""SELECT '$name' AS join_name,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $aTable) AS n_left,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $bTable) AS n_right,
+           |  CAST(count(*) AS BIGINT) AS n_shared_keys,
+           |  CAST(coalesce(sum(p), 0) AS BIGINT) AS predicted_rows,
+           |  CAST(coalesce(sum(p), 0) * 1000000 // greatest(
+           |    (SELECT count(*) FROM $aTable),
+           |    (SELECT count(*) FROM $bTable)) AS BIGINT) AS blowup_ppm,
+           |  CAST(coalesce(max(p), 0) AS BIGINT) AS top_key_rows,
+           |  CAST(CASE WHEN coalesce(sum(p), 0) > 0
+           |    THEN coalesce(max(p), 0) * 1000000 // sum(p)
+           |    ELSE 0 END AS BIGINT) AS top_key_share_ppm
+           |FROM (SELECT CAST(ca.c AS HUGEINT) * cb.c AS p
+           |  FROM (SELECT $aKey AS k, count(*) AS c FROM $aTable
+           |    GROUP BY 1) ca
+           |  JOIN (SELECT $bKey AS k, count(*) AS c FROM $bTable
+           |    GROUP BY 1) cb USING (k))""".stripMargin
+      Seq(card("lineitem_orders_on_orderkey",
+          "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        card("lineitem_self_on_partkey",
+          "lineitem", "l_partkey", "lineitem", "l_partkey"))
+        .map(q => s"($q)").mkString("\nUNION ALL\n") +
+        "\nORDER BY join_name"
     },
     // per-column stats replayed literally: null mass as count(*) -
     // count(col), distinct/min/max over the same fixed-point image

@@ -396,6 +396,23 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkTestSession {
       "q265 must not rank corpus rows")
   }
 
+  test("q305's prediction is the exact join cardinality, not an estimate") {
+    val dir = "/root/testdata/sf0.001"
+    val card = SparkEntry.queries("q305_join_preflight")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("predicted_rows"))
+      .toMap
+    val li = graft.Tables.lineitem(spark, dir)
+    val actualLo = li.join(graft.Tables.orders(spark, dir),
+      li("l_orderkey") === col("o_orderkey")).count()
+    assert(card("lineitem_orders_on_orderkey") === actualLo,
+      "Σ cA·cB must equal the materialized inner-join row count")
+    val a = li.select(col("l_partkey").as("k"))
+    val actualSelf = a.join(a.withColumnRenamed("k", "k2"),
+      col("k") === col("k2")).count()
+    assert(card("lineitem_self_on_partkey") === actualSelf,
+      "the self-join blowup prediction must equal Σ c(k)² exactly")
+  }
+
   test("q302/q303: no cartesian blowup; the kappa monitor is ONE " +
       "aggregation pass (its streaming-legality witness)") {
     // q302's only cross joins are one-row summary frames (tot × marg
