@@ -301,6 +301,64 @@ object Sampling {
       .drop(h)
   }
 
+  /** Deterministic mixture-preserving batch schedule — the read ORDER
+    * a training data-loader needs so every batch replays the corpus's
+    * source mix: [[shardPlan]] fixes WHERE a doc lives and its resume
+    * position, but hash order alone lets a batch go all-one-source by
+    * chance, and mixture jitter between steps is gradient noise a
+    * curriculum didn't ask for. The stride interleave fixes it
+    * exactly: within a shard, doc r of a source holding nS of the
+    * shard's N docs sits at slot ⌊(2r−1)·N / (2·nS)⌋ — each source's
+    * docs land evenly every N/nS slots (the Bresenham line-drawing
+    * rule) — and the shard's total order is (slot, source, key).
+    * Every length-m prefix (so every batch) then holds each source to
+    * within the simultaneous-tie bound (≲ one doc per source) of its
+    * proportional share, spec-pinned on random fixtures.
+    *
+    * Determinism: ranks ride (md5-hash, key) like every split here, so
+    * the schedule re-derives identically after reshuffles or re-runs —
+    * and within a source the hash rank doubles as the within-shard
+    * shuffle training wants. Scale shape: the [[shardPlan]] contract —
+    * every window is shard-partitioned (one task per shard; `nShards`
+    * is the parallelism knob), nothing global. Null keys are excluded
+    * (no hash → no deterministic position); null sources schedule as
+    * the "(null)" source.
+    *
+    * Output: the input key + `source, shard, pos, batch` (pos is
+    * 1-based within the shard; batch = (pos−1) div batchSize). */
+  def mixtureSchedule(df: DataFrame, srcCol: String, keyCol: String,
+      nShards: Int, batchSize: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    require(batchSize > 0, "batchSize must be positive")
+    Seq("source", "shard", "pos", "batch").foreach { c =>
+      require(!df.columns.contains(c) || c == srcCol,
+        s"mixtureSchedule reserves the output column name '$c'")
+    }
+    val qk = graft.Names.quoted(keyCol)
+    val qs = graft.Names.quoted(srcCol)
+    val h = graft.Names.fresh("_h", df.columns)
+    val base = df.filter(col(qk).isNotNull)
+      .select(col(qk).as("k"),
+        coalesce(col(qs).cast("string"), lit("(null)")).as("source"))
+      .withColumn(h, hash32("k"))
+      .withColumn("shard", col(h) % nShards)
+    val r = row_number().over(Window.partitionBy(col("shard"), col("source"))
+      .orderBy(col(h), col("k"))).cast("bigint")
+    val nS = count(lit(1)).over(Window.partitionBy(col("shard"), col("source")))
+    val n = count(lit(1)).over(Window.partitionBy(col("shard")))
+    val staged = base
+      .withColumn("__r", r)
+      .withColumn("__ns", nS.cast("bigint"))
+      .withColumn("__n", n.cast("bigint"))
+      .withColumn("__slot", expr("(2 * __r - 1) * __n div (2 * __ns)"))
+    staged
+      .withColumn("pos", row_number().over(Window.partitionBy(col("shard"))
+        .orderBy(col("__slot"), col("source"), col("k"))).cast("bigint"))
+      .withColumn("batch", expr(s"(pos - 1) div $batchSize"))
+      .select(col("k").as(keyCol), col("source"), col("shard"),
+        col("pos"), col("batch"))
+  }
+
   /** Rendezvous (highest-random-weight) shard assignment — the
     * coordination-free complement of [[shardPlan]]'s `hash % N`:
     * every (key, shard) pair gets a deterministic md5 weight and the

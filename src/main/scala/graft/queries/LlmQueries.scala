@@ -3652,6 +3652,62 @@ object LlmQueries {
         col("simpson_ppm"), col("l1_vs_global_ppm"))
   }
 
+  // ---- q306: mixture-preserving batch schedule (stride interleave) ----
+  // q275 grades mixture across SHARDS (where docs live); this grades
+  // it across BATCHES (the order a loader reads them): hash order
+  // alone lets a training step go all-one-source by chance, so
+  // [[graft.llm.Sampling.mixtureSchedule]] places doc r of a source
+  // at stride slot ⌊(2r−1)·N/(2nS)⌋ within its shard (the Bresenham
+  // rule — every source lands evenly) and orders by (slot, source,
+  // key). The card: per (shard, batch) of the schedule, size, source
+  // count, and the q275 L1 distance to the GLOBAL mix — read next to
+  // q275's shard card, it prices the same invariant one level down.
+  // Scale: every schedule window is shard-partitioned (the shardPlan
+  // contract); the grid frames are (shards × batches × sources)-sized.
+  // The oracle replays hash, ranks, stride slots, the (slot, source,
+  // key) order, and the L1 grid.
+  private val SchedShards = 4
+  private val SchedBatch = 64
+  def q306MixtureSchedule(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"))
+    val stride = graft.llm.Sampling.mixtureSchedule(
+        docs, "source", "doc_id", SchedShards, SchedBatch)
+      .select(lit("stride").as("scheme"), col("shard"), col("batch"),
+        col("source"))
+    // the contrast arm: the SAME shards read in bare hash order (the
+    // q-shardPlan loader without the interleave) — what mixture
+    // jitter costs when nobody schedules
+    val hashArm = graft.llm.Sampling.shardPlan(docs, "doc_id", SchedShards)
+      .select(lit("hash_order").as("scheme"), col("shard"),
+        expr(s"(pos - 1) div $SchedBatch").as("batch"),
+        coalesce(col("source"), lit("(null)")).as("source"))
+    val cell = graft.llm.Caches.persistTracked(
+      stride.unionByName(hashArm)
+        .groupBy(col("scheme"), col("shard"), col("batch"), col("source"))
+        .agg(count(lit(1)).cast("bigint").as("c"))
+        .coalesce(1))
+    val st = cell.groupBy(col("scheme"), col("shard"), col("batch"))
+      .agg(sum(col("c")).cast("bigint").as("n"))
+    val g = cell.groupBy(col("scheme"), col("source"))
+      .agg(sum(col("c")).cast("bigint").as("gc"))
+    val t = cell.groupBy(col("scheme"))
+      .agg(sum(col("c")).cast("bigint").as("n_tot"))
+    val grid = st.join(broadcast(g), Seq("scheme"))
+      .join(cell, Seq("scheme", "shard", "batch", "source"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .join(broadcast(t), Seq("scheme"))
+    grid.groupBy(col("scheme"), col("shard"), col("batch"), col("n"))
+      .agg(
+        sum(when(col("c") > 0L, 1L).otherwise(0L)).cast("bigint")
+          .as("n_sources"),
+        sum(abs(expr("cast(c as decimal(38,0)) * 1000000 div n") -
+          expr("cast(gc as decimal(38,0)) * 1000000 div n_tot")))
+          .cast("bigint").as("l1_vs_global_ppm"))
+      .select(col("scheme"), col("shard"), col("batch"),
+        col("n").as("n_docs"), col("n_sources"), col("l1_vs_global_ppm"))
+  }
+
   // ---- q219: sampling-temperature sweep (the mixing knob priced) ----
   // q161 prices T=2; this prices the knob: per temperature T ∈
   // {1, 2, 4}, every source's mixing share under weight ∝
@@ -3789,6 +3845,7 @@ object LlmQueries {
     "q231_pii_scan" -> q231PiiScan _,
     "q233_reshard_card" -> q233ReshardCard _,
     "q275_shard_mixture" -> q275ShardMixture _,
+    "q306_mixture_schedule" -> q306MixtureSchedule _,
     "q234_cdc_dedup" -> q234CdcDedup _,
     "q235_cdc_admission" -> q235CdcAdmission _,
     "q236_cdc_admission_loaded" -> q236CdcAdmissionLoaded _,
@@ -6744,6 +6801,54 @@ object LlmQueries {
          |  l1.l1_vs_global_ppm
          |FROM st JOIN l1 USING (shard) JOIN sp USING (shard)""".stripMargin
     },
+    // the schedule replayed end to end: hash32, per-(shard, source)
+    // ranks, the stride slot, the (slot, source, key) total order,
+    // batching, and the q275 L1 grid
+    "q306_mixture_schedule" ->
+      s"""WITH b AS (SELECT doc_id, coalesce(source, '(null)') AS source,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |s1 AS (SELECT *, h % $SchedShards AS shard FROM b),
+         |s2 AS (SELECT *,
+         |    CAST(row_number() OVER (PARTITION BY shard, source
+         |      ORDER BY h, doc_id) AS BIGINT) AS r,
+         |    CAST(count(*) OVER (PARTITION BY shard, source) AS BIGINT) AS ns,
+         |    CAST(count(*) OVER (PARTITION BY shard) AS BIGINT) AS n
+         |  FROM s1),
+         |s3 AS (SELECT *, (2 * r - 1) * n // (2 * ns) AS slot FROM s2),
+         |sched AS (
+         |  SELECT 'stride' AS scheme, shard, source,
+         |    CAST(row_number() OVER (PARTITION BY shard
+         |      ORDER BY slot, source, doc_id) AS BIGINT) AS pos
+         |  FROM s3
+         |  UNION ALL
+         |  SELECT 'hash_order' AS scheme, shard, source,
+         |    CAST(row_number() OVER (PARTITION BY shard
+         |      ORDER BY h, doc_id) AS BIGINT) AS pos
+         |  FROM s1),
+         |cell AS (SELECT scheme, shard, (pos - 1) // $SchedBatch AS batch,
+         |    source, CAST(count(*) AS BIGINT) AS c
+         |  FROM sched GROUP BY 1, 2, 3, 4),
+         |st AS (SELECT scheme, shard, batch, CAST(sum(c) AS BIGINT) AS n
+         |  FROM cell GROUP BY 1, 2, 3),
+         |g AS (SELECT scheme, source, CAST(sum(c) AS BIGINT) AS gc
+         |  FROM cell GROUP BY 1, 2),
+         |t AS (SELECT scheme, CAST(sum(c) AS BIGINT) AS n_tot
+         |  FROM cell GROUP BY 1),
+         |grid AS (SELECT st.scheme, st.shard, st.batch, st.n, g.source,
+         |    g.gc, coalesce(cell.c, 0) AS c, t.n_tot
+         |  FROM st JOIN g ON g.scheme = st.scheme
+         |  JOIN t ON t.scheme = st.scheme
+         |  LEFT JOIN cell ON cell.scheme = st.scheme
+         |    AND cell.shard = st.shard
+         |    AND cell.batch = st.batch AND cell.source = g.source)
+         |SELECT scheme, shard, batch, n AS n_docs,
+         |  CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_sources,
+         |  CAST(sum(abs(CAST(c AS HUGEINT) * 1000000 // n
+         |    - CAST(gc AS HUGEINT) * 1000000 // n_tot)) AS BIGINT)
+         |    AS l1_vs_global_ppm
+         |FROM grid GROUP BY scheme, shard, batch, n""".stripMargin,
     "q233_reshard_card" -> {
       def chain(n: Int, tag: String) =
         s"""e$tag AS (SELECT doc_id, x,

@@ -103,6 +103,54 @@ class CurationCardsSpec extends AnyFunSuite with SparkTestSession {
     assert(plan.toSet == replan.toSet, "plan must survive repartitioning")
   }
 
+  test("mixtureSchedule: a permutation per shard; exact composition when " +
+      "shares divide the batch; prefix deviation bounded; repartition-stable") {
+    import spark.implicits._
+    // 2 sources at exactly 3:1 within one shard → every full batch of
+    // 4 must hold exactly (3, 1)
+    val df = (1L to 400L).map(i =>
+      (i, if (i % 4 == 0) "small" else "big")).toDF("doc_id", "src")
+    val sched = Sampling.mixtureSchedule(df, "src", "doc_id",
+      nShards = 1, batchSize = 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(sched.length == 400)
+    assert(sched.map(_._4).sorted.toSeq == (1L to 400L).toSeq,
+      "pos must be a permutation of the shard")
+    sched.groupBy(_._5).foreach { case (b, rows) =>
+      val comp = rows.groupBy(_._2).view.mapValues(_.length).toMap
+      assert(comp == Map("big" -> 3, "small" -> 1),
+        s"batch $b must replay the 3:1 mix exactly, got $comp")
+    }
+    // random-mix fixture: every prefix holds every source within
+    // ±(nSources) of its proportional share (the simultaneous-tie
+    // bound), across shards
+    val mixed = (1L to 300L).map(i =>
+      (i, s"s${(i * 2654435761L) % 5}")).toDF("doc_id", "src")
+    val plan = Sampling.mixtureSchedule(mixed, "src", "doc_id",
+      nShards = 2, batchSize = 8).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    plan.groupBy(_._2).foreach { case (shard, rows) =>
+      val n = rows.length
+      val bySource = rows.groupBy(_._1).view.mapValues(_.map(_._3).sorted).toMap
+      val nSources = bySource.size
+      for (m <- 1 to n) {
+        bySource.foreach { case (src, positions) =>
+          val got = positions.count(_ <= m)
+          val want = m.toDouble * positions.length / n
+          assert(math.abs(got - want) <= nSources + 1,
+            s"shard $shard prefix $m source $src: $got vs $want")
+        }
+      }
+    }
+    // determinism under repartitioning (the shardPlan contract)
+    val a = Sampling.mixtureSchedule(mixed, "src", "doc_id", 2, 8)
+      .collect().map(_.toSeq).toSet
+    val b = Sampling.mixtureSchedule(mixed.repartition(7), "src", "doc_id",
+      2, 8).collect().map(_.toSeq).toSet
+    assert(a == b, "the schedule must survive repartitioning")
+  }
+
   test("rendezvousShard: minimal disruption — movers go ONLY to the new shard") {
     val df = (1L to 400L).toDF("doc_id")
     val both = df.select(col("doc_id"),
