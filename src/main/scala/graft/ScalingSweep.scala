@@ -240,6 +240,21 @@ object ScalingSweep {
       val idx0 = graft.llm.MinHashLSH.signatureIndex(docsAt(k),
         "doc_id", "text", shingleN = 3, numHashes = 8, rowsPerBand = 1,
         cap = 64)
+      // the cc_delta FOLD at fixed batch: the families section prices
+      // base-clustering + fold together (lineage-truncated but inside
+      // the timed window); here the base clustering over all vertices
+      // id >= 2000 is built UNTIMED, and the same 2000-vertex arrival
+      // slice (ids < 2000 exist at every scale) folds at 1× and 10×
+      val (gv, ge) = graphAt(k)
+      val FixedArrivals = 2000L
+      val isOldV = (c: org.apache.spark.sql.Column) => c >= FixedArrivals
+      val ccExisting = graft.llm.Dedup.connectedComponents(
+        gv.filter(isOldV(col("doc_id"))),
+        ge.filter(isOldV(col("doc_a")) && isOldV(col("doc_b"))))
+        .localCheckpoint()
+      val ccArrivals = gv.filter(!isOldV(col("doc_id"))).localCheckpoint()
+      val ccNewEdges = ge.filter(!isOldV(col("doc_a")) ||
+        !isOldV(col("doc_b"))).localCheckpoint()
       val idx = graft.llm.MinHashLSH.SigIndex(idx0.bands.localCheckpoint(),
         idx0.counts.localCheckpoint(), idx0.sets.localCheckpoint())
       val emb = embAt(k).localCheckpoint()
@@ -268,7 +283,9 @@ object ScalingSweep {
             edges, 4, 64, nAssign = 2)),
         "graph_erase" -> (() =>
           graft.llm.IvfIndex.graphErase(emb, eraseVecIds(), assigned,
-            edges, 4, 64)))
+            edges, 4, 64)),
+        "cc_delta_fold" -> (() =>
+          graft.llm.Dedup.ccDelta(ccExisting, ccArrivals, ccNewEdges)))
       for ((name, th) <- thunks) {
         val t = (1 to iters).map { _ =>
           graft.llm.Caches.unpersistAll(blocking = true)
