@@ -481,4 +481,94 @@ object Sampling {
         expr("cast((cast(tn as decimal(38,0)) * mixture_ppm) div greatest(n_tokens, 1L) as bigint)"))
       .drop("tn", "tw")
   }
+
+  /** Exact integer square root as a Column: ⌊√v⌋ with the ±1 CASE
+    * correction, so the result is pure integer arithmetic — the
+    * double-precision seed can be off by one ulp on either engine,
+    * the correction lands both on the same integer. `v` must be a
+    * non-negative BIGINT (< 2⁶² so (s+1)² cannot overflow). */
+  private[graft] def isqrt(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val s0 = floor(sqrt(v.cast("double"))).cast("bigint")
+    val down = when((s0 * s0) > v, s0 - 1L).otherwise(s0)
+    when(((down + 1L) * (down + 1L)) <= v, down + 1L).otherwise(down)
+  }
+
+  /** Neyman (variance-optimal) allocation of a measurement budget
+    * across strata — the survey-sampling rule an eval-labeling budget
+    * should follow instead of proportional: sample stratum h in
+    * proportion to N_h·σ_h, so variable strata get the labels and
+    * homogeneous ones stop wasting them (Neyman 1934). Proportional
+    * sampling is optimal only when every stratum has the SAME
+    * variance — this card prices exactly that gap.
+    *
+    * Exact spelling: with per-stratum count n_h and metric sums Σt,
+    * Σt², the population-σ weight is
+    *
+    *   w_h = n_h·σ_h = √(n_h·Σt² − (Σt)²)   (the variance NUMERATOR)
+    *
+    * taken by [[isqrt]] — pure integer arithmetic, no IEEE
+    * composition to drift. Both allocations (∝ w_h and ∝ n_h) round
+    * by largest remainder ranked (remainder desc, stratum asc), so
+    * each sums to the budget EXACTLY. The card also carries the
+    * variance-of-the-mean ratio both designs achieve,
+    * vr = (Σw)² / (N·Σ⌊varnum_h/n_h⌋) in floor ppm (≤ 10⁶ by
+    * Cauchy–Schwarz; the per-term floor is part of the definition so
+    * both engines replay it bit-for-bit). Null strata are excluded;
+    * null metrics count as 0. Degenerate all-constant corpus (every
+    * w_h = 0): the Neyman arm grants one unit per stratum in stratum
+    * order until the budget or the strata run out — with zero
+    * variance anywhere, one sample per stratum IS the optimal
+    * design, and budget beyond that is honestly unspendable. Scale
+    * shape: ONE corpus aggregate to the #strata-row frame; the
+    * allocation windows walk that tiny frame (the cappedAllocation
+    * contract).
+    *
+    * Output per stratum: `(stratum, n_docs, w, alloc_neyman,
+    * alloc_prop, neyman_vs_prop_ppm)`. */
+  def neymanAllocation(df: DataFrame, stratumCol: String,
+      metricCol: String, budget: Long): DataFrame = {
+    require(budget >= 0L, "budget must be non-negative")
+    val qs = graft.Names.quoted(stratumCol)
+    val qm = graft.Names.quoted(metricCol)
+    val agg = Caches.persistTracked(df.filter(col(qs).isNotNull)
+      .groupBy(col(qs).cast("string").as("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col(qm).cast("decimal(38,0)")), lit(0L)
+          .cast("decimal(38,0)")).cast("bigint").as("st"),
+        coalesce(sum((col(qm).cast("decimal(38,0)") * col(qm))),
+          lit(0L).cast("decimal(38,0)")).as("st2"))
+      .withColumn("__varnum", expr(
+        "cast(cast(n_docs as decimal(38,0)) * st2 " +
+          "- cast(st as decimal(38,0)) * st as bigint)"))
+      .withColumn("w", isqrt(col("__varnum"))))
+    def apportion(weightCol: String, out: String): DataFrame = {
+      val tot = agg.agg(sum(col(weightCol).cast("decimal(38,0)"))
+        .as("tw"))
+      val base = agg.select(col("stratum"), col(weightCol).as("__w"))
+        .crossJoin(broadcast(tot))
+        .withColumn("__fl", expr(
+          s"cast(cast(__w as decimal(38,0)) * $budget div greatest(tw, 1) as bigint)"))
+        .withColumn("__rem", expr(
+          s"cast(cast(__w as decimal(38,0)) * $budget % greatest(tw, 1) as decimal(38,0))"))
+      val spent = base.agg(sum(col("__fl")).cast("bigint").as("__spent"))
+      base.crossJoin(broadcast(spent))
+        .withColumn("__rk", row_number().over(Window
+          .orderBy(col("__rem").desc, col("stratum"))).cast("bigint"))
+        .withColumn(out, col("__fl") +
+          when(col("__rk") <= lit(budget) - col("__spent"), 1L)
+            .otherwise(0L))
+        .select(col("stratum"), col(out))
+    }
+    val vr = agg.agg(
+        sum(col("w").cast("decimal(38,0)")).as("sw"),
+        sum(col("n_docs").cast("decimal(38,0)")).as("nn"),
+        sum(expr("__varnum div n_docs").cast("decimal(38,0)")).as("tv"))
+      .select(expr("cast(case when nn * tv > 0 then sw * sw * 1000000 " +
+        "div (nn * tv) else 1000000 end as bigint)")
+        .as("neyman_vs_prop_ppm"))
+    agg.select(col("stratum"), col("n_docs"), col("w"))
+      .join(apportion("w", "alloc_neyman"), Seq("stratum"))
+      .join(apportion("n_docs", "alloc_prop"), Seq("stratum"))
+      .crossJoin(broadcast(vr))
+  }
 }

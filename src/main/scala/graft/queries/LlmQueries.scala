@@ -3708,6 +3708,30 @@ object LlmQueries {
         col("n").as("n_docs"), col("n_sources"), col("l1_vs_global_ppm"))
   }
 
+  // ---- q307: Neyman allocation (variance-optimal eval budget) ----
+  // The survey-sampling rule an eval-labeling budget should follow
+  // instead of proportional (Neyman 1934): sample stratum h ∝
+  // N_h·σ_h, so variable sources get the labels and homogeneous ones
+  // stop wasting them. [[graft.llm.Sampling.neymanAllocation]] over
+  // per-doc token counts by source, budget 100: the weight is the
+  // EXACT integer √(n·Σt² − (Σt)²) via corrected isqrt (no IEEE
+  // composition), both arms round by largest remainder so each sums
+  // to the budget exactly, and the card carries the achieved
+  // variance-of-the-mean ratio (Σw)²/(N·Σ⌊varnum/n⌋) in floor ppm —
+  // ≤ 10⁶ by Cauchy–Schwarz, and the measured gap IS the benefit of
+  // scheduling the budget. Scale: one corpus aggregate; everything
+  // else walks the #sources-row frame (the cappedAllocation
+  // contract). The oracle replays sums, the isqrt correction, both
+  // apportionments, and the ratio in HUGEINT.
+  private val NeymanBudget = 100L
+  def q307NeymanAllocation(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Sampling.neymanAllocation(
+      graft.Tables.documents(s, dir)
+        .select(coalesce(col("source"), lit("(null)")).as("source"),
+          tokenCount(col("text")).cast("bigint").as("n_tok")),
+      "source", "n_tok", NeymanBudget)
+      .orderBy(col("stratum"))
+
   // ---- q219: sampling-temperature sweep (the mixing knob priced) ----
   // q161 prices T=2; this prices the knob: per temperature T ∈
   // {1, 2, 4}, every source's mixing share under weight ∝
@@ -3846,6 +3870,7 @@ object LlmQueries {
     "q233_reshard_card" -> q233ReshardCard _,
     "q275_shard_mixture" -> q275ShardMixture _,
     "q306_mixture_schedule" -> q306MixtureSchedule _,
+    "q307_neyman_allocation" -> q307NeymanAllocation _,
     "q234_cdc_dedup" -> q234CdcDedup _,
     "q235_cdc_admission" -> q235CdcAdmission _,
     "q236_cdc_admission_loaded" -> q236CdcAdmissionLoaded _,
@@ -6800,6 +6825,50 @@ object LlmQueries {
          |SELECT st.shard, st.n AS n_docs, l1.n_sources, sp.simpson_ppm,
          |  l1.l1_vs_global_ppm
          |FROM st JOIN l1 USING (shard) JOIN sp USING (shard)""".stripMargin
+    },
+    // sums, the corrected-isqrt weight, BOTH largest-remainder
+    // apportionments, and the Cauchy–Schwarz ratio in HUGEINT
+    "q307_neyman_allocation" -> {
+      def apportion(wcol: String, name: String) =
+        s"""${name}_base AS (SELECT stratum,
+           |    CAST(CAST($wcol AS HUGEINT) * $NeymanBudget
+           |      // greatest((SELECT sum($wcol) FROM w), 1) AS BIGINT) AS fl,
+           |    CAST($wcol AS HUGEINT) * $NeymanBudget
+           |      % greatest((SELECT sum($wcol) FROM w), 1) AS remv
+           |  FROM w),
+           |$name AS (SELECT stratum, CAST(fl + CASE WHEN
+           |    row_number() OVER (ORDER BY remv DESC, stratum)
+           |      <= $NeymanBudget - (SELECT sum(fl) FROM ${name}_base)
+           |    THEN 1 ELSE 0 END AS BIGINT) AS $name
+           |  FROM ${name}_base)""".stripMargin
+      s"""WITH d AS (SELECT coalesce(source, '(null)') AS stratum,
+         |    CAST(len($toksSql) AS BIGINT) AS m FROM documents),
+         |a AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(m) AS BIGINT) AS st,
+         |    CAST(sum(CAST(m AS HUGEINT) * m) AS HUGEINT) AS st2
+         |  FROM d GROUP BY 1),
+         |v AS (SELECT *, CAST(CAST(n_docs AS HUGEINT) * st2
+         |    - CAST(st AS HUGEINT) * st AS BIGINT) AS varnum FROM a),
+         |sq AS (SELECT *, CAST(floor(sqrt(CAST(varnum AS DOUBLE)))
+         |    AS BIGINT) AS s0 FROM v),
+         |dn AS (SELECT *, CASE WHEN s0 * s0 > varnum THEN s0 - 1
+         |    ELSE s0 END AS d0 FROM sq),
+         |w AS (SELECT stratum, n_docs, varnum,
+         |    CASE WHEN (d0 + 1) * (d0 + 1) <= varnum THEN d0 + 1
+         |      ELSE d0 END AS w FROM dn),
+         |${apportion("w", "alloc_neyman")},
+         |${apportion("n_docs", "alloc_prop")},
+         |vr AS (SELECT CAST(CASE WHEN nn * tv > 0
+         |    THEN sw * sw * 1000000 // (nn * tv) ELSE 1000000 END
+         |    AS BIGINT) AS neyman_vs_prop_ppm
+         |  FROM (SELECT CAST(sum(w) AS HUGEINT) AS sw,
+         |      CAST(sum(n_docs) AS HUGEINT) AS nn,
+         |      CAST(sum(varnum // n_docs) AS HUGEINT) AS tv FROM w))
+         |SELECT w.stratum, w.n_docs, w.w, alloc_neyman, alloc_prop,
+         |  neyman_vs_prop_ppm
+         |FROM w JOIN alloc_neyman USING (stratum)
+         |JOIN alloc_prop USING (stratum), vr
+         |ORDER BY w.stratum""".stripMargin
     },
     // the schedule replayed end to end: hash32, per-(shard, source)
     // ranks, the stride slot, the (slot, source, key) total order,

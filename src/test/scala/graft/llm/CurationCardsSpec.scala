@@ -151,6 +151,63 @@ class CurationCardsSpec extends AnyFunSuite with SparkTestSession {
     assert(a == b, "the schedule must survive repartitioning")
   }
 
+  test("neymanAllocation: exact sums, variance chases the budget, BigInt " +
+      "model agreement, degenerate constant corpus") {
+    import spark.implicits._
+    // stratum "wild" has huge spread, "tame" is near-constant, both
+    // the same size — Neyman must shift budget to wild
+    val rows = (1L to 60L).map { i =>
+      if (i <= 30) ("wild", if (i % 2 == 0) 1000L else 10L)
+      else ("tame", 100L + (i % 2))
+    }
+    val got = Sampling.neymanAllocation(rows.toDF("src", "m"),
+      "src", "m", 20L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // BigInt model
+    def isqrt(v: BigInt): BigInt = {
+      var s = BigInt(math.sqrt(v.toDouble).toLong)
+      while (s * s > v) s -= 1
+      while ((s + 1) * (s + 1) <= v) s += 1
+      s
+    }
+    val model = rows.groupBy(_._1).map { case (k, vs) =>
+      val n = BigInt(vs.length)
+      val st = vs.map(v => BigInt(v._2)).sum
+      val st2 = vs.map(v => BigInt(v._2) * v._2).sum
+      k -> ((n, n * st2 - st * st))
+    }
+    val w = model.view.mapValues { case (_, vn) => isqrt(vn) }.toMap
+    got.foreach { case (k, (_, gw, _, _, _)) =>
+      assert(BigInt(gw) === w(k), s"weight for $k")
+    }
+    assert(got.values.map(_._3).sum === 20L, "neyman sums to the budget")
+    assert(got.values.map(_._4).sum === 20L, "prop sums to the budget")
+    assert(got("wild")._3 > got("wild")._4,
+      "the variable stratum must get MORE than proportional")
+    // vr matches the model: (Σw)²·10⁶ / (N·Σ⌊varnum/n⌋)
+    val sw = w.values.sum
+    val nn = model.values.map(_._1).sum
+    val tv = model.map { case (_, (n, vn)) => vn / n }.sum
+    assert(BigInt(got("wild")._5) === sw * sw * 1000000 / (nn * tv))
+    assert(got("wild")._5 < 800000L,
+      "a genuinely skewed-variance corpus must show a real gap")
+    // equal-variance strata: both designs agree on every stratum
+    val eq = (1L to 40L).map(i => (s"s${i % 2}", i % 4))
+      .toDF("src", "m")
+    Sampling.neymanAllocation(eq, "src", "m", 10L).collect().foreach { r =>
+      assert(r.getLong(3) === r.getLong(4),
+        "equal variance ⇒ Neyman == proportional")
+    }
+    // degenerate constant corpus: every weight 0 → one unit per
+    // stratum in stratum order, honest unspent remainder
+    val const = (1L to 30L).map(i => (s"s${i % 3}", 7L)).toDF("src", "m")
+    val deg = Sampling.neymanAllocation(const, "src", "m", 9L).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(deg.values.forall(_ == 1L),
+      "zero variance everywhere ⇒ one sample per stratum")
+  }
+
   test("rendezvousShard: minimal disruption — movers go ONLY to the new shard") {
     val df = (1L to 400L).toDF("doc_id")
     val both = df.select(col("doc_id"),
