@@ -27,13 +27,36 @@ object Bench {
     // whole-stage-codegen compilation (~1s for the larger plans),
     // which at real scale amortizes to nothing — the steady-state
     // number is the meaningful one.
+    // Environment telemetry (r16 verdict ask #1): the r16 driver run
+    // read 334 s against a 232 s same-tree builder record, with
+    // per-iteration stalls of 30-100 s on queries whose plans hadn't
+    // changed in three rounds — and adjudicating "busy box" vs "plan
+    // regression" took a whole re-run session. Per-iteration process
+    // CPU seconds, GC ms, and 1-min box load make that adjudication a
+    // file read: a stalled iteration shows wall >> cpu with load far
+    // above this JVM's own thread count; a real regression shows cpu
+    // growing with wall.
+    val osBean = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def gcMs: Long = {
+      val it = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.iterator()
+      var s = 0L
+      while (it.hasNext) { val t = it.next().getCollectionTime; if (t > 0) s += t }
+      s
+    }
+    case class Iter(wall: Double, cpu: Double, gc: Long, load: Double)
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to iterations).map { _ =>
+      val iters = (1 to iterations).map { _ =>
         // drop the LSH/gram caches BEFORE each timed run: operators
         // persist skinny projections that a second iteration (or a
         // later query sharing the projection) would read back warm —
         // min-over-iterations must price the full compute every time
         graft.llm.Caches.unpersistAll(blocking = true)
+        val load0 = osBean.getSystemLoadAverage
+        val gc0 = gcMs
+        val cpu0 = osBean.getProcessCpuTime
         val t0 = System.nanoTime()
         // a failing query must fail the BENCH, not score as the run's
         // fastest entry — swallowing into a -1 sentinel once masked
@@ -43,21 +66,31 @@ object Bench {
           case e: Throwable =>
             throw new RuntimeException(s"bench query $name failed", e)
         }
-        (System.nanoTime() - t0) / 1e9
+        Iter((System.nanoTime() - t0) / 1e9,
+          (osBean.getProcessCpuTime - cpu0) / 1e9,
+          gcMs - gc0, load0)
       }
-      name -> times
+      name -> iters
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.min }
+    def fmtMap(f: Iter => String): String = results.map { case (k, v) =>
+      s"\"" + k + "\":" + v.map(f).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.map(_.wall).min }
       .mkString("{", ",", "}")
     // every iteration's time, not just the min: a one-off slow
     // iteration (GC pause, box noise) then shows up as [4.1, 0.4]
     // instead of masquerading as — or hiding — a plan regression
-    val iters = results.map { case (k, v) =>
-      s"\"" + k + "\":" + v.mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.map(_.min).sum else 0.0
+    val iters = fmtMap(i => f"${i.wall}%.3f")
+    val cpus = fmtMap(i => f"${i.cpu}%.3f")
+    val gcs = fmtMap(_.gc.toString)
+    val loads = fmtMap(i => f"${i.load}%.2f")
+    val total = if (results.nonEmpty) results.values.map(_.map(_.wall).min).sum
+                else 0.0
+    val env = s"""{"processors":${Runtime.getRuntime.availableProcessors}""" +
+      f""","load1m_end":${osBean.getSystemLoadAverage}%.2f""" +
+      s""","jvm":"${System.getProperty("java.version")}"}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"times":$iters,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"times":$iters,"cpu_sec":$cpus,"gc_ms":$gcs,"load1m":$loads,"env":$env,"sf":"$sfDir"}"""
     println(full)
     // ALSO land the complete per-query record in a committed file:
     // stdout rides the harness's bounded tail capture (2 KB), which

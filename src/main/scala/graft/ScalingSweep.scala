@@ -222,17 +222,42 @@ object ScalingSweep {
           expr("concat(slice(embedding, 8, size(embedding) - 7), " +
             "slice(embedding, 1, 7))").as("embedding"))
     // fixed erase set: replica-0 ids, present in the corpus at both
-    // scales (id % 37 — ~3% of the base slice)
-    def eraseDocIds(): DataFrame =
-      Tables.documents(spark, sfDir)
+    // scales (id % 37 — ~3% of the base slice), UNIONED with a
+    // transition-forcing component (r16 verdict ask #3): half the
+    // members (even ids) of replica-0 buckets sitting at n in
+    // (cap, 2·cap] — erasing half pulls those buckets back under the
+    // cap, so the timed erase fold exercises the cap-RESURRECTION
+    // branch instead of measuring a transition-free erase. Replica-0
+    // bucket structure is identical at both scales (vocab renaming
+    // keeps replicas collision-free), so the erase batch stays fixed.
+    def eraseDocIds(idx: graft.llm.MinHashLSH.SigIndex, cap: Long): DataFrame = {
+      val base = Tables.documents(spark, sfDir)
         .filter(pmod(col("doc_id"), lit(37L)) === 0L)
         .select(col("doc_id"))
+      val nearCap = idx.counts
+        .filter(col("n") > cap && col("n") <= 2L * cap)
+        .select(col("band_id"), col("band_key"))
+      val forced = idx.evicted.get
+        .join(nearCap, Seq("band_id", "band_key"), "left_semi")
+        .filter(col("doc_id") < 10000000L &&
+          pmod(col("doc_id"), lit(2L)) === 0L)
+        .select(col("doc_id")).distinct()
+      base.unionByName(forced).distinct()
+    }
     def eraseVecIds(): DataFrame =
       Tables.embeddings(spark, sfDir)
         .filter(pmod(col("vec_id"), lit(37L)) === 0L)
         .select(col("vec_id"))
+    // A bare lit(1) projection would re-enable column pruning and
+    // drop the expensive folded columns (shingle sets, counts
+    // arithmetic) out of the timed region; hashing EVERY column
+    // forces the full artifact image through evaluation while still
+    // collapsing to one long per row for toRdd.count().
     def forceAll(dfs: DataFrame*): DataFrame =
-      dfs.map(_.select(lit(1L).as("one"))).reduce(_ unionByName _)
+      dfs.map { df =>
+        df.select(xxhash64(df.columns
+          .map(c => col(graft.Names.quoted(c))): _*).as("one"))
+      }.reduce(_ unionByName _)
 
     val lifeTimes = scala.collection.mutable.LinkedHashMap[(String, Int), Double]()
     for (k <- scales) {
@@ -256,7 +281,17 @@ object ScalingSweep {
       val ccNewEdges = ge.filter(!isOldV(col("doc_a")) ||
         !isOldV(col("doc_b"))).localCheckpoint()
       val idx = graft.llm.MinHashLSH.SigIndex(idx0.bands.localCheckpoint(),
-        idx0.counts.localCheckpoint(), idx0.sets.localCheckpoint())
+        idx0.counts.localCheckpoint(), idx0.sets.localCheckpoint(),
+        idx0.evicted.map(_.localCheckpoint()))
+      // erase set pinned untimed (tombstone lists arrive as tiny
+      // materialized frames in production; deriving the forced-
+      // transition component from counts+tier is sweep scaffolding,
+      // not part of the fold being priced)
+      val eraseSet = eraseDocIds(idx, 64L).localCheckpoint()
+      val nTransitions = idx.counts.filter(col("n") > 64L && col("n") <= 128L)
+        .count()
+      println(s"SCALING lifecycle x$k: ${eraseSet.count()} erase ids, " +
+        s"$nTransitions near-cap buckets eligible to transition")
       val emb = embAt(k).localCheckpoint()
       val cb = graft.llm.IvfIndex.fitFixedPoint(emb, 16, 3)
       val assigned = graft.llm.IvfIndex.multiAssignments(emb, cb, 2)
@@ -268,12 +303,12 @@ object ScalingSweep {
         "sig_index_fold" -> (() => {
           val f = graft.llm.MinHashLSH.indexDelta(idx, docBatch(),
             "doc_id", "text", 3, 8, 1, 64)
-          forceAll(f.bands, f.counts, f.sets)
+          forceAll((Seq(f.bands, f.counts, f.sets) ++ f.evicted): _*)
         }),
         "sig_index_erase" -> (() => {
-          val f = graft.llm.MinHashLSH.indexErase(idx, eraseDocIds(),
+          val f = graft.llm.MinHashLSH.indexErase(idx, eraseSet,
             8, 1, 64)
-          forceAll(f.bands, f.counts, f.sets)
+          forceAll((Seq(f.bands, f.counts, f.sets) ++ f.evicted): _*)
         }),
         "fuzzy_admission" -> (() =>
           graft.llm.MinHashLSH.fuzzyAdmission(docBatch(), "doc_id",

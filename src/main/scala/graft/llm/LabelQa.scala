@@ -65,8 +65,11 @@ object LabelQa {
           lit(0L).cast("decimal(38,0)")).as("__pe_sum"),
         count(col("__na")).as("n_classes_a"),
         count(col("__nb")).as("n_classes_b"))
+    // coalesce matches kappaPivot's empty-corpus discipline: sum over
+    // zero cells is null, and a null n_items would propagate into
+    // every ppm column while the pivot spelling reads zeros
     val tot = cells.agg(
-      sum(col("__n")).as("n_items"),
+      coalesce(sum(col("__n")), lit(0L)).as("n_items"),
       coalesce(sum(when(col("__la") <=> col("__lb"), col("__n"))
         .otherwise(0L)), lit(0L)).as("n_agree"))
     tot.crossJoin(marg).select(
@@ -120,8 +123,12 @@ object LabelQa {
       .otherwise(lit(OtherLabel))
     val cs = classes :+ OtherLabel
     val marginalAggs = cs.zipWithIndex.flatMap { case (c, i) =>
-      Seq(sum(when(la === lit(c), 1L).otherwise(0L)).as(s"__na_$i"),
-        sum(when(lb === lit(c), 1L).otherwise(0L)).as(s"__nb_$i"))
+      // coalesce: sum over the empty corpus is null, and a null
+      // marginal would null pe_sum/kappa while n_items reads 0
+      Seq(coalesce(sum(when(la === lit(c), 1L).otherwise(0L)), lit(0L))
+          .as(s"__na_$i"),
+        coalesce(sum(when(lb === lit(c), 1L).otherwise(0L)), lit(0L))
+          .as(s"__nb_$i"))
     }
     val aggs =
       Seq(coalesce(count(lit(1)), lit(0L)).as("n_items"),
@@ -151,5 +158,144 @@ object LabelQa {
         | end as bigint)""".stripMargin).as("kappa_ppm"),
       nClasses("na").cast("bigint").as("n_classes_a"),
       nClasses("nb").cast("bigint").as("n_classes_b"))
+  }
+
+  /** Fleiss' kappa (Fleiss 1971) over a LONG-format ratings frame
+    * `(itemCol, raterCol, labelCol)` — the k-labeler generalization a
+    * weak-supervision stack needs once rules, a distilled classifier
+    * and a language-ID heuristic all vote ([[kappaCard]] grades
+    * exactly two). Chance agreement pools the marginals across
+    * raters (Fleiss ≠ averaged pairwise Cohen; at k = 2 it is
+    * Scott's pi, not Cohen's kappa — the pairwise view lives in
+    * [[kappaMatrix]]).
+    *
+    * Exact integer spelling, all floor-ppm: with per-item-category
+    * counts n_ic, T = Σ k_i (total ratings), A = Σ n_ic²,
+    * P = Σ k_i·(k_i−1) (rating pairs per item, the po denominator —
+    * generalizes the balanced N·k·(k−1)), and category marginal
+    * squares M2 = Σ_c (Σ_i n_ic)²:
+    *
+    *   po_ppm    = ⌊10⁶·(A − T) / max(P, 1)⌋
+    *   pe_ppm    = ⌊10⁶·M2 / max(T², 1)⌋
+    *   kappa_ppm = ±⌊10⁶·|(A−T)·T² − M2·P| / max(P·(T² − M2), 1)⌋
+    *
+    * (signed, the [[kappaCard]] truncation-direction CASE). Null
+    * labels are a real category (abstain). Fleiss assumes every item
+    * carries the SAME rating count; instead of assuming it the card
+    * REPORTS `unbalanced_items` (items whose k_i differs from the
+    * modal... from the max k) — a nonzero value means the po
+    * denominator P is the honest per-item-pairs sum, and the reader
+    * decides whether the design drifted. Empty corpus reads zeros
+    * (the [[kappaCard]] coalesce discipline).
+    *
+    * Scale shape: one (item, label) aggregate over the ratings
+    * stream, one item-sized rollup, one label-sized marginal — no
+    * joins keyed wider than the item id, nothing driver-side. */
+  def fleissCard(ratings: DataFrame, itemCol: String, raterCol: String,
+      labelCol: String): DataFrame = {
+    val qi = graft.Names.quoted(itemCol)
+    val ql = graft.Names.quoted(labelCol)
+    val nic = Caches.persistTracked(
+      ratings.groupBy(col(qi).as("__it"), col(ql).as("__lab"))
+        .agg(count(lit(1)).as("__c")))
+    val per = nic.groupBy(col("__it"))
+      .agg(sum(col("__c")).as("__ki"),
+        sum(col("__c") * col("__c")).as("__ai"))
+    val kmax = per.agg(coalesce(max(col("__ki")), lit(0L)).as("__kmax"))
+    val glob2 = per.crossJoin(broadcast(kmax)).agg(
+      coalesce(count(lit(1)), lit(0L)).as("n_items"),
+      coalesce(max(col("__ki")), lit(0L)).as("n_raters"),
+      coalesce(sum(when(col("__ki") =!= col("__kmax"), 1L)
+        .otherwise(0L)), lit(0L)).as("unbalanced_items"),
+      coalesce(sum(col("__ki")).cast("decimal(38,0)"),
+        lit(0L).cast("decimal(38,0)")).as("__t"),
+      coalesce(sum(col("__ai")).cast("decimal(38,0)"),
+        lit(0L).cast("decimal(38,0)")).as("__a"),
+      coalesce(sum((col("__ki") * (col("__ki") - 1L))
+        .cast("decimal(38,0)")), lit(0L).cast("decimal(38,0)"))
+        .as("__p"))
+    val marg = nic.groupBy(col("__lab"))
+      .agg(sum(col("__c")).cast("decimal(38,0)").as("__m"))
+      .agg(coalesce(sum(col("__m") * col("__m")),
+        lit(0L).cast("decimal(38,0)")).as("__m2"),
+        coalesce(count(lit(1)), lit(0L)).as("n_classes"))
+    glob2.crossJoin(broadcast(marg)).select(
+      col("n_items"), col("n_raters").cast("bigint").as("n_raters"),
+      col("n_classes"), col("unbalanced_items"),
+      expr("cast((__a - __t) * 1000000 div greatest(__p, 1) as bigint)")
+        .as("po_ppm"),
+      expr("cast(__m2 * 1000000 div greatest(__t * __t, 1) as bigint)")
+        .as("pe_ppm"),
+      expr("""cast(case
+        | when (__a - __t) * __t * __t - __m2 * __p >= 0
+        | then ((__a - __t) * __t * __t - __m2 * __p) * 1000000
+        |   div greatest(__p * (__t * __t - __m2), 1)
+        | else -((__m2 * __p - (__a - __t) * __t * __t) * 1000000
+        |   div greatest(__p * (__t * __t - __m2), 1))
+        | end as bigint)""".stripMargin).as("kappa_ppm"))
+  }
+
+  /** Pairwise Cohen's-kappa MATRIX over the same long-format ratings
+    * frame — one [[kappaCard]] row per unordered rater pair, computed
+    * group-wise in a single plan (no per-pair query loop): the drift
+    * instrument that NAMES the bad labeler where [[fleissCard]] only
+    * says "consensus dropped". A rater whose row-average kappa sits
+    * far under the others' is the drifted one (planted in
+    * LabelQaSpec).
+    *
+    * Same exact-ppm arithmetic as [[kappaCard]] — at two raters the
+    * single matrix row IS kappaCard's row (pinned by LabelQaSpec) —
+    * including the null-safe marginal join (abstain is a category)
+    * and the signed truncation CASE.
+    *
+    * Scale shape: the self-join keys on the item id (k−1 rows per
+    * rating row at k raters — k is 3-5, not corpus-sized); every
+    * frame after the cell aggregate is (pairs × classes)-sized. */
+  def kappaMatrix(ratings: DataFrame, itemCol: String, raterCol: String,
+      labelCol: String): DataFrame = {
+    val qi = graft.Names.quoted(itemCol)
+    val qr = graft.Names.quoted(raterCol)
+    val ql = graft.Names.quoted(labelCol)
+    val base = ratings.select(col(qi).as("__it"), col(qr).as("__r"),
+      col(ql).as("__lab"))
+    val cells = Caches.persistTracked(base.as("a")
+      .join(base.as("b"), col("a.__it") === col("b.__it") &&
+        col("a.__r") < col("b.__r"))
+      .groupBy(col("a.__r").as("rater_a"), col("b.__r").as("rater_b"),
+        col("a.__lab").as("__la"), col("b.__lab").as("__lb"))
+      .agg(count(lit(1)).as("__n")))
+    val na = cells.groupBy(col("rater_a"), col("rater_b"),
+      col("__la").as("__lab_a")).agg(sum(col("__n")).as("__na"))
+    val nb = cells.groupBy(col("rater_a"), col("rater_b"),
+      col("__lb").as("__lab_b")).agg(sum(col("__n")).as("__nb"))
+    val marg = na.as("x").join(nb.as("y"),
+        col("x.rater_a") === col("y.rater_a") &&
+          col("x.rater_b") === col("y.rater_b") &&
+          col("x.__lab_a") <=> col("y.__lab_b"), "full_outer")
+      .groupBy(coalesce(col("x.rater_a"), col("y.rater_a")).as("rater_a"),
+        coalesce(col("x.rater_b"), col("y.rater_b")).as("rater_b"))
+      .agg(coalesce(sum(
+          coalesce(col("__na"), lit(0L)).cast("decimal(38,0)") *
+            coalesce(col("__nb"), lit(0L))),
+          lit(0L).cast("decimal(38,0)")).as("__pe_sum"))
+    val tot = cells.groupBy(col("rater_a"), col("rater_b")).agg(
+      coalesce(sum(col("__n")), lit(0L)).as("n_items"),
+      coalesce(sum(when(col("__la") <=> col("__lb"), col("__n"))
+        .otherwise(0L)), lit(0L)).as("n_agree"))
+    tot.join(marg, Seq("rater_a", "rater_b")).select(
+      col("rater_a"), col("rater_b"), col("n_items"), col("n_agree"),
+      expr("cast(cast(n_agree as decimal(38,0)) * 1000000 " +
+        "div greatest(n_items, 1L) as bigint)").as("po_ppm"),
+      col("__pe_sum").cast("bigint").as("pe_sum"),
+      expr("cast(__pe_sum * 1000000 div greatest(" +
+        "cast(n_items as decimal(38,0)) * n_items, 1L) as bigint)")
+        .as("pe_ppm"),
+      expr("""cast(case
+        | when cast(n_agree as decimal(38,0)) * n_items - __pe_sum >= 0
+        | then (cast(n_agree as decimal(38,0)) * n_items - __pe_sum) * 1000000
+        |   div greatest(cast(n_items as decimal(38,0)) * n_items - __pe_sum, 1L)
+        | else -((__pe_sum - cast(n_agree as decimal(38,0)) * n_items) * 1000000
+        |   div greatest(cast(n_items as decimal(38,0)) * n_items - __pe_sum, 1L))
+        | end as bigint)""".stripMargin).as("kappa_ppm"))
   }
 }

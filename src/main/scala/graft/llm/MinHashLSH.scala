@@ -174,24 +174,44 @@ object MinHashLSH {
     *     rows' bucket population is invisible from the capped `bands`
     *     alone;
     *   - `sets`   — the sorted shingle sets ([[shingleSets]]), the
-    *     exact-Jaccard verify side.
+    *     exact-Jaccard verify side;
+    *   - `evicted` — OPTIONAL cold tier (r16 verdict ask #3): the
+    *     band rows of over-cap buckets that capping dropped from
+    *     `bands`, kept out-of-line. Serving never reads it; its one
+    *     consumer is [[indexErase]]'s cap-resurrection branch, which
+    *     turns "re-band every surviving set, then semi-join" into a
+    *     semi-join against this frame — an id lookup instead of a
+    *     corpus-sets-shaped signature pass per transitioning erase
+    *     batch. `None` on a pre-cold-tier artifact; every fold keeps
+    *     the tier exact (it always holds EXACTLY the rows of buckets
+    *     currently over the cap, for docs currently in the index).
     *
-    * All three are distributed parquet-shaped frames; nothing here
-    * ever touches the driver. */
+    * All frames are distributed parquet-shaped; nothing here ever
+    * touches the driver. */
   final case class SigIndex(bands: DataFrame, counts: DataFrame,
-      sets: DataFrame)
+      sets: DataFrame, evicted: Option[DataFrame] = None)
 
   /** Build the full [[SigIndex]] over a corpus — the train-side
-    * spelling whose fold twin is [[indexDelta]]. */
+    * spelling whose fold twin is [[indexDelta]]. The cold tier is
+    * populated whenever a cap is in force (the rows it holds are the
+    * complement of `bands` within the uncapped band frame, derived by
+    * one semi-join against the over-cap bucket list — build-side,
+    * one-time cost). */
   def signatureIndex(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int, rowsPerBand: Int, cap: Int): SigIndex = {
     val sets = shingleSets(docs, idCol, textCol, shingleN)
     val bands = bandIndexFromSets(sets, numHashes, rowsPerBand)
+    val counts = bands.groupBy(col("band_id"), col("band_key"))
+      .agg(count(lit(1)).as("n"))
+    val evicted =
+      if (cap <= 0) None
+      else Some(bands.join(
+        counts.filter(col("n") > cap).select(col("band_id"), col("band_key")),
+        Seq("band_id", "band_key"), "left_semi")
+        .select(col("doc_id"), col("band_id"), col("band_key")))
     SigIndex(
       capBuckets(bands, Seq("band_id", "band_key"), cap),
-      bands.groupBy(col("band_id"), col("band_key"))
-        .agg(count(lit(1)).as("n")),
-      sets)
+      counts, sets, evicted)
   }
 
   /** Fold an arrival batch into an existing [[SigIndex]] — incremental
@@ -240,7 +260,20 @@ object MinHashLSH {
           .select(col("band_id"), col("band_key")),
         Seq("band_id", "band_key"), "left_semi")
         .select(col("doc_id"), col("band_id"), col("band_key"))
-    SigIndex(kept, totals, index.sets.unionByName(aSets))
+    // cold-tier maintenance: counts only GROW under an append, so
+    // previously over-cap buckets stay over (their tier rows stand)
+    // and the newly-over-cap buckets' rows all sit in `unioned` (old
+    // rows were ≤ cap hence in index.bands; new rows are aBands) —
+    // one semi-join moves them into the tier
+    val evicted =
+      if (cap <= 0) None
+      else index.evicted.map(_.unionByName(
+        unioned.join(
+          totals.filter(col("n") > cap)
+            .select(col("band_id"), col("band_key")),
+          Seq("band_id", "band_key"), "left_semi")
+          .select(col("doc_id"), col("band_id"), col("band_key"))))
+    SigIndex(kept, totals, index.sets.unionByName(aSets), evicted)
   }
 
   /** Erasure-APPLY on the shipped signature index — [[indexDelta]]
@@ -261,7 +294,10 @@ object MinHashLSH {
     *     pass through (they are all present in `index.bands`);
     *   - a bucket the erase pulls from OVER the cap back to ≤ cap must
     *     RESURRECT its surviving rows (they were evicted at build, so
-    *     `index.bands` cannot supply them): they regenerate from the
+    *     `index.bands` cannot supply them): with the cold tier
+    *     (`evicted`) shipped, they are READ BACK from it — two
+    *     id/bucket-keyed joins, zero re-banding; on a pre-cold-tier
+    *     artifact (`evicted = None`) they regenerate from the
     *     surviving sets — a row-local signature pass over the loaded
     *     integer sets (no text, no md5 re-hash of shingles, since `s`
     *     already holds the base hashes) semi-joined against the
@@ -280,10 +316,10 @@ object MinHashLSH {
     *
     * 100 TB shape: one batch-bounded re-band of the erase set, one
     * bucket-keyed join against the counts frame (bucket-sized), two
-    * id-keyed anti-joins, and a signature pass over the surviving
-    * sets that shuffles ONLY the resurrected rows (the semi-join
-    * filter runs map-side against the broadcast-size transitioned
-    * list). No driver state. */
+    * id-keyed anti-joins, and — with the cold tier — a resurrection
+    * that touches only the tier frame (over-cap rows, a small slice
+    * of the index) via map-side semi/anti joins against the
+    * broadcast-size transitioned list. No driver state. */
   def indexErase(index: SigIndex, eraseIds: DataFrame, numHashes: Int,
       rowsPerBand: Int, cap: Int): SigIndex = {
     val ids = eraseIds.select(col("doc_id"))
@@ -300,20 +336,43 @@ object MinHashLSH {
     val newSets = index.sets.join(ids, Seq("doc_id"), "left_anti")
     val keptOld = index.bands.join(ids, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("band_id"), col("band_key"))
-    val kept =
-      if (cap <= 0) keptOld
-      else {
-        val transitioned = totals
-          .filter(col("n") > cap && col("n2") <= cap && col("n2") > 0L)
-          .select(col("band_id"), col("band_key"))
-        // transitioned buckets had n > cap, so index.bands holds none
-        // of their rows — the union cannot double-keep anything
-        val resurrected = bandIndexFromSets(newSets, numHashes, rowsPerBand)
-          .join(transitioned, Seq("band_id", "band_key"), "left_semi")
-          .select(col("doc_id"), col("band_id"), col("band_key"))
-        keptOld.unionByName(resurrected)
+    if (cap <= 0) SigIndex(keptOld, newCounts, newSets, None)
+    else {
+      val transitioned = totals
+        .filter(col("n") > cap && col("n2") <= cap && col("n2") > 0L)
+        .select(col("band_id"), col("band_key"))
+      // transitioned buckets had n > cap, so index.bands holds none
+      // of their rows — the union cannot double-keep anything
+      val resurrected = index.evicted match {
+        case Some(ev) =>
+          // cold tier present: resurrection is an id lookup — the
+          // tier holds exactly the over-cap buckets' rows, so the
+          // survivors of a transitioned bucket are (tier rows minus
+          // erased docs) semi-joined on the transitioned list. No
+          // signature pass over the corpus sets, ever (plan-asserted
+          // by SigIndexDeltaSpec: one minhash_sigs in the erase
+          // plan, the batch-bounded erase-side re-band).
+          ev.join(ids, Seq("doc_id"), "left_anti")
+            .join(transitioned, Seq("band_id", "band_key"), "left_semi")
+            .select(col("doc_id"), col("band_id"), col("band_key"))
+        case None =>
+          // pre-cold-tier artifact: regenerate survivors from the
+          // surviving sets — row-local over loaded integer sets, but
+          // corpus-sets-shaped CPU per transitioning erase batch
+          bandIndexFromSets(newSets, numHashes, rowsPerBand)
+            .join(transitioned, Seq("band_id", "band_key"), "left_semi")
+            .select(col("doc_id"), col("band_id"), col("band_key"))
       }
-    SigIndex(kept, newCounts, newSets)
+      val kept = keptOld.unionByName(resurrected)
+      // tier after the erase: drop erased docs' rows, then drop the
+      // buckets that transitioned back under the cap (their rows just
+      // moved into `bands`); still-over-cap buckets keep their rows
+      val evicted = index.evicted.map(
+        _.join(ids, Seq("doc_id"), "left_anti")
+          .join(transitioned, Seq("band_id", "band_key"), "left_anti")
+          .select(col("doc_id"), col("band_id"), col("band_key")))
+      SigIndex(kept, newCounts, newSets, evicted)
+    }
   }
 
   /** Near-dup ADMISSION of an arrival batch against the SHIPPED

@@ -537,9 +537,23 @@ object Sampling {
           .cast("decimal(38,0)")).cast("bigint").as("st"),
         coalesce(sum((col(qm).cast("decimal(38,0)") * col(qm))),
           lit(0L).cast("decimal(38,0)")).as("st2"))
-      .withColumn("__varnum", expr(
-        "cast(cast(n_docs as decimal(38,0)) * st2 " +
-          "- cast(st as decimal(38,0)) * st as bigint)"))
+      .withColumn("__varnum_dec", expr(
+        "cast(n_docs as decimal(38,0)) * st2 " +
+          "- cast(st as decimal(38,0)) * st"))
+      // isqrt's precondition (v < 2^62 so (s+1)^2 can't overflow) is
+      // ENFORCED, not assumed: Spark's non-ANSI decimal->bigint cast
+      // silently nulls past 2^63 (mispricing every allocation with no
+      // error) while DuckDB's CAST raises — raise_error makes both
+      // engines fail loudly and identically on a too-hot stratum.
+      .withColumn("__varnum",
+        when(col("__varnum_dec") >= lit("4611686018427387904")
+            .cast("decimal(38,0)"),
+          raise_error(concat(
+            lit("neymanAllocation: variance numerator >= 2^62 for stratum "),
+            col("stratum"),
+            lit(" — rescale the metric before allocating"))).cast("bigint"))
+          .otherwise(col("__varnum_dec").cast("bigint")))
+      .drop("__varnum_dec")
       .withColumn("w", isqrt(col("__varnum"))))
     def apportion(weightCol: String, out: String): DataFrame = {
       val tot = agg.agg(sum(col(weightCol).cast("decimal(38,0)"))

@@ -440,18 +440,20 @@ object SimilarityQueries {
   def q280IndexDelta(s: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.documents(s, dir)
     val root = graft.llm.Artifacts.ensure(dir,
-        s"minhash-index-v2-n$NumHashes-r1-s$ShingleN-c$AdmitCap") { p =>
+        s"minhash-index-v3-n$NumHashes-r1-s$ShingleN-c$AdmitCap") { p =>
       val idx = MinHashLSH.signatureIndex(
         docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
         "doc_id", "text", ShingleN, NumHashes, 1, AdmitCap)
       graft.llm.Artifacts.saveIndexFrame(p + "/bands", idx.bands)
       graft.llm.Artifacts.saveIndexFrame(p + "/counts", idx.counts)
       graft.llm.Artifacts.saveIndexFrame(p + "/sets", idx.sets)
+      graft.llm.Artifacts.saveIndexFrame(p + "/evicted", idx.evicted.get)
     }
     val loaded = MinHashLSH.SigIndex(
       graft.llm.Artifacts.loadIndexFrame(s, root + "/bands"),
       graft.llm.Artifacts.loadIndexFrame(s, root + "/counts"),
-      graft.llm.Artifacts.loadIndexFrame(s, root + "/sets"))
+      graft.llm.Artifacts.loadIndexFrame(s, root + "/sets"),
+      Some(graft.llm.Artifacts.loadIndexFrame(s, root + "/evicted")))
     val folded = MinHashLSH.indexDelta(loaded,
       docs.filter(pmod(col("doc_id"), lit(10)) === 0),
       "doc_id", "text", ShingleN, NumHashes, 1, AdmitCap)
@@ -495,17 +497,21 @@ object SimilarityQueries {
   def q294IndexErase(s: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.documents(s, dir)
     val root = graft.llm.Artifacts.ensure(dir,
-        s"minhash-index-all-v1-n$NumHashes-r1-s$ShingleN-c$AdmitCap") { p =>
+        s"minhash-index-all-v2-n$NumHashes-r1-s$ShingleN-c$AdmitCap") { p =>
       val idx = MinHashLSH.signatureIndex(docs, "doc_id", "text",
         ShingleN, NumHashes, 1, AdmitCap)
       graft.llm.Artifacts.saveIndexFrame(p + "/bands", idx.bands)
       graft.llm.Artifacts.saveIndexFrame(p + "/counts", idx.counts)
       graft.llm.Artifacts.saveIndexFrame(p + "/sets", idx.sets)
+      // the cold tier ships WITH the index (r16 ask #3): erasure's
+      // cap resurrection then never re-bands the surviving corpus
+      graft.llm.Artifacts.saveIndexFrame(p + "/evicted", idx.evicted.get)
     }
     val loaded = MinHashLSH.SigIndex(
       graft.llm.Artifacts.loadIndexFrame(s, root + "/bands"),
       graft.llm.Artifacts.loadIndexFrame(s, root + "/counts"),
-      graft.llm.Artifacts.loadIndexFrame(s, root + "/sets"))
+      graft.llm.Artifacts.loadIndexFrame(s, root + "/sets"),
+      Some(graft.llm.Artifacts.loadIndexFrame(s, root + "/evicted")))
     val erased = MinHashLSH.indexErase(loaded,
       docs.filter(pmod(col("doc_id"), lit(EraseSliceMod)) === 0)
         .select(col("doc_id")),

@@ -57,11 +57,25 @@ class StageBudgetSpec extends AnyFunSuite with SparkTestSession {
     "q100_triangles" -> (32, 32),
     "q170_hits" -> (60, 60),
     "q172_seeded_pagerank" -> (45, 45),
-    "q283_bootstrap_ci" -> (5, 6))
+    "q283_bootstrap_ci" -> (5, 6),
+    // r16 ask #5: the remaining consistent driver-spread offenders,
+    // measured warm at sf0.001 (q124=13, q125=12, q209=22, q220=29,
+    // q295=30) + ~30% headroom
+    "q124_itemsets" -> (17, 17),
+    "q125_ivf_balance" -> (16, 16),
+    "q209_nb_calibration" -> (29, 29),
+    "q220_overlap_estimate" -> (38, 38),
+    "q295_erase_apply" -> (39, 40))
 
   budgets.foreach { case (name, (maxJobs, maxStages)) =>
     test(s"$name stays inside its scheduling budget " +
         s"(jobs <= $maxJobs, stages <= $maxStages)") {
+      graft.llm.Caches.unpersistAll(blocking = true)
+      // warm pass OUTSIDE the counters: artifact-backed queries
+      // (q295) build their parquet artifacts on first touch — the
+      // budget pins the SERVE path's scheduling, not the one-time
+      // build
+      SparkEntry.queries(name)(spark, Dir).queryExecution.toRdd.count(): Unit
       graft.llm.Caches.unpersistAll(blocking = true)
       val (jobs, stages) = counted {
         SparkEntry.queries(name)(spark, Dir).queryExecution.toRdd.count(): Unit

@@ -208,6 +208,23 @@ class CurationCardsSpec extends AnyFunSuite with SparkTestSession {
       "zero variance everywhere ⇒ one sample per stratum")
   }
 
+  test("neymanAllocation fails LOUDLY past the isqrt envelope instead of " +
+      "silently nulling the weights") {
+    import spark.implicits._
+    // varnum for a 2-row stratum (v, 0) is v² — v = 4·10⁹ puts it at
+    // 1.6·10¹⁹ > 2⁶², where the old bigint cast would have silently
+    // produced null weights (and DuckDB's CAST would have errored:
+    // divergent failure modes)
+    val hot = Seq(("s", 4000000000L), ("s", 0L)).toDF("src", "m")
+    val e = intercept[Exception] {
+      Sampling.neymanAllocation(hot, "src", "m", 10L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("variance numerator")),
+      s"expected the overflow guard, got: $e")
+  }
+
   test("rendezvousShard: minimal disruption — movers go ONLY to the new shard") {
     val df = (1L to 400L).toDF("doc_id")
     val both = df.select(col("doc_id"),

@@ -39,6 +39,23 @@ class LabelQaSpec extends AnyFunSuite with SparkTestSession {
       (pe * 1000000 / (n * n).max(BigInt(1))).toLong, kappa.toLong)
   }
 
+  test("empty pair frame reads zeros, not nulls — card == pivot on the " +
+      "degenerate corpus") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, String)].toDF("lab_a", "lab_b")
+    val r = card(empty)
+    assert(r.getAs[Long]("n_items") === 0L)
+    assert(r.getAs[Long]("n_agree") === 0L)
+    assert(r.getAs[Long]("po_ppm") === 0L)
+    assert(r.getAs[Long]("pe_ppm") === 0L)
+    assert(r.getAs[Long]("kappa_ppm") === 0L)
+    val p = LabelQa.kappaPivot(empty, "lab_a", "lab_b", Seq("en", "no"))
+      .collect().head
+    assert(p.getAs[Long]("n_items") === 0L &&
+      p.getAs[Long]("kappa_ppm") === r.getAs[Long]("kappa_ppm"),
+      "empty-corpus parity between spellings")
+  }
+
   test("perfect agreement reads kappa = 10^6") {
     val r = card(pairs(("en", "en"), ("no", "no"), ("de", "de"),
       ("en", "en")))

@@ -33,11 +33,26 @@ class SigIndexDeltaSpec extends AnyFunSuite with SparkTestSession {
   private def setKeys(ix: MinHashLSH.SigIndex): Set[Long] =
     ix.sets.select(col("doc_id")).collect().map(_.getLong(0)).toSet
 
+  private def evictedRows(df: DataFrame): Set[(Long, Int, String)] =
+    df.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+
   private def assertEqualIndex(got: MinHashLSH.SigIndex,
       want: MinHashLSH.SigIndex): Unit = {
     assert(bandRows(got) === bandRows(want), "bands diverged from rebuild")
     assert(countRows(got) === countRows(want), "counts diverged from rebuild")
     assert(setKeys(got) === setKeys(want), "sets diverged from rebuild")
+    // the cold tier is part of the fold == rebuild contract too: after
+    // any fold it must hold EXACTLY the over-cap buckets' rows a
+    // rebuild would evict (else a later erase resurrects from a stale
+    // tier)
+    (got.evicted, want.evicted) match {
+      case (Some(g), Some(w)) =>
+        assert(evictedRows(g) === evictedRows(w),
+          "cold tier diverged from rebuild's evicted rows")
+      case (None, None) => ()
+      case (g, w) => fail(s"tier presence diverged: got=${g.isDefined} " +
+        s"want=${w.isDefined}")
+    }
   }
 
   test("fold == rebuild across every planted cap transition") {
@@ -165,6 +180,61 @@ class SigIndexDeltaSpec extends AnyFunSuite with SparkTestSession {
       slice(0, 10).unionByName(slice(20, 30)).unionByName(recrawled),
       "doc_id", "text", 2, N, 1, Cap)
     assertEqualIndex(folded, rebuilt)
+  }
+
+  test("pre-cold-tier artifact (evicted = None) falls back to re-banding " +
+      "and still matches rebuild") {
+    val corpus = df(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "alpha beta gamma"),                              // over cap
+      (4L, "delta epsilon zeta"), (5L, "delta epsilon zeta"))
+    val built0 = MinHashLSH.signatureIndex(corpus, "doc_id", "text",
+      2, N, 1, Cap)
+    val legacy = MinHashLSH.SigIndex(built0.bands, built0.counts,
+      built0.sets, None)
+    val erased = MinHashLSH.indexErase(legacy, eraseIds(1L), N, 1, Cap)
+    val rebuilt = MinHashLSH.signatureIndex(
+      corpus.filter(col("doc_id") =!= 1L), "doc_id", "text", 2, N, 1, Cap)
+    assert(bandRows(erased) === bandRows(rebuilt))
+    assert(countRows(erased) === countRows(rebuilt))
+    assert(setKeys(erased) === setKeys(rebuilt))
+    assert(erased.evicted.isEmpty,
+      "a legacy index cannot grow a tier mid-erase")
+    val kept = bandRows(erased).map(_._1)
+    assert(kept.contains(2L) && kept.contains(3L),
+      "fallback resurrection failed")
+  }
+
+  test("cold tier makes erase resurrection an id lookup: exactly one " +
+      "minhash_sigs in the erase plan (the erase-side re-band), none " +
+      "over the surviving corpus") {
+    val corpus = df(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "alpha beta gamma"),
+      (4L, "delta epsilon zeta"), (5L, "delta epsilon zeta"))
+    val built = MinHashLSH.signatureIndex(corpus, "doc_id", "text",
+      2, N, 1, Cap)
+    // pin the frames so the build lineage (which DOES re-band) can't
+    // leak into the erase plan under inspection — a loaded artifact
+    // is exactly this shape
+    val loaded = MinHashLSH.SigIndex(built.bands.localCheckpoint(),
+      built.counts.localCheckpoint(), built.sets.localCheckpoint(),
+      built.evicted.map(_.localCheckpoint()))
+    def sigsIn(dfr: DataFrame): Int =
+      "minhash_sigs".r.findAllIn(
+        dfr.queryExecution.optimizedPlan.toString).length
+    val cold = MinHashLSH.indexErase(loaded, eraseIds(1L), N, 1, Cap)
+    assert(sigsIn(cold.bands) === 1,
+      "cold-tier erase must re-band ONLY the erase set")
+    val legacy = MinHashLSH.indexErase(
+      MinHashLSH.SigIndex(loaded.bands, loaded.counts, loaded.sets, None),
+      eraseIds(1L), N, 1, Cap)
+    assert(sigsIn(legacy.bands) >= 2,
+      "fallback path should show the corpus re-band the tier removes")
+    // and the cold plan still produces the exact rebuild image
+    val rebuilt = MinHashLSH.signatureIndex(
+      corpus.filter(col("doc_id") =!= 1L), "doc_id", "text", 2, N, 1, Cap)
+    assert(bandRows(cold) === bandRows(rebuilt))
   }
 
   test("eraseImpact reports live rows and resurrection triggers") {
