@@ -400,6 +400,76 @@ object Dedup {
     stripSpans(docs, idCol, textCol, gramN,
       dupGramIndex(docs, idCol, textCol, gramN, minOcc))
 
+  /** Span-removal aggressiveness SWEEP (r16 verdict ask #7): price
+    * what [[removeDupSpans]] would strip across a (gramN × minOcc)
+    * grid BEFORE committing the curation decision — Lee et al.'s
+    * operating point is corpus-dependent, and defaulting it is how a
+    * pipeline silently deletes 30% of its tokens. One row per grid
+    * cell: `(gram_n, min_occ, n_blocklist_grams, n_docs_touched,
+    * tokens_removed, total_tokens, strip_ppm)` where `tokens_removed`
+    * is EXACTLY the token count [[stripSpans]] would remove at that
+    * cell (coverage = union of [start, start+gramN) windows, the same
+    * arithmetic — pinned against the actual strip in SpanSweepSpec).
+    *
+    * Cost shape (the q193 threshold-sweep discipline): ONE gram
+    * position frame per gramN, persisted and shared by every minOcc
+    * cell — the counts aggregate, the blocklist sizes and the
+    * coverage pass all derive from it; minOcc thresholds multiply
+    * only the post-join filter, never the tokenize. The per-(doc,
+    * cell) coverage projection is row-local array arithmetic bounded
+    * by doc length (the stripSpans bound); cells are a literal grid
+    * (broadcast, never shuffled). */
+  def spanSweep(docs: DataFrame, idCol: String, textCol: String,
+      gramNs: Seq[Int], minOccs: Seq[Long]): DataFrame = {
+    require(gramNs.nonEmpty && minOccs.nonEmpty, "empty sweep grid")
+    require(minOccs.forall(_ >= 2L), "minOcc < 2 blocklists every gram")
+    LlmFunctions.registerShingleBases(docs.sparkSession)
+    val q = graft.Names.quoted _
+    val session = docs.sparkSession
+    import session.implicits._
+    val grid = minOccs.toDF("min_occ")
+    val total = docs.agg(coalesce(sum(
+      graft.llm.TextAnalysis.tokenCount(col(q(textCol))).cast("bigint")),
+      lit(0L)).as("total_tokens"))
+    gramNs.map { gramN =>
+      val occ = Caches.persistTracked(docs
+        .select(col(q(idCol)).as("doc_id"), col(q(textCol)).as("__text"))
+        .filter(size(graft.llm.TextAnalysis.tokens(col("__text"))) >= gramN)
+        .select(col("doc_id"),
+          posexplode(expr(s"shingle_bases(__text, $gramN)"))
+            .as(Seq("__p", "__g"))))
+      val cnt = Caches.persistTracked(
+        occ.groupBy(col("__g")).agg(count(lit(1)).as("__n")))
+      val blk = cnt.crossJoin(broadcast(grid))
+        .filter(col("__n") >= col("min_occ"))
+        .groupBy(col("min_occ"))
+        .agg(count(lit(1)).as("n_blocklist_grams"))
+      val removedPerDoc = occ.join(cnt, Seq("__g"))
+        .crossJoin(broadcast(grid))
+        .filter(col("__n") >= col("min_occ"))
+        .groupBy(col("doc_id"), col("min_occ"))
+        .agg(collect_set(col("__p")).as("__st"))
+        .select(col("min_occ"),
+          size(expr("array_distinct(flatten(transform(__st, " +
+            s"p -> sequence(p, p + ${gramN - 1}))))"))
+            .cast("bigint").as("__removed"))
+      val agg = removedPerDoc.groupBy(col("min_occ"))
+        .agg(count(lit(1)).as("n_docs_touched"),
+          sum(col("__removed")).as("tokens_removed"))
+      grid.join(blk, Seq("min_occ"), "left")
+        .join(agg, Seq("min_occ"), "left")
+        .crossJoin(broadcast(total))
+        .select(lit(gramN.toLong).as("gram_n"), col("min_occ"),
+          coalesce(col("n_blocklist_grams"), lit(0L))
+            .as("n_blocklist_grams"),
+          coalesce(col("n_docs_touched"), lit(0L)).as("n_docs_touched"),
+          coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"),
+          col("total_tokens"),
+          expr("coalesce(tokens_removed, 0L) * 1000000L " +
+            "div greatest(total_tokens, 1L)").as("strip_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Segment-level (paragraph) duplication stats: split each document
     * into NON-overlapping token segments of `segLen` tokens (the last
     * segment may be shorter), hash each segment, and report per

@@ -1,0 +1,116 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fold-debt accounting for incrementally-maintained artifacts (r16
+  * verdict ask #4) — WHEN to checkpoint or rebuild a long-folded
+  * artifact, priced instead of hand-waved.
+  *
+  * Every delta/erase fold in this library (`indexDelta`/`indexErase`,
+  * `ccDelta`, `dupGramDelta`/`dupGramErase`, `ivfDelta`/`graphDelta`,
+  * …) is EXACT — fold ≡ rebuild, proven per family — but exactness
+  * says nothing about accumulated operational debt:
+  *
+  *   - **plan/lineage depth**: epoch e's folded frame nests every
+  *     prior epoch's plan (CcDeltaAdversarialSpec documented the
+  *     nesting); a store materializes between folds, but each fold
+  *     still appends files and widens the next fold's read;
+  *   - **file fragmentation**: one fold = at least one new delta
+  *     file per frame; readers pay per-file open cost that compounds
+  *     linearly in folds since the last compaction;
+  *   - **tombstone mass**: erase folds shrink counts but leave the
+  *     physical layout sized for the pre-erase corpus (anti-joined
+  *     rows still occupy the base files until a rewrite).
+  *
+  * [[schedule]] turns those three into ONE ppm-denominated debt
+  * stream and applies a deterministic, windowable policy:
+  *
+  *   - per epoch, `debt_ppm = depthUnitPpm + ⌊10⁶·arrivals/live⌋ +
+  *     tombWeight·⌊10⁶·erases/live⌋` — a constant charge per fold
+  *     (depth/fragmentation grow per fold regardless of size) plus
+  *     the relative delta mass plus the weighted tombstone mass;
+  *   - `debt_gen = cum_debt_ppm div debtBudgetPpm`: CHECKPOINT when
+  *     the running debt crosses a budget multiple (compaction resets
+  *     the meter by advancing the generation — "budget per
+  *     compaction cycle", expressible as a plain running-sum window
+  *     on BOTH engines, unlike a literal reset recurrence);
+  *   - `tomb_gen = cum_tomb_ppm div tombBudgetPpm`: REBUILD when
+  *     accumulated tombstone mass crosses its own budget — a rewrite
+  *     reclaims dead rows, which a checkpoint does not.
+  *
+  * An epoch's `action` is `rebuild` if `tomb_gen` advanced (rebuild
+  * subsumes checkpoint), else `checkpoint` if `debt_gen` advanced,
+  * else `fold`. `chain_depth` counts epochs within the current
+  * (debt_gen, tomb_gen) cell — the fold-chain length a reader of the
+  * artifact pays at that epoch.
+  *
+  * Scale shape: the input is one row per epoch (crawl cadence —
+  * dozens to thousands of rows, never corpus-shaped), so the
+  * single-partition ordered window is the CARD discipline, not a
+  * corpus window. The defaults make the policy concrete: at
+  * [[DefaultDepthUnitPpm]] = 125000, depth alone forces a checkpoint
+  * every 8 folds even if batches are empty; [[DefaultTombWeight]] = 4
+  * prices an erased row at 4× an appended one (erases dirty reads
+  * AND writes); [[DefaultTombBudgetPpm]] = 250000 rebuilds once a
+  * quarter of the live corpus has been erased since the last
+  * rebuild. Ingest twins read these constants — the thresholds are
+  * code, not lore. */
+object FoldDebt {
+
+  val DefaultDepthUnitPpm = 125000L
+  val DefaultTombWeight = 4L
+  val DefaultDebtBudgetPpm = 1000000L
+  val DefaultTombBudgetPpm = 250000L
+
+  /** The policy card over per-epoch fold stats.
+    *
+    * @param epochs one row per fold epoch: `(epochCol, arriveCol,
+    *   eraseCol)` — arrival row count and erased row count of that
+    *   epoch's batch, ordered by `epochCol`
+    * @return per epoch: `(epoch, batch_rows, erase_rows, live_rows,
+    *   debt_ppm, cum_debt_ppm, debt_gen, cum_tomb_ppm, tomb_gen,
+    *   chain_depth, action)` */
+  def schedule(epochs: DataFrame, epochCol: String, arriveCol: String,
+      eraseCol: String, depthUnitPpm: Long = DefaultDepthUnitPpm,
+      tombWeight: Long = DefaultTombWeight,
+      debtBudgetPpm: Long = DefaultDebtBudgetPpm,
+      tombBudgetPpm: Long = DefaultTombBudgetPpm): DataFrame = {
+    require(depthUnitPpm >= 0 && tombWeight >= 0, "weights must be >= 0")
+    require(debtBudgetPpm > 0 && tombBudgetPpm > 0, "budgets must be > 0")
+    val q = graft.Names.quoted _
+    val byEpoch = Window.orderBy(col("epoch"))
+    val cum = byEpoch.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    epochs
+      .select(col(q(epochCol)).cast("bigint").as("epoch"),
+        col(q(arriveCol)).cast("bigint").as("batch_rows"),
+        col(q(eraseCol)).cast("bigint").as("erase_rows"))
+      .withColumn("live_rows",
+        sum(col("batch_rows") - col("erase_rows")).over(cum))
+      .withColumn("debt_ppm",
+        lit(depthUnitPpm) +
+          expr("batch_rows * 1000000L div greatest(live_rows, 1L)") +
+          lit(tombWeight) *
+          expr("erase_rows * 1000000L div greatest(live_rows, 1L)"))
+      .withColumn("cum_debt_ppm", sum(col("debt_ppm")).over(cum))
+      .withColumn("debt_gen",
+        expr(s"cum_debt_ppm div ${debtBudgetPpm}L"))
+      .withColumn("cum_tomb_ppm", sum(
+        expr("erase_rows * 1000000L div greatest(live_rows, 1L)"))
+        .over(cum))
+      .withColumn("tomb_gen",
+        expr(s"cum_tomb_ppm div ${tombBudgetPpm}L"))
+      .withColumn("__pd", lag(col("debt_gen"), 1, 0L).over(byEpoch))
+      .withColumn("__pt", lag(col("tomb_gen"), 1, 0L).over(byEpoch))
+      .withColumn("action",
+        when(col("tomb_gen") > col("__pt"), lit("rebuild"))
+          .when(col("debt_gen") > col("__pd"), lit("checkpoint"))
+          .otherwise(lit("fold")))
+      .withColumn("chain_depth", row_number().over(Window
+        .partitionBy(col("debt_gen"), col("tomb_gen"))
+        .orderBy(col("epoch"))).cast("bigint"))
+      .drop("__pd", "__pt")
+  }
+}

@@ -1838,6 +1838,69 @@ object LlmQueries {
     graft.llm.LabelQa.kappaPivot(pair, "lab_a", "lab_b", KappaClasses)
   }
 
+  /** The 3-labeler weak-supervision stack q308/q309 grade — the
+    * corpus metadata tag, the n-gram language-ID heuristic, and the
+    * NB classifier, all voting on the held-out test slice in LONG
+    * format `(doc_id, rater, lab)`. Every test doc gets exactly one
+    * vote per rater (the Fleiss balance precondition, REPORTED not
+    * assumed by the card). */
+  private def labelerRatings(s: SparkSession, dir: String): DataFrame = {
+    val split = graft.llm.Sampling.hashSplit(
+      graft.Tables.documents(s, dir), "doc_id", ClsTrainPct, ClsValPct)
+    val counts = graft.llm.NbClassifier.train(
+      split.filter(col("split") === "train"), "text", "lang")
+    val test = graft.llm.Caches.persistTracked(
+      split.filter(col("split") === "test"))
+    test.select(col("doc_id"), lit("lang").as("rater"),
+        col("lang").as("lab"))
+      .unionByName(test.select(col("doc_id"), lit("langid").as("rater"),
+        langId("text").as("lab")))
+      .unionByName(
+        graft.llm.NbClassifier.predict(test, counts, "doc_id", "text")
+          .select(col("doc_id"), lit("nb").as("rater"),
+            col("label_pred").as("lab")))
+  }
+
+  // ---- q308: Fleiss' kappa (k-labeler consensus) ----
+  // q302 grades exactly two labelers; a weak-supervision stack has
+  // three or more the moment rules, a distilled classifier and a
+  // language-ID heuristic all vote. [[graft.llm.LabelQa.fleissCard]]
+  // pools the marginals across raters (Fleiss 1971) in the same
+  // exact floor-ppm integer discipline as q302 — po from per-item
+  // rating pairs, pe from pooled category marginals, the signed
+  // truncation CASE — and REPORTS imbalance instead of assuming the
+  // equal-k design. The oracle replays the full three-rater chain
+  // (split, NB train/predict, langId) and every aggregate.
+  def q308FleissKappa(s: SparkSession, dir: String): DataFrame =
+    graft.llm.LabelQa.fleissCard(labelerRatings(s, dir),
+      "doc_id", "rater", "lab")
+
+  // ---- q309: pairwise-kappa matrix (names the drifted labeler) ----
+  // [[graft.llm.LabelQa.kappaMatrix]] over the same three raters —
+  // one q302-arithmetic row per unordered pair, computed group-wise
+  // in ONE plan. Where q308 says "consensus dropped", the row whose
+  // two cells both sag names WHICH labeler drifted (the q303 monitor
+  // reads exactly that). At two raters the single row IS q302's card
+  // (pinned in LabelQaSpec).
+  def q309KappaMatrix(s: SparkSession, dir: String): DataFrame =
+    graft.llm.LabelQa.kappaMatrix(labelerRatings(s, dir),
+      "doc_id", "rater", "lab")
+
+  // ---- q310: span-removal aggressiveness sweep ----
+  // q300 strips at ONE (gramN, minOcc) point; this card prices the
+  // whole grid ([[graft.llm.Dedup.spanSweep]]) — blocklist size,
+  // docs touched, and EXACTLY the tokens q300 would remove at each
+  // cell (same coverage arithmetic, pinned in SpanSweepSpec) — so
+  // the curation operating point is chosen off a measured curve, not
+  // defaulted. One shared gram-position frame per gramN (the q193
+  // threshold-sweep discipline); thresholds multiply only the
+  // post-count filter, never the tokenize.
+  private[queries] val SpanSweepGramNs = Seq(4, 8)
+  private[queries] val SpanSweepMinOccs = Seq(2L, 3L, 5L)
+  def q310SpanSweep(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Dedup.spanSweep(graft.Tables.documents(s, dir),
+      "doc_id", "text", SpanSweepGramNs, SpanSweepMinOccs)
+
   // ---- q199: capped-proportional token-budget allocation ----
   // The fair-share decision q161/q191 stop short of: given a target
   // token budget (90% of the corpus here), how many tokens to DRAW
@@ -3918,6 +3981,9 @@ object LlmQueries {
     "q196_nb_loaded"   -> q196NbLoaded _,
     "q302_annotator_kappa" -> q302AnnotatorKappa _,
     "q303_kappa_monitor" -> q303KappaMonitor _,
+    "q308_fleiss_kappa" -> q308FleissKappa _,
+    "q309_kappa_matrix" -> q309KappaMatrix _,
+    "q310_span_sweep" -> q310SpanSweep _,
     "q116_khop_seeds"  -> q116KhopSeeds _,
     "q122_vocab_growth" -> q122VocabGrowth _,
     "q123_scene_cuts"  -> q123SceneCuts _,
@@ -4744,6 +4810,148 @@ object LlmQueries {
        |FROM ktot, kmarg""".stripMargin
   }
 
+  /** The q308/q309 three-rater long frame: corpus tag + langId +
+    * NB prediction over the test slice (replays labelerRatings). */
+  private val ratingsCtes =
+    s"""$nbCtes,
+       |pred AS (SELECT doc_id, lab AS label_pred FROM (
+       |    SELECT doc_id, lab, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY votes DESC, lab ASC) AS rn FROM votes) t
+       |  WHERE rn = 1),
+       |rat AS (
+       |  SELECT d.doc_id, 'lang' AS rater, d.lang AS lab
+       |  FROM documents d JOIN spl USING (doc_id)
+       |  WHERE spl.split = 'test'
+       |  UNION ALL
+       |  SELECT d.doc_id, 'langid' AS rater, $langCaseSql AS lab
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM documents) d
+       |  JOIN spl USING (doc_id) WHERE spl.split = 'test'
+       |  UNION ALL
+       |  SELECT d.doc_id, 'nb' AS rater, coalesce(p.label_pred,
+       |      '${graft.llm.NbClassifier.NoEvidenceLabel}') AS lab
+       |  FROM documents d JOIN spl USING (doc_id)
+       |  LEFT JOIN pred p USING (doc_id) WHERE spl.split = 'test')"""
+      .stripMargin
+
+  private val fleissOracleSql =
+    s"""WITH $ratingsCtes,
+       |fnic AS (SELECT doc_id, lab, CAST(count(*) AS BIGINT) AS c
+       |  FROM rat GROUP BY 1, 2),
+       |fper AS (SELECT doc_id, sum(c) AS ki, sum(c * c) AS ai
+       |  FROM fnic GROUP BY 1),
+       |fglob AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+       |    CAST(coalesce(max(ki), 0) AS BIGINT) AS n_raters,
+       |    CAST(coalesce(sum(CASE WHEN ki <> (SELECT max(ki) FROM fper)
+       |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS unbalanced_items,
+       |    CAST(coalesce(sum(ki), 0) AS HUGEINT) AS t,
+       |    CAST(coalesce(sum(ai), 0) AS HUGEINT) AS a,
+       |    CAST(coalesce(sum(ki * (ki - 1)), 0) AS HUGEINT) AS p
+       |  FROM fper),
+       |fm AS (SELECT CAST(coalesce(sum(m * m), 0) AS HUGEINT) AS m2,
+       |    CAST(count(*) AS BIGINT) AS n_classes
+       |  FROM (SELECT lab, CAST(sum(c) AS HUGEINT) AS m
+       |    FROM fnic GROUP BY 1) x)
+       |SELECT n_items, n_raters, n_classes, unbalanced_items,
+       |  CAST((a - t) * 1000000 // greatest(p, 1) AS BIGINT) AS po_ppm,
+       |  CAST(m2 * 1000000 // greatest(t * t, 1) AS BIGINT) AS pe_ppm,
+       |  CAST(CASE WHEN (a - t) * t * t - m2 * p >= 0
+       |    THEN ((a - t) * t * t - m2 * p) * 1000000
+       |      // greatest(p * (t * t - m2), 1)
+       |    ELSE -((m2 * p - (a - t) * t * t) * 1000000
+       |      // greatest(p * (t * t - m2), 1))
+       |    END AS BIGINT) AS kappa_ppm
+       |FROM fglob, fm""".stripMargin
+
+  private val kappaMatrixOracleSql =
+    s"""WITH $ratingsCtes,
+       |mc AS (SELECT a.rater AS rater_a, b.rater AS rater_b,
+       |    a.lab AS la, b.lab AS lb, CAST(count(*) AS BIGINT) AS n
+       |  FROM rat a JOIN rat b
+       |    ON a.doc_id = b.doc_id AND a.rater < b.rater
+       |  GROUP BY 1, 2, 3, 4),
+       |mna AS (SELECT rater_a, rater_b, la AS lab,
+       |    CAST(sum(n) AS BIGINT) AS na FROM mc GROUP BY 1, 2, 3),
+       |mnb AS (SELECT rater_a, rater_b, lb AS lab,
+       |    CAST(sum(n) AS BIGINT) AS nb FROM mc GROUP BY 1, 2, 3),
+       |mmarg AS (SELECT coalesce(x.rater_a, y.rater_a) AS rater_a,
+       |    coalesce(x.rater_b, y.rater_b) AS rater_b,
+       |    CAST(coalesce(sum(CAST(coalesce(na, 0) AS HUGEINT)
+       |      * coalesce(nb, 0)), 0) AS HUGEINT) AS pe_sum
+       |  FROM mna x FULL OUTER JOIN mnb y
+       |    ON x.rater_a = y.rater_a AND x.rater_b = y.rater_b
+       |      AND x.lab IS NOT DISTINCT FROM y.lab
+       |  GROUP BY 1, 2),
+       |mtot AS (SELECT rater_a, rater_b,
+       |    CAST(sum(n) AS BIGINT) AS n_items,
+       |    CAST(coalesce(sum(CASE WHEN la IS NOT DISTINCT FROM lb
+       |      THEN n ELSE 0 END), 0) AS BIGINT) AS n_agree
+       |  FROM mc GROUP BY 1, 2)
+       |SELECT t.rater_a, t.rater_b, t.n_items, t.n_agree,
+       |  CAST(CAST(n_agree AS HUGEINT) * 1000000
+       |    // greatest(n_items, 1) AS BIGINT) AS po_ppm,
+       |  CAST(pe_sum AS BIGINT) AS pe_sum,
+       |  CAST(pe_sum * 1000000 // greatest(CAST(n_items AS HUGEINT)
+       |    * n_items, 1) AS BIGINT) AS pe_ppm,
+       |  CAST(CASE
+       |    WHEN CAST(n_agree AS HUGEINT) * n_items - pe_sum >= 0
+       |    THEN (CAST(n_agree AS HUGEINT) * n_items - pe_sum) * 1000000
+       |      // greatest(CAST(n_items AS HUGEINT) * n_items - pe_sum, 1)
+       |    ELSE -((pe_sum - CAST(n_agree AS HUGEINT) * n_items) * 1000000
+       |      // greatest(CAST(n_items AS HUGEINT) * n_items - pe_sum, 1))
+       |    END AS BIGINT) AS kappa_ppm
+       |FROM mtot t JOIN mmarg m
+       |  ON t.rater_a = m.rater_a AND t.rater_b = m.rater_b"""
+      .stripMargin
+
+  private val spanSweepOracleSql = {
+    val p = graft.llm.MinHashLSH.P
+    val minOccList = SpanSweepMinOccs.mkString(", ")
+    def block(n: Int): String =
+      s"""sh$n AS (SELECT doc_id, CASE WHEN len(toks) >= $n
+         |    THEN list_transform(range(1, len(toks) - ${n - 2}),
+         |      i -> array_to_string(toks[i:i+${n - 1}], ' '))
+         |    ELSE [] END AS sh FROM tk),
+         |bs$n AS (SELECT doc_id, list_transform(sh,
+         |    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % $p) AS bases
+         |  FROM sh$n),
+         |occ$n AS (SELECT doc_id, CAST(i AS BIGINT) AS p, bases[i] AS g
+         |  FROM bs$n, unnest(range(1, len(bases) + 1)) AS u(i)),
+         |cnt$n AS (SELECT g, CAST(count(*) AS BIGINT) AS n
+         |  FROM occ$n GROUP BY g),
+         |blk$n AS (SELECT min_occ, CAST(count(*) AS BIGINT) AS nb
+         |  FROM cnt$n, grid WHERE n >= min_occ GROUP BY 1),
+         |cov$n AS (SELECT DISTINCT grid.min_occ, o.doc_id, ux.x
+         |  FROM occ$n o JOIN cnt$n c USING (g), grid,
+         |    unnest(range(o.p, o.p + $n)) AS ux(x)
+         |  WHERE c.n >= grid.min_occ),
+         |agg$n AS (SELECT min_occ,
+         |    CAST(count(DISTINCT doc_id) AS BIGINT) AS nd,
+         |    CAST(count(*) AS BIGINT) AS removed
+         |  FROM cov$n GROUP BY 1),
+         |cell$n AS (SELECT CAST($n AS BIGINT) AS gram_n, grid.min_occ,
+         |    coalesce(blk$n.nb, 0) AS n_blocklist_grams,
+         |    coalesce(agg$n.nd, 0) AS n_docs_touched,
+         |    coalesce(agg$n.removed, 0) AS tokens_removed
+         |  FROM grid LEFT JOIN blk$n USING (min_occ)
+         |  LEFT JOIN agg$n USING (min_occ))""".stripMargin
+    val blocks = SpanSweepGramNs.map(block).mkString(",\n")
+    val union = SpanSweepGramNs.map(n => s"SELECT * FROM cell$n")
+      .mkString(" UNION ALL ")
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tot AS (SELECT CAST(coalesce(sum(len(toks)), 0) AS BIGINT)
+       |    AS total_tokens FROM tk),
+       |grid AS (SELECT CAST(unnest([$minOccList]) AS BIGINT) AS min_occ),
+       |$blocks
+       |SELECT gram_n, min_occ,
+       |  CAST(n_blocklist_grams AS BIGINT) AS n_blocklist_grams,
+       |  CAST(n_docs_touched AS BIGINT) AS n_docs_touched,
+       |  CAST(tokens_removed AS BIGINT) AS tokens_removed,
+       |  tot.total_tokens,
+       |  CAST(tokens_removed * 1000000 // greatest(total_tokens, 1)
+       |    AS BIGINT) AS strip_ppm
+       |FROM ($union) c, tot""".stripMargin
+  }
+
   private val nbClsSql =
     s"""WITH $nbCtes,
        |pred AS (SELECT doc_id, lab AS label_pred FROM (
@@ -5120,6 +5328,16 @@ object LlmQueries {
     // HUGEINT chance product → signed floor-ppm ratio with the same
     // symmetric-truncation CASE as the Spark side
     "q302_annotator_kappa" -> kappaOracleSql(lump = false),
+    // three-rater chain replayed (split, NB, langId), then Fleiss'
+    // pooled-marginal arithmetic aggregate-for-aggregate
+    "q308_fleiss_kappa" -> fleissOracleSql,
+    // the same chain self-joined into unordered pairs, q302's kappa
+    // arithmetic per pair
+    "q309_kappa_matrix" -> kappaMatrixOracleSql,
+    // one gram-position CTE per gramN, the minOcc grid applied after
+    // the counts — blocklist sizes and interval-union coverage
+    // replayed exactly
+    "q310_span_sweep" -> spanSweepOracleSql,
     // the monitor spelling shares the labeler chain; the pinned
     // class list lumps everything else (incl. the no-evidence label)
     // into (other) BEFORE the identical kappa arithmetic — kappa

@@ -319,6 +319,59 @@ object SimilarityQueries {
       ShingleN, NumHashes, 1, BbitScreenPpm, AdmitMinJaccardFp)
   }
 
+  // ---- q311: b-bit screen-threshold sweep (the hot-tier tuning card) ----
+  // q298 grades the 1-bit screen at ONE operating point
+  // (screenMinPpm = 0.25); [[graft.llm.MinHashLSH.bbitScreenSweep]]
+  // prices the whole recall / verifies-saved curve off ONE truth pass
+  // (every band candidate exact-verified once, the q173 sweep
+  // discipline), so the hot-tier knob ships with a tuning card
+  // instead of a default. Same shipped artifact as q298 (capped
+  // bands + packed words + cold sets); the oracle replays banding,
+  // packing, the per-candidate estimate and truth, then reads every
+  // grid threshold off the same scored relation.
+  private val BbitSweepThresholds =
+    Seq(0L, 125000L, 250000L, 375000L, 500000L, 625000L)
+  def q311BbitScreenSweep(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    val root = graft.llm.Artifacts.ensure(dir,
+        s"minhash-index-bbit-v1-n$NumHashes-r1-s$ShingleN-c$AdmitCap") { p =>
+      val sets = MinHashLSH.shingleSets(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        "doc_id", "text", ShingleN)
+      graft.llm.Artifacts.saveIndexFrame(p + "/sets", sets)
+      graft.llm.Artifacts.saveIndexFrame(p + "/words",
+        MinHashLSH.packedWords(sets))
+      graft.llm.Artifacts.saveIndexFrame(p + "/bands",
+        MinHashLSH.capBuckets(
+          MinHashLSH.bandIndexFromSets(sets, NumHashes, 1),
+          Seq("band_id", "band_key"), AdmitCap))
+    }
+    MinHashLSH.bbitScreenSweep(fuzzyArrivals(docs), "doc_id", "text",
+      graft.llm.Artifacts.loadIndexFrame(s, root + "/bands"),
+      graft.llm.Artifacts.loadIndexFrame(s, root + "/words"),
+      graft.llm.Artifacts.loadIndexFrame(s, root + "/sets"),
+      ShingleN, NumHashes, 1, BbitSweepThresholds, AdmitMinJaccardFp)
+  }
+
+  // ---- q312: fold-debt / compaction policy card ----
+  // q279/q280/q294-q297 prove every fold EXACT; this card prices
+  // what exactness doesn't cover — accumulated operational debt
+  // (fold-chain depth, delta-file fragmentation, tombstone mass) —
+  // and applies [[graft.llm.FoldDebt]]'s deterministic
+  // checkpoint-or-rebuild rule over an 8-epoch crawl simulated from
+  // the documents table (epoch = doc_id % 8, a fifth of each batch
+  // tombstoned). The thresholds are library constants the ingest
+  // twins read, not lore; the oracle replays the running-sum windows
+  // and the generation arithmetic row for row.
+  def q312FoldDebt(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    val eps = docs.groupBy(pmod(col("doc_id"), lit(8L)).as("epoch"))
+      .agg(count(lit(1)).as("arrivals"),
+        sum(when(pmod(col("doc_id"), lit(5L)) === 0L, 1L).otherwise(0L))
+          .as("erases"))
+    graft.llm.FoldDebt.schedule(eps, "epoch", "arrivals", "erases")
+  }
+
   // ---- q277: 1-bit minhash signature compression (b-bit minhash) ----
   // Li & König's b-bit minhash at b = 1: keep only each signature's
   // LOWEST BIT, so 64 signatures pack into ONE 64-bit word — a 64×
@@ -1970,6 +2023,8 @@ object SimilarityQueries {
     "q277_bbit_minhash" -> q277BbitMinhash _,
     "q278_admission_recall" -> q278AdmissionRecall _,
     "q298_bbit_admission" -> q298BbitAdmission _,
+    "q311_bbit_screen_sweep" -> q311BbitScreenSweep _,
+    "q312_fold_debt" -> q312FoldDebt _,
     "q279_cc_delta_chain" -> q279CcDeltaChain _,
     "q280_index_delta" -> q280IndexDelta _,
     "q294_index_erase" -> q294IndexErase _,
@@ -3469,6 +3524,103 @@ object SimilarityQueries {
          |    ELSE 'unique' END AS status
          |FROM arr LEFT JOIN a1 USING (doc_id) LEFT JOIN a2 USING (doc_id)"""
         .stripMargin,
+    // the q298 chain scored ONCE per candidate pair (1-bit Hamming
+    // estimate + exact truth Jaccard), then every grid threshold read
+    // off the same scored relation
+    "q311_bbit_screen_sweep" ->
+      s"""WITH $minhashCtes,
+         |arr AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL SELECT doc_id + 3000000 AS doc_id, text || ' graft' AS text
+         |    FROM documents WHERE doc_id % 9 = 0 AND doc_id % 10 != 0
+         |  UNION ALL SELECT doc_id + 4000000 AS doc_id, text
+         |    FROM documents WHERE doc_id % 17 = 0 AND doc_id % 10 != 0),
+         |${minhashChainOver("arr", "arr_")},
+         |${packCteOver("bs", "cpk")},
+         |${packCteOver("arr_bs", "apk")},
+         |cb AS (SELECT doc_id AS corpus_doc, band_id, band_key FROM (
+         |    SELECT doc_id, band_id, band_key,
+         |      count(*) OVER (PARTITION BY band_id, band_key) AS bc
+         |    FROM bands WHERE doc_id % 10 != 0) t
+         |  WHERE bc <= $AdmitCap),
+         |cs AS (SELECT doc_id AS corpus_doc, s FROM sets WHERE doc_id % 10 != 0),
+         |cand AS (SELECT DISTINCT a.doc_id, cb.corpus_doc
+         |  FROM arr_bands a JOIN cb USING (band_id, band_key)),
+         |sc AS (SELECT cand.doc_id, cand.corpus_doc,
+         |    CAST(greatest(0, 2 * CAST(64 - bit_count(xor(aw.w, cw.w)) AS BIGINT) - 64)
+         |      * 1000000 // 64 AS BIGINT) AS est_ppm,
+         |    CAST(floor(1000000.0
+         |      * CAST(len(list_intersect(sa.s, cs.s)) AS DOUBLE)
+         |      / CAST(len(sa.s) + len(cs.s)
+         |          - len(list_intersect(sa.s, cs.s)) AS DOUBLE)) AS BIGINT)
+         |      AS jfp
+         |  FROM cand JOIN apk aw ON cand.doc_id = aw.doc_id
+         |  JOIN cpk cw ON cand.corpus_doc = cw.doc_id
+         |  JOIN arr_sets sa ON cand.doc_id = sa.doc_id
+         |  JOIN cs ON cand.corpus_doc = cs.corpus_doc),
+         |grid AS (SELECT CAST(unnest([${BbitSweepThresholds.mkString(", ")}])
+         |  AS BIGINT) AS screen_min_ppm)
+         |SELECT screen_min_ppm, CAST(count(*) AS BIGINT) AS n_candidates,
+         |  CAST(coalesce(sum(CASE WHEN est_ppm >= screen_min_ppm
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_screened,
+         |  CAST(coalesce(sum(CASE WHEN jfp >= $AdmitMinJaccardFp
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_true_dups,
+         |  CAST(coalesce(sum(CASE WHEN est_ppm >= screen_min_ppm
+         |    AND jfp >= $AdmitMinJaccardFp THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS n_caught,
+         |  CAST(coalesce(sum(CASE WHEN est_ppm >= screen_min_ppm
+         |      AND jfp >= $AdmitMinJaccardFp THEN 1 ELSE 0 END), 0) * 1000000
+         |    // greatest(coalesce(sum(CASE WHEN jfp >= $AdmitMinJaccardFp
+         |      THEN 1 ELSE 0 END), 0), 1) AS BIGINT) AS recall_ppm,
+         |  CAST((count(*) - coalesce(sum(CASE WHEN est_ppm >= screen_min_ppm
+         |      THEN 1 ELSE 0 END), 0)) * 1000000
+         |    // greatest(count(*), 1) AS BIGINT) AS verify_saved_ppm
+         |FROM sc, grid GROUP BY 1""".stripMargin,
+    // the 8-epoch crawl simulated from documents, then the running-sum
+    // windows and generation arithmetic replayed row for row
+    "q312_fold_debt" ->
+      s"""WITH eps AS (SELECT CAST(doc_id % 8 AS BIGINT) AS epoch,
+         |    CAST(count(*) AS BIGINT) AS batch_rows,
+         |    CAST(coalesce(sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END),
+         |      0) AS BIGINT) AS erase_rows
+         |  FROM documents GROUP BY 1),
+         |w AS (SELECT epoch, batch_rows, erase_rows,
+         |    CAST(sum(batch_rows - erase_rows) OVER (ORDER BY epoch
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS live_rows
+         |  FROM eps),
+         |d AS (SELECT epoch, batch_rows, erase_rows, live_rows,
+         |    CAST(${graft.llm.FoldDebt.DefaultDepthUnitPpm}
+         |      + batch_rows * 1000000 // greatest(live_rows, 1)
+         |      + ${graft.llm.FoldDebt.DefaultTombWeight}
+         |        * (erase_rows * 1000000 // greatest(live_rows, 1))
+         |      AS BIGINT) AS debt_ppm,
+         |    CAST(erase_rows * 1000000 // greatest(live_rows, 1)
+         |      AS BIGINT) AS tomb_ppm
+         |  FROM w),
+         |c AS (SELECT epoch, batch_rows, erase_rows, live_rows, debt_ppm,
+         |    CAST(sum(debt_ppm) OVER (ORDER BY epoch
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_debt_ppm,
+         |    CAST(sum(tomb_ppm) OVER (ORDER BY epoch
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_tomb_ppm
+         |  FROM d),
+         |g AS (SELECT *,
+         |    CAST(cum_debt_ppm // ${graft.llm.FoldDebt.DefaultDebtBudgetPpm}
+         |      AS BIGINT) AS debt_gen,
+         |    CAST(cum_tomb_ppm // ${graft.llm.FoldDebt.DefaultTombBudgetPpm}
+         |      AS BIGINT) AS tomb_gen
+         |  FROM c)
+         |SELECT epoch, batch_rows, erase_rows, live_rows, debt_ppm,
+         |  cum_debt_ppm, debt_gen, cum_tomb_ppm, tomb_gen,
+         |  CASE WHEN tomb_gen > lag(tomb_gen, 1, CAST(0 AS BIGINT))
+         |      OVER (ORDER BY epoch) THEN 'rebuild'
+         |    WHEN debt_gen > lag(debt_gen, 1, CAST(0 AS BIGINT))
+         |      OVER (ORDER BY epoch) THEN 'checkpoint'
+         |    ELSE 'fold' END AS action,
+         |  CAST(row_number() OVER (PARTITION BY debt_gen, tomb_gen
+         |    ORDER BY epoch) AS BIGINT) AS chain_depth
+         |FROM g""".stripMargin,
     // the shared bands CTE sliced into corpus/batch sides, candidate
     // counts per arrival, clean arrivals at zero
     "q194_incremental_neardup" ->

@@ -165,4 +165,152 @@ class LabelQaSpec extends AnyFunSuite with SparkTestSession {
       assert(r.getAs[Long]("kappa_ppm") === k, s"kappa trial $trial")
     }
   }
+
+  // ---- fleissCard (q308) ----
+
+  private def ratings(rows: (Long, String, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("item", "rater", "lab")
+  }
+
+  /** Independent Fleiss model: exact floor-ppm from raw long rows. */
+  private def fleissModel(rows: Seq[(Long, String, String)])
+      : (Long, Long, Long, Long, Long, Long, Long) = {
+    val nic = rows.groupBy(r => (r._1, r._3)).view.mapValues(_.size).toMap
+    val perItem = nic.groupBy(_._1._1).view
+      .mapValues(m => (m.values.sum.toLong,
+        m.values.map(v => BigInt(v) * v).sum)).toMap
+    val kmax = if (perItem.isEmpty) 0L else perItem.values.map(_._1).max
+    val t = BigInt(perItem.values.map(_._1).sum)
+    val a = perItem.values.map(_._2).sum
+    val p = perItem.values.map(v => BigInt(v._1) * (v._1 - 1)).sum
+    val m2 = nic.groupBy(_._1._2).view
+      .mapValues(m => BigInt(m.values.sum)).values.map(m => m * m).sum
+    val nClasses = nic.keySet.map(_._2).size.toLong
+    val po = ((a - t) * 1000000 / p.max(BigInt(1))).toLong
+    val pe = (m2 * 1000000 / (t * t).max(BigInt(1))).toLong
+    val num = (a - t) * t * t - m2 * p
+    val den = (p * (t * t - m2)).max(BigInt(1))
+    val k = (if (num >= 0) num * 1000000 / den
+      else -((-num) * 1000000 / den)).toLong
+    (perItem.size.toLong, kmax, nClasses,
+      perItem.values.count(_._1 != kmax).toLong, po, pe, k)
+  }
+
+  private def fleiss(df: DataFrame) = {
+    val r = LabelQa.fleissCard(df, "item", "rater", "lab").collect()
+    assert(r.length === 1)
+    r.head
+  }
+
+  test("fleiss: perfect k-rater agreement reads kappa = 10^6") {
+    val r = fleiss(ratings(
+      (1L, "a", "en"), (1L, "b", "en"), (1L, "c", "en"),
+      (2L, "a", "no"), (2L, "b", "no"), (2L, "c", "no")))
+    assert(r.getAs[Long]("n_items") === 2L)
+    assert(r.getAs[Long]("n_raters") === 3L)
+    assert(r.getAs[Long]("unbalanced_items") === 0L)
+    assert(r.getAs[Long]("po_ppm") === 1000000L)
+    assert(r.getAs[Long]("kappa_ppm") === 1000000L)
+  }
+
+  test("fleiss: random long fixtures match the BigInt model exactly, " +
+      "including unbalanced designs") {
+    val labs = Vector("en", "no", "de")
+    var seed = 0x5DEECE66DL
+    def nxt(m: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 33) % m).toInt
+    }
+    for (trial <- 1 to 6) {
+      // 12 items, 2-4 raters each (rater identity irrelevant to Fleiss)
+      val rows = for {
+        item <- 1L to 12L
+        r <- 0 until (2 + nxt(3))
+      } yield (item, s"r$r", labs(nxt(labs.length)))
+      val got = fleiss(ratings(rows: _*))
+      val (ni, kr, nc, unb, po, pe, k) = fleissModel(rows)
+      assert(got.getAs[Long]("n_items") === ni, s"n trial $trial")
+      assert(got.getAs[Long]("n_raters") === kr, s"k trial $trial")
+      assert(got.getAs[Long]("n_classes") === nc, s"c trial $trial")
+      assert(got.getAs[Long]("unbalanced_items") === unb, s"u trial $trial")
+      assert(got.getAs[Long]("po_ppm") === po, s"po trial $trial")
+      assert(got.getAs[Long]("pe_ppm") === pe, s"pe trial $trial")
+      assert(got.getAs[Long]("kappa_ppm") === k, s"kappa trial $trial")
+    }
+  }
+
+  test("fleiss: empty ratings read zeros, not nulls") {
+    import spark.implicits._
+    val r = fleiss(Seq.empty[(Long, String, String)]
+      .toDF("item", "rater", "lab"))
+    assert(r.getAs[Long]("n_items") === 0L)
+    assert(r.getAs[Long]("n_raters") === 0L)
+    assert(r.getAs[Long]("po_ppm") === 0L)
+    assert(r.getAs[Long]("pe_ppm") === 0L)
+    assert(r.getAs[Long]("kappa_ppm") === 0L)
+  }
+
+  test("fleiss at k = 2 is Scott's pi, NOT Cohen's kappa — they differ " +
+      "when the two raters' marginals differ") {
+    // rater a says en 3/4, rater b says en 1/4: pooled marginals
+    // (Fleiss/Scott) differ from the product of per-rater marginals
+    // (Cohen), so the two statistics must diverge on this fixture
+    val rows = Seq(
+      (1L, ("en", "en")), (2L, ("en", "no")), (3L, ("en", "no")),
+      (4L, ("no", "en")))
+    val long = rows.flatMap { case (i, (la, lb)) =>
+      Seq((i, "a", la), (i, "b", lb)) }
+    val f = fleiss(ratings(long: _*)).getAs[Long]("kappa_ppm")
+    val c = card(pairs(rows.map(_._2): _*)).getAs[Long]("kappa_ppm")
+    assert(f !== c, "Scott's pi must differ from Cohen's kappa here")
+  }
+
+  // ---- kappaMatrix (q309) ----
+
+  test("matrix at two raters IS kappaCard's row") {
+    val rows = Seq(("en", "en"), ("en", "no"), ("no", "no"), ("de", "en"),
+      ("no", "no"), ("en", "en"), ("de", "de"))
+    val long = rows.zipWithIndex.flatMap { case ((la, lb), i) =>
+      Seq((i.toLong, "a", la), (i.toLong, "b", lb)) }
+    val m = LabelQa.kappaMatrix(ratings(long: _*), "item", "rater", "lab")
+      .collect()
+    assert(m.length === 1)
+    val got = m.head
+    assert(got.getAs[String]("rater_a") === "a")
+    assert(got.getAs[String]("rater_b") === "b")
+    val want = card(pairs(rows: _*))
+    for (c <- Seq("n_items", "n_agree", "po_ppm", "pe_sum", "pe_ppm",
+        "kappa_ppm"))
+      assert(got.getAs[Long](c) === want.getAs[Long](c), s"column $c")
+  }
+
+  test("matrix names the drifted labeler: both pairs touching it sag") {
+    // raters a and b agree (high kappa); rater c answers a constant
+    // label — zero information, so (a,c) and (b,c) read kappa <= 0
+    val labs = Vector("en", "no", "de")
+    val long = (1L to 30L).flatMap { i =>
+      val truth = labs((i % 3).toInt)
+      Seq((i, "a", truth), (i, "b", truth), (i, "c", "en"))
+    }
+    val m = LabelQa.kappaMatrix(ratings(long: _*), "item", "rater", "lab")
+      .collect().map(r => ((r.getAs[String]("rater_a"),
+        r.getAs[String]("rater_b")), r.getAs[Long]("kappa_ppm"))).toMap
+    assert(m.size === 3, "three unordered pairs at three raters")
+    assert(m(("a", "b")) === 1000000L)
+    assert(m(("a", "c")) <= 0L && m(("b", "c")) <= 0L,
+      "the constant labeler's pairs must sag to chance or below")
+  }
+
+  test("matrix treats null labels as a real category, pair-symmetrically") {
+    val long = Seq(
+      (1L, "a", "en"), (1L, "b", null), (2L, "a", null), (2L, "b", null),
+      (3L, "a", "no"), (3L, "b", "no"))
+    val m = LabelQa.kappaMatrix(ratings(long.map(t =>
+        (t._1, t._2, t._3)): _*), "item", "rater", "lab").collect()
+    assert(m.length === 1)
+    // item 2 agrees as (null, null); item 1 disagrees
+    assert(m.head.getAs[Long]("n_items") === 3L)
+    assert(m.head.getAs[Long]("n_agree") === 2L)
+  }
 }
