@@ -64,6 +64,61 @@ object FoldDebt {
   val DefaultDebtBudgetPpm = 1000000L
   val DefaultTombBudgetPpm = 250000L
 
+  /** Running meter state — six longs per artifact, whatever the feed
+    * length. `lastEpoch` guards the one precondition the windowed
+    * [[schedule]] gets for free from its ORDER BY: epochs must fold
+    * in order. */
+  final case class DebtState(live: Long, cumDebt: Long, cumTomb: Long,
+      prevDebtGen: Long, prevTombGen: Long, chainDepth: Long,
+      lastEpoch: Long)
+
+  val ZeroState: DebtState =
+    DebtState(0L, 0L, 0L, 0L, 0L, 0L, Long.MinValue)
+
+  /** One output row of the policy meter (the [[schedule]] row shape
+    * plus the artifact key the streaming twin groups by). */
+  final case class DebtRow(artifact: String, epoch: Long,
+      batch_rows: Long, erase_rows: Long, live_rows: Long,
+      debt_ppm: Long, cum_debt_ppm: Long, debt_gen: Long,
+      cum_tomb_ppm: Long, tomb_gen: Long, action: String,
+      chain_depth: Long)
+
+  /** The pure per-epoch kernel both spellings share: fold ONE epoch's
+    * (arrivals, erases) into the meter. [[schedule]]'s window
+    * arithmetic is this recurrence unrolled (fold ≡ window pinned in
+    * FoldDebtSpec), and `Streams.debtIngest` runs it per arriving
+    * epoch — one implementation of the policy, so the live meter and
+    * the batch card cannot disagree about an action. Counts must be
+    * non-negative and epochs strictly increasing per artifact — both
+    * enforced loudly (a mis-ordered crawl feed must kill the query,
+    * not silently mis-price the fold chain). */
+  def step(st: DebtState, artifact: String, epoch: Long, arrivals: Long,
+      erases: Long, depthUnitPpm: Long = DefaultDepthUnitPpm,
+      tombWeight: Long = DefaultTombWeight,
+      debtBudgetPpm: Long = DefaultDebtBudgetPpm,
+      tombBudgetPpm: Long = DefaultTombBudgetPpm)
+      : (DebtState, DebtRow) = {
+    require(arrivals >= 0L && erases >= 0L,
+      s"negative counts at epoch $epoch of $artifact")
+    require(epoch > st.lastEpoch,
+      s"epoch $epoch of $artifact arrived at or before ${st.lastEpoch}")
+    val live = st.live + arrivals - erases
+    val tomb = erases * 1000000L / math.max(live, 1L)
+    val debt = depthUnitPpm + arrivals * 1000000L / math.max(live, 1L) +
+      tombWeight * tomb
+    val cumDebt = st.cumDebt + debt
+    val cumTomb = st.cumTomb + tomb
+    val dg = cumDebt / debtBudgetPpm
+    val tg = cumTomb / tombBudgetPpm
+    val action = if (tg > st.prevTombGen) "rebuild"
+      else if (dg > st.prevDebtGen) "checkpoint" else "fold"
+    val depth = if (dg == st.prevDebtGen && tg == st.prevTombGen)
+      st.chainDepth + 1L else 1L
+    (DebtState(live, cumDebt, cumTomb, dg, tg, depth, epoch),
+      DebtRow(artifact, epoch, arrivals, erases, live, debt, cumDebt,
+        dg, cumTomb, tg, action, depth))
+  }
+
   /** The policy card over per-epoch fold stats.
     *
     * @param epochs one row per fold epoch: `(epochCol, arriveCol,

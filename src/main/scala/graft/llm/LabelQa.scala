@@ -235,6 +235,88 @@ object LabelQa {
         | end as bigint)""".stripMargin).as("kappa_ppm"))
   }
 
+  /** Streaming-legal Fleiss spelling — [[fleissCard]]'s k-rater card
+    * as ONE global aggregate (the [[kappaPivot]] discipline,
+    * generalized): the input arrives one row PER ITEM carrying the
+    * item's label ARRAY (the natural consensus-record shape at
+    * ingest — all raters' votes on an item land together), so every
+    * per-item quantity Fleiss needs (k_i, Σ_c n_ic², per-class
+    * counts) is ROW-LOCAL array arithmetic over the pinned class
+    * list, and the card reduces to one aggregate row —
+    * `Streams.fleissIngest` IS this function.
+    *
+    * Config replaces the card's data-derived fields: the class list
+    * is pinned (unpinned labels and null lump to [[OtherLabel]], the
+    * driftIngest bucket discipline — an aggregate-derived vocabulary
+    * is streaming-illegal), and `expectedRaters` is pinned
+    * (`unbalanced_items` counts items whose k_i differs from the
+    * CONFIG, where the batch card compares against the observed max —
+    * another aggregate-of-aggregate). On a covering class list and a
+    * balanced design the pivot equals [[fleissCard]] column for
+    * column; under lumping it equals the card over pre-lumped labels
+    * (both pinned in LabelQaSpec). Empty input reads zeros.
+    *
+    * Scale shape: state is 2·(K+1)+4 longs total whatever the feed
+    * length; nothing keyed wider than the single aggregate row. */
+  def fleissPivot(items: DataFrame, labelsCol: String,
+      classes: Seq[String], expectedRaters: Int): DataFrame = {
+    require(classes.nonEmpty, "need at least one pinned class")
+    require(classes.distinct == classes, "pinned classes must be distinct")
+    require(!classes.contains(OtherLabel),
+      s"'$OtherLabel' is reserved for the lump bucket")
+    require(expectedRaters >= 2, "a consensus needs at least two raters")
+    val cs = classes :+ OtherLabel
+    val ql = graft.Names.quoted(labelsCol)
+    def lit1(c: String) = s"'${c.replace("'", "''")}'"
+    val inList = classes.map(lit1).mkString(", ")
+    // a NULL labels array is an item with zero ratings (k_i = 0: it
+    // counts as an item and as unbalanced, contributes no pairs) —
+    // not a null row that would silently drop out of the sums
+    val lumped = expr(s"transform(coalesce($ql, array()), " +
+      s"x -> CASE WHEN x IN ($inList) THEN x ELSE ${lit1(OtherLabel)} END)")
+    val cnt = cs.zipWithIndex.map { case (c, i) =>
+      expr(s"cast(size(filter(__labs, x -> x = ${lit1(c)})) as bigint)")
+        .as(s"__c_$i")
+    }
+    val wide = items.select(lumped.as("__labs"))
+      .select(Seq(size(col("__labs")).cast("bigint").as("__ki")) ++
+        cnt: _*)
+    val ai = cs.indices.map(i => col(s"__c_$i") * col(s"__c_$i"))
+      .reduce(_ + _)
+    val zeroDec = lit(0L).cast("decimal(38,0)")
+    val aggs = Seq(
+      coalesce(count(lit(1)), lit(0L)).as("n_items"),
+      coalesce(sum(when(col("__ki") =!= lit(expectedRaters.toLong), 1L)
+        .otherwise(0L)), lit(0L)).as("unbalanced_items"),
+      coalesce(sum(col("__ki")).cast("decimal(38,0)"), zeroDec).as("__t"),
+      coalesce(sum(ai).cast("decimal(38,0)"), zeroDec).as("__a"),
+      coalesce(sum((col("__ki") * (col("__ki") - 1L))
+        .cast("decimal(38,0)")), zeroDec).as("__p")) ++
+      cs.indices.map(i =>
+        coalesce(sum(col(s"__c_$i")), lit(0L)).as(s"__m_$i"))
+    val one = wide.agg(aggs.head, aggs.tail: _*)
+    val m2 = cs.indices
+      .map(i => col(s"__m_$i").cast("decimal(38,0)") * col(s"__m_$i"))
+      .reduce(_ + _)
+    val nClasses = cs.indices
+      .map(i => when(col(s"__m_$i") > 0L, 1L).otherwise(0L))
+      .reduce(_ + _)
+    one.withColumn("__m2", m2).select(
+      col("n_items"), lit(expectedRaters.toLong).as("n_raters"),
+      nClasses.cast("bigint").as("n_classes"), col("unbalanced_items"),
+      expr("cast((__a - __t) * 1000000 div greatest(__p, 1) as bigint)")
+        .as("po_ppm"),
+      expr("cast(__m2 * 1000000 div greatest(__t * __t, 1) as bigint)")
+        .as("pe_ppm"),
+      expr("""cast(case
+        | when (__a - __t) * __t * __t - __m2 * __p >= 0
+        | then ((__a - __t) * __t * __t - __m2 * __p) * 1000000
+        |   div greatest(__p * (__t * __t - __m2), 1)
+        | else -((__m2 * __p - (__a - __t) * __t * __t) * 1000000
+        |   div greatest(__p * (__t * __t - __m2), 1))
+        | end as bigint)""".stripMargin).as("kappa_ppm"))
+  }
+
   /** Pairwise Cohen's-kappa MATRIX over the same long-format ratings
     * frame — one [[kappaCard]] row per unordered rater pair, computed
     * group-wise in a single plan (no per-pair query loop): the drift

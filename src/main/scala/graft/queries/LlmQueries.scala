@@ -1886,6 +1886,25 @@ object LlmQueries {
     graft.llm.LabelQa.kappaMatrix(labelerRatings(s, dir),
       "doc_id", "rater", "lab")
 
+  // ---- q313: k-labeler consensus monitor (streaming Fleiss) ----
+  // q308's fleissCard is streaming-illegal twice over (per-item
+  // aggregate feeding global aggregates; observed-max rater count).
+  // [[graft.llm.LabelQa.fleissPivot]] pins the class list and the
+  // expected rater count as monitor config and computes the identical
+  // card from one-row-per-item label ARRAYS in ONE global aggregate —
+  // `Streams.fleissIngest` IS the function (stream == batch pinned in
+  // StreamingSpec). Unpinned labels and null lump to `(other)` (the
+  // q303 bucket discipline). The oracle replays the 3-rater chain,
+  // the lump, and the pooled-marginal arithmetic.
+  def q313FleissMonitor(s: SparkSession, dir: String): DataFrame = {
+    // collect_list drops nulls — pre-lump a null vote to the bucket
+    // the pivot would lump it to anyway, so no rating silently vanishes
+    val items = labelerRatings(s, dir).groupBy(col("doc_id"))
+      .agg(collect_list(coalesce(col("lab"),
+        lit(graft.llm.LabelQa.OtherLabel))).as("labs"))
+    graft.llm.LabelQa.fleissPivot(items, "labs", KappaClasses, 3)
+  }
+
   // ---- q310: span-removal aggressiveness sweep ----
   // q300 strips at ONE (gramN, minOcc) point; this card prices the
   // whole grid ([[graft.llm.Dedup.spanSweep]]) — blocklist size,
@@ -3984,6 +4003,7 @@ object LlmQueries {
     "q308_fleiss_kappa" -> q308FleissKappa _,
     "q309_kappa_matrix" -> q309KappaMatrix _,
     "q310_span_sweep" -> q310SpanSweep _,
+    "q313_fleiss_monitor" -> q313FleissMonitor _,
     "q116_khop_seeds"  -> q116KhopSeeds _,
     "q122_vocab_growth" -> q122VocabGrowth _,
     "q123_scene_cuts"  -> q123SceneCuts _,
@@ -4952,6 +4972,39 @@ object LlmQueries {
        |FROM ($union) c, tot""".stripMargin
   }
 
+  private val fleissMonitorOracleSql = {
+    val inList = KappaClasses.map(c => s"'$c'").mkString(", ")
+    s"""WITH $ratingsCtes,
+       |lum AS (SELECT doc_id, CASE WHEN lab IN ($inList) THEN lab
+       |    ELSE '${graft.llm.LabelQa.OtherLabel}' END AS lab FROM rat),
+       |fnic AS (SELECT doc_id, lab, CAST(count(*) AS BIGINT) AS c
+       |  FROM lum GROUP BY 1, 2),
+       |fper AS (SELECT doc_id, sum(c) AS ki, sum(c * c) AS ai
+       |  FROM fnic GROUP BY 1),
+       |fglob AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+       |    CAST(coalesce(sum(CASE WHEN ki <> 3 THEN 1 ELSE 0 END), 0)
+       |      AS BIGINT) AS unbalanced_items,
+       |    CAST(coalesce(sum(ki), 0) AS HUGEINT) AS t,
+       |    CAST(coalesce(sum(ai), 0) AS HUGEINT) AS a,
+       |    CAST(coalesce(sum(ki * (ki - 1)), 0) AS HUGEINT) AS p
+       |  FROM fper),
+       |fm AS (SELECT CAST(coalesce(sum(m * m), 0) AS HUGEINT) AS m2,
+       |    CAST(count(*) AS BIGINT) AS n_classes
+       |  FROM (SELECT lab, CAST(sum(c) AS HUGEINT) AS m
+       |    FROM fnic GROUP BY 1) x)
+       |SELECT n_items, CAST(3 AS BIGINT) AS n_raters, n_classes,
+       |  unbalanced_items,
+       |  CAST((a - t) * 1000000 // greatest(p, 1) AS BIGINT) AS po_ppm,
+       |  CAST(m2 * 1000000 // greatest(t * t, 1) AS BIGINT) AS pe_ppm,
+       |  CAST(CASE WHEN (a - t) * t * t - m2 * p >= 0
+       |    THEN ((a - t) * t * t - m2 * p) * 1000000
+       |      // greatest(p * (t * t - m2), 1)
+       |    ELSE -((m2 * p - (a - t) * t * t) * 1000000
+       |      // greatest(p * (t * t - m2), 1))
+       |    END AS BIGINT) AS kappa_ppm
+       |FROM fglob, fm""".stripMargin
+  }
+
   private val nbClsSql =
     s"""WITH $nbCtes,
        |pred AS (SELECT doc_id, lab AS label_pred FROM (
@@ -5338,6 +5391,10 @@ object LlmQueries {
     // the counts — blocklist sizes and interval-union coverage
     // replayed exactly
     "q310_span_sweep" -> spanSweepOracleSql,
+    // the monitor spelling: 3-rater chain + the pinned-class lump
+    // BEFORE the identical pooled-marginal Fleiss arithmetic; rater
+    // count pinned as config
+    "q313_fleiss_monitor" -> fleissMonitorOracleSql,
     // the monitor spelling shares the labeler chain; the pinned
     // class list lumps everything else (incl. the no-evidence label)
     // into (other) BEFORE the identical kappa arithmetic — kappa

@@ -13,6 +13,9 @@ private[streaming] case class FpDoc(doc_id: Long, ts: java.sql.Timestamp,
   * eviction timeout below what an earlier batch established. */
 private[streaming] case class SeenState(seen: Boolean, maxTsMs: Long)
 
+private[streaming] case class DebtEpoch(artifact: String, epoch: Long,
+  arrivals: Long, erases: Long)
+
 /** Structured Streaming operators over the `events` stream shape
   * (event_id, ts, user_id, event_type, value, props).
   *
@@ -684,6 +687,76 @@ object Streams {
   def kappaIngest(stream: DataFrame, aCol: String, bCol: String,
       classes: Seq[String]): DataFrame =
     graft.llm.LabelQa.kappaPivot(stream, aCol, bCol, classes)
+
+  /** Streaming k-labeler consensus monitor — q313's Fleiss card live:
+    * each arriving consensus record (one row per item, the label
+    * ARRAY of all its raters' votes) contributes row-local array
+    * arithmetic to ONE global aggregate, with the class list AND the
+    * expected rater count pinned as monitor config (both of the batch
+    * card's data-derived fields are aggregate-of-aggregate, so the
+    * pivot replaces them — the [[kappaIngest]] discipline
+    * generalized to k raters). This IS
+    * [[graft.llm.LabelQa.fleissPivot]] — one implementation, so the
+    * live consensus and the batch card cannot disagree (stream ==
+    * batch pinned in StreamingSpec, plus a drifted rater cratering
+    * the live kappa). Run with complete output mode; state is
+    * 2·(K+1)+4 longs total, whatever the feed length. */
+  def fleissIngest(stream: DataFrame, labelsCol: String,
+      classes: Seq[String], expectedRaters: Int): DataFrame =
+    graft.llm.LabelQa.fleissPivot(stream, labelsCol, classes,
+      expectedRaters)
+
+  /** Streaming fold-debt meter — q312's compaction policy live at
+    * crawl cadence: each arriving epoch summary `(artifact, epoch,
+    * arrivals, erases)` folds through [[graft.llm.FoldDebt.step]] —
+    * the SAME pure kernel [[graft.llm.FoldDebt.schedule]]'s windows
+    * unroll to (fold ≡ window pinned in FoldDebtSpec, stream == batch
+    * in StreamingSpec) — keyed by artifact via
+    * `flatMapGroupsWithState`, so the pipeline learns `checkpoint` /
+    * `rebuild` the moment the epoch lands, not at the next batch
+    * audit. Thresholds are the library constants q312 prices.
+    *
+    * Preconditions enforced LOUDLY by the kernel: non-negative
+    * counts, strictly increasing epochs per artifact (within a
+    * micro-batch rows sort by epoch; across batches a regressed epoch
+    * kills the query rather than silently mis-pricing the chain).
+    * State per artifact is seven longs — artifact count is maintained-
+    * artifact-sized (tens), never corpus-sized. Append output mode:
+    * each epoch's verdict emits exactly once. */
+  def debtIngest(stream: DataFrame, artifactCol: String,
+      epochCol: String, arriveCol: String, eraseCol: String,
+      depthUnitPpm: Long = graft.llm.FoldDebt.DefaultDepthUnitPpm,
+      tombWeight: Long = graft.llm.FoldDebt.DefaultTombWeight,
+      debtBudgetPpm: Long = graft.llm.FoldDebt.DefaultDebtBudgetPpm,
+      tombBudgetPpm: Long = graft.llm.FoldDebt.DefaultTombBudgetPpm)
+      : DataFrame = {
+    import graft.llm.FoldDebt
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(qcol(artifactCol).cast("string").as("artifact"),
+        qcol(epochCol).cast("bigint").as("epoch"),
+        qcol(arriveCol).cast("bigint").as("arrivals"),
+        qcol(eraseCol).cast("bigint").as("erases"))
+      .as[DebtEpoch]
+      .groupByKey(_.artifact)
+      .flatMapGroupsWithState[FoldDebt.DebtState, FoldDebt.DebtRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (artifact: String, rows: Iterator[DebtEpoch],
+            state: org.apache.spark.sql.streaming.GroupState[
+              FoldDebt.DebtState]) =>
+          var st = if (state.exists) state.get else FoldDebt.ZeroState
+          val out = rows.toSeq.sortBy(_.epoch).map { e =>
+            val (ns, row) = FoldDebt.step(st, artifact, e.epoch,
+              e.arrivals, e.erases, depthUnitPpm, tombWeight,
+              debtBudgetPpm, tombBudgetPpm)
+            st = ns
+            row
+          }
+          state.update(st)
+          out.iterator
+      }.toDF()
+  }
 
   /** Streaming duplicated-span removal — q301's strip at ingest: each
     * arriving document's tokens and dup-gram starts are two

@@ -108,6 +108,31 @@ class FoldDebtSpec extends AnyFunSuite with SparkTestSession {
       debtBudgetPpm = 500000L, tombBudgetPpm = 100000L))
   }
 
+  test("the step kernel unrolls to the windowed schedule — fold == window") {
+    val rows = Seq((0L, 1000L, 0L), (1L, 500L, 100L), (2L, 0L, 0L),
+      (3L, 2000L, 400L), (4L, 100L, 300L), (5L, 0L, 150L),
+      (6L, 800L, 0L), (7L, 50L, 10L), (8L, 0L, 0L), (9L, 3000L, 900L))
+    var st = FoldDebt.ZeroState
+    val folded = rows.map { case (e, a, r) =>
+      val (ns, row) = FoldDebt.step(st, "art", e, a, r)
+      st = ns
+      (row.epoch, row.batch_rows, row.erase_rows, row.live_rows,
+        row.debt_ppm, row.cum_debt_ppm, row.debt_gen, row.cum_tomb_ppm,
+        row.tomb_gen, row.action, row.chain_depth)
+    }
+    assert(asTuples(run(epochs(rows: _*))) === folded)
+  }
+
+  test("the step kernel rejects regressed epochs and negative counts") {
+    val (st, _) = FoldDebt.step(FoldDebt.ZeroState, "art", 5L, 10L, 0L)
+    intercept[IllegalArgumentException] {
+      FoldDebt.step(st, "art", 5L, 10L, 0L) // same epoch again
+    }
+    intercept[IllegalArgumentException] {
+      FoldDebt.step(st, "art", 6L, -1L, 0L)
+    }
+  }
+
   test("invalid weights and budgets are rejected loudly") {
     val d = epochs((0L, 1L, 0L))
     intercept[IllegalArgumentException] {

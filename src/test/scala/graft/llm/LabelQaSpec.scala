@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.lit
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
@@ -264,6 +265,82 @@ class LabelQaSpec extends AnyFunSuite with SparkTestSession {
     val f = fleiss(ratings(long: _*)).getAs[Long]("kappa_ppm")
     val c = card(pairs(rows.map(_._2): _*)).getAs[Long]("kappa_ppm")
     assert(f !== c, "Scott's pi must differ from Cohen's kappa here")
+  }
+
+  // ---- fleissPivot (q313's monitor spelling) ----
+
+  private def itemArrays(rows: (Long, Seq[String])*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("item", "labs")
+  }
+
+  private def cardCols(r: org.apache.spark.sql.Row) =
+    Seq("n_items", "n_raters", "n_classes", "unbalanced_items",
+      "po_ppm", "pe_ppm", "kappa_ppm").map(c => c -> r.getAs[Long](c))
+
+  test("fleissPivot == fleissCard on a covering class list and a " +
+      "balanced design") {
+    val long = Seq(
+      (1L, "a", "en"), (1L, "b", "en"), (1L, "c", "no"),
+      (2L, "a", "no"), (2L, "b", "no"), (2L, "c", "no"),
+      (3L, "a", "de"), (3L, "b", "en"), (3L, "c", "de"),
+      (4L, "a", "en"), (4L, "b", "en"), (4L, "c", "en"))
+    val arrays = long.groupBy(_._1).toSeq
+      .map { case (i, rs) => (i, rs.map(_._3)) }
+    val got = LabelQa.fleissPivot(itemArrays(arrays: _*), "labs",
+      Seq("en", "no", "de"), 3).collect().head
+    val want = fleiss(ratings(long: _*))
+    assert(cardCols(got) === cardCols(want))
+  }
+
+  test("fleissPivot under lumping == fleissCard over pre-lumped labels") {
+    val long = Seq(
+      (1L, "a", "en"), (1L, "b", "xx"), (1L, "c", "en"),
+      (2L, "a", "yy"), (2L, "b", "xx"), (2L, "c", "en"),
+      (3L, "a", "no"), (3L, "b", "no"), (3L, "c", "zz"))
+    val arrays = long.groupBy(_._1).toSeq
+      .map { case (i, rs) => (i, rs.map(_._3)) }
+    val got = LabelQa.fleissPivot(itemArrays(arrays: _*), "labs",
+      Seq("en", "no"), 3).collect().head
+    val pre = long.map { case (i, r, l) =>
+      (i, r, if (Seq("en", "no").contains(l)) l else LabelQa.OtherLabel) }
+    val want = fleiss(ratings(pre: _*))
+    assert(cardCols(got) === cardCols(want))
+  }
+
+  test("fleissPivot: unbalanced_items counts against the PINNED rater " +
+      "count, and a null array is a zero-rating item") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("en", "en", "en")), (2L, Seq("en", "no")),
+      (3L, Seq("no", "no", "no", "no"))).toDF("item", "labs")
+      .unionByName(Seq(Tuple1(4L)).toDF("item")
+        .withColumn("labs", lit(null).cast("array<string>")))
+    val r = LabelQa.fleissPivot(df, "labs", Seq("en", "no"), 3)
+      .collect().head
+    assert(r.getAs[Long]("n_items") === 4L)
+    assert(r.getAs[Long]("n_raters") === 3L, "config, not observed max")
+    assert(r.getAs[Long]("unbalanced_items") === 3L,
+      "items 2 (k=2), 3 (k=4) and 4 (k=0) differ from the pinned 3")
+  }
+
+  test("fleissPivot: empty input reads zeros; config is validated") {
+    import spark.implicits._
+    val r = LabelQa.fleissPivot(
+      Seq.empty[(Long, Seq[String])].toDF("item", "labs"), "labs",
+      Seq("en"), 2).collect().head
+    assert(r.getAs[Long]("n_items") === 0L)
+    assert(r.getAs[Long]("po_ppm") === 0L)
+    assert(r.getAs[Long]("pe_ppm") === 0L)
+    assert(r.getAs[Long]("kappa_ppm") === 0L)
+    assert(r.getAs[Long]("n_classes") === 0L)
+    val one = itemArrays((1L, Seq("en", "en")))
+    intercept[IllegalArgumentException] {
+      LabelQa.fleissPivot(one, "labs", Seq("en", LabelQa.OtherLabel), 2)
+    }
+    intercept[IllegalArgumentException] {
+      LabelQa.fleissPivot(one, "labs", Seq("en"), 1)
+    }
   }
 
   // ---- kappaMatrix (q309) ----

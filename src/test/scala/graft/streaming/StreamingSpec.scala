@@ -1329,6 +1329,94 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("fleissIngest: the live k-rater consensus equals the batch pivot " +
+      "after every batch; a drifted rater craters it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pinned = Seq("en", "no")
+    // batch 1: three raters near-unanimous; batch 2: rater 3 flips to
+    // a constant unpinned label (lumps to OTHER) — live kappa must fall
+    val rows1 = (0 until 60).map { i =>
+      val t = if (i % 3 == 0) "no" else "en"
+      (i.toLong, Seq(t, t, if (i % 12 == 1) "no" else t))
+    }
+    val rows2 = (60 until 120).map { i =>
+      val t = if (i % 3 == 0) "no" else "en"
+      (i.toLong, Seq(t, t, "xx"))
+    }
+    val in = MemoryStream[(Long, Seq[String])]
+    val q = Streams.fleissIngest(in.toDF().toDF("id", "labs"),
+        "labs", pinned, 3)
+      .writeStream.format("memory").queryName("fleiss_out")
+      .outputMode("complete").start()
+    try {
+      def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(_.toSeq).toSeq
+      def batchOf(rows: Seq[(Long, Seq[String])]) =
+        shape(graft.llm.LabelQa.fleissPivot(
+          rows.toDF("id", "labs"), "labs", pinned, 3))
+      in.addData(rows1: _*)
+      q.processAllAvailable()
+      assert(shape(spark.table("fleiss_out")) === batchOf(rows1),
+        "mid-stream card must equal the batch pivot")
+      val k1 = spark.table("fleiss_out").collect().head
+        .getAs[Long]("kappa_ppm")
+      in.addData(rows2: _*)
+      q.processAllAvailable()
+      assert(shape(spark.table("fleiss_out")) === batchOf(rows1 ++ rows2),
+        "the card after batch 2 must equal the batch pivot on the union")
+      val k2 = spark.table("fleiss_out").collect().head
+        .getAs[Long]("kappa_ppm")
+      assert(k1 > 800000L, "the near-unanimous feed reads high kappa")
+      assert(k2 < k1 - 300000L, "the drifted rater must crater live kappa")
+    } finally q.stop()
+  }
+
+  test("debtIngest: the live fold-debt meter equals the batch schedule " +
+      "per artifact, across a micro-batch boundary mid-generation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two maintained artifacts interleaved; the split lands epochs
+    // 0-2 in batch 1 and 3-7 in batch 2, crossing sig's checkpoint
+    val sig = Seq((0L, 1000L, 0L), (1L, 500L, 100L), (2L, 0L, 0L),
+      (3L, 2000L, 400L), (4L, 100L, 300L), (5L, 0L, 150L),
+      (6L, 800L, 0L), (7L, 50L, 10L))
+    val ivf = Seq((0L, 400L, 0L), (1L, 0L, 0L), (2L, 100L, 90L),
+      (3L, 0L, 0L), (4L, 50L, 45L), (5L, 600L, 0L))
+    def rows(art: String, eps: Seq[(Long, Long, Long)]) =
+      eps.map { case (e, a, r) => (art, e, a, r) }
+    val all = rows("sig", sig) ++ rows("ivf", ivf)
+    val (b1, b2) = all.partition(_._2 <= 2L)
+    val in = MemoryStream[(String, Long, Long, Long)]
+    val q = Streams.debtIngest(
+        in.toDF().toDF("artifact", "epoch", "arrivals", "erases"),
+        "artifact", "epoch", "arrivals", "erases")
+      .writeStream.format("memory").queryName("debt_out")
+      .outputMode("append").start()
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      def got(art: String) = spark.table("debt_out")
+        .filter(col("artifact") === art).drop("artifact")
+        .orderBy("epoch").collect().map(_.toSeq).toSeq
+      def want(eps: Seq[(Long, Long, Long)]) = graft.llm.FoldDebt
+        .schedule(eps.toDF("epoch", "arrivals", "erases"), "epoch",
+          "arrivals", "erases")
+        .select("epoch", "batch_rows", "erase_rows", "live_rows",
+          "debt_ppm", "cum_debt_ppm", "debt_gen", "cum_tomb_ppm",
+          "tomb_gen", "action", "chain_depth")
+        .orderBy("epoch").collect().map(_.toSeq).toSeq
+      assert(got("sig") === want(sig),
+        "sig meter must equal the batch schedule across the boundary")
+      assert(got("ivf") === want(ivf),
+        "ivf meter must equal the batch schedule across the boundary")
+      assert(spark.table("debt_out").count() === (sig.size + ivf.size),
+        "append mode: each epoch's verdict emits exactly once")
+    } finally q.stop()
+  }
+
   test("driftIngest: streamed chi-square verdicts equal the batch pivot; " +
       "an unseen language alarms against its zero baseline") {
     import spark.implicits._
