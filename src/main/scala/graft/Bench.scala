@@ -72,6 +72,12 @@ object Bench {
       }
       name -> iters
     }
+    // locale-pinned decimal rendering: the f"" interpolator formats
+    // with the JVM default locale, and a comma-decimal locale would
+    // turn 4.123 into "4,123" — structurally-valid, semantically
+    // garbled JSON in the committed bench record
+    def dec(v: Double, places: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(v))
     def fmtMap(f: Iter => String): String = results.map { case (k, v) =>
       s"\"" + k + "\":" + v.map(f).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
@@ -80,14 +86,14 @@ object Bench {
     // every iteration's time, not just the min: a one-off slow
     // iteration (GC pause, box noise) then shows up as [4.1, 0.4]
     // instead of masquerading as — or hiding — a plan regression
-    val iters = fmtMap(i => f"${i.wall}%.3f")
-    val cpus = fmtMap(i => f"${i.cpu}%.3f")
+    val iters = fmtMap(i => dec(i.wall, 3))
+    val cpus = fmtMap(i => dec(i.cpu, 3))
     val gcs = fmtMap(_.gc.toString)
-    val loads = fmtMap(i => f"${i.load}%.2f")
+    val loads = fmtMap(i => dec(i.load, 2))
     val total = if (results.nonEmpty) results.values.map(_.map(_.wall).min).sum
                 else 0.0
     val env = s"""{"processors":${Runtime.getRuntime.availableProcessors}""" +
-      f""","load1m_end":${osBean.getSystemLoadAverage}%.2f""" +
+      s""","load1m_end":${dec(osBean.getSystemLoadAverage, 2)}""" +
       s""","jvm":"${System.getProperty("java.version")}"}"""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"times":$iters,"cpu_sec":$cpus,"gc_ms":$gcs,"load1m":$loads,"env":$env,"sf":"$sfDir"}"""

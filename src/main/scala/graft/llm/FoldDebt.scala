@@ -142,6 +142,25 @@ object FoldDebt {
       .select(col(q(epochCol)).cast("bigint").as("epoch"),
         col(q(arriveCol)).cast("bigint").as("batch_rows"),
         col(q(eraseCol)).cast("bigint").as("erase_rows"))
+      // the same feed contract [[step]] enforces, enforced here too —
+      // a duplicated epoch (retried crawl summary) makes the ordered
+      // window's lag/row_number tie-nondeterministic, and a negative
+      // or null count would silently decrement the cumulative sums;
+      // both must kill the card, not flip its actions run to run
+      .withColumn("__dups",
+        count(lit(1)).over(Window.partitionBy(col("epoch"))))
+      .withColumn("batch_rows",
+        when(col("epoch").isNull || col("__dups") > 1L,
+          raise_error(concat(
+            lit("FoldDebt.schedule: null or duplicate epoch "),
+            col("epoch"))).cast("bigint"))
+        .when(col("batch_rows").isNull || col("erase_rows").isNull ||
+            col("batch_rows") < 0L || col("erase_rows") < 0L,
+          raise_error(concat(
+            lit("FoldDebt.schedule: negative or null counts at epoch "),
+            col("epoch"))).cast("bigint"))
+        .otherwise(col("batch_rows")))
+      .drop("__dups")
       .withColumn("live_rows",
         sum(col("batch_rows") - col("erase_rows")).over(cum))
       .withColumn("debt_ppm",

@@ -267,15 +267,18 @@ object LabelQa {
     require(expectedRaters >= 2, "a consensus needs at least two raters")
     val cs = classes :+ OtherLabel
     val ql = graft.Names.quoted(labelsCol)
-    def lit1(c: String) = s"'${c.replace("'", "''")}'"
-    val inList = classes.map(lit1).mkString(", ")
-    // a NULL labels array is an item with zero ratings (k_i = 0: it
+    // Column-API lambdas, not string-built SQL: a pinned class
+    // containing a quote or backslash must lump/count correctly (the
+    // kappaPivot isin/when discipline), never re-parse as SQL syntax.
+    // A NULL labels array is an item with zero ratings (k_i = 0: it
     // counts as an item and as unbalanced, contributes no pairs) —
-    // not a null row that would silently drop out of the sums
-    val lumped = expr(s"transform(coalesce($ql, array()), " +
-      s"x -> CASE WHEN x IN ($inList) THEN x ELSE ${lit1(OtherLabel)} END)")
+    // not a null row that would silently drop out of the sums.
+    val lumped = transform(
+      coalesce(col(ql), typedLit(Seq.empty[String])),
+      x => when(x.isin(classes.map(c => c: Any): _*), x)
+        .otherwise(lit(OtherLabel)))
     val cnt = cs.zipWithIndex.map { case (c, i) =>
-      expr(s"cast(size(filter(__labs, x -> x = ${lit1(c)})) as bigint)")
+      size(filter(col("__labs"), x => x === lit(c))).cast("bigint")
         .as(s"__c_$i")
     }
     val wide = items.select(lumped.as("__labs"))

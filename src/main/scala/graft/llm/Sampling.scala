@@ -545,11 +545,18 @@ object Sampling {
       // silently nulls past 2^63 (mispricing every allocation with no
       // error) while DuckDB's CAST raises — raise_error makes both
       // engines fail loudly and identically on a too-hot stratum.
+      // The NULL arm catches every upstream silent overflow in the
+      // same funnel: st's decimal->bigint cast nulling past 2^63, or
+      // the st2 / n_docs*st2 decimal(38) products overflowing —
+      // without it a nulled term reads as `false` in the >= test and
+      // the stratum drops out of the weights with no error.
       .withColumn("__varnum",
-        when(col("__varnum_dec") >= lit("4611686018427387904")
-            .cast("decimal(38,0)"),
+        when(col("__varnum_dec").isNull ||
+            col("__varnum_dec") >= lit("4611686018427387904")
+              .cast("decimal(38,0)"),
           raise_error(concat(
-            lit("neymanAllocation: variance numerator >= 2^62 for stratum "),
+            lit("neymanAllocation: variance numerator >= 2^62 (or an "),
+            lit("upstream sum overflowed) for stratum "),
             col("stratum"),
             lit(" — rescale the metric before allocating"))).cast("bigint"))
           .otherwise(col("__varnum_dec").cast("bigint")))

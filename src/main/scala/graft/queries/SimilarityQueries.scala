@@ -297,9 +297,15 @@ object SimilarityQueries {
   // the conditional verify end to end, and q278 grades this variant's
   // recall against the exhaustive truth next to the full gate's.
   private val BbitScreenPpm = 250000L
-  def q298BbitAdmission(s: SparkSession, dir: String): DataFrame = {
-    val docs = graft.Tables.documents(s, dir)
-    val root = graft.llm.Artifacts.ensure(dir,
+
+  /** The ONE builder for the shared q298/q311 hot/cold index (capped
+    * bands + packed words + cold sets). `Artifacts.ensure` keys on
+    * the NAME, so the two consumers must build byte-identically —
+    * sharing the closure makes an accidental divergence (one query's
+    * params edited without a name bump, the other silently loading
+    * the stale layout) structurally impossible. */
+  private def bbitIndexRoot(docs: DataFrame, dir: String): String =
+    graft.llm.Artifacts.ensure(dir,
         s"minhash-index-bbit-v1-n$NumHashes-r1-s$ShingleN-c$AdmitCap") { p =>
       val sets = MinHashLSH.shingleSets(
         docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
@@ -312,6 +318,10 @@ object SimilarityQueries {
           MinHashLSH.bandIndexFromSets(sets, NumHashes, 1),
           Seq("band_id", "band_key"), AdmitCap))
     }
+
+  def q298BbitAdmission(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    val root = bbitIndexRoot(docs, dir)
     MinHashLSH.fuzzyAdmissionBbit(fuzzyArrivals(docs), "doc_id", "text",
       graft.llm.Artifacts.loadIndexFrame(s, root + "/bands"),
       graft.llm.Artifacts.loadIndexFrame(s, root + "/words"),
@@ -333,19 +343,7 @@ object SimilarityQueries {
     Seq(0L, 125000L, 250000L, 375000L, 500000L, 625000L)
   def q311BbitScreenSweep(s: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.documents(s, dir)
-    val root = graft.llm.Artifacts.ensure(dir,
-        s"minhash-index-bbit-v1-n$NumHashes-r1-s$ShingleN-c$AdmitCap") { p =>
-      val sets = MinHashLSH.shingleSets(
-        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
-        "doc_id", "text", ShingleN)
-      graft.llm.Artifacts.saveIndexFrame(p + "/sets", sets)
-      graft.llm.Artifacts.saveIndexFrame(p + "/words",
-        MinHashLSH.packedWords(sets))
-      graft.llm.Artifacts.saveIndexFrame(p + "/bands",
-        MinHashLSH.capBuckets(
-          MinHashLSH.bandIndexFromSets(sets, NumHashes, 1),
-          Seq("band_id", "band_key"), AdmitCap))
-    }
+    val root = bbitIndexRoot(docs, dir)
     MinHashLSH.bbitScreenSweep(fuzzyArrivals(docs), "doc_id", "text",
       graft.llm.Artifacts.loadIndexFrame(s, root + "/bands"),
       graft.llm.Artifacts.loadIndexFrame(s, root + "/words"),

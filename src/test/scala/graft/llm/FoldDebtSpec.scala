@@ -123,6 +123,25 @@ class FoldDebtSpec extends AnyFunSuite with SparkTestSession {
     assert(asTuples(run(epochs(rows: _*))) === folded)
   }
 
+  test("schedule rejects the feeds the step kernel rejects: duplicate " +
+      "epochs and negative counts fail loudly, not nondeterministically") {
+    // a duplicated epoch ties the ordered window — lag/row_number
+    // over the tie would flip actions run to run; it must throw
+    val dup = epochs((0L, 10L, 0L), (1L, 5L, 0L), (1L, 7L, 0L))
+    val e1 = intercept[Exception] {
+      FoldDebt.schedule(dup, "epoch", "arrivals", "erases").collect()
+    }
+    assert(e1.getMessage.contains("duplicate epoch") ||
+      Option(e1.getCause).exists(_.getMessage.contains("duplicate epoch")))
+    val neg = epochs((0L, 10L, 0L), (1L, 5L, -2L))
+    val e2 = intercept[Exception] {
+      FoldDebt.schedule(neg, "epoch", "arrivals", "erases").collect()
+    }
+    assert(e2.getMessage.contains("negative or null counts") ||
+      Option(e2.getCause).exists(
+        _.getMessage.contains("negative or null counts")))
+  }
+
   test("the step kernel rejects regressed epochs and negative counts") {
     val (st, _) = FoldDebt.step(FoldDebt.ZeroState, "art", 5L, 10L, 0L)
     intercept[IllegalArgumentException] {
