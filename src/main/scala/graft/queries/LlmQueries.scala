@@ -1914,7 +1914,10 @@ object LlmQueries {
   // defaulted. One shared gram-position frame per gramN (the q193
   // threshold-sweep discipline); thresholds multiply only the
   // post-count filter, never the tokenize.
-  private[queries] val SpanSweepGramNs = Seq(4, 8)
+  // 50 is the Lee et al. (2022) operating point — long verbatim spans
+  // (56% of this corpus's docs carry >= 50 tokens, so the cell is a
+  // real measurement, not a vacuous zero row)
+  private[queries] val SpanSweepGramNs = Seq(4, 8, 50)
   private[queries] val SpanSweepMinOccs = Seq(2L, 3L, 5L)
   def q310SpanSweep(s: SparkSession, dir: String): DataFrame =
     graft.llm.Dedup.spanSweep(graft.Tables.documents(s, dir),
