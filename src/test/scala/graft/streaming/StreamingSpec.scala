@@ -1417,6 +1417,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("debtIngest: a regressed epoch kills the query loudly instead of " +
+      "silently mis-pricing the fold chain") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Long, Long)]
+    val q = Streams.debtIngest(
+        in.toDF().toDF("artifact", "epoch", "arrivals", "erases"),
+        "artifact", "epoch", "arrivals", "erases")
+      .writeStream.format("memory").queryName("debt_regress")
+      .outputMode("append").start()
+    try {
+      in.addData(("sig", 5L, 100L, 0L))
+      q.processAllAvailable()
+      assert(spark.table("debt_regress").count() === 1L)
+      // epoch 3 arrives AFTER epoch 5 folded — a replayed crawl
+      // summary must fail the stream, not rewrite history
+      in.addData(("sig", 3L, 50L, 0L))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("arrived at or before")),
+        s"the kernel's monotone-epoch require must surface: ${messages(e)}")
+    } finally q.stop()
+  }
+
   test("driftIngest: streamed chi-square verdicts equal the batch pivot; " +
       "an unseen language alarms against its zero baseline") {
     import spark.implicits._
