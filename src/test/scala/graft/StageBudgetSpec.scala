@@ -67,10 +67,12 @@ class StageBudgetSpec extends AnyFunSuite with SparkTestSession {
     "q220_overlap_estimate" -> (38, 38),
     "q295_erase_apply" -> (39, 40),
     // r17: the round's new cards, same discipline (measured warm at
-    // sf0.001: q308=36, q309=46, q310=26, q311=15, q312=4, q313=26)
+    // sf0.001: q308=36, q309=46, q310=36 — at the THREE-gramN grid,
+    // one scan+count+coverage chain per gramN — q311=15, q312=4,
+    // q313=26)
     "q308_fleiss_kappa" -> (47, 47),
     "q309_kappa_matrix" -> (60, 60),
-    "q310_span_sweep" -> (34, 34),
+    "q310_span_sweep" -> (47, 47),
     "q311_bbit_screen_sweep" -> (20, 20),
     "q312_fold_debt" -> (6, 6),
     "q313_fleiss_monitor" -> (34, 34))
