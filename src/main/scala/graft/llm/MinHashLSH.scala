@@ -629,6 +629,98 @@ object MinHashLSH {
           "div greatest(n_candidates, 1L)").as("verify_saved_ppm"))
   }
 
+  /** Bucket-cap tuning sweep — the skew guard's PRICE curve. The
+    * q49/q272 pipelines drop LSH buckets larger than a cap before
+    * their quadratic pair expansion on the CLAIM that boilerplate
+    * buckets carry no near-dup signal worth m² work; this card
+    * measures that claim instead of asserting it. One truth pass (the
+    * q173/q311 discipline): the uncapped candidate pair set is built
+    * ONCE with, per pair, the SMALLEST shared bucket's size (a pair
+    * survives cap c iff some shared bucket has ≤ c rows) and the
+    * exact shingle Jaccard; every grid cap then reads its row off
+    * that persisted frame plus bucket-size stats — the quadratic
+    * truth expansion is paid once for the card, never per cap.
+    *
+    * Output per cap: `(cap, n_buckets, n_buckets_dropped,
+    * pair_work_saved_ppm, n_candidates, n_kept, n_true_dups,
+    * n_caught, recall_ppm)` — `pair_work_saved_ppm` is the share of
+    * Σ bc·(bc−1)/2 bucket pair-work the cap avoids (the quantity the
+    * guard exists to bound), `n_caught`/`recall_ppm` what it costs
+    * against the exact truth at `minJaccardFp`.
+    *
+    * 100 TB shape: the uncapped expansion is the deliberate card
+    * price (run it at a sampled SF — the S-curve transfers; the
+    * PRODUCTION path stays capped); bucket stats are one aggregate
+    * over the band index; caps are a literal broadcast grid over the
+    * pair-count-sized scored frame. */
+  def capSweep(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, rowsPerBand: Int, caps: Seq[Long],
+      minJaccardFp: Long): DataFrame = {
+    require(caps.nonEmpty, "empty cap grid")
+    require(caps.forall(_ >= 1L), "a cap below 1 drops every bucket")
+    LlmFunctions.registerInterCount(docs.sparkSession)
+    LlmFunctions.registerShingleBases(docs.sparkSession)
+    LlmFunctions.registerMinHashSigs(docs.sparkSession)
+    val session = docs.sparkSession
+    import session.implicits._
+    val grid = caps.toDF("cap")
+    val sets = Caches.persistTracked(
+      shingleSets(docs, idCol, textCol, shingleN))
+    val bands = bandIndexFromSets(sets, numHashes, rowsPerBand)
+    val buckets = Caches.persistTracked(
+      bands.groupBy(col("band_id"), col("band_key"))
+        .agg(count(lit(1)).as("__bc")))
+    val b2 = bands.join(buckets, Seq("band_id", "band_key"))
+    val scored = Caches.persistTracked(b2.as("a")
+      .join(b2.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(min(col("a.__bc")).as("__min_bc"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("s").as("__sa")),
+        Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("__sb")),
+        Seq("doc_b"))
+      .select(col("__min_bc"),
+        expr("inter_count(__sa, __sb)").as("__i"),
+        col("__sa"), col("__sb"))
+      .select(col("__min_bc"), expr(
+        """cast(floor(1000000.0 * cast(__i as double)
+          |  / cast(size(__sa) + size(__sb) - __i as double)) as bigint)"""
+          .stripMargin).as("jfp")))
+    val work = buckets.crossJoin(broadcast(grid))
+      .groupBy(col("cap"))
+      .agg(count(lit(1)).as("n_buckets"),
+        coalesce(sum(when(col("__bc") > col("cap"), 1L).otherwise(0L)),
+          lit(0L)).as("n_buckets_dropped"),
+        coalesce(sum(expr("__bc * (__bc - 1L) div 2L")), lit(0L))
+          .as("__work_all"),
+        coalesce(sum(when(col("__bc") <= col("cap"),
+          expr("__bc * (__bc - 1L) div 2L")).otherwise(0L)), lit(0L))
+          .as("__work_kept"))
+    val rec = scored.crossJoin(broadcast(grid))
+      .groupBy(col("cap"))
+      .agg(count(lit(1)).as("n_candidates"),
+        coalesce(sum(when(col("__min_bc") <= col("cap"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_kept"),
+        coalesce(sum(when(col("jfp") >= minJaccardFp, 1L)
+          .otherwise(0L)), lit(0L)).as("n_true_dups"),
+        coalesce(sum(when(col("__min_bc") <= col("cap") &&
+          col("jfp") >= minJaccardFp, 1L).otherwise(0L)), lit(0L))
+          .as("n_caught"))
+    work.join(rec, Seq("cap"), "left")
+      .select(col("cap"), col("n_buckets"), col("n_buckets_dropped"),
+        expr("(__work_all - __work_kept) * 1000000L " +
+          "div greatest(__work_all, 1L)").as("pair_work_saved_ppm"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_true_dups"), lit(0L)).as("n_true_dups"),
+        coalesce(col("n_caught"), lit(0L)).as("n_caught"),
+        expr("coalesce(n_caught, 0L) * 1000000L " +
+          "div greatest(coalesce(n_true_dups, 0L), 1L)").as("recall_ppm"))
+  }
+
   /** Per-tombstone erase impact against the LOADED signature index —
     * the admission-mirror of [[indexErase]], what a deletion queue
     * runs per right-to-be-forgotten request before (or instead of)

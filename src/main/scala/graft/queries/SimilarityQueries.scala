@@ -351,6 +351,22 @@ object SimilarityQueries {
       ShingleN, NumHashes, 1, BbitSweepThresholds, AdmitMinJaccardFp)
   }
 
+  // ---- q314: bucket-cap sweep (the skew guard's price curve) ----
+  // q49/q62/q272 DROP over-cap LSH buckets before their quadratic
+  // pair expansion on the claim that boilerplate buckets carry no
+  // near-dup signal worth m² work; [[graft.llm.MinHashLSH.capSweep]]
+  // measures that claim: per grid cap, the share of Σ bc·(bc−1)/2
+  // bucket pair-work avoided AND the recall cost against the exact
+  // Jaccard truth, both read off ONE uncapped truth pass (the
+  // q173/q311 discipline — the quadratic expansion is the deliberate
+  // card price; production stays capped). The oracle replays banding,
+  // per-pair smallest-shared-bucket attribution, the truth Jaccard,
+  // and every grid aggregate.
+  private val CapSweepCaps = Seq(1L, 2L, 3L, 4L, 8L, 16L)
+  def q314CapSweep(s: SparkSession, dir: String): DataFrame =
+    MinHashLSH.capSweep(graft.Tables.documents(s, dir), "doc_id",
+      "text", ShingleN, NumHashes, 1, CapSweepCaps, AdmitMinJaccardFp)
+
   // ---- q312: fold-debt / compaction policy card ----
   // q279/q280/q294-q297 prove every fold EXACT; this card prices
   // what exactness doesn't cover — accumulated operational debt
@@ -2023,6 +2039,7 @@ object SimilarityQueries {
     "q298_bbit_admission" -> q298BbitAdmission _,
     "q311_bbit_screen_sweep" -> q311BbitScreenSweep _,
     "q312_fold_debt" -> q312FoldDebt _,
+    "q314_cap_sweep" -> q314CapSweep _,
     "q279_cc_delta_chain" -> q279CcDeltaChain _,
     "q280_index_delta" -> q280IndexDelta _,
     "q294_index_erase" -> q294IndexErase _,
@@ -3573,6 +3590,60 @@ object SimilarityQueries {
          |      THEN 1 ELSE 0 END), 0)) * 1000000
          |    // greatest(count(*), 1) AS BIGINT) AS verify_saved_ppm
          |FROM sc, grid GROUP BY 1""".stripMargin,
+    // the uncapped pair set scored once (smallest shared bucket +
+    // exact truth Jaccard), bucket work stats windowed, every grid
+    // cap read off the same two relations
+    "q314_cap_sweep" ->
+      s"""WITH $minhashCtes,
+         |bkt AS (SELECT band_id, band_key, CAST(count(*) AS BIGINT) AS bc
+         |  FROM bands GROUP BY 1, 2),
+         |b2 AS (SELECT bands.doc_id, bands.band_id, bands.band_key, bkt.bc
+         |  FROM bands JOIN bkt USING (band_id, band_key)),
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(min(a.bc) AS BIGINT) AS min_bc
+         |  FROM b2 a JOIN b2 b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |      AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sc AS (SELECT pr.min_bc,
+         |    CAST(floor(1000000.0
+         |      * CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         |      / CAST(len(sa.s) + len(sb.s)
+         |          - len(list_intersect(sa.s, sb.s)) AS DOUBLE)) AS BIGINT)
+         |      AS jfp
+         |  FROM pr JOIN sets sa ON pr.doc_a = sa.doc_id
+         |  JOIN sets sb ON pr.doc_b = sb.doc_id),
+         |grid AS (SELECT CAST(unnest([${CapSweepCaps.mkString(", ")}])
+         |  AS BIGINT) AS cap),
+         |wk AS (SELECT cap, CAST(count(*) AS BIGINT) AS n_buckets,
+         |    CAST(coalesce(sum(CASE WHEN bc > cap THEN 1 ELSE 0 END), 0)
+         |      AS BIGINT) AS n_buckets_dropped,
+         |    CAST(coalesce(sum(bc * (bc - 1) // 2), 0) AS BIGINT)
+         |      AS work_all,
+         |    CAST(coalesce(sum(CASE WHEN bc <= cap
+         |      THEN bc * (bc - 1) // 2 ELSE 0 END), 0) AS BIGINT)
+         |      AS work_kept
+         |  FROM bkt, grid GROUP BY 1),
+         |rc AS (SELECT cap, CAST(count(*) AS BIGINT) AS n_candidates,
+         |    CAST(coalesce(sum(CASE WHEN min_bc <= cap THEN 1 ELSE 0 END),
+         |      0) AS BIGINT) AS n_kept,
+         |    CAST(coalesce(sum(CASE WHEN jfp >= $AdmitMinJaccardFp
+         |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_true_dups,
+         |    CAST(coalesce(sum(CASE WHEN min_bc <= cap
+         |      AND jfp >= $AdmitMinJaccardFp THEN 1 ELSE 0 END), 0)
+         |      AS BIGINT) AS n_caught
+         |  FROM sc, grid GROUP BY 1)
+         |SELECT wk.cap, wk.n_buckets, wk.n_buckets_dropped,
+         |  CAST((work_all - work_kept) * 1000000
+         |    // greatest(work_all, 1) AS BIGINT) AS pair_work_saved_ppm,
+         |  CAST(coalesce(rc.n_candidates, 0) AS BIGINT) AS n_candidates,
+         |  CAST(coalesce(rc.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(coalesce(rc.n_true_dups, 0) AS BIGINT) AS n_true_dups,
+         |  CAST(coalesce(rc.n_caught, 0) AS BIGINT) AS n_caught,
+         |  CAST(coalesce(rc.n_caught, 0) * 1000000
+         |    // greatest(coalesce(rc.n_true_dups, 0), 1) AS BIGINT)
+         |    AS recall_ppm
+         |FROM wk LEFT JOIN rc USING (cap)""".stripMargin,
     // the 8-epoch crawl simulated from documents, then the running-sum
     // windows and generation arithmetic replayed row for row
     "q312_fold_debt" ->
