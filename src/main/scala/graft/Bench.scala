@@ -7,6 +7,42 @@ object Bench {
     // sample makes the min robust to a single slow execution while the
     // per-iteration times array keeps the noise itself visible
     val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // ---- steal-proof record protocol (r17 verdict ask #1) ----
+    // Three consecutive rounds produced a contaminated number of
+    // record (hypervisor steal inflating wall AND process-CPU on the
+    // same plans that read clean on a quiet box), and per-iteration
+    // telemetry only adjudicated it AFTER the fact. This makes the
+    // recorded min clean-by-construction: /proc/stat's steal column
+    // is read around every timed run, an iteration whose steal share
+    // exceeds `stealMaxPpm` is re-run (bounded per-iteration retries
+    // plus one global budget so a permanently-dirty box cannot
+    // multiply the wall), and a query that never saw a clean window
+    // is FLAGGED in `steal_flagged` instead of silently recording a
+    // polluted time. The per-query min prefers clean iterations.
+    val stealMaxPpm =
+      sys.env.getOrElse("SPARK_GRAFT_STEAL_MAX_PPM", "20000").toLong
+    val stealRetries =
+      sys.env.getOrElse("SPARK_GRAFT_STEAL_RETRIES", "2").toInt
+    // sized from the measured burst pattern on this host (sf0.001
+    // smoke: steal median 0, p90 ~17k ppm, bursts to 130k on ~10% of
+    // windows): ~10% of 942 iterations retry once or twice → ~200
+    // expected; 300 bounds a fully-dirty run at ~+30% wall
+    var stealBudget =
+      sys.env.getOrElse("SPARK_GRAFT_STEAL_BUDGET", "300").toInt
+    // first "cpu " aggregate line of /proc/stat:
+    // user nice system idle iowait irq softirq steal guest guest_nice
+    // (jiffies). steal is field 8; total is the sum of the first 8
+    // (guest time is already folded into user/nice). None on any
+    // parse/read failure (non-Linux, container without procfs) — the
+    // protocol then degrades to the r17 behavior (record, no retry).
+    def procStat(): Option[(Long, Long)] =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try src.getLines().find(_.startsWith("cpu ")).flatMap { line =>
+          val f = line.trim.split("\\s+").drop(1).flatMap(_.toLongOption)
+          if (f.length >= 8) Some((f(7), f.take(8).sum)) else None
+        } finally src.close()
+      } catch { case _: Throwable => None }
     val spark = Sessions.local()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup: run one cheap query so JVM/codegen/session startup cost
@@ -27,18 +63,24 @@ object Bench {
     // whole-stage-codegen compilation (~1s for the larger plans),
     // which at real scale amortizes to nothing — the steady-state
     // number is the meaningful one.
-    // Environment telemetry (r16 verdict ask #1): the r16 driver run
-    // read 334 s against a 232 s same-tree builder record, with
-    // per-iteration stalls of 30-100 s on queries whose plans hadn't
-    // changed in three rounds — and adjudicating "busy box" vs "plan
-    // regression" took a whole re-run session. Per-iteration process
-    // CPU seconds, GC ms, and 1-min box load make that adjudication a
-    // file read: a stalled iteration shows wall >> cpu with load far
-    // above this JVM's own thread count; a real regression shows cpu
-    // growing with wall.
-    val osBean = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean
-      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    // Environment telemetry (r16 verdict ask #1): per-iteration
+    // process CPU seconds, GC ms, and 1-min box load make "busy box"
+    // vs "plan regression" a file read: a stalled iteration shows
+    // wall >> cpu at high load; a real regression shows cpu growing
+    // with wall. The MXBean cast is guarded (ADVICE r17): a
+    // non-HotSpot JVM reads absent telemetry, never a
+    // ClassCastException, and -1 sentinels record as null, never as
+    // negative measurements.
+    val osBean: Option[com.sun.management.OperatingSystemMXBean] =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case b: com.sun.management.OperatingSystemMXBean => Some(b)
+        case _ => None
+      }
+    def procCpuNanos: Option[Long] =
+      osBean.map(_.getProcessCpuTime).filter(_ >= 0L)
+    def load1m: Option[Double] =
+      Option(java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage).filter(_ >= 0.0)
     def gcMs: Long = {
       val it = java.lang.management.ManagementFactory
         .getGarbageCollectorMXBeans.iterator()
@@ -46,29 +88,51 @@ object Bench {
       while (it.hasNext) { val t = it.next().getCollectionTime; if (t > 0) s += t }
       s
     }
-    case class Iter(wall: Double, cpu: Double, gc: Long, load: Double)
+    case class Iter(wall: Double, cpu: Option[Double], gc: Long,
+        load: Option[Double], steal: Option[Long], retries: Int) {
+      // unknown steal (no procfs) counts as clean: it cannot be
+      // adjudicated and must not burn the retry budget
+      def clean: Boolean = steal.forall(_ <= stealMaxPpm)
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val iters = (1 to iterations).map { _ =>
-        // drop the LSH/gram caches BEFORE each timed run: operators
-        // persist skinny projections that a second iteration (or a
-        // later query sharing the projection) would read back warm —
-        // min-over-iterations must price the full compute every time
-        graft.llm.Caches.unpersistAll(blocking = true)
-        val load0 = osBean.getSystemLoadAverage
-        val gc0 = gcMs
-        val cpu0 = osBean.getProcessCpuTime
-        val t0 = System.nanoTime()
-        // a failing query must fail the BENCH, not score as the run's
-        // fastest entry — swallowing into a -1 sentinel once masked
-        // breakage behind a plausible-looking number
-        try fn(spark, sfDir).queryExecution.toRdd.count()
-        catch {
-          case e: Throwable =>
-            throw new RuntimeException(s"bench query $name failed", e)
+        var attempt = 0
+        var best: Option[Iter] = None
+        var done = false
+        while (!done) {
+          // drop the LSH/gram caches BEFORE each timed run: operators
+          // persist skinny projections that a second iteration (or a
+          // later query sharing the projection) would read back warm —
+          // min-over-iterations must price the full compute every time
+          graft.llm.Caches.unpersistAll(blocking = true)
+          val load0 = load1m
+          val st0 = procStat()
+          val gc0 = gcMs
+          val cpu0 = procCpuNanos
+          val t0 = System.nanoTime()
+          // a failing query must fail the BENCH, not score as the run's
+          // fastest entry — swallowing into a -1 sentinel once masked
+          // breakage behind a plausible-looking number
+          try fn(spark, sfDir).queryExecution.toRdd.count()
+          catch {
+            case e: Throwable =>
+              throw new RuntimeException(s"bench query $name failed", e)
+          }
+          val wall = (System.nanoTime() - t0) / 1e9
+          val stealPpm = for ((s0, t0s) <- st0; (s1, t1s) <- procStat())
+            yield (s1 - s0) * 1000000L / math.max(t1s - t0s, 1L)
+          val it = Iter(wall,
+            for (c0 <- cpu0; c1 <- procCpuNanos) yield (c1 - c0) / 1e9,
+            gcMs - gc0, load0, stealPpm, attempt)
+          // keep the least-stolen attempt so an always-dirty box still
+          // records its best-available measurement (flagged below)
+          if (best.forall(b => it.steal.getOrElse(0L) <
+              b.steal.getOrElse(0L)) || best.isEmpty) best = Some(it)
+          if (it.clean || attempt >= stealRetries || stealBudget <= 0)
+            done = true
+          else { attempt += 1; stealBudget -= 1 }
         }
-        Iter((System.nanoTime() - t0) / 1e9,
-          (osBean.getProcessCpuTime - cpu0) / 1e9,
-          gcMs - gc0, load0)
+        best.get
       }
       name -> iters
     }
@@ -81,22 +145,35 @@ object Bench {
     def fmtMap(f: Iter => String): String = results.map { case (k, v) =>
       s"\"" + k + "\":" + v.map(f).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.map(_.wall).min }
+    // the recorded per-query time is the min over CLEAN iterations
+    // when any exist — steal-free by construction; a query with no
+    // clean window falls back to the overall min and is flagged
+    def minWall(v: Seq[Iter]): Double = {
+      val clean = v.filter(_.clean)
+      (if (clean.nonEmpty) clean else v).map(_.wall).min
+    }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + minWall(v) }
       .mkString("{", ",", "}")
     // every iteration's time, not just the min: a one-off slow
     // iteration (GC pause, box noise) then shows up as [4.1, 0.4]
     // instead of masquerading as — or hiding — a plan regression
     val iters = fmtMap(i => dec(i.wall, 3))
-    val cpus = fmtMap(i => dec(i.cpu, 3))
+    val cpus = fmtMap(_.cpu.map(dec(_, 3)).getOrElse("null"))
     val gcs = fmtMap(_.gc.toString)
-    val loads = fmtMap(i => dec(i.load, 2))
-    val total = if (results.nonEmpty) results.values.map(_.map(_.wall).min).sum
+    val loads = fmtMap(_.load.map(dec(_, 2)).getOrElse("null"))
+    val steals = fmtMap(_.steal.map(_.toString).getOrElse("null"))
+    val retries = fmtMap(_.retries.toString)
+    val flagged = results.collect {
+      case (k, v) if !v.exists(_.clean) => "\"" + k + "\""
+    }.mkString("[", ",", "]")
+    val total = if (results.nonEmpty) results.values.map(minWall).sum
                 else 0.0
     val env = s"""{"processors":${Runtime.getRuntime.availableProcessors}""" +
-      s""","load1m_end":${dec(osBean.getSystemLoadAverage, 2)}""" +
-      s""","jvm":"${System.getProperty("java.version")}"}"""
+      s""","load1m_end":${load1m.map(dec(_, 2)).getOrElse("null")}""" +
+      s""","jvm":"${System.getProperty("java.version")}"""" +
+      s""","steal_max_ppm":$stealMaxPpm,"steal_budget_left":$stealBudget}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"times":$iters,"cpu_sec":$cpus,"gc_ms":$gcs,"load1m":$loads,"env":$env,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"times":$iters,"cpu_sec":$cpus,"gc_ms":$gcs,"load1m":$loads,"steal_ppm":$steals,"steal_retries":$retries,"steal_flagged":$flagged,"env":$env,"sf":"$sfDir"}"""
     println(full)
     // ALSO land the complete per-query record in a committed file:
     // stdout rides the harness's bounded tail capture (2 KB), which

@@ -237,7 +237,10 @@ object ScalingSweep {
       val nearCap = idx.counts
         .filter(col("n") > cap && col("n") <= 2L * cap)
         .select(col("band_id"), col("band_key"))
-      val forced = idx.evicted.get
+      val forced = idx.evicted
+        .getOrElse(sys.error(
+          "lifecycle sweep requires a capped index (cap > 0) — the " +
+            "forced-transition erase component reads the cold tier"))
         .join(nearCap, Seq("band_id", "band_key"), "left_semi")
         .filter(col("doc_id") < 10000000L &&
           pmod(col("doc_id"), lit(2L)) === 0L)

@@ -423,6 +423,11 @@ object Dedup {
       gramNs: Seq[Int], minOccs: Seq[Long]): DataFrame = {
     require(gramNs.nonEmpty && minOccs.nonEmpty, "empty sweep grid")
     require(minOccs.forall(_ >= 2L), "minOcc < 2 blocklists every gram")
+    // a duplicated gramN silently doubles the tokenize/count/coverage
+    // scans and emits duplicate rows; a duplicated minOcc duplicates
+    // rows within a gramN — the fleissPivot distinct-classes guard
+    require(gramNs.distinct == gramNs, s"duplicate gramN in $gramNs")
+    require(minOccs.distinct == minOccs, s"duplicate minOcc in $minOccs")
     LlmFunctions.registerShingleBases(docs.sparkSession)
     val q = graft.Names.quoted _
     val session = docs.sparkSession

@@ -79,6 +79,19 @@ class CapSweepSpec extends AnyFunSuite with SparkTestSession {
       "the fixture must contain true dups for the recall column to price")
   }
 
+  test("a vacuous cell (zero true dups) reads full recall, not zero") {
+    // a threshold above 10^6 makes every cell's truth set empty;
+    // recall must read 1000000 so a curve scan can tell "nothing to
+    // lose" from "lost everything" (ADVICE r17)
+    val rows = MinHashLSH.capSweep(corpus, "doc_id", "text", ShingleN,
+      NumHashes, 1, caps, 1000001L).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_true_dups") === 0L)
+      assert(r.getAs[Long]("recall_ppm") === 1000000L)
+    }
+  }
+
   test("degenerate grids are rejected loudly") {
     intercept[IllegalArgumentException] {
       MinHashLSH.capSweep(corpus, "doc_id", "text", ShingleN, NumHashes,
