@@ -62,4 +62,28 @@ object Storage {
       "uncompressed_bytes", "share_ppm")
       .orderBy("column_name")
   }
+
+  /** Recursive (data files, bytes) footprint of a directory tree —
+    * the fragmentation primitive the fold-debt calibration reads
+    * ([[graft.llm.FoldDebt.calibrationCard]]): each delta-epoch
+    * directory's footprint IS the file-count/byte cost that fold
+    * added, and the generation directory is the base it amortizes
+    * against. Writer-control files (`_SUCCESS`, `.crc` sidecars,
+    * dot-temp files) are excluded — readers never open them, so they
+    * are not read-amplification. Driver-side walk, catalog-scale (an
+    * artifact dir holds tens to hundreds of files; for an object
+    * store the same walk is one LIST call per prefix). */
+  def dirFootprint(path: String): (Long, Long) = {
+    def walk(f: java.io.File): (Long, Long) =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filterNot(_.getName.startsWith("."))
+          .map(walk).foldLeft((0L, 0L)) { case ((n, b), (n2, b2)) =>
+            (n + n2, b + b2)
+          }
+      else if (f.getName.startsWith("_") || f.getName.startsWith("."))
+        (0L, 0L)
+      else (1L, f.length())
+    walk(new java.io.File(path))
+  }
 }

@@ -162,6 +162,21 @@ object Artifacts {
   def loadIndexFrame(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  // ---------- Chained-artifact compaction ----------
+
+  /** Execute the [[FoldDebt]] policy's `checkpoint`/`rebuild` action
+    * on a chained [[SigStore]] artifact (r17 verdict ask #3 — the
+    * q312 meter decides WHEN; this runs it): materialize the served
+    * fold chain as a fresh generation, drop tombstone mass physically
+    * (erased rows are anti-joined out of the new files), and reset
+    * the debt meter (consumed epochs fall below the published
+    * watermark). Idempotent on an empty chain; retired files stay for
+    * live readers until [[SigStore.vacuum]]. The compacted image
+    * serves row-identically to the chain it replaces — the compact
+    * card's oracle pins it against the full rebuild. */
+  def compact(spark: SparkSession, root: String): SigStore.CompactStats =
+    SigStore.compact(spark, root)
+
   // ---------- Stable on-disk artifact catalog ----------
 
   /** Deterministic artifact root for a corpus directory — the durable

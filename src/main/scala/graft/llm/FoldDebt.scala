@@ -75,6 +75,17 @@ object FoldDebt {
   val ZeroState: DebtState =
     DebtState(0L, 0L, 0L, 0L, 0L, 0L, Long.MinValue)
 
+  /** [[ZeroState]] seeded with a pre-existing corpus size — the state
+    * a meter starts from when it begins watching an artifact that
+    * already holds `live` rows (a compacted generation), so relative
+    * delta/tombstone mass prices against the real base instead of an
+    * empty one. Equals [[schedule]]'s `initialLive` (fold ≡ window,
+    * FoldDebtProps). */
+  def startState(live: Long): DebtState = {
+    require(live >= 0L, "initial live count must be >= 0")
+    ZeroState.copy(live = live)
+  }
+
   /** One output row of the policy meter (the [[schedule]] row shape
     * plus the artifact key the streaming twin groups by). */
   final case class DebtRow(artifact: String, epoch: Long,
@@ -131,9 +142,11 @@ object FoldDebt {
       eraseCol: String, depthUnitPpm: Long = DefaultDepthUnitPpm,
       tombWeight: Long = DefaultTombWeight,
       debtBudgetPpm: Long = DefaultDebtBudgetPpm,
-      tombBudgetPpm: Long = DefaultTombBudgetPpm): DataFrame = {
+      tombBudgetPpm: Long = DefaultTombBudgetPpm,
+      initialLive: Long = 0L): DataFrame = {
     require(depthUnitPpm >= 0 && tombWeight >= 0, "weights must be >= 0")
     require(debtBudgetPpm > 0 && tombBudgetPpm > 0, "budgets must be > 0")
+    require(initialLive >= 0L, "initial live count must be >= 0")
     val q = graft.Names.quoted _
     val byEpoch = Window.orderBy(col("epoch"))
     val cum = byEpoch.rowsBetween(Window.unboundedPreceding,
@@ -161,7 +174,7 @@ object FoldDebt {
             col("epoch"))).cast("bigint"))
         .otherwise(col("batch_rows")))
       .drop("__dups")
-      .withColumn("live_rows",
+      .withColumn("live_rows", lit(initialLive) +
         sum(col("batch_rows") - col("erase_rows")).over(cum))
       .withColumn("debt_ppm",
         lit(depthUnitPpm) +
@@ -186,5 +199,60 @@ object FoldDebt {
         .partitionBy(col("debt_gen"), col("tomb_gen"))
         .orderBy(col("epoch"))).cast("bigint"))
       .drop("__pd", "__pt")
+  }
+
+  /** Calibration card (r17 verdict ask #4): the MODELED debt meter
+    * next to MEASURED storage fragmentation, per epoch, on a real
+    * chained [[SigStore]] — so [[DefaultDepthUnitPpm]] is a number
+    * with a measured basis instead of library lore. Each un-compacted
+    * epoch directory's (files, bytes) footprint IS the fragmentation
+    * that fold added (its delta files are exactly what a reader opens
+    * on top of the generation), and the current generation is the
+    * base it amortizes against:
+    *
+    *   measured_file_ppm  = ⌊10⁶·epoch_files / base_files⌋
+    *   measured_byte_ppm  = ⌊10⁶·epoch_bytes / base_bytes⌋
+    *
+    * `measured_file_ppm` is the honest analogue of the model's
+    * per-fold depth charge: the model says "every fold costs
+    * [[DefaultDepthUnitPpm]] = 125000 ppm of a compaction budget —
+    * checkpoint every 8 folds regardless of batch size"; the measured
+    * column says what share of the base's file population one fold
+    * actually appended. Measured basis on the sf0.01 corpus store
+    * (CalibrationSpec re-derives the arithmetic; the sf0.01 numbers
+    * are recorded in the card committed with the round): a fold epoch
+    * appends its delta files against a ~130-file generation — the
+    * same order as the modeled 1/8 budget share, which is why the
+    * default stands. Erase epochs additionally leave their dead rows
+    * physically IN the generation files until a rebuild — fragmenting
+    * reads AND holding dead bytes, the asymmetry [[DefaultTombWeight]]
+    * = 4 prices.
+    *
+    * Output: the [[SigStore.debtCard]] row plus `(n_files, n_bytes,
+    * base_files, base_bytes, measured_file_ppm, measured_byte_ppm)`.
+    * Filesystem-measured — certified by CalibrationSpec invariants,
+    * not the SQL oracle (the [[graft.governance.Storage]] position). */
+  def calibrationCard(spark: org.apache.spark.sql.SparkSession,
+      root: String): DataFrame = {
+    val ptr = SigStore.readPointer(root)
+    val (baseFiles, baseBytes) = graft.governance.Storage.dirFootprint(
+      new java.io.File(root, ptr.gen).toString)
+    val live = SigStore.epochs(root).filter(_ > ptr.watermark)
+    val session = spark
+    import session.implicits._
+    val fp = live.map { e =>
+      val (n, b) = graft.governance.Storage.dirFootprint(
+        new java.io.File(new java.io.File(root, "epochs"),
+          f"e$e%013d").toString)
+      (e, n, b)
+    }.toDF("epoch", "n_files", "n_bytes")
+    SigStore.debtCard(spark, root)
+      .join(fp, Seq("epoch"), "left")
+      .withColumn("base_files", lit(baseFiles))
+      .withColumn("base_bytes", lit(baseBytes))
+      .withColumn("measured_file_ppm",
+        expr("n_files * 1000000L div greatest(base_files, 1L)"))
+      .withColumn("measured_byte_ppm",
+        expr("n_bytes * 1000000L div greatest(base_bytes, 1L)"))
   }
 }

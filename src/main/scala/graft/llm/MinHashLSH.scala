@@ -243,8 +243,20 @@ object MinHashLSH {
     * fold. */
   def indexDelta(index: SigIndex, arrivals: DataFrame, idCol: String,
       textCol: String, shingleN: Int, numHashes: Int, rowsPerBand: Int,
-      cap: Int): SigIndex = {
-    val aSets = shingleSets(arrivals, idCol, textCol, shingleN)
+      cap: Int): SigIndex =
+    indexDeltaFromSets(index,
+      shingleSets(arrivals, idCol, textCol, shingleN),
+      numHashes, rowsPerBand, cap)
+
+  /** [[indexDelta]] from a PRE-SHINGLED arrival frame (`(doc_id, s)`,
+    * the [[shingleSets]] shape) — the spelling a persisted delta epoch
+    * folds through ([[SigStore.serve]] stores arrival sets, never
+    * text, so replaying a chain re-derives bands from integers
+    * row-locally and the text is tokenized exactly once, at append
+    * time). Same exactness contract and disjoint-arrival precondition
+    * as [[indexDelta]]. */
+  def indexDeltaFromSets(index: SigIndex, aSets: DataFrame,
+      numHashes: Int, rowsPerBand: Int, cap: Int): SigIndex = {
     val aBands = bandIndexFromSets(aSets, numHashes, rowsPerBand)
     val aCounts = aBands.groupBy(col("band_id"), col("band_key"))
       .agg(count(lit(1)).as("an"))
@@ -623,7 +635,12 @@ object MinHashLSH {
           .as("n_caught"))
       .select(col("screen_min_ppm"), col("n_candidates"),
         col("n_screened"), col("n_true_dups"), col("n_caught"),
-        expr("n_caught * 1000000L div greatest(n_true_dups, 1L)")
+        // a vacuous cell (no true dups to catch) reads FULL recall,
+        // not zero — otherwise a curve scan cannot tell "nothing to
+        // lose" from "lost everything" (the po/pe empty-corpus
+        // convention)
+        expr("case when n_true_dups = 0L then 1000000L " +
+          "else n_caught * 1000000L div n_true_dups end")
           .as("recall_ppm"),
         expr("(n_candidates - n_screened) * 1000000L " +
           "div greatest(n_candidates, 1L)").as("verify_saved_ppm"))
@@ -717,8 +734,11 @@ object MinHashLSH {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("n_true_dups"), lit(0L)).as("n_true_dups"),
         coalesce(col("n_caught"), lit(0L)).as("n_caught"),
-        expr("coalesce(n_caught, 0L) * 1000000L " +
-          "div greatest(coalesce(n_true_dups, 0L), 1L)").as("recall_ppm"))
+        // vacuous cell (zero true dups) reads full recall — see
+        // [[bbitScreenSweep]]'s convention
+        expr("case when coalesce(n_true_dups, 0L) = 0L then 1000000L " +
+          "else coalesce(n_caught, 0L) * 1000000L div n_true_dups end")
+          .as("recall_ppm"))
   }
 
   /** Per-tombstone erase impact against the LOADED signature index —

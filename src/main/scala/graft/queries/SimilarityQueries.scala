@@ -386,6 +386,79 @@ object SimilarityQueries {
     graft.llm.FoldDebt.schedule(eps, "epoch", "arrivals", "erases")
   }
 
+  // ---- q315: compaction serves identically (q312's mechanism) ----
+  // q312 prices WHEN to checkpoint/rebuild a fold chain;
+  // [[graft.llm.Artifacts.compact]] is what RUNS it (r17 verdict ask
+  // #3): a chained [[graft.llm.SigStore]] is built once (base
+  // generation = 90% of the corpus, one arrival epoch, one erase
+  // epoch), then compacted — a fresh generation materialized, the
+  // pointer advanced, tombstone mass physically dropped, the debt
+  // meter reset — and the card proves the CHAIN-served image and the
+  // COMPACTED image identical per doc over both serving frames (band
+  // rows: count + commutative checksum, the q280 spine; shingle
+  // sets: size + sum-mod checksum). The oracle replays the full
+  // REBUILD over the post-erase corpus and pins BOTH sides to it with
+  // agree == true — a compaction that dropped a row, resurrected an
+  // evictee, or leaked an erased doc hash-fails the round.
+  private val CompactEraseMod = 11L
+  def q315CompactServe(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    val root = graft.llm.Artifacts.ensure(dir,
+        s"sigstore-chain-v1-n$NumHashes-r1-s$ShingleN-c$AdmitCap" +
+          s"-e$CompactEraseMod") { p =>
+      val st = p + "/store"
+      graft.llm.SigStore.init(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        "doc_id", "text", st, ShingleN, NumHashes, 1, AdmitCap)
+      graft.llm.SigStore.appendArrivals(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        "doc_id", "text", st): Unit
+      graft.llm.SigStore.appendErases(
+        docs.filter(pmod(col("doc_id"), lit(CompactEraseMod)) === 5L)
+          .select(col("doc_id")), st): Unit
+    }
+    val st = root + "/store"
+    // the chain image is read BEFORE compact; compact retires files
+    // without deleting them (the vacuum separation), so this lazy
+    // plan stays valid. On a later session the chain is already
+    // compacted and both sides read the same generation — the VALUES
+    // are identical either way (fold ≡ rebuild ≡ compact), which is
+    // what keeps the oracle replayable.
+    val served = graft.llm.SigStore.serve(s, st)
+    graft.llm.Artifacts.compact(s, st): Unit
+    val compacted = graft.llm.SigStore.serve(s, st)
+    perDocImage(served, "served")
+      .join(perDocImage(compacted, "compact"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        col("n_ints_served"), col("s_ck_served"),
+        col("n_served"), col("ck_served"),
+        col("n_ints_compact"), col("s_ck_compact"),
+        col("n_compact"), col("ck_compact"),
+        (col("n_ints_served").isNotNull && col("n_ints_compact").isNotNull &&
+          col("n_ints_served") === col("n_ints_compact") &&
+          col("s_ck_served") === col("s_ck_compact") &&
+          col("n_served") === col("n_compact") &&
+          col("ck_served") === col("ck_compact")).as("agree"))
+  }
+
+  /** Per-doc serving image of a [[graft.llm.MinHashLSH.SigIndex]]:
+    * the [[bandsPerDoc]] spine over the capped bands (count +
+    * commutative checksum, zeros for a doc whose every bucket is
+    * over-cap) plus the shingle-set frame's size and sum-mod
+    * checksum — the two frames [[graft.llm.MinHashLSH
+    * .fuzzyAdmission]] actually serves from. */
+  private val SetCkMod = 4294967291L // largest prime below 2^32
+  private def perDocImage(idx: graft.llm.MinHashLSH.SigIndex,
+      pfx: String): DataFrame =
+    idx.sets.select(col("doc_id"),
+      size(col("s")).cast("bigint").as(s"n_ints_$pfx"),
+      expr(s"aggregate(s, 0L, (a, x) -> (a + x) % ${SetCkMod}L)")
+        .as(s"s_ck_$pfx"))
+      .join(bandsPerDoc(idx.bands, pfx), Seq("doc_id"), "left")
+      .select(col("doc_id"), col(s"n_ints_$pfx"), col(s"s_ck_$pfx"),
+        coalesce(col(s"n_$pfx"), lit(0L)).as(s"n_$pfx"),
+        coalesce(col(s"ck_$pfx"), lit(0L)).as(s"ck_$pfx"))
+
   // ---- q277: 1-bit minhash signature compression (b-bit minhash) ----
   // Li & König's b-bit minhash at b = 1: keep only each signature's
   // LOWEST BIT, so 64 signatures pack into ONE 64-bit word — a 64×
@@ -2040,6 +2113,7 @@ object SimilarityQueries {
     "q311_bbit_screen_sweep" -> q311BbitScreenSweep _,
     "q312_fold_debt" -> q312FoldDebt _,
     "q314_cap_sweep" -> q314CapSweep _,
+    "q315_compact_serve" -> q315CompactServe _,
     "q279_cc_delta_chain" -> q279CcDeltaChain _,
     "q280_index_delta" -> q280IndexDelta _,
     "q294_index_erase" -> q294IndexErase _,
@@ -3582,10 +3656,12 @@ object SimilarityQueries {
          |  CAST(coalesce(sum(CASE WHEN est_ppm >= screen_min_ppm
          |    AND jfp >= $AdmitMinJaccardFp THEN 1 ELSE 0 END), 0)
          |    AS BIGINT) AS n_caught,
-         |  CAST(coalesce(sum(CASE WHEN est_ppm >= screen_min_ppm
+         |  CAST(CASE WHEN coalesce(sum(CASE WHEN jfp >= $AdmitMinJaccardFp
+         |      THEN 1 ELSE 0 END), 0) = 0 THEN 1000000
+         |    ELSE coalesce(sum(CASE WHEN est_ppm >= screen_min_ppm
          |      AND jfp >= $AdmitMinJaccardFp THEN 1 ELSE 0 END), 0) * 1000000
-         |    // greatest(coalesce(sum(CASE WHEN jfp >= $AdmitMinJaccardFp
-         |      THEN 1 ELSE 0 END), 0), 1) AS BIGINT) AS recall_ppm,
+         |    // sum(CASE WHEN jfp >= $AdmitMinJaccardFp THEN 1 ELSE 0 END)
+         |    END AS BIGINT) AS recall_ppm,
          |  CAST((count(*) - coalesce(sum(CASE WHEN est_ppm >= screen_min_ppm
          |      THEN 1 ELSE 0 END), 0)) * 1000000
          |    // greatest(count(*), 1) AS BIGINT) AS verify_saved_ppm
@@ -3640,9 +3716,9 @@ object SimilarityQueries {
          |  CAST(coalesce(rc.n_kept, 0) AS BIGINT) AS n_kept,
          |  CAST(coalesce(rc.n_true_dups, 0) AS BIGINT) AS n_true_dups,
          |  CAST(coalesce(rc.n_caught, 0) AS BIGINT) AS n_caught,
-         |  CAST(coalesce(rc.n_caught, 0) * 1000000
-         |    // greatest(coalesce(rc.n_true_dups, 0), 1) AS BIGINT)
-         |    AS recall_ppm
+         |  CAST(CASE WHEN coalesce(rc.n_true_dups, 0) = 0 THEN 1000000
+         |    ELSE coalesce(rc.n_caught, 0) * 1000000 // rc.n_true_dups
+         |    END AS BIGINT) AS recall_ppm
          |FROM wk LEFT JOIN rc USING (cap)""".stripMargin,
     // the 8-epoch crawl simulated from documents, then the running-sum
     // windows and generation arithmetic replayed row for row
@@ -3690,6 +3766,37 @@ object SimilarityQueries {
          |  CAST(row_number() OVER (PARTITION BY debt_gen, tomb_gen
          |    ORDER BY epoch) AS BIGINT) AS chain_depth
          |FROM g""".stripMargin,
+    // the ONE truth is the full rebuild over the post-erase corpus
+    // (doc_id % CompactEraseMod != 5; the chain's base ∪ arrival
+    // slices cover every doc) — BOTH the chain-served and the
+    // compacted columns must equal it per doc over both serving
+    // frames, and agree pins to literal true: a compaction that
+    // dropped a band row, leaked an erased doc, or rewrote a shingle
+    // set hash-fails
+    "q315_compact_serve" ->
+      s"""WITH $minhashCtes,
+         |cb AS (SELECT doc_id, band_id, band_key FROM (
+         |    SELECT doc_id, band_id, band_key,
+         |      count(*) OVER (PARTITION BY band_id, band_key) AS bc
+         |    FROM bands WHERE doc_id % $CompactEraseMod != 5) t
+         |  WHERE bc <= $AdmitCap),
+         |bd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(('0x' || substr(md5(concat_ws(chr(1),
+         |      CAST(band_id AS VARCHAR), band_key)), 1, 8))::BIGINT)
+         |      % ${graft.llm.Sketches.ChecksumMod} AS BIGINT) AS ck
+         |  FROM cb GROUP BY doc_id),
+         |st AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_ints,
+         |    CAST(list_sum(s) % $SetCkMod AS BIGINT) AS s_ck
+         |  FROM sets WHERE doc_id % $CompactEraseMod != 5)
+         |SELECT st.doc_id,
+         |  st.n_ints AS n_ints_served, st.s_ck AS s_ck_served,
+         |  CAST(coalesce(bd.n, 0) AS BIGINT) AS n_served,
+         |  CAST(coalesce(bd.ck, 0) AS BIGINT) AS ck_served,
+         |  st.n_ints AS n_ints_compact, st.s_ck AS s_ck_compact,
+         |  CAST(coalesce(bd.n, 0) AS BIGINT) AS n_compact,
+         |  CAST(coalesce(bd.ck, 0) AS BIGINT) AS ck_compact,
+         |  true AS agree
+         |FROM st LEFT JOIN bd USING (doc_id)""".stripMargin,
     // the shared bands CTE sliced into corpus/batch sides, candidate
     // counts per arrival, clean arrivals at zero
     "q194_incremental_neardup" ->

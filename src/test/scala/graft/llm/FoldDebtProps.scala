@@ -16,7 +16,7 @@ object FoldDebtProps extends Properties("FoldDebt") with SparkTestSession {
 
   private case class Fixture(rows: List[(Long, Long, Long)],
       depthUnitPpm: Long, tombWeight: Long, debtBudgetPpm: Long,
-      tombBudgetPpm: Long)
+      tombBudgetPpm: Long, initialLive: Long)
 
   private val fixtureGen: Gen[Fixture] = for {
     n <- Gen.choose(1, 24)
@@ -28,10 +28,13 @@ object FoldDebtProps extends Properties("FoldDebt") with SparkTestSession {
     tombWeight <- Gen.choose(0L, 8L)
     debtBudget <- Gen.oneOf(1L, 200000L, 1000000L, 3000000L)
     tombBudget <- Gen.oneOf(1L, 100000L, 250000L, 900000L)
+    // a pre-existing corpus (the compacted-generation seed) must
+    // price relative mass identically in both spellings
+    initialLive <- Gen.oneOf(0L, 1L, 500L, 250000L)
   } yield Fixture(
     arrivals.zip(erases).zipWithIndex
       .map { case ((a, e), i) => (i.toLong, a, e) },
-    depthUnit, tombWeight, debtBudget, tombBudget)
+    depthUnit, tombWeight, debtBudget, tombBudget, initialLive)
 
   property("schedule (window) == step (fold), row for row, on " +
       "arbitrary crawls and budgets") =
@@ -40,7 +43,7 @@ object FoldDebtProps extends Properties("FoldDebt") with SparkTestSession {
       val windowed = FoldDebt.schedule(
           f.rows.toDF("epoch", "arrivals", "erases"), "epoch",
           "arrivals", "erases", f.depthUnitPpm, f.tombWeight,
-          f.debtBudgetPpm, f.tombBudgetPpm)
+          f.debtBudgetPpm, f.tombBudgetPpm, f.initialLive)
         .orderBy("epoch").collect().map(r =>
           (r.getAs[Long]("epoch"), r.getAs[Long]("batch_rows"),
             r.getAs[Long]("erase_rows"), r.getAs[Long]("live_rows"),
@@ -48,7 +51,7 @@ object FoldDebtProps extends Properties("FoldDebt") with SparkTestSession {
             r.getAs[Long]("debt_gen"), r.getAs[Long]("cum_tomb_ppm"),
             r.getAs[Long]("tomb_gen"), r.getAs[String]("action"),
             r.getAs[Long]("chain_depth"))).toSeq
-      var st = FoldDebt.ZeroState
+      var st = FoldDebt.startState(f.initialLive)
       val folded = f.rows.map { case (e, a, r) =>
         val (ns, row) = FoldDebt.step(st, "art", e, a, r,
           f.depthUnitPpm, f.tombWeight, f.debtBudgetPpm, f.tombBudgetPpm)
