@@ -1206,7 +1206,7 @@ object LlmQueries {
   // whole-document MinHash similarity cannot express. Grams hash
   // through the same codegen'd shingle_bases path as q21, so the
   // oracle replays md5-based gram hashing exactly.
-  private val DupSpanGramN = 8
+  private val DupSpanGramN = graft.llm.Knobs.SpanGramN
   def q50DupSpans(s: SparkSession, dir: String): DataFrame =
     Dedup.dupSpanStats(graft.Tables.documents(s, dir), "doc_id", "text",
       gramN = DupSpanGramN)
@@ -1225,10 +1225,10 @@ object LlmQueries {
   // the oracle replays hashing, blocklisting, coverage and the
   // rejoin VERBATIM including clean_text, so a single off-by-one in
   // span coverage hash-fails the round.
-  private val SpanStripGramN = 8
+  private val SpanStripGramN = graft.llm.Knobs.SpanGramN
   def q300SpanRemoval(s: SparkSession, dir: String): DataFrame =
     Dedup.removeDupSpans(graft.Tables.documents(s, dir), "doc_id",
-      "text", SpanStripGramN, 2L)
+      "text", SpanStripGramN, graft.llm.Knobs.SpanMinOcc)
 
   // ---- q301: span removal served from the SHIPPED blocklist ----
   // The ingest shape: the corpus's dup-gram blocklist trains once
@@ -1242,7 +1242,7 @@ object LlmQueries {
         s"dupgram-index-v1-n$SpanStripGramN-m2") { p =>
       graft.llm.Artifacts.saveIndexFrame(p + "/grams",
         Dedup.dupGramIndex(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
-          "doc_id", "text", SpanStripGramN, 2L))
+          "doc_id", "text", SpanStripGramN, graft.llm.Knobs.SpanMinOcc))
     }
     Dedup.stripSpans(docs.filter(pmod(col("doc_id"), lit(10)) === 0),
       "doc_id", "text", SpanStripGramN,
@@ -1919,9 +1919,15 @@ object LlmQueries {
   // real measurement, not a vacuous zero row)
   private[queries] val SpanSweepGramNs = Seq(4, 8, 50)
   private[queries] val SpanSweepMinOccs = Seq(2L, 3L, 5L)
-  def q310SpanSweep(s: SparkSession, dir: String): DataFrame =
+  def q310SpanSweep(s: SparkSession, dir: String): DataFrame = {
+    // the grid must contain the production operating point — a grid
+    // edit that orphans the knob fails at plan build (Knobs coupling)
+    require(SpanSweepGramNs.contains(graft.llm.Knobs.SpanGramN) &&
+      SpanSweepMinOccs.contains(graft.llm.Knobs.SpanMinOcc),
+      "span sweep grid must contain the production (gramN, minOcc)")
     graft.llm.Dedup.spanSweep(graft.Tables.documents(s, dir),
       "doc_id", "text", SpanSweepGramNs, SpanSweepMinOccs)
+  }
 
   // ---- q199: capped-proportional token-budget allocation ----
   // The fair-share decision q161/q191 stop short of: given a target
@@ -4489,7 +4495,8 @@ object LlmQueries {
        |  FROM sh),
        |occ AS (SELECT doc_id, CAST(i AS BIGINT) AS p, bases[i] AS g
        |  FROM bs, unnest(range(1, len(bases) + 1)) AS u(i)),
-       |dg AS (SELECT g FROM occ $idxWhere GROUP BY g HAVING count(*) >= 2),
+       |dg AS (SELECT g FROM occ $idxWhere GROUP BY g
+       |  HAVING count(*) >= ${graft.llm.Knobs.SpanMinOcc}),
        |cov AS (SELECT DISTINCT occ.doc_id, ux.x AS idx
        |  FROM occ JOIN dg USING (g), unnest(range(occ.p, occ.p + $n)) AS ux(x)),
        |ti AS (SELECT doc_id, CAST(i AS BIGINT) AS idx, toks[i] AS tok

@@ -296,7 +296,7 @@ object SimilarityQueries {
   // q272 shape; the oracle replays banding, packing, the screen and
   // the conditional verify end to end, and q278 grades this variant's
   // recall against the exhaustive truth next to the full gate's.
-  private val BbitScreenPpm = 250000L
+  private val BbitScreenPpm = graft.llm.Knobs.BbitScreenPpm
 
   /** The ONE builder for the shared q298/q311 hot/cold index (capped
     * bands + packed words + cold sets). `Artifacts.ensure` keys on
@@ -342,6 +342,8 @@ object SimilarityQueries {
   private val BbitSweepThresholds =
     Seq(0L, 125000L, 250000L, 375000L, 500000L, 625000L)
   def q311BbitScreenSweep(s: SparkSession, dir: String): DataFrame = {
+    require(BbitSweepThresholds.contains(graft.llm.Knobs.BbitScreenPpm),
+      "screen sweep grid must contain the production threshold")
     val docs = graft.Tables.documents(s, dir)
     val root = bbitIndexRoot(docs, dir)
     MinHashLSH.bbitScreenSweep(fuzzyArrivals(docs), "doc_id", "text",
@@ -363,9 +365,13 @@ object SimilarityQueries {
   // per-pair smallest-shared-bucket attribution, the truth Jaccard,
   // and every grid aggregate.
   private val CapSweepCaps = Seq(1L, 2L, 3L, 4L, 8L, 16L)
-  def q314CapSweep(s: SparkSession, dir: String): DataFrame =
+  def q314CapSweep(s: SparkSession, dir: String): DataFrame = {
+    require(CapSweepCaps.contains(
+        graft.llm.Knobs.NearDupBucketCap.toLong),
+      "cap sweep grid must contain the production bucket cap")
     MinHashLSH.capSweep(graft.Tables.documents(s, dir), "doc_id",
       "text", ShingleN, NumHashes, 1, CapSweepCaps, AdmitMinJaccardFp)
+  }
 
   // ---- q312: fold-debt / compaction policy card ----
   // q279/q280/q294-q297 prove every fold EXACT; this card prices
@@ -1724,7 +1730,7 @@ object SimilarityQueries {
     graft.llm.IvfIndex.mutualKnnClusters(graft.Tables.embeddings(s, dir),
       IvfLists, MutualK, IvfIter, maxCellSize = SemDedupCellCap)
 
-  private val CapBucketSize = 4
+  private val CapBucketSize = graft.llm.Knobs.NearDupBucketCap
 
   // ---- q48: cross-corpus near-dup linkage (record resolution) ----
   // The record-linkage twin of q21: two corpora (doc_id parity split),
