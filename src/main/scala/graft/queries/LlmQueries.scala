@@ -1905,6 +1905,26 @@ object LlmQueries {
     graft.llm.LabelQa.fleissPivot(items, "labs", KappaClasses, 3)
   }
 
+  // ---- q316: Krippendorff's alpha (missing-rating agreement) ----
+  // q308 REPORTS design imbalance; this card is the estimator built
+  // for it ([[graft.llm.LabelQa.alphaCard]], Krippendorff 2004,
+  // nominal metric): the 'nb' rater is deliberately MISSING on a
+  // quarter of the test slice (a rating that never happened — NOT an
+  // abstain label, which stays a real category), per-item
+  // disagreement weights by 1/(k_i − 1) through the exact lcm-scaled
+  // integer spelling, and chance comes from the pairable ratings
+  // only. On complete designs alpha reduces to Fleiss via
+  // 1 − alpha = (1 − kappa)·T/(T−1), pinned universally in
+  // AlphaProps. The oracle replays the 3-rater chain, the missing
+  // slice, and every aggregate.
+  private val AlphaMissingMod = 4L
+  private val AlphaMaxRaters = 3
+  def q316KrippendorffAlpha(s: SparkSession, dir: String): DataFrame =
+    graft.llm.LabelQa.alphaCard(
+      labelerRatings(s, dir).filter(!(col("rater") === "nb" &&
+        pmod(col("doc_id"), lit(AlphaMissingMod)) === 1L)),
+      "doc_id", "rater", "lab", AlphaMaxRaters)
+
   // ---- q310: span-removal aggressiveness sweep ----
   // q300 strips at ONE (gramN, minOcc) point; this card prices the
   // whole grid ([[graft.llm.Dedup.spanSweep]]) — blocklist size,
@@ -4013,6 +4033,7 @@ object LlmQueries {
     "q309_kappa_matrix" -> q309KappaMatrix _,
     "q310_span_sweep" -> q310SpanSweep _,
     "q313_fleiss_monitor" -> q313FleissMonitor _,
+    "q316_krippendorff_alpha" -> q316KrippendorffAlpha _,
     "q116_khop_seeds"  -> q116KhopSeeds _,
     "q122_vocab_growth" -> q122VocabGrowth _,
     "q123_scene_cuts"  -> q123SceneCuts _,
@@ -4892,6 +4913,42 @@ object LlmQueries {
        |    END AS BIGINT) AS kappa_ppm
        |FROM fglob, fm""".stripMargin
 
+  private val alphaOracleSql = {
+    // lcm(1 .. AlphaMaxRaters - 1) — the card's integer weight scale
+    val l = (1 until AlphaMaxRaters).map(BigInt(_))
+      .reduce((a, b) => a * b / a.gcd(b))
+    s"""WITH $ratingsCtes,
+       |arat AS (SELECT * FROM rat
+       |  WHERE NOT (rater = 'nb' AND doc_id % $AlphaMissingMod = 1)),
+       |anic AS (SELECT doc_id, lab, CAST(count(*) AS BIGINT) AS c
+       |  FROM arat GROUP BY 1, 2),
+       |aper AS (SELECT doc_id, sum(c) AS ki, sum(c * c) AS ai
+       |  FROM anic GROUP BY 1),
+       |apair AS (SELECT * FROM aper WHERE ki >= 2),
+       |aglob AS (SELECT
+       |    (SELECT CAST(count(*) AS BIGINT) FROM aper) AS n_items,
+       |    CAST(count(*) AS BIGINT) AS n_pairable,
+       |    CAST(coalesce(sum(ki), 0) AS HUGEINT) AS t,
+       |    CAST(coalesce(sum((ki * ki - ai) * ($l // (ki - 1))), 0)
+       |      AS HUGEINT) AS don
+       |  FROM apair),
+       |amarg AS (SELECT CAST(coalesce(sum(m * m), 0) AS HUGEINT) AS m2,
+       |    CAST(count(*) AS BIGINT) AS n_classes
+       |  FROM (SELECT lab, CAST(sum(c) AS HUGEINT) AS m FROM anic
+       |    JOIN apair USING (doc_id) GROUP BY lab) x)
+       |SELECT n_items, n_pairable, n_classes,
+       |  CAST(don * 1000000 // greatest($l * t, 1) AS BIGINT) AS do_ppm,
+       |  CAST((t * t - m2) * 1000000 // greatest(t * (t - 1), 1)
+       |    AS BIGINT) AS de_ppm,
+       |  CAST(CASE WHEN $l * (t * t - m2) - don * (t - 1) >= 0
+       |    THEN ($l * (t * t - m2) - don * (t - 1)) * 1000000
+       |      // greatest($l * (t * t - m2), 1)
+       |    ELSE -((don * (t - 1) - $l * (t * t - m2)) * 1000000
+       |      // greatest($l * (t * t - m2), 1))
+       |    END AS BIGINT) AS alpha_ppm
+       |FROM aglob, amarg""".stripMargin
+  }
+
   private val kappaMatrixOracleSql =
     s"""WITH $ratingsCtes,
        |mc AS (SELECT a.rater AS rater_a, b.rater AS rater_b,
@@ -5394,6 +5451,7 @@ object LlmQueries {
     // three-rater chain replayed (split, NB, langId), then Fleiss'
     // pooled-marginal arithmetic aggregate-for-aggregate
     "q308_fleiss_kappa" -> fleissOracleSql,
+    "q316_krippendorff_alpha" -> alphaOracleSql,
     // the same chain self-joined into unordered pairs, q302's kappa
     // arithmetic per pair
     "q309_kappa_matrix" -> kappaMatrixOracleSql,
