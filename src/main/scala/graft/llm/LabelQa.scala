@@ -419,6 +419,75 @@ object LabelQa {
         | end as bigint)""".stripMargin).as("alpha_ppm"))
   }
 
+  /** Agreement → ACCURACY composition (r17 verdict ask #7): the
+    * kappa instruments name who DISAGREES; where held-out truth
+    * exists, this card names who is WRONG — the decision a labeling
+    * budget actually needs. One row per rater, graded against a
+    * `(item, truth)` frame: raw accuracy plus truth-kappa (Cohen's
+    * kappa between the rater and the truth column — chance-corrected
+    * accuracy, so a rater who parrots the majority class cannot buy
+    * a good score with marginal skew).
+    *
+    * Same exact floor-ppm arithmetic as [[kappaCard]], computed
+    * group-wise per rater in ONE plan (the [[kappaMatrix]] shape with
+    * truth as the fixed second rater): null-safe marginal join
+    * (abstain is a category), the signed truncation CASE, degenerate
+    * corpora read zero. Items without a truth row do not grade
+    * (inner join — truth is the card's universe).
+    *
+    * Output: `(rater, n_items, n_correct, accuracy_ppm, pe_sum,
+    * pe_ppm, kappa_vs_truth_ppm)`. For any one rater the row equals
+    * [[kappaCard]] over that rater's (label, truth) pairs with
+    * `n_correct = n_agree` — pinned in LabelQaSpec.
+    *
+    * Scale shape: one item-keyed join against the truth slice, then
+    * everything is (raters × classes)-sized. */
+  def accuracyCard(ratings: DataFrame, itemCol: String, raterCol: String,
+      labelCol: String, truth: DataFrame, truthLabelCol: String): DataFrame = {
+    val qi = graft.Names.quoted(itemCol)
+    val qr = graft.Names.quoted(raterCol)
+    val ql = graft.Names.quoted(labelCol)
+    val qt = graft.Names.quoted(truthLabelCol)
+    val paired = ratings.select(col(qi).as("__it"), col(qr).as("__r"),
+        col(ql).as("__lab"))
+      .join(truth.select(col(qi).as("__it"), col(qt).as("__tru")),
+        Seq("__it"))
+    val cells = Caches.persistTracked(
+      paired.groupBy(col("__r"), col("__lab"), col("__tru"))
+        .agg(count(lit(1)).as("__n")))
+    val na = cells.groupBy(col("__r"), col("__lab").as("__lab_a"))
+      .agg(sum(col("__n")).as("__na"))
+    val nb = cells.groupBy(col("__r"), col("__tru").as("__lab_b"))
+      .agg(sum(col("__n")).as("__nb"))
+    val marg = na.as("x").join(nb.as("y"),
+        col("x.__r") === col("y.__r") &&
+          col("x.__lab_a") <=> col("y.__lab_b"), "full_outer")
+      .groupBy(coalesce(col("x.__r"), col("y.__r")).as("__r"))
+      .agg(coalesce(sum(
+          coalesce(col("__na"), lit(0L)).cast("decimal(38,0)") *
+            coalesce(col("__nb"), lit(0L))),
+          lit(0L).cast("decimal(38,0)")).as("__pe_sum"))
+    val tot = cells.groupBy(col("__r")).agg(
+      coalesce(sum(col("__n")), lit(0L)).as("n_items"),
+      coalesce(sum(when(col("__lab") <=> col("__tru"), col("__n"))
+        .otherwise(0L)), lit(0L)).as("n_correct"))
+    tot.join(marg, Seq("__r")).select(
+      col("__r").as("rater"), col("n_items"), col("n_correct"),
+      expr("cast(cast(n_correct as decimal(38,0)) * 1000000 " +
+        "div greatest(n_items, 1L) as bigint)").as("accuracy_ppm"),
+      col("__pe_sum").cast("bigint").as("pe_sum"),
+      expr("cast(__pe_sum * 1000000 div greatest(" +
+        "cast(n_items as decimal(38,0)) * n_items, 1L) as bigint)")
+        .as("pe_ppm"),
+      expr("""cast(case
+        | when cast(n_correct as decimal(38,0)) * n_items - __pe_sum >= 0
+        | then (cast(n_correct as decimal(38,0)) * n_items - __pe_sum) * 1000000
+        |   div greatest(cast(n_items as decimal(38,0)) * n_items - __pe_sum, 1L)
+        | else -((__pe_sum - cast(n_correct as decimal(38,0)) * n_items) * 1000000
+        |   div greatest(cast(n_items as decimal(38,0)) * n_items - __pe_sum, 1L))
+        | end as bigint)""".stripMargin).as("kappa_vs_truth_ppm"))
+  }
+
   /** Pairwise Cohen's-kappa MATRIX over the same long-format ratings
     * frame — one [[kappaCard]] row per unordered rater pair, computed
     * group-wise in a single plan (no per-pair query loop): the drift

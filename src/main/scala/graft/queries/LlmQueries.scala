@@ -1925,6 +1925,23 @@ object LlmQueries {
         pmod(col("doc_id"), lit(AlphaMissingMod)) === 1L)),
       "doc_id", "rater", "lab", AlphaMaxRaters)
 
+  // ---- q317: rater accuracy against held-out truth ----
+  // q309 names who DISAGREES; where truth exists (the corpus lang tag
+  // on the test slice) [[graft.llm.LabelQa.accuracyCard]] names who
+  // is WRONG: per rater, raw accuracy plus truth-kappa (Cohen's
+  // kappa vs the truth column — chance-corrected, so marginal-skew
+  // parroting cannot buy a score). The 'lang' rater IS the truth
+  // tag, so its row pins accuracy = kappa = 1.0 inside the card — a
+  // live sanity row the oracle replays too.
+  def q317RaterAccuracy(s: SparkSession, dir: String): DataFrame = {
+    val split = graft.llm.Sampling.hashSplit(
+      graft.Tables.documents(s, dir), "doc_id", ClsTrainPct, ClsValPct)
+    val truth = split.filter(col("split") === "test")
+      .select(col("doc_id"), col("lang"))
+    graft.llm.LabelQa.accuracyCard(labelerRatings(s, dir),
+      "doc_id", "rater", "lab", truth, "lang")
+  }
+
   // ---- q310: span-removal aggressiveness sweep ----
   // q300 strips at ONE (gramN, minOcc) point; this card prices the
   // whole grid ([[graft.llm.Dedup.spanSweep]]) — blocklist size,
@@ -4034,6 +4051,7 @@ object LlmQueries {
     "q310_span_sweep" -> q310SpanSweep _,
     "q313_fleiss_monitor" -> q313FleissMonitor _,
     "q316_krippendorff_alpha" -> q316KrippendorffAlpha _,
+    "q317_rater_accuracy" -> q317RaterAccuracy _,
     "q116_khop_seeds"  -> q116KhopSeeds _,
     "q122_vocab_growth" -> q122VocabGrowth _,
     "q123_scene_cuts"  -> q123SceneCuts _,
@@ -4949,6 +4967,41 @@ object LlmQueries {
        |FROM aglob, amarg""".stripMargin
   }
 
+  private val raterAccuracyOracleSql =
+    s"""WITH $ratingsCtes,
+       |tru AS (SELECT d.doc_id, d.lang AS tru FROM documents d
+       |  JOIN spl USING (doc_id) WHERE spl.split = 'test'),
+       |pc AS (SELECT r.rater, r.lab, t.tru, CAST(count(*) AS BIGINT) AS n
+       |  FROM rat r JOIN tru t USING (doc_id) GROUP BY 1, 2, 3),
+       |ana AS (SELECT rater, lab AS l, CAST(sum(n) AS BIGINT) AS na
+       |  FROM pc GROUP BY 1, 2),
+       |anb AS (SELECT rater, tru AS l, CAST(sum(n) AS BIGINT) AS nb
+       |  FROM pc GROUP BY 1, 2),
+       |am AS (SELECT coalesce(x.rater, y.rater) AS rater,
+       |    CAST(coalesce(sum(CAST(coalesce(na, 0) AS HUGEINT)
+       |      * coalesce(nb, 0)), 0) AS HUGEINT) AS pe_sum
+       |  FROM ana x FULL OUTER JOIN anb y
+       |    ON x.rater = y.rater AND x.l IS NOT DISTINCT FROM y.l
+       |  GROUP BY 1),
+       |at AS (SELECT rater, CAST(sum(n) AS BIGINT) AS n_items,
+       |    CAST(coalesce(sum(CASE WHEN lab IS NOT DISTINCT FROM tru
+       |      THEN n ELSE 0 END), 0) AS BIGINT) AS n_correct
+       |  FROM pc GROUP BY 1)
+       |SELECT at.rater, at.n_items, at.n_correct,
+       |  CAST(CAST(n_correct AS HUGEINT) * 1000000
+       |    // greatest(n_items, 1) AS BIGINT) AS accuracy_ppm,
+       |  CAST(pe_sum AS BIGINT) AS pe_sum,
+       |  CAST(pe_sum * 1000000 // greatest(CAST(n_items AS HUGEINT)
+       |    * n_items, 1) AS BIGINT) AS pe_ppm,
+       |  CAST(CASE
+       |    WHEN CAST(n_correct AS HUGEINT) * n_items - pe_sum >= 0
+       |    THEN (CAST(n_correct AS HUGEINT) * n_items - pe_sum) * 1000000
+       |      // greatest(CAST(n_items AS HUGEINT) * n_items - pe_sum, 1)
+       |    ELSE -((pe_sum - CAST(n_correct AS HUGEINT) * n_items) * 1000000
+       |      // greatest(CAST(n_items AS HUGEINT) * n_items - pe_sum, 1))
+       |    END AS BIGINT) AS kappa_vs_truth_ppm
+       |FROM at JOIN am USING (rater)""".stripMargin
+
   private val kappaMatrixOracleSql =
     s"""WITH $ratingsCtes,
        |mc AS (SELECT a.rater AS rater_a, b.rater AS rater_b,
@@ -5452,6 +5505,7 @@ object LlmQueries {
     // pooled-marginal arithmetic aggregate-for-aggregate
     "q308_fleiss_kappa" -> fleissOracleSql,
     "q316_krippendorff_alpha" -> alphaOracleSql,
+    "q317_rater_accuracy" -> raterAccuracyOracleSql,
     // the same chain self-joined into unordered pairs, q302's kappa
     // arithmetic per pair
     "q309_kappa_matrix" -> kappaMatrixOracleSql,
