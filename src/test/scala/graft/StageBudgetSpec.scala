@@ -77,7 +77,18 @@ class StageBudgetSpec extends AnyFunSuite with SparkTestSession {
     "q312_fold_debt" -> (6, 6),
     "q313_fleiss_monitor" -> (34, 34),
     // q314 measured warm at sf0.001: 20
-    "q314_cap_sweep" -> (26, 26))
+    "q314_cap_sweep" -> (26, 26),
+    // r17 ask #8: the remaining board-top stragglers (q269's
+    // iteration-1 spikes are artifact-read-shaped — a pinned budget
+    // keeps scheduling growth from hiding there). Measured warm at
+    // sf0.001: q269 jobs=25/stages=35, q288 35/35 — + ~30% headroom
+    "q269_mutual_knn_loaded" -> (33, 46),
+    "q288_paired_bootstrap" -> (46, 46),
+    // r18: the round's new cards, measured warm at sf0.001
+    // (q315=13, q316=38, q317=38) + ~30% headroom
+    "q315_compact_serve" -> (17, 17),
+    "q316_krippendorff_alpha" -> (50, 50),
+    "q317_rater_accuracy" -> (50, 50))
 
   budgets.foreach { case (name, (maxJobs, maxStages)) =>
     test(s"$name stays inside its scheduling budget " +
