@@ -295,6 +295,22 @@ object ScalingSweep {
         .count()
       println(s"SCALING lifecycle x$k: ${eraseSet.count()} erase ids, " +
         s"$nTransitions near-cap buckets eligible to transition")
+      // chained SigStore (4 arrival epochs on disk) — the compact
+      // card's SCALING criterion: a fold onto the chain pays the
+      // chain's read+fold lineage; after Artifacts.compact the same
+      // fold must cost fresh-artifact level. Base = doc_id % 5 != 0;
+      // epochs j = 0..3 carry doc_id % 20 == 5j (disjoint, and
+      // together they restore the full corpus, so the served index
+      // matches the `idx` family's corpus exactly).
+      val storeRoot = java.nio.file.Files.createTempDirectory(
+        s"graft-scaling-store-x$k-").toString + "/store"
+      graft.llm.SigStore.init(
+        docsAt(k).filter(pmod(col("doc_id"), lit(5L)) =!= 0L),
+        "doc_id", "text", storeRoot, 3, 8, 1, 64)
+      for (j <- 0 until 4)
+        graft.llm.SigStore.appendArrivals(
+          docsAt(k).filter(pmod(col("doc_id"), lit(20L)) === 5L * j),
+          "doc_id", "text", storeRoot): Unit
       val emb = embAt(k).localCheckpoint()
       val cb = graft.llm.IvfIndex.fitFixedPoint(emb, 16, 3)
       val assigned = graft.llm.IvfIndex.multiAssignments(emb, cb, 2)
@@ -323,7 +339,13 @@ object ScalingSweep {
           graft.llm.IvfIndex.graphErase(emb, eraseVecIds(), assigned,
             edges, 4, 64)),
         "cc_delta_fold" -> (() =>
-          graft.llm.Dedup.ccDelta(ccExisting, ccArrivals, ccNewEdges)))
+          graft.llm.Dedup.ccDelta(ccExisting, ccArrivals, ccNewEdges)),
+        "sig_chain_fold_depth4" -> (() => {
+          val f = graft.llm.MinHashLSH.indexDelta(
+            graft.llm.SigStore.serve(spark, storeRoot), docBatch(),
+            "doc_id", "text", 3, 8, 1, 64)
+          forceAll((Seq(f.bands, f.counts, f.sets) ++ f.evicted): _*)
+        }))
       for ((name, th) <- thunks) {
         val t = (1 to iters).map { _ =>
           graft.llm.Caches.unpersistAll(blocking = true)
@@ -334,6 +356,23 @@ object ScalingSweep {
         println(s"SCALING lifecycle $name x$k: $t s")
         lifeTimes((name, k)) = t
       }
+      // compact UNTIMED, then time the identical fold again — the
+      // post-compact cost must read fresh-artifact level (the
+      // sig_index_fold row), proving the q312→compact cycle actually
+      // buys back the chain debt it schedules against
+      graft.llm.Artifacts.compact(spark, storeRoot): Unit
+      val tpc = (1 to iters).map { _ =>
+        graft.llm.Caches.unpersistAll(blocking = true)
+        val t0 = System.nanoTime()
+        val f = graft.llm.MinHashLSH.indexDelta(
+          graft.llm.SigStore.serve(spark, storeRoot), docBatch(),
+          "doc_id", "text", 3, 8, 1, 64)
+        forceAll((Seq(f.bands, f.counts, f.sets) ++ f.evicted): _*)
+          .queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(s"SCALING lifecycle sig_fold_postcompact x$k: $tpc s")
+      lifeTimes(("sig_fold_postcompact", k)) = tpc
     }
     val lifeBody = lifeTimes.keys.map(_._1).toSeq.distinct.map { n =>
       val t1 = lifeTimes((n, 1)); val t10 = lifeTimes((n, 10))
@@ -352,7 +391,7 @@ object ScalingSweep {
          |"families": {
          |$body
          |},
-         |"lifecycle_method": "fixed 500-row arrival batch / fixed replica-0 erase set at BOTH scales; shipped artifact built untimed and localCheckpoint-pinned per scale; timed region forces the full folded artifact image, so scan-shaped exponents up to ~1 are expected — the bar rules out corpus-recompute signatures (> 1.5)",
+         |"lifecycle_method": "fixed 500-row arrival batch / fixed replica-0 erase set at BOTH scales; shipped artifact built untimed and localCheckpoint-pinned per scale; timed region forces the full folded artifact image, so scan-shaped exponents up to ~1 are expected — the bar rules out corpus-recompute signatures (> 1.5). sig_chain_fold_depth4 folds the SAME batch onto a 4-epoch on-disk SigStore chain and sig_fold_postcompact onto its Artifacts.compact image: post-compact must read at sig_index_fold level, chain level strictly above it",
          |"lifecycle": {
          |$lifeBody
          |}

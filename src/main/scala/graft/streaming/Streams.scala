@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
@@ -756,6 +756,84 @@ object Streams {
           state.update(st)
           out.iterator
       }.toDF()
+  }
+
+  /** Streaming store maintenance — the q312 → q315 loop CLOSED live:
+    * each micro-batch of arriving documents APPENDS to the chained
+    * [[graft.llm.SigStore]] (one atomic delta epoch per batch, the
+    * text shingled once at append), the q312 meter re-reads the
+    * store's own un-compacted chain, and when the just-landed epoch's
+    * verdict says `checkpoint` or `rebuild` the batch EXECUTES
+    * [[graft.llm.Artifacts.compact]] — for this store compaction IS
+    * the rewrite (tombstone mass drops physically), so both actions
+    * run the same mechanism. q312 prices the policy, [[debtIngest]]
+    * announces it, this runs it.
+    *
+    * `foreachBatch` is the honest shape: the store is a transactional
+    * external sink (pointer files + atomic directory renames), not a
+    * streaming-expressible aggregate. Batches must carry ids disjoint
+    * from the store (the [[graft.llm.MinHashLSH.indexDelta]]
+    * precondition — a re-crawl erases first via
+    * [[storeEraseIngest]]). Per-batch driver work is two pointer
+    * reads, one epoch-count-sized meter read, and at compaction one
+    * fold-chain materialization — exactly the price the policy
+    * schedules. Returns the writer; the caller picks trigger and
+    * checkpoint location and starts it. Stream == batch (the served
+    * index equals a full rebuild over everything fed) is pinned in
+    * SigStoreStreamSpec, including a mid-stream compaction firing. */
+  def storeIngest(arrivals: DataFrame, idCol: String, textCol: String,
+      root: String,
+      depthUnitPpm: Long = graft.llm.FoldDebt.DefaultDepthUnitPpm,
+      tombWeight: Long = graft.llm.FoldDebt.DefaultTombWeight,
+      debtBudgetPpm: Long = graft.llm.FoldDebt.DefaultDebtBudgetPpm,
+      tombBudgetPpm: Long = graft.llm.FoldDebt.DefaultTombBudgetPpm)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    arrivals.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.llm.SigStore.appendArrivals(batch, idCol, textCol,
+            root): Unit
+          maybeCompact(batch.sparkSession, root, depthUnitPpm,
+            tombWeight, debtBudgetPpm, tombBudgetPpm)
+        }
+    }
+
+  /** The erase half of [[storeIngest]]: each micro-batch of
+    * right-to-be-forgotten ids lands as an erase epoch (idempotent
+    * per id at fold time; the stat row prices only ids actually IN
+    * the index), and the same meter-read-then-compact verdict runs —
+    * an erase-heavy feed crosses the tombstone budget and triggers
+    * the rebuild arm, which physically reclaims the dead rows. */
+  def storeEraseIngest(tombstones: DataFrame, root: String,
+      depthUnitPpm: Long = graft.llm.FoldDebt.DefaultDepthUnitPpm,
+      tombWeight: Long = graft.llm.FoldDebt.DefaultTombWeight,
+      debtBudgetPpm: Long = graft.llm.FoldDebt.DefaultDebtBudgetPpm,
+      tombBudgetPpm: Long = graft.llm.FoldDebt.DefaultTombBudgetPpm)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    tombstones.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.llm.SigStore.appendErases(
+            batch.select(col("doc_id")), root): Unit
+          maybeCompact(batch.sparkSession, root, depthUnitPpm,
+            tombWeight, debtBudgetPpm, tombBudgetPpm)
+        }
+    }
+
+  /** Read the just-landed epoch's policy verdict off the store's own
+    * chain and execute it — ONE spelling shared by the arrival and
+    * erase ingests so they cannot disagree about when to compact. */
+  private def maybeCompact(spark: SparkSession, root: String,
+      depthUnitPpm: Long, tombWeight: Long, debtBudgetPpm: Long,
+      tombBudgetPpm: Long): Unit = {
+    val action = graft.llm.SigStore.debtCard(spark, root,
+        depthUnitPpm, tombWeight, debtBudgetPpm, tombBudgetPpm)
+      .orderBy(col("epoch").desc).select(col("action"))
+      .limit(1).collect().headOption.map(_.getString(0))
+    if (action.exists(a => a == "checkpoint" || a == "rebuild"))
+      graft.llm.Artifacts.compact(spark, root): Unit
   }
 
   /** Streaming duplicated-span removal — q301's strip at ingest: each
