@@ -94,8 +94,11 @@ object Bench {
       // adjudicated and must not burn the retry budget
       def clean: Boolean = steal.forall(_ <= stealMaxPpm)
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val iters = (1 to iterations).map { _ =>
+    /** One recorded iteration of `fn`: timed runs repeat while the
+      * steal window is dirty (bounded), keeping the least-stolen
+      * attempt. */
+    def timedIter(name: String, fn: (org.apache.spark.sql.SparkSession,
+        String) => org.apache.spark.sql.DataFrame): Iter = {
         var attempt = 0
         var best: Option[Iter] = None
         var done = false
@@ -133,8 +136,18 @@ object Bench {
           else { attempt += 1; stealBudget -= 1 }
         }
         best.get
-      }
-      name -> iters
+    }
+    val firstPass = SparkEntry.queries.map { case (name, fn) =>
+      name -> (1 to iterations).map(_ => timedIter(name, fn))
+    }
+    // second pass over never-clean queries: steal bursts ROVE (the
+    // r17 adjudication's core finding), so a query whose whole first
+    // visit was dirty is often clean when revisited at the end of the
+    // run — give each one more recorded iteration while the retry
+    // budget lasts, BEFORE flagging it
+    val results = firstPass.map { case (name, iters) =>
+      if (iters.exists(_.clean) || stealBudget <= 0) name -> iters
+      else name -> (iters :+ timedIter(name, SparkEntry.queries(name)))
     }
     // locale-pinned decimal rendering: the f"" interpolator formats
     // with the JVM default locale, and a comma-decimal locale would

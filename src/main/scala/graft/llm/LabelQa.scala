@@ -419,6 +419,101 @@ object LabelQa {
         | end as bigint)""".stripMargin).as("alpha_ppm"))
   }
 
+  /** [[alphaCard]] in the ingest spelling — the [[fleissPivot]]
+    * discipline applied to the MISSING-rating estimator: input
+    * arrives one row PER ITEM carrying the item's label ARRAY (which
+    * may be SHORTER than the rater roster — absent ratings are
+    * exactly what alpha prices), the class list and `maxRaters` are
+    * pinned monitor config, and every per-item quantity alpha needs
+    * (k_i, Σ_c n_ic², the lcm-scaled disagreement, per-class counts
+    * over pairable items) is ROW-LOCAL array arithmetic feeding ONE
+    * global aggregate — streaming-legal as-is;
+    * `Streams.alphaIngest` IS this function. Labels outside
+    * `classes` (and null elements — abstain-with-commitment) lump to
+    * [[OtherLabel]]; unpairable items (k_i < 2) count in `n_items`
+    * and contribute nothing (the [[alphaCard]] treatment). On a
+    * covering class list the pivot equals [[alphaCard]] column for
+    * column; under lumping it equals the card over pre-lumped labels
+    * (both pinned in AlphaSpec). A row with more labels than
+    * `maxRaters` kills the query loudly. Empty input reads zeros.
+    *
+    * State at scale: 2·K + 5 longs total, whatever the feed
+    * length. */
+  def alphaPivot(items: DataFrame, labelsCol: String,
+      classes: Seq[String], maxRaters: Int): DataFrame = {
+    require(classes.nonEmpty, "need at least one pinned class")
+    require(classes.distinct == classes, "pinned classes must be distinct")
+    require(!classes.contains(OtherLabel),
+      s"'$OtherLabel' is reserved for the lump bucket")
+    require(maxRaters >= 2, "alpha needs at least two raters")
+    val lcm = (1 until maxRaters).map(BigInt(_))
+      .reduce((a, b) => a * b / a.gcd(b))
+    require(lcm <= BigInt(Long.MaxValue) / 1000000L,
+      s"maxRaters $maxRaters overflows the lcm scale")
+    val l = lcm.toLong
+    val cs = classes :+ OtherLabel
+    val ql = graft.Names.quoted(labelsCol)
+    // Column-API lambdas (the fleissPivot injection-safety rationale);
+    // a NULL array is an item with zero ratings — unpairable, counted
+    val lumped = transform(
+      coalesce(col(ql), typedLit(Seq.empty[String])),
+      x => when(x.isin(classes.map(c => c: Any): _*), x)
+        .otherwise(lit(OtherLabel)))
+    val cnt = cs.zipWithIndex.map { case (c, i) =>
+      size(filter(col("__labs"), x => x === lit(c))).cast("bigint")
+        .as(s"__c_$i")
+    }
+    val wide = items.select(lumped.as("__labs"))
+      .select(Seq(size(col("__labs")).cast("bigint").as("__ki")) ++
+        cnt: _*)
+      .withColumn("__ki",
+        when(col("__ki") > maxRaters.toLong,
+          raise_error(lit(s"alphaPivot: an item carries more than " +
+            s"$maxRaters ratings")).cast("bigint"))
+        .otherwise(col("__ki")))
+    val ai = cs.indices.map(i => col(s"__c_$i") * col(s"__c_$i"))
+      .reduce(_ + _)
+    val pairable = col("__ki") >= 2L
+    // greatest guard: CaseWhen short-circuits, but keep the div
+    // total regardless of evaluation order
+    val dScaled = when(pairable,
+      (col("__ki") * col("__ki") - ai) *
+        expr(s"${l}L div greatest(__ki - 1L, 1L)")).otherwise(0L)
+    val zeroDec = lit(0L).cast("decimal(38,0)")
+    val aggs = Seq(
+      coalesce(count(lit(1)), lit(0L)).as("n_items"),
+      coalesce(sum(when(pairable, 1L).otherwise(0L)), lit(0L))
+        .as("n_pairable"),
+      coalesce(sum(when(pairable, col("__ki")).otherwise(0L))
+        .cast("decimal(38,0)"), zeroDec).as("__t"),
+      coalesce(sum(dScaled).cast("decimal(38,0)"), zeroDec)
+        .as("__don")) ++
+      cs.indices.map(i =>
+        coalesce(sum(when(pairable, col(s"__c_$i")).otherwise(0L)),
+          lit(0L)).as(s"__m_$i"))
+    val one = wide.agg(aggs.head, aggs.tail: _*)
+    val m2 = cs.indices
+      .map(i => col(s"__m_$i").cast("decimal(38,0)") * col(s"__m_$i"))
+      .reduce(_ + _)
+    val nClasses = cs.indices
+      .map(i => when(col(s"__m_$i") > 0L, 1L).otherwise(0L))
+      .reduce(_ + _)
+    one.withColumn("__m2", m2).select(
+      col("n_items"), col("n_pairable"),
+      nClasses.cast("bigint").as("n_classes"),
+      expr(s"cast(__don * 1000000 div greatest(${l}L * __t, 1) " +
+        "as bigint)").as("do_ppm"),
+      expr("cast((__t * __t - __m2) * 1000000 " +
+        "div greatest(__t * (__t - 1), 1) as bigint)").as("de_ppm"),
+      expr(s"""cast(case
+        | when ${l}L * (__t * __t - __m2) - __don * (__t - 1) >= 0
+        | then (${l}L * (__t * __t - __m2) - __don * (__t - 1)) * 1000000
+        |   div greatest(${l}L * (__t * __t - __m2), 1)
+        | else -((__don * (__t - 1) - ${l}L * (__t * __t - __m2)) * 1000000
+        |   div greatest(${l}L * (__t * __t - __m2), 1))
+        | end as bigint)""".stripMargin).as("alpha_ppm"))
+  }
+
   /** Agreement → ACCURACY composition (r17 verdict ask #7): the
     * kappa instruments name who DISAGREES; where held-out truth
     * exists, this card names who is WRONG — the decision a labeling

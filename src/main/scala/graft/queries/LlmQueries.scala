@@ -1942,6 +1942,29 @@ object LlmQueries {
       "doc_id", "rater", "lab", truth, "lang")
   }
 
+  // ---- q318: streaming alpha monitor (missing-rating agreement live) ----
+  // q316's estimator in the ingest spelling: one row per item with
+  // its label ARRAY (possibly SHORTER than the roster — the missing
+  // ratings alpha exists for arrive naturally at ingest), class list
+  // and maxRaters pinned as monitor config, every per-item quantity
+  // row-local into ONE global aggregate — `Streams.alphaIngest` IS
+  // [[graft.llm.LabelQa.alphaPivot]] (stream == batch pinned in
+  // AlphaSpec). Unpinned labels and null votes lump to `(other)`.
+  // The oracle replays the 3-rater chain, the missing slice, the
+  // lump, and the lcm-scaled coincidence arithmetic.
+  def q318AlphaMonitor(s: SparkSession, dir: String): DataFrame = {
+    // collect_list drops nulls — pre-lump a null vote to the bucket
+    // the pivot lumps it to anyway (the q313 discipline)
+    val items = labelerRatings(s, dir)
+      .filter(!(col("rater") === "nb" &&
+        pmod(col("doc_id"), lit(AlphaMissingMod)) === 1L))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(coalesce(col("lab"),
+        lit(graft.llm.LabelQa.OtherLabel))).as("labs"))
+    graft.llm.LabelQa.alphaPivot(items, "labs", KappaClasses,
+      AlphaMaxRaters)
+  }
+
   // ---- q310: span-removal aggressiveness sweep ----
   // q300 strips at ONE (gramN, minOcc) point; this card prices the
   // whole grid ([[graft.llm.Dedup.spanSweep]]) — blocklist size,
@@ -4052,6 +4075,7 @@ object LlmQueries {
     "q313_fleiss_monitor" -> q313FleissMonitor _,
     "q316_krippendorff_alpha" -> q316KrippendorffAlpha _,
     "q317_rater_accuracy" -> q317RaterAccuracy _,
+    "q318_alpha_monitor" -> q318AlphaMonitor _,
     "q116_khop_seeds"  -> q116KhopSeeds _,
     "q122_vocab_growth" -> q122VocabGrowth _,
     "q123_scene_cuts"  -> q123SceneCuts _,
@@ -4931,13 +4955,15 @@ object LlmQueries {
        |    END AS BIGINT) AS kappa_ppm
        |FROM fglob, fm""".stripMargin
 
-  private val alphaOracleSql = {
+  /** The q316/q318 alpha arithmetic over an `arat(doc_id, lab)`
+    * relation — ONE spelling of the lcm-scaled coincidence tail, so
+    * the card and the monitor oracles cannot drift. */
+  private def alphaSqlOver(aratCte: String): String = {
     // lcm(1 .. AlphaMaxRaters - 1) — the card's integer weight scale
     val l = (1 until AlphaMaxRaters).map(BigInt(_))
       .reduce((a, b) => a * b / a.gcd(b))
     s"""WITH $ratingsCtes,
-       |arat AS (SELECT * FROM rat
-       |  WHERE NOT (rater = 'nb' AND doc_id % $AlphaMissingMod = 1)),
+       |arat AS ($aratCte),
        |anic AS (SELECT doc_id, lab, CAST(count(*) AS BIGINT) AS c
        |  FROM arat GROUP BY 1, 2),
        |aper AS (SELECT doc_id, sum(c) AS ki, sum(c * c) AS ai
@@ -4965,6 +4991,21 @@ object LlmQueries {
        |      // greatest($l * (t * t - m2), 1))
        |    END AS BIGINT) AS alpha_ppm
        |FROM aglob, amarg""".stripMargin
+  }
+
+  private val alphaOracleSql = alphaSqlOver(
+    s"""SELECT doc_id, lab FROM rat
+       |  WHERE NOT (rater = 'nb' AND doc_id % $AlphaMissingMod = 1)"""
+      .stripMargin)
+
+  private val alphaMonitorOracleSql = {
+    val inList = KappaClasses.map(c => s"'$c'").mkString(", ")
+    alphaSqlOver(
+      s"""SELECT doc_id, CASE WHEN lab IN ($inList) THEN lab
+         |    ELSE '${graft.llm.LabelQa.OtherLabel}' END AS lab
+         |  FROM rat
+         |  WHERE NOT (rater = 'nb' AND doc_id % $AlphaMissingMod = 1)"""
+        .stripMargin)
   }
 
   private val raterAccuracyOracleSql =
@@ -5506,6 +5547,7 @@ object LlmQueries {
     "q308_fleiss_kappa" -> fleissOracleSql,
     "q316_krippendorff_alpha" -> alphaOracleSql,
     "q317_rater_accuracy" -> raterAccuracyOracleSql,
+    "q318_alpha_monitor" -> alphaMonitorOracleSql,
     // the same chain self-joined into unordered pairs, q302's kappa
     // arithmetic per pair
     "q309_kappa_matrix" -> kappaMatrixOracleSql,

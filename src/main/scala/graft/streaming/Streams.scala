@@ -706,6 +706,21 @@ object Streams {
     graft.llm.LabelQa.fleissPivot(stream, labelsCol, classes,
       expectedRaters)
 
+  /** Streaming missing-rating agreement monitor — q318's
+    * Krippendorff's alpha live: each arriving consensus record (one
+    * row per item with its label ARRAY, possibly SHORTER than the
+    * roster — the missing ratings alpha exists for arrive naturally
+    * at ingest) contributes row-local lcm-scaled coincidence
+    * arithmetic to ONE global aggregate, with the class list and
+    * `maxRaters` pinned as monitor config. This IS
+    * [[graft.llm.LabelQa.alphaPivot]] — one implementation, so the
+    * live monitor and the batch card cannot disagree (stream ==
+    * batch pinned in AlphaSpec). Run with complete output mode;
+    * state is 2·K + 5 longs total, whatever the feed length. */
+  def alphaIngest(stream: DataFrame, labelsCol: String,
+      classes: Seq[String], maxRaters: Int): DataFrame =
+    graft.llm.LabelQa.alphaPivot(stream, labelsCol, classes, maxRaters)
+
   /** Streaming fold-debt meter — q312's compaction policy live at
     * crawl cadence: each arriving epoch summary `(artifact, epoch,
     * arrivals, erases)` folds through [[graft.llm.FoldDebt.step]] —

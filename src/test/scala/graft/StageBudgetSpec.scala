@@ -88,7 +88,9 @@ class StageBudgetSpec extends AnyFunSuite with SparkTestSession {
     // (q315=13, q316=38, q317=38) + ~30% headroom
     "q315_compact_serve" -> (17, 17),
     "q316_krippendorff_alpha" -> (50, 50),
-    "q317_rater_accuracy" -> (50, 50))
+    "q317_rater_accuracy" -> (50, 50),
+    // q318 measured warm at sf0.001: 26
+    "q318_alpha_monitor" -> (34, 34))
 
   budgets.foreach { case (name, (maxJobs, maxStages)) =>
     test(s"$name stays inside its scheduling budget " +

@@ -46,6 +46,70 @@ class AlphaSpec extends AnyFunSuite with SparkTestSession {
     assert(abstain.getAs[Long]("n_classes") === 3L)
   }
 
+  private def pivotOf(items: Seq[Seq[String]], classes: Seq[String],
+      maxRaters: Int) = {
+    import spark.implicits._
+    LabelQa.alphaPivot(items.toDF("labs"), "labs", classes, maxRaters)
+      .collect().head
+  }
+
+  private def cardOf(items: Seq[Seq[String]], maxRaters: Int) = {
+    import spark.implicits._
+    val rows = items.zipWithIndex.flatMap { case (ls, i) =>
+      ls.zipWithIndex.map { case (l, r) => (i.toLong, s"r$r", l) }
+    }
+    LabelQa.alphaCard(rows.toDF("item", "rater", "lab"),
+      "item", "rater", "lab", maxRaters).collect().head
+  }
+
+  private val Cols = Seq("n_items", "n_pairable", "n_classes",
+    "do_ppm", "de_ppm", "alpha_ppm")
+
+  test("alphaPivot == alphaCard on a covering class list, including " +
+      "missing ratings and unpairable items") {
+    val items = Seq(
+      Seq("en", "en", "no"), Seq("no", "no"), Seq("en"),
+      Seq("de", "en", "de"), Seq("no", "en"))
+    val p = pivotOf(items, Seq("en", "no", "de"), 3)
+    val c = cardOf(items, 3)
+    for (f <- Cols) assert(p.getAs[Long](f) === c.getAs[Long](f), f)
+  }
+
+  test("alphaPivot under lumping == alphaCard over pre-lumped labels") {
+    val items = Seq(
+      Seq("en", "fr", "no"), Seq("fr", "fr"), Seq("en", "xx", "en"))
+    val lumped = items.map(_.map(l =>
+      if (Seq("en", "no").contains(l)) l else LabelQa.OtherLabel))
+    val p = pivotOf(items, Seq("en", "no"), 3)
+    val c = cardOf(lumped, 3)
+    for (f <- Cols) assert(p.getAs[Long](f) === c.getAs[Long](f), f)
+  }
+
+  test("alphaIngest over a MemoryStream equals the batch pivot") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val items = Seq(
+      Seq("en", "en", "no"), Seq("no", "no"), Seq("en"),
+      Seq("de", "en"), Seq("no", "en", "no"))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Seq[String]]
+    val q = graft.streaming.Streams.alphaIngest(
+        input.toDF().withColumnRenamed("value", "labs"),
+        "labs", Seq("en", "no"), 3)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("alpha_live").start()
+    try {
+      input.addData(items.take(2): _*)
+      q.processAllAvailable()
+      input.addData(items.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val live = spark.table("alpha_live").collect().head
+    val batch = pivotOf(items, Seq("en", "no"), 3)
+    for (f <- Cols)
+      assert(live.getAs[Long](f) === batch.getAs[Long](f), f)
+  }
+
   test("unpairable items are counted but contribute nothing") {
     val withSingleton = LabelQa.alphaCard(df(
       (1L, "a", "en"), (1L, "b", "en"),
