@@ -255,4 +255,22 @@ object FoldDebt {
       .withColumn("measured_byte_ppm",
         expr("n_bytes * 1000000L div greatest(base_bytes, 1L)"))
   }
+
+  /** Derive a depth-unit constant FROM measurement: the mean
+    * per-epoch `measured_file_ppm` of a [[calibrationCard]] — the
+    * share of the base generation's file population one fold actually
+    * appends, which is the physical quantity the model's constant
+    * per-fold charge stands for. Returns None on an empty chain
+    * (nothing measured — never silently fall back to lore).
+    * CalibrationSpec pins the arithmetic and documents the measured
+    * basis next to [[DefaultDepthUnitPpm]]; a deployment that trusts
+    * its own storage more than the default wires this through
+    * [[schedule]]'s `depthUnitPpm`. */
+  def deriveDepthUnitPpm(card: DataFrame): Option[Long] = {
+    val r = card.agg(
+      coalesce(sum(col("measured_file_ppm")), lit(0L)).as("s"),
+      count(col("measured_file_ppm")).as("n")).collect().head
+    val n = r.getAs[Long]("n")
+    if (n == 0L) None else Some(r.getAs[Long]("s") / n)
+  }
 }

@@ -70,6 +70,28 @@ class AccuracySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("accuracyCard with a rater's labels as truth equals that " +
+      "kappaMatrix pair row — the q309 <-> q317 composition") {
+    // two raters with partial, skewed, sometimes-agreeing labels
+    val two = ratings(
+      (1L, "a", "en"), (1L, "b", "en"),
+      (2L, "a", "no"), (2L, "b", "en"),
+      (3L, "a", "de"), (3L, "b", "de"),
+      (4L, "a", "en"), (4L, "b", "no"),
+      (5L, "a", "en"), (5L, "b", "en"))
+    val m = LabelQa.kappaMatrix(two, "item", "rater", "lab")
+      .collect().head // one unordered pair (a, b)
+    val truthB = two.filter(col("rater") === "b")
+      .select(col("item"), col("lab").as("t"))
+    val acc = LabelQa.accuracyCard(two.filter(col("rater") === "a"),
+      "item", "rater", "lab", truthB, "t").collect().head
+    assert(acc.getAs[Long]("n_items") === m.getAs[Long]("n_items"))
+    assert(acc.getAs[Long]("n_correct") === m.getAs[Long]("n_agree"))
+    assert(acc.getAs[Long]("pe_sum") === m.getAs[Long]("pe_sum"))
+    assert(acc.getAs[Long]("kappa_vs_truth_ppm") ===
+      m.getAs[Long]("kappa_ppm"))
+  }
+
   test("items without a truth row do not grade") {
     val extra = fixture.unionByName(ratings((99L, "good", "en")))
     val c = LabelQa.accuracyCard(extra, "item", "rater", "lab",

@@ -86,6 +86,24 @@ class CalibrationSpec extends AnyFunSuite with SparkTestSession {
         s"modeled column $f must ride the ONE debt meter")
   }
 
+  test("deriveDepthUnitPpm is the mean measured file share, and an " +
+      "empty chain derives nothing rather than lore") {
+    val root = freshStore()
+    val card = FoldDebt.calibrationCard(spark, root)
+    val rows = card.orderBy(col("epoch")).collect()
+    val expected = rows.map(_.getAs[Long]("measured_file_ppm")).sum /
+      rows.length
+    assert(FoldDebt.deriveDepthUnitPpm(card) === Some(expected))
+    // measured basis on this fixture store: each delta epoch appends
+    // its files against the generation — the derived constant is the
+    // same order as the modeled 125000 (1/8-budget) charge, which is
+    // why the default stands; deployments calibrate with this helper
+    assert(expected > 0L)
+    Artifacts.compact(spark, root): Unit
+    assert(FoldDebt.deriveDepthUnitPpm(
+      FoldDebt.calibrationCard(spark, root)) === None)
+  }
+
   test("compaction resets the measured base along with the meter") {
     val root = freshStore()
     Artifacts.compact(spark, root): Unit
