@@ -129,17 +129,38 @@ object SigStore {
   /** Append an ARRIVAL epoch: the batch is shingled once, here, and
     * its `(doc_id, s)` sets land as the epoch's delta files (replay
     * never re-tokenizes). Same disjoint-id precondition as
-    * [[MinHashLSH.indexDelta]]. The epoch publishes atomically (temp
+    * [[MinHashLSH.indexDelta]] — and because the store's whole
+    * fold ≡ rebuild theorem stands on it, the default ENFORCES it:
+    * a batch naming an id already in the served index fails loudly
+    * BEFORE the epoch publishes (re-folding a known doc would
+    * permanently inflate the bucket counts — a re-crawl erases
+    * first). The check is one id-keyed semi-join against the served
+    * sets per append — crawl-cadence cost; a bulk loader that has
+    * already proven disjointness upstream passes
+    * `verifyDisjoint = false`. The epoch publishes atomically (temp
     * dir + rename) so a concurrent [[serve]] never reads a half-
     * written epoch. Returns the epoch number. */
   def appendArrivals(arrivals: DataFrame, idCol: String, textCol: String,
-      root: String): Long = {
+      root: String, verifyDisjoint: Boolean = true): Long = {
     val m = readMeta(root)
-    publishEpoch(arrivals.sparkSession, root) { tmp =>
+    val spark = arrivals.sparkSession
+    if (verifyDisjoint) {
+      val dup = arrivals
+        .select(col(graft.Names.quoted(idCol)).as("doc_id"))
+        .join(serve(spark, root).sets.select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+        .limit(5).collect().map(_.getLong(0))
+      require(dup.isEmpty,
+        s"appendArrivals: batch re-folds ids already in the index " +
+          s"(${dup.mkString(", ")}${if (dup.length == 5) ", …" else ""})" +
+          " — a re-crawl of a known doc erases first (indexErase), " +
+          "never bare-folds")
+    }
+    publishEpoch(spark, root) { tmp =>
       val sets = MinHashLSH.shingleSets(arrivals, idCol, textCol,
         m.shingleN)
       Artifacts.saveIndexFrame(tmp + "/arrive_sets", sets)
-      arrivals.sparkSession.read.parquet(tmp + "/arrive_sets").count()
+      spark.read.parquet(tmp + "/arrive_sets").count()
     }
   }
 

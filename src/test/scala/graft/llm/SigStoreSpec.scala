@@ -140,6 +140,26 @@ class SigStoreSpec extends AnyFunSuite with SparkTestSession {
     assert(served === rebuilt)
   }
 
+  test("re-folding a known id fails loudly before the epoch publishes " +
+      "(the exactness theorem's precondition, enforced)") {
+    val root = freshStore()
+    val before = SigStore.epochs(root)
+    val e = intercept[IllegalArgumentException] {
+      SigStore.appendArrivals(
+        df((1L, "the quick brown fox jumps over the lazy dog tonight")),
+        "doc_id", "text", root)
+    }
+    assert(e.getMessage.contains("erases first"))
+    // nothing published: the store is untouched
+    assert(SigStore.epochs(root) === before)
+    // a bulk loader that proved disjointness upstream can opt out —
+    // here with a genuinely fresh id, so the store stays exact
+    SigStore.appendArrivals(
+      df((50L, "a very fresh bulk loaded document indeed right here")),
+      "doc_id", "text", root, verifyDisjoint = false): Unit
+    assert(SigStore.epochs(root).size === before.size + 1)
+  }
+
   test("erase stat rows count only ids actually in the index") {
     import spark.implicits._
     val root = freshStore()
