@@ -203,11 +203,21 @@ object Fingerprint {
     * [[NbClassifier.eraseCounts]]. */
   def chunkIndexErase(index: org.apache.spark.sql.DataFrame,
       erasedDocs: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String): org.apache.spark.sql.DataFrame = {
+      textCol: String): org.apache.spark.sql.DataFrame =
+    foldEraseCounts(index, chunkCountIndex(erasedDocs, idCol, textCol))
+
+  /** The decrement half of [[chunkIndexErase]] over an already-
+    * chunked `(ck, n)` multiset — the [[ChunkStore]] erase fold (the
+    * chained store chunks a batch once, at append; replay is pure
+    * frame arithmetic). ONE spelling for both paths, so the batch
+    * erase card and the chained store cannot disagree. */
+  def foldEraseCounts(index: org.apache.spark.sql.DataFrame,
+      eraseCounts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     index
-      .join(chunkCountIndex(erasedDocs, idCol, textCol)
-        .select(col("ck"), col("n").as("__en")), Seq("ck"), "left")
+      .join(eraseCounts.select(col("ck"), col("n").as("__en")),
+        Seq("ck"), "left")
       .select(col("ck"),
         (col("n") - coalesce(col("__en"), lit(0L))).cast("bigint").as("n"))
       .filter(col("n") > 0L)

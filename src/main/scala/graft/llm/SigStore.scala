@@ -10,39 +10,22 @@ import org.apache.spark.sql.functions._
   * debt policy names checkpoint/rebuild actions; this is the
   * mechanism that runs them).
   *
-  * Layout under `root`:
-  * {{{
-  *   meta                      one line: shingleN numHashes rowsPerBand cap
-  *   CURRENT                   one line: <genDir> <epochWatermark>
-  *   gen-0/{bands,counts,sets[,evicted]}/   the base generation image
-  *   epochs/e<13-digit>/stat/               (epoch, batch_rows, erase_rows)
-  *   epochs/e<13-digit>/arrive_sets/        arrival [[MinHashLSH.shingleSets]]
-  *   epochs/e<13-digit>/erase_ids/          tombstoned (doc_id) rows
-  *   gen-<k>/...                            written by [[compact]]
-  * }}}
+  * The generation / epoch / pointer machinery lives in
+  * [[ChainedStore]] (r18 verdict ask #7 — the layout is now shared
+  * with [[ChunkStore]] and any further fold-exact family); this
+  * object owns only the signature-index ALGEBRA: what a generation
+  * holds (`bands`/`counts`/`sets`[/`evicted`]), how an arrival epoch
+  * folds ([[MinHashLSH.indexDeltaFromSets]] — the text was shingled
+  * once, at append time; replay is integer-only), and how an erase
+  * epoch folds ([[MinHashLSH.indexErase]]). The on-disk layout is
+  * bit-identical to the pre-lift rounds (SigStoreSpec and the q315
+  * compact card pin serve ≡ rebuild through chain AND compaction).
   *
-  * Reading ([[serve]]) resolves `CURRENT`, loads the named
-  * generation, and folds every epoch ABOVE the watermark in order —
-  * [[MinHashLSH.indexDeltaFromSets]] for arrival epochs (the text was
-  * shingled once, at append time; replay is integer-only),
-  * [[MinHashLSH.indexErase]] for erase epochs. The served index is
-  * therefore exactly the fold chain the q312 meter prices: each
-  * un-compacted epoch adds one fold of lineage and one directory of
-  * delta files.
-  *
-  * [[compact]] executes the policy's `checkpoint`/`rebuild` action:
-  * it materializes the served image into a FRESH generation directory
-  * and atomically advances `CURRENT` past the consumed epochs. Nothing
-  * is deleted — a reader holding the old generation's paths keeps
-  * working (the Delta/Iceberg snapshot discipline: compaction
-  * publishes, [[vacuum]] reclaims, and only vacuum is unsafe to run
-  * under live readers of retired snapshots). Because every fold is
-  * exact (q280/q294), the compacted image serves ROW-IDENTICALLY to
-  * the chain it replaces — proven on-corpus by the compact card and
-  * on planted transitions by SigStoreSpec. Tombstone mass is
-  * physically dropped by the rewrite (erased rows are anti-joined out
-  * of the new generation's files), and the debt meter resets by
-  * construction: [[debtCard]] reads only epochs above the watermark.
+  * Concurrency and exactly-once: [[ChainedStore]]'s per-root
+  * serialization, epoch-slot allocation retry, and `(sinkId,
+  * batchId)` txn markers apply — [[appendArrivals]]/[[appendErases]]
+  * accept an optional txn so a replayed foreachBatch batch is a
+  * no-op instead of a double-append (ADVICE r18).
   *
   * Scale shape: every frame is distributed parquet; driver-side work
   * is directory listing and two one-line pointer files (catalog-
@@ -54,45 +37,53 @@ object SigStore {
   final case class Meta(shingleN: Int, numHashes: Int, rowsPerBand: Int,
       cap: Int)
 
-  final case class Pointer(gen: String, watermark: Long)
+  type Pointer = ChainedStore.Pointer
+  val Pointer = ChainedStore.Pointer
 
   /** Compaction receipt: the new generation dir, the watermark it
     * consumed through, and how many epochs it folded. */
-  final case class CompactStats(gen: String, watermark: Long,
-      epochsFolded: Int)
-
-  private def write(path: java.nio.file.Path, text: String): Unit = {
-    val tmp = java.nio.file.Files.createTempFile(
-      path.getParent, "." + path.getFileName.toString, ".tmp")
-    java.nio.file.Files.write(tmp, text.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, path,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-  }
-
-  private def readLine(path: java.nio.file.Path): String =
-    new String(java.nio.file.Files.readAllBytes(path), "UTF-8").trim
+  type CompactStats = ChainedStore.CompactStats
+  val CompactStats = ChainedStore.CompactStats
 
   def readMeta(root: String): Meta = {
-    val f = readLine(java.nio.file.Paths.get(root, "meta")).split("\\s+")
+    val f = ChainedStore.readMetaLine(root).split("\\s+")
     Meta(f(0).toInt, f(1).toInt, f(2).toInt, f(3).toInt)
   }
 
-  def readPointer(root: String): Pointer = {
-    val f = readLine(java.nio.file.Paths.get(root, "CURRENT")).split("\\s+")
-    Pointer(f(0), f(1).toLong)
-  }
+  def readPointer(root: String): Pointer = ChainedStore.readPointer(root)
 
   /** Epoch numbers present under `root/epochs`, ascending. */
-  def epochs(root: String): Seq[Long] = {
-    val d = new java.io.File(root, "epochs")
-    Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("e"))
-      .map(_.getName.drop(1).toLong).sorted.toSeq
-  }
+  def epochs(root: String): Seq[Long] = ChainedStore.epochs(root)
 
-  private def epochDir(root: String, e: Long) =
-    new java.io.File(new java.io.File(root, "epochs"), f"e$e%013d")
+  /** The signature-index fold algebra over the shared chained
+    * layout. `evicted` is a frame only on capped stores — the frame
+    * list follows the meta, exactly as the pre-lift loader did. */
+  private def familyFor(m: Meta): ChainedStore.Family =
+    new ChainedStore.Family {
+      val frames: Seq[String] =
+        if (m.cap > 0) Seq("bands", "counts", "sets", "evicted")
+        else Seq("bands", "counts", "sets")
+      val arrivePayload = "arrive_sets"
+      val erasePayload = "erase_ids"
+      def foldArrive(gen: Map[String, DataFrame], payload: DataFrame)
+          : Map[String, DataFrame] =
+        toMap(MinHashLSH.indexDeltaFromSets(fromMap(gen), payload,
+          m.numHashes, m.rowsPerBand, m.cap))
+      def foldErase(gen: Map[String, DataFrame], payload: DataFrame)
+          : Map[String, DataFrame] =
+        toMap(MinHashLSH.indexErase(fromMap(gen), payload,
+          m.numHashes, m.rowsPerBand, m.cap))
+      def liveCount(gen: Map[String, DataFrame]): Long =
+        gen("sets").select(col("doc_id")).count()
+    }
+
+  private def fromMap(g: Map[String, DataFrame]): MinHashLSH.SigIndex =
+    MinHashLSH.SigIndex(g("bands"), g("counts"), g("sets"),
+      g.get("evicted"))
+
+  private def toMap(idx: MinHashLSH.SigIndex): Map[String, DataFrame] =
+    Map("bands" -> idx.bands, "counts" -> idx.counts,
+      "sets" -> idx.sets) ++ idx.evicted.map("evicted" -> _)
 
   /** Initialize a store: build [[MinHashLSH.signatureIndex]] over
     * `docs` and publish it as generation 0 with an empty chain. */
@@ -100,30 +91,8 @@ object SigStore {
       shingleN: Int, numHashes: Int, rowsPerBand: Int, cap: Int): Unit = {
     val idx = MinHashLSH.signatureIndex(docs, idCol, textCol, shingleN,
       numHashes, rowsPerBand, cap)
-    new java.io.File(root).mkdirs()
-    writeGen(new java.io.File(root, "gen-0").toString, idx)
-    write(java.nio.file.Paths.get(root, "meta"),
-      s"$shingleN $numHashes $rowsPerBand $cap\n")
-    write(java.nio.file.Paths.get(root, "CURRENT"), "gen-0 0\n")
-  }
-
-  private def writeGen(genPath: String, idx: MinHashLSH.SigIndex): Unit = {
-    Artifacts.saveIndexFrame(genPath + "/bands", idx.bands)
-    Artifacts.saveIndexFrame(genPath + "/counts", idx.counts)
-    Artifacts.saveIndexFrame(genPath + "/sets", idx.sets)
-    idx.evicted.foreach(ev =>
-      Artifacts.saveIndexFrame(genPath + "/evicted", ev))
-  }
-
-  private def loadGen(spark: SparkSession, root: String,
-      gen: String, cap: Int): MinHashLSH.SigIndex = {
-    val p = new java.io.File(root, gen).toString
-    MinHashLSH.SigIndex(
-      Artifacts.loadIndexFrame(spark, p + "/bands"),
-      Artifacts.loadIndexFrame(spark, p + "/counts"),
-      Artifacts.loadIndexFrame(spark, p + "/sets"),
-      if (cap > 0) Some(Artifacts.loadIndexFrame(spark, p + "/evicted"))
-      else None)
+    ChainedStore.initGeneric(root,
+      s"$shingleN $numHashes $rowsPerBand $cap", toMap(idx))
   }
 
   /** Append an ARRIVAL epoch: the batch is shingled once, here, and
@@ -139,24 +108,30 @@ object SigStore {
     * already proven disjointness upstream passes
     * `verifyDisjoint = false`. The epoch publishes atomically (temp
     * dir + rename) so a concurrent [[serve]] never reads a half-
-    * written epoch. Returns the epoch number. */
+    * written epoch; `txn` stamps it for foreachBatch replay
+    * idempotency ([[ChainedStore.alreadyApplied]]). Returns the
+    * epoch number. */
   def appendArrivals(arrivals: DataFrame, idCol: String, textCol: String,
-      root: String, verifyDisjoint: Boolean = true): Long = {
+      root: String, verifyDisjoint: Boolean = true,
+      txn: Option[(String, Long)] = None): Long = {
     val m = readMeta(root)
     val spark = arrivals.sparkSession
     if (verifyDisjoint) {
+      // ids render generically (ADVICE r18): a non-long id column
+      // must still produce the intended loud message, never a
+      // ClassCastException inside the diagnostic itself
       val dup = arrivals
         .select(col(graft.Names.quoted(idCol)).as("doc_id"))
         .join(serve(spark, root).sets.select(col("doc_id")),
           Seq("doc_id"), "left_semi")
-        .limit(5).collect().map(_.getLong(0))
+        .limit(5).collect().map(r => String.valueOf(r.get(0)))
       require(dup.isEmpty,
         s"appendArrivals: batch re-folds ids already in the index " +
           s"(${dup.mkString(", ")}${if (dup.length == 5) ", …" else ""})" +
           " — a re-crawl of a known doc erases first (indexErase), " +
           "never bare-folds")
     }
-    publishEpoch(spark, root) { tmp =>
+    ChainedStore.publishEpoch(spark, root, arrive = true, txn) { tmp =>
       val sets = MinHashLSH.shingleSets(arrivals, idCol, textCol,
         m.shingleN)
       Artifacts.saveIndexFrame(tmp + "/arrive_sets", sets)
@@ -168,9 +143,10 @@ object SigStore {
     * per id at fold time ([[MinHashLSH.indexErase]]); the stat row
     * counts ids that are actually IN the served index, so the debt
     * meter prices real tombstone mass, not no-op requests. */
-  def appendErases(eraseIds: DataFrame, root: String): Long = {
+  def appendErases(eraseIds: DataFrame, root: String,
+      txn: Option[(String, Long)] = None): Long = {
     val spark = eraseIds.sparkSession
-    publishEpoch(spark, root, arrive = false) { tmp =>
+    ChainedStore.publishEpoch(spark, root, arrive = false, txn) { tmp =>
       val ids = eraseIds.select(col("doc_id")).distinct()
       Artifacts.saveIndexFrame(tmp + "/erase_ids", ids)
       val served = serve(spark, root)
@@ -180,43 +156,13 @@ object SigStore {
     }
   }
 
-  private def publishEpoch(spark: SparkSession, root: String,
-      arrive: Boolean = true)(body: String => Long): Long = {
-    val next = epochs(root).lastOption.getOrElse(0L) + 1L
-    val parent = new java.io.File(root, "epochs")
-    parent.mkdirs()
-    val tmp = java.nio.file.Files.createTempDirectory(parent.toPath,
-      ".epoch-")
-    val n = body(tmp.toString)
-    import spark.implicits._
-    Seq((next, if (arrive) n else 0L, if (arrive) 0L else n))
-      .toDF("epoch", "batch_rows", "erase_rows")
-      .repartition(1).write.mode("overwrite").parquet(tmp + "/stat")
-    java.nio.file.Files.move(tmp, epochDir(root, next).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    next
-  }
-
   /** The served index: the current generation with every epoch above
     * the watermark folded on in order. Lineage depth — and therefore
     * read cost — grows with the un-compacted chain length; that is
     * the debt [[debtCard]] prices and [[compact]] resets. */
-  def serve(spark: SparkSession, root: String): MinHashLSH.SigIndex = {
-    val m = readMeta(root)
-    val ptr = readPointer(root)
-    val base = loadGen(spark, root, ptr.gen, m.cap)
-    epochs(root).filter(_ > ptr.watermark).foldLeft(base) { (idx, e) =>
-      val d = epochDir(root, e)
-      if (new java.io.File(d, "arrive_sets").exists())
-        MinHashLSH.indexDeltaFromSets(idx,
-          spark.read.parquet(new java.io.File(d, "arrive_sets").toString),
-          m.numHashes, m.rowsPerBand, m.cap)
-      else
-        MinHashLSH.indexErase(idx,
-          spark.read.parquet(new java.io.File(d, "erase_ids").toString),
-          m.numHashes, m.rowsPerBand, m.cap)
-    }
-  }
+  def serve(spark: SparkSession, root: String): MinHashLSH.SigIndex =
+    fromMap(ChainedStore.serveGeneric(spark, root,
+      familyFor(readMeta(root))))
 
   /** The q312 policy meter over THIS store's un-compacted chain:
     * [[FoldDebt.schedule]] over the epoch stat rows above the
@@ -226,26 +172,9 @@ object SigStore {
       depthUnitPpm: Long = FoldDebt.DefaultDepthUnitPpm,
       tombWeight: Long = FoldDebt.DefaultTombWeight,
       debtBudgetPpm: Long = FoldDebt.DefaultDebtBudgetPpm,
-      tombBudgetPpm: Long = FoldDebt.DefaultTombBudgetPpm): DataFrame = {
-    val m = readMeta(root)
-    val ptr = readPointer(root)
-    val live = epochs(root).filter(_ > ptr.watermark)
-    val stats =
-      if (live.isEmpty)
-        spark.range(0).select(col("id").as("epoch"),
-          col("id").as("batch_rows"), col("id").as("erase_rows"))
-      else live.map(e => spark.read.parquet(
-        new java.io.File(epochDir(root, e), "stat").toString))
-        .reduce(_ unionByName _)
-    // the relative-mass denominators start from the compacted
-    // generation's corpus size, not zero — a 100-doc delta on a
-    // million-doc base must price as 0.01%, not as 100% of a chain
-    // that "began" empty
-    val baseLive = loadGen(spark, root, ptr.gen, m.cap)
-      .sets.select(col("doc_id")).count()
-    FoldDebt.schedule(stats, "epoch", "batch_rows", "erase_rows",
-      depthUnitPpm, tombWeight, debtBudgetPpm, tombBudgetPpm, baseLive)
-  }
+      tombBudgetPpm: Long = FoldDebt.DefaultTombBudgetPpm): DataFrame =
+    ChainedStore.debtCardGeneric(spark, root, familyFor(readMeta(root)),
+      depthUnitPpm, tombWeight, debtBudgetPpm, tombBudgetPpm)
 
   /** Execute the compaction ([[FoldDebt]]'s `checkpoint`/`rebuild`
     * action): materialize the served image as a fresh generation and
@@ -254,39 +183,12 @@ object SigStore {
     * already empty — compact is idempotent. Retired generations and
     * consumed epoch dirs are LEFT IN PLACE for live readers;
     * [[vacuum]] reclaims them. */
-  def compact(spark: SparkSession, root: String): CompactStats = {
-    val ptr = readPointer(root)
-    val chain = epochs(root).filter(_ > ptr.watermark)
-    if (chain.isEmpty) return CompactStats(ptr.gen, ptr.watermark, 0)
-    val served = serve(spark, root)
-    val k = ptr.gen.stripPrefix("gen-").toInt + 1
-    val gen = s"gen-$k"
-    writeGen(new java.io.File(root, gen).toString, served)
-    write(java.nio.file.Paths.get(root, "CURRENT"),
-      s"$gen ${chain.max}\n")
-    CompactStats(gen, chain.max, chain.size)
-  }
+  def compact(spark: SparkSession, root: String): CompactStats =
+    ChainedStore.compactGeneric(spark, root, familyFor(readMeta(root)))
 
   /** Reclaim retired generations and consumed epoch dirs. UNSAFE
     * under readers still holding retired snapshots — run it the way a
     * table format runs vacuum: after a retention window, never
     * concurrently with a reader of the old generation. */
-  def vacuum(root: String): Unit = {
-    val ptr = readPointer(root)
-    val rootF = new java.io.File(root)
-    Option(rootF.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("gen-") &&
-        f.getName != ptr.gen)
-      .foreach(deleteRecursively)
-    epochs(root).filter(_ <= ptr.watermark)
-      .foreach(e => deleteRecursively(epochDir(root, e)))
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit =
-    if (f.exists()) {
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty)
-          .foreach(deleteRecursively)
-      f.delete(): Unit
-    }
+  def vacuum(root: String): Unit = ChainedStore.vacuumGeneric(root)
 }

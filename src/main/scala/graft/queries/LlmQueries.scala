@@ -1914,7 +1914,7 @@ object LlmQueries {
   // disagreement weights by 1/(k_i − 1) through the exact lcm-scaled
   // integer spelling, and chance comes from the pairable ratings
   // only. On complete designs alpha reduces to Fleiss via
-  // 1 − alpha = (1 − kappa)·T/(T−1), pinned universally in
+  // 1 − alpha = (1 − kappa)·(T−1)/T, pinned universally in
   // AlphaProps. The oracle replays the 3-rater chain, the missing
   // slice, and every aggregate.
   private val AlphaMissingMod = 4L

@@ -795,20 +795,38 @@ object Streams {
     * schedules. Returns the writer; the caller picks trigger and
     * checkpoint location and starts it. Stream == batch (the served
     * index equals a full rebuild over everything fed) is pinned in
-    * SigStoreStreamSpec, including a mid-stream compaction firing. */
+    * SigStoreStreamSpec, including a mid-stream compaction firing
+    * and a replayed batch no-op'ing.
+    *
+    * `sinkId` names ONE checkpoint lineage (the Delta `txnAppId`
+    * discipline): resuming the same checkpoint replays safely, but a
+    * deployment that starts OVER from a fresh checkpoint must pick a
+    * fresh sinkId — batch numbering restarts at 0, and the old
+    * watermark would silently swallow the new stream's first
+    * batches. */
   def storeIngest(arrivals: DataFrame, idCol: String, textCol: String,
       root: String,
       depthUnitPpm: Long = graft.llm.FoldDebt.DefaultDepthUnitPpm,
       tombWeight: Long = graft.llm.FoldDebt.DefaultTombWeight,
       debtBudgetPpm: Long = graft.llm.FoldDebt.DefaultDebtBudgetPpm,
-      tombBudgetPpm: Long = graft.llm.FoldDebt.DefaultTombBudgetPpm)
+      tombBudgetPpm: Long = graft.llm.FoldDebt.DefaultTombBudgetPpm,
+      sinkId: String = "arrive")
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
     arrivals.writeStream.foreachBatch {
-      (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
+      (batch: DataFrame, batchId: Long) =>
+        // exactly-once under Spark's replay-after-failure contract
+        // (ADVICE r18): each epoch is stamped with (sinkId, batchId)
+        // ATOMICALLY (same directory rename), so a batch replayed
+        // after a crash between epoch publish and checkpoint commit
+        // is a no-op instead of a double-append that would trip the
+        // disjoint-arrival guard and wedge the restarted stream. Two
+        // feeds sharing one root MUST carry distinct sinkIds (the
+        // arrival/erase pair's defaults already do).
+        if (!batch.isEmpty &&
+            !graft.llm.ChainedStore.alreadyApplied(root, sinkId, batchId)) {
           graft.llm.SigStore.appendArrivals(batch, idCol, textCol,
-            root): Unit
+            root, txn = Some(sinkId -> batchId)): Unit
           maybeCompact(batch.sparkSession, root, depthUnitPpm,
             tombWeight, debtBudgetPpm, tombBudgetPpm)
         }
@@ -824,14 +842,21 @@ object Streams {
       depthUnitPpm: Long = graft.llm.FoldDebt.DefaultDepthUnitPpm,
       tombWeight: Long = graft.llm.FoldDebt.DefaultTombWeight,
       debtBudgetPpm: Long = graft.llm.FoldDebt.DefaultDebtBudgetPpm,
-      tombBudgetPpm: Long = graft.llm.FoldDebt.DefaultTombBudgetPpm)
+      tombBudgetPpm: Long = graft.llm.FoldDebt.DefaultTombBudgetPpm,
+      sinkId: String = "erase")
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
     tombstones.writeStream.foreachBatch {
-      (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
+      (batch: DataFrame, batchId: Long) =>
+        // the same (sinkId, batchId) replay guard as [[storeIngest]]:
+        // erase epochs are idempotent per id at FOLD time, but a
+        // replayed erase batch would still publish a second epoch and
+        // double-count debt — skip it entirely
+        if (!batch.isEmpty &&
+            !graft.llm.ChainedStore.alreadyApplied(root, sinkId, batchId)) {
           graft.llm.SigStore.appendErases(
-            batch.select(col("doc_id")), root): Unit
+            batch.select(col("doc_id")), root,
+            txn = Some(sinkId -> batchId)): Unit
           maybeCompact(batch.sparkSession, root, depthUnitPpm,
             tombWeight, debtBudgetPpm, tombBudgetPpm)
         }

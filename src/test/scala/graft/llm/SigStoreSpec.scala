@@ -140,6 +140,24 @@ class SigStoreSpec extends AnyFunSuite with SparkTestSession {
     assert(served === rebuilt)
   }
 
+  test("appends after vacuum allocate ABOVE the watermark — never " +
+      "into the void (regression: epoch numbering must survive the " +
+      "epoch DIRS being reclaimed)") {
+    val root = freshStore()
+    Artifacts.compact(spark, root): Unit
+    SigStore.vacuum(root)
+    // pre-fix: the empty epochs/ listing re-issued epoch 1, BELOW the
+    // compaction watermark 2 — published, then silently ignored by
+    // serve() and the debt meter
+    val e = SigStore.appendArrivals(
+      df((21L, "a post vacuum arrival document that must stay visible")),
+      "doc_id", "text", root)
+    assert(e === 3L)
+    assert(SigStore.debtCard(spark, root).count() === 1L)
+    assert(SigStore.serve(spark, root).sets
+      .filter(col("doc_id") === 21L).count() === 1L)
+  }
+
   test("re-folding a known id fails loudly before the epoch publishes " +
       "(the exactness theorem's precondition, enforced)") {
     val root = freshStore()

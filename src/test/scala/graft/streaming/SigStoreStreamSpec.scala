@@ -86,6 +86,36 @@ class SigStoreStreamSpec extends AnyFunSuite with SparkTestSession {
         ShingleN, NumHashes, 1, Cap)))
   }
 
+  test("a replayed batch is a no-op, not a wedge: the (sinkId, " +
+      "batchId) txn marker survives restart (ADVICE r18)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = freshRoot()
+    val batch = arrivalBatches.head
+    def run(data: Seq[StoreDoc]*): Unit = {
+      val input = MemoryStream[StoreDoc]
+      val q = Streams.storeIngest(input.toDF(), "doc_id", "text", root)
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("sigstore-replay-ckpt-").toString)
+        .start()
+      try for (b <- data) { input.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+    }
+    run(batch)
+    val epochsAfterFirst = SigStore.epochs(root)
+    // the crash-replay shape: a fresh checkpoint re-delivers batchId 0
+    // with the SAME rows — pre-fix this re-appended the ids and the
+    // disjoint-arrival guard permanently wedged the restarted stream;
+    // now the txn marker makes it a no-op...
+    run(batch, arrivalBatches(1))
+    // ...while the genuinely new batch (batchId 1) still lands
+    assert(SigStore.epochs(root).size === epochsAfterFirst.size + 1)
+    val all = (baseDocs ++ batch ++ arrivalBatches(1)).toDF()
+    assert(image(SigStore.serve(spark, root)) ===
+      image(MinHashLSH.signatureIndex(all, "doc_id", "text",
+        ShingleN, NumHashes, 1, Cap)))
+  }
+
   test("storeEraseIngest lands erase epochs and the rebuild arm " +
       "physically reclaims the dead rows") {
     import spark.implicits._
