@@ -2687,6 +2687,59 @@ object LlmQueries {
     fpCard.unionByName(ckCard).unionByName(nbCard)
   }
 
+  // ---- q319: chunk-store compaction serves identically ----
+  // q295 proves the chunk-index folds EXACT in one shot; this card
+  // proves the OPERATIONAL loop — the refcounted chunk index as a
+  // chained [[graft.llm.ChunkStore]] (the second
+  // [[graft.llm.ChainedStore]] family, r18 verdict ask #7): base
+  // generation = 90% of the corpus, one arrival epoch (the other
+  // 10%, chunked ONCE at append), one erase epoch (every doc_id %
+  // ChunkEraseMod == 5, refcounts decremented, keys at zero
+  // dropped), then compaction — fresh generation, pointer advanced,
+  // meter reset. Chain-served and compacted refcounts must agree per
+  // chunk key, and the oracle replays the full REBUILD over the
+  // surviving corpus via the shared CDC chunk CTEs and pins BOTH
+  // sides to it with agree == true — a lost refcount, an
+  // under-dropped key, or a leaked erased chunk hash-fails the
+  // round. 100 TB: every frame distributed parquet; the card's cost
+  // is the store build (amortized via the artifact catalog) plus two
+  // served reads and one key-keyed full-outer join.
+  private val ChunkEraseMod = 11L
+  def q319ChunkStoreCompact(s: SparkSession, dir: String): DataFrame = {
+    graft.llm.Fingerprint.register(s)
+    val docs = graft.Tables.documents(s, dir)
+    val root = graft.llm.Artifacts.ensure(dir,
+        s"chunkstore-chain-v1-d${graft.llm.Fingerprint.CdcDivisor}" +
+          s"-e$ChunkEraseMod") { p =>
+      val st = p + "/store"
+      graft.llm.ChunkStore.init(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        "doc_id", "text", st)
+      graft.llm.ChunkStore.appendArrivals(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        "doc_id", "text", st): Unit
+      graft.llm.ChunkStore.appendErases(
+        docs.filter(pmod(col("doc_id"), lit(ChunkEraseMod)) === 5L),
+        "doc_id", "text", st): Unit
+    }
+    val st = root + "/store"
+    // chain image read BEFORE compact stays valid (retired files are
+    // kept for live readers — the q315 vacuum-separation discipline);
+    // on a later session both sides read the compacted generation and
+    // the VALUES are identical either way (fold ≡ rebuild ≡ compact)
+    val served = graft.llm.ChunkStore.serve(s, st)
+    graft.llm.ChunkStore.compact(s, st): Unit
+    val compacted = graft.llm.ChunkStore.serve(s, st)
+    served.select(col("ck"), col("n").as("n_served"))
+      .join(compacted.select(col("ck"), col("n").as("n_compact")),
+        Seq("ck"), "full_outer")
+      .select(col("ck"),
+        coalesce(col("n_served"), lit(0L)).as("n_served"),
+        coalesce(col("n_compact"), lit(0L)).as("n_compact"),
+        (col("n_served").isNotNull && col("n_compact").isNotNull &&
+          col("n_served") === col("n_compact")).as("agree"))
+  }
+
   // ---- q238: threshold-free ranking quality of cheap scores ----
   // q226 distills the rule gate into a classifier and grades it at
   // ONE operating point (a confusion card); this asks the
@@ -4027,6 +4080,7 @@ object LlmQueries {
     "q236_cdc_admission_loaded" -> q236CdcAdmissionLoaded _,
     "q237_artifact_erasure" -> q237ArtifactErasure _,
     "q295_erase_apply" -> q295EraseApply _,
+    "q319_chunkstore_compact" -> q319ChunkStoreCompact _,
     "q238_rank_auc" -> q238RankAuc _,
     "q239_mojibake" -> q239Mojibake _,
     "q274_unicode_dedup" -> q274UnicodeDedup _,
@@ -6504,6 +6558,17 @@ object LlmQueries {
          |  true FROM cxa
          |UNION ALL SELECT 'nb_counts', n_before, n_after, n_after,
          |  true FROM nxa""".stripMargin,
+    // the ONE truth is the chunk-count rebuild over the surviving
+    // corpus (base ∪ arrivals = every doc; erased = doc_id %
+    // ChunkEraseMod == 5) via the shared CDC chunk CTEs — BOTH the
+    // chain-served and the compacted refcounts must equal it per
+    // chunk key, and agree pins to literal true
+    "q319_chunkstore_compact" ->
+      s"""WITH $cdcCkCtes,
+         |g AS (SELECT ck, CAST(count(*) AS BIGINT) AS n FROM ck
+         |  WHERE doc_id % $ChunkEraseMod != 5 GROUP BY ck)
+         |SELECT ck, n AS n_served, n AS n_compact, true AS agree
+         |FROM g""".stripMargin,
     // the rule CTEs label each doc; each ranker collapses to a
     // (score → pos/neg count) frame and AUC2 = Σ p·(2C + q) replays
     // the exact midrank Mann-Whitney statistic in integers
