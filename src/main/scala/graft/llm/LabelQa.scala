@@ -514,6 +514,172 @@ object LabelQa {
         | end as bigint)""".stripMargin).as("alpha_ppm"))
   }
 
+  /** Krippendorff's alpha with a WEIGHTED difference metric over an
+    * ORDERED class scale — the ordinal/interval companion to the
+    * nominal [[alphaCard]] (r18 verdict ask #8): graded labels
+    * (quality bands, Likert scores) disagree by DEGREE, and the
+    * nominal metric prices "1 vs 2" the same as "0 vs 3".
+    * Krippendorff 2004's general form with difference weights
+    * δ²(c,c'):
+    *
+    *   D_o = (1/T)·Σ_i Σ_{c≠c'} n_ic·n_ic'·δ²(c,c') / (k_i − 1)
+    *   D_e = (1/(T·(T−1)))·Σ_{c≠c'} m_c·m_c'·δ²(c,c')
+    *   alpha = 1 − D_o/D_e
+    *
+    * `metric = "ordinal"`: δ²(c,c') = (Σ_{g=c..c'} m_g −
+    * (m_c + m_c')/2)² — the weights are DATA-DERIVED from the
+    * coincidence marginals, so the card is two aggregate passes
+    * (marginals first, then the weighted sums). The halves clear
+    * exactly by computing in W(c,c') = (2·Σ m_g − m_c − m_c')² =
+    * 4·δ², a pure integer — the factor 4 cancels between D_o and
+    * D_e, so alpha is unchanged and every sum stays integer.
+    * `metric = "interval"`: δ²(c,c') = (pos_c − pos_c')² over the
+    * class positions — already integer.
+    *
+    * Exact integer spelling: per-item 1/(k_i − 1) scales by
+    * L = lcm(1 .. maxRaters − 1) (the [[alphaCard]] discipline);
+    * everything else is products of counts and integer weights in
+    * decimal(38,0). do_ppm/de_ppm are reported relative to the
+    * metric's FULL-RANGE weight Wmax = W(first, last) so both stay
+    * corpus-size-free; alpha_ppm = ±⌊10⁶·|L·DeN − DoN·(T−1)| /
+    * max(L·DeN, 1)⌋ (signed, the [[kappaCard]] truncation CASE —
+    * Wmax cancels in the ratio).
+    *
+    * `classes` pins the scale IN ORDER (monitor config, the
+    * [[fleissPivot]] discipline). A label off the scale — or null —
+    * kills the card loudly: an ordinal metric has no `(other)`
+    * bucket to lump into; a rating off the scale is feed corruption.
+    * Items with k_i < 2 are unpairable: counted in `n_items`,
+    * excluded from every sum. Degenerate corpora (no pairable items,
+    * one class) read alpha 0 via the greatest guards. On a binary
+    * scale (K = 2) exactly ONE off-diagonal weight exists, so it
+    * cancels and both metrics reduce EXACTLY to the nominal
+    * [[alphaCard]] — pinned universally in AlphaProps, alongside a
+    * BigInt-fraction reference for the general weighted forms.
+    *
+    * Output: `(n_items, n_pairable, n_classes, do_ppm, de_ppm,
+    * alpha_ppm)` — the [[alphaCard]] frame. Scale shape: one
+    * (item, class) aggregate, one item-sized rollup, one K-sized
+    * marginal, one K²-sized broadcast weight frame (K = class count,
+    * single digits), one ≤K²-rows-per-item pair join; nothing keyed
+    * wider than the item id. */
+  def alphaWeightedCard(ratings: DataFrame, itemCol: String,
+      raterCol: String, labelCol: String, maxRaters: Int,
+      classes: Seq[String], metric: String): DataFrame = {
+    require(maxRaters >= 2, "alpha needs at least two raters")
+    require(metric == "ordinal" || metric == "interval",
+      s"unknown metric '$metric' (ordinal | interval)")
+    require(classes.size >= 2, "an ordered scale needs >= 2 classes")
+    require(classes.distinct == classes, "classes must be distinct")
+    val lcm = (1 until maxRaters).map(BigInt(_))
+      .reduce((a, b) => a * b / a.gcd(b))
+    require(lcm <= BigInt(Long.MaxValue) / 1000000L,
+      s"maxRaters $maxRaters overflows the lcm scale")
+    val l = lcm.toLong
+    val k = classes.size
+    val qi = graft.Names.quoted(itemCol)
+    val ql = graft.Names.quoted(labelCol)
+    val spark = ratings.sparkSession
+    // label → 0-based scale position; off-scale or null is feed
+    // corruption on an ordered metric, never a lumpable bucket
+    val classArr = array(classes.map(lit): _*)
+    val pos = array_position(classArr, col(ql).cast("string"))
+    val ix = when(col(ql).isNotNull && pos > 0L, pos - 1L)
+      .otherwise(raise_error(concat(
+        lit("alphaWeightedCard: label '"),
+        coalesce(col(ql).cast("string"), lit("(null)")),
+        lit("' is not on the pinned ordinal scale"))).cast("bigint"))
+    val nic = Caches.persistTracked(
+      ratings.select(col(qi).as("__it"), ix.as("__ix"))
+        .groupBy(col("__it"), col("__ix"))
+        .agg(count(lit(1)).as("__c")))
+    val per = Caches.persistTracked(nic.groupBy(col("__it"))
+      .agg(sum(col("__c")).as("__ki"))
+      .withColumn("__ki",
+        when(col("__ki") > maxRaters.toLong,
+          raise_error(concat(lit(s"alphaWeightedCard: item "),
+            col("__it"),
+            lit(s" carries more than $maxRaters ratings")))
+            .cast("bigint"))
+        .otherwise(col("__ki"))))
+    val pairable = Caches.persistTracked(per.filter(col("__ki") >= 2L))
+    // coincidence marginals on the FULL pinned spine (absent classes
+    // carry m = 0 — they still occupy scale positions, which is what
+    // makes the ordinal segment sums well-defined), plus the
+    // cumulative sum the segment arithmetic reads. K rows total — the
+    // single-partition window is a K-row frame, never the corpus.
+    val byIx = org.apache.spark.sql.expressions.Window.orderBy(col("__ix"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    val spine = spark.range(k).select(col("id").as("__ix"))
+    val marg = Caches.persistTracked(spine
+      .join(nic.join(pairable.select(col("__it")), Seq("__it"),
+          "left_semi")
+        .groupBy(col("__ix")).agg(sum(col("__c")).as("__mr")),
+        Seq("__ix"), "left")
+      .select(col("__ix"), coalesce(col("__mr"), lit(0L)).as("__m"))
+      .withColumn("__cm", sum(col("__m")).over(byIx)))
+    // K² weight frame: W(c,c') per ordered position pair — carried
+    // with both marginals so DeN reads off it directly
+    val a = marg.select(col("__ix").as("__ia"), col("__m").as("__ma"),
+      col("__cm").as("__ca"))
+    val b = marg.select(col("__ix").as("__ib"), col("__m").as("__mb"),
+      col("__cm").as("__cb"))
+    val seg = when(col("__ia") <= col("__ib"),
+      col("__cb") - col("__ca") + col("__ma"))
+      .otherwise(col("__ca") - col("__cb") + col("__mb"))
+    val wRaw =
+      if (metric == "ordinal") seg * 2L - col("__ma") - col("__mb")
+      else col("__ia") - col("__ib")
+    val weights = Caches.persistTracked(a.crossJoin(b)
+      .select(col("__ia"), col("__ib"), col("__ma"), col("__mb"),
+        (wRaw.cast("decimal(38,0)") * wRaw.cast("decimal(38,0)"))
+          .as("__w")))
+    val zeroDec = lit(0L).cast("decimal(38,0)")
+    // DoN = Σ_i (L div (k_i−1)) Σ_{c≠c'} n_ic·n_ic'·W — the per-item
+    // class-pair join is ≤ K² rows per item, K single digits
+    val nicP = nic.join(pairable, Seq("__it"))
+    val don = nicP
+      .join(nicP.select(col("__it"), col("__ix").as("__jx"),
+        col("__c").as("__cj")), Seq("__it"))
+      .filter(col("__ix") =!= col("__jx"))
+      .join(broadcast(weights.select(col("__ia").as("__ix"),
+        col("__ib").as("__jx"), col("__w"))), Seq("__ix", "__jx"))
+      .agg(coalesce(sum(col("__c").cast("decimal(38,0)") *
+        col("__cj") * col("__w") *
+        expr(s"${l}L div (__ki - 1L)")), zeroDec).as("__don"))
+    // DeN = Σ_{c≠c'} m_c·m_c'·W and the full-range weight Wmax —
+    // both off the K²-row weight frame
+    val den = weights.agg(
+      coalesce(sum(when(col("__ia") =!= col("__ib"),
+        col("__ma").cast("decimal(38,0)") * col("__mb") * col("__w"))),
+        zeroDec).as("__den"),
+      coalesce(max(when(col("__ia") === 0L &&
+        col("__ib") === lit((k - 1).toLong), col("__w"))), zeroDec)
+        .as("__wmax"))
+    val glob = per.agg(coalesce(count(lit(1)), lit(0L)).as("n_items"))
+      .crossJoin(pairable.agg(
+        coalesce(count(lit(1)), lit(0L)).as("n_pairable"),
+        coalesce(sum(col("__ki")).cast("decimal(38,0)"), zeroDec)
+          .as("__t")))
+      .crossJoin(marg.agg(coalesce(sum(when(col("__m") > 0L, 1L)),
+        lit(0L)).as("n_classes")))
+    glob.crossJoin(broadcast(don)).crossJoin(broadcast(den)).select(
+      col("n_items"), col("n_pairable"), col("n_classes"),
+      expr(s"cast(__don * 1000000 div " +
+        s"greatest(${l}L * __t * __wmax, 1) as bigint)").as("do_ppm"),
+      expr("cast(__den * 1000000 div " +
+        "greatest(__t * (__t - 1) * __wmax, 1) as bigint)").as("de_ppm"),
+      expr(s"""cast(case
+        | when ${l}L * __den - __don * (__t - 1) >= 0
+        | then (${l}L * __den - __don * (__t - 1)) * 1000000
+        |   div greatest(${l}L * __den, 1)
+        | else -((__don * (__t - 1) - ${l}L * __den) * 1000000
+        |   div greatest(${l}L * __den, 1))
+        | end as bigint)""".stripMargin).as("alpha_ppm"))
+  }
+
   /** Agreement → ACCURACY composition (r17 verdict ask #7): the
     * kappa instruments name who DISAGREES; where held-out truth
     * exists, this card names who is WRONG — the decision a labeling

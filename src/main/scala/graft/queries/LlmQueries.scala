@@ -1965,6 +1965,50 @@ object LlmQueries {
       AlphaMaxRaters)
   }
 
+  // ---- q320: ordinal Krippendorff's alpha (graded-label agreement) ----
+  // q316 grades NOMINAL labels; quality is ORDINAL — "band 1 vs 2"
+  // is a smaller disagreement than "0 vs 3", and the nominal metric
+  // cannot see it ([[graft.llm.LabelQa.alphaWeightedCard]], r18
+  // verdict ask #8: Krippendorff 2004's ordinal metric, weights
+  // data-derived from the coincidence marginals, the whole card in
+  // lcm-scaled exact integers). Three cheap quality raters band
+  // every document onto one pinned 4-point scale — the q20 quality
+  // score, raw character length, and the token count (each already
+  // oracle-pinned spellings) — and the 'tokens' rater is
+  // deliberately MISSING on a quarter of the corpus (the q316
+  // discipline: absent ratings are alpha's reason to exist). The
+  // oracle replays the banding, the marginals, the segment-sum
+  // ordinal weights, DoN/DeN, and the floor-ppm rules in HUGEINT.
+  private val OrdScale = Seq("0", "1", "2", "3")
+  def q320OrdinalAlpha(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.documents(s, dir)
+    val q = TextAnalysis.qualityScoreFp("text")
+    val qBand = when(q < 400000L, "0").when(q < 650000L, "1")
+      .when(q < 900000L, "2").otherwise("3")
+    // char/token cutoffs sit at the corpus quartiles (chars ≈ 5.5 ×
+    // tokens on this generator), so the three raters band on
+    // comparable scales and the card measures estimator behavior on
+    // genuinely correlated ordinal votes, not a manufactured
+    // scale-offset disagreement
+    val len = length(col("text"))
+    val lBand = when(len < 170, "0").when(len < 300, "1")
+      .when(len < 440, "2").otherwise("3")
+    val nTok = TextAnalysis.tokenCount(col("text")).cast("bigint")
+    val tBand = when(nTok < 30L, "0").when(nTok < 55L, "1")
+      .when(nTok < 80L, "2").otherwise("3")
+    val ratings =
+      d.select(col("doc_id"), lit("quality").as("rater"),
+          qBand.as("lab"))
+        .unionByName(d.select(col("doc_id"), lit("length").as("rater"),
+          lBand.as("lab")))
+        .unionByName(d
+          .filter(pmod(col("doc_id"), lit(AlphaMissingMod)) =!= 1L)
+          .select(col("doc_id"), lit("tokens").as("rater"),
+            tBand.as("lab")))
+    graft.llm.LabelQa.alphaWeightedCard(ratings, "doc_id", "rater",
+      "lab", AlphaMaxRaters, OrdScale, "ordinal")
+  }
+
   // ---- q310: span-removal aggressiveness sweep ----
   // q300 strips at ONE (gramN, minOcc) point; this card prices the
   // whole grid ([[graft.llm.Dedup.spanSweep]]) — blocklist size,
@@ -4130,6 +4174,7 @@ object LlmQueries {
     "q316_krippendorff_alpha" -> q316KrippendorffAlpha _,
     "q317_rater_accuracy" -> q317RaterAccuracy _,
     "q318_alpha_monitor" -> q318AlphaMonitor _,
+    "q320_ordinal_alpha" -> q320OrdinalAlpha _,
     "q116_khop_seeds"  -> q116KhopSeeds _,
     "q122_vocab_growth" -> q122VocabGrowth _,
     "q123_scene_cuts"  -> q123SceneCuts _,
@@ -5602,6 +5647,76 @@ object LlmQueries {
     "q316_krippendorff_alpha" -> alphaOracleSql,
     "q317_rater_accuracy" -> raterAccuracyOracleSql,
     "q318_alpha_monitor" -> alphaMonitorOracleSql,
+    // the ordinal-metric replay: banding (the q20 quality spelling,
+    // char length, token count), pairable marginals on the pinned
+    // 4-point spine, segment-sum weights, DoN/DeN/Wmax, and the
+    // floor-ppm rules — all in HUGEINT, L = lcm(1..2) = 2
+    "q320_ordinal_alpha" ->
+      s"""WITH base AS (SELECT doc_id, text, $toksSql AS toks
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, CAST(CASE WHEN q < 400000 THEN 0
+         |      WHEN q < 650000 THEN 1 WHEN q < 900000 THEN 2
+         |      ELSE 3 END AS BIGINT) AS ix
+         |    FROM (SELECT doc_id, $qualityFpSql AS q FROM base) t
+         |  UNION ALL
+         |  SELECT doc_id, CAST(CASE WHEN length(text) < 170 THEN 0
+         |      WHEN length(text) < 300 THEN 1
+         |      WHEN length(text) < 440 THEN 2 ELSE 3 END AS BIGINT)
+         |    FROM base
+         |  UNION ALL
+         |  SELECT doc_id, CAST(CASE WHEN len(toks) < 30 THEN 0
+         |      WHEN len(toks) < 55 THEN 1 WHEN len(toks) < 80 THEN 2
+         |      ELSE 3 END AS BIGINT)
+         |    FROM base WHERE doc_id % $AlphaMissingMod != 1),
+         |nic AS (SELECT doc_id, ix, CAST(count(*) AS BIGINT) AS c
+         |  FROM r GROUP BY 1, 2),
+         |per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS ki
+         |  FROM nic GROUP BY 1),
+         |pair AS (SELECT doc_id, ki FROM per WHERE ki >= 2),
+         |mg AS (SELECT s.ix, CAST(coalesce(mm.m, 0) AS BIGINT) AS m
+         |  FROM (SELECT u.x AS ix FROM unnest(range(0, 4)) AS u(x)) s
+         |  LEFT JOIN (SELECT nic.ix, CAST(sum(nic.c) AS BIGINT) AS m
+         |    FROM nic JOIN pair USING (doc_id) GROUP BY 1) mm
+         |  USING (ix)),
+         |cum AS (SELECT ix, m,
+         |    CAST(sum(m) OVER (ORDER BY ix) AS BIGINT) AS cm FROM mg),
+         |w0 AS (SELECT a.ix AS ia, b.ix AS ib, a.m AS ma, b.m AS mb,
+         |    2 * (CASE WHEN a.ix <= b.ix THEN b.cm - a.cm + a.m
+         |      ELSE a.cm - b.cm + b.m END) - a.m - b.m AS wv
+         |  FROM cum a CROSS JOIN cum b),
+         |w AS (SELECT ia, ib, ma, mb,
+         |    CAST(CAST(wv AS HUGEINT) * wv AS HUGEINT) AS ww FROM w0),
+         |gt AS (SELECT CAST(coalesce(sum(ki), 0) AS HUGEINT) AS t
+         |  FROM pair),
+         |don AS (SELECT CAST(coalesce(sum(CAST(x.c AS HUGEINT) * y.c
+         |      * w.ww * (2 // (p.ki - 1))), 0) AS HUGEINT) AS don
+         |  FROM nic x JOIN pair p USING (doc_id)
+         |  JOIN nic y ON y.doc_id = x.doc_id AND y.ix != x.ix
+         |  JOIN w ON w.ia = x.ix AND w.ib = y.ix),
+         |den AS (SELECT CAST(coalesce(sum(CAST(ma AS HUGEINT) * mb * ww),
+         |      0) AS HUGEINT) AS den
+         |  FROM w WHERE ia != ib),
+         |wmx AS (SELECT ww AS wmax FROM w WHERE ia = 0 AND ib = 3),
+         |cnt AS (SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM per) AS n_items,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM pair) AS n_pairable,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM mg WHERE m > 0)
+         |    AS n_classes)
+         |SELECT cnt.n_items, cnt.n_pairable, cnt.n_classes,
+         |  CAST(don.don * 1000000
+         |    // greatest(2 * gt.t * wmx.wmax, 1) AS BIGINT) AS do_ppm,
+         |  CAST(den.den * 1000000
+         |    // greatest(gt.t * (gt.t - 1) * wmx.wmax, 1) AS BIGINT)
+         |    AS de_ppm,
+         |  CAST(CASE WHEN 2 * den.den - don.don * (gt.t - 1) >= 0
+         |    THEN (2 * den.den - don.don * (gt.t - 1)) * 1000000
+         |      // greatest(2 * den.den, 1)
+         |    ELSE -((don.don * (gt.t - 1) - 2 * den.den) * 1000000
+         |      // greatest(2 * den.den, 1))
+         |    END AS BIGINT) AS alpha_ppm
+         |FROM cnt CROSS JOIN gt CROSS JOIN don CROSS JOIN den
+         |CROSS JOIN wmx""".stripMargin,
     // the same chain self-joined into unordered pairs, q302's kappa
     // arithmetic per pair
     "q309_kappa_matrix" -> kappaMatrixOracleSql,
