@@ -674,14 +674,24 @@ object Dedup {
     * one; a chain arriving one edge per epoch therefore costs O(1)
     * rounds per fold, not O(chain length) (the composition-at-depth
     * case, also pinned). */
-  def ccDelta(existing: DataFrame, newDocs: DataFrame,
+  def ccDelta(existing0: DataFrame, newDocs: DataFrame,
       newEdges: DataFrame, maxIter: Int = 40): DataFrame = {
+    // `existing` is referenced three times (cluster lookup, member
+    // expansion, untouched pass-through) and `affectedDocs` three more
+    // (star edges, vertex set, seed labels) — persist both so a fold
+    // whose `existing` input is itself an expensive lineage (a prior
+    // fold in a chain, q279) is priced once, not once per branch (r19;
+    // both frames are label-frame-sized, the same footprint the CC
+    // loop itself holds; Caches dedupes by canonical plan, so a
+    // caller-persisted input is not tracked twice)
+    val existing = Caches.persistTracked(existing0)
     val endpoints = newEdges.select(col("doc_a").as("doc_id"))
       .unionByName(newEdges.select(col("doc_b").as("doc_id"))).distinct()
     val affectedClusters = existing.join(endpoints, Seq("doc_id"))
       .select(col("cluster_id")).distinct()
-    val affectedDocs = existing.join(affectedClusters, Seq("cluster_id"))
-      .select(col("doc_id"), col("cluster_id"))
+    val affectedDocs = Caches.persistTracked(
+      existing.join(affectedClusters, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id")))
     // star edges: representative ↔ member reproduces the affected
     // cluster's connectivity in one hop without any original edge
     val starEdges = affectedDocs.filter(col("doc_id") =!= col("cluster_id"))

@@ -515,32 +515,80 @@ object IvfIndex {
 
   /** Lloyd's rounds over an ALREADY-quantized `(vec_id, e)` frame —
     * the reusable core of [[fitFixedPoint]], also driven per-subspace
-    * by [[PqIndex]] on sliced projections. */
+    * by [[PqIndex]] on sliced projections.
+    *
+    * Each round is ONE treeReduce job over the cached frame: tasks
+    * assign rows to their argmin cell and fold (cell × dim) partial
+    * sums locally, partials merge executor-side, and the driver holds
+    * only the k×dim codebook (the classic distributed-k-means shape —
+    * MLlib's own runAlgorithm aggregates the same way). r19: the
+    * previous spelling (assignment UDF → posexplode to n·dim rows →
+    * groupBy(cell, dim) → collect) paid one shuffle + two AQE jobs +
+    * an n·dim row explosion PER ROUND; this is one job, no exchange,
+    * no explosion, and the identical integers (per-cell per-dim sums
+    * are order-free, floor division unchanged — spec-pinned).
+    * Overflow discipline: partial sums accumulate in Long via
+    * addExact — |e| ≤ ~10⁶ for unit-scale embeddings, so a silent
+    * wrap needs ~9·10¹² same-cell rows; addExact turns the
+    * beyond-that case into a loud failure, never a wrong codebook. */
   private[llm] def fitOnQuantized(q: DataFrame, nLists: Int,
       nIter: Int): Array[Array[Long]] = {
-    val spark = q.sparkSession
     var centroids: Array[Array[Long]] = q.orderBy(col("vec_id")).limit(nLists)
       .select(col("e")).collect().map(_.getSeq[Long](0).toArray)
     require(centroids.length == nLists,
       s"corpus has fewer than $nLists vectors — cannot seed the codebook")
+    if (nIter == 0) return centroids
+    val dim = centroids(0).length
+    val vecs = q.select(col("e")).rdd
+      .map(_.getSeq[Long](0).toArray)
     for (_ <- 0 until nIter) {
-      val bc = spark.sparkContext.broadcast(centroids)
-      val sums = q.select(cellOfUdf(bc)(col("e")).as("cell"),
-          posexplode(col("e")).as(Seq("dim", "v")))
-        .groupBy(col("cell"), col("dim"))
-        .agg(sum(col("v").cast("decimal(38,0)")).as("s"), count(lit(1)).as("n"))
-        .collect()
+      val cents = centroids
+      // (sums(k)(dim), counts(k)) — one fold per partition, tree-merged
+      val (sums, counts) = vecs.treeAggregate(
+        (Array.fill(nLists)(new Array[Long](dim)), new Array[Long](nLists)))(
+        seqOp = { case ((s, n), v) =>
+          var best = 0
+          var bestD = Long.MaxValue
+          var i = 0
+          while (i < nLists) {
+            val c = cents(i)
+            var d = 0L
+            var j = 0
+            while (j < dim) { val x = v(j) - c(j); d += x * x; j += 1 }
+            if (d < bestD) { bestD = d; best = i }
+            i += 1
+          }
+          n(best) += 1
+          val row = s(best)
+          var j = 0
+          while (j < dim) { row(j) = Math.addExact(row(j), v(j)); j += 1 }
+          (s, n)
+        },
+        combOp = { case ((sa, na), (sb, nb)) =>
+          var i = 0
+          while (i < nLists) {
+            na(i) = Math.addExact(na(i), nb(i))
+            val ra = sa(i); val rb = sb(i)
+            var j = 0
+            while (j < dim) { ra(j) = Math.addExact(ra(j), rb(j)); j += 1 }
+            i += 1
+          }
+          (sa, na)
+        })
       val next = centroids.map(_.clone())
-      sums.foreach { r =>
-        val s = r.getDecimal(2).toBigInteger
-        val n = java.math.BigInteger.valueOf(r.getLong(3))
-        val Array(quot, rem) = s.divideAndRemainder(n)
-        // floor division (DuckDB's floor(sum/n) replays this exactly)
-        val fl = if (rem.signum < 0) quot.subtract(java.math.BigInteger.ONE) else quot
-        next(r.getInt(0))(r.getInt(1)) = fl.longValueExact()
+      var c = 0
+      while (c < nLists) {
+        if (counts(c) > 0L) {
+          var j = 0
+          while (j < dim) {
+            // floor division (DuckDB's floor(sum/n) replays exactly)
+            next(c)(j) = Math.floorDiv(sums(c)(j), counts(c))
+            j += 1
+          }
+        } // empty cells keep their previous centroid
+        c += 1
       }
       centroids = next
-      bc.unpersist()
     }
     centroids
   }

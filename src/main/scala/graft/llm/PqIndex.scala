@@ -49,11 +49,29 @@ object PqIndex {
       require(dim % m == 0, s"dim ($dim) must divide evenly into $m subspaces")
       val subDim = dim / m
       val q = Caches.persistTracked(IvfIndex.quantized(vectors))
-      Array.tabulate(m) { i =>
-        IvfIndex.fitOnQuantized(
-          q.select(col("vec_id"), slice(col("e"), i * subDim + 1, subDim).as("e")),
-          kSub, nIter)
-      }
+      // the m subspace trainings are INDEPENDENT jobs over the same
+      // cached projection — submit them from a small thread pool so
+      // each one's stragglers back-fill with the next one's tasks
+      // (guide §2.6) instead of m sequential seed+Lloyd job chains;
+      // results land by index, so the codebook array is deterministic
+      // regardless of completion order (r19)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(m, 4))
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val fits = (0 until m).map { i =>
+          scala.concurrent.Future {
+            IvfIndex.fitOnQuantized(
+              q.select(col("vec_id"),
+                slice(col("e"), i * subDim + 1, subDim).as("e")),
+              kSub, nIter)
+          }
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(fits),
+          scala.concurrent.duration.Duration.Inf).toArray
+      } finally pool.shutdown()
     }
   }
 
