@@ -46,6 +46,14 @@ object ProfileJobs {
             s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           stages.incrementAndGet()
           tasks.addAndGet(s.stageInfo.numTasks.toLong)
+          if (verbose) {
+            val i = s.stageInfo
+            val sumMs = Option(i.taskMetrics)
+              .map(_.executorRunTime).getOrElse(-1L)
+            if (sumMs >= 150L) println(
+              f"  STAGE ${i.stageId}%4d tasks=${i.numTasks}%4d " +
+                f"runMs=$sumMs%6d  ${i.name.take(90)}")
+          }
         }
         override def onTaskEnd(
             t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =

@@ -92,11 +92,17 @@ object MinHashLSH {
   def shingleSets(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int): DataFrame = {
     LlmFunctions.registerShingleBases(docs.sparkSession)
+    // Spread BEFORE the shingle fold: the per-row shingle/hash work is
+    // the expensive part and a single-split scan would run it serial
+    // (see [[Spread]] — structural no-op on a parallel scan)
+    val projected = Spread(docs.select(
+      col(graft.Names.quoted(idCol)).as("doc_id"),
+      col(graft.Names.quoted(textCol)).as("__t")))
     // sorted: the Jaccard verify's `inter_count` is a merge walk over
     // sorted inputs; minhash is order-invariant so nothing else cares
-    docs.select(col(graft.Names.quoted(idCol)).as("doc_id"),
+    projected.select(col("doc_id"),
       sort_array(array_distinct(
-        expr(s"shingle_bases(${graft.Names.quoted(textCol)}, $shingleN)"))).as("s"))
+        expr(s"shingle_bases(__t, $shingleN)"))).as("s"))
   }
 
   /** In-bucket upper-triangle pair expansion over a sorted array

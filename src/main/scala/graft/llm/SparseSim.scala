@@ -40,9 +40,12 @@ object SparseSim {
     require(maxDf > 0, "maxDf must be positive")
     require(thrPpm > 0 && thrPpm <= 1000000L, "thrPpm must be in (0, 1e6]")
     val q = graft.Names.quoted _
-    val tf = docs
-      .select(col(q(idCol)).as("doc_id"),
-        explode(TextAnalysis.tokens(col(q(textCol)))).as("w"))
+    // Spread before the tokenize fold — serial on a single-split scan
+    // otherwise (no-op on a parallel scan)
+    val tf = Spread(docs.select(col(q(idCol)).as("doc_id"),
+        col(q(textCol)).as("__t")))
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("__t"))).as("w"))
       .groupBy(col("w"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
     // df pruning as a broadcast ANTI-join against the heavy-term
@@ -95,9 +98,11 @@ object SparseSim {
     require(maxDf > 0, "maxDf must be positive")
     require(thrPpm > 0 && thrPpm <= 1000000L, "thrPpm must be in (0, 1e6]")
     val q = graft.Names.quoted _
-    val grams = docs
-      .select(col(q(idCol)).as("doc_id"),
-        TextAnalysis.tokens(col(q(textCol))).as("toks"))
+    // Spread before the tokenize/3-gram fold — serial on a
+    // single-split scan otherwise (no-op on a parallel scan)
+    val grams = Spread(docs.select(col(q(idCol)).as("doc_id"),
+        col(q(textCol)).as("__t")))
+      .select(col("doc_id"), TextAnalysis.tokens(col("__t")).as("toks"))
       .select(col("doc_id"),
         explode(TextAnalysis.word3grams("toks")).as("g"))
       .distinct()
@@ -114,13 +119,25 @@ object SparseSim {
       .agg(count(lit(1)).as("shared"))
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_grams").as("n_a")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_grams").as("n_b")), Seq("doc_b"))
-    val aInB = pairs.filter(col("shared") * 1000000L >= lit(thrPpm) * col("n_a"))
-      .select(col("doc_a").as("contained_id"), col("doc_b").as("container_id"),
-        col("shared"), col("n_a").as("n_contained"))
-    val bInA = pairs.filter(col("shared") * 1000000L >= lit(thrPpm) * col("n_b"))
-      .select(col("doc_b").as("contained_id"), col("doc_a").as("container_id"),
-        col("shared"), col("n_b").as("n_contained"))
-    aInB.unionAll(bInA)
+    // Both directions emitted from ONE pass over the pair aggregate
+    // (explode of a 2-struct array), instead of a unionAll whose two
+    // branches each re-ran the postings join + pair aggregate + both
+    // size joins (r19: the duplicated subtree was the whole plan's
+    // cost twice; ReuseExchange only shared the shuffles, not the
+    // joins/aggregates above them). Same rows, order-free.
+    pairs
+      .select(explode(array(
+        struct(col("doc_a").as("contained_id"),
+          col("doc_b").as("container_id"), col("shared"),
+          col("n_a").as("n_contained")),
+        struct(col("doc_b").as("contained_id"),
+          col("doc_a").as("container_id"), col("shared"),
+          col("n_b").as("n_contained")))).as("r"))
+      .select(col("r.contained_id").as("contained_id"),
+        col("r.container_id").as("container_id"),
+        col("r.shared").as("shared"),
+        col("r.n_contained").as("n_contained"))
+      .filter(col("shared") * 1000000L >= lit(thrPpm) * col("n_contained"))
       .select(col("contained_id"), col("container_id"), col("shared"),
         col("n_contained"),
         expr("(shared * 1000000L) div n_contained").as("cont_ppm"))

@@ -539,8 +539,8 @@ object TextAnalysis {
       carryCols: Seq[String] = Nil, withQuality: Boolean = false): DataFrame = {
     val t = coalesce(col(graft.Names.quoted(textCol)), lit(""))
     val carried = carryCols.map(c => col(graft.Names.quoted(c)))
-    val staged = df
-      .select(col(graft.Names.quoted(idCol)).as("doc_id") +: t.as("__text") +: carried: _*)
+    val staged = graft.llm.Spread(df
+        .select(col(graft.Names.quoted(idCol)).as("doc_id") +: t.as("__text") +: carried: _*))
       .withColumn("__toks", tokens(col("__text")))
       .withColumn("n_tok", size(col("__toks")).cast("bigint"))
       .withColumn("__mean_fp",
@@ -882,8 +882,9 @@ object TextAnalysis {
   def tokenDivergenceFp(df: DataFrame, groupCol: String,
       textCol: String): DataFrame = {
     val qg = graft.Names.quoted(groupCol)
-    val toks = df.filter(col(qg).isNotNull)
-      .select(col(qg).as("g"), explode(tokens(col(graft.Names.quoted(textCol)))).as("tok"))
+    val toks = graft.llm.Spread(df.filter(col(qg).isNotNull)
+        .select(col(qg).as("g"), col(graft.Names.quoted(textCol)).as("__t")))
+      .select(col("g"), explode(tokens(col("__t"))).as("tok"))
     // persisted (Caches-tracked): the (group, token) counts feed the
     // pair join AND both marginal aggregations — unpersisted, each
     // consumer re-runs the corpus explode, the expensive pass

@@ -633,10 +633,18 @@ object Relational {
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= MinRuleSupport)
-    val rules = pairs.select(col("a").as("antecedent"),
-        col("b").as("consequent"), col("support"))
-      .unionAll(pairs.select(col("b").as("antecedent"),
-        col("a").as("consequent"), col("support")))
+    // both rule directions from ONE pass over the pair aggregate (a
+    // 2-struct explode) instead of a unionAll that re-ran the basket
+    // self-join + pair aggregate per branch (r19)
+    val rules = pairs
+      .select(explode(array(
+        struct(col("a").as("antecedent"), col("b").as("consequent"),
+          col("support")),
+        struct(col("b").as("antecedent"), col("a").as("consequent"),
+          col("support")))).as("r"))
+      .select(col("r.antecedent").as("antecedent"),
+        col("r.consequent").as("consequent"),
+        col("r.support").as("support"))
     rules
       .join(broadcast(cnt.select(col("pk").as("antecedent"), col("c").as("ca"))),
         "antecedent")

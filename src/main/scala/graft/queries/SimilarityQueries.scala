@@ -236,9 +236,15 @@ object SimilarityQueries {
     // existence over DISTINCT corpus sets equals existence over all
     // of them — the planted dup families collapse before the
     // quadratic arm ever sees them
+    // Spread the distinct-corpus stream side of the cross join: AQE
+    // coalesces the distinct's output by BYTES to ~1 partition, which
+    // serialized the whole inter_count verify into one 5 s task
+    // (measured r19); the per-row cost here is CPU, not bytes. Spread
+    // is a structural no-op on a multi-file production corpus.
     val truth = graft.llm.Caches.persistTracked(
       arrSets.select(col("doc_id"), col("s").as("sa"))
-        .crossJoin(corpusSets.select(col("s").as("sb")).distinct())
+        .crossJoin(graft.llm.Spread(
+          corpusSets.select(col("s").as("sb")).distinct()))
         .filter(expr(s"size(sa) * $tLo <= size(sb) * 1000000L and " +
           s"size(sb) * $tLo <= size(sa) * 1000000L"))
         .select(col("doc_id"),
