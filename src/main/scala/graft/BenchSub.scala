@@ -4,6 +4,12 @@ object BenchSub {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
     spark.sparkContext.setLogLevel("WARN")
+    // measurement-only conf overrides, e.g.
+    // GRAFT_BENCH_CONF="spark.sql.adaptive.enabled=false;k2=v2"
+    sys.env.get("GRAFT_BENCH_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      })
     SparkEntry.queries("q6_filtered_revenue")(spark, sfDir).count()
     for (name <- args) {
       val times = (1 to 6).map { _ =>

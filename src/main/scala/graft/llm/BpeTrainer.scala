@@ -190,9 +190,13 @@ object BpeTrainer {
     // encode(w) for a training word reproduces its final training
     // symbols
     val encodeSql = encodeWordSql(merges, "w")
-    val perSym = docs
-      .select(col(q(idCol)).as("doc_id"),
-        posexplode(TextAnalysis.tokens(col(q(textCol)))).as(Seq("pos", "w")))
+    // Spread before the per-token merge-chain fold: the replace chain
+    // + split runs per token and a single-split scan would execute it
+    // serial (no-op on a parallel scan, see [[Spread]])
+    val perSym = Spread(docs
+        .select(col(q(idCol)).as("doc_id"), col(q(textCol)).as("__t")))
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("__t"))).as(Seq("pos", "w")))
       .select(col("doc_id"), col("pos"), expr(encodeSql).as("s"))
       .select(col("doc_id"), col("pos"),
         posexplode(expr(symsExpr)).as(Seq("spos", "sym")))

@@ -128,8 +128,12 @@ object LinkRank {
       when(fwd, col("u")).otherwise(col("v")).as("a"),
       when(fwd, col("v")).otherwise(col("u")).as("b"),
       when(fwd, col("dv")).otherwise(col("du")).as("db")))
-    val e1 = o.select(col("a"), col("b").as("y"), col("db").as("dy"))
-    val e2 = o.select(col("a"), col("b").as("z"), col("db").as("dz"))
+    // Spread.byKey on the wedge key: the out-neighbor pair expansion
+    // is CPU-heavy with tiny bytes (the q220 coalescing rationale);
+    // no-op at production input sizes
+    val oK = Spread.byKey(o, col("a"))
+    val e1 = oK.select(col("a"), col("b").as("y"), col("db").as("dy"))
+    val e2 = oK.select(col("a"), col("b").as("z"), col("db").as("dz"))
     val wedges = e1.join(e2, Seq("a"))
       .filter(col("dy") < col("dz") || (col("dy") === col("dz") && col("y") < col("z")))
     val tris = wedges.join(o.select(col("a").as("y"), col("b").as("z")), Seq("y", "z"))

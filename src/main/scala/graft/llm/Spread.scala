@@ -48,4 +48,32 @@ object Spread {
       } catch { case _: Throwable => Long.MaxValue }
     if (bytes / target < MinBytesPerCore) df.repartition(target) else df
   }
+
+  /** Keyed variant for CPU-heavy JOIN/aggregate stages: pre-partition
+    * by the operation's own key so the exchange both satisfies the
+    * join's distribution requirement AND — being a user repartition —
+    * is exempt from AQE partition coalescing, which sizes partitions
+    * by BYTES and serializes small-but-CPU-heavy stages (measured:
+    * q220's gram self-join ran 0.7 s faster with coalescing off).
+    * Same scale guard as [[apply]]: no-op unless the scan is
+    * few-files AND tiny, so a production-sized input keeps AQE's
+    * byte-based sizing. */
+  def byKey(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val files =
+      try df.inputFiles
+      catch { case _: Throwable => return df }
+    if (files.length >= target || target <= 1) return df
+    val bytes =
+      try {
+        val conf = spark.sparkContext.hadoopConfiguration
+        files.map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(conf).getFileStatus(p).getLen
+        }.sum
+      } catch { case _: Throwable => Long.MaxValue }
+    if (bytes / target < MinBytesPerCore) df.repartition(target, keys: _*)
+    else df
+  }
 }

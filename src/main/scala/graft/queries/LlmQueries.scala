@@ -711,7 +711,8 @@ object LlmQueries {
     * one materialization within a session. */
   private def md5GramFrame(s: SparkSession, dir: String): DataFrame =
     graft.llm.Caches.persistTracked(
-      graft.Tables.documents(s, dir)
+      graft.llm.Spread(graft.Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("text")))
         .select(col("doc_id"), col("source"),
           graft.llm.TextAnalysis.tokens(col("text")).as("__toks"))
         .select(col("doc_id"), col("source"),
@@ -2011,15 +2012,21 @@ object LlmQueries {
     val nTok = TextAnalysis.tokenCount(col("text")).cast("bigint")
     val tBand = when(nTok < 30L, "0").when(nTok < 55L, "1")
       .when(nTok < 80L, "2").otherwise("3")
-    val ratings =
-      d.select(col("doc_id"), lit("quality").as("rater"),
-          qBand.as("lab"))
-        .unionByName(d.select(col("doc_id"), lit("length").as("rater"),
-          lBand.as("lab")))
-        .unionByName(d
-          .filter(pmod(col("doc_id"), lit(AlphaMissingMod)) =!= 1L)
-          .select(col("doc_id"), lit("tokens").as("rater"),
-            tBand.as("lab")))
+    // all three raters from ONE scan/fold pass (a 3-struct explode)
+    // instead of a 3-branch union that re-scanned and re-folded the
+    // corpus per rater (r19, guide §2.4); the 'tokens' rater's missing
+    // quarter drops by the same pmod filter post-explode. Spread:
+    // qualityScoreFp's token fold is the heavy part and a single-split
+    // scan runs it serial.
+    val ratings = graft.llm.Spread(d.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(array(
+        struct(lit("quality").as("rater"), qBand.as("lab")),
+        struct(lit("length").as("rater"), lBand.as("lab")),
+        struct(lit("tokens").as("rater"), tBand.as("lab")))).as("rt"))
+      .select(col("doc_id"), col("rt.rater").as("rater"),
+        col("rt.lab").as("lab"))
+      .filter(!(col("rater") === "tokens" &&
+        pmod(col("doc_id"), lit(AlphaMissingMod)) === 1L))
     graft.llm.LabelQa.alphaWeightedCard(ratings, "doc_id", "rater",
       "lab", AlphaMaxRaters, OrdScale, "ordinal")
   }
@@ -4054,8 +4061,13 @@ object LlmQueries {
     val sg = graft.llm.Caches.persistTracked(
       md5GramFrame(s, dir)
         .select(col("source"), explode(col("gs")).as("gk")).distinct())
-    val ex = sg.select(col("source").as("sa"), col("gk"))
-      .join(sg.select(col("source").as("sb"), col("gk")), Seq("gk"))
+    // Spread.byKey on the self-join key: AQE's byte-based coalescing
+    // serialized the gram-compare stage (measured r19); the user
+    // repartition both feeds the join's requirement and keeps the
+    // CPU-heavy stage wide. No-op at production input sizes.
+    val sgk = graft.llm.Spread.byKey(sg, col("gk"))
+    val ex = sgk.select(col("source").as("sa"), col("gk"))
+      .join(sgk.select(col("source").as("sb"), col("gk")), Seq("gk"))
       .filter(col("sa") < col("sb"))
       .groupBy(col("sa"), col("sb"))
       .agg(count(lit(1)).as("n_inter"))

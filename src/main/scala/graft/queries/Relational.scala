@@ -594,8 +594,12 @@ object Relational {
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct())
     val n = items.select(col("ok")).distinct().count()
     val cnt = items.groupBy(col("pk")).agg(count(lit(1)).as("c"))
-    val top = items.select(col("ok"), col("pk").as("item_a"))
-      .join(items.select(col("ok"), col("pk").as("item_b")), "ok")
+    // Spread.byKey on the basket key: the within-basket pair expansion
+    // is CPU-heavy with tiny bytes, which AQE's byte-based coalescing
+    // under-parallelizes (r19); no-op at production input sizes
+    val itemsK = graft.llm.Spread.byKey(items, col("ok"))
+    val top = itemsK.select(col("ok"), col("pk").as("item_a"))
+      .join(itemsK.select(col("ok"), col("pk").as("item_b")), "ok")
       .filter(col("item_a") < col("item_b"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("support"))
@@ -627,8 +631,10 @@ object Relational {
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct())
     val n = items.select(col("ok")).distinct().count()
     val cnt = items.groupBy(col("pk")).agg(count(lit(1)).as("c"))
-    val pairs = items.select(col("ok"), col("pk").as("a"))
-      .join(items.select(col("ok"), col("pk").as("b")), "ok")
+    // Spread.byKey on the basket key (the q124 rationale)
+    val itemsK = graft.llm.Spread.byKey(items, col("ok"))
+    val pairs = itemsK.select(col("ok"), col("pk").as("a"))
+      .join(itemsK.select(col("ok"), col("pk").as("b")), "ok")
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("support"))

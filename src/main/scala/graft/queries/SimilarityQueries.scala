@@ -529,13 +529,25 @@ object SimilarityQueries {
         .select(col("doc_a"), col("doc_b")))
     val isOld = (c: org.apache.spark.sql.Column) => pmod(c, lit(10)) =!= 0
     val oldDocs = docs.filter(isOld(col("doc_id"))).select(col("doc_id"))
+    // fill the shared edge cache ONCE before forking — otherwise the
+    // two concurrent arms race to materialize it and both pay the
+    // full LSH pass
+    edges.count()
+    // the full-recompute truth arm is independent of the fold arm but
+    // the CC fixpoint loop is EAGER (one driver job per round) — run
+    // it on a second thread so its rounds back-fill the fold arm's
+    // stage tails instead of strictly following them (guide §2.6; the
+    // PqIndex.fitSubspaces precedent)
+    val fullF = scala.concurrent.Future(graft.llm.Dedup.connectedComponents(
+      docs.select(col("doc_id")), edges))(
+      scala.concurrent.ExecutionContext.global)
     val existing = graft.llm.Dedup.connectedComponents(oldDocs,
       edges.filter(isOld(col("doc_a")) && isOld(col("doc_b"))))
     val delta = graft.llm.Dedup.ccDelta(existing,
       docs.filter(!isOld(col("doc_id"))).select(col("doc_id")),
       edges.filter(!isOld(col("doc_a")) || !isOld(col("doc_b"))))
-    val full = graft.llm.Dedup.connectedComponents(
-      docs.select(col("doc_id")), edges)
+    val full = scala.concurrent.Await.result(fullF,
+      scala.concurrent.duration.Duration.Inf)
     full.join(delta.withColumnRenamed("cluster_id", "delta_cluster_id"),
         Seq("doc_id"))
       .select(col("doc_id"), col("cluster_id"), col("delta_cluster_id"),
@@ -564,11 +576,19 @@ object SimilarityQueries {
       .select(col("doc_id"))
     def edgesOf(e: Int) = edges.filter(col("epoch") === e)
       .select(col("doc_a"), col("doc_b"))
+    // fill the shared edge cache once before forking (the q273
+    // rationale), then run the full-recompute truth arm on a second
+    // thread: the eager CC rounds of the two independent arms overlap
+    // instead of running strictly sequentially
+    edges.count()
+    val fullF = scala.concurrent.Future(graft.llm.Dedup.connectedComponents(
+      docs.select(col("doc_id")), edges.select(col("doc_a"), col("doc_b"))))(
+      scala.concurrent.ExecutionContext.global)
     val e0 = graft.llm.Dedup.connectedComponents(docsOf(0), edgesOf(0))
     val e1 = graft.llm.Dedup.ccDelta(e0, docsOf(1), edgesOf(1))
     val e2 = graft.llm.Dedup.ccDelta(e1, docsOf(2), edgesOf(2))
-    val full = graft.llm.Dedup.connectedComponents(
-      docs.select(col("doc_id")), edges.select(col("doc_a"), col("doc_b")))
+    val full = scala.concurrent.Await.result(fullF,
+      scala.concurrent.duration.Duration.Inf)
     full.join(e2.withColumnRenamed("cluster_id", "chained_cluster_id"),
         Seq("doc_id"))
       .select(col("doc_id"), col("cluster_id"), col("chained_cluster_id"),
@@ -1909,10 +1929,18 @@ object SimilarityQueries {
   // the heavy scans stay inside the audited search paths.
   private val RecallMethods = Seq("ivf_seeded", "pq_adc", "sign_lsh")
   def q112AnnRecall(s: SparkSession, dir: String): DataFrame = {
-    val runs = Seq(
-      "sign_lsh"   -> q24EmbedAnn(s, dir),
-      "ivf_seeded" -> q41IvfAnn(s, dir),
-      "pq_adc"     -> q84PqAnn(s, dir))
+    // the three ANN arms are independent and two of them TRAIN eagerly
+    // at construction (IVF Lloyd rounds, PQ subspaces) — construct on
+    // a thread pool so the training job chains overlap (guide §2.6)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = Seq(
+      "sign_lsh"   -> Future(q24EmbedAnn(s, dir)),
+      "ivf_seeded" -> Future(q41IvfAnn(s, dir)),
+      "pq_adc"     -> Future(q84PqAnn(s, dir)))
+    val runs = fs.map { case (n, f) =>
+      n -> Await.result(f, scala.concurrent.duration.Duration.Inf)
+    }
     Similarity.recallAtK(q23EmbedTopk(s, dir), runs, AnnK)
   }
 
