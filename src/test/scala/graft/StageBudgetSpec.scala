@@ -75,7 +75,11 @@ class StageBudgetSpec extends AnyFunSuite with SparkTestSession {
     "q310_span_sweep" -> (47, 47),
     "q311_bbit_screen_sweep" -> (20, 20),
     "q312_fold_debt" -> (6, 6),
-    "q313_fleiss_monitor" -> (34, 34),
+    // r19: +2 jobs from the deliberate labelerRatings persist (the
+    // cache-fill materialization now shows as its own jobs; the
+    // persist removed the NB-chain replay per consumer — measured net
+    // win). Re-measured warm at sf0.001: 36.
+    "q313_fleiss_monitor" -> (38, 38),
     // q314 measured warm at sf0.001: 20
     "q314_cap_sweep" -> (26, 26),
     // r17 ask #8: the remaining board-top stragglers (q269's
@@ -89,8 +93,9 @@ class StageBudgetSpec extends AnyFunSuite with SparkTestSession {
     "q315_compact_serve" -> (17, 17),
     "q316_krippendorff_alpha" -> (50, 50),
     "q317_rater_accuracy" -> (50, 50),
-    // q318 measured warm at sf0.001: 26
-    "q318_alpha_monitor" -> (34, 34))
+    // q318 measured warm at sf0.001: 26; r19 +2 jobs (the q313
+    // rationale — labelerRatings cache-fill jobs), re-measured: 36
+    "q318_alpha_monitor" -> (38, 38))
 
   budgets.foreach { case (name, (maxJobs, maxStages)) =>
     test(s"$name stays inside its scheduling budget " +

@@ -623,8 +623,19 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
   test("ruleFilter is a shuffle-free projection chain") {
     val out = TextAnalysis.ruleFilter(
       graft.Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text")
+    // execute first: the Spread repartition makes the plan adaptive,
+    // and the pre-execution AQE print carries neither the final shape
+    // nor the codegen markers
+    out.queryExecution.toRdd.count()
     val plan = out.queryExecution.executedPlan.toString()
-    assert(!plan.contains("Exchange"), "ruleFilter must not shuffle")
+    // r19: the Spread parallelism guard MAY prepend one round-robin
+    // repartition on a single-split scan — that is a fan-out of the
+    // input, not a keyed shuffle of ruleFilter's logic. Any OTHER
+    // exchange (hash/range) still fails the spec.
+    val keyedExchanges = "Exchange (?!RoundRobinPartitioning)".r
+      .findAllIn(plan).length
+    assert(keyedExchanges == 0,
+      "ruleFilter must not shuffle by key — its logic is row-local")
     // the scan-side and bitmask projections run inside codegen stages
     // (printed as *(n)); the middle projection holds the higher-order
     // functions (aggregate/filter/transform), which Spark evaluates
