@@ -105,15 +105,30 @@ object NbClassifier {
           .as("cnt"))
       .filter(col("cnt") > 0L)
 
+  /** The (variant, w) token-presence aggregate every verdict derives
+    * from: each token type's present (label, cnt) pairs. Built ONCE
+    * per predict and shared by [[verdictsFromPresent]] AND the vocab
+    * size in [[labelConsts]] — its row count per variant IS
+    * |vocabulary|, so the old separate `countDistinct(w)` pass over
+    * the counts frame (a second vocab-sized aggregate, two exchanges)
+    * is redundant (r20, guide §2.4: two consumers, one exchange). */
+  private def presentAgg(countsAll: DataFrame): DataFrame =
+    countsAll.groupBy(col("variant"), col("w"))
+      .agg(collect_list(struct(col("label"), col("cnt"))).as("present"))
+
   /** Per-variant class constants folded to ONE array row per variant:
     * `(variant, labs: array<struct<label, tot, v>>)` — |classes| is
     * dozens at most, so the whole thing broadcasts by construction.
-    * `sort_array` makes the collected order deterministic. */
-  private def labelConsts(countsAll: DataFrame): DataFrame =
+    * `sort_array` makes the collected order deterministic. `present`
+    * is [[presentAgg]] of the SAME frame: one distinct-(variant, w)
+    * row per vocab entry, so `count(w)` over it equals the old
+    * `countDistinct(w)` over the raw counts (both skip nulls). */
+  private def labelConsts(countsAll: DataFrame,
+      present: DataFrame): DataFrame =
     countsAll.groupBy(col("variant"), col("label"))
       .agg(sum(col("cnt")).cast("bigint").as("tot"))
-      .join(countsAll.groupBy(col("variant"))
-        .agg(countDistinct(col("w")).as("v")), Seq("variant"))
+      .join(present.groupBy(col("variant"))
+        .agg(count(col("w")).as("v")), Seq("variant"))
       .groupBy(col("variant"))
       .agg(sort_array(collect_list(
         struct(col("label"), col("tot"), col("v")))).as("labs"))
@@ -139,17 +154,14 @@ object NbClassifier {
         OR (e.s = acc.s AND e.l < acc.l) THEN e ELSE acc END).l""")
 
   /** The winner tables for a TAGGED union of trained counts frames:
-    * `(variant, w, label_pred)` — one (variant, w) aggregate over the
-    * counts (collecting each token's present labels), one broadcast
-    * of the class constants, one row-local argmax. This is the whole
-    * verdict pipeline: no distinct-grid, no join-back, k variants in
-    * the same two shuffles as one. `consts` is [[labelConsts]] of the
-    * SAME frame, passed in so a caller that also needs the defaults
-    * builds it once. */
-  private def verdictsForVariants(countsAll: DataFrame,
+    * `(variant, w, label_pred)` — the shared [[presentAgg]] joined to
+    * one broadcast of the class constants, one row-local argmax. This
+    * is the whole verdict pipeline: no distinct-grid, no join-back, k
+    * variants in the same shuffles as one. Both inputs are built once
+    * by the caller and shared with the defaults/consts path. */
+  private def verdictsFromPresent(present: DataFrame,
       consts: DataFrame): DataFrame =
-    countsAll.groupBy(col("variant"), col("w"))
-      .agg(collect_list(struct(col("label"), col("cnt"))).as("present"))
+    present
       .join(broadcast(consts), Seq("variant"))
       .select(col("variant"), col("w"),
         argmaxOverLabs("present").as("label_pred"))
@@ -173,14 +185,17 @@ object NbClassifier {
     * Vocab-sized — this is what makes corpus scoring one join. */
   def tokenVerdicts(counts: DataFrame): DataFrame = {
     val t = tagged(counts)
-    verdictsForVariants(t, labelConsts(t)).drop("variant")
+    val present = presentAgg(t)
+    verdictsFromPresent(present, labelConsts(t, present)).drop("variant")
   }
 
   /** The class an UNSEEN token votes for: argmax of the pure
     * smoothing score `1·10⁹ div (tot_c + |V|)` — i.e. the class with
     * the smallest training mass, ties → smallest label. One row. */
-  def defaultVerdict(counts: DataFrame): DataFrame =
-    defaultsForVariants(labelConsts(tagged(counts))).drop("variant")
+  def defaultVerdict(counts: DataFrame): DataFrame = {
+    val t = tagged(counts)
+    defaultsForVariants(labelConsts(t, presentAgg(t))).drop("variant")
+  }
 
   /** The corpus-side term-frequency frame `(doc_id, w, tf)` predict
     * scores against — public so a card comparing several trained
@@ -191,9 +206,20 @@ object NbClassifier {
       : DataFrame = {
     val qid = graft.Names.quoted(idCol)
     val qt = graft.Names.quoted(textCol)
-    // no Spread here (see [[train]] — measured net loss)
-    docs.select(col(qid).as("doc_id"),
-        explode(TextAnalysis.tokens(col(qt))).as("w"))
+    // Pre-partition the eval slice by doc_id (scale-guarded, r20):
+    // every aggregate in the verdict pipeline above this frame is
+    // doc-keyed — tf (doc_id, w), the vote sum (doc_id, lab), the
+    // majority (doc_id) — and HashPartitioning(doc_id) satisfies the
+    // clustered distribution of ALL of them, so the ONE keyed
+    // exchange here replaces three stacked exchanges (guide §2.4:
+    // operations keyed the same way share one exchange; the winner
+    // table joins in as a broadcast, which preserves partitioning).
+    // Spread.byKey no-ops on multi-file production scans, where the
+    // w-join may be a shuffle join and AQE keeps byte-based sizing.
+    Spread.byKey(docs.select(col(qid).as("doc_id"), col(qt).as("__t")),
+        col("doc_id"))
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("__t"))).as("w"))
       .groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("tf"))
   }
@@ -230,11 +256,21 @@ object NbClassifier {
     // coalesces to (none) but n_tokens stays real and share_ppm is
     // 1000000 — the trap the advisor flagged, closed in-plan with no
     // eager driver action.
+    // ONE consts/present build feeds BOTH the winner table and the
+    // unseen-token default (r20 — the old spelling built labelConsts
+    // twice, once under tokenVerdicts and once under defaultVerdict,
+    // re-running the vocab-sized aggregates per consumer unless
+    // exchange reuse happened to fire)
+    val t = tagged(counts)
+    val present = presentAgg(t)
+    val consts = labelConsts(t, present)
     val dflt = docIds.sparkSession.range(1).toDF("__one")
-      .join(broadcast(defaultVerdict(counts).withColumn("__one", lit(0L))),
+      .join(broadcast(defaultsForVariants(consts).drop("variant")
+        .withColumn("__one", lit(0L))),
         Seq("__one"), "left")
       .select(col("label_dflt"))
-    val votes = tf.join(tokenVerdicts(counts), Seq("w"), "left")
+    val votes = tf.join(verdictsFromPresent(present, consts)
+        .drop("variant"), Seq("w"), "left")
       .crossJoin(broadcast(dflt))
       .withColumn("lab", coalesce(col("label_pred"), col("label_dflt")))
       .groupBy(col("doc_id"), col("lab"))
@@ -283,8 +319,9 @@ object NbClassifier {
         counts.select(lit(name).as("variant"), col("label"), col("w"),
           col("cnt").cast("bigint").as("cnt"))
       }.reduce(_.unionByName(_))
-    val consts = labelConsts(countsAll)
-    val verdictsAll = verdictsForVariants(countsAll, consts)
+    val presentAll = presentAgg(countsAll)
+    val consts = labelConsts(countsAll, presentAll)
+    val verdictsAll = verdictsFromPresent(presentAll, consts)
     // one row per variant, NULL default when its counts are empty —
     // the same NULL-carrying left join predictFromTf's literal row
     // provides, spelled over the variant-name local relation

@@ -5,14 +5,17 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
 
-/** The r19 Spread parallelism guard: a conditional round-robin
-  * repartition for compute-heavy map folds over single-split scans.
-  * The contract under test: (1) results are byte-identical — Spread
-  * only moves rows; (2) on a tiny single-file scan it widens to
-  * defaultParallelism; (3) on a non-file frame it degrades to a
-  * repartition (small) or no-op, never a throw; (4) byKey satisfies
-  * the downstream join's distribution so no second exchange stacks
-  * on top. */
+/** The r19 Spread parallelism guard (width re-derived r20): a
+  * conditional round-robin repartition for compute-heavy map folds
+  * over single-split scans. The contract under test: (1) results are
+  * byte-identical — Spread only moves rows; (2) on a tiny single-file
+  * scan it widens to the INPUT-derived width (bytes/1MiB, floored at
+  * MinSmallWidth, capped at cores — r19 verdict ask #1: the old
+  * defaultParallelism constant over-sharded at 32 cores); (3) a
+  * non-file in-memory frame has unknown size and must stay a NO-OP
+  * (ADVICE r19 — previously it repartitioned unconditionally);
+  * (4) byKey satisfies the downstream join's distribution so no
+  * second exchange stacks on top. */
 class SpreadSpec extends AnyFunSuite with SparkTestSession {
 
   private val dir = "/root/testdata/sf0.001"
@@ -29,17 +32,38 @@ class SpreadSpec extends AnyFunSuite with SparkTestSession {
     assert(spread.toSeq == plain.toSeq)
   }
 
-  test("Spread widens a tiny single-file scan to defaultParallelism") {
+  test("Spread widens a tiny single-file scan to the input-derived width") {
     val base = graft.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
     val target = spark.sparkContext.defaultParallelism
     assume(target > 1, "needs a multi-core session")
     assert(base.rdd.getNumPartitions < target,
       "precondition: the test file must scan as fewer splits than cores")
-    assert(Spread(base).rdd.getNumPartitions == target)
+    // width = min(cores, max(MinSmallWidth, bytes/1MiB)) — at the
+    // 4-core test session the cap binds, so the width equals cores;
+    // the formula itself is pinned separately below
+    val expected = Spread.smallScanWidth(base)
+    assert(expected.nonEmpty, "guard must fire on the tiny test scan")
+    assert(Spread(base).rdd.getNumPartitions == expected.get)
+    assert(expected.get <= target && expected.get >= 1)
     // and the plan carries the user repartition (AQE cannot coalesce it)
     assert(Spread(base).queryExecution.optimizedPlan.toString
       .contains("Repartition"))
+  }
+
+  test("smallScanWidth derives from input bytes, floored and capped") {
+    val base = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val target = spark.sparkContext.defaultParallelism
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bytes = base.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+    val w = math.min(target.toLong,
+      math.max(Spread.MinSmallWidth.toLong,
+        bytes / Spread.SmallBytesPerPartition))
+    assert(Spread.smallScanWidth(base).contains(w.toInt))
   }
 
   test("Spread.byKey pre-partitions by the join key without stacking a second exchange") {
@@ -60,10 +84,15 @@ class SpreadSpec extends AnyFunSuite with SparkTestSession {
     assert(joined.count() == plainN)
   }
 
-  test("Spread never throws on a non-file in-memory frame") {
+  test("Spread is a NO-OP on a non-file in-memory frame (unknown size = big)") {
     import spark.implicits._
     val mem = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    // ADVICE r19: inputFiles is EMPTY (not a throw) for in-memory
+    // frames — a large non-file production frame must not eat a full
+    // round-robin shuffle just because its size is unreadable
+    assert(Spread.smallScanWidth(mem).isEmpty)
+    assert(Spread(mem) eq mem)
+    assert(Spread.byKey(mem, col("doc_id")) eq mem)
     assert(Spread(mem).collect().length == 2)
-    assert(Spread.byKey(mem, col("doc_id")).collect().length == 2)
   }
 }
